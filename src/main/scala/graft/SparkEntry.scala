@@ -1,13 +1,533 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Fns
+import graft.operators.{AsofJoin, Dedup, Multimodal, Queries, Similarity, TextAnalysis, Transforms}
+import graft.sources.{CsvAutoLoader, JsonPayloads}
+
+/** Driver contract — every operator from SURVEY.md §2 (plus the
+  * training-data-pipeline extensions) exposed as a named query with, where
+  * SQL-expressible, a DuckDB oracle dual in [[oracleSql]].
+  *
+  * Oracle-parity rules used throughout (the driver hash-compares values):
+  *  - floating-point aggregates run through fixed-point decimal
+  *    ([[Fns.exactSum]]) so sums are summation-order-independent and therefore
+  *    bit-identical between Spark and DuckDB;
+  *  - counts/ranks/sizes are cast to LONG on the Spark side (DuckDB counts are
+  *    BIGINT);
+  *  - every result carries a deterministic ORDER BY in both dialects;
+  *  - column names are aliased identically in both dialects.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---------------------------------------------------------------------------
+  // helpers
+  // ---------------------------------------------------------------------------
+
+  /** Session settings every query depends on, applied defensively because the
+    * driver may run queries in a session it built itself:
+    *  - `nanosAsLong`: events.parquet carries TIMESTAMP(NANOS), which Spark's
+    *    Parquet reader rejects by default — read as long + convert in [[events]];
+    *  - ICU case mappings OFF: `lower()` under ICU triggers a
+    *    CollationAwareUTF8String static init that burns minutes of CPU in this
+    *    environment; JVM case mapping is identical for this corpus (and matches
+    *    the DuckDB oracle's `lower`).
+    */
+  private def tune(s: SparkSession): SparkSession = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+    graft.expressions.GraftFunctions.register(s) // SQL surface: vector_dot(...)
+    s
+  }
+
+  /** events.parquet read with the nanos→µs conversion (lossless here — the
+    * corpus has no sub-µs components; `div` is integral so no double-precision
+    * loss on 1e18-scale values).
+    */
+  private def events(s0: SparkSession, dir: String): DataFrame = {
+    val s = tune(s0)
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  private def orders(s: SparkSession, dir: String) = tune(s).read.parquet(s"$dir/orders.parquet")
+  private def lineitem(s: SparkSession, dir: String) = tune(s).read.parquet(s"$dir/lineitem.parquet")
+  private def customer(s: SparkSession, dir: String) = tune(s).read.parquet(s"$dir/customer.parquet")
+  private def nation(s: SparkSession, dir: String) = tune(s).read.parquet(s"$dir/nation.parquet")
+  private def documents(s: SparkSession, dir: String) = tune(s).read.parquet(s"$dir/documents.parquet")
+  private def embeddings(s: SparkSession, dir: String) = tune(s).read.parquet(s"$dir/embeddings.parquet")
+
+  /** events reshaped as a tick frame for the OHLCV candle operator: the
+    * reference aggregates open/high/low/close/volume columns (transformers.py:120-128);
+    * the synthetic `value` column plays all five roles.
+    */
+  private def candleInput(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("ts").as("timestamp"), col("value").as("open"), col("value").as("high"),
+      col("value").as("low"), col("value").as("close"), col("value").as("volume"))
+
+  private def candles(s: SparkSession, dir: String, freq: String): DataFrame =
+    Transforms.aggregate(candleInput(s, dir), freq, exactSums = true).orderBy("timestamp")
+
+  /** Shared SQL fragment: one OHLCV candle per bucket (arg_min/arg_max carry
+    * the intended first/last semantics; ts is unique in the corpus so the
+    * ordering key needs no tie-break).
+    */
+  private def candleSql(bucketExpr: String): String =
+    s"""SELECT $bucketExpr AS timestamp, arg_min(value, ts) AS open, max(value) AS high,
+       | min(value) AS low, arg_max(value, ts) AS close,
+       | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS volume
+       | FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", "")
+
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the full
+    * reference pipeline — scan → clean → daily OHLCV candles
+    * (routes.py:135-144 → transformers.py:99-142 in one plan).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    tune(spark)
+    val ticks = candleInput(spark, "/root/testdata/sf0.001")
+    Transforms.aggregate(Transforms.clean(ticks), "D", exactSums = true).orderBy("timestamp")
+  }
+
+  // ---------------------------------------------------------------------------
+  // queries
+  // ---------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- transforms (SURVEY §2.2-2.5) ------------------------------------
+    "q_clean_events" -> ((s, dir) =>
+      Transforms.clean(events(s, dir)).orderBy("event_id")),
+    "q_candles_daily" -> ((s, dir) => candles(s, dir, "D")),
+    "q_candles_weekly" -> ((s, dir) => candles(s, dir, "W")),
+    "q_candles_monthly" -> ((s, dir) => candles(s, dir, "M")),
+    "q_candles_quarterly" -> ((s, dir) => candles(s, dir, "Q")),
+    "q_candles_yearly" -> ((s, dir) => candles(s, dir, "Y")),
+    "q_normalize_midrate" -> ((s, dir) =>
+      Transforms.normalize(candles(s, dir, "D"), "forex").orderBy("timestamp")),
+
+    // --- declared query surface (SURVEY §2.6/§2.10) ----------------------
+    "q_timeseries" -> ((s, dir) =>
+      Queries.timeseries(events(s, dir), "ts", "2024-01-10 00:00:00", "2024-01-20 00:00:00",
+        Some("event_type"), Seq("click", "purchase"))),
+    "q_moving_average" -> ((s, dir) =>
+      Queries.movingAverage(orders(s, dir), "o_totalprice", Seq("o_custkey"),
+        Seq("o_orderdate", "o_orderkey"), 7)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "mov_avg")
+        .orderBy("o_orderkey")),
+    "q_correlation" -> ((s, dir) => {
+      val e = events(s, dir)
+      def daily(t: String, out: String) = e.filter(col("event_type") === t)
+        .groupBy(date_trunc("DAY", col("ts")).as("d"))
+        .agg(Fns.exactSum(col("value")).as(out))
+      Queries.pearson(daily("click", "x").join(daily("purchase", "y"), Seq("d")), "x", "y")
+    }),
+
+    // --- relational extensions ------------------------------------------
+    "q_revenue_by_nation" -> ((s, dir) =>
+      lineitem(s, dir)
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(Fns.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")),
+    "q_latest_order_per_customer" -> ((s, dir) =>
+      Queries.latestPerKey(orders(s, dir), Seq("o_custkey"),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey")),
+    "q_union_sources" -> ((s, dir) => {
+      val a = events(s, dir).select(col("event_id"), col("ts"), col("value"))
+        .withColumn("src", lit("events"))
+      val b = orders(s, dir).select(col("o_orderkey").as("event_id"),
+        col("o_orderdate").as("ts"), col("o_totalprice").as("value"),
+        col("o_orderstatus").as("status")).withColumn("src", lit("orders"))
+      Queries.unionAll(Seq(a, b)).orderBy("src", "event_id")
+    }),
+    "q_pivot_daily_by_type" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(Fns.exactSum(col("value")))
+        .orderBy("day")),
+    "q1_pricing_summary" -> ((s, dir) => {
+      val l = lineitem(s, dir)
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      l.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Fns.exactSum(col("l_quantity")).as("sum_qty"),
+          Fns.exactSum(col("l_extendedprice")).as("sum_base_price"),
+          Fns.exactSum(disc).as("sum_disc_price"),
+          Fns.exactSum(disc * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_top3_orders_per_customer" -> ((s, dir) =>
+      Queries.latestPerKey(orders(s, dir), Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("__rn").cast(LongType).as("rnk"))
+        .orderBy("o_custkey", "rnk")),
+    "q_asof_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value").as("purchase_value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value"), col("event_id").as("click_id"))
+      // unique (user_id, ts) on the reference side so the as-of match is
+      // deterministic in both engines
+      val clicksU = Queries.latestPerKey(clicks, Seq("user_id", "ts"), Seq(col("click_id").desc))
+        .select("user_id", "ts", "click_value")
+      AsofJoin.asof(purchases, clicksU, Seq("user_id"), "ts", "ts", Seq("click_value"))
+        .orderBy("event_id")
+    }),
+    "q_agg_custom_map" -> ((s, dir) =>
+      Transforms.aggregate(candleInput(s, dir), "W",
+        aggMap = Seq("open" -> "first", "close" -> "mean", "volume" -> "sum"),
+        exactSums = true).orderBy("timestamp")),
+    "q_serve_json" -> ((s, dir) => {
+      val c = Fns.nullNormalizeAll(candles(s, dir, "D"))
+      c.select(Fns.isoMicros(col("timestamp")).as("timestamp"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+        .orderBy("timestamp")
+    }),
+    "q_dataset_info" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.agg(
+        count(lit(1)).as("num_rows"),
+        min(col("ts")).as("start_date"),
+        max(col("ts")).as("end_date"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"))
+    }),
+
+    // --- dedup suite (north star) ----------------------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(documents(s, dir), "text", "doc_id").orderBy("doc_id")),
+    "q_ngram_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id",
+        n = 5, threshold = 0.3, maxDocFreq = 100L).orderBy("id_a", "id_b")),
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(documents(s, dir), "text", "doc_id",
+        shingleN = 5, k = 64, bands = 16, threshold = 0.5).orderBy("id_a", "id_b")),
+    "q_simhash_fingerprints" -> ((s, dir) =>
+      Dedup.withSimhash(documents(s, dir).select("doc_id", "text"), "text", "doc_id", "simhash", shingleN = 5)
+        .select("doc_id", "simhash").orderBy("doc_id")),
+    "q_embed_dedup_lsh" -> ((s, dir) =>
+      Dedup.embeddingPairs(embeddings(s, dir), "embedding", "vec_id",
+        threshold = 0.2, planes = 6).orderBy("id_a", "id_b")),
+
+    // --- similarity search (north star) ----------------------------------
+    "q_ann_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+    "q_ivf_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val centroids = Similarity.trainCentroids(e, "embedding", "vec_id", 16)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), centroids,
+        "embedding", "vec_id", k = 5, nprobe = 4).orderBy("query_id", "rank")
+    }),
+
+    // --- text analysis (north star) --------------------------------------
+    "q_text_stats" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(documents(s, dir).select("doc_id", "text"), "text")
+        .select("doc_id", "n_chars", "n_words", "mean_word_len", "punct_ratio",
+          "digit_ratio", "upper_ratio", "stopword_ratio")
+        .orderBy("doc_id")),
+    "q_token_counts" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        TextAnalysis.wsTokens(col("text")).cast(LongType).as("ws_tokens"),
+        TextAnalysis.bpeTokens(col("text")).cast(LongType).as("bpe_tokens"))
+        .orderBy("doc_id")),
+    "q_lang_id" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("pred_lang")).orderBy("doc_id")),
+    "q_fingerprints" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+        TextAnalysis.contentHash(col("text")).as("content_hash")).orderBy("doc_id")),
+
+    // --- multimodal plumbing (north star) ---------------------------------
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.withBinaryMetadata(
+        documents(s, dir).select(col("doc_id"), col("text").cast(BinaryType).as("payload")), "payload")
+        .select(col("doc_id"), col("n_bytes"), col("content_sha256"), col("format"))
+        .orderBy("doc_id")),
+    "q_media_decode" -> ((s, dir) =>
+      Multimodal.decodeStub(
+        documents(s, dir).select(col("doc_id"), col("text").cast(BinaryType).as("payload")),
+        "payload", "doc_id").orderBy("media_id")),
+
+    // --- streaming (SURVEY §2.9) ------------------------------------------
+    "q_stream_candles" -> ((s, dir) => {
+      tune(s)
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema // ts as nanos long
+      // file-stream sources take a directory; glob-filter to the events table
+      val raw = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream =
+        if (rawSchema("ts").dataType == LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val agg = stream
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(min_by(col("value"), col("ts")).as("open"), max(col("value")).as("high"),
+          min(col("value")).as("low"), max_by(col("value"), col("ts")).as("close"),
+          Fns.exactSum(col("value")).as("volume"))
+        .select(col("w.start").as("ts"), col("event_type"),
+          col("open"), col("high"), col("low"), col("close"), col("volume"))
+      graft.streaming.Streaming.runToMemory(s, agg, "stream_candles")
+        .orderBy("ts", "event_type")
+    }),
+
+    // --- sources (SURVEY §2.1; rows-only — fixture inputs, not sfDir tables)
+    "q_csv_stock_autodetect" -> ((s, _) =>
+      CsvAutoLoader.loadStockCsv(s, "/root/repo/fixtures/stock_canonical.csv").get
+        .orderBy("symbol", "timestamp")),
+    "q_csv_stock_filename_symbol" -> ((s, _) =>
+      CsvAutoLoader.loadStockCsv(s, "/root/repo/fixtures/AAPL_daily.csv").get
+        .orderBy("timestamp")),
+    "q_csv_economic" -> ((s, _) =>
+      CsvAutoLoader.loadEconomicCsv(s, "/root/repo/fixtures/economic_gdp.csv", "GDP").get
+        .orderBy("timestamp")),
+    "q_av_stock_parse" -> ((s, _) =>
+      JsonPayloads.parseAlphaVantageStock(s, Seq(Fixtures.avStock), "AAPL").orderBy("timestamp")),
+    "q_av_forex_parse" -> ((s, _) =>
+      JsonPayloads.parseAlphaVantageForex(s, Seq(Fixtures.avForex), "USD", "EUR").orderBy("timestamp")),
+    "q_av_economic_parse" -> ((s, _) =>
+      JsonPayloads.parseAlphaVantageEconomic(s, Seq(Fixtures.avEconomic), "GDP").orderBy("timestamp")),
+    "q_yahoo_chart_parse" -> ((s, _) =>
+      JsonPayloads.parseYahooChart(s, Seq(Fixtures.yahooChart), "AAPL").orderBy("timestamp")),
+    "q_yahoo_crypto_parse" -> ((s, _) =>
+      JsonPayloads.parseYahooCrypto(s, Seq(Fixtures.yahooChart), "BTC").orderBy("timestamp"))
+  )
+
+  // ---------------------------------------------------------------------------
+  // oracle SQL (DuckDB dialect, same parquet tables)
+  // ---------------------------------------------------------------------------
+
+  private val bucketD = "CAST(date_trunc('day', ts) AS TIMESTAMP)"
+  private val bucketW = "CAST(date_trunc('week', ts) + INTERVAL 6 DAY AS TIMESTAMP)"
+  private val bucketM = "CAST(last_day(CAST(ts AS DATE)) AS TIMESTAMP)"
+  private val bucketQ = "CAST(last_day(CAST(date_trunc('quarter', ts) + INTERVAL 2 MONTH AS DATE)) AS TIMESTAMP)"
+  private val bucketY = "CAST(make_date(CAST(year(ts) AS INTEGER), 12, 31) AS TIMESTAMP)"
+
+  private val textWords =
+    "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}'']+'), x -> len(x) > 0)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_clean_events" ->
+      """SELECT DISTINCT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        | FROM events
+        | WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+        |   AND event_type IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+        |   AND props IS NOT NULL
+        | ORDER BY event_id""".stripMargin.replace("\n", ""),
+    "q_candles_daily" -> candleSql(bucketD),
+    "q_candles_weekly" -> candleSql(bucketW),
+    "q_candles_monthly" -> candleSql(bucketM),
+    "q_candles_quarterly" -> candleSql(bucketQ),
+    "q_candles_yearly" -> candleSql(bucketY),
+    "q_normalize_midrate" ->
+      s"""SELECT *, (open + close) / 2 AS mid_rate, 'forex' AS data_type
+         | FROM (${candleSql(bucketD)}) ORDER BY timestamp""".stripMargin.replace("\n", ""),
+    "q_timeseries" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        | FROM events
+        | WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+        |   AND event_type IN ('click', 'purchase')
+        | ORDER BY ts""".stripMargin.replace("\n", ""),
+    "q_moving_average" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE)
+        |   / CAST(COUNT(o_totalprice) OVER w AS DOUBLE) AS mov_avg
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        | ORDER BY o_orderkey""".stripMargin.replace("\n", ""),
+    "q_correlation" ->
+      """WITH a AS (SELECT date_trunc('day', ts) AS d, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS x
+        |   FROM events WHERE event_type = 'click' GROUP BY 1),
+        | b AS (SELECT date_trunc('day', ts) AS d, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS y
+        |   FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        | j AS (SELECT x, y FROM a JOIN b USING (d)),
+        | s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |   CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+        |   CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+        |   CAST(SUM(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+        |   CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+        |   CAST(SUM(CAST(y * y AS DECIMAL(30,6))) AS DOUBLE) AS syy
+        |   FROM j)
+        | SELECT (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r FROM s"""
+        .stripMargin.replace("\n", ""),
+    "q_revenue_by_nation" ->
+      """SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |   JOIN customer ON o_custkey = c_custkey
+        |   JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", ""),
+    "q_latest_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice
+        | FROM orders
+        | QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        | ORDER BY o_custkey""".stripMargin.replace("\n", ""),
+    "q_union_sources" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value, CAST(NULL AS VARCHAR) AS status, 'events' AS src
+        | FROM events
+        | UNION ALL
+        | SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP), o_totalprice, o_orderstatus, 'orders'
+        | FROM orders
+        | ORDER BY src, event_id""".stripMargin.replace("\n", ""),
+    "q_pivot_daily_by_type" -> {
+      val cases = Seq("click", "error", "purchase", "signup", "view").map(t =>
+        s"CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE) AS $t")
+        .mkString(", ")
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, $cases
+         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", "")
+    },
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+        | COUNT(*) AS count_order
+        | FROM lineitem GROUP BY l_returnflag, l_linestatus
+        | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", ""),
+    "q_top3_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders
+        | QUALIFY rnk <= 3
+        | ORDER BY o_custkey, rnk""".stripMargin.replace("\n", ""),
+    "q_asof_join" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value AS purchase_value
+        |   FROM events WHERE event_type = 'purchase'),
+        | c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value AS click_value
+        |   FROM events WHERE event_type = 'click'
+        |   QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+        | SELECT p.user_id, p.ts, p.event_id, p.purchase_value, c.click_value
+        | FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        | ORDER BY p.event_id""".stripMargin.replace("\n", ""),
+    "q_agg_custom_map" ->
+      s"""SELECT $bucketW AS timestamp, arg_min(value, ts) AS open,
+         | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(value) AS DOUBLE) AS close,
+         | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS volume
+         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", ""),
+    "q_serve_json" ->
+      s"""SELECT strftime(timestamp, '%Y-%m-%dT%H:%M:%S.%fZ') AS timestamp,
+         | open, high, low, close, volume
+         | FROM (${candleSql(bucketD)}) ORDER BY timestamp""".stripMargin.replace("\n", ""),
+    "q_dataset_info" ->
+      """SELECT COUNT(*) AS num_rows, MIN(CAST(ts AS TIMESTAMP)) AS start_date,
+        | MAX(CAST(ts AS TIMESTAMP)) AS end_date,
+        | COUNT(DISTINCT user_id) AS n_users, COUNT(DISTINCT event_type) AS n_types
+        | FROM events""".stripMargin.replace("\n", ""),
+    "q_dedup_exact" ->
+      """SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d
+        | JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) k USING (doc_id)
+        | ORDER BY d.doc_id""".stripMargin.replace("\n", ""),
+    "q_ngram_jaccard_pairs" -> {
+      val ws = "list_filter(string_split_regex(regexp_replace(lower(text), '[^\\p{L}\\p{Nd}]+', ' ', 'g'), ' '), w -> len(w) > 0)"
+      s"""WITH words AS (SELECT doc_id, $ws AS ws FROM documents),
+         | sh AS (SELECT doc_id, UNNEST(list_distinct(
+         |   CASE WHEN len(ws) - 4 <= 0 THEN [array_to_string(ws, ' ')]
+         |   ELSE list_transform(range(0, len(ws) - 4), i -> array_to_string(list_slice(ws, i + 1, i + 5), ' ')) END)) AS s
+         |   FROM words),
+         | sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+         | pruned AS (SELECT * FROM sh WHERE s IN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100)),
+         | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS it
+         |   FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         | SELECT id_a, id_b, CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) AS jaccard
+         | FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         | WHERE CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) >= 0.3
+         | ORDER BY id_a, id_b""".stripMargin.replace("\n", "")
+    },
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        | dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   list_inner_product(q.v, c.v) AS dp
+        |   FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        |   WHERE q.vec_id < 10),
+        | scored AS (SELECT query_id, neighbor_id, dp / (nq.nrm * nc.nrm) AS cos
+        |   FROM dots JOIN norms nq ON nq.vec_id = query_id JOIN norms nc ON nc.vec_id = neighbor_id),
+        | ranked AS (SELECT query_id, neighbor_id, cos,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+        | SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10
+        | ORDER BY query_id, rank""".stripMargin.replace("\n", ""),
+    "q_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $textWords AS ws FROM documents)
+         | SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(ws) AS BIGINT) AS n_words,
+         | CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END AS mean_word_len,
+         | CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         | CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS digit_ratio,
+         | CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS upper_ratio,
+         | CASE WHEN len(ws) > 0 THEN CAST(len(list_filter(ws, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by'], x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) ELSE 0.0 END AS stopword_ratio
+         | FROM t ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_token_counts" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{Nd}]+|[^\s\p{L}\p{Nd}]')) AS BIGINT) AS bpe_tokens
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_lang_id" -> {
+      val words = "list_distinct(list_filter(string_split_regex(lower(text), '[^\\p{L}'']+'), w -> len(w) > 0))"
+      def score(markers: Seq[String]) =
+        s"len(list_filter(ws, w -> list_contains([${markers.map(m => s"'$m'").mkString(",")}], w)))"
+      val Seq(en, de, fr, es, it) = TextAnalysis.langMarkers.map { case (_, m) => score(m) }
+      s"""WITH w AS (SELECT doc_id, lang, $words AS ws FROM documents),
+         | s AS (SELECT doc_id, lang, $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es, $it AS s_it FROM w)
+         | SELECT doc_id, lang,
+         |   CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_it) = 0 THEN 'und'
+         |     WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_it THEN 'en'
+         |     WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_it THEN 'de'
+         |     WHEN s_fr >= s_es AND s_fr >= s_it THEN 'fr'
+         |     WHEN s_es >= s_it THEN 'es'
+         |     ELSE 'it' END AS pred_lang
+         | FROM s ORDER BY doc_id""".stripMargin.replace("\n", "")
+    },
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS content_sha256,
+        | 'unknown' AS format
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_stream_candles" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts, event_type,
+        | arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+        | arg_max(value, ts) AS close, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS volume
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", "")
+  )
+}
+
+/** Embedded API-payload fixtures (FIXTURES.md §3) — offline stand-ins for the
+  * upstream HTTP responses, exercising the exact JSON shapes of
+  * reference alphavantage.py:52-67, 213-226 and yahoo_finance.py:126-146.
+  */
+object Fixtures {
+  val avStock: String =
+    """{"Time Series (Daily)": {"2024-01-03": {"1. open": "184.22", "2. high": "185.88",
+      |"3. low": "183.43", "4. close": "184.25", "5. volume": "58414500"},
+      |"2024-01-02": {"1. open": "187.15", "2. high": "188.44", "3. low": "183.89",
+      |"4. close": "185.64", "5. volume": "82488700"}}}""".stripMargin
+  val avForex: String =
+    """{"Time Series FX (Daily)": {"2024-01-03": {"1. open": "0.9123", "2. high": "0.9178",
+      |"3. low": "0.9087", "4. close": "0.9145"},
+      |"2024-01-02": {"1. open": "0.9068", "2. high": "0.9141", "3. low": "0.9042", "4. close": "0.9123"}}}""".stripMargin
+  val avEconomic: String =
+    """{"data": [{"date": "2023-12-31", "value": "27360.9"}, {"date": "2023-09-30", "value": "26996.4"}]}"""
+  val yahooChart: String =
+    """{"chart": {"result": [{"timestamp": [1704207600, 1704294000, 1704380400],
+      |"indicators": {"quote": [{"open": [187.15, null, 182.15], "high": [188.44, 185.88, 183.09],
+      |"low": [183.89, 183.43, 180.88], "close": [185.64, 184.25, 181.91],
+      |"volume": [82488700, 58414500, 71983600]}]}}]}}""".stripMargin
 }

@@ -1,0 +1,108 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession}
+
+/** Native Catalyst kernel for embedding similarity (SURVEY.md §7.1.7).
+  *
+  * Spark's higher-order array functions (`zip_with` + `aggregate`) CANNOT
+  * participate in whole-stage codegen — lambda expressions evaluate
+  * interpreted, allocating a zipped intermediate array per row. For the ANN /
+  * near-dup operators the dot product is the innermost kernel (O(N·Q·dim)
+  * evaluations), so it gets a real `Expression` with `doGenCode`: a tight
+  * primitive loop over the two `ArrayData`, no allocation, fused into the
+  * surrounding codegen stage.
+  *
+  * Summation is sequential left-to-right in double — deterministic, and
+  * bit-identical to DuckDB's `list_inner_product` over `DOUBLE[]` (verified
+  * empirically), which makes the operator oracle-checkable without decimal
+  * gymnastics.
+  */
+case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"vector_dot expects two ARRAY<FLOAT|DOUBLE> arguments, got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      sum += xi * yi
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += (double)$a.$lGet($i) * (double)$b.$rGet($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vector_dot"
+}
+
+/** Registration: SQL surface (`SELECT vector_dot(a, b)`) via
+  * `SparkSessionExtensions` for `spark.sql.extensions=graft.expressions.GraftExtensions`,
+  * plus [[GraftFunctions.register]] for sessions built without the extension
+  * (the driver constructs its own `SparkSession`).
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  type Descriptor = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+  private type FunctionIdentifier = org.apache.spark.sql.catalyst.FunctionIdentifier
+
+  val descriptors: Seq[Descriptor] = Seq(
+    (new FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (args: Seq[Expression]) => VectorDot(args(0), args(1))))
+
+  /** Idempotently register the graft functions on an existing session. */
+  def register(spark: SparkSession): Unit = descriptors.foreach { case (id, info, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+
+  // Column-API surface (no registry needed)
+  def vectorDot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(VectorDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (exact, O(Q·N)).
+  * Scale path: IVF — k-means-style coarse quantization into `nlist` cells; a
+  * query probes its `nprobe` closest cells only, turning the cross join into a
+  * cell-key equi-join that shuffles each partition once. Random-hyperplane LSH
+  * bucketing gives the same join-key reduction without training.
+  *
+  * All kernels are higher-order array expressions (zip_with/aggregate) over
+  * doubles — codegen'd, no UDFs, deterministic left-to-right summation.
+  */
+object Similarity {
+
+  /** Dot product in double precision with sequential (left-to-right) summation
+    * — deterministic for a given element order, and bit-identical to DuckDB's
+    * `list_inner_product` over `DOUBLE[]`. Backed by the codegen'd
+    * [[graft.expressions.VectorDot]] kernel (higher-order lambdas would run
+    * interpreted and allocate per row — this is the innermost O(N·Q·dim) loop).
+    */
+  def dot(a: Column, b: Column): Column =
+    graft.expressions.GraftFunctions.vectorDot(a, b)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity between two float vectors, computed in double. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Random-hyperplane sign signature packed into a long — `planes` pseudo-random
+    * hyperplanes derived deterministically from xxhash64(dim index, plane index)
+    * so the signature needs no trained model and is reproducible cluster-wide.
+    */
+  def hyperplaneSignature(v: Column, planes: Int): Column = {
+    // component j of plane p ∈ {-1,+1} from the parity of xxhash64(j, p):
+    // a signed random projection adequate for bucketing (Charikar 2002 SimHash
+    // for real vectors).
+    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, j) =>
+          x.cast(DoubleType) *
+            when(xxhash64(j, p).bitwiseAND(lit(1L)) === 1L, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, t) => acc + t)
+      when(proj >= 0, shiftleft(lit(1L), 0)).otherwise(lit(0L))
+    })
+    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
+      (acc, p) => acc + when(element_at(bits, p + 1) === 1L, call_function("shiftleft", lit(1L), p)).otherwise(0L))
+  }
+
+  /** Exact brute-force cosine top-k: for every query vector, the k most similar
+    * corpus vectors (excluding itself when ids collide).
+    *
+    * The corpus side of the cross join should be broadcast when the query set
+    * is the big side; here queries are few, so Spark broadcasts the queries —
+    * each executor scans its corpus partitions once. Ranking is a per-query
+    * window top-k (partial top-k per partition would be the 100 TB refinement;
+    * at that scale use [[ivfTopK]] instead).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    // Norms precomputed per side — one kernel eval per vector instead of two
+    // extra per PAIR (cosine() inline would recompute both norms N·Q times).
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("nq", norm(col("qv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("nc", norm(col("cv")))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("nq") * col("nc")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** IVF-style ANN top-k: corpus vectors are assigned to their nearest of
+    * `centroids` (a small broadcastable frame of (cell_id, centroid vector));
+    * each query probes its `nprobe` nearest cells, and the scan becomes an
+    * equi-join on cell_id touching ~nprobe/nlist of the corpus.
+    *
+    * Centroids come from [[trainCentroids]] (sampled k-means-lite) — at 100 TB
+    * you train once on a sample and persist the assignment as a bucketed table
+    * so repeated queries skip the assignment pass entirely.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      vecCol: String, idCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    val cent = broadcast(centroids.select(col("cell_id"), col("centroid")))
+    def nearestCells(v: Column, n: Int) = {
+      // per-row sort of the (small) cell list by similarity — array expression,
+      // no shuffle.
+      val scored = transform(col("__cells"), c =>
+        struct(cosine(v, c.getField("centroid")).as("s"), c.getField("cell_id").as("cell_id")))
+      slice(reverse(array_sort(scored)), 1, n)
+    }
+    val cellList = cent.agg(collect_list(struct(col("cell_id"), col("centroid"))).as("__cells"))
+    val corpusCells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(cellList))
+      .withColumn("cell", element_at(nearestCells(col("cv"), 1), 1).getField("cell_id"))
+      .drop("__cells")
+    val queryCells = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cellList))
+      .withColumn("cell", explode(transform(nearestCells(col("qv"), nprobe), _.getField("cell_id"))))
+      .drop("__cells")
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** k-means-lite centroid training: deterministic seed rows as initial
+    * centers, one Lloyd refinement over a sample. Good enough to give IVF its
+    * join-key structure (recall is tuned by nprobe, not centroid quality).
+    */
+  def trainCentroids(corpus: DataFrame, vecCol: String, idCol: String, nlist: Int): DataFrame = {
+    val seeds = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol), col(vecCol))
+      .withColumn("cell_id", row_number().over(Window.orderBy(col(idCol))) - 1)
+      .select(col("cell_id"), col(vecCol).cast(ArrayType(DoubleType)).as("centroid"))
+    val cellList = broadcast(seeds.agg(collect_list(struct(col("cell_id"), col("centroid"))).as("__cells")))
+    val assigned = corpus.select(col(vecCol).as("v")).crossJoin(cellList)
+      .withColumn("cell_id",
+        element_at(reverse(array_sort(transform(col("__cells"), c =>
+          struct(cosine(col("v"), c.getField("centroid")).as("s"), c.getField("cell_id").as("cell_id"))))), 1)
+          .getField("cell_id"))
+    // one Lloyd step: per-dimension mean of each cell's members, reassembled
+    // into a vector ordered by dimension index. Shuffle key (cell_id, dim) is
+    // high-cardinality and uniform — no skew at scale.
+    assigned.select(col("cell_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell_id"), col("dim"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cell_id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-corpus analysis for training-data pipelines: language ID, quality
+  * scoring, token counting, document fingerprinting.
+  *
+  * Everything is narrow (per-row expressions over built-ins, fully inside
+  * whole-stage codegen): at 100 TB these run at parquet-scan speed with zero
+  * shuffle; only a downstream groupBy/sort (caller's choice) is wide.
+  */
+object TextAnalysis {
+
+  // ---------------------------------------------------------------------------
+  // Token counting
+  // ---------------------------------------------------------------------------
+
+  /** Whitespace token count. */
+  def wsTokens(text: Column): Column =
+    size(filter(split(text, "\\s+"), w => length(w) > 0))
+
+  /** BPE-ish subword count: word-piece regex (letter runs / digit runs /
+    * single punctuation marks), the standard pre-tokenization shape of GPT-2
+    * style tokenizers.
+    */
+  def bpeTokens(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\p{L}]+|[\\p{Nd}]+|[^\\s\\p{L}\\p{Nd}]"), lit(0)))
+
+  // ---------------------------------------------------------------------------
+  // Quality scoring
+  // ---------------------------------------------------------------------------
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "that", "for", "on", "with", "as", "was", "at", "by")
+
+  /** Heuristic quality features: length, word stats, punctuation / digit /
+    * uppercase ratios, stopword ratio, mean word length. Returns the input
+    * plus feature columns.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(lower(t), "[^\\p{L}\\p{Nd}']+"), w => length(w) > 0)
+    val nw = size(words)
+    val sw = array(stopwords.map(lit): _*)
+    df.withColumn("n_chars", length(t).cast(LongType))
+      .withColumn("n_words", nw.cast(LongType))
+      .withColumn("mean_word_len",
+        when(nw > 0, aggregate(words, lit(0L), (a, w) => a + length(w)).cast(DoubleType) / nw.cast(DoubleType)))
+      .withColumn("punct_ratio",
+        when(length(t) > 0, size(regexp_extract_all(t, lit("[\\p{Punct}]"), lit(0))).cast(DoubleType)
+          / length(t).cast(DoubleType)).otherwise(lit(0.0)))
+      .withColumn("digit_ratio",
+        when(length(t) > 0, size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast(DoubleType)
+          / length(t).cast(DoubleType)).otherwise(lit(0.0)))
+      .withColumn("upper_ratio",
+        when(length(t) > 0, size(regexp_extract_all(t, lit("[A-Z]"), lit(0))).cast(DoubleType)
+          / length(t).cast(DoubleType)).otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(nw > 0, size(filter(words, w => array_contains(sw, w))).cast(DoubleType) / nw.cast(DoubleType))
+          .otherwise(lit(0.0)))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Language identification (n-gram/marker-word heuristic)
+  // ---------------------------------------------------------------------------
+
+  /** Per-language marker words for a lightweight language-ID vote. Ordered —
+    * ties break toward the earlier language, deterministically.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "des"),
+    "es" -> Seq("el", "los", "las", "es", "una", "para", "como", "por", "del", "más"),
+    "it" -> Seq("il", "di", "che", "è", "per", "con", "del", "sono", "una", "non")
+  )
+
+  /** Predicted language: argmax over marker-word hit counts; `und`(etermined)
+    * when nothing matches. Pure expression — the word set is split once and the
+    * per-language counts are array intersections over it.
+    */
+  def langId(text: Column): Column = {
+    val words = array_distinct(filter(split(lower(text), "[^\\p{L}']+"), w => length(w) > 0))
+    val scored = langMarkers.map { case (lang, markers) =>
+      struct(size(array_intersect(words, array(markers.map(lit): _*))).as("score"), lit(lang).as("lang"))
+    }
+    // max by (score, then FIRST language in priority order): array_sort sorts
+    // struct lexicographically ascending; to prefer earlier languages on tie,
+    // scores are weighted by a descending epsilon-free integer priority: use
+    // (score, -index) packed as score*8 + (n-1-index).
+    val packed = scored.zipWithIndex.map { case (s, i) =>
+      struct((s.getField("score") * 8 + lit(langMarkers.size - 1 - i)).as("key"), s.getField("lang").as("lang"))
+    }
+    val best = element_at(reverse(array_sort(array(packed: _*))), 1)
+    when(best.getField("key") < 8, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Document fingerprinting
+  // ---------------------------------------------------------------------------
+
+  /** Polynomial rolling-hash fingerprint over the word sequence:
+    * `h = Σ h*31 + wordhash (mod 2^31-1)` where wordhash = xxhash64(word)
+    * folded to 30 bits. Order-sensitive (unlike a bag-of-words hash) and
+    * deterministic; computed with `aggregate` so it stays codegen'd.
+    */
+  def fingerprint(text: Column): Column = {
+    val mod = lit(2147483647L) // 2^31-1
+    val words = filter(split(lower(text), "[^\\p{L}\\p{Nd}]+"), w => length(w) > 0)
+    aggregate(words, lit(0L),
+      (acc, w) => (acc * 31L + pmod(xxhash64(w), lit(1073741824L))) % mod)
+  }
+
+  /** 64-bit content fingerprint (exact-dup detection key): xxhash64 of the
+    * whitespace-normalized lowercased text.
+    */
+  def contentHash(text: Column): Column =
+    xxhash64(regexp_replace(lower(text), "\\s+", " "))
+}

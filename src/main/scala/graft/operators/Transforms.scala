@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Schemas
+import graft.functions.Fns
+
+/** The reference's three data transformations — clean / normalize / aggregate
+  * (reference transformers.py:17-142) — as shuffle-aware `DataFrame => DataFrame`
+  * operators.
+  *
+  * Scale notes (100 TB design):
+  *  - `clean` is narrow except `dropDuplicates` (one hash-partition shuffle on
+  *    all columns; map-side partial dedup keeps the shuffle small when dup rate
+  *    is high).
+  *  - `normalize` is entirely narrow — no shuffle at any scale.
+  *  - `aggregate` is one hash aggregation with map-side partial aggregation;
+  *    cardinality after grouping = #buckets, so the shuffle ships only partial
+  *    candles, not ticks.
+  */
+object Transforms {
+
+  private def has(df: DataFrame, c: String): Boolean = df.columns.contains(c)
+
+  /** Columns that the clean/aggregate paths treat as numeric when present
+    * (reference transformers.py:42-49). */
+  private val numericCols = Seq("open", "high", "low", "close", "volume", "value", "price", "rate")
+
+  /** `clean_data` (reference transformers.py:17-53):
+    *  1. drop rows with ANY null (pandas `df.dropna()`, transformers.py:30)
+    *  2. full-row dedup (pandas `drop_duplicates`, transformers.py:33 — NaN==NaN
+    *     counts as duplicate; Spark `dropDuplicates` is also null-safe, parity holds)
+    *  3. flexible timestamp parse when a `timestamp` column exists (transformers.py:36-40)
+    *  4. coercing numeric cast on the known price/volume columns (transformers.py:43-49)
+    *
+    * Order matters: the reference casts AFTER dropping nulls, so a string like
+    * "n/a" in `close` survives clean as NULL — we preserve that quirk.
+    */
+  def clean(df: DataFrame): DataFrame = {
+    val deduped = df.na.drop("any").dropDuplicates()
+    val withTs =
+      if (has(deduped, "timestamp"))
+        deduped.withColumn("timestamp", Fns.coerceTimestamp(col("timestamp")))
+      else deduped
+    numericCols.filter(has(withTs, _)).foldLeft(withTs) { (d, c) =>
+      if (c == "volume") d.withColumn(c, Fns.coerceLong(col(c)))
+      else d.withColumn(c, Fns.coerceDouble(col(c)))
+    }
+  }
+
+  /** `normalize_data` (reference transformers.py:56-97):
+    *  - attach `data_type` literal (transformers.py:94)
+    *  - forex: derive `mid_rate = (open+close)/2` only if both columns present
+    *    (transformers.py:81-82)
+    *  - warn-only required-column validation per data_type (transformers.py:71-90)
+    *    — never fails, never fixes; missing columns are reported to the log.
+    */
+  def normalize(df: DataFrame, dataType: String): DataFrame = {
+    val required = Schemas.requiredColumns.getOrElse(dataType, Seq.empty)
+    val missing = required.filterNot(has(df, _))
+    if (missing.nonEmpty)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"normalize($dataType): missing required columns ${missing.mkString(",")}")
+    val withMid =
+      if (dataType == "forex" && has(df, "open") && has(df, "close"))
+        df.withColumn("mid_rate", Fns.midRate(col("open"), col("close")))
+      else df
+    withMid.withColumn("data_type", lit(dataType))
+  }
+
+  /** Default aggregation map of `aggregate_data`
+    * (reference transformers.py:120-128). Values are the pandas agg names;
+    * [[aggExpr]] maps them to Spark expressions.
+    */
+  val defaultAggMap: Seq[(String, String)] = Seq(
+    "open" -> "first", "high" -> "max", "low" -> "min", "close" -> "last", "volume" -> "sum")
+
+  /** One pandas agg-map entry → a Spark aggregate expression.
+    *
+    * `first`/`last` carry the reference's *intent* (open of the earliest tick,
+    * close of the latest — SURVEY.md §2.5 note 2): pandas positional first/last
+    * is order-dependent and Spark `first()` is nondeterministic under shuffle,
+    * so both map to `min_by`/`max_by` on the order column (tie-broken
+    * deterministically by the caller-supplied `ord` expression).
+    *
+    * With `exact = true`, floating-point sum/mean run through fixed-point
+    * decimal ([[Fns.exactSum]]/[[Fns.exactAvg]]) so results are
+    * summation-order-independent — required for bit-exact agreement with an
+    * external oracle; within 1 ulp of the plain double path otherwise.
+    */
+  def aggExpr(colName: String, fn: String, ord: Column, exact: Boolean = false): Column = (fn match {
+    case "first" => min_by(col(colName), ord)
+    case "last"  => max_by(col(colName), ord)
+    case "sum" if exact  => Fns.exactSum(col(colName))
+    case "sum"   => sum(col(colName))
+    case "max"   => max(col(colName))
+    case "min"   => min(col(colName))
+    case "mean" | "avg" if exact => Fns.exactAvg(col(colName))
+    case "mean" | "avg" => avg(col(colName))
+    case "count" => count(col(colName))
+    case "std"   => stddev(col(colName))
+    case other => throw new IllegalArgumentException(s"unsupported agg '$other'")
+  }).as(colName)
+
+  /** `aggregate_data` (reference transformers.py:99-142): time-bucket OHLCV
+    * aggregation, the reference's flagship operator.
+    *
+    * Faithful-parity semantics (SURVEY.md §2.5 fine print):
+    *  - groups by the time bucket ONLY — a multi-symbol frame merges all symbols
+    *    into one candle per bucket (reference transformers.py:138); pass
+    *    `bySymbol = true` for the extended per-symbol variant (§7.3).
+    *  - bucket labels are pandas period-END anchored ([[Fns.bucketLabel]]).
+    *  - the agg map is filtered to columns actually present (transformers.py:131).
+    *  - all non-aggregated columns are dropped; the label lands in `timestamp`.
+    *  - a defensive `to_timestamp` re-parse precedes bucketing (transformers.py:135).
+    *
+    * @param ord  deterministic intra-bucket order for first/last; defaults to
+    *             the timestamp itself (reference intent).
+    */
+  def aggregate(
+      df: DataFrame,
+      freq: String = "D",
+      aggMap: Seq[(String, String)] = defaultAggMap,
+      timeCol: String = "timestamp",
+      bySymbol: Boolean = false,
+      exactSums: Boolean = false,
+      ord: DataFrame => Column = _.col("timestamp")): DataFrame = {
+    val ts = Fns.coerceTimestamp(col(timeCol))
+    val withTs = df.withColumn(timeCol, ts)
+    val present = aggMap.filter { case (c, _) => has(df, c) }
+    require(present.nonEmpty, s"aggregate: none of ${aggMap.map(_._1)} present in ${df.columns.toSeq}")
+    val orderCol = ord(withTs)
+    val aggs = present.map { case (c, f) => aggExpr(c, f, orderCol, exactSums) }
+    val keys =
+      if (bySymbol && has(df, "symbol")) Seq(Fns.bucketLabel(freq)(col(timeCol)).as(timeCol), col("symbol"))
+      else Seq(Fns.bucketLabel(freq)(col(timeCol)).as(timeCol))
+    withTs.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Full transform dispatch (reference transformers.py:145-186): the 3-way
+    * branch on `transformation_type` that constitutes the reference's planner.
+    */
+  def apply(df: DataFrame, transformation: String, params: Map[String, String] = Map.empty): DataFrame =
+    transformation match {
+      case "clean" => clean(df)
+      case "normalize" => normalize(df, params.getOrElse("data_type", "stock"))
+      case "aggregate" => aggregate(df, params.getOrElse("freq", "D"))
+      case other => throw new IllegalArgumentException(s"unknown transformation '$other'")
+    }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup
+    (4L, "completely different content about distributed query engines and columnar storage formats")
+  ).toDF("doc_id", "text")
+
+  test("shingles builds word n-grams, lowercased, punctuation-stripped") {
+    val out = rows(Seq("Hello, World! Foo").toDF("t")
+      .select(Dedup.shingles(col("t"), 2).as("s"))).head.getSeq[String](0)
+    out shouldBe Seq("hello world", "world foo")
+  }
+
+  test("shingles falls back to whole text when shorter than n") {
+    val out = rows(Seq("one two").toDF("t").select(Dedup.shingles(col("t"), 5).as("s")))
+      .head.getSeq[String](0)
+    out shouldBe Seq("one two")
+  }
+
+  test("exact dedup keeps min-id representative per distinct text") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    rows(out.select("doc_id").orderBy("doc_id")).map(_.getLong(0)) shouldBe Seq(1L, 3L, 4L)
+  }
+
+  test("minhash signature is identical for identical texts, mostly differs for unrelated") {
+    val sigs = rows(docs.select(col("doc_id"), Dedup.minhashSignature(col("text"), 3, 32).as("sig")))
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    sigs(1L) shouldBe sigs(2L)
+    sigs(1L) should not be sigs(4L)
+  }
+
+  test("minhashPairs finds exact and near duplicates above threshold") {
+    val pairs = rows(Dedup.minhashPairs(docs, "text", "doc_id", shingleN = 2, k = 64,
+      bands = 16, threshold = 0.5).select("id_a", "id_b").orderBy("id_a", "id_b"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs should contain((1L, 2L)) // exact dup always survives
+    pairs.flatMap(p => Seq(p._1, p._2)) should not contain 4L
+  }
+
+  test("ngramJaccardPairs computes exact jaccard on candidate pairs") {
+    val out = rows(Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 2, threshold = 0.3)
+      .orderBy("id_a", "id_b"))
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    pairs.map(p => (p._1, p._2)) should contain allOf ((1L, 2L), (1L, 3L))
+    pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 shouldBe 1.0 // identical
+    pairs.foreach(p => p._3 should (be >= 0.3 and be <= 1.0))
+  }
+
+  test("simhash: identical texts equal; near-dups within small hamming distance") {
+    val fps = rows(docs.select(col("doc_id"), Dedup.simhash(col("text"), 2).as("fp")))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fps(1L) shouldBe fps(2L)
+    val nearHam = java.lang.Long.bitCount(fps(1L) ^ fps(3L))
+    val farHam = java.lang.Long.bitCount(fps(1L) ^ fps(4L))
+    nearHam should be < farHam
+  }
+
+  test("hamming distance expression matches bitCount") {
+    rows(Seq((5L, 6L)).toDF("a", "b").select(Dedup.hamming(col("a"), col("b"))))
+      .head.getInt(0) shouldBe 2 // 101 ^ 110 = 011
+  }
+
+  test("embeddingPairs finds identical vectors in the same LSH bucket") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(1.0f, 0.0f, 0.5f, 0.2f)), // identical -> cos 1
+      (3L, Array(-1.0f, 0.3f, -0.5f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val pairs = rows(Dedup.embeddingPairs(vecs, "embedding", "vec_id", threshold = 0.99, planes = 4))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs shouldBe Seq((1L, 2L))
+  }
+}

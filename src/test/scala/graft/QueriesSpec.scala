@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Queries
+
+class QueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("timeseries: range + membership predicates + ordered output") {
+    val df = Seq(
+      ("2024-01-01 10:00:00", "A", 1.0), ("2024-01-05 10:00:00", "B", 2.0),
+      ("2024-01-05 11:00:00", "A", 3.0), ("2024-02-01 10:00:00", "A", 4.0)
+    ).toDF("timestamp", "symbol", "v").withColumn("timestamp", col("timestamp").cast("timestamp"))
+    val out = Queries.timeseries(df, "timestamp", "2024-01-02 00:00:00", "2024-01-31 00:00:00",
+      Some("symbol"), Seq("A"))
+    rows(out).map(_.getDouble(2)) shouldBe Seq(3.0)
+  }
+
+  test("movingAverage: trailing n-row mean per key") {
+    val df = Seq(("k", 1, 10.0), ("k", 2, 20.0), ("k", 3, 30.0), ("k", 4, 40.0), ("j", 1, 100.0))
+      .toDF("key", "seq", "v")
+    val out = rows(Queries.movingAverage(df, "v", Seq("key"), Seq("seq"), 3)
+      .orderBy("key", "seq").select("mov_avg")).map(_.getDouble(0))
+    out shouldBe Seq(100.0, 10.0, 15.0, 20.0, 30.0)
+  }
+
+  test("pearson: exact ±1 on linear series, symmetric formula") {
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0)).toDF("x", "y")
+    rows(Queries.pearson(df, "x", "y")).head.getDouble(0) shouldBe 1.0 +- 1e-12
+    val anti = Seq((1.0, 8.0), (2.0, 6.0), (3.0, 4.0), (4.0, 2.0)).toDF("x", "y")
+    rows(Queries.pearson(anti, "x", "y")).head.getDouble(0) shouldBe -1.0 +- 1e-12
+  }
+
+  test("pearson ignores null-paired rows") {
+    val df = Seq((Some(1.0), Some(2.0)), (Some(2.0), None), (Some(3.0), Some(6.0)),
+      (None, Some(9.9)), (Some(4.0), Some(8.0))).toDF("x", "y")
+    rows(Queries.pearson(df, "x", "y")).head.getDouble(0) shouldBe 1.0 +- 1e-12
+  }
+
+  test("alignPair joins two series on the time key") {
+    val tall = Seq(("d1", "a", 1.0), ("d1", "b", 10.0), ("d2", "a", 2.0),
+      ("d2", "b", 20.0), ("d3", "a", 3.0)).toDF("d", "series", "v")
+    val out = Queries.alignPair(tall, "d", "series", "v", "a", "b")
+    out.count() shouldBe 2 // d3 has no b -> inner join drops
+    rows(out.orderBy("d")).map(r => (r.getDouble(1), r.getDouble(2))) shouldBe
+      Seq((1.0, 10.0), (2.0, 20.0))
+  }
+
+  test("latestPerKey returns exactly one deterministic row per key") {
+    val df = Seq(("c1", 1L, "2024-01-01"), ("c1", 2L, "2024-01-05"), ("c1", 3L, "2024-01-05"),
+      ("c2", 4L, "2024-02-01")).toDF("cust", "id", "d")
+    val out = rows(Queries.latestPerKey(df, Seq("cust"), Seq(col("d").desc, col("id").desc))
+      .orderBy("cust").select("id")).map(_.getLong(0))
+    out shouldBe Seq(3L, 4L) // tie on date broken by id desc
+  }
+
+  test("unionAll tolerates missing columns (unionByName allowMissing)") {
+    val a = Seq((1L, "x")).toDF("id", "a_only")
+    val b = Seq((2L, 5.0)).toDF("id", "b_only")
+    val out = Queries.unionAll(Seq(a, b))
+    out.columns.toSet shouldBe Set("id", "a_only", "b_only")
+    out.count() shouldBe 2
+    rows(out.filter(col("id") === 1L)).head.isNullAt(2) shouldBe true
+  }
+}

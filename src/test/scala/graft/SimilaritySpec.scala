@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.9f, 0.1f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine kernel: orthogonal -> 0, identical -> 1, opposite -> -1") {
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+    val m = rows(pairs).map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    m((0L, 0L)) shouldBe 1.0 +- 1e-9
+    m((0L, 2L)) shouldBe 0.0 +- 1e-9
+    m((0L, 4L)) shouldBe -1.0 +- 1e-9
+    m((0L, 1L)) should be > 0.9
+  }
+
+  test("bruteForceTopK ranks by similarity, excludes self, respects k") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      "embedding", "vec_id", k = 2)
+    val r = rows(out.orderBy("rank")).map(x => (x.getLong(1), x.getLong(3)))
+    r.map(_._1) shouldBe Seq(1L, 2L) // nearest first; 2 beats 3 and 4 on cos...
+    r.map(_._2) shouldBe Seq(1L, 2L)
+  }
+
+  test("hyperplaneSignature groups identical vectors, deterministic across evaluations") {
+    val sigs = vecs.union(vecs)
+      .select(col("vec_id"), Similarity.hyperplaneSignature(col("embedding"), 8).as("sig"))
+    // same vector -> same signature in both copies
+    rows(sigs.groupBy("vec_id").agg(countDistinct("sig").as("n")).select("n"))
+      .map(_.getLong(0)).toSet shouldBe Set(1L)
+  }
+
+  test("trainCentroids produces nlist cells with dimension-ordered mean vectors") {
+    val cents = Similarity.trainCentroids(vecs, "embedding", "vec_id", 2)
+    cents.count() should be <= 2L
+    rows(cents).foreach(_.getSeq[Double](1).length shouldBe 3)
+  }
+
+  test("ivfTopK with enough probes matches brute force on the top hit") {
+    val queries = vecs.filter(col("vec_id") === 0L)
+    val cents = Similarity.trainCentroids(vecs, "embedding", "vec_id", 2)
+    val ivf = rows(Similarity.ivfTopK(vecs, queries, cents, "embedding", "vec_id",
+      k = 1, nprobe = 2)).map(_.getLong(1))
+    val brute = rows(Similarity.bruteForceTopK(vecs, queries, "embedding", "vec_id", k = 1))
+      .map(_.getLong(1))
+    ivf shouldBe brute
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{CsvAutoLoader, JsonPayloads, Lake}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- CSV auto-detection (reference csv_loader.py) ------------------------
+
+  test("stock CSV: canonical headers detected, Adj Close not preferred over Close") {
+    val df = CsvAutoLoader.loadStockCsv(spark, "/root/repo/fixtures/stock_canonical.csv").get
+    df.columns should contain allOf ("timestamp", "symbol", "open", "high", "low", "close", "volume", "source")
+    df.count() shouldBe 5
+    rows(df.filter(col("symbol") === "AAPL" && col("timestamp") === tsLit("2024-01-02"))
+      .select("close")).head.getDouble(0) shouldBe 185.64
+    rows(df.select("source").distinct()).head.getString(0) shouldBe "csv_import"
+  }
+
+  test("stock CSV: symbol from filename, synonym columns (closing/vol), coerce bad cell") {
+    val df = CsvAutoLoader.loadStockCsv(spark, "/root/repo/fixtures/AAPL_daily.csv").get
+    rows(df.select("symbol").distinct()).head.getString(0) shouldBe "AAPL"
+    df.columns should contain allOf ("close", "volume")
+    // 'n/a' open on row 3 -> null under coerce semantics
+    rows(df.orderBy("timestamp").select("open")).map(_.isNullAt(0)) shouldBe Seq(false, false, true)
+  }
+
+  test("economic CSV: value column detected from synonym list ('amount')") {
+    val df = CsvAutoLoader.loadEconomicCsv(spark, "/root/repo/fixtures/economic_gdp.csv", "GDP").get
+    df.columns should contain allOf ("timestamp", "value", "indicator", "country", "source")
+    rows(df.orderBy(col("timestamp").desc).select("value")).head.getDouble(0) shouldBe 27360.9
+    rows(df.select("country").distinct()).head.getString(0) shouldBe "Unknown"
+  }
+
+  test("stock CSV: undetectable date column -> None, not an exception") {
+    val p = java.nio.file.Files.createTempFile("nocols", ".csv")
+    java.nio.file.Files.writeString(p, "a,b\n1,2\n")
+    CsvAutoLoader.loadStockCsv(spark, p.toString) shouldBe None
+  }
+
+  // --- JSON payload parsers (reference alphavantage.py / yahoo_finance.py) --
+
+  test("Alpha Vantage stock payload -> canonical OHLCV rows") {
+    val df = JsonPayloads.parseAlphaVantageStock(spark, Seq(Fixtures.avStock), "AAPL")
+      .orderBy("timestamp")
+    df.count() shouldBe 2
+    df.schema("volume").dataType shouldBe LongType
+    val r = rows(df).head
+    r.getTimestamp(0) shouldBe tsLit("2024-01-02")
+    r.getAs[Double]("open") shouldBe 187.15
+    r.getAs[Long]("volume") shouldBe 82488700L
+    r.getAs[String]("symbol") shouldBe "AAPL"
+    r.getAs[String]("source") shouldBe "alphavantage"
+  }
+
+  test("Alpha Vantage forex payload -> rate column from '4. close'") {
+    val df = JsonPayloads.parseAlphaVantageForex(spark, Seq(Fixtures.avForex), "USD", "EUR")
+    df.columns should contain allOf ("rate", "from_currency", "to_currency")
+    rows(df.orderBy("timestamp").select("rate")).map(_.getDouble(0)) shouldBe Seq(0.9123, 0.9145)
+  }
+
+  test("Alpha Vantage economic payload -> value/indicator/country rows") {
+    val df = JsonPayloads.parseAlphaVantageEconomic(spark, Seq(Fixtures.avEconomic), "GDP")
+    rows(df.orderBy("timestamp")).map(r => (r.getAs[Double]("value"), r.getAs[String]("indicator"),
+      r.getAs[String]("country"))) shouldBe Seq((26996.4, "GDP", "USA"), (27360.9, "GDP", "USA"))
+  }
+
+  test("Yahoo chart payload: parallel arrays zipped, null row dropped (dropna)") {
+    val df = JsonPayloads.parseYahooChart(spark, Seq(Fixtures.yahooChart), "AAPL")
+    df.count() shouldBe 2 // middle slot has null open
+    rows(df.orderBy("timestamp").select("timestamp")).head.getTimestamp(0) shouldBe
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1704207600L))
+  }
+
+  test("Yahoo crypto: -USD suffix, close->price rename, base_symbol derivation") {
+    val df = JsonPayloads.parseYahooCrypto(spark, Seq(Fixtures.yahooChart), "BTC")
+    df.columns should contain allOf ("price", "base_symbol", "data_type")
+    df.columns should not contain "close"
+    val r = rows(df).head
+    r.getAs[String]("symbol") shouldBe "BTC-USD"
+    r.getAs[String]("base_symbol") shouldBe "BTC"
+    r.getAs[String]("data_type") shouldBe "crypto"
+  }
+
+  test("error payloads produce empty frames, not exceptions") {
+    JsonPayloads.parseAlphaVantageStock(spark, Seq("""{"Error Message": "bad"}"""), "X").count() shouldBe 0
+    JsonPayloads.parseYahooChart(spark, Seq("""{"chart": {"result": []}}"""), "X").count() shouldBe 0
+  }
+
+  // --- Lake (reference storage.py / helpers.py) -----------------------------
+
+  test("lake write/read/list/find/latest/delete/info round-trip") {
+    val root = java.nio.file.Files.createTempDirectory("lake").toString
+    val lake = Lake(spark, root)
+    val df = Seq(("AAPL", tsLit("2024-01-02"), 185.64), ("MSFT", tsLit("2024-01-03"), 140.93))
+      .toDF("symbol", "timestamp", "close")
+    lake.write(df, "bronze", "alphavantage_stock_20240102")
+    lake.write(df, "bronze", "alphavantage_stock_20240105")
+    lake.write(df, "bronze", "yahoo_crypto_20240103")
+
+    lake.list("bronze") shouldBe Seq(
+      "alphavantage_stock_20240102", "alphavantage_stock_20240105", "yahoo_crypto_20240103")
+    lake.find("bronze", "alphavantage", "stock").size shouldBe 2
+    // latest picks max trailing date token (storage.py:158-170)
+    lake.latest("bronze", "alphavantage", "stock").get.count() shouldBe 2
+    lake.read("bronze", "alphavantage_stock_20240102").count() shouldBe 2
+    lake.read("bronze", "missing_dataset").schema.isEmpty shouldBe true
+
+    val info = lake.info("bronze", "alphavantage_stock_20240102")
+    info("num_rows") shouldBe 2L
+    info("start_date") shouldBe tsLit("2024-01-02")
+    info("symbols").asInstanceOf[Seq[String]] shouldBe Seq("AAPL", "MSFT")
+
+    lake.delete("bronze", "yahoo_crypto_20240103") shouldBe true
+    lake.delete("bronze", "yahoo_crypto_20240103") shouldBe false
+    lake.list("bronze").size shouldBe 2
+  }
+
+  test("generateFilename follows {source}_{type}_{YYYYMMDD} (helpers.py:23-28)") {
+    val lake = Lake(spark, "/tmp/x")
+    lake.generateFilename("alphavantage", "stock", java.time.LocalDate.of(2024, 1, 2)) shouldBe
+      "alphavantage_stock_20240102.parquet"
+  }
+}

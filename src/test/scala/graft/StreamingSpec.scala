@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Transforms
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tickDf = Seq(
+    ("2024-01-01 09:00:00", "AAPL", 10.0, 11.0, 9.0, 10.5, 100L),
+    ("2024-01-01 16:00:00", "AAPL", 10.5, 12.0, 10.0, 11.5, 150L),
+    ("2024-01-02 09:00:00", "AAPL", 11.5, 13.0, 11.0, 12.5, 120L),
+    ("2024-01-01 09:00:00", "MSFT", 20.0, 21.0, 19.0, 20.5, 300L)
+  ).toDF("timestamp", "symbol", "open", "high", "low", "close", "volume")
+    .withColumn("timestamp", col("timestamp").cast("timestamp"))
+
+  test("streaming candles equal batch per-symbol aggregation (parity, Trigger.AvailableNow)") {
+    val dir = java.nio.file.Files.createTempDirectory("ticks").toString
+    tickDf.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(tickDf.schema).parquet(dir)
+    val streamed = Streaming.runToMemory(spark, Streaming.candles(stream), "parity_candles")
+      .orderBy("timestamp", "symbol")
+
+    val batch = Transforms.aggregate(tickDf, "D", bySymbol = true)
+      .orderBy("timestamp", "symbol")
+
+    val s = rows(streamed).map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    val b = rows(batch).map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    s shouldBe b
+  }
+
+  test("streaming candle values: open=earliest tick, close=latest, volume summed") {
+    val dir = java.nio.file.Files.createTempDirectory("ticks2").toString
+    tickDf.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(tickDf.schema).parquet(dir)
+    val out = Streaming.runToMemory(spark, Streaming.candles(stream), "candle_vals")
+    val aapl1 = rows(out.filter(col("symbol") === "AAPL" &&
+      col("timestamp") === tsLit("2024-01-01"))).head
+    aapl1.getAs[Double]("open") shouldBe 10.0
+    aapl1.getAs[Double]("close") shouldBe 11.5
+    aapl1.getAs[Double]("high") shouldBe 12.0
+    aapl1.getAs[Double]("low") shouldBe 9.0
+    aapl1.getAs[Long]("volume") shouldBe 250L
+  }
+
+  test("toLake lands candle batches as parquet under the lake contract") {
+    val dir = java.nio.file.Files.createTempDirectory("ticks3").toString
+    val out = java.nio.file.Files.createTempDirectory("gold").toString + "/candles"
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    tickDf.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(tickDf.schema).parquet(dir)
+    val candles = Streaming.candles(stream, watermark = "0 seconds")
+    val q = Streaming.toLake(candles, out, ckpt)
+    q.awaitTermination()
+    // append mode only emits windows whose end <= watermark (= max event time
+    // here): both 2024-01-01 windows close; the 2024-01-02 window is withheld
+    // until later data advances the watermark past its end.
+    spark.read.parquet(out).count() shouldBe 2
+  }
+}
