@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Fns
-import graft.operators.{AsofJoin, Dedup, Multimodal, Queries, Similarity, TextAnalysis, Transforms}
+import graft.operators.{AsofJoin, Dedup, Multimodal, Queries, Sessionize, Similarity, TextAnalysis, Transforms}
 import graft.sources.{CsvAutoLoader, JsonPayloads}
 
 /** Driver contract — every operator from SURVEY.md §2 (plus the
@@ -188,6 +188,9 @@ object SparkEntry {
       AsofJoin.asof(purchases, clicksU, Seq("user_id"), "ts", "ts", Seq("click_value"))
         .orderBy("event_id")
     }),
+    "q_sessionize" -> ((s, dir) =>
+      Sessionize.sessions(events(s, dir), Seq("user_id"), "ts", "INTERVAL 1 HOUR",
+        valueCol = Some("value")).orderBy("user_id", "session_id")),
     "q_agg_custom_map" -> ((s, dir) =>
       Transforms.aggregate(candleInput(s, dir), "W",
         aggMap = Seq("open" -> "first", "close" -> "mean", "volume" -> "sum"),
@@ -420,6 +423,20 @@ object SparkEntry {
         | SELECT p.user_id, p.ts, p.event_id, p.purchase_value, c.click_value
         | FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         | ORDER BY p.event_id""".stripMargin.replace("\n", ""),
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        | flagged AS (SELECT user_id, ts, value,
+        |   CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL 1 HOUR
+        |     THEN 1 ELSE 0 END AS is_new
+        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        | numbered AS (SELECT user_id, ts, value,
+        |   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |   FROM flagged)
+        | SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |   MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events,
+        |   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS session_value
+        | FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", ""),
     "q_agg_custom_map" ->
       s"""SELECT $bucketW AS timestamp, arg_min(value, ts) AS open,
          | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(value) AS DOUBLE) AS close,

@@ -176,17 +176,26 @@ object Dedup {
     val docShingles = df.select(col(idCol).as("id"),
       explode(array_distinct(shingles(col(textCol), n))).as("sh"))
       .withColumn("sh", xxhash64(col("sh")))
+      .persist() // referenced 4× below; one tokenization pass instead of four
     val sizes = docShingles.groupBy("id").agg(count(lit(1)).as("sz"))
     val pruned = docShingles.join(
       docShingles.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq),
       Seq("sh"), "left_semi")
-    val inter = pruned.as("a").join(pruned.as("b"), Seq("sh"))
-      .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      // size rides on every posting so the size-ratio bound prunes at the join
+      .join(sizes, Seq("id"))
+    // Size-ratio prefilter (set-similarity joins, e.g. Xiao et al. PPJoin):
+    // J(A,B) >= t  ⟹  t·|A| <= |B| <= |A|/t. Purely a pruning bound — every
+    // surviving pair is still exactly verified — but it cuts the candidate
+    // aggregation's shuffle before it happens.
+    val l = pruned.select(col("sh"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val r = pruned.select(col("sh"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val inter = l.join(r, Seq("sh"))
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_b") >= col("sz_a") * threshold &&
+        col("sz_a") >= col("sz_b") * threshold)
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)

@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Fns
+
+/** Serving-path sinks (reference routes.py:174-259).
+  *
+  * The reference serves whole datasets through a 4-worker API; the engine
+  * keeps the same output contracts but computes them as pruned, limited Spark
+  * plans so a preview of a 100 TB dataset reads one parquet row-group, not
+  * the table.
+  */
+object Serving {
+
+  /** S15 JSON-records view (reference routes.py:174-220): `±inf`/`NaN` → null
+    * on every float column, timestamps → ISO-8601 µs `Z` strings. Returns the
+    * normalized frame; `.limit(n).toJSON` or `collect` at the API boundary.
+    */
+  def jsonRecordsView(df: DataFrame): DataFrame = {
+    val normalized = Fns.nullNormalizeAll(df)
+    normalized.select(normalized.schema.fields.map { f =>
+      f.dataType match {
+        case TimestampType => Fns.isoMicros(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
+
+  /** Preview contract (reference index.html:945 caps rendering at 100 rows). */
+  def preview(df: DataFrame, n: Int = 100): Array[String] =
+    jsonRecordsView(df).limit(n).toJSON.collect()
+
+  /** S16 CSV download sink (reference routes.py:238-259): header CSV, one
+    * file per dataset at serving scale.
+    */
+  def csvDownload(df: DataFrame, outDir: String): String = {
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(outDir)
+    outDir
+  }
+}
