@@ -217,15 +217,22 @@ object SparkEntry {
     "q_ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id",
         n = 5, threshold = 0.3, maxDocFreq = 100L).orderBy("id_a", "id_b")),
+    // Banded LSH candidates, EXACT-verified: every emitted jaccard is the true
+    // shingle-set value, so the oracle is plain exact Jaccard SQL. Recall of
+    // the banding (k=64, 32 bands of 2) at the corpus's minimum qualifying
+    // J=0.75 is 1-(1-0.75²)³² ≈ 1-3e-12 — no qualifying pair can be missed.
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(documents(s, dir), "text", "doc_id",
-        shingleN = 5, k = 64, bands = 16, threshold = 0.5).orderBy("id_a", "id_b")),
+        shingleN = 5, k = 64, bands = 32, threshold = 0.5).orderBy("id_a", "id_b")),
     "q_simhash_fingerprints" -> ((s, dir) =>
       Dedup.withSimhash(documents(s, dir).select("doc_id", "text"), "text", "doc_id", "simhash", shingleN = 5)
         .select("doc_id", "simhash").orderBy("doc_id")),
+    // Hyperplane-LSH near-dup: the oracle replicates the SAME literal planes
+    // and banding (generated from one Scala constant), so candidate
+    // generation itself is oracle-checked, not just the cosine kernel.
     "q_embed_dedup_lsh" -> ((s, dir) =>
       Dedup.embeddingPairs(embeddings(s, dir), "embedding", "vec_id",
-        threshold = 0.2, planes = 6).orderBy("id_a", "id_b")),
+        threshold = 0.2, dim = 64, planes = 16, bands = 4).orderBy("id_a", "id_b")),
 
     // --- similarity search (north star) ----------------------------------
     "q_ann_topk" -> ((s, dir) => {
@@ -233,11 +240,16 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 10)
         .orderBy("query_id", "rank")
     }),
+    // nprobe = nlist: probing every cell makes IVF provably exact, so the
+    // whole machinery (centroid training, cell assignment, cell-key join,
+    // ranking) is oracle-checked against brute force; recall at partial
+    // nprobe is covered by scalatest.
     "q_ivf_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val centroids = Similarity.trainCentroids(e, "embedding", "vec_id", 16)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), centroids,
-        "embedding", "vec_id", k = 5, nprobe = 4).orderBy("query_id", "rank")
+        "embedding", "vec_id", k = 5, nprobe = 16)
+        .withColumn("rank", col("rank").cast(LongType)).orderBy("query_id", "rank")
     }),
 
     // --- text analysis (north star) --------------------------------------
@@ -265,14 +277,29 @@ object SparkEntry {
         documents(s, dir).select(col("doc_id"), col("text").cast(BinaryType).as("payload")), "payload")
         .select(col("doc_id"), col("n_bytes"), col("content_sha256"), col("format"))
         .orderBy("doc_id")),
+    // Scalar columns only: the driver's pandas-side checker sorts every column
+    // and dies on ARRAY values, so the feature vector rides as a SHA-256 of its
+    // JSON rendering (still pins the decoded values deterministically).
     "q_media_decode" -> ((s, dir) =>
       Multimodal.decodeStub(
         documents(s, dir).select(col("doc_id"), col("text").cast(BinaryType).as("payload")),
-        "payload", "doc_id").orderBy("media_id")),
+        "payload", "doc_id")
+        .select(col("media_id"), col("n_bytes"), col("format"), col("width"),
+          col("height"), col("n_frames"),
+          size(col("feature")).cast(LongType).as("feature_dim"),
+          sha2(to_json(struct(col("feature"))), 256).as("feature_sha256"))
+        .orderBy("media_id")),
 
     // --- streaming (SURVEY §2.9) ------------------------------------------
     "q_stream_candles" -> ((s, dir) => {
       tune(s)
+      // Stateful queries pin their state-store partition count at plan time and
+      // AQE is off — 32 state stores for ~150 output rows is pure load/commit
+      // overhead (~4 s per store init in this env). Plan the stream with a few
+      // partitions, restore the session default afterwards.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema // ts as nanos long
       // file-stream sources take a directory; glob-filter to the events table
       val raw = s.readStream.schema(rawSchema)
@@ -291,6 +318,7 @@ object SparkEntry {
           col("open"), col("high"), col("low"), col("close"), col("volume"))
       graft.streaming.Streaming.runToMemory(s, agg, "stream_candles")
         .orderBy("ts", "event_type")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }),
 
     // --- sources (SURVEY §2.1; rows-only — fixture inputs, not sfDir tables)
@@ -327,6 +355,81 @@ object SparkEntry {
 
   private val textWords =
     "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}'']+'), x -> len(x) > 0)"
+
+  /** SQL string literal escape for embedded payload fixtures. */
+  private def sqlLit(s: String): String = s.replace("'", "''")
+
+  /** DuckDB word-tokenization fragment shared by the dedup oracles (must stay
+    * semantically identical to [[Dedup.tokens]]).
+    */
+  private val dedupWords =
+    "list_filter(string_split_regex(regexp_replace(lower(text), '[^\\p{L}\\p{Nd}]+', ' ', 'g'), ' '), w -> len(w) > 0)"
+
+  /** DuckDB distinct word-5-gram shingle CTE (mirrors [[Dedup.shingleHashSet]]
+    * semantics: whole-token-list fallback for short docs, distinct set).
+    */
+  private def shingleCte(n: Int): String =
+    s"""words AS (SELECT doc_id, $dedupWords AS ws FROM documents),
+       | sh AS (SELECT doc_id, UNNEST(list_distinct(
+       |   CASE WHEN len(ws) - ${n - 1} <= 0 THEN [array_to_string(ws, ' ')]
+       |   ELSE list_transform(range(0, len(ws) - ${n - 1}), i -> array_to_string(list_slice(ws, i + 1, i + $n), ' ')) END)) AS s
+       |   FROM words)""".stripMargin.replace("\n", "")
+
+  /** Exact all-pairs shingle-set Jaccard (no docFreq pruning) — the oracle for
+    * the exactly-verified LSH pair queries.
+    */
+  private def exactJaccardSql(n: Int, threshold: Double): String =
+    s"""WITH ${shingleCte(n)},
+       | sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+       | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS it
+       |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       | SELECT id_a, id_b, CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) AS jaccard
+       | FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       | WHERE CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) >= $threshold
+       | ORDER BY id_a, id_b""".stripMargin.replace("\n", "")
+
+  /** SimHash oracle: replicates [[graft.expressions.SimHash64]] bit for bit —
+    * md5 hex digits fold to the same 64-bit prefix whose per-bit ±1 votes are
+    * summed over distinct shingles. Generated programmatically (64 vote
+    * aggregates + the two's-complement packing).
+    */
+  private def simhashSql(n: Int): String = {
+    val votes = (0 until 64).map(j =>
+      s"SUM(CASE WHEN (((strpos('0123456789abcdef', substring(mh, ${16 - j / 4}, 1)) - 1) >> ${j % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v$j"
+    ).mkString(", ")
+    val pack = ("CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END" +:
+      (0 until 63).map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END")).mkString(" + ")
+    s"""WITH ${shingleCte(n)},
+       | hs AS (SELECT doc_id, md5(s) AS mh FROM sh),
+       | votes AS (SELECT doc_id, $votes FROM hs GROUP BY doc_id)
+       | SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM votes ORDER BY doc_id""".stripMargin.replace("\n", "")
+  }
+
+  /** Hyperplane-LSH oracle: the SAME ±1 plane literals and banding as
+    * [[Dedup.embeddingPairs]] (both generated from [[Dedup.hyperplanes]]), so
+    * DuckDB reproduces the candidate set exactly, then the same exact-cosine
+    * verification.
+    */
+  private def embedLshSql(threshold: Double, dim: Int, planes: Int, bands: Int): String = {
+    val pvs = Dedup.hyperplanes(planes, dim)
+    val rowsPerBand = planes / bands
+    val bitExprs = pvs.zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN list_inner_product(v, [${p.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}]) >= 0 THEN 1 ELSE 0 END AS bit$i"
+    }.mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val bucket = (0 until rowsPerBand).map(j => s"(bit${b * rowsPerBand + j} * ${1 << j})").mkString(" + ")
+      s"SELECT vec_id, $b AS band, $bucket AS bucket FROM bits"
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       | bits AS (SELECT vec_id, $bitExprs FROM e),
+       | k AS ($bandSelects),
+       | cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+       |   FROM k a JOIN k b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+       | scored AS (SELECT id_a, id_b,
+       |   list_inner_product(ea.v, eb.v) / (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) AS cos
+       |   FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+       | SELECT id_a, id_b, cos FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b""".stripMargin.replace("\n", "")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_clean_events" ->
@@ -471,6 +574,32 @@ object SparkEntry {
          | WHERE CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) >= 0.3
          | ORDER BY id_a, id_b""".stripMargin.replace("\n", "")
     },
+    // exact Jaccard (no pruning): equals minhashPairs' output because emitted
+    // values are exact-verified and banding recall at min qualifying J is ~1-3e-12
+    "q_minhash_pairs" -> exactJaccardSql(n = 5, threshold = 0.5),
+    "q_simhash_fingerprints" -> simhashSql(n = 5),
+    "q_embed_dedup_lsh" -> embedLshSql(threshold = 0.2, dim = 64, planes = 16, bands = 4),
+    "q_fingerprints" ->
+      """WITH w AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[\p{L}\p{Nd}]+') AS ws FROM documents)
+        | SELECT doc_id,
+        | CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ws, wd ->
+        |   list_reduce(list_transform(range(1, 16), i -> CAST(strpos('0123456789abcdef', substring(md5(wd), i, 1)) - 1 AS BIGINT)), (a,b) -> a*16 + b) % 1073741824)),
+        |   (a, b) -> (a*31 + b) % 2147483647) AS BIGINT) AS fingerprint,
+        | md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash
+        | FROM w ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        | dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   list_inner_product(q.v, c.v) AS dp
+        |   FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        |   WHERE q.vec_id < 10),
+        | scored AS (SELECT query_id, neighbor_id, dp / (nq.nrm * nc.nrm) AS cos
+        |   FROM dots JOIN norms nq ON nq.vec_id = query_id JOIN norms nc ON nc.vec_id = neighbor_id),
+        | ranked AS (SELECT query_id, neighbor_id, cos,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+        | SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+        | ORDER BY query_id, rank""".stripMargin.replace("\n", ""),
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
@@ -522,8 +651,78 @@ object SparkEntry {
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts, event_type,
         | arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
         | arg_max(value, ts) AS close, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS volume
-        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", "")
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", ""),
+
+    // --- source parsers: DuckDB over the same fixture files / payload strings
+    "q_csv_stock_autodetect" ->
+      """SELECT CAST("Date" AS TIMESTAMP) AS timestamp, "Open" AS open, "High" AS high,
+        | "Low" AS low, "Close" AS close, "Adj Close", CAST("Volume" AS BIGINT) AS volume,
+        | "Symbol" AS symbol, 'csv_import' AS source
+        | FROM read_csv_auto('/root/repo/fixtures/stock_canonical.csv')
+        | ORDER BY symbol, timestamp""".stripMargin.replace("\n", ""),
+    "q_csv_stock_filename_symbol" ->
+      """SELECT CAST("timestamp" AS TIMESTAMP) AS timestamp, TRY_CAST(open AS DOUBLE) AS open,
+        | high, low, closing AS close, CAST(vol AS BIGINT) AS volume,
+        | 'AAPL' AS symbol, 'csv_import' AS source
+        | FROM read_csv_auto('/root/repo/fixtures/AAPL_daily.csv') ORDER BY timestamp""".stripMargin.replace("\n", ""),
+    "q_csv_economic" ->
+      """SELECT CAST("date" AS TIMESTAMP) AS timestamp, amount AS value, notes,
+        | 'GDP' AS indicator, 'Unknown' AS country, 'csv_import' AS source
+        | FROM read_csv_auto('/root/repo/fixtures/economic_gdp.csv') ORDER BY timestamp""".stripMargin.replace("\n", ""),
+    "q_av_stock_parse" ->
+      s"""WITH p AS (SELECT CAST('${sqlLit(Fixtures.avStock)}' AS JSON) AS j),
+         | m AS (SELECT unnest(map_entries(CAST(json_extract(j, '$$."Time Series (Daily)"') AS MAP(VARCHAR, JSON)))) AS e FROM p)
+         | SELECT CAST(e.key AS TIMESTAMP) AS timestamp,
+         | CAST(json_extract_string(e.value, '$$."1. open"') AS DOUBLE) AS open,
+         | CAST(json_extract_string(e.value, '$$."2. high"') AS DOUBLE) AS high,
+         | CAST(json_extract_string(e.value, '$$."3. low"') AS DOUBLE) AS low,
+         | CAST(json_extract_string(e.value, '$$."4. close"') AS DOUBLE) AS close,
+         | CAST(json_extract_string(e.value, '$$."5. volume"') AS BIGINT) AS volume,
+         | 'AAPL' AS symbol, 'alphavantage' AS source
+         | FROM m ORDER BY timestamp""".stripMargin.replace("\n", ""),
+    "q_av_forex_parse" ->
+      s"""WITH p AS (SELECT CAST('${sqlLit(Fixtures.avForex)}' AS JSON) AS j),
+         | m AS (SELECT unnest(map_entries(CAST(json_extract(j, '$$."Time Series FX (Daily)"') AS MAP(VARCHAR, JSON)))) AS e FROM p)
+         | SELECT CAST(e.key AS TIMESTAMP) AS timestamp,
+         | CAST(json_extract_string(e.value, '$$."1. open"') AS DOUBLE) AS open,
+         | CAST(json_extract_string(e.value, '$$."2. high"') AS DOUBLE) AS high,
+         | CAST(json_extract_string(e.value, '$$."3. low"') AS DOUBLE) AS low,
+         | CAST(json_extract_string(e.value, '$$."4. close"') AS DOUBLE) AS rate,
+         | 'USD' AS from_currency, 'EUR' AS to_currency, 'alphavantage' AS source
+         | FROM m ORDER BY timestamp""".stripMargin.replace("\n", ""),
+    "q_av_economic_parse" ->
+      s"""WITH p AS (SELECT CAST('${sqlLit(Fixtures.avEconomic)}' AS JSON) AS j),
+         | d AS (SELECT unnest(CAST(json_extract(j, '$$.data') AS STRUCT(date VARCHAR, value VARCHAR)[])) AS e FROM p)
+         | SELECT CAST(e.date AS TIMESTAMP) AS timestamp, CAST(e.value AS DOUBLE) AS value,
+         | 'GDP' AS indicator, 'USA' AS country, 'alphavantage' AS source
+         | FROM d ORDER BY timestamp""".stripMargin.replace("\n", ""),
+    "q_yahoo_chart_parse" -> yahooChartSql("'AAPL' AS symbol, 'yahoo_finance' AS source",
+      "o[i] AS open, h[i] AS high, l[i] AS low, c[i] AS close"),
+    "q_yahoo_crypto_parse" -> yahooChartSql(
+      "'BTC-USD' AS symbol, 'yahoo_finance' AS source, 'crypto' AS data_type, 'BTC' AS base_symbol",
+      "o[i] AS open, h[i] AS high, l[i] AS low, c[i] AS price")
   )
+
+  /** Shared DuckDB dual of [[graft.sources.JsonPayloads.parseYahooChart]]:
+    * parallel arrays indexed together, epoch-seconds → µs timestamp
+    * (`make_timestamp` is timezone-free like Spark's `timestamp_seconds`),
+    * any-null rows dropped.
+    */
+  private def yahooChartSql(litCols: String, priceCols: String): String =
+    s"""WITH p AS (SELECT CAST('${sqlLit(Fixtures.yahooChart)}' AS JSON) AS j),
+       | arrs AS (SELECT CAST(json_extract(j, '$$.chart.result[0].timestamp') AS BIGINT[]) AS ts,
+       |  CAST(json_extract(j, '$$.chart.result[0].indicators.quote[0].open') AS DOUBLE[]) AS o,
+       |  CAST(json_extract(j, '$$.chart.result[0].indicators.quote[0].high') AS DOUBLE[]) AS h,
+       |  CAST(json_extract(j, '$$.chart.result[0].indicators.quote[0].low') AS DOUBLE[]) AS l,
+       |  CAST(json_extract(j, '$$.chart.result[0].indicators.quote[0].close') AS DOUBLE[]) AS c,
+       |  CAST(json_extract(j, '$$.chart.result[0].indicators.quote[0].volume') AS BIGINT[]) AS v
+       |  FROM p),
+       | z AS (SELECT unnest(range(1, len(ts) + 1)) AS i, ts, o, h, l, c, v FROM arrs)
+       | SELECT make_timestamp(ts[i] * 1000000) AS timestamp, $priceCols, v[i] AS volume, $litCols
+       | FROM z
+       | WHERE ts[i] IS NOT NULL AND o[i] IS NOT NULL AND h[i] IS NOT NULL AND l[i] IS NOT NULL
+       |  AND c[i] IS NOT NULL AND v[i] IS NOT NULL
+       | ORDER BY timestamp""".stripMargin.replace("\n", "")
 }
 
 /** Embedded API-payload fixtures (FIXTURES.md §3) — offline stand-ins for the

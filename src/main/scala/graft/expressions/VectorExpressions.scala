@@ -105,4 +105,18 @@ object GraftFunctions {
   // Column-API surface (no registry needed)
   def vectorDot(a: Column, b: Column): Column =
     GraftColumnBridge.column(VectorDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  // Text-hash kernels (TextHashExpressions.scala). Parameters beyond the token
+  // array are plan-time constants, so these are Column-API only.
+  def shingleHashes(tokens: Column, n: Int, distinct: Boolean = true): Column =
+    GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(tokens), n, distinct))
+
+  def minhashSig(tokens: Column, n: Int, k: Int): Column =
+    GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(tokens), n, k))
+
+  def simhash64(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens), n))
+
+  def rollingFingerprint(tokens: Column): Column =
+    GraftColumnBridge.column(RollingFingerprint(GraftColumnBridge.expression(tokens)))
 }

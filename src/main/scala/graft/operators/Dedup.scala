@@ -1,39 +1,57 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+import graft.expressions.{GraftFunctions => G}
 
 /** Large-scale corpus deduplication: exact, MinHash+LSH, SimHash, n-gram
   * Jaccard, and embedding-cosine near-dup.
   *
-  * Everything is expressed with codegen'd built-ins (higher-order array
-  * functions, xxhash64) — no UDFs — so whole-stage codegen spans the hot path
-  * and all shuffles are explicit groupBy/join keys.
+  * The per-document kernels (shingle hashing, MinHash signatures, SimHash
+  * fingerprints) are native Catalyst expressions
+  * ([[graft.expressions.ShingleHashes]] etc.) — precompiled tight loops fused
+  * into whole-stage codegen. Round 2 computed them with interpreted
+  * higher-order lambdas plus explode+groupBy shuffles; that cost 448 s of a
+  * 545 s bench. Round 3 computes every signature narrowly at scan speed and
+  * shuffles only candidate keys.
   *
   * Scale design (100 TB corpus):
   *  - exact dedup: one hash aggregation on the content hash (map-side partial);
   *    shuffle carries one row per distinct hash, not per input row.
-  *  - MinHash/LSH: per-row signature computation is narrow; the only shuffle is
-  *    the band-bucket self-join, whose fan-out is controlled by band width.
-  *    Mega-buckets (boilerplate shingles) are exploded only per-band.
-  *  - candidate verification joins back on doc_id — sort-merge on a long key.
+  *  - MinHash/LSH: signatures are a narrow map; the only shuffle is the
+  *    band-bucket self-join (fan-out = bands per doc, not per shingle).
+  *  - SimHash: fully narrow — zero shuffle.
+  *  - n-gram Jaccard: inverted-index join; `maxDocFreq` caps posting-list
+  *    length, which both prunes stopword shingles AND bounds the worst-case
+  *    per-shingle join fan-out to maxDocFreq² — the hot-shingle skew guard.
   */
 object Dedup {
 
-  /** Word n-gram shingles of a text column, lowercased, punctuation-stripped.
-    * `sequence`+`transform` keeps this inside codegen (no explode needed until
-    * the caller wants one row per shingle).
+  /** Word tokens: lowercased maximal letter/digit runs — one codegen'd regex
+    * pass (`regexp_extract_all`), shared by every text-dedup operator.
+    */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[\\p{L}\\p{Nd}]+"), lit(0))
+
+  /** Word n-gram shingles of a text column as STRINGS (semantic spec of the
+    * hashed kernels; used by tests and small-data paths). Documents shorter
+    * than n shingle to the whole token list joined.
     */
   def shingles(text: Column, n: Int): Column = {
-    val words = split(regexp_replace(lower(text), "[^\\p{L}\\p{Nd}]+", " "), " ")
-    val clean = filter(words, w => length(w) > 0)
+    val clean = tokens(text)
     val k = size(clean) - (n - 1)
     when(k <= 0, array(array_join(clean, " ")))
       .otherwise(transform(sequence(lit(0), k - 1),
         i => array_join(slice(clean, i + 1, lit(n)), " ")))
   }
+
+  /** xxhash64 of each distinct shingle, sorted — the document's shingle SET,
+    * computed in one narrow kernel pass ([[graft.expressions.ShingleHashes]]).
+    */
+  def shingleHashSet(text: Column, n: Int): Column =
+    G.shingleHashes(tokens(text), n, distinct = true)
 
   /** Exact deduplication: keep one representative row (min id) per distinct
     * content hash. groupBy on a 64-bit hash instead of the raw text keeps the
@@ -45,46 +63,28 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signatures via explode + hash aggregation — the scale path.
-    *
-    * One row per (doc, distinct shingle); the shingle is hashed ONCE
-    * (`xxhash64(shingle)`) and lane i re-mixes the 8-byte hash
-    * (`xxhash64(h, i)`), so the string is never re-tokenized or re-hashed per
-    * lane. The k lanes are k plain `min()` aggregates — fully codegen'd
-    * hash aggregation with map-side partials, no lambda interpretation
-    * anywhere. (The naive `transform(sequence…)` formulation is a trap:
-    * higher-order lambdas don't codegen, and CollapseProject re-inlines the
-    * shingle expression into every lane — k× interpreted tokenization.)
-    *
-    * Returns (id, sig ARRAY<BIGINT>[k]).
+  /** MinHash signature column: lane i = min over shingles of
+    * `xxhash64(shingle)·A(i)+B(i)` (2-universal mixer — one multiply-add per
+    * lane instead of a per-lane xxhash64 re-mix). Narrow; no shuffle.
     */
+  def minhashSignature(text: Column, shingleN: Int, k: Int): Column =
+    G.minhashSig(tokens(text), shingleN, k)
+
+  /** (id, sig ARRAY<BIGINT>[k]) per document — a pure narrow projection. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-      shingleN: Int, k: Int): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"),
-        explode(array_distinct(shingles(col(textCol), shingleN))).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
-    val lanes = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"__m$i"))
-    exploded.groupBy(col("id")).agg(lanes.head, lanes.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
-  }
+      shingleN: Int, k: Int): DataFrame =
+    df.select(col(idCol).as("id"), minhashSignature(col(textCol), shingleN, k).as("sig"))
 
-  /** Single-row convenience variant of the MinHash lane definition (tests):
-    * lane i = min over shingles of `xxhash64(xxhash64(shingle), i)` — the same
-    * family as [[minhashSignatures]].
-    */
-  def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
-    val hs = transform(array_distinct(shingles(text, shingleN)), s => xxhash64(s))
-    array((0 until k).map(i => array_min(transform(hs, h => xxhash64(h, lit(i))))): _*)
-  }
-
-  /** MinHash + LSH near-duplicate pairs.
+  /** MinHash + LSH near-duplicate pairs, exactly verified.
     *
-    * Signatures are banded (`bands` bands of `rowsPerBand` hashes); documents
-    * sharing any band bucket become candidates (one exploded row per band —
-    * fan-out k/rowsPerBand per doc, not per shingle); candidates are verified
-    * by estimated Jaccard = matching signature positions / k.
+    * Signatures are banded (`bands` bands of `k/bands` lanes); documents
+    * sharing any band bucket become candidates (fan-out: `bands` rows per doc).
+    * Candidates are then verified EXACTLY: the pair's true shingle-set Jaccard
+    * is computed from the per-doc shingle sets and filtered at `threshold` —
+    * so every emitted pair is a real near-duplicate (LSH affects recall only)
+    * and the result is oracle-checkable against an exact all-pairs Jaccard.
     *
-    * Returns (idA, idB, est_jaccard) with idA < idB.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard exact.
     */
   def minhashPairs(
       df: DataFrame, textCol: String, idCol: String,
@@ -92,97 +92,72 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rowsPerBand = k / bands
-    val sigs = minhashSignatures(df, textCol, idCol, shingleN, k).persist()
-    val banded = sigs.select(col("id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))))
-      .select(col("id"), col("sig"), col("col.band"), col("col.bucket"))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val cand = l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").dropDuplicates("id_a", "id_b")
-    cand.withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
-          .cast(DoubleType) / lit(k.toDouble))
-      .filter(col("est_jaccard") >= threshold)
-      .select("id_a", "id_b", "est_jaccard")
+    val sigs = minhashSignatures(df, textCol, idCol, shingleN, k)
+    // static per-band bucket expressions — no lambda, all codegen'd
+    val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
+      hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket")))
+    val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // exact verification: join candidate ids back to the (narrow, recomputed)
+    // shingle sets; |A∩B| via array_intersect over sorted longs
+    val sets = df.select(col(idCol).as("id"), shingleHashSet(col(textCol), shingleN).as("sh"))
+    val withSets = cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    withSets
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash fingerprints via explode + hash aggregation — the scale path
-    * (same design rationale as [[minhashSignatures]]).
-    *
-    * One row per (doc, distinct shingle) with the shingle hashed once; bit j's
-    * vote is a plain `sum(±1 by bit j)` aggregate — 64 codegen'd sums with
-    * map-side partials — and the fingerprint packs the vote signs in one
-    * post-aggregation projection.
-    *
-    * Returns the id column plus (outCol LONG).
+  /** SimHash fingerprint column ([[graft.expressions.SimHash64]]): one narrow
+    * kernel pass per document, MD5-derived bits for oracle reproducibility.
     */
-  def simhashFingerprints(df: DataFrame, textCol: String, idCol: String,
-      outCol: String, shingleN: Int): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"),
-        explode(array_distinct(shingles(col(textCol), shingleN))).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
-    val votes = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"__v$j"))
-    val packed = (0 until 64).map(j =>
-      when(col(s"__v$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)).reduce(_ + _)
-    exploded.groupBy(col("id")).agg(votes.head, votes.tail: _*)
-      .select(col("id"), packed.as(outCol))
-  }
+  def simhash(text: Column, shingleN: Int = 2): Column =
+    G.simhash64(tokens(text), shingleN)
 
-  /** SimHash over a frame keeping all input columns: fingerprints are
-    * aggregated id-keyed ([[simhashFingerprints]]) and joined back, so the
-    * document payload never rides through the aggregation shuffle — only
-    * (id, shingle-hash) rows do.
+  /** (id, fingerprint LONG) per document — a pure narrow projection. */
+  def simhashFingerprints(df: DataFrame, textCol: String, idCol: String,
+      outCol: String, shingleN: Int): DataFrame =
+    df.select(col(idCol).as("id"), simhash(col(textCol), shingleN).as(outCol))
+
+  /** SimHash attached to the full input frame — narrow `withColumn`, the
+    * payload never moves.
     */
   def withSimhash(df: DataFrame, textCol: String, idCol: String, outCol: String,
-      shingleN: Int = 2): DataFrame = {
-    val fps = simhashFingerprints(df, textCol, idCol, outCol, shingleN)
-      .withColumnRenamed("id", idCol)
-    df.join(fps, Seq(idCol))
-  }
-
-  /** Single-row convenience variant of the SimHash bit definition (tests) —
-    * same hash family as [[simhashFingerprints]].
-    */
-  def simhash(text: Column, shingleN: Int = 2): Column = {
-    val hs = transform(array_distinct(shingles(text, shingleN)), s => xxhash64(s))
-    val votes = (0 until 64).map(j =>
-      aggregate(hs, lit(0), (acc, h) =>
-        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
-    votes.zipWithIndex.map { case (v, j) =>
-      when(v > 0, shiftleft(lit(1L), j)).otherwise(0L)
-    }.reduce(_ + _)
-  }
+      shingleN: Int = 2): DataFrame =
+    df.withColumn(outCol, simhash(col(textCol), shingleN))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Exact n-gram Jaccard near-duplicate pairs via an inverted shingle index:
-    * explode distinct shingles, self-join on shingle (co-occurrence count =
-    * |A∩B|), combine with per-doc set sizes for |A∪B|.
+    * explode distinct shingle hashes, self-join on shingle (co-occurrence
+    * count = |A∩B|), combine with per-doc set sizes for |A∪B|.
     *
-    * Shuffles: one explode+groupBy on (shingle hash) and one pair aggregation —
-    * both partial-aggregable. Hot shingles (stopword n-grams) are the skew
-    * risk; `maxDocFreq` drops shingles occurring in more than that many docs
-    * (standard inverted-index stopword pruning — at worst it lowers recall for
-    * boilerplate-only overlap).
+    * Shuffles: docFreq aggregation + the pair aggregation — both
+    * partial-aggregable. `maxDocFreq` drops shingles occurring in more than
+    * that many docs (inverted-index stopword pruning; at worst it lowers
+    * recall for boilerplate-only overlap) and simultaneously bounds the
+    * per-shingle join fan-out to maxDocFreq² rows — the skew guard for hot
+    * shingles at corpus scale.
     */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Long = 1000L): DataFrame = {
-    val docShingles = df.select(col(idCol).as("id"),
-      explode(array_distinct(shingles(col(textCol), n))).as("sh"))
-      .withColumn("sh", xxhash64(col("sh")))
-      .persist() // referenced 4× below; one tokenization pass instead of four
-    val sizes = docShingles.groupBy("id").agg(count(lit(1)).as("sz"))
-    val pruned = docShingles.join(
-      docShingles.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq),
-      Seq("sh"), "left_semi")
-      // size rides on every posting so the size-ratio bound prunes at the join
-      .join(sizes, Seq("id"))
+    // one narrow pass: (id, set size, exploded shingle hash)
+    val posts = df.select(col(idCol).as("id"), shingleHashSet(col(textCol), n).as("arr"))
+      .select(col("id"), size(col("arr")).as("sz"), explode(col("arr")).as("sh"))
+    val rare = posts.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+    val pruned = posts.join(rare.select("sh"), Seq("sh"), "left_semi")
     // Size-ratio prefilter (set-similarity joins, e.g. Xiao et al. PPJoin):
     // J(A,B) >= t  ⟹  t·|A| <= |B| <= |A|/t. Purely a pruning bound — every
     // surviving pair is still exactly verified — but it cuts the candidate
@@ -202,18 +177,48 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Embedding-cosine near-duplicate pairs over an `Array[Float]` column,
-    * LSH-bucketed by random-hyperplane signs so the self-join is per-bucket
-    * instead of all-pairs. See [[Similarity.cosine]] for the exact kernel.
+  /** Deterministic ±1 random hyperplanes for [[embeddingPairs]] — shared with
+    * the DuckDB oracle generator so both engines bucket identically.
+    */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] =
+    (0 until planes).map { p =>
+      val rnd = new java.util.Random(seed * 1000003L + p)
+      Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    }
+
+  /** Embedding-cosine near-duplicate pairs over an `Array[Float]` column.
+    *
+    * Random-hyperplane LSH (Charikar 2002), banded like MinHash: bit i =
+    * sign(v · plane_i) computed by the codegen'd [[graft.expressions.VectorDot]]
+    * kernel against LITERAL ±1 plane vectors; `bands` bands of `planes/bands`
+    * bits each OR together, so recall doesn't collapse to p^planes and the
+    * per-bucket population is 2^(planes/bands)× smaller than a single
+    * signature — the round-2 fixed-2^planes-bucket scale flaw. Candidates are
+    * verified by exact cosine. Returns (id_a, id_b, cos), id_a < id_b.
+    *
+    * 100 TB note: per-band bucket population is the skew knob — raise
+    * planes/bands (finer buckets) or cap candidates per bucket for truly
+    * degenerate corpora (a cap trades recall and is off here for parity).
     */
   def embeddingPairs(
       df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double = 0.95, planes: Int = 8): DataFrame = {
+      threshold: Double = 0.95, dim: Int = 64,
+      planes: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    require(planes % bands == 0, "planes must divide into bands")
+    val rowsPerBand = planes / bands
+    val pvs = hyperplanes(planes, dim, seed)
+    val bits = pvs.map(p => when(G.vectorDot(col("v"), typedLit(p)) >= 0, 1).otherwise(0))
+    val bandCols = (0 until bands).map { b =>
+      val bucket = (0 until rowsPerBand)
+        .map(j => bits(b * rowsPerBand + j) * lit(1 << j)).reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", Similarity.hyperplaneSignature(col("v"), planes))
-    val pairs = bucketed.as("a").join(bucketed.as("b"), Seq("bucket"))
+      .select(col("id"), col("v"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("v"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    bucketed.as("a").join(bucketed.as("b"), Seq("band", "bucket"))
       .filter(col("a.id") < col("b.id"))
-    pairs.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= threshold)
       .dropDuplicates("id_a", "id_b")

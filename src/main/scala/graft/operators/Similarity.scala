@@ -33,25 +33,18 @@ object Similarity {
   /** Cosine similarity between two float vectors, computed in double. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Random-hyperplane sign signature packed into a long — `planes` pseudo-random
-    * hyperplanes derived deterministically from xxhash64(dim index, plane index)
-    * so the signature needs no trained model and is reproducible cluster-wide.
+  /** Random-hyperplane sign signature packed into a long (Charikar 2002):
+    * bit p = sign(v · plane_p), each projection computed by the codegen'd
+    * [[graft.expressions.VectorDot]] kernel against a LITERAL ±1 plane vector
+    * ([[Dedup.hyperplanes]] — deterministic, reproducible cluster-wide and in
+    * the DuckDB oracle). The round-2 version computed this with interpreted
+    * `zip_with`+`aggregate` lambdas per plane — ~6 allocating interpreted
+    * passes per vector; this is one fused primitive loop per plane.
     */
-  def hyperplaneSignature(v: Column, planes: Int): Column = {
-    // component j of plane p ∈ {-1,+1} from the parity of xxhash64(j, p):
-    // a signed random projection adequate for bucketing (Charikar 2002 SimHash
-    // for real vectors).
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, j) =>
-          x.cast(DoubleType) *
-            when(xxhash64(j, p).bitwiseAND(lit(1L)) === 1L, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, t) => acc + t)
-      when(proj >= 0, shiftleft(lit(1L), 0)).otherwise(lit(0L))
-    })
-    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
-      (acc, p) => acc + when(element_at(bits, p + 1) === 1L, call_function("shiftleft", lit(1L), p)).otherwise(0L))
-  }
+  def hyperplaneSignature(v: Column, planes: Int, dim: Int, seed: Long = 42L): Column =
+    Dedup.hyperplanes(planes, dim, seed).zipWithIndex.map { case (p, i) =>
+      when(dot(v, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** Exact brute-force cosine top-k: for every query vector, the k most similar
     * corpus vectors (excluding itself when ids collide).

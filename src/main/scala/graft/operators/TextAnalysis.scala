@@ -102,20 +102,19 @@ object TextAnalysis {
   // ---------------------------------------------------------------------------
 
   /** Polynomial rolling-hash fingerprint over the word sequence:
-    * `h = Σ h*31 + wordhash (mod 2^31-1)` where wordhash = xxhash64(word)
-    * folded to 30 bits. Order-sensitive (unlike a bag-of-words hash) and
-    * deterministic; computed with `aggregate` so it stays codegen'd.
+    * `h = (h*31 + (md5hex15(word) mod 2^30)) mod (2^31-1)`. Order-sensitive
+    * (unlike a bag-of-words hash); computed by the precompiled
+    * [[graft.expressions.RollingFingerprint]] kernel. MD5-derived word hashes
+    * make it bit-reproducible in DuckDB (md5 hex-digit folds), so the emitted
+    * fingerprints are oracle-checked exactly.
     */
-  def fingerprint(text: Column): Column = {
-    val mod = lit(2147483647L) // 2^31-1
-    val words = filter(split(lower(text), "[^\\p{L}\\p{Nd}]+"), w => length(w) > 0)
-    aggregate(words, lit(0L),
-      (acc, w) => (acc * 31L + pmod(xxhash64(w), lit(1073741824L))) % mod)
-  }
+  def fingerprint(text: Column): Column =
+    graft.expressions.GraftFunctions.rollingFingerprint(Dedup.tokens(text))
 
-  /** 64-bit content fingerprint (exact-dup detection key): xxhash64 of the
-    * whitespace-normalized lowercased text.
+  /** Content fingerprint (exact-dup detection key): MD5 hex of the
+    * whitespace-normalized lowercased text — oracle-reproducible (`md5()` in
+    * both engines).
     */
   def contentHash(text: Column): Column =
-    xxhash64(regexp_replace(lower(text), "\\s+", " "))
+    md5(regexp_replace(lower(text), "\\s+", " "))
 }

@@ -149,4 +149,47 @@ object Transforms {
       case "aggregate" => aggregate(df, params.getOrElse("freq", "D"))
       case other => throw new IllegalArgumentException(s"unknown transformation '$other'")
     }
+
+  /** Destination naming contract (reference transformers.py:196-214): tokenize
+    * the source dataset name as `{source}_{data_type}_...`, then
+    *  - `aggregate` → `{source}_aggregate_{data_type}_{YYYYMMDD}.parquet`
+    *  - others      → `{source}_{data_type}_{transformation}_{YYYYMMDD}.parquet`
+    * (the reference's `generate_filename` appends today's date token).
+    */
+  def destinationName(sourcePath: String, transformation: String,
+      date: java.time.LocalDate = java.time.LocalDate.now()): String = {
+    val parts = sourcePath.split('/').last.split('.').head.split('_')
+    val source = if (parts.nonEmpty) parts(0) else "unknown"
+    val dataType = if (parts.length > 1) parts(1) else "data"
+    val d = date.format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+    if (transformation == "aggregate") s"${source}_${transformation}_${dataType}_$d.parquet"
+    else s"${source}_${dataType}_${transformation}_$d.parquet"
+  }
+
+  /** End-to-end transform pipeline (reference transformers.py:145-214 +
+    * routes.py:135-144): read the source dataset from its layer, apply the
+    * transformation, land the result in the destination layer under
+    * [[destinationName]]. Both the read and the write resolve through the one
+    * lake root — deliberately fixing the reference's `data/`-prefix read vs
+    * CWD-relative write inconsistency (SURVEY.md §3.2).
+    */
+  def transformAndStore(
+      lake: graft.sources.Lake, sourceLayer: String, dataset: String,
+      transformation: String, destLayer: String,
+      params: Map[String, String] = Map.empty): Map[String, Any] = {
+    val df = lake.read(sourceLayer, dataset)
+    if (df.schema.isEmpty) return Map("status" -> "error",
+      "message" -> s"dataset $dataset not found in $sourceLayer", "records_count" -> 0L)
+    val out = apply(df, transformation, params).persist()
+    try {
+      val n = out.count()
+      if (n == 0) Map("status" -> "error",
+        "message" -> "Transformation resulted in empty dataframe.", "records_count" -> 0L)
+      else {
+        val dest = destinationName(dataset, transformation)
+        val path = lake.write(out, destLayer, dest)
+        Map("status" -> "success", "records_count" -> n, "file_path" -> path)
+      }
+    } finally out.unpersist()
+  }
 }

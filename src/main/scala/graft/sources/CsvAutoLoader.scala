@@ -118,10 +118,15 @@ object CsvAutoLoader {
     }
     loaded match {
       case None => Map("status" -> "error", "message" -> s"could not detect schema in $path")
-      case Some(df) =>
-        val name = lake.generateFilename("csv_import", dataType)
-        val out = lake.write(df, "bronze", name)
-        Map("status" -> "success", "records_count" -> df.count(), "file_path" -> out)
+      case Some(df0) =>
+        // cache once: the count serves the envelope and the write re-reads the
+        // cached blocks instead of re-parsing the CSV
+        val df = df0.persist()
+        try {
+          val name = lake.generateFilename("csv_import", dataType)
+          val out = lake.write(df, "bronze", name)
+          Map("status" -> "success", "records_count" -> df.count(), "file_path" -> out)
+        } finally df.unpersist()
     }
   }
 }

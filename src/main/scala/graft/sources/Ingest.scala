@@ -28,28 +28,92 @@ final class Ingest(
       "outputsize" -> outputSize, "apikey" -> apiKey)) match {
       case None => Map("status" -> "error", "message" -> s"fetch failed for $symbol")
       case Some(payload) =>
-        val df = JsonPayloads.parseAlphaVantageStock(spark, Seq(payload), symbol)
-        if (df.isEmpty) Map("status" -> "error", "message" -> s"no data for $symbol")
-        else {
-          val name = lake.generateFilename("alphavantage", s"stock_$symbol")
-          val path = lake.write(df, "bronze", name)
-          Map("status" -> "success", "records_count" -> df.count(), "file_path" -> path)
+        landInBronze(JsonPayloads.parseAlphaVantageStock(spark, Seq(payload), symbol),
+          "alphavantage", s"stock_$symbol", s"no data for $symbol")
+    }
+
+  /** S14 Yahoo chart ingest (reference yahoo_finance.py:192-221).
+    *
+    * `period1`/`period2` default to the reference's 730-day lookback window
+    * ending now (yahoo_finance.py:104-107).
+    */
+  def fetchAndStoreStockYahoo(symbol: String, interval: String = "1d",
+      period1: Option[Long] = None, period2: Option[Long] = None): Map[String, Any] = {
+    val now = System.currentTimeMillis() / 1000L
+    val p1 = period1.getOrElse(now - 730L * 86400L)
+    val p2 = period2.getOrElse(now)
+    fetch(yahooBase + symbol, Map(
+      "period1" -> p1.toString, "period2" -> p2.toString, "interval" -> interval,
+      "includePrePost" -> "false", "events" -> "div,split")) match {
+      case None => Map("status" -> "error", "message" -> s"fetch failed for $symbol")
+      case Some(payload) =>
+        landInBronze(JsonPayloads.parseYahooChart(spark, Seq(payload), symbol),
+          "yahoo_finance", s"stock_$symbol", s"no data for $symbol")
+    }
+  }
+
+  /** Forex pair ingest (reference routes.py:46-61): `"USD_EUR"`-style pair →
+    * error envelope on malformed pair, else AV FX fetch + bronze landing under
+    * `alphavantage_forex_{pair}_{date}`.
+    */
+  def fetchAndStoreForex(pair: String, apiKey: String = "demo"): Map[String, Any] =
+    pair.split('_') match {
+      case Array(from, to) =>
+        fetch(avBase, Map("function" -> "FX_DAILY", "from_symbol" -> from,
+          "to_symbol" -> to, "apikey" -> apiKey)) match {
+          case None => Map("status" -> "error", "message" -> s"fetch failed for $pair")
+          case Some(payload) =>
+            landInBronze(JsonPayloads.parseAlphaVantageForex(spark, Seq(payload), from, to),
+              "alphavantage", s"forex_$pair", s"no data for $pair")
+        }
+      case _ => Map("status" -> "error",
+        "message" -> s"Invalid forex pair format: $pair. Use format 'FROM_TO'")
+    }
+
+  /** Economic-indicator ingest (reference routes.py:63-73): whitelisted
+    * indicator → AV economic fetch + bronze landing.
+    */
+  def fetchAndStoreEconomic(indicator: String, apiKey: String = "demo"): Map[String, Any] =
+    JsonPayloads.economicIndicators.get(indicator.toUpperCase) match {
+      case None => Map("status" -> "error", "message" -> s"unsupported indicator '$indicator'")
+      case Some(fn) =>
+        fetch(avBase, Map("function" -> fn, "apikey" -> apiKey)) match {
+          case None => Map("status" -> "error", "message" -> s"fetch failed for $indicator")
+          case Some(payload) =>
+            landInBronze(JsonPayloads.parseAlphaVantageEconomic(spark, Seq(payload), indicator),
+              "alphavantage", s"economic_$indicator", s"no data for $indicator")
         }
     }
 
-  /** S14 Yahoo chart ingest (reference yahoo_finance.py:192-221). */
-  def fetchAndStoreStockYahoo(symbol: String, interval: String = "1d"): Map[String, Any] =
-    fetch(yahooBase + symbol, Map("interval" -> interval)) match {
+  /** Crypto ingest (reference routes.py:86-94): Yahoo chart fetch of the
+    * `-USD`-suffixed symbol through the crypto parser.
+    */
+  def fetchAndStoreCrypto(symbol: String): Map[String, Any] = {
+    val full = if (symbol.contains("-")) symbol else s"$symbol-USD"
+    fetch(yahooBase + full, Map("interval" -> "1d")) match {
       case None => Map("status" -> "error", "message" -> s"fetch failed for $symbol")
       case Some(payload) =>
-        val df = JsonPayloads.parseYahooChart(spark, Seq(payload), symbol)
-        if (df.isEmpty) Map("status" -> "error", "message" -> s"no data for $symbol")
-        else {
-          val name = lake.generateFilename("yahoo_finance", s"stock_$symbol")
-          val path = lake.write(df, "bronze", name)
-          Map("status" -> "success", "records_count" -> df.count(), "file_path" -> path)
-        }
+        landInBronze(JsonPayloads.parseYahooCrypto(spark, Seq(payload), symbol),
+          "yahoo_finance", s"crypto_$symbol", s"no data for $symbol")
     }
+  }
+
+  /** Shared landing envelope: parse once, cache, count once — the count serves
+    * both the empty-guard and `records_count`, so the payload is parsed a
+    * single time instead of three (isEmpty + write + count).
+    */
+  private def landInBronze(parsed: org.apache.spark.sql.DataFrame, source: String,
+      dataType: String, emptyMsg: String): Map[String, Any] = {
+    val df = parsed.persist()
+    try {
+      val n = df.count()
+      if (n == 0) Map("status" -> "error", "message" -> emptyMsg)
+      else {
+        val path = lake.write(df, "bronze", lake.generateFilename(source, dataType))
+        Map("status" -> "success", "records_count" -> n, "file_path" -> path)
+      }
+    } finally df.unpersist()
+  }
 
   /** S13 batch multi-symbol fetch (reference yahoo_finance.py:224-250):
     * sequential per-symbol fetch+store with an inter-symbol delay, per-symbol

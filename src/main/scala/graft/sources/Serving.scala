@@ -15,6 +15,11 @@ import graft.functions.Fns
   */
 object Serving {
 
+  /** F10' request-ID generation (reference helpers.py:18-20): every API
+    * envelope carries a `request_id = str(uuid4())`.
+    */
+  def generateRequestId(): String = java.util.UUID.randomUUID().toString
+
   /** S15 JSON-records view (reference routes.py:174-220): `±inf`/`NaN` → null
     * on every float column, timestamps → ISO-8601 µs `Z` strings. Returns the
     * normalized frame; `.limit(n).toJSON` or `collect` at the API boundary.

@@ -74,7 +74,8 @@ class DedupSpec extends SparkSpec {
       (2L, Array(1.0f, 0.0f, 0.5f, 0.2f)), // identical -> cos 1
       (3L, Array(-1.0f, 0.3f, -0.5f, 0.1f))
     ).toDF("vec_id", "embedding")
-    val pairs = rows(Dedup.embeddingPairs(vecs, "embedding", "vec_id", threshold = 0.99, planes = 4))
+    val pairs = rows(Dedup.embeddingPairs(vecs, "embedding", "vec_id", threshold = 0.99,
+      dim = 4, planes = 4, bands = 2))
       .map(r => (r.getLong(0), r.getLong(1)))
     pairs shouldBe Seq((1L, 2L))
   }

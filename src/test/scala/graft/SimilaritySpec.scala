@@ -35,7 +35,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("hyperplaneSignature groups identical vectors, deterministic across evaluations") {
     val sigs = vecs.union(vecs)
-      .select(col("vec_id"), Similarity.hyperplaneSignature(col("embedding"), 8).as("sig"))
+      .select(col("vec_id"), Similarity.hyperplaneSignature(col("embedding"), 8, dim = 3).as("sig"))
     // same vector -> same signature in both copies
     rows(sigs.groupBy("vec_id").agg(countDistinct("sig").as("n")).select("n"))
       .map(_.getLong(0)).toSet shouldBe Set(1L)

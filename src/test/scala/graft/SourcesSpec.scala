@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.sources.{CsvAutoLoader, JsonPayloads, Lake}
+import graft.sources.{CsvAutoLoader, Ingest, JsonPayloads, Lake}
 
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
@@ -121,5 +121,93 @@ class SourcesSpec extends SparkSpec {
     val lake = Lake(spark, "/tmp/x")
     lake.generateFilename("alphavantage", "stock", java.time.LocalDate.of(2024, 1, 2)) shouldBe
       "alphavantage_stock_20240102.parquet"
+  }
+
+  // --- Ingest wrappers (reference routes.py:37-131, yahoo_finance.py:104-107)
+
+  private def ingestWith(payloads: Map[String, String],
+      capture: scala.collection.mutable.Map[String, String] => Unit = _ => ()): (Ingest, Lake) = {
+    val root = java.nio.file.Files.createTempDirectory("lake").toString
+    val lake = Lake(spark, root)
+    val captured = scala.collection.mutable.Map[String, String]()
+    val fetch = (url: String, params: Map[String, String]) => {
+      params.foreach { case (k, v) => captured(k) = v }
+      capture(captured)
+      payloads.collectFirst { case (frag, p) if url.contains(frag) || params.values.exists(_.contains(frag)) => p }
+        .orElse(payloads.get("*"))
+    }
+    (new Ingest(spark, lake, fetch), lake)
+  }
+
+  test("fetchAndStoreStockYahoo defaults period1/period2 to a 730-day window (yahoo_finance.py:104-107)") {
+    var seen = Map.empty[String, String]
+    val (ingest, lake) = ingestWith(Map("*" -> Fixtures.yahooChart), m => seen = m.toMap)
+    val res = ingest.fetchAndStoreStockYahoo("AAPL")
+    res("status") shouldBe "success"
+    res("records_count") shouldBe 2L
+    val now = System.currentTimeMillis() / 1000L
+    val p1 = seen("period1").toLong
+    val p2 = seen("period2").toLong
+    (p2 - p1) shouldBe (730L * 86400L)
+    (now - p2) should be < 120L
+    seen("events") shouldBe "div,split"
+    lake.find("bronze", "yahoo_finance", "stock_AAPL").size shouldBe 1
+  }
+
+  test("fetchAndStoreForex: pair split, malformed pair -> error envelope (routes.py:46-61)") {
+    val (ingest, lake) = ingestWith(Map("*" -> Fixtures.avForex))
+    ingest.fetchAndStoreForex("USDEUR")("status") shouldBe "error"
+    val ok = ingest.fetchAndStoreForex("USD_EUR")
+    ok("status") shouldBe "success"
+    ok("records_count") shouldBe 2L
+    lake.find("bronze", "alphavantage", "forex_USD_EUR").size shouldBe 1
+    rows(lake.latest("bronze", "alphavantage", "forex").get.select("from_currency"))
+      .map(_.getString(0)).toSet shouldBe Set("USD")
+  }
+
+  test("fetchAndStoreEconomic: whitelist dispatch, unknown indicator -> error (routes.py:63-73)") {
+    val (ingest, lake) = ingestWith(Map("*" -> Fixtures.avEconomic))
+    ingest.fetchAndStoreEconomic("NOT_A_THING")("status") shouldBe "error"
+    val ok = ingest.fetchAndStoreEconomic("GDP")
+    ok("status") shouldBe "success"
+    ok("records_count") shouldBe 2L
+    lake.find("bronze", "alphavantage", "economic_GDP").size shouldBe 1
+  }
+
+  test("fetchAndStoreCrypto: -USD suffixing and crypto parser landing (routes.py:86-94)") {
+    val (ingest, lake) = ingestWith(Map("*" -> Fixtures.yahooChart))
+    val ok = ingest.fetchAndStoreCrypto("BTC")
+    ok("status") shouldBe "success"
+    val df = lake.latest("bronze", "yahoo_finance", "crypto_BTC").get
+    rows(df.select("base_symbol")).map(_.getString(0)).toSet shouldBe Set("BTC")
+    df.columns should contain("price")
+  }
+
+  // --- Transform destination naming (reference transformers.py:196-214) ----
+
+  test("destinationName derives {source}_{type}_{transform}_{date} through one lake root") {
+    import graft.operators.Transforms
+    val d = java.time.LocalDate.of(2024, 1, 2)
+    Transforms.destinationName("alphavantage_stock_20240101.parquet", "clean", d) shouldBe
+      "alphavantage_stock_clean_20240102.parquet"
+    Transforms.destinationName("some/dir/alphavantage_stock_20240101.parquet", "aggregate", d) shouldBe
+      "alphavantage_aggregate_stock_20240102.parquet"
+    Transforms.destinationName("weird.parquet", "normalize", d) shouldBe
+      "weird_data_normalize_20240102.parquet"
+  }
+
+  test("transformAndStore reads source layer, lands named output in dest layer") {
+    import graft.operators.Transforms
+    val root = java.nio.file.Files.createTempDirectory("lake").toString
+    val lake = Lake(spark, root)
+    val df = Seq(("2024-01-02 00:00:00", "10.5"), ("2024-01-02 00:00:00", "10.5"), ("2024-01-03 00:00:00", "n/a"))
+      .toDF("timestamp", "close")
+    lake.write(df, "bronze", "csvimport_stock_20240102")
+    val res = Transforms.transformAndStore(lake, "bronze", "csvimport_stock_20240102", "clean", "silver")
+    res("status") shouldBe "success"
+    res("records_count") shouldBe 2L // dedup removed one of the identical rows
+    val landed = lake.find("silver", "csvimport", "stock").head
+    landed should startWith("csvimport_stock_clean_")
+    Transforms.transformAndStore(lake, "bronze", "nope_20240102", "clean", "silver")("status") shouldBe "error"
   }
 }

@@ -58,7 +58,7 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("contentHash normalizes whitespace before hashing") {
     val out = rows(Seq("a  b\tc", "a b c", "a b d").toDF("t")
-      .select(TextAnalysis.contentHash(col("t")).as("h"))).map(_.getLong(0))
+      .select(TextAnalysis.contentHash(col("t")).as("h"))).map(_.getString(0))
     out(0) shouldBe out(1)
     out(0) should not be out(2)
   }
