@@ -246,7 +246,11 @@ object SparkEntry {
     // nprobe is covered by scalatest.
     "q_ivf_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val centroids = Similarity.trainCentroids(e, "embedding", "vec_id", 16)
+      // centroids train on a deterministic 1-in-5 sample — standard IVF
+      // practice (quantizer quality tunes recall, not correctness; with
+      // nprobe = nlist the result is provably identical regardless)
+      val centroids = Similarity.trainCentroids(
+        e.filter(col("vec_id") % 5 === 0), "embedding", "vec_id", 16)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), centroids,
         "embedding", "vec_id", k = 5, nprobe = 16)
         .withColumn("rank", col("rank").cast(LongType)).orderBy("query_id", "rank")

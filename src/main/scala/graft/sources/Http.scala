@@ -13,15 +13,27 @@ import scala.util.Random
   * message bus, or this client), which keeps the dataflow testable in the
   * zero-egress environment. In a cluster deployment this runs driver-side (or
   * inside a custom streaming source's admin thread), never inside a task.
+  *
+  * The network send and the sleeper are injectable so the retry/backoff
+  * contract itself is unit-testable offline.
   */
 final class Http(
     minDelaySeconds: Double = 2.0,
     maxRetries: Int = 5,
     timeoutSeconds: Int = 10,
-    rng: Random = new Random()) {
+    rng: Random = new Random(),
+    send: HttpRequest => (Int, String) = null,
+    sleep: Long => Unit = Thread.sleep) {
 
-  private val client = HttpClient.newBuilder()
+  private lazy val client = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(timeoutSeconds)).build()
+
+  private def doSend(req: HttpRequest): (Int, String) =
+    if (send != null) send(req)
+    else {
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
 
   /** Rotating browser User-Agent pool (reference yahoo_finance.py:26-32). */
   private val userAgents = Seq(
@@ -37,13 +49,12 @@ final class Http(
   private def throttle(): Unit = synchronized {
     val wait = (minDelaySeconds + 0.1 + rng.nextDouble() * 0.9) * 1000 -
       (System.currentTimeMillis() - lastRequestAt)
-    if (wait > 0) Thread.sleep(wait.toLong)
+    if (wait > 0) sleep(wait.toLong)
     lastRequestAt = System.currentTimeMillis()
   }
 
-  /** GET with retry (reference yahoo_finance.py:47-87): 5 attempts; HTTP 429
-    * waits `min(30, 2^attempt·(1+U(0,1)))`s; other failures wait
-    * `min(30, 2^attempt + U(1,3))`s.
+  /** GET with retry (reference yahoo_finance.py:47-87): `maxRetries` attempts;
+    * backoff per [[Http.backoffSeconds]]; None after exhaustion.
     */
   def get(url: String, params: Map[String, String] = Map.empty): Option[String] = {
     val q = if (params.isEmpty) "" else params.map { case (k, v) =>
@@ -56,18 +67,27 @@ final class Http(
     while (attempt < maxRetries) {
       throttle()
       try {
-        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-        if (resp.statusCode() == 200) return Some(resp.body())
-        else if (resp.statusCode() == 429)
-          Thread.sleep((math.min(30.0, math.pow(2, attempt) * (1 + rng.nextDouble())) * 1000).toLong)
-        else
-          Thread.sleep((math.min(30.0, math.pow(2, attempt) + 1 + rng.nextDouble() * 2) * 1000).toLong)
+        val (status, body) = doSend(req)
+        if (status == 200) return Some(body)
+        else sleep((Http.backoffSeconds(attempt, status == 429, rng.nextDouble()) * 1000).toLong)
       } catch {
         case _: Exception =>
-          Thread.sleep((math.min(30.0, math.pow(2, attempt) + 1 + rng.nextDouble() * 2) * 1000).toLong)
+          sleep((Http.backoffSeconds(attempt, rateLimited = false, rng.nextDouble()) * 1000).toLong)
       }
       attempt += 1
     }
     None
   }
+}
+
+object Http {
+
+  /** Backoff policy (reference yahoo_finance.py:62-83), as a pure function of
+    * (attempt, rate-limited?, uniform draw): HTTP 429 waits
+    * `min(30, 2^attempt·(1+U(0,1)))` seconds; other failures wait
+    * `min(30, 2^attempt + U(1,3))` seconds.
+    */
+  def backoffSeconds(attempt: Int, rateLimited: Boolean, u: Double): Double =
+    if (rateLimited) math.min(30.0, math.pow(2.0, attempt) * (1 + u))
+    else math.min(30.0, math.pow(2.0, attempt) + 1 + u * 2)
 }

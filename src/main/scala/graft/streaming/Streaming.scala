@@ -76,6 +76,7 @@ object Streaming {
     * `q_stream_candles` entry.
     */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String, mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    spark.catalog.dropTempView(name) // re-runnable in a shared session (bench warmup)
     val q = df.writeStream.outputMode(mode).format("memory")
       .queryName(name).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
