@@ -92,10 +92,39 @@ object GraftFunctions {
   type Descriptor = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
   private type FunctionIdentifier = org.apache.spark.sql.catalyst.FunctionIdentifier
 
+  /** Plan-time integer constant from a SQL literal argument. */
+  private def litInt(e: Expression, fn: String, pos: Int): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be an integer literal, got $other")
+  }
+  private def litBool(e: Expression, fn: String, pos: Int): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, BooleanType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be a boolean literal, got $other")
+  }
+
   val descriptors: Seq[Descriptor] = Seq(
     (new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
-      (args: Seq[Expression]) => VectorDot(args(0), args(1))))
+      (args: Seq[Expression]) => VectorDot(args(0), args(1))),
+    // SQL surface for the text kernels: size/lane parameters are plan-time
+    // literals, e.g. `SELECT simhash64(regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+', 0), 5)`
+    (new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHashes(args(0), litInt(args(1), "shingle_hashes", 2),
+        if (args.length > 2) litBool(args(2), "shingle_hashes", 3) else true)),
+    (new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args(0), litInt(args(1), "minhash_sig", 2),
+        litInt(args(2), "minhash_sig", 3))),
+    (new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args(0), litInt(args(1), "simhash64", 2))),
+    (new FunctionIdentifier("rolling_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
+      (args: Seq[Expression]) => RollingFingerprint(args(0))))
 
   /** Idempotently register the graft functions on an existing session. */
   def register(spark: SparkSession): Unit = descriptors.foreach { case (id, info, builder) =>

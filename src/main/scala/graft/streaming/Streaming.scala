@@ -53,6 +53,22 @@ object Streaming {
       symbol: String = "symbol", open: String = "open", high: String = "high",
       low: String = "low", close: String = "close", volume: String = "volume")
 
+  /** Streaming exact dedup-on-ingest: drop records whose key columns repeat
+    * within the watermark delay — the streaming twin of
+    * [[graft.operators.Dedup.exact]], and the dedup step a training-data
+    * ingest pipeline runs before landing documents in the lake.
+    *
+    * State is bounded by the watermark (`dropDuplicatesWithinWatermark`): a
+    * key is remembered only while a duplicate could still arrive, so state
+    * size tracks the ingest rate × delay, not corpus size — the property that
+    * makes this viable on an unbounded 100 TB/day feed. Key on a content hash
+    * (e.g. `xxhash64(text)`), never the payload: state then stores 8-byte
+    * keys.
+    */
+  def dedupStream(ticks: DataFrame, keyCols: Seq[String], timeCol: String,
+      delay: String = "1 hour"): DataFrame =
+    ticks.withWatermark(timeCol, delay).dropDuplicatesWithinWatermark(keyCols)
+
   /** Bronze-landing sink (reference helpers.py:31-46 contract): every
     * micro-batch appends to the lake path. `AvailableNow` processes the
     * current backlog then stops — deterministic for tests, incremental in

@@ -33,6 +33,27 @@ class StreamingSpec extends SparkSpec {
     s shouldBe b
   }
 
+  test("dedupStream drops repeated content keys within the watermark (ingest dedup)") {
+    val docs = Seq(
+      ("2024-01-01 09:00:00", 1L, "alpha beta gamma"),
+      ("2024-01-01 09:05:00", 2L, "alpha beta gamma"), // dup content, within delay
+      ("2024-01-01 09:10:00", 3L, "totally different"),
+      ("2024-01-01 09:12:00", 4L, "alpha beta gamma")  // another dup
+    ).toDF("ts", "doc_id", "text").withColumn("ts", col("ts").cast("timestamp"))
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    docs.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+      .withColumn("__h", xxhash64(col("text")))
+    val out = Streaming.runToMemory(spark,
+      Streaming.dedupStream(stream, Seq("__h"), "ts", "1 hour"),
+      "dedup_stream", org.apache.spark.sql.streaming.OutputMode.Append())
+    // one row per distinct content
+    out.count() shouldBe 2
+    rows(out.select("text")).map(_.getString(0)).toSet shouldBe
+      Set("alpha beta gamma", "totally different")
+  }
+
   test("streaming candle values: open=earliest tick, close=latest, volume summed") {
     val dir = java.nio.file.Files.createTempDirectory("ticks2").toString
     tickDf.write.mode("overwrite").parquet(dir)
