@@ -95,17 +95,21 @@ object Similarity {
       slice(reverse(array_sort(scored)), 1, n)
     }
     val cellList = cent.agg(collect_list(struct(col("cell_id"), col("centroid"))).as("__cells"))
+    // norms precomputed per side (as in bruteForceTopK) — one kernel eval per
+    // vector instead of two extra per scored pair
     val corpusCells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("nc", norm(col("cv")))
       .crossJoin(broadcast(cellList))
       .withColumn("cell", element_at(nearestCells(col("cv"), 1), 1).getField("cell_id"))
       .drop("__cells")
     val queryCells = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("nq", norm(col("qv")))
       .crossJoin(broadcast(cellList))
       .withColumn("cell", explode(transform(nearestCells(col("qv"), nprobe), _.getField("cell_id"))))
       .drop("__cells")
     val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("nq") * col("nc")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
