@@ -282,16 +282,17 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bytes"), col("content_sha256"), col("format"))
         .orderBy("doc_id")),
     // Scalar columns only: the driver's pandas-side checker sorts every column
-    // and dies on ARRAY values, so the feature vector rides as a SHA-256 of its
-    // JSON rendering (still pins the decoded values deterministically).
+    // and dies on ARRAY values, so the 8 feature lanes ride as individual
+    // DOUBLE columns — which also makes the stub decode fully oracle-checkable
+    // (the DuckDB dual replays the int32 hashCode fold over the payload bytes).
     "q_media_decode" -> ((s, dir) =>
       Multimodal.decodeStub(
         documents(s, dir).select(col("doc_id"), col("text").cast(BinaryType).as("payload")),
         "payload", "doc_id")
-        .select(col("media_id"), col("n_bytes"), col("format"), col("width"),
-          col("height"), col("n_frames"),
-          size(col("feature")).cast(LongType).as("feature_dim"),
-          sha2(to_json(struct(col("feature"))), 256).as("feature_sha256"))
+        .select(Seq(col("media_id"), col("n_bytes"), col("format"),
+          col("width").cast(LongType).as("width"), col("height").cast(LongType).as("height"),
+          col("n_frames").cast(LongType).as("n_frames")) ++
+          (0 until 8).map(i => element_at(col("feature"), i + 1).cast(DoubleType).as(s"feature_$i")): _*)
         .orderBy("media_id")),
 
     // --- streaming (SURVEY §2.9) ------------------------------------------
@@ -407,6 +408,37 @@ object SparkEntry {
        | hs AS (SELECT doc_id, md5(s) AS mh FROM sh),
        | votes AS (SELECT doc_id, $votes FROM hs GROUP BY doc_id)
        | SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM votes ORDER BY doc_id""".stripMargin.replace("\n", "")
+  }
+
+  /** Stub-decode oracle: replays [[Multimodal.decodeOne]]'s deliberately
+    * SQL-replicable fake — `java.util.Arrays.hashCode` as an int32-wrapped
+    * 31-polynomial fold over the payload's signed bytes (extracted via
+    * `hex(encode(text))` digit pairs), then the same width/height/frame/
+    * feature arithmetic. Verifies the mapPartitions decode CONTRACT (row
+    * mapping, schema, determinism) even though the codec itself is a stub.
+    */
+  private def mediaDecodeSql: String = {
+    def wrap(x: String) = s"((($x) + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648"
+    val feats = (0 until 8).map { i =>
+      val w = wrap(s"h * 31 + $i")
+      s"CAST((CASE WHEN ($w) < 0 THEN ($w) + 2147483648 ELSE ($w) END) % 1024 AS DOUBLE) / 1024 AS feature_$i"
+    }.mkString(", ")
+    s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
+       | byt AS (SELECT doc_id, n,
+       |   list_transform(range(1, n + 1), i ->
+       |     CAST((strpos('0123456789ABCDEF', substring(hx, 2*i - 1, 1)) - 1) * 16 +
+       |          (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1) AS BIGINT)) AS ub
+       |  FROM b),
+       | hh AS (SELECT doc_id, n, ub,
+       |   list_reduce(list_prepend(CAST(1 AS BIGINT), list_transform(ub, x -> CASE WHEN x > 127 THEN x - 256 ELSE x END)),
+       |     (a, bb) -> ${wrap("a * 31 + bb")}) AS h
+       |  FROM byt)
+       | SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_bytes,
+       |  CASE WHEN n >= 3 AND ub[1] = 255 AND ub[2] = 216 THEN 'jpeg' ELSE 'unknown' END AS format,
+       |  16 + abs(h % 1024) AS width,
+       |  16 + abs(CAST(trunc(CAST(h AS DOUBLE) / 1024) AS BIGINT) % 1024) AS height,
+       |  1 + abs(h % 32) AS n_frames, $feats
+       | FROM hh ORDER BY media_id""".stripMargin.replace("\n", "")
   }
 
   /** Hyperplane-LSH oracle: the SAME ±1 plane literals and banding as
@@ -651,6 +683,7 @@ object SparkEntry {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS content_sha256,
         | 'unknown' AS format
         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_media_decode" -> mediaDecodeSql,
     "q_stream_candles" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts, event_type,
         | arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,

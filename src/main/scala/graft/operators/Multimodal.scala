@@ -79,14 +79,20 @@ object Multimodal {
     val n = if (bytes == null) 0 else bytes.length
     // ??? — real implementation: codec.decode(bytes) → pixels/samples.
     // Deterministic fake below derives every field from the payload content.
+    // The arithmetic is deliberately SQL-replicable (int32 31-polynomial over
+    // signed bytes = java.util.Arrays.hashCode; power-of-two feature
+    // quantization so float/double conversions are exact) — the DuckDB oracle
+    // reproduces the full decode output bit for bit, which keeps the
+    // mapPartitions row contract under the driver's hard correctness signal
+    // even though the codec itself is a stub.
     val h = java.util.Arrays.hashCode(bytes)
     val feature = Array.tabulate(featureDim)(i =>
-      (((h * 31 + i) & 0x7fffffff) % 1000) / 1000.0f)
+      ((h * 31 + i) & 0x7fffffff) % 1024 / 1024.0f)
     MediaFeatures(
       media_id = id, n_bytes = n.toLong,
       format = if (n >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg" else "unknown",
       width = if (n == 0) 0 else 16 + math.abs(h % 1024),
-      height = if (n == 0) 0 else 16 + math.abs((h / 1024) % 1024),
+      height = if (n == 0) 0 else 16 + math.abs(h / 1024 % 1024),
       n_frames = 1 + math.abs(h % 32),
       feature = feature)
   }
