@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Scale-up probe: replicates the sf0.1 corpus k× (re-keyed ids) and runs the
+  * dedup/similarity family on it. Replication is the ADVERSARIAL case for
+  * LSH — every document gains k-1 exact duplicates, so every band bucket is
+  * populated and candidate fan-out is maximal. A design whose cost explodes
+  * here (all-pairs anywhere, unbounded buckets) fails; linear-ish growth in
+  * (rows × duplication) is the pass signal the 100 TB claim rests on.
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe [k] [sfDir]"`.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val n = base.count()
+    val docs = (0 until k).map(i =>
+      base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+    val embs = (0 until k).map(i =>
+      embBase.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionAll _)
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($rows rows)")
+    }
+
+    println(s"[scale] corpus: ${n * k} docs (${k}x sf0.1), ${embs.count()} vectors")
+    time("simhash_fingerprints") {
+      Dedup.simhashFingerprints(docs, "text", "doc_id", "simhash", 5).count()
+    }
+    time("minhash_pairs") {
+      Dedup.minhashPairs(docs, "text", "doc_id", shingleN = 5, k = 64, bands = 32,
+        threshold = 0.5).count()
+    }
+    time("ngram_jaccard_pairs") {
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 5, threshold = 0.3,
+        maxDocFreq = 100L * k).count()
+    }
+    time("exact_dedup") {
+      Dedup.exact(docs, "text", "doc_id").count()
+    }
+    time("embed_pairs_lsh") {
+      Dedup.embeddingPairs(embs, "embedding", "vec_id", threshold = 0.2,
+        dim = 64, planes = 16, bands = 4).count()
+    }
+    time("ann_brute_topk") {
+      Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 10), "embedding", "vec_id", 10).count()
+    }
+    spark.stop()
+  }
+}

@@ -38,6 +38,12 @@ object Serving {
   def preview(df: DataFrame, n: Int = 100): Array[String] =
     jsonRecordsView(df).limit(n).toJSON.collect()
 
+  /** F13' display rounding (reference index.html:960 `toFixed(4)`): fixed
+    * 4-decimal rendering of a double column for presentation surfaces.
+    */
+  def formatFixed(c: org.apache.spark.sql.Column, decimals: Int = 4): org.apache.spark.sql.Column =
+    format_number(c, decimals)
+
   /** S16 CSV download sink (reference routes.py:238-259): header CSV, one
     * file per dataset at serving scale.
     */
