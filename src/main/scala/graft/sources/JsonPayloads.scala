@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -34,12 +34,19 @@ object JsonPayloads {
     * (alphavantage.py:70-72), `symbol` and `source` literals
     * (alphavantage.py:78-79).
     */
-  def parseAlphaVantageStock(spark: SparkSession, payloads: Seq[String], symbol: String): DataFrame = {
+  def parseAlphaVantageStock(spark: SparkSession, payloads: Seq[String], symbol: String): DataFrame =
+    decodeAlphaVantageStock(payloadDf(spark, payloads), "payload", lit(symbol))
+
+  /** Column-level decode of S7 — composes into a streaming plan: a stream of
+    * (payload, symbol) rows from a message bus decodes with exactly this
+    * operator (`readStream → decodeAlphaVantageStock → candles → sink`).
+    */
+  def decodeAlphaVantageStock(df: DataFrame, payloadCol: String, symbol: Column): DataFrame = {
     val quote = StructType(Seq("1. open", "2. high", "3. low", "4. close", "5. volume")
       .map(StructField(_, StringType)))
     val schema = StructType(Seq(StructField("Time Series (Daily)", MapType(StringType, quote))))
-    payloadDf(spark, payloads)
-      .select(explode(from_json(col("payload"), schema).getField("Time Series (Daily)")).as(Seq("date", "q")))
+    df.select(symbol.as("__sym"),
+        explode(from_json(col(payloadCol), schema).getField("Time Series (Daily)")).as(Seq("date", "q")))
       .select(
         Fns.coerceTimestamp(col("date")).as("timestamp"),
         Fns.coerceDouble(col("q").getField("1. open")).as("open"),
@@ -47,7 +54,7 @@ object JsonPayloads {
         Fns.coerceDouble(col("q").getField("3. low")).as("low"),
         Fns.coerceDouble(col("q").getField("4. close")).as("close"),
         Fns.coerceLong(col("q").getField("5. volume")).as("volume"),
-        lit(symbol).as("symbol"),
+        col("__sym").as("symbol"),
         lit("alphavantage").as("source"))
   }
 
@@ -99,7 +106,13 @@ object JsonPayloads {
     * rows (yahoo_finance.py:137-146), epoch-seconds → timestamp
     * (yahoo_finance.py:138), rows with any null dropped (yahoo_finance.py:149).
     */
-  def parseYahooChart(spark: SparkSession, payloads: Seq[String], symbol: String): DataFrame = {
+  def parseYahooChart(spark: SparkSession, payloads: Seq[String], symbol: String): DataFrame =
+    decodeYahooChart(payloadDf(spark, payloads), "payload", lit(symbol))
+
+  /** Column-level decode of S10 (streaming-composable, see
+    * [[decodeAlphaVantageStock]]).
+    */
+  def decodeYahooChart(df: DataFrame, payloadCol: String, symbol: Column): DataFrame = {
     val quote = StructType(Seq(
       StructField("open", ArrayType(DoubleType)), StructField("high", ArrayType(DoubleType)),
       StructField("low", ArrayType(DoubleType)), StructField("close", ArrayType(DoubleType)),
@@ -108,11 +121,12 @@ object JsonPayloads {
       ArrayType(StructType(Seq(
         StructField("timestamp", ArrayType(LongType)),
         StructField("indicators", StructType(Seq(StructField("quote", ArrayType(quote))))))))))))))
-    val r = payloadDf(spark, payloads)
-      .select(explode(from_json(col("payload"), schema).getField("chart").getField("result")).as("r"))
-      .select(col("r").getField("timestamp").as("ts"),
+    val r = df
+      .select(symbol.as("__sym"),
+        explode(from_json(col(payloadCol), schema).getField("chart").getField("result")).as("r"))
+      .select(col("__sym"), col("r").getField("timestamp").as("ts"),
         element_at(col("r").getField("indicators").getField("quote"), 1).as("q"))
-    r.select(explode(arrays_zip(
+    r.select(col("__sym"), explode(arrays_zip(
         col("ts").as("t"), col("q").getField("open").as("open"), col("q").getField("high").as("high"),
         col("q").getField("low").as("low"), col("q").getField("close").as("close"),
         col("q").getField("volume").as("volume"))).as("z"))
@@ -120,7 +134,7 @@ object JsonPayloads {
         timestamp_seconds(col("z.t")).as("timestamp"),
         col("z.open").as("open"), col("z.high").as("high"), col("z.low").as("low"),
         col("z.close").as("close"), col("z.volume").as("volume"),
-        lit(symbol).as("symbol"), lit("yahoo_finance").as("source"))
+        col("__sym").as("symbol"), lit("yahoo_finance").as("source"))
       .na.drop("any")
   }
 

@@ -54,6 +54,22 @@ class StreamingSpec extends SparkSpec {
       Set("alpha beta gamma", "totally different")
   }
 
+  test("payload stream decodes with the batch parser operators (bus-shaped source)") {
+    import graft.sources.JsonPayloads
+    val payloads = Seq(("AAPL", Fixtures.yahooChart)).toDF("symbol", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("payloads").toString
+    payloads.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(payloads.schema).parquet(dir)
+    val decoded = Streaming.runToMemory(spark,
+      JsonPayloads.decodeYahooChart(stream, "payload", col("symbol")),
+      "decoded_payloads", org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("timestamp")
+    val batch = JsonPayloads.parseYahooChart(spark, Seq(Fixtures.yahooChart), "AAPL")
+      .orderBy("timestamp")
+    rows(decoded).map(_.toString) shouldBe rows(batch).map(_.toString)
+  }
+
   test("streaming candle values: open=earliest tick, close=latest, volume summed") {
     val dir = java.nio.file.Files.createTempDirectory("ticks2").toString
     tickDf.write.mode("overwrite").parquet(dir)
