@@ -275,6 +275,18 @@ object SparkEntry {
         TextAnalysis.fingerprint(col("text")).as("fingerprint"),
         TextAnalysis.contentHash(col("text")).as("content_hash")).orderBy("doc_id")),
 
+    // --- dataset curation: splits / sampling / quality gate ----------------
+    "q_split_assign" -> ((s, dir) =>
+      graft.operators.Sampling.withSplit(documents(s, dir).select("doc_id"), "doc_id")
+        .orderBy("doc_id")),
+    "q_stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedQuota(
+        events(s, dir).select(col("event_id"), col("event_type"), col("user_id")),
+        Seq("event_type"), "event_id", 0.1).orderBy("event_id")),
+    "q_quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(documents(s, dir).select("doc_id", "text"), "text")
+        .select(col("doc_id"), col("keep"), col("drop_reason")).orderBy("doc_id")),
+
     // --- multimodal plumbing (north star) ---------------------------------
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.withBinaryMetadata(
@@ -409,6 +421,12 @@ object SparkEntry {
        | votes AS (SELECT doc_id, $votes FROM hs GROUP BY doc_id)
        | SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM votes ORDER BY doc_id""".stripMargin.replace("\n", "")
   }
+
+  /** DuckDB dual of [[graft.operators.Sampling.idHash]]: 60-bit value from the
+    * first 15 md5 hex digits of the id's string form.
+    */
+  private def idHashSql(x: String): String =
+    s"list_reduce(list_transform(range(1, 16), i -> CAST(strpos('0123456789abcdef', substring(md5(CAST($x AS VARCHAR)), i, 1)) - 1 AS BIGINT)), (a,b) -> a*16 + b)"
 
   /** Stub-decode oracle: replays [[Multimodal.decodeOne]]'s deliberately
     * SQL-replicable fake — `java.util.Arrays.hashCode` as an int32-wrapped
@@ -679,6 +697,32 @@ object SparkEntry {
          |     ELSE 'it' END AS pred_lang
          | FROM s ORDER BY doc_id""".stripMargin.replace("\n", "")
     },
+    "q_split_assign" ->
+      s"""SELECT doc_id, CASE WHEN h % 1000 < 800 THEN 'train' WHEN h % 1000 < 900 THEN 'val'
+         | ELSE 'test' END AS split
+         | FROM (SELECT doc_id, ${idHashSql("doc_id")} AS h FROM documents) ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_stratified_sample" ->
+      s"""WITH e AS (SELECT event_id, event_type, user_id, ${idHashSql("event_id")} AS h FROM events),
+         | r AS (SELECT event_id, event_type, user_id,
+         |   row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn,
+         |   COUNT(*) OVER (PARTITION BY event_type) AS n FROM e)
+         | SELECT event_id, event_type, user_id FROM r
+         | WHERE rn <= CAST(ceil(n * CAST(0.1 AS DOUBLE)) AS BIGINT) ORDER BY event_id""".stripMargin.replace("\n", ""),
+    "q_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, text, $textWords AS ws FROM documents),
+         | f AS (SELECT doc_id, len(ws) AS n_words,
+         |   CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END AS mwl,
+         |   CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS pr,
+         |   CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS dr
+         |  FROM t)
+         | SELECT doc_id,
+         |  (CASE WHEN n_words < 5 THEN 'too_few_words' WHEN n_words > 100000 THEN 'too_many_words'
+         |    WHEN mwl < 2.0 OR mwl > 12.0 THEN 'word_len_out_of_range'
+         |    WHEN dr > 0.3 THEN 'too_many_digits' WHEN pr > 0.25 THEN 'too_much_punct' END) IS NULL AS keep,
+         |  CASE WHEN n_words < 5 THEN 'too_few_words' WHEN n_words > 100000 THEN 'too_many_words'
+         |    WHEN mwl < 2.0 OR mwl > 12.0 THEN 'word_len_out_of_range'
+         |    WHEN dr > 0.3 THEN 'too_many_digits' WHEN pr > 0.25 THEN 'too_much_punct' END AS drop_reason
+         | FROM f ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS content_sha256,
         | 'unknown' AS format

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic dataset splitting and sampling for training-data pipelines.
+  *
+  * Everything keys on a content-independent hash of the row's ID, so the
+  * assignment is (1) reproducible across runs and clusters — re-running the
+  * pipeline never shuffles examples between train and test; (2) stable under
+  * corpus growth — adding documents never moves an existing one across
+  * splits; (3) pure narrow expressions — zero shuffle for hash splits, one
+  * bounded window for exact quotas.
+  *
+  * The hash is the first 15 hex digits of MD5 (60 bits) rather than xxhash64
+  * — deliberately, for the same reason as [[TextAnalysis.fingerprint]]: an
+  * external SQL oracle can reproduce it digit for digit.
+  */
+object Sampling {
+
+  /** 60-bit MD5-derived hash of an id (non-negative, uniform). */
+  def idHash(id: Column): Column =
+    conv(substring(md5(id.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+
+  /** Uniform bucket in [0, buckets) from the id hash. */
+  def hashBucket(id: Column, buckets: Int = 1000): Column = idHash(id) % buckets
+
+  /** Deterministic split assignment: `splits` are (label, weight) pairs
+    * (weights sum to ≤ 1; any remainder falls to the last label). A row's
+    * label is found by its hash bucket against the cumulative weight
+    * boundaries — the standard hash-split every training pipeline needs,
+    * stable under corpus growth.
+    */
+  def splitAssign(id: Column, splits: Seq[(String, Double)], buckets: Int = 1000): Column = {
+    require(splits.nonEmpty, "at least one split")
+    val b = hashBucket(id, buckets)
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val cases = splits.zip(bounds).dropRight(1).foldLeft(Option.empty[Column]) {
+      case (acc, ((label, _), hi)) =>
+        val cond = b < math.round(hi * buckets)
+        Some(acc.fold(when(cond, lit(label)))(_.when(cond, lit(label))))
+    }
+    cases.fold(lit(splits.last._1))(_.otherwise(lit(splits.last._1)))
+  }
+
+  /** Attach a split column (e.g. train/val/test) keyed on `idCol`. Narrow —
+    * no shuffle at any scale.
+    */
+  def withSplit(df: DataFrame, idCol: String, outCol: String = "split",
+      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame =
+    df.withColumn(outCol, splitAssign(col(idCol), splits))
+
+  /** Approximate deterministic sample: keep rows whose hash bucket falls
+    * under `fraction`. Narrow; exact-in-expectation per stratum because the
+    * hash is independent of every column.
+    */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double, buckets: Int = 1000): DataFrame =
+    df.filter(hashBucket(col(idCol), buckets) < math.round(fraction * buckets))
+
+  /** Exact per-stratum quota sample: the `ceil(fraction · |stratum|)` rows
+    * with the smallest id hashes in each stratum. One shuffle on the strata
+    * keys (same partitioning a downstream per-stratum aggregation would
+    * reuse); deterministic — the chosen set is a pure function of the ids.
+    */
+  def stratifiedQuota(df: DataFrame, strataCols: Seq[String], idCol: String,
+      fraction: Double): DataFrame = {
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(idHash(col(idCol)), col(idCol))
+    val cw = Window.partitionBy(strataCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .filter(col("__rn") <= ceil(col("__n") * fraction))
+      .drop("__rn", "__n")
+  }
+}

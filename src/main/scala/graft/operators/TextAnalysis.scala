@@ -62,6 +62,25 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** Quality-filter decision (Gopher-rule shape): the feature columns of
+    * [[qualityFeatures]] folded into a keep/drop verdict plus the FIRST
+    * failing rule as `drop_reason` (null when kept) — the audit trail a
+    * corpus-curation pipeline logs per document. Pure narrow expressions.
+    */
+  def qualityFilter(df: DataFrame, textCol: String,
+      minWords: Int = 5, maxWords: Int = 100000,
+      minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
+      maxDigitRatio: Double = 0.3, maxPunctRatio: Double = 0.25): DataFrame = {
+    val f = qualityFeatures(df, textCol)
+    val reason = when(col("n_words") < minWords, "too_few_words")
+      .when(col("n_words") > maxWords, "too_many_words")
+      .when(col("mean_word_len") < minMeanWordLen || col("mean_word_len") > maxMeanWordLen,
+        "word_len_out_of_range")
+      .when(col("digit_ratio") > maxDigitRatio, "too_many_digits")
+      .when(col("punct_ratio") > maxPunctRatio, "too_much_punct")
+    f.withColumn("drop_reason", reason).withColumn("keep", reason.isNull)
+  }
+
   // ---------------------------------------------------------------------------
   // Language identification (n-gram/marker-word heuristic)
   // ---------------------------------------------------------------------------
