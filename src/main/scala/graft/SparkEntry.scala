@@ -227,6 +227,15 @@ object SparkEntry {
     "q_simhash_fingerprints" -> ((s, dir) =>
       Dedup.withSimhash(documents(s, dir).select("doc_id", "text"), "text", "doc_id", "simhash", shingleN = 5)
         .select("doc_id", "simhash").orderBy("doc_id")),
+    // near-dup clustering: components over the (exact-verified) pair graph;
+    // cluster label = min reachable id, survivor = id == cluster_id
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+        shingleN = 5, k = 64, bands = 32, threshold = 0.5)
+      Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("cluster_id")).orderBy("doc_id")
+    }),
     // Hyperplane-LSH near-dup: the oracle replicates the SAME literal planes
     // and banding (generated from one Scala constant), so candidate
     // generation itself is oracle-checked, not just the cosine kernel.
@@ -392,18 +401,37 @@ object SparkEntry {
        |   ELSE list_transform(range(0, len(ws) - ${n - 1}), i -> array_to_string(list_slice(ws, i + 1, i + $n), ' ')) END)) AS s
        |   FROM words)""".stripMargin.replace("\n", "")
 
-  /** Exact all-pairs shingle-set Jaccard (no docFreq pruning) — the oracle for
-    * the exactly-verified LSH pair queries.
+  /** CTE chain computing exact all-pairs shingle-set Jaccard pairs (no
+    * docFreq pruning) into a `p(id_a, id_b, jaccard)` relation — shared by
+    * the pair oracle and the clustering oracle.
     */
-  private def exactJaccardSql(n: Int, threshold: Double): String =
-    s"""WITH ${shingleCte(n)},
+  private def exactJaccardCtes(n: Int, threshold: Double): String =
+    s"""${shingleCte(n)},
        | sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
        | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS it
-       |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-       | SELECT id_a, id_b, CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) AS jaccard
-       | FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-       | WHERE CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) >= $threshold
-       | ORDER BY id_a, id_b""".stripMargin.replace("\n", "")
+       |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       | p AS (SELECT id_a, id_b, CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) AS jaccard
+       |   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |   WHERE CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) >= $threshold)""".stripMargin.replace("\n", "")
+
+  /** Exact all-pairs shingle-set Jaccard — the oracle for the exactly-verified
+    * LSH pair queries.
+    */
+  private def exactJaccardSql(n: Int, threshold: Double): String =
+    s"WITH ${exactJaccardCtes(n, threshold)} SELECT id_a, id_b, jaccard FROM p ORDER BY id_a, id_b"
+
+  /** Clustering oracle: connected components of the exact pair graph via a
+    * recursive transitive-closure CTE, labeled by min reachable id — the dual
+    * of [[Dedup.connectedComponents]]' min-label propagation.
+    */
+  private def dedupClustersSql(n: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${exactJaccardCtes(n, threshold)},
+       | e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+       | closure(id, r) AS (
+       |   SELECT doc_id, doc_id FROM documents
+       |   UNION
+       |   SELECT e.s, c.r FROM e JOIN closure c ON c.id = e.d)
+       | SELECT id AS doc_id, MIN(r) AS cluster_id FROM closure GROUP BY id ORDER BY doc_id""".stripMargin.replace("\n", "")
 
   /** SimHash oracle: replicates [[graft.expressions.SimHash64]] bit for bit —
     * md5 hex digits fold to the same 64-bit prefix whose per-bit ±1 votes are
@@ -631,6 +659,7 @@ object SparkEntry {
     // exact Jaccard (no pruning): equals minhashPairs' output because emitted
     // values are exact-verified and banding recall at min qualifying J is ~1-3e-12
     "q_minhash_pairs" -> exactJaccardSql(n = 5, threshold = 0.5),
+    "q_dedup_clusters" -> dedupClustersSql(n = 5, threshold = 0.5),
     "q_simhash_fingerprints" -> simhashSql(n = 5),
     "q_embed_dedup_lsh" -> embedLshSql(threshold = 0.2, dim = 64, planes = 16, bands = 4),
     "q_fingerprints" ->

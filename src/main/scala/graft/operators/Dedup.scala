@@ -177,6 +177,49 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over a near-duplicate pair graph: every id gets the
+    * minimum id reachable from it (`cluster_id`), via iterative min-label
+    * propagation. The canonical survivor of each cluster is the row whose
+    * `id == cluster_id` ([[nearDupSurvivors]]).
+    *
+    * Scale: this is the standard big-graph CC shape (cf. large-star/small-star
+    * — Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * each round is one edge-labels join + min aggregation, and rounds are
+    * bounded by component diameter, which for near-dup clusters is tiny.
+    * `localCheckpoint` truncates the iterative lineage (swap for a
+    * lake-backed checkpoint dir on a cluster).
+    */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
+      .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
+    var labels = ids.select(col("id"), col("id").as("cluster_id")).localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("d"), col("cluster_id").as("dl")), Seq("d"))
+        .groupBy(col("s").as("id")).agg(min(col("dl")).as("nl"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nl"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
+        .filter(col("cluster_id") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** One row per near-dup cluster: keep the minimum-id member of each
+    * connected component of the pair graph (plus every unpaired row).
+    */
+  def nearDupSurvivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(df.select(col(idCol).as("id")), pairs)
+    df.join(comps.filter(col("id") === col("cluster_id")).select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   /** Deterministic ±1 random hyperplanes for [[embeddingPairs]] — shared with
     * the DuckDB oracle generator so both engines bucket identically.
     */

@@ -68,6 +68,24 @@ class DedupSpec extends SparkSpec {
       .head.getInt(0) shouldBe 2 // 101 ^ 110 = 011
   }
 
+  test("connectedComponents labels transitive near-dup chains with the min id") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    // chain 1-2-3 (transitive: 1 and 3 not directly paired), island 4, pair 5-6
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comps = rows(Dedup.connectedComponents(ids, pairs).orderBy("id"))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comps shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L)
+  }
+
+  test("nearDupSurvivors keeps one representative per cluster plus unpaired rows") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id", shingleN = 2, k = 64,
+      bands = 32, threshold = 0.9)
+    val out = rows(Dedup.nearDupSurvivors(docs, "doc_id", pairs).select("doc_id").orderBy("doc_id"))
+      .map(_.getLong(0))
+    out shouldBe Seq(1L, 3L, 4L) // 2 is 1's exact dup; 3 is below 0.9 to 1
+  }
+
   test("embeddingPairs finds identical vectors in the same LSH bucket") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
