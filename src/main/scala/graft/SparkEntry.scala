@@ -285,6 +285,26 @@ object SparkEntry {
         TextAnalysis.contentHash(col("text")).as("content_hash")).orderBy("doc_id")),
 
     // --- dataset curation: splits / sampling / quality gate ----------------
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(documents(s, dir), "text", "doc_id", n = 3)
+        .orderBy("doc_id")),
+    // deterministic synthetic PII appended so the scrub has positives to hit
+    "q_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.scrubPii(
+        documents(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id").cast(StringType),
+            lit("@example.com at 10.0.0."), (col("doc_id") % 256).cast(StringType)).as("text")),
+        "text")
+        .select(col("doc_id"), col("scrubbed"), col("n_email"), col("n_ipv4"))
+        .orderBy("doc_id")),
+    // benchmark decontamination: every 10th doc plays the benchmark set
+    "q_decontaminate" -> ((s, dir) => {
+      val d = documents(s, dir)
+      Dedup.contamination(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", n = 8, minContainment = 0.5)
+        .orderBy("corpus_id", "bench_id")
+    }),
     "q_split_assign" -> ((s, dir) =>
       graft.operators.Sampling.withSplit(documents(s, dir).select("doc_id"), "doc_id")
         .orderBy("doc_id")),
@@ -726,6 +746,37 @@ object SparkEntry {
          |     ELSE 'it' END AS pred_lang
          | FROM s ORDER BY doc_id""".stripMargin.replace("\n", "")
     },
+    "q_repetition" -> {
+      val sl = s"""CASE WHEN len(ws) - 2 <= 0 THEN [array_to_string(ws, ' ')]
+                  | ELSE list_transform(range(0, len(ws) - 2), i -> array_to_string(list_slice(ws, i + 1, i + 3), ' ')) END""".stripMargin.replace("\n", "")
+      s"""WITH words AS (SELECT doc_id, $dedupWords AS ws FROM documents),
+         | s AS (SELECT doc_id, $sl AS sl FROM words)
+         | SELECT doc_id, CAST(len(sl) AS BIGINT) AS n_ngrams,
+         |  CAST(len(list_distinct(sl)) AS BIGINT) AS n_distinct_ngrams,
+         |  CASE WHEN len(sl) > 0 THEN 1.0 - CAST(len(list_distinct(sl)) AS DOUBLE) / CAST(len(sl) AS DOUBLE)
+         |   ELSE 0.0 END AS dup_ngram_ratio
+         | FROM s ORDER BY doc_id""".stripMargin.replace("\n", "")
+    },
+    "q_pii_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |   text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS text
+        |  FROM documents)
+        | SELECT doc_id,
+        |  regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4
+        | FROM t ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_decontaminate" ->
+      s"""WITH ${shingleCte(8)},
+         | c AS (SELECT doc_id AS corpus_id, s FROM sh WHERE doc_id % 10 <> 0),
+         | b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 10 = 0),
+         | bsz AS (SELECT bench_id, COUNT(*) AS bsz FROM b GROUP BY 1),
+         | j AS (SELECT corpus_id, bench_id, COUNT(*) AS it FROM c JOIN b USING (s) GROUP BY 1, 2)
+         | SELECT corpus_id, bench_id, CAST(it AS DOUBLE) / CAST(bsz AS DOUBLE) AS containment
+         | FROM j JOIN bsz USING (bench_id)
+         | WHERE CAST(it AS DOUBLE) / CAST(bsz AS DOUBLE) >= 0.5
+         | ORDER BY corpus_id, bench_id""".stripMargin.replace("\n", ""),
     "q_split_assign" ->
       s"""SELECT doc_id, CASE WHEN h % 1000 < 800 THEN 'train' WHEN h % 1000 < 900 THEN 'val'
          | ELSE 'test' END AS split

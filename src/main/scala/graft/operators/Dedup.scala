@@ -220,6 +220,33 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** Benchmark decontamination: for corpus documents, n-gram CONTAINMENT of
+    * each benchmark document — |S_corpus ∩ S_bench| / |S_bench| — via the
+    * same inverted-index join as [[ngramJaccardPairs]]. A corpus doc that
+    * contains most of a benchmark doc's n-grams is contaminated and must be
+    * dropped before training. Containment (not Jaccard) is the right measure:
+    * a long web page embedding a short benchmark item has low Jaccard but
+    * containment ≈ 1.
+    *
+    * Returns (corpus_id, bench_id, containment) for pairs ≥ `minContainment`.
+    * Scale: shuffles only posting keys; benchmark sets are typically small, so
+    * the bench-side postings broadcast.
+    */
+  def contamination(
+      corpus: DataFrame, benchmark: DataFrame, textCol: String, idCol: String,
+      n: Int = 8, minContainment: Double = 0.5): DataFrame = {
+    val cPosts = corpus.select(col(idCol).as("corpus_id"), shingleHashSet(col(textCol), n).as("arr"))
+      .select(col("corpus_id"), explode(col("arr")).as("sh"))
+    val bPosts = benchmark.select(col(idCol).as("bench_id"), shingleHashSet(col(textCol), n).as("arr"))
+      .select(col("bench_id"), size(col("arr")).as("bsz"), explode(col("arr")).as("sh"))
+    cPosts.join(bPosts, Seq("sh"))
+      .groupBy(col("corpus_id"), col("bench_id"), col("bsz"))
+      .agg(count(lit(1)).as("it"))
+      .withColumn("containment", col("it").cast(DoubleType) / col("bsz").cast(DoubleType))
+      .filter(col("containment") >= minContainment)
+      .select("corpus_id", "bench_id", "containment")
+  }
+
   /** Deterministic ±1 random hyperplanes for [[embeddingPairs]] — shared with
     * the DuckDB oracle generator so both engines bucket identically.
     */

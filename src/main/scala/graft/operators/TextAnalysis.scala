@@ -62,6 +62,45 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** Within-document repetition stats (RefinedWeb/Gopher-style repetition
+    * filters): total vs distinct word n-grams and their ratio. High
+    * `dup_ngram_ratio` marks boilerplate/templated documents. Narrow — two
+    * kernel passes per row, zero shuffle.
+    */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val total = size(graft.expressions.GraftFunctions.shingleHashes(toks, n, distinct = false))
+    val dist = size(graft.expressions.GraftFunctions.shingleHashes(toks, n, distinct = true))
+    df.select(col(idCol),
+        total.cast(LongType).as("n_ngrams"),
+        dist.cast(LongType).as("n_distinct_ngrams"))
+      .withColumn("dup_ngram_ratio",
+        when(col("n_ngrams") > 0,
+          lit(1.0) - col("n_distinct_ngrams").cast(DoubleType) / col("n_ngrams").cast(DoubleType))
+          .otherwise(lit(0.0)))
+  }
+
+  /** PII patterns kept to syntax with identical semantics in Java regex and
+    * RE2 (no lookarounds), so scrubbing is oracle-reproducible.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** PII scrubbing: replace email/IP patterns with placeholder tokens and
+    * count the redactions per document. Narrow regexp passes — at 100 TB this
+    * runs at scan speed; add patterns to [[piiPatterns]] to extend.
+    */
+  def scrubPii(df: DataFrame, textCol: String, outCol: String = "scrubbed"): DataFrame = {
+    val scrubbed = piiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast(LongType).as(s"n_$name")
+    }
+    df.select(df.columns.map(col).toIndexedSeq ++ Seq(scrubbed.as(outCol)) ++ counts: _*)
+  }
+
   /** Quality-filter decision (Gopher-rule shape): the feature columns of
     * [[qualityFeatures]] folded into a keep/drop verdict plus the FIRST
     * failing rule as `drop_reason` (null when kept) — the audit trail a
