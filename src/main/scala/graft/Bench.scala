@@ -23,7 +23,7 @@ object Bench {
     // Min of N timed passes per query: the host is a shared VM, so single-shot
     // timings carry neighbor noise; the minimum is the standard robust
     // estimator of a query's actual cost on such machines.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
       val best = (0 until passes).map { _ =>
         val t0 = System.nanoTime()
