@@ -285,6 +285,8 @@ object SparkEntry {
         TextAnalysis.contentHash(col("text")).as("content_hash")).orderBy("doc_id")),
 
     // --- dataset curation: splits / sampling / quality gate ----------------
+    "q_top_tokens" -> ((s, dir) =>
+      TextAnalysis.topTokens(documents(s, dir), "text", 50)),
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(documents(s, dir), "text", "doc_id", n = 3)
         .orderBy("doc_id")),
@@ -746,6 +748,10 @@ object SparkEntry {
          |     ELSE 'it' END AS pred_lang
          | FROM s ORDER BY doc_id""".stripMargin.replace("\n", "")
     },
+    "q_top_tokens" ->
+      s"""SELECT token, COUNT(*) AS n
+         | FROM (SELECT UNNEST($dedupWords) AS token FROM documents)
+         | GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin.replace("\n", ""),
     "q_repetition" -> {
       val sl = s"""CASE WHEN len(ws) - 2 <= 0 THEN [array_to_string(ws, ' ')]
                   | ELSE list_transform(range(0, len(ws) - 2), i -> array_to_string(list_slice(ws, i + 1, i + 3), ' ')) END""".stripMargin.replace("\n", "")

@@ -62,6 +62,16 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** Corpus vocabulary statistics: token frequencies ranked (count desc,
+    * token asc — deterministic). One explode + one partial-aggregable count;
+    * at 100 TB this is the canonical word-count shuffle, keyed on the token.
+    */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(Dedup.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
   /** Within-document repetition stats (RefinedWeb/Gopher-style repetition
     * filters): total vs distinct word n-grams and their ratio. High
     * `dup_ngram_ratio` marks boilerplate/templated documents. Narrow — two
