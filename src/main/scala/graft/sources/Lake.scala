@@ -71,6 +71,23 @@ final case class Lake(spark: SparkSession, root: String) {
     p
   }
 
+  /** Bucketed catalog table: pre-shuffles the data into `numBuckets` by
+    * `bucketCols` at write time (optionally sorted within buckets), so every
+    * later equi-join or aggregation on those keys is CO-LOCATED — Catalyst
+    * plans it with zero exchanges. This is the 100 TB answer to "the fact
+    * table is joined on the same key every day": pay the shuffle once at
+    * ingest, never again. Registered in the session catalog under
+    * `tableName`; read back with `spark.table(tableName)`.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCols: Seq[String],
+      numBuckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .option("path", new Path(layerDir("bronze"), s"bucketed_$tableName").toString)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(tableName)
+  }
+
   /** Catalog listing (reference storage.py:29-49): dataset names are parquet
     * stems under a layer dir.
     */
