@@ -127,6 +127,15 @@ object SparkEntry {
         .agg(Fns.exactSum(col("value")).as(out))
       Queries.pearson(daily("click", "x").join(daily("purchase", "y"), Seq("d")), "x", "y")
     }),
+    "q_rolling_corr" -> ((s, dir) => {
+      val e = events(s, dir)
+      def daily(t: String, out: String) = e.filter(col("event_type") === t)
+        .groupBy(date_trunc("DAY", col("ts")).as("d"))
+        .agg(Fns.exactSum(col("value")).as(out))
+      Queries.rollingPearson(
+        daily("click", "x").join(daily("purchase", "y"), Seq("d")), "d", "x", "y", n = 7)
+        .select("d", "x", "y", "r").orderBy("d")
+    }),
 
     // --- relational extensions ------------------------------------------
     "q_revenue_by_nation" -> ((s, dir) =>
@@ -580,6 +589,25 @@ object SparkEntry {
         |   FROM j)
         | SELECT (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r FROM s"""
         .stripMargin.replace("\n", ""),
+    "q_rolling_corr" ->
+      """WITH a AS (SELECT date_trunc('day', ts) AS d, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS x
+        |   FROM events WHERE event_type = 'click' GROUP BY 1),
+        | b AS (SELECT date_trunc('day', ts) AS d, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS y
+        |   FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        | j AS (SELECT CAST(a.d AS TIMESTAMP) AS d, x, y FROM a JOIN b USING (d)),
+        | s AS (SELECT d, x, y,
+        |   row_number() OVER o AS rn,
+        |   CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+        |   CAST(SUM(CAST(x AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sx,
+        |   CAST(SUM(CAST(y AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sy,
+        |   CAST(SUM(CAST(x * y AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sxy,
+        |   CAST(SUM(CAST(x * x AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sxx,
+        |   CAST(SUM(CAST(y * y AS DECIMAL(30,6))) OVER w AS DOUBLE) AS syy
+        |   FROM j WINDOW o AS (ORDER BY d),
+        |     w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        | SELECT d, x, y,
+        |   (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
+        | FROM s WHERE rn >= 7 ORDER BY d""".stripMargin.replace("\n", ""),
     "q_revenue_by_nation" ->
       """SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_items

@@ -94,6 +94,36 @@ object Queries {
              (col("n") * col("syy") - col("sy") * col("sy")))).as(outCol))
   }
 
+  /** Rolling Pearson correlation over an ordered (key, x, y) frame: the same
+    * exact-decimal power sums as [[pearson]], computed over a bounded ROWS
+    * window, so every rolling r is bit-identical to the oracle. Rows whose
+    * window is not yet full are dropped (degenerate variance ⇒ NaN noise).
+    *
+    * Scale: bounded frame (O(n) state per partition); with `partitionCols`
+    * empty this is a single ordered partition — correct for one global pair
+    * of series, use partition keys for per-entity rolling correlation.
+    */
+  def rollingPearson(
+      df: DataFrame, orderCol: String, xCol: String, yCol: String, n: Int,
+      partitionCols: Seq[String] = Seq.empty, outCol: String = "r"): DataFrame = {
+    val dec = DecimalType(30, 6)
+    val base = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w = base.rowsBetween(-(n - 1), Window.currentRow)
+    val x = col(xCol).cast(DoubleType)
+    val y = col(yCol).cast(DoubleType)
+    def es(c: Column) = sum(c.cast(dec)).over(w).cast(DoubleType)
+    df.withColumn("__rn", row_number().over(base))
+      .withColumn("__n", count(lit(1)).over(w).cast(DoubleType))
+      .withColumn("__sx", es(x)).withColumn("__sy", es(y))
+      .withColumn("__sxy", es(x * y)).withColumn("__sxx", es(x * x)).withColumn("__syy", es(y * y))
+      .filter(col("__rn") >= n)
+      .withColumn(outCol,
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+               (col("__n") * col("__syy") - col("__sy") * col("__sy"))))
+      .drop("__rn", "__n", "__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
+
   /** Align two series of a tall (timeKey, seriesKey, value) frame into
     * (timeKey, x, y) rows via an inner self-equi-join on the time key.
     * With a pre-aggregated per-key frame this is a 1:1 equi-join; Catalyst
