@@ -127,6 +127,13 @@ object SparkEntry {
         .agg(Fns.exactSum(col("value")).as(out))
       Queries.pearson(daily("click", "x").join(daily("purchase", "y"), Seq("d")), "x", "y")
     }),
+    "q_rolling_vol" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(date_trunc("DAY", col("ts")).as("d"))
+        .agg(Fns.exactSum(col("value")).as("x"))
+      Queries.rollingVolatility(daily, "d", "x", n = 7)
+        .select("d", "x", "vol").orderBy("d")
+    }),
     "q_rolling_corr" -> ((s, dir) => {
       val e = events(s, dir)
       def daily(t: String, out: String) = e.filter(col("event_type") === t)
@@ -589,6 +596,19 @@ object SparkEntry {
         |   FROM j)
         | SELECT (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r FROM s"""
         .stripMargin.replace("\n", ""),
+    "q_rolling_vol" ->
+      """WITH a AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS x
+        |   FROM events GROUP BY 1),
+        | s AS (SELECT d, x,
+        |   row_number() OVER o AS rn,
+        |   CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+        |   CAST(SUM(CAST(x AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sx,
+        |   CAST(SUM(CAST(x * x AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sxx
+        |   FROM a WINDOW o AS (ORDER BY d),
+        |     w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        | SELECT d, x, sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS vol
+        | FROM s WHERE rn >= 7 ORDER BY d""".stripMargin.replace("\n", ""),
     "q_rolling_corr" ->
       """WITH a AS (SELECT date_trunc('day', ts) AS d, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS x
         |   FROM events WHERE event_type = 'click' GROUP BY 1),

@@ -124,6 +124,29 @@ object Queries {
       .drop("__rn", "__n", "__sx", "__sy", "__sxy", "__sxx", "__syy")
   }
 
+  /** Rolling volatility: sample standard deviation over a bounded ROWS
+    * window, from exact decimal power sums (same oracle-parity rationale as
+    * [[rollingPearson]]): σ = sqrt((n·Σx² − (Σx)²) / (n·(n−1))). Rows with a
+    * not-yet-full window are dropped.
+    */
+  def rollingVolatility(
+      df: DataFrame, orderCol: String, valueCol: String, n: Int,
+      partitionCols: Seq[String] = Seq.empty, outCol: String = "vol"): DataFrame = {
+    val dec = DecimalType(30, 6)
+    val base = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w = base.rowsBetween(-(n - 1), Window.currentRow)
+    val x = col(valueCol).cast(DoubleType)
+    df.withColumn("__rn", row_number().over(base))
+      .withColumn("__n", count(lit(1)).over(w).cast(DoubleType))
+      .withColumn("__sx", sum(x.cast(dec)).over(w).cast(DoubleType))
+      .withColumn("__sxx", sum((x * x).cast(dec)).over(w).cast(DoubleType))
+      .filter(col("__rn") >= n)
+      .withColumn(outCol,
+        sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")) /
+          (col("__n") * (col("__n") - 1))))
+      .drop("__rn", "__n", "__sx", "__sxx")
+  }
+
   /** Align two series of a tall (timeKey, seriesKey, value) frame into
     * (timeKey, x, y) rows via an inner self-equi-join on the time key.
     * With a pre-aggregated per-key frame this is a 1:1 equi-join; Catalyst
