@@ -334,6 +334,35 @@ object SparkEntry {
       TextAnalysis.qualityFilter(documents(s, dir).select("doc_id", "text"), "text")
         .select(col("doc_id"), col("keep"), col("drop_reason")).orderBy("doc_id")),
 
+    // --- training-data assembly: packing / mixture / tf-idf ----------------
+    // distributed two-level prefix sum == the oracle's single global window
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.operators.Packing.packSequences(
+        documents(s, dir).select(col("doc_id"),
+          TextAnalysis.bpeTokens(col("text")).cast(LongType).as("n_tokens")),
+        "n_tokens", "doc_id", budget = 2048L, groupSize = 512L)
+        .select("doc_id", "n_tokens", "seq_start", "seq_id", "seq_offset")
+        .orderBy("doc_id")),
+    "q_tfidf_top_terms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(documents(s, dir), "text", "doc_id", k = 3)
+        .orderBy("doc_id", "rnk")),
+    "q_mixture_resample" -> ((s, dir) =>
+      graft.operators.Sampling.mixtureResample(
+        documents(s, dir).select("doc_id", "source"), "source", "doc_id", mixtureWeights)
+        .select("doc_id", "source", "n_copies", "copy_id")
+        .orderBy("doc_id", "copy_id")),
+    // frame-sample planning over decoded media metadata: which frames to keep
+    // (every 4th) before any pixel work — pure expressions over the decode
+    // contract's n_frames
+    "q_media_frames" -> ((s, dir) =>
+      Multimodal.decodeStub(
+        documents(s, dir).select(col("doc_id"), col("text").cast(BinaryType).as("payload")),
+        "payload", "doc_id")
+        .select(col("media_id"), col("n_frames").cast(LongType).as("n_frames"),
+          explode(Multimodal.frameSampleIndices(col("n_frames"), 4)).as("fi"))
+        .select(col("media_id"), col("n_frames"), col("fi").cast(LongType).as("frame_idx"))
+        .orderBy("media_id", "frame_idx")),
+
     // --- multimodal plumbing (north star) ---------------------------------
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.withBinaryMetadata(
@@ -488,6 +517,15 @@ object SparkEntry {
        | SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM votes ORDER BY doc_id""".stripMargin.replace("\n", "")
   }
 
+  /** Source-mixture weights for `q_mixture_resample` — one constant shared by
+    * the Spark query and the generated oracle CASE, like [[Dedup.hyperplanes]].
+    * Unlisted sources default to weight 1.0.
+    */
+  private val mixtureWeights: Seq[(String, Double)] = Seq(
+    "src0" -> 2.0, "src1" -> 2.0, "src2" -> 1.5,
+    "src3" -> 1.25, "src4" -> 1.25,
+    "src5" -> 0.5, "src6" -> 0.5, "src7" -> 0.25)
+
   /** DuckDB dual of [[graft.operators.Sampling.idHash]]: 60-bit value from the
     * first 15 md5 hex digits of the id's string form.
     */
@@ -501,13 +539,13 @@ object SparkEntry {
     * feature arithmetic. Verifies the mapPartitions decode CONTRACT (row
     * mapping, schema, determinism) even though the codec itself is a stub.
     */
-  private def mediaDecodeSql: String = {
+  /** Shared CTE chain (`b → byt → hh`) replaying the stub decoder's int32
+    * hashCode fold — used by both the full decode oracle and the
+    * frame-sampling oracle.
+    */
+  private def mediaDecodeCtes: String = {
     def wrap(x: String) = s"((($x) + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648"
-    val feats = (0 until 8).map { i =>
-      val w = wrap(s"h * 31 + $i")
-      s"CAST((CASE WHEN ($w) < 0 THEN ($w) + 2147483648 ELSE ($w) END) % 1024 AS DOUBLE) / 1024 AS feature_$i"
-    }.mkString(", ")
-    s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
+    s"""b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
        | byt AS (SELECT doc_id, n,
        |   list_transform(range(1, n + 1), i ->
        |     CAST((strpos('0123456789ABCDEF', substring(hx, 2*i - 1, 1)) - 1) * 16 +
@@ -516,7 +554,16 @@ object SparkEntry {
        | hh AS (SELECT doc_id, n, ub,
        |   list_reduce(list_prepend(CAST(1 AS BIGINT), list_transform(ub, x -> CASE WHEN x > 127 THEN x - 256 ELSE x END)),
        |     (a, bb) -> ${wrap("a * 31 + bb")}) AS h
-       |  FROM byt)
+       |  FROM byt)""".stripMargin.replace("\n", "")
+  }
+
+  private def mediaDecodeSql: String = {
+    def wrap(x: String) = s"((($x) + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648"
+    val feats = (0 until 8).map { i =>
+      val w = wrap(s"h * 31 + $i")
+      s"CAST((CASE WHEN ($w) < 0 THEN ($w) + 2147483648 ELSE ($w) END) % 1024 AS DOUBLE) / 1024 AS feature_$i"
+    }.mkString(", ")
+    s"""WITH $mediaDecodeCtes
        | SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_bytes,
        |  CASE WHEN n >= 3 AND ub[1] = 255 AND ub[2] = 216 THEN 'jpeg' ELSE 'unknown' END AS format,
        |  16 + abs(h % 1024) AS width,
@@ -857,6 +904,50 @@ object SparkEntry {
          |    WHEN mwl < 2.0 OR mwl > 12.0 THEN 'word_len_out_of_range'
          |    WHEN dr > 0.3 THEN 'too_many_digits' WHEN pr > 0.25 THEN 'too_much_punct' END AS drop_reason
          | FROM f ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |   CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{Nd}]+|[^\s\p{L}\p{Nd}]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | s AS (SELECT doc_id, n_tokens,
+        |   CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS seq_start
+        |  FROM t)
+        | SELECT doc_id, n_tokens, seq_start, seq_start // 2048 AS seq_id,
+        |  seq_start % 2048 AS seq_offset
+        | FROM s ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_tfidf_top_terms" ->
+      s"""WITH toks AS (SELECT doc_id, UNNEST($dedupWords) AS token FROM documents),
+         | tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         | dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         | nn AS (SELECT COUNT(*) AS n FROM documents),
+         | scored AS (SELECT doc_id, token, tf, df,
+         |   CAST(tf * n AS DOUBLE) / CAST(df AS DOUBLE) AS tfidf
+         |  FROM tf JOIN dfreq USING (token), nn),
+         | ranked AS (SELECT doc_id,
+         |   row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rnk,
+         |   token, tf, df, tfidf FROM scored)
+         | SELECT doc_id, rnk, token, tf, df, tfidf FROM ranked
+         | WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin.replace("\n", ""),
+    "q_mixture_resample" -> {
+      val cases = mixtureWeights.map { case (src, w) =>
+        s"WHEN '$src' THEN CAST($w AS DOUBLE)"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, source,
+         |   CASE source $cases ELSE CAST(1.0 AS DOUBLE) END AS w,
+         |   ${idHashSql("doc_id")} AS h
+         |  FROM documents),
+         | c AS (SELECT doc_id, source,
+         |   CAST(floor(w) AS BIGINT) +
+         |     CASE WHEN CAST(h AS DOUBLE) / 1152921504606846976 < w - floor(w) THEN 1 ELSE 0 END AS n_copies
+         |  FROM t)
+         | SELECT doc_id, source, n_copies, UNNEST(range(1, n_copies + 1)) AS copy_id
+         | FROM c WHERE n_copies >= 1 ORDER BY doc_id, copy_id""".stripMargin.replace("\n", "")
+    },
+    "q_media_frames" ->
+      s"""WITH $mediaDecodeCtes,
+         | f AS (SELECT doc_id AS media_id, CAST(1 + abs(h % 32) AS BIGINT) AS n_frames FROM hh)
+         | SELECT media_id, n_frames, UNNEST(range(0, n_frames, 4)) AS frame_idx
+         | FROM f ORDER BY media_id, frame_idx""".stripMargin.replace("\n", ""),
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS content_sha256,
         | 'unknown' AS format

@@ -59,6 +59,36 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, fraction: Double, buckets: Int = 1000): DataFrame =
     df.filter(hashBucket(col(idCol), buckets) < math.round(fraction * buckets))
 
+  /** Deterministic source-mixture resampling: each row is repeated
+    * `floor(w) + [u < frac(w)]` times, where `w` is its source's mixture
+    * weight and `u = idHash / 2^60` is the row's uniform deviate. Sources
+    * with w > 1 upsample (epoch repetition of high-quality data), w < 1
+    * subsample — the standard way a training mixture re-weights corpora
+    * (cf. temperature-weighted mixing in multilingual/LLM training).
+    *
+    * Deterministic: the copy count is a pure function of (id, source), so
+    * re-runs and resumed jobs regenerate the identical mixture. Narrow —
+    * one `explode(sequence)` per row, no shuffle at any scale; rows with
+    * zero copies vanish because `explode` drops empty arrays.
+    *
+    * `weights` is an ordered Seq (first match wins) of (source → weight).
+    */
+  def mixtureResample(df: DataFrame, sourceCol: String, idCol: String,
+      weights: Seq[(String, Double)], defaultWeight: Double = 1.0): DataFrame = {
+    val w = weights.foldRight(lit(defaultWeight): Column) { case ((src, wt), acc) =>
+      when(col(sourceCol) === src, lit(wt)).otherwise(acc)
+    }
+    // 2^60 is a power of two: the long→double conversion and division are
+    // both exact, so `u` is bit-identical in any IEEE engine.
+    val u = idHash(col(idCol)).cast(DoubleType) / lit(1152921504606846976.0)
+    val copies = floor(w).cast(LongType) +
+      when(u < (w - floor(w)), lit(1L)).otherwise(lit(0L))
+    df.withColumn("n_copies", copies)
+      .withColumn("copy_id", explode(
+        when(col("n_copies") >= 1, sequence(lit(1L), col("n_copies")))
+          .otherwise(array().cast(ArrayType(LongType)))))
+  }
+
   /** Exact per-stratum quota sample: the `ceil(fraction · |stratum|)` rows
     * with the smallest id hashes in each stratum. One shuffle on the strata
     * keys (same partitioning a downstream per-stratum aggregation would

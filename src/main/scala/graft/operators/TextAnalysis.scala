@@ -72,6 +72,40 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** TF-IDF top terms per document: term frequency within the doc, document
+    * frequency across the corpus, `tfidf = tf · N / df` (kept as one exact
+    * integer product and one IEEE division so both engines produce the same
+    * double bit for bit — a log-idf would hinge on libm rounding), and the
+    * top-`k` terms per doc by (tfidf desc, token asc).
+    *
+    * Scale (100 TB): `tf` is the canonical word-count shuffle keyed on
+    * (doc, token) with map-side partial aggregation; `df` re-aggregates the
+    * already-distinct (doc, token) pairs, so it never re-touches raw text.
+    * The vocabulary join is Zipf-small after any min-df pruning — AQE
+    * broadcasts it; the final per-doc top-k is a bounded window on the doc
+    * key.
+    *
+    * @param corpusN corpus size for the idf numerator; defaults to a count of
+    *                `df` (one cheap metadata-backed job). Pass it explicitly
+    *                when the caller already knows it.
+    */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String, k: Int,
+      corpusN: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = corpusN.getOrElse(df.count())
+    val tf = df.select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(dfreq, Seq("token"))
+      .withColumn("tfidf",
+        (col("tf") * lit(n)).cast(DoubleType) / col("df").cast(DoubleType))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk").cast(LongType).as("rnk"),
+        col("token"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Within-document repetition stats (RefinedWeb/Gopher-style repetition
     * filters): total vs distinct word n-grams and their ratio. High
     * `dup_ngram_ratio` marks boilerplate/templated documents. Narrow — two

@@ -69,6 +69,102 @@ object Streaming {
       delay: String = "1 hour"): DataFrame =
     ticks.withWatermark(timeCol, delay).dropDuplicatesWithinWatermark(keyCols)
 
+  /** One in-flight session per user in [[sessionizeStream]]'s state store:
+    * timestamps in epoch micros.
+    */
+  case class OpenSession(start: Long, last: Long, n: Long, sum: Double)
+
+  /** Closed-session record emitted by [[sessionizeStream]] — same shape as the
+    * batch [[graft.operators.Sessionize.sessions]] summary.
+    */
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, session_value: Double)
+
+  /** Typed event consumed by [[sessionizeStream]] (public: Catalyst's
+    * generated deserializer must be able to construct it).
+    */
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Streaming sessionization with CUSTOM state — the one streaming operator
+    * whose semantics (emit a session only once it can no longer grow) the
+    * built-in aggregations cannot express directly, so it uses
+    * `flatMapGroupsWithState` with an event-time timeout:
+    *
+    *  - events group by user; per group the state holds the single open
+    *    session (start/last/n/sum);
+    *  - an event within `gap` of the open session extends it; a later event
+    *    closes it (emitting the summary) and opens a new one;
+    *  - when the WATERMARK passes `last + gap` the state times out and the
+    *    final session is emitted — exactly-once session closure on an
+    *    unbounded stream.
+    *
+    * Scale: state is one fixed-size record per active user (not per event),
+    * bounded by the watermark — idle users' state is reclaimed by the
+    * timeout. This is the `KeyValueGroupedDataset.flatMapGroupsWithState`
+    * pattern from the Spark docs, checked for batch parity against
+    * [[graft.operators.Sessionize]] in StreamingSpec.
+    */
+  def sessionizeStream(
+      events: DataFrame, userCol: String, timeCol: String, valueCol: String,
+      gap: String = "1 hour", watermark: String = "1 hour"): org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.catalyst.util.IntervalUtils
+    import org.apache.spark.unsafe.types.UTF8String
+    val gapMicros = IntervalUtils.getDuration(
+      IntervalUtils.stringToInterval(UTF8String.fromString(gap)),
+      java.util.concurrent.TimeUnit.MICROSECONDS)
+    val typed = events.select(
+        col(userCol).cast("long").as("user_id"),
+        col(timeCol).cast("timestamp").as("ts"),
+        col(valueCol).cast("double").as("value"))
+      .withWatermark("ts", watermark)
+      .as[SessionEvent]
+    def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    def stamp(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000L)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
+    def close(user: Long, s: OpenSession): SessionOut =
+      SessionOut(user, stamp(s.start), stamp(s.last), s.n, s.sum)
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+        (user, batch, state: org.apache.spark.sql.streaming.GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(user, s))
+          } else {
+            // within a micro-batch arrival order is not time order — sort;
+            // across batches the watermark guarantees no late re-opens
+            val sorted = batch.toSeq.sortBy(e => micros(e.ts))
+            val out = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              cur match {
+                case Some(s) if t - s.last <= gapMicros =>
+                  cur = Some(OpenSession(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  out += close(user, s)
+                  cur = Some(OpenSession(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout fires once the watermark passes the session's close
+              // horizon; clamp above the current watermark (required by the API)
+              state.setTimeoutTimestamp(
+                math.max((s.last + gapMicros) / 1000L, state.getCurrentWatermarkMs + 1L))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Bronze-landing sink (reference helpers.py:31-46 contract): every
     * micro-batch appends to the lake path. `AvailableNow` processes the
     * current backlog then stops — deterministic for tests, incremental in

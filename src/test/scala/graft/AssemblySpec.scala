@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Packing, Sampling, TextAnalysis}
+
+/** Training-data assembly operators: sequence packing, TF-IDF scoring,
+  * mixture resampling.
+  */
+class AssemblySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences equals a single global prefix sum at any groupSize") {
+    val df = (0L until 100L).map(i => (i * 7 % 101, 1L + (i * 13 % 50)))
+      .toDF("doc_id", "n_tokens")
+    val naive = df.withColumn("seq_start",
+      coalesce(sum("n_tokens").over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("seq_id", expr("seq_start div 64"))
+      .withColumn("seq_offset", col("seq_start") % 64)
+      .select("doc_id", "seq_start", "seq_id", "seq_offset")
+      .orderBy("doc_id").collect().toSeq
+    for (g <- Seq(1L, 3L, 17L, 1000L)) {
+      val packed = Packing.packSequences(df, "n_tokens", "doc_id", budget = 64L, groupSize = g)
+        .select("doc_id", "seq_start", "seq_id", "seq_offset")
+        .orderBy("doc_id").collect().toSeq
+      packed shouldBe naive
+    }
+  }
+
+  test("packSequences coordinates: first doc at origin, chunks advance by budget") {
+    val df = Seq((1L, 10L), (2L, 10L), (3L, 10L)).toDF("doc_id", "n_tokens")
+    val out = Packing.packSequences(df, "n_tokens", "doc_id", budget = 16L)
+      .orderBy("doc_id")
+      .select("seq_start", "seq_id", "seq_offset").collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // starts 0, 10, 20 → sequences 0, 0, 1; offsets 0, 10, 4
+    out shouldBe Seq((0L, 0L, 0L), (10L, 0L, 10L), (20L, 1L, 4L))
+  }
+
+  test("tfidfTopTerms: rare terms outscore common ones; rank is deterministic") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry"),
+      (3L, "apple banana date")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", k = 2)
+      .orderBy("doc_id", "rnk").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    // doc 1: apple tf=2 df=3 → 2·3/3=2.0 ; banana tf=1 df=2 → 1.5
+    out.take(2) shouldBe Seq((1L, 1L, "apple", 2L, 3L), (1L, 2L, "banana", 1L, 2L))
+    // doc 2: cherry (df=1, tfidf=3.0) beats apple (df=3, tfidf=1.0)
+    out.slice(2, 4).map(_._3) shouldBe Seq("cherry", "apple")
+    // doc 3: date (3.0) then banana (1.5); apple (1.0) dropped by k=2
+    out.slice(4, 6).map(_._3) shouldBe Seq("date", "banana")
+  }
+
+  test("mixtureResample: integer weights repeat exactly, zero drops, deterministic") {
+    val df = (1L to 20L).map(i => (i, if (i <= 10) "hi" else "lo")).toDF("doc_id", "source")
+    val out = Sampling.mixtureResample(df, "source", "doc_id",
+      Seq("hi" -> 3.0, "lo" -> 0.0))
+    val byDoc = out.groupBy("doc_id").agg(count(lit(1)).as("n"), max("copy_id").as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    byDoc.foreach { case (id, n, mx) =>
+      withClue(s"doc $id: ") { n shouldBe 3L; mx shouldBe 3L }
+    }
+    byDoc.map(_._1).toSet shouldBe (1L to 10L).toSet // all "lo" rows dropped
+    // deterministic under re-evaluation
+    val again = Sampling.mixtureResample(df, "source", "doc_id",
+      Seq("hi" -> 3.0, "lo" -> 0.0)).orderBy("doc_id", "copy_id").collect().toSeq
+    out.orderBy("doc_id", "copy_id").collect().toSeq shouldBe again
+  }
+
+  test("mixtureResample fractional weights hit the expected rate on average") {
+    val df = (1L to 2000L).map(i => (i, "s")).toDF("doc_id", "source")
+    val n = Sampling.mixtureResample(df, "source", "doc_id", Seq("s" -> 1.5)).count()
+    // E[copies] = 1.5 per row; the md5 deviate is uniform so the count
+    // concentrates tightly around 3000
+    n.toDouble shouldBe 3000.0 +- 150.0
+  }
+}

@@ -84,6 +84,45 @@ class StreamingSpec extends SparkSpec {
     aapl1.getAs[Long]("volume") shouldBe 250L
   }
 
+  test("sessionizeStream (flatMapGroupsWithState) matches batch sessionization") {
+    import graft.operators.Sessionize
+    val events = Seq(
+      (1L, "2024-01-01 09:00:00", 2.0),
+      (1L, "2024-01-01 09:30:00", 3.0), // same session (gap 1h)
+      (1L, "2024-01-01 11:00:00", 5.0), // new session (90 min idle)
+      (2L, "2024-01-01 09:15:00", 7.0)
+    ).toDF("user_id", "ts", "value").withColumn("ts", col("ts").cast("timestamp"))
+    val dir = java.nio.file.Files.createTempDirectory("sess").toString
+    events.coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1200) // distinct mtime: the sentinel file must form a LATER batch
+    // sentinel event for an unrelated key, far in the future: advances the
+    // watermark past every real session's close horizon so the event-time
+    // timeouts fire and the open sessions are emitted
+    Seq((99L, "2024-01-03 00:00:00", 0.0)).toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = Streaming.runToMemory(spark,
+      Streaming.sessionizeStream(stream, "user_id", "ts", "value",
+        gap = "1 hour", watermark = "1 second").toDF(),
+      "stream_sessions", org.apache.spark.sql.streaming.OutputMode.Append())
+      .filter(col("user_id") < 99) // sentinel's own session never closes
+      .orderBy("user_id", "session_start")
+
+    val batch = Sessionize.sessions(events, Seq("user_id"), "ts", "INTERVAL 1 HOUR",
+      valueCol = Some("value"))
+      .select("user_id", "session_start", "session_end", "n_events", "session_value")
+      .orderBy("user_id", "session_start")
+
+    val s = rows(out.select("user_id", "session_start", "session_end", "n_events", "session_value"))
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+    val b = rows(batch).map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+    s shouldBe b
+    s.size shouldBe 3
+  }
+
   test("toLake lands candle batches as parquet under the lake contract") {
     val dir = java.nio.file.Files.createTempDirectory("ticks3").toString
     val out = java.nio.file.Files.createTempDirectory("gold").toString + "/candles"
