@@ -351,6 +351,29 @@ object SparkEntry {
         documents(s, dir).select("doc_id", "source"), "source", "doc_id", mixtureWeights)
         .select("doc_id", "source", "n_copies", "copy_id")
         .orderBy("doc_id", "copy_id")),
+    // per-label embedding centroids (mean pooling, exact decimal sums)
+    "q_embed_centroids" -> ((s, dir) =>
+      Similarity.meanPooledCentroids(embeddings(s, dir), "embedding", "label")
+        .orderBy("label", "dim")),
+    // day-2 ingest: batch-dedup then anti-join the landed corpus' hash index
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = documents(s, dir)
+      Dedup.incremental(d.filter(col("doc_id") % 3 =!= 0),
+        Dedup.contentIndex(d.filter(col("doc_id") % 3 === 0), "text"),
+        "text", "doc_id").orderBy("doc_id")
+    }),
+    // salted two-stage aggregation == direct groupBy (exact decimal partials)
+    "q_salted_agg" -> ((s, dir) =>
+      Transforms.saltedSum(lineitem(s, dir), Seq("l_returnflag"), "l_quantity", "sum_qty")
+        .orderBy("l_returnflag")),
+    "q_corpus_stats" -> ((s, dir) =>
+      documents(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"),
+          percentile(col("n_chars"), lit(0.5)).as("median_chars"),
+          sum("n_chars").as("total_chars"))
+        .orderBy("lang")),
     // frame-sample planning over decoded media metadata: which frames to keep
     // (every 4th) before any pixel work — pure expressions over the decode
     // contract's n_frames
@@ -943,6 +966,27 @@ object SparkEntry {
          | SELECT doc_id, source, n_copies, UNNEST(range(1, n_copies + 1)) AS copy_id
          | FROM c WHERE n_copies >= 1 ORDER BY doc_id, copy_id""".stripMargin.replace("\n", "")
     },
+    "q_embed_centroids" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | x AS (SELECT label, unnest(range(1, len(v) + 1)) AS i, v FROM e)
+        | SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+        |  CAST(SUM(CAST(v[i] AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS centroid
+        | FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", ""),
+    "q_dedup_incremental" ->
+      """WITH newd AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+        | batch AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM newd d
+        |   JOIN (SELECT min(doc_id) AS doc_id FROM newd GROUP BY text) k USING (doc_id))
+        | SELECT doc_id, text, lang, source, n_chars FROM batch
+        | WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 3 = 0)
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_salted_agg" ->
+      """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n_rows
+        | FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", ""),
+    "q_corpus_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        | quantile_cont(n_chars, 0.5) AS median_chars, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        | FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", ""),
     "q_media_frames" ->
       s"""WITH $mediaDecodeCtes,
          | f AS (SELECT doc_id AS media_id, CAST(1 + abs(h % 32) AS BIGINT) AS n_frames FROM hh)

@@ -63,6 +63,28 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Content-hash index of a landed corpus: the distinct 8-byte keys an
+    * incremental ingest deduplicates against. At 100 TB this is the compact
+    * artifact you persist (bucketed by hash) instead of re-scanning history.
+    */
+  def contentIndex(df: DataFrame, textCol: String): DataFrame =
+    df.select(xxhash64(col(textCol)).as("h")).distinct()
+
+  /** Day-2 incremental dedup: from a new batch, keep one representative per
+    * distinct content WITHIN the batch ([[exact]]), then drop anything whose
+    * content already exists in the landed corpus' [[contentIndex]] via a
+    * left-anti join on the 8-byte hash — the shuffle carries hashes, never
+    * text. With the index bucketed on `h` the anti-join is co-located and
+    * shuffle-free; new batches are small relative to history, so at scale the
+    * BATCH side broadcasts into the index scan.
+    */
+  def incremental(newDocs: DataFrame, seenIndex: DataFrame,
+      textCol: String, idCol: String): DataFrame =
+    exact(newDocs, textCol, idCol)
+      .withColumn("__h", xxhash64(col(textCol)))
+      .join(seenIndex.select(col("h").as("__h")), Seq("__h"), "left_anti")
+      .drop("__h")
+
   /** MinHash signature column: lane i = min over shingles of
     * `xxhash64(shingle)·A(i)+B(i)` (2-universal mixer — one multiply-add per
     * lane instead of a per-lane xxhash64 re-mix). Narrow; no shuffle.

@@ -46,6 +46,24 @@ object Similarity {
       when(dot(v, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Per-group mean-pooled embedding centroids (class prototypes / label
+    * centroids): `posexplode` the vector to (group, dim, x) and average per
+    * cell with fixed-point-decimal sums — summation-order-independent, so the
+    * result is exact and reproducible regardless of partitioning (a plain
+    * double sum would drift with shuffle order).
+    *
+    * Output is long format (group, dim, centroid) — the shape a downstream
+    * prototype-classifier join wants, and partial-aggregable: the (group, dim)
+    * shuffle carries one accumulator per cell, uniform by construction (every
+    * vector contributes to every dim exactly once — no skew at any corpus
+    * size). This is the same shuffle shape [[trainCentroids]] uses for IVF.
+    */
+  def meanPooledCentroids(df: DataFrame, vecCol: String, keyCol: String): DataFrame =
+    df.select(col(keyCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(keyCol), col("dim"))
+      .agg(graft.functions.Fns.exactAvg(col("x").cast(DoubleType)).as("centroid"))
+      .withColumn("dim", col("dim").cast(LongType))
+
   /** Exact brute-force cosine top-k: for every query vector, the k most similar
     * corpus vectors (excluding itself when ids collide).
     *

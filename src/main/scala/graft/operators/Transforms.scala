@@ -139,6 +139,32 @@ object Transforms {
     withTs.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Skew-safe two-stage ("salted") aggregation for algebraic aggregates:
+    * rows first combine under (keys, salt) — at most `buckets` partial cells
+    * per hot key, spread across reducers — then the partials combine under
+    * the keys alone. Because the partials are fixed-point decimals, the
+    * two-stage result is bit-identical to a direct groupBy at ANY bucket
+    * count (double partials would make the answer depend on the salting).
+    *
+    * Map-side combine already absorbs mild skew; salting is for the
+    * pathological key whose single reducer cell would otherwise hold a
+    * corpus-scale fraction of all rows (AQE's skew handling splits join
+    * partitions, not aggregation cells — this is the aggregation-side
+    * equivalent). Emits the sum and the row count per key.
+    */
+  def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      outCol: String, buckets: Int = 32): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val salt = pmod(xxhash64(col(valueCol)), lit(buckets.toLong))
+    df.withColumn("__salt", salt)
+      .groupBy((keyCols :+ "__salt").map(col): _*)
+      .agg(sum(col(valueCol).cast(DecimalType(30, 6))).as("__part"),
+        count(lit(1)).as("__n"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__part")).cast(DoubleType).as(outCol),
+        sum(col("__n")).as("n_rows"))
+  }
+
   /** Full transform dispatch (reference transformers.py:145-186): the 3-way
     * branch on `transformation_type` that constitutes the reference's planner.
     */

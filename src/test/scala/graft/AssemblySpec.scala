@@ -70,6 +70,46 @@ class AssemblySpec extends SparkSpec {
     out.orderBy("doc_id", "copy_id").collect().toSeq shouldBe again
   }
 
+  test("saltedSum is bit-identical to a direct groupBy at any bucket count") {
+    import graft.operators.Transforms
+    val df = (1 to 500).map(i => (if (i % 7 == 0) "hot" else s"k${i % 3}", i * 0.37))
+      .toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(sum(col("v").cast("decimal(30,6)")).cast("double").as("s"), count(lit(1)).as("n"))
+      .orderBy("k").collect().toSeq.map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    for (b <- Seq(1, 4, 64)) {
+      val salted = Transforms.saltedSum(df, Seq("k"), "v", "s", buckets = b)
+        .orderBy("k").collect().toSeq.map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      withClue(s"buckets=$b: ") { salted shouldBe direct }
+    }
+  }
+
+  test("meanPooledCentroids averages per (key, dim) exactly") {
+    import graft.operators.Similarity
+    val df = Seq(
+      (0, Array(1.0f, 2.0f)),
+      (0, Array(3.0f, 6.0f)),
+      (1, Array(10.0f, 20.0f))).toDF("label", "embedding")
+    val out = Similarity.meanPooledCentroids(df, "embedding", "label")
+      .orderBy("label", "dim").collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    out shouldBe Seq((0, 0L, 2.0), (0, 1L, 4.0), (1, 0L, 10.0), (1, 1L, 20.0))
+  }
+
+  test("incremental dedup drops within-batch dups and already-landed content") {
+    import graft.operators.Dedup
+    val landed = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha"),  // already landed → dropped
+      (11L, "gamma"),  // new
+      (12L, "gamma"),  // within-batch dup → dropped (11 kept)
+      (13L, "delta")   // new
+    ).toDF("doc_id", "text")
+    val out = Dedup.incremental(batch, Dedup.contentIndex(landed, "text"), "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+    out shouldBe Seq((11L, "gamma"), (13L, "delta"))
+  }
+
   test("mixtureResample fractional weights hit the expected rate on average") {
     val df = (1L to 2000L).map(i => (i, "s")).toDF("doc_id", "source")
     val n = Sampling.mixtureResample(df, "source", "doc_id", Seq("s" -> 1.5)).count()
