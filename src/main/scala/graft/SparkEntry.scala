@@ -144,6 +144,25 @@ object SparkEntry {
         .select("d", "x", "y", "r").orderBy("d")
     }),
 
+    "q_returns" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("d"))
+        .agg(Fns.exactSum(col("value")).as("x"))
+      Queries.returns(daily, "x", Seq("event_type"), Seq("d"))
+        .select("event_type", "d", "x", "ret").orderBy("event_type", "d")
+    }),
+    "q_drawdown" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("d"))
+        .agg(Fns.exactSum(col("value")).as("x"))
+      Queries.drawdown(daily, "x", Seq("event_type"), Seq("d"))
+        .select("event_type", "d", "x", "peak", "drawdown").orderBy("event_type", "d")
+    }),
+    "q_vwap" -> ((s, dir) =>
+      Queries.vwap(lineitem(s, dir), "l_extendedprice", "l_quantity",
+        date_trunc("MONTH", col("l_shipdate")), Seq("l_returnflag"))
+        .orderBy("bucket", "l_returnflag")),
+
     // --- relational extensions ------------------------------------------
     "q_revenue_by_nation" -> ((s, dir) =>
       lineitem(s, dir)
@@ -698,6 +717,25 @@ object SparkEntry {
         | SELECT d, x, y,
         |   (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
         | FROM s WHERE rn >= 7 ORDER BY d""".stripMargin.replace("\n", ""),
+    "q_returns" ->
+      """WITH a AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS x FROM events GROUP BY 1, 2)
+        | SELECT event_type, d, x, (x - lag(x) OVER w) / lag(x) OVER w AS ret
+        | FROM a WINDOW w AS (PARTITION BY event_type ORDER BY d)
+        | ORDER BY event_type, d""".stripMargin.replace("\n", ""),
+    "q_drawdown" ->
+      """WITH a AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS x FROM events GROUP BY 1, 2),
+        | p AS (SELECT event_type, d, x,
+        |   MAX(x) OVER (PARTITION BY event_type ORDER BY d
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak FROM a)
+        | SELECT event_type, d, x, peak, (x - peak) / peak AS drawdown
+        | FROM p ORDER BY event_type, d""".stripMargin.replace("\n", ""),
+    "q_vwap" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS bucket, l_returnflag,
+        | CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE) /
+        |   CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS vwap
+        | FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", ""),
     "q_revenue_by_nation" ->
       """SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_items

@@ -35,6 +35,42 @@ object Queries {
     keyed.orderBy((timeCol +: tieBreak).map(col): _*)
   }
 
+  /** Simple (arithmetic) period returns: `(x - prev) / prev` per key in time
+    * order — the standard financial pct-change series. One `lag` under the
+    * same key-shuffle every other per-symbol window shares; null for the
+    * first row of each key (no prior observation). All-IEEE arithmetic
+    * (one subtract, one divide) — deterministic and oracle-identical.
+    */
+  def returns(df: DataFrame, valueCol: String, partitionCols: Seq[String],
+      orderCols: Seq[String], outCol: String = "ret"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    val prev = lag(col(valueCol), 1).over(w)
+    df.withColumn(outCol, (col(valueCol) - prev) / prev)
+  }
+
+  /** Running peak and drawdown — `peak = max so far`, `dd = (x - peak)/peak`
+    * (≤ 0; the classic underwater curve). The running max is a bounded-state
+    * ordered frame on the same key shuffle as [[returns]].
+    */
+  def drawdown(df: DataFrame, valueCol: String, partitionCols: Seq[String],
+      orderCols: Seq[String], outCol: String = "drawdown"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peak = max(col(valueCol)).over(w)
+    df.withColumn("peak", peak)
+      .withColumn(outCol, (col(valueCol) - col("peak")) / col("peak"))
+  }
+
+  /** Volume-weighted average price per (bucket, keys):
+    * `sum(price·volume) / sum(volume)` with fixed-point-decimal sums so the
+    * ratio is summation-order-independent — one partial-aggregable groupBy.
+    */
+  def vwap(df: DataFrame, priceCol: String, volCol: String,
+      bucket: Column, keyCols: Seq[String] = Seq.empty): DataFrame =
+    df.groupBy(bucket.as("bucket") +: keyCols.map(col): _*)
+      .agg((sum((col(priceCol) * col(volCol)).cast(DecimalType(30, 6))).cast(DoubleType)
+        / sum(col(volCol).cast(DecimalType(30, 6))).cast(DoubleType)).as("vwap"))
+
   /** `moving_average` query: trailing n-row mean per partition key.
     *
     * Exact-arithmetic variant: the windowed sum runs in fixed-point decimal so

@@ -54,6 +54,36 @@ class QueriesSpec extends SparkSpec {
     out shouldBe Seq(3L, 4L) // tie on date broken by id desc
   }
 
+  test("returns: pct change per key, null on each key's first row") {
+    val df = Seq(("a", 1, 100.0), ("a", 2, 110.0), ("a", 3, 99.0), ("b", 1, 50.0))
+      .toDF("k", "t", "x")
+    val out = rows(Queries.returns(df, "x", Seq("k"), Seq("t")).orderBy("k", "t")
+      .select("ret")).map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    out(0) shouldBe None
+    out(1).get shouldBe 0.1 +- 1e-12
+    out(2).get shouldBe (99.0 - 110.0) / 110.0 +- 1e-12
+    out(3) shouldBe None // first row of key b
+  }
+
+  test("drawdown: underwater curve off the running peak") {
+    val df = Seq((1, 100.0), (2, 120.0), (3, 90.0), (4, 130.0), (5, 65.0))
+      .toDF("t", "x")
+    val out = rows(Queries.drawdown(df, "x", Seq.empty, Seq("t")).orderBy("t")
+      .select("peak", "drawdown")).map(r => (r.getDouble(0), r.getDouble(1)))
+    out.map(_._1) shouldBe Seq(100.0, 120.0, 120.0, 130.0, 130.0)
+    out(2)._2 shouldBe (90.0 - 120.0) / 120.0 +- 1e-12
+    out(4)._2 shouldBe (65.0 - 130.0) / 130.0 +- 1e-12
+    out(1)._2 shouldBe 0.0
+  }
+
+  test("vwap weights prices by volume within the bucket") {
+    val df = Seq(("m1", 10.0, 1.0), ("m1", 20.0, 3.0), ("m2", 5.0, 2.0))
+      .toDF("b", "p", "v")
+    val out = rows(Queries.vwap(df, "p", "v", col("b")).orderBy("bucket"))
+      .map(r => (r.getString(0), r.getDouble(1)))
+    out shouldBe Seq(("m1", (10.0 * 1 + 20.0 * 3) / 4.0), ("m2", 5.0))
+  }
+
   test("unionAll tolerates missing columns (unionByName allowMissing)") {
     val a = Seq((1L, "x")).toDF("id", "a_only")
     val b = Seq((2L, 5.0)).toDF("id", "b_only")
