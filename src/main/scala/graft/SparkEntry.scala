@@ -456,6 +456,34 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }),
 
+    // custom-state streaming sessionization under the hard gate: with
+    // AvailableNow + a 0s watermark delay, the event-time timeout fires for
+    // exactly the sessions whose close horizon (end + gap) the final
+    // watermark (= max event time) strictly passed — so the emitted set is
+    // the batch session list minus still-open horizons, which the oracle
+    // states declaratively
+    "q_stream_sessions" -> ((s, dir) => {
+      tune(s)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val raw = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val stream =
+          if (rawSchema("ts").dataType == LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        graft.streaming.Streaming.runToMemory(s,
+          graft.streaming.Streaming.sessionizeStream(stream, "user_id", "ts", "value",
+            gap = "1 hour", watermark = "0 seconds").toDF(),
+          "stream_sessions_q", org.apache.spark.sql.streaming.OutputMode.Append())
+          .select(col("user_id"), col("session_start"), col("session_end"),
+            col("n_events"), col("session_value"))
+          .orderBy("user_id", "session_start")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }),
+
     // --- sources (SURVEY §2.1; rows-only — fixture inputs, not sfDir tables)
     "q_csv_stock_autodetect" -> ((s, _) =>
       CsvAutoLoader.loadStockCsv(s, "/root/repo/fixtures/stock_canonical.csv").get
@@ -1035,6 +1063,29 @@ object SparkEntry {
         | 'unknown' AS format
         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "q_media_decode" -> mediaDecodeSql,
+    // Emitted set = batch sessions whose close horizon (end + gap) the final
+    // watermark strictly passed, at the engine's MILLISECOND watermark
+    // precision (epoch_ms floors the µs component exactly like Spark's
+    // event-time stats); session_value replays the stream's ts-ordered
+    // sequential double accumulation via list_reduce.
+    "q_stream_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        | flagged AS (SELECT user_id, ts, value,
+        |   CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL 1 HOUR
+        |     THEN 1 ELSE 0 END AS is_new
+        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        | numbered AS (SELECT user_id, ts, value,
+        |   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |   FROM flagged),
+        | sess AS (SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |   COUNT(*) AS n_events,
+        |   list_reduce(list(value ORDER BY ts, value), (a, b) -> a + b) AS session_value
+        |   FROM numbered GROUP BY user_id, session_id)
+        | SELECT user_id, session_start, session_end, n_events, session_value
+        | FROM sess
+        | WHERE epoch_ms(session_end + INTERVAL 1 HOUR) < epoch_ms((SELECT max(CAST(ts AS TIMESTAMP)) FROM events))
+        | ORDER BY user_id, session_start""".stripMargin.replace("\n", ""),
     "q_stream_candles" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts, event_type,
         | arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,

@@ -137,8 +137,10 @@ object Streaming {
             Iterator.single(close(user, s))
           } else {
             // within a micro-batch arrival order is not time order — sort;
-            // across batches the watermark guarantees no late re-opens
-            val sorted = batch.toSeq.sortBy(e => micros(e.ts))
+            // across batches the watermark guarantees no late re-opens.
+            // (ts, value) key: simultaneous events fold into the running sum
+            // in a deterministic order, so session_value is reproducible
+            val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.value))
             val out = Seq.newBuilder[SessionOut]
             var cur = state.getOption
             sorted.foreach { e =>
