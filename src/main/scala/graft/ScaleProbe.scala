@@ -67,6 +67,26 @@ object ScaleProbe {
     time("ann_brute_topk") {
       Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 10), "embedding", "vec_id", 10).count()
     }
+    time("pack_sequences") {
+      graft.operators.Packing.packSequences(
+        docs.select(col("doc_id"),
+          graft.operators.TextAnalysis.bpeTokens(col("text")).cast("long").as("n_tokens")),
+        "n_tokens", "doc_id", budget = 2048L, groupSize = 4096L).count()
+    }
+    time("tfidf_top_terms") {
+      graft.operators.TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", k = 3,
+        corpusN = Some(n * k)).count()
+    }
+    time("embed_centroids") {
+      // re-keyed label: vec_id % 16 keeps 16 groups at any replication
+      Similarity.meanPooledCentroids(
+        embs.withColumn("label", col("vec_id") % 16), "embedding", "label").count()
+    }
+    time("incremental_dedup") {
+      Dedup.incremental(docs.filter(col("doc_id") % 3 =!= 0),
+        Dedup.contentIndex(docs.filter(col("doc_id") % 3 === 0), "text"),
+        "text", "doc_id").count()
+    }
     spark.stop()
   }
 }

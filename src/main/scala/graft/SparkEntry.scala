@@ -223,6 +223,18 @@ object SparkEntry {
       AsofJoin.asof(purchases, clicksU, Seq("user_id"), "ts", "ts", Seq("click_value"))
         .orderBy("event_id")
     }),
+    // as-of with a staleness bound: matches older than 1 hour null out
+    "q_asof_tolerance" -> ((s, dir) => {
+      val e = events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value").as("purchase_value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value"), col("event_id").as("click_id"))
+      val clicksU = Queries.latestPerKey(clicks, Seq("user_id", "ts"), Seq(col("click_id").desc))
+        .select("user_id", "ts", "click_value")
+      AsofJoin.asof(purchases, clicksU, Seq("user_id"), "ts", "ts", Seq("click_value"),
+        tolerance = Some("INTERVAL 1 HOUR")).orderBy("event_id")
+    }),
     "q_sessionize" -> ((s, dir) =>
       Sessionize.sessions(events(s, dir), Seq("user_id"), "ts", "INTERVAL 1 HOUR",
         valueCol = Some("value")).orderBy("user_id", "session_id")),
@@ -812,6 +824,16 @@ object SparkEntry {
         |   FROM events WHERE event_type = 'click'
         |   QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
         | SELECT p.user_id, p.ts, p.event_id, p.purchase_value, c.click_value
+        | FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        | ORDER BY p.event_id""".stripMargin.replace("\n", ""),
+    "q_asof_tolerance" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value AS purchase_value
+        |   FROM events WHERE event_type = 'purchase'),
+        | c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value AS click_value
+        |   FROM events WHERE event_type = 'click'
+        |   QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+        | SELECT p.user_id, p.ts, p.event_id, p.purchase_value,
+        |   CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.click_value END AS click_value
         | FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         | ORDER BY p.event_id""".stripMargin.replace("\n", ""),
     "q_sessionize" ->
