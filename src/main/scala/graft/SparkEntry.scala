@@ -397,6 +397,17 @@ object SparkEntry {
     "q_salted_agg" -> ((s, dir) =>
       Transforms.saltedSum(lineitem(s, dir), Seq("l_returnflag"), "l_quantity", "sum_qty")
         .orderBy("l_returnflag")),
+    // salted equi-join == plain join (verified through an order-free aggregate)
+    "q_salted_join" -> ((s, dir) => {
+      val joined = Transforms.saltedJoin(
+        lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
+        orders(s, dir).select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+        Seq("l_orderkey"), saltBy = "l_extendedprice", buckets = 8)
+      joined.groupBy("o_orderstatus")
+        .agg(Fns.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderstatus")
+    }),
     "q_corpus_stats" -> ((s, dir) =>
       documents(s, dir).groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -1071,6 +1082,12 @@ object SparkEntry {
       """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
         | COUNT(*) AS n_rows
         | FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", ""),
+    "q_salted_join" ->
+      """SELECT o_orderstatus,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", ""),
     "q_corpus_stats" ->
       """SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
         | quantile_cont(n_chars, 0.5) AS median_chars, CAST(SUM(n_chars) AS BIGINT) AS total_chars

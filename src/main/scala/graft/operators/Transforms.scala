@@ -165,6 +165,29 @@ object Transforms {
         sum(col("__n")).as("n_rows"))
   }
 
+  /** Skew-safe salted equi-join: the big (probe) side gets a deterministic
+    * salt in [0, buckets) derived from its `saltBy` column; the small (build)
+    * side is replicated once per salt value; the join key becomes
+    * (keys, salt). A hot key's probe rows now spread over `buckets` reducer
+    * partitions instead of one, at the cost of `buckets`× the build side —
+    * the manual form of AQE's skew-join splitting, usable when AQE is off
+    * (stateful queries) or when the skew is known ahead of time.
+    *
+    * Row-multiset of the result is IDENTICAL to the plain join (every probe
+    * row still meets every matching build row exactly once).
+    *
+    * @param saltBy a column of the big side to derive the salt from — use a
+    *               row id, not a join key (salting the key would be a no-op)
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keyCols: Seq[String],
+      saltBy: String, buckets: Int = 8): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val salted = big.withColumn("__salt", pmod(xxhash64(col(saltBy)), lit(buckets.toLong)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    salted.join(replicated, keyCols :+ "__salt").drop("__salt")
+  }
+
   /** Full transform dispatch (reference transformers.py:145-186): the 3-way
     * branch on `transformation_type` that constitutes the reference's planner.
     */

@@ -84,6 +84,18 @@ class AssemblySpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin produces the same row multiset as a plain join") {
+    import graft.operators.Transforms
+    val big = (1 to 200).map(i => (s"k${i % 5}", i.toDouble)).toDF("k", "v")
+    val small = Seq(("k0", "a"), ("k1", "b"), ("k2", "c"), ("k9", "z")).toDF("k", "tag")
+    val plain = big.join(small, Seq("k")).orderBy("k", "v", "tag").collect().toSeq
+    for (b <- Seq(1, 3, 16)) {
+      val salted = Transforms.saltedJoin(big, small, Seq("k"), saltBy = "v", buckets = b)
+        .select("k", "v", "tag").orderBy("k", "v", "tag").collect().toSeq
+      withClue(s"buckets=$b: ") { salted shouldBe plain }
+    }
+  }
+
   test("meanPooledCentroids averages per (key, dim) exactly") {
     import graft.operators.Similarity
     val df = Seq(
