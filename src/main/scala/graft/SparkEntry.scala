@@ -507,6 +507,38 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }),
 
+    // stream-stream interval join (click attribution): with AvailableNow both
+    // sides arrive in one micro-batch, so the bounded-state join emits every
+    // qualifying pair — the batch range-join oracle states the result set
+    "q_stream_join" -> ((s, dir) => {
+      tune(s)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        def stream() = {
+          val raw = s.readStream.schema(rawSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+          if (rawSchema("ts").dataType == LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        }
+        val p = stream().filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"),
+            col("value").as("purchase_value"))
+        val c = stream().filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("c_id"), col("value").as("click_value"))
+        graft.streaming.Streaming.runToMemory(s,
+          graft.streaming.Streaming.intervalJoin(p, c, "p_ts", "c_ts",
+            "user_id = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"),
+          "stream_join_q", org.apache.spark.sql.streaming.OutputMode.Append())
+          .select(col("user_id"), col("p_ts"), col("p_id"), col("c_id"),
+            col("purchase_value"), col("click_value"))
+          .orderBy("p_id", "c_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }),
+
     // --- sources (SURVEY §2.1; rows-only — fixture inputs, not sfDir tables)
     "q_csv_stock_autodetect" -> ((s, _) =>
       CsvAutoLoader.loadStockCsv(s, "/root/repo/fixtures/stock_canonical.csv").get
@@ -1125,6 +1157,14 @@ object SparkEntry {
         | FROM sess
         | WHERE epoch_ms(session_end + INTERVAL 1 HOUR) < epoch_ms((SELECT max(CAST(ts AS TIMESTAMP)) FROM events))
         | ORDER BY user_id, session_start""".stripMargin.replace("\n", ""),
+    "q_stream_join" ->
+      """SELECT p.user_id, CAST(p.ts AS TIMESTAMP) AS p_ts, p.event_id AS p_id,
+        | c.event_id AS c_id, p.value AS purchase_value, c.value AS click_value
+        | FROM events p JOIN events c
+        |   ON p.event_type = 'purchase' AND c.event_type = 'click'
+        |   AND p.user_id = c.user_id
+        |   AND CAST(c.ts AS TIMESTAMP) BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR AND CAST(p.ts AS TIMESTAMP)
+        | ORDER BY p_id, c_id""".stripMargin.replace("\n", ""),
     "q_stream_candles" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts, event_type,
         | arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,

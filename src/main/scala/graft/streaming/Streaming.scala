@@ -167,6 +167,25 @@ object Streaming {
       }
   }
 
+  /** Stream-stream interval join (click-attribution shape): pair each left
+    * event with the right events of the same key that occurred within
+    * `lookback` BEFORE it. Both sides carry watermarks, so the join state
+    * buffers only rows that could still match — right rows are dropped once
+    * the left watermark passes `rightTime + lookback`, left rows once no
+    * right row can still arrive. This is Structured Streaming's bounded-state
+    * stream-stream join; the time bound is what makes state finite on an
+    * unbounded feed.
+    *
+    * Caller supplies sides with DISTINCT column names (streaming joins cannot
+    * disambiguate same-named columns); `condition` example:
+    * `user_id = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts`.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftTime: String, rightTime: String,
+      condition: String, watermark: String = "1 hour"): DataFrame =
+    left.withWatermark(leftTime, watermark)
+      .join(right.withWatermark(rightTime, watermark), expr(condition))
+
   /** Bronze-landing sink (reference helpers.py:31-46 contract): every
     * micro-batch appends to the lake path. `AvailableNow` processes the
     * current backlog then stops — deterministic for tests, incremental in

@@ -123,6 +123,40 @@ class StreamingSpec extends SparkSpec {
     s.size shouldBe 3
   }
 
+  test("intervalJoin (stream-stream) matches the batch range join") {
+    val purchases = Seq(
+      (1L, "2024-01-01 10:00:00", 100L, 9.0),
+      (1L, "2024-01-01 13:00:00", 101L, 7.0),
+      (2L, "2024-01-01 10:30:00", 102L, 5.0)
+    ).toDF("user_id", "p_ts", "p_id", "purchase_value")
+      .withColumn("p_ts", col("p_ts").cast("timestamp"))
+    val clicks = Seq(
+      (1L, "2024-01-01 09:30:00", 200L, 1.0), // within 1h of p 100
+      (1L, "2024-01-01 09:59:00", 201L, 2.0), // within 1h of p 100
+      (1L, "2024-01-01 12:30:00", 202L, 3.0), // within 1h of p 101
+      (2L, "2024-01-01 08:00:00", 203L, 4.0)  // too old for p 102
+    ).toDF("c_user", "c_ts", "c_id", "click_value")
+      .withColumn("c_ts", col("c_ts").cast("timestamp"))
+    val pd = java.nio.file.Files.createTempDirectory("pj").toString
+    val cd = java.nio.file.Files.createTempDirectory("cj").toString
+    purchases.write.mode("overwrite").parquet(pd)
+    clicks.write.mode("overwrite").parquet(cd)
+
+    val cond = "user_id = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+    val streamed = Streaming.runToMemory(spark,
+      Streaming.intervalJoin(
+        spark.readStream.schema(purchases.schema).parquet(pd),
+        spark.readStream.schema(clicks.schema).parquet(cd),
+        "p_ts", "c_ts", cond),
+      "interval_join", org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("p_id", "c_id").orderBy("p_id", "c_id")
+    val batch = purchases.join(clicks, expr(cond))
+      .select("p_id", "c_id").orderBy("p_id", "c_id")
+    rows(streamed).map(r => (r.getLong(0), r.getLong(1))) shouldBe
+      rows(batch).map(r => (r.getLong(0), r.getLong(1)))
+    streamed.count() shouldBe 3
+  }
+
   test("toLake lands candle batches as parquet under the lake contract") {
     val dir = java.nio.file.Files.createTempDirectory("ticks3").toString
     val out = java.nio.file.Files.createTempDirectory("gold").toString + "/candles"
