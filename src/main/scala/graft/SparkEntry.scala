@@ -382,6 +382,10 @@ object SparkEntry {
         documents(s, dir).select("doc_id", "source"), "source", "doc_id", mixtureWeights)
         .select("doc_id", "source", "n_copies", "copy_id")
         .orderBy("doc_id", "copy_id")),
+    // int8 vector quantization (index-build compression step)
+    "q_embed_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(embeddings(s, dir).filter(col("vec_id") < 200), "embedding", "vec_id")
+        .orderBy("vec_id", "dim")),
     // per-label embedding centroids (mean pooling, exact decimal sums)
     "q_embed_centroids" -> ((s, dir) =>
       Similarity.meanPooledCentroids(embeddings(s, dir), "embedding", "label")
@@ -1097,6 +1101,16 @@ object SparkEntry {
          | SELECT doc_id, source, n_copies, UNNEST(range(1, n_copies + 1)) AS copy_id
          | FROM c WHERE n_copies >= 1 ORDER BY doc_id, copy_id""".stripMargin.replace("\n", "")
     },
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200),
+        | s AS (SELECT vec_id, v,
+        |   CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+        |     THEN 127.0 / list_max(list_transform(v, x -> abs(x))) ELSE 0.0 END AS scale
+        |  FROM e),
+        | x AS (SELECT vec_id, scale, unnest(range(1, len(v) + 1)) AS i, v FROM s)
+        | SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+        |  CAST(floor(v[i] * scale + 0.5) AS BIGINT) AS q, scale
+        | FROM x ORDER BY vec_id, dim""".stripMargin.replace("\n", ""),
     "q_embed_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | x AS (SELECT label, unnest(range(1, len(v) + 1)) AS i, v FROM e)

@@ -77,6 +77,64 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
   override def prettyName: String = "vector_dot"
 }
 
+/** Max absolute element of a float/double vector — the per-vector scale basis
+  * for int8 quantization. Same codegen pattern as [[VectorDot]]: one primitive
+  * loop fused into the surrounding stage (a `transform`+`array_max` lambda
+  * chain would run interpreted and allocate per row).
+  */
+case class VectorMaxAbs(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vector_max_abs expects ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+  }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val f = elemIsFloat
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(if (f) x.getFloat(i).toDouble else x.getDouble(i))
+      if (v > m) m = v
+      i += 1
+    }
+    m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = java.lang.Math.abs((double)$a.$get($i));
+         |  if ($v > $m) $m = $v;
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "vector_max_abs"
+}
+
 /** Registration: SQL surface (`SELECT vector_dot(a, b)`) via
   * `SparkSessionExtensions` for `spark.sql.extensions=graft.expressions.GraftExtensions`,
   * plus [[GraftFunctions.register]] for sessions built without the extension
@@ -124,7 +182,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => SimHash64(args(0), litInt(args(1), "simhash64", 2))),
     (new FunctionIdentifier("rolling_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
-      (args: Seq[Expression]) => RollingFingerprint(args(0))))
+      (args: Seq[Expression]) => RollingFingerprint(args(0))),
+    (new FunctionIdentifier("vector_max_abs"),
+      new ExpressionInfo(classOf[VectorMaxAbs].getName, "vector_max_abs"),
+      (args: Seq[Expression]) => VectorMaxAbs(args(0))))
 
   /** Idempotently register the graft functions on an existing session. */
   def register(spark: SparkSession): Unit = descriptors.foreach { case (id, info, builder) =>
@@ -134,6 +195,9 @@ object GraftFunctions {
   // Column-API surface (no registry needed)
   def vectorDot(a: Column, b: Column): Column =
     GraftColumnBridge.column(VectorDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def vectorMaxAbs(a: Column): Column =
+    GraftColumnBridge.column(VectorMaxAbs(GraftColumnBridge.expression(a)))
 
   // Text-hash kernels (TextHashExpressions.scala). Parameters beyond the token
   // array are plan-time constants, so these are Column-API only.

@@ -64,6 +64,27 @@ object Similarity {
       .agg(graft.functions.Fns.exactAvg(col("x").cast(DoubleType)).as("centroid"))
       .withColumn("dim", col("dim").cast(LongType))
 
+  /** Symmetric int8 quantization of an embedding column (the vector-compression
+    * step an ANN index build runs before sharding): per-vector scale
+    * `s = 127 / max|x|` (codegen'd [[graft.expressions.VectorMaxAbs]] kernel),
+    * element `q = floor(x·s + 0.5)` — explicit floor(+0.5) rounding because
+    * IEEE `floor` is exact, so any engine reproduces the quantized values bit
+    * for bit (`round` half-even vs half-away would diverge). Zero vectors
+    * quantize to all-zero.
+    *
+    * Long format (id, dim, q, scale) via `posexplode` — narrow generator, no
+    * shuffle; downstream repacks per shard. Dequantize: `x ≈ q / scale`.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val maxAbs = graft.expressions.GraftFunctions.vectorMaxAbs(col(vecCol))
+    df.select(col(idCol), col(vecCol).as("__v"),
+        when(maxAbs > 0.0, lit(127.0) / maxAbs).otherwise(lit(0.0)).as("scale"))
+      .select(col(idCol), col("scale"), posexplode(col("__v")).as(Seq("dim", "x")))
+      .select(col(idCol), col("dim").cast(LongType).as("dim"),
+        floor(col("x").cast(DoubleType) * col("scale") + lit(0.5)).cast(LongType).as("q"),
+        col("scale"))
+  }
+
   /** Exact brute-force cosine top-k: for every query vector, the k most similar
     * corpus vectors (excluding itself when ids collide).
     *
