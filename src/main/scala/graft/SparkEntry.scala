@@ -110,6 +110,15 @@ object SparkEntry {
     "q_candles_yearly" -> ((s, dir) => candles(s, dir, "Y")),
     "q_normalize_midrate" -> ((s, dir) =>
       Transforms.normalize(candles(s, dir, "D"), "forex").orderBy("timestamp")),
+    // extended A1 mode (SURVEY §7.3): candles grouped by symbol as well as
+    // time — event_type plays the symbol column
+    "q_candles_by_symbol" -> ((s, dir) =>
+      Transforms.aggregate(
+        events(s, dir).select(col("ts").as("timestamp"), col("event_type").as("symbol"),
+          col("value").as("open"), col("value").as("high"), col("value").as("low"),
+          col("value").as("close"), col("value").as("volume")),
+        "D", bySymbol = true, exactSums = true)
+        .orderBy("timestamp", "symbol")),
 
     // --- declared query surface (SURVEY §2.6/§2.10) ----------------------
     "q_timeseries" -> ((s, dir) =>
@@ -743,6 +752,11 @@ object SparkEntry {
     "q_normalize_midrate" ->
       s"""SELECT *, (open + close) / 2 AS mid_rate, 'forex' AS data_type
          | FROM (${candleSql(bucketD)}) ORDER BY timestamp""".stripMargin.replace("\n", ""),
+    "q_candles_by_symbol" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS timestamp, event_type AS symbol,
+        | arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+        | arg_max(value, ts) AS close, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS volume
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", ""),
     "q_timeseries" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
         | FROM events

@@ -160,7 +160,7 @@ object Streaming {
               // timeout fires once the watermark passes the session's close
               // horizon; clamp above the current watermark (required by the API)
               state.setTimeoutTimestamp(
-                math.max((s.last + gapMicros) / 1000L, state.getCurrentWatermarkMs + 1L))
+                math.max((s.last + gapMicros) / 1000L, state.getCurrentWatermarkMs() + 1L))
             }
             out.result().iterator
           }
