@@ -221,13 +221,16 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("d"), col("cluster_id").as("dl")), Seq("d"))
         .groupBy(col("s").as("id")).agg(min(col("dl")).as("nl"))
+      // the change flag rides the same join that computes the new labels, so
+      // the convergence test below scans the checkpointed result instead of
+      // re-joining this round's labels against the previous round's
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("cluster_id"), coalesce(col("nl"), col("cluster_id"))).as("cluster_id"))
+          least(col("cluster_id"), coalesce(col("nl"), col("cluster_id"))).as("cluster_id"),
+          (coalesce(col("nl"), col("cluster_id")) < col("cluster_id")).as("__changed"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
-        .filter(col("cluster_id") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("__changed")).limit(1).isEmpty
+      labels = next.select("id", "cluster_id")
       i += 1
     }
     labels
