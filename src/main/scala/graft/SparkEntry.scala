@@ -391,6 +391,27 @@ object SparkEntry {
         documents(s, dir).select("doc_id", "source"), "source", "doc_id", mixtureWeights)
         .select("doc_id", "source", "n_copies", "copy_id")
         .orderBy("doc_id", "copy_id")),
+    // deterministic global shuffle: rank in md5-hash order via the two-level
+    // row_number (no single-task global sort)
+    "q_global_shuffle" -> ((s, dir) =>
+      graft.operators.Sampling.deterministicShuffle(
+        documents(s, dir).select("doc_id"), "doc_id").orderBy("doc_id")),
+    // end-to-end curation pipeline in ONE plan: quality gate → exact dedup →
+    // split assignment → sequence packing; the oracle composes the same four
+    // stages declaratively
+    "q_curation_pipeline" -> ((s, dir) => {
+      val d = documents(s, dir).select("doc_id", "text")
+      val kept = TextAnalysis.qualityFilter(d, "text").filter(col("keep"))
+        .select("doc_id", "text")
+      val deduped = Dedup.exact(kept, "text", "doc_id")
+      val split = graft.operators.Sampling.withSplit(deduped, "doc_id")
+      val withTok = split.select(col("doc_id"), col("split"),
+        TextAnalysis.bpeTokens(col("text")).cast(LongType).as("n_tokens"))
+      graft.operators.Packing.packSequences(withTok, "n_tokens", "doc_id",
+        budget = 2048L, groupSize = 512L)
+        .select("doc_id", "split", "n_tokens", "seq_id", "seq_offset")
+        .orderBy("doc_id")
+    }),
     // int8 vector quantization (index-build compression step)
     "q_embed_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(embeddings(s, dir).filter(col("vec_id") < 200), "embedding", "vec_id")
@@ -1115,6 +1136,34 @@ object SparkEntry {
          | SELECT doc_id, source, n_copies, UNNEST(range(1, n_copies + 1)) AS copy_id
          | FROM c WHERE n_copies >= 1 ORDER BY doc_id, copy_id""".stripMargin.replace("\n", "")
     },
+    "q_global_shuffle" ->
+      s"""SELECT doc_id, row_number() OVER (ORDER BY h, doc_id) - 1 AS shuffle_pos
+         | FROM (SELECT doc_id, ${idHashSql("doc_id")} AS h FROM documents)
+         | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_curation_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, text, $textWords AS ws FROM documents),
+         | f AS (SELECT doc_id, text, len(ws) AS n_words,
+         |   CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END AS mwl,
+         |   CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS pr,
+         |   CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS dr
+         |  FROM t),
+         | kept AS (SELECT doc_id, text FROM f
+         |   WHERE n_words >= 5 AND n_words <= 100000 AND mwl >= 2.0 AND mwl <= 12.0
+         |     AND dr <= 0.3 AND pr <= 0.25),
+         | ded AS (SELECT k.doc_id, k.text FROM kept k
+         |   JOIN (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text) m USING (doc_id)),
+         | sp AS (SELECT doc_id, text,
+         |   CASE WHEN h % 1000 < 800 THEN 'train' WHEN h % 1000 < 900 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, text, ${idHashSql("doc_id")} AS h FROM ded)),
+         | tok AS (SELECT doc_id, split,
+         |   CAST(len(regexp_extract_all(text, '[\\p{L}]+|[\\p{Nd}]+|[^\\s\\p{L}\\p{Nd}]')) AS BIGINT) AS n_tokens
+         |  FROM sp),
+         | s AS (SELECT doc_id, split, n_tokens,
+         |   CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS seq_start
+         |  FROM tok)
+         | SELECT doc_id, split, n_tokens, seq_start // 2048 AS seq_id, seq_start % 2048 AS seq_offset
+         | FROM s ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "q_embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200),
         | s AS (SELECT vec_id, v,

@@ -89,6 +89,36 @@ object Sampling {
           .otherwise(array().cast(ArrayType(LongType)))))
   }
 
+  /** Deterministic global shuffle for training-data ordering: every row gets
+    * `shuffle_pos` — its rank in md5-hash order — so examples stream to the
+    * trainer in a reproducible pseudo-random order.
+    *
+    * A naive `row_number() OVER (ORDER BY hash)` is one unpartitioned window
+    * — a single task sorting the corpus. This uses the same two-level scheme
+    * as [[graft.operators.Packing.packSequences]], keyed on the hash's own
+    * TOP BITS: `grp = h >> (60 - log2 buckets)` is a prefix of `h`, so
+    * ordering by (grp, h, id) IS ordering by (h, id) globally — within-group
+    * row_numbers run under a partitioned window (uniform by hash
+    * construction), and only the per-group counts meet in one tiny window.
+    * Ids tie-break hash collisions, so the order is total and reproducible.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      groupBits: Int = 12): DataFrame = {
+    require(groupBits > 0 && groupBits < 60, "groupBits in (0, 60)")
+    val withH = df.withColumn("__h", idHash(col(idCol)))
+      .withColumn("__grp", shiftright(col("__h"), 60 - groupBits))
+    val wIn = Window.partitionBy(col("__grp")).orderBy(col("__h"), col(idCol))
+    val local = withH.withColumn("__rn", row_number().over(wIn).cast(LongType))
+    val wCarry = Window.orderBy(col("__grp"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = local.groupBy(col("__grp")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wCarry), lit(0L)))
+      .select(col("__grp"), col("__off"))
+    local.join(broadcast(carries), Seq("__grp"))
+      .withColumn("shuffle_pos", col("__off") + col("__rn") - 1)
+      .drop("__h", "__grp", "__rn", "__off")
+  }
+
   /** Exact per-stratum quota sample: the `ceil(fraction · |stratum|)` rows
     * with the smallest id hashes in each stratum. One shuffle on the strata
     * keys (same partitioning a downstream per-stratum aggregation would

@@ -84,6 +84,20 @@ class AssemblySpec extends SparkSpec {
     }
   }
 
+  test("deterministicShuffle equals the naive global row_number at any group width") {
+    import graft.operators.Sampling
+    val df = (0L until 300L).map(i => Tuple1(i * 13 % 1009)).toDF("doc_id")
+    val naive = df.withColumn("__h", Sampling.idHash(col("doc_id")))
+      .withColumn("shuffle_pos",
+        row_number().over(Window.orderBy(col("__h"), col("doc_id"))).cast("long") - 1)
+      .select("doc_id", "shuffle_pos").orderBy("doc_id").collect().toSeq
+    for (bits <- Seq(1, 8, 20)) {
+      val out = Sampling.deterministicShuffle(df, "doc_id", groupBits = bits)
+        .select("doc_id", "shuffle_pos").orderBy("doc_id").collect().toSeq
+      withClue(s"groupBits=$bits: ") { out shouldBe naive }
+    }
+  }
+
   test("saltedJoin produces the same row multiset as a plain join") {
     import graft.operators.Transforms
     val big = (1 to 200).map(i => (s"k${i % 5}", i.toDouble)).toDF("k", "v")
