@@ -93,6 +93,60 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("packing invariants: offsets < budget, starts strictly increase by token count") {
+    val idTok = for {
+      id <- Gen.chooseNum(0L, 100000L)
+      t <- Gen.chooseNum(1L, 500L)
+    } yield (id, t)
+    (1L to 8L).foreach { s =>
+      val data = Gen.nonEmptyListOf(idTok)(Gen.Parameters.default, rng.Seed(s)).get
+        .distinctBy(_._1)
+      val df = data.toDF("doc_id", "n_tokens")
+      val out = rows(graft.operators.Packing
+        .packSequences(df, "n_tokens", "doc_id", budget = 777L, groupSize = 64L)
+        .orderBy("doc_id").select("n_tokens", "seq_start", "seq_id", "seq_offset"))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // offsets within budget; seq_id consistent with start; starts telescope
+      out.foreach { case (_, start, id, off) =>
+        off should (be >= 0L and be < 777L)
+        id shouldBe start / 777L
+      }
+      out.sliding(2).foreach {
+        case Seq((tok, start, _, _), (_, start2, _, _)) => start2 shouldBe start + tok
+        case _ => ()
+      }
+      out.head._2 shouldBe 0L
+    }
+  }
+
+  test("deterministicShuffle is a permutation of 0 until n") {
+    (1L to 6L).foreach { s =>
+      val ids = Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000000L))(
+        Gen.Parameters.default, rng.Seed(s)).get.distinct
+      val df = ids.map(Tuple1(_)).toDF("doc_id")
+      val pos = rows(graft.operators.Sampling.deterministicShuffle(df, "doc_id")
+        .select("shuffle_pos")).map(_.getLong(0)).sorted
+      pos shouldBe (0L until ids.length.toLong)
+    }
+  }
+
+  test("quantizeInt8 bounds: |q| <= 127 and q/scale stays within half a step of x") {
+    (1L to 4L).foreach { s =>
+      val vecs = Gen.nonEmptyListOf(
+        Gen.listOfN(8, Gen.chooseNum(-5.0, 5.0).map(_.toFloat)).map(_.toArray))(
+        Gen.Parameters.default, rng.Seed(s)).get
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      val out = rows(graft.operators.Similarity.quantizeInt8(df, "embedding", "vec_id")
+        .join(df.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .select(col("q"), col("scale"), expr("embedding[CAST(dim AS INT)]").cast("double").as("x")))
+      out.foreach { r =>
+        val (q, scale, x) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+        math.abs(q) should be <= 127L
+        if (scale > 0) math.abs(q / scale - x) should be <= (0.5 / scale + 1e-9)
+      }
+    }
+  }
+
   test("ngram jaccard values are within [threshold, 1]; pairs are ordered") {
     val docGen = Gen.nonEmptyListOf(Gen.oneOf(
       "alpha beta gamma delta epsilon zeta", "alpha beta gamma delta epsilon eta",

@@ -31,6 +31,12 @@ class SqlSurfaceSpec extends SparkSpec {
     sqlRow.getDouble(4) shouldBe 11.0
   }
 
+  test("vector_max_abs via SQL matches the Column API") {
+    GraftFunctions.register(spark)
+    spark.sql("SELECT vector_max_abs(array(CAST(1.5 AS FLOAT), CAST(-7.25 AS FLOAT))) AS m")
+      .head().getDouble(0) shouldBe 7.25
+  }
+
   test("non-literal size parameter is rejected with a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
