@@ -573,6 +573,22 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }),
 
+    // lake sink+scan under the gate: write real candles through the lake
+    // contract (coalesce(1) parquet) and read them back — the oracle computes
+    // the same candles from source, so the roundtrip must be lossless
+    "q_lake_roundtrip" -> ((s, dir) => {
+      val lake = graft.sources.Lake(s,
+        java.nio.file.Files.createTempDirectory("graft_lake").toString)
+      lake.write(candles(s, dir, "D"), "gold", "roundtrip_candles")
+      lake.read("gold", "roundtrip_candles").orderBy("timestamp")
+    }),
+    // corrupt-tolerant JSONL ingestion over a committed fixture (2 of 6 lines
+    // malformed); DuckDB's ignore_errors states the same good-row set
+    "q_jsonl_parse" -> ((s, _) =>
+      graft.sources.JsonlLoader.good(
+        graft.sources.JsonlLoader.read(s, "/root/repo/fixtures/corpus.jsonl"))
+        .orderBy("doc_id")),
+
     // --- sources (SURVEY §2.1; rows-only — fixture inputs, not sfDir tables)
     "q_csv_stock_autodetect" -> ((s, _) =>
       CsvAutoLoader.loadStockCsv(s, "/root/repo/fixtures/stock_canonical.csv").get
@@ -1247,6 +1263,17 @@ object SparkEntry {
         | arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
         | arg_max(value, ts) AS close, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS volume
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", ""),
+
+    "q_lake_roundtrip" -> candleSql(bucketD),
+    // ignore_errors=true turns malformed lines into all-null rows (not
+    // skips) — the doc_id filter drops exactly the quarantine set
+    "q_jsonl_parse" ->
+      """SELECT doc_id, text, lang, source
+        | FROM read_json('/root/repo/fixtures/corpus.jsonl', format='newline_delimited',
+        |   columns={doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR', source: 'VARCHAR'},
+        |   ignore_errors=true)
+        | WHERE doc_id IS NOT NULL
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
 
     // --- source parsers: DuckDB over the same fixture files / payload strings
     "q_csv_stock_autodetect" ->
