@@ -39,7 +39,10 @@ object Packing {
     * @param df       input; one row per document
     * @param tokenCol integral column: the document's token count
     * @param orderCol integral column defining the deterministic concatenation
-    *                 order (documents are packed in ascending `orderCol`)
+    *                 order (documents are packed in ascending `orderCol`).
+    *                 Values must be UNIQUE — ties would make the prefix sum
+    *                 order-dependent among the tied rows (true of any
+    *                 formulation, including a single global window)
     * @param budget   tokens per packed training sequence
     * @param groupSize ids per prefix-sum group (scale knob, not semantics)
     * @return input plus `seq_start` (global token offset), `seq_id`
