@@ -577,8 +577,10 @@ object SparkEntry {
     // contract (coalesce(1) parquet) and read them back — the oracle computes
     // the same candles from source, so the roundtrip must be lossless
     "q_lake_roundtrip" -> ((s, dir) => {
+      // fixed path + overwrite semantics: repeated bench/verify passes reuse
+      // one directory instead of leaking a lake per invocation
       val lake = graft.sources.Lake(s,
-        java.nio.file.Files.createTempDirectory("graft_lake").toString)
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_lake_roundtrip").toString)
       lake.write(candles(s, dir, "D"), "gold", "roundtrip_candles")
       lake.read("gold", "roundtrip_candles").orderBy("timestamp")
     }),
@@ -1244,11 +1246,13 @@ object SparkEntry {
         |   FROM flagged),
         | sess AS (SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
         |   COUNT(*) AS n_events,
-        |   list_reduce(list(value ORDER BY ts, value), (a, b) -> a + b) AS session_value
+        |   list_reduce(list(value ORDER BY ts, value), (a, b) -> a + b) AS session_value,
+        |   lead(MIN(ts)) OVER (PARTITION BY user_id ORDER BY session_id) AS next_start
         |   FROM numbered GROUP BY user_id, session_id)
         | SELECT user_id, session_start, session_end, n_events, session_value
         | FROM sess
-        | WHERE epoch_ms(session_end + INTERVAL 1 HOUR) < epoch_ms((SELECT max(CAST(ts AS TIMESTAMP)) FROM events))
+        | WHERE next_start IS NOT NULL
+        |   OR epoch_ms(session_end + INTERVAL 1 HOUR) < epoch_ms((SELECT max(CAST(ts AS TIMESTAMP)) FROM events))
         | ORDER BY user_id, session_start""".stripMargin.replace("\n", ""),
     "q_stream_join" ->
       """SELECT p.user_id, CAST(p.ts AS TIMESTAMP) AS p_ts, p.event_id AS p_id,

@@ -63,25 +63,30 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** Content-hash index of a landed corpus: the distinct 8-byte keys an
-    * incremental ingest deduplicates against. At 100 TB this is the compact
-    * artifact you persist (bucketed by hash) instead of re-scanning history.
+  /** Content-hash index of a landed corpus: the distinct 128-bit keys
+    * (16-byte md5) an incremental ingest deduplicates against. 128 bits, not
+    * xxhash64's 64: an anti-join drop is silent data loss, and at the 100 TB
+    * design point (~10¹⁰ docs) a 64-bit key expects real collisions
+    * (n²/2⁶⁵ ≈ 3) while 128 bits gives ~10⁻¹⁸ — the index stores only keys,
+    * so there is no confirm-on-text escape hatch after the fact. At scale
+    * this is the compact artifact you persist (bucketed by hash) instead of
+    * re-scanning history.
     */
   def contentIndex(df: DataFrame, textCol: String): DataFrame =
-    df.select(xxhash64(col(textCol)).as("h")).distinct()
+    df.select(md5(col(textCol).cast(BinaryType)).as("h")).distinct()
 
   /** Day-2 incremental dedup: from a new batch, keep one representative per
     * distinct content WITHIN the batch ([[exact]]), then drop anything whose
     * content already exists in the landed corpus' [[contentIndex]] via a
-    * left-anti join on the 8-byte hash — the shuffle carries hashes, never
-    * text. With the index bucketed on `h` the anti-join is co-located and
-    * shuffle-free; new batches are small relative to history, so at scale the
-    * BATCH side broadcasts into the index scan.
+    * left-anti join on the 128-bit content key — the shuffle carries keys,
+    * never text. With the index bucketed on `h` the anti-join is co-located
+    * and shuffle-free; new batches are small relative to history, so at scale
+    * the BATCH side broadcasts into the index scan.
     */
   def incremental(newDocs: DataFrame, seenIndex: DataFrame,
       textCol: String, idCol: String): DataFrame =
     exact(newDocs, textCol, idCol)
-      .withColumn("__h", xxhash64(col(textCol)))
+      .withColumn("__h", md5(col(textCol).cast(BinaryType)))
       .join(seenIndex.select(col("h").as("__h")), Seq("__h"), "left_anti")
       .drop("__h")
 

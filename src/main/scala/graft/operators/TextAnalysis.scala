@@ -85,21 +85,28 @@ object TextAnalysis {
     * broadcasts it; the final per-doc top-k is a bounded window on the doc
     * key.
     *
-    * @param corpusN corpus size for the idf numerator; defaults to a count of
-    *                `df` (one cheap metadata-backed job). Pass it explicitly
-    *                when the caller already knows it.
+    * @param corpusN corpus size for the idf numerator; when absent, N is
+    *                computed INSIDE the plan (a broadcast scalar aggregate) —
+    *                never as an eager `count()` action, which would re-execute
+    *                the input's whole upstream plan once per call when `df` is
+    *                a derived frame (filtered/deduped), doubling the corpus
+    *                scan at scale.
     */
   def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String, k: Int,
       corpusN: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = corpusN.getOrElse(df.count())
     val tf = df.select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDf = corpusN match {
+      case Some(n) => df.sparkSession.range(1).select(lit(n).as("__n"))
+      case None => df.agg(count(lit(1)).as("__n"))
+    }
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token").asc)
     tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(nDf))
       .withColumn("tfidf",
-        (col("tf") * lit(n)).cast(DoubleType) / col("df").cast(DoubleType))
+        (col("tf") * col("__n")).cast(DoubleType) / col("df").cast(DoubleType))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("rnk").cast(LongType).as("rnk"),

@@ -155,7 +155,11 @@ object Transforms {
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
       outCol: String, buckets: Int = 32): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val salt = pmod(xxhash64(col(valueCol)), lit(buckets.toLong))
+    // salt over ALL columns, not just the value: a hot key with a constant
+    // value would otherwise collapse into one salt cell. Rows identical in
+    // every column that do share a salt cell are exactly the rows map-side
+    // combine pre-aggregates anyway, so the reducer cell stays bounded.
+    val salt = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(buckets.toLong))
     df.withColumn("__salt", salt)
       .groupBy((keyCols :+ "__salt").map(col): _*)
       .agg(sum(col(valueCol).cast(DecimalType(30, 6))).as("__part"),

@@ -137,17 +137,27 @@ object Streaming {
             Iterator.single(close(user, s))
           } else {
             // within a micro-batch arrival order is not time order — sort;
-            // across batches the watermark guarantees no late re-opens.
             // (ts, value) key: simultaneous events fold into the running sum
-            // in a deterministic order, so session_value is reproducible
+            // in a deterministic order, so session_value is reproducible.
+            // Cross-batch lateness (events above the watermark arriving after
+            // a later batch opened a session): an event inside the open
+            // session's gap window extends it in EITHER direction (start
+            // lowers via min); an event older than start - gap can never
+            // merge and is emitted as its own closed session — both match
+            // batch semantics unless multiple late events of one earlier
+            // session are split across batches (bounded by the watermark).
             val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.value))
             val out = Seq.newBuilder[SessionOut]
             var cur = state.getOption
             sorted.foreach { e =>
               val t = micros(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapMicros =>
-                  cur = Some(OpenSession(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value))
+                case Some(s) if t >= s.start - gapMicros && t - s.last <= gapMicros =>
+                  cur = Some(OpenSession(math.min(s.start, t), math.max(s.last, t),
+                    s.n + 1, s.sum + e.value))
+                case Some(s) if t < s.start =>
+                  // too old to merge: a completed earlier session of its own
+                  out += SessionOut(user, stamp(t), stamp(t), 1L, e.value)
                 case Some(s) =>
                   out += close(user, s)
                   cur = Some(OpenSession(t, t, 1L, e.value))

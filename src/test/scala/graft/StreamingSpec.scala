@@ -123,6 +123,36 @@ class StreamingSpec extends SparkSpec {
     s.size shouldBe 3
   }
 
+  test("sessionizeStream cross-batch lateness: in-gap event lowers session_start, older event forms its own session") {
+    val dir = java.nio.file.Files.createTempDirectory("sesslate").toString
+    Seq((1L, "2024-01-01 10:00:00", 1.0)).toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1200)
+    // batch 2: two late-but-above-watermark events (09:45 merges into the
+    // open [10:00] session and lowers its start; 09:05 is older than
+    // start - gap and can never merge) plus the watermark-advancing sentinel
+    Seq((1L, "2024-01-01 09:45:00", 2.0), (1L, "2024-01-01 09:05:00", 4.0),
+      (99L, "2024-01-03 00:00:00", 0.0)).toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = Streaming.runToMemory(spark,
+      Streaming.sessionizeStream(stream, "user_id", "ts", "value",
+        gap = "30 minutes", watermark = "1 hour").toDF(),
+      "stream_sessions_late", org.apache.spark.sql.streaming.OutputMode.Append())
+      .filter(col("user_id") < 99)
+      .orderBy("session_start")
+    val got = rows(out.select("session_start", "session_end", "n_events", "session_value"))
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    got shouldBe Seq(
+      (tsLit("2024-01-01 09:05:00"), tsLit("2024-01-01 09:05:00"), 1L, 4.0),
+      (tsLit("2024-01-01 09:45:00"), tsLit("2024-01-01 10:00:00"), 2L, 3.0))
+  }
+
   test("intervalJoin (stream-stream) matches the batch range join") {
     val purchases = Seq(
       (1L, "2024-01-01 10:00:00", 100L, 9.0),
