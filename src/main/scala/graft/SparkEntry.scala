@@ -305,6 +305,13 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 10)
         .orderBy("query_id", "rank")
     }),
+    // same result through the typed bounded top-k Aggregator (map-side
+    // partial top-k; shuffle carries map_tasks×k rows, not N) — same oracle
+    "q_ann_topk_agg" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.bruteForceTopKAgg(e, e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 10)
+        .orderBy("query_id", "rank")
+    }),
     // nprobe = nlist: probing every cell makes IVF provably exact, so the
     // whole machinery (centroid training, cell assignment, cell-key join,
     // ranking) is oracle-checked against brute force; recall at partial
@@ -1010,6 +1017,19 @@ object SparkEntry {
         | ranked AS (SELECT query_id, neighbor_id, cos,
         |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
         | SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+        | ORDER BY query_id, rank""".stripMargin.replace("\n", ""),
+    "q_ann_topk_agg" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        | dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   list_inner_product(q.v, c.v) AS dp
+        |   FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        |   WHERE q.vec_id < 10),
+        | scored AS (SELECT query_id, neighbor_id, dp / (nq.nrm * nc.nrm) AS cos
+        |   FROM dots JOIN norms nq ON nq.vec_id = query_id JOIN norms nc ON nc.vec_id = neighbor_id),
+        | ranked AS (SELECT query_id, neighbor_id, cos,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+        | SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10
         | ORDER BY query_id, rank""".stripMargin.replace("\n", ""),
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

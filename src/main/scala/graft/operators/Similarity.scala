@@ -64,6 +64,56 @@ object Similarity {
       .agg(graft.functions.Fns.exactAvg(col("x").cast(DoubleType)).as("centroid"))
       .withColumn("dim", col("dim").cast(LongType))
 
+  /** One scored candidate inside [[TopKAgg]]'s buffer. */
+  case class ScoredId(score: Double, id: Long)
+
+  /** Typed bounded top-k aggregator (SURVEY §2.10's sanctioned extension
+    * path): the buffer holds at most k candidates ordered by
+    * (score desc, id asc), and `merge` is associative/commutative, so Spark
+    * runs it with MAP-SIDE PARTIAL AGGREGATION — each map task ships at most
+    * k candidates per query key instead of its whole partition's scores.
+    * This is the 100 TB refinement the window-rank formulation of
+    * [[bruteForceTopK]] documents: the (query) shuffle carries
+    * `map_tasks × k` rows, not `N`.
+    */
+  class TopKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+    private val ord: Ordering[ScoredId] = Ordering.by(s => (-s.score, s.id))
+    override def zero: Seq[ScoredId] = Seq.empty
+    override def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] =
+      ((b :+ a).sorted(ord)).take(k)
+    override def merge(b1: Seq[ScoredId], b2: Seq[ScoredId]): Seq[ScoredId] =
+      (b1 ++ b2).sorted(ord).take(k)
+    override def finish(r: Seq[ScoredId]): Seq[ScoredId] = r.sorted(ord)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[ScoredId]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[ScoredId]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Brute-force cosine top-k via [[TopKAgg]] — identical output to
+    * [[bruteForceTopK]] (same scores, same (cos desc, id) tie-break), but the
+    * ranking aggregates instead of window-sorting: partial top-k per map
+    * task, final top-k merge per query. Prefer this shape when Q is small
+    * and N is the scale axis.
+    */
+  def bruteForceTopKAgg(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val topk = udaf(new TopKAgg(k), org.apache.spark.sql.Encoders.product[ScoredId])
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("cv"), col("qv")).as("cos"))
+      .groupBy("query_id")
+      .agg(topk(col("cos"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        col("s.score").as("cos"), (col("r") + 1).cast(LongType).as("rank"))
+  }
+
   /** Symmetric int8 quantization of an embedding column (the vector-compression
     * step an ANN index build runs before sharding): per-vector scale
     * `s = 127 / max|x|` (codegen'd [[graft.expressions.VectorMaxAbs]] kernel),

@@ -136,6 +136,25 @@ class AssemblySpec extends SparkSpec {
     out shouldBe Seq((11L, "gamma"), (13L, "delta"))
   }
 
+  test("bruteForceTopKAgg equals the window formulation and partially aggregates") {
+    import graft.operators.Similarity
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val win = Similarity.bruteForceTopK(vecs, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank").collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val agg = Similarity.bruteForceTopKAgg(vecs, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank").collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    agg shouldBe win
+    // the plan must aggregate in two phases (map-side partial top-k)
+    val plan = Similarity.bruteForceTopKAgg(vecs, queries, "embedding", "vec_id", k = 5)
+      .queryExecution.executedPlan.toString
+    plan should include regex "(?i)ObjectHashAggregate|SortAggregate"
+  }
+
   test("mixtureResample fractional weights hit the expected rate on average") {
     val df = (1L to 2000L).map(i => (i, "s")).toDF("doc_id", "source")
     val n = Sampling.mixtureResample(df, "source", "doc_id", Seq("s" -> 1.5)).count()
