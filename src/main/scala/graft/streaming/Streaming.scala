@@ -139,30 +139,46 @@ object Streaming {
             // within a micro-batch arrival order is not time order — sort;
             // (ts, value) key: simultaneous events fold into the running sum
             // in a deterministic order, so session_value is reproducible.
-            // Cross-batch lateness (events above the watermark arriving after
-            // a later batch opened a session): an event inside the open
-            // session's gap window extends it in EITHER direction (start
-            // lowers via min); an event older than start - gap can never
-            // merge and is emitted as its own closed session — both match
-            // batch semantics unless multiple late events of one earlier
-            // session are split across batches (bounded by the watermark).
+            // The batch first sessionizes among itself (gaps-and-islands over
+            // the sorted events → "runs"), then each run folds into the
+            // cross-batch open session: a run overlapping the open session's
+            // gap window merges in either direction (session_start lowers via
+            // min); a run wholly older than start - gap can never merge and
+            // is emitted closed; a run past last + gap closes the open
+            // session and replaces it. This matches batch semantics for any
+            // lateness the watermark admits, except a late run emitted closed
+            // could in principle still have had members arrive even later —
+            // the residual the watermark bounds.
             val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.value))
-            val out = Seq.newBuilder[SessionOut]
-            var cur = state.getOption
+            val runs = Seq.newBuilder[OpenSession]
+            var run: Option[OpenSession] = None
             sorted.foreach { e =>
               val t = micros(e.ts)
-              cur match {
-                case Some(s) if t >= s.start - gapMicros && t - s.last <= gapMicros =>
-                  cur = Some(OpenSession(math.min(s.start, t), math.max(s.last, t),
-                    s.n + 1, s.sum + e.value))
-                case Some(s) if t < s.start =>
-                  // too old to merge: a completed earlier session of its own
-                  out += SessionOut(user, stamp(t), stamp(t), 1L, e.value)
-                case Some(s) =>
-                  out += close(user, s)
-                  cur = Some(OpenSession(t, t, 1L, e.value))
+              run match {
+                case Some(r) if t - r.last <= gapMicros =>
+                  run = Some(OpenSession(r.start, t, r.n + 1, r.sum + e.value))
+                case Some(r) =>
+                  runs += r
+                  run = Some(OpenSession(t, t, 1L, e.value))
                 case None =>
-                  cur = Some(OpenSession(t, t, 1L, e.value))
+                  run = Some(OpenSession(t, t, 1L, e.value))
+              }
+            }
+            run.foreach(runs += _)
+            val out = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            runs.result().foreach { r =>
+              cur match {
+                case Some(s) if r.start <= s.last + gapMicros && r.last >= s.start - gapMicros =>
+                  cur = Some(OpenSession(math.min(s.start, r.start), math.max(s.last, r.last),
+                    s.n + r.n, s.sum + r.sum))
+                case Some(s) if r.last + gapMicros < s.start =>
+                  out += close(user, r) // can never merge with the open session
+                case Some(s) => // r.start > s.last + gap: s is complete
+                  out += close(user, s)
+                  cur = Some(r)
+                case None =>
+                  cur = Some(r)
               }
             }
             cur.foreach { s =>

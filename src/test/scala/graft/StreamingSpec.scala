@@ -129,10 +129,12 @@ class StreamingSpec extends SparkSpec {
       .withColumn("ts", col("ts").cast("timestamp"))
       .coalesce(1).write.mode("append").parquet(dir)
     Thread.sleep(1200)
-    // batch 2: two late-but-above-watermark events (09:45 merges into the
-    // open [10:00] session and lowers its start; 09:05 is older than
-    // start - gap and can never merge) plus the watermark-advancing sentinel
+    // batch 2: late-but-above-watermark events — 09:45 merges into the open
+    // [10:00] session and lowers its start; 09:05+09:10 are older than
+    // start - gap, sessionize among themselves into ONE late run, and emit
+    // closed — plus the watermark-advancing sentinel
     Seq((1L, "2024-01-01 09:45:00", 2.0), (1L, "2024-01-01 09:05:00", 4.0),
+      (1L, "2024-01-01 09:10:00", 6.0),
       (99L, "2024-01-03 00:00:00", 0.0)).toDF("user_id", "ts", "value")
       .withColumn("ts", col("ts").cast("timestamp"))
       .coalesce(1).write.mode("append").parquet(dir)
@@ -149,7 +151,7 @@ class StreamingSpec extends SparkSpec {
     val got = rows(out.select("session_start", "session_end", "n_events", "session_value"))
       .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
     got shouldBe Seq(
-      (tsLit("2024-01-01 09:05:00"), tsLit("2024-01-01 09:05:00"), 1L, 4.0),
+      (tsLit("2024-01-01 09:05:00"), tsLit("2024-01-01 09:10:00"), 2L, 10.0),
       (tsLit("2024-01-01 09:45:00"), tsLit("2024-01-01 10:00:00"), 2L, 3.0))
   }
 
