@@ -597,6 +597,23 @@ object SparkEntry {
       graft.sources.JsonlLoader.good(
         graft.sources.JsonlLoader.read(s, "/root/repo/fixtures/corpus.jsonl"))
         .orderBy("doc_id")),
+    // ... and the quarantine side: exactly the malformed raw lines
+    "q_jsonl_quarantine" -> ((s, _) =>
+      graft.sources.JsonlLoader.quarantine(
+        graft.sources.JsonlLoader.read(s, "/root/repo/fixtures/corpus.jsonl"))
+        .orderBy("raw_line")),
+    // full §3.2 transform lifecycle through the lake: land raw events in
+    // bronze, transformAndStore "clean" → silver under the derived
+    // destination name, read silver back — must equal clean(events) exactly
+    "q_transform_pipeline" -> ((s, dir) => {
+      val lake = graft.sources.Lake(s,
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_lake_pipeline").toString)
+      lake.write(events(s, dir), "bronze", "events_raw")
+      val res = Transforms.transformAndStore(lake, "bronze", "events_raw", "clean", "silver")
+      require(res("status") == "success", s"transform pipeline failed: $res")
+      val dest = Transforms.destinationName("events_raw", "clean").stripSuffix(".parquet")
+      lake.read("silver", dest).orderBy("event_id")
+    }),
 
     // --- sources (SURVEY §2.1; rows-only — fixture inputs, not sfDir tables)
     "q_csv_stock_autodetect" -> ((s, _) =>
@@ -629,6 +646,15 @@ object SparkEntry {
   private val bucketM = "CAST(last_day(CAST(ts AS DATE)) AS TIMESTAMP)"
   private val bucketQ = "CAST(last_day(CAST(date_trunc('quarter', ts) + INTERVAL 2 MONTH AS DATE)) AS TIMESTAMP)"
   private val bucketY = "CAST(make_date(CAST(year(ts) AS INTEGER), 12, 31) AS TIMESTAMP)"
+
+  /** Shared by `q_clean_events` and the lake-roundtripped `q_transform_pipeline`. */
+  private val cleanEventsSql: String =
+    """SELECT DISTINCT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+      | FROM events
+      | WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+      |   AND event_type IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+      |   AND props IS NOT NULL
+      | ORDER BY event_id""".stripMargin.replace("\n", "")
 
   private val textWords =
     "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}'']+'), x -> len(x) > 0)"
@@ -783,13 +809,13 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
-    "q_clean_events" ->
-      """SELECT DISTINCT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
-        | FROM events
-        | WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
-        |   AND event_type IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
-        |   AND props IS NOT NULL
-        | ORDER BY event_id""".stripMargin.replace("\n", ""),
+    "q_clean_events" -> cleanEventsSql,
+    // the lake-roundtripped transform must land byte-identical clean output
+    "q_transform_pipeline" -> cleanEventsSql,
+    "q_jsonl_quarantine" ->
+      """SELECT raw_line FROM read_csv('/root/repo/fixtures/corpus.jsonl', header=false,
+        | delim='|', quote='', escape='', columns={'raw_line': 'VARCHAR'})
+        | WHERE NOT json_valid(raw_line) ORDER BY raw_line""".stripMargin.replace("\n", ""),
     "q_candles_daily" -> candleSql(bucketD),
     "q_candles_weekly" -> candleSql(bucketW),
     "q_candles_monthly" -> candleSql(bucketM),
