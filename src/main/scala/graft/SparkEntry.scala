@@ -615,6 +615,21 @@ object SparkEntry {
       lake.read("silver", dest).orderBy("event_id")
     }),
 
+    // S6 CSV ingest driver + O1 latest-dataset selection, end to end: land
+    // the fixture in bronze under today's generated name (with an older
+    // decoy dataset present), then read back via `latest` — which must pick
+    // the newest date token; the oracle is the parser's own SQL dual
+    "q_csv_ingest_latest" -> ((s, _) => {
+      val lake = graft.sources.Lake(s,
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_lake_csvingest").toString)
+      val decoy = CsvAutoLoader.loadStockCsv(s, "/root/repo/fixtures/stock_canonical.csv").get
+      lake.write(decoy.limit(1), "bronze", "csv_import_stock_20200101")
+      val res = CsvAutoLoader.loadAndStore(s, lake,
+        "/root/repo/fixtures/stock_canonical.csv", "stock")
+      require(res("status") == "success", s"csv ingest failed: $res")
+      lake.latest("bronze", "csv_import", "stock").get.orderBy("symbol", "timestamp")
+    }),
+
     // --- sources (SURVEY §2.1; rows-only — fixture inputs, not sfDir tables)
     "q_csv_stock_autodetect" -> ((s, _) =>
       CsvAutoLoader.loadStockCsv(s, "/root/repo/fixtures/stock_canonical.csv").get
@@ -646,6 +661,16 @@ object SparkEntry {
   private val bucketM = "CAST(last_day(CAST(ts AS DATE)) AS TIMESTAMP)"
   private val bucketQ = "CAST(last_day(CAST(date_trunc('quarter', ts) + INTERVAL 2 MONTH AS DATE)) AS TIMESTAMP)"
   private val bucketY = "CAST(make_date(CAST(year(ts) AS INTEGER), 12, 31) AS TIMESTAMP)"
+
+  /** Shared by `q_csv_stock_autodetect` and the ingest-roundtripped
+    * `q_csv_ingest_latest`.
+    */
+  private val csvStockSql: String =
+    """SELECT CAST("Date" AS TIMESTAMP) AS timestamp, "Open" AS open, "High" AS high,
+      | "Low" AS low, "Close" AS close, "Adj Close", CAST("Volume" AS BIGINT) AS volume,
+      | "Symbol" AS symbol, 'csv_import' AS source
+      | FROM read_csv_auto('/root/repo/fixtures/stock_canonical.csv')
+      | ORDER BY symbol, timestamp""".stripMargin.replace("\n", "")
 
   /** Shared by `q_clean_events` and the lake-roundtripped `q_transform_pipeline`. */
   private val cleanEventsSql: String =
@@ -1326,12 +1351,8 @@ object SparkEntry {
         | ORDER BY doc_id""".stripMargin.replace("\n", ""),
 
     // --- source parsers: DuckDB over the same fixture files / payload strings
-    "q_csv_stock_autodetect" ->
-      """SELECT CAST("Date" AS TIMESTAMP) AS timestamp, "Open" AS open, "High" AS high,
-        | "Low" AS low, "Close" AS close, "Adj Close", CAST("Volume" AS BIGINT) AS volume,
-        | "Symbol" AS symbol, 'csv_import' AS source
-        | FROM read_csv_auto('/root/repo/fixtures/stock_canonical.csv')
-        | ORDER BY symbol, timestamp""".stripMargin.replace("\n", ""),
+    "q_csv_stock_autodetect" -> csvStockSql,
+    "q_csv_ingest_latest" -> csvStockSql,
     "q_csv_stock_filename_symbol" ->
       """SELECT CAST("timestamp" AS TIMESTAMP) AS timestamp, TRY_CAST(open AS DOUBLE) AS open,
         | high, low, closing AS close, CAST(vol AS BIGINT) AS volume,
