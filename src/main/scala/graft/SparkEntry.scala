@@ -611,7 +611,9 @@ object SparkEntry {
       lake.write(events(s, dir), "bronze", "events_raw")
       val res = Transforms.transformAndStore(lake, "bronze", "events_raw", "clean", "silver")
       require(res("status") == "success", s"transform pipeline failed: $res")
-      val dest = Transforms.destinationName("events_raw", "clean").stripSuffix(".parquet")
+      // read back via the landing's own reported path (re-deriving the dated
+      // name here could race a midnight boundary)
+      val dest = new java.io.File(res("file_path").toString).getName.stripSuffix(".parquet")
       lake.read("silver", dest).orderBy("event_id")
     }),
 
