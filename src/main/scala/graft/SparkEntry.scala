@@ -398,6 +398,22 @@ object SparkEntry {
         documents(s, dir).select("doc_id", "source"), "source", "doc_id", mixtureWeights)
         .select("doc_id", "source", "n_copies", "copy_id")
         .orderBy("doc_id", "copy_id")),
+    // length-decile bucketing (length-balanced batching): global rank in
+    // (n_chars, doc_id) order via the SAME two-level prefix sum as packing —
+    // the composite order key's high bits are the group key, so no
+    // single-task global sort; decile = rank·10 div N in exact integers
+    "q_length_deciles" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val keyed = d
+        .withColumn("__ord", col("n_chars") * lit(1L << 20) + col("doc_id"))
+        .withColumn("__one", lit(1L))
+      val ranked = graft.operators.Packing.packSequences(
+        keyed, "__one", "__ord", budget = 1L, groupSize = 1L << 22)
+      ranked.crossJoin(broadcast(d.agg(count(lit(1)).as("__n"))))
+        .select(col("doc_id"), col("n_chars"),
+          expr("seq_start * 10 div __n").as("decile"))
+        .orderBy("doc_id")
+    }),
     // deterministic global shuffle: rank in md5-hash order via the two-level
     // row_number (no single-task global sort)
     "q_global_shuffle" -> ((s, dir) =>
@@ -1227,6 +1243,12 @@ object SparkEntry {
          | SELECT doc_id, source, n_copies, UNNEST(range(1, n_copies + 1)) AS copy_id
          | FROM c WHERE n_copies >= 1 ORDER BY doc_id, copy_id""".stripMargin.replace("\n", "")
     },
+    "q_length_deciles" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |   row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk FROM documents),
+        | n AS (SELECT COUNT(*) AS n FROM documents)
+        | SELECT doc_id, n_chars, rk * 10 // n AS decile FROM r, n
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "q_global_shuffle" ->
       s"""SELECT doc_id, row_number() OVER (ORDER BY h, doc_id) - 1 AS shuffle_pos
          | FROM (SELECT doc_id, ${idHashSql("doc_id")} AS h FROM documents)
