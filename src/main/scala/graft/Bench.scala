@@ -16,26 +16,32 @@ object Bench {
     // Untimed warmup at the smallest SF: exercises every query's plan once so
     // JIT compilation, codegen caches, and Hadoop/parquet client init are not
     // billed to the timed run (the timed run still does all real work on sfDir).
+    // Optional comma-separated allowlist for local triage of a query subset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (warmDir.nonEmpty && new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     // Min of N timed passes per query: the host is a shared VM, so single-shot
     // timings carry neighbor noise; the minimum is the standard robust
     // estimator of a query's actual cost on such machines.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val best = (0 until passes).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.min
-      name -> best
+      // Millisecond resolution: full nanosecond floats ballooned the JSON line
+      // past the driver's stdout-tail capture window (BENCH_r04 "parsed":null).
+      name -> (math.rint(best * 1000) / 1000)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total =
+      if (results.nonEmpty) math.rint(results.values.sum * 1000) / 1000 else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -71,6 +71,24 @@ object SparkEntry {
       col("ts").as("timestamp"), col("value").as("open"), col("value").as("high"),
       col("value").as("low"), col("value").as("close"), col("value").as("volume"))
 
+  /** Per-(event_type, day) value sum — the shared input of the indicator
+    * queries (returns/vol/bollinger/rsi/ema). Exact decimal sum → double.
+    */
+  private def dailyByType(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("d"))
+      .agg(Fns.exactSum(col("value")).as("x"))
+
+  /** Per-(event_type, day) OHLCV candle — input of the ATR/OBV indicators.
+    * `ts` is unique in the corpus, so first/last need no tie-break.
+    */
+  private def ohlcByType(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("d"))
+      .agg(min_by(col("value"), col("ts")).as("open"), max(col("value")).as("high"),
+        min(col("value")).as("low"), max_by(col("value"), col("ts")).as("close"),
+        Fns.exactSum(col("value")).as("volume"))
+
   private def candles(s: SparkSession, dir: String, freq: String): DataFrame =
     Transforms.aggregate(candleInput(s, dir), freq, exactSums = true).orderBy("timestamp")
 
@@ -171,6 +189,25 @@ object SparkEntry {
       Queries.vwap(lineitem(s, dir), "l_extendedprice", "l_quantity",
         date_trunc("MONTH", col("l_shipdate")), Seq("l_returnflag"))
         .orderBy("bucket", "l_returnflag")),
+
+    // --- technical indicators (per-symbol daily series) -----------------
+    "q_bollinger" -> ((s, dir) =>
+      Queries.bollinger(dailyByType(s, dir), "d", "x", n = 7, k = 2.0,
+        partitionCols = Seq("event_type"))
+        .select("event_type", "d", "x", "mid", "sd", "upper", "lower")
+        .orderBy("event_type", "d")),
+    "q_rsi" -> ((s, dir) =>
+      Queries.rsi(dailyByType(s, dir), "d", "x", n = 7, partitionCols = Seq("event_type"))
+        .select("event_type", "d", "x", "rsi").orderBy("event_type", "d")),
+    "q_atr" -> ((s, dir) =>
+      Queries.atr(ohlcByType(s, dir), "d", n = 7, partitionCols = Seq("event_type"))
+        .select("event_type", "d", "tr", "atr").orderBy("event_type", "d")),
+    "q_obv" -> ((s, dir) =>
+      Queries.obv(ohlcByType(s, dir), "d", partitionCols = Seq("event_type"))
+        .select("event_type", "d", "close", "volume", "obv").orderBy("event_type", "d")),
+    "q_ema" -> ((s, dir) =>
+      Queries.ema(dailyByType(s, dir), "d", "x", terms = 24, partitionCols = Seq("event_type"))
+        .select("event_type", "d", "x", "ema").orderBy("event_type", "d")),
 
     // --- relational extensions ------------------------------------------
     "q_revenue_by_nation" -> ((s, dir) =>
@@ -350,6 +387,10 @@ object SparkEntry {
     // --- dataset curation: splits / sampling / quality gate ----------------
     "q_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(documents(s, dir), "text", 50)),
+    "q_top_bigrams" -> ((s, dir) =>
+      TextAnalysis.topBigrams(documents(s, dir), "text", "doc_id", 50)),
+    "q_doc_rarity" -> ((s, dir) =>
+      TextAnalysis.docRarity(documents(s, dir), "text", "doc_id").orderBy("doc_id")),
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(documents(s, dir), "text", "doc_id", n = 3)
         .orderBy("doc_id")),
@@ -536,6 +577,30 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }),
 
+    // streaming ingest dedup under the gate: dropDuplicatesWithinWatermark on
+    // the (user_id, event_type) key with AvailableNow — only key columns are
+    // emitted, so WHICH duplicate survives is unobservable and the output is
+    // exactly the batch DISTINCT the oracle states
+    "q_stream_dedup" -> ((s, dir) => {
+      tune(s)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val raw = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val stream =
+          if (rawSchema("ts").dataType == LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        graft.streaming.Streaming.runToMemory(s,
+          graft.streaming.Streaming.dedupStream(stream, Seq("user_id", "event_type"), "ts")
+            .select("user_id", "event_type"),
+          "stream_dedup_q", org.apache.spark.sql.streaming.OutputMode.Append())
+          .orderBy("user_id", "event_type")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }),
+
     // custom-state streaming sessionization under the hard gate: with
     // AvailableNow + a 0s watermark delay, the event-time timeout fires for
     // exactly the sessions whose close horizon (end + gap) the final
@@ -704,6 +769,40 @@ object SparkEntry {
 
   /** SQL string literal escape for embedded payload fixtures. */
   private def sqlLit(s: String): String = s.replace("'", "''")
+
+  /** DuckDB mirrors of [[dailyByType]] / [[ohlcByType]] — shared by the
+    * technical-indicator oracles.
+    */
+  private val dailyByTypeSql =
+    "SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, " +
+      "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS x FROM events GROUP BY 1, 2"
+  private val ohlcByTypeSql =
+    "SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, " +
+      "arg_min(value, ts) AS open, max(value) AS high, min(value) AS low, " +
+      "arg_max(value, ts) AS close, " +
+      "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS volume FROM events GROUP BY 1, 2"
+
+  /** The [[graft.operators.Queries.ema]] oracle, generated to mirror the Spark
+    * lag-chain term for term: α = 1/2 weights are exact binary fractions
+    * (BigDecimal pow is exact), additions appear in the same k-order, so the
+    * division's operands are bit-identical in both engines.
+    */
+  private val emaSql: String = {
+    val terms = (0 until 24).map { k =>
+      // "...e0" suffix: the literal parses as DOUBLE, keeping the whole chain
+      // in IEEE double. A plain decimal literal would unify the den chain to
+      // DECIMAL(30,23), whose int128/10^23 → double conversion is inexact
+      // (10^23 is not a representable double), breaking last-ulp parity.
+      val w = (if (k == 0) "1.0" else new java.math.BigDecimal("0.5").pow(k).toPlainString) + "e0"
+      val xk = if (k == 0) "x" else s"lag(x, $k) OVER o"
+      (s"CASE WHEN $xk IS NOT NULL THEN $xk * $w ELSE 0.0e0 END",
+        s"CASE WHEN $xk IS NOT NULL THEN $w ELSE 0.0e0 END")
+    }
+    val num = terms.map(_._1).mkString(" + ")
+    val den = terms.map(_._2).mkString(" + ")
+    s"WITH a AS ($dailyByTypeSql) SELECT event_type, d, x, ($num) / ($den) AS ema " +
+      "FROM a WINDOW o AS (PARTITION BY event_type ORDER BY d) ORDER BY event_type, d"
+  }
 
   /** DuckDB word-tokenization fragment shared by the dedup oracles (must stay
     * semantically identical to [[Dedup.tokens]]).
@@ -952,6 +1051,60 @@ object SparkEntry {
         | CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE) /
         |   CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS vwap
         | FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", ""),
+    "q_bollinger" ->
+      s"""WITH a AS ($dailyByTypeSql),
+        | s AS (SELECT event_type, d, x, row_number() OVER o AS rn,
+        |   CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+        |   CAST(SUM(CAST(x AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sx,
+        |   CAST(SUM(CAST(x * x AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sxx
+        |   FROM a WINDOW o AS (PARTITION BY event_type ORDER BY d),
+        |     w AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        | m AS (SELECT event_type, d, x, sx / n AS mid,
+        |   sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS sd FROM s WHERE rn >= 7)
+        | SELECT event_type, d, x, mid, sd, mid + 2.0 * sd AS upper, mid - 2.0 * sd AS lower
+        | FROM m ORDER BY event_type, d""".stripMargin.replace("\n", ""),
+    "q_rsi" ->
+      s"""WITH a AS ($dailyByTypeSql),
+        | dd AS (SELECT event_type, d, x,
+        |   x - lag(x) OVER (PARTITION BY event_type ORDER BY d) AS diff FROM a),
+        | g AS (SELECT event_type, d, x,
+        |   CASE WHEN diff > 0 THEN diff ELSE 0.0 END AS gn,
+        |   CASE WHEN diff < 0 THEN -diff ELSE 0.0 END AS ls FROM dd),
+        | s AS (SELECT event_type, d, x, row_number() OVER o AS rn,
+        |   CAST(SUM(CAST(gn AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sg,
+        |   CAST(SUM(CAST(ls AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sl
+        |   FROM g WINDOW o AS (PARTITION BY event_type ORDER BY d),
+        |     w AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        | SELECT event_type, d, x,
+        |   CASE WHEN sg + sl > 0 THEN 100.0 * sg / (sg + sl) END AS rsi
+        | FROM s WHERE rn >= 8 ORDER BY event_type, d""".stripMargin.replace("\n", ""),
+    "q_atr" ->
+      s"""WITH a AS ($ohlcByTypeSql),
+        | t AS (SELECT event_type, d, high, low, close,
+        |   lag(close) OVER (PARTITION BY event_type ORDER BY d) AS pc FROM a),
+        | trs AS (SELECT event_type, d,
+        |   CASE WHEN pc IS NULL THEN high - low
+        |     ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END AS tr FROM t),
+        | s AS (SELECT event_type, d, tr, row_number() OVER o AS rn,
+        |   CAST(SUM(CAST(tr AS DECIMAL(30,6))) OVER w AS DOUBLE) AS st,
+        |   CAST(COUNT(*) OVER w AS DOUBLE) AS n
+        |   FROM trs WINDOW o AS (PARTITION BY event_type ORDER BY d),
+        |     w AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        | SELECT event_type, d, tr, st / n AS atr
+        | FROM s WHERE rn >= 7 ORDER BY event_type, d""".stripMargin.replace("\n", ""),
+    "q_obv" ->
+      s"""WITH a AS ($ohlcByTypeSql),
+        | t AS (SELECT event_type, d, close, volume,
+        |   lag(close) OVER (PARTITION BY event_type ORDER BY d) AS pc FROM a),
+        | dd AS (SELECT event_type, d, close, volume,
+        |   CASE WHEN pc IS NULL THEN 0.0 WHEN close > pc THEN 1.0
+        |     WHEN close < pc THEN -1.0 ELSE 0.0 END AS dir FROM t)
+        | SELECT event_type, d, close, volume,
+        |   CAST(SUM(CAST(dir * volume AS DECIMAL(30,6)))
+        |     OVER (PARTITION BY event_type ORDER BY d
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS obv
+        | FROM dd ORDER BY event_type, d""".stripMargin.replace("\n", ""),
+    "q_ema" -> emaSql,
     "q_revenue_by_nation" ->
       """SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_items
@@ -1147,6 +1300,21 @@ object SparkEntry {
       s"""SELECT token, COUNT(*) AS n
          | FROM (SELECT UNNEST($dedupWords) AS token FROM documents)
          | GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin.replace("\n", ""),
+    "q_top_bigrams" ->
+      s"""SELECT bigram, COUNT(*) AS n
+         | FROM (SELECT UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+         |   FROM (SELECT $dedupWords AS t FROM documents))
+         | GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin.replace("\n", ""),
+    "q_doc_rarity" ->
+      s"""WITH tok AS (SELECT doc_id, UNNEST($dedupWords) AS token FROM documents),
+         | vocab AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+         | ranked AS (SELECT token, freq,
+         |   row_number() OVER (ORDER BY freq DESC, token ASC) AS rnk FROM vocab)
+         | SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT t.token) AS n_unique,
+         |   CAST(SUM(rnk) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_rank,
+         |   MIN(freq) AS min_freq
+         | FROM tok t JOIN ranked r ON t.token = r.token
+         | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "q_repetition" -> {
       val sl = s"""CASE WHEN len(ws) - 2 <= 0 THEN [array_to_string(ws, ' ')]
                   | ELSE list_transform(range(0, len(ws) - 2), i -> array_to_string(list_slice(ws, i + 1, i + 3), ' ')) END""".stripMargin.replace("\n", "")
@@ -1329,6 +1497,8 @@ object SparkEntry {
     // precision (epoch_ms floors the µs component exactly like Spark's
     // event-time stats); session_value replays the stream's ts-ordered
     // sequential double accumulation via list_reduce.
+    "q_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
     "q_stream_sessions" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         | flagged AS (SELECT user_id, ts, value,

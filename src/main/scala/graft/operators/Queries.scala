@@ -183,6 +183,136 @@ object Queries {
       .drop("__rn", "__n", "__sx", "__sxx")
   }
 
+  /** Bollinger bands: n-row moving mean ± k·(sample stddev), both from exact
+    * decimal power sums (one shared bounded frame), so every band value is
+    * bit-identical to the oracle. Rows with a not-yet-full window are dropped.
+    *
+    * Scale: same shape as [[rollingVolatility]] — one key shuffle, O(n) frame
+    * state; `mid`/`sd`/bands are all derived from two windowed sums.
+    */
+  def bollinger(
+      df: DataFrame, orderCol: String, valueCol: String, n: Int, k: Double = 2.0,
+      partitionCols: Seq[String] = Seq.empty): DataFrame = {
+    val dec = DecimalType(30, 6)
+    val base = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w = base.rowsBetween(-(n - 1), Window.currentRow)
+    val x = col(valueCol).cast(DoubleType)
+    df.withColumn("__rn", row_number().over(base))
+      .withColumn("__n", count(lit(1)).over(w).cast(DoubleType))
+      .withColumn("__sx", sum(x.cast(dec)).over(w).cast(DoubleType))
+      .withColumn("__sxx", sum((x * x).cast(dec)).over(w).cast(DoubleType))
+      .filter(col("__rn") >= n)
+      .withColumn("mid", col("__sx") / col("__n"))
+      .withColumn("sd",
+        sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")) /
+          (col("__n") * (col("__n") - 1))))
+      .withColumn("upper", col("mid") + lit(k) * col("sd"))
+      .withColumn("lower", col("mid") - lit(k) * col("sd"))
+      .drop("__rn", "__n", "__sx", "__sxx")
+  }
+
+  /** Relative Strength Index, Cutler's variant (simple n-row averages of gains
+    * and losses rather than Wilder's recursive smoothing — window-expressible,
+    * so it stays inside one codegen'd Window node and is oracle-exact).
+    * `rsi = 100·Σgain / (Σgain + Σloss)`, null until n diffs exist and when the
+    * window is flat (Σgain+Σloss = 0 ⇒ division yields null, both engines).
+    */
+  def rsi(df: DataFrame, orderCol: String, valueCol: String, n: Int,
+      partitionCols: Seq[String] = Seq.empty, outCol: String = "rsi"): DataFrame = {
+    val dec = DecimalType(30, 6)
+    val base = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w = base.rowsBetween(-(n - 1), Window.currentRow)
+    val x = col(valueCol).cast(DoubleType)
+    val diff = x - lag(x, 1).over(base)
+    // Materialize the diff before the windowed sums (window-in-window is
+    // illegal in both engines); CASE-form (not greatest()) so null first-diffs
+    // fold to 0 identically in Spark and the oracle.
+    df.withColumn("__diff", diff)
+      .withColumn("__g", when(col("__diff") > 0, col("__diff")).otherwise(lit(0.0)))
+      .withColumn("__l", when(col("__diff") < 0, -col("__diff")).otherwise(lit(0.0)))
+      .withColumn("__rn", row_number().over(base))
+      .withColumn("__sg", sum(col("__g").cast(dec)).over(w).cast(DoubleType))
+      .withColumn("__sl", sum(col("__l").cast(dec)).over(w).cast(DoubleType))
+      .filter(col("__rn") >= n + 1)
+      .withColumn(outCol,
+        when(col("__sg") + col("__sl") > 0, lit(100.0) * col("__sg") / (col("__sg") + col("__sl"))))
+      .drop("__diff", "__g", "__l", "__rn", "__sg", "__sl")
+  }
+
+  /** Average True Range over OHLC rows: `tr = max(high−low, |high−prevClose|,
+    * |low−prevClose|)` (high−low alone on the first row of a key), then an
+    * n-row exact-decimal moving mean. One key shuffle shared by the lag and
+    * the bounded frame.
+    */
+  def atr(df: DataFrame, orderCol: String, n: Int,
+      partitionCols: Seq[String] = Seq.empty,
+      highCol: String = "high", lowCol: String = "low", closeCol: String = "close"): DataFrame = {
+    val dec = DecimalType(30, 6)
+    val base = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w = base.rowsBetween(-(n - 1), Window.currentRow)
+    val h = col(highCol).cast(DoubleType)
+    val l = col(lowCol).cast(DoubleType)
+    val pc = lag(col(closeCol).cast(DoubleType), 1).over(base)
+    val tr = when(pc.isNull, h - l).otherwise(greatest(h - l, abs(h - pc), abs(l - pc)))
+    df.withColumn("tr", tr)
+      .withColumn("__rn", row_number().over(base))
+      .withColumn("__st", sum(col("tr").cast(dec)).over(w).cast(DoubleType))
+      .withColumn("__n", count(lit(1)).over(w).cast(DoubleType))
+      .filter(col("__rn") >= n)
+      .withColumn("atr", col("__st") / col("__n"))
+      .drop("__rn", "__st", "__n")
+  }
+
+  /** On-Balance Volume: cumulative `sign(close − prevClose)·volume` per key,
+    * accumulated in exact decimal so the running sum is order-independent and
+    * oracle-identical. Bounded-state running frame on the one key shuffle.
+    */
+  def obv(df: DataFrame, orderCol: String, partitionCols: Seq[String] = Seq.empty,
+      closeCol: String = "close", volCol: String = "volume"): DataFrame = {
+    val dec = DecimalType(30, 6)
+    val base = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = col(closeCol).cast(DoubleType)
+    val prev = lag(c, 1).over(base)
+    val dir = when(prev.isNull, lit(0.0)).when(c > prev, lit(1.0))
+      .when(c < prev, lit(-1.0)).otherwise(lit(0.0))
+    df.withColumn("__d", dir)
+      .withColumn("obv",
+        sum((col("__d") * col(volCol).cast(DoubleType)).cast(dec)).over(run).cast(DoubleType))
+      .drop("__d")
+  }
+
+  /** Exponentially-weighted moving average, adjusted form with α = 1/2 and the
+    * weight tail truncated at `terms` lags:
+    * `ema_t = Σ_{k<terms} 2^(−k)·x_(t−k) / Σ_{k<terms} 2^(−k)` (missing lags —
+    * the start of a key — drop out of numerator AND denominator, the pandas
+    * `ewm(adjust=True)` convention). α = 1/2 makes every weight an exact
+    * binary fraction, and `x·2^(−k)` is exact exponent scaling, so with the
+    * additions emitted in the same k-order in both engines the result is
+    * bit-identical — no tolerance needed for an oracle on an inherently
+    * recursive statistic. Truncation error vs the untruncated EWM is ≤2^(−terms).
+    *
+    * Scale: `terms` lags over one shared window spec → a single Window node
+    * with O(terms) state per key; one key shuffle, fully codegen'd — the
+    * linear-recurrence alternative (segmented affine scan) is not needed at
+    * this weight decay because the tail vanishes below double precision by
+    * k = 53.
+    */
+  def ema(df: DataFrame, orderCol: String, valueCol: String, terms: Int = 24,
+      partitionCols: Seq[String] = Seq.empty, outCol: String = "ema"): DataFrame = {
+    val base = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val x = col(valueCol).cast(DoubleType)
+    val lags = (0 until terms).map { k =>
+      val xk = if (k == 0) x else lag(x, k).over(base)
+      val wk = lit(math.pow(0.5, k))
+      (when(xk.isNotNull, xk * wk).otherwise(lit(0.0)),
+       when(xk.isNotNull, wk).otherwise(lit(0.0)))
+    }
+    val num = lags.map(_._1).reduceLeft(_ + _)
+    val den = lags.map(_._2).reduceLeft(_ + _)
+    df.withColumn(outCol, num / den)
+  }
+
   /** Align two series of a tall (timeKey, seriesKey, value) frame into
     * (timeKey, x, y) rows via an inner self-equi-join on the time key.
     * With a pre-aggregated per-key frame this is a 1:1 equi-join; Catalyst

@@ -207,6 +207,79 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------------------
+  // Corpus n-gram statistics and rarity scoring
+  // ---------------------------------------------------------------------------
+
+  /** Corpus-wide top-k bigram counts. Bigrams are formed distributively —
+    * posexplode (narrow) then `lead(token)` on the (doc, position) window —
+    * rather than with an interpreted array lambda, so the token pairing stays
+    * inside codegen.
+    *
+    * Scale: one shuffle keyed on doc id to order positions (bounded frames,
+    * key = document so skew is bounded by max doc length), then the canonical
+    * count shuffle with map-side partial aggregation; top-k is a driver-bounded
+    * `limit`.
+    */
+  def topBigrams(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("__id"),
+      posexplode(Dedup.tokens(col(textCol))).as(Seq("__pos", "token")))
+    val w = Window.partitionBy("__id").orderBy("__pos")
+    toks.withColumn("__next", lead(col("token"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .select(concat_ws(" ", col("token"), col("__next")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(k)
+  }
+
+  /** Per-document token-rarity profile: every token's corpus frequency rank
+    * (1 = most frequent, ties broken by token text — a deterministic integer
+    * domain, unlike log-probabilities whose libm rounding differs across
+    * engines), aggregated per document into mean rank, unique-token count and
+    * the rarest token's corpus frequency. The rarity rank is the integer
+    * backbone of a unigram LM score: `rank ≈ exp(surprisal)` order-equivalent
+    * under Zipf, with none of the float-parity risk.
+    *
+    * Scale: the global (freq desc, token asc) rank over the vocabulary uses
+    * the same two-level row_number as [[graft.operators.Sampling.deterministicShuffle]]
+    * — rank within (freq, token-prefix) groups plus broadcast cumulative
+    * offsets — so no single-task vocabulary sort exists even at web-corpus
+    * vocabulary sizes, and the freq=1 Zipf tail (half the vocabulary in one
+    * frequency class) is split across prefix groups instead of one task.
+    * The ranked vocabulary is Zipf-small and broadcast back to the token
+    * stream.
+    */
+  def docRarity(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("freq"))
+    // Two-level global rank by (freq desc, token asc): group = (freq, 1-char
+    // token prefix); within-group row_number + cumulative group offsets.
+    val grouped = vocab.withColumn("__pfx", substring(col("token"), 1, 1))
+    val wIn = Window.partitionBy(col("freq"), col("__pfx")).orderBy(col("token"))
+    val local = grouped.withColumn("__rn", row_number().over(wIn).cast(LongType))
+    val wCarry = Window.orderBy(col("freq").desc, col("__pfx").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = grouped.groupBy(col("freq"), col("__pfx"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wCarry), lit(0L)))
+      .select(col("freq"), col("__pfx"), col("__off"))
+    val ranked = local.join(broadcast(carries), Seq("freq", "__pfx"))
+      .withColumn("rank", col("__off") + col("__rn"))
+      .select(col("token"), col("freq"), col("rank"))
+    // No broadcast hint on the vocabulary join: it is Zipf-small at test SF
+    // (AQE broadcasts it), but at web-corpus scale a 10^7-token vocabulary
+    // belongs in a shuffle join — AQE decides from runtime stats.
+    tok.join(ranked, Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+        countDistinct(col("token")).as("n_unique"),
+        (sum(col("rank")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("mean_rank"),
+        min(col("freq")).as("min_freq"))
+  }
+
+  // ---------------------------------------------------------------------------
   // Document fingerprinting
   // ---------------------------------------------------------------------------
 

@@ -84,6 +84,51 @@ class QueriesSpec extends SparkSpec {
     out shouldBe Seq(("m1", (10.0 * 1 + 20.0 * 3) / 4.0), ("m2", 5.0))
   }
 
+  test("bollinger: mean ± k·sd over the full window, partial windows dropped") {
+    val df = (1 to 5).map(i => ("k", i, i.toDouble)).toDF("sym", "t", "x")
+    val out = rows(Queries.bollinger(df, "t", "x", n = 3, k = 2.0, partitionCols = Seq("sym"))
+      .orderBy("t").select("mid", "sd", "upper", "lower"))
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // windows [1,2,3],[2,3,4],[3,4,5]: sample sd = 1 in each
+    out shouldBe Seq((2.0, 1.0, 4.0, 0.0), (3.0, 1.0, 5.0, 1.0), (4.0, 1.0, 6.0, 2.0))
+  }
+
+  test("rsi (Cutler): 100·Σgain/(Σgain+Σloss) over n diffs") {
+    val df = Seq(("k", 1, 1.0), ("k", 2, 2.0), ("k", 3, 3.0), ("k", 4, 2.0), ("k", 5, 4.0))
+      .toDF("sym", "t", "x")
+    val out = rows(Queries.rsi(df, "t", "x", n = 3, partitionCols = Seq("sym"))
+      .orderBy("t").select("rsi")).map(_.getDouble(0))
+    out.size shouldBe 2 // first n rows lack a full diff window
+    out.head shouldBe 100.0 * 2 / 3 +- 1e-12 // gains 1,1,0 / losses 0,0,1
+    out(1) shouldBe 75.0 +- 1e-12 // gains 1,0,2 / losses 0,1,0
+  }
+
+  test("atr: true range uses prev close, first row falls back to high-low") {
+    val df = Seq(("k", 1, 10.0, 8.0, 9.0), ("k", 2, 12.0, 9.0, 11.0), ("k", 3, 11.0, 7.0, 8.0))
+      .toDF("sym", "t", "high", "low", "close")
+    val out = rows(Queries.atr(df, "t", n = 2, partitionCols = Seq("sym"))
+      .orderBy("t").select("tr", "atr")).map(r => (r.getDouble(0), r.getDouble(1)))
+    // tr = 2, 3, 4 (row2: max(3, |12-9|, |9-9|); row3: max(4, 0, |7-11|))
+    out shouldBe Seq((3.0, 2.5), (4.0, 3.5))
+  }
+
+  test("obv accumulates sign(close diff)·volume, 0 on the first row") {
+    val df = Seq(("k", 1, 9.0, 1.0), ("k", 2, 11.0, 2.0), ("k", 3, 8.0, 3.0))
+      .toDF("sym", "t", "close", "volume")
+    val out = rows(Queries.obv(df, "t", partitionCols = Seq("sym"))
+      .orderBy("t").select("obv")).map(_.getDouble(0))
+    out shouldBe Seq(0.0, 2.0, -1.0)
+  }
+
+  test("ema: adjusted α=1/2 weighting, missing lags drop from num and den") {
+    val df = Seq(("k", 1, 1.0), ("k", 2, 2.0), ("k", 3, 3.0)).toDF("sym", "t", "x")
+    val out = rows(Queries.ema(df, "t", "x", terms = 3, partitionCols = Seq("sym"))
+      .orderBy("t").select("ema")).map(_.getDouble(0))
+    out.head shouldBe 1.0
+    out(1) shouldBe 2.5 / 1.5 +- 1e-15 // (2 + 0.5·1)/(1 + 0.5)
+    out(2) shouldBe 4.25 / 1.75 +- 1e-15 // (3 + 0.5·2 + 0.25·1)/1.75
+  }
+
   test("unionAll tolerates missing columns (unionByName allowMissing)") {
     val a = Seq((1L, "x")).toDF("id", "a_only")
     val b = Seq((2L, 5.0)).toDF("id", "b_only")

@@ -62,4 +62,47 @@ class TextAnalysisSpec extends SparkSpec {
     out(0) shouldBe out(1)
     out(0) should not be out(2)
   }
+
+  test("topBigrams counts adjacent token pairs across documents") {
+    val df = Seq((1L, "a b a b"), (2L, "b a"), (3L, "solo")).toDF("doc_id", "text")
+    val out = rows(TextAnalysis.topBigrams(df, "text", "doc_id", 10))
+      .map(r => (r.getString(0), r.getLong(1)))
+    // doc1: "a b","b a","a b"; doc2: "b a"; doc3: no bigram
+    out shouldBe Seq(("a b", 2L), ("b a", 2L))
+  }
+
+  test("docRarity ranks the vocabulary by (freq desc, token asc) and aggregates per doc") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = rows(TextAnalysis.docRarity(df, "text", "doc_id").orderBy("doc_id"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // vocab: a→2, b→2, c→1; ranks: a=1, b=2, c=3
+    out shouldBe Seq((1L, 3L, 2L, 4.0 / 3, 2L), (2L, 2L, 2L, 2.5, 1L))
+  }
+
+  test("docRarity two-level rank equals the single-window global rank") {
+    // 40 docs of varied content: the (freq, prefix)-grouped rank with carry
+    // offsets must reproduce row_number() over (freq desc, token asc) exactly.
+    val docs = (1L to 40L).map(i => (i, s"w${i % 7} w${i % 11} w${i % 13} shared"))
+    val df = docs.toDF("doc_id", "text")
+    val tok = df.select(col("doc_id"), explode(graft.operators.Dedup.tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token").asc)
+    val direct = rows(vocab.withColumn("r", row_number().over(w)).orderBy("token"))
+      .map(r => (r.getString(0), r.getInt(2).toLong)).toMap
+    // reach the ranked vocabulary through the public aggregate: mean_rank of a
+    // one-token doc equals that token's global rank
+    val probes = direct.keys.toSeq.sorted
+    val probeDf = probes.zipWithIndex.map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text")
+    val ranked = rows(TextAnalysis.docRarity(df.unionByName(probeDf), "text", "doc_id")
+      .filter(col("doc_id") >= 1000L).orderBy("doc_id")).map(_.getDouble(3))
+    // adding the probe docs shifts every freq by one but preserves order;
+    // recompute the direct rank on the union for the comparison
+    val tok2 = df.unionByName(probeDf)
+      .select(col("doc_id"), explode(graft.operators.Dedup.tokens(col("text"))).as("token"))
+    val direct2 = rows(tok2.groupBy("token").agg(count(lit(1)).as("freq"))
+      .withColumn("r", row_number().over(w)).orderBy("token"))
+      .map(r => (r.getString(0), r.getInt(2).toLong)).toMap
+    ranked shouldBe probes.map(t => direct2(t).toDouble)
+  }
 }
