@@ -87,6 +87,15 @@ object ScaleProbe {
         Dedup.contentIndex(docs.filter(col("doc_id") % 3 === 0), "text"),
         "text", "doc_id").count()
     }
+    time("top_bigrams") {
+      graft.operators.TextAnalysis.topBigrams(docs, "text", "doc_id", 50).count()
+    }
+    time("doc_rarity") {
+      // replication multiplies every freq by k but the two-level vocabulary
+      // rank must stay task-bounded: the freq=1 class vanishes, the (freq,
+      // prefix) groups grow in COUNT not size
+      graft.operators.TextAnalysis.docRarity(docs, "text", "doc_id").count()
+    }
     spark.stop()
   }
 }

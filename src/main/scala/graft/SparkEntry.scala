@@ -208,6 +208,42 @@ object SparkEntry {
     "q_ema" -> ((s, dir) =>
       Queries.ema(dailyByType(s, dir), "d", "x", terms = 24, partitionCols = Seq("event_type"))
         .select("event_type", "d", "x", "ema").orderBy("event_type", "d")),
+    "q_stoch" -> ((s, dir) =>
+      Queries.stochasticK(ohlcByType(s, dir), "d", n = 7, partitionCols = Seq("event_type"))
+        .select("event_type", "d", "hh", "ll", "pct_k").orderBy("event_type", "d")),
+    "q_corr_matrix" -> ((s, dir) =>
+      Queries.correlationMatrix(dailyByType(s, dir), "event_type", "d", "x")
+        .orderBy("a", "b")),
+    // winsorization: clip to per-key exact interpolated percentiles — the
+    // percentile agg is a distributed exact quantile (sort-free at this
+    // cardinality via Spark's percentile buffer), the 5-row bound table
+    // broadcasts back
+    "q_winsorize" -> ((s, dir) => {
+      val e = events(s, dir).select("event_id", "event_type", "value")
+      val pct = e.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.05)).as("p05"),
+          percentile(col("value"), lit(0.95)).as("p95"))
+      e.join(broadcast(pct), Seq("event_type"))
+        .withColumn("clipped",
+          when(col("value") < col("p05"), col("p05"))
+            .when(col("value") > col("p95"), col("p95")).otherwise(col("value")))
+        .select("event_id", "event_type", "value", "p05", "p95", "clipped")
+        .orderBy("event_id")
+    }),
+    // per-column data-quality profile (null + distinct counts) in ONE pass:
+    // a single aggregate row unpivoted by stack()
+    "q_data_profile" -> ((s, dir) => {
+      val e = events(s, dir)
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      val aggs = cols.flatMap { c =>
+        Seq((count(lit(1)) - count(col(c))).as(s"null_$c"),
+          countDistinct(col(c)).as(s"dist_$c"))
+      }
+      val one = e.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c => s"'$c', null_$c, dist_$c").mkString(", ")
+      one.selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct)")
+        .orderBy("col_name")
+    }),
 
     // --- relational extensions ------------------------------------------
     "q_revenue_by_nation" -> ((s, dir) =>
@@ -506,6 +542,19 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy("o_orderstatus")
     }),
+    "q_source_health" -> ((s, dir) =>
+      documents(s, dir)
+        .withColumn("__h", TextAnalysis.contentHash(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("__h")).as("n_unique"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum("n_chars").as("total_chars"))
+        .withColumn("dup_rate",
+          (col("n_docs") - col("n_unique")).cast(DoubleType) / col("n_docs").cast(DoubleType))
+        .withColumn("mean_chars",
+          col("total_chars").cast(DoubleType) / col("n_docs").cast(DoubleType))
+        .orderBy("source")),
     "q_corpus_stats" -> ((s, dir) =>
       documents(s, dir).groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -1105,6 +1154,43 @@ object SparkEntry {
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS obv
         | FROM dd ORDER BY event_type, d""".stripMargin.replace("\n", ""),
     "q_ema" -> emaSql,
+    "q_stoch" ->
+      s"""WITH a AS ($ohlcByTypeSql),
+        | s AS (SELECT event_type, d, close, row_number() OVER o AS rn,
+        |   max(high) OVER w AS hh, min(low) OVER w AS ll
+        |   FROM a WINDOW o AS (PARTITION BY event_type ORDER BY d),
+        |     w AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        | SELECT event_type, d, hh, ll,
+        |   CASE WHEN hh > ll THEN 100.0 * (close - ll) / (hh - ll) END AS pct_k
+        | FROM s WHERE rn >= 7 ORDER BY event_type, d""".stripMargin.replace("\n", ""),
+    "q_corr_matrix" ->
+      s"""WITH dd AS ($dailyByTypeSql),
+        | j AS (SELECT l.event_type AS a, r.event_type AS b, l.x AS xa, r.x AS xb
+        |   FROM dd l JOIN dd r ON l.d = r.d WHERE l.event_type < r.event_type),
+        | s AS (SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS n,
+        |   CAST(SUM(CAST(xa AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+        |   CAST(SUM(CAST(xb AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+        |   CAST(SUM(CAST(xa * xb AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+        |   CAST(SUM(CAST(xa * xa AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+        |   CAST(SUM(CAST(xb * xb AS DECIMAL(30,6))) AS DOUBLE) AS syy
+        |   FROM j GROUP BY a, b)
+        | SELECT a, b,
+        |   (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
+        | FROM s ORDER BY a, b""".stripMargin.replace("\n", ""),
+    "q_winsorize" ->
+      """WITH p AS (SELECT event_type, quantile_cont(value, 0.05) AS p05,
+        |   quantile_cont(value, 0.95) AS p95 FROM events GROUP BY event_type)
+        | SELECT event_id, e.event_type, value, p05, p95,
+        |   CASE WHEN value < p05 THEN p05 WHEN value > p95 THEN p95 ELSE value END AS clipped
+        | FROM events e JOIN p ON e.event_type = p.event_type
+        | ORDER BY event_id""".stripMargin.replace("\n", ""),
+    "q_data_profile" -> {
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      cols.map { c =>
+        s"SELECT '$c' AS col_name, COUNT(*) - COUNT($c) AS n_null, " +
+          s"COUNT(DISTINCT $c) AS n_distinct FROM events"
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
     "q_revenue_by_nation" ->
       """SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_items
@@ -1478,6 +1564,15 @@ object SparkEntry {
         | COUNT(*) AS n_items
         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", ""),
+    "q_source_health" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        | COUNT(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_unique,
+        | COUNT(DISTINCT lang) AS n_langs,
+        | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        | CAST(COUNT(*) - COUNT(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS DOUBLE)
+        |   / CAST(COUNT(*) AS DOUBLE) AS dup_rate,
+        | CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars
+        | FROM documents GROUP BY source ORDER BY source""".stripMargin.replace("\n", ""),
     "q_corpus_stats" ->
       """SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
         | quantile_cont(n_chars, 0.5) AS median_chars, CAST(SUM(n_chars) AS BIGINT) AS total_chars

@@ -282,6 +282,59 @@ object Queries {
       .drop("__d")
   }
 
+  /** Stochastic oscillator %K: `100·(close − lowest low) / (highest high −
+    * lowest low)` over an n-row window; null while the window is short or
+    * flat (zero range). Rolling extrema are exact (no float accumulation), so
+    * the single division is the only rounding — oracle-identical.
+    */
+  def stochasticK(df: DataFrame, orderCol: String, n: Int,
+      partitionCols: Seq[String] = Seq.empty,
+      highCol: String = "high", lowCol: String = "low", closeCol: String = "close"): DataFrame = {
+    val base = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w = base.rowsBetween(-(n - 1), Window.currentRow)
+    val hh = max(col(highCol).cast(DoubleType)).over(w)
+    val ll = min(col(lowCol).cast(DoubleType)).over(w)
+    df.withColumn("__rn", row_number().over(base))
+      .withColumn("hh", hh).withColumn("ll", ll)
+      .filter(col("__rn") >= n)
+      .withColumn("pct_k",
+        when(col("hh") > col("ll"),
+          lit(100.0) * (col(closeCol).cast(DoubleType) - col("ll")) / (col("hh") - col("ll"))))
+      .drop("__rn")
+  }
+
+  /** Pairwise Pearson correlation matrix (upper triangle) of many series
+    * aligned on a time key: tall (key, time, x) input self-joined on time,
+    * then one partial-aggregable power-sum aggregation per (a, b) pair —
+    * the same exact-decimal formula as [[pearson]].
+    *
+    * Scale: the self-join is an equi-join on the time key (sort-merge or
+    * broadcast by AQE); with k series and T times the join emits T·k² rows —
+    * k is the number of SERIES (small), not data volume, and the aggregation
+    * shuffles only 5 numbers per pair.
+    */
+  def correlationMatrix(df: DataFrame, keyCol: String, timeCol: String,
+      valueCol: String): DataFrame = {
+    val dec = DecimalType(30, 6)
+    val l = df.select(col(keyCol).as("a"), col(timeCol).as("__t"), col(valueCol).cast(DoubleType).as("__xa"))
+    val r = df.select(col(keyCol).as("b"), col(timeCol).as("__t"), col(valueCol).cast(DoubleType).as("__xb"))
+    val x = col("__xa"); val y = col("__xb")
+    l.join(r, Seq("__t")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(
+        count(lit(1)).cast(DoubleType).as("__n"),
+        sum(x.cast(dec)).cast(DoubleType).as("__sx"),
+        sum(y.cast(dec)).cast(DoubleType).as("__sy"),
+        sum((x * y).cast(dec)).cast(DoubleType).as("__sxy"),
+        sum((x * x).cast(dec)).cast(DoubleType).as("__sxx"),
+        sum((y * y).cast(dec)).cast(DoubleType).as("__syy"))
+      .withColumn("r",
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+               (col("__n") * col("__syy") - col("__sy") * col("__sy"))))
+      .select("a", "b", "r")
+  }
+
   /** Exponentially-weighted moving average, adjusted form with α = 1/2 and the
     * weight tail truncated at `terms` lags:
     * `ema_t = Σ_{k<terms} 2^(−k)·x_(t−k) / Σ_{k<terms} 2^(−k)` (missing lags —

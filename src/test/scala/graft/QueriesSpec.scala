@@ -129,6 +129,31 @@ class QueriesSpec extends SparkSpec {
     out(2) shouldBe 4.25 / 1.75 +- 1e-15 // (3 + 0.5·2 + 0.25·1)/1.75
   }
 
+  test("stochasticK: %K from rolling extrema, null on a flat window") {
+    val df = Seq(("k", 1, 10.0, 5.0, 7.0), ("k", 2, 12.0, 6.0, 9.0), ("k", 3, 11.0, 8.0, 10.0),
+      ("f", 1, 5.0, 5.0, 5.0), ("f", 2, 5.0, 5.0, 5.0))
+      .toDF("sym", "t", "high", "low", "close")
+    val out = rows(Queries.stochasticK(df, "t", n = 2, partitionCols = Seq("sym"))
+      .orderBy("sym", "t").select("sym", "pct_k"))
+    // f: hh == ll -> null; k t2: 100·(9-5)/(12-5); k t3: 100·(10-6)/(12-6)
+    out.map(_.getString(0)) shouldBe Seq("f", "k", "k")
+    out.head.isNullAt(1) shouldBe true
+    out(1).getDouble(1) shouldBe 100.0 * 4 / 7 +- 1e-12
+    out(2).getDouble(1) shouldBe 100.0 * 4 / 6 +- 1e-12
+  }
+
+  test("correlationMatrix: upper triangle of pairwise r over aligned times") {
+    val tall = (1 to 4).flatMap { t =>
+      Seq(("x", t, t.toDouble), ("y", t, 2.0 * t), ("z", t, -1.0 * t))
+    }.toDF("series", "t", "v")
+    val out = rows(Queries.correlationMatrix(tall, "series", "t", "v").orderBy("a", "b"))
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    out.map(p => (p._1, p._2)) shouldBe Seq(("x", "y"), ("x", "z"), ("y", "z"))
+    out(0)._3 shouldBe 1.0 +- 1e-12
+    out(1)._3 shouldBe -1.0 +- 1e-12
+    out(2)._3 shouldBe -1.0 +- 1e-12
+  }
+
   test("unionAll tolerates missing columns (unionByName allowMissing)") {
     val a = Seq((1L, "x")).toDF("id", "a_only")
     val b = Seq((2L, 5.0)).toDF("id", "b_only")
