@@ -212,4 +212,10 @@ object GraftFunctions {
 
   def rollingFingerprint(tokens: Column): Column =
     GraftColumnBridge.column(RollingFingerprint(GraftColumnBridge.expression(tokens)))
+
+  /** Language-ID kernel over pre-lowercased text; `markers` is plan-time
+    * configuration (priority-ordered language -> marker words).
+    */
+  def langId(loweredText: Column, markers: Seq[(String, Seq[String])]): Column =
+    GraftColumnBridge.column(LangId(GraftColumnBridge.expression(loweredText), markers))
 }

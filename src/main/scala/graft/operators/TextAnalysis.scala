@@ -186,25 +186,20 @@ object TextAnalysis {
     "it" -> Seq("il", "di", "che", "è", "per", "con", "del", "sono", "una", "non")
   )
 
-  /** Predicted language: argmax over marker-word hit counts; `und`(etermined)
-    * when nothing matches. Pure expression — the word set is split once and the
-    * per-language counts are array intersections over it.
+  /** Predicted language: argmax over distinct-marker-word hit counts; ties
+    * break toward the earlier language in [[langMarkers]]; `und`(etermined)
+    * when nothing matches.
+    *
+    * One precompiled kernel pass ([[graft.expressions.LangId]]) over the
+    * Spark-`lower`ed text — the round-2..4 formulation (`split` +
+    * `array_intersect` per language) ran interpreted, with CollapseProject
+    * re-inlining the split into all five intersects: ~10 s at sf0.1 vs scan
+    * speed here. Semantics are identical (same tokenization regex class,
+    * distinct-token scoring, same tie-break), pinned by the unchanged DuckDB
+    * oracle.
     */
-  def langId(text: Column): Column = {
-    val words = array_distinct(filter(split(lower(text), "[^\\p{L}']+"), w => length(w) > 0))
-    val scored = langMarkers.map { case (lang, markers) =>
-      struct(size(array_intersect(words, array(markers.map(lit): _*))).as("score"), lit(lang).as("lang"))
-    }
-    // max by (score, then FIRST language in priority order): array_sort sorts
-    // struct lexicographically ascending; to prefer earlier languages on tie,
-    // scores are weighted by a descending epsilon-free integer priority: use
-    // (score, -index) packed as score*8 + (n-1-index).
-    val packed = scored.zipWithIndex.map { case (s, i) =>
-      struct((s.getField("score") * 8 + lit(langMarkers.size - 1 - i)).as("key"), s.getField("lang").as("lang"))
-    }
-    val best = element_at(reverse(array_sort(array(packed: _*))), 1)
-    when(best.getField("key") < 8, lit("und")).otherwise(best.getField("lang"))
-  }
+  def langId(text: Column): Column =
+    graft.expressions.GraftFunctions.langId(lower(text), langMarkers)
 
   // ---------------------------------------------------------------------------
   // Corpus n-gram statistics and rarity scoring
