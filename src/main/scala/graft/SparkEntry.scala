@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Fns
-import graft.operators.{AsofJoin, Dedup, Multimodal, Queries, Sessionize, Similarity, TextAnalysis, Transforms}
+import graft.operators.{AsofJoin, Dedup, Multimodal, Queries, Resample, Sessionize, Similarity, TextAnalysis, Transforms}
 import graft.sources.{CsvAutoLoader, JsonPayloads}
 
 /** Driver contract — every operator from SURVEY.md §2 (plus the
@@ -211,6 +211,17 @@ object SparkEntry {
     "q_stoch" -> ((s, dir) =>
       Queries.stochasticK(ohlcByType(s, dir), "d", n = 7, partitionCols = Seq("event_type"))
         .select("event_type", "d", "hh", "ll", "pct_k").orderBy("event_type", "d")),
+    // terms=40 ≥ series length (30 days) ⇒ the truncated EWMs are exact
+    "q_macd" -> ((s, dir) =>
+      Queries.macd(dailyByType(s, dir), "d", "x", terms = 40,
+        partitionCols = Seq("event_type"))
+        .select("event_type", "d", "x", "macd", "signal", "histogram")
+        .orderBy("event_type", "d")),
+    // calendar gap fill: events thinned 1-in-97 so day gaps actually exist
+    "q_gap_fill" -> ((s, dir) =>
+      Resample.gapFillDaily(events(s, dir).filter(col("event_id") % 97 === 0),
+        "ts", Seq("event_type"), "value")
+        .orderBy("event_type", "d")),
     "q_corr_matrix" -> ((s, dir) =>
       Queries.correlationMatrix(dailyByType(s, dir), "event_type", "d", "x")
         .orderBy("a", "b")),
@@ -274,6 +285,17 @@ object SparkEntry {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(Fns.exactSum(col("value")))
         .orderBy("day")),
+    // melt(pivot(daily)) == daily: the unpivot round-trips the wide matrix
+    // back to the tall frame, so the oracle is the plain daily aggregate
+    "q_unpivot_daily" -> ((s, dir) =>
+      Transforms.melt(
+        events(s, dir)
+          .groupBy(date_trunc("DAY", col("ts")).as("d"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(Fns.exactSum(col("value"))),
+        Seq("d"), Seq("click", "error", "purchase", "signup", "view"),
+        "event_type", "x")
+        .orderBy("event_type", "d")),
     "q1_pricing_summary" -> ((s, dir) => {
       val l = lineitem(s, dir)
       val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
@@ -457,6 +479,24 @@ object SparkEntry {
     "q_quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(documents(s, dir).select("doc_id", "text"), "text")
         .select(col("doc_id"), col("keep"), col("drop_reason")).orderBy("doc_id")),
+    // per-source absolute cap (domain quotas): at most 10 docs per source
+    "q_source_caps" -> ((s, dir) =>
+      graft.operators.Sampling.perKeyCap(
+        documents(s, dir).select("doc_id", "source"), Seq("source"), "doc_id", 10)
+        .orderBy("doc_id")),
+    // char-level entropy + distinct-char ratio quality signals (rounded —
+    // libm log differs across engines in the last ulp)
+    "q_char_entropy" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        round(TextAnalysis.charEntropy(col("text")), 6).as("entropy"),
+        (size(array_distinct(split(col("text"), ""))).cast(DoubleType) /
+          length(col("text")).cast(DoubleType)).as("distinct_char_ratio"))
+        .orderBy("doc_id")),
+    // self-trained add-one bigram LM fluency score (rounded mean ln p)
+    "q_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(documents(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("n_bigrams"), round(col("mean_lp"), 6).as("mean_lp"))
+        .orderBy("doc_id")),
 
     // --- training-data assembly: packing / mixture / tf-idf ----------------
     // distributed two-level prefix sum == the oracle's single global window
@@ -853,6 +893,43 @@ object SparkEntry {
       "FROM a WINDOW o AS (PARTITION BY event_type ORDER BY d) ORDER BY event_type, d"
   }
 
+  /** DuckDB mirror of [[Queries.ewma]] for arbitrary decay: embeds the SAME
+    * weight doubles ([[Queries.ewmWeights]], shortest-round-trip serialized —
+    * re-parsing yields the identical bits) with additions in the same
+    * ascending-k order, so the truncated EWM is bit-identical across engines.
+    */
+  private def ewmSqlExpr(xExpr: String, w: Double, terms: Int, win: String): String = {
+    val ws = Queries.ewmWeights(w, terms)
+    // plain decimal literals parse as DECIMAL in DuckDB → force DOUBLE via
+    // an e0 suffix; scientific-notation serializations are already DOUBLE
+    def dlit(d: Double): String = {
+      val s = d.toString
+      if (s.contains("E") || s.contains("e")) s else s + "e0"
+    }
+    val parts = (0 until terms).map { k =>
+      val wk = dlit(ws(k))
+      val xk = if (k == 0) xExpr else s"lag($xExpr, $k) OVER $win"
+      (s"CASE WHEN $xk IS NOT NULL THEN $xk * $wk ELSE 0.0e0 END",
+        s"CASE WHEN $xk IS NOT NULL THEN $wk ELSE 0.0e0 END")
+    }
+    s"(${parts.map(_._1).mkString(" + ")}) / (${parts.map(_._2).mkString(" + ")})"
+  }
+
+  /** MACD(12, 26, 9) over the daily frame — [[Queries.macd]]'s dual. */
+  private val macdSql: String = {
+    def decay(n: Int): Double = (n - 1.0) / (n + 1.0)
+    val fast = ewmSqlExpr("x", decay(12), 40, "o")
+    val slow = ewmSqlExpr("x", decay(26), 40, "o")
+    val sig = ewmSqlExpr("macd", decay(9), 40, "o2")
+    s"WITH a AS ($dailyByTypeSql), " +
+      s"m AS (SELECT event_type, d, x, $fast - $slow AS macd FROM a " +
+      "WINDOW o AS (PARTITION BY event_type ORDER BY d)), " +
+      s"s2 AS (SELECT event_type, d, x, macd, $sig AS signal FROM m " +
+      "WINDOW o2 AS (PARTITION BY event_type ORDER BY d)) " +
+      "SELECT event_type, d, x, macd, signal, macd - signal AS histogram " +
+      "FROM s2 ORDER BY event_type, d"
+  }
+
   /** DuckDB word-tokenization fragment shared by the dedup oracles (must stay
     * semantically identical to [[Dedup.tokens]]).
     */
@@ -1163,6 +1240,18 @@ object SparkEntry {
         | SELECT event_type, d, hh, ll,
         |   CASE WHEN hh > ll THEN 100.0 * (close - ll) / (hh - ll) END AS pct_k
         | FROM s WHERE rn >= 7 ORDER BY event_type, d""".stripMargin.replace("\n", ""),
+    "q_macd" -> macdSql,
+    "q_gap_fill" ->
+      """WITH s AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, max(value) AS x
+        |   FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2),
+        | b AS (SELECT event_type, min(d) AS d0, max(d) AS d1 FROM s GROUP BY 1),
+        | sp AS (SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM b),
+        | j AS (SELECT sp.event_type, sp.d, s.x FROM sp LEFT JOIN s ON sp.event_type = s.event_type AND sp.d = s.d)
+        | SELECT event_type, d, x,
+        |   last_value(x IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY d
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x_filled,
+        |   (x IS NULL) AS was_gap
+        | FROM j ORDER BY event_type, d""".stripMargin.replace("\n", ""),
     "q_corr_matrix" ->
       s"""WITH dd AS ($dailyByTypeSql),
         | j AS (SELECT l.event_type AS a, r.event_type AS b, l.x AS xa, r.x AS xb
@@ -1217,6 +1306,9 @@ object SparkEntry {
       s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, $cases
          | FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", "")
     },
+    // melt(pivot(daily)) round-trips to the tall daily frame
+    "q_unpivot_daily" ->
+      s"""SELECT event_type, d, x FROM ($dailyByTypeSql) ORDER BY event_type, d""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
@@ -1443,6 +1535,34 @@ object SparkEntry {
          |   COUNT(*) OVER (PARTITION BY event_type) AS n FROM e)
          | SELECT event_id, event_type, user_id FROM r
          | WHERE rn <= CAST(ceil(n * CAST(0.1 AS DOUBLE)) AS BIGINT) ORDER BY event_id""".stripMargin.replace("\n", ""),
+    "q_source_caps" ->
+      s"""WITH r AS (SELECT doc_id, source,
+         |   row_number() OVER (PARTITION BY source ORDER BY ${idHashSql("doc_id")}, doc_id) AS rn
+         |   FROM documents)
+         | SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_char_entropy" ->
+      """WITH c AS (SELECT doc_id, length(text) AS n, string_split(text, '') AS cs FROM documents),
+        | k AS (SELECT doc_id, n,
+        |   list_sort(list_transform(list_distinct(cs), ch -> len(list_filter(cs, x -> x = ch)))) AS cnts,
+        |   len(list_distinct(cs)) AS nd FROM c)
+        | SELECT doc_id,
+        |   round(ln(CAST(n AS DOUBLE)) / ln(2.0e0) -
+        |     list_sum(list_transform(cnts, c2 -> CAST(c2 AS DOUBLE) * (ln(CAST(c2 AS DOUBLE)) / ln(2.0e0)))) / CAST(n AS DOUBLE), 6) AS entropy,
+        |   CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) AS distinct_char_ratio
+        | FROM k ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_bigram_lm" ->
+      s"""WITH tok AS (SELECT doc_id, $dedupWords AS ts FROM documents),
+         | bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS b FROM tok),
+         | bge AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+         | pc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bge GROUP BY 1, 2),
+         | pp AS (SELECT w1, w2, c2, SUM(c2) OVER (PARTITION BY w1) AS c1 FROM pc),
+         | v AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(ts) AS t FROM tok)),
+         | sc AS (SELECT doc_id,
+         |   ln((CAST(c2 AS DOUBLE) + 1.0e0) / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE))) AS lp
+         |   FROM bge JOIN pp USING (w1, w2) CROSS JOIN v)
+         | SELECT doc_id, COUNT(*) AS n_bigrams,
+         |   round(SUM(lp) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_lp
+         | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "q_quality_filter" ->
       s"""WITH t AS (SELECT doc_id, text, $textWords AS ws FROM documents),
          | f AS (SELECT doc_id, len(ws) AS n_words,

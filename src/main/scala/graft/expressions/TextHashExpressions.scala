@@ -266,6 +266,72 @@ case class SimHash64(child: Expression, n: Int) extends TokenKernel {
   override def prettyName: String = "simhash64"
 }
 
+/** Shannon entropy (bits) of the code-point distribution of a string — the
+  * classic gibberish/boilerplate quality signal (uniform noise scores high,
+  * repeated-character spam scores near zero).
+  *
+  * `H = log2(N) − Σ_c cnt_c·log2(cnt_c) / N`, with the Σ taken over counts
+  * sorted ASCENDING so an external oracle summing a `list_sort`ed count list
+  * adds the identical terms in the identical order (equal counts contribute
+  * equal addends, so ties need no further ordering). `log2` may still differ
+  * by an ulp across libms — consumers should round (the shipped query emits
+  * `round(H, 6)`).
+  *
+  * One precompiled pass per row, zero shuffle — the explode+groupBy(doc,char)
+  * alternative would shuffle one row per character of the corpus.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects STRING, got ${other.sql}")
+    }
+
+  def compute(input: UTF8String): Double = {
+    val str = input.toString
+    val counts = new java.util.HashMap[Integer, Array[Int]]()
+    var n = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1)) else slot(0) += 1
+    }
+    if (n == 0L) return 0.0
+    val arr = new Array[Long](counts.size())
+    val it = counts.values().iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next()(0).toLong; k += 1 }
+    java.util.Arrays.sort(arr)
+    val log2 = math.log(2.0)
+    var acc = 0.0
+    var j = 0
+    while (j < arr.length) {
+      val c = arr(j).toDouble
+      acc += c * (math.log(c) / log2)
+      j += 1
+    }
+    math.log(n.toDouble) / log2 - acc / n.toDouble
+  }
+
+  override protected def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charEntropy", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "char_entropy"
+}
+
 /** Marker-word language ID as one precompiled pass over the (lowercased)
   * text. Semantics are pinned to the declarative original (and its DuckDB
   * oracle): tokenize on maximal runs of letters/apostrophes, score each

@@ -185,7 +185,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => RollingFingerprint(args(0))),
     (new FunctionIdentifier("vector_max_abs"),
       new ExpressionInfo(classOf[VectorMaxAbs].getName, "vector_max_abs"),
-      (args: Seq[Expression]) => VectorMaxAbs(args(0))))
+      (args: Seq[Expression]) => VectorMaxAbs(args(0))),
+    (new FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      (args: Seq[Expression]) => CharEntropy(args(0))))
 
   /** Idempotently register the graft functions on an existing session. */
   def register(spark: SparkSession): Unit = descriptors.foreach { case (id, info, builder) =>
@@ -218,4 +221,8 @@ object GraftFunctions {
     */
   def langId(loweredText: Column, markers: Seq[(String, Seq[String])]): Column =
     GraftColumnBridge.column(LangId(GraftColumnBridge.expression(loweredText), markers))
+
+  /** Code-point Shannon entropy (bits) of a string. */
+  def charEntropy(text: Column): Column =
+    GraftColumnBridge.column(CharEntropy(GraftColumnBridge.expression(text)))
 }

@@ -366,6 +366,62 @@ object Queries {
     df.withColumn(outCol, num / den)
   }
 
+  /** Weight ladder for a truncated adjusted EWM with decay `w` (= 1 − α):
+    * w^0, w^1, …, w^(terms−1), computed by iterated double multiplication.
+    * Exposed so the DuckDB oracle can embed the IDENTICAL doubles as literals
+    * (shortest round-trip `Double.toString` re-parses to the same bits) —
+    * `pow()` is not guaranteed to round identically across libms, iterated
+    * `*` is deterministic on both JVMs and C.
+    */
+  def ewmWeights(w: Double, terms: Int): IndexedSeq[Double] =
+    (1 until terms).scanLeft(1.0)((acc, _) => acc * w).toIndexedSeq
+
+  /** Truncated adjusted EWM with arbitrary decay:
+    * `ewm_t = Σ_{k<terms} w^k·x_(t−k) / Σ_{k<terms} w^k`, missing lags (the
+    * start of a key) dropping out of numerator AND denominator — the pandas
+    * `ewm(adjust=True)` convention, same machinery as [[ema]] but with a
+    * caller-chosen α. With `terms` ≥ the series length the truncation is
+    * exact. Additions are emitted in ascending-k order; an oracle repeating
+    * that order with [[ewmWeights]] literals is bit-identical.
+    *
+    * Scale: all lags share one window spec → a single Window node, one key
+    * shuffle, O(terms) state per key, fully codegen'd.
+    */
+  def ewma(df: DataFrame, orderCol: String, valueCol: String, w: Double,
+      terms: Int, partitionCols: Seq[String] = Seq.empty,
+      outCol: String = "ewma"): DataFrame = {
+    val base = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val x = col(valueCol).cast(DoubleType)
+    val ws = ewmWeights(w, terms)
+    val lags = (0 until terms).map { k =>
+      val xk = if (k == 0) x else lag(x, k).over(base)
+      val wk = lit(ws(k))
+      (when(xk.isNotNull, xk * wk).otherwise(lit(0.0)),
+       when(xk.isNotNull, wk).otherwise(lit(0.0)))
+    }
+    df.withColumn(outCol, lags.map(_._1).reduceLeft(_ + _) / lags.map(_._2).reduceLeft(_ + _))
+  }
+
+  /** MACD(fast, slow, signal): `macd = EWM_fast(x) − EWM_slow(x)`,
+    * `signal = EWM_signal(macd)`, `histogram = macd − signal`, each EWM the
+    * adjusted truncated form of [[ewma]] with the classic α = 2/(n+1) ⇒
+    * decay w = (n−1)/(n+1).
+    *
+    * Plan shape: the two price EWMs share one Window spec; the signal EWM is
+    * a second Window over the derived `macd` column — same partitioning, so
+    * Catalyst plans one exchange feeding both window nodes.
+    */
+  def macd(df: DataFrame, orderCol: String, valueCol: String, terms: Int,
+      partitionCols: Seq[String] = Seq.empty,
+      fast: Int = 12, slow: Int = 26, signal: Int = 9): DataFrame = {
+    def decay(n: Int): Double = (n - 1.0) / (n + 1.0)
+    val withMacd = ewma(df, orderCol, valueCol, decay(fast), terms, partitionCols, "__f")
+    val both = ewma(withMacd, orderCol, valueCol, decay(slow), terms, partitionCols, "__s")
+      .withColumn("macd", col("__f") - col("__s")).drop("__f", "__s")
+    ewma(both, orderCol, "macd", decay(signal), terms, partitionCols, "signal")
+      .withColumn("histogram", col("macd") - col("signal"))
+  }
+
   /** Align two series of a tall (timeKey, seriesKey, value) frame into
     * (timeKey, x, y) rows via an inner self-equi-join on the time key.
     * With a pre-aggregated per-key frame this is a 1:1 equi-join; Catalyst

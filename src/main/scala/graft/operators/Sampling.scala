@@ -119,6 +119,24 @@ object Sampling {
       .drop("__h", "__grp", "__rn", "__off")
   }
 
+  /** Absolute per-key cap — the domain/source quota every web-scale corpus
+    * applies (at most `cap` documents per domain, so one mega-site cannot
+    * dominate the training mix): keep the `cap` rows with the smallest id
+    * hashes in each key group. Deterministic and stable under growth — a
+    * kept document is only ever displaced by a new lower-hash one, never by
+    * reordering. One shuffle on the key; `row_number ≤ cap` optimizes to a
+    * per-group top-k (WindowGroupLimit pushes the limit below the sort), so
+    * no group is ever fully sort-materialized.
+    */
+  def perKeyCap(df: DataFrame, keyCols: Seq[String], idCol: String,
+      cap: Int): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(idHash(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
   /** Exact per-stratum quota sample: the `ceil(fraction · |stratum|)` rows
     * with the smallest id hashes in each stratum. One shuffle on the strata
     * keys (same partitioning a downstream per-stratum aggregation would

@@ -274,6 +274,55 @@ object TextAnalysis {
         min(col("freq")).as("min_freq"))
   }
 
+  /** Code-point Shannon entropy of the text (bits) — the gibberish /
+    * repeated-character-spam quality signal. One precompiled kernel pass
+    * ([[graft.expressions.CharEntropy]]); consumers should round (libm
+    * `log` differs across engines in the last ulp).
+    */
+  def charEntropy(text: Column): Column =
+    graft.expressions.GraftFunctions.charEntropy(text)
+
+  /** Per-document mean bigram log-probability under an add-one-smoothed
+    * bigram model trained on the corpus itself — the KenLM-shaped fluency
+    * score of CCNet-style quality pipelines, self-contained (no external
+    * model artifact):
+    * `p(w2|w1) = (C(w1,w2) + 1) / (C(w1,·) + V)`, score = mean over the
+    * document's bigrams of ln p. Documents with < 2 tokens score null.
+    *
+    * Shape: one (doc, pos) explode → `lead` pairing (same as [[topBigrams]]),
+    * a (w1,w2) count aggregate, the context count C(w1,·) as a window sum
+    * over the w1 partition of that SAME aggregate (no second join), vocab
+    * size V as a broadcast 1-row cross join, then the doc-bigram stream
+    * re-joins the probability table on (w1,w2) — co-keyed with the count
+    * shuffle. At web scale the bigram table is Zipf-heavy but bounded by
+    * distinct pairs, and AQE picks broadcast vs shuffle join from stats.
+    *
+    * Float parity: ln + a sum whose accumulation order is engine-chosen —
+    * the emitted score must be rounded (the shipped query rounds to 6 dp;
+    * addends are O(1) and doc bigram counts are O(100), so the fp spread is
+    * ~1e-13 against a 5e-7 rounding boundary).
+    */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"),
+      posexplode(Dedup.tokens(col(textCol))).as(Seq("__pos", "token")))
+    val wDoc = Window.partitionBy("doc_id").orderBy("__pos")
+    val bigrams = toks
+      .withColumn("__next", lead(col("token"), 1).over(wDoc))
+      .filter(col("__next").isNotNull)
+      .select(col("doc_id"), col("token").as("w1"), col("__next").as("w2"))
+    val pairCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val wCtx = Window.partitionBy("w1")
+    val probs = pairCounts.withColumn("c1", sum(col("c2")).over(wCtx))
+    val vocab = toks.agg(countDistinct(col("token")).as("v"))
+    val scored = bigrams.join(probs, Seq("w1", "w2")).crossJoin(broadcast(vocab))
+      .withColumn("__lp",
+        log((col("c2") + lit(1.0)) / (col("c1").cast(DoubleType) + col("v").cast(DoubleType))))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+        (sum(col("__lp")) / count(lit(1)).cast(DoubleType)).as("mean_lp"))
+  }
+
   // ---------------------------------------------------------------------------
   // Document fingerprinting
   // ---------------------------------------------------------------------------

@@ -192,6 +192,18 @@ object Transforms {
     salted.join(replicated, keyCols :+ "__salt").drop("__salt")
   }
 
+  /** Unpivot/melt — the inverse of the wide pivot: (ids, c1..cn) rows become
+    * (ids, variable, value) tall rows, dropping null cells (a pivot cell that
+    * no input row produced does not resurrect as a synthetic tall row).
+    *
+    * Scale: Spark's native `unpivot` is a narrow Expand — n output rows per
+    * input row, no shuffle; the null filter stays in the same codegen stage.
+    */
+  def melt(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+      varCol: String = "variable", valCol: String = "value"): DataFrame =
+    df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray, varCol, valCol)
+      .filter(col(valCol).isNotNull)
+
   /** Full transform dispatch (reference transformers.py:145-186): the 3-way
     * branch on `transformation_type` that constitutes the reference's planner.
     */

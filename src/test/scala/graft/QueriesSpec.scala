@@ -129,6 +129,38 @@ class QueriesSpec extends SparkSpec {
     out(2) shouldBe 4.25 / 1.75 +- 1e-15 // (3 + 0.5·2 + 0.25·1)/1.75
   }
 
+  test("ewma generalizes ema: decay 0.5 reproduces ema exactly") {
+    val df = Seq(("k", 1, 1.0), ("k", 2, 2.0), ("k", 3, 3.0), ("j", 1, 5.0)).toDF("sym", "t", "x")
+    val viaEma = rows(Queries.ema(df, "t", "x", terms = 3, partitionCols = Seq("sym"))
+      .orderBy("sym", "t").select("ema")).map(_.getDouble(0))
+    val viaEwma = rows(Queries.ewma(df, "t", "x", w = 0.5, terms = 3, partitionCols = Seq("sym"))
+      .orderBy("sym", "t").select("ewma")).map(_.getDouble(0))
+    viaEwma shouldBe viaEma
+  }
+
+  test("macd: fast/slow adjusted EWMs, signal is EWM of macd, histogram = macd - signal") {
+    val df = Seq(("k", 1, 1.0), ("k", 2, 4.0), ("k", 3, 2.0)).toDF("sym", "t", "x")
+    val out = rows(Queries.macd(df, "t", "x", terms = 3, partitionCols = Seq("sym"),
+      fast = 2, slow = 4, signal = 2).orderBy("t").select("macd", "signal", "histogram"))
+    // decay(2)=1/3, decay(4)=3/5
+    def ewm(w: Double, xs: Seq[Double]): Double = {
+      val ws = xs.indices.map(k => math.pow(w, k))
+      xs.zip(ws).map { case (x, wk) => x * wk }.sum / ws.sum
+    }
+    val macds = Seq(Seq(1.0), Seq(4.0, 1.0), Seq(2.0, 4.0, 1.0))
+      .map(lags => ewm(1.0 / 3, lags) - ewm(0.6, lags))
+    out.map(_.getDouble(0)).zip(macds).foreach { case (got, want) => got shouldBe want +- 1e-12 }
+    val sig2 = ewm(1.0 / 3, Seq(macds(1), macds(0)))
+    out(1).getDouble(1) shouldBe sig2 +- 1e-12
+    out(1).getDouble(2) shouldBe macds(1) - sig2 +- 1e-12
+  }
+
+  test("ewmWeights round-trips through shortest-repr serialization") {
+    Queries.ewmWeights(11.0 / 13, 40).foreach { w =>
+      java.lang.Double.parseDouble(w.toString) shouldBe w
+    }
+  }
+
   test("stochasticK: %K from rolling extrema, null on a flat window") {
     val df = Seq(("k", 1, 10.0, 5.0, 7.0), ("k", 2, 12.0, 6.0, 9.0), ("k", 3, 11.0, 8.0, 10.0),
       ("f", 1, 5.0, 5.0, 5.0), ("f", 2, 5.0, 5.0, 5.0))

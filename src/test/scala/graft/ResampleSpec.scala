@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.Resample
+import org.apache.spark.sql.functions._
+
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gapFillDaily synthesizes missing days and forward-fills the last observation") {
+    val df = Seq(
+      ("a", tsLit("2024-01-01 10:00:00"), 1.0),
+      ("a", tsLit("2024-01-01 11:00:00"), 3.0), // same day: daily x = max = 3.0
+      ("a", tsLit("2024-01-04 09:00:00"), 7.0), // 2 gap days before this
+      ("b", tsLit("2024-02-10 00:00:00"), 5.0)  // single-day key: no gaps
+    ).toDF("k", "ts", "v")
+    val out = rows(Resample.gapFillDaily(df, "ts", Seq("k"), "v").orderBy("k", "d"))
+    out.map(r => (r.getString(0), r.getTimestamp(1).toString.take(10),
+      Option(r.get(2)), r.getDouble(3), r.getBoolean(4))) shouldBe Seq(
+      ("a", "2024-01-01", Some(3.0), 3.0, false),
+      ("a", "2024-01-02", None, 3.0, true),
+      ("a", "2024-01-03", None, 3.0, true),
+      ("a", "2024-01-04", Some(7.0), 7.0, false),
+      ("b", "2024-02-10", Some(5.0), 5.0, false))
+  }
+
+  test("gapFillDaily spine is per-key: keys do not extend to the global range") {
+    val df = Seq(
+      ("a", tsLit("2024-01-01"), 1.0), ("a", tsLit("2024-01-03"), 2.0),
+      ("b", tsLit("2024-01-10"), 9.0), ("b", tsLit("2024-01-11"), 8.0)
+    ).toDF("k", "ts", "v")
+    val out = Resample.gapFillDaily(df, "ts", Seq("k"), "v")
+    out.count() shouldBe 5 // a: 3 days, b: 2 days — not 11 global days × 2 keys
+    out.filter(col("was_gap")).count() shouldBe 1
+  }
+}

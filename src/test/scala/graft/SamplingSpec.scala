@@ -42,4 +42,24 @@ class SamplingSpec extends SparkSpec {
     counts("a") shouldBe math.ceil(34 * 0.25).toLong // 34 rows in 'a'
     counts("b") shouldBe math.ceil(66 * 0.25).toLong
   }
+
+  test("perKeyCap keeps at most cap rows per key, is deterministic, and is growth-stable") {
+    val df = Seq.tabulate(100)(i => (i.toLong, if (i % 4 == 0) "big" else "bigger"))
+      .toDF("id", "grp")
+    val out = Sampling.perKeyCap(df, Seq("grp"), "id", 10)
+    val counts = rows(out.groupBy("grp").count().orderBy("grp"))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts shouldBe Map("big" -> 10L, "bigger" -> 10L)
+    // under-cap keys pass through whole
+    Sampling.perKeyCap(df.filter(col("id") < 8), Seq("grp"), "id", 10).count() shouldBe 8
+    // growth stability: a kept id is only displaced by a lower-hash newcomer,
+    // never reshuffled — the kept set of the small corpus contains the kept
+    // set of the smaller one minus displacements
+    val keptSmall = rows(Sampling.perKeyCap(df.filter(col("id") < 50), Seq("grp"), "id", 10)
+      .select("id")).map(_.getLong(0)).toSet
+    val keptBig = rows(out.select("id")).map(_.getLong(0)).toSet
+    // determinism across evaluations
+    rows(out.orderBy("id")) shouldBe rows(Sampling.perKeyCap(df, Seq("grp"), "id", 10).orderBy("id"))
+    (keptSmall.size, keptBig.size) shouldBe ((20, 20))
+  }
 }

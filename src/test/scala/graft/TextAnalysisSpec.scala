@@ -48,6 +48,36 @@ class TextAnalysisSpec extends SparkSpec {
     out shouldBe Seq("en", "de", "fr", "es", "und")
   }
 
+  test("charEntropy: uniform chars score log2(k), single-char spam scores 0") {
+    val out = rows(Seq("abcd", "aaaa", "", "aab").toDF("t")
+      .select(TextAnalysis.charEntropy(col("t")).as("h"))).map(_.getDouble(0))
+    out(0) shouldBe 2.0 +- 1e-12 // 4 distinct, uniform
+    out(1) shouldBe 0.0
+    out(2) shouldBe 0.0
+    // H(2/3, 1/3)
+    val want = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3)) / math.log(2)
+    out(3) shouldBe want +- 1e-12
+  }
+
+  test("bigramLogProb: add-one model over the corpus's own bigram counts") {
+    // corpus: "a b a b" (bigrams ab, ba, ab) and "a b" (ab) → C(a,b)=3, C(b,a)=1
+    // C(a,·)=3, C(b,·)=1, V=2
+    val df = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = rows(TextAnalysis.bigramLogProb(df, "text", "doc_id").orderBy("doc_id"))
+    val pAb = (3.0 + 1.0) / (3.0 + 2.0)
+    val pBa = (1.0 + 1.0) / (1.0 + 2.0)
+    out(0).getLong(1) shouldBe 3L
+    out(0).getDouble(2) shouldBe (2 * math.log(pAb) + math.log(pBa)) / 3 +- 1e-12
+    out(1).getLong(1) shouldBe 1L
+    out(1).getDouble(2) shouldBe math.log(pAb) +- 1e-12
+  }
+
+  test("bigramLogProb: sub-2-token documents emit no row") {
+    val df = Seq((1L, "single"), (2L, ""), (3L, "two words")).toDF("doc_id", "text")
+    rows(TextAnalysis.bigramLogProb(df, "text", "doc_id").select("doc_id"))
+      .map(_.getLong(0)) shouldBe Seq(3L)
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     val out = rows(Seq("alpha beta gamma", "gamma beta alpha", "alpha beta gamma").toDF("t")
       .select(TextAnalysis.fingerprint(col("t")).as("f"))).map(_.getLong(0))

@@ -127,6 +127,15 @@ class TransformsSpec extends SparkSpec {
     }
   }
 
+  test("melt inverts pivot: wide matrix back to tall rows, null cells dropped") {
+    val wide = Seq((1, Some(10.0), None: Option[Double]), (2, Some(20.0), Some(5.0)))
+      .toDF("t", "a", "b")
+    val out = rows(Transforms.melt(wide, Seq("t"), Seq("a", "b"), "k", "v")
+      .orderBy("t", "k"))
+    out.map(r => (r.getInt(0), r.getString(1), r.getDouble(2))) shouldBe Seq(
+      (1, "a", 10.0), (2, "a", 20.0), (2, "b", 5.0))
+  }
+
   test("clean drops nulls before coercion (pandas order quirk); re-clean drops coerced nulls") {
     // The reference cleans in dropna → dedup → cast order (transformers.py:30-49),
     // so an unparseable "x" survives the FIRST clean as a coerced NULL — clean is
