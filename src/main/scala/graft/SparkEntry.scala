@@ -59,6 +59,7 @@ object SparkEntry {
   private def lineitem(s: SparkSession, dir: String) = tune(s).read.parquet(s"$dir/lineitem.parquet")
   private def customer(s: SparkSession, dir: String) = tune(s).read.parquet(s"$dir/customer.parquet")
   private def nation(s: SparkSession, dir: String) = tune(s).read.parquet(s"$dir/nation.parquet")
+  private def region(s: SparkSession, dir: String) = tune(s).read.parquet(s"$dir/region.parquet")
   private def documents(s: SparkSession, dir: String) = tune(s).read.parquet(s"$dir/documents.parquet")
   private def embeddings(s: SparkSession, dir: String) = tune(s).read.parquet(s"$dir/embeddings.parquet")
 
@@ -222,6 +223,30 @@ object SparkEntry {
       Resample.gapFillDaily(events(s, dir).filter(col("event_id") % 97 === 0),
         "ts", Seq("event_type"), "value")
         .orderBy("event_type", "d")),
+    // per-key z-scores from exact decimal moments: mean/sd derive from
+    // order-independent sums, so z is bit-reproducible without rounding
+    "q_anomaly" -> ((s, dir) => {
+      val daily = dailyByType(s, dir)
+      val stats = daily.groupBy("event_type").agg(
+        count(lit(1)).as("__n"),
+        sum(col("x").cast(DecimalType(30, 6))).as("__s1"),
+        sum((col("x") * col("x")).cast(DecimalType(30, 6))).as("__s2"))
+      daily.join(broadcast(stats), Seq("event_type"))
+        .withColumn("__mean", col("__s1").cast(DoubleType) / col("__n").cast(DoubleType))
+        .withColumn("__sd", sqrt(
+          (col("__s2").cast(DoubleType) -
+            col("__s1").cast(DoubleType) * col("__s1").cast(DoubleType) / col("__n").cast(DoubleType)) /
+            (col("__n").cast(DoubleType) - lit(1.0))))
+        .withColumn("z", (col("x") - col("__mean")) / col("__sd"))
+        .select(col("event_type"), col("d"), col("x"), col("z"),
+          (abs(col("z")) > lit(2.0)).as("is_anomaly"))
+        .orderBy("event_type", "d")
+    }),
+    "q_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+      dailyByType(s, dir).withColumn("med7", percentile(col("x"), lit(0.5)).over(w))
+        .orderBy("event_type", "d")
+    }),
     "q_corr_matrix" -> ((s, dir) =>
       Queries.correlationMatrix(dailyByType(s, dir), "event_type", "d", "x")
         .orderBy("a", "b")),
@@ -271,6 +296,26 @@ object SparkEntry {
         Seq(col("o_orderdate").desc, col("o_orderkey").desc))
         .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .orderBy("o_custkey")),
+    // market share: 5-way join (two broadcast dims), decimal revenue kept
+    // exact THROUGH the share window so the division operands are
+    // order-independent; Catalyst/AQE pick the lineitem⋈orders strategy
+    "q_mkt_share" -> ((s, dir) => {
+      val joined = lineitem(s, dir)
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      val rev = joined
+        .groupBy(col("r_name"), year(col("o_orderdate")).cast(LongType).as("yr"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(30, 6))).as("__rev"))
+      val w = Window.partitionBy("r_name", "yr")
+      rev.select(col("r_name"), col("yr"), col("n_name"),
+        col("__rev").cast(DoubleType).as("revenue"),
+        (col("__rev").cast(DoubleType) /
+          sum(col("__rev")).over(w).cast(DoubleType)).as("share"))
+        .orderBy("r_name", "yr", "n_name")
+    }),
     "q_union_sources" -> ((s, dir) => {
       val a = events(s, dir).select(col("event_id"), col("ts"), col("value"))
         .withColumn("src", lit("events"))
@@ -499,6 +544,11 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // --- training-data assembly: packing / mixture / tf-idf ----------------
+    // sliding context-window chunking: 32-token windows every 24 tokens
+    "q_chunk_docs" -> ((s, dir) =>
+      graft.operators.Packing.chunkDocs(documents(s, dir), "text", "doc_id",
+        chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")),
     // distributed two-level prefix sum == the oracle's single global window
     "q_pack_sequences" -> ((s, dir) =>
       graft.operators.Packing.packSequences(
@@ -555,6 +605,18 @@ object SparkEntry {
     // int8 vector quantization (index-build compression step)
     "q_embed_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(embeddings(s, dir).filter(col("vec_id") < 200), "embedding", "vec_id")
+        .orderBy("vec_id", "dim")),
+    // L2 normalization, unnested to scalar rows: the norm comes from the
+    // codegen'd vector_dot kernel (float→double promotion is exact, so the
+    // per-dim division is bit-reproducible)
+    "q_embed_norm" -> ((s, dir) =>
+      embeddings(s, dir)
+        .select(col("vec_id"),
+          sqrt(graft.expressions.GraftFunctions.vectorDot(col("embedding"), col("embedding")))
+            .as("__nrm"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim").cast(LongType).as("dim"),
+          (col("v").cast(DoubleType) / col("__nrm")).as("nv"))
         .orderBy("vec_id", "dim")),
     // per-label embedding centroids (mean pooling, exact decimal sums)
     "q_embed_centroids" -> ((s, dir) =>
@@ -1252,6 +1314,22 @@ object SparkEntry {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x_filled,
         |   (x IS NULL) AS was_gap
         | FROM j ORDER BY event_type, d""".stripMargin.replace("\n", ""),
+    "q_anomaly" ->
+      s"""WITH a AS ($dailyByTypeSql),
+         | st AS (SELECT event_type, COUNT(*) AS n, SUM(CAST(x AS DECIMAL(30,6))) AS s1,
+         |   SUM(CAST(x * x AS DECIMAL(30,6))) AS s2 FROM a GROUP BY 1),
+         | j AS (SELECT a.event_type, d, x,
+         |   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         |   sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0e0)) AS sd
+         |   FROM a JOIN st ON a.event_type = st.event_type)
+         | SELECT event_type, d, x, (x - mean) / sd AS z,
+         |   abs((x - mean) / sd) > 2.0e0 AS is_anomaly
+         | FROM j ORDER BY event_type, d""".stripMargin.replace("\n", ""),
+    "q_rolling_median" ->
+      s"""WITH a AS ($dailyByTypeSql)
+         | SELECT event_type, d, x, quantile_cont(x, 0.5) OVER (PARTITION BY event_type ORDER BY d
+         |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+         | FROM a ORDER BY event_type, d""".stripMargin.replace("\n", ""),
     "q_corr_matrix" ->
       s"""WITH dd AS ($dailyByTypeSql),
         | j AS (SELECT l.event_type AS a, r.event_type AS b, l.x AS xa, r.x AS xb
@@ -1287,6 +1365,17 @@ object SparkEntry {
         |   JOIN customer ON o_custkey = c_custkey
         |   JOIN nation ON c_nationkey = n_nationkey
         | GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", ""),
+    "q_mkt_share" ->
+      """WITH j AS (SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS yr, n_name,
+        |   SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS rev
+        |   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |     JOIN customer ON o_custkey = c_custkey
+        |     JOIN nation ON c_nationkey = n_nationkey
+        |     JOIN region ON n_regionkey = r_regionkey
+        |   GROUP BY 1, 2, 3)
+        | SELECT r_name, yr, n_name, CAST(rev AS DOUBLE) AS revenue,
+        |   CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY r_name, yr) AS DOUBLE) AS share
+        | FROM j ORDER BY r_name, yr, n_name""".stripMargin.replace("\n", ""),
     "q_latest_order_per_customer" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice
         | FROM orders
@@ -1578,6 +1667,16 @@ object SparkEntry {
          |    WHEN mwl < 2.0 OR mwl > 12.0 THEN 'word_len_out_of_range'
          |    WHEN dr > 0.3 THEN 'too_many_digits' WHEN pr > 0.25 THEN 'too_much_punct' END AS drop_reason
          | FROM f ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, $dedupWords AS ts FROM documents),
+         | n AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) > 0),
+         | st AS (SELECT doc_id, ts, n,
+         |   unnest(range(0, CAST(ceil(CAST(greatest(n - 32, 0) AS DOUBLE) / 24.0e0) AS BIGINT) * 24 + 1, 24)) AS chunk_start
+         |   FROM n)
+         | SELECT doc_id, chunk_start // 24 AS chunk_id, chunk_start,
+         |   least(chunk_start + 32, n) AS chunk_end,
+         |   array_to_string(ts[chunk_start + 1 : chunk_start + 32], ' ') AS chunk_text
+         | FROM st ORDER BY doc_id, chunk_id""".stripMargin.replace("\n", ""),
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id,
         |   CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{Nd}]+|[^\s\p{L}\p{Nd}]')) AS BIGINT) AS n_tokens
@@ -1651,6 +1750,11 @@ object SparkEntry {
          |  FROM tok)
          | SELECT doc_id, split, n_tokens, seq_start // 2048 AS seq_id, seq_start % 2048 AS seq_offset
          | FROM s ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_embed_norm" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | u AS (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e)
+        | SELECT vec_id, i - 1 AS dim, v[i] / sqrt(list_inner_product(v, v)) AS nv
+        | FROM u ORDER BY vec_id, dim""".stripMargin.replace("\n", ""),
     "q_embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200),
         | s AS (SELECT vec_id, v,

@@ -70,4 +70,33 @@ object Packing {
       .withColumn("seq_offset", col("seq_start") % budget)
       .drop("__grp", "__local_start", "__goff")
   }
+
+  /** Per-document sliding-window chunking — the context-window splitter for
+    * long documents: token windows of `size` starting every `stride` tokens
+    * (`stride < size` ⇒ overlapping chunks). The final window is the short
+    * tail unless the previous chunks already cover the document. A document
+    * shorter than `size` yields exactly one chunk.
+    *
+    * Pure narrow plan: tokenize once, `sequence` + explode generates chunk
+    * starts, `slice`+`concat_ws` rebuilds each chunk's text — all codegen'd
+    * expressions (no interpreted lambdas), zero shuffle at any corpus size.
+    */
+  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize")
+    val toks = df.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("__ts"))
+      .withColumn("__n", size(col("__ts")).cast("long"))
+    // smallest multiple of stride whose chunk reaches the document's end:
+    // ceil(max(n - chunkSize, 0) / stride) * stride
+    val lastStart = ceil(greatest(col("__n") - chunkSize, lit(0L)).cast("double") / stride)
+      .cast("long") * stride
+    toks.filter(col("__n") > 0)
+      .withColumn("chunk_start", explode(sequence(lit(0L), lastStart, lit(stride.toLong))))
+      .select(col("doc_id"), (col("chunk_start") / stride).cast("long").as("chunk_id"),
+        col("chunk_start"),
+        least(col("chunk_start") + chunkSize, col("__n")).as("chunk_end"),
+        concat_ws(" ", slice(col("__ts"), col("chunk_start").cast("int") + 1,
+          lit(chunkSize))).as("chunk_text"))
+  }
 }

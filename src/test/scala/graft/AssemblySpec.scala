@@ -38,6 +38,30 @@ class AssemblySpec extends SparkSpec {
     out shouldBe Seq((0L, 0L, 0L), (10L, 0L, 10L), (20L, 1L, 4L))
   }
 
+  test("chunkDocs: overlapping windows cover the document, short tail kept") {
+    // 10 tokens, size 4, stride 3 → starts 0,3,6 (6+4 ≥ 10): chunks of 4,4,4
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val out = rows(Packing.chunkDocs(df, "text", "doc_id", chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id"))
+    val chunks = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    chunks shouldBe Seq(
+      (1L, 0L, 0L, 4L, "w1 w2 w3 w4"),
+      (1L, 1L, 3L, 7L, "w4 w5 w6 w7"),
+      (1L, 2L, 6L, 10L, "w7 w8 w9 w10"),
+      (2L, 0L, 0L, 2L, "a b")) // short doc: one chunk; empty doc: none
+    // every token position is covered by at least one chunk
+    val covered = chunks.filter(_._1 == 1L).flatMap(c => c._3 until c._4).toSet
+    covered shouldBe (0L until 10L).toSet
+  }
+
+  test("chunkDocs with stride == size tiles without overlap; exact-fit emits no empty tail") {
+    val doc = (1 to 8).map(i => s"t$i").mkString(" ")
+    val out = rows(Packing.chunkDocs(Seq((1L, doc)).toDF("doc_id", "text"),
+      "text", "doc_id", chunkSize = 4, stride = 4).orderBy("chunk_id"))
+    out.map(r => (r.getLong(2), r.getLong(3))) shouldBe Seq((0L, 4L), (4L, 8L))
+  }
+
   test("tfidfTopTerms: rare terms outscore common ones; rank is deterministic") {
     val docs = Seq(
       (1L, "apple apple banana"),
