@@ -247,6 +247,24 @@ object SparkEntry {
       dailyByType(s, dir).withColumn("med7", percentile(col("x"), lit(0.5)).over(w))
         .orderBy("event_type", "d")
     }),
+    // fixed-width value histogram per key (profiling): floor-binning is a
+    // narrow expression; one partial-aggregable count shuffle
+    "q_value_histogram" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"), floor(col("value") / lit(0.5)).cast(LongType).as("bin"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+        .withColumn("bin_lo", col("bin").cast(DoubleType) * lit(0.5))
+        .orderBy("event_type", "bin")),
+    // full-outer calendar alignment of two sparse series (each side keeps
+    // days the other lacks — the join type the union/inner paths don't cover)
+    "q_align_outer" -> ((s, dir) => {
+      val sparse = events(s, dir).filter(col("event_id") % 97 === 0)
+      def daily(t: String, out: String) = sparse.filter(col("event_type") === t)
+        .groupBy(date_trunc("DAY", col("ts")).as("d"))
+        .agg(Fns.exactSum(col("value")).as(out))
+      daily("click", "click_x").join(daily("view", "view_x"), Seq("d"), "full_outer")
+        .orderBy("d")
+    }),
     "q_corr_matrix" -> ((s, dir) =>
       Queries.correlationMatrix(dailyByType(s, dir), "event_type", "d", "x")
         .orderBy("a", "b")),
@@ -750,6 +768,36 @@ object SparkEntry {
           "stream_dedup_q", org.apache.spark.sql.streaming.OutputMode.Append())
           .orderBy("user_id", "event_type")
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }),
+
+    // stream-static enrichment: the live feed broadcast-joins a static
+    // reference table (per-type moments) and flags outliers — stateless, so
+    // no watermark; moments are exact decimal sums ⇒ z is bit-reproducible
+    "q_stream_anomaly" -> ((s, dir) => {
+      tune(s)
+      val stats = events(s, dir).groupBy("event_type").agg(
+        count(lit(1)).as("__n"),
+        sum(col("value").cast(DecimalType(30, 6))).as("__s1"),
+        sum((col("value") * col("value")).cast(DecimalType(30, 6))).as("__s2"))
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream =
+        if (rawSchema("ts").dataType == LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val flagged = stream.join(broadcast(stats), Seq("event_type"))
+        .withColumn("__mean", col("__s1").cast(DoubleType) / col("__n").cast(DoubleType))
+        .withColumn("__sd", sqrt(
+          (col("__s2").cast(DoubleType) -
+            col("__s1").cast(DoubleType) * col("__s1").cast(DoubleType) / col("__n").cast(DoubleType)) /
+            (col("__n").cast(DoubleType) - lit(1.0))))
+        .withColumn("z", (col("value") - col("__mean")) / col("__sd"))
+        .filter(abs(col("z")) > lit(2.0))
+        .select("event_id", "event_type", "value", "z")
+      graft.streaming.Streaming.runToMemory(s, flagged, "stream_anomaly_q",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("event_id")
     }),
 
     // custom-state streaming sessionization under the hard gate: with
@@ -1330,6 +1378,18 @@ object SparkEntry {
          | SELECT event_type, d, x, quantile_cont(x, 0.5) OVER (PARTITION BY event_type ORDER BY d
          |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
          | FROM a ORDER BY event_type, d""".stripMargin.replace("\n", ""),
+    "q_value_histogram" ->
+      """SELECT event_type, CAST(floor(value / 0.5e0) AS BIGINT) AS bin, COUNT(*) AS n,
+        |   CAST(CAST(floor(value / 0.5e0) AS BIGINT) AS DOUBLE) * 0.5e0 AS bin_lo
+        | FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin.replace("\n", ""),
+    "q_align_outer" ->
+      """WITH sp AS (SELECT * FROM events WHERE event_id % 97 = 0),
+        | c AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS click_x FROM sp WHERE event_type = 'click' GROUP BY 1),
+        | v AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS view_x FROM sp WHERE event_type = 'view' GROUP BY 1)
+        | SELECT COALESCE(c.d, v.d) AS d, click_x, view_x FROM c FULL JOIN v ON c.d = v.d
+        | ORDER BY d""".stripMargin.replace("\n", ""),
     "q_corr_matrix" ->
       s"""WITH dd AS ($dailyByTypeSql),
         | j AS (SELECT l.event_type AS a, r.event_type AS b, l.x AS xa, r.x AS xb
@@ -1818,6 +1878,16 @@ object SparkEntry {
     // sequential double accumulation via list_reduce.
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    // stateless stream-static enrichment ≡ the batch join over the same files
+    "q_stream_anomaly" ->
+      """WITH st AS (SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(30,6))) AS s1,
+        |   SUM(CAST(value * value AS DECIMAL(30,6))) AS s2 FROM events GROUP BY 1),
+        | j AS (SELECT event_id, e.event_type, value,
+        |   (value - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |     sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0e0)) AS z
+        |   FROM events e JOIN st ON e.event_type = st.event_type)
+        | SELECT event_id, event_type, value, z FROM j WHERE abs(z) > 2.0e0
+        | ORDER BY event_id""".stripMargin.replace("\n", ""),
     "q_stream_sessions" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         | flagged AS (SELECT user_id, ts, value,
