@@ -1,5 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point.
+  *
+  * Contract with the driver: print exactly ONE compact JSON line to stdout —
+  * `{"metric":"total","value":N,"unit":"sec",...}` — small enough (< 1 KB) to
+  * survive the driver's stdout-tail capture window at ANY suite size. The
+  * BENCH_r03/r04/r05 artifacts were all `"parsed": null` because the per-query
+  * map (106 queries ≈ 3 KB) overflowed that window and truncated the line's
+  * head. Per-query detail now goes to `BENCH_DETAIL.json` (and stderr), and
+  * the stdout line carries only the total, suite size, the 10 slowest
+  * queries, and the noise sentinel.
+  *
+  * Noise sentinel: the same trivial fixed query is timed at the start, middle
+  * and end of the timed section. On a quiet host the three timings agree to
+  * within a few ms; a corrupted window (noisy-neighbor VM) shows up as a
+  * large spread, making a bad run detectable from the artifact alone
+  * (BENCH_r05 recorded a 30.2 s phantom for a 0.65 s query with no way to
+  * tell from the JSON).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,36 +32,64 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Optional comma-separated allowlist for local triage of a query subset.
+    // The stdout line marks subset runs so a triage run's total can never be
+    // mistaken for the full-suite bench-gate number.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+
     // Untimed warmup at the smallest SF: exercises every query's plan once so
     // JIT compilation, codegen caches, and Hadoop/parquet client init are not
     // billed to the timed run (the timed run still does all real work on sfDir).
-    // Optional comma-separated allowlist for local triage of a query subset.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (warmDir.nonEmpty && new java.io.File(warmDir).isDirectory)
       selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+
+    // Fixed trivial query for the noise sentinel: no I/O, one tiny job.
+    def sentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(100000).selectExpr("sum(id) as s").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def ms3(v: Double): Double = math.rint(v * 1000) / 1000
+
     // Min of N timed passes per query: the host is a shared VM, so single-shot
     // timings carry neighbor noise; the minimum is the standard robust
     // estimator of a query's actual cost on such machines.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    val results = selected.map { case (name, fn) =>
+    val names = selected.keys.toVector
+    val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
+    sentinels += sentinelOnce()
+    val results = names.zipWithIndex.map { case (name, i) =>
+      if (i == names.size / 2) sentinels += sentinelOnce()
+      val fn = selected(name)
       val best = (0 until passes).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.min
-      // Millisecond resolution: full nanosecond floats ballooned the JSON line
-      // past the driver's stdout-tail capture window (BENCH_r04 "parsed":null).
-      name -> (math.rint(best * 1000) / 1000)
+      name -> ms3(best)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total =
-      if (results.nonEmpty) math.rint(results.values.sum * 1000) / 1000 else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    sentinels += sentinelOnce()
+
+    val total = ms3(results.map(_._2).sum)
+    val detail = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val sentinelJson = sentinels.map(ms3).mkString("[", ",", "]")
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val detailLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"subset":${only.isDefined},"passes":$passes,"sentinel":$sentinelJson,"queries":$detail}"""
+    // Full detail: file + stderr (both safe — the driver tails stdout only).
+    try {
+      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
+      try w.println(detailLine) finally w.close()
+    } catch { case _: Throwable => () }
+    System.err.println(detailLine)
+    // The ONE stdout line: compact, bounded (< 1 KB at any suite size).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"subset":${only.isDefined},"sentinel":$sentinelJson,"slowest":$slowest}""")
     spark.stop()
   }
 }

@@ -96,6 +96,33 @@ object ScaleProbe {
       // prefix) groups grow in COUNT not size
       graft.operators.TextAnalysis.docRarity(docs, "text", "doc_id").count()
     }
+    time("connected_components") {
+      // chain pairs linking each replica to the base copy: |pairs| = n·(k−1),
+      // every component has diameter ≤ 2. The iterated frame must be
+      // proportional to |pairs| (pair-touched ids), NOT the k·n corpus — the
+      // corpus only enters once, in the final singleton anti-join.
+      val pairs = (1 until k).map(i => base.select(col("doc_id").as("id_a"),
+          (col("doc_id") + lit(i * 1000000L)).as("id_b")))
+        .reduce(_ unionAll _)
+      Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs).count()
+    }
+    locally {
+      // correlation matrix at 10× the query suite's key count (50 series vs
+      // q_corr_matrix's 5): the join formulation materializes T·k² rows, the
+      // pivot+power-sums variant one T·k shuffle — both exact, same output.
+      val kSeries = 50
+      val keys = (0 until kSeries).map(i => f"s$i%03d")
+      val tall = spark.range(730L * kSeries).select(
+        format_string("s%03d", col("id") % kSeries).as("series"),
+        (col("id") / kSeries).as("t"),
+        sin(col("id").cast("double")).as("v"))
+      time(s"corr_matrix_join_${kSeries}k") {
+        graft.operators.Queries.correlationMatrix(tall, "series", "t", "v").count()
+      }
+      time(s"corr_matrix_wide_${kSeries}k") {
+        graft.operators.Queries.correlationMatrixWide(tall, "series", "t", "v", keys).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -215,11 +215,23 @@ object Dedup {
     * bounded by component diameter, which for near-dup clusters is tiny.
     * `localCheckpoint` truncates the iterative lineage (swap for a
     * lake-backed checkpoint dir on a cluster).
+    *
+    * Only ids that appear in at least one pair can ever receive a label other
+    * than their own, so the iterated frame is restricted to pair-touched ids —
+    * at a realistic dup rate (~10¹⁰ docs, ~10⁶ dup pairs) that shrinks every
+    * per-round join by four orders of magnitude. The untouched remainder of
+    * the corpus is unioned in afterward as singleton clusters (cluster_id =
+    * id), one anti-join, no iteration.
     */
   def connectedComponents(ids: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the (small) edge list ONCE: the upstream pairs plan is
+    // typically an expensive LSH/verify pipeline, and without this checkpoint
+    // every loop iteration — plus the touched-id projection — would re-run it
     val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
       .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
-    var labels = ids.select(col("id"), col("id").as("cluster_id")).localCheckpoint(true)
+      .localCheckpoint(true)
+    val touched = edges.select(col("s").as("id")).distinct().localCheckpoint(true)
+    var labels = touched.select(col("id"), col("id").as("cluster_id")).localCheckpoint(true)
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -238,7 +250,9 @@ object Dedup {
       labels = next.select("id", "cluster_id")
       i += 1
     }
-    labels
+    val singletons = ids.select(col("id")).join(touched, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    labels.union(singletons)
   }
 
   /** One row per near-dup cluster: keep the minimum-id member of each

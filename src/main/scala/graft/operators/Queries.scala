@@ -310,8 +310,15 @@ object Queries {
     *
     * Scale: the self-join is an equi-join on the time key (sort-merge or
     * broadcast by AQE); with k series and T times the join emits T·k² rows —
-    * k is the number of SERIES (small), not data volume, and the aggregation
-    * shuffles only 5 numbers per pair.
+    * k is the number of SERIES, and the aggregation shuffles only 5 numbers
+    * per pair. **The T·k² join fan-out is this formulation's scale bound**:
+    * fine for k in the tens (event types, a sector's tickers), the classic
+    * quadratic blowup at thousands of symbols. For large k use
+    * [[correlationMatrixWide]] (pivot + one-pass power sums — no join
+    * materialization); beyond ~10³ series, where even k²/2 output pairs is
+    * the dominant object, the right shape is a distributed Gramian
+    * (tree-aggregated outer products, cf. Spark MLlib
+    * `RowMatrix.computeGramianMatrix`).
     */
   def correlationMatrix(df: DataFrame, keyCol: String, timeCol: String,
       valueCol: String): DataFrame = {
@@ -333,6 +340,48 @@ object Queries {
           sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
                (col("__n") * col("__syy") - col("__sy") * col("__sy"))))
       .select("a", "b", "r")
+  }
+
+  /** [[correlationMatrix]] without the time-key self-join: pivot the tall
+    * frame to one row per time (k value columns — `keys` must be the series
+    * list, as Spark's stable-plan pivot requires anyway), then ONE aggregation
+    * computes every pairwise power sum in a single pass. Identical output
+    * (same exact-decimal sums, same formula; pairs are conditioned on both
+    * sides non-null, matching the inner self-join's alignment).
+    *
+    * Scale: one (time) shuffle of T·k values instead of a join materializing
+    * T·k² rows; the agg emits 5·k²/2 accumulators total (not per time). The
+    * bound moves from join fan-out to agg width — practical to k ≈ several
+    * hundred series; past that, see the Gramian note on [[correlationMatrix]].
+    */
+  def correlationMatrixWide(df: DataFrame, keyCol: String, timeCol: String,
+      valueCol: String, keys: Seq[String]): DataFrame = {
+    require(keys.size >= 2, "correlationMatrixWide needs at least two series")
+    val dec = DecimalType(30, 6)
+    val wide = df.groupBy(col(timeCol))
+      .pivot(keyCol, keys).agg(first(col(valueCol).cast(DoubleType)))
+    val pairs = for { i <- keys.indices; j <- (i + 1) until keys.size }
+      yield (i, keys(i), keys(j))
+    val aggs = pairs.flatMap { case (i, a, b) =>
+      val x = col(a); val y = col(b)
+      val both = x.isNotNull && y.isNotNull
+      Seq(
+        count(when(both, 1)).cast(DoubleType).as(s"__n$i$b"),
+        sum(when(both, x).cast(dec)).cast(DoubleType).as(s"__sx$i$b"),
+        sum(when(both, y).cast(dec)).cast(DoubleType).as(s"__sy$i$b"),
+        sum(when(both, x * y).cast(dec)).cast(DoubleType).as(s"__sxy$i$b"),
+        sum(when(both, x * x).cast(dec)).cast(DoubleType).as(s"__sxx$i$b"),
+        sum(when(both, y * y).cast(dec)).cast(DoubleType).as(s"__syy$i$b"))
+    }
+    val one = wide.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (i, a, b) =>
+      val n = col(s"__n$i$b"); val sx = col(s"__sx$i$b"); val sy = col(s"__sy$i$b")
+      val sxy = col(s"__sxy$i$b"); val sxx = col(s"__sxx$i$b"); val syy = col(s"__syy$i$b")
+      struct(lit(a).as("a"), lit(b).as("b"),
+        ((n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).as("r"))
+    }
+    one.select(explode(array(rows: _*)).as("__s")).select("__s.a", "__s.b", "__s.r")
   }
 
   /** Exponentially-weighted moving average, adjusted form with α = 1/2 and the

@@ -4,11 +4,13 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Calendar resampling with gap fill — the missing half of the reference's
-  * time-bucket aggregation (transformers.py:99-142): pandas' `resample(...)
-  * .asfreq()` / `ffill()` re-exposes buckets that received no rows, which the
-  * groupBy-only formulation silently drops. A financial series with missing
-  * trading days needs the spine back before indicators run over it.
+/** Calendar resampling with gap fill — the missing half of graft's own
+  * time-bucket aggregation ([[Transforms.aggregate]]): a groupBy-only
+  * formulation drops buckets that received no rows, whereas the reference's
+  * `pd.Grouper(key=..., freq=...)` (transformers.py:139) — like pandas
+  * `resample(...).asfreq()`/`ffill()` — emits empty calendar bins. A
+  * financial series with missing trading days needs the spine back before
+  * indicators run over it.
   *
   * Shape: per-key date spine (`sequence` over the key's own [min, max] day —
   * a narrow generator off a tiny bounds aggregate) → left join of the

@@ -121,7 +121,9 @@ final case class Lake(spark: SparkSession, root: String) {
   }
 
   /** Dataset info (reference helpers.py:84-177): row count + min/max of the
-    * date column + distinct symbols capped at 50 with an `'...'` sentinel.
+    * date column + distinct symbols capped at 50 with an `'...'` sentinel,
+    * plus `source`/`data_type` parsed from the underscore-delimited dataset
+    * name (helpers.py:96-98; `unknown` when a token is absent).
     * The count and min/max are satisfied from parquet metadata / a pruned
     * single-column scan by Catalyst — the reference does both of those
     * optimizations by hand (helpers.py:102-106, 131).
@@ -129,8 +131,11 @@ final case class Lake(spark: SparkSession, root: String) {
   def info(layer: String, dataset: String): Map[String, Any] = {
     val df = read(layer, dataset)
     if (df.schema.isEmpty) return Map("name" -> dataset, "exists" -> false)
+    val nameParts = dataset.stripSuffix(".parquet").split('_')
     val base = Map[String, Any](
       "name" -> dataset, "exists" -> true,
+      "source" -> nameParts.headOption.getOrElse("unknown"),
+      "data_type" -> (if (nameParts.length > 1) nameParts(1) else "unknown"),
       "num_rows" -> df.count(), "columns" -> df.columns.toSeq)
     val dateCol = df.columns.find(c => Seq("timestamp", "date", "time", "datetime").contains(c.toLowerCase))
     val dates = dateCol.map { dc =>

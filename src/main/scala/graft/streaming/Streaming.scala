@@ -19,9 +19,19 @@ object Streaming {
 
   /** File-based tick stream (Kafka-shaped: swap `format("parquet")` for
     * `format("kafka")` + payload decode via [[graft.sources.JsonPayloads]]).
+    *
+    * `maxFilesPerTrigger` bounds each micro-batch; 0 (default) leaves it
+    * unset, so `Trigger.AvailableNow` drains the backlog in as few batches as
+    * possible — each extra micro-batch is a fixed scheduling + state-commit
+    * round, so prefer fewer/larger batches unless per-batch latency or memory
+    * bounds demand otherwise.
     */
-  def tickStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    spark.readStream.schema(schema).option("maxFilesPerTrigger", 8).parquet(dir)
+  def tickStream(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    (if (maxFilesPerTrigger > 0) r.option("maxFilesPerTrigger", maxFilesPerTrigger) else r)
+      .parquet(dir)
+  }
 
   /** Streaming OHLCV candles: tumbling event-time window per symbol with
     * watermark-bounded state — the streaming twin of
@@ -236,9 +246,30 @@ object Streaming {
     */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String, mode: OutputMode = OutputMode.Complete()): DataFrame = {
     spark.catalog.dropTempView(name) // re-runnable in a shared session (bench warmup)
-    val q = df.writeStream.outputMode(mode).format("memory")
-      .queryName(name).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name)
+    // Fresh checkpoint per run (offset reuse would mark the source as already
+    // processed and leave the re-created memory sink empty), on tmpfs when the
+    // host has one: the checkpoint is many small fsync'd files (offset log,
+    // commit log, state deltas) and on a disk-backed /tmp those fsyncs are the
+    // dominant fixed cost of a small AvailableNow run. Harness-only choice —
+    // a production stream needs its checkpoint durable (see [[toLake]], which
+    // takes an explicit checkpointDir).
+    val ckptBase = java.nio.file.Paths.get(
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm"
+      else sys.props("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, s"graft_ckpt_$name")
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory")
+        .option("checkpointLocation", ckpt.toString)
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach(p => System.err.println(
+          s"[stream] $name batch=${p.batchId} rows=${p.numInputRows} durationMs=${p.durationMs}"))
+      spark.table(name)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 }

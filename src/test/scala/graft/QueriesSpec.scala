@@ -186,6 +186,21 @@ class QueriesSpec extends SparkSpec {
     out(2)._3 shouldBe -1.0 +- 1e-12
   }
 
+  test("correlationMatrixWide matches the self-join formulation, incl. ragged series") {
+    // ragged: series z is missing at t=4, so the (x,z)/(y,z) pairs align on
+    // fewer times than (x,y) — exercises the both-non-null conditioning
+    val tall = ((1 to 4).flatMap { t =>
+      Seq(("x", t, t.toDouble), ("y", t, 1.0 + 3.0 * t))
+    } ++ (1 to 3).map(t => ("z", t, t * t.toDouble))).toDF("series", "t", "v")
+    val byJoin = rows(Queries.correlationMatrix(tall, "series", "t", "v").orderBy("a", "b"))
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val byPivot = rows(Queries.correlationMatrixWide(tall, "series", "t", "v",
+      Seq("x", "y", "z")).orderBy("a", "b"))
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    byPivot.map(p => (p._1, p._2)) shouldBe byJoin.map(p => (p._1, p._2))
+    byPivot.zip(byJoin).foreach { case (p, j) => p._3 shouldBe j._3 +- 1e-12 }
+  }
+
   test("unionAll tolerates missing columns (unionByName allowMissing)") {
     val a = Seq((1L, "x")).toDF("id", "a_only")
     val b = Seq((2L, 5.0)).toDF("id", "b_only")

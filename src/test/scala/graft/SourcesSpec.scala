@@ -111,10 +111,18 @@ class SourcesSpec extends SparkSpec {
     info("num_rows") shouldBe 2L
     info("start_date") shouldBe tsLit("2024-01-02")
     info("symbols").asInstanceOf[Seq[String]] shouldBe Seq("AAPL", "MSFT")
+    // name tokens (helpers.py:96-98): source and data_type from the filename
+    info("source") shouldBe "alphavantage"
+    info("data_type") shouldBe "stock"
 
     lake.delete("bronze", "yahoo_crypto_20240103") shouldBe true
     lake.delete("bronze", "yahoo_crypto_20240103") shouldBe false
     lake.list("bronze").size shouldBe 2
+
+    // a name with no underscore token falls back to "unknown" (helpers.py:98)
+    lake.write(df, "bronze", "solo")
+    lake.info("bronze", "solo")("source") shouldBe "solo"
+    lake.info("bronze", "solo")("data_type") shouldBe "unknown"
   }
 
   test("generateFilename follows {source}_{type}_{YYYYMMDD} (helpers.py:23-28)") {
