@@ -114,7 +114,7 @@ object ScaleProbe {
       val keys = (0 until kSeries).map(i => f"s$i%03d")
       val tall = spark.range(730L * kSeries).select(
         format_string("s%03d", col("id") % kSeries).as("series"),
-        (col("id") / kSeries).as("t"),
+        expr(s"id div $kSeries").as("t"),
         sin(col("id").cast("double")).as("v"))
       time(s"corr_matrix_join_${kSeries}k") {
         graft.operators.Queries.correlationMatrix(tall, "series", "t", "v").count()

@@ -344,44 +344,54 @@ object Queries {
 
   /** [[correlationMatrix]] without the time-key self-join: pivot the tall
     * frame to one row per time (k value columns — `keys` must be the series
-    * list, as Spark's stable-plan pivot requires anyway), then ONE aggregation
-    * computes every pairwise power sum in a single pass. Identical output
-    * (same exact-decimal sums, same formula; pairs are conditioned on both
-    * sides non-null, matching the inner self-join's alignment).
+    * list, as Spark's stable-plan pivot requires anyway), generate the
+    * (i, j, xᵢ·xⱼ) pair contributions per time row from a LITERAL pair-index
+    * array, and let map-side partial aggregation collapse them to 6 power
+    * sums per pair before any shuffle. Identical output (same exact-decimal
+    * sums, same formula; pairs are conditioned on both sides non-null,
+    * matching the inner self-join's alignment; output ordered a < b because
+    * keys are sorted).
     *
-    * Scale: one (time) shuffle of T·k values instead of a join materializing
-    * T·k² rows; the agg emits 5·k²/2 accumulators total (not per time). The
-    * bound moves from join fan-out to agg width — practical to k ≈ several
-    * hundred series; past that, see the Gramian note on [[correlationMatrix]].
+    * Scale: compute is O(T·k²) multiplications — the information-theoretic
+    * floor for exact all-pairs correlation — but the only shuffles are the
+    * T-row pivot and k²/2 aggregate groups; no join materialization. The
+    * expression count is CONSTANT in k (one generator + 6 aggregates): a
+    * previous formulation that unrolled 6·k²/2 flat aggregate columns
+    * compiled 29.6 MiB task binaries and ran 190 s at k = 50 on this
+    * machine — codegen width, not data, was its bound. Beyond ~10³ series
+    * (where the k² output itself dominates) see the Gramian note on
+    * [[correlationMatrix]].
     */
   def correlationMatrixWide(df: DataFrame, keyCol: String, timeCol: String,
       valueCol: String, keys: Seq[String]): DataFrame = {
     require(keys.size >= 2, "correlationMatrixWide needs at least two series")
+    val ks = keys.sorted
     val dec = DecimalType(30, 6)
     val wide = df.groupBy(col(timeCol))
-      .pivot(keyCol, keys).agg(first(col(valueCol).cast(DoubleType)))
-    val pairs = for { i <- keys.indices; j <- (i + 1) until keys.size }
-      yield (i, keys(i), keys(j))
-    val aggs = pairs.flatMap { case (i, a, b) =>
-      val x = col(a); val y = col(b)
-      val both = x.isNotNull && y.isNotNull
-      Seq(
-        count(when(both, 1)).cast(DoubleType).as(s"__n$i$b"),
-        sum(when(both, x).cast(dec)).cast(DoubleType).as(s"__sx$i$b"),
-        sum(when(both, y).cast(dec)).cast(DoubleType).as(s"__sy$i$b"),
-        sum(when(both, x * y).cast(dec)).cast(DoubleType).as(s"__sxy$i$b"),
-        sum(when(both, x * x).cast(dec)).cast(DoubleType).as(s"__sxx$i$b"),
-        sum(when(both, y * y).cast(dec)).cast(DoubleType).as(s"__syy$i$b"))
-    }
-    val one = wide.agg(aggs.head, aggs.tail: _*)
-    val rows = pairs.map { case (i, a, b) =>
-      val n = col(s"__n$i$b"); val sx = col(s"__sx$i$b"); val sy = col(s"__sy$i$b")
-      val sxy = col(s"__sxy$i$b"); val sxx = col(s"__sxx$i$b"); val syy = col(s"__syy$i$b")
-      struct(lit(a).as("a"), lit(b).as("b"),
-        ((n * sxy - sx * sy) /
-          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).as("r"))
-    }
-    one.select(explode(array(rows: _*)).as("__s")).select("__s.a", "__s.b", "__s.r")
+      .pivot(keyCol, ks).agg(first(col(valueCol).cast(DoubleType)))
+    val pairIdx = for { i <- ks.indices; j <- (i + 1) until ks.size } yield (i, j)
+    val x = col("__xa"); val y = col("__xb")
+    wide
+      .select(array(ks.map(col): _*).as("__v"),
+        explode(typedLit(pairIdx)).as("__p"))
+      .select(col("__p._1").as("__i"), col("__p._2").as("__j"),
+        element_at(col("__v"), col("__p._1") + 1).as("__xa"),
+        element_at(col("__v"), col("__p._2") + 1).as("__xb"))
+      .filter(x.isNotNull && y.isNotNull)
+      .groupBy(col("__i"), col("__j"))
+      .agg(
+        count(lit(1)).cast(DoubleType).as("__n"),
+        sum(x.cast(dec)).cast(DoubleType).as("__sx"),
+        sum(y.cast(dec)).cast(DoubleType).as("__sy"),
+        sum((x * y).cast(dec)).cast(DoubleType).as("__sxy"),
+        sum((x * x).cast(dec)).cast(DoubleType).as("__sxx"),
+        sum((y * y).cast(dec)).cast(DoubleType).as("__syy"))
+      .select(
+        element_at(typedLit(ks), col("__i") + 1).as("a"),
+        element_at(typedLit(ks), col("__j") + 1).as("b"),
+        ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+               (col("__n") * col("__syy") - col("__sy") * col("__sy")))).as("r"))
   }
 
   /** Exponentially-weighted moving average, adjusted form with α = 1/2 and the

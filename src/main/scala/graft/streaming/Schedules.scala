@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.Trigger
+
+/** Cron-expression scheduling for streams — the reference DECLARES a cron
+  * `schedule` per data source (reference schema.py:10,
+  * `schedule: Optional[str]  # cron expression for scheduling`) but never
+  * implements it; here the declared surface maps onto Structured Streaming's
+  * trigger model, which is the Spark-native expression of "run this
+  * periodically":
+  *
+  *  - a FIXED-RATE cron (`*&#47;5 * * * *`, `0 * * * *`, `0 3 * * *`) maps to
+  *    `Trigger.ProcessingTime(interval)` — the stream stays up and fires a
+  *    micro-batch each period;
+  *  - `@once` / blank maps to `Trigger.AvailableNow()` — drain the backlog
+  *    and stop (the reference's fire-and-forget background ingest semantics).
+  *
+  * Only fixed-rate shapes are expressible: ProcessingTime fires every N
+  * units from stream start, so a cron that encodes a CALENDAR anchor
+  * (specific day-of-month/day-of-week, or an enumerated list like
+  * `0 9,17 * * *`) has no faithful trigger — [[toTrigger]] rejects it rather
+  * than silently approximating. At cluster scale those belong to an external
+  * workflow scheduler launching an `AvailableNow` run per fire (the standard
+  * Spark pattern for calendar-anchored batch ingest).
+  */
+object Schedules {
+
+  /** Parsed fixed-rate view of a 5-field cron expression. */
+  final case class FixedRate(intervalMinutes: Long)
+
+  private val Field = """(\*|\d{1,2})(?:/(\d{1,2}))?""".r
+
+  /** Parse a standard 5-field cron (`min hour dom month dow`) into a fixed
+    * rate, if it has one:
+    *  - `*&#47;N * * * *`            → every N minutes
+    *  - `M * * * *`               → hourly (anchor minute ignored for rate)
+    *  - `* / *&#47;N in the hour field, minutes pinned` → every N hours
+    *  - `M H * * *`               → daily
+    * Returns None for calendar-anchored or enumerated expressions.
+    */
+  def fixedRate(cron: String): Option[FixedRate] = {
+    val fields = cron.trim.split("\\s+")
+    if (fields.length != 5) return None
+    val Array(min, hour, dom, month, dow) = fields
+    if (dom != "*" || month != "*" || dow != "*") return None // calendar anchor
+    (min, hour) match {
+      case ("*", "*") => Some(FixedRate(1L)) // every minute
+      case (Field("*", step), "*") if step != null => Some(FixedRate(step.toLong))
+      case (Field(m, null), "*") if m != "*" => Some(FixedRate(60L)) // hourly
+      case (Field(m, null), Field("*", step)) if m != "*" && step != null =>
+        Some(FixedRate(step.toLong * 60L)) // every N hours
+      case (Field(m, null), Field(h, null)) if m != "*" && h != "*" =>
+        Some(FixedRate(24L * 60L)) // daily
+      case _ => None // lists/ranges (9,17 or 9-17) are calendar shapes
+    }
+  }
+
+  /** Cron → Spark trigger. `@once`, empty, or null run as `AvailableNow`;
+    * fixed-rate crons run as `ProcessingTime`; calendar-anchored crons are
+    * rejected (see class doc for why, and what to use instead).
+    */
+  def toTrigger(schedule: String): Trigger = schedule match {
+    case null | "" | "@once" => Trigger.AvailableNow()
+    case cron =>
+      fixedRate(cron) match {
+        case Some(FixedRate(m)) => Trigger.ProcessingTime(m * 60000L)
+        case None => throw new IllegalArgumentException(
+          s"cron '$cron' is calendar-anchored; use an external scheduler firing AvailableNow runs")
+      }
+  }
+}
