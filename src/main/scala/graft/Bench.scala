@@ -63,20 +63,23 @@ object Bench {
     val names = selected.keys.toVector
     val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
     sentinels += sentinelOnce()
-    val results = names.zipWithIndex.map { case (name, i) =>
+    val allPasses = names.zipWithIndex.map { case (name, i) =>
       if (i == names.size / 2) sentinels += sentinelOnce()
       val fn = selected(name)
-      val best = (0 until passes).map { _ =>
+      name -> (0 until passes).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> ms3(best)
+        ms3((System.nanoTime() - t0) / 1e9)
+      }
     }
     sentinels += sentinelOnce()
+    val results = allPasses.map { case (name, ps) => name -> ps.min }
 
     val total = ms3(results.map(_._2).sum)
-    val detail = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    // detail carries every pass, not just the min: a noisy window shows up as
+    // per-pass spread, distinguishing "slow plan" from "loud neighbor"
+    val detail = allPasses.map { case (k, ps) => s"\"$k\":" + ps.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val sentinelJson = sentinels.map(ms3).mkString("[", ",", "]")
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
