@@ -295,6 +295,13 @@ object SparkEntry {
     "q_corr_matrix" -> ((s, dir) =>
       Queries.correlationMatrix(dailyByType(s, dir), "event_type", "d", "x")
         .orderBy("a", "b")),
+    // identical output through the join-free formulation (pivot + pair-index
+    // explode + partial agg) — the large-k scale path, proven against the
+    // same oracle as the self-join form
+    "q_corr_matrix_wide" -> ((s, dir) =>
+      Queries.correlationMatrixWide(dailyByType(s, dir), "event_type", "d", "x",
+        Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("a", "b")),
     // winsorization: clip to per-key exact interpolated percentiles — the
     // percentile agg is a distributed exact quantile (sort-free at this
     // cardinality via Spark's percentile buffer), the 5-row bound table
@@ -1407,6 +1414,22 @@ object SparkEntry {
         | SELECT COALESCE(c.d, v.d) AS d, click_x, view_x FROM c FULL JOIN v ON c.d = v.d
         | ORDER BY d""".stripMargin.replace("\n", ""),
     "q_corr_matrix" ->
+      s"""WITH dd AS ($dailyByTypeSql),
+        | j AS (SELECT l.event_type AS a, r.event_type AS b, l.x AS xa, r.x AS xb
+        |   FROM dd l JOIN dd r ON l.d = r.d WHERE l.event_type < r.event_type),
+        | s AS (SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS n,
+        |   CAST(SUM(CAST(xa AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+        |   CAST(SUM(CAST(xb AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+        |   CAST(SUM(CAST(xa * xb AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+        |   CAST(SUM(CAST(xa * xa AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+        |   CAST(SUM(CAST(xb * xb AS DECIMAL(30,6))) AS DOUBLE) AS syy
+        |   FROM j GROUP BY a, b)
+        | SELECT a, b,
+        |   (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
+        | FROM s ORDER BY a, b""".stripMargin.replace("\n", ""),
+    // the wide formulation must produce the SAME matrix, so it shares the
+    // self-join oracle verbatim
+    "q_corr_matrix_wide" ->
       s"""WITH dd AS ($dailyByTypeSql),
         | j AS (SELECT l.event_type AS a, r.event_type AS b, l.x AS xa, r.x AS xb
         |   FROM dd l JOIN dd r ON l.d = r.d WHERE l.event_type < r.event_type),
