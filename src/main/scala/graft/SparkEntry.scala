@@ -37,31 +37,53 @@ object SparkEntry {
     *    environment; JVM case mapping is identical for this corpus (and matches
     *    the DuckDB oracle's `lower`).
     */
+  private val tuned = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Boolean]())
+
   private def tune(s: SparkSession): SparkSession = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.icu.caseMappings.enabled", "false")
-    graft.expressions.GraftFunctions.register(s) // SQL surface: vector_dot(...)
+    // once per session: conf writes + function registration are fixed
+    // per-query cost when repeated (tune runs inside every table accessor)
+    if (tuned.add(System.identityHashCode(s))) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+      graft.expressions.GraftFunctions.register(s) // SQL surface: vector_dot(...)
+    }
     s
+  }
+
+  /** Session catalog for the static sf tables: `spark.read.parquet` builds a
+    * fresh file index + reads footers on EVERY call — pure fixed cost when
+    * the inputs are immutable benchmark tables. One analyzed base frame per
+    * (session, dir, table), exactly what a persistent catalog's cached table
+    * metadata gives a production session. Lake-path reads (which DO change
+    * under the session) never come through here.
+    */
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
+  private def table(s0: SparkSession, dir: String, name: String): DataFrame = {
+    val s = tune(s0)
+    tableCache.computeIfAbsent((System.identityHashCode(s), dir, name),
+      _ => s.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** events.parquet read with the nanos→µs conversion (lossless here — the
     * corpus has no sub-µs components; `div` is integral so no double-precision
     * loss on 1e18-scale values).
     */
-  private def events(s0: SparkSession, dir: String): DataFrame = {
-    val s = tune(s0)
-    val raw = s.read.parquet(s"$dir/events.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = table(s, dir, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
-  private def orders(s: SparkSession, dir: String) = tune(s).read.parquet(s"$dir/orders.parquet")
-  private def lineitem(s: SparkSession, dir: String) = tune(s).read.parquet(s"$dir/lineitem.parquet")
-  private def customer(s: SparkSession, dir: String) = tune(s).read.parquet(s"$dir/customer.parquet")
-  private def nation(s: SparkSession, dir: String) = tune(s).read.parquet(s"$dir/nation.parquet")
-  private def region(s: SparkSession, dir: String) = tune(s).read.parquet(s"$dir/region.parquet")
-  private def documents(s: SparkSession, dir: String) = tune(s).read.parquet(s"$dir/documents.parquet")
-  private def embeddings(s: SparkSession, dir: String) = tune(s).read.parquet(s"$dir/embeddings.parquet")
+  private def orders(s: SparkSession, dir: String) = table(s, dir, "orders")
+  private def lineitem(s: SparkSession, dir: String) = table(s, dir, "lineitem")
+  private def customer(s: SparkSession, dir: String) = table(s, dir, "customer")
+  private def nation(s: SparkSession, dir: String) = table(s, dir, "nation")
+  private def region(s: SparkSession, dir: String) = table(s, dir, "region")
+  private def documents(s: SparkSession, dir: String) = table(s, dir, "documents")
+  private def embeddings(s: SparkSession, dir: String) = table(s, dir, "embeddings")
 
   private val eventsSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), StructType]()
