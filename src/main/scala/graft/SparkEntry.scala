@@ -58,6 +58,10 @@ object SparkEntry {
     * metadata gives a production session. Lake-path reads (which DO change
     * under the session) never come through here.
     */
+  // Lifetime note (applies to every identityHashCode-keyed session cache in
+  // this codebase): entries live for the JVM; the key space is
+  // (sessions × sf dirs), a handful in any harness or service. A long-lived
+  // multi-tenant service would evict on SparkListenerApplicationEnd instead.
   private val tableCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
 

@@ -345,9 +345,9 @@ object Queries {
   /** [[correlationMatrix]] without the time-key self-join: pivot the tall
     * frame to one row per time (k value columns — `keys` must be the series
     * list, as Spark's stable-plan pivot requires anyway), generate the
-    * (i, j, xᵢ·xⱼ) pair contributions per time row from a LITERAL pair-index
-    * array, and let map-side partial aggregation collapse them to 6 power
-    * sums per pair before any shuffle. Identical output (same exact-decimal
+    * (i, j, xᵢ·xⱼ) pair contributions per time row from two nested
+    * `sequence` explodes (plan size constant in k), and let map-side partial
+    * aggregation collapse them to 6 power sums per pair before any shuffle. Identical output (same exact-decimal
     * sums, same formula; pairs are conditioned on both sides non-null,
     * matching the inner self-join's alignment; output ordered a < b because
     * keys are sorted).
@@ -369,14 +369,17 @@ object Queries {
     val dec = DecimalType(30, 6)
     val wide = df.groupBy(col(timeCol))
       .pivot(keyCol, ks).agg(first(col(valueCol).cast(DoubleType)))
-    val pairIdx = for { i <- ks.indices; j <- (i + 1) until ks.size } yield (i, j)
+    // pair indices from two nested sequence generators, not a literal array:
+    // a literal of k²/2 structs would grow the PLAN quadratically in k
     val x = col("__xa"); val y = col("__xb")
     wide
       .select(array(ks.map(col): _*).as("__v"),
-        explode(typedLit(pairIdx)).as("__p"))
-      .select(col("__p._1").as("__i"), col("__p._2").as("__j"),
-        element_at(col("__v"), col("__p._1") + 1).as("__xa"),
-        element_at(col("__v"), col("__p._2") + 1).as("__xb"))
+        explode(sequence(lit(0), lit(ks.size - 2))).as("__i"))
+      .select(col("__v"), col("__i"),
+        explode(sequence(col("__i") + 1, lit(ks.size - 1))).as("__j"))
+      .select(col("__i"), col("__j"),
+        element_at(col("__v"), col("__i") + 1).as("__xa"),
+        element_at(col("__v"), col("__j") + 1).as("__xb"))
       .filter(x.isNotNull && y.isNotNull)
       .groupBy(col("__i"), col("__j"))
       .agg(
