@@ -63,12 +63,16 @@ object Bench {
     val names = selected.keys.toVector
     val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
     sentinels += sentinelOnce()
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val allPasses = names.zipWithIndex.map { case (name, i) =>
       if (i == names.size / 2) sentinels += sentinelOnce()
       val fn = selected(name)
       name -> (0 until passes).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a throwing query must be VISIBLE in the artifact, not recorded as a
+        // fast success — its near-zero elapsed time would otherwise shrink the
+        // total and pass the gate on a broken suite
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => failed += name }
         ms3((System.nanoTime() - t0) / 1e9)
       }
     }
@@ -83,8 +87,9 @@ object Bench {
     val sentinelJson = sentinels.map(ms3).mkString("[", ",", "]")
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val failedJson = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
     val detailLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"subset":${only.isDefined},"passes":$passes,"sentinel":$sentinelJson,"queries":$detail}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"subset":${only.isDefined},"passes":$passes,"errors":${failed.size},"failed":$failedJson,"sentinel":$sentinelJson,"queries":$detail}"""
     // Full detail: file + stderr (both safe — the driver tails stdout only).
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
@@ -92,7 +97,7 @@ object Bench {
     } catch { case _: Throwable => () }
     System.err.println(detailLine)
     // The ONE stdout line: compact, bounded (< 1 KB at any suite size).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"subset":${only.isDefined},"sentinel":$sentinelJson,"slowest":$slowest}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"subset":${only.isDefined},"errors":${failed.size},"sentinel":$sentinelJson,"slowest":$slowest}""")
     spark.stop()
   }
 }

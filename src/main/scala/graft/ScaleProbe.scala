@@ -96,7 +96,7 @@ object ScaleProbe {
       // prefix) groups grow in COUNT not size
       graft.operators.TextAnalysis.docRarity(docs, "text", "doc_id").count()
     }
-    time("connected_components") {
+    if (k > 1) time("connected_components") {
       // chain pairs linking each replica to the base copy: |pairs| = n·(k−1),
       // every component has diameter ≤ 2. The iterated frame must be
       // proportional to |pairs| (pair-touched ids), NOT the k·n corpus — the

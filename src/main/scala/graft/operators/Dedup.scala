@@ -230,7 +230,12 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
       .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
       .localCheckpoint(true)
-    val touched = edges.select(col("s").as("id")).distinct().localCheckpoint(true)
+    // endpoints restricted to ids actually in the corpus frame: a stray edge
+    // through an off-corpus id must stay inert (no label relay through it, no
+    // phantom cluster_id the survivor filter could never match), exactly as
+    // when labels seeded from the full ids frame
+    val touched = edges.select(col("s").as("id")).distinct()
+      .join(ids.select(col("id")), Seq("id"), "left_semi").localCheckpoint(true)
     var labels = touched.select(col("id"), col("id").as("cluster_id")).localCheckpoint(true)
     var i = 0
     var converged = false

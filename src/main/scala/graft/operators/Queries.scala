@@ -322,9 +322,16 @@ object Queries {
     */
   def correlationMatrix(df: DataFrame, keyCol: String, timeCol: String,
       valueCol: String): DataFrame = {
+    // Precondition (both formulations): ONE row per (key, time) — the input
+    // is an aggregate's output. Duplicate (key, time) rows would cross-join
+    // here (inflating every power sum) and pick arbitrarily under the wide
+    // form's pivot-first; neither is a correlation anyone meant. Null values
+    // are dropped on both sides so n counts exactly the aligned non-null
+    // pairs — identical to the wide form's both-non-null filter.
     val dec = DecimalType(30, 6)
-    val l = df.select(col(keyCol).as("a"), col(timeCol).as("__t"), col(valueCol).cast(DoubleType).as("__xa"))
-    val r = df.select(col(keyCol).as("b"), col(timeCol).as("__t"), col(valueCol).cast(DoubleType).as("__xb"))
+    val nn = df.filter(col(valueCol).isNotNull)
+    val l = nn.select(col(keyCol).as("a"), col(timeCol).as("__t"), col(valueCol).cast(DoubleType).as("__xa"))
+    val r = nn.select(col(keyCol).as("b"), col(timeCol).as("__t"), col(valueCol).cast(DoubleType).as("__xb"))
     val x = col("__xa"); val y = col("__xb")
     l.join(r, Seq("__t")).filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
@@ -349,8 +356,9 @@ object Queries {
     * `sequence` explodes (plan size constant in k), and let map-side partial
     * aggregation collapse them to 6 power sums per pair before any shuffle. Identical output (same exact-decimal
     * sums, same formula; pairs are conditioned on both sides non-null,
-    * matching the inner self-join's alignment; output ordered a < b because
-    * keys are sorted).
+    * matching the self-join form's null-dropped alignment; output ordered
+    * a < b because keys are sorted; same one-row-per-(key, time)
+    * precondition — see [[correlationMatrix]]).
     *
     * Scale: compute is O(T·k²) multiplications — the information-theoretic
     * floor for exact all-pairs correlation — but the only shuffles are the

@@ -199,15 +199,11 @@ object Similarity {
       .withColumn("cell", element_at(nearestCells(col("cv"), 1), 1).getField("cell_id"))
       .drop("__cells")
 
-  private val ivfIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
-
   /** [[ivfAssign]] computed once per (session, key) and cached. */
   def ivfIndexCached(corpus: DataFrame, centroids: DataFrame,
       vecCol: String, idCol: String, key: String): DataFrame =
-    ivfIndexCache.computeIfAbsent(
-      (System.identityHashCode(corpus.sparkSession), key),
-      _ => ivfAssign(corpus, centroids, vecCol, idCol).cache())
+    graft.SessionCache.getOrCompute(corpus.sparkSession, s"ivfindex:$key")(
+      ivfAssign(corpus, centroids, vecCol, idCol).cache())
 
   /** Probe a prebuilt IVF index ([[ivfAssign]]/[[ivfIndexCached]]): each query
     * probes its `nprobe` nearest cells; the corpus scan becomes an equi-join
@@ -245,17 +241,13 @@ object Similarity {
     * repeated queries pay only the cell-key join, never the training pass.
     * This is the single-JVM analogue of the 100 TB design ([[ivfTopK]] doc):
     * train on a sample once, persist the quantizer, reuse it for every query
-    * batch. Keyed by the session's identity so test sessions don't cross-wire
-    * cached plans.
+    * batch. Keyed per session via [[graft.SessionCache]] (weak-keyed) so test
+    * sessions don't cross-wire cached plans.
     */
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
-
   def trainedCentroids(corpus: DataFrame, vecCol: String, idCol: String,
       nlist: Int, key: String): DataFrame =
-    centroidCache.computeIfAbsent(
-      (System.identityHashCode(corpus.sparkSession), s"$key:$nlist"),
-      _ => trainCentroids(corpus, vecCol, idCol, nlist).cache())
+    graft.SessionCache.getOrCompute(corpus.sparkSession, s"centroids:$key:$nlist")(
+      trainCentroids(corpus, vecCol, idCol, nlist).cache())
 
   /** k-means-lite centroid training: deterministic seed rows as initial
     * centers, one Lloyd refinement over a sample. Good enough to give IVF its

@@ -43,13 +43,22 @@ object Schedules {
     if (fields.length != 5) return None
     val Array(min, hour, dom, month, dow) = fields
     if (dom != "*" || month != "*" || dow != "*") return None // calendar anchor
+    // field validity: steps must be >= 1 ('*/0' is not a schedule), anchors
+    // must be in range — an invalid cron must be rejected, not silently
+    // mapped to some rate (ProcessingTime(0) would busy-loop)
+    def stepOk(s: String) = s == null || s.toLong >= 1L
+    def anchorOk(v: String, max: Int) = v == "*" || v.toInt <= max
     (min, hour) match {
       case ("*", "*") => Some(FixedRate(1L)) // every minute
-      case (Field("*", step), "*") if step != null => Some(FixedRate(step.toLong))
-      case (Field(m, null), "*") if m != "*" => Some(FixedRate(60L)) // hourly
-      case (Field(m, null), Field("*", step)) if m != "*" && step != null =>
+      case (Field("*", step), "*") if step != null && stepOk(step) =>
+        Some(FixedRate(step.toLong))
+      case (Field(m, null), "*") if m != "*" && anchorOk(m, 59) =>
+        Some(FixedRate(60L)) // hourly
+      case (Field(m, null), Field("*", step)) if m != "*" && anchorOk(m, 59) &&
+          step != null && stepOk(step) =>
         Some(FixedRate(step.toLong * 60L)) // every N hours
-      case (Field(m, null), Field(h, null)) if m != "*" && h != "*" =>
+      case (Field(m, null), Field(h, null)) if m != "*" && h != "*" &&
+          anchorOk(m, 59) && anchorOk(h, 23) =>
         Some(FixedRate(24L * 60L)) // daily
       case _ => None // lists/ranges (9,17 or 9-17) are calendar shapes
     }

@@ -267,9 +267,16 @@ object Streaming {
           s"[stream] $name batch=${p.batchId} rows=${p.numInputRows} durationMs=${p.durationMs}"))
       spark.table(name)
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      // best-effort cleanup: the state-store maintenance thread can still be
+      // writing into the checkpoint as the query winds down, so deletion must
+      // never throw over a successful result (or mask the real failure)
+      try {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(ckpt)
+        val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+        paths.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+      } catch { case _: java.io.IOException => () }
     }
   }
 }

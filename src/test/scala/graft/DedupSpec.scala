@@ -78,6 +78,18 @@ class DedupSpec extends SparkSpec {
     comps shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L)
   }
 
+  test("connectedComponents keeps edges through off-corpus ids inert") {
+    import spark.implicits._
+    val ids = Seq(5L, 7L, 9L).toDF("id")
+    // id 0 appears only in pairs: it must not relay labels between 5 and 7,
+    // must not appear in the output, and must never become a cluster_id
+    // (nearDupSurvivors would then drop the whole cluster)
+    val pairs = Seq((0L, 5L), (0L, 7L)).toDF("id_a", "id_b")
+    val comps = rows(Dedup.connectedComponents(ids, pairs).orderBy("id"))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comps shouldBe Map(5L -> 5L, 7L -> 7L, 9L -> 9L)
+  }
+
   test("nearDupSurvivors keeps one representative per cluster plus unpaired rows") {
     val pairs = Dedup.minhashPairs(docs, "text", "doc_id", shingleN = 2, k = 64,
       bands = 32, threshold = 0.9)

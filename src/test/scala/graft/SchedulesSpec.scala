@@ -27,6 +27,9 @@ class SchedulesSpec extends AnyFunSuite with Matchers {
     Schedules.fixedRate("0 9-17 * * *") shouldBe None // hour range
     Schedules.fixedRate("not a cron") shouldBe None
     Schedules.fixedRate("* * *") shouldBe None // wrong arity
+    Schedules.fixedRate("*/0 * * * *") shouldBe None // zero step is not a rate
+    Schedules.fixedRate("99 * * * *") shouldBe None // minute out of range
+    Schedules.fixedRate("0 99 * * *") shouldBe None // hour out of range
   }
 
   test("toTrigger: @once/blank -> AvailableNow, fixed rate -> ProcessingTime, calendar -> rejected") {
