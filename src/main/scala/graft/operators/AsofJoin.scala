@@ -47,6 +47,12 @@ object AsofJoin {
       tolerance: Option[String] = None): DataFrame = {
     require(payload.nonEmpty, "asof: payload columns required")
     val lPayloadCols = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == leftTime)
+    // the output carries left pass-through columns AND right payload columns
+    // under their own names — a shared name would emit two identically-named
+    // columns and poison every downstream select with AMBIGUOUS_REFERENCE
+    val clash = lPayloadCols.toSet.intersect(payload.toSet)
+    require(clash.isEmpty,
+      s"asof: left columns ${clash.mkString(", ")} collide with payload names — rename one side")
 
     // Common axis: key, event time `__t`, side tag (right first on ties), the
     // right payload as one non-null struct (plus the match time inside it),

@@ -102,5 +102,8 @@ object Multimodal {
     * before touching bytes.
     */
   def frameSampleIndices(nFrames: Column, every: Int): Column =
-    filter(sequence(lit(0), nFrames - 1), i => i % every === 0)
+    // zero-frame guard: sequence(0, -1) would default to a DESCENDING step
+    // and plan frame 0 of an asset that has none
+    when(nFrames <= 0, array().cast("array<long>"))
+      .otherwise(filter(sequence(lit(0L), nFrames.cast("long") - 1), i => i % every === 0))
 }

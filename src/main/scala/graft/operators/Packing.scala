@@ -75,7 +75,8 @@ object Packing {
     * long documents: token windows of `size` starting every `stride` tokens
     * (`stride < size` ⇒ overlapping chunks). The final window is the short
     * tail unless the previous chunks already cover the document. A document
-    * shorter than `size` yields exactly one chunk.
+    * shorter than `size` yields exactly one chunk; a document with ZERO
+    * tokens yields none (generator semantics — absent from the output).
     *
     * Pure narrow plan: tokenize once, `sequence` + explode generates chunk
     * starts, `slice`+`concat_ws` rebuilds each chunk's text — all codegen'd

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, TimestampType}
 
 /** Calendar resampling with gap fill — the missing half of graft's own
   * time-bucket aggregation ([[Transforms.aggregate]]): a groupBy-only
@@ -42,8 +43,14 @@ object Resample {
       .agg(max(col(valueCol)).as("x"))
     val bounds = daily.groupBy(keys: _*)
       .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    // spine over DATES, cast back to local-midnight timestamps: a timestamp
+    // sequence with INTERVAL 1 DAY adds a fixed 24h, which drifts off local
+    // midnight across a DST transition and silently stops joining the
+    // date_trunc'd daily keys; a date sequence can't drift (both sides derive
+    // local midnight from the same session zone)
     val spine = bounds.select(
-      keys :+ explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("d"): _*)
+        keys :+ explode(sequence(col("d0").cast(DateType), col("d1").cast(DateType))).as("__dd"): _*)
+      .select(keys :+ col("__dd").cast(TimestampType).as("d"): _*)
     val joined = spine.join(daily, keyCols :+ "d", "left")
     val runningFrame = Window.partitionBy(keys: _*).orderBy(col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

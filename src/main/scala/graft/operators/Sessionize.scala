@@ -5,9 +5,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Sessionization: group a user's events into sessions separated by idle gaps
-  * of at least `gap` — the batch twin of Structured Streaming's
-  * `session_window` (which [[graft.streaming.Streaming]] uses on live data).
+/** Sessionization: group a user's events into sessions; a new session starts
+  * when an event arrives STRICTLY more than `gap` after its predecessor
+  * (events exactly `gap` apart stay in one session). The batch twin of
+  * [[graft.streaming.Streaming.sessionizeStream]], which uses the same
+  * boundary convention — note this differs from Spark's `session_window`,
+  * whose half-open [t, t+gap) windows close AT the boundary.
   *
   * Batch implementation is gaps-and-islands: one shuffle on the key, a lag to
   * detect gap starts, a running sum to number sessions — no row explosion, no

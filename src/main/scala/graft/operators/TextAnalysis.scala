@@ -287,7 +287,9 @@ object TextAnalysis {
     * score of CCNet-style quality pipelines, self-contained (no external
     * model artifact):
     * `p(w2|w1) = (C(w1,w2) + 1) / (C(w1,·) + V)`, score = mean over the
-    * document's bigrams of ln p. Documents with < 2 tokens score null.
+    * document's bigrams of ln p. Documents with < 2 tokens produce no
+    * bigrams and are therefore ABSENT from the output (group-by semantics);
+    * left-join the result back to the corpus to surface them as null scores.
     *
     * Shape: one (doc, pos) explode → `lead` pairing (same as [[topBigrams]]),
     * a (w1,w2) count aggregate, the context count C(w1,·) as a window sum

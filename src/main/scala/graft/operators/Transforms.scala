@@ -117,7 +117,7 @@ object Transforms {
     *  - a defensive `to_timestamp` re-parse precedes bucketing (transformers.py:135).
     *
     * @param ord  deterministic intra-bucket order for first/last; defaults to
-    *             the timestamp itself (reference intent).
+    *             the `timeCol` column itself (reference intent).
     */
   def aggregate(
       df: DataFrame,
@@ -126,12 +126,14 @@ object Transforms {
       timeCol: String = "timestamp",
       bySymbol: Boolean = false,
       exactSums: Boolean = false,
-      ord: DataFrame => Column = _.col("timestamp")): DataFrame = {
+      ord: DataFrame => Column = null): DataFrame = {
     val ts = Fns.coerceTimestamp(col(timeCol))
     val withTs = df.withColumn(timeCol, ts)
     val present = aggMap.filter { case (c, _) => has(df, c) }
     require(present.nonEmpty, s"aggregate: none of ${aggMap.map(_._1)} present in ${df.columns.toSeq}")
-    val orderCol = ord(withTs)
+    // default intra-bucket order = the (coerced) time column — resolved via
+    // timeCol, not a hard-coded "timestamp", so renamed time columns work
+    val orderCol = if (ord == null) withTs.col(timeCol) else ord(withTs)
     val aggs = present.map { case (c, f) => aggExpr(c, f, orderCol, exactSums) }
     val keys =
       if (bySymbol && has(df, "symbol")) Seq(Fns.bucketLabel(freq)(col(timeCol)).as(timeCol), col("symbol"))

@@ -66,13 +66,18 @@ final class Http(
     var attempt = 0
     while (attempt < maxRetries) {
       throttle()
+      // no backoff after the FINAL attempt — a terminal sleep (up to 30 s)
+      // would delay the caller's error path while preceding no retry
+      val lastAttempt = attempt + 1 == maxRetries
       try {
         val (status, body) = doSend(req)
         if (status == 200) return Some(body)
-        else sleep((Http.backoffSeconds(attempt, status == 429, rng.nextDouble()) * 1000).toLong)
+        else if (!lastAttempt)
+          sleep((Http.backoffSeconds(attempt, status == 429, rng.nextDouble()) * 1000).toLong)
       } catch {
         case _: Exception =>
-          sleep((Http.backoffSeconds(attempt, rateLimited = false, rng.nextDouble()) * 1000).toLong)
+          if (!lastAttempt)
+            sleep((Http.backoffSeconds(attempt, rateLimited = false, rng.nextDouble()) * 1000).toLong)
       }
       attempt += 1
     }

@@ -89,7 +89,7 @@ final class Ingest(
     * `-USD`-suffixed symbol through the crypto parser.
     */
   def fetchAndStoreCrypto(symbol: String): Map[String, Any] = {
-    val full = if (symbol.contains("-")) symbol else s"$symbol-USD"
+    val full = JsonPayloads.cryptoPairSymbol(symbol)
     fetch(yahooBase + full, Map("interval" -> "1d")) match {
       case None => Map("status" -> "error", "message" -> s"fetch failed for $symbol")
       case Some(payload) =>

@@ -142,8 +142,15 @@ object JsonPayloads {
     * symbol through S10, `close` → `price`, `data_type='crypto'`,
     * `base_symbol = split(symbol,'-')[0]`.
     */
+  /** `-USD` pair-suffix rule (yahoo_finance.py:160) — the ONE definition both
+    * the fetch URL ([[Ingest.fetchAndStoreCrypto]]) and the landed `symbol`
+    * column derive from, so they can never disagree.
+    */
+  def cryptoPairSymbol(symbol: String): String =
+    if (symbol.contains("-")) symbol else s"$symbol-USD"
+
   def parseYahooCrypto(spark: SparkSession, payloads: Seq[String], symbol: String): DataFrame = {
-    val full = if (symbol.contains("-")) symbol else s"$symbol-USD"
+    val full = cryptoPairSymbol(symbol)
     parseYahooChart(spark, payloads, full)
       .withColumnRenamed("close", "price")
       .withColumn("data_type", lit("crypto"))

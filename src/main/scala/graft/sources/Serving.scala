@@ -40,9 +40,11 @@ object Serving {
 
   /** F13' display rounding (reference index.html:960 `toFixed(4)`): fixed
     * 4-decimal rendering of a double column for presentation surfaces.
+    * `format_string`, not `format_number` — the latter inserts thousands
+    * separators ("1,234.5679"), which JS `toFixed` never does.
     */
   def formatFixed(c: org.apache.spark.sql.Column, decimals: Int = 4): org.apache.spark.sql.Column =
-    format_number(c, decimals)
+    format_string(s"%.${decimals}f", c)
 
   /** S16 CSV download sink (reference routes.py:238-259): header CSV, one
     * file per dataset at serving scale.

@@ -43,19 +43,24 @@ object Schedules {
     if (fields.length != 5) return None
     val Array(min, hour, dom, month, dow) = fields
     if (dom != "*" || month != "*" || dow != "*") return None // calendar anchor
-    // field validity: steps must be >= 1 ('*/0' is not a schedule), anchors
+    // field validity: steps must be >= 1 ('*/0' is not a schedule) AND divide
+    // their field's period — cron '*/45 * * * *' fires at minutes 0 and 45
+    // then WRAPS to 0 of the next hour (uneven 45/15 cadence), which a
+    // uniform ProcessingTime(45 min) does not reproduce; such steps are
+    // calendar shapes in disguise and are rejected like any other. Anchors
     // must be in range — an invalid cron must be rejected, not silently
-    // mapped to some rate (ProcessingTime(0) would busy-loop)
-    def stepOk(s: String) = s == null || s.toLong >= 1L
+    // mapped to some rate (ProcessingTime(0) would busy-loop).
+    def stepOk(s: String, period: Long) =
+      s != null && s.toLong >= 1L && period % s.toLong == 0L
     def anchorOk(v: String, max: Int) = v == "*" || v.toInt <= max
     (min, hour) match {
       case ("*", "*") => Some(FixedRate(1L)) // every minute
-      case (Field("*", step), "*") if step != null && stepOk(step) =>
+      case (Field("*", step), "*") if stepOk(step, 60L) =>
         Some(FixedRate(step.toLong))
       case (Field(m, null), "*") if m != "*" && anchorOk(m, 59) =>
         Some(FixedRate(60L)) // hourly
       case (Field(m, null), Field("*", step)) if m != "*" && anchorOk(m, 59) &&
-          step != null && stepOk(step) =>
+          stepOk(step, 24L) =>
         Some(FixedRate(step.toLong * 60L)) // every N hours
       case (Field(m, null), Field(h, null)) if m != "*" && h != "*" &&
           anchorOk(m, 59) && anchorOk(h, 23) =>

@@ -33,9 +33,12 @@ class HttpSpec extends AnyFunSuite with Matchers {
     sleeps.count(_ >= 1000) shouldBe 2
 
     var n = 0
+    var deadSleeps = List.empty[Long]
     val dead = new Http(minDelaySeconds = 0.0, maxRetries = 4,
-      send = _ => { n += 1; (500, "boom") }, sleep = _ => ())
+      send = _ => { n += 1; (500, "boom") }, sleep = ms => deadSleeps = ms :: deadSleeps)
     dead.get("http://example.test/y") shouldBe None
     n shouldBe 4
+    // no terminal backoff: 4 attempts → 3 inter-attempt sleeps, none after the last
+    deadSleeps.count(_ >= 1000) shouldBe 3
   }
 }

@@ -35,6 +35,10 @@ class MultimodalSpec extends SparkSpec {
   test("frameSampleIndices plans every-k frame decode without touching bytes") {
     rows(Seq(Tuple1(10)).toDF("n")
       .select(Multimodal.frameSampleIndices(col("n"), 3).as("idx")))
-      .head.getSeq[Int](0) shouldBe Seq(0, 3, 6, 9)
+      .head.getSeq[Long](0) shouldBe Seq(0L, 3L, 6L, 9L)
+    // zero-frame asset: nothing to decode (not a phantom frame 0)
+    rows(Seq(Tuple1(0)).toDF("n")
+      .select(Multimodal.frameSampleIndices(col("n"), 3).as("idx")))
+      .head.getSeq[Long](0) shouldBe Seq.empty
   }
 }

@@ -30,6 +30,10 @@ class SchedulesSpec extends AnyFunSuite with Matchers {
     Schedules.fixedRate("*/0 * * * *") shouldBe None // zero step is not a rate
     Schedules.fixedRate("99 * * * *") shouldBe None // minute out of range
     Schedules.fixedRate("0 99 * * *") shouldBe None // hour out of range
+    // steps that don't divide the field period wrap unevenly in real cron
+    // (minutes 0,45,0,45… ≠ uniform 45-minute rate) — rejected, not approximated
+    Schedules.fixedRate("*/45 * * * *") shouldBe None
+    Schedules.fixedRate("0 */5 * * *") shouldBe None
   }
 
   test("toTrigger: @once/blank -> AvailableNow, fixed rate -> ProcessingTime, calendar -> rejected") {

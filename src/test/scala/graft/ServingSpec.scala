@@ -40,6 +40,9 @@ class ServingSpec extends SparkSpec {
   test("formatFixed renders 4-decimal display strings (index.html:960 toFixed)") {
     rows(Seq(3.14159265).toDF("x").select(Serving.formatFixed(col("x"))))
       .head.getString(0) shouldBe "3.1416"
+    // no thousands separators — JS toFixed renders "1234.5679", never "1,234.5679"
+    rows(Seq(1234.56789).toDF("x").select(Serving.formatFixed(col("x"))))
+      .head.getString(0) shouldBe "1234.5679"
   }
 
   test("generateRequestId yields unique uuids (helpers.py:18-20)") {
