@@ -69,21 +69,29 @@ object Bench {
       val fn = selected(name)
       name -> (0 until passes).map { _ =>
         val t0 = System.nanoTime()
-        // a throwing query must be VISIBLE in the artifact, not recorded as a
-        // fast success — its near-zero elapsed time would otherwise shrink the
-        // total and pass the gate on a broken suite
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => failed += name }
-        ms3((System.nanoTime() - t0) / 1e9)
+        // a throwing pass must be VISIBLE in the artifact, not recorded as a
+        // fast success — its near-zero elapsed time would otherwise become
+        // the min-of-passes and shrink the gated total on a broken suite
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => failed += name; false }
+        (ms3((System.nanoTime() - t0) / 1e9), ok)
       }
     }
     sentinels += sentinelOnce()
-    val results = allPasses.map { case (name, ps) => name -> ps.min }
+    // min over SUCCESSFUL passes only; a query with zero good passes reports
+    // -1 (and its name is in `failed`) rather than a fabricated timing
+    val results = allPasses.map { case (name, ps) =>
+      val good = ps.collect { case (t, true) => t }
+      name -> (if (good.nonEmpty) good.min else -1.0)
+    }
 
-    val total = ms3(results.map(_._2).sum)
+    val total = ms3(results.collect { case (_, t) if t >= 0 => t }.sum)
     // detail carries every pass, not just the min: a noisy window shows up as
-    // per-pass spread, distinguishing "slow plan" from "loud neighbor"
-    val detail = allPasses.map { case (k, ps) => s"\"$k\":" + ps.mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
+    // per-pass spread, distinguishing "slow plan" from "loud neighbor";
+    // failed passes are negated (-t) so they stay numeric but unmistakable
+    val detail = allPasses.map { case (k, ps) =>
+      s"\"$k\":" + ps.map { case (t, ok) => if (ok) t else -t }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val sentinelJson = sentinels.map(ms3).mkString("[", ",", "]")
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")

@@ -8,9 +8,14 @@ import org.apache.spark.sql.SparkSession
   * Keys are the session OBJECT through a weak-keyed map — not
   * `System.identityHashCode`, which is neither unique nor stable across GC
   * (a recycled hash would hand a later session a DataFrame bound to a dead
-  * SparkContext, or silently skip one-time session setup). Weak keys also
-  * give the correct lifetime for free: a stopped, unreferenced session drops
-  * its whole cache map.
+  * SparkContext, or silently skip one-time session setup).
+  *
+  * Lifetime: cached values (DataFrames) strongly reference their session, so
+  * weak keys alone cannot collect an entry (the classic WeakHashMap
+  * value→key pitfall); eviction is explicit instead — a listener clears a
+  * session's entry when its SparkContext ends. Sessions sharing one
+  * long-lived context (`newSession()`) keep their entries for the context's
+  * life: bounded by (sessions × sf dirs), a handful in any harness.
   */
 object SessionCache {
 
@@ -23,6 +28,11 @@ object SessionCache {
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
         maps.put(s, m)
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            maps.synchronized { maps.remove(s) }
+        })
       }
       m
     }

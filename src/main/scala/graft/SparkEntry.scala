@@ -43,6 +43,10 @@ object SparkEntry {
     if (SessionCache.once(s, "tuned")) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+      // UTC is load-bearing for every day-bucketed oracle comparison: the
+      // DuckDB duals are timezone-naive, so a driver-built session inheriting
+      // a non-UTC host zone would shift date_trunc day boundaries suite-wide
+      s.conf.set("spark.sql.session.timeZone", "UTC")
       graft.expressions.GraftFunctions.register(s) // SQL surface: vector_dot(...)
     }
     s
@@ -110,6 +114,29 @@ object SparkEntry {
     events(s, dir)
       .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("d"))
       .agg(Fns.exactSum(col("value")).as("x"))
+
+  /** Per-key exact-decimal moments (count, Σx, Σx²) — tiny, broadcastable;
+    * the shared basis of the batch and stream-static z-score queries.
+    */
+  private def keyMoments(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    df.groupBy(keyCol).agg(
+      count(lit(1)).as("__n"),
+      sum(col(valueCol).cast(DecimalType(30, 6))).as("__s1"),
+      sum((col(valueCol) * col(valueCol)).cast(DecimalType(30, 6))).as("__s2"))
+
+  /** Broadcast-join [[keyMoments]] onto `df` and add `z = (v − mean)/sd`
+    * (sample sd, Bessel); mean/sd derive from order-independent decimal sums
+    * so z is bit-reproducible across engines without rounding.
+    */
+  private def withZScore(df: DataFrame, moments: DataFrame,
+      keyCol: String, valueCol: String): DataFrame =
+    df.join(broadcast(moments), Seq(keyCol))
+      .withColumn("__mean", col("__s1").cast(DoubleType) / col("__n").cast(DoubleType))
+      .withColumn("__sd", sqrt(
+        (col("__s2").cast(DoubleType) -
+          col("__s1").cast(DoubleType) * col("__s1").cast(DoubleType) / col("__n").cast(DoubleType)) /
+          (col("__n").cast(DoubleType) - lit(1.0))))
+      .withColumn("z", (col(valueCol) - col("__mean")) / col("__sd"))
 
   /** Per-(event_type, day) OHLCV candle — input of the ATR/OBV indicators.
     * `ts` is unique in the corpus, so first/last need no tie-break.
@@ -258,17 +285,7 @@ object SparkEntry {
     // order-independent sums, so z is bit-reproducible without rounding
     "q_anomaly" -> ((s, dir) => {
       val daily = dailyByType(s, dir)
-      val stats = daily.groupBy("event_type").agg(
-        count(lit(1)).as("__n"),
-        sum(col("x").cast(DecimalType(30, 6))).as("__s1"),
-        sum((col("x") * col("x")).cast(DecimalType(30, 6))).as("__s2"))
-      daily.join(broadcast(stats), Seq("event_type"))
-        .withColumn("__mean", col("__s1").cast(DoubleType) / col("__n").cast(DoubleType))
-        .withColumn("__sd", sqrt(
-          (col("__s2").cast(DoubleType) -
-            col("__s1").cast(DoubleType) * col("__s1").cast(DoubleType) / col("__n").cast(DoubleType)) /
-            (col("__n").cast(DoubleType) - lit(1.0))))
-        .withColumn("z", (col("x") - col("__mean")) / col("__sd"))
+      withZScore(daily, keyMoments(daily, "event_type", "x"), "event_type", "x")
         .select(col("event_type"), col("d"), col("x"), col("z"),
           (abs(col("z")) > lit(2.0)).as("is_anomaly"))
         .orderBy("event_type", "d")
@@ -644,8 +661,17 @@ object SparkEntry {
     // single-task global sort; decile = rank·10 div N in exact integers
     "q_length_deciles" -> ((s, dir) => {
       val d = documents(s, dir).select(col("doc_id"), col("n_chars"))
+      // composite order key: (n_chars, doc_id) packed so long ordering equals
+      // lexicographic ordering. A 33-bit doc_id field (< 8.6e9 ids, n_chars
+      // < 2^30) keeps the packing overflow-free far past any realistic
+      // corpus; doc_id bits overflowing into n_chars would silently
+      // mis-rank, so the bound is asserted per row (a violation fails the
+      // job instead of corrupting deciles)
+      val guarded = when(col("doc_id") >= lit(1L << 33) || col("n_chars") >= lit(1L << 30),
+        raise_error(lit("q_length_deciles: composite key bounds exceeded")))
+        .otherwise(col("n_chars") * lit(1L << 33) + col("doc_id"))
       val keyed = d
-        .withColumn("__ord", col("n_chars") * lit(1L << 20) + col("doc_id"))
+        .withColumn("__ord", guarded)
         .withColumn("__one", lit(1L))
       val ranked = graft.operators.Packing.packSequences(
         keyed, "__one", "__ord", budget = 1L, groupSize = 1L << 22)
@@ -827,17 +853,10 @@ object SparkEntry {
     // no watermark; moments are exact decimal sums ⇒ z is bit-reproducible
     "q_stream_anomaly" -> ((s, dir) => {
       tune(s)
-      val stats = events(s, dir).groupBy("event_type").agg(
-        count(lit(1)).as("__n"),
-        sum(col("value").cast(DecimalType(30, 6))).as("__s1"),
-        sum((col("value") * col("value")).cast(DecimalType(30, 6))).as("__s2"))
-      val flagged = eventStream(s, dir).join(broadcast(stats), Seq("event_type"))
-        .withColumn("__mean", col("__s1").cast(DoubleType) / col("__n").cast(DoubleType))
-        .withColumn("__sd", sqrt(
-          (col("__s2").cast(DoubleType) -
-            col("__s1").cast(DoubleType) * col("__s1").cast(DoubleType) / col("__n").cast(DoubleType)) /
-            (col("__n").cast(DoubleType) - lit(1.0))))
-        .withColumn("z", (col("value") - col("__mean")) / col("__sd"))
+      // the same moments/z helper as q_anomaly — one definition of the
+      // decimal-exact arithmetic serves batch and stream-static enrichment
+      val flagged = withZScore(eventStream(s, dir),
+          keyMoments(events(s, dir), "event_type", "value"), "event_type", "value")
         .filter(abs(col("z")) > lit(2.0))
         .select("event_id", "event_type", "value", "z")
       graft.streaming.Streaming.runToMemory(s, flagged, "stream_anomaly_q",
@@ -1015,6 +1034,25 @@ object SparkEntry {
       "arg_max(value, ts) AS close, " +
       "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS volume FROM events GROUP BY 1, 2"
 
+  /** Shared oracle for BOTH correlation-matrix formulations (self-join and
+    * pivot+explode) — they claim identical output, so they verify against
+    * one SQL string.
+    */
+  private val corrMatrixOracleSql: String =
+    s"""WITH dd AS ($dailyByTypeSql),
+      | j AS (SELECT l.event_type AS a, r.event_type AS b, l.x AS xa, r.x AS xb
+      |   FROM dd l JOIN dd r ON l.d = r.d WHERE l.event_type < r.event_type),
+      | s AS (SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS n,
+      |   CAST(SUM(CAST(xa AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+      |   CAST(SUM(CAST(xb AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+      |   CAST(SUM(CAST(xa * xb AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+      |   CAST(SUM(CAST(xa * xa AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+      |   CAST(SUM(CAST(xb * xb AS DECIMAL(30,6))) AS DOUBLE) AS syy
+      |   FROM j GROUP BY a, b)
+      | SELECT a, b,
+      |   (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
+      | FROM s ORDER BY a, b""".stripMargin.replace("\n", "")
+
   /** The [[graft.operators.Queries.ema]] oracle, generated to mirror the Spark
     * lag-chain term for term: α = 1/2 weights are exact binary fractions
     * (BigDecimal pow is exact), additions appear in the same k-order, so the
@@ -1188,8 +1226,8 @@ object SparkEntry {
     s"""WITH $mediaDecodeCtes
        | SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_bytes,
        |  CASE WHEN n >= 3 AND ub[1] = 255 AND ub[2] = 216 THEN 'jpeg' ELSE 'unknown' END AS format,
-       |  16 + abs(h % 1024) AS width,
-       |  16 + abs(CAST(trunc(CAST(h AS DOUBLE) / 1024) AS BIGINT) % 1024) AS height,
+       |  CASE WHEN n = 0 THEN 0 ELSE 16 + abs(h % 1024) END AS width,
+       |  CASE WHEN n = 0 THEN 0 ELSE 16 + abs(CAST(trunc(CAST(h AS DOUBLE) / 1024) AS BIGINT) % 1024) END AS height,
        |  1 + abs(h % 32) AS n_frames, $feats
        | FROM hh ORDER BY media_id""".stripMargin.replace("\n", "")
   }
@@ -1424,36 +1462,11 @@ object SparkEntry {
         |   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS view_x FROM sp WHERE event_type = 'view' GROUP BY 1)
         | SELECT COALESCE(c.d, v.d) AS d, click_x, view_x FROM c FULL JOIN v ON c.d = v.d
         | ORDER BY d""".stripMargin.replace("\n", ""),
-    "q_corr_matrix" ->
-      s"""WITH dd AS ($dailyByTypeSql),
-        | j AS (SELECT l.event_type AS a, r.event_type AS b, l.x AS xa, r.x AS xb
-        |   FROM dd l JOIN dd r ON l.d = r.d WHERE l.event_type < r.event_type),
-        | s AS (SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS n,
-        |   CAST(SUM(CAST(xa AS DECIMAL(30,6))) AS DOUBLE) AS sx,
-        |   CAST(SUM(CAST(xb AS DECIMAL(30,6))) AS DOUBLE) AS sy,
-        |   CAST(SUM(CAST(xa * xb AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
-        |   CAST(SUM(CAST(xa * xa AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
-        |   CAST(SUM(CAST(xb * xb AS DECIMAL(30,6))) AS DOUBLE) AS syy
-        |   FROM j GROUP BY a, b)
-        | SELECT a, b,
-        |   (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
-        | FROM s ORDER BY a, b""".stripMargin.replace("\n", ""),
-    // the wide formulation must produce the SAME matrix, so it shares the
-    // self-join oracle verbatim
-    "q_corr_matrix_wide" ->
-      s"""WITH dd AS ($dailyByTypeSql),
-        | j AS (SELECT l.event_type AS a, r.event_type AS b, l.x AS xa, r.x AS xb
-        |   FROM dd l JOIN dd r ON l.d = r.d WHERE l.event_type < r.event_type),
-        | s AS (SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS n,
-        |   CAST(SUM(CAST(xa AS DECIMAL(30,6))) AS DOUBLE) AS sx,
-        |   CAST(SUM(CAST(xb AS DECIMAL(30,6))) AS DOUBLE) AS sy,
-        |   CAST(SUM(CAST(xa * xb AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
-        |   CAST(SUM(CAST(xa * xa AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
-        |   CAST(SUM(CAST(xb * xb AS DECIMAL(30,6))) AS DOUBLE) AS syy
-        |   FROM j GROUP BY a, b)
-        | SELECT a, b,
-        |   (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
-        | FROM s ORDER BY a, b""".stripMargin.replace("\n", ""),
+    // ONE oracle string for both corr-matrix formulations: the wide form's
+    // whole claim is identical output, so the two keys must reference the
+    // same SQL — a shared val makes a silent one-sided edit impossible
+    "q_corr_matrix" -> corrMatrixOracleSql,
+    "q_corr_matrix_wide" -> corrMatrixOracleSql,
     "q_winsorize" ->
       """WITH p AS (SELECT event_type, round(quantile_cont(value, 0.05), 6) AS p05,
         |   round(quantile_cont(value, 0.95), 6) AS p95 FROM events GROUP BY event_type)

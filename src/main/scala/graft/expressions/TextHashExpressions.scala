@@ -153,11 +153,14 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean) extends T
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   def compute(tokens: ArrayData): ArrayData = {
-    val out = new java.util.ArrayList[java.lang.Long]()
-    TextHash.foreachShingle(tokens, n) { (b, len) => out.add(TextHash.xxhash(b, len)) }
-    var arr = new Array[Long](out.size())
+    // shingle count is known up front (max(1, tokens − n + 1): short docs
+    // emit the single whole-list shingle), so the hashes land directly in a
+    // primitive array — no ArrayList, no per-shingle boxing in the kernel
+    // that dominates the inverted-index dedup scans
+    var arr = new Array[Long](math.max(1, tokens.numElements() - (n - 1)))
     var i = 0
-    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    TextHash.foreachShingle(tokens, n) { (b, len) => arr(i) = TextHash.xxhash(b, len); i += 1 }
+    if (i < arr.length) arr = java.util.Arrays.copyOf(arr, i)
     if (distinct) {
       java.util.Arrays.sort(arr)
       var w = 0
