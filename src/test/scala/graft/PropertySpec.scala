@@ -147,6 +147,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("correlationMatrixWide equals the self-join form on random ragged frames") {
+    val keys = Seq("k1", "k2", "k3", "k4")
+    val cellGen = for {
+      k <- Gen.oneOf(keys); t <- Gen.chooseNum(1, 15)
+      v <- Gen.chooseNum(-100.0, 100.0)
+    } yield (k, t, v)
+    (1L to 6L).foreach { s =>
+      // dedup (k, t) so the documented one-row-per-(key,time) precondition
+      // holds; raggedness (keys missing at some times) stays random
+      val tall = Gen.nonEmptyListOf(cellGen)(Gen.Parameters.default, rng.Seed(s)).get
+        .groupBy(c => (c._1, c._2)).map(_._2.head).toSeq
+        .toDF("series", "t", "v")
+      val byJoin = rows(graft.operators.Queries
+        .correlationMatrix(tall, "series", "t", "v").orderBy("a", "b"))
+        .map(r => (r.getString(0), r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      val byPivot = rows(graft.operators.Queries
+        .correlationMatrixWide(tall, "series", "t", "v", keys).orderBy("a", "b"))
+        .map(r => (r.getString(0), r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      // same pair set; identical r (both compute from the same exact-decimal
+      // power sums, so equality is exact, not approximate). Degenerate pairs
+      // (zero variance / single aligned time → null/NaN r) are excluded from
+      // the value compare because NaN != NaN, but the PAIR SETS must agree.
+      byPivot.map(t => (t._1, t._2)) shouldBe byJoin.map(t => (t._1, t._2))
+      def ok(t: (String, String, Option[Double])) = t._3.exists(d => !d.isNaN)
+      byPivot.filter(ok) shouldBe byJoin.filter(ok)
+    }
+  }
+
   test("ngram jaccard values are within [threshold, 1]; pairs are ordered") {
     val docGen = Gen.nonEmptyListOf(Gen.oneOf(
       "alpha beta gamma delta epsilon zeta", "alpha beta gamma delta epsilon eta",

@@ -32,4 +32,26 @@ class ResampleSpec extends SparkSpec {
     out.count() shouldBe 5 // a: 3 days, b: 2 days — not 11 global days × 2 keys
     out.filter(col("was_gap")).count() shouldBe 1
   }
+
+  test("gapFillDaily spine stays on local midnight across a DST transition") {
+    // America/New_York springs forward on 2025-03-09: a fixed-24h timestamp
+    // spine would land post-transition rows at 01:00 local and silently stop
+    // joining observed days (reporting them as gaps); the date spine cannot
+    // drift
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    import s2.implicits._
+    val df = Seq(
+      ("a", java.sql.Timestamp.valueOf("2025-03-08 09:00:00"), 1.0),
+      ("a", java.sql.Timestamp.valueOf("2025-03-09 09:00:00"), 2.0),
+      ("a", java.sql.Timestamp.valueOf("2025-03-10 09:00:00"), 3.0),
+      ("a", java.sql.Timestamp.valueOf("2025-03-11 09:00:00"), 4.0)
+    ).toDF("k", "ts", "v")
+    val out = rows(Resample.gapFillDaily(df, "ts", Seq("k"), "v").orderBy("d"))
+    out.length shouldBe 4
+    // every day has its observation: nothing misjoined into a phantom gap
+    out.count(_.getBoolean(4)) shouldBe 0
+    out.map(r => Option(r.get(2)).map(_.asInstanceOf[Double])) shouldBe
+      Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0))
+  }
 }
