@@ -54,11 +54,15 @@ object Dedup {
     G.shingleHashes(tokens(text), n, distinct = true)
 
   /** Exact deduplication: keep one representative row (min id) per distinct
-    * content hash. groupBy on a 64-bit hash instead of the raw text keeps the
-    * shuffle narrow (8 bytes vs document bytes).
+    * content hash. groupBy on a 128-bit md5 instead of the raw text keeps the
+    * shuffle narrow (16 bytes vs document bytes) — 128 bits, not xxhash64's
+    * 64, for the same reason [[contentIndex]] documents: a collision here
+    * silently DROPS a non-duplicate document, and at the 10¹⁰-doc design
+    * point a 64-bit key expects real collisions (n²/2⁶⁵ ≈ 3) while 128 bits
+    * gives ~10⁻¹⁸.
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val hashed = df.withColumn("__h", xxhash64(col(textCol)))
+    val hashed = df.withColumn("__h", md5(col(textCol).cast(BinaryType)))
     val keep = hashed.groupBy(col("__h")).agg(min(col(idCol)).as(idCol)).drop("__h")
     df.join(keep, Seq(idCol), "left_semi")
   }
