@@ -493,6 +493,14 @@ object SparkEntry {
     // --- dedup suite (north star) ----------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(documents(s, dir), "text", "doc_id").orderBy("doc_id")),
+    // cross-document duplicated-passage spans (passage-level dedup cut list)
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(documents(s, dir), "text", "doc_id", n = 8, minDocFreq = 2)
+        .select(col("id").as("doc_id"),
+          col("span_start").cast(LongType).as("span_start"),
+          col("span_end").cast(LongType).as("span_end"),
+          col("n_dup_shingles"))
+        .orderBy("doc_id", "span_start")),
     "q_ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id",
         n = 5, threshold = 0.3, maxDocFreq = 100L).orderBy("id_a", "id_b")),
@@ -1589,6 +1597,29 @@ object SparkEntry {
       """SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d
         | JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) k USING (doc_id)
         | ORDER BY d.doc_id""".stripMargin.replace("\n", ""),
+    // duplicated-passage spans: positions via a row-local unnest(range(...)),
+    // then the identical dup-filter + gaps-and-islands (running max of span
+    // end over preceding positions) as the Spark plan
+    "q_dup_spans" -> {
+      val ws = "list_filter(string_split_regex(regexp_replace(lower(text), '[^\\p{L}\\p{Nd}]+', ' ', 'g'), ' '), w -> len(w) > 0)"
+      s"""WITH words AS (SELECT doc_id, $ws AS ws FROM documents),
+         | posi AS (SELECT doc_id, ws,
+         |   UNNEST(range(0, CASE WHEN len(ws) - 7 <= 0 THEN 1 ELSE len(ws) - 7 END)) AS pos FROM words),
+         | sh AS (SELECT doc_id, pos,
+         |   CASE WHEN len(ws) - 7 <= 0 THEN array_to_string(ws, ' ')
+         |        ELSE array_to_string(list_slice(ws, pos + 1, pos + 8), ' ') END AS s FROM posi),
+         | hits AS (SELECT doc_id, pos, pos + 7 AS e FROM sh
+         |   WHERE s IN (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2)),
+         | isl AS (SELECT doc_id, pos, e,
+         |   CASE WHEN pos > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1 THEN 1 ELSE 0 END AS nw
+         |   FROM hits),
+         | g AS (SELECT doc_id, pos, e, SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl)
+         | SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start, CAST(MAX(e) AS BIGINT) AS span_end,
+         |   COUNT(*) AS n_dup_shingles
+         | FROM g GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin.replace("\n", "")
+    },
     "q_ngram_jaccard_pairs" -> {
       val ws = "list_filter(string_split_regex(regexp_replace(lower(text), '[^\\p{L}\\p{Nd}]+', ' ', 'g'), ' '), w -> len(w) > 0)"
       s"""WITH words AS (SELECT doc_id, $ws AS ws FROM documents),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -271,6 +272,47 @@ object Dedup {
     val comps = connectedComponents(df.select(col(idCol).as("id")), pairs)
     df.join(comps.filter(col("id") === col("cluster_id")).select(col("id").as(idCol)),
       Seq(idCol), "left_semi")
+  }
+
+  /** Cross-document duplicated-passage spans (the passage-level dedup step a
+    * C4/RefinedWeb-style pipeline runs between whole-document dedup and
+    * within-document repetition filtering): find every position whose n-token
+    * shingle occurs in ≥ `minDocFreq` DISTINCT documents, then merge
+    * overlapping/adjacent positions into token spans via gaps-and-islands
+    * (running max of span end over preceding positions → island ids).
+    * Emits (id, span_start, span_end, n_dup_shingles) in token coordinates —
+    * the cut list a span-removal pass consumes.
+    *
+    * Shingle keys are xxhash64 values from the codegen'd [[ShingleHashes]]
+    * kernel in DOCUMENT ORDER (distinct = false), so `posexplode` yields
+    * (position, hash) directly — the interpreted string-shingle lambda this
+    * replaced cost 6 s at sf0.1 vs 0.5 s, the same round-2 lesson as every
+    * other kernel in this file. The shuffle carries 8-byte keys; at the
+    * 100 TB design point swap to 128-bit keys per this file's content-key
+    * standard (a collision here marks a false duplicated span), and cap hot
+    * shingles with a docFreq ceiling exactly like [[ngramJaccardPairs]].
+    */
+  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 8, minDocFreq: Int = 2): DataFrame = {
+    val posts = df
+      .select(col(idCol).as("id"),
+        posexplode(G.shingleHashes(tokens(col(textCol)), n, distinct = false))
+          .as(Seq("pos", "sh")))
+    val dup = posts.groupBy("sh")
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDocFreq)
+    val hits = posts.join(dup.select("sh"), Seq("sh"), "left_semi")
+      .select(col("id"), col("pos"), (col("pos") + lit(n - 1)).as("end"))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val runMax = max(col("end")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = hits
+      .withColumn("__new", when(col("pos") > coalesce(runMax, lit(-1L)) + 1, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col("id"), col("__island"))
+      .agg(min(col("pos")).as("span_start"), max(col("end")).as("span_end"),
+        count(lit(1)).as("n_dup_shingles"))
+      .select("id", "span_start", "span_end", "n_dup_shingles")
   }
 
   /** Benchmark decontamination: for corpus documents, n-gram CONTAINMENT of

@@ -78,6 +78,22 @@ class DedupSpec extends SparkSpec {
     comps shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L)
   }
 
+  test("duplicatedSpans merges overlapping cross-document shingles into token spans") {
+    import spark.implicits._
+    // a 10-token passage shared between docs 1 and 2 at different offsets:
+    // its three 8-token shingles overlap and must merge into ONE span each
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"aa bb $shared cc dd"), // shared passage at token offset 2
+      (2L, s"ee $shared ff"),       // shared passage at token offset 1
+      (3L, "totally unrelated words that appear nowhere else at all right here")
+    ).toDF("doc_id", "text")
+    val out = rows(Dedup.duplicatedSpans(docs, "text", "doc_id", n = 8, minDocFreq = 2)
+      .orderBy("id", "span_start"))
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    out shouldBe Seq((1L, 2, 11, 3L), (2L, 1, 10, 3L))
+  }
+
   test("connectedComponents keeps edges through off-corpus ids inert") {
     import spark.implicits._
     val ids = Seq(5L, 7L, 9L).toDF("id")
