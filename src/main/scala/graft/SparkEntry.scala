@@ -501,6 +501,14 @@ object SparkEntry {
           col("span_end").cast(LongType).as("span_end"),
           col("n_dup_shingles"))
         .orderBy("doc_id", "span_start")),
+    // ... and the consumer side: remove those spans, reassemble clean text
+    "q_dup_scrub" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val spans = Dedup.duplicatedSpans(d, "text", "doc_id", n = 8, minDocFreq = 2)
+      Dedup.removeSpans(d, spans, "text", "doc_id")
+        .select(col("id").as("doc_id"), col("clean_text"), col("n_tokens_kept"))
+        .orderBy("doc_id")
+    }),
     "q_ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id",
         n = 5, threshold = 0.3, maxDocFreq = 100L).orderBy("id_a", "id_b")),
@@ -1043,6 +1051,32 @@ object SparkEntry {
       "arg_min(value, ts) AS open, max(value) AS high, min(value) AS low, " +
       "arg_max(value, ts) AS close, " +
       "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS volume FROM events GROUP BY 1, 2"
+
+  /** Shared CTE chain for the duplicated-passage oracles: tokenization →
+    * positional 8-token shingles → cross-doc dup filter → gaps-and-islands
+    * span merge. `q_dup_spans` selects the spans; `q_dup_scrub` additionally
+    * anti-joins token positions against them — ONE string, so the producer
+    * and consumer oracles can never drift.
+    */
+  private val dupSpansCtes: String = {
+    val ws = "list_filter(string_split_regex(regexp_replace(lower(text), '[^\\p{L}\\p{Nd}]+', ' ', 'g'), ' '), w -> len(w) > 0)"
+    s"""words AS (SELECT doc_id, $ws AS ws FROM documents),
+       | posi AS (SELECT doc_id, ws,
+       |   UNNEST(range(0, CASE WHEN len(ws) - 7 <= 0 THEN 1 ELSE len(ws) - 7 END)) AS pos FROM words),
+       | sh AS (SELECT doc_id, pos,
+       |   CASE WHEN len(ws) - 7 <= 0 THEN array_to_string(ws, ' ')
+       |        ELSE array_to_string(list_slice(ws, pos + 1, pos + 8), ' ') END AS s FROM posi),
+       | hits AS (SELECT doc_id, pos, pos + 7 AS e FROM sh
+       |   WHERE s IN (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2)),
+       | isl AS (SELECT doc_id, pos, e,
+       |   CASE WHEN pos > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1 THEN 1 ELSE 0 END AS nw
+       |   FROM hits),
+       | g AS (SELECT doc_id, pos, e, SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl),
+       | spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(e) AS span_end,
+       |   COUNT(*) AS n_dup_shingles FROM g GROUP BY doc_id, island)""".stripMargin.replace("\n", "")
+  }
 
   /** Shared oracle for BOTH correlation-matrix formulations (self-join and
     * pivot+explode) — they claim identical output, so they verify against
@@ -1600,26 +1634,22 @@ object SparkEntry {
     // duplicated-passage spans: positions via a row-local unnest(range(...)),
     // then the identical dup-filter + gaps-and-islands (running max of span
     // end over preceding positions) as the Spark plan
-    "q_dup_spans" -> {
-      val ws = "list_filter(string_split_regex(regexp_replace(lower(text), '[^\\p{L}\\p{Nd}]+', ' ', 'g'), ' '), w -> len(w) > 0)"
-      s"""WITH words AS (SELECT doc_id, $ws AS ws FROM documents),
-         | posi AS (SELECT doc_id, ws,
-         |   UNNEST(range(0, CASE WHEN len(ws) - 7 <= 0 THEN 1 ELSE len(ws) - 7 END)) AS pos FROM words),
-         | sh AS (SELECT doc_id, pos,
-         |   CASE WHEN len(ws) - 7 <= 0 THEN array_to_string(ws, ' ')
-         |        ELSE array_to_string(list_slice(ws, pos + 1, pos + 8), ' ') END AS s FROM posi),
-         | hits AS (SELECT doc_id, pos, pos + 7 AS e FROM sh
-         |   WHERE s IN (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2)),
-         | isl AS (SELECT doc_id, pos, e,
-         |   CASE WHEN pos > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
-         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1 THEN 1 ELSE 0 END AS nw
-         |   FROM hits),
-         | g AS (SELECT doc_id, pos, e, SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
-         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl)
-         | SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start, CAST(MAX(e) AS BIGINT) AS span_end,
-         |   COUNT(*) AS n_dup_shingles
-         | FROM g GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin.replace("\n", "")
-    },
+    "q_dup_spans" ->
+      s"""WITH $dupSpansCtes
+         | SELECT doc_id, CAST(span_start AS BIGINT) AS span_start, CAST(span_end AS BIGINT) AS span_end,
+         |   n_dup_shingles
+         | FROM spans ORDER BY doc_id, span_start""".stripMargin.replace("\n", ""),
+    // span removal: anti range join of token positions against the SAME spans
+    // CTEs (shared string — the two oracles cannot drift), ordered reassembly
+    "q_dup_scrub" ->
+      s"""WITH $dupSpansCtes,
+         | toks AS (SELECT doc_id, ws, UNNEST(range(0, len(ws))) AS pos FROM words),
+         | kept AS (SELECT t.doc_id, t.pos, t.ws[t.pos + 1] AS tok FROM toks t
+         |   WHERE NOT EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = t.doc_id
+         |     AND t.pos BETWEEN s.span_start AND s.span_end))
+         | SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         |   COUNT(*) AS n_tokens_kept
+         | FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "q_ngram_jaccard_pairs" -> {
       val ws = "list_filter(string_split_regex(regexp_replace(lower(text), '[^\\p{L}\\p{Nd}]+', ' ', 'g'), ' '), w -> len(w) > 0)"
       s"""WITH words AS (SELECT doc_id, $ws AS ws FROM documents),

@@ -315,6 +315,30 @@ object Dedup {
       .select("id", "span_start", "span_end", "n_dup_shingles")
   }
 
+  /** Apply a [[duplicatedSpans]] cut list: drop every token whose position
+    * falls inside one of the document's spans and reassemble the remainder —
+    * the consumer side of passage-level dedup. Documents whose every token is
+    * covered (including sub-n docs, whose single whole-doc shingle spans all
+    * positions) have no surviving tokens and are ABSENT from the output
+    * (generator semantics, like [[graft.operators.Packing.chunkDocs]]).
+    *
+    * Scale: tokens shuffle once on the id for the anti range join (equi on
+    * id + position bounds as residual), then once for the per-doc reassembly
+    * — both partial-aggregable, nothing quadratic.
+    */
+  def removeSpans(df: DataFrame, spans: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val kept = toks.as("t").join(
+      spans.select(col("id").as("sid"), col("span_start"), col("span_end")),
+      col("t.id") === col("sid") &&
+        col("t.pos") >= col("span_start") && col("t.pos") <= col("span_end"),
+      "left_anti")
+    kept.groupBy(col("id")).agg(
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ").as("clean_text"),
+      count(lit(1)).as("n_tokens_kept"))
+  }
+
   /** Benchmark decontamination: for corpus documents, n-gram CONTAINMENT of
     * each benchmark document — |S_corpus ∩ S_bench| / |S_bench| — via the
     * same inverted-index join as [[ngramJaccardPairs]]. A corpus doc that

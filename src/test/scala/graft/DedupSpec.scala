@@ -88,10 +88,17 @@ class DedupSpec extends SparkSpec {
       (2L, s"ee $shared ff"),       // shared passage at token offset 1
       (3L, "totally unrelated words that appear nowhere else at all right here")
     ).toDF("doc_id", "text")
-    val out = rows(Dedup.duplicatedSpans(docs, "text", "doc_id", n = 8, minDocFreq = 2)
-      .orderBy("id", "span_start"))
+    val spans = Dedup.duplicatedSpans(docs, "text", "doc_id", n = 8, minDocFreq = 2)
+    val out = rows(spans.orderBy("id", "span_start"))
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
     out shouldBe Seq((1L, 2, 11, 3L), (2L, 1, 10, 3L))
+    // consumer side: covered tokens removed, untouched doc passes through
+    val clean = rows(Dedup.removeSpans(docs, spans, "text", "doc_id").orderBy("id"))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    clean shouldBe Seq(
+      (1L, "aa bb cc dd", 4L),
+      (2L, "ee ff", 2L),
+      (3L, "totally unrelated words that appear nowhere else at all right here", 11L))
   }
 
   test("connectedComponents keeps edges through off-corpus ids inert") {
