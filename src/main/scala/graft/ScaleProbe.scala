@@ -96,6 +96,12 @@ object ScaleProbe {
       // prefix) groups grow in COUNT not size
       graft.operators.TextAnalysis.docRarity(docs, "text", "doc_id").count()
     }
+    time("duplicated_spans") {
+      // replication makes EVERY shingle cross-doc duplicated — maximum hit
+      // density, so every doc collapses to one whole-doc island: stresses the
+      // gaps-and-islands merge at its worst case (|hits| = all positions)
+      Dedup.duplicatedSpans(docs, "text", "doc_id", n = 8, minDocFreq = 2).count()
+    }
     if (k > 1) time("connected_components") {
       // chain pairs linking each replica to the base copy: |pairs| = n·(k−1),
       // every component has diameter ≤ 2. The iterated frame must be
