@@ -12,12 +12,12 @@ import org.apache.spark.sql.SparkSession
   * the stdout line carries only the total, suite size, the 10 slowest
   * queries, and the noise sentinel.
   *
-  * Noise sentinel: the same trivial fixed query is timed at the start, middle
-  * and end of the timed section. On a quiet host the three timings agree to
-  * within a few ms; a corrupted window (noisy-neighbor VM) shows up as a
-  * large spread, making a bad run detectable from the artifact alone
-  * (BENCH_r05 recorded a 30.2 s phantom for a 0.65 s query with no way to
-  * tell from the JSON).
+  * Noise sentinel: the same trivial fixed query is timed at the start and at
+  * every pass-round boundary (passes+1 readings). On a quiet host the
+  * timings agree to within a few ms; a corrupted window (noisy-neighbor VM)
+  * shows up as a large spread, making a bad run detectable from the artifact
+  * alone (BENCH_r05 recorded a 30.2 s phantom for a 0.65 s query with no way
+  * to tell from the JSON).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -59,25 +59,34 @@ object Bench {
     // Min of N timed passes per query: the host is a shared VM, so single-shot
     // timings carry neighbor noise; the minimum is the standard robust
     // estimator of a query's actual cost on such machines.
+    //
+    // Passes are INTERLEAVED round-robin (pass 1 of every query, then pass 2
+    // of every query, ...), not run back-to-back per query: BENCH_r06 recorded
+    // q_repetition at [4.48, 3.15, 2.92] s when the same query measures
+    // 0.05-0.13 s in every local window — a neighbor-noise burst of ~10 s can
+    // corrupt ALL back-to-back passes of one query while staying invisible to
+    // the 3-point sentinel. With rounds separated by the full suite duration,
+    // a burst touches at most one pass per query and min-of-passes recovers.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val names = selected.keys.toVector
     val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
-    sentinels += sentinelOnce()
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    val allPasses = names.zipWithIndex.map { case (name, i) =>
-      if (i == names.size / 2) sentinels += sentinelOnce()
-      val fn = selected(name)
-      name -> (0 until passes).map { _ =>
+    val times = names.map(n => n -> scala.collection.mutable.ArrayBuffer[(Double, Boolean)]()).toMap
+    sentinels += sentinelOnce()
+    (0 until passes).foreach { _ =>
+      names.foreach { name =>
+        val fn = selected(name)
         val t0 = System.nanoTime()
         // a throwing pass must be VISIBLE in the artifact, not recorded as a
         // fast success — its near-zero elapsed time would otherwise become
         // the min-of-passes and shrink the gated total on a broken suite
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => failed += name; false }
-        (ms3((System.nanoTime() - t0) / 1e9), ok)
+        times(name) += ((ms3((System.nanoTime() - t0) / 1e9), ok))
       }
+      sentinels += sentinelOnce() // one sentinel per round boundary
     }
-    sentinels += sentinelOnce()
+    val allPasses = names.map(n => n -> times(n).toSeq)
     // min over SUCCESSFUL passes only; a query with zero good passes reports
     // -1 (and its name is in `failed`) rather than a fabricated timing
     val results = allPasses.map { case (name, ps) =>
@@ -85,7 +94,12 @@ object Bench {
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
 
-    val total = ms3(results.collect { case (_, t) if t >= 0 => t }.sum)
+    // A suite with ANY failing query reports value=-1: summing only the
+    // successful queries would make a breakage look like a speedup to a
+    // driver that parses `value` alone (ADVICE r06). The sum of the queries
+    // that did run is still recorded as `gross`.
+    val gross = ms3(results.collect { case (_, t) if t >= 0 => t }.sum)
+    val total = if (failed.nonEmpty) -1.0 else gross
     // detail carries every pass, not just the min: a noisy window shows up as
     // per-pass spread, distinguishing "slow plan" from "loud neighbor";
     // failed passes are negated (-t) so they stay numeric but unmistakable
@@ -97,7 +111,7 @@ object Bench {
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val failedJson = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
     val detailLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"subset":${only.isDefined},"passes":$passes,"errors":${failed.size},"failed":$failedJson,"sentinel":$sentinelJson,"queries":$detail}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","gross":$gross,"sf":"$sfDir","n_queries":${results.size},"subset":${only.isDefined},"passes":$passes,"errors":${failed.size},"failed":$failedJson,"sentinel":$sentinelJson,"queries":$detail}"""
     // Full detail: file + stderr (both safe — the driver tails stdout only).
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
@@ -105,7 +119,7 @@ object Bench {
     } catch { case _: Throwable => () }
     System.err.println(detailLine)
     // The ONE stdout line: compact, bounded (< 1 KB at any suite size).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"subset":${only.isDefined},"errors":${failed.size},"sentinel":$sentinelJson,"slowest":$slowest}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","gross":$gross,"sf":"$sfDir","n_queries":${results.size},"subset":${only.isDefined},"errors":${failed.size},"sentinel":$sentinelJson,"slowest":$slowest}""")
     spark.stop()
   }
 }

@@ -185,6 +185,56 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean) extends T
   override def prettyName: String = "shingle_hashes"
 }
 
+/** Single-pass repetition kernel: (total shingles, distinct shingles) as a
+  * struct, without materializing or sorting hash arrays. Distinct counting
+  * uses an open-addressing long set (load factor ≤ 0.5) keyed on the same
+  * xxHash64 values [[ShingleHashes]] emits, so `n_distinct` is identical to
+  * `size(shingle_hashes(toks, n, distinct=true))` while doing one shingle
+  * pass instead of two plus a sort. Replaces the double-eval formulation in
+  * `TextAnalysis.repetitionStats` (round-7, VERDICT r06 #1).
+  */
+case class ShingleStats(child: Expression, n: Int) extends TokenKernel {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_ngrams", LongType, nullable = false),
+    StructField("n_distinct_ngrams", LongType, nullable = false)))
+
+  def compute(tokens: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val expected = math.max(1, tokens.numElements() - (n - 1))
+    var capacity = 8
+    while (capacity < expected * 2) capacity <<= 1
+    val table = new Array[Long](capacity)
+    val mask = capacity - 1
+    var total = 0L
+    var distinct = 0L
+    var zeroSeen = false
+    TextHash.foreachShingle(tokens, n) { (b, len) =>
+      val h = TextHash.xxhash(b, len)
+      total += 1
+      if (h == 0L) {
+        // 0 is the table's empty sentinel; track it out of band
+        if (!zeroSeen) { zeroSeen = true; distinct += 1 }
+      } else {
+        var idx = ((h ^ (h >>> 32)) & mask).toInt
+        while (table(idx) != 0L && table(idx) != h) idx = (idx + 1) & mask
+        if (table(idx) == 0L) { table(idx) = h; distinct += 1 }
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, distinct))
+  }
+
+  override protected def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleStats", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "shingle_stats"
+}
+
 /** MinHash signature: lane i = min over shingles of `xxhash64(shingle)*A(i)+B(i)`.
   * One pass over the shingles, k multiply-adds each — no explode, no shuffle,
   * no per-lane re-hash. Duplicated shingles cannot change a min, so no dedup

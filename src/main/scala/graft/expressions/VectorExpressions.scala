@@ -173,6 +173,9 @@ object GraftFunctions {
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (args: Seq[Expression]) => ShingleHashes(args(0), litInt(args(1), "shingle_hashes", 2),
         if (args.length > 2) litBool(args(2), "shingle_hashes", 3) else true)),
+    (new FunctionIdentifier("shingle_stats"),
+      new ExpressionInfo(classOf[ShingleStats].getName, "shingle_stats"),
+      (args: Seq[Expression]) => ShingleStats(args(0), litInt(args(1), "shingle_stats", 2))),
     (new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => MinHashSig(args(0), litInt(args(1), "minhash_sig", 2),
@@ -206,6 +209,9 @@ object GraftFunctions {
   // array are plan-time constants, so these are Column-API only.
   def shingleHashes(tokens: Column, n: Int, distinct: Boolean = true): Column =
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(tokens), n, distinct))
+
+  def shingleStats(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(ShingleStats(GraftColumnBridge.expression(tokens), n))
 
   def minhashSig(tokens: Column, n: Int, k: Int): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(tokens), n, k))

@@ -115,16 +115,18 @@ object TextAnalysis {
 
   /** Within-document repetition stats (RefinedWeb/Gopher-style repetition
     * filters): total vs distinct word n-grams and their ratio. High
-    * `dup_ngram_ratio` marks boilerplate/templated documents. Narrow — two
-    * kernel passes per row, zero shuffle.
+    * `dup_ngram_ratio` marks boilerplate/templated documents. Narrow — ONE
+    * kernel pass per row ([[graft.expressions.ShingleStats]]), zero shuffle.
+    * The struct is projected in its own select so CollapseProject (which
+    * refuses to duplicate non-cheap expressions referenced more than once)
+    * keeps the tokenizer+kernel evaluated exactly once per row.
     */
   def repetitionStats(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
-    val toks = Dedup.tokens(col(textCol))
-    val total = size(graft.expressions.GraftFunctions.shingleHashes(toks, n, distinct = false))
-    val dist = size(graft.expressions.GraftFunctions.shingleHashes(toks, n, distinct = true))
-    df.select(col(idCol),
-        total.cast(LongType).as("n_ngrams"),
-        dist.cast(LongType).as("n_distinct_ngrams"))
+    val st = graft.expressions.GraftFunctions.shingleStats(Dedup.tokens(col(textCol)), n)
+    df.select(col(idCol), st.as("__st"))
+      .select(col(idCol),
+        col("__st.n_ngrams").as("n_ngrams"),
+        col("__st.n_distinct_ngrams").as("n_distinct_ngrams"))
       .withColumn("dup_ngram_ratio",
         when(col("n_ngrams") > 0,
           lit(1.0) - col("n_distinct_ngrams").cast(DoubleType) / col("n_ngrams").cast(DoubleType))

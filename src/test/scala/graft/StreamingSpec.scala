@@ -54,6 +54,31 @@ class StreamingSpec extends SparkSpec {
       Set("alpha beta gamma", "totally different")
   }
 
+  test("dedupStream matches batch DISTINCT across MULTIPLE microbatches when the delay covers the span") {
+    // q_stream_dedup's oracle parity claim (SparkEntry): batch-DISTINCT
+    // equivalence must NOT depend on the source draining in one microbatch.
+    // Force a multi-batch drain (maxFilesPerTrigger=1, one file per key
+    // epoch) with duplicate keys arriving HOURS apart in different batches;
+    // a span-covering delay must still dedup them, a short one would re-emit.
+    val schema = Seq(("2024-01-01 09:00:00", 1L)).toDF("ts", "k")
+      .withColumn("ts", col("ts").cast("timestamp")).schema
+    val dir = java.nio.file.Files.createTempDirectory("multibatch").toString
+    Seq(("2024-01-01 09:00:00", 1L), ("2024-01-01 09:30:00", 2L))
+      .toDF("ts", "k").withColumn("ts", col("ts").cast("timestamp"))
+      .coalesce(1).write.parquet(s"$dir/f1")
+    Seq(("2024-01-01 15:00:00", 1L), ("2024-01-01 16:00:00", 3L)) // dup of k=1, 6h later
+      .toDF("ts", "k").withColumn("ts", col("ts").cast("timestamp"))
+      .coalesce(1).write.parquet(s"$dir/f2")
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/f*/")
+    val out = Streaming.runToMemory(spark,
+      Streaming.dedupStream(stream, Seq("k"), "ts", delay = "10 days").select("k"),
+      "dedup_multibatch", org.apache.spark.sql.streaming.OutputMode.Append())
+    rows(out.select("k")).map(_.getLong(0)).sorted shouldBe Seq(1L, 2L, 3L)
+  }
+
   test("payload stream decodes with the batch parser operators (bus-shaped source)") {
     import graft.sources.JsonPayloads
     val payloads = Seq(("AAPL", Fixtures.yahooChart)).toDF("symbol", "payload")

@@ -36,6 +36,21 @@ class TextHashSpec extends SparkSpec {
     out.getSeq[Long](0) shouldBe Seq(out.getLong(1))
   }
 
+  test("shingleStats single pass equals the two-kernel formulation") {
+    // includes a repetitive doc so total != distinct, plus the spec corpus
+    val d = docs.union(Seq((5L, "ha ha ha ha ha ha ha ha")).toDF("doc_id", "text"))
+    val toks = Dedup.tokens(col("text"))
+    val two = d.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(G.shingleHashes(toks, 3, distinct = false)).cast("long").as("e_total"),
+      org.apache.spark.sql.functions.size(G.shingleHashes(toks, 3, distinct = true)).cast("long").as("e_dist"))
+    val one = d.select(col("doc_id"), G.shingleStats(toks, 3).as("st"))
+      .select(col("doc_id"), col("st.n_ngrams").as("a_total"),
+        col("st.n_distinct_ngrams").as("a_dist"))
+    val j = two.join(one, "doc_id")
+    rows(j.filter(col("e_total") =!= col("a_total") || col("e_dist") =!= col("a_dist"))) shouldBe empty
+    rows(j).length shouldBe 5
+  }
+
   test("minhash sig: equal docs equal, unrelated differ, length k") {
     val d = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "x y z w v u t")).toDF("id", "t")
     val sigs = rows(d.select(col("id"), G.minhashSig(Dedup.tokens(col("t")), 2, 16).as("s")))
