@@ -711,11 +711,11 @@ object SparkEntry {
       // same min-id-per-content semantics as Dedup.exact, but as a WINDOW over
       // the content hash: Dedup.exact's semi-join would evaluate the quality
       // stage twice (once per join side) inside this composed plan; the window
-      // keeps it one pass + one hash shuffle. md5 (128-bit), matching
-      // Dedup.exact — a 64-bit partition key would silently merge colliding
-      // non-duplicates at the 10¹⁰-doc design point
+      // keeps it one pass + one hash shuffle. Binary md5 (128-bit, 16-byte
+      // partition key via unhex), matching Dedup.exact — a 64-bit key would
+      // silently merge colliding non-duplicates at the 10¹⁰-doc design point
       val deduped = kept.withColumn("__keep", col("doc_id") ===
-          min(col("doc_id")).over(Window.partitionBy(md5(col("text").cast(BinaryType)))))
+          min(col("doc_id")).over(Window.partitionBy(unhex(md5(col("text").cast(BinaryType))))))
         .filter(col("__keep")).drop("__keep")
       val split = graft.operators.Sampling.withSplit(deduped, "doc_id")
       val withTok = split.select(col("doc_id"), col("split"),

@@ -75,9 +75,14 @@ object TextHash {
   }
 
   private val XXH_SEED = 42L
+  // independent second lane for 128-bit composite keys (ShingleHashes128)
+  private val XXH_SEED2 = 0x27d4eb2f165667c5L
 
   @inline private[expressions] def xxhash(bytes: Array[Byte], len: Int): Long =
     XXH64.hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, XXH_SEED)
+
+  @inline private[expressions] def xxhash2(bytes: Array[Byte], len: Int): Long =
+    XXH64.hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, XXH_SEED2)
 
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -183,6 +188,43 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean) extends T
 
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   override def prettyName: String = "shingle_hashes"
+}
+
+/** 128-bit positional shingle keys: array of struct(h1, h2) where h1/h2 are
+  * independent-seed xxHash64 lanes over the same shingle bytes, in DOCUMENT
+  * ORDER (the [[ShingleHashes]] distinct=false shape widened to this file's
+  * 128-bit content-key standard). A 64-bit key collision in passage-level
+  * dedup marks a FALSE duplicated span — the same silent-loss class that
+  * motivated the round-6 exact-dedup upgrade; at 10¹² corpus shingle
+  * positions the 128-bit birthday bound is ~10⁻¹³. The shuffle key is
+  * 16 bytes — still narrow.
+  */
+case class ShingleHashes128(child: Expression, n: Int) extends TokenKernel {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))), containsNull = false)
+
+  def compute(tokens: ArrayData): ArrayData = {
+    val out = new Array[Any](math.max(1, tokens.numElements() - (n - 1)))
+    var i = 0
+    TextHash.foreachShingle(tokens, n) { (b, len) =>
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](TextHash.xxhash(b, len), TextHash.xxhash2(b, len)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes128", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "shingle_hashes128"
 }
 
 /** Single-pass repetition kernel: (total shingles, distinct shingles) as a

@@ -213,6 +213,9 @@ object GraftFunctions {
   def shingleStats(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleStats(GraftColumnBridge.expression(tokens), n))
 
+  def shingleHashes128(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(ShingleHashes128(GraftColumnBridge.expression(tokens), n))
+
   def minhashSig(tokens: Column, n: Int, k: Int): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(tokens), n, k))
 

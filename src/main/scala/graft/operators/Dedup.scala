@@ -55,15 +55,16 @@ object Dedup {
     G.shingleHashes(tokens(text), n, distinct = true)
 
   /** Exact deduplication: keep one representative row (min id) per distinct
-    * content hash. groupBy on a 128-bit md5 instead of the raw text keeps the
-    * shuffle narrow (16 bytes vs document bytes) — 128 bits, not xxhash64's
+    * content hash. groupBy on a 128-bit binary md5 key (`unhex(md5(...))` —
+    * 16 BYTES on the wire, not md5()'s 32-char hex string) instead of the raw
+    * text keeps the shuffle narrow — 128 bits, not xxhash64's
     * 64, for the same reason [[contentIndex]] documents: a collision here
     * silently DROPS a non-duplicate document, and at the 10¹⁰-doc design
     * point a 64-bit key expects real collisions (n²/2⁶⁵ ≈ 3) while 128 bits
     * gives ~10⁻¹⁸.
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val hashed = df.withColumn("__h", md5(col(textCol).cast(BinaryType)))
+    val hashed = df.withColumn("__h", unhex(md5(col(textCol).cast(BinaryType))))
     val keep = hashed.groupBy(col("__h")).agg(min(col(idCol)).as(idCol)).drop("__h")
     df.join(keep, Seq(idCol), "left_semi")
   }
@@ -78,7 +79,7 @@ object Dedup {
     * re-scanning history.
     */
   def contentIndex(df: DataFrame, textCol: String): DataFrame =
-    df.select(md5(col(textCol).cast(BinaryType)).as("h")).distinct()
+    df.select(unhex(md5(col(textCol).cast(BinaryType))).as("h")).distinct()
 
   /** Day-2 incremental dedup: from a new batch, keep one representative per
     * distinct content WITHIN the batch ([[exact]]), then drop anything whose
@@ -91,7 +92,7 @@ object Dedup {
   def incremental(newDocs: DataFrame, seenIndex: DataFrame,
       textCol: String, idCol: String): DataFrame =
     exact(newDocs, textCol, idCol)
-      .withColumn("__h", md5(col(textCol).cast(BinaryType)))
+      .withColumn("__h", unhex(md5(col(textCol).cast(BinaryType))))
       .join(seenIndex.select(col("h").as("__h")), Seq("__h"), "left_anti")
       .drop("__h")
 
@@ -283,24 +284,42 @@ object Dedup {
     * Emits (id, span_start, span_end, n_dup_shingles) in token coordinates —
     * the cut list a span-removal pass consumes.
     *
-    * Shingle keys are xxhash64 values from the codegen'd [[ShingleHashes]]
-    * kernel in DOCUMENT ORDER (distinct = false), so `posexplode` yields
-    * (position, hash) directly — the interpreted string-shingle lambda this
-    * replaced cost 6 s at sf0.1 vs 0.5 s, the same round-2 lesson as every
-    * other kernel in this file. The shuffle carries 8-byte keys; at the
-    * 100 TB design point swap to 128-bit keys per this file's content-key
-    * standard (a collision here marks a false duplicated span), and cap hot
-    * shingles with a docFreq ceiling exactly like [[ngramJaccardPairs]].
+    * Shingle keys are 128-bit struct(h1, h2) values from the codegen'd
+    * [[graft.expressions.ShingleHashes128]] kernel in DOCUMENT ORDER, so
+    * `posexplode` yields (position, key) directly — the interpreted
+    * string-shingle lambda this replaced cost 6 s at sf0.1 vs 0.5 s, the
+    * same round-2 lesson as every other kernel in this file. 128-bit keys
+    * per this file's content-key standard: a collision here marks a FALSE
+    * duplicated span (silent text loss downstream), and at 10¹² positions
+    * the 64-bit birthday bound is a near-certainty while 128-bit is ~10⁻¹³.
+    * The shuffle still carries only 16-byte keys.
+    *
+    * Skew: at the default `minDocFreq = 2` the duplicated-shingle test is
+    * `min(id) != max(id)` — two partial-aggregable extrema, so a boilerplate
+    * shingle present in 10⁸ documents reduces to one row per map partition
+    * before the shuffle (no countDistinct expansion on a hot key). With a
+    * non-default `minDocFreq` or a `maxDocFreq` ceiling the exact
+    * `countDistinct` path runs instead. `maxDocFreq` (off by default — a
+    * hyper-common shingle IS a duplicated passage, so capping changes
+    * semantics) is the cost/recall knob for degenerate corpora where
+    * marking universal boilerplate is not worth the span traffic; callers
+    * opt in knowingly, mirroring [[ngramJaccardPairs]]'s docFreq cap.
     */
   def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
-      n: Int = 8, minDocFreq: Int = 2): DataFrame = {
+      n: Int = 8, minDocFreq: Int = 2, maxDocFreq: Option[Long] = None): DataFrame = {
     val posts = df
       .select(col(idCol).as("id"),
-        posexplode(G.shingleHashes(tokens(col(textCol)), n, distinct = false))
+        posexplode(G.shingleHashes128(tokens(col(textCol)), n))
           .as(Seq("pos", "sh")))
-    val dup = posts.groupBy("sh")
-      .agg(countDistinct(col("id")).as("df"))
-      .filter(col("df") >= minDocFreq)
+    val dup = (minDocFreq, maxDocFreq) match {
+      case (2, None) =>
+        posts.groupBy("sh").agg(min(col("id")).as("__lo"), max(col("id")).as("__hi"))
+          .filter(col("__lo") =!= col("__hi"))
+      case (lo, hiOpt) =>
+        val counted = posts.groupBy("sh").agg(countDistinct(col("id")).as("df"))
+          .filter(col("df") >= lo)
+        hiOpt.fold(counted)(hi => counted.filter(col("df") <= hi))
+    }
     val hits = posts.join(dup.select("sh"), Seq("sh"), "left_semi")
       .select(col("id"), col("pos"), (col("pos") + lit(n - 1)).as("end"))
     val byDoc = Window.partitionBy("id").orderBy("pos")
