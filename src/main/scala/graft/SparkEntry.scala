@@ -276,6 +276,17 @@ object SparkEntry {
         partitionCols = Seq("event_type"))
         .select("event_type", "d", "x", "macd", "signal", "histogram")
         .orderBy("event_type", "d")),
+    // faithful pandas bin semantics for the flagship A1 operator: daily
+    // candles over the thinned stream composed with the calendar spine, so
+    // EMPTY calendar bins inside the span are emitted (pd.Grouper parity —
+    // the one place plain aggregate knowingly diverges from the reference)
+    "q_candles_calendar" -> ((s, dir) =>
+      Resample.calendarDailyCandles(
+        events(s, dir).filter(col("event_id") % 97 === 0)
+          .select(col("ts").as("timestamp"), col("value").as("open"),
+            col("value").as("high"), col("value").as("low"),
+            col("value").as("close"), col("value").as("volume")))
+        .orderBy("timestamp")),
     // calendar gap fill: events thinned 1-in-97 so day gaps actually exist
     "q_gap_fill" -> ((s, dir) =>
       Resample.gapFillDaily(events(s, dir).filter(col("event_id") % 97 === 0),
@@ -1467,6 +1478,17 @@ object SparkEntry {
         |   CASE WHEN hh > ll THEN 100.0 * (close - ll) / (hh - ll) END AS pct_k
         | FROM s WHERE rn >= 7 ORDER BY event_type, d""".stripMargin.replace("\n", ""),
     "q_macd" -> macdSql,
+    "q_candles_calendar" ->
+      """WITH c AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS timestamp,
+        |   arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+        |   arg_max(value, ts) AS close, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS volume
+        |   FROM events WHERE event_id % 97 = 0 GROUP BY 1),
+        | b AS (SELECT min(timestamp) AS d0, max(timestamp) AS d1 FROM c),
+        | sp AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS timestamp FROM b)
+        | SELECT sp.timestamp, open, high, low, close,
+        |   coalesce(volume, 0.0) AS volume, (c.timestamp IS NULL) AS was_gap
+        | FROM sp LEFT JOIN c ON sp.timestamp = c.timestamp
+        | ORDER BY sp.timestamp""".stripMargin.replace("\n", ""),
     "q_gap_fill" ->
       """WITH s AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, max(value) AS x
         |   FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2),

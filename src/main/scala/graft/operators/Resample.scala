@@ -35,6 +35,31 @@ object Resample {
     * observed daily max (null on gap days), `x_filled` carries the last
     * observation forward, `was_gap` flags synthesized rows.
     */
+  /** Calendar-spine daily candles: [[Transforms.aggregate]] at freq "D"
+    * composed with a date spine over the observed [min, max] day — the
+    * faithful pandas `pd.Grouper(freq=...)` bin semantics the plain groupBy
+    * knowingly drops (transformers.py:138-139 emits EMPTY calendar bins
+    * inside the data's span). Gap bins carry pandas' empty-group aggregates:
+    * open/high/low/close null (first/max/min/last of an empty bin are NaN)
+    * and volume 0 (pandas sum of an empty group is 0 since 1.0), plus a
+    * `was_gap` flag.
+    *
+    * Scale: the candle aggregate is the same partial-aggregable shuffle as
+    * the plain variant; the bounds aggregate is one row, the spine is
+    * days-in-span rows (thousands, not data-sized) and broadcast-joins back.
+    */
+  def calendarDailyCandles(ticks: DataFrame): DataFrame = {
+    val candles = Transforms.aggregate(ticks, "D", exactSums = true)
+    val bounds = candles.agg(min(col("timestamp")).as("d0"), max(col("timestamp")).as("d1"))
+    val spine = bounds.select(
+        explode(sequence(col("d0").cast(DateType), col("d1").cast(DateType))).as("__dd"))
+      .select(col("__dd").cast(TimestampType).as("timestamp"))
+    spine.join(candles, Seq("timestamp"), "left")
+      .select(col("timestamp"), col("open"), col("high"), col("low"), col("close"),
+        coalesce(col("volume"), lit(0.0)).as("volume"),
+        col("open").isNull.as("was_gap"))
+  }
+
   def gapFillDaily(df: DataFrame, tsCol: String, keyCols: Seq[String],
       valueCol: String): DataFrame = {
     val keys = keyCols.map(col)

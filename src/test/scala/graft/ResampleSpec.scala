@@ -23,6 +23,22 @@ class ResampleSpec extends SparkSpec {
       ("b", "2024-02-10", Some(5.0), 5.0, false))
   }
 
+  test("calendarDailyCandles emits empty bins with pandas empty-group aggregates") {
+    val ticks = Seq(
+      (tsLit("2024-01-01 09:00:00"), 1.0),
+      (tsLit("2024-01-01 10:00:00"), 4.0), // day 1: open=1, high=4, low=1, close=4, vol=5
+      (tsLit("2024-01-03 09:00:00"), 2.0)  // day 2 is a gap bin
+    ).toDF("timestamp", "v")
+      .select(col("timestamp"), col("v").as("open"), col("v").as("high"),
+        col("v").as("low"), col("v").as("close"), col("v").as("volume"))
+    val out = rows(Resample.calendarDailyCandles(ticks).orderBy("timestamp"))
+    out.map(r => (r.getTimestamp(0).toString.take(10), Option(r.get(1)),
+      r.getDouble(5), r.getBoolean(6))) shouldBe Seq(
+      ("2024-01-01", Some(1.0), 5.0, false),
+      ("2024-01-02", None, 0.0, true), // empty bin: OHLC null, sum-of-empty = 0
+      ("2024-01-03", Some(2.0), 2.0, false))
+  }
+
   test("gapFillDaily spine is per-key: keys do not extend to the global range") {
     val df = Seq(
       ("a", tsLit("2024-01-01"), 1.0), ("a", tsLit("2024-01-03"), 2.0),
