@@ -491,6 +491,34 @@ object SparkEntry {
         col("open"), col("high"), col("low"), col("close"), col("volume"))
         .orderBy("timestamp")
     }),
+    // S16 CSV download sink under the gate (routes.py:238-259): candles →
+    // header CSV → read back with the declared schema; text roundtrip must
+    // be lossless (Spark writes shortest-roundtrip doubles and ISO
+    // timestamps), so the oracle is the same candle SQL
+    "q_serve_csv" -> ((s, dir) => {
+      // fixed path + overwrite: repeated passes reuse one directory
+      val out = new java.io.File(sys.props("java.io.tmpdir"), "graft_csv_download").toString
+      graft.sources.Serving.csvDownload(candles(s, dir, "D"), out)
+      s.read.option("header", "true")
+        .schema("timestamp TIMESTAMP, open DOUBLE, high DOUBLE, low DOUBLE, close DOUBLE, volume DOUBLE")
+        .csv(out).orderBy("timestamp")
+    }),
+    // O2 preview contract (index.html:945): FIRST 100 rows by key through
+    // the JSON-records view — sort-then-limit, so which rows survive is
+    // pinned, not a scan-order accident
+    "q_serve_preview" -> ((s, dir) =>
+      graft.sources.Serving.jsonRecordsView(
+        events(s, dir).select("event_id", "ts", "event_type", "value")
+          .orderBy("event_id"))
+        .limit(100)),
+    // F13' display rounding (index.html:960 toFixed(4)): fixed 4-decimal
+    // rendering; no double is exactly halfway at 4 decimals (a tie needs a
+    // 5^4 denominator, impossible in binary), so Java %.4f, C printf and JS
+    // toFixed agree on every representable value
+    "q_serve_fixed" -> ((s, dir) =>
+      events(s, dir).select(col("event_id"),
+        graft.sources.Serving.formatFixed(col("value")).as("value_fixed"))
+        .orderBy("event_id")),
     "q_dataset_info" -> ((s, dir) => {
       val e = events(s, dir)
       e.agg(
@@ -1644,6 +1672,14 @@ object SparkEntry {
       s"""SELECT strftime(timestamp, '%Y-%m-%dT%H:%M:%S.%fZ') AS timestamp,
          | open, high, low, close, volume
          | FROM (${candleSql(bucketD)}) ORDER BY timestamp""".stripMargin.replace("\n", ""),
+    "q_serve_csv" -> candleSql(bucketD),
+    "q_serve_preview" ->
+      """SELECT event_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%fZ') AS ts,
+        | event_type, value
+        | FROM events ORDER BY event_id LIMIT 100""".stripMargin.replace("\n", ""),
+    "q_serve_fixed" ->
+      """SELECT event_id, printf('%.4f', value) AS value_fixed
+        | FROM events ORDER BY event_id""".stripMargin.replace("\n", ""),
     "q_dataset_info" ->
       """SELECT COUNT(*) AS num_rows, MIN(CAST(ts AS TIMESTAMP)) AS start_date,
         | MAX(CAST(ts AS TIMESTAMP)) AS end_date,
