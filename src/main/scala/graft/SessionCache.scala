@@ -12,15 +12,38 @@ import org.apache.spark.sql.SparkSession
   *
   * Lifetime: cached values (DataFrames) strongly reference their session, so
   * weak keys alone cannot collect an entry (the classic WeakHashMap
-  * value→key pitfall); eviction is explicit instead — a listener clears a
-  * session's entry when its SparkContext ends. Sessions sharing one
-  * long-lived context (`newSession()`) keep their entries for the context's
-  * life: bounded by (sessions × sf dirs), a handful in any harness.
+  * value→key pitfall); eviction is explicit instead — one listener PER
+  * CONTEXT (not per session: a per-session listener closure would strongly
+  * capture the session on the listener bus, pinning every `newSession()`
+  * child for the context's life) clears all that context's sessions when the
+  * context ends, unpersisting any cached Datasets so `.cache()`d index blocks
+  * (IVF centroids/assignments) are released with the entry. Sessions sharing
+  * one long-lived context keep their entries for the context's life: bounded
+  * by (sessions × sf dirs), a handful in any harness; [[evict]] is the
+  * explicit release valve for a churny caller.
   */
 object SessionCache {
 
   private val maps =
     new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+
+  // contexts that already carry the eviction listener; weak so the set never
+  // extends a stopped context's life
+  private val listened = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
+
+  private def release(m: java.util.concurrent.ConcurrentHashMap[String, AnyRef]): Unit =
+    m.values().forEach {
+      case d: org.apache.spark.sql.Dataset[_] =>
+        try d.unpersist(blocking = false) catch { case _: IllegalStateException => () }
+      case _ => ()
+    }
+
+  /** Drop (and unpersist) everything cached for `s`. */
+  def evict(s: SparkSession): Unit = maps.synchronized {
+    val m = maps.remove(s)
+    if (m != null) release(m)
+  }
 
   private def of(s: SparkSession): java.util.concurrent.ConcurrentHashMap[String, AnyRef] =
     maps.synchronized {
@@ -28,11 +51,20 @@ object SessionCache {
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
         maps.put(s, m)
-        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            maps.synchronized { maps.remove(s) }
-        })
+        val sc = s.sparkContext
+        if (listened.add(sc)) {
+          sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              maps.synchronized {
+                val it = maps.entrySet().iterator()
+                while (it.hasNext) {
+                  val e = it.next()
+                  if (e.getKey.sparkContext eq sc) { release(e.getValue); it.remove() }
+                }
+              }
+          })
+        }
       }
       m
     }

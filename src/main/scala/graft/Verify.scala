@@ -17,7 +17,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional comma-separated allowlist (mirrors Bench's SPARK_GRAFT_BENCH_ONLY):
+    // re-dump just the queries a code change touched into an existing outDir,
+    // then re-run check_oracle over the full set.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -242,7 +242,16 @@ object Dedup {
     // when labels seeded from the full ids frame
     val touched = edges.select(col("s").as("id")).distinct()
       .join(ids.select(col("id")), Seq("id"), "left_semi").localCheckpoint(true)
-    var labels = touched.select(col("id"), col("id").as("cluster_id")).localCheckpoint(true)
+    val seed = touched.select(col("id"), col("id").as("cluster_id")).localCheckpoint(true)
+    var labels = seed
+    // superseded checkpoints are unpersisted as soon as their successor is
+    // materialized (localCheckpoint(eager=true) returns only after the blocks
+    // exist): without this, every bench/ingest run leaves one RDD's blocks per
+    // iteration in the block manager until a GC lets ContextCleaner find them
+    // — cross-run memory growth for a long-lived session. The FINAL labels
+    // checkpoint and `touched` stay persisted: the returned frame reads them
+    // lazily, and a truncated-lineage RDD cannot be recomputed once dropped.
+    var prevCkpt = seed
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -259,8 +268,11 @@ object Dedup {
         .localCheckpoint(true)
       converged = next.filter(col("__changed")).limit(1).isEmpty
       labels = next.select("id", "cluster_id")
+      prevCkpt.unpersist(blocking = false)
+      prevCkpt = next
       i += 1
     }
+    edges.unpersist(blocking = false) // final labels' lineage no longer reads it
     val singletons = ids.select(col("id")).join(touched, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster_id"))
     labels.union(singletons)

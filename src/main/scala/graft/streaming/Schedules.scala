@@ -22,6 +22,15 @@ import org.apache.spark.sql.streaming.Trigger
   * than silently approximating. At cluster scale those belong to an external
   * workflow scheduler launching an `AvailableNow` run per fire (the standard
   * Spark pattern for calendar-anchored batch ingest).
+  *
+  * PHASE is not preserved: a pinned minute/hour anchor (`30 * * * *`,
+  * `15 3 * * *`) keeps its RATE (hourly, daily) but fires relative to stream
+  * start, not at :30 or 03:15 wall-clock — ProcessingTime has no phase knob.
+  * This is a documented contract, not an oversight: the period is the
+  * load-bearing part of an ingest schedule (how stale data may get), the
+  * phase is cosmetic under micro-batching. A caller that needs wall-clock
+  * phase has a calendar requirement and should treat it like the rejected
+  * shapes above (external scheduler + AvailableNow).
   */
 object Schedules {
 
@@ -72,6 +81,11 @@ object Schedules {
   /** Cron → Spark trigger. `@once`, empty, or null run as `AvailableNow`;
     * fixed-rate crons run as `ProcessingTime`; calendar-anchored crons are
     * rejected (see class doc for why, and what to use instead).
+    *
+    * CONTRACT: pinned anchors lose their phase — `0 3 * * *` becomes "every
+    * 24 h from stream start", not "at 03:00". Callers needing wall-clock
+    * phase must use an external scheduler (see class doc, "PHASE is not
+    * preserved").
     */
   def toTrigger(schedule: String): Trigger = schedule match {
     case null | "" | "@once" => Trigger.AvailableNow()
