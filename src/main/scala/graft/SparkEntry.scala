@@ -98,6 +98,30 @@ object SparkEntry {
     else raw
   }
 
+  /** Plan a streaming query under stream-appropriate session conf, restoring
+    * afterwards (the driver may reuse this session for batch queries):
+    *  - `shuffle.partitions=4`: stateful plans pin their state-store count at
+    *    plan time and AQE is off for streams — 32 stores for ~150 output rows
+    *    is pure load/commit overhead;
+    *  - `noDataMicroBatches` OFF when the caller proves the trailing no-data
+    *    batch can't change output: it exists to fire event-time timeouts and
+    *    evict state after the watermark's final advance, so a query whose
+    *    output is all emitted in data batches (inner stream-stream join;
+    *    dedup whose delay covers the data span) pays a full extra
+    *    planning+state-commit round (~0.25-0.7 s here) for nothing. Queries
+    *    that EMIT on timeout (sessionization) must keep it on.
+    */
+  private def withStreamConf[T](s: SparkSession, noDataBatch: Boolean = true)(body: => T): T = {
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatch.toString)
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
+  }
+
   /** events reshaped as a tick frame for the OHLCV candle operator: the
     * reference aggregates open/high/low/close/volume columns (transformers.py:120-128);
     * the synthetic `value` column plays all five roles.
@@ -333,14 +357,23 @@ object SparkEntry {
     // identical output through the join-free formulation (pivot + pair-index
     // explode + partial agg) — the large-k scale path, proven against the
     // same oracle as the self-join form. The key list is a literal because
-    // Spark's stable-plan pivot needs one; it must enumerate the corpus's
-    // event types exactly — a missing type would silently vanish from the
-    // pivot while the data-derived oracle still emits its pairs (the hash
-    // compare catches it, but as an opaque mismatch)
-    "q_corr_matrix_wide" -> ((s, dir) =>
-      Queries.correlationMatrixWide(dailyByType(s, dir), "event_type", "d", "x",
-        Seq("click", "error", "purchase", "signup", "view"))
-        .orderBy("a", "b")),
+    // Spark's stable-plan pivot needs one; the require() pins it to the
+    // corpus: a new event type would otherwise silently vanish from the
+    // pivot while the data-derived oracle still emits its pairs, failing the
+    // hash compare with no clue where. The guard's distinct() collects k key
+    // strings (bounded by type cardinality, not data) — the documented
+    // exception to the no-collect rule, same class as a pivot with no value
+    // list which runs this exact distinct internally.
+    "q_corr_matrix_wide" -> ((s, dir) => {
+      val keys = Seq("click", "error", "purchase", "signup", "view")
+      val daily = dailyByType(s, dir)
+      val observed = daily.select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      require(observed == keys, s"q_corr_matrix_wide pivot keys drifted: corpus has " +
+        s"[${observed.mkString(", ")}], literal list is [${keys.mkString(", ")}]")
+      Queries.correlationMatrixWide(daily, "event_type", "d", "x", keys)
+        .orderBy("a", "b")
+    }),
     // winsorization: clip to per-key exact interpolated percentiles — the
     // percentile agg is a distributed exact quantile (sort-free at this
     // cardinality via Spark's percentile buffer), the 5-row bound table
@@ -862,13 +895,10 @@ object SparkEntry {
     // --- streaming (SURVEY §2.9) ------------------------------------------
     "q_stream_candles" -> ((s, dir) => {
       tune(s)
-      // Stateful queries pin their state-store partition count at plan time and
-      // AQE is off — 32 state stores for ~150 output rows is pure load/commit
-      // overhead (~4 s per store init in this env). Plan the stream with a few
-      // partitions, restore the session default afterwards.
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      // Complete-mode agg: every batch emits the full result, so the trailing
+      // no-data batch can't add output — but Complete mode never schedules one
+      // anyway (no state to evict, no timeout to fire); default conf is fine
+      withStreamConf(s) {
       val agg = eventStream(s, dir)
         .withWatermark("ts", "1 day")
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
@@ -879,7 +909,7 @@ object SparkEntry {
           col("open"), col("high"), col("low"), col("close"), col("volume"))
       graft.streaming.Streaming.runToMemory(s, agg, "stream_candles")
         .orderBy("ts", "event_type")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
     }),
 
     // streaming ingest dedup under the gate: dropDuplicatesWithinWatermark on
@@ -891,18 +921,19 @@ object SparkEntry {
     // multi-batch split would advance the watermark mid-stream, re-emitting
     // keys whose event times are further apart than the delay and dropping
     // late uniques). In production the delay is the dedup horizon you mean.
+    // noDataBatch=false: every unique key is emitted in the data batch that
+    // first sees it, and the span-covering delay means the trailing no-data
+    // batch could evict nothing — it's a pure state-commit round, skipped
     "q_stream_dedup" -> ((s, dir) => {
       tune(s)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      withStreamConf(s, noDataBatch = false) {
         graft.streaming.Streaming.runToMemory(s,
           graft.streaming.Streaming.dedupStream(eventStream(s, dir), Seq("user_id", "event_type"), "ts",
               delay = "3700 days")
             .select("user_id", "event_type"),
           "stream_dedup_q", org.apache.spark.sql.streaming.OutputMode.Append())
           .orderBy("user_id", "event_type")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
     }),
 
     // stream-static enrichment: the live feed broadcast-joins a static
@@ -927,11 +958,11 @@ object SparkEntry {
     // watermark (= max event time) strictly passed — so the emitted set is
     // the batch session list minus still-open horizons, which the oracle
     // states declaratively
+    // noDataBatch stays ON: the oracle's emitted set is exactly the sessions
+    // whose event-time timeout fires in that trailing batch
     "q_stream_sessions" -> ((s, dir) => {
       tune(s)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      withStreamConf(s) {
         graft.streaming.Streaming.runToMemory(s,
           graft.streaming.Streaming.sessionizeStream(eventStream(s, dir), "user_id", "ts", "value",
             gap = "1 hour", watermark = "0 seconds").toDF(),
@@ -939,17 +970,18 @@ object SparkEntry {
           .select(col("user_id"), col("session_start"), col("session_end"),
             col("n_events"), col("session_value"))
           .orderBy("user_id", "session_start")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
     }),
 
     // stream-stream interval join (click attribution): with AvailableNow both
     // sides arrive in one micro-batch, so the bounded-state join emits every
     // qualifying pair — the batch range-join oracle states the result set
+    // noDataBatch=false: an INNER stream-stream join emits each pair in the
+    // data batch where both rows are present; the trailing no-data batch only
+    // evicts state (a full planning+commit round, ~0.7 s here), skipped
     "q_stream_join" -> ((s, dir) => {
       tune(s)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      withStreamConf(s, noDataBatch = false) {
         // one file source, two filtered branches: a streaming SELF-join shares
         // the source (single listing + offset log, one scan per micro-batch)
         // instead of running two independent sources over the same file
@@ -967,7 +999,7 @@ object SparkEntry {
           .select(col("user_id"), col("p_ts"), col("p_id"), col("c_id"),
             col("purchase_value"), col("click_value"))
           .orderBy("p_id", "c_id")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
     }),
 
     // lake sink+scan under the gate: write real candles through the lake
