@@ -113,6 +113,34 @@ object ScaleProbe {
       Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs).count()
     }
     locally {
+      // data layout at k× the sf0.1 events table: the clustered write is ONE
+      // range exchange (cost ∝ rows), the manifest ONE partial-aggregable
+      // shuffle, and the pruned read's cost must track the SELECTED range,
+      // not the corpus — the property that makes a manifest worth keeping at
+      // 10⁶ files.
+      val evBase = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val evMax = evBase.agg(max("event_id")).head().getLong(0) + 1L
+      val ev = (0 until k).map(i =>
+        evBase.select((col("event_id") + lit(i * evMax)).as("event_id"),
+          col("user_id"), col("value")))
+        .reduce(_ unionAll _)
+      val zPath = new java.io.File(sys.props("java.io.tmpdir"), "graft_scale_zorder").toString
+      time("zorder_write") {
+        graft.operators.Layout.zorderWrite(ev, Seq("user_id", "event_id"), zPath, 64)
+        spark.read.parquet(zPath).count()
+      }
+      val mPath = new java.io.File(sys.props("java.io.tmpdir"), "graft_scale_manifest").toString
+      time("manifest_write_stats") {
+        graft.sources.Manifest.writeChunked(ev, "event_id", 64, mPath)
+        graft.sources.Manifest.stats(spark, mPath, "__chunk", Seq("event_id")).count()
+      }
+      time("manifest_pruned_read") {
+        val man = graft.sources.Manifest.stats(spark, mPath, "__chunk", Seq("event_id"))
+        graft.sources.Manifest.prunedRead(spark, mPath, man, "event_id", 101L, 450L).count()
+      }
+    }
+    locally {
       // correlation matrix at 10× the query suite's key count (50 series vs
       // q_corr_matrix's 5): the join formulation materializes T·k² rows, the
       // pivot+power-sums variant one T·k shuffle — both exact, same output.

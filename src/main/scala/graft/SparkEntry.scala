@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Fns
-import graft.operators.{AsofJoin, Dedup, Multimodal, Queries, Resample, Sessionize, Similarity, TextAnalysis, Transforms}
-import graft.sources.{CsvAutoLoader, JsonPayloads}
+import graft.operators.{AsofJoin, Dedup, Layout, Multimodal, Queries, Resample, Sessionize, Similarity, TextAnalysis, Transforms}
+import graft.sources.{CsvAutoLoader, JsonPayloads, Manifest}
 
 /** Driver contract — every operator from SURVEY.md §2 (plus the
   * training-data-pipeline extensions) exposed as a named query with, where
@@ -1039,6 +1039,38 @@ object SparkEntry {
       lake.read("silver", dest).orderBy("event_id")
     }),
 
+    // --- data layout: Z-order clustering + file-stats manifest (100 TB) ---
+    // Morton key parity: both engines compute the identical 62-bit
+    // interleave of (user_id, event_id) — the clustering key zorderWrite
+    // range-writes on; pure shifts/masks, codegen'd end to end
+    "q_zorder_key" -> ((s, dir) =>
+      events(s, dir).select(col("event_id"), col("user_id"),
+        Layout.mortonKey(col("user_id"), col("event_id")).as("z"))
+        .orderBy("event_id")),
+    // chunked ingest + stats manifest: Spark derives per-chunk (count, min,
+    // max) from the files it actually wrote (input_file_name grouping); the
+    // oracle recomputes them from the defining formula over the source table
+    // — equality proves the layout landed exactly as designed
+    "q_stats_manifest" -> ((s, dir) => {
+      val e = events(s, dir).select("event_id", "user_id", "value")
+      val path = new java.io.File(sys.props("java.io.tmpdir"), "graft_chunked_events").toString
+      Manifest.writeChunked(e, "event_id", 8, path)
+      Manifest.stats(s, path, "__chunk", Seq("event_id", "user_id"))
+        .orderBy("chunk")
+    }),
+    // manifest-driven pruned range read: only chunk dirs whose [min, max]
+    // intersects the predicate are scanned at all; the aggregate proves the
+    // pruned read equals the full filtered read
+    "q_pruned_read" -> ((s, dir) => {
+      val e = events(s, dir).select("event_id", "user_id", "value")
+      val path = new java.io.File(sys.props("java.io.tmpdir"), "graft_chunked_events_pr").toString
+      Manifest.writeChunked(e, "event_id", 8, path)
+      val man = Manifest.stats(s, path, "__chunk", Seq("event_id"))
+      Manifest.prunedRead(s, path, man, "event_id", 101L, 450L)
+        .agg(count(lit(1)).as("n"), Fns.exactSum(col("value")).as("sum_value"),
+          min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"))
+    }),
+
     // S6 CSV ingest driver + O1 latest-dataset selection, end to end: land
     // the fixture in bronze under today's generated name (with an older
     // decoy dataset present), then read back via `latest` — which must pick
@@ -1377,6 +1409,27 @@ object SparkEntry {
     "q_clean_events" -> cleanEventsSql,
     // the lake-roundtripped transform must land byte-identical clean output
     "q_transform_pipeline" -> cleanEventsSql,
+    // identical Morton interleave via the same shift/mask formula in SQL
+    "q_zorder_key" ->
+      s"""SELECT event_id, user_id, ${Layout.mortonSql("user_id", "event_id")} AS z
+         | FROM events ORDER BY event_id""".stripMargin.replace("\n", ""),
+    // the manifest recomputed from its defining formula (chunk = event_id
+    // div width, width = max // 8 + 1) — no filesystem dependency: equality
+    // with the Spark side (derived from the files actually written) proves
+    // the chunked layout landed as designed
+    "q_stats_manifest" ->
+      """WITH w AS (SELECT max(event_id) // 8 + 1 AS wd FROM events)
+        | SELECT '__chunk=' || CAST(event_id // wd AS VARCHAR) AS chunk,
+        |   COUNT(*) AS n_rows,
+        |   MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id,
+        |   MIN(user_id) AS min_user_id, MAX(user_id) AS max_user_id
+        | FROM events, w GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", ""),
+    // the pruned read must equal the plain filtered aggregate
+    "q_pruned_read" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+        | MIN(user_id) AS min_user, MAX(user_id) AS max_user
+        | FROM events WHERE event_id BETWEEN 101 AND 450""".stripMargin.replace("\n", ""),
     "q_jsonl_quarantine" ->
       """SELECT raw_line FROM read_csv('/root/repo/fixtures/corpus.jsonl', header=false,
         | delim='|', quote='', escape='', columns={'raw_line': 'VARCHAR'})
