@@ -1058,6 +1058,31 @@ object SparkEntry {
       Manifest.stats(s, path, "__chunk", Seq("event_id", "user_id"))
         .orderBy("chunk")
     }),
+    // bucketed co-located join under the gate: both sides pre-shuffled into
+    // 8 buckets on the customer key at write time, so the merge join plans
+    // with ZERO shuffle exchanges — asserted at runtime on the executed plan
+    // (the whole point of paying the write-time shuffle once), while the
+    // oracle pins the result to a plain join over the source tables
+    "q_bucketed_join" -> ((s, dir) => {
+      tune(s)
+      val lake = graft.sources.Lake(s,
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_lake_bucketed").toString)
+      lake.writeBucketed(orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+        "g_b_orders", Seq("o_custkey"), 8, sortCols = Seq("o_custkey"))
+      lake.writeBucketed(customer(s, dir).select("c_custkey", "c_nationkey"),
+        "g_b_customer", Seq("c_custkey"), 8, sortCols = Seq("c_custkey"))
+      // merge hint: customer is broadcast-small at test SF, which would
+      // bypass the bucketed layout this query exists to prove
+      val joined = s.table("g_b_orders").hint("merge")
+        .join(s.table("g_b_customer"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join planned a shuffle — co-location lost:\n$plan")
+      joined.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"), Fns.exactSum(col("o_totalprice")).as("total"))
+        .orderBy("c_nationkey")
+    }),
+
     // manifest-driven pruned range read: only chunk dirs whose [min, max]
     // intersects the predicate are scanned at all; the aggregate proves the
     // pruned read equals the full filtered read
@@ -1424,6 +1449,12 @@ object SparkEntry {
         |   MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id,
         |   MIN(user_id) AS min_user_id, MAX(user_id) AS max_user_id
         | FROM events, w GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", ""),
+    // the bucketed-layout join must equal the plain join over the sources
+    "q_bucketed_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", ""),
     // the pruned read must equal the plain filtered aggregate
     "q_pruned_read" ->
       """SELECT COUNT(*) AS n,
