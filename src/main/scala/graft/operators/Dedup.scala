@@ -237,14 +237,30 @@ object Dedup {
     // driver-side union-find instead of the iterative plan: the distributed
     // loop costs ~2 driver-synchronized jobs per round (checkpoint + converge
     // check) — pure scheduling latency when the data is kilobytes. take(n+1)
-    // runs the expensive upstream LSH/verify plan exactly once (same as the
-    // checkpoint would) and falls through to the distributed path on
-    // overflow, so at real scale nothing collects: this is the standard
-    // small-graph cutoff, with the big-graph path still ScaleProbe-covered
-    // (45,000-pair probe > threshold).
+    // runs the expensive upstream LSH/verify plan once on the fast path; on
+    // overflow (> driverThreshold pairs) it falls through to the distributed
+    // path, whose localCheckpoint re-runs the plan — one accepted extra
+    // partial pass on the big-graph path, never on the common small one.
     val head = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .take(driverThreshold + 1)
     if (head.length <= driverThreshold) {
+      val s = ids.sparkSession
+      import s.implicits._
+      // Corpus membership for the ≤ 2·threshold distinct endpoints, resolved
+      // with one bounded semi-join (the ids frame itself may be the whole
+      // corpus — never collected). Edges with an off-corpus endpoint are
+      // dropped BEFORE the union: in the distributed path such endpoints
+      // carry no label and can neither relay nor supply one, so (0,5),(0,7)
+      // with 0 off-corpus must leave 5 and 7 in separate singleton clusters,
+      // not merge them through the phantom 0.
+      val endpoints = head.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.toSeq
+      val member: Set[Long] = s.createDataset(endpoints).toDF("id")
+        .join(ids.select(col("id").cast("long").as("id")), Seq("id"), "left_semi")
+        .as[Long].collect().toSet
+      val edges = head.iterator
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) => member(a) && member(b) }
+        .toSeq
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -253,21 +269,15 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      head.foreach { r =>
-        val (a, b) = (r.getLong(0), r.getLong(1))
+      edges.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
         // min-label union: same canonical representative as the distributed
         // min-propagation, so both paths emit identical cluster ids
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
-      val touched = (head.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
-        .map(x => (x, find(x)))).toSeq
-      val s = ids.sparkSession
-      import s.implicits._
+      val touched = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(x => (x, find(x)))
       val touchedLabels = s.createDataset(touched).toDF("id", "cluster_id")
-        // off-corpus edge endpoints must stay inert, exactly as in the
-        // distributed path's corpus semi-join
-        .join(ids.select(col("id")), Seq("id"), "left_semi")
       val singletons = ids.select(col("id"))
         .join(touchedLabels.select(col("id")), Seq("id"), "left_anti")
         .select(col("id"), col("id").as("cluster_id"))
@@ -469,21 +479,54 @@ object Dedup {
       planes: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
     require(planes % bands == 0, "planes must divide into bands")
     val rowsPerBand = planes / bands
+    require(planes <= 31, "signature must fit an int")
     val pvs = hyperplanes(planes, dim, seed)
-    val bits = pvs.map(p => when(G.vectorDot(col("v"), typedLit(p)) >= 0, 1).otherwise(0))
-    val bandCols = (0 until bands).map { b =>
-      val bucket = (0 until rowsPerBand)
-        .map(j => bits(b * rowsPerBand + j) * lit(1 << j)).reduce(_ + _)
-      struct(lit(b).as("band"), bucket.as("bucket"))
-    }
+    // one `planes`-bit signature int per row; each band's bucket is a bit
+    // slice of it, so the whole bucketing is 16 codegen'd dot products + int
+    // shifts — computed in the same narrow projection the explode reads
+    val sig = pvs.zipWithIndex
+      .map { case (p, i) =>
+        when(G.vectorDot(col("v"), typedLit(p)) >= 0, lit(1 << i)).otherwise(lit(0)) }
+      .reduce(_ + _)
+    val mask = (1 << rowsPerBand) - 1
+    def slice(c: Column, b: Int): Column = shiftrightunsigned(c, b * rowsPerBand).bitwiseAND(lit(mask))
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"), slice(col("sig"), b).as("bucket")))
+    // per-doc norm precomputed once (2 of cosine's 3 dot products move from
+    // per-candidate-pair to per-doc); numerically identical to the inline
+    // sqrt(v·v) so the emitted cos is bit-for-bit unchanged
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .select(col("id"), col("v"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("v"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    bucketed.as("a").join(bucketed.as("b"), Seq("band", "bucket"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
-      .filter(col("cos") >= threshold)
-      .dropDuplicates("id_a", "id_b")
+      .withColumn("sig", sig)
+      .withColumn("nrm", sqrt(G.vectorDot(col("v"), col("v"))))
+      .select(col("id"), col("v"), col("nrm"), col("sig"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("v"), col("nrm"), col("sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // SHUFFLE-FREE pair dedup: a pair colliding in k bands would surface k
+    // times; instead of a dropDuplicates shuffle over the candidate set, keep
+    // a match only in the FIRST band where the two signatures' slices agree —
+    // decidable per-row from sig_a ^ sig_b with static int ops. The residual
+    // join condition is ordered cheap→expensive ON PURPOSE (id ordering, band
+    // dedup, then the one exact-cosine dot product): a post-join filter would
+    // be pushed into the join condition AHEAD of the cheap predicates and run
+    // the dot product on every raw bucket match. The only exchange in the
+    // whole plan is the band-bucket join itself (broadcast at small scale via
+    // AQE, hash-partitioned at 100 TB) — no dropDuplicates pass, no candidate
+    // materialization.
+    // the probe side fans out to shuffle.partitions tasks: a small corpus
+    // arrives as one file = one partition, and without this the entire
+    // bucket-match × verify loop runs on a single core (at cluster scale the
+    // scan is already multi-partition and this is one cheap narrow exchange
+    // of (id, nrm, sig) rows)
+    val a = bucketed.repartition(32, col("id")).as("a"); val b = bucketed.as("b")
+    val x = col("a.sig").bitwiseXOR(col("b.sig"))
+    val earlierBandMatches = (0 until bands)
+      .map(bd => col("a.band") > bd && (slice(x, bd) === 0))
+      .reduce(_ || _)
+    val cos = G.vectorDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id") && !earlierBandMatches && cos >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), cos.as("cos"))
   }
 }

@@ -45,7 +45,10 @@ object Manifest {
       path: String): Long = {
     // one-row bounds job: metadata-scale collect (same class as a pivot's
     // internal distinct), not a data collect
-    val hi = df.agg(max(col(chunkCol))).head().getLong(0)
+    val boundsRow = df.agg(max(col(chunkCol))).head()
+    require(!boundsRow.isNullAt(0),
+      s"writeChunked: input has no non-null '$chunkCol' rows — nothing to chunk")
+    val hi = boundsRow.getLong(0)
     val width = math.max(1L, hi / nChunks + 1L)
     // integral `div`, not `/`+cast: double division would round where both
     // the oracle's `//` and this formula must floor, and large keys lose
@@ -62,12 +65,15 @@ object Manifest {
     * the pruning is the point: non-intersecting chunks are never scanned.
     */
   def prunedRead(spark: SparkSession, path: String, manifest: DataFrame,
-      statCol: String, lo: Long, hi: Long): DataFrame = {
+      statCol: String, lo: Long, hi: Long,
+      chunkKey: String = "__chunk"): DataFrame = {
     val live = manifest
       .filter(!(col(s"max_$statCol") < lo || col(s"min_$statCol") > hi))
       .select("chunk").collect().map(_.getString(0))
     val base =
-      if (live.isEmpty) spark.read.parquet(path).limit(0)
+      // the root read discovers the hive chunk column the chunk-directory
+      // reads below never see — drop it so both branches return one schema
+      if (live.isEmpty) spark.read.parquet(path).limit(0).drop(chunkKey)
       else spark.read.parquet(live.map(c => s"$path/$c"): _*)
     base.filter(col(statCol) >= lo && col(statCol) <= hi)
   }

@@ -113,6 +113,26 @@ class DedupSpec extends SparkSpec {
     comps shouldBe Map(5L -> 5L, 7L -> 7L, 9L -> 9L)
   }
 
+  test("connectedComponents driver and distributed paths agree on random graphs with off-corpus edges") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 30 + trial * 10
+      val corpus = (0L until n.toLong).toSeq
+      val ids = corpus.toDF("id")
+      // ~n random edges over a 50%-wider id range so some endpoints are off-corpus
+      val edgeList = Seq.fill(n)((rng.nextInt(n * 3 / 2).toLong, rng.nextInt(n * 3 / 2).toLong))
+      val pairs = edgeList.toDF("id_a", "id_b")
+      val driver = rows(Dedup.connectedComponents(ids, pairs, driverThreshold = 10000).orderBy("id"))
+        .map(r => r.getLong(0) -> r.getLong(1))
+      val dist = rows(Dedup.connectedComponents(ids, pairs, driverThreshold = 0).orderBy("id"))
+        .map(r => r.getLong(0) -> r.getLong(1))
+      driver shouldBe dist
+      // every emitted label must itself be a corpus member (no phantom cluster ids)
+      val corpusSet = corpus.toSet
+      driver.foreach { case (_, label) => corpusSet should contain(label) }
+    }
+  }
+
   test("nearDupSurvivors keeps one representative per cluster plus unpaired rows") {
     val pairs = Dedup.minhashPairs(docs, "text", "doc_id", shingleN = 2, k = 64,
       bands = 32, threshold = 0.9)
