@@ -277,6 +277,52 @@ case class ShingleStats(child: Expression, n: Int) extends TokenKernel {
   override def prettyName: String = "shingle_stats"
 }
 
+/** Word n-grams as STRINGS (space-joined), in document order. Documents with
+  * fewer than n tokens emit an EMPTY array — the adjacency-pairing contract
+  * (no pair exists), deliberately unlike [[ShingleHashes]]' whole-list
+  * fallback, which serves set-overlap dedup where every document must own at
+  * least one shingle. Replaces the posexplode + per-document window `lead`
+  * pairing that `topBigrams`/`bigramLogProb` used through round 7: token
+  * pairing becomes a narrow kernel pass at scan speed, so the only shuffle
+  * left in those plans is the count aggregation itself (the per-doc window
+  * pairing cost a full (doc, pos) shuffle + sort whose only job was
+  * adjacency).
+  */
+case class NgramStrings(child: Expression, n: Int) extends TokenKernel {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val space = UTF8String.fromString(" ")
+
+  def compute(tokens: ArrayData): ArrayData = {
+    val count = tokens.numElements()
+    if (count < n) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](count - n + 1)
+    var i = 0
+    while (i <= count - n) {
+      if (n == 1) out(i) = tokens.getUTF8String(i)
+      else {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(space, parts: _*)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramStrings", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "ngram_strings"
+}
+
 /** MinHash signature: lane i = min over shingles of `xxhash64(shingle)*A(i)+B(i)`.
   * One pass over the shingles, k multiply-adds each — no explode, no shuffle,
   * no per-lane re-hash. Duplicated shingles cannot change a min, so no dedup

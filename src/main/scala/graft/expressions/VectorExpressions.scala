@@ -219,6 +219,10 @@ object GraftFunctions {
   def minhashSig(tokens: Column, n: Int, k: Int): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(tokens), n, k))
 
+  /** Word n-grams as strings, document order; empty when tokens < n. */
+  def ngramStrings(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(NgramStrings(GraftColumnBridge.expression(tokens), n))
+
   def simhash64(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens), n))
 

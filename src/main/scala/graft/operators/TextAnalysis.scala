@@ -207,28 +207,20 @@ object TextAnalysis {
   // Corpus n-gram statistics and rarity scoring
   // ---------------------------------------------------------------------------
 
-  /** Corpus-wide top-k bigram counts. Bigrams are formed distributively —
-    * posexplode (narrow) then `lead(token)` on the (doc, position) window —
-    * rather than with an interpreted array lambda, so the token pairing stays
-    * inside codegen.
-    *
-    * Scale: one shuffle keyed on doc id to order positions (bounded frames,
-    * key = document so skew is bounded by max doc length), then the canonical
-    * count shuffle with map-side partial aggregation; top-k is a driver-bounded
-    * `limit`.
+  /** Corpus-wide top-k bigram counts. Bigrams are formed by the codegen'd
+    * [[graft.expressions.NgramStrings]] kernel — one narrow pass per document
+    * at scan speed. Through round 7 this paired tokens with `lead` over a
+    * (doc, position) window, which cost a full doc-keyed shuffle + sort whose
+    * only job was adjacency; the kernel removes that shuffle entirely, so the
+    * plan is explode → the canonical count shuffle (map-side partial agg) →
+    * a driver-bounded `limit` for top-k.
     */
-  def topBigrams(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("__id"),
-      posexplode(Dedup.tokens(col(textCol))).as(Seq("__pos", "token")))
-    val w = Window.partitionBy("__id").orderBy("__pos")
-    toks.withColumn("__next", lead(col("token"), 1).over(w))
-      .filter(col("__next").isNotNull)
-      .select(concat_ws(" ", col("token"), col("__next")).as("bigram"))
+  def topBigrams(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    df.select(explode(graft.expressions.GraftFunctions
+        .ngramStrings(Dedup.tokens(col(textCol)), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(k)
-  }
 
   /** Per-document token-rarity profile: every token's corpus frequency rank
     * (1 = most frequent, ties broken by token text — a deterministic integer
@@ -293,13 +285,16 @@ object TextAnalysis {
     * bigrams and are therefore ABSENT from the output (group-by semantics);
     * left-join the result back to the corpus to surface them as null scores.
     *
-    * Shape: one (doc, pos) explode → `lead` pairing (same as [[topBigrams]]),
-    * a (w1,w2) count aggregate, the context count C(w1,·) as a window sum
-    * over the w1 partition of that SAME aggregate (no second join), vocab
-    * size V as a broadcast 1-row cross join, then the doc-bigram stream
-    * re-joins the probability table on (w1,w2) — co-keyed with the count
-    * shuffle. At web scale the bigram table is Zipf-heavy but bounded by
-    * distinct pairs, and AQE picks broadcast vs shuffle join from stats.
+    * Shape: bigrams from the narrow [[graft.expressions.NgramStrings]] kernel
+    * (tokens carry no spaces, so `substring_index` splits the pair back into
+    * (w1, w2) unambiguously — no per-doc window shuffle, same as
+    * [[topBigrams]]), a (w1,w2) count aggregate, the context count C(w1,·)
+    * as a window sum over the w1 partition of that SAME aggregate (no second
+    * join), vocab size V as a broadcast 1-row cross join, then the
+    * doc-bigram stream re-joins the probability table on (w1,w2) — co-keyed
+    * with the count shuffle. At web scale the bigram table is Zipf-heavy but
+    * bounded by distinct pairs, and AQE picks broadcast vs shuffle join from
+    * stats.
     *
     * Float parity: ln + a sum whose accumulation order is engine-chosen —
     * the emitted score must be rounded (the shipped query rounds to 6 dp;
@@ -308,17 +303,17 @@ object TextAnalysis {
     */
   def bigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("doc_id"),
-      posexplode(Dedup.tokens(col(textCol))).as(Seq("__pos", "token")))
-    val wDoc = Window.partitionBy("doc_id").orderBy("__pos")
-    val bigrams = toks
-      .withColumn("__next", lead(col("token"), 1).over(wDoc))
-      .filter(col("__next").isNotNull)
-      .select(col("doc_id"), col("token").as("w1"), col("__next").as("w2"))
+    val bigrams = df.select(col(idCol).as("doc_id"),
+        explode(graft.expressions.GraftFunctions
+          .ngramStrings(Dedup.tokens(col(textCol)), 2)).as("bg"))
+      .select(col("doc_id"),
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
     val pairCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val wCtx = Window.partitionBy("w1")
     val probs = pairCounts.withColumn("c1", sum(col("c2")).over(wCtx))
-    val vocab = toks.agg(countDistinct(col("token")).as("v"))
+    val vocab = df.select(explode(Dedup.tokens(col(textCol))).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
     val scored = bigrams.join(probs, Seq("w1", "w2")).crossJoin(broadcast(vocab))
       .withColumn("__lp",
         log((col("c2") + lit(1.0)) / (col("c1").cast(DoubleType) + col("v").cast(DoubleType))))

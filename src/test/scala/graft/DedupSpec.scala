@@ -152,4 +152,45 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     pairs shouldBe Seq((1L, 2L))
   }
+
+  test("embeddingPairs first-matching-band dedup equals the dropDuplicates formulation") {
+    // property: the shuffle-free per-row dedup (keep a pair only in the first
+    // band where the signature slices agree) emits exactly the candidate set
+    // the straightforward band-join + dropDuplicates + verify pipeline does
+    val rng = new scala.util.Random(7)
+    val dim = 8; val planes = 8; val bands = 4; val threshold = 0.5
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(dim)(rng.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val fast = rows(Dedup.embeddingPairs(vecs, "embedding", "vec_id",
+      threshold = threshold, dim = dim, planes = planes, bands = bands)
+      .orderBy("id_a", "id_b"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // reference formulation: narrow banded frame, dropDuplicates candidates,
+    // exact cosine on the deduped set
+    val pvs = Dedup.hyperplanes(planes, dim)
+    val bits = pvs.map(p =>
+      when(graft.expressions.GraftFunctions.vectorDot(col("v"), typedLit(p)) >= 0, 1).otherwise(0))
+    val rpb = planes / bands
+    val bandCols = (0 until bands).map { b =>
+      val bucket = (0 until rpb).map(j => bits(b * rpb + j) * lit(1 << j)).reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    val banded = vecs.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val vv = vecs.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val ref = rows(cand
+      .join(vv.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vv.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.operators.Similarity.cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold).orderBy("id_a", "id_b"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    ref should not be empty // the seed must actually exercise collisions
+    fast shouldBe ref
+  }
 }

@@ -51,6 +51,30 @@ class TextHashSpec extends SparkSpec {
     rows(j).length shouldBe 5
   }
 
+  test("ngramStrings: adjacency pairs in document order, empty below n") {
+    val out = rows(docs.select(col("doc_id"),
+      G.ngramStrings(Dedup.tokens(col("text")), 2).as("bg")).orderBy("doc_id"))
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    out.toMap shouldBe Map(
+      1L -> Seq("the quick", "quick brown", "brown fox", "fox jumps", "jumps over",
+        "over the", "the lazy", "lazy dog"),
+      2L -> Seq("one two"),
+      3L -> Seq.empty, // no tokens — no pair, NOT the whole-list fallback
+      4L -> Seq("hello world", "world 123", "123 foo", "foo bar", "bar baz"))
+    // matches the lead-over-window pairing it replaced
+    val lead_pairs = {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs.select(col("doc_id"),
+        posexplode(Dedup.tokens(col("text"))).as(Seq("p", "t")))
+      val w = Window.partitionBy("doc_id").orderBy("p")
+      rows(toks.withColumn("nx", lead(col("t"), 1).over(w))
+        .filter(col("nx").isNotNull)
+        .select(concat_ws(" ", col("t"), col("nx")).as("bg")).orderBy("bg"))
+        .map(_.getString(0))
+    }
+    out.flatMap(_._2).sorted shouldBe lead_pairs
+  }
+
   test("minhash sig: equal docs equal, unrelated differ, length k") {
     val d = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "x y z w v u t")).toDF("id", "t")
     val sigs = rows(d.select(col("id"), G.minhashSig(Dedup.tokens(col("t")), 2, 16).as("s")))
