@@ -97,13 +97,18 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val tf = df.select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val nDf = corpusN match {
       case Some(n) => df.sparkSession.range(1).select(lit(n).as("__n"))
       case None => df.agg(count(lit(1)).as("__n"))
     }
+    // document frequency as a count window over the token partition of the
+    // SAME tf frame (tf has exactly one row per (doc, token)) — through
+    // round 8 this was a second aggregate + a join back, which cost an extra
+    // exchange + broadcast build and evaluated the tf plan twice when the
+    // exchange didn't reuse
+    val wDf = Window.partitionBy("token")
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token").asc)
-    tf.join(dfreq, Seq("token"))
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(nDf))
       .withColumn("tfidf",
         (col("tf") * col("__n")).cast(DoubleType) / col("df").cast(DoubleType))
@@ -260,11 +265,19 @@ object TextAnalysis {
     // No broadcast hint on the vocabulary join: it is Zipf-small at test SF
     // (AQE broadcasts it), but at web-corpus scale a 10^7-token vocabulary
     // belongs in a shuffle join — AQE decides from runtime stats.
-    tok.join(ranked, Seq("token"))
+    //
+    // Aggregate occurrences to (doc, token) BEFORE the rank join: the join
+    // then probes one row per distinct pair instead of one per occurrence,
+    // and the final per-doc aggregate needs no countDistinct (n_unique is a
+    // plain count over the pre-distinct frame — no Expand). Integer parity:
+    // sum(rank·cnt) over longs is exactly the occurrence-row sum(rank).
+    tok.groupBy("doc_id", "token").agg(count(lit(1)).as("__cnt"))
+      .join(ranked, Seq("token"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
-        countDistinct(col("token")).as("n_unique"),
-        (sum(col("rank")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("mean_rank"),
+      .agg(sum(col("__cnt")).cast(LongType).as("n_tokens"),
+        count(lit(1)).cast(LongType).as("n_unique"),
+        (sum(col("rank") * col("__cnt")).cast(DoubleType) /
+          sum(col("__cnt")).cast(DoubleType)).as("mean_rank"),
         min(col("freq")).as("min_freq"))
   }
 
