@@ -186,6 +186,9 @@ object GraftFunctions {
     (new FunctionIdentifier("rolling_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
       (args: Seq[Expression]) => RollingFingerprint(args(0))),
+    (new FunctionIdentifier("ngram_strings"),
+      new ExpressionInfo(classOf[NgramStrings].getName, "ngram_strings"),
+      (args: Seq[Expression]) => NgramStrings(args(0), litInt(args(1), "ngram_strings", 2))),
     (new FunctionIdentifier("vector_max_abs"),
       new ExpressionInfo(classOf[VectorMaxAbs].getName, "vector_max_abs"),
       (args: Seq[Expression]) => VectorMaxAbs(args(0))),

@@ -31,6 +31,14 @@ class SqlSurfaceSpec extends SparkSpec {
     sqlRow.getDouble(4) shouldBe 11.0
   }
 
+  test("ngram_strings via SQL matches the Column API") {
+    GraftFunctions.register(spark)
+    spark.sql("SELECT ngram_strings(array('a', 'b', 'c'), 2) AS bg")
+      .head().getSeq[String](0) shouldBe Seq("a b", "b c")
+    spark.sql("SELECT ngram_strings(array('a'), 2) AS bg")
+      .head().getSeq[String](0) shouldBe Seq.empty
+  }
+
   test("vector_max_abs via SQL matches the Column API") {
     GraftFunctions.register(spark)
     spark.sql("SELECT vector_max_abs(array(CAST(1.5 AS FLOAT), CAST(-7.25 AS FLOAT))) AS m")
