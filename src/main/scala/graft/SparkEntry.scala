@@ -664,6 +664,17 @@ object SparkEntry {
       Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
         .select(col("id").as("doc_id"), col("cluster_id")).orderBy("doc_id")
     }),
+    // survivor selection by POLICY: longest document per near-dup cluster
+    // (ties → min id) — the production C4/RefinedWeb keep rule, vs
+    // nearDupSurvivors' arbitrary-but-deterministic min-id default
+    "q_dedup_survivors_best" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+        shingleN = 5, k = 64, bands = 32, threshold = 0.5)
+      Dedup.nearDupSurvivorsBy(docs.select("doc_id", "n_chars"), "doc_id", pairs,
+        col("n_chars"))
+        .orderBy("doc_id")
+    }),
     // Hyperplane-LSH near-dup: the oracle replicates the SAME literal planes
     // and banding (generated from one Scala constant), so candidate
     // generation itself is oracle-checked, not just the cosine kernel.
@@ -1427,6 +1438,23 @@ object SparkEntry {
        |   SELECT e.s, c.r FROM e JOIN closure c ON c.id = e.d)
        | SELECT id AS doc_id, MIN(r) AS cluster_id FROM closure GROUP BY id ORDER BY doc_id""".stripMargin.replace("\n", "")
 
+  /** Policy-based survivor oracle: the same transitive closure as
+    * [[dedupClustersSql]], then one representative per cluster by
+    * (n_chars DESC, doc_id ASC) — the dual of [[Dedup.nearDupSurvivorsBy]].
+    */
+  private def dedupSurvivorsBestSql(n: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${exactJaccardCtes(n, threshold)},
+       | e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+       | closure(id, r) AS (
+       |   SELECT doc_id, doc_id FROM documents
+       |   UNION
+       |   SELECT e.s, c.r FROM e JOIN closure c ON c.id = e.d),
+       | comps AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM closure GROUP BY id),
+       | ranked AS (SELECT d.doc_id, d.n_chars, c.cluster_id,
+       |   row_number() OVER (PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, d.doc_id) AS rn
+       |   FROM documents d JOIN comps c USING (doc_id))
+       | SELECT doc_id, n_chars FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin.replace("\n", "")
+
   /** SimHash oracle: replicates [[graft.expressions.SimHash64]] bit for bit —
     * md5 hex digits fold to the same 64-bit prefix whose per-bit ±1 votes are
     * summed over distinct shingles. Generated programmatically (64 vote
@@ -1953,6 +1981,7 @@ object SparkEntry {
     // values are exact-verified and banding recall at min qualifying J is ~1-3e-12
     "q_minhash_pairs" -> exactJaccardSql(n = 5, threshold = 0.5),
     "q_dedup_clusters" -> dedupClustersSql(n = 5, threshold = 0.5),
+    "q_dedup_survivors_best" -> dedupSurvivorsBestSql(n = 5, threshold = 0.5),
     "q_simhash_fingerprints" -> simhashSql(n = 5),
     "q_embed_dedup_lsh" -> embedLshSql(threshold = 0.2, dim = 64, planes = 16, bands = 4),
     "q_fingerprints" ->

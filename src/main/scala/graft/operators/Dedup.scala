@@ -340,6 +340,29 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** One row per near-dup cluster, chosen by POLICY: keep the member with the
+    * highest `priority` (ties → minimum id) — the production selection rule
+    * (keep the longest / highest-quality-score representative, per
+    * C4/RefinedWeb practice) where [[nearDupSurvivors]]' min-id rule is the
+    * arbitrary-but-deterministic default. `priority` may reference any column
+    * of `df`.
+    *
+    * Scale: one row_number window partitioned by cluster_id — cluster sizes
+    * are duplication-bounded (a few members each), so frames stay tiny and
+    * the shuffle is one row per document, keyed on the cluster. Unpaired
+    * documents ride the same path as singleton clusters.
+    */
+  def nearDupSurvivorsBy(df: DataFrame, idCol: String, pairs: DataFrame,
+      priority: Column): DataFrame = {
+    val comps = connectedComponents(df.select(col(idCol).as("id")), pairs)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(priority.desc, col(idCol).asc)
+    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "cluster_id")
+  }
+
   /** Cross-document duplicated-passage spans (the passage-level dedup step a
     * C4/RefinedWeb-style pipeline runs between whole-document dedup and
     * within-document repetition filtering): find every position whose n-token

@@ -141,6 +141,25 @@ class DedupSpec extends SparkSpec {
     out shouldBe Seq(1L, 3L, 4L) // 2 is 1's exact dup; 3 is below 0.9 to 1
   }
 
+  test("nearDupSurvivorsBy keeps the max-priority member, ties to min id") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, "aaa", 10L), (2L, "bbb", 30L), (3L, "ccc", 30L), // one cluster
+      (9L, "zzz", 1L) // unpaired singleton
+    ).toDF("id", "text", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    // highest quality wins (2 and 3 tie at 30 -> min id 2); singleton kept
+    val out = rows(Dedup.nearDupSurvivorsBy(corpus, "id", pairs, col("quality"))
+      .select("id").orderBy("id")).map(_.getLong(0))
+    out shouldBe Seq(2L, 9L)
+    // degenerate policy = constant priority -> same result as min-id survivors
+    val byConst = rows(Dedup.nearDupSurvivorsBy(corpus, "id", pairs, lit(0))
+      .select("id").orderBy("id")).map(_.getLong(0))
+    val byMin = rows(Dedup.nearDupSurvivors(corpus, "id", pairs)
+      .select("id").orderBy("id")).map(_.getLong(0))
+    byConst shouldBe byMin
+  }
+
   test("embeddingPairs finds identical vectors in the same LSH bucket") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
