@@ -24,4 +24,27 @@ class PlanGuardSpec extends SparkSpec {
     }
     offenders shouldBe empty
   }
+
+  // Shape regressions the round-8 rewrites removed must stay removed: these
+  // guards fail if a refactor reintroduces the shuffle the rewrite deleted.
+
+  test("embeddingPairs plans no aggregate and no dropDuplicates (first-band dedup is per-row)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1.0f, 0.5f)), (2L, Array(0.9f, 0.4f)))
+      .toDF("vec_id", "embedding")
+    val plan = graft.operators.Dedup.embeddingPairs(vecs, "embedding", "vec_id",
+      threshold = 0.5, dim = 2, planes = 4, bands = 2)
+      .queryExecution.optimizedPlan.toString
+    plan should not include "Aggregate"
+    plan should not include "Deduplicate"
+  }
+
+  test("topBigrams plans no window (kernel pairing, count aggregate only)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = graft.operators.TextAnalysis.topBigrams(docs, "text", "doc_id", 5)
+      .queryExecution.optimizedPlan.toString
+    plan should not include "Window"
+  }
 }
