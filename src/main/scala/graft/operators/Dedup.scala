@@ -540,8 +540,10 @@ object Dedup {
     // arrives as one file = one partition, and without this the entire
     // bucket-match × verify loop runs on a single core (at cluster scale the
     // scan is already multi-partition and this is one cheap narrow exchange
-    // of (id, nrm, sig) rows)
-    val a = bucketed.repartition(32, col("id")).as("a"); val b = bucketed.as("b")
+    // of (id, nrm, sig) rows). The partition count is EXPLICIT so AQE's
+    // small-shuffle coalescing doesn't fold the probe back into one task.
+    val probeParts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val a = bucketed.repartition(probeParts, col("id")).as("a"); val b = bucketed.as("b")
     val x = col("a.sig").bitwiseXOR(col("b.sig"))
     val earlierBandMatches = (0 until bands)
       .map(bd => col("a.band") > bd && (slice(x, bd) === 0))
