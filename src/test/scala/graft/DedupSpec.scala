@@ -212,4 +212,27 @@ class DedupSpec extends SparkSpec {
     ref should not be empty // the seed must actually exercise collisions
     fast shouldBe ref
   }
+
+  test("minhashPairs recall: every exact-duplicate pair is found, precision holds") {
+    // Exact duplicates have identical signatures, hence identical band buckets
+    // in every band — candidacy is guaranteed, so recall on exact dups must be
+    // 1.0 regardless of banding parameters. Seeded generator: deterministic.
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+    val base = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(20)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val dups = (0 until 15).map(j => (100L + j, base(j)._2))
+    val corpus = (base ++ dups).toDF("doc_id", "text")
+    val found = rows(Dedup.minhashPairs(corpus, "text", "doc_id",
+      shingleN = 3, k = 64, bands = 16, threshold = 0.7))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairSet = found.map(p => (p._1, p._2)).toSet
+    (0 until 15).foreach { j => pairSet should contain((j.toLong, 100L + j)) }
+    // precision: exact verification means every emitted pair clears threshold,
+    // and exact-dup pairs score exactly 1.0
+    found.foreach(_._3 should be >= 0.7)
+    found.filter(p => p._2 == p._1 + 100L).foreach(_._3 shouldBe 1.0)
+  }
 }

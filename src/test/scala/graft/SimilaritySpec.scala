@@ -47,6 +47,33 @@ class SimilaritySpec extends SparkSpec {
     rows(cents).foreach(_.getSeq[Double](1).length shouldBe 3)
   }
 
+  test("ivfTopK recall@k: probing all cells equals brute force; recall monotone in nprobe") {
+    // Probing every cell scores every (query, corpus) pair exactly once with
+    // the same tie-break as bruteForceTopK, so recall@k must be exactly 1.0;
+    // fewer probes can only shrink the scanned set, so recall is monotone.
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 10)
+    val cents = Similarity.trainCentroids(corpus, "embedding", "vec_id", 8)
+    val nlist = cents.count().toInt
+    val brute = rows(Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 10))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(np: Int): Double = {
+      val got = rows(Similarity.ivfTopK(corpus, queries, cents, "embedding", "vec_id",
+        k = 10, nprobe = np)).map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got intersect brute).size.toDouble / brute.size
+    }
+    val rAll = recall(nlist)
+    rAll shouldBe 1.0
+    val r1 = recall(1)
+    val r2 = recall(2)
+    r1 should be <= r2
+    r2 should be <= rAll
+    r2 should be > 0.2 // deterministic under the fixed seed
+  }
+
   test("ivfTopK with enough probes matches brute force on the top hit") {
     val queries = vecs.filter(col("vec_id") === 0L)
     val cents = Similarity.trainCentroids(vecs, "embedding", "vec_id", 2)
