@@ -645,6 +645,12 @@ object SparkEntry {
     "q_ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id",
         n = 5, threshold = 0.3, maxDocFreq = 100L).orderBy("id_a", "id_b")),
+    // asymmetric complement of the jaccard pass: short-doc-inside-long-doc
+    // pairs that symmetric similarity structurally misses
+    "q_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(documents(s, dir), "text", "doc_id",
+        n = 5, threshold = 0.6, maxDocFreq = 100L)
+        .orderBy("contained_id", "container_id")),
     // Banded LSH candidates, EXACT-verified: every emitted jaccard is the true
     // shingle-set value, so the oracle is plain exact Jaccard SQL. Recall of
     // the banding (k=64, 32 bands of 2) at the corpus's minimum qualifying
@@ -1976,6 +1982,29 @@ object SparkEntry {
          | FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
          | WHERE CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) >= 0.3
          | ORDER BY id_a, id_b""".stripMargin.replace("\n", "")
+    },
+    // same CTE skeleton as the jaccard oracle; containment = it / min size,
+    // contained side = smaller set (ties -> larger id)
+    "q_containment_pairs" -> {
+      val ws = "list_filter(string_split_regex(regexp_replace(lower(text), '[^\\p{L}\\p{Nd}]+', ' ', 'g'), ' '), w -> len(w) > 0)"
+      s"""WITH words AS (SELECT doc_id, $ws AS ws FROM documents),
+         | sh AS (SELECT doc_id, UNNEST(list_distinct(
+         |   CASE WHEN len(ws) - 4 <= 0 THEN [array_to_string(ws, ' ')]
+         |   ELSE list_transform(range(0, len(ws) - 4), i -> array_to_string(list_slice(ws, i + 1, i + 5), ' ')) END)) AS s
+         |   FROM words),
+         | sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+         | pruned AS (SELECT * FROM sh WHERE s IN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100)),
+         | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS it
+         |   FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         | scored AS (SELECT id_a, id_b, sa.sz AS sz_a, sb.sz AS sz_b,
+         |   CAST(it AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment
+         |   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
+         | SELECT CASE WHEN sz_a < sz_b THEN id_a WHEN sz_b < sz_a THEN id_b
+         |   ELSE greatest(id_a, id_b) END AS contained_id,
+         | CASE WHEN sz_a < sz_b THEN id_b WHEN sz_b < sz_a THEN id_a
+         |   ELSE least(id_a, id_b) END AS container_id,
+         | containment FROM scored WHERE containment >= 0.6
+         | ORDER BY contained_id, container_id""".stripMargin.replace("\n", "")
     },
     // exact Jaccard (no pruning): equals minhashPairs' output because emitted
     // values are exact-verified and banding recall at min qualifying J is ~1-3e-12

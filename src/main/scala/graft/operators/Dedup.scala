@@ -210,6 +210,51 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Within-corpus CONTAINMENT pairs: |A∩B| / min(|A|, |B|) over n-gram
+    * shingle sets — the asymmetric complement of [[ngramJaccardPairs]]. A
+    * short document wholly embedded in a long one (quote farms, boilerplate
+    * wrappers, page-of-pages scrapes) has Jaccard ≈ |short|/|long| → 0 but
+    * containment ≈ 1, so symmetric dedup never sees it; this is the standard
+    * reason corpus pipelines run a containment pass alongside Jaccard (same
+    * measure [[contamination]] uses against benchmarks, here corpus-vs-self).
+    *
+    * Emits (contained_id, container_id, containment): `contained_id` is the
+    * smaller shingle set (ties → the larger id, so the surviving container of
+    * an exact-dup pair is the min id, matching [[exact]]'s keep rule).
+    *
+    * Scale: identical shape to [[ngramJaccardPairs]] — postings shuffle on
+    * the shingle key, `maxDocFreq` caps the per-key fan-out (the skew guard;
+    * containment admits no size-ratio prefilter since asymmetric sizes are
+    * exactly the point), candidate aggregation is partial-aggregable.
+    */
+  def containmentPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Long = 1000L): DataFrame = {
+    val posts = df.select(col(idCol).as("id"), shingleHashSet(col(textCol), n).as("arr"))
+      .select(col("id"), size(col("arr")).as("sz"), explode(col("arr")).as("sh"))
+    val rare = posts.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+    val pruned = posts.join(rare.select("sh"), Seq("sh"), "left_semi")
+    val l = pruned.select(col("sh"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val r = pruned.select(col("sh"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val inter = l.join(r, Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("containment", col("inter").cast(DoubleType) /
+        least(col("sz_a"), col("sz_b")).cast(DoubleType))
+      .filter(col("containment") >= threshold)
+      .withColumn("contained_id",
+        when(col("sz_a") < col("sz_b"), col("id_a"))
+          .when(col("sz_b") < col("sz_a"), col("id_b"))
+          .otherwise(greatest(col("id_a"), col("id_b"))))
+      .withColumn("container_id",
+        when(col("contained_id") === col("id_a"), col("id_b")).otherwise(col("id_a")))
+      .select("contained_id", "container_id", "containment")
+  }
+
   /** Connected components over a near-duplicate pair graph: every id gets the
     * minimum id reachable from it (`cluster_id`), via iterative min-label
     * propagation. The canonical survivor of each cluster is the row whose

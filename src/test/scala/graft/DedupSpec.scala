@@ -213,6 +213,33 @@ class DedupSpec extends SparkSpec {
     fast shouldBe ref
   }
 
+  test("containmentPairs catches short-in-long embedding that jaccard misses") {
+    val longTail = (1 to 60).map(i => s"filler$i").mkString(" ")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, s"alpha beta gamma delta epsilon zeta $longTail"), // contains doc 1
+      (3L, "totally unrelated content words here")
+    ).toDF("doc_id", "text")
+    val cont = rows(Dedup.containmentPairs(corpus, "text", "doc_id", n = 3, threshold = 0.8))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    cont.map(p => (p._1, p._2)) shouldBe Seq((1L, 2L)) // short doc is the contained side
+    cont.head._3 shouldBe 1.0 // every shingle of doc 1 appears in doc 2
+    // the same pair is invisible to symmetric jaccard at any meaningful bar:
+    // J = |short| / |long| ~ 4/62
+    val jac = rows(Dedup.ngramJaccardPairs(corpus, "text", "doc_id", n = 3, threshold = 0.5))
+    jac shouldBe empty
+  }
+
+  test("containmentPairs exact-dup tie keeps min id as container") {
+    val corpus = Seq(
+      (7L, "one two three four five six seven"),
+      (9L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val cont = rows(Dedup.containmentPairs(corpus, "text", "doc_id", n = 3, threshold = 0.8))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    cont shouldBe Seq((9L, 7L)) // ties: larger id is contained, min id survives
+  }
+
   test("minhashPairs recall: every exact-duplicate pair is found, precision holds") {
     // Exact duplicates have identical signatures, hence identical band buckets
     // in every band — candidacy is guaranteed, so recall on exact dups must be
