@@ -821,6 +821,14 @@ object SparkEntry {
         documents(s, dir).select("doc_id", "source"), "source", "doc_id", mixtureWeights)
         .select("doc_id", "source", "n_copies", "copy_id")
         .orderBy("doc_id", "copy_id")),
+    // temperature-flattened mixture (tau=0.5): weights DERIVED from the
+    // corpus's lang shares, upsampling rare languages — the multilingual
+    // rebalancing rule, with the weight table emitted per row
+    "q_temperature_resample" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureResample(
+        documents(s, dir).select("doc_id", "lang"), "lang", "doc_id", tau = 0.5)
+        .select("doc_id", "lang", "weight", "n_copies", "copy_id")
+        .orderBy("doc_id", "copy_id")),
     // length-decile bucketing (length-balanced batching): global rank in
     // (n_chars, doc_id) order via the SAME two-level prefix sum as packing —
     // the composite order key's high bits are the group key, so no
@@ -2243,6 +2251,22 @@ object SparkEntry {
          | SELECT doc_id, source, n_copies, UNNEST(range(1, n_copies + 1)) AS copy_id
          | FROM c WHERE n_copies >= 1 ORDER BY doc_id, copy_id""".stripMargin.replace("\n", "")
     },
+    // temperature weights: p^tau flattening of lang shares, round(6) for the
+    // cross-engine determinism grid; then the same stochastic copy rule
+    "q_temperature_resample" ->
+      s"""WITH cnt AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+         | tot AS (SELECT SUM(n) AS nn FROM cnt),
+         | pw AS (SELECT lang, n, nn, pow(n / nn, 0.5) AS pw FROM cnt, tot),
+         | z AS (SELECT SUM(pw) AS z FROM pw),
+         | w AS (SELECT lang, round(pw / z * nn / n, 6) AS weight FROM pw, z),
+         | t AS (SELECT doc_id, d.lang, weight, ${idHashSql("doc_id")} AS h
+         |   FROM documents d JOIN w USING (lang)),
+         | c AS (SELECT doc_id, lang, weight,
+         |   CAST(floor(weight) AS BIGINT) +
+         |     CASE WHEN CAST(h AS DOUBLE) / 1152921504606846976 < weight - floor(weight) THEN 1 ELSE 0 END AS n_copies
+         |  FROM t)
+         | SELECT doc_id, lang, weight, n_copies, UNNEST(range(1, n_copies + 1)) AS copy_id
+         | FROM c WHERE n_copies >= 1 ORDER BY doc_id, copy_id""".stripMargin.replace("\n", ""),
     "q_length_deciles" ->
       """WITH r AS (SELECT doc_id, n_chars,
         |   row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk FROM documents),

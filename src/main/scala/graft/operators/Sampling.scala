@@ -78,6 +78,13 @@ object Sampling {
     val w = weights.foldRight(lit(defaultWeight): Column) { case ((src, wt), acc) =>
       when(col(sourceCol) === src, lit(wt)).otherwise(acc)
     }
+    stochasticCopies(df, w, idCol)
+  }
+
+  /** The shared copy-count rule of [[mixtureResample]]/[[temperatureResample]]:
+    * `floor(w) + [u < frac(w)]` copies per row, `u = idHash / 2^60`.
+    */
+  private def stochasticCopies(df: DataFrame, w: Column, idCol: String): DataFrame = {
     // 2^60 is a power of two: the long→double conversion and division are
     // both exact, so `u` is bit-identical in any IEEE engine.
     val u = idHash(col(idCol)).cast(DoubleType) / lit(1152921504606846976.0)
@@ -87,6 +94,44 @@ object Sampling {
       .withColumn("copy_id", explode(
         when(col("n_copies") >= 1, sequence(lit(1L), col("n_copies")))
           .otherwise(array().cast(ArrayType(LongType)))))
+  }
+
+  /** Temperature-derived mixture weights: stratum share `p = n/N` is flattened
+    * to `q ∝ p^τ` and the per-row weight is `q·N/n = p^(τ-1)/Σp^τ` — the
+    * standard multilingual/multi-source rebalancing rule (τ=1 is proportional
+    * = all weights 1; τ→0 is uniform over strata; τ<1 upsamples rare strata).
+    * Expected output size stays N because Σ n·w = N by construction.
+    *
+    * Weights are `round(·, 6)`: the pow/Σ chain is libm- and sum-order-
+    * sensitive in the last ulp across engines, and 6 decimals is the repo's
+    * established cross-engine determinism grid (see the percentile queries).
+    *
+    * Scale: one count-agg over strata (tiny), two scalar reductions over that
+    * tiny frame — the expensive corpus never shuffles.
+    */
+  def temperatureWeights(df: DataFrame, stratumCol: String, tau: Double): DataFrame = {
+    val cnt = df.groupBy(col(stratumCol)).agg(count(lit(1)).cast(DoubleType).as("__n"))
+    // the scalar reductions (total, z) are windows over the strata frame —
+    // one row per stratum, so the single-partition window is a few-row sort.
+    // ("__tot", not "__N": Spark's default case-INsensitive resolution would
+    // make a "__N" withColumn silently replace "__n".)
+    val all = Window.partitionBy(lit(0))
+    cnt.withColumn("__tot", sum(col("__n")).over(all))
+      .withColumn("__pw", pow(col("__n") / col("__tot"), tau))
+      .withColumn("__z", sum(col("__pw")).over(all))
+      .select(col(stratumCol),
+        round(col("__pw") / col("__z") * col("__tot") / col("__n"), 6).as("weight"))
+  }
+
+  /** [[mixtureResample]] with weights DERIVED from the data by temperature
+    * flattening ([[temperatureWeights]]) instead of supplied literals. The
+    * weight table (one row per stratum) broadcast-joins onto the corpus —
+    * narrow on the big side, same deterministic copy rule.
+    */
+  def temperatureResample(df: DataFrame, stratumCol: String, idCol: String,
+      tau: Double): DataFrame = {
+    val joined = df.join(broadcast(temperatureWeights(df, stratumCol, tau)), Seq(stratumCol))
+    stochasticCopies(joined, col("weight"), idCol)
   }
 
   /** Deterministic global shuffle for training-data ordering: every row gets

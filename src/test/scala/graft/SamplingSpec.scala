@@ -62,4 +62,31 @@ class SamplingSpec extends SparkSpec {
     rows(out.orderBy("id")) shouldBe rows(Sampling.perKeyCap(df, Seq("grp"), "id", 10).orderBy("id"))
     (keptSmall.size, keptBig.size) shouldBe ((20, 20))
   }
+
+  test("temperatureWeights: tau=1 is proportional (all 1.0); tau<1 upsamples rare strata") {
+    // 900 'big' rows vs 100 'small' rows
+    val df = (0L until 1000L).map(i => (i, if (i < 900) "big" else "small")).toDF("id", "lang")
+    val w1 = rows(Sampling.temperatureWeights(df, "lang", tau = 1.0))
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    w1("big") shouldBe 1.0 +- 1e-6
+    w1("small") shouldBe 1.0 +- 1e-6
+    val w5 = rows(Sampling.temperatureWeights(df, "lang", tau = 0.5))
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    w5("small") should be > 1.0
+    w5("big") should be < 1.0
+    // expected output size is preserved: sum n_s * w_s = N
+    (900 * w5("big") + 100 * w5("small")) shouldBe 1000.0 +- 1e-2
+  }
+
+  test("temperatureResample output size tracks the expectation, deterministically") {
+    val df = (0L until 1000L).map(i => (i, if (i < 900) "big" else "small")).toDF("id", "lang")
+    val out = Sampling.temperatureResample(df, "lang", "id", tau = 0.5)
+    val n = out.count()
+    n.toDouble shouldBe 1000.0 +- 60.0 // stochastic rounding, hash-deterministic
+    out.count() shouldBe n // re-run identical
+    // rare stratum grew, dominant shrank
+    val bySrc = rows(out.groupBy("lang").count()).map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc("small").toDouble should be > 100.0
+    bySrc("big").toDouble should be < 900.0
+  }
 }
