@@ -57,6 +57,21 @@ object ScaleProbe {
       Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 5, threshold = 0.3,
         maxDocFreq = 100L * k).count()
     }
+    time("containment_pairs") {
+      // same inverted-index shape as jaccard, but no size-ratio prefilter
+      // (asymmetric sizes are the point) — the docFreq cap alone must hold
+      // the candidate fan-out under maximal replication
+      Dedup.containmentPairs(docs, "text", "doc_id", n = 5, threshold = 0.6,
+        maxDocFreq = 100L * k).count()
+    }
+    time("temperature_resample") {
+      // strata-count agg + broadcast join: cost must stay ∝ corpus scan
+      val langed = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "lang")
+      val rep = (0 until k).map(i =>
+        langed.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("lang")))
+        .reduce(_ unionAll _)
+      graft.operators.Sampling.temperatureResample(rep, "lang", "doc_id", tau = 0.5).count()
+    }
     time("exact_dedup") {
       Dedup.exact(docs, "text", "doc_id").count()
     }

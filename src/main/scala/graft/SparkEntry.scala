@@ -746,6 +746,11 @@ object SparkEntry {
     // --- dataset curation: splits / sampling / quality gate ----------------
     "q_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(documents(s, dir), "text", 50)),
+    // mixture-design diagnostic: pairwise token-set jaccard between sources —
+    // all-integer arithmetic, bit-deterministic
+    "q_source_vocab_overlap" -> ((s, dir) =>
+      TextAnalysis.groupVocabOverlap(documents(s, dir), "text", "source")
+        .orderBy("group_a", "group_b")),
     "q_top_bigrams" -> ((s, dir) =>
       TextAnalysis.topBigrams(documents(s, dir), "text", "doc_id", 50)),
     "q_doc_rarity" -> ((s, dir) =>
@@ -2102,6 +2107,15 @@ object SparkEntry {
       s"""SELECT token, COUNT(*) AS n
          | FROM (SELECT UNNEST($dedupWords) AS token FROM documents)
          | GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin.replace("\n", ""),
+    "q_source_vocab_overlap" ->
+      s"""WITH toks AS (SELECT DISTINCT source, UNNEST($dedupWords) AS tok FROM documents),
+         | sizes AS (SELECT source, COUNT(*) AS sz FROM toks GROUP BY 1),
+         | inter AS (SELECT a.source AS group_a, b.source AS group_b, COUNT(*) AS it
+         |   FROM toks a JOIN toks b ON a.tok = b.tok AND a.source < b.source GROUP BY 1, 2)
+         | SELECT group_a, group_b,
+         |   CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) AS vocab_jaccard
+         | FROM inter JOIN sizes sa ON sa.source = group_a JOIN sizes sb ON sb.source = group_b
+         | ORDER BY group_a, group_b""".stripMargin.replace("\n", ""),
     "q_top_bigrams" ->
       s"""SELECT bigram, COUNT(*) AS n
          | FROM (SELECT UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram

@@ -72,6 +72,38 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Pairwise vocabulary overlap between groups (sources, languages, shards):
+    * token-set Jaccard per (group_a, group_b), `a < b`. The mixture-design
+    * diagnostic — two sources with near-identical vocabularies are redundant
+    * in a training mixture; near-zero overlap flags a domain/language outlier.
+    *
+    * All-integer arithmetic (distinct counts, one final exact int→double
+    * division), so the result is bit-deterministic in any engine — no libm,
+    * no sum-order sensitivity.
+    *
+    * Scale: the (group, token) frame distincts with partial aggregation, and
+    * the token self-join's per-key fan-out is bounded by #groups² — a
+    * CONSTANT in corpus size (20 sources → ≤400 rows per token regardless of
+    * corpus rows). Nothing here is quadratic in data.
+    */
+  def groupVocabOverlap(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val toks = df.select(col(groupCol).as("grp"), explode(Dedup.tokens(col(textCol))).as("tok"))
+      .distinct()
+    val sizes = toks.groupBy("grp").agg(count(lit(1)).as("sz"))
+    val l = toks.select(col("tok"), col("grp").as("grp_a"))
+    val r = toks.select(col("tok"), col("grp").as("grp_b"))
+    val inter = l.join(r, Seq("tok"))
+      .filter(col("grp_a") < col("grp_b"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("grp").as("grp_a"), col("sz").as("sz_a")), Seq("grp_a"))
+      .join(sizes.select(col("grp").as("grp_b"), col("sz").as("sz_b")), Seq("grp_b"))
+      .select(col("grp_a").as("group_a"), col("grp_b").as("group_b"),
+        (col("inter").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType)).as("vocab_jaccard"))
+  }
+
   /** TF-IDF top terms per document: term frequency within the doc, document
     * frequency across the corpus, `tfidf = tf · N / df` (kept as one exact
     * integer product and one IEEE division so both engines produce the same

@@ -135,4 +135,19 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getInt(2).toLong)).toMap
     ranked shouldBe probes.map(t => direct2(t).toDouble)
   }
+
+  test("groupVocabOverlap: identical vocab -> 1, disjoint -> absent, partial exact") {
+    val df = Seq(
+      (1L, "alpha beta gamma", "s1"),
+      (2L, "alpha beta gamma", "s2"),    // s2 vocab == s1 vocab
+      (3L, "alpha delta", "s3"),         // s3 ∩ s1 = {alpha}: J = 1/4
+      (4L, "omega psi", "s4")            // disjoint from s1/s2 except...
+    ).toDF("doc_id", "text", "source")
+    val out = rows(TextAnalysis.groupVocabOverlap(df, "text", "source")
+      .orderBy("group_a", "group_b"))
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    out(("s1", "s2")) shouldBe 1.0
+    out(("s1", "s3")) shouldBe 0.25 // |{alpha}| / |{alpha,beta,gamma,delta}|
+    out.keySet should not contain (("s1", "s4")) // zero-overlap pairs absent
+  }
 }
