@@ -534,6 +534,15 @@ object SparkEntry {
       AsofJoin.asof(purchases, clicksU, Seq("user_id"), "ts", "ts", Seq("click_value"),
         tolerance = Some("INTERVAL 1 HOUR")).orderBy("event_id")
     }),
+    // ordered funnel: earliest qualifying event per step, strictly-after
+    // chaining; counts non-increasing by construction
+    "q_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.funnel(events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase")).orderBy("step")),
+    // first-touch daily retention triangle
+    "q_retention_cohorts" -> ((s, dir) =>
+      graft.operators.Funnel.retentionCohorts(events(s, dir), "user_id", "ts")
+        .orderBy("cohort_day", "day_offset")),
     "q_sessionize" -> ((s, dir) =>
       Sessionize.sessions(events(s, dir), Seq("user_id"), "ts", "INTERVAL 1 HOUR",
         valueCol = Some("value")).orderBy("user_id", "session_id")),
@@ -1907,6 +1916,27 @@ object SparkEntry {
         |   CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.click_value END AS click_value
         | FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         | ORDER BY p.event_id""".stripMargin.replace("\n", ""),
+    // CAST(ts AS TIMESTAMP) floors TIMESTAMP_NS to µs — exactly the Spark
+    // side's timestamp_micros(ts div 1000), so strictly-after compares agree
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS et, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | s1 AS (SELECT u, MIN(ts) AS t FROM e WHERE et = 'view' GROUP BY 1),
+        | s2 AS (SELECT e.u, MIN(e.ts) AS t FROM e JOIN s1 ON e.u = s1.u AND e.ts > s1.t
+        |   WHERE e.et = 'click' GROUP BY 1),
+        | s3 AS (SELECT e.u, MIN(e.ts) AS t FROM e JOIN s2 ON e.u = s2.u AND e.ts > s2.t
+        |   WHERE e.et = 'purchase' GROUP BY 1)
+        | SELECT * FROM (
+        |   SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, COUNT(*) AS n_users FROM s1
+        |   UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+        |   UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3)
+        | ORDER BY step""".stripMargin.replace("\n", ""),
+    "q_retention_cohorts" ->
+      """WITH f AS (SELECT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+        | cohort AS (SELECT u, MIN(d) AS cohort_day FROM f GROUP BY 1),
+        | active AS (SELECT DISTINCT u, d FROM f)
+        | SELECT cohort_day, date_diff('day', cohort_day, d) AS day_offset, COUNT(*) AS n_users
+        | FROM active JOIN cohort USING (u) GROUP BY 1, 2
+        | ORDER BY cohort_day, day_offset""".stripMargin.replace("\n", ""),
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         | flagged AS (SELECT user_id, ts, value,

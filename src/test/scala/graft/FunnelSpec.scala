@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Funnel
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.map { case (u, t, ts) => (u, t, tsLit(ts)) }.toDF("user_id", "event_type", "ts")
+
+  test("funnel: strictly-after chaining, counts non-increasing") {
+    val df = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:05:00"),
+      (1L, "purchase", "2024-01-01 10:10:00"), // full journey
+      (2L, "view", "2024-01-01 11:00:00"),
+      (2L, "click", "2024-01-01 10:59:00"),    // click BEFORE view: not after
+      (3L, "click", "2024-01-02 09:00:00"),    // no view at all
+      (3L, "purchase", "2024-01-02 09:30:00"),
+      (4L, "view", "2024-01-03 08:00:00")      // view only
+    )
+    val out = rows(Funnel.funnel(df, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase")).orderBy("step"))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    out shouldBe Seq((1L, "view", 3L), (2L, "click", 1L), (3L, "purchase", 1L))
+  }
+
+  test("funnel: equal timestamps do not chain (strict inequality)") {
+    val df = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:00:00"))
+    val out = rows(Funnel.funnel(df, "user_id", "event_type", "ts",
+      Seq("view", "click")).orderBy("step")).map(_.getLong(2))
+    out shouldBe Seq(1L, 0L)
+  }
+
+  test("retentionCohorts: offset 0 is cohort size; later offsets count returning users") {
+    val df = ev(
+      (1L, "view", "2024-01-01 09:00:00"),
+      (1L, "click", "2024-01-02 09:00:00"), // returns day 1
+      (1L, "view", "2024-01-02 10:00:00"),  // same day: counted once
+      (2L, "view", "2024-01-01 12:00:00"),
+      (3L, "view", "2024-01-02 12:00:00"),
+      (3L, "view", "2024-01-04 12:00:00"))  // returns day 2
+    val out = rows(Funnel.retentionCohorts(df, "user_id", "ts")
+      .orderBy("cohort_day", "day_offset"))
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    out shouldBe Seq(
+      ("2024-01-01", 0L, 2L), // users 1, 2
+      ("2024-01-01", 1L, 1L), // user 1 returns
+      ("2024-01-02", 0L, 1L), // user 3
+      ("2024-01-02", 2L, 1L)) // user 3 returns
+  }
+}
