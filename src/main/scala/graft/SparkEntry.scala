@@ -679,6 +679,21 @@ object SparkEntry {
       Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
         .select(col("id").as("doc_id"), col("cluster_id")).orderBy("doc_id")
     }),
+    // dedup observability: per-source duplication rate from the global
+    // clustering — the report a curation run ships with its output
+    "q_dedup_report" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+        shingleN = 5, k = 64, bands = 32, threshold = 0.5)
+      val clusters = Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+      docs.select(col("doc_id").as("id"), col("source"))
+        .join(clusters, Seq("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("cluster_id")).as("n_clusters"))
+        .withColumn("dup_rate",
+          lit(1.0) - col("n_clusters").cast(DoubleType) / col("n_docs").cast(DoubleType))
+        .orderBy("source")
+    }),
     // survivor selection by POLICY: longest document per near-dup cluster
     // (ties → min id) — the production C4/RefinedWeb keep rule, vs
     // nearDupSurvivors' arbitrary-but-deterministic min-id default
@@ -1466,6 +1481,23 @@ object SparkEntry {
        |   SELECT e.s, c.r FROM e JOIN closure c ON c.id = e.d)
        | SELECT id AS doc_id, MIN(r) AS cluster_id FROM closure GROUP BY id ORDER BY doc_id""".stripMargin.replace("\n", "")
 
+  /** Per-source duplication report: the same transitive closure as
+    * [[dedupClustersSql]], aggregated to (source, n_docs, n_clusters,
+    * dup_rate). Counts are exact ints; dup_rate is one int/int division.
+    */
+  private def dedupReportSql(n: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${exactJaccardCtes(n, threshold)},
+       | e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+       | closure(id, r) AS (
+       |   SELECT doc_id, doc_id FROM documents
+       |   UNION
+       |   SELECT e.s, c.r FROM e JOIN closure c ON c.id = e.d),
+       | comps AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM closure GROUP BY id)
+       | SELECT d.source, COUNT(*) AS n_docs, COUNT(DISTINCT c.cluster_id) AS n_clusters,
+       |   1.0 - CAST(COUNT(DISTINCT c.cluster_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+       | FROM documents d JOIN comps c USING (doc_id)
+       | GROUP BY d.source ORDER BY d.source""".stripMargin.replace("\n", "")
+
   /** Policy-based survivor oracle: the same transitive closure as
     * [[dedupClustersSql]], then one representative per cluster by
     * (n_chars DESC, doc_id ASC) — the dual of [[Dedup.nearDupSurvivorsBy]].
@@ -2053,6 +2085,7 @@ object SparkEntry {
     // values are exact-verified and banding recall at min qualifying J is ~1-3e-12
     "q_minhash_pairs" -> exactJaccardSql(n = 5, threshold = 0.5),
     "q_dedup_clusters" -> dedupClustersSql(n = 5, threshold = 0.5),
+    "q_dedup_report" -> dedupReportSql(n = 5, threshold = 0.5),
     "q_dedup_survivors_best" -> dedupSurvivorsBestSql(n = 5, threshold = 0.5),
     "q_simhash_fingerprints" -> simhashSql(n = 5),
     "q_embed_dedup_lsh" -> embedLshSql(threshold = 0.2, dim = 64, planes = 16, bands = 4),
