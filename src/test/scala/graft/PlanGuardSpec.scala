@@ -47,4 +47,31 @@ class PlanGuardSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     plan should not include "Window"
   }
+
+  test("containmentPairs keeps the docFreq semi-join skew guard") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    val plan = graft.operators.Dedup.containmentPairs(docs, "text", "doc_id", n = 2)
+      .queryExecution.optimizedPlan.toString
+    plan should include("LeftSemi") // the maxDocFreq prune; without it a hot
+    // shingle's posting list fan-out is unbounded
+  }
+
+  test("temperatureResample broadcasts the weight table (corpus side stays narrow)") {
+    import spark.implicits._
+    val docs = Seq((1L, "en"), (2L, "fr"), (3L, "en")).toDF("id", "lang")
+    val plan = graft.operators.Sampling.temperatureResample(docs, "lang", "id", tau = 0.5)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("funnel plans no window and no cartesian (user-keyed join chain only)") {
+    import spark.implicits._
+    val ev = Seq((1L, "view", tsLit("2024-01-01 10:00:00")),
+      (1L, "click", tsLit("2024-01-01 10:01:00"))).toDF("user_id", "event_type", "ts")
+    val plan = graft.operators.Funnel.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click")).queryExecution.optimizedPlan.toString
+    plan should not include "Window"
+    plan should not include "Cartesian"
+  }
 }
