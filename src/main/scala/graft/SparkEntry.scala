@@ -1187,6 +1187,29 @@ object SparkEntry {
       Manifest.stats(s, path, "__chunk", Seq("event_id", "user_id"))
         .orderBy("chunk")
     }),
+    // small-file compaction under the gate: a deliberately fragmented ingest
+    // (64 chunk dirs) compacts once per session into ceil(n/25k) range-sorted
+    // files; the on-disk file count is require-checked against the plan every
+    // pass, and the emitted content checksum pins byte-level preservation
+    "q_compact_files" -> ((s, dir) => {
+      val frag = new java.io.File(sys.props("java.io.tmpdir"), "graft_frag_events").toString
+      val out = new java.io.File(sys.props("java.io.tmpdir"), "graft_compacted_events").toString
+      if (SessionCache.once(s, s"compact:$dir")) {
+        val e = events(s, dir).select("event_id", "user_id", "value")
+        Manifest.writeChunked(e, "event_id", 64, frag)
+        graft.operators.Layout.compact(
+          s.read.parquet(frag).drop("__chunk"), "event_id", out, targetFileRows = 25000L)
+      }
+      val files = new java.io.File(out).listFiles()
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      val got = s.read.parquet(out)
+      got.agg(count(lit(1)).as("n_rows"),
+          sum(col("event_id")).as("sum_id"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .withColumn("n_files", lit(files.toLong))
+        .select("n_files", "n_rows", "sum_id", "min_id", "max_id")
+    }),
     // bucketed co-located join under the gate: both sides pre-shuffled into
     // 8 buckets on the customer key at write time, so the merge join plans
     // with ZERO shuffle exchanges — asserted at runtime on the executed plan
@@ -1632,6 +1655,12 @@ object SparkEntry {
         |   MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id,
         |   MIN(user_id) AS min_user_id, MAX(user_id) AS max_user_id
         | FROM events, w GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", ""),
+    // compaction preserves content exactly and lands the planned file count
+    "q_compact_files" ->
+      """SELECT GREATEST(1, CAST(ceil(COUNT(*) / 25000.0) AS BIGINT)) AS n_files,
+        | COUNT(*) AS n_rows, CAST(SUM(event_id) AS BIGINT) AS sum_id,
+        | MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        | FROM events""".stripMargin.replace("\n", ""),
     // the bucketed-layout join must equal the plain join over the sources
     "q_bucketed_join" ->
       """SELECT c_nationkey, COUNT(*) AS n_orders,

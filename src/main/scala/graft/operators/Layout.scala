@@ -75,4 +75,27 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-file compaction — the OPTIMIZE half of lakehouse table maintenance
+    * (the Z-order write above is the CLUSTER half). Fragmented ingest (one
+    * file per micro-batch/chunk) rewrites into `ceil(rows / targetFileRows)`
+    * files, range-partitioned and sorted on `orderCol`, so the compacted
+    * layout keeps (or gains) min/max selectivity on that column instead of
+    * just gluing bytes together.
+    *
+    * Returns the planned file count. Cost: one metadata-served count, then
+    * the one range exchange + within-partition sort any clustered rewrite
+    * pays — rows never collect, nothing is quadratic. At 100 TB this runs
+    * per-partition (compact yesterday's chunks), not whole-table.
+    */
+  def compact(df: DataFrame, orderCol: String, outPath: String,
+      targetFileRows: Long): Int = {
+    require(targetFileRows > 0, "targetFileRows must be positive")
+    val n = df.count()
+    val files = math.max(1L, (n + targetFileRows - 1) / targetFileRows).toInt
+    df.repartitionByRange(files, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .write.mode("overwrite").parquet(outPath)
+    files
+  }
 }

@@ -67,4 +67,28 @@ class LayoutSpec extends SparkSpec {
       area should be <= fullArea / 8
     }
   }
+
+  test("compact rewrites a fragmented layout into the planned file count, content intact") {
+    val df = (0L until 1000L).map(i => (i, i % 7)).toDF("id", "v")
+    val frag = new java.io.File(sys.props("java.io.tmpdir"), "graft_compact_spec_in").toString
+    val out = new java.io.File(sys.props("java.io.tmpdir"), "graft_compact_spec_out").toString
+    // fragment: 50 files of 20 rows
+    df.repartition(50).write.mode("overwrite").parquet(frag)
+    val planned = Layout.compact(spark.read.parquet(frag), "id", out, targetFileRows = 300L)
+    planned shouldBe 4 // ceil(1000/300)
+    val files = new java.io.File(out).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    files shouldBe 4
+    val back = spark.read.parquet(out)
+    back.count() shouldBe 1000L
+    rows(back.orderBy("id")) shouldBe rows(df.orderBy("id"))
+    // range-partitioned on id: per-file id ranges must not overlap
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => hi1 should be < lo2
+      case _ =>
+    }
+  }
 }
