@@ -446,6 +446,30 @@ object SparkEntry {
         Seq(col("o_orderdate").desc, col("o_orderkey").desc))
         .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .orderBy("o_custkey")),
+    // CDC MERGE: a deterministic changelog (updates at two sequence numbers,
+    // deletes, inserts) folds into the orders snapshot — latest seq per key
+    // wins, D removes, untouched keys pass through. ×2/×4 price updates are
+    // IEEE-exact so both engines agree bit-for-bit
+    "q_cdc_merge" -> ((s, dir) => {
+      val base = orders(s, dir).select("o_orderkey", "o_totalprice")
+      // all four change kinds synthesized in ONE base scan (explode of a
+      // conditionally-populated struct array — a 4-way union would re-scan
+      // the parquet four times)
+      val changes = base.select(explode(array_compact(array(
+          when(col("o_orderkey") % 10 === 1, struct(col("o_orderkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            lit("U").as("op"), lit(1L).as("seq"))),
+          when(col("o_orderkey") % 100 === 1, struct(col("o_orderkey"),
+            (col("o_totalprice") * 4).as("o_totalprice"),
+            lit("U").as("op"), lit(2L).as("seq"))),
+          when(col("o_orderkey") % 10 === 0, struct(col("o_orderkey"),
+            lit(null).cast(DoubleType).as("o_totalprice"),
+            lit("D").as("op"), lit(1L).as("seq"))),
+          struct((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_totalprice"), lit("I").as("op"), lit(1L).as("seq"))
+        ))).as("c")).select("c.*")
+      graft.operators.Changelog.merge(base, changes, "o_orderkey")
+    }),
     // market share: 5-way join (two broadcast dims), decimal revenue kept
     // exact THROUGH the share window so the division operands are
     // order-independent; Catalyst/AQE pick the lineitem⋈orders strategy
@@ -1926,6 +1950,21 @@ object SparkEntry {
         | FROM orders
         | QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
         | ORDER BY o_custkey""".stripMargin.replace("\n", ""),
+    "q_cdc_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+        | changes AS (
+        |   SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, 'U' AS op, 1 AS seq
+        |     FROM base WHERE o_orderkey % 10 = 1
+        |   UNION ALL SELECT o_orderkey, o_totalprice * 4, 'U', 2 FROM base WHERE o_orderkey % 100 = 1
+        |   UNION ALL SELECT o_orderkey, NULL, 'D', 1 FROM base WHERE o_orderkey % 10 = 0
+        |   UNION ALL SELECT o_orderkey + 10000000, o_totalprice, 'I', 1 FROM base),
+        | latest AS (SELECT * FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |   FROM changes) WHERE rn = 1),
+        | untouched AS (SELECT * FROM base
+        |   WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest))
+        | SELECT o_orderkey, o_totalprice FROM untouched
+        | UNION ALL SELECT o_orderkey, o_totalprice FROM latest WHERE op <> 'D'""".stripMargin.replace("\n", ""),
     "q_union_sources" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value, CAST(NULL AS VARCHAR) AS status, 'events' AS src
         | FROM events

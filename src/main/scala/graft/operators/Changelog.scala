@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Changelog application — the MERGE/upsert semantics every lakehouse table
+  * format ships (Delta MERGE, Iceberg upsert, Hudi): a batch of keyed change
+  * rows (insert/update/delete, with a sequence number ordering changes to
+  * the same key) folds into a base snapshot to produce the next snapshot.
+  */
+object Changelog {
+
+  /** Apply `changes` to `base`. `changes` carries the base schema plus
+    * `opCol` ('I'/'U'/'D' — I and U are both "latest row wins") and `seqCol`
+    * (monotone change order, > Long.MinValue, distinct per key; the highest
+    * seq per key is the effective change). Keys untouched by any change pass
+    * through; an effective D removes the key; an effective I/U contributes
+    * its row.
+    *
+    * Scale: base rows join the stream as virtual lowest-seq upserts, so the
+    * whole merge is ONE key-keyed shuffle with map-side partial `max_by` —
+    * no window sort over the change batch and no base-vs-changed-keys
+    * anti-join (the window+anti-join shape pays two shuffles and a
+    * per-key sort; this pays one partial-aggregable exchange, the same
+    * plan a compacting LSM merge wants at 100 TB). Each value column gets
+    * its own `max_by(value, seq)` rather than one `max_by(struct, seq)`:
+    * a struct agg buffer is not UnsafeRow-mutable and forces SortAggregate
+    * (two full sorts); per-column primitive buffers keep HashAggregate.
+    * The delete op is likewise folded to a boolean before the agg.
+    */
+  def merge(base: DataFrame, changes: DataFrame, keyCol: String,
+      seqCol: String = "seq", opCol: String = "op"): DataFrame = {
+    val valueCols = base.columns.filterNot(_ == keyCol).toSeq
+    val seqType = changes.schema(seqCol).dataType
+    val baseTagged = base.select(
+      (col(keyCol) +: valueCols.map(col)) ++
+        Seq(lit(false).as("__del"), lit(Long.MinValue).cast(seqType).as(seqCol)): _*)
+    val chTagged = changes.select(
+      (col(keyCol) +: valueCols.map(col)) ++
+        Seq((col(opCol) === "D").as("__del"), col(seqCol)): _*)
+    val all = baseTagged.unionByName(chTagged)
+    val aggs = valueCols.map(v => max_by(col(v), col(seqCol)).as(v)) :+
+      max_by(col("__del"), col(seqCol)).as("__del")
+    all.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+      .filter(!col("__del"))
+      .select(col(keyCol) +: valueCols.map(col): _*)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Changelog
+
+class ChangelogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge: latest seq wins, D removes, I adds, untouched passes through") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "b1", "U", 1L),
+      (2L, "b2", "U", 2L), // later seq wins
+      (3L, "-", "D", 1L),  // delete
+      (4L, "d", "I", 1L)   // insert
+    ).toDF("k", "v", "op", "seq")
+    val out = rows(Changelog.merge(base, changes, "k").orderBy("k"))
+      .map(r => (r.getLong(0), r.getString(1)))
+    out shouldBe Seq((1L, "a"), (2L, "b2"), (4L, "d"))
+  }
+
+  test("merge: a delete overridden by a later insert resurrects the key") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "-", "D", 1L),
+      (1L, "a2", "I", 2L) // re-insert after delete: latest wins
+    ).toDF("k", "v", "op", "seq")
+    rows(Changelog.merge(base, changes, "k")).map(r => (r.getLong(0), r.getString(1))) shouldBe
+      Seq((1L, "a2"))
+  }
+
+  test("merge: an update that sets a value to null wins (null is not skipped)") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq((1L, Option.empty[String], "U", 1L)).toDF("k", "v", "op", "seq")
+    rows(Changelog.merge(base, changes, "k")).map(r => (r.getLong(0), Option(r.getString(1)))) shouldBe
+      Seq((1L, None))
+  }
+
+  test("merge with empty changes is identity") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val changes = Seq.empty[(Long, String, String, Long)].toDF("k", "v", "op", "seq")
+    rows(Changelog.merge(base, changes, "k").orderBy("k")).map(_.getLong(0)) shouldBe Seq(1L, 2L)
+  }
+}
