@@ -172,6 +172,43 @@ object ScaleProbe {
         graft.operators.Queries.correlationMatrixWide(tall, "series", "t", "v", keys).count()
       }
     }
+    locally {
+      // band self-join under replication — the ADVERSARIAL case: every event
+      // gains k−1 copies at the IDENTICAL timestamp, so every (type, bucket)
+      // population multiplies by k and candidate volume by k². The probe
+      // verifies cost tracks candidate volume (output-bounded, like LSH),
+      // not a per-key quadratic over the whole corpus.
+      val evBase = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("ts"))
+      val evMax = 10000000L
+      val ev = (0 until k).map(i =>
+        evBase.select((col("event_id") + lit(i * evMax)).as("event_id"),
+          col("event_type"), col("ts")))
+        .reduce(_ unionAll _)
+      time("band_join_neighbors") {
+        graft.operators.BandJoin.neighborCounts(
+          ev.withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+          Seq("event_type"), "ts", "event_id", 1800L).count()
+      }
+    }
+    locally {
+      // CDC merge at k× the orders snapshot: one hash-aggregable exchange
+      // over base+changes — cost must stay linear in change+base volume.
+      val oBase = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val oMax = 100000000L
+      val ords = (0 until k).map(i =>
+        oBase.select((col("o_orderkey") + lit(i * oMax)).as("o_orderkey"),
+          col("o_totalprice")))
+        .reduce(_ unionAll _)
+      val changes = ords.select(col("o_orderkey"),
+        (col("o_totalprice") * 2).as("o_totalprice"),
+        when(col("o_orderkey") % 10 === 0, "D").otherwise("U").as("op"),
+        lit(1L).as("seq"))
+      time("cdc_merge") {
+        graft.operators.Changelog.merge(ords, changes, "o_orderkey").count()
+      }
+    }
     spark.stop()
   }
 }

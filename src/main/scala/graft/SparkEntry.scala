@@ -143,6 +143,29 @@ object SparkEntry {
       col("ts").as("timestamp"), col("value").as("open"), col("value").as("high"),
       col("value").as("low"), col("value").as("close"), col("value").as("volume"))
 
+  /** Deterministic CDC changelog over the orders snapshot — the shared input
+    * of q_cdc_merge and q_scd2_history: ×2 updates at seq 1 (keys ≡1 mod 10),
+    * ×4 updates at seq 2 (≡1 mod 100), deletes at seq 1 (≡0 mod 10), and a
+    * shifted-key insert per base row. All four change kinds come from ONE
+    * base scan (explode of a conditionally-populated struct array — a 4-way
+    * union would re-scan the parquet four times); ×2/×4 price updates are
+    * IEEE-exact so both engines agree bit-for-bit.
+    */
+  private def cdcChanges(base: DataFrame): DataFrame =
+    base.select(explode(array_compact(array(
+        when(col("o_orderkey") % 10 === 1, struct(col("o_orderkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"),
+          lit("U").as("op"), lit(1L).as("seq"))),
+        when(col("o_orderkey") % 100 === 1, struct(col("o_orderkey"),
+          (col("o_totalprice") * 4).as("o_totalprice"),
+          lit("U").as("op"), lit(2L).as("seq"))),
+        when(col("o_orderkey") % 10 === 0, struct(col("o_orderkey"),
+          lit(null).cast(DoubleType).as("o_totalprice"),
+          lit("D").as("op"), lit(1L).as("seq"))),
+        struct((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_totalprice"), lit("I").as("op"), lit(1L).as("seq"))
+      ))).as("c")).select("c.*")
+
   /** Per-(event_type, day) value sum — the shared input of the indicator
     * queries (returns/vol/bollinger/rsi/ema). Exact decimal sum → double.
     */
@@ -446,29 +469,50 @@ object SparkEntry {
         Seq(col("o_orderdate").desc, col("o_orderkey").desc))
         .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .orderBy("o_custkey")),
+    // OLAP rollup: nation × order-year revenue with per-nation subtotals and
+    // a grand total, disambiguated by grouping flags. Catalyst's Expand runs
+    // all levels in one pass over the joined frame and every level stays
+    // partial-aggregable — no per-level re-scan
+    "q_rollup_revenue" -> ((s, dir) =>
+      lineitem(s, dir)
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("o_year", year(col("o_orderdate")))
+        .rollup(col("n_name"), col("o_year"))
+        .agg(Fns.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"),
+          grouping(col("n_name")).cast(IntegerType).as("g_nation"),
+          grouping(col("o_year")).cast(IntegerType).as("g_year"))),
+    // OLAP cube: all four grouping combinations of (returnflag, linestatus)
+    // over lineitem in one Expand pass
+    "q_cube_qty" -> ((s, dir) =>
+      lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(Fns.exactSum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
+          grouping(col("l_linestatus")).cast(IntegerType).as("g_status"))),
+    // band self-join: events of the same type within ±30 min of each other,
+    // decomposed to a bucketed equi-join (see BandJoin) instead of the
+    // quadratic theta-join a naive plan would run
+    "q_band_join" -> ((s, dir) =>
+      graft.operators.BandJoin.neighborCounts(events(s, dir),
+        Seq("event_type"), "ts", "event_id", bandSeconds = 1800L)),
     // CDC MERGE: a deterministic changelog (updates at two sequence numbers,
     // deletes, inserts) folds into the orders snapshot — latest seq per key
     // wins, D removes, untouched keys pass through. ×2/×4 price updates are
     // IEEE-exact so both engines agree bit-for-bit
     "q_cdc_merge" -> ((s, dir) => {
       val base = orders(s, dir).select("o_orderkey", "o_totalprice")
-      // all four change kinds synthesized in ONE base scan (explode of a
-      // conditionally-populated struct array — a 4-way union would re-scan
-      // the parquet four times)
-      val changes = base.select(explode(array_compact(array(
-          when(col("o_orderkey") % 10 === 1, struct(col("o_orderkey"),
-            (col("o_totalprice") * 2).as("o_totalprice"),
-            lit("U").as("op"), lit(1L).as("seq"))),
-          when(col("o_orderkey") % 100 === 1, struct(col("o_orderkey"),
-            (col("o_totalprice") * 4).as("o_totalprice"),
-            lit("U").as("op"), lit(2L).as("seq"))),
-          when(col("o_orderkey") % 10 === 0, struct(col("o_orderkey"),
-            lit(null).cast(DoubleType).as("o_totalprice"),
-            lit("D").as("op"), lit(1L).as("seq"))),
-          struct((col("o_orderkey") + 10000000L).as("o_orderkey"),
-            col("o_totalprice"), lit("I").as("op"), lit(1L).as("seq"))
-        ))).as("c")).select("c.*")
-      graft.operators.Changelog.merge(base, changes, "o_orderkey")
+      graft.operators.Changelog.merge(base, cdcChanges(base), "o_orderkey")
+    }),
+    // SCD2: the same changelog folded into a type-2 version history — each
+    // effective I/U opens [seq, next-seq), a D closes the prior version,
+    // open-ended versions are current. One key-keyed window over changes.
+    "q_scd2_history" -> ((s, dir) => {
+      val base = orders(s, dir).select("o_orderkey", "o_totalprice")
+      graft.operators.Changelog.scd2(cdcChanges(base), "o_orderkey")
     }),
     // market share: 5-way join (two broadcast dims), decimal revenue kept
     // exact THROUGH the share window so the division operands are
@@ -1965,6 +2009,44 @@ object SparkEntry {
         |   WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest))
         | SELECT o_orderkey, o_totalprice FROM untouched
         | UNION ALL SELECT o_orderkey, o_totalprice FROM latest WHERE op <> 'D'""".stripMargin.replace("\n", ""),
+    "q_scd2_history" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+        | changes AS (
+        |   SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, 'U' AS op, CAST(1 AS BIGINT) AS seq
+        |     FROM base WHERE o_orderkey % 10 = 1
+        |   UNION ALL SELECT o_orderkey, o_totalprice * 4, 'U', 2 FROM base WHERE o_orderkey % 100 = 1
+        |   UNION ALL SELECT o_orderkey, NULL, 'D', 1 FROM base WHERE o_orderkey % 10 = 0
+        |   UNION ALL SELECT o_orderkey + 10000000, o_totalprice, 'I', 1 FROM base),
+        | v AS (SELECT *, lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to
+        |   FROM changes)
+        | SELECT o_orderkey, o_totalprice, seq AS valid_from, valid_to,
+        |   valid_to IS NULL AS is_current
+        | FROM v WHERE op <> 'D'""".stripMargin.replace("\n", ""),
+    "q_rollup_revenue" ->
+      """WITH j AS (SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |   CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6)) AS rev
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |   JOIN customer ON o_custkey = c_custkey
+        |   JOIN nation ON c_nationkey = n_nationkey)
+        | SELECT n_name, o_year, CAST(SUM(rev) AS DOUBLE) AS revenue,
+        |   COUNT(*) AS n_items,
+        |   CAST(GROUPING(n_name) AS INT) AS g_nation,
+        |   CAST(GROUPING(o_year) AS INT) AS g_year
+        | FROM j GROUP BY ROLLUP(n_name, o_year)""".stripMargin.replace("\n", ""),
+    "q_cube_qty" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n_rows,
+        | CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        | CAST(GROUPING(l_linestatus) AS INT) AS g_status
+        | FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin.replace("\n", ""),
+    "q_band_join" ->
+      """WITH e AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        | SELECT e1.event_id, e1.event_type, CAST(count(e2.event_id) AS BIGINT) AS n_neighbors
+        | FROM e e1 LEFT JOIN e e2 ON e1.event_type = e2.event_type
+        |   AND e2.event_id <> e1.event_id
+        |   AND e2.ts BETWEEN e1.ts - INTERVAL 30 MINUTE AND e1.ts + INTERVAL 30 MINUTE
+        | GROUP BY e1.event_id, e1.event_type""".stripMargin.replace("\n", ""),
     "q_union_sources" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value, CAST(NULL AS VARCHAR) AS status, 'events' AS src
         | FROM events

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Changelog application — the MERGE/upsert semantics every lakehouse table
@@ -44,5 +45,25 @@ object Changelog {
     all.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
       .filter(!col("__del"))
       .select(col(keyCol) +: valueCols.map(col): _*)
+  }
+
+  /** Type-2 slowly-changing-dimension history from a changelog: each
+    * effective I/U row opens a version valid over `[seq, next-change-seq)`;
+    * a D closes the prior version without opening one (its seq becomes the
+    * predecessor's `valid_to` via the lead). `is_current` marks open-ended
+    * versions.
+    *
+    * Scale: one key-keyed window over the changelog (sorted within key by
+    * seq) — the history build never touches a base snapshot, so it shuffles
+    * only the change volume.
+    */
+  def scd2(changes: DataFrame, keyCol: String, seqCol: String = "seq",
+      opCol: String = "op"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
+    changes.withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .filter(col(opCol) =!= "D")
+      .withColumnRenamed(seqCol, "valid_from")
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(opCol)
   }
 }

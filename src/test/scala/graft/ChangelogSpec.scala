@@ -35,6 +35,21 @@ class ChangelogSpec extends SparkSpec {
       Seq((1L, None))
   }
 
+  test("scd2: versions chain [seq, next-seq), D closes without opening, open end is current") {
+    val changes = Seq(
+      (1L, "v1", "I", 1L), // [1,3) — closed by the seq-3 update
+      (1L, "v2", "U", 3L), // [3,5) — closed by the delete
+      (1L, "-", "D", 5L),  // closes v2, opens nothing
+      (2L, "w1", "I", 2L)  // [2,∞) current
+    ).toDF("k", "v", "op", "seq")
+    val out = rows(Changelog.scd2(changes, "k").orderBy("k", "valid_from"))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), Option(r.get(3)), r.getBoolean(4)))
+    out shouldBe Seq(
+      (1L, "v1", 1L, Some(3L), false),
+      (1L, "v2", 3L, Some(5L), false),
+      (2L, "w1", 2L, None, true))
+  }
+
   test("merge with empty changes is identity") {
     val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val changes = Seq.empty[(Long, String, String, Long)].toDF("k", "v", "op", "seq")

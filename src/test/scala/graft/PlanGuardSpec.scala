@@ -65,6 +65,25 @@ class PlanGuardSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
   }
 
+  test("Changelog.merge stays a hash aggregate (struct max_by would force SortAggregate)") {
+    import spark.implicits._
+    val base = Seq((1L, 1.0)).toDF("k", "v")
+    val ch = Seq((1L, 2.0, "U", 1L)).toDF("k", "v", "op", "seq")
+    val plan = graft.operators.Changelog.merge(base, ch, "k")
+      .queryExecution.executedPlan.toString
+    plan should include("HashAggregate")
+    plan should not include "SortAggregate"
+  }
+
+  test("BandJoin candidates join on equi keys, never a nested loop") {
+    import spark.implicits._
+    val df = Seq((1L, "a", new java.sql.Timestamp(0L))).toDF("id", "key", "t")
+    val plan = graft.operators.BandJoin.neighborCounts(df, Seq("key"), "t", "id", 60L)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoop"
+    plan should not include "CartesianProduct"
+  }
+
   test("funnel plans no window and no cartesian (user-keyed join chain only)") {
     import spark.implicits._
     val ev = Seq((1L, "view", tsLit("2024-01-01 10:00:00")),
