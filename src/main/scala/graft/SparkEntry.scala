@@ -913,6 +913,12 @@ object SparkEntry {
     "q_tfidf_top_terms" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(documents(s, dir), "text", "doc_id", k = 3)
         .orderBy("doc_id", "rnk")),
+    // retrieval: docs containing ALL query terms, tf-idf-ranked top-20 —
+    // posting-list plan (term filter BEFORE any shuffle), rational idf +
+    // decimal score sum for cross-engine bit-reproducibility
+    "q_text_search" -> ((s, dir) =>
+      graft.operators.TextSearch.search(documents(s, dir), "text", "doc_id",
+        Seq("spark", "window", "table"), k = 20)),
     "q_mixture_resample" -> ((s, dir) =>
       graft.operators.Sampling.mixtureResample(
         documents(s, dir).select("doc_id", "source"), "source", "doc_id", mixtureWeights)
@@ -2463,6 +2469,19 @@ object SparkEntry {
          |   token, tf, df, tfidf FROM scored)
          | SELECT doc_id, rnk, token, tf, df, tfidf FROM ranked
          | WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin.replace("\n", ""),
+    "q_text_search" ->
+      s"""WITH toks AS (SELECT doc_id, UNNEST($dedupWords) AS token FROM documents),
+         | tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+         |   WHERE token IN ('spark','window','table') GROUP BY 1, 2),
+         | dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         | nn AS (SELECT COUNT(*) AS n FROM documents),
+         | scored AS (SELECT doc_id,
+         |   CAST(CAST(tf * n AS DOUBLE) / CAST(df AS DOUBLE) AS DECIMAL(30,6)) AS ts
+         |  FROM tf JOIN dfreq USING (token), nn),
+         | agg AS (SELECT doc_id, COUNT(*) AS m, CAST(SUM(ts) AS DOUBLE) AS score
+         |  FROM scored GROUP BY 1)
+         | SELECT doc_id, score FROM agg WHERE m = 3
+         | ORDER BY score DESC, doc_id LIMIT 20""".stripMargin.replace("\n", ""),
     "q_mixture_resample" -> {
       val cases = mixtureWeights.map { case (src, w) =>
         s"WHEN '$src' THEN CAST($w AS DOUBLE)"
