@@ -507,6 +507,26 @@ object SparkEntry {
       val base = orders(s, dir).select("o_orderkey", "o_totalprice")
       graft.operators.Changelog.merge(base, cdcChanges(base), "o_orderkey")
     }),
+    // streaming CDC materialization: the changelog lands as seq-ordered tier
+    // files (per-key in-order delivery — the transport contract of every CDC
+    // pipeline), streams back one file per micro-batch, and each batch folds
+    // into the snapshot via Changelog.merge with a per-batch materialization
+    // — the Delta/Hudi continuous-upsert loop. The final snapshot must equal
+    // the one-shot batch merge (same oracle as q_cdc_merge)
+    "q_stream_cdc" -> ((s, dir) => {
+      val base = orders(s, dir).select("o_orderkey", "o_totalprice")
+      val landed = SessionCache.getOrCompute(s, s"stream-cdc-changes:$dir") {
+        val d = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_stream_cdc_${Integer.toHexString(dir.hashCode)}")
+        val ch = cdcChanges(base)
+        graft.streaming.Streaming.landOrdered(d,
+          Seq(ch.filter(col("seq") === 1), ch.filter(col("seq") === 2)))
+        d.toString
+      }
+      withStreamConf(s, noDataBatch = false) {
+        graft.streaming.Streaming.cdcApply(s, landed, base, "o_orderkey")
+      }
+    }),
     // SCD2: the same changelog folded into a type-2 version history — each
     // effective I/U opens [seq, next-seq), a D closes the prior version,
     // open-ended versions are current. One key-keyed window over changes.
@@ -1533,6 +1553,27 @@ object SparkEntry {
   /** DuckDB word-tokenization fragment shared by the dedup oracles (must stay
     * semantically identical to [[Dedup.tokens]]).
     */
+  /** DuckDB dual of the CDC changelog fold ([[cdcChanges]] + Changelog.merge):
+    * latest seq per key wins, D removes, untouched keys pass through. Shared
+    * by the batch (`q_cdc_merge`) and streaming-replay (`q_stream_cdc`)
+    * entries — both must land on the identical snapshot.
+    */
+  private val cdcMergeSql =
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+      | changes AS (
+      |   SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, 'U' AS op, 1 AS seq
+      |     FROM base WHERE o_orderkey % 10 = 1
+      |   UNION ALL SELECT o_orderkey, o_totalprice * 4, 'U', 2 FROM base WHERE o_orderkey % 100 = 1
+      |   UNION ALL SELECT o_orderkey, NULL, 'D', 1 FROM base WHERE o_orderkey % 10 = 0
+      |   UNION ALL SELECT o_orderkey + 10000000, o_totalprice, 'I', 1 FROM base),
+      | latest AS (SELECT * FROM (
+      |   SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+      |   FROM changes) WHERE rn = 1),
+      | untouched AS (SELECT * FROM base
+      |   WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest))
+      | SELECT o_orderkey, o_totalprice FROM untouched
+      | UNION ALL SELECT o_orderkey, o_totalprice FROM latest WHERE op <> 'D'""".stripMargin.replace("\n", "")
+
   private val dedupWords =
     "list_filter(string_split_regex(regexp_replace(lower(text), '[^\\p{L}\\p{Nd}]+', ' ', 'g'), ' '), w -> len(w) > 0)"
 
@@ -2000,21 +2041,9 @@ object SparkEntry {
         | FROM orders
         | QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
         | ORDER BY o_custkey""".stripMargin.replace("\n", ""),
-    "q_cdc_merge" ->
-      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
-        | changes AS (
-        |   SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, 'U' AS op, 1 AS seq
-        |     FROM base WHERE o_orderkey % 10 = 1
-        |   UNION ALL SELECT o_orderkey, o_totalprice * 4, 'U', 2 FROM base WHERE o_orderkey % 100 = 1
-        |   UNION ALL SELECT o_orderkey, NULL, 'D', 1 FROM base WHERE o_orderkey % 10 = 0
-        |   UNION ALL SELECT o_orderkey + 10000000, o_totalprice, 'I', 1 FROM base),
-        | latest AS (SELECT * FROM (
-        |   SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
-        |   FROM changes) WHERE rn = 1),
-        | untouched AS (SELECT * FROM base
-        |   WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest))
-        | SELECT o_orderkey, o_totalprice FROM untouched
-        | UNION ALL SELECT o_orderkey, o_totalprice FROM latest WHERE op <> 'D'""".stripMargin.replace("\n", ""),
+    "q_cdc_merge" -> cdcMergeSql,
+    // the streaming replay must land on the identical final snapshot
+    "q_stream_cdc" -> cdcMergeSql,
     "q_scd2_history" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
         | changes AS (

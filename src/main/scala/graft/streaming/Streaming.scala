@@ -240,6 +240,80 @@ object Streaming {
       .start()
   }
 
+  /** Land each frame in `tiers` as ONE parquet file in `dir`, named and
+    * mtime-ordered so a file-stream source replays them as ordered
+    * micro-batches (oldest-first is the file source's default). Per-key
+    * in-order delivery is the contract every CDC applier requires of its
+    * transport (Kafka keys it by partition; here tier files stand in).
+    * Fixed synthetic mtimes keep the replay order deterministic across
+    * filesystems with coarse timestamp granularity.
+    */
+  def landOrdered(dir: java.io.File, tiers: Seq[DataFrame]): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    if (dir.isDirectory) { // stale landings from a prior session must not replay
+      val walk = Files.walk(dir.toPath)
+      val paths = try { import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse } finally walk.close()
+      paths.foreach(p => Files.deleteIfExists(p))
+    }
+    dir.mkdirs()
+    tiers.zipWithIndex.foreach { case (df, i) =>
+      val staging = Files.createTempDirectory("graft_land")
+      df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = staging.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file landed in $staging"))
+      val dest = new java.io.File(dir, f"tier-$i%03d.parquet").toPath
+      Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000L + i * 60000L))
+      staging.toFile.listFiles().foreach(f => Files.deleteIfExists(f.toPath))
+      Files.deleteIfExists(staging)
+    }
+  }
+
+  /** Streaming CDC materialization: replay a changelog file stream one file
+    * per micro-batch, folding each batch into the snapshot with
+    * [[graft.operators.Changelog.merge]] and materializing the merged result
+    * (`localCheckpoint` stands in for the per-batch table rewrite a lake
+    * upsert sink performs). Returns the final snapshot.
+    *
+    * Batches must arrive in per-key seq order (see [[landOrdered]]): the
+    * snapshot keeps no seq metadata between batches, exactly like a lake
+    * table — ordering is the transport's job, as in every CDC pipeline.
+    */
+  def cdcApply(spark: SparkSession, changeDir: String, base: DataFrame,
+      keyCol: String): DataFrame = {
+    val schema = spark.read.parquet(changeDir).schema
+    var snapshot = base.localCheckpoint()
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(changeDir)
+    val ckptBase = java.nio.file.Paths.get(
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm"
+      else sys.props("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, "graft_ckpt_cdc")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          snapshot = graft.operators.Changelog.merge(snapshot, batch, keyCol)
+            .localCheckpoint()
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      snapshot
+    } finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(ckpt)
+        val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+        paths.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** Run a stream to a named in-memory sink and return the materialized result
     * — the deterministic harness used by the batch/stream parity tests and the
     * `q_stream_candles` entry.

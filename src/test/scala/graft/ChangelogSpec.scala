@@ -50,6 +50,27 @@ class ChangelogSpec extends SparkSpec {
       (2L, "w1", 2L, None, true))
   }
 
+  test("streaming replay: ordered tier batches fold to the one-shot merge result") {
+    // cross-batch per-key ordering is the point: key 1 is deleted in tier 0
+    // and re-inserted in tier 1 — unordered replay would lose the resurrect
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val tier0 = Seq((1L, "-", "D", 1L), (2L, "b1", "U", 1L)).toDF("k", "v", "op", "seq")
+    val tier1 = Seq((1L, "a2", "I", 2L)).toDF("k", "v", "op", "seq")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_spec").toFile
+    try {
+      graft.streaming.Streaming.landOrdered(dir, Seq(tier0, tier1))
+      val out = rows(graft.streaming.Streaming.cdcApply(spark, dir.toString, base, "k")
+        .orderBy("k")).map(r => (r.getLong(0), r.getString(1)))
+      out shouldBe Seq((1L, "a2"), (2L, "b1"), (3L, "c"))
+      // and it equals the one-shot batch merge of the union
+      val oneShot = rows(Changelog.merge(base, tier0.unionByName(tier1), "k").orderBy("k"))
+        .map(r => (r.getLong(0), r.getString(1)))
+      out shouldBe oneShot
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("merge with empty changes is identity") {
     val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val changes = Seq.empty[(Long, String, String, Long)].toDF("k", "v", "op", "seq")
