@@ -474,14 +474,21 @@ object SparkEntry {
     // all levels in one pass over the joined frame and every level stays
     // partial-aggregable — no per-level re-scan
     "q_rollup_revenue" -> ((s, dir) =>
+      // per-orderkey revenue/count partials below the join (exactly
+      // associative) — the Expand then multiplies one row per ORDER, not per
+      // lineitem, across its 3 grouping levels
       lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(30, 6))).as("__orev"),
+          count(lit(1)).as("__ocnt"))
         .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .withColumn("o_year", year(col("o_orderdate")))
         .rollup(col("n_name"), col("o_year"))
-        .agg(Fns.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
-          count(lit(1)).as("n_items"),
+        .agg(sum(col("__orev")).cast(DoubleType).as("revenue"),
+          sum(col("__ocnt")).as("n_items"),
           grouping(col("n_name")).cast(IntegerType).as("g_nation"),
           grouping(col("o_year")).cast(IntegerType).as("g_year"))),
     // OLAP cube: all four grouping combinations of (returnflag, linestatus)
@@ -499,6 +506,17 @@ object SparkEntry {
     "q_band_join" -> ((s, dir) =>
       graft.operators.BandJoin.neighborCounts(events(s, dir),
         Seq("event_type"), "ts", "event_id", bandSeconds = 1800L)),
+    // 3-iteration PageRank over the supplier↔part co-supply graph (both edge
+    // directions; id spaces disambiguated by even/odd encoding). Decimal
+    // contribution sums make the iterated double ranks bit-reproducible
+    "q_pagerank" -> ((s, dir) => {
+      val pairs = lineitem(s, dir)
+        .select((col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 3)
+    }),
     // CDC MERGE: a deterministic changelog (updates at two sequence numbers,
     // deletes, inserts) folds into the orders snapshot — latest seq per key
     // wins, D removes, untouched keys pass through. ×2/×4 price updates are
@@ -538,15 +556,22 @@ object SparkEntry {
     // exact THROUGH the share window so the division operands are
     // order-independent; Catalyst/AQE pick the lineitem⋈orders strategy
     "q_mkt_share" -> ((s, dir) => {
-      val joined = lineitem(s, dir)
+      // revenue partials pushed BELOW the join (per-orderkey decimal sums are
+      // exactly associative): the orders join carries one row per order, not
+      // one per lineitem — 4× less join input, and the map-side combine on
+      // the ingest-clustered orderkey shrinks the shuffle the same way
+      val orderRev = lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(30, 6))).as("__orev"))
+      val joined = orderRev
         .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       val rev = joined
         .groupBy(col("r_name"), year(col("o_orderdate")).cast(LongType).as("yr"), col("n_name"))
-        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(DecimalType(30, 6))).as("__rev"))
+        .agg(sum(col("__orev")).as("__rev"))
       val w = Window.partitionBy("r_name", "yr")
       rev.select(col("r_name"), col("yr"), col("n_name"),
         col("__rev").cast(DoubleType).as("revenue"),
@@ -2082,6 +2107,28 @@ object SparkEntry {
         |   AND e2.event_id <> e1.event_id
         |   AND e2.ts BETWEEN e1.ts - INTERVAL 30 MINUTE AND e1.ts + INTERVAL 30 MINUTE
         | GROUP BY e1.event_id, e1.event_type""".stripMargin.replace("\n", ""),
+    // unrolled 3-iteration PageRank dual: identical formula per step —
+    // teleport written as (1.0 - 0.85), the SAME double Spark computes (a
+    // 0.15 literal is a different double); contributions summed at
+    // DECIMAL(38,12) like the Spark side
+    "q_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b FROM lineitem),
+        | e AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+        | nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        | deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY 1),
+        | r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+        | c1 AS (SELECT dst, SUM(CAST(rank / dg AS DECIMAL(38,12))) AS s
+        |   FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src GROUP BY dst),
+        | r1 AS (SELECT node, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * COALESCE(CAST(s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
+        |   FROM nodes LEFT JOIN c1 ON node = dst),
+        | c2 AS (SELECT dst, SUM(CAST(rank / dg AS DECIMAL(38,12))) AS s
+        |   FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src GROUP BY dst),
+        | r2 AS (SELECT node, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * COALESCE(CAST(s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
+        |   FROM nodes LEFT JOIN c2 ON node = dst),
+        | c3 AS (SELECT dst, SUM(CAST(rank / dg AS DECIMAL(38,12))) AS s
+        |   FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src GROUP BY dst)
+        | SELECT node, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * COALESCE(CAST(s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
+        | FROM nodes LEFT JOIN c3 ON node = dst""".stripMargin.replace("\n", ""),
     "q_union_sources" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value, CAST(NULL AS VARCHAR) AS status, 'events' AS src
         | FROM events

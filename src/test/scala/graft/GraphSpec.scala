@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank matches a hand-rolled reference on a small graph") {
+    // 1→2, 1→3, 2→3, 3→1 (3 has the only edge into 1; 3 collects from both)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = rows(Graph.pageRank(edges, "src", "dst", iterations = 3).orderBy("node"))
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+
+    // reference: same formula, scalar arithmetic (sums here are 1-2 terms,
+    // so decimal rounding at 1e-12 is the only divergence — assert to 1e-9)
+    var rank = Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0)
+    val out = Map(1L -> Seq(2L, 3L), 2L -> Seq(3L), 3L -> Seq(1L))
+    (1 to 3).foreach { _ =>
+      val contrib = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      out.foreach { case (s, ds) => ds.foreach(d => contrib(d) += rank(s) / ds.size) }
+      rank = rank.keys.map(n => n -> (0.15000000000000002 + 0.85 * contrib(n))).toMap
+    }
+    got.keySet shouldBe rank.keySet
+    got.foreach { case (n, r) => r shouldBe rank(n) +- 1e-9 }
+  }
+
+  test("dangling nodes keep teleport-only rank and absorb nothing after their inflow stops") {
+    // 1→2: node 2 is dangling (no out-edges)
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = rows(Graph.pageRank(edges, "src", "dst", iterations = 2).orderBy("node"))
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // node 1 has no in-edges: teleport only. node 2: teleport + d·rank(1)
+    val t = 0.15000000000000002
+    got(0)._2 shouldBe t +- 1e-12
+    got(1)._2 shouldBe (t + 0.85 * t) +- 1e-9
+  }
+}
