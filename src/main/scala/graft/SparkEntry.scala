@@ -525,6 +525,24 @@ object SparkEntry {
       val base = orders(s, dir).select("o_orderkey", "o_totalprice")
       graft.operators.Changelog.merge(base, cdcChanges(base), "o_orderkey")
     }),
+    // schema evolution on read: two parquet generations of the same dataset
+    // — the newer one grew a `status` column — merged into one frame with
+    // NULL back-fill (`mergeSchema`), the column-add scenario every
+    // long-lived lake table hits. Landing is once per session (lifecycle
+    // pattern); the read pays footer-merge only, no data rewrite
+    "q_schema_evolution" -> ((s, dir) => {
+      val landed = SessionCache.getOrCompute(s, s"schema-evo:$dir") {
+        val d = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_schema_evo_${Integer.toHexString(dir.hashCode)}")
+        val ev = events(s, dir)
+        graft.streaming.Streaming.landOrdered(d, Seq(
+          ev.filter(col("event_id") % 2 === 0).select(col("event_id"), col("value")),
+          ev.filter(col("event_id") % 2 === 1)
+            .select(col("event_id"), col("value"), col("event_type").as("status"))))
+        d.toString
+      }
+      s.read.option("mergeSchema", "true").parquet(landed)
+    }),
     // streaming CDC materialization: the changelog lands as seq-ordered tier
     // files (per-key in-order delivery — the transport contract of every CDC
     // pipeline), streams back one file per micro-batch, and each batch folds
@@ -2069,6 +2087,11 @@ object SparkEntry {
     "q_cdc_merge" -> cdcMergeSql,
     // the streaming replay must land on the identical final snapshot
     "q_stream_cdc" -> cdcMergeSql,
+    "q_schema_evolution" ->
+      """SELECT event_id, value, CAST(NULL AS VARCHAR) AS status
+        | FROM events WHERE event_id % 2 = 0
+        | UNION ALL SELECT event_id, value, event_type FROM events
+        | WHERE event_id % 2 = 1""".stripMargin.replace("\n", ""),
     "q_scd2_history" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
         | changes AS (
