@@ -28,25 +28,28 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, damping: Double = 0.85): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val nodes = e.select(col("src").as("node"))
+    // out-degree rides INSIDE the rank frame (left join once, here) so each
+    // iteration joins edges against ONE frame — a separate degree join per
+    // step would add a stage per iteration for a value that never changes
+    val degreed = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+      .join(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("__deg")),
+        Seq("node"), "left")
     // teleport computed as 1−d in DOUBLE (the oracle writes the same
     // subtraction: a 0.15 literal is a DIFFERENT double than 1.0−0.85)
     val teleport = 1.0 - damping
-    var ranks = nodes.withColumn("rank", lit(1.0))
+    var ranks = degreed.withColumn("rank", lit(1.0))
     (1 to iterations).foreach { _ =>
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outDeg, Seq("src"))
         .select(col("dst"),
           (col("rank") / col("__deg")).cast(DecimalType(38, 12)).as("__c"))
         .groupBy("dst").agg(sum(col("__c")).as("__sum"))
-      ranks = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
-        .select(col("node"),
+      ranks = degreed.join(contribs, degreed("node") === contribs("dst"), "left")
+        .select(degreed("node"), degreed("__deg"),
           (lit(teleport) + lit(damping) *
             coalesce(col("__sum").cast(DoubleType), lit(0.0))).as("rank"))
     }
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 }

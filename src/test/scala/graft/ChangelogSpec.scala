@@ -71,6 +71,30 @@ class ChangelogSpec extends SparkSpec {
     }
   }
 
+  test("property: merge equals scd2's current versions plus untouched base keys") {
+    // random changelogs over a small key space: the snapshot a merge
+    // produces must equal {current scd2 versions} ∪ {base keys never changed}
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { round =>
+      val base = (1L to 20L).map(k => (k, s"b$k")).toDF("k", "v")
+      val changes = (1 to 40).map { i =>
+        val k = rnd.nextInt(25).toLong + 1 // keys 21-25 are insert-only
+        val op = rnd.nextInt(3) match {
+          case 0 => "I"; case 1 => "U"; case 2 => "D"
+        }
+        (k, s"c$i", op, i.toLong) // seq = i: unique, monotone
+      }.toDF("k", "v", "op", "seq")
+      val merged = rows(Changelog.merge(base, changes, "k").orderBy("k"))
+        .map(r => (r.getLong(0), r.getString(1)))
+      val current = rows(Changelog.scd2(changes, "k").filter($"is_current").orderBy("k"))
+        .map(r => (r.getLong(0), r.getString(1)))
+      val changedKeys = current.map(_._1).toSet ++
+        rows(changes.select("k").distinct()).map(_.getLong(0)).toSet
+      val untouched = (1L to 20L).filterNot(changedKeys).map(k => (k, s"b$k"))
+      merged shouldBe (current ++ untouched).sortBy(_._1)
+    }
+  }
+
   test("merge with empty changes is identity") {
     val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val changes = Seq.empty[(Long, String, String, Long)].toDF("k", "v", "op", "seq")
