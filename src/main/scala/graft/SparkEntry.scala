@@ -563,6 +563,14 @@ object SparkEntry {
         graft.streaming.Streaming.cdcApply(s, landed, base, "o_orderkey")
       }
     }),
+    // snapshot reconciliation: the diff between the base orders snapshot and
+    // the CDC-merged one — keys added/removed/updated with old/new values,
+    // one key-keyed full outer join
+    "q_table_diff" -> ((s, dir) => {
+      val base = orders(s, dir).select("o_orderkey", "o_totalprice")
+      val after = graft.operators.Changelog.merge(base, cdcChanges(base), "o_orderkey")
+      graft.operators.Changelog.diff(base, after, "o_orderkey")
+    }),
     // SCD2: the same changelog folded into a type-2 version history — each
     // effective I/U opens [seq, next-seq), a D closes the prior version,
     // open-ended versions are current. One key-keyed window over changes.
@@ -2087,6 +2095,17 @@ object SparkEntry {
     "q_cdc_merge" -> cdcMergeSql,
     // the streaming replay must land on the identical final snapshot
     "q_stream_cdc" -> cdcMergeSql,
+    "q_table_diff" ->
+      s"""WITH b AS (SELECT o_orderkey, o_totalprice FROM orders),
+         | m AS ($cdcMergeSql)
+         | SELECT COALESCE(b.o_orderkey, m.o_orderkey) AS o_orderkey,
+         |   CASE WHEN b.o_orderkey IS NULL THEN 'added'
+         |        WHEN m.o_orderkey IS NULL THEN 'removed'
+         |        ELSE 'updated' END AS change_type,
+         |   b.o_totalprice AS old_o_totalprice, m.o_totalprice AS new_o_totalprice
+         | FROM b FULL OUTER JOIN m ON b.o_orderkey = m.o_orderkey
+         | WHERE b.o_orderkey IS NULL OR m.o_orderkey IS NULL
+         |   OR (b.o_totalprice IS DISTINCT FROM m.o_totalprice)""".stripMargin.replace("\n", ""),
     "q_schema_evolution" ->
       """SELECT event_id, value, CAST(NULL AS VARCHAR) AS status
         | FROM events WHERE event_id % 2 = 0

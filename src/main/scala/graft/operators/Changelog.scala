@@ -47,6 +47,30 @@ object Changelog {
       .select(col(keyCol) +: valueCols.map(col): _*)
   }
 
+  /** Snapshot reconciliation — the table-diff every data-ops workflow needs
+    * after a merge, backfill, or migration: keys added, removed, or updated
+    * between two snapshots, with old/new values side by side. Unchanged
+    * keys are omitted. Value comparison is null-safe (`<=>`), so a value
+    * transitioning to/from NULL reports as updated.
+    *
+    * Scale: ONE key-keyed full outer join — both sides shuffle once on the
+    * key (co-located if both snapshots are bucketed on it), nothing else.
+    */
+  def diff(before: DataFrame, after: DataFrame, keyCol: String): DataFrame = {
+    val valueCols = before.columns.filterNot(_ == keyCol).toSeq
+    val b = before.select(col(keyCol).as("__bk") +: valueCols.map(v => col(v).as(s"old_$v")): _*)
+    val a = after.select(col(keyCol).as("__ak") +: valueCols.map(v => col(v).as(s"new_$v")): _*)
+    val changed = valueCols.map(v => !(col(s"old_$v") <=> col(s"new_$v"))).reduce(_ || _)
+    b.join(a, col("__bk") === col("__ak"), "full_outer")
+      .withColumn("change_type",
+        when(col("__bk").isNull, "added")
+          .when(col("__ak").isNull, "removed")
+          .otherwise("updated"))
+      .filter(col("__bk").isNull || col("__ak").isNull || changed)
+      .select(coalesce(col("__bk"), col("__ak")).as(keyCol) +: col("change_type") +:
+        valueCols.flatMap(v => Seq(col(s"old_$v"), col(s"new_$v"))): _*)
+  }
+
   /** Type-2 slowly-changing-dimension history from a changelog: each
     * effective I/U row opens a version valid over `[seq, next-change-seq)`;
     * a D closes the prior version without opening one (its seq becomes the

@@ -71,6 +71,23 @@ class ChangelogSpec extends SparkSpec {
     }
   }
 
+  test("diff: classifies added/removed/updated, omits unchanged, null-safe values") {
+    val before = Seq((1L, Option("a")), (2L, Option("b")), (3L, Option("c")),
+      (4L, Option.empty[String])).toDF("k", "v")
+    val after = Seq((1L, Option("a")), // unchanged — omitted
+      (2L, Option("b2")),              // updated
+      (4L, Option("d")),               // null -> value: updated (null-safe)
+      (5L, Option("e"))                // added
+    ).toDF("k", "v")                   // 3 removed
+    val out = rows(Changelog.diff(before, after, "k").orderBy("k"))
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)), Option(r.getString(3))))
+    out shouldBe Seq(
+      (2L, "updated", Some("b"), Some("b2")),
+      (3L, "removed", Some("c"), None),
+      (4L, "updated", None, Some("d")),
+      (5L, "added", None, Some("e")))
+  }
+
   test("property: merge equals scd2's current versions plus untouched base keys") {
     // random changelogs over a small key space: the snapshot a merge
     // produces must equal {current scd2 versions} ∪ {base keys never changed}
