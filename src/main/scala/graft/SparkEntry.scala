@@ -563,6 +563,19 @@ object SparkEntry {
         graft.streaming.Streaming.cdcApply(s, landed, base, "o_orderkey")
       }
     }),
+    // skew diagnostic — the detector that pairs with the salted mitigation
+    // ops: top-10 hottest join/agg keys with their share of rows vs a
+    // uniform spread. Two-phase count agg + broadcast of the 1-row global
+    "q_skew_report" -> ((s, dir) => {
+      val counts = lineitem(s, dir).groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      val global = counts.agg(count(lit(1)).as("__keys"), sum(col("n")).as("__total"))
+      counts.crossJoin(broadcast(global))
+        .select(col("l_orderkey"), col("n"),
+          (col("n").cast(DoubleType) * col("__keys").cast(DoubleType) /
+            col("__total").cast(DoubleType)).as("skew_ratio"))
+        .orderBy(col("n").desc, col("l_orderkey"))
+        .limit(10)
+    }),
     // snapshot reconciliation: the diff between the base orders snapshot and
     // the CDC-merged one — keys added/removed/updated with old/new values,
     // one key-keyed full outer join
@@ -2095,6 +2108,12 @@ object SparkEntry {
     "q_cdc_merge" -> cdcMergeSql,
     // the streaming replay must land on the identical final snapshot
     "q_stream_cdc" -> cdcMergeSql,
+    "q_skew_report" ->
+      """WITH c AS (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+        | g AS (SELECT COUNT(*) AS keys, SUM(n) AS total FROM c)
+        | SELECT l_orderkey, n,
+        |   CAST(n AS DOUBLE) * CAST(keys AS DOUBLE) / CAST(total AS DOUBLE) AS skew_ratio
+        | FROM c, g ORDER BY n DESC, l_orderkey LIMIT 10""".stripMargin.replace("\n", ""),
     "q_table_diff" ->
       s"""WITH b AS (SELECT o_orderkey, o_totalprice FROM orders),
          | m AS ($cdcMergeSql)
