@@ -563,6 +563,17 @@ object SparkEntry {
         graft.streaming.Streaming.cdcApply(s, landed, base, "o_orderkey")
       }
     }),
+    // semi-structured extraction: the JSON props payload parsed in place
+    // (no pre-flattening pass) and aggregated — codegen'd path expression,
+    // exact decimal mean
+    "q_json_props" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"),
+          Fns.exactAvg(col("k").cast(DoubleType)).as("avg_k"),
+          max(col("k")).as("max_k"))),
     // skew diagnostic — the detector that pairs with the salted mitigation
     // ops: top-10 hottest join/agg keys with their share of rows vs a
     // uniform spread. Two-phase count agg + broadcast of the 1-row global
@@ -2108,6 +2119,13 @@ object SparkEntry {
     "q_cdc_merge" -> cdcMergeSql,
     // the streaming replay must land on the identical final snapshot
     "q_stream_cdc" -> cdcMergeSql,
+    "q_json_props" ->
+      """WITH e AS (SELECT event_type,
+        |   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        | SELECT event_type, COUNT(k) AS n,
+        |   CAST(SUM(CAST(CAST(k AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(k) AS DOUBLE) AS avg_k,
+        |   MAX(k) AS max_k
+        | FROM e GROUP BY 1""".stripMargin.replace("\n", ""),
     "q_skew_report" ->
       """WITH c AS (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
         | g AS (SELECT COUNT(*) AS keys, SUM(n) AS total FROM c)

@@ -112,6 +112,29 @@ class ChangelogSpec extends SparkSpec {
     }
   }
 
+  test("property: merge agrees with a scalar reference fold over random changelogs") {
+    val rnd = new scala.util.Random(23)
+    (1 to 3).foreach { _ =>
+      val base = (1L to 15L).map(k => (k, s"b$k"))
+      val changes = (1 to 30).map { i =>
+        (rnd.nextInt(20).toLong + 1, s"c$i",
+          Seq("I", "U", "D")(rnd.nextInt(3)), i.toLong)
+      }
+      // reference model: latest change per key wins over the base value
+      val latest = changes.groupBy(_._1).view.mapValues(_.maxBy(_._4)).toMap
+      val expected = (base.map(_._1) ++ changes.map(_._1)).distinct.sorted.flatMap { k =>
+        latest.get(k) match {
+          case Some((_, v, op, _)) => if (op == "D") None else Some((k, v))
+          case None => base.find(_._1 == k).map(b => (k, b._2))
+        }
+      }
+      val got = rows(Changelog.merge(base.toDF("k", "v"),
+          changes.toDF("k", "v", "op", "seq"), "k").orderBy("k"))
+        .map(r => (r.getLong(0), r.getString(1)))
+      got shouldBe expected
+    }
+  }
+
   test("merge with empty changes is identity") {
     val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val changes = Seq.empty[(Long, String, String, Long)].toDF("k", "v", "op", "seq")
