@@ -39,7 +39,9 @@ object ScaleProbe {
       embBase.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
       .reduce(_ unionAll _)
 
-    def time(name: String)(f: => Long): Unit = {
+    // optional comma-separated probe allowlist for deep-k runs of a subset
+    val only = sys.env.get("GRAFT_PROBE_ONLY").map(_.split(",").toSet)
+    def time(name: String)(f: => Long): Unit = if (only.forall(_.contains(name))) {
       val t0 = System.nanoTime()
       val rows = f
       println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($rows rows)")
