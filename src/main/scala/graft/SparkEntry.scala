@@ -81,6 +81,7 @@ object SparkEntry {
   private def customer(s: SparkSession, dir: String) = table(s, dir, "customer")
   private def nation(s: SparkSession, dir: String) = table(s, dir, "nation")
   private def region(s: SparkSession, dir: String) = table(s, dir, "region")
+  private def part(s: SparkSession, dir: String) = table(s, dir, "part")
   private def documents(s: SparkSession, dir: String) = table(s, dir, "documents")
   private def embeddings(s: SparkSession, dir: String) = table(s, dir, "embeddings")
 
@@ -562,6 +563,17 @@ object SparkEntry {
       withStreamConf(s, noDataBatch = false) {
         graft.streaming.Streaming.cdcApply(s, landed, base, "o_orderkey")
       }
+    }),
+    // field-level entity resolution: part names corrupted by one deletion
+    // (3rd char dropped — prefix-2 block preserved by construction) matched
+    // back to the clean vocabulary via blocked fuzzy join. Recall under
+    // blocking is the standard tradeoff; the oracle blocks identically
+    "q_fuzzy_match" -> ((s, dir) => {
+      val names = part(s, dir).select(col("p_name"))
+      val corrupted = names.distinct()
+        .select(concat(substring(col("p_name"), 1, 2),
+          expr("substring(p_name, 4)")).as("q_name"))
+      graft.operators.Fuzzy.blockedMatch(corrupted, "q_name", names, "p_name")
     }),
     // semi-structured extraction: the JSON props payload parsed in place
     // (no pre-flattening pass) and aggregated — codegen'd path expression,
@@ -2119,6 +2131,13 @@ object SparkEntry {
     "q_cdc_merge" -> cdcMergeSql,
     // the streaming replay must land on the identical final snapshot
     "q_stream_cdc" -> cdcMergeSql,
+    "q_fuzzy_match" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        | corrupted AS (SELECT DISTINCT substr(p_name, 1, 2) || substr(p_name, 4) AS q_name
+        |   FROM names)
+        | SELECT q_name, p_name FROM corrupted JOIN names
+        |   ON substr(q_name, 1, 2) = substr(p_name, 1, 2)
+        | WHERE levenshtein(q_name, p_name) <= 1""".stripMargin.replace("\n", ""),
     "q_json_props" ->
       """WITH e AS (SELECT event_type,
         |   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
