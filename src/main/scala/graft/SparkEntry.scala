@@ -564,6 +564,16 @@ object SparkEntry {
         graft.streaming.Streaming.cdcApply(s, landed, base, "o_orderkey")
       }
     }),
+    // hopping (overlapping) event-time windows batch-side: 2 h windows
+    // sliding every 30 min — Spark's window() Expands each event into its
+    // size/slide=4 containing windows, then one partial-aggregable groupBy;
+    // the tumbling-candle family covers the non-overlapping case
+    "q_hopping_agg" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Fns.exactSum(col("value")).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))),
     // field-level entity resolution: part names corrupted by one deletion
     // (3rd char dropped — prefix-2 block preserved by construction) matched
     // back to the clean vocabulary via blocked fuzzy join. Recall under
@@ -2131,6 +2141,17 @@ object SparkEntry {
     "q_cdc_merge" -> cdcMergeSql,
     // the streaming replay must land on the identical final snapshot
     "q_stream_cdc" -> cdcMergeSql,
+    // each event's 4 containing hopping windows enumerated by k=0..3 in
+    // integer microsecond arithmetic (same epoch-0 alignment as Spark's
+    // window() default startTime)
+    "q_hopping_agg" ->
+      """WITH e AS (SELECT event_type, ts, value FROM events),
+        | w AS (SELECT event_type, value,
+        |   make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000 - k) * 1800000000) AS w_start
+        |   FROM e, unnest([0, 1, 2, 3]) AS t(k))
+        | SELECT w_start, event_type, COUNT(*) AS n,
+        |   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        | FROM w GROUP BY 1, 2""".stripMargin.replace("\n", ""),
     "q_fuzzy_match" ->
       """WITH names AS (SELECT DISTINCT p_name FROM part),
         | corrupted AS (SELECT DISTINCT substr(p_name, 1, 2) || substr(p_name, 4) AS q_name
