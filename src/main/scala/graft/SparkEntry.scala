@@ -297,6 +297,22 @@ object SparkEntry {
       Queries.returns(daily, "x", Seq("event_type"), Seq("d"))
         .select("event_type", "d", "x", "ret").orderBy("event_type", "d")
     }),
+    // market beta: grouped OLS of each event_type's daily series against the
+    // all-types daily total ("the market"). The market frame is ~days rows
+    // and re-aggregates the already-exact per-type sums (decimal-representable
+    // doubles, so the re-cast is a lossless roundtrip); Catalyst broadcasts it
+    // back onto the per-type frame, then one power-sum groupBy per type.
+    "q_beta" -> ((s, dir) => {
+      val dec = DecimalType(30, 6)
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("d"))
+        .agg(Fns.exactSum(col("value")).as("y"))
+      val mkt = daily.groupBy(col("d"))
+        .agg(sum(col("y").cast(dec)).cast(DoubleType).as("x"))
+      Queries.groupedOls(daily.join(mkt, Seq("d")), Seq("event_type"), "x", "y")
+        .select(col("event_type"), col("slope").as("beta"),
+          col("intercept").as("alpha"), col("r2"))
+    }),
     "q_drawdown" -> ((s, dir) => {
       val daily = events(s, dir)
         .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("d"))
@@ -1969,6 +1985,26 @@ object SparkEntry {
         | SELECT event_type, d, x, (x - lag(x) OVER w) / lag(x) OVER w AS ret
         | FROM a WINDOW w AS (PARTITION BY event_type ORDER BY d)
         | ORDER BY event_type, d""".stripMargin.replace("\n", ""),
+    // mirrors the Spark side's expression tree exactly: same power sums from
+    // the same decimal casts, same slope/intercept/r2 arithmetic shape
+    "q_beta" ->
+      """WITH a AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS y FROM events GROUP BY 1, 2),
+        | m AS (SELECT d, CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS x FROM a GROUP BY 1),
+        | j AS (SELECT event_type, x, y FROM a JOIN m USING (d)),
+        | s AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        |   CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+        |   CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+        |   CAST(SUM(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+        |   CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+        |   CAST(SUM(CAST(y * y AS DECIMAL(30,6))) AS DOUBLE) AS syy
+        |   FROM j GROUP BY 1)
+        | SELECT event_type,
+        |   (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+        |   (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS alpha,
+        |   ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |     ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+        | FROM s""".stripMargin.replace("\n", ""),
     "q_drawdown" ->
       """WITH a AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
         |   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS x FROM events GROUP BY 1, 2),

@@ -524,4 +524,44 @@ object Queries {
     */
   def unionAll(frames: Seq[DataFrame]): DataFrame =
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Grouped simple OLS regression y = slope·x + intercept per group — the
+    * market-beta query (per-series slope/alpha/R² against a benchmark
+    * series), same exact-decimal power-sum machinery as
+    * [[correlationMatrix]]: one partial-aggregable groupBy collecting the
+    * six power sums, closed-form slope/intercept/R² from those doubles.
+    *
+    * Determinism: x and y come from exact decimal sums (decimal-representable
+    * doubles), products are cast to DECIMAL(30,6) before summing, and the
+    * final arithmetic is a fixed expression tree over the resulting doubles —
+    * an oracle mirroring the same tree is bit-identical (the established
+    * pattern of every green correlation query).
+    *
+    * Scale: one shuffle on the group keys with map-side partial aggregation;
+    * nothing downstream of the agg touches more than one row per group.
+    */
+  def groupedOls(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    val dec = DecimalType(30, 6)
+    val x = col(xCol).cast(DoubleType); val y = col(yCol).cast(DoubleType)
+    val slope = (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+      (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+    df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast(DoubleType).as("__n"),
+        sum(x.cast(dec)).cast(DoubleType).as("__sx"),
+        sum(y.cast(dec)).cast(DoubleType).as("__sy"),
+        sum((x * y).cast(dec)).cast(DoubleType).as("__sxy"),
+        sum((x * x).cast(dec)).cast(DoubleType).as("__sxx"),
+        sum((y * y).cast(dec)).cast(DoubleType).as("__syy"))
+      .withColumn("slope", slope)
+      .withColumn("intercept", (col("__sy") - col("slope") * col("__sx")) / col("__n"))
+      .withColumn("r2",
+        ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) *
+         (col("__n") * col("__sxy") - col("__sx") * col("__sy"))) /
+        ((col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+         (col("__n") * col("__syy") - col("__sy") * col("__sy"))))
+      .drop("__n", "__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
 }

@@ -31,6 +31,30 @@ class QueriesSpec extends SparkSpec {
     rows(Queries.pearson(anti, "x", "y")).head.getDouble(0) shouldBe -1.0 +- 1e-12
   }
 
+  test("groupedOls: exact line recovered per group; r2 = 1 on it, < 1 off it") {
+    val df = Seq(
+      ("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0), ("a", 4.0, 9.0),   // y = 2x + 1
+      ("b", 1.0, 10.0), ("b", 2.0, 8.0), ("b", 3.0, 6.5), ("b", 4.0, 4.0)   // roughly y = -2x + 12
+    ).toDF("g", "x", "y")
+    val out = rows(Queries.groupedOls(df, Seq("g"), "x", "y").orderBy("g"))
+    out.map(_.getString(0)) shouldBe Seq("a", "b")
+    out.head.getDouble(1) shouldBe 2.0 +- 1e-12   // slope
+    out.head.getDouble(2) shouldBe 1.0 +- 1e-12   // intercept
+    out.head.getDouble(3) shouldBe 1.0 +- 1e-12   // r2
+    out(1).getDouble(1) shouldBe -2.0 +- 0.1
+    assert(out(1).getDouble(3) < 1.0 && out(1).getDouble(3) > 0.9)
+  }
+
+  test("groupedOls drops null-paired rows, matching the n in its own sums") {
+    val df = Seq(
+      ("a", Some(1.0), Some(3.0)), ("a", Some(2.0), None), ("a", None, Some(9.9)),
+      ("a", Some(3.0), Some(7.0)), ("a", Some(4.0), Some(9.0))
+    ).toDF("g", "x", "y")
+    val out = rows(Queries.groupedOls(df, Seq("g"), "x", "y"))
+    out.head.getDouble(1) shouldBe 2.0 +- 1e-12
+    out.head.getDouble(2) shouldBe 1.0 +- 1e-12
+  }
+
   test("pearson ignores null-paired rows") {
     val df = Seq((Some(1.0), Some(2.0)), (Some(2.0), None), (Some(3.0), Some(6.0)),
       (None, Some(9.9)), (Some(4.0), Some(8.0))).toDF("x", "y")
