@@ -978,6 +978,9 @@ object SparkEntry {
         .orderBy("group_a", "group_b")),
     "q_top_bigrams" -> ((s, dir) =>
       TextAnalysis.topBigrams(documents(s, dir), "text", "doc_id", 50)),
+    // collocation mining: top bigrams by lift (= exp PMI), support floor 5
+    "q_bigram_lift" -> ((s, dir) =>
+      TextAnalysis.bigramLift(documents(s, dir), "text", minCount = 5, k = 100)),
     "q_doc_rarity" -> ((s, dir) =>
       TextAnalysis.docRarity(documents(s, dir), "text", "doc_id").orderBy("doc_id")),
     "q_repetition" -> ((s, dir) =>
@@ -2571,6 +2574,23 @@ object SparkEntry {
          | FROM (SELECT UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
          |   FROM (SELECT $dedupWords AS t FROM documents))
          | GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin.replace("\n", ""),
+    // integer-count ratio in a mirrored double expression tree (no ln() —
+    // libm parity); N/U totals taken BEFORE the support floor on both sides
+    "q_bigram_lift" ->
+      s"""WITH t AS (SELECT $dedupWords AS t FROM documents),
+         | big AS (SELECT UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram FROM t),
+         | bc AS (SELECT bigram, COUNT(*) AS n_ab FROM big GROUP BY 1),
+         | uni AS (SELECT UNNEST(t) AS token FROM t),
+         | uc AS (SELECT token, COUNT(*) AS n FROM uni GROUP BY 1),
+         | tot AS (SELECT (SELECT CAST(SUM(n_ab) AS DOUBLE) FROM bc) AS nn,
+         |   (SELECT CAST(SUM(n) AS DOUBLE) FROM uc) AS u)
+         | SELECT b.bigram, b.n_ab, a.n AS n_a, c.n AS n_b,
+         |   ((((CAST(b.n_ab AS DOUBLE) * u) / CAST(a.n AS DOUBLE)) * u) / CAST(c.n AS DOUBLE)) / nn AS lift
+         | FROM bc b CROSS JOIN tot
+         | JOIN uc a ON split_part(b.bigram, ' ', 1) = a.token
+         | JOIN uc c ON split_part(b.bigram, ' ', 2) = c.token
+         | WHERE b.n_ab >= 5
+         | ORDER BY lift DESC, bigram ASC LIMIT 100""".stripMargin.replace("\n", ""),
     "q_doc_rarity" ->
       s"""WITH tok AS (SELECT doc_id, UNNEST($dedupWords) AS token FROM documents),
          | vocab AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),

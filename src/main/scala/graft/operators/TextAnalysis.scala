@@ -259,6 +259,48 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(k)
 
+  /** Collocation strength for the corpus's bigrams — the PMI family's "lift":
+    * `lift(a,b) = p(ab) / (p(a)·p(b))` with `p(ab) = n_ab/N` over bigram
+    * occurrences and `p(w) = n_w/U` over unigram occurrences. Reported as the
+    * raw ratio rather than its log: every input is an integer count, so the
+    * fixed double expression tree is bit-identical across engines, where
+    * `ln()` is only 1-ulp-accurate and libm-dependent (the same reasoning as
+    * [[docRarity]]'s integer ranks). `lift > 1` ⇔ positive PMI.
+    *
+    * Plan: the two count shuffles (bigrams, unigrams), two vocabulary
+    * equi-joins to attach `n_a`/`n_b`, one broadcast of the two scalar
+    * totals, and a TakeOrdered top-k — no per-pair state, nothing quadratic.
+    * The `minCount` support floor is applied AFTER the totals are taken, so
+    * probabilities stay calibrated to the full corpus.
+    */
+  def bigramLift(df: DataFrame, textCol: String, minCount: Long = 5,
+      k: Int = 100): DataFrame = {
+    val toks = df.select(Dedup.tokens(col(textCol)).as("__ts"))
+    val bc = toks.select(explode(graft.expressions.GraftFunctions
+        .ngramStrings(col("__ts"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+    val uc = toks.select(explode(col("__ts")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val tot = bc.agg(sum("n_ab").cast(DoubleType).as("__N"))
+      .crossJoin(uc.agg(sum("n").cast(DoubleType).as("__U")))
+    val left = uc.select(col("token").as("__w1"), col("n").as("n_a"))
+    val right = uc.select(col("token").as("__w2"), col("n").as("n_b"))
+    bc.filter(col("n_ab") >= minCount)
+      // tokens are [\p{L}\p{Nd}]+ so the single space is an unambiguous
+      // bigram separator
+      .withColumn("__w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("__w2", split(col("bigram"), " ").getItem(1))
+      .join(left, Seq("__w1")).join(right, Seq("__w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift",
+        (((col("n_ab").cast(DoubleType) * col("__U")) /
+          col("n_a").cast(DoubleType)) * col("__U") /
+          col("n_b").cast(DoubleType)) / col("__N"))
+      .select("bigram", "n_ab", "n_a", "n_b", "lift")
+      .orderBy(col("lift").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** Per-document token-rarity profile: every token's corpus frequency rank
     * (1 = most frequent, ties broken by token text — a deterministic integer
     * domain, unlike log-probabilities whose libm rounding differs across

@@ -101,6 +101,30 @@ class TextAnalysisSpec extends SparkSpec {
     out shouldBe Seq(("a b", 2L), ("b a", 2L))
   }
 
+  test("bigramLift: hand-computed lift; totals taken before the support floor") {
+    // corpus bigrams: "x y" ×2, "y x" ×1, "a b" ×1 → N = 4
+    // unigrams: x×2, y×2, a×1, b×1 → U = 6
+    val df = Seq((1L, "x y x y"), (2L, "a b")).toDF("doc_id", "text")
+    val out = rows(TextAnalysis.bigramLift(df, "text", minCount = 2, k = 10))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // only "x y" survives minCount=2; lift = (2/4) / ((2/6)·(2/6)) = 9/2
+    out.map(t => (t._1, t._2, t._3, t._4)) shouldBe Seq(("x y", 2L, 2L, 2L))
+    out.head._5 shouldBe 4.5 +- 1e-12
+  }
+
+  test("bigramLift: perfectly-coupled pair outranks an independent frequent pair") {
+    val coupled = Seq.fill(5)("p q").mkString(" z ")              // "p q" always adjacent
+    val indep = "m n m z n m z n z m n z"                        // m,n frequent, loosely paired
+    val df = Seq((1L, coupled), (2L, indep)).toDF("doc_id", "text")
+    val out = rows(TextAnalysis.bigramLift(df, "text", minCount = 2, k = 50))
+      .map(r => (r.getString(0), r.getDouble(4)))
+    val lifts = out.toMap
+    assert(lifts("p q") > lifts.getOrElse("m n", 0.0),
+      s"coupled pair should outrank independent pair: $out")
+    // descending-lift output order with bigram tie-break
+    out.map(_._2) shouldBe out.map(_._2).sorted.reverse
+  }
+
   test("docRarity ranks the vocabulary by (freq desc, token asc) and aggregates per doc") {
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val out = rows(TextAnalysis.docRarity(df, "text", "doc_id").orderBy("doc_id"))
