@@ -981,6 +981,11 @@ object SparkEntry {
     // collocation mining: top bigrams by lift (= exp PMI), support floor 5
     "q_bigram_lift" -> ((s, dir) =>
       TextAnalysis.bigramLift(documents(s, dir), "text", minCount = 5, k = 100)),
+    // memorization audit: share of each doc's distinct 5-gram shingles that
+    // no other document contains
+    "q_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(documents(s, dir), "text", "doc_id", n = 5)
+        .orderBy("doc_id")),
     "q_doc_rarity" -> ((s, dir) =>
       TextAnalysis.docRarity(documents(s, dir), "text", "doc_id").orderBy("doc_id")),
     "q_repetition" -> ((s, dir) =>
@@ -2574,6 +2579,16 @@ object SparkEntry {
          | FROM (SELECT UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
          |   FROM (SELECT $dedupWords AS t FROM documents))
          | GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin.replace("\n", ""),
+    // docFreq=1 shingles attributed via MIN(doc_id) inside the aggregate —
+    // the same no-join shape as the Spark plan
+    "q_ngram_novelty" ->
+      s"""WITH ${shingleCte(5)},
+         | tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+         | nov AS (SELECT MIN(doc_id) AS doc_id FROM sh GROUP BY s HAVING COUNT(*) = 1),
+         | novc AS (SELECT doc_id, COUNT(*) AS n_novel FROM nov GROUP BY 1)
+         | SELECT doc_id, n_shingles, COALESCE(n_novel, 0) AS n_novel,
+         |   CAST(COALESCE(n_novel, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novel_share
+         | FROM tot LEFT JOIN novc USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", ""),
     // integer-count ratio in a mirrored double expression tree (no ln() —
     // libm parity); N/U totals taken BEFORE the support floor on both sides
     "q_bigram_lift" ->

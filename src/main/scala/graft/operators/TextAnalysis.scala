@@ -301,6 +301,39 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-document n-gram novelty: the share of a document's DISTINCT word
+    * n-gram shingles that appear in no other document (corpus docFreq = 1) —
+    * the memorization/novelty signal of a training-data audit (a near-zero
+    * share means the document is assembled from passages seen elsewhere;
+    * [[Dedup.duplicatedSpans]] finds the passages, this scores the document).
+    *
+    * Shape: a shingle with docFreq = 1 has exactly one owner, so `min(doc_id)`
+    * inside the docFreq aggregate IS the attribution — no shingle-keyed join
+    * back to the corpus exists in the plan. Two partial-aggregable shuffles
+    * (per-shingle, then per-doc) plus a doc-count-sized left join; the hot
+    * Zipf-head shingles that skew inverted-index joins only ever contribute
+    * to the docFreq aggregate, where map-side combine absorbs them.
+    *
+    * Shingle semantics match [[Dedup.shingleHashSet]]: documents shorter than
+    * n yield their whole token list as one shingle (empty docs share the ""
+    * shingle, which is then by construction non-novel if two exist).
+    */
+  def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 5): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("__s"))
+    val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val novel = sh.groupBy("__s")
+      .agg(count(lit(1)).as("__dfreq"), min(col("doc_id")).as("doc_id"))
+      .filter(col("__dfreq") === 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("__novel"))
+    tot.join(novel, Seq("doc_id"), "left")
+      .withColumn("n_novel", coalesce(col("__novel"), lit(0L)))
+      .withColumn("novel_share",
+        col("n_novel").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+      .select("doc_id", "n_shingles", "n_novel", "novel_share")
+  }
+
   /** Per-document token-rarity profile: every token's corpus frequency rank
     * (1 = most frequent, ties broken by token text — a deterministic integer
     * domain, unlike log-probabilities whose libm rounding differs across

@@ -125,6 +125,29 @@ class TextAnalysisSpec extends SparkSpec {
     out.map(_._2) shouldBe out.map(_._2).sorted.reverse
   }
 
+  test("ngramNovelty: duplicated docs score 0, unique doc scores 1, mixed doc in between") {
+    val shared = "alpha beta gamma delta epsilon zeta"        // 2 shingles, both in docs 1+2
+    val df = Seq(
+      (1L, shared), (2L, shared),
+      (3L, "one two three four five six seven"),              // 3 shingles, all unique
+      (4L, s"novel tokens here live happily $shared")         // mix of unique and shared
+    ).toDF("doc_id", "text")
+    val out = rows(TextAnalysis.ngramNovelty(df, "text", "doc_id", n = 5).orderBy("doc_id"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.filter(t => t._1 <= 2).map(_._4) shouldBe Seq(0.0, 0.0)
+    out(2)._4 shouldBe 1.0
+    assert(out(3)._4 > 0.0 && out(3)._4 < 1.0)
+    // counts are of DISTINCT shingles
+    out(2)._2 shouldBe 3L
+  }
+
+  test("ngramNovelty: short docs fall back to the whole-token-list shingle") {
+    val df = Seq((1L, "tiny doc"), (2L, "tiny doc"), (3L, "other small")).toDF("doc_id", "text")
+    val out = rows(TextAnalysis.ngramNovelty(df, "text", "doc_id", n = 5).orderBy("doc_id"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    out shouldBe Seq((1L, 1L, 0.0), (2L, 1L, 0.0), (3L, 1L, 1.0))
+  }
+
   test("docRarity ranks the vocabulary by (freq desc, token asc) and aggregates per doc") {
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val out = rows(TextAnalysis.docRarity(df, "text", "doc_id").orderBy("doc_id"))
