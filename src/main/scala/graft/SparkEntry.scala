@@ -747,6 +747,15 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       Sessionize.sessions(events(s, dir), Seq("user_id"), "ts", "INTERVAL 1 HOUR",
         valueCol = Some("value")).orderBy("user_id", "session_id")),
+    // concurrency sweep over the sessionized intervals: how many sessions are
+    // open at each boundary instant — two-level distributed prefix sum, the
+    // oracle runs the single-global-window formulation it is bit-equal to
+    "q_concurrency" -> ((s, dir) => {
+      val sess = Sessionize.sessions(events(s, dir), Seq("user_id"), "ts",
+        "INTERVAL 1 HOUR")
+      graft.operators.Intervals.concurrency(sess, "session_start", "session_end")
+        .orderBy("t")
+    }),
     "q_agg_custom_map" -> ((s, dir) =>
       Transforms.aggregate(candleInput(s, dir), "W",
         aggMap = Seq("open" -> "first", "close" -> "mean", "volume" -> "sum"),
@@ -2378,6 +2387,26 @@ object SparkEntry {
         |   MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events,
         |   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS session_value
         | FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", ""),
+    // the textbook single-global-window sweep the two-level plan is bit-equal to;
+    // + et makes the end bound inclusive (a session ending AT t is open at t)
+    "q_concurrency" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | flagged AS (SELECT user_id, ts,
+        |   CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL 1 HOUR
+        |     THEN 1 ELSE 0 END AS is_new
+        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        | numbered AS (SELECT user_id, ts,
+        |   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |   FROM flagged),
+        | sess AS (SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+        |   FROM numbered GROUP BY 1, 2),
+        | b AS (SELECT s AS t, 1 AS bs, 0 AS be FROM sess
+        |   UNION ALL SELECT e, 0, 1 FROM sess),
+        | pt AS (SELECT t, SUM(bs) AS st, SUM(be) AS et FROM b GROUP BY 1)
+        | SELECT t, CAST(SUM(st - et) OVER (ORDER BY t
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + et AS BIGINT) AS active
+        | FROM pt ORDER BY t""".stripMargin.replace("\n", ""),
     "q_agg_custom_map" ->
       s"""SELECT $bucketW AS timestamp, arg_min(value, ts) AS open,
          | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(value) AS DOUBLE) AS close,
