@@ -211,6 +211,35 @@ object ScaleProbe {
         graft.operators.Changelog.merge(ords, changes, "o_orderkey").count()
       }
     }
+    time("ngram_novelty") {
+      // replication is the degenerate-novelty case: every shingle's docFreq
+      // multiplies by k, so novelty is zero everywhere — the probe stresses
+      // the docFreq aggregate with maximal duplicate mass (all of it must be
+      // absorbed map-side; there is no shingle-keyed join to skew)
+      graft.operators.TextAnalysis.ngramNovelty(docs, "text", "doc_id").count()
+    }
+    time("bigram_lift") {
+      // counts scale by k, the vocabulary does not: the two vocab equi-joins
+      // stay vocabulary-sized and the totals broadcast stays 1 row
+      graft.operators.TextAnalysis.bigramLift(docs, "text").count()
+    }
+    locally {
+      // concurrency sweep at k× the sessionized sf0.1 events: re-keyed users
+      // make k× sessions over the SAME time span, so the boundary stream and
+      // local windows grow k× while the carry table stays span/bucket rows —
+      // the two-level split's whole point.
+      val evBase = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("user_id"), col("ts"))
+      val ev = (0 until k).map(i =>
+        evBase.select((col("user_id") + lit(i * 10000000L)).as("user_id"), col("ts")))
+        .reduce(_ unionAll _)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      time("interval_concurrency") {
+        val sess = graft.operators.Sessionize.sessions(
+          ev, Seq("user_id"), "ts", "INTERVAL 1 HOUR")
+        graft.operators.Intervals.concurrency(sess, "session_start", "session_end").count()
+      }
+    }
     spark.stop()
   }
 }

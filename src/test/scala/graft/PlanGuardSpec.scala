@@ -57,6 +57,33 @@ class PlanGuardSpec extends SparkSpec {
     // shingle's posting list fan-out is unbounded
   }
 
+  test("ngramNovelty plans no join keyed on the shingle column") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g"), (2L, "c d e f g h i")).toDF("doc_id", "text")
+    val plan = graft.operators.TextAnalysis.ngramNovelty(docs, "text", "doc_id")
+      .queryExecution.optimizedPlan.toString
+    // the only join is the doc-count-sized novelty attach on doc_id; a
+    // refactor that joins docFreq back onto the shingle stream reintroduces
+    // the Zipf-head skew the min(doc_id) attribution exists to avoid
+    val joinLines = plan.split("\n").filter(_.contains("Join"))
+    joinLines should not be empty
+    joinLines.foreach(l => l should not include "__s#")
+  }
+
+  test("Intervals.concurrency broadcasts the carry table; the data window is bucket-partitioned") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(("2024-01-01 00:00:01", "2024-01-01 02:00:05")).toDF("s", "e")
+      .select(col("s").cast("timestamp").as("s"), col("e").cast("timestamp").as("e"))
+    val exec = graft.operators.Intervals.concurrency(df, "s", "e")
+      .queryExecution.executedPlan.toString
+    exec should include("BroadcastHashJoin")
+    // the window over the boundary data must carry the bucket partition key;
+    // an unpartitioned Window followed by the data-side sort is the global
+    // prefix-sum shape this operator exists to avoid
+    exec should include("windowspecdefinition(__grp#")
+  }
+
   test("temperatureResample broadcasts the weight table (corpus side stays narrow)") {
     import spark.implicits._
     val docs = Seq((1L, "en"), (2L, "fr"), (3L, "en")).toDF("id", "lang")
