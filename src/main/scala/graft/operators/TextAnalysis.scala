@@ -320,10 +320,16 @@ object TextAnalysis {
     */
   def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
       n: Int = 5): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"),
-      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("__s"))
-    val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val novel = sh.groupBy("__s")
+    // codegen'd kernel n-grams plus the explicit short-doc fallback —
+    // string-identical to Dedup.shingles without its interpreted lambda
+    val toks = Dedup.tokens(col(textCol))
+    val sh = when(size(toks) - (n - 1) <= 0, array(array_join(toks, " ")))
+      .otherwise(graft.expressions.GraftFunctions.ngramStrings(toks, n))
+    val base = df.select(col(idCol).as("doc_id"), array_distinct(sh).as("__sh"))
+    // per-doc total is a per-row expression — narrow, never shuffled
+    val tot = base.select(col("doc_id"), size(col("__sh")).cast(LongType).as("n_shingles"))
+    val novel = base.select(col("doc_id"), explode(col("__sh")).as("__s"))
+      .groupBy("__s")
       .agg(count(lit(1)).as("__dfreq"), min(col("doc_id")).as("doc_id"))
       .filter(col("__dfreq") === 1)
       .groupBy("doc_id").agg(count(lit(1)).as("__novel"))
