@@ -368,6 +368,13 @@ object SparkEntry {
       Resample.gapFillDaily(events(s, dir).filter(col("event_id") % 97 === 0),
         "ts", Seq("event_type"), "value")
         .orderBy("event_type", "d")),
+    // two-sided linear interpolation over the same sparse series gap_fill
+    // forward-fills: interior gaps get the bracketing-line value,
+    // leading/trailing gaps stay null
+    "q_interpolate" -> ((s, dir) =>
+      Resample.interpolateDaily(events(s, dir).filter(col("event_id") % 97 === 0),
+        "ts", Seq("event_type"), "value")
+        .orderBy("event_type", "d")),
     // per-key z-scores from exact decimal moments: mean/sd derive from
     // order-independent sums, so z is bit-reproducible without rounding
     "q_anomaly" -> ((s, dir) => {
@@ -2110,6 +2117,30 @@ object SparkEntry {
         |   coalesce(volume, 0.0) AS volume, (c.timestamp IS NULL) AS was_gap
         | FROM sp LEFT JOIN c ON sp.timestamp = c.timestamp
         | ORDER BY sp.timestamp""".stripMargin.replace("\n", ""),
+    // the interpolation line mirrors Spark's expression tree: integer day
+    // distances, one exact-operand double division, pv + (nv-pv)*frac
+    "q_interpolate" ->
+      """WITH s AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, max(value) AS x
+        |   FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2),
+        | b AS (SELECT event_type, min(d) AS d0, max(d) AS d1 FROM s GROUP BY 1),
+        | sp AS (SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM b),
+        | j AS (SELECT sp.event_type, sp.d, s.x FROM sp LEFT JOIN s ON sp.event_type = s.event_type AND sp.d = s.d),
+        | w AS (SELECT event_type, d, x,
+        |   last_value(x IGNORE NULLS) OVER wb AS pv,
+        |   last_value(CASE WHEN x IS NOT NULL THEN d END IGNORE NULLS) OVER wb AS pt,
+        |   first_value(x IGNORE NULLS) OVER wf AS nv,
+        |   first_value(CASE WHEN x IS NOT NULL THEN d END IGNORE NULLS) OVER wf AS nt
+        |   FROM j WINDOW
+        |   wb AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |   wf AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        | SELECT event_type, d, x,
+        |   CASE WHEN x IS NOT NULL THEN x
+        |     WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |       pv + (nv - pv) * (CAST(date_diff('day', pt, d) AS DOUBLE) /
+        |         CAST(date_diff('day', pt, nt) AS DOUBLE))
+        |   END AS x_interp,
+        |   (x IS NULL) AS was_gap
+        | FROM w ORDER BY event_type, d""".stripMargin.replace("\n", ""),
     "q_gap_fill" ->
       """WITH s AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, max(value) AS x
         |   FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DoubleType, TimestampType}
 
 /** Calendar resampling with gap fill — the missing half of graft's own
   * time-bucket aggregation ([[Transforms.aggregate]]): a groupBy-only
@@ -82,6 +82,54 @@ object Resample {
     joined.select(
       keys ++ Seq(col("d"), col("x"),
         last(col("x"), ignoreNulls = true).over(runningFrame).as("x_filled"),
+        col("x").isNull.as("was_gap")): _*)
+  }
+
+  /** Linear interpolation of interior gaps on the daily spine — the
+    * two-sided complement of [[gapFillDaily]]'s forward fill:
+    * `x_interp = prev + (next − prev) · days(prev→d) / days(prev→next)`
+    * for spine days with observations on BOTH sides; leading/trailing gaps
+    * (no bracketing observation) stay null, observed days pass through.
+    *
+    * Determinism: the day distances are integers, so the fraction is one
+    * exact-operand double division and the interpolation a fixed IEEE
+    * expression tree — mirrored verbatim by the oracle.
+    *
+    * Scale: same shape as [[gapFillDaily]] — the spine explode is narrow,
+    * then ONE key-partitioned exchange feeds both window directions (the
+    * backward `last` and forward `first` share partitioning and sort order,
+    * so Catalyst plans a single sort with two Window nodes).
+    */
+  def interpolateDaily(df: DataFrame, tsCol: String, keyCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val daily = df
+      .groupBy(keys :+ date_trunc("DAY", col(tsCol)).as("d"): _*)
+      .agg(max(col(valueCol)).as("x"))
+    val bounds = daily.groupBy(keys: _*)
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val spine = bounds.select(
+        keys :+ explode(sequence(col("d0").cast(DateType), col("d1").cast(DateType))).as("__dd"): _*)
+      .select(keys :+ col("__dd").cast(TimestampType).as("d"): _*)
+    val joined = spine.join(daily, keyCols :+ "d", "left")
+    val back = Window.partitionBy(keys: _*).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(keys: _*).orderBy(col("d"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pv = last(col("x"), ignoreNulls = true).over(back)
+    val pt = last(when(col("x").isNotNull, col("d")), ignoreNulls = true).over(back)
+    val nv = first(col("x"), ignoreNulls = true).over(fwd)
+    val nt = first(when(col("x").isNotNull, col("d")), ignoreNulls = true).over(fwd)
+    joined
+      .withColumn("__pv", pv).withColumn("__pt", pt)
+      .withColumn("__nv", nv).withColumn("__nt", nt)
+      .withColumn("x_interp",
+        when(col("x").isNotNull, col("x"))
+          .when(col("__pv").isNotNull && col("__nv").isNotNull,
+            col("__pv") + (col("__nv") - col("__pv")) *
+              (datediff(col("d"), col("__pt")).cast(DoubleType) /
+               datediff(col("__nt"), col("__pt")).cast(DoubleType))))
+      .select(keys ++ Seq(col("d"), col("x"), col("x_interp"),
         col("x").isNull.as("was_gap")): _*)
   }
 }

@@ -39,6 +39,33 @@ class ResampleSpec extends SparkSpec {
       ("2024-01-03", Some(2.0), 2.0, false))
   }
 
+  test("interpolateDaily: interior gaps get the bracketing-line value, observed days pass through") {
+    val df = Seq(
+      ("a", tsLit("2024-01-01 10:00:00"), 1.0),
+      ("a", tsLit("2024-01-04 09:00:00"), 7.0),  // days 2,3 interior gaps
+      ("a", tsLit("2024-01-06 09:00:00"), 8.0)
+    ).toDF("k", "ts", "v")
+    val out = rows(Resample.interpolateDaily(df, "ts", Seq("k"), "v").orderBy("d"))
+      .map(r => (r.getTimestamp(1).toString.take(10), Option(r.get(2)),
+        r.getDouble(3), r.getBoolean(4)))
+    out shouldBe Seq(
+      ("2024-01-01", Some(1.0), 1.0, false),
+      ("2024-01-02", None, 3.0, true),          // 1 + (7-1)·(1/3)
+      ("2024-01-03", None, 5.0, true),          // 1 + (7-1)·(2/3)
+      ("2024-01-04", Some(7.0), 7.0, false),
+      ("2024-01-05", None, 7.5, true),          // 7 + (8-7)·(1/2)
+      ("2024-01-06", Some(8.0), 8.0, false))
+  }
+
+  test("interpolateDaily leaves unbracketed gaps null (per-key spine bounds are observation days)") {
+    // bounds are min/max OBSERVED days, so leading/trailing spine gaps cannot
+    // exist by construction — but an all-null bracketing side can when a key
+    // has a single observation; the single day passes through untouched
+    val df = Seq(("s", tsLit("2024-03-05"), 2.5)).toDF("k", "ts", "v")
+    val out = rows(Resample.interpolateDaily(df, "ts", Seq("k"), "v"))
+    out.map(r => (Option(r.get(2)), r.getDouble(3))) shouldBe Seq((Some(2.5), 2.5))
+  }
+
   test("gapFillDaily spine is per-key: keys do not extend to the global range") {
     val df = Seq(
       ("a", tsLit("2024-01-01"), 1.0), ("a", tsLit("2024-01-03"), 2.0),
