@@ -935,6 +935,13 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 10)
         .orderBy("query_id", "rank")
     }),
+    // the application layer over top-k: modal label of the 25 nearest
+    // neighbors, integer votes, smallest-label tie-break
+    "q_knn_classify" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.knnClassify(e, e.filter(col("vec_id") < 10), "embedding",
+        "vec_id", "label", k = 25).orderBy("query_id")
+    }),
     // same result through the typed bounded top-k Aggregator (map-side
     // partial top-k; shuffle carries map_tasks×k rows, not N) — same oracle
     "q_ann_topk_agg" -> ((s, dir) => {
@@ -2591,6 +2598,24 @@ object SparkEntry {
         |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
         | SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10
         | ORDER BY query_id, rank""".stripMargin.replace("\n", ""),
+    // same ranked-neighbor CTE as q_ann_topk (verified dot-product parity),
+    // then integer vote counts with the smallest-label tie-break
+    "q_knn_classify" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        | norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        | dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS lbl,
+        |   list_inner_product(q.v, c.v) AS dp
+        |   FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        |   WHERE q.vec_id < 10),
+        | scored AS (SELECT query_id, neighbor_id, lbl, dp / (nq.nrm * nc.nrm) AS cos
+        |   FROM dots JOIN norms nq ON nq.vec_id = query_id JOIN norms nc ON nc.vec_id = neighbor_id),
+        | ranked AS (SELECT query_id, lbl,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored),
+        | votes AS (SELECT query_id, lbl, COUNT(*) AS votes FROM ranked WHERE rank <= 25 GROUP BY 1, 2),
+        | best AS (SELECT query_id, lbl, votes,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, lbl ASC) AS rn FROM votes)
+        | SELECT query_id, lbl AS predicted_label, votes FROM best WHERE rn = 1
+        | ORDER BY query_id""".stripMargin.replace("\n", ""),
     "q_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $textWords AS ws FROM documents)
          | SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(ws) AS BIGINT) AS n_words,

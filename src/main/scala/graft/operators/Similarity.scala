@@ -163,6 +163,31 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** k-NN majority-vote classification — the application layer over
+    * [[bruteForceTopK]]: each query takes the modal label of its k nearest
+    * corpus vectors (ties broken by smallest label — votes are integer
+    * counts, so the winner is engine-independent).
+    *
+    * Scale: the neighbor frame is Q·k rows and broadcasts onto the corpus
+    * label attach (the corpus-sized side streams, never shuffles); the vote
+    * count and the per-query argmax act on ≤ Q·k rows. Swap the top-k
+    * provider for [[ivfTopK]] when the corpus outgrows the brute-force scan —
+    * the vote layer is provider-agnostic.
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, labelCol: String, k: Int): DataFrame = {
+    val nn = bruteForceTopK(corpus, queries, vecCol, idCol, k)
+    val labels = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("__lbl"))
+    val votes = labels.join(broadcast(nn), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("__lbl").asc)
+    votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("__lbl").as("predicted_label"), col("votes"))
+  }
+
   /** IVF-style ANN top-k: corpus vectors are assigned to their nearest of
     * `centroids` (a small broadcastable frame of (cell_id, centroid vector));
     * each query probes its `nprobe` nearest cells, and the scan becomes an

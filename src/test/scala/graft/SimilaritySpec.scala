@@ -33,6 +33,22 @@ class SimilaritySpec extends SparkSpec {
     r.map(_._2) shouldBe Seq(1L, 2L)
   }
 
+  test("knnClassify: modal neighbor label wins; smallest label breaks vote ties") {
+    // labels: x-cluster {0,1} -> label 7, y-cluster {2,3} -> label 3, opposite 4 -> 9
+    val labeled = vecs.withColumn("label",
+      when(col("vec_id") <= 1, 7).when(col("vec_id") <= 3, 3).otherwise(9))
+    // query 0 with k=3: neighbors 1 (label 7), then 2/3 (label 3, cos 0) beat
+    // 4 (cos -1) -> votes {7:1, 3:2} -> predicted 3
+    val out = rows(Similarity.knnClassify(labeled, labeled.filter(col("vec_id") === 0L),
+      "embedding", "vec_id", "label", k = 3))
+    out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))) shouldBe Seq((0L, 3, 2L))
+    // k=4 brings label 9 in: votes {3:2, 7:1, 9:1} -> still 3; k=2 ties
+    // {7:1, 3:1} -> smallest label 3 wins the tie-break
+    val tied = rows(Similarity.knnClassify(labeled, labeled.filter(col("vec_id") === 0L),
+      "embedding", "vec_id", "label", k = 2))
+    tied.map(r => r.getInt(1)) shouldBe Seq(3)
+  }
+
   test("hyperplaneSignature groups identical vectors, deterministic across evaluations") {
     val sigs = vecs.union(vecs)
       .select(col("vec_id"), Similarity.hyperplaneSignature(col("embedding"), 8, dim = 3).as("sig"))
