@@ -751,6 +751,15 @@ object SparkEntry {
     "q_retention_cohorts" -> ((s, dir) =>
       graft.operators.Funnel.retentionCohorts(events(s, dir), "user_id", "ts")
         .orderBy("cohort_day", "day_offset")),
+    // first-order Markov transition matrix of the per-user event stream;
+    // event_id is the adjacency tie-break for equal timestamps
+    "q_event_transitions" -> ((s, dir) =>
+      graft.operators.Funnel.transitions(events(s, dir), "user_id", "event_type",
+        "ts", "event_id").orderBy("src", "dst")),
+    // market-basket mining: top part pairs by the number of orders holding
+    // both — basket-keyed self-join, fan-out bounded by basket size
+    "q_copurchase_pairs" -> ((s, dir) =>
+      Queries.coPurchasePairs(lineitem(s, dir), "l_orderkey", "l_partkey", k = 50)),
     "q_sessionize" -> ((s, dir) =>
       Sessionize.sessions(events(s, dir), Seq("user_id"), "ts", "INTERVAL 1 HOUR",
         valueCol = Some("value")).orderBy("user_id", "session_id")),
@@ -2411,6 +2420,23 @@ object SparkEntry {
         | SELECT cohort_day, date_diff('day', cohort_day, d) AS day_offset, COUNT(*) AS n_users
         | FROM active JOIN cohort USING (u) GROUP BY 1, 2
         | ORDER BY cohort_day, day_offset""".stripMargin.replace("\n", ""),
+    // adjacency by (ts, event_id) within user; probabilities are
+    // integer-count ratios
+    "q_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        | nxt AS (SELECT event_type AS src,
+        |   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM e),
+        | c AS (SELECT src, dst, COUNT(*) AS n FROM nxt WHERE dst IS NOT NULL GROUP BY 1, 2),
+        | t AS (SELECT src, SUM(n) AS tot FROM c GROUP BY 1)
+        | SELECT src, dst, n, CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+        | FROM c JOIN t USING (src) ORDER BY src, dst""".stripMargin.replace("\n", ""),
+    // basket-keyed self-join; a.__i < b.__i canonicalizes the pair
+    "q_copurchase_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem)
+        | SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_baskets
+        | FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+        | GROUP BY 1, 2 ORDER BY n_baskets DESC, item_a ASC, item_b ASC
+        | LIMIT 50""".stripMargin.replace("\n", ""),
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         | flagged AS (SELECT user_id, ts, value,

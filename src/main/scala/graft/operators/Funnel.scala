@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -60,5 +61,35 @@ object Funnel {
         datediff(col("__d"), col("cohort_day")).cast(LongType).as("day_offset"))
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** First-order Markov transition matrix of the per-user event stream:
+    * for each (src → dst) adjacent-event pair, the transition count and the
+    * row-normalized probability `p = n / Σ_dst n`. Adjacency is defined by
+    * (time, tie-break id) order WITHIN a user — the same deterministic-order
+    * requirement every windowed operator in this engine states, made explicit
+    * here because equal timestamps across event types are common in clickstream
+    * data.
+    *
+    * Scale: one user-keyed exchange feeds the `lead` window, then one
+    * (src, dst) count shuffle with map-side combine; the row totals derive
+    * from the counts frame itself (#types² rows), so normalization is free.
+    * Probabilities are integer-count ratios — engine-independent doubles.
+    */
+  def transitions(df: DataFrame, userCol: String, typeCol: String,
+      timeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(timeCol), col(tieCol))
+    // project before the window: the user-keyed exchange and sort must carry
+    // the four participating columns, not the source row (a wide payload
+    // column would ride the whole shuffle otherwise)
+    val counts = df.select(col(userCol), col(typeCol), col(timeCol), col(tieCol))
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("src"), col("__next").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("src")).agg(sum(col("n")).as("__tot"))
+    counts.join(totals, Seq("src"))
+      .withColumn("p", col("n").cast(DoubleType) / col("__tot").cast(DoubleType))
+      .select("src", "dst", "n", "p")
   }
 }

@@ -525,6 +525,40 @@ object Queries {
   def unionAll(frames: Seq[DataFrame]): DataFrame =
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** Market-basket co-occurrence: the top-k item PAIRS by the number of
+    * baskets containing both. The self-join is keyed on the basket id, so
+    * its fan-out is bounded by basket size squared — TPC-H order baskets hold
+    * ≤ 7 items, retail baskets tens; never corpus² (the `a < b` ordering also
+    * halves the pair space and canonicalizes the output). The distinct()
+    * first collapses repeated items within a basket so support counts
+    * BASKETS, not line items.
+    *
+    * Scale: ONE basket-keyed shuffle builds each basket's sorted distinct
+    * item array (`collect_set` + `sort_array` — set semantics make support
+    * count BASKETS, the sort canonicalizes pairs), the i<j pair expansion is
+    * a narrow nested-sequence generator (the [[correlationMatrixWide]]
+    * technique — no self-join, no second basket-keyed exchange), then one
+    * partial-aggregable pair count and a TakeOrdered top-k. A pathological
+    * basket with 10⁵ items would fan out 10¹⁰ — cap basket size upstream if
+    * the domain allows such baskets; TPC-H's ≤ 7-item baskets do not.
+    */
+  def coPurchasePairs(df: DataFrame, basketCol: String, itemCol: String,
+      k: Int): DataFrame = {
+    val baskets = df.groupBy(col(basketCol).as("__b"))
+      .agg(sort_array(collect_set(col(itemCol))).as("__is"))
+      .filter(size(col("__is")) >= 2)
+    baskets
+      .select(col("__is"), explode(sequence(lit(0), size(col("__is")) - 2)).as("__i"))
+      .select(col("__is"), col("__i"),
+        explode(sequence(col("__i") + 1, size(col("__is")) - 1)).as("__j"))
+      .select(element_at(col("__is"), col("__i") + 1).as("item_a"),
+        element_at(col("__is"), col("__j") + 1).as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .orderBy(col("n_baskets").desc, col("item_a").asc, col("item_b").asc)
+      .limit(k)
+  }
+
   /** Grouped simple OLS regression y = slope·x + intercept per group — the
     * market-beta query (per-series slope/alpha/R² against a benchmark
     * series), same exact-decimal power-sum machinery as

@@ -3,6 +3,24 @@ package graft
 import graft.operators.Funnel
 
 class FunnelSpec extends SparkSpec {
+
+  test("transitions: adjacent pairs per user in (time, tie) order; row-normalized probabilities") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      // user 1: a -> b -> a ; user 2: a -> b ; equal-ts pair ordered by id
+      (1L, "a", "2024-01-01 00:00:01", 1L),
+      (1L, "b", "2024-01-01 00:00:02", 2L),
+      (1L, "a", "2024-01-01 00:00:03", 3L),
+      (2L, "a", "2024-01-01 00:00:05", 4L),
+      (2L, "b", "2024-01-01 00:00:05", 5L)
+    ).toDF("u", "t", "ts", "id").withColumn("ts", col("ts").cast("timestamp"))
+    val out = rows(graft.operators.Funnel.transitions(df, "u", "t", "ts", "id")
+      .orderBy("src", "dst"))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // transitions: a->b ×2 (users 1, 2), b->a ×1
+    out shouldBe Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0))
+  }
   import spark.implicits._
 
   private def ev(rows: (Long, String, String)*) =

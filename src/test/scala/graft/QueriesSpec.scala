@@ -31,6 +31,17 @@ class QueriesSpec extends SparkSpec {
     rows(Queries.pearson(anti, "x", "y")).head.getDouble(0) shouldBe -1.0 +- 1e-12
   }
 
+  test("coPurchasePairs: basket-level support, canonical a<b pairs, repeats collapse") {
+    val df = Seq(
+      (1L, 10L), (1L, 20L), (1L, 20L),   // basket 1: {10, 20} (repeat collapses)
+      (2L, 10L), (2L, 20L), (2L, 30L),   // basket 2: {10, 20, 30}
+      (3L, 30L)                          // singleton basket: no pairs
+    ).toDF("b", "i")
+    val out = rows(Queries.coPurchasePairs(df, "b", "i", k = 10))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out shouldBe Seq((10L, 20L, 2L), (10L, 30L, 1L), (20L, 30L, 1L))
+  }
+
   test("groupedOls: exact line recovered per group; r2 = 1 on it, < 1 off it") {
     val df = Seq(
       ("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0), ("a", 4.0, 9.0),   // y = 2x + 1
