@@ -384,6 +384,11 @@ object SparkEntry {
           (abs(col("z")) > lit(2.0)).as("is_anomaly"))
         .orderBy("event_type", "d")
     }),
+    // robust (median/MAD) outliers on the same per-type daily series the
+    // z-score query moments — heavy-tail-safe where mean/sd inflate
+    "q_mad_anomaly" -> ((s, dir) =>
+      Queries.madOutliers(dailyByType(s, dir), Seq("event_type"), "x")
+        .orderBy("event_type", "d")),
     "q_rolling_median" -> ((s, dir) => {
       val w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
       // round(6): interpolated percentiles are libm-sensitive across engines —
@@ -2179,6 +2184,18 @@ object SparkEntry {
          | SELECT event_type, d, x, (x - mean) / sd AS z,
          |   abs((x - mean) / sd) > 2.0e0 AS is_anomaly
          | FROM j ORDER BY event_type, d""".stripMargin.replace("\n", ""),
+    // med/MAD/score rounded to 6 dp on both sides (the rolling-median
+    // percentile-parity convention); the threshold compares rounded scores
+    "q_mad_anomaly" ->
+      s"""WITH a AS ($dailyByTypeSql),
+         | m AS (SELECT event_type, round(quantile_cont(x, 0.5), 6) AS med FROM a GROUP BY 1),
+         | dv AS (SELECT a.event_type, a.d, a.x, m.med, abs(a.x - m.med) AS dev
+         |   FROM a JOIN m USING (event_type)),
+         | md AS (SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad FROM dv GROUP BY 1)
+         | SELECT dv.event_type, dv.d, dv.x, dv.med, md.mad,
+         |   round(dev / md.mad, 6) AS score,
+         |   round(dev / md.mad, 6) > 3.5 AS is_outlier
+         | FROM dv JOIN md USING (event_type) ORDER BY event_type, d""".stripMargin.replace("\n", ""),
     "q_rolling_median" ->
       s"""WITH a AS ($dailyByTypeSql)
          | SELECT event_type, d, x, round(quantile_cont(x, 0.5) OVER (PARTITION BY event_type ORDER BY d

@@ -525,6 +525,40 @@ object Queries {
   def unionAll(frames: Seq[DataFrame]): DataFrame =
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** Robust outlier detection via Median Absolute Deviation — the
+    * heavy-tail-safe alternative to the z-score family (`withZScore`):
+    * `score = |x − median| / MAD`, flagged above `threshold` (3.5 is the
+    * Iglewicz-Hoberg convention for the 0.6745-unscaled score). Mean/sd
+    * break down when the outliers themselves inflate the moments; medians
+    * don't.
+    *
+    * Parity: interpolated percentiles are libm-sensitive across engines, so
+    * the median, MAD, and score are rounded to 6 dp (the `q_rolling_median`
+    * convention); the threshold compare runs on the rounded score in both
+    * engines.
+    *
+    * Scale: two grouped exact-percentile aggregates (each one key shuffle
+    * over the series frame) with the key-count-sized med/MAD frames
+    * broadcast back. Exact grouped percentiles sort within key — fine on
+    * pre-aggregated series frames; for raw 100 TB streams substitute
+    * `approx_percentile` at the cost of the oracle.
+    */
+  def madOutliers(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      threshold: Double = 3.5): DataFrame = {
+    val keys = keyCols.map(col)
+    val x = col(valueCol).cast(DoubleType)
+    val med = df.groupBy(keys: _*)
+      .agg(round(percentile(x, lit(0.5)), 6).as("med"))
+    val dev = df.join(broadcast(med), keyCols)
+      .withColumn("__dev", abs(x - col("med")))
+    val mad = dev.groupBy(keys: _*)
+      .agg(round(percentile(col("__dev"), lit(0.5)), 6).as("mad"))
+    dev.join(broadcast(mad), keyCols)
+      .withColumn("score", round(col("__dev") / col("mad"), 6))
+      .withColumn("is_outlier", col("score") > lit(threshold))
+      .drop("__dev")
+  }
+
   /** Market-basket co-occurrence: the top-k item PAIRS by the number of
     * baskets containing both. The self-join is keyed on the basket id, so
     * its fan-out is bounded by basket size squared — TPC-H order baskets hold

@@ -31,6 +31,19 @@ class QueriesSpec extends SparkSpec {
     rows(Queries.pearson(anti, "x", "y")).head.getDouble(0) shouldBe -1.0 +- 1e-12
   }
 
+  test("madOutliers flags the gross outlier the z-score family would dilute") {
+    // 10 well-behaved points + one gross outlier per key
+    val df = ((1 to 10).map(i => ("k", i, i.toDouble)) :+ (("k", 11, 1000.0)))
+      .toDF("g", "t", "v")
+    val out = rows(Queries.madOutliers(df, Seq("g"), "v").orderBy("t"))
+    val flags = out.map(_.getBoolean(6))
+    flags.count(identity) shouldBe 1
+    flags.last shouldBe true
+    // median of 1..10,1000 = 6; MAD = median(|x-6|) = 3 -> score(1000) huge
+    out.head.getDouble(3) shouldBe 6.0 +- 1e-9   // med
+    out.head.getDouble(4) shouldBe 3.0 +- 1e-9   // mad
+  }
+
   test("coPurchasePairs: basket-level support, canonical a<b pairs, repeats collapse") {
     val df = Seq(
       (1L, 10L), (1L, 20L), (1L, 20L),   // basket 1: {10, 20} (repeat collapses)
