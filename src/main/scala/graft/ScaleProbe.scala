@@ -229,15 +229,37 @@ object ScaleProbe {
       // local windows grow k× while the carry table stays span/bucket rows —
       // the two-level split's whole point.
       val evBase = spark.read.parquet(s"$sfDir/events.parquet")
-        .select(col("user_id"), col("ts"))
+        .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
       val ev = (0 until k).map(i =>
-        evBase.select((col("user_id") + lit(i * 10000000L)).as("user_id"), col("ts")))
+        evBase.select((col("user_id") + lit(i * 10000000L)).as("user_id"), col("ts"),
+          col("event_type"), (col("event_id") + lit(i * 10000000L)).as("event_id")))
         .reduce(_ unionAll _)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       time("interval_concurrency") {
         val sess = graft.operators.Sessionize.sessions(
           ev, Seq("user_id"), "ts", "INTERVAL 1 HOUR")
         graft.operators.Intervals.concurrency(sess, "session_start", "session_end").count()
+      }
+      time("event_transitions") {
+        // k× users, same per-user stream length: the user-keyed window
+        // parallelizes across the new users; the (src, dst) count frame is
+        // #types² regardless of k
+        graft.operators.Funnel.transitions(
+          ev, "user_id", "event_type", "ts", "event_id").count()
+      }
+    }
+    locally {
+      // market baskets at k×: re-keyed ORDERS keep basket sizes constant
+      // (≤ 7 items in TPC-H), so pair fan-out grows exactly k× — the
+      // basket-size-bounded property the no-self-join shape rests on
+      val liBase = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val li = (0 until k).map(i =>
+        liBase.select((col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
+          col("l_partkey")))
+        .reduce(_ unionAll _)
+      time("copurchase_pairs") {
+        graft.operators.Queries.coPurchasePairs(li, "l_orderkey", "l_partkey", 50).count()
       }
     }
     spark.stop()
