@@ -129,6 +129,19 @@ object ScaleProbe {
         .reduce(_ unionAll _)
       Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs).count()
     }
+    if (k > 1) time("triangles") {
+      // k-clique pairs per base doc (all replica pairs of each original):
+      // |edges| = n·C(k,2) and |triangles| = n·C(k,3) — cubic-in-k OUTPUT by
+      // construction, the densest case the near-dup graph can produce. Pass
+      // signal: runtime tracks the triangle count (output-bounded wedge
+      // fan-out under degree orientation), not |V|² or worse.
+      val cliquePairs = (0 until k).flatMap(i => (i + 1 until k).map(j =>
+          base.select((col("doc_id") + lit(i * 1000000L)).as("id_a"),
+            (col("doc_id") + lit(j * 1000000L)).as("id_b"))))
+        .reduce(_ unionAll _)
+      graft.operators.Graph.triangles(cliquePairs, "id_a", "id_b")
+        .agg(sum(col("triangles"))).collect().head.getLong(0)
+    }
     locally {
       // data layout at k× the sf0.1 events table: the clustered write is ONE
       // range exchange (cost ∝ rows), the manifest ONE partial-aggregable

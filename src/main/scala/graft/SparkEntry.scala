@@ -898,6 +898,13 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(documents(s, dir), "text", "doc_id",
         shingleN = 5, k = 64, bands = 32, threshold = 0.5).orderBy("id_a", "id_b")),
+    // cohesion of the near-dup graph: per-doc triangle count + local
+    // clustering coefficient via degree-oriented wedge join (Graph.triangles)
+    "q_triangle_coeff" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(documents(s, dir), "text", "doc_id",
+        shingleN = 5, k = 64, bands = 32, threshold = 0.5)
+      graft.operators.Graph.triangles(pairs, "id_a", "id_b").orderBy("node")
+    }),
     "q_simhash_fingerprints" -> ((s, dir) =>
       Dedup.withSimhash(documents(s, dir).select("doc_id", "text"), "text", "doc_id", "simhash", shingleN = 5)
         .select("doc_id", "simhash").orderBy("doc_id")),
@@ -1008,6 +1015,11 @@ object SparkEntry {
     // --- dataset curation: splits / sampling / quality gate ----------------
     "q_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(documents(s, dir), "text", 50)),
+    // hashing-trick vectorizer: vocabulary-free sparse bag-of-words rows
+    // (md5-prefix buckets, engine-portable — see TextAnalysis.featureHash)
+    "q_feature_hash" -> ((s, dir) =>
+      TextAnalysis.featureHash(documents(s, dir), "text", "doc_id", dim = 64)
+        .orderBy("doc_id", "bucket")),
     // mixture-design diagnostic: pairwise token-set jaccard between sources —
     // all-integer arithmetic, bit-deterministic
     "q_source_vocab_overlap" -> ((s, dir) =>
@@ -2589,6 +2601,17 @@ object SparkEntry {
     // exact Jaccard (no pruning): equals minhashPairs' output because emitted
     // values are exact-verified and banding recall at min qualifying J is ~1-3e-12
     "q_minhash_pairs" -> exactJaccardSql(n = 5, threshold = 0.5),
+    // triangles enumerated once each as a<b<c over the canonical (a<b) edge
+    // list; coeff written as the SAME single double division Spark computes
+    "q_triangle_coeff" ->
+      s"""WITH ${exactJaccardCtes(5, 0.5)},
+         | und AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b FROM p WHERE id_a <> id_b),
+         | dg AS (SELECT node, COUNT(*) AS deg FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY node),
+         | tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1 JOIN und e2 ON e2.a = e1.b JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         | pern AS (SELECT node, COUNT(*) AS triangles FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY node)
+         | SELECT dg.node, dg.deg, COALESCE(pern.triangles, CAST(0 AS BIGINT)) AS triangles,
+         | CASE WHEN dg.deg >= 2 THEN (2.0 * COALESCE(pern.triangles, CAST(0 AS BIGINT))) / (CAST(dg.deg AS DOUBLE) * (dg.deg - 1.0)) ELSE 0.0 END AS coeff
+         | FROM dg LEFT JOIN pern ON dg.node = pern.node ORDER BY dg.node""".stripMargin.replace("\n", ""),
     "q_dedup_clusters" -> dedupClustersSql(n = 5, threshold = 0.5),
     "q_dedup_report" -> dedupReportSql(n = 5, threshold = 0.5),
     "q_dedup_survivors_best" -> dedupSurvivorsBestSql(n = 5, threshold = 0.5),
@@ -2693,6 +2716,15 @@ object SparkEntry {
       s"""SELECT token, COUNT(*) AS n
          | FROM (SELECT UNNEST($dedupWords) AS token FROM documents)
          | GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin.replace("\n", ""),
+    // md5-prefix bucket arithmetic mirrors Spark's conv(substring(md5,1,8),16,10):
+    // 8 big-endian nibbles folded to a BIGINT, mod 64 (both sides nonnegative)
+    "q_feature_hash" ->
+      s"""WITH w AS (SELECT doc_id, UNNEST($dedupWords) AS tok FROM documents),
+         | h AS (SELECT doc_id, list_reduce(list_transform(range(1, 9),
+         |   i -> CAST(strpos('0123456789abcdef', substring(md5(tok), i, 1)) - 1 AS BIGINT)),
+         |   (a, b) -> a * 16 + b) % 64 AS bucket FROM w)
+         | SELECT doc_id, bucket, COUNT(*) AS cnt FROM h
+         | GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin.replace("\n", ""),
     "q_source_vocab_overlap" ->
       s"""WITH toks AS (SELECT DISTINCT source, UNNEST($dedupWords) AS tok FROM documents),
          | sizes AS (SELECT source, COUNT(*) AS sz FROM toks GROUP BY 1),

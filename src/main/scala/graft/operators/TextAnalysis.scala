@@ -72,6 +72,27 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Hashing-trick bag-of-words vectorizer: each token maps to a fixed-size
+    * bucket space via its md5 prefix (first 8 hex nibbles as a big-endian
+    * int, mod `dim` — md5 because it is bit-identical in every engine,
+    * unlike engine-private hash functions), and per-doc bucket counts are
+    * the sparse feature rows a downstream model consumes.
+    *
+    * Scale: the whole point of the hashing trick at 100 TB — there is NO
+    * vocabulary: no global dictionary build, no fit/transform phases, no
+    * multi-GB vocab broadcast, no OOV path. One narrow tokenize+explode,
+    * one (doc, bucket)-keyed partial-aggregable count. Collisions are the
+    * accepted trade (Weinberger et al., "Feature Hashing for Large Scale
+    * Multitask Learning", ICML'09).
+    */
+  def featureHash(df: DataFrame, textCol: String, idCol: String,
+      dim: Int = 64): DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("__tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast(LongType)
+          % lit(dim.toLong)).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+
   /** Pairwise vocabulary overlap between groups (sources, languages, shards):
     * token-set Jaccard per (group_a, group_b), `a < b`. The mixture-design
     * diagnostic — two sources with near-identical vocabularies are redundant

@@ -34,4 +34,29 @@ class GraphSpec extends SparkSpec {
     got(0)._2 shouldBe t +- 1e-12
     got(1)._2 shouldBe (t + 0.85 * t) +- 1e-9
   }
+
+  test("triangles: per-node counts and coefficients on a diamond graph") {
+    // K4 minus edge (1,4): triangles {1,2,3} and {2,3,4}. Input deliberately
+    // dirty: a reversed duplicate (2,1), a self-loop (3,3) — both collapse
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 4L), (3L, 3L))
+      .toDF("a", "b")
+    val got = rows(Graph.triangles(edges, "a", "b").orderBy("node"))
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    got shouldBe Map(
+      1L -> ((2L, 1L, 1.0)),
+      2L -> ((3L, 2L, 2.0 * 2 / (3.0 * 2.0))),
+      3L -> ((3L, 2L, 2.0 * 2 / (3.0 * 2.0))),
+      4L -> ((2L, 1L, 1.0)))
+  }
+
+  test("triangles: a hub star has zero triangles and zero coefficients") {
+    // star around 0 — the degree orientation points every edge AT the hub,
+    // so the wedge join produces nothing (the curse-of-the-last-reducer case)
+    val edges = (1L to 20L).map(i => (0L, i)).toDF("a", "b")
+    val got = rows(Graph.triangles(edges, "a", "b").orderBy("node"))
+    got.map(_.getLong(2)).sum shouldBe 0L
+    got.map(_.getDouble(3)).sum shouldBe 0.0
+    got.find(_.getLong(0) == 0L).get.getLong(1) shouldBe 20L
+  }
 }

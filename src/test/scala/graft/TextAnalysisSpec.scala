@@ -78,6 +78,23 @@ class TextAnalysisSpec extends SparkSpec {
       .map(_.getLong(0)) shouldBe Seq(3L)
   }
 
+  test("featureHash: md5-prefix buckets, repeated tokens accumulate counts") {
+    val got = rows(TextAnalysis.featureHash(
+      Seq((1L, "the cat THE"), (2L, "")).toDF("doc_id", "text"),
+      "text", "doc_id", dim = 64))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reference bucket: first 8 md5 hex chars, big-endian, mod 64
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 8), 16) % 64
+    }
+    val expected =
+      Map(bucket("the") -> 2L, bucket("cat") -> 1L).map { case (b, n) => (1L, b, n) }
+    got.toSet shouldBe expected.toSet  // doc 2 tokenizes to nothing: no rows
+    got.map(_._3).sum shouldBe 3L      // "the" twice + "cat" once
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     val out = rows(Seq("alpha beta gamma", "gamma beta alpha", "alpha beta gamma").toDF("t")
       .select(TextAnalysis.fingerprint(col("t")).as("f"))).map(_.getLong(0))
