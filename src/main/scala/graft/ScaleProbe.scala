@@ -135,10 +135,16 @@ object ScaleProbe {
       // construction, the densest case the near-dup graph can produce. Pass
       // signal: runtime tracks the triangle count (output-bounded wedge
       // fan-out under degree orientation), not |V|² or worse.
-      val cliquePairs = (0 until k).flatMap(i => (i + 1 until k).map(j =>
-          base.select((col("doc_id") + lit(i * 1000000L)).as("id_a"),
-            (col("doc_id") + lit(j * 1000000L)).as("id_b"))))
-        .reduce(_ unionAll _)
+      // single-scan narrow construction (a C(k,2)-branch unionAll re-reads
+      // the parquet through every reuse of the edge frame and the probe ends
+      // up timing its own input, not the operator)
+      val cliquePairs = base.select(col("doc_id"))
+        .select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("i"))
+        .select(col("doc_id"), col("i"),
+          explode(sequence(lit(0), lit(k - 1))).as("j"))
+        .filter(col("i") < col("j"))
+        .select((col("doc_id") + col("i") * lit(1000000L)).as("id_a"),
+          (col("doc_id") + col("j") * lit(1000000L)).as("id_b"))
       graft.operators.Graph.triangles(cliquePairs, "id_a", "id_b")
         .agg(sum(col("triangles"))).collect().head.getLong(0)
     }

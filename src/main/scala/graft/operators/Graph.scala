@@ -76,11 +76,21 @@ object Graph {
     * bit-reproducible across engines writing the same formula.
     */
   def triangles(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // canonical undirected edges: a < b, distinct, no self-loops
+    // canonical undirected edges: a < b, distinct, no self-loops.
+    // localCheckpoint: the edge list is referenced six times downstream
+    // (deg, both orientation joins, e1/e2/e3) across four shuffle stages —
+    // without lineage truncation the ENTIRE upstream pair producer (for the
+    // near-dup graph: the minhash-LSH pipeline) re-expands into each
+    // reference, and AQE's per-stage replanning fractures exchange reuse
+    // between them. One narrow copy of the edges beats k recomputes of
+    // anything heavier than a scan. (Contrast pageRank, where the reused
+    // frames are served by ReuseExchange inside ONE job and the lazy plan
+    // measured faster.)
     val und = pairs
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(false)
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
