@@ -756,6 +756,11 @@ object SparkEntry {
     "q_retention_cohorts" -> ((s, dir) =>
       graft.operators.Funnel.retentionCohorts(events(s, dir), "user_id", "ts")
         .orderBy("cohort_day", "day_offset")),
+    // DAU + trailing-7-day distinct users via contribution explosion — the
+    // exact distributed rolling-COUNT(DISTINCT) shape (Queries doc)
+    "q_rolling_dau" -> ((s, dir) =>
+      Queries.rollingActiveUsers(events(s, dir), "ts", "user_id", windowDays = 7)
+        .orderBy("day")),
     // first-order Markov transition matrix of the per-user event stream;
     // event_id is the adjacency tie-break for equal timestamps
     "q_event_transitions" -> ((s, dir) =>
@@ -2442,6 +2447,16 @@ object SparkEntry {
         |   UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
         |   UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3)
         | ORDER BY step""".stripMargin.replace("\n", ""),
+    // range-join dual of the explode-formulation (same (user, report-day)
+    // contribution set, both sides dedup before counting)
+    "q_rolling_dau" ->
+      """WITH ud AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id FROM events),
+        | dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+        | contrib AS (SELECT DISTINCT d.day, u.user_id FROM dau d
+        |   JOIN ud u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day),
+        | w AS (SELECT day, COUNT(*) AS rolling_7d FROM contrib GROUP BY day)
+        | SELECT dau.day, dau.dau, w.rolling_7d FROM dau JOIN w USING (day)
+        | ORDER BY day""".stripMargin.replace("\n", ""),
     "q_retention_cohorts" ->
       """WITH f AS (SELECT user_id AS u, CAST(ts AS DATE) AS d FROM events),
         | cohort AS (SELECT u, MIN(d) AS cohort_day FROM f GROUP BY 1),

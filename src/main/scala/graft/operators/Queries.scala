@@ -632,4 +632,35 @@ object Queries {
          (col("__n") * col("__syy") - col("__sy") * col("__sy"))))
       .drop("__n", "__sx", "__sy", "__sxy", "__sxx", "__syy")
   }
+
+  /** Rolling distinct-user counts: per-day active users (DAU) plus the
+    * trailing-`windowDays` distinct count (WAU for 7), reported for every
+    * day with activity.
+    *
+    * Rolling COUNT(DISTINCT) does not partial-aggregate over a sliding
+    * window — the one-big-window formulation (`... OVER (ORDER BY day RANGE
+    * 6 PRECEDING)`) Spark doesn't even accept with DISTINCT, and a
+    * sort-the-world equivalent dies at scale. The exact distributed shape
+    * is contribution explosion: dedup to (user, day) rows (one
+    * partial-aggregable distinct), explode each into the ≤ windowDays
+    * report-days it contributes to, dedup (user, report_day) — a user
+    * active 5× in a window counts once — and count per day. Three
+    * key-keyed partial-aggregable shuffles, fan-out a constant windowDays;
+    * the sketch alternative (HLL merge) trades exactness for one pass and
+    * is the fallback only when windowDays·|user-days| is the bottleneck.
+    */
+  def rollingActiveUsers(df: DataFrame, tsCol: String, userCol: String,
+      windowDays: Int = 7): DataFrame = {
+    val ud = df.select(date_trunc("day", col(tsCol)).as("day"),
+      col(userCol).as("__user")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val contrib = ud.select(col("__user"), explode(sequence(col("day"),
+        col("day") + expr(s"INTERVAL ${windowDays - 1} DAY"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as(s"rolling_${windowDays}d"))
+    // inner join: report days WITH activity (trailing days past the data
+    // end that only the explosion produced drop out here)
+    dau.join(contrib, Seq("day"))
+  }
 }

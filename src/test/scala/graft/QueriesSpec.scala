@@ -249,6 +249,23 @@ class QueriesSpec extends SparkSpec {
     byPivot.zip(byJoin).foreach { case (p, j) => p._3 shouldBe j._3 +- 1e-12 }
   }
 
+  test("rollingActiveUsers: repeat users count once per day and once per window") {
+    // u1 active day1 (twice) + day3; u2 active day1 only; u3 day10 only —
+    // day3's 2-day window excludes day1, day10 is disjoint from both
+    val df = Seq(
+      ("2024-01-01 09:00:00", 1L), ("2024-01-01 17:00:00", 1L),
+      ("2024-01-01 10:00:00", 2L), ("2024-01-03 10:00:00", 1L),
+      ("2024-01-10 10:00:00", 3L)
+    ).toDF("ts", "u").withColumn("ts", col("ts").cast("timestamp"))
+    val got = rows(Queries.rollingActiveUsers(df, "ts", "u", windowDays = 2).orderBy("day"))
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1), r.getLong(2)))
+    got shouldBe Seq(
+      ("2024-01-01", 2L, 2L),   // u1 counted once despite two events
+      ("2024-01-03", 1L, 1L),   // window [Jan2, Jan3]: u1 only
+      ("2024-01-10", 1L, 1L))
+    // Jan 2/4/11 carry contributions but no activity: not reported
+  }
+
   test("unionAll tolerates missing columns (unionByName allowMissing)") {
     val a = Seq((1L, "x")).toDF("id", "a_only")
     val b = Seq((2L, 5.0)).toDF("id", "b_only")
