@@ -975,6 +975,11 @@ object SparkEntry {
       Similarity.bruteForceTopKAgg(e, e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 10)
         .orderBy("query_id", "rank")
     }),
+    // full Lloyd's k-means, 2 iterations, k=8 — exact-decimal centroid
+    // updates make the iterated doubles engine-portable (Similarity.kmeans)
+    "q_kmeans" -> ((s, dir) =>
+      Similarity.kmeans(embeddings(s, dir), "embedding", "vec_id",
+        k = 8, iterations = 2).orderBy("cell_id", "dim")),
     // nprobe = nlist: probing every cell makes IVF provably exact, so the
     // whole machinery (centroid training, cell assignment, cell-key join,
     // ranking) is oracle-checked against brute force; recall at partial
@@ -1778,6 +1783,33 @@ object SparkEntry {
   /** Exact all-pairs shingle-set Jaccard — the oracle for the exactly-verified
     * LSH pair queries.
     */
+  /** Unrolled Lloyd's k-means dual of [[Similarity.kmeans]]: per iteration,
+    * argmin assignment via the identical `dot(c,c) − 2·dot(v,c)` double
+    * expression (`list_inner_product` ≡ the sequential-double kernel) with
+    * the identical (distance, cell_id) tie-break, then DECIMAL(30,6)
+    * per-dimension sums over exact integer counts.
+    */
+  private def kmeansSql(k: Int, iterations: Int): String = {
+    val steps = (1 to iterations).map { i =>
+      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      s""" a$i AS (SELECT vec_id, v, cell_id, row_number() OVER (PARTITION BY vec_id
+         |   ORDER BY list_inner_product(c, c) - 2.0 * list_inner_product(v, c) ASC, cell_id ASC) AS rn
+         |   FROM e CROSS JOIN $prev),
+         | m$i AS (SELECT cell_id, v FROM a$i WHERE rn = 1),
+         | x$i AS (SELECT cell_id, unnest(range(1, len(v) + 1)) AS i, v FROM m$i),
+         | u$i AS (SELECT cell_id, i, CAST(SUM(CAST(v[i] AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+         |   FROM x$i GROUP BY 1, 2),
+         | c$i AS (SELECT cell_id, list(m ORDER BY i) AS c FROM u$i GROUP BY cell_id)""".stripMargin
+    }.mkString(",")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       | c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell_id, v AS c
+       |   FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k) t),
+       |$steps,
+       | sizes AS (SELECT cell_id, COUNT(*) AS n_members FROM m$iterations GROUP BY 1)
+       | SELECT u.cell_id, sizes.n_members, CAST(u.i - 1 AS BIGINT) AS dim, u.m AS x
+       | FROM u$iterations u JOIN sizes USING (cell_id) ORDER BY cell_id, dim""".stripMargin.replace("\n", "")
+  }
+
   private def exactJaccardSql(n: Int, threshold: Double): String =
     s"WITH ${exactJaccardCtes(n, threshold)} SELECT id_a, id_b, jaccard FROM p ORDER BY id_a, id_b"
 
@@ -2640,6 +2672,7 @@ object SparkEntry {
         |   (a, b) -> (a*31 + b) % 2147483647) AS BIGINT) AS fingerprint,
         | md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash
         | FROM w ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_kmeans" -> kmeansSql(k = 8, iterations = 2),
     "q_ivf_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),

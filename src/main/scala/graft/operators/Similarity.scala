@@ -299,4 +299,65 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
         s => s.getField("m")).as("centroid"))
   }
+
+  /** Distributed Lloyd's k-means, bit-reproducible across engines:
+    * deterministic init (first `k` rows by id), squared-L2 assignment via
+    * `dot(c,c) − 2·dot(v,c)` (the |v|² term is constant per row and drops
+    * out of the argmin; both dots are the sequential-double [[dot]] kernel),
+    * ties to the lower cell_id, and centroid updates as exact
+    * DECIMAL(30,6) per-dimension sums divided by exact integer counts —
+    * the same discipline that makes pageRank's iterated doubles
+    * engine-portable. A cell that loses all members drops out of the next
+    * round on both engines (no special casing).
+    *
+    * Scale: per iteration, assignment is a broadcast of k·dim doubles
+    * against a narrow corpus scan (no shuffle), and the update is one
+    * partial-aggregable shuffle keyed (cell, dim) — uniform,
+    * high-cardinality, skew-free. The tiny centroid frame is
+    * `localCheckpoint`ed each round: it caps the plan that would otherwise
+    * re-expand the full prior iteration into every reference (the
+    * triangles lesson), at the cost of materializing k rows.
+    *
+    * Output is flat (cell_id, n_members, dim, x) — sizes from the LAST
+    * assignment, coordinates from the update that followed it.
+    */
+  def kmeans(corpus: DataFrame, vecCol: String, idCol: String, k: Int,
+      iterations: Int): DataFrame = {
+    val dec = DecimalType(30, 6)
+    val vecs = corpus.select(col(idCol).as("__id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+    def assign(centroids: DataFrame): DataFrame = {
+      val cells = broadcast(centroids
+        .agg(collect_list(struct(col("cell_id"), col("c"))).as("__cells")))
+      vecs.crossJoin(cells)
+        .withColumn("cell_id", element_at(array_sort(transform(col("__cells"),
+          s => struct(
+            (dot(s.getField("c"), s.getField("c")) -
+              lit(2.0) * dot(col("v"), s.getField("c"))).as("d"),
+            s.getField("cell_id").as("cell_id")))), 1).getField("cell_id"))
+        .drop("__cells")
+    }
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("cell_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell_id"), col("dim"))
+        .agg((sum(col("x").cast(dec)).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("c"))
+    var centroids = vecs.orderBy("__id").limit(k)
+      .select((row_number().over(Window.orderBy("__id")) - 1)
+        .cast(LongType).as("cell_id"), col("v").as("c"))
+      .localCheckpoint(false)
+    var lastAssigned: DataFrame = null
+    (1 to iterations).foreach { _ =>
+      lastAssigned = assign(centroids)
+      centroids = update(lastAssigned).localCheckpoint(false)
+    }
+    val sizes = lastAssigned.groupBy("cell_id").agg(count(lit(1)).as("n_members"))
+    centroids.select(col("cell_id"), posexplode(col("c")).as(Seq("dim", "x")))
+      .join(sizes, Seq("cell_id"))
+      .select(col("cell_id"), col("n_members"),
+        col("dim").cast(LongType).as("dim"), col("x"))
+  }
 }

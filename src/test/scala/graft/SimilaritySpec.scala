@@ -90,6 +90,27 @@ class SimilaritySpec extends SparkSpec {
     r2 should be > 0.2 // deterministic under the fixed seed
   }
 
+  test("kmeans: Lloyd step moves centroids to member means, flat output") {
+    // 1-D points 0, 1, 10, 11; init = first 2 by id → c0=[0], c1=[1].
+    // Assignment: 0→c0, {1,10,11}→c1; update: c0=[0], c1=[22/3]
+    val pts = Seq((1L, Seq(0f)), (2L, Seq(1f)), (3L, Seq(10f)), (4L, Seq(11f)))
+      .toDF("vec_id", "embedding")
+    val got = rows(Similarity.kmeans(pts, "embedding", "vec_id", k = 2, iterations = 1)
+      .orderBy("cell_id"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    got shouldBe Seq((0L, 1L, 0L, 0.0), (1L, 3L, 0L, 22.0 / 3.0))
+  }
+
+  test("kmeans: distance ties break to the lower cell and empty cells drop") {
+    // three identical points: both seeds coincide, every point ties at
+    // distance 0 → all go to cell 0; cell 1 empties and vanishes
+    val pts = Seq((1L, Seq(5f)), (2L, Seq(5f)), (3L, Seq(5f)))
+      .toDF("vec_id", "embedding")
+    val got = rows(Similarity.kmeans(pts, "embedding", "vec_id", k = 2, iterations = 2))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    got shouldBe Seq((0L, 3L, 5.0))
+  }
+
   test("ivfTopK with enough probes matches brute force on the top hit") {
     val queries = vecs.filter(col("vec_id") === 0L)
     val cents = Similarity.trainCentroids(vecs, "embedding", "vec_id", 2)
