@@ -980,6 +980,11 @@ object SparkEntry {
     "q_kmeans" -> ((s, dir) =>
       Similarity.kmeans(embeddings(s, dir), "embedding", "vec_id",
         k = 8, iterations = 2).orderBy("cell_id", "dim")),
+    // covariance-free PCA: top principal direction by 3 power iterations
+    // (centering + projections + decimal accumulations, Similarity doc)
+    "q_pca_power" -> ((s, dir) =>
+      Similarity.pcaTopComponent(embeddings(s, dir), "embedding", iterations = 3)
+        .orderBy("dim")),
     // nprobe = nlist: probing every cell makes IVF provably exact, so the
     // whole machinery (centroid training, cell assignment, cell-key join,
     // ranking) is oracle-checked against brute force; recall at partial
@@ -1808,6 +1813,33 @@ object SparkEntry {
        | sizes AS (SELECT cell_id, COUNT(*) AS n_members FROM m$iterations GROUP BY 1)
        | SELECT u.cell_id, sizes.n_members, CAST(u.i - 1 AS BIGINT) AS dim, u.m AS x
        | FROM u$iterations u JOIN sizes USING (cell_id) ORDER BY cell_id, dim""".stripMargin.replace("\n", "")
+  }
+
+  /** Unrolled power-iteration dual of [[Similarity.pcaTopComponent]]: the
+    * same centered lists, `list_inner_product` projections, DECIMAL(30,6)
+    * per-dimension accumulations, and IEEE-sqrt normalization.
+    */
+  private def pcaSql(iterations: Int): String = {
+    val steps = (1 to iterations).map { i =>
+      val prev = if (i == 1) "w0" else s"w${i - 1}"
+      s""" s$i AS (SELECT xc, list_inner_product(xc, wv) AS s FROM xcs CROSS JOIN $prev),
+         | f$i AS (SELECT s, unnest(range(1, len(xc) + 1)) AS i, xc FROM s$i),
+         | t$i AS (SELECT i, CAST(SUM(CAST(xc[i] * s AS DECIMAL(30,6))) AS DOUBLE) AS t
+         |   FROM f$i GROUP BY i),
+         | tv$i AS (SELECT list(t ORDER BY i) AS tv FROM t$i),
+         | w$i AS (SELECT list_transform(tv, x -> x / sqrt(list_inner_product(tv, tv))) AS wv FROM tv$i)""".stripMargin
+    }.mkString(",")
+    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       | flat AS (SELECT unnest(range(1, len(v) + 1)) AS i, v FROM e),
+       | mu AS (SELECT i, CAST(SUM(CAST(v[i] AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+       |   FROM flat GROUP BY i),
+       | muv AS (SELECT list(m ORDER BY i) AS muv FROM mu),
+       | xcs AS (SELECT list_transform(range(1, len(v) + 1), i -> v[i] - muv[i]) AS xc FROM e CROSS JOIN muv),
+       | w0 AS (SELECT list_transform(xc, x -> 1.0 / sqrt(CAST(len(xc) AS DOUBLE))) AS wv FROM (SELECT xc FROM xcs LIMIT 1) t),
+       |$steps
+       | SELECT CAST(mu.i - 1 AS BIGINT) AS dim, mu.m AS mean, wf.loading
+       | FROM mu JOIN (SELECT unnest(range(1, len(wv) + 1)) AS i, unnest(wv) AS loading FROM w$iterations) wf USING (i)
+       | ORDER BY dim""".stripMargin.replace("\n", "")
   }
 
   private def exactJaccardSql(n: Int, threshold: Double): String =
@@ -2673,6 +2705,7 @@ object SparkEntry {
         | md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash
         | FROM w ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "q_kmeans" -> kmeansSql(k = 8, iterations = 2),
+    "q_pca_power" -> pcaSql(iterations = 3),
     "q_ivf_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),

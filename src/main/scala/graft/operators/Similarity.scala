@@ -360,4 +360,63 @@ object Similarity {
       .select(col("cell_id"), col("n_members"),
         col("dim").cast(LongType).as("dim"), col("x"))
   }
+
+  /** Top principal direction of the embedding cloud by power iteration —
+    * covariance-free PCA (`w ← normalize(Σ xc·(xc·w))` over mean-centered
+    * vectors), the one PCA formulation that distributes: no d×d covariance
+    * materialization, just a broadcast of the d-vector `w` against a narrow
+    * scan per round.
+    *
+    * Bit-reproducible by the kmeans/pageRank discipline: the per-row
+    * projection `xc·w` is the sequential-double [[dot]] kernel
+    * (≡ `list_inner_product`), the per-dimension accumulation
+    * `Σ xc_j·s` runs through exact DECIMAL(30,6), the norm is
+    * `sqrt(dot(t,t))` (64 sequential double terms; IEEE sqrt is exactly
+    * rounded), and the init `w₀ = 1/√d` is the same IEEE-exact double on
+    * both engines (1/8 exactly at d=64). Sign is pinned by the
+    * deterministic init.
+    *
+    * Scale: centering is one (dim)-keyed partial-aggregable shuffle; each
+    * iteration is a w-broadcast (d doubles), a narrow projection pass, and
+    * one (dim)-keyed shuffle of decimal partials — d·#partitions rows, not
+    * corpus rows. The centered frame is localCheckpoint'ed once (reused
+    * every round); the d-sized w frame per round likewise (plan-cap, the
+    * triangles lesson).
+    *
+    * Output: (dim, mean, loading) — the centering vector and the unit
+    * principal direction, flat for oracle hashing.
+    */
+  def pcaTopComponent(corpus: DataFrame, vecCol: String,
+      iterations: Int = 3): DataFrame = {
+    val dec = DecimalType(30, 6)
+    val vecs = corpus.select(col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+    val muFlat = vecs.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg((sum(col("x").cast(dec)).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("m"))
+    val muArr = muFlat
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("muv"))
+    val xc = vecs.crossJoin(broadcast(muArr))
+      .select(zip_with(col("v"), col("muv"), (a, b) => a - b).as("xc"))
+      .localCheckpoint(false)
+    var w = xc.limit(1)
+      .select(transform(col("xc"),
+        _ => lit(1.0) / sqrt(size(col("xc")).cast(DoubleType))).as("wv"))
+      .localCheckpoint(false)
+    (1 to iterations).foreach { _ =>
+      val t = xc.crossJoin(broadcast(w))
+        .select(col("xc"), dot(col("xc"), col("wv")).as("s"))
+        .select(col("s"), posexplode(col("xc")).as(Seq("dim", "c")))
+        .groupBy("dim")
+        .agg(sum((col("c") * col("s")).cast(dec)).cast(DoubleType).as("t"))
+      w = t.agg(transform(array_sort(collect_list(struct(col("dim"), col("t")))),
+          s => s.getField("t")).as("tv"))
+        .select(transform(col("tv"), x => x / sqrt(dot(col("tv"), col("tv")))).as("wv"))
+        .localCheckpoint(false)
+    }
+    muFlat.join(w.select(posexplode(col("wv")).as(Seq("dim", "loading"))), Seq("dim"))
+      .select(col("dim").cast(LongType).as("dim"), col("m").as("mean"),
+        col("loading"))
+  }
 }

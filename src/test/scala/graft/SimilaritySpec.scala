@@ -111,6 +111,26 @@ class SimilaritySpec extends SparkSpec {
     got shouldBe Seq((0L, 3L, 5.0))
   }
 
+  test("pcaTopComponent: variance along one axis yields that unit axis") {
+    // centered cloud (-2,0),(2,0): all variance on dim 0 → loading (1, 0)
+    val pts = Seq((1L, Seq(0f, 0f)), (2L, Seq(4f, 0f))).toDF("vec_id", "embedding")
+    val got = rows(Similarity.pcaTopComponent(pts, "embedding", iterations = 3)
+      .orderBy("dim"))
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    got.map(_._2) shouldBe Seq(2.0, 0.0)           // means
+    got(0)._3 shouldBe 1.0 +- 1e-12                // unit loading on dim 0
+    got(1)._3 shouldBe 0.0 +- 1e-12
+  }
+
+  test("pcaTopComponent: perfectly correlated dims load equally (1/sqrt(2))") {
+    val pts = Seq((1L, Seq(0f, 0f)), (2L, Seq(2f, 2f)), (3L, Seq(4f, 4f)))
+      .toDF("vec_id", "embedding")
+    val got = rows(Similarity.pcaTopComponent(pts, "embedding", iterations = 2)
+      .orderBy("dim")).map(_.getDouble(2))
+    got(0) shouldBe got(1)
+    got(0) shouldBe 1.0 / math.sqrt(2.0) +- 1e-9
+  }
+
   test("ivfTopK with enough probes matches brute force on the top hit") {
     val queries = vecs.filter(col("vec_id") === 0L)
     val cents = Similarity.trainCentroids(vecs, "embedding", "vec_id", 2)
