@@ -81,6 +81,15 @@ object ScaleProbe {
       Dedup.embeddingPairs(embs, "embedding", "vec_id", threshold = 0.2,
         dim = 64, planes = 16, bands = 4).count()
     }
+    time("kmeans") {
+      // k× duplicated vectors leave the centroids mathematically unchanged;
+      // the probe isolates the per-iteration corpus passes (assignment
+      // broadcast + (cell,dim) partial agg), which must scale linearly
+      Similarity.kmeans(embs, "embedding", "vec_id", k = 8, iterations = 2).count()
+    }
+    time("pca_power") {
+      Similarity.pcaTopComponent(embs, "embedding", iterations = 3).count()
+    }
     time("ann_brute_topk") {
       Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 10), "embedding", "vec_id", 10).count()
     }
