@@ -119,7 +119,11 @@ object Bench {
     } catch { case _: Throwable => () }
     System.err.println(detailLine)
     // The ONE stdout line: compact, bounded (< 1 KB at any suite size).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","gross":$gross,"sf":"$sfDir","n_queries":${results.size},"subset":${only.isDefined},"errors":${failed.size},"sentinel":$sentinelJson,"slowest":$slowest}""")
+    // `failed` rides on stdout too: it is empty (2 bytes) on a healthy run and
+    // names the culprits on a broken one — without it the tracked artifact
+    // can't identify WHICH queries errored (round-8 ADVICE; the list only
+    // existed in gitignored BENCH_DETAIL.json).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","gross":$gross,"sf":"$sfDir","n_queries":${results.size},"subset":${only.isDefined},"errors":${failed.size},"failed":$failedJson,"sentinel":$sentinelJson,"slowest":$slowest}""")
     spark.stop()
   }
 }

@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
 import graft.operators.{Dedup, Similarity}
 
 /** Scale-up probe: replicates the sf0.1 corpus k× (re-keyed ids) and runs the
@@ -15,6 +17,15 @@ import graft.operators.{Dedup, Similarity}
   * Usage: `sbt "runMain graft.ScaleProbe [k] [sfDir]"`.
   */
 object ScaleProbe {
+  /** Same ts normalization as SparkEntry's events(): the generator has shipped
+    * both TIMESTAMP(NANOS) (long under `nanosAsLong`) and µs-NTZ encodings.
+    */
+  private def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
+  }
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -217,7 +228,7 @@ object ScaleProbe {
         .reduce(_ unionAll _)
       time("band_join_neighbors") {
         graft.operators.BandJoin.neighborCounts(
-          ev.withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+          normalizeTs(ev),
           Seq("event_type"), "ts", "event_id", 1800L).count()
       }
     }
@@ -262,7 +273,7 @@ object ScaleProbe {
         evBase.select((col("user_id") + lit(i * 10000000L)).as("user_id"), col("ts"),
           col("event_type"), (col("event_id") + lit(i * 10000000L)).as("event_id")))
         .reduce(_ unionAll _)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(normalizeTs)
       time("interval_concurrency") {
         val sess = graft.operators.Sessionize.sessions(
           ev, Seq("user_id"), "ts", "INTERVAL 1 HOUR")

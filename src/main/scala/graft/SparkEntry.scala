@@ -66,15 +66,21 @@ object SparkEntry {
       s.read.parquet(s"$dir/$name.parquet"))
   }
 
-  /** events.parquet read with the nanos→µs conversion (lossless here — the
-    * corpus has no sub-µs components; `div` is integral so no double-precision
-    * loss on 1e18-scale values).
+  /** events.parquet with `ts` normalized to TIMESTAMP (LTZ). The generator has
+    * shipped two physical encodings across rounds — TIMESTAMP(NANOS) (read as
+    * long under `nanosAsLong`, converted via integral div, lossless: the corpus
+    * has no sub-µs components) and TIMESTAMP(MICROS) without tz (read as
+    * TIMESTAMP_NTZ) — and watermarks/`unix_micros` require TIMESTAMP proper.
+    * The NTZ→LTZ cast interprets wall-clock in the session zone, which [[tune]]
+    * pins to UTC, so both encodings land on identical instants.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     val raw = table(s, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   private def orders(s: SparkSession, dir: String) = table(s, dir, "orders")
   private def lineitem(s: SparkSession, dir: String) = table(s, dir, "lineitem")
@@ -87,16 +93,18 @@ object SparkEntry {
 
   /** Streaming twin of [[events]]: file-stream over events.parquet (glob
     * filter because file-stream sources take a directory) with the same
-    * nanos→µs conversion. The required explicit schema (file streams can't
+    * ts-normalization. The required explicit schema (file streams can't
     * infer) comes from the cached batch frame — no extra footer read.
     */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     val rawSchema = table(s, dir, "events").schema
     val raw = s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (rawSchema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    rawSchema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Plan a streaming query under stream-appropriate session conf, restoring

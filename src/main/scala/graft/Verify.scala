@@ -30,6 +30,18 @@ object Verify {
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A query that fails to run must still produce an output entry, or the
+        // downstream compare silently shrinks its coverage (round 8: 5 erroring
+        // queries were simply absent from CORRECTNESS — a regression recorded
+        // as a smaller green suite). A one-row parquet whose only column is
+        // `__verify_error` can never match any oracle: the entry shows up RED
+        // instead of vanishing.
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
+            .toDF("__verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -28,7 +28,10 @@ object Serving {
     val normalized = Fns.nullNormalizeAll(df)
     normalized.select(normalized.schema.fields.map { f =>
       f.dataType match {
-        case TimestampType => Fns.isoMicros(col(f.name)).as(f.name)
+        // NTZ included: the serving contract is "timestamps render as ISO
+        // strings", regardless of which physical timestamp flavor upstream
+        // parquet delivered (the generator has shipped both)
+        case TimestampType | TimestampNTZType => Fns.isoMicros(col(f.name)).as(f.name)
         case _ => col(f.name)
       }
     }.toIndexedSeq: _*)
