@@ -184,13 +184,28 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.5,
-      maxDocFreq: Long = 1000L): DataFrame = {
+      maxDocFreq: Long = 1000L): DataFrame =
+    ngramJaccardPairsFrom(prunedPostings(df, textCol, idCol, n, maxDocFreq), threshold)
+
+  /** Pruned inverted shingle index `(id, sz, sh)` — one row per (document,
+    * distinct shingle hash), with the per-doc set size alongside and
+    * hot shingles (docFreq > maxDocFreq) dropped. This is the shared
+    * substrate of [[ngramJaccardPairsFrom]] and [[containmentPairsFrom]]; a
+    * curation run builds it once (or persists it next to the corpus) and
+    * feeds both passes, instead of re-mining shingles per measure.
+    */
+  def prunedPostings(df: DataFrame, textCol: String, idCol: String,
+      n: Int, maxDocFreq: Long): DataFrame = {
     // one narrow pass: (id, set size, exploded shingle hash)
     val posts = df.select(col(idCol).as("id"), shingleHashSet(col(textCol), n).as("arr"))
       .select(col("id"), size(col("arr")).as("sz"), explode(col("arr")).as("sh"))
     val rare = posts.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
-    val pruned = posts.join(rare.select("sh"), Seq("sh"), "left_semi")
+    posts.join(rare.select("sh"), Seq("sh"), "left_semi")
+  }
+
+  /** [[ngramJaccardPairs]] over a prebuilt [[prunedPostings]] index. */
+  def ngramJaccardPairsFrom(pruned: DataFrame, threshold: Double): DataFrame = {
     // Size-ratio prefilter (set-similarity joins, e.g. Xiao et al. PPJoin):
     // J(A,B) >= t  ⟹  t·|A| <= |B| <= |A|/t. Purely a pruning bound — every
     // surviving pair is still exactly verified — but it cuts the candidate
@@ -230,12 +245,11 @@ object Dedup {
   def containmentPairs(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      maxDocFreq: Long = 1000L): DataFrame = {
-    val posts = df.select(col(idCol).as("id"), shingleHashSet(col(textCol), n).as("arr"))
-      .select(col("id"), size(col("arr")).as("sz"), explode(col("arr")).as("sh"))
-    val rare = posts.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq)
-    val pruned = posts.join(rare.select("sh"), Seq("sh"), "left_semi")
+      maxDocFreq: Long = 1000L): DataFrame =
+    containmentPairsFrom(prunedPostings(df, textCol, idCol, n, maxDocFreq), threshold)
+
+  /** [[containmentPairs]] over a prebuilt [[prunedPostings]] index. */
+  def containmentPairsFrom(pruned: DataFrame, threshold: Double): DataFrame = {
     val l = pruned.select(col("sh"), col("id").as("id_a"), col("sz").as("sz_a"))
     val r = pruned.select(col("sh"), col("id").as("id_b"), col("sz").as("sz_b"))
     val inter = l.join(r, Seq("sh"))
