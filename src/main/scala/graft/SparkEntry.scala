@@ -817,6 +817,21 @@ object SparkEntry {
     "q_rolling_dau" -> ((s, dir) =>
       Queries.rollingActiveUsers(events(s, dir), "ts", "user_id", windowDays = 7)
         .orderBy("day")),
+    // mergeable distinct-count sketch (KMV bottom-k over the cross-engine
+    // 60-bit md5 hash): map-side partial k-element state instead of
+    // shuffling every distinct value — and, unlike HLL, exactly
+    // deterministic, so the ESTIMATE is oracle-checked, not just the exact
+    // comparison column (operators/Sketches.scala)
+    "q_kmv_distinct" -> ((s, dir) =>
+      graft.operators.Sketches.kmvDistinct(events(s, dir), Seq("event_type"),
+        "event_id", k = 256).orderBy("event_type")),
+    // additive seasonal decomposition of the per-type daily series:
+    // value = trend (centered 7d MA) + seasonal (per-weekday mean of the
+    // detrended) + residual — exact-decimal means, weekday via
+    // Monday-epoch day-diff mod 7 (engine-neutral)
+    "q_seasonal_decompose" -> ((s, dir) =>
+      Queries.seasonalDecompose(dailyByType(s, dir), "event_type", "d", "x")
+        .orderBy("event_type", "d")),
     // first-order Markov transition matrix of the per-user event stream;
     // event_id is the adjacency tie-break for equal timestamps
     "q_event_transitions" -> ((s, dir) =>
@@ -962,6 +977,13 @@ object SparkEntry {
     "q_triangle_coeff" -> ((s, dir) =>
       graft.operators.Graph.triangles(minhashPairIndex(s, dir), "id_a", "id_b")
         .orderBy("node")),
+    // per-edge link strength on the same graph: |N(a)∩N(b)| / |N(a)∪N(b)|
+    // (common neighbors = triangles through the edge) — the classic link-
+    // prediction feature, here scoring how embedded each near-dup pair is
+    // in its cluster
+    "q_graph_jaccard" -> ((s, dir) =>
+      graft.operators.Graph.neighborhoodJaccard(minhashPairIndex(s, dir), "id_a", "id_b")
+        .orderBy("id_a", "id_b")),
     "q_simhash_fingerprints" -> ((s, dir) =>
       Dedup.withSimhash(documents(s, dir).select("doc_id", "text"), "text", "doc_id", "simhash", shingleN = 5)
         .select("doc_id", "simhash").orderBy("doc_id")),
@@ -2565,6 +2587,38 @@ object SparkEntry {
         | w AS (SELECT day, COUNT(*) AS rolling_7d FROM contrib GROUP BY day)
         | SELECT dau.day, dau.dau, w.rolling_7d FROM dau JOIN w USING (day)
         | ORDER BY day""".stripMargin.replace("\n", ""),
+    // KMV sketch dual: same 60-bit md5 hash (the repo's cross-engine hash
+    // trick), kth-smallest via row_number, same estimator arithmetic
+    "q_kmv_distinct" ->
+      """WITH hs AS (SELECT DISTINCT event_type,
+        |   list_reduce(list_transform(range(1, 16), i ->
+        |     CAST(strpos('0123456789abcdef', substring(md5(CAST(event_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |     (a,b) -> a*16 + b) AS h FROM events),
+        | rk AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM hs),
+        | agg AS (SELECT event_type, COUNT(*) AS exact_distinct,
+        |   MAX(CASE WHEN rn = 256 THEN h END) AS kth FROM rk GROUP BY event_type)
+        | SELECT event_type, exact_distinct,
+        |   CASE WHEN exact_distinct < 256 THEN CAST(exact_distinct AS DOUBLE)
+        |     ELSE (255.0 * 1152921504606846976.0) / CAST(kth AS DOUBLE) END AS est_distinct
+        | FROM agg ORDER BY event_type""".stripMargin.replace("\n", ""),
+    // decomposition dual: same daily decimal-exact series, same centered
+    // 7-row window, same Monday-epoch weekday, same decimal means
+    "q_seasonal_decompose" ->
+      """WITH a AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS x FROM events GROUP BY 1, 2),
+        | t AS (SELECT event_type, d, x,
+        |   CASE WHEN COUNT(*) OVER w = 7
+        |     THEN CAST(SUM(CAST(x AS DECIMAL(30,6))) OVER w AS DOUBLE) / 7.0 END AS trend
+        |   FROM a WINDOW w AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        | t2 AS (SELECT event_type, d, x, trend, x - trend AS detrended,
+        |   datediff('day', DATE '1970-01-05', CAST(d AS DATE)) % 7 AS dow FROM t),
+        | se AS (SELECT event_type, dow,
+        |   CAST(SUM(CAST(detrended AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(detrended) AS DOUBLE) AS seasonal
+        |   FROM t2 WHERE detrended IS NOT NULL GROUP BY 1, 2)
+        | SELECT t2.event_type, t2.d, t2.x, t2.trend, se.seasonal,
+        |   t2.detrended - se.seasonal AS residual
+        | FROM t2 LEFT JOIN se ON se.event_type = t2.event_type AND se.dow = t2.dow
+        | ORDER BY t2.event_type, t2.d""".stripMargin.replace("\n", ""),
     "q_retention_cohorts" ->
       """WITH f AS (SELECT user_id AS u, CAST(ts AS DATE) AS d FROM events),
         | cohort AS (SELECT u, MIN(d) AS cohort_day FROM f GROUP BY 1),
@@ -2735,6 +2789,22 @@ object SparkEntry {
          | SELECT dg.node, dg.deg, COALESCE(pern.triangles, CAST(0 AS BIGINT)) AS triangles,
          | CASE WHEN dg.deg >= 2 THEN (2.0 * COALESCE(pern.triangles, CAST(0 AS BIGINT))) / (CAST(dg.deg AS DOUBLE) * (dg.deg - 1.0)) ELSE 0.0 END AS coeff
          | FROM dg LEFT JOIN pern ON dg.node = pern.node ORDER BY dg.node""".stripMargin.replace("\n", ""),
+    // per-edge common neighbors (= triangles through the edge) over the same
+    // canonical edge list; jaccard is the same single double division
+    "q_graph_jaccard" ->
+      s"""WITH ${exactJaccardCtes(5, 0.5)},
+         | und AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b FROM p WHERE id_a <> id_b),
+         | adj AS (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b AS node, a AS nbr FROM und),
+         | dg AS (SELECT node, COUNT(*) AS deg FROM adj GROUP BY node),
+         | cm AS (SELECT e.a, e.b, COUNT(*) AS cn FROM und e
+         |   JOIN adj na ON na.node = e.a JOIN adj nb ON nb.node = e.b AND nb.nbr = na.nbr
+         |   GROUP BY e.a, e.b)
+         | SELECT e.a AS id_a, e.b AS id_b, da.deg AS deg_a, db.deg AS deg_b,
+         | COALESCE(cm.cn, CAST(0 AS BIGINT)) AS common,
+         | CAST(COALESCE(cm.cn, CAST(0 AS BIGINT)) AS DOUBLE) / CAST(da.deg + db.deg - COALESCE(cm.cn, CAST(0 AS BIGINT)) AS DOUBLE) AS jaccard
+         | FROM und e JOIN dg da ON da.node = e.a JOIN dg db ON db.node = e.b
+         | LEFT JOIN cm ON cm.a = e.a AND cm.b = e.b
+         | ORDER BY id_a, id_b""".stripMargin.replace("\n", ""),
     "q_dedup_clusters" -> dedupClustersSql(n = 5, threshold = 0.5),
     "q_dedup_report" -> dedupReportSql(n = 5, threshold = 0.5),
     "q_dedup_survivors_best" -> dedupSurvivorsBestSql(n = 5, threshold = 0.5),

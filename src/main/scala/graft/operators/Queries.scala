@@ -663,4 +663,37 @@ object Queries {
     // end that only the explosion produced drop out here)
     dau.join(contrib, Seq("day"))
   }
+
+  /** Classical additive seasonal decomposition of a daily series:
+    * `value = trend + seasonal + residual` with trend = centered 7-day
+    * moving average (full windows only, null at the edges), seasonal = the
+    * per-weekday mean of the detrended series, residual = the rest. The
+    * moving-average-then-seasonal-means construction is the textbook
+    * decomposition (Cleveland et al.'s STL replaces the means with loess;
+    * the means variant is what statsmodels `seasonal_decompose` computes).
+    *
+    * Engine parity: trend and seasonal means are exact-decimal sums divided
+    * by counts ([[graft.functions.Fns.exactSum]] pattern), and weekday is
+    * day-diff-mod-7 from a Monday epoch (no locale-dependent DOW function on
+    * either engine). Scale: one bounded window per key plus one tiny
+    * (key, weekday) aggregate broadcast back — nothing wider than the
+    * series itself.
+    */
+  def seasonalDecompose(daily: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol)).rowsBetween(-3, 3)
+    val trended = daily.withColumn("trend",
+        when(count(col(valueCol)).over(w) === 7,
+          sum(col(valueCol).cast(DecimalType(30, 6))).over(w).cast(DoubleType) / lit(7.0)))
+      .withColumn("detrended", col(valueCol) - col("trend"))
+      // 1970-01-05 is a Monday: dow ∈ [0,6] counted from Monday, engine-neutral
+      .withColumn("dow", pmod(datediff(col(dayCol), to_date(lit("1970-01-05"))), lit(7)))
+    val seasonal = trended.filter(col("detrended").isNotNull)
+      .groupBy(col(keyCol), col("dow"))
+      .agg(graft.functions.Fns.exactAvg(col("detrended")).as("seasonal"))
+    trended.join(seasonal, Seq(keyCol, "dow"), "left")
+      .select(col(keyCol), col(dayCol), col(valueCol),
+        col("trend"), col("seasonal"),
+        (col("detrended") - col("seasonal")).as("residual"))
+  }
 }

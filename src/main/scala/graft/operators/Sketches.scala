@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Mergeable cardinality sketches with engine-portable determinism.
+  *
+  * The production shape for distinct counts at corpus scale: an exact
+  * `COUNT(DISTINCT x)` shuffles every distinct value; a KMV (k-minimum-
+  * values) sketch ships a bounded k-element state per group from every map
+  * task and merges by set-union-take-k — constant shuffle width per group
+  * regardless of input size, and sketches for disjoint shards merge without
+  * rescanning (the property HLL is used for in warehouse rollups —
+  * Bar-Yossef et al., "Counting distinct elements in a data stream",
+  * RANDOM'02). Unlike HLL, KMV over a FIXED hash is exactly deterministic:
+  * the k smallest hash values are a set property of the input, independent
+  * of partitioning, order, or engine — so the estimate is oracle-checkable
+  * bit-for-bit, which is why this sketch (and not HLL++) is the one the
+  * suite ships.
+  */
+object Sketches {
+
+  /** 60-bit uniform hash via md5 — the repo's established cross-engine hash
+    * (split assignment, global shuffle, feature hashing all use it): both
+    * engines agree on md5 hex, and 15 hex digits (60 bits) fit a BIGINT
+    * exactly, non-negative.
+    */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast(LongType)
+
+  /** Bottom-k distinct-hash aggregator: buffer = the (at most) k smallest
+    * DISTINCT hash values seen, ascending. `merge` is associative and
+    * commutative, so Spark runs it with map-side partial aggregation — each
+    * map task contributes at most k longs per group to the shuffle, the KMV
+    * scale contract. k is small (hundreds), so the O(k) insert with an early
+    * reject (`a >= last` on a full buffer, the common case on a stream of
+    * mostly-large hashes) is cheaper than any tree structure at this size.
+    */
+  class BottomKAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    override def zero: Seq[Long] = Seq.empty
+    override def reduce(b: Seq[Long], a: Long): Seq[Long] =
+      if (b.length == k && a >= b.last) b
+      else if (b.contains(a)) b
+      else ((b :+ a).sorted).take(k)
+    override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+      (b1 ++ b2).distinct.sorted.take(k)
+    override def finish(r: Seq[Long]): Seq[Long] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** 2^60 as an exact double — the hash-space size for the KMV estimate. */
+  private val TwoPow60: Double = 1152921504606846976.0
+
+  /** Per-group distinct-count estimate via a k-minimum-values sketch over
+    * [[h60]] of `valueCol`, with the exact distinct count alongside (the
+    * exact column is the demonstrator's self-check; a production rollup
+    * ships only the sketch).
+    *
+    * Estimator: with U(k) = k-th smallest hash mapped to (0,1) by /2^60,
+    * `est = (k-1) / U(k)` (the unbiased KMV estimator); when fewer than k
+    * distinct hashes exist the sketch IS the distinct set and the estimate
+    * is exact. All arithmetic after the integer kth-value is one cast and
+    * one division of identical IEEE doubles — bit-reproducible across
+    * engines writing the same formula.
+    */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int = 256): DataFrame = {
+    val bottomK = udaf(new BottomKAgg(k), org.apache.spark.sql.Encoders.scalaLong)
+    df.select(groupCols.map(col) :+ h60(col(valueCol)).as("__h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(countDistinct(col("__h")).as("exact_distinct"),
+        bottomK(col("__h")).as("__sk"))
+      .withColumn("est_distinct",
+        when(col("exact_distinct") < k, col("exact_distinct").cast(DoubleType))
+          .otherwise(lit((k - 1).toDouble) * lit(TwoPow60) /
+            element_at(col("__sk"), k).cast(DoubleType)))
+      .drop("__sk")
+  }
+}

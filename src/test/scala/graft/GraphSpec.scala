@@ -59,4 +59,27 @@ class GraphSpec extends SparkSpec {
     got.map(_.getDouble(3)).sum shouldBe 0.0
     got.find(_.getLong(0) == 0L).get.getLong(1) shouldBe 20L
   }
+
+  test("neighborhoodJaccard: common neighbors and jaccard per edge") {
+    // path-with-chord: edges 1-2, 2-3, 3-4, 4-1, 1-3 (dirty: reversed dup)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("a", "b")
+    val got = rows(Graph.neighborhoodJaccard(edges, "a", "b").orderBy("id_a", "id_b"))
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // N(1)={2,3,4} N(2)={1,3} N(3)={1,2,4} N(4)={1,3}
+    got((1L, 2L)) shouldBe ((3L, 2L, 1L, 1.0 / 4.0)) // common {3}
+    got((1L, 3L)) shouldBe ((3L, 3L, 2L, 2.0 / 4.0)) // common {2,4}
+    got((1L, 4L)) shouldBe ((3L, 2L, 1L, 1.0 / 4.0)) // common {3}
+    got((2L, 3L)) shouldBe ((2L, 3L, 1L, 1.0 / 4.0)) // common {1}
+    got((3L, 4L)) shouldBe ((3L, 2L, 1L, 1.0 / 4.0)) // common {1}
+    got.size shouldBe 5
+  }
+
+  test("neighborhoodJaccard: disconnected edge has zero common, jaccard 0") {
+    val edges = Seq((1L, 2L), (8L, 9L)).toDF("a", "b")
+    val got = rows(Graph.neighborhoodJaccard(edges, "a", "b").orderBy("id_a"))
+      .map(r => (r.getLong(0), r.getLong(4), r.getDouble(5)))
+    got shouldBe Seq((1L, 0L, 0.0), (8L, 0L, 0.0))
+  }
 }

@@ -274,4 +274,28 @@ class QueriesSpec extends SparkSpec {
     out.count() shouldBe 2
     rows(out.filter(col("id") === 1L)).head.isNullAt(2) shouldBe true
   }
+
+  test("seasonalDecompose recovers a pure weekly pattern with zero residual") {
+    // 21 days of value = 100 + dow (dow = 0 on Monday 2024-01-01): every
+    // centered 7-day window holds each weekday once, so trend = 103 exactly,
+    // detrended = dow - 3, seasonal = dow - 3, residual = 0 on interior days
+    val days = (0 until 21).map { i =>
+      ("A", java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00"), 100.0 + i % 7)
+    }
+    val out = Queries.seasonalDecompose(days.toDF("k", "d", "x"), "k", "d", "x")
+      .orderBy("d")
+    val got = rows(out)
+    got.size shouldBe 21
+    // edge days (first/last 3) have no full window: trend and residual null
+    got.take(3).foreach { r => r.isNullAt(3) shouldBe true; r.isNullAt(5) shouldBe true }
+    got.takeRight(3).foreach(_.isNullAt(3) shouldBe true)
+    val interior = got.slice(3, 18)
+    interior.foreach { r =>
+      r.getDouble(3) shouldBe 103.0
+      r.getDouble(5) shouldBe 0.0 +- 1e-12
+    }
+    // seasonal on Monday rows (2024-01-01 is a Monday): dow 0 → -3
+    got.filter(r => r.getTimestamp(1).toString.startsWith("2024-01-08"))
+      .head.getDouble(4) shouldBe -3.0 +- 1e-12
+  }
 }

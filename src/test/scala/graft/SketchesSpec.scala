@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmvDistinct is exact when distinct count is below k") {
+    val df = (1L to 100L).map(i => ("g", i % 40)).toDF("g", "v")
+    val got = rows(Sketches.kmvDistinct(df, Seq("g"), "v", k = 64))
+    got.size shouldBe 1
+    got.head.getLong(1) shouldBe 40L
+    got.head.getDouble(2) shouldBe 40.0
+  }
+
+  test("kmvDistinct estimate lands within the KMV error envelope above k") {
+    // n = 5000 distinct, k = 256: relative standard error ~ 1/sqrt(k-2) ≈ 6%;
+    // assert a generous 4-sigma band — the estimate is deterministic, so this
+    // is a fixed property of the md5 hash on this input, not a flaky sample
+    val df = (1L to 5000L).map(i => ("g", i)).toDF("g", "v")
+    val got = rows(Sketches.kmvDistinct(df, Seq("g"), "v", k = 256)).head
+    got.getLong(1) shouldBe 5000L
+    val est = got.getDouble(2)
+    est should be > 5000.0 * 0.75
+    est should be < 5000.0 * 1.25
+  }
+
+  test("kmvDistinct is invariant to partitioning and row order (mergeable)") {
+    val base = (1L to 3000L).map(i => ("g", i * 7 % 1000)) // dups included
+    val a = rows(Sketches.kmvDistinct(base.toDF("g", "v").repartition(1), Seq("g"), "v", k = 128))
+    val b = rows(Sketches.kmvDistinct(
+      scala.util.Random.shuffle(base).toDF("g", "v").repartition(13), Seq("g"), "v", k = 128))
+    a.head.getLong(1) shouldBe b.head.getLong(1)
+    a.head.getDouble(2) shouldBe b.head.getDouble(2) // bit-identical
+  }
+
+  test("BottomKAgg keeps the k smallest distinct values through reduce and merge") {
+    val agg = new Sketches.BottomKAgg(3)
+    val b = Seq(5L, 9L, 2L, 5L, 7L, 1L).foldLeft(agg.zero)(agg.reduce)
+    b shouldBe Seq(1L, 2L, 5L)
+    agg.merge(Seq(1L, 2L, 5L), Seq(0L, 2L, 8L)) shouldBe Seq(0L, 1L, 2L)
+    agg.merge(agg.zero, Seq(4L)) shouldBe Seq(4L)
+  }
+}
