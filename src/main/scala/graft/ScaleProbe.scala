@@ -301,6 +301,38 @@ object ScaleProbe {
         graft.operators.Queries.coPurchasePairs(li, "l_orderkey", "l_partkey", 50).count()
       }
     }
+    if (k > 1) time("neighborhood_jaccard") {
+      // same k-clique graph as the triangles probe: |edges| = n·C(k,2), and
+      // every edge's common-neighbor count is k−2 — wedge fan-out per edge
+      // is deg = k−1, so total work is n·C(k,2)·(k−1): cubic-in-k OUTPUT
+      // VOLUME by construction. Pass signal: runtime tracks that volume,
+      // not |V|² (the distinction between an edge-seeded wedge join and an
+      // all-pairs similarity).
+      val cliquePairs = base.select(col("doc_id"))
+        .select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("i"))
+        .select(col("doc_id"), col("i"),
+          explode(sequence(lit(0), lit(k - 1))).as("j"))
+        .filter(col("i") < col("j"))
+        .select((col("doc_id") + col("i") * lit(1000000L)).as("id_a"),
+          (col("doc_id") + col("j") * lit(1000000L)).as("id_b"))
+      graft.operators.Graph.neighborhoodJaccard(cliquePairs, "id_a", "id_b").count()
+    }
+    locally {
+      // KMV sketch at k× the events table: re-keyed event ids make the true
+      // cardinality grow k× while the sketch state stays EXACTLY k longs per
+      // group — the shuffle is (#groups × k_sketch) regardless of input
+      // size, which is the entire point of the operator.
+      val evBase = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_type"), col("event_id"))
+      val ev = (0 until k).map(i =>
+        evBase.select(col("event_type"),
+          (col("event_id") + lit(i * 10000000L)).as("event_id")))
+        .reduce(_ unionAll _)
+      time("kmv_distinct") {
+        graft.operators.Sketches.kmvDistinct(ev, Seq("event_type"), "event_id",
+          k = 256).count()
+      }
+    }
     spark.stop()
   }
 }
