@@ -817,6 +817,16 @@ object SparkEntry {
     "q_rolling_dau" -> ((s, dir) =>
       Queries.rollingActiveUsers(events(s, dir), "ts", "user_id", windowDays = 7)
         .orderBy("day")),
+    // concentration report: per-type Gini of purchase value across users —
+    // decimal end-to-end (no double round-trips), rank window per type
+    "q_gini" -> ((s, dir) =>
+      Queries.gini(events(s, dir), "event_type", "user_id", "value")
+        .orderBy("event_type")),
+    // per-user inter-event-time stats + burstiness (Goh–Barabási) — integer
+    // µs gaps, bollinger-pattern decimal moments, engine-portable sqrt
+    "q_interevent_stats" -> ((s, dir) =>
+      Queries.interEventStats(events(s, dir), "user_id", "ts", "event_id")
+        .orderBy("user_id")),
     // mergeable distinct-count sketch (KMV bottom-k over the cross-engine
     // 60-bit md5 hash): map-side partial k-element state instead of
     // shuffling every distinct value — and, unlike HLL, exactly
@@ -1141,6 +1151,14 @@ object SparkEntry {
     "q_split_assign" -> ((s, dir) =>
       graft.operators.Sampling.withSplit(documents(s, dir).select("doc_id"), "doc_id")
         .orderBy("doc_id")),
+    // curriculum data ordering: easy-first (n_chars) within source,
+    // round-robin interleave across sources via pure position arithmetic
+    "q_curriculum_interleave" -> ((s, dir) =>
+      graft.operators.Sampling.curriculumInterleave(
+        documents(s, dir).select("doc_id", "source", "n_chars"),
+        "doc_id", "source", "n_chars")
+        .select("doc_id", "source", "src_rank", "position")
+        .orderBy("position")),
     "q_stratified_sample" -> ((s, dir) =>
       graft.operators.Sampling.stratifiedQuota(
         events(s, dir).select(col("event_id"), col("event_type"), col("user_id")),
@@ -2587,6 +2605,37 @@ object SparkEntry {
         | w AS (SELECT day, COUNT(*) AS rolling_7d FROM contrib GROUP BY day)
         | SELECT dau.day, dau.dau, w.rolling_7d FROM dau JOIN w USING (day)
         | ORDER BY day""".stripMargin.replace("\n", ""),
+    // decimal end-to-end totals, same rank order, same two final divisions
+    "q_gini" ->
+      """WITH t AS (SELECT event_type, user_id, SUM(CAST(value AS DECIMAL(30,6))) AS tv
+        |   FROM events GROUP BY 1, 2),
+        | r AS (SELECT event_type, tv, user_id,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY tv, user_id) AS rn FROM t),
+        | a AS (SELECT event_type, COUNT(*) AS n_units, SUM(tv) AS st,
+        |   SUM(CAST(tv AS DECIMAL(20,6)) * CAST(rn AS DECIMAL(10,0))) AS sit
+        |   FROM r GROUP BY 1)
+        | SELECT event_type, n_units,
+        |   (2.0 * CAST(sit AS DOUBLE)) / (CAST(n_units AS DOUBLE) * CAST(st AS DOUBLE))
+        |     - (CAST(n_units AS DOUBLE) + 1.0) / CAST(n_units AS DOUBLE) AS gini
+        | FROM a ORDER BY event_type""".stripMargin.replace("\n", ""),
+    // same integer-µs lag gaps; moments exact in µs (HUGEINT product — the
+    // decimal-cast-of-double path double-rounds past 2^53), same final
+    // double chain
+    "q_interevent_stats" ->
+      """WITH g AS (SELECT user_id,
+        |   epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gus
+        |   FROM events),
+        | a AS (SELECT user_id, COUNT(gus) AS n_gaps,
+        |   CAST(SUM(gus) AS DOUBLE) AS sx,
+        |   CAST(SUM(CAST(gus AS HUGEINT) * gus) AS DOUBLE) AS sxx
+        |   FROM g WHERE gus IS NOT NULL GROUP BY 1),
+        | b AS (SELECT user_id, n_gaps, (sx / CAST(n_gaps AS DOUBLE)) / 1000000.0 AS mean_gap_s,
+        |   sqrt((CAST(n_gaps AS DOUBLE) * sxx - sx * sx) /
+        |     (CAST(n_gaps AS DOUBLE) * (CAST(n_gaps AS DOUBLE) - 1.0))) / 1000000.0 AS std_gap_s
+        |   FROM a WHERE n_gaps >= 2)
+        | SELECT user_id, n_gaps, mean_gap_s, std_gap_s,
+        |   (std_gap_s - mean_gap_s) / (std_gap_s + mean_gap_s) AS burstiness
+        | FROM b ORDER BY user_id""".stripMargin.replace("\n", ""),
     // KMV sketch dual: same 60-bit md5 hash (the repo's cross-engine hash
     // trick), kth-smallest via row_number, same estimator arithmetic
     "q_kmv_distinct" ->
@@ -3006,6 +3055,16 @@ object SparkEntry {
       s"""SELECT doc_id, CASE WHEN h % 1000 < 800 THEN 'train' WHEN h % 1000 < 900 THEN 'val'
          | ELSE 'test' END AS split
          | FROM (SELECT doc_id, ${idHashSql("doc_id")} AS h FROM documents) ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // same alphabetical stratum index, same per-source rank, same position
+    // arithmetic
+    "q_curriculum_interleave" ->
+      """WITH s AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS si,
+        |   COUNT(*) OVER () AS ns FROM (SELECT DISTINCT source FROM documents)),
+        | r AS (SELECT doc_id, source,
+        |   row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS src_rank
+        |   FROM documents)
+        | SELECT r.doc_id, r.source, r.src_rank, (r.src_rank - 1) * s.ns + s.si AS position
+        | FROM r JOIN s USING (source) ORDER BY position""".stripMargin.replace("\n", ""),
     "q_stratified_sample" ->
       s"""WITH e AS (SELECT event_id, event_type, user_id, ${idHashSql("event_id")} AS h FROM events),
          | r AS (SELECT event_id, event_type, user_id,

@@ -664,6 +664,75 @@ object Queries {
     dau.join(contrib, Seq("day"))
   }
 
+  /** Per-key Gini coefficient of `valueCol` concentration across `unitCol`
+    * (e.g. how concentrated purchase value is across users, per event type) —
+    * the standard inequality measure a data-balance report ships.
+    * `G = (2·Σ i·tᵢ) / (n·Σtᵢ) − (n+1)/n` over per-unit totals ranked
+    * ascending (ties → unit id).
+    *
+    * Engine parity: totals stay DECIMAL end to end (never through a double
+    * round-trip), the rank-weighted sum multiplies DECIMAL(20,6) by the rank
+    * cast DECIMAL(10,0) — exact at ≤10⁶ units per key with both engines'
+    * result-type rules — and only the final two divisions are doubles.
+    * Scale: one partial-aggregable totals shuffle + one per-key rank window
+    * (bounded by units-per-key) + one partial-aggregable rollup. The rank
+    * window is the widest stage; for a key with 10⁹ units swap in the
+    * two-level distributed rank (Sampling.globalShuffle's construction).
+    */
+  def gini(df: DataFrame, keyCol: String, unitCol: String, valueCol: String): DataFrame = {
+    val totals = df.groupBy(col(keyCol), col(unitCol))
+      .agg(sum(col(valueCol).cast(DecimalType(30, 6))).as("t"))
+    val ranked = totals.withColumn("rn",
+      row_number().over(Window.partitionBy(col(keyCol))
+        .orderBy(col("t"), col(unitCol))).cast(LongType))
+    ranked.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("t")).as("st"),
+        sum(col("t").cast(DecimalType(20, 6)) *
+          col("rn").cast(DecimalType(10, 0))).as("sit"))
+      .withColumn("gini",
+        (lit(2.0) * col("sit").cast(DoubleType)) /
+          (col("n_units").cast(DoubleType) * col("st").cast(DoubleType)) -
+          (col("n_units").cast(DoubleType) + lit(1.0)) / col("n_units").cast(DoubleType))
+      .select(col(keyCol), col("n_units"), col("gini"))
+  }
+
+  /** Per-unit inter-event-time statistics: gap count, mean/std gap in
+    * seconds, and burstiness `(σ−μ)/(σ+μ)` (Goh & Barabási, "Burstiness and
+    * memory in complex systems", EPL 2008) — −1 = metronome, 0 = Poisson,
+    * →1 = bursty. The feature an event-stream health report keys on.
+    *
+    * Moments stay in EXACT integer microseconds through the aggregation
+    * (Σg as long, Σg² as a DECIMAL(38,0) product of the µs diffs — the
+    * decimal-cast-of-double shortcut double-rounds on the other engine once
+    * g²·10⁶ passes 2⁵³), and only the final mean/variance/sqrt chain runs in
+    * doubles, identically written on both sides. Scale: one per-unit lag
+    * window + one partial-aggregable moment aggregation.
+    */
+  def interEventStats(df: DataFrame, unitCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(unitCol)).orderBy(col(tsCol), col(tieCol))
+    val g = df
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__g", col("__us") - lag(col("__us"), 1).over(w))
+      .filter(col("__g").isNotNull)
+    val nD = col("n_gaps").cast(DoubleType)
+    g.groupBy(col(unitCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__g")).cast(DoubleType).as("__sx"),
+        sum(col("__g").cast(DecimalType(19, 0)) * col("__g").cast(DecimalType(19, 0)))
+          .cast(DoubleType).as("__sxx"))
+      .filter(col("n_gaps") >= 2)
+      .withColumn("mean_gap_s", (col("__sx") / nD) / lit(1000000.0))
+      .withColumn("std_gap_s",
+        sqrt((nD * col("__sxx") - col("__sx") * col("__sx")) /
+          (nD * (nD - lit(1.0)))) / lit(1000000.0))
+      .withColumn("burstiness",
+        (col("std_gap_s") - col("mean_gap_s")) / (col("std_gap_s") + col("mean_gap_s")))
+      .select(col(unitCol), col("n_gaps"), col("mean_gap_s"), col("std_gap_s"),
+        col("burstiness"))
+  }
+
   /** Classical additive seasonal decomposition of a daily series:
     * `value = trend + seasonal + residual` with trend = centered 7-day
     * moving average (full windows only, null at the edges), seasonal = the

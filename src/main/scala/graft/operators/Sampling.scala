@@ -197,4 +197,33 @@ object Sampling {
       .filter(col("__rn") <= ceil(col("__n") * fraction))
       .drop("__rn", "__n")
   }
+
+  /** Curriculum ordering with round-robin source interleaving: rank each
+    * stratum's rows by a difficulty proxy (ascending — easy first), then
+    * assign global position `(rank−1)·n_strata + stratum_index`, so the
+    * training stream ramps difficulty while every consecutive n_strata-row
+    * window touches every source once (the interleaving curriculum-training
+    * recipes prescribe so no source is bunched).
+    *
+    * Scale: one per-stratum rank window (the corpus-wide stage) plus a
+    * strata index frame that is bounded by construction — one row per
+    * stratum, built with a single tiny window and broadcast back. Position
+    * is arithmetic, not a global sort; a consumer ORDER BY position is a
+    * range-partitioned sort only the final writer pays.
+    */
+  def curriculumInterleave(df: DataFrame, idCol: String, stratumCol: String,
+      difficultyCol: String): DataFrame = {
+    // one row per stratum: alphabetical index + the stratum count —
+    // bounded-by-construction (strata are a handful), so the single
+    // unpartitioned window is a few rows, then broadcast
+    val strata = df.select(col(stratumCol)).distinct()
+      .withColumn("__si", row_number().over(Window.orderBy(col(stratumCol))).cast(LongType) - 1L)
+      .withColumn("__ns", count(lit(1)).over(Window.partitionBy()))
+    val ranked = df.withColumn("src_rank",
+      row_number().over(Window.partitionBy(col(stratumCol))
+        .orderBy(col(difficultyCol), col(idCol))).cast(LongType))
+    ranked.join(broadcast(strata), Seq(stratumCol))
+      .withColumn("position", (col("src_rank") - 1L) * col("__ns") + col("__si"))
+      .drop("__si", "__ns")
+  }
 }

@@ -275,6 +275,25 @@ class QueriesSpec extends SparkSpec {
     rows(out.filter(col("id") === 1L)).head.isNullAt(2) shouldBe true
   }
 
+  test("gini: 0 for uniform totals, (n-1)/n for total concentration") {
+    val uniform = (1L to 10L).map(u => ("k", u, 5.0)).toDF("k", "u", "v")
+    rows(Queries.gini(uniform, "k", "u", "v")).head.getDouble(2) shouldBe 0.0 +- 1e-12
+    val conc = (1L to 9L).map(u => ("k", u, 0.0)) :+ (("k", 10L, 100.0))
+    rows(Queries.gini(conc.toDF("k", "u", "v"), "k", "u", "v"))
+      .head.getDouble(2) shouldBe 0.9 +- 1e-12
+  }
+
+  test("interEventStats: metronome gaps give std 0 and burstiness -1") {
+    val evs = (0 until 10).map(i =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i * 5}%02d:00"), i.toLong))
+      .toDF("u", "ts", "eid")
+    val got = rows(Queries.interEventStats(evs, "u", "ts", "eid")).head
+    got.getLong(1) shouldBe 9L
+    got.getDouble(2) shouldBe 300.0
+    got.getDouble(3) shouldBe 0.0
+    got.getDouble(4) shouldBe -1.0
+  }
+
   test("seasonalDecompose recovers a pure weekly pattern with zero residual") {
     // 21 days of value = 100 + dow (dow = 0 on Monday 2024-01-01): every
     // centered 7-day window holds each weekday once, so trend = 103 exactly,

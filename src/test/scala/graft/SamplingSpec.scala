@@ -89,4 +89,18 @@ class SamplingSpec extends SparkSpec {
     bySrc("small").toDouble should be > 100.0
     bySrc("big").toDouble should be < 900.0
   }
+
+  test("curriculumInterleave ramps difficulty and round-robins sources") {
+    val df = Seq(
+      (1L, "a", 30L), (2L, "a", 10L), (3L, "a", 20L),
+      (4L, "b", 5L), (5L, "b", 50L), (6L, "b", 40L)
+    ).toDF("id", "src", "diff")
+    val got = rows(Sampling.curriculumInterleave(df, "id", "src", "diff")
+      .select("id", "src", "src_rank", "position").orderBy("position"))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // positions 0..5: sources alternate a,b,a,b,... and each source's ranks ascend
+    got.map(_._4) shouldBe (0L to 5L)
+    got.map(_._2) shouldBe Seq("a", "b", "a", "b", "a", "b")
+    got.map(_._1) shouldBe Seq(2L, 4L, 3L, 6L, 1L, 5L) // easy → hard within source
+  }
 }
