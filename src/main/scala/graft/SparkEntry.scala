@@ -847,6 +847,12 @@ object SparkEntry {
     "q_event_transitions" -> ((s, dir) =>
       graft.operators.Funnel.transitions(events(s, dir), "user_id", "event_type",
         "ts", "event_id").orderBy("src", "dst")),
+    // long-run state occupancy of the same chain: 4 power iterations with
+    // PageRank's decimal contribution sums (self-loop mass for sink states)
+    "q_markov_stationary" -> ((s, dir) =>
+      graft.operators.Funnel.stationary(
+        graft.operators.Funnel.transitions(events(s, dir), "user_id", "event_type",
+          "ts", "event_id")).orderBy("state")),
     // market-basket mining: top part pairs by the number of orders holding
     // both — basket-keyed self-join, fan-out bounded by basket size
     "q_copurchase_pairs" -> ((s, dir) =>
@@ -2685,6 +2691,29 @@ object SparkEntry {
         | t AS (SELECT src, SUM(n) AS tot FROM c GROUP BY 1)
         | SELECT src, dst, n, CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
         | FROM c JOIN t USING (src) ORDER BY src, dst""".stripMargin.replace("\n", ""),
+    // same transitions, then 4 unrolled power iterations with the
+    // DECIMAL(38,12) contribution sums pageRank's dual uses
+    "q_markov_stationary" -> {
+      def step(prev: String, out: String): String =
+        s"""$out AS (SELECT b.state, b.ns, b.has_out,
+           | COALESCE(CAST(m.s AS DOUBLE), 0.0) + CASE WHEN b.has_out THEN 0.0 ELSE b.pi END AS pi
+           | FROM $prev b LEFT JOIN (SELECT tr.dst AS state,
+           |   SUM(CAST($prev.pi * tr.p AS DECIMAL(38,12))) AS s
+           |   FROM tr JOIN $prev ON $prev.state = tr.src GROUP BY 1) m USING (state))"""
+          .stripMargin.replace("\n", "")
+      s"""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+         | nxt AS (SELECT event_type AS src,
+         |   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM e),
+         | c AS (SELECT src, dst, COUNT(*) AS n FROM nxt WHERE dst IS NOT NULL GROUP BY 1, 2),
+         | t AS (SELECT src, SUM(n) AS tot FROM c GROUP BY 1),
+         | tr AS (SELECT src, dst, CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p FROM c JOIN t USING (src)),
+         | st AS (SELECT state, COUNT(*) OVER () AS ns FROM
+         |   (SELECT DISTINCT src AS state FROM tr UNION SELECT DISTINCT dst FROM tr)),
+         | ho AS (SELECT state, ns, state IN (SELECT src FROM tr) AS has_out FROM st),
+         | p0 AS (SELECT state, ns, has_out, 1.0 / CAST(ns AS DOUBLE) AS pi FROM ho),
+         | ${step("p0", "p1")}, ${step("p1", "p2")}, ${step("p2", "p3")}, ${step("p3", "p4")}
+         | SELECT state, pi FROM p4 ORDER BY state""".stripMargin.replace("\n", "")
+    },
     // basket-keyed self-join; a.__i < b.__i canonicalizes the pair
     "q_copurchase_pairs" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem)

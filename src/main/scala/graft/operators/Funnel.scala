@@ -92,4 +92,41 @@ object Funnel {
       .withColumn("p", col("n").cast(DoubleType) / col("__tot").cast(DoubleType))
       .select("src", "dst", "n", "p")
   }
+
+  /** Stationary distribution of the [[transitions]] Markov chain by
+    * fixed-iteration power method: `π' = π·P` from a uniform start, with
+    * states lacking outgoing transitions keeping their mass (self-loop
+    * semantics — the bounded analogue of PageRank's dangling handling, but
+    * without teleport: this is the raw chain). Long-run occupancy is the
+    * summary a behavior report derives from the transition matrix.
+    *
+    * Engine parity is [[Graph.pageRank]]'s pattern verbatim: per-state
+    * contribution sums go through DECIMAL(38,12), so they are
+    * order-independent and bit-reproducible; everything else is identically
+    * written double arithmetic. Scale: the state set is #distinct event
+    * types — bounded by construction (the one tiny unpartitioned window is
+    * over that frame) — and each iteration is one edges⋈π join + one
+    * partial-aggregable sum, the BSP dataflow shape, regardless of how many
+    * EVENTS produced the matrix.
+    */
+  def stationary(trans: DataFrame, iterations: Int = 4): DataFrame = {
+    val states = trans.select(col("src").as("state"))
+      .unionByName(trans.select(col("dst").as("state"))).distinct()
+      .withColumn("__ns", count(lit(1)).over(Window.partitionBy()))
+    val outs = trans.select(col("src")).distinct().withColumn("__ho", lit(true))
+    val base = states.join(outs, states("state") === outs("src"), "left")
+      .select(col("state"), col("__ns"), coalesce(col("__ho"), lit(false)).as("__ho"))
+    var pi = base.withColumn("pi", lit(1.0) / col("__ns").cast(DoubleType))
+    (1 to iterations).foreach { _ =>
+      val contrib = trans
+        .join(pi.select(col("state").as("src"), col("pi")), Seq("src"))
+        .select(col("dst"), (col("pi") * col("p")).cast(DecimalType(38, 12)).as("__c"))
+        .groupBy("dst").agg(sum(col("__c")).as("__m"))
+      pi = pi.join(contrib, pi("state") === contrib("dst"), "left")
+        .select(pi("state"), pi("__ns"), pi("__ho"),
+          (coalesce(col("__m").cast(DoubleType), lit(0.0)) +
+            when(pi("__ho"), lit(0.0)).otherwise(pi("pi"))).as("pi"))
+    }
+    pi.select(col("state"), col("pi"))
+  }
 }

@@ -69,4 +69,21 @@ class FunnelSpec extends SparkSpec {
       ("2024-01-02", 0L, 1L), // user 3
       ("2024-01-02", 2L, 1L)) // user 3 returns
   }
+
+  test("stationary: 4 power iterations on a 2-state chain, exact dyadic values") {
+    // A→A 0.5, A→B 0.5, B→A 1.0: π_{t+1} = (πA/2 + πB, πA/2) from (1/2, 1/2)
+    // → (.75,.25) → (.625,.375) → (.6875,.3125) → (.65625,.34375)
+    val trans = Seq(("A", "A", 1L, 0.5), ("A", "B", 1L, 0.5), ("B", "A", 2L, 1.0))
+      .toDF("src", "dst", "n", "p")
+    val got = rows(Funnel.stationary(trans, iterations = 4).orderBy("state"))
+      .map(r => (r.getString(0), r.getDouble(1)))
+    got shouldBe Seq(("A", 0.65625), ("B", 0.34375))
+  }
+
+  test("stationary: a sink state absorbs all mass (self-loop semantics)") {
+    val trans = Seq(("A", "B", 1L, 1.0)).toDF("src", "dst", "n", "p")
+    val got = rows(Funnel.stationary(trans, iterations = 3).orderBy("state"))
+      .map(r => (r.getString(0), r.getDouble(1)))
+    got shouldBe Seq(("A", 0.0), ("B", 1.0))
+  }
 }
