@@ -1297,6 +1297,12 @@ object SparkEntry {
         .select(col("vec_id"), col("dim").cast(LongType).as("dim"),
           (col("v").cast(DoubleType) / col("__nrm")).as("nv"))
         .orderBy("vec_id", "dim")),
+    // per-dimension z-scoring (whitening-lite): decimal moments per dim,
+    // #dims-row moment table broadcast back
+    "q_embed_standardize" -> ((s, dir) =>
+      Similarity.standardize(embeddings(s, dir), "embedding", "vec_id")
+        .select(col("id").as("vec_id"), col("dim"), col("z"))
+        .orderBy("vec_id", "dim")),
     // per-label embedding centroids (mean pooling, exact decimal sums)
     "q_embed_centroids" -> ((s, dir) =>
       Similarity.meanPooledCentroids(embeddings(s, dir), "embedding", "label")
@@ -3261,6 +3267,19 @@ object SparkEntry {
         | u AS (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e)
         | SELECT vec_id, i - 1 AS dim, v[i] / sqrt(list_inner_product(v, v)) AS nv
         | FROM u ORDER BY vec_id, dim""".stripMargin.replace("\n", ""),
+    // same per-dim decimal moments, same std/z double chain
+    "q_embed_standardize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | u AS (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e),
+        | d AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, v[i] AS x FROM u),
+        | m AS (SELECT dim, COUNT(*) AS n,
+        |   CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+        |   CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx FROM d GROUP BY 1),
+        | mm AS (SELECT dim, sx / CAST(n AS DOUBLE) AS mean,
+        |   sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) /
+        |     (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS std FROM m)
+        | SELECT d.vec_id, d.dim, (d.x - mm.mean) / mm.std AS z
+        | FROM d JOIN mm USING (dim) ORDER BY vec_id, dim""".stripMargin.replace("\n", ""),
     "q_embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200),
         | s AS (SELECT vec_id, v,

@@ -58,6 +58,33 @@ object Similarity {
     * vector contributes to every dim exactly once — no skew at any corpus
     * size). This is the same shuffle shape [[trainCentroids]] uses for IVF.
     */
+  /** Per-dimension z-score standardization of an embedding corpus — the
+    * whitening-lite preprocessing retrieval pipelines run so no dimension
+    * dominates the dot product. Long-format output (id, dim, z); moments per
+    * dimension use the decimal-sum pattern (float inputs widen exactly, so
+    * the Σx/Σx² conversions are tie-free on both engines), std/σ math is
+    * identically written doubles.
+    *
+    * Scale: one (dim)-keyed partial-aggregable moment shuffle — uniform by
+    * construction, every vector feeds every dim once — and the
+    * #dims-row moment table broadcast back onto the narrow exploded frame.
+    */
+  def standardize(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val expl = df.select(col(idCol).as("id"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+    val nD = col("__n").cast(DoubleType)
+    val moments = expl.groupBy("dim").agg(
+        count(lit(1)).as("__n"),
+        sum(col("x").cast(DecimalType(30, 6))).cast(DoubleType).as("__sx"),
+        sum((col("x") * col("x")).cast(DecimalType(30, 6))).cast(DoubleType).as("__sxx"))
+      .withColumn("__mean", col("__sx") / nD)
+      .withColumn("__std",
+        sqrt((nD * col("__sxx") - col("__sx") * col("__sx")) / (nD * (nD - lit(1.0)))))
+    expl.join(broadcast(moments.select(col("dim"), col("__mean"), col("__std"))), Seq("dim"))
+      .select(col("id"), col("dim").cast(LongType).as("dim"),
+        ((col("x") - col("__mean")) / col("__std")).as("z"))
+  }
+
   def meanPooledCentroids(df: DataFrame, vecCol: String, keyCol: String): DataFrame =
     df.select(col(keyCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
       .groupBy(col(keyCol), col("dim"))

@@ -189,4 +189,57 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("kmv estimate is exact below k and within the 4σ KMV envelope above") {
+    (1L to 6L).foreach { s =>
+      val n = 200 + (s * 997 % 3000).toInt
+      val df = (1L to n.toLong).map(i => ("g", i * (s + 1))).toDF("g", "v")
+      val k = 128
+      val got = rows(graft.operators.Sketches.kmvDistinct(df, Seq("g"), "v", k)).head
+      got.getLong(1) shouldBe n.toLong
+      val est = got.getDouble(2)
+      if (n < k) est shouldBe n.toDouble
+      // RSE ≈ 1/sqrt(k−2): 4σ at k=128 ≈ 36%
+      else est should (be > n * 0.64 and be < n * 1.36)
+    }
+  }
+
+  test("neighborhoodJaccard equals a driver-side brute force on random graphs") {
+    val r = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val nodes = 2 + r.nextInt(12)
+      val raw = (1 to 30).map(_ => (r.nextInt(nodes).toLong, r.nextInt(nodes).toLong))
+      val und = raw.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      if (und.nonEmpty) {
+        val adj = (und ++ und.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val expect = und.map { case (a, b) =>
+          val c = (adj(a) & adj(b)).size
+          ((a, b), (adj(a).size.toLong, adj(b).size.toLong, c.toLong,
+            c.toDouble / (adj(a).size + adj(b).size - c)))
+        }.toMap
+        val got = rows(graft.operators.Graph.neighborhoodJaccard(
+            und.toDF("a", "b"), "a", "b"))
+          .map(row => ((row.getLong(0), row.getLong(1)),
+            (row.getLong(2), row.getLong(3), row.getLong(4), row.getDouble(5)))).toMap
+        got shouldBe expect
+      }
+    }
+  }
+
+  test("seasonalDecompose reconstruction: value == trend + seasonal + residual where defined") {
+    val r = new scala.util.Random(11)
+    val days = (0 until 28).map { i =>
+      ("A", java.sql.Timestamp.valueOf(f"2024-03-${i + 1}%02d 00:00:00"),
+        math.rint(r.nextDouble() * 10000) / 100.0)
+    }
+    val got = rows(graft.operators.Queries.seasonalDecompose(
+      days.toDF("k", "d", "x"), "k", "d", "x"))
+    got.foreach { row =>
+      if (!row.isNullAt(3)) {
+        val recon = row.getDouble(3) + row.getDouble(4) + row.getDouble(5)
+        recon shouldBe row.getDouble(2) +- 1e-9
+      }
+    }
+  }
 }

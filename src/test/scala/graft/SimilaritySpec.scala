@@ -140,4 +140,21 @@ class SimilaritySpec extends SparkSpec {
       .map(_.getLong(1))
     ivf shouldBe brute
   }
+
+  test("standardize: output has per-dim mean ~0 and sample std ~1") {
+    val df = Seq(
+      (1L, Seq(1.0f, 10.0f)), (2L, Seq(2.0f, 20.0f)),
+      (3L, Seq(3.0f, 30.0f)), (4L, Seq(4.0f, 40.0f))
+    ).toDF("vec_id", "embedding")
+    val z = rows(Similarity.standardize(df, "embedding", "vec_id"))
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    (0L to 1L).foreach { d =>
+      val zs = z.filter(_._1 == d).map(_._2)
+      zs.sum shouldBe 0.0 +- 1e-9
+      val n = zs.size
+      math.sqrt(zs.map(v => v * v).sum / (n - 1)) shouldBe 1.0 +- 1e-9
+      // [1,2,3,4] standardized: mean 2.5, std ~1.29099; extremes ±1.1619
+      zs.min shouldBe -1.161895003862225 +- 1e-9
+    }
+  }
 }
