@@ -1402,6 +1402,30 @@ object SparkEntry {
       }
     }),
 
+    // the KMV sketch under the streaming gate: complete-mode aggregation
+    // with the SAME BottomKAgg Aggregator — micro-batches merge partial
+    // sketches through the state store, so the emitted estimate must equal
+    // the batch sketch (the oracle states it). countDistinct is not
+    // streamable, so the stream emits the estimate only — which is the
+    // production shape anyway (the exact column exists to check the sketch)
+    "q_stream_kmv" -> ((s, dir) => {
+      tune(s)
+      withStreamConf(s) {
+        val k = 256
+        val bottomK = udaf(new graft.operators.Sketches.BottomKAgg(k),
+          org.apache.spark.sql.Encoders.scalaLong)
+        val agg = eventStream(s, dir)
+          .select(col("event_type"), graft.operators.Sketches.h60(col("event_id")).as("__h"))
+          .groupBy("event_type")
+          .agg(bottomK(col("__h")).as("__sk"))
+          .select(col("event_type"),
+            when(size(col("__sk")) < k, size(col("__sk")).cast(DoubleType))
+              .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+                element_at(col("__sk"), k).cast(DoubleType)).as("est_distinct"))
+        graft.streaming.Streaming.runToMemory(s, agg, "stream_kmv")
+          .orderBy("event_type")
+      }
+    }),
     // streaming ingest dedup under the gate: dropDuplicatesWithinWatermark on
     // the (user_id, event_type) key with AvailableNow — only key columns are
     // emitted, so WHICH duplicate survives is unobservable and the output is
@@ -2660,6 +2684,20 @@ object SparkEntry {
         |   MAX(CASE WHEN rn = 256 THEN h END) AS kth FROM rk GROUP BY event_type)
         | SELECT event_type, exact_distinct,
         |   CASE WHEN exact_distinct < 256 THEN CAST(exact_distinct AS DOUBLE)
+        |     ELSE (255.0 * 1152921504606846976.0) / CAST(kth AS DOUBLE) END AS est_distinct
+        | FROM agg ORDER BY event_type""".stripMargin.replace("\n", ""),
+    // the stream must land on the batch sketch exactly: same dual minus the
+    // (non-streamable) exact column
+    "q_stream_kmv" ->
+      """WITH hs AS (SELECT DISTINCT event_type,
+        |   list_reduce(list_transform(range(1, 16), i ->
+        |     CAST(strpos('0123456789abcdef', substring(md5(CAST(event_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |     (a,b) -> a*16 + b) AS h FROM events),
+        | rk AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM hs),
+        | agg AS (SELECT event_type, COUNT(*) AS nd,
+        |   MAX(CASE WHEN rn = 256 THEN h END) AS kth FROM rk GROUP BY event_type)
+        | SELECT event_type,
+        |   CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
         |     ELSE (255.0 * 1152921504606846976.0) / CAST(kth AS DOUBLE) END AS est_distinct
         | FROM agg ORDER BY event_type""".stripMargin.replace("\n", ""),
     // decomposition dual: same daily decimal-exact series, same centered

@@ -79,6 +79,30 @@ class StreamingSpec extends SparkSpec {
     rows(out.select("k")).map(_.getLong(0)).sorted shouldBe Seq(1L, 2L, 3L)
   }
 
+  test("streaming KMV sketch merges across microbatches to the exact batch sketch") {
+    // the Aggregator's merge() runs through the state store between batches;
+    // the final estimate must be bit-identical to the one-shot batch sketch
+    import org.apache.spark.sql.functions.udaf
+    val k = 8
+    val dir = java.nio.file.Files.createTempDirectory("kmvbatch").toString
+    val a = (1L to 40L).map(i => ("g", i)).toDF("g", "v")
+    val b = (30L to 80L).map(i => ("g", i)).toDF("g", "v") // overlap: dedup inside sketch
+    a.coalesce(1).write.parquet(s"$dir/f1")
+    b.coalesce(1).write.parquet(s"$dir/f2")
+    val bottomK = udaf(new graft.operators.Sketches.BottomKAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    def est(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("g"), graft.operators.Sketches.h60(col("v")).as("h"))
+      .groupBy("g").agg(bottomK(col("h")).as("sk"))
+      .select(col("g"), col("sk"))
+    val stream = spark.readStream.schema(a.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*/")
+    val streamed = rows(Streaming.runToMemory(spark, est(stream), "kmv_multibatch"))
+      .map(r => (r.getString(0), r.getSeq[Long](1))).toMap
+    val batch = rows(est(a.unionByName(b))).map(r => (r.getString(0), r.getSeq[Long](1))).toMap
+    streamed shouldBe batch
+  }
+
   test("payload stream decodes with the batch parser operators (bus-shaped source)") {
     import graft.sources.JsonPayloads
     val payloads = Seq(("AAPL", Fixtures.yahooChart)).toDF("symbol", "payload")
