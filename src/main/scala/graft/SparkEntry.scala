@@ -817,6 +817,16 @@ object SparkEntry {
     "q_rolling_dau" -> ((s, dir) =>
       Queries.rollingActiveUsers(events(s, dir), "ts", "user_id", windowDays = 7)
         .orderBy("day")),
+    // exact nearest-rank percentile summary per type (p50/p90/p99) — the
+    // sketch-free, cross-engine-reproducible form
+    "q_value_percentiles" -> ((s, dir) =>
+      Queries.exactPercentiles(events(s, dir), "event_type", "value", "event_id",
+        Seq(0.5, 0.9, 0.99)).orderBy("event_type")),
+    // quantile mapping: click values re-expressed on the purchase
+    // distribution (rank → percentile → interpolated reference order stats)
+    "q_quantile_map" -> ((s, dir) =>
+      Queries.quantileMap(events(s, dir), "event_type", "value", "event_id",
+        fromKey = "click", refKey = "purchase").orderBy("event_id")),
     // concentration report: per-type Gini of purchase value across users —
     // decimal end-to-end (no double round-trips), rank window per type
     "q_gini" -> ((s, dir) =>
@@ -2641,6 +2651,34 @@ object SparkEntry {
         | w AS (SELECT day, COUNT(*) AS rolling_7d FROM contrib GROUP BY day)
         | SELECT dau.day, dau.dau, w.rolling_7d FROM dau JOIN w USING (day)
         | ORDER BY day""".stripMargin.replace("\n", ""),
+    // same total (value, tie) order, same ceil(p·n) nearest-rank pick
+    "q_value_percentiles" ->
+      """WITH r AS (SELECT event_type, value,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |   COUNT(*) OVER (PARTITION BY event_type) AS n FROM events)
+        | SELECT event_type,
+        |   MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+        |   MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+        |   MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+        | FROM r GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", ""),
+    // same two rank frames, same interpolation arithmetic
+    "q_quantile_map" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |   COUNT(*) OVER (PARTITION BY event_type) AS n
+        |   FROM events WHERE event_type IN ('click', 'purchase')),
+        | f AS (SELECT event_id, value, CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS pr
+        |   FROM r WHERE event_type = 'click'),
+        | ref AS (SELECT rn AS ref_rn, value AS ref_v, n AS ref_n FROM r WHERE event_type = 'purchase'),
+        | rn1 AS (SELECT DISTINCT ref_n FROM ref),
+        | pos AS (SELECT f.event_id, f.value, f.pr * CAST(rn1.ref_n - 1 AS DOUBLE) AS p
+        |   FROM f CROSS JOIN rn1)
+        | SELECT pos.event_id, pos.value,
+        |   lo.ref_v + (hi.ref_v - lo.ref_v) * (pos.p - floor(pos.p)) AS mapped
+        | FROM pos
+        | JOIN ref lo ON lo.ref_rn = CAST(floor(pos.p) AS BIGINT) + 1
+        | JOIN ref hi ON hi.ref_rn = CAST(ceil(pos.p) AS BIGINT) + 1
+        | ORDER BY event_id""".stripMargin.replace("\n", ""),
     // decimal end-to-end totals, same rank order, same two final divisions
     "q_gini" ->
       """WITH t AS (SELECT event_type, user_id, SUM(CAST(value AS DECIMAL(30,6))) AS tv

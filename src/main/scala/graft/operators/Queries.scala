@@ -664,6 +664,69 @@ object Queries {
     dau.join(contrib, Seq("day"))
   }
 
+  /** Exact nearest-rank percentiles per key: for each p, the value at rank
+    * `ceil(p·n)` in (value, tie) order — the distributional summary
+    * (p50/p90/p99 latency-style reporting) computed EXACTLY, not via a
+    * sketch, and deterministically (the tie column makes the order total).
+    *
+    * Scale: one per-key rank window + conditional aggregation — same cost
+    * class as any per-key window; the sketch alternative (approx_percentile)
+    * trades exactness for a mergeable state and is NOT cross-engine
+    * reproducible, which is why the suite ships the exact form.
+    */
+  def exactPercentiles(df: DataFrame, keyCol: String, valueCol: String,
+      tieCol: String, ps: Seq[Double]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(valueCol), col(tieCol))
+    val cw = Window.partitionBy(col(keyCol))
+    val ranked = df.withColumn("__rn", row_number().over(w).cast(LongType))
+      .withColumn("__n", count(lit(1)).over(cw))
+    val aggs = ps.map { p =>
+      max(when(col("__rn") === ceil(lit(p) * col("__n")).cast(LongType),
+        col(valueCol))).as(s"p${(p * 100).round}")
+    }
+    ranked.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Quantile mapping: re-express one key's value distribution on a
+    * REFERENCE key's distribution (rank → percentile → linear interpolation
+    * between the reference's order statistics) — the classical distribution-
+    * normalization technique (quantile mapping in bias correction,
+    * quantile normalization in omics), here mapping `fromKey` events onto
+    * `refKey`'s value scale.
+    *
+    * percentile = (rank−1)/(n−1); position p = percentile·(n_ref−1);
+    * mapped = v_ref[⌊p⌋] + (v_ref[⌈p⌉] − v_ref[⌊p⌋])·(p − ⌊p⌋). Every step
+    * is rank arithmetic or one identically-written double expression.
+    * Scale: two per-key rank windows + two equi-joins on the integer rank —
+    * no global window, no theta join.
+    */
+  def quantileMap(df: DataFrame, keyCol: String, valueCol: String,
+      tieCol: String, fromKey: String, refKey: String): DataFrame = {
+    def ranked(k: String) = {
+      val w = Window.partitionBy(col(keyCol)).orderBy(col(valueCol), col(tieCol))
+      df.filter(col(keyCol) === k)
+        .withColumn("__rn", row_number().over(w).cast(LongType))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+    }
+    val from = ranked(fromKey)
+      .withColumn("__pr",
+        (col("__rn") - 1L).cast(DoubleType) / (col("__n") - 1L).cast(DoubleType))
+    val ref = ranked(refKey)
+      .select(col("__rn").as("__ref_rn"), col(valueCol).as("__ref_v"),
+        col("__n").as("__ref_n"))
+    val refN = ref.select(col("__ref_n")).limit(1)
+    val positioned = from.crossJoin(broadcast(refN))
+      .withColumn("__p", col("__pr") * (col("__ref_n") - 1L).cast(DoubleType))
+      .withColumn("__lo", floor(col("__p")).cast(LongType) + 1L)
+      .withColumn("__hi", ceil(col("__p")).cast(LongType) + 1L)
+    positioned
+      .join(ref.select(col("__ref_rn").as("__lo"), col("__ref_v").as("__vlo")), Seq("__lo"))
+      .join(ref.select(col("__ref_rn").as("__hi"), col("__ref_v").as("__vhi")), Seq("__hi"))
+      .select(col(tieCol), col(valueCol).as("value"),
+        (col("__vlo") + (col("__vhi") - col("__vlo")) *
+          (col("__p") - floor(col("__p")))).as("mapped"))
+  }
+
   /** Per-key Gini coefficient of `valueCol` concentration across `unitCol`
     * (e.g. how concentrated purchase value is across users, per event type) —
     * the standard inequality measure a data-balance report ships.

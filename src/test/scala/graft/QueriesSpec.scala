@@ -275,6 +275,23 @@ class QueriesSpec extends SparkSpec {
     rows(out.filter(col("id") === 1L)).head.isNullAt(2) shouldBe true
   }
 
+  test("exactPercentiles: nearest-rank order statistics per key") {
+    val df = (1L to 100L).map(i => ("k", i.toDouble, i)).toDF("k", "v", "id")
+    val got = rows(Queries.exactPercentiles(df, "k", "v", "id", Seq(0.5, 0.9, 0.99))).head
+    got.getDouble(1) shouldBe 50.0 // ceil(0.5*100) = 50
+    got.getDouble(2) shouldBe 90.0
+    got.getDouble(3) shouldBe 99.0
+  }
+
+  test("quantileMap: equal-length distributions map rank-for-rank exactly") {
+    val df = (Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).map { case (i, v) => ("a", v, i) } ++
+      Seq((11L, 10.0), (12L, 20.0), (13L, 30.0), (14L, 40.0)).map { case (i, v) => ("b", v, i) })
+      .toDF("k", "v", "id")
+    val got = rows(Queries.quantileMap(df, "k", "v", "id", "a", "b").orderBy("id"))
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    got shouldBe Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+  }
+
   test("gini: 0 for uniform totals, (n-1)/n for total concentration") {
     val uniform = (1L to 10L).map(u => ("k", u, 5.0)).toDF("k", "u", "v")
     rows(Queries.gini(uniform, "k", "u", "v")).head.getDouble(2) shouldBe 0.0 +- 1e-12
