@@ -1132,6 +1132,15 @@ object SparkEntry {
     "q_source_vocab_overlap" -> ((s, dir) =>
       TextAnalysis.groupVocabOverlap(documents(s, dir), "text", "source")
         .orderBy("group_a", "group_b")),
+    // distribution-aware companion: pairwise total-variation distance of
+    // token frequencies via TV = 1 − Σ min(p,q) (inner join only, no libm)
+    "q_source_divergence" -> ((s, dir) =>
+      TextAnalysis.groupDivergence(documents(s, dir), "text", "source")
+        .orderBy("group_a", "group_b")),
+    // AMOC changepoint: day of max |CUSUM| deviation per type series
+    "q_changepoint" -> ((s, dir) =>
+      Queries.changepoint(dailyByType(s, dir), "event_type", "d", "x")
+        .orderBy("event_type")),
     "q_top_bigrams" -> ((s, dir) =>
       TextAnalysis.topBigrams(documents(s, dir), "text", "doc_id", 50)),
     // collocation mining: top bigrams by lift (= exp PMI), support floor 5
@@ -3089,6 +3098,37 @@ object SparkEntry {
          |   CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) AS vocab_jaccard
          | FROM inter JOIN sizes sa ON sa.source = group_a JOIN sizes sb ON sb.source = group_b
          | ORDER BY group_a, group_b""".stripMargin.replace("\n", ""),
+    // same counts→probabilities, same inner-join min-sum identity
+    "q_source_divergence" ->
+      s"""WITH toks AS (SELECT source, UNNEST($dedupWords) AS tok FROM documents),
+         | c AS (SELECT source, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+         | t AS (SELECT source, SUM(n) AS tot FROM c GROUP BY 1),
+         | p AS (SELECT c.source, tok, CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+         |   FROM c JOIN t USING (source)),
+         | m AS (SELECT a.source AS group_a, b.source AS group_b,
+         |   SUM(CAST(LEAST(a.p, b.p) AS DECIMAL(30,6))) AS s
+         |   FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source GROUP BY 1, 2)
+         | SELECT group_a, group_b, 1.0 - CAST(s AS DOUBLE) AS tv_distance
+         | FROM m ORDER BY group_a, group_b""".stripMargin.replace("\n", ""),
+    // same decimal prefix/total sums, same deviation expression, same
+    // (dev desc, day) argmax
+    "q_changepoint" ->
+      """WITH a AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS x FROM events GROUP BY 1, 2),
+        | s AS (SELECT event_type, d, x,
+        |   row_number() OVER o AS t,
+        |   CAST(SUM(CAST(x AS DECIMAL(30,6))) OVER o AS DOUBLE) AS ps,
+        |   COUNT(*) OVER c AS n,
+        |   CAST(SUM(CAST(x AS DECIMAL(30,6))) OVER c AS DOUBLE) AS tot
+        |   FROM a WINDOW o AS (PARTITION BY event_type ORDER BY d),
+        |     c AS (PARTITION BY event_type)),
+        | dev AS (SELECT event_type, d,
+        |   abs(ps - (CAST(t AS DOUBLE) / CAST(n AS DOUBLE)) * tot) AS cusum_dev,
+        |   row_number() OVER (PARTITION BY event_type
+        |     ORDER BY abs(ps - (CAST(t AS DOUBLE) / CAST(n AS DOUBLE)) * tot) DESC, d) AS rk
+        |   FROM s)
+        | SELECT event_type, d AS change_day, cusum_dev FROM dev WHERE rk = 1
+        | ORDER BY event_type""".stripMargin.replace("\n", ""),
     "q_top_bigrams" ->
       s"""SELECT bigram, COUNT(*) AS n
          | FROM (SELECT UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram

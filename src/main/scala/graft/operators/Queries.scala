@@ -664,6 +664,39 @@ object Queries {
     dau.join(contrib, Seq("day"))
   }
 
+  /** Single most-likely mean-shift point per key (AMOC — at-most-one-change
+    * — via the CUSUM statistic): the day t maximizing
+    * `|prefix_sum(t) − (t/n)·total|`, i.e. where the cumulative series
+    * deviates most from the constant-mean line (Page, "Continuous inspection
+    * schemes", Biometrika 1954; ties → earliest day). The monitoring
+    * primitive behind "when did this series change regime".
+    *
+    * Prefix and total sums run through DECIMAL (order-independent); the
+    * deviation is one identically-written double expression; the argmax is
+    * a per-key rank window. Scale: two bounded per-key windows, nothing
+    * global.
+    */
+  def changepoint(daily: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    val cw = Window.partitionBy(col(keyCol))
+    val scored = daily
+      .withColumn("__t", row_number().over(w).cast(LongType))
+      .withColumn("__ps",
+        sum(col(valueCol).cast(DecimalType(30, 6))).over(w).cast(DoubleType))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .withColumn("__tot",
+        sum(col(valueCol).cast(DecimalType(30, 6))).over(cw).cast(DoubleType))
+      .withColumn("__dev",
+        abs(col("__ps") -
+          (col("__t").cast(DoubleType) / col("__n").cast(DoubleType)) * col("__tot")))
+    scored
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("__dev").desc, col(dayCol))))
+      .filter(col("__rk") === 1)
+      .select(col(keyCol), col(dayCol).as("change_day"), col("__dev").as("cusum_dev"))
+  }
+
   /** Exact nearest-rank percentiles per key: for each p, the value at rank
     * `ceil(p·n)` in (value, tie) order — the distributional summary
     * (p50/p90/p99 latency-style reporting) computed EXACTLY, not via a

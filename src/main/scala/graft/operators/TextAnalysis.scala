@@ -125,6 +125,34 @@ object TextAnalysis {
           (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType)).as("vocab_jaccard"))
   }
 
+  /** Pairwise total-variation distance between groups' token DISTRIBUTIONS —
+    * the distribution-aware companion of [[groupVocabOverlap]]'s set Jaccard
+    * (two sources can share a vocabulary yet use it with very different
+    * frequencies; mixture design cares about both). Computed through the
+    * inner-join-only identity `TV = ½·Σ|p−q| = 1 − Σ_matched min(p,q)`
+    * (Σp = Σq = 1), so unmatched tokens never need a full-outer join, and
+    * no logarithms (KL/JS would drag libm parity into the oracle).
+    *
+    * Scale: identical shape to [[groupVocabOverlap]] — (group, token) counts
+    * with partial aggregation, token self-join fan-out bounded by #groups²
+    * per token, min-sums through DECIMAL for order independence.
+    */
+  def groupDivergence(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val cnts = df.select(col(groupCol).as("grp"), explode(Dedup.tokens(col(textCol))).as("tok"))
+      .groupBy("grp", "tok").agg(count(lit(1)).as("n"))
+    val tots = cnts.groupBy("grp").agg(sum(col("n")).as("tot"))
+    val probs = cnts.join(tots, Seq("grp"))
+      .select(col("grp"), col("tok"),
+        (col("n").cast(DoubleType) / col("tot").cast(DoubleType)).as("p"))
+    val l = probs.select(col("tok"), col("grp").as("group_a"), col("p").as("pa"))
+    val r = probs.select(col("tok"), col("grp").as("group_b"), col("p").as("pb"))
+    l.join(r, Seq("tok")).filter(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(sum(least(col("pa"), col("pb")).cast(DecimalType(30, 6))).as("__s"))
+      .select(col("group_a"), col("group_b"),
+        (lit(1.0) - col("__s").cast(DoubleType)).as("tv_distance"))
+  }
+
   /** TF-IDF top terms per document: term frequency within the doc, document
     * frequency across the corpus, `tfidf = tf · N / df` (kept as one exact
     * integer product and one IEEE division so both engines produce the same

@@ -275,6 +275,16 @@ class QueriesSpec extends SparkSpec {
     rows(out.filter(col("id") === 1L)).head.isNullAt(2) shouldBe true
   }
 
+  test("changepoint: max CUSUM deviation lands on the step boundary") {
+    // 0,0,0,0,0,10,10,10,10,10: deviation |ps_t − (t/n)·50| peaks at t=5 (25)
+    val days = (1 to 10).map(i =>
+      ("k", java.sql.Timestamp.valueOf(f"2024-01-$i%02d 00:00:00"),
+        if (i <= 5) 0.0 else 10.0))
+    val got = rows(Queries.changepoint(days.toDF("k", "d", "x"), "k", "d", "x")).head
+    got.getTimestamp(1).toString should startWith("2024-01-05")
+    got.getDouble(2) shouldBe 25.0
+  }
+
   test("exactPercentiles: nearest-rank order statistics per key") {
     val df = (1L to 100L).map(i => ("k", i.toDouble, i)).toDF("k", "v", "id")
     val got = rows(Queries.exactPercentiles(df, "k", "v", "id", Seq(0.5, 0.9, 0.99))).head

@@ -214,4 +214,16 @@ class TextAnalysisSpec extends SparkSpec {
     out(("s1", "s3")) shouldBe 0.25 // |{alpha}| / |{alpha,beta,gamma,delta}|
     out.keySet should not contain (("s1", "s4")) // zero-overlap pairs absent
   }
+
+  test("groupDivergence: identical distribution -> 0, hand-computed partial") {
+    val df = Seq(
+      (1L, "x x y y", "a"),   // p: x=.5 y=.5
+      (2L, "x x y y", "b"),   // identical distribution
+      (3L, "x x x y", "c")    // p: x=.75 y=.25 → Σmin vs a = .5+.25 → TV=.25
+    ).toDF("doc_id", "text", "source")
+    val out = rows(TextAnalysis.groupDivergence(df, "text", "source"))
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    out(("a", "b")) shouldBe 0.0 +- 1e-6
+    out(("a", "c")) shouldBe 0.25 +- 1e-6
+  }
 }
