@@ -1141,6 +1141,11 @@ object SparkEntry {
     "q_changepoint" -> ((s, dir) =>
       Queries.changepoint(dailyByType(s, dir), "event_type", "d", "x")
         .orderBy("event_type")),
+    // lag-1..7 ACF per type series: calendar-day self-join + pearson's
+    // exact-decimal power sums
+    "q_autocorr" -> ((s, dir) =>
+      Queries.autocorrelation(dailyByType(s, dir), "event_type", "d", "x", maxLag = 7)
+        .orderBy("event_type", "lag")),
     "q_top_bigrams" -> ((s, dir) =>
       TextAnalysis.topBigrams(documents(s, dir), "text", "doc_id", 50)),
     // collocation mining: top bigrams by lift (= exp PMI), support floor 5
@@ -3129,6 +3134,23 @@ object SparkEntry {
         |   FROM s)
         | SELECT event_type, d AS change_day, cusum_dev FROM dev WHERE rk = 1
         | ORDER BY event_type""".stripMargin.replace("\n", ""),
+    // same calendar-day pairs, same power-sum r tree
+    "q_autocorr" ->
+      """WITH a AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS x FROM events GROUP BY 1, 2),
+        | lg AS (SELECT event_type, d, x, UNNEST(range(1, 8)) AS lag FROM a),
+        | j AS (SELECT lg.event_type, lg.lag, lg.x, b.x AS y FROM lg
+        |   JOIN a b ON b.event_type = lg.event_type AND b.d = lg.d + lg.lag * INTERVAL 1 DAY),
+        | s AS (SELECT event_type, lag, CAST(COUNT(*) AS DOUBLE) AS n,
+        |   CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+        |   CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+        |   CAST(SUM(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+        |   CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+        |   CAST(SUM(CAST(y * y AS DECIMAL(30,6))) AS DOUBLE) AS syy
+        |   FROM j GROUP BY 1, 2)
+        | SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+        |   (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS acf
+        | FROM s ORDER BY event_type, lag""".stripMargin.replace("\n", ""),
     "q_top_bigrams" ->
       s"""SELECT bigram, COUNT(*) AS n
          | FROM (SELECT UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram

@@ -664,6 +664,41 @@ object Queries {
     dau.join(contrib, Seq("day"))
   }
 
+  /** Lag-k autocorrelation function per key: Pearson r between the daily
+    * series and its k-day-shifted self for k = 1..maxLag — the ACF profile a
+    * seasonality/momentum report reads (a weekly cycle shows as a lag-7
+    * peak). Pairs come from a calendar-day equi-join (`d + k days`), so gaps
+    * pair correctly (a row-offset lead would misalign across missing days);
+    * the r formula is [[pearson]]'s exact-decimal power-sum tree verbatim.
+    *
+    * Scale: one lag-exploded frame (rows × maxLag, narrow) equi-joined back
+    * on (key, day) and one partial-aggregable power-sum aggregation per
+    * (key, lag) — nothing wider than the series × maxLag.
+    */
+  def autocorrelation(daily: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String, maxLag: Int = 7): DataFrame = {
+    val dec = DecimalType(30, 6)
+    val a = daily.select(col(keyCol), col(dayCol), col(valueCol).cast(DoubleType).as("__x"))
+      .withColumn("lag", explode(lit((1 to maxLag).toArray)))
+      .withColumn("__d2", col(dayCol) + make_dt_interval(col("lag")))
+    val b = daily.select(col(keyCol), col(dayCol).as("__d2"),
+      col(valueCol).cast(DoubleType).as("__y"))
+    val j = a.join(b, Seq(keyCol, "__d2"))
+    j.groupBy(col(keyCol), col("lag"))
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("__x").cast(dec)).cast(DoubleType).as("sx"),
+        sum(col("__y").cast(dec)).cast(DoubleType).as("sy"),
+        sum((col("__x") * col("__y")).cast(dec)).cast(DoubleType).as("sxy"),
+        sum((col("__x") * col("__x")).cast(dec)).cast(DoubleType).as("sxx"),
+        sum((col("__y") * col("__y")).cast(dec)).cast(DoubleType).as("syy"))
+      .select(col(keyCol), col("lag").cast(LongType).as("lag"),
+        col("n").cast(LongType).as("n_pairs"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("acf"))
+  }
+
   /** Single most-likely mean-shift point per key (AMOC — at-most-one-change
     * — via the CUSUM statistic): the day t maximizing
     * `|prefix_sum(t) − (t/n)·total|`, i.e. where the cumulative series

@@ -275,6 +275,15 @@ class QueriesSpec extends SparkSpec {
     rows(out.filter(col("id") === 1L)).head.isNullAt(2) shouldBe true
   }
 
+  test("autocorrelation: alternating series has acf(1) = -1, acf(2) = +1") {
+    val days = (1 to 12).map(i =>
+      ("k", java.sql.Timestamp.valueOf(f"2024-01-$i%02d 00:00:00"), (i % 2).toDouble))
+    val got = rows(Queries.autocorrelation(days.toDF("k", "d", "x"), "k", "d", "x", maxLag = 2)
+      .orderBy("lag")).map(r => (r.getLong(1), r.getDouble(3)))
+    got(0)._2 shouldBe -1.0 +- 1e-12
+    got(1)._2 shouldBe 1.0 +- 1e-12
+  }
+
   test("changepoint: max CUSUM deviation lands on the step boundary") {
     // 0,0,0,0,0,10,10,10,10,10: deviation |ps_t − (t/n)·50| peaks at t=5 (25)
     val days = (1 to 10).map(i =>
