@@ -1181,6 +1181,15 @@ object SparkEntry {
     "q_split_assign" -> ((s, dir) =>
       graft.operators.Sampling.withSplit(documents(s, dir).select("doc_id"), "doc_id")
         .orderBy("doc_id")),
+    // per-source token budget: keep docs in stable hash order while the
+    // running ws-token sum stays ≤ 500 (strict; boundary doc dropped)
+    "q_token_budget_sample" -> ((s, dir) =>
+      graft.operators.Sampling.tokenBudgetSample(
+        documents(s, dir).select(col("doc_id"), col("source"),
+          TextAnalysis.wsTokens(col("text")).cast(LongType).as("n_tokens")),
+        "doc_id", "source", "n_tokens", budget = 500L)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")),
     // curriculum data ordering: easy-first (n_chars) within source,
     // round-robin interleave across sources via pure position arithmetic
     "q_curriculum_interleave" -> ((s, dir) =>
@@ -3228,6 +3237,15 @@ object SparkEntry {
       s"""SELECT doc_id, CASE WHEN h % 1000 < 800 THEN 'train' WHEN h % 1000 < 900 THEN 'val'
          | ELSE 'test' END AS split
          | FROM (SELECT doc_id, ${idHashSql("doc_id")} AS h FROM documents) ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // same hash order, same running sum, same strict-≤ boundary rule
+    "q_token_budget_sample" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |   CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0)) AS BIGINT) AS n_tokens,
+         |   ${idHashSql("doc_id")} AS h FROM documents),
+         | c AS (SELECT doc_id, source, n_tokens,
+         |   SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum_tokens FROM d)
+         | SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         | FROM c WHERE cum_tokens <= 500 ORDER BY doc_id""".stripMargin.replace("\n", ""),
     // same alphabetical stratum index, same per-source rank, same position
     // arithmetic
     "q_curriculum_interleave" ->

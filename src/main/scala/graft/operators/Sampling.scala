@@ -198,6 +198,28 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
+  /** Token-budget-capped subsample: keep each stratum's documents in
+    * deterministic id-hash order while the running token sum stays within
+    * `budget` — "give me ≤ N tokens per source, unbiased" is the everyday
+    * curation ask when a mixture recipe fixes per-source token counts.
+    * Hash order makes the kept set a uniform, reproducible sample (a scan-
+    * order prefix would bias toward whatever the writer emitted first).
+    * Unlike [[withSplit]]'s per-doc assignment, a budget PREFIX is not
+    * growth-stable — a new doc can hash earlier and push the boundary —
+    * which is inherent to any fixed-total cap; the first doc crossing the
+    * budget is dropped (strict ≤).
+    *
+    * Scale: one per-stratum running-sum window — the same single key-keyed
+    * exchange any per-stratum aggregation pays.
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, stratumCol: String,
+      tokenCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(idHash(col(idCol)), col(idCol))
+    df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Curriculum ordering with round-robin source interleaving: rank each
     * stratum's rows by a difficulty proxy (ascending — easy first), then
     * assign global position `(rank−1)·n_strata + stratum_index`, so the

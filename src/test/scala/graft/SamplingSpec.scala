@@ -90,6 +90,19 @@ class SamplingSpec extends SparkSpec {
     bySrc("big").toDouble should be < 900.0
   }
 
+  test("tokenBudgetSample: strict budget cap, deterministic, exactly filled") {
+    val df = (1L to 50L).map(i => (i, "s", 10L)).toDF("id", "src", "toks")
+    val kept = rows(Sampling.tokenBudgetSample(df, "id", "src", "toks", budget = 200L))
+    kept.size shouldBe 20 // 20 × 10 = 200 ≤ 200; 21st would cross
+    kept.map(_.getLong(3)).max shouldBe 200L
+    // re-run identical (pure function of ids)
+    rows(Sampling.tokenBudgetSample(df, "id", "src", "toks", budget = 200L))
+      .map(_.getLong(0)).toSet shouldBe kept.map(_.getLong(0)).toSet
+    // boundary doc dropped: budget 195 keeps 19 docs (cum 190), not a partial 20th
+    rows(Sampling.tokenBudgetSample(df, "id", "src", "toks", budget = 195L))
+      .size shouldBe 19
+  }
+
   test("curriculumInterleave ramps difficulty and round-robins sources") {
     val df = Seq(
       (1L, "a", 30L), (2L, "a", 10L), (3L, "a", 20L),
