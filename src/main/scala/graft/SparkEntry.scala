@@ -1018,6 +1018,25 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) =>
       dedupClusterIndex(s, dir)
         .select(col("id").as("doc_id"), col("cluster_id")).orderBy("doc_id")),
+    // the per-document audit trail a curation run ships alongside its
+    // output: keep/drop status with the REASON (exact content dup vs
+    // near-dup) and the canonical survivor — composed from the cached
+    // cluster index plus a content-hash keeper window
+    "q_dedup_audit" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val keeper = docs.select(col("doc_id"),
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
+          .as("__keeper"))
+      val clusters = dedupClusterIndex(s, dir)
+      keeper.join(clusters, keeper("doc_id") === clusters("id"))
+        .select(keeper("doc_id"),
+          when(col("doc_id") =!= col("__keeper"), lit("exact_dup"))
+            .when(col("doc_id") =!= col("cluster_id"), lit("near_dup"))
+            .otherwise(lit("kept")).as("status"),
+          col("cluster_id").as("survivor_id"))
+        .orderBy("doc_id")
+    }),
     // dedup observability: per-source duplication rate from the global
     // clustering — the report a curation run ships with its output
     "q_dedup_report" -> ((s, dir) => {
@@ -2990,6 +3009,22 @@ object SparkEntry {
          | ORDER BY id_a, id_b""".stripMargin.replace("\n", ""),
     "q_dedup_clusters" -> dedupClustersSql(n = 5, threshold = 0.5),
     "q_dedup_report" -> dedupReportSql(n = 5, threshold = 0.5),
+    // same transitive closure + a content-hash keeper window; identical
+    // status precedence (exact beats near)
+    "q_dedup_audit" ->
+      s"""WITH RECURSIVE ${exactJaccardCtes(5, 0.5)},
+         | e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+         | closure(id, r) AS (
+         |   SELECT doc_id, doc_id FROM documents
+         |   UNION
+         |   SELECT e.s, c.r FROM e JOIN closure c ON c.id = e.d),
+         | comps AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM closure GROUP BY id),
+         | k AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM documents)
+         | SELECT k.doc_id,
+         |   CASE WHEN k.doc_id <> k.keeper THEN 'exact_dup'
+         |        WHEN k.doc_id <> c.cluster_id THEN 'near_dup' ELSE 'kept' END AS status,
+         |   c.cluster_id AS survivor_id
+         | FROM k JOIN comps c USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "q_dedup_survivors_best" -> dedupSurvivorsBestSql(n = 5, threshold = 0.5),
     "q_simhash_fingerprints" -> simhashSql(n = 5),
     "q_embed_dedup_lsh" -> embedLshSql(threshold = 0.2, dim = 64, planes = 16, bands = 4),
