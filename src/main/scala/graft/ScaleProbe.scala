@@ -301,6 +301,28 @@ object ScaleProbe {
         graft.operators.Queries.coPurchasePairs(li, "l_orderkey", "l_partkey", 50).count()
       }
     }
+    time("source_divergence") {
+      // replication multiplies every (source, token) count by k but the
+      // vocabulary and #sources do not grow: the token self-join stays
+      // #groups²-bounded per token and the probs frame stays vocab-sized —
+      // cost must track the corpus scan, not the pair count
+      graft.operators.TextAnalysis.groupDivergence(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("source"))
+          .transform(d => (0 until k).map(i =>
+            d.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+              col("text"), col("source"))).reduce(_ unionAll _)),
+        "text", "source").count()
+    }
+    time("token_budget_sample") {
+      // one per-stratum running-sum window; k× docs per stratum → k× window
+      // rows, linear
+      graft.operators.Sampling.tokenBudgetSample(
+        docs.withColumn("source", concat(lit("s"), col("doc_id") % 20))
+          .withColumn("n_tokens",
+            graft.operators.TextAnalysis.wsTokens(col("text")).cast("long")),
+        "doc_id", "source", "n_tokens", budget = 50000L).count()
+    }
     if (k > 1) time("neighborhood_jaccard") {
       // same k-clique graph as the triangles probe: |edges| = n·C(k,2), and
       // every edge's common-neighbor count is k−2 — wedge fan-out per edge
