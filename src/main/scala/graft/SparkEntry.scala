@@ -178,7 +178,11 @@ object SparkEntry {
     val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = s.conf.getOption(providerKey)
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    // default 4; GRAFT_STREAM_SHUFFLE overrides for A/B runs (state-store
+    // count is pinned at plan time — fewer stores = fewer per-batch commits,
+    // but also less parallelism; 4 measured best on this suite, see BASELINE)
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "4"))
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatch.toString)
     sys.env.get("GRAFT_STATE_PROVIDER").foreach(v => s.conf.set(providerKey, v))
     try body finally {
