@@ -821,6 +821,13 @@ object SparkEntry {
     "q_rolling_dau" -> ((s, dir) =>
       Queries.rollingActiveUsers(events(s, dir), "ts", "user_id", windowDays = 7)
         .orderBy("day")),
+    // intraday profile: per (type, hour-of-day) volume + exact-decimal mean
+    "q_hourly_profile" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("n"), Fns.exactAvg(col("value")).as("avg_value"))
+        .withColumn("hod", col("hod").cast(LongType))
+        .orderBy("event_type", "hod")),
     // exact nearest-rank percentile summary per type (p50/p90/p99) — the
     // sketch-free, cross-engine-reproducible form
     "q_value_percentiles" -> ((s, dir) =>
@@ -1013,6 +1020,11 @@ object SparkEntry {
     // in its cluster
     "q_graph_jaccard" -> ((s, dir) =>
       graft.operators.Graph.neighborhoodJaccard(minhashPairIndex(s, dir), "id_a", "id_b")
+        .orderBy("id_a", "id_b")),
+    // resource-allocation link score on the same graph — hub-discounted
+    // common neighbors, reciprocal (not log) so the oracle stays libm-free
+    "q_graph_ra" -> ((s, dir) =>
+      graft.operators.Graph.resourceAllocation(minhashPairIndex(s, dir), "id_a", "id_b")
         .orderBy("id_a", "id_b")),
     "q_simhash_fingerprints" -> ((s, dir) =>
       Dedup.withSimhash(documents(s, dir).select("doc_id", "text"), "text", "doc_id", "simhash", shingleN = 5)
@@ -2697,6 +2709,11 @@ object SparkEntry {
         | w AS (SELECT day, COUNT(*) AS rolling_7d FROM contrib GROUP BY day)
         | SELECT dau.day, dau.dau, w.rolling_7d FROM dau JOIN w USING (day)
         | ORDER BY day""".stripMargin.replace("\n", ""),
+    // same UTC wall-clock hour, same decimal mean
+    "q_hourly_profile" ->
+      """SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(value) AS DOUBLE) AS avg_value
+        | FROM events GROUP BY 1, 2 ORDER BY event_type, hod""".stripMargin.replace("\n", ""),
     // same total (value, tie) order, same ceil(p·n) nearest-rank pick
     "q_value_percentiles" ->
       """WITH r AS (SELECT event_type, value,
@@ -2784,6 +2801,21 @@ object SparkEntry {
         |   CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
         |     ELSE (255.0 * 1152921504606846976.0) / CAST(kth AS DOUBLE) END AS est_distinct
         | FROM agg ORDER BY event_type""".stripMargin.replace("\n", ""),
+    // same wedge frame + a deg(w) join; 1/deg through the same decimal sum
+    "q_graph_ra" ->
+      s"""WITH ${exactJaccardCtes(5, 0.5)},
+         | und AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b FROM p WHERE id_a <> id_b),
+         | adj AS (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b AS node, a AS nbr FROM und),
+         | dg AS (SELECT node, COUNT(*) AS deg FROM adj GROUP BY node),
+         | cm AS (SELECT e.a, e.b,
+         |   CAST(SUM(CAST(1.0 / CAST(dw.deg AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS ra
+         |   FROM und e
+         |   JOIN adj na ON na.node = e.a JOIN adj nb ON nb.node = e.b AND nb.nbr = na.nbr
+         |   JOIN dg dw ON dw.node = na.nbr
+         |   GROUP BY e.a, e.b)
+         | SELECT e.a AS id_a, e.b AS id_b, COALESCE(cm.ra, 0.0) AS ra
+         | FROM und e LEFT JOIN cm ON cm.a = e.a AND cm.b = e.b
+         | ORDER BY id_a, id_b""".stripMargin.replace("\n", ""),
     // decomposition dual: same daily decimal-exact series, same centered
     // 7-row window, same Monday-epoch weekday, same decimal means
     "q_seasonal_decompose" ->

@@ -141,6 +141,37 @@ object Graph {
     * is equi-joins + one partial-aggregable count, nothing theta, no
     * driver-side state.
     */
+  /** Per-edge resource-allocation index: `RA(a,b) = Σ_{w∈N(a)∩N(b)} 1/deg(w)`
+    * (Zhou, Lü & Zhang, "Predicting missing links via local information",
+    * Eur. Phys. J. B 2009) — the link-prediction score that outperforms
+    * common-neighbor counts on dense hubs by discounting promiscuous shared
+    * neighbors. Chosen over Adamic-Adar (1/log deg) deliberately: the
+    * reciprocal needs no logarithm, so the score stays libm-free and
+    * engine-reproducible. Same edge-seeded wedge shape as
+    * [[neighborhoodJaccard]]; the 1/deg terms sum through DECIMAL for order
+    * independence.
+    */
+  def resourceAllocation(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = pairs
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(false)
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+    val wedges = und
+      .join(adj.select(col("node").as("a"), col("nbr").as("w")), Seq("a"))
+      .join(adj.select(col("node").as("b"), col("nbr").as("w")), Seq("b", "w"))
+      .join(deg.select(col("node").as("w"), col("deg").as("__dw")), Seq("w"))
+    val scored = wedges.groupBy(col("a"), col("b"))
+      .agg(sum((lit(1.0) / col("__dw").cast(DoubleType)).cast(DecimalType(30, 6)))
+        .cast(DoubleType).as("ra"))
+    und.join(scored, Seq("a", "b"), "left")
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        coalesce(col("ra"), lit(0.0)).as("ra"))
+  }
+
   def neighborhoodJaccard(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     // canonical undirected edges; localCheckpoint for the same 5-reference
     // lineage reason as triangles

@@ -76,6 +76,16 @@ class GraphSpec extends SparkSpec {
     got.size shouldBe 5
   }
 
+  test("resourceAllocation: hub-discounted common-neighbor sums, decimal-quantized") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("a", "b")
+    val got = rows(Graph.resourceAllocation(edges, "a", "b").orderBy("id_a", "id_b"))
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // deg: 1→3, 2→2, 3→3, 4→2; 1/3 quantizes to 0.333333 at DECIMAL(30,6)
+    got((1L, 2L)) shouldBe 0.333333 // common {3}: 1/deg(3)
+    got((1L, 3L)) shouldBe 1.0      // common {2,4}: 1/2 + 1/2
+    got((2L, 3L)) shouldBe 0.333333 // common {1}: 1/deg(1)
+  }
+
   test("neighborhoodJaccard: disconnected edge has zero common, jaccard 0") {
     val edges = Seq((1L, 2L), (8L, 9L)).toDF("a", "b")
     val got = rows(Graph.neighborhoodJaccard(edges, "a", "b").orderBy("id_a"))
