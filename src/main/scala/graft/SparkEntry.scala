@@ -868,6 +868,15 @@ object SparkEntry {
     "q_event_transitions" -> ((s, dir) =>
       graft.operators.Funnel.transitions(events(s, dir), "user_id", "event_type",
         "ts", "event_id").orderBy("src", "dst")),
+    // path mining: top-25 three-step event-type paths (two leads on one
+    // user-keyed sort; first-order transitions miss multi-step structure)
+    "q_event_paths" -> ((s, dir) =>
+      graft.operators.Funnel.topPaths(events(s, dir), "user_id", "event_type",
+        "ts", "event_id", k = 25)),
+    // behavioral segmentation: RFM quintiles per user (recency/frequency/
+    // exact-decimal monetary; ntile over fully tie-broken orders)
+    "q_rfm" -> ((s, dir) =>
+      Queries.rfm(events(s, dir), "user_id", "ts", "value").orderBy("user_id")),
     // long-run state occupancy of the same chain: 4 power iterations with
     // PageRank's decimal contribution sums (self-loop mass for sink states)
     "q_markov_stationary" -> ((s, dir) =>
@@ -2851,6 +2860,28 @@ object SparkEntry {
         | t AS (SELECT src, SUM(n) AS tot FROM c GROUP BY 1)
         | SELECT src, dst, n, CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
         | FROM c JOIN t USING (src) ORDER BY src, dst""".stripMargin.replace("\n", ""),
+    // same user-keyed leads, same (n desc, path) top-k
+    "q_event_paths" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        | t AS (SELECT event_type AS e1,
+        |   lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3
+        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        | SELECT e1, e2, e3, COUNT(*) AS n FROM t
+        | WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        | GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 25""".stripMargin.replace("\n", ""),
+    // same per-user aggregates, same tie-broken ntile orders
+    "q_rfm" ->
+      """WITH r AS (SELECT MAX(ts) AS ref FROM events),
+        | u AS (SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
+        |   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS monetary FROM events GROUP BY 1),
+        | x AS (SELECT user_id,
+        |   CAST(datediff('day', CAST(last_ts AS DATE), CAST(r.ref AS DATE)) AS BIGINT) AS recency_days,
+        |   frequency, monetary FROM u CROSS JOIN r)
+        | SELECT user_id, recency_days, frequency, monetary,
+        |   CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_q,
+        |   CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_q,
+        |   CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_q
+        | FROM x ORDER BY user_id""".stripMargin.replace("\n", ""),
     // same transitions, then 4 unrolled power iterations with the
     // DECIMAL(38,12) contribution sums pageRank's dual uses
     "q_markov_stationary" -> {

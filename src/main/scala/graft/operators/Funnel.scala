@@ -93,6 +93,28 @@ object Funnel {
       .select("src", "dst", "n", "p")
   }
 
+  /** Top-k most-traveled 3-step paths: adjacent (e₁→e₂→e₃) type triples in
+    * each unit's time-ordered stream, counted corpus-wide — the path-mining
+    * companion of [[transitions]] (first-order chains miss multi-step
+    * structure like view→click→purchase vs view→click→view).
+    *
+    * Same projected unit-keyed window as [[transitions]] (two leads ride one
+    * sort), one partial-aggregable count, `TakeOrdered` top-k — never a
+    * global sort. All-integer, deterministic (count desc, then path).
+    */
+  def topPaths(df: DataFrame, unitCol: String, typeCol: String,
+      timeCol: String, tieCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(unitCol)).orderBy(col(timeCol), col(tieCol))
+    df.select(col(unitCol), col(typeCol), col(timeCol), col(tieCol))
+      .withColumn("__e2", lead(col(typeCol), 1).over(w))
+      .withColumn("__e3", lead(col(typeCol), 2).over(w))
+      .filter(col("__e2").isNotNull && col("__e3").isNotNull)
+      .groupBy(col(typeCol).as("e1"), col("__e2").as("e2"), col("__e3").as("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(k)
+  }
+
   /** Stationary distribution of the [[transitions]] Markov chain by
     * fixed-iteration power method: `π' = π·P` from a uniform start, with
     * states lacking outgoing transitions keeping their mass (self-loop

@@ -664,6 +664,37 @@ object Queries {
     dau.join(contrib, Seq("day"))
   }
 
+  /** RFM (recency / frequency / monetary) quintile scoring per unit — the
+    * classical behavioral-segmentation table (Hughes, "Strategic Database
+    * Marketing"): days since last event, event count, exact-decimal value
+    * total, each bucketed 1–5 by `ntile(5)` over a fully tie-broken order
+    * (SQL-standard ntile semantics — the first `n mod 5` buckets take the
+    * extra row — agree across engines once the order is total).
+    *
+    * Scale: one per-unit aggregation, a broadcast 1-row reference date
+    * (bounded by construction), and three ntile windows over the UNIT table
+    * (one row per unit — orders of magnitude smaller than events; for 10⁹
+    * units swap in the two-level distributed rank).
+    */
+  def rfm(df: DataFrame, unitCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val refDate = df.agg(max(col(tsCol)).as("__ref"))
+    val perUnit = df.groupBy(col(unitCol))
+      .agg(max(col(tsCol)).as("__last"), count(lit(1)).as("frequency"),
+        graft.functions.Fns.exactSum(col(valueCol)).as("monetary"))
+      .crossJoin(broadcast(refDate))
+      .withColumn("recency_days", datediff(col("__ref"), col("__last")).cast(LongType))
+    perUnit
+      .withColumn("r_q", ntile(5).over(
+        Window.orderBy(col("recency_days"), col(unitCol))).cast(LongType))
+      .withColumn("f_q", ntile(5).over(
+        Window.orderBy(col("frequency").desc, col(unitCol))).cast(LongType))
+      .withColumn("m_q", ntile(5).over(
+        Window.orderBy(col("monetary").desc, col(unitCol))).cast(LongType))
+      .select(col(unitCol), col("recency_days"), col("frequency"), col("monetary"),
+        col("r_q"), col("f_q"), col("m_q"))
+  }
+
   /** Lag-k autocorrelation function per key: Pearson r between the daily
     * series and its k-day-shifted self for k = 1..maxLag — the ACF profile a
     * seasonality/momentum report reads (a weekly cycle shows as a lag-7

@@ -70,6 +70,20 @@ class FunnelSpec extends SparkSpec {
       ("2024-01-02", 2L, 1L)) // user 3 returns
   }
 
+  test("topPaths: adjacent 3-step paths counted across users, top-k ordered") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val evs = Seq(
+      (1L, "A", "2024-01-01 10:00:00", 1L), (1L, "B", "2024-01-01 11:00:00", 2L),
+      (1L, "C", "2024-01-01 12:00:00", 3L), (1L, "D", "2024-01-01 13:00:00", 4L),
+      (2L, "A", "2024-01-02 10:00:00", 5L), (2L, "B", "2024-01-02 11:00:00", 6L),
+      (2L, "C", "2024-01-02 12:00:00", 7L)
+    ).toDF("u", "t", "ts", "id").withColumn("ts", col("ts").cast("timestamp"))
+    val got = rows(Funnel.topPaths(evs, "u", "t", "ts", "id", k = 10))
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    got shouldBe Seq(("A", "B", "C", 2L), ("B", "C", "D", 1L))
+  }
+
   test("stationary: 4 power iterations on a 2-state chain, exact dyadic values") {
     // A→A 0.5, A→B 0.5, B→A 1.0: π_{t+1} = (πA/2 + πB, πA/2) from (1/2, 1/2)
     // → (.75,.25) → (.625,.375) → (.6875,.3125) → (.65625,.34375)

@@ -275,6 +275,18 @@ class QueriesSpec extends SparkSpec {
     rows(out.filter(col("id") === 1L)).head.isNullAt(2) shouldBe true
   }
 
+  test("rfm: quintiles on a 5-user frame where every rank is its own bucket") {
+    val evs = (1 to 5).flatMap { i =>
+      (1 to i).map(j => (i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-${10 + i}%02d 0$j:00:00"), i.toDouble))
+    }.toDF("u", "ts", "v")
+    val got = rows(Queries.rfm(evs, "u", "ts", "v").orderBy("u"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    got.head shouldBe ((1L, 4L, 1L, 1.0, 5L, 5L, 5L)) // oldest, rarest, cheapest
+    got.last shouldBe ((5L, 0L, 5L, 25.0, 1L, 1L, 1L)) // freshest, most active
+  }
+
   test("autocorrelation: alternating series has acf(1) = -1, acf(2) = +1") {
     val days = (1 to 12).map(i =>
       ("k", java.sql.Timestamp.valueOf(f"2024-01-$i%02d 00:00:00"), (i % 2).toDouble))
