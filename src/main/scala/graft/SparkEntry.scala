@@ -1717,6 +1717,35 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    // hive-partitioned lake read under the gate: write events partitioned by
+    // event_type once per session (the writePartitioned scale-sink layout),
+    // then prove Catalyst partition-prunes — the executed scan may touch
+    // ONLY the one partition directory — and that the pruned aggregate
+    // equals the plain filtered aggregate the oracle states
+    "q_partitioned_read" -> ((s, dir) => {
+      tune(s)
+      val path = SessionCache.getOrCompute(s, s"partitioned-events:$dir") {
+        val p = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_part_events_${math.abs(dir.hashCode)}").toString
+        events(s, dir).write.mode("overwrite").partitionBy("event_type").parquet(p)
+        p
+      }
+      val read = s.read.parquet(path).filter(col("event_type") === "purchase")
+      // runtime proof: the physical scan carries the predicate as a
+      // PARTITION filter (directory-level pruning — listing never opens the
+      // other partitions' files), not merely a data filter. inputFiles can't
+      // check this: it lists the relation's files BEFORE pruning.
+      val scan = read.queryExecution.sparkPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      require(scan.exists(_.partitionFilters.exists(
+          _.references.exists(_.name == "event_type"))),
+        "partition pruning failed — event_type not a partition filter")
+      read.groupBy(date_trunc("DAY", col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"), Fns.exactSum(col("value")).as("total"))
+        .orderBy("d")
+    }),
+
     // manifest-driven pruned range read: only chunk dirs whose [min, max]
     // intersects the predicate are scanned at all; the aggregate proves the
     // pruned read equals the full filtered read
@@ -2218,6 +2247,12 @@ object SparkEntry {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
         | FROM orders JOIN customer ON o_custkey = c_custkey
         | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", ""),
+    // the partition-pruned read must equal the plain filtered aggregate
+    "q_partitioned_read" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total
+        | FROM events WHERE event_type = 'purchase'
+        | GROUP BY 1 ORDER BY d""".stripMargin.replace("\n", ""),
     // the pruned read must equal the plain filtered aggregate
     "q_pruned_read" ->
       """SELECT COUNT(*) AS n,
