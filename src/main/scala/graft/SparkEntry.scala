@@ -1479,6 +1479,21 @@ object SparkEntry {
       }
     }),
 
+    // hopping (overlapping) windows under the streaming gate: the same
+    // window(size, slide) Expand as the batch query, complete mode — the
+    // stream must land on the batch hopping windows exactly (shared oracle)
+    "q_stream_hopping" -> ((s, dir) => {
+      tune(s)
+      withStreamConf(s) {
+        val agg = eventStream(s, dir)
+          .withWatermark("ts", "1 day")
+          .groupBy(window(col("ts"), "2 hours", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), Fns.exactSum(col("value")).as("sum_value"))
+          .select(col("window.start").as("w_start"), col("event_type"),
+            col("n"), col("sum_value"))
+        graft.streaming.Streaming.runToMemory(s, agg, "stream_hopping")
+      }
+    }),
     // the KMV sketch under the streaming gate: complete-mode aggregation
     // with the SAME BottomKAgg Aggregator — micro-batches merge partial
     // sketches through the state store, so the emitted estimate must equal
@@ -2147,6 +2162,19 @@ object SparkEntry {
   /** DuckDB dual of [[graft.operators.Sampling.idHash]]: 60-bit value from the
     * first 15 md5 hex digits of the id's string form.
     */
+  /** Shared dual of the batch and streaming hopping-window aggregations:
+    * integer-µs window enumeration (4 overlapping 2 h windows per event at a
+    * 30 min slide), decimal-exact sums.
+    */
+  private val hoppingSql: String =
+    """WITH e AS (SELECT event_type, ts, value FROM events),
+      | w AS (SELECT event_type, value,
+      |   make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000 - k) * 1800000000) AS w_start
+      |   FROM e, unnest([0, 1, 2, 3]) AS t(k))
+      | SELECT w_start, event_type, COUNT(*) AS n,
+      |   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      | FROM w GROUP BY 1, 2""".stripMargin.replace("\n", "")
+
   private def idHashSql(x: String): String =
     s"list_reduce(list_transform(range(1, 16), i -> CAST(strpos('0123456789abcdef', substring(md5(CAST($x AS VARCHAR)), i, 1)) - 1 AS BIGINT)), (a,b) -> a*16 + b)"
 
@@ -2574,14 +2602,9 @@ object SparkEntry {
     // each event's 4 containing hopping windows enumerated by k=0..3 in
     // integer microsecond arithmetic (same epoch-0 alignment as Spark's
     // window() default startTime)
-    "q_hopping_agg" ->
-      """WITH e AS (SELECT event_type, ts, value FROM events),
-        | w AS (SELECT event_type, value,
-        |   make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000 - k) * 1800000000) AS w_start
-        |   FROM e, unnest([0, 1, 2, 3]) AS t(k))
-        | SELECT w_start, event_type, COUNT(*) AS n,
-        |   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
-        | FROM w GROUP BY 1, 2""".stripMargin.replace("\n", ""),
+    "q_hopping_agg" -> hoppingSql,
+    // the stream must land on the same hopping windows exactly
+    "q_stream_hopping" -> hoppingSql,
     "q_fuzzy_match" ->
       """WITH names AS (SELECT DISTINCT p_name FROM part),
         | corrupted AS (SELECT DISTINCT substr(p_name, 1, 2) || substr(p_name, 4) AS q_name
