@@ -1062,6 +1062,14 @@ object SparkEntry {
           col("cluster_id").as("survivor_id"))
         .orderBy("doc_id")
     }),
+    // cluster-size histogram: how many clusters of each size the near-dup
+    // graph produced (the shape metric that catches a threshold set too low
+    // — one giant cluster — before it eats the corpus)
+    "q_dedup_cluster_sizes" -> ((s, dir) =>
+      dedupClusterIndex(s, dir)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz")),
     // dedup observability: per-source duplication rate from the global
     // clustering — the report a curation run ships with its output
     "q_dedup_report" -> ((s, dir) => {
@@ -3134,6 +3142,17 @@ object SparkEntry {
          | ORDER BY id_a, id_b""".stripMargin.replace("\n", ""),
     "q_dedup_clusters" -> dedupClustersSql(n = 5, threshold = 0.5),
     "q_dedup_report" -> dedupReportSql(n = 5, threshold = 0.5),
+    // same transitive closure, two stacked group-bys
+    "q_dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE ${exactJaccardCtes(5, 0.5)},
+         | e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+         | closure(id, r) AS (
+         |   SELECT doc_id, doc_id FROM documents
+         |   UNION
+         |   SELECT e.s, c.r FROM e JOIN closure c ON c.id = e.d),
+         | comps AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM closure GROUP BY id),
+         | szs AS (SELECT cluster_id, COUNT(*) AS sz FROM comps GROUP BY 1)
+         | SELECT sz, COUNT(*) AS n_clusters FROM szs GROUP BY 1 ORDER BY sz""".stripMargin.replace("\n", ""),
     // same transitive closure + a content-hash keeper window; identical
     // status precedence (exact beats near)
     "q_dedup_audit" ->
