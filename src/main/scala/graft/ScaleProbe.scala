@@ -300,6 +300,9 @@ object ScaleProbe {
       time("copurchase_pairs") {
         graft.operators.Queries.coPurchasePairs(li, "l_orderkey", "l_partkey", 50).count()
       }
+      time("copurchase_pairs_join") {
+        graft.operators.Queries.coPurchasePairsJoin(li, "l_orderkey", "l_partkey", 50).count()
+      }
     }
     time("source_divergence") {
       // replication multiplies every (source, token) count by k but the
