@@ -1382,6 +1382,22 @@ object SparkEntry {
         .select(col("vec_id"), col("dim").cast(LongType).as("dim"),
           (col("v").cast(DoubleType) / col("__nrm")).as("nv"))
         .orderBy("vec_id", "dim")),
+    // embedding-geometry diagnostic (collapse check): cosine percentiles over
+    // a deterministic half-offset pairing (vec i vs vec i + n/2) — uniformly
+    // high cosines flag a collapsed space before any retrieval quality drops.
+    // The pairing is a sampled diagnostic by construction: n/2 pairs, one
+    // equi-join, percentiles over the pair frame (hash-sample it at PB scale)
+    "q_embed_geometry" -> ((s, dir) => {
+      val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val half = e.agg((count(lit(1)) / 2).cast(LongType).as("__h"))
+      val a = e.crossJoin(broadcast(half)).filter(col("vec_id") < col("__h"))
+      val b = e.select(col("vec_id").as("__v2"), col("embedding").as("__e2"))
+      val pairs = a.join(b, a("vec_id") + a("__h") === b("__v2"))
+        .select(col("vec_id"),
+          Similarity.cosine(col("embedding"), col("__e2")).as("cos"))
+      Queries.exactPercentiles(pairs.withColumn("k", lit("corpus")),
+        "k", "cos", "vec_id", Seq(0.1, 0.5, 0.9))
+    }),
     // per-dimension z-scoring (whitening-lite): decimal moments per dim,
     // #dims-row moment table broadcast back
     "q_embed_standardize" -> ((s, dir) =>
@@ -3602,6 +3618,21 @@ object SparkEntry {
         | u AS (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e)
         | SELECT vec_id, i - 1 AS dim, v[i] / sqrt(list_inner_product(v, v)) AS nv
         | FROM u ORDER BY vec_id, dim""".stripMargin.replace("\n", ""),
+    // same half-offset pairing, same cosine dual, same nearest-rank picks
+    "q_embed_geometry" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | h AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS hn FROM e),
+        | p AS (SELECT a.vec_id,
+        |   list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cos
+        |   FROM e a CROSS JOIN h JOIN e b ON b.vec_id = a.vec_id + h.hn
+        |   WHERE a.vec_id < h.hn),
+        | r AS (SELECT cos, row_number() OVER (ORDER BY cos, vec_id) AS rn,
+        |   COUNT(*) OVER () AS n FROM p)
+        | SELECT 'corpus' AS k,
+        |   MAX(CASE WHEN rn = CAST(ceil(0.1 * n) AS BIGINT) THEN cos END) AS p10,
+        |   MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN cos END) AS p50,
+        |   MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN cos END) AS p90
+        | FROM r""".stripMargin.replace("\n", ""),
     // same per-dim decimal moments, same std/z double chain
     "q_embed_standardize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
