@@ -1233,6 +1233,11 @@ object SparkEntry {
     "q_split_assign" -> ((s, dir) =>
       graft.operators.Sampling.withSplit(documents(s, dir).select("doc_id"), "doc_id")
         .orderBy("doc_id")),
+    // per-source length profile: exact p50/p90/p99 of n_chars — the
+    // distribution check a mixture recipe reads before setting budgets
+    "q_source_length_profile" -> ((s, dir) =>
+      Queries.exactPercentiles(documents(s, dir), "source", "n_chars", "doc_id",
+        Seq(0.5, 0.9, 0.99)).orderBy("source")),
     // per-source token budget: keep docs in stable hash order while the
     // running ws-token sum stays ≤ 500 (strict; boundary doc dropped)
     "q_token_budget_sample" -> ((s, dir) =>
@@ -3432,6 +3437,16 @@ object SparkEntry {
       s"""SELECT doc_id, CASE WHEN h % 1000 < 800 THEN 'train' WHEN h % 1000 < 900 THEN 'val'
          | ELSE 'test' END AS split
          | FROM (SELECT doc_id, ${idHashSql("doc_id")} AS h FROM documents) ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // same per-source rank order, same ceil(p·n) picks
+    "q_source_length_profile" ->
+      """WITH r AS (SELECT source, n_chars,
+        |   row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |   COUNT(*) OVER (PARTITION BY source) AS n FROM documents)
+        | SELECT source,
+        |   MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_chars END) AS p50,
+        |   MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_chars END) AS p90,
+        |   MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN n_chars END) AS p99
+        | FROM r GROUP BY source ORDER BY source""".stripMargin.replace("\n", ""),
     // same hash order, same running sum, same strict-≤ boundary rule
     "q_token_budget_sample" ->
       s"""WITH d AS (SELECT doc_id, source,
