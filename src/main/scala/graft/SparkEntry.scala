@@ -996,6 +996,24 @@ object SparkEntry {
           col("span_end").cast(LongType).as("span_end"),
           col("n_dup_shingles"))
         .orderBy("doc_id", "span_start")),
+    // the report number next to the cut list: share of tokens inside
+    // duplicated spans, per source (spans are non-overlapping by the
+    // gaps-and-islands merge, so coverage is a plain length sum)
+    "q_span_coverage" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val perDoc = Dedup.duplicatedSpans(docs, "text", "doc_id", n = 8, minDocFreq = 2)
+        .groupBy(col("id").as("doc_id"))
+        .agg(sum(col("span_end") - col("span_start") + 1).cast(LongType).as("__covered"))
+      docs.select(col("doc_id"), col("source"),
+          size(Dedup.tokens(col("text"))).cast(LongType).as("__toks"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(sum(coalesce(col("__covered"), lit(0L))).as("covered_tokens"),
+          sum(col("__toks")).as("total_tokens"))
+        .withColumn("coverage",
+          col("covered_tokens").cast(DoubleType) / col("total_tokens").cast(DoubleType))
+        .orderBy("source")
+    }),
     // ... and the consumer side: remove those spans, reassemble clean text
     "q_dup_scrub" -> ((s, dir) => {
       val d = documents(s, dir)
@@ -3081,6 +3099,18 @@ object SparkEntry {
          | SELECT doc_id, CAST(span_start AS BIGINT) AS span_start, CAST(span_end AS BIGINT) AS span_end,
          |   n_dup_shingles
          | FROM spans ORDER BY doc_id, span_start""".stripMargin.replace("\n", ""),
+    // coverage over the SAME spans CTEs; length sums as exact integers
+    "q_span_coverage" ->
+      s"""WITH $dupSpansCtes,
+         | cov AS (SELECT doc_id, SUM(span_end - span_start + 1) AS covered FROM spans GROUP BY 1),
+         | t AS (SELECT w.doc_id, d.source, len(w.ws) AS toks
+         |   FROM words w JOIN documents d USING (doc_id)),
+         | a AS (SELECT source, CAST(SUM(COALESCE(cov.covered, 0)) AS BIGINT) AS covered_tokens,
+         |   CAST(SUM(toks) AS BIGINT) AS total_tokens
+         |   FROM t LEFT JOIN cov USING (doc_id) GROUP BY 1)
+         | SELECT source, covered_tokens, total_tokens,
+         |   CAST(covered_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS coverage
+         | FROM a ORDER BY source""".stripMargin.replace("\n", ""),
     // span removal: anti range join of token positions against the SAME spans
     // CTEs (shared string — the two oracles cannot drift), ordered reassembly
     "q_dup_scrub" ->
