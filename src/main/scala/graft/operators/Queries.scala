@@ -830,8 +830,13 @@ object Queries {
         .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
     }
     val from = ranked(fromKey)
+      // single-row from-partition guard: (rn−1)/(n−1) is 0/0 ⇒ NaN, whose
+      // floor/ceil positions cast to null and silently DROP the row through
+      // the inner rank joins — emit an explicit null percentile instead and
+      // keep the row via left joins below (null mapped, dual mirrors both)
       .withColumn("__pr",
-        (col("__rn") - 1L).cast(DoubleType) / (col("__n") - 1L).cast(DoubleType))
+        when(col("__n") > 1L,
+          (col("__rn") - 1L).cast(DoubleType) / (col("__n") - 1L).cast(DoubleType)))
     val ref = ranked(refKey)
       .select(col("__rn").as("__ref_rn"), col(valueCol).as("__ref_v"),
         col("__n").as("__ref_n"))
@@ -841,8 +846,8 @@ object Queries {
       .withColumn("__lo", floor(col("__p")).cast(LongType) + 1L)
       .withColumn("__hi", ceil(col("__p")).cast(LongType) + 1L)
     positioned
-      .join(ref.select(col("__ref_rn").as("__lo"), col("__ref_v").as("__vlo")), Seq("__lo"))
-      .join(ref.select(col("__ref_rn").as("__hi"), col("__ref_v").as("__vhi")), Seq("__hi"))
+      .join(ref.select(col("__ref_rn").as("__lo"), col("__ref_v").as("__vlo")), Seq("__lo"), "left")
+      .join(ref.select(col("__ref_rn").as("__hi"), col("__ref_v").as("__vhi")), Seq("__hi"), "left")
       .select(col(tieCol), col(valueCol).as("value"),
         (col("__vlo") + (col("__vhi") - col("__vlo")) *
           (col("__p") - floor(col("__p")))).as("mapped"))

@@ -80,9 +80,14 @@ object Similarity {
       .withColumn("__mean", col("__sx") / nD)
       .withColumn("__std",
         sqrt((nD * col("__sxx") - col("__sx") * col("__sx")) / (nD * (nD - lit(1.0)))))
-    expl.join(broadcast(moments.select(col("dim"), col("__mean"), col("__std"))), Seq("dim"))
+    expl.join(broadcast(moments.select(col("dim"), col("__n"), col("__mean"), col("__std"))), Seq("dim"))
       .select(col("id"), col("dim").cast(LongType).as("dim"),
-        ((col("x") - col("__mean")) / col("__std")).as("z"))
+        // degenerate-dimension guard: a constant dimension (std = 0) or a
+        // single-vector corpus (n = 1 ⇒ 0/0 ⇒ NaN std) has no z-score — emit
+        // null instead of ±Inf/NaN (dual mirrors the CASE; the isnan arm
+        // catches the tiny-negative-under-sqrt rounding case)
+        when(col("__n") > 1 && col("__std") =!= 0.0 && !isnan(col("__std")),
+          (col("x") - col("__mean")) / col("__std")).as("z"))
   }
 
   def meanPooledCentroids(df: DataFrame, vecCol: String, keyCol: String): DataFrame =
@@ -118,11 +123,13 @@ object Similarity {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
-  /** Brute-force cosine top-k via [[TopKAgg]] — identical output to
+  /** Brute-force cosine top-k via [[TopKAgg]] — THE DEFAULT PROVIDER
+    * (`q_ann_topk`, [[knnClassify]]): identical output to
     * [[bruteForceTopK]] (same scores, same (cos desc, id) tie-break), but the
     * ranking aggregates instead of window-sorting: partial top-k per map
-    * task, final top-k merge per query. Prefer this shape when Q is small
-    * and N is the scale axis.
+    * task, final top-k merge per query — the shuffle carries map_tasks×k
+    * candidates, never the N scored rows, so the plan has no full sort of
+    * the scored set (PlanGuardSpec pins this).
     */
   def bruteForceTopKAgg(
       corpus: DataFrame, queries: DataFrame,
@@ -162,14 +169,13 @@ object Similarity {
         col("scale"))
   }
 
-  /** Exact brute-force cosine top-k: for every query vector, the k most similar
-    * corpus vectors (excluding itself when ids collide).
-    *
-    * The corpus side of the cross join should be broadcast when the query set
-    * is the big side; here queries are few, so Spark broadcasts the queries —
-    * each executor scans its corpus partitions once. Ranking is a per-query
-    * window top-k (partial top-k per partition would be the 100 TB refinement;
-    * at that scale use [[ivfTopK]] instead).
+  /** Exact brute-force cosine top-k, window-rank formulation — kept as the
+    * ORACLE CROSS-CHECK of [[bruteForceTopKAgg]] (`q_ann_topk_window`): the
+    * per-query `row_number` window sorts the full Q×N scored set, which is
+    * the bottleneck the Aggregator path removes, but its independence from
+    * the Aggregator code makes it the right second witness against the
+    * shared DuckDB dual. Not the default provider; at corpus scale use
+    * [[bruteForceTopKAgg]] (exact) or [[ivfTopK]] (approximate).
     */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
@@ -197,13 +203,14 @@ object Similarity {
     *
     * Scale: the neighbor frame is Q·k rows and broadcasts onto the corpus
     * label attach (the corpus-sized side streams, never shuffles); the vote
-    * count and the per-query argmax act on ≤ Q·k rows. Swap the top-k
-    * provider for [[ivfTopK]] when the corpus outgrows the brute-force scan —
-    * the vote layer is provider-agnostic.
+    * count and the per-query argmax act on ≤ Q·k rows. The top-k provider is
+    * the bounded [[bruteForceTopKAgg]] (no full sort of the scored set);
+    * swap in [[ivfTopK]] when even the exact scan is too wide — the vote
+    * layer is provider-agnostic.
     */
   def knnClassify(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, labelCol: String, k: Int): DataFrame = {
-    val nn = bruteForceTopK(corpus, queries, vecCol, idCol, k)
+    val nn = bruteForceTopKAgg(corpus, queries, vecCol, idCol, k)
     val labels = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("__lbl"))
     val votes = labels.join(broadcast(nn), Seq("neighbor_id"))
       .groupBy(col("query_id"), col("__lbl"))

@@ -1,0 +1,261 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{ExecutorService, Executors, TimeUnit}
+
+/** Thin REST shell over [[Lake]]/[[Serving]]/[[Ingest]] mirroring the
+  * reference's FastAPI surface (reference routes.py:28-267): same paths, same
+  * status envelopes (`request_id`/`status`/`message`/`records_count`/`errors`),
+  * same pending-background lifecycle for the async stock ingests
+  * (routes.py:40-42, 82-84), same 404/204 semantics on the dataset endpoints.
+  *
+  * Deliberately NOT a dataflow operator: every byte of data it serves comes
+  * from the oracle-gated operators ([[Serving.jsonRecordsView]],
+  * [[Lake.info]]/`latest`/`delete`, [[CsvAutoLoader.loadAndStore]],
+  * [[graft.operators.Transforms.transformAndStore]]); this layer carries only
+  * endpoint routing and envelope semantics, so its gate is the
+  * endpoint-contract scalatest (ApiSpec), not an oracle row. Built on the
+  * JDK's HttpServer — no framework dependency, which keeps the serving shell
+  * inside the engine's zero-extra-deps build. A production deployment would
+  * front a long-lived SparkSession exactly like this: the session is the
+  * expensive shared resource, the HTTP layer is stateless.
+  */
+final class Api(spark: SparkSession, lake: Lake, ingest: Ingest,
+    bindPort: Int = 0) {
+
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  private val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+  // background ingest tasks (the reference's BackgroundTasks, routes.py:40):
+  // single worker — background fetches share the one SparkSession anyway
+  private val background: ExecutorService = Executors.newSingleThreadExecutor()
+
+  /** Port actually bound (ephemeral when constructed with bindPort = 0). */
+  def port: Int = server.getAddress.getPort
+
+  def start(): Api = { server.createContext("/", handler _); server.setExecutor(null); server.start(); this }
+
+  def stop(): Unit = {
+    server.stop(0)
+    background.shutdown()
+    background.awaitTermination(30, TimeUnit.SECONDS)
+    ()
+  }
+
+  /** Test hook for the pending lifecycle: block until every background ingest
+    * submitted so far has completed (the reference's equivalent is FastAPI
+    * draining BackgroundTasks after the response is sent).
+    */
+  def awaitBackground(): Unit = {
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    background.execute(() => latch.countDown())
+    latch.await(60, TimeUnit.SECONDS)
+    ()
+  }
+
+  // --- routing ------------------------------------------------------------
+
+  private def handler(ex: HttpExchange): Unit = {
+    val segs = ex.getRequestURI.getPath.split('/').filter(_.nonEmpty).toList
+    val method = ex.getRequestMethod
+    try {
+      (method, segs) match {
+        case ("POST", List("ingest"))       => respondJson(ex, 200, ingestRoute(readBody(ex)))
+        case ("POST", List("transform"))    => respondJson(ex, 200, transformRoute(readBody(ex)))
+        case ("GET", List("datasets"))      => respondJson(ex, 200, lake.list(layerParam(ex)))
+        case ("GET", List("datasets", name)) => datasetInfoRoute(ex, name)
+        case ("DELETE", List("datasets", name)) => deleteRoute(ex, name)
+        case ("GET", List("data", "latest", dataType, source)) => latestRoute(ex, dataType, source)
+        case ("GET", List("data", layer, name, "download")) => downloadRoute(ex, layer, name)
+        case ("GET", List("data", layer, name)) => dataRoute(ex, layer, name)
+        case _ => respondJson(ex, 404, Map("detail" -> "Not Found"))
+      }
+    } catch {
+      case e: Throwable =>
+        respondJson(ex, 500, Map("detail" -> s"Internal server error: ${e.getMessage}"))
+    } finally ex.close()
+  }
+
+  // --- POST /ingest (routes.py:28-131) -------------------------------------
+
+  private def ingestRoute(req: Map[String, Any]): Map[String, Any] = {
+    val requestId = Serving.generateRequestId()
+    val source = req.getOrElse("source", "").toString
+    val dataType = req.getOrElse("data_type", "").toString
+    val symbols = req.get("symbols").collect { case s: Seq[_] => s.map(_.toString) }.getOrElse(Seq.empty)
+    val params = req.get("params").collect { case m: Map[_, _] =>
+      m.map { case (k, v) => k.toString -> v.toString } }.getOrElse(Map.empty[String, String])
+    def envelope(status: String, message: String, count: Long = 0L,
+        errors: Seq[String] = Seq.empty): Map[String, Any] =
+      Map("request_id" -> requestId, "status" -> status, "message" -> message,
+        "records_count" -> count, "errors" -> errors)
+    def lastCount(results: Seq[Map[String, Any]]): Long = results.lastOption
+      .flatMap(_.get("records_count")).map(_.toString.toLong).getOrElse(0L)
+
+    source match {
+      case "alphavantage" => dataType match {
+        case "stock" => // async: respond pending, fetch in the background (routes.py:40-42)
+          symbols.foreach(sym => background.execute(() => { ingest.fetchAndStoreStock(sym); () }))
+          envelope("pending", "Data ingestion for AlphaVantage stock data started.")
+        case "forex" =>
+          val bad = symbols.filterNot(_.split('_').length == 2)
+          if (bad.nonEmpty) // malformed pair short-circuits the whole request (routes.py:50-53)
+            envelope("error", s"Invalid forex pair format: ${bad.head}. Use format 'FROM_TO'",
+              errors = bad.map(p => s"Invalid forex pair: $p"))
+          else envelope("success", "Forex data fetched and stored.",
+            lastCount(symbols.map(ingest.fetchAndStoreForex(_))))
+        case "economic" =>
+          envelope("success",
+            s"Economic indicator data fetched and stored for ${symbols.mkString("[", ", ", "]")}.",
+            lastCount(symbols.map(ingest.fetchAndStoreEconomic(_))))
+        case other => envelope("error", s"Unsupported data_type '$other' for source '$source'")
+      }
+      case "yahoo_finance" => dataType match {
+        case "stock" =>
+          symbols.foreach(sym => background.execute(() => { ingest.fetchAndStoreStockYahoo(sym); () }))
+          envelope("pending", "Data ingestion for Yahoo Finance stock data started.")
+        case "crypto" =>
+          envelope("success", "Crypto data fetched and stored.",
+            lastCount(symbols.map(ingest.fetchAndStoreCrypto)))
+        case other => envelope("error", s"Unsupported data_type '$other' for source '$source'")
+      }
+      case "csv" =>
+        params.get("file_path") match {
+          case None => envelope("error", "file_path parameter is required for CSV ingestion.")
+          case Some(path) if !new java.io.File(path).exists() =>
+            envelope("error", s"File not found: $path")
+          case Some(path) =>
+            if (dataType != "stock" && dataType != "economic")
+              envelope("error", s"Unsupported data_type: $dataType for CSV source.")
+            else {
+              val res = CsvAutoLoader.loadAndStore(spark, lake, path, dataType,
+                indicatorName = params.getOrElse("indicator_name", "UNKNOWN"))
+              envelope(res("status").toString,
+                res.getOrElse("message", res.getOrElse("file_path", "")).toString,
+                res.get("records_count").map(_.toString.toLong).getOrElse(0L))
+            }
+        }
+      case other => envelope("error", s"Unsupported source: $other")
+    }
+  }
+
+  // --- POST /transform (routes.py:135-144) ---------------------------------
+
+  private def transformRoute(req: Map[String, Any]): Map[String, Any] =
+    graft.operators.Transforms.transformAndStore(lake,
+      req.getOrElse("source_layer", "bronze").toString,
+      req.getOrElse("source_path", "").toString,
+      req.getOrElse("transformation_type", "clean").toString,
+      req.getOrElse("destination_layer", "silver").toString)
+
+  // --- GET /datasets/{name} (routes.py:155-171) ----------------------------
+
+  private def datasetInfoRoute(ex: HttpExchange, name: String): Unit = {
+    val info = lake.info(layerParam(ex), name)
+    if (info.get("exists").contains(false))
+      respondJson(ex, 404,
+        Map("detail" -> s"Dataset '$name' metadata not found in layer '${layerParam(ex)}'"))
+    else // datetimes → isoformat strings, like routes.py:161-168
+      respondJson(ex, 200, info.map {
+        case (k, v: java.sql.Timestamp) => k -> v.toInstant.toString
+        case (k, v) => k -> v
+      })
+  }
+
+  // --- GET /data/{layer}/{name} (routes.py:174-220) ------------------------
+
+  private def dataRoute(ex: HttpExchange, layer: String, name: String): Unit = {
+    val df = lake.read(layer, name)
+    if (df.schema.isEmpty || df.isEmpty)
+      respondJson(ex, 404,
+        Map("detail" -> s"Dataset '$name' not found or empty in layer '$layer'."))
+    else respondRaw(ex, 200, "application/json", recordsJson(df))
+  }
+
+  /** JSON-records body: the gated [[Serving.jsonRecordsView]] (±inf/NaN →
+    * null, ISO-µs-Z timestamps) rendered with EXPLICIT nulls — the reference
+    * emits `"v": null` for scrubbed floats (routes.py:194), where Spark's
+    * default `toJSON` would silently drop the field.
+    */
+  private def recordsJson(df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val v = Serving.jsonRecordsView(df)
+    v.select(to_json(struct(v.columns.map(col).toIndexedSeq: _*),
+        Map("ignoreNullFields" -> "false")).as("j"))
+      .collect().map(_.getString(0)).mkString("[", ",", "]")
+  }
+
+  // --- GET /data/latest/{data_type}/{source} (routes.py:223-234) -----------
+
+  private def latestRoute(ex: HttpExchange, dataType: String, source: String): Unit =
+    lake.latest(layerParam(ex), source, dataType) match {
+      case None =>
+        respondJson(ex, 404, Map("detail" -> "No data found for the specified type and source."))
+      case Some(df) if df.isEmpty =>
+        respondJson(ex, 404, Map("detail" -> "No data found for the specified type and source."))
+      case Some(df) => respondRaw(ex, 200, "application/json", recordsJson(df))
+    }
+
+  // --- GET /data/{layer}/{name}/download (routes.py:238-259) ---------------
+
+  private def downloadRoute(ex: HttpExchange, layer: String, name: String): Unit = {
+    val df = lake.read(layer, name)
+    if (df.schema.isEmpty || df.isEmpty) {
+      respondJson(ex, 404,
+        Map("detail" -> s"Dataset '$name' not found or empty in layer '$layer'."))
+      return
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_api_csv")
+    try {
+      Serving.csvDownload(df, tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+        .getOrElse(sys.error("csv sink produced no part file"))
+      ex.getResponseHeaders.add("Content-Disposition", s"attachment; filename=$name.csv")
+      respondRaw(ex, 200, "text/csv",
+        new String(java.nio.file.Files.readAllBytes(part.toPath), StandardCharsets.UTF_8))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverse.foreach(p =>
+        java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  // --- DELETE /datasets/{name} (routes.py:261-267) -------------------------
+
+  private def deleteRoute(ex: HttpExchange, name: String): Unit =
+    if (lake.delete(layerParam(ex), name)) { ex.sendResponseHeaders(204, -1); () }
+    else respondJson(ex, 404, Map("detail" -> "Dataset not found or could not be deleted"))
+
+  // --- plumbing ------------------------------------------------------------
+
+  private def layerParam(ex: HttpExchange): String =
+    Option(ex.getRequestURI.getQuery).toSeq
+      .flatMap(_.split('&').toSeq)
+      .collectFirst { case kv if kv.startsWith("layer=") => kv.stripPrefix("layer=") }
+      .getOrElse("bronze")
+
+  private def readBody(ex: HttpExchange): Map[String, Any] = {
+    val bytes = ex.getRequestBody.readAllBytes()
+    if (bytes.isEmpty) Map.empty
+    else mapper.readValue(bytes, classOf[Map[String, Any]])
+  }
+
+  private def respondJson(ex: HttpExchange, code: Int, payload: Any): Unit =
+    respondRaw(ex, code, "application/json", mapper.writeValueAsString(payload))
+
+  private def respondRaw(ex: HttpExchange, code: Int, contentType: String, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", contentType)
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length.toLong)
+    if (bytes.nonEmpty) { val os = ex.getResponseBody; os.write(bytes); os.close() }
+  }
+}

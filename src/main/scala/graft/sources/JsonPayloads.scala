@@ -156,4 +156,46 @@ object JsonPayloads {
       .withColumn("data_type", lit("crypto"))
       .withColumn("base_symbol", Fns.baseSymbol(col("symbol")))
   }
+
+  /** Polygon.io daily-aggregates payload (`/v2/aggs/ticker/{T}/range/1/day/…`,
+    * public API docs): `{"ticker": "...", "results": [{"t": epoch_ms, "o",
+    * "h", "l", "c", "v", "vw", "n"}], "status": "OK"}` → canonical OHLCV rows
+    * plus the aggregate-only extras (`vwap`, `n_trades`). The reference
+    * declares the key (config.py:14 POLYGON_API_KEY) but never ships a
+    * fetcher, so this parser is parity-completing: same canonical column
+    * contract as the S7 Alpha Vantage decode, `source = "polygon"`.
+    * The payload's own `ticker` wins over the caller's symbol (the API echoes
+    * the resolved ticker); the fallback covers error envelopes without one.
+    */
+  def parsePolygonAggs(spark: SparkSession, payloads: Seq[String], symbol: String): DataFrame =
+    decodePolygonAggs(payloadDf(spark, payloads), "payload", lit(symbol))
+
+  /** Column-level decode of the Polygon aggregates payload
+    * (streaming-composable, see [[decodeAlphaVantageStock]]).
+    */
+  def decodePolygonAggs(df: DataFrame, payloadCol: String, fallbackSymbol: Column): DataFrame = {
+    val bar = StructType(Seq(
+      StructField("t", LongType), StructField("o", DoubleType),
+      StructField("h", DoubleType), StructField("l", DoubleType),
+      StructField("c", DoubleType), StructField("v", DoubleType),
+      StructField("vw", DoubleType), StructField("n", LongType)))
+    val schema = StructType(Seq(StructField("ticker", StringType),
+      StructField("results", ArrayType(bar)), StructField("status", StringType)))
+    df.select(fallbackSymbol.as("__sym"), from_json(col(payloadCol), schema).as("p"))
+      .select(col("__sym"), col("p").getField("ticker").as("__ticker"),
+        explode(col("p").getField("results")).as("b"))
+      .select(
+        timestamp_millis(col("b").getField("t")).as("timestamp"),
+        col("b").getField("o").as("open"),
+        col("b").getField("h").as("high"),
+        col("b").getField("l").as("low"),
+        col("b").getField("c").as("close"),
+        // volume arrives as a JSON number (may carry a fractional part for
+        // adjusted aggregates) — floor-cast to long like the CSV loaders
+        col("b").getField("v").cast(LongType).as("volume"),
+        col("b").getField("vw").as("vwap"),
+        col("b").getField("n").as("n_trades"),
+        coalesce(col("__ticker"), col("__sym")).as("symbol"),
+        lit("polygon").as("source"))
+  }
 }

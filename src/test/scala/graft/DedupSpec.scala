@@ -133,6 +133,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents DEFAULT-threshold overflow takes the distributed path and matches driver labels") {
+    // the large-graph gate: > driverThreshold (default 10,000) pairs forces
+    // the take(n+1) overflow into the iterative-CC fallback with DEFAULT
+    // arguments — the code path a 100 TB dup graph actually runs — and the
+    // driver union-find on the same graph is the ground truth. The edge count
+    // (12k on 3k nodes, plus off-corpus endpoints) makes the giant component
+    // dense, so min-label propagation converges in ~O(log diameter) rounds.
+    val rng = new scala.util.Random(7)
+    val n = 3000
+    val corpus = (0L until n.toLong).toSeq
+    val ids = corpus.toDF("id")
+    val edgeList = Seq.fill(12001)((rng.nextInt(n * 3 / 2).toLong, rng.nextInt(n * 3 / 2).toLong))
+    val pairs = edgeList.toDF("id_a", "id_b")
+    // default driverThreshold (overflowed) → distributed fallback
+    val dist = rows(Dedup.connectedComponents(ids, pairs, maxIter = 60).orderBy("id"))
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val driver = rows(Dedup.connectedComponents(ids, pairs, driverThreshold = 20000).orderBy("id"))
+      .map(r => r.getLong(0) -> r.getLong(1))
+    dist shouldBe driver
+    val corpusSet = corpus.toSet
+    dist.foreach { case (_, label) => corpusSet should contain(label) }
+  }
+
   test("nearDupSurvivors keeps one representative per cluster plus unpaired rows") {
     val pairs = Dedup.minhashPairs(docs, "text", "doc_id", shingleN = 2, k = 64,
       bands = 32, threshold = 0.9)

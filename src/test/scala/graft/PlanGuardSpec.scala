@@ -111,6 +111,50 @@ class PlanGuardSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("q_ann_topk default provider ranks via partial top-k aggregation, never a window sort of the scored set") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, s"$dir missing")
+    val exec = SparkEntry.queries("q_ann_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // a Window (row_number rank) over the Q×N scored set is exactly the full
+    // sort the TopKAgg default removes; the only Sort allowed is the final
+    // presentation orderBy over the Q×k result
+    exec should not include "Window"
+    exec should include("ObjectHashAggregate") // typed Aggregator w/ partial merge
+    val aggLines = exec.split("\n").filter(_.contains("ObjectHashAggregate"))
+    aggLines.exists(_.contains("partial_")) shouldBe true
+  }
+
+  test("q_band_join executed plan equi-joins on the band bucket (no theta join, bounded fan-out)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, s"$dir missing")
+    val exec = SparkEntry.queries("q_band_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the ±Δt range predicate must ride an equi-join keyed on (keys…, __b) —
+    // a refactor that lets the BETWEEN fall back to a nested-loop/cartesian
+    // theta join is exactly the 100 TB regression this guard pins out
+    exec should not include "BroadcastNestedLoop"
+    exec should not include "CartesianProduct"
+    val joinLines = exec.split("\n").filter(_.contains("Join"))
+    joinLines should not be empty
+    joinLines.exists(_.contains("__b#")) shouldBe true
+  }
+
+  test("q_salted_join executed plan shuffles on the salt key (no single-partition hot key)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, s"$dir missing")
+    val exec = SparkEntry.queries("q_salted_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the hot-key split is the entire point of the operator: every exchange
+    // feeding the join must carry __salt in its hash keys, so one skewed
+    // l_orderkey spreads over `buckets` partitions instead of one
+    exec should include("__salt#")
+    val exchanges = exec.split("\n").filter(_.contains("hashpartitioning"))
+    exchanges.filter(_.contains("l_orderkey")).foreach(l =>
+      l should include("__salt#"))
+    exec should not include "CartesianProduct"
+  }
+
   test("funnel plans no window and no cartesian (user-keyed join chain only)") {
     import spark.implicits._
     val ev = Seq((1L, "view", tsLit("2024-01-01 10:00:00")),
