@@ -517,4 +517,76 @@ object TextAnalysis {
     */
   def contentHash(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
+
+  // ---------------------------------------------------------------------------
+  // Boilerplate detection (C4/RefinedWeb-style, source-conditioned)
+  // ---------------------------------------------------------------------------
+
+  /** Per-source boilerplate n-grams: phrases whose within-source document
+    * frequency share exceeds `minShare` — headers, footers, navigation and
+    * license text that a single crawl source stamps onto most of its pages.
+    * This is the frequency-based complement of [[Dedup.duplicatedSpans]]:
+    * spans mark text duplicated ANYWHERE ≥2 times, boilerplate marks text
+    * common WITHIN a source by df ratio, which survives even when each
+    * occurrence's surrounding context differs. (The classic C4 rule is
+    * line-level "seen in ≥3 docs"; this corpus has no line structure, so the
+    * unit is the word n-gram.)
+    *
+    * Returns (source, gram, df, n_docs, share): one row per boilerplate
+    * phrase. Docs shorter than n contribute no grams but DO count in n_docs
+    * (they can't carry phrase boilerplate, but they are documents).
+    *
+    * Scale: per-doc gram sets are distinct'd map-side (array_distinct, no
+    * shuffle), the df aggregation is partial-aggregable on (source, gram),
+    * and the per-source totals frame is #sources rows — broadcast. Nothing
+    * is quadratic; Zipf-head grams collapse in map-side combine. The shuffle
+    * key is the gram STRING (n small → short keys) so the report is directly
+    * readable; a 100 TB run keying on 128-bit gram hashes would carry
+    * `first(gram)` through the aggregate instead.
+    */
+  def boilerplate(df: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, n: Int = 2, minShare: Double = 0.2,
+      minDf: Int = 2): DataFrame = {
+    val base = df.select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
+      array_distinct(graft.expressions.GraftFunctions
+        .ngramStrings(Dedup.tokens(col(textCol)), n)).as("__sh"))
+    val nDocs = base.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    base.select(col("source"), explode(col("__sh")).as("gram"))
+      .groupBy("source", "gram").agg(count(lit(1)).as("df"))
+      .join(broadcast(nDocs), Seq("source"))
+      .withColumn("share", col("df").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      .filter(col("df") >= minDf && col("share") >= minShare)
+      .select(col("source"), col("gram"), col("df"), col("n_docs"),
+        round(col("share"), 6).as("share"))
+  }
+
+  /** Apply a [[boilerplate]] phrase list: drop every token position covered
+    * by an occurrence of one of its source's boilerplate grams and reassemble
+    * the rest in order. A document whose every token is covered has no
+    * surviving tokens and is ABSENT from the output (generator semantics,
+    * like [[Dedup.removeSpans]]).
+    *
+    * Scale: the phrase list is broadcast (bounded by #sources × the share
+    * threshold), so marking costs no shuffle — the plan's only wide ops are
+    * the covered-position distinct and the per-doc reassembly, both keyed on
+    * doc_id.
+    */
+  def boilerplateScrub(df: DataFrame, phrases: DataFrame, textCol: String,
+      idCol: String, sourceCol: String, n: Int = 2): DataFrame = {
+    val toksArr = Dedup.tokens(col(textCol))
+    val posts = df.select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
+      posexplode(graft.expressions.GraftFunctions.ngramStrings(toksArr, n))
+        .as(Seq("pos", "gram")))
+    val covered = posts
+      .join(broadcast(phrases.select("source", "gram")), Seq("source", "gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .distinct()
+    df.select(col(idCol).as("doc_id"), posexplode(toksArr).as(Seq("pos", "tok")))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_tokens_kept"))
+  }
 }

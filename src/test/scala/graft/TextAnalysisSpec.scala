@@ -226,4 +226,33 @@ class TextAnalysisSpec extends SparkSpec {
     out(("a", "b")) shouldBe 0.0 +- 1e-6
     out(("a", "c")) shouldBe 0.25 +- 1e-6
   }
+
+  test("boilerplate: per-source df-ratio bigrams; short docs count in n_docs only") {
+    val df = Seq(
+      (1L, "click here now alpha", "s1"),
+      (2L, "click here now beta", "s1"),
+      (3L, "click here gamma", "s1"),
+      (4L, "x", "s1"),                    // 1 token: no bigrams, still a doc
+      (5L, "click here now", "s2")        // s2: every bigram df=1 → none pass
+    ).toDF("doc_id", "text", "source")
+    val bp = rows(TextAnalysis.boilerplate(df, "text", "doc_id", "source",
+      n = 2, minShare = 0.5, minDf = 2).orderBy("gram"))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // s1 (n_docs = 4): "click here" df=3 (0.75 ≥ .5), "here now" df=2 (0.5 ≥ .5)
+    bp shouldBe Seq(("s1", "click here", 3L, 4L, 0.75), ("s1", "here now", 2L, 4L, 0.5))
+  }
+
+  test("boilerplateScrub drops covered positions; fully-covered docs vanish") {
+    val df = Seq(
+      (1L, "click here alpha", "s1"),
+      (2L, "click here beta", "s1"),
+      (3L, "click here", "s1")            // both tokens covered → absent
+    ).toDF("doc_id", "text", "source")
+    val bp = TextAnalysis.boilerplate(df, "text", "doc_id", "source",
+      n = 2, minShare = 0.5, minDf = 2) // "click here" df=3/3
+    val out = rows(TextAnalysis.boilerplateScrub(df, bp, "text", "doc_id", "source", n = 2)
+      .orderBy("doc_id"))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    out shouldBe Seq((1L, "alpha", 1L), (2L, "beta", 1L))
+  }
 }
