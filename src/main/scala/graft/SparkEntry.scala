@@ -1093,6 +1093,12 @@ object SparkEntry {
           col("covered_tokens").cast(DoubleType) / col("total_tokens").cast(DoubleType))
         .orderBy("source")
     }),
+    // per-source Zipf-law fit: OLS of ln(freq) on ln(rank) over the top-100
+    // tokens — a distribution-shape diagnostic (template/generated text
+    // deviates from slope ≈ −1)
+    "q_zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(documents(s, dir), "text", "source", topK = 100)
+        .withColumnRenamed("group", "source").orderBy("source")),
     // per-source boilerplate phrases: within-source df-ratio (C4-style
     // boilerplate, the frequency complement of the duplicated-span cut list)
     "q_boilerplate" -> ((s, dir) =>
@@ -1782,6 +1788,26 @@ object SparkEntry {
               col("purchase_value"), col("click_value"))
         }
       }.orderBy("p_id", "c_id")
+    }),
+
+    // incremental view maintenance of the daily candles: partial OHLCV state
+    // over ticks before a mid-day cutoff is materialized ONCE as the stored
+    // state; every pass computes partials over the delta slice only and
+    // merges (arg-extrema re-resolve via carried timestamps, decimal sums
+    // recombine). The oracle is the FULL recompute — incremental must equal
+    // it bit-for-bit, including the cutoff day both slices contribute to
+    "q_ivm_candles" -> ((s, dir) => {
+      val cutoff = lit("2024-01-25 12:00:00").cast(TimestampType)
+      val statePath = procTmp(s"graft_ivm_state_${Integer.toHexString(dir.hashCode)}")
+      if (SessionCache.once(s, s"ivm-state:$dir")) {
+        Transforms.candlePartials(
+          candleInput(s, dir).filter(col("timestamp") < cutoff), "D")
+          .write.mode("overwrite").parquet(statePath)
+      }
+      val delta = Transforms.candlePartials(
+        candleInput(s, dir).filter(col("timestamp") >= cutoff), "D")
+      Transforms.mergeCandlePartials(s.read.parquet(statePath).unionByName(delta))
+        .orderBy("timestamp")
     }),
 
     // metadata-table catalog (reference config.py:26-27 DB_URL — a metadata
@@ -3306,6 +3332,25 @@ object SparkEntry {
          | SELECT doc_id, CAST(span_start AS BIGINT) AS span_start, CAST(span_end AS BIGINT) AS span_end,
          |   n_dup_shingles
          | FROM spans ORDER BY doc_id, span_start""".stripMargin.replace("\n", ""),
+    // incremental maintenance must equal the full recompute exactly
+    "q_ivm_candles" -> candleSql(bucketD),
+    // Zipf OLS over the same rank/freq integers; ln and the 5-sum regression
+    // restated verbatim, coefficients rounded(6) on both sides
+    "q_zipf_fit" ->
+      s"""WITH words AS (SELECT source, UNNEST($dedupWords) AS token FROM documents),
+         | f AS (SELECT source, token, COUNT(*) AS freq FROM words GROUP BY 1, 2),
+         | r AS (SELECT source, token, freq,
+         |     row_number() OVER (PARTITION BY source ORDER BY freq DESC, token) AS rank
+         |   FROM f QUALIFY rank <= 100),
+         | t AS (SELECT source, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y FROM r),
+         | a AS (SELECT source, COUNT(*) AS n_ranked, SUM(x) AS sx, SUM(y) AS sy,
+         |     SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM t GROUP BY 1),
+         | s AS (SELECT source, n_ranked,
+         |     (CAST(n_ranked AS DOUBLE) * sxy - sx * sy) /
+         |       (CAST(n_ranked AS DOUBLE) * sxx - sx * sx) AS slope, sx, sy FROM a)
+         | SELECT source, n_ranked, round(slope, 6) AS slope,
+         |   round((sy - slope * sx) / CAST(n_ranked AS DOUBLE), 6) AS intercept
+         | FROM s ORDER BY source""".stripMargin.replace("\n", ""),
     // per-source boilerplate bigrams: distinct per-doc gram sets → df ratio
     // against the per-source doc count; the share filter runs on the
     // unrounded ratio on both sides, round(6) only in the emitted column

@@ -519,6 +519,47 @@ object TextAnalysis {
     md5(regexp_replace(lower(text), "\\s+", " "))
 
   // ---------------------------------------------------------------------------
+  // Zipf-law fit
+  // ---------------------------------------------------------------------------
+
+  /** Per-group Zipf exponent: OLS fit of ln(freq) on ln(rank) over each
+    * group's `topK` most frequent tokens (rank ties broken by token text —
+    * deterministic). A natural corpus fits slope ≈ −1; a strongly deviating
+    * slope flags template/generated text (too flat: vocabulary artificially
+    * uniform; too steep: a few tokens dominate). Emits
+    * (group, n_ranked, slope, intercept), both coefficients rounded(6).
+    *
+    * Scale: the token-frequency aggregation is partial-aggregable; the
+    * row_number window runs per group over VOCABULARY-sized data (tokens,
+    * not occurrences) and cuts to topK immediately. At web scale one would
+    * pre-prune the vocab with a min-count filter before the window; the
+    * regression itself is a 5-sum aggregate over ≤ topK rows per group.
+    */
+  def zipfFit(df: DataFrame, textCol: String, groupCol: String,
+      topK: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("group")
+      .orderBy(col("freq").desc, col("token"))
+    val ranked = df
+      .select(col(groupCol).as("group"), explode(Dedup.tokens(col(textCol))).as("token"))
+      .groupBy("group", "token").agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+    val x = log(col("rank").cast(DoubleType))
+    val y = log(col("freq").cast(DoubleType))
+    ranked.groupBy("group")
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+      .withColumn("__nd", col("n_ranked").cast(DoubleType))
+      .withColumn("slope",
+        (col("__nd") * col("sxy") - col("sx") * col("sy")) /
+          (col("__nd") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept", (col("sy") - col("slope") * col("sx")) / col("__nd"))
+      .select(col("group"), col("n_ranked"),
+        round(col("slope"), 6).as("slope"), round(col("intercept"), 6).as("intercept"))
+  }
+
+  // ---------------------------------------------------------------------------
   // Boilerplate detection (C4/RefinedWeb-style, source-conditioned)
   // ---------------------------------------------------------------------------
 

@@ -141,6 +141,49 @@ object Transforms {
     withTs.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Mergeable per-bucket OHLCV partial state over a slice of ticks — the
+    * incremental-view-maintenance half of [[aggregate]]. Every field is a
+    * partially-aggregable summary (extrema, arg-extrema with their ordering
+    * timestamps, exact-decimal sum, count), so partials computed over
+    * disjoint slices merge with [[mergeCandlePartials]] into EXACTLY the
+    * candles a full recompute would produce — bit-for-bit, because the sum
+    * stays fixed-point decimal until the final merge and first/last carry
+    * their defining timestamps.
+    *
+    * This is the 100 TB daily-pipeline contract: day N's ingest computes
+    * partials over the new slice only and merges them with the stored state;
+    * the world is never re-aggregated. Buckets untouched by a slice are
+    * absent from its partials, so merge cost is O(changed buckets).
+    */
+  def candlePartials(df: DataFrame, freq: String = "D",
+      timeCol: String = "timestamp"): DataFrame = {
+    val withTs = df.withColumn(timeCol, Fns.coerceTimestamp(col(timeCol)))
+    withTs.groupBy(Fns.bucketLabel(freq)(col(timeCol)).as(timeCol))
+      .agg(
+        min(col(timeCol)).as("first_ts"),
+        min_by(col("open"), col(timeCol)).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max(col(timeCol)).as("last_ts"),
+        max_by(col("close"), col(timeCol)).as("close"),
+        sum(col("volume").cast(DecimalType(30, 6))).as("vol_part"),
+        count(lit(1)).as("n_ticks"))
+  }
+
+  /** Merge [[candlePartials]] state frames (union them first) into final
+    * candles: arg-min/arg-max re-resolve first/last across slices via the
+    * carried timestamps, extrema and decimal sums recombine associatively.
+    * Output schema matches `aggregate(_, freq, exactSums = true)` exactly.
+    */
+  def mergeCandlePartials(parts: DataFrame, timeCol: String = "timestamp"): DataFrame =
+    parts.groupBy(col(timeCol))
+      .agg(
+        min_by(col("open"), col("first_ts")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("last_ts")).as("close"),
+        sum(col("vol_part")).cast(DoubleType).as("volume"))
+
   /** Skew-safe two-stage ("salted") aggregation for algebraic aggregates:
     * rows first combine under (keys, salt) — at most `buckets` partial cells
     * per hot key, spread across reducers — then the partials combine under

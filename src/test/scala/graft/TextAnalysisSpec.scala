@@ -227,6 +227,18 @@ class TextAnalysisSpec extends SparkSpec {
     out(("a", "c")) shouldBe 0.25 +- 1e-6
   }
 
+  test("zipfFit: exact power law fits slope -1 with intercept ln(c)") {
+    // freq = 12 / rank for ranks 1..4: ln(freq) = ln(12) - 1·ln(rank) exactly
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c") ++
+      Seq.fill(3)("d")).mkString(" ")
+    val df = Seq((1L, text, "s1")).toDF("doc_id", "text", "source")
+    val r = rows(TextAnalysis.zipfFit(df, "text", "source", topK = 100)).head
+    r.getString(0) shouldBe "s1"
+    r.getLong(1) shouldBe 4L
+    r.getDouble(2) shouldBe -1.0 +- 1e-6
+    r.getDouble(3) shouldBe math.log(12.0) +- 1e-6
+  }
+
   test("boilerplate: per-source df-ratio bigrams; short docs count in n_docs only") {
     val df = Seq(
       (1L, "click here now alpha", "s1"),

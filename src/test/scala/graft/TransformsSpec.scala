@@ -136,6 +136,27 @@ class TransformsSpec extends SparkSpec {
       (1, "a", 10.0), (2, "a", 20.0), (2, "b", 5.0))
   }
 
+  test("candlePartials + merge over any slicing equals a direct aggregate") {
+    val ticks = Seq(
+      ("2024-01-01 09:00:00", 10.0), ("2024-01-01 12:00:00", 14.0),
+      ("2024-01-01 15:00:00", 8.0), ("2024-01-01 17:00:00", 11.0),
+      ("2024-01-02 10:00:00", 20.0), ("2024-01-02 11:00:00", 19.0))
+      .toDF("timestamp", "v")
+      .select(col("timestamp"), col("v").as("open"), col("v").as("high"),
+        col("v").as("low"), col("v").as("close"), col("v").as("volume"))
+    val full = rows(Transforms.aggregate(ticks, "D", exactSums = true).orderBy("timestamp"))
+    // slice mid-day so day 1 gets contributions from BOTH partials
+    val cut = tsLit("2024-01-01 13:00:00")
+    val merged = Transforms.mergeCandlePartials(
+      Transforms.candlePartials(ticks.filter(col("timestamp").cast("timestamp") < cut), "D")
+        .unionByName(
+          Transforms.candlePartials(ticks.filter(col("timestamp").cast("timestamp") >= cut), "D")))
+    rows(merged.orderBy("timestamp")) shouldBe full
+    // degenerate slicing (everything in one slice) also matches
+    rows(Transforms.mergeCandlePartials(Transforms.candlePartials(ticks, "D"))
+      .orderBy("timestamp")) shouldBe full
+  }
+
   test("clean drops nulls before coercion (pandas order quirk); re-clean drops coerced nulls") {
     // The reference cleans in dropna → dedup → cast order (transformers.py:30-49),
     // so an unparseable "x" survives the FIRST clean as a coerced NULL — clean is
