@@ -659,6 +659,28 @@ object SparkEntry {
           count(lit(1)).as("n_rows"),
           grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
           grouping(col("l_linestatus")).cast(IntegerType).as("g_status"))),
+    // explicit GROUPING SETS (the general form behind cube/rollup): the two
+    // real levels + grand total, with grouping() flags disambiguating real
+    // NULL keys from subtotal rows
+    "q_grouping_sets" -> ((s, dir) =>
+      lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(Fns.exactSum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
+          grouping(col("l_linestatus")).cast(IntegerType).as("g_status"))),
+    // set operations: INTERSECT (clickers who also purchased) and EXCEPT
+    // (clickers who never did) — hash-dedup set semantics on both sides
+    "q_set_ops" -> ((s, dir) => {
+      val e = events(s, dir)
+      val clickers = e.filter(col("event_type") === "click").select("user_id").distinct()
+      val buyers = e.filter(col("event_type") === "purchase").select("user_id").distinct()
+      clickers.intersect(buyers).withColumn("set_op", lit("intersect"))
+        .unionByName(clickers.except(buyers).withColumn("set_op", lit("except")))
+        .orderBy("set_op", "user_id")
+    }),
     // band self-join: events of the same type within ±30 min of each other,
     // decomposed to a bucketed equi-join (see BandJoin) instead of the
     // quadratic theta-join a naive plan would run
@@ -1559,6 +1581,27 @@ object SparkEntry {
       Similarity.meanPooledCentroids(embeddings(s, dir), "embedding", "label")
         .orderBy("label", "dim")),
     // day-2 ingest: batch-dedup then anti-join the landed corpus' hash index
+    // incremental NEAR-dup: new docs (doc_id % 3 ≠ 0) probe a PERSISTED band
+    // index of the base corpus (% 3 = 0) — banding runs over the delta only,
+    // base×base pairs never form. The oracle is exact all-pairs Jaccard
+    // restricted to pairs with at least one delta side; the banding's recall
+    // argument is the same 1−(1−J²)³² bound as q_minhash_pairs
+    "q_minhash_incremental" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val idxPath = procTmp(s"graft_lsh_idx_${Integer.toHexString(dir.hashCode)}")
+      if (SessionCache.once(s, s"lsh-index:$dir")) {
+        val base = d.filter(col("doc_id") % 3 === 0)
+        Dedup.bandBuckets(base, "text", "doc_id", shingleN = 5, k = 64, bands = 32)
+          .write.mode("overwrite").parquet(s"$idxPath/bands")
+        Dedup.shingleSets(base, "text", "doc_id", shingleN = 5)
+          .write.mode("overwrite").parquet(s"$idxPath/sets")
+      }
+      Dedup.minhashPairsIncremental(
+        d.filter(col("doc_id") % 3 =!= 0),
+        s.read.parquet(s"$idxPath/bands"), s.read.parquet(s"$idxPath/sets"),
+        "text", "doc_id", shingleN = 5, k = 64, bands = 32, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
     "q_dedup_incremental" -> ((s, dir) => {
       val d = documents(s, dir)
       Dedup.incremental(d.filter(col("doc_id") % 3 =!= 0),
@@ -1831,6 +1874,14 @@ object SparkEntry {
         .orderBy("layer", "source", "data_type")
     }),
 
+    // ORC sink+scan roundtrip (second columnar format beside parquet): same
+    // lossless-roundtrip contract as q_lake_roundtrip, exercising Spark's ORC
+    // reader/writer end to end
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val p = procTmp(s"graft_orc_${Integer.toHexString(dir.hashCode)}")
+      candles(s, dir, "D").write.mode("overwrite").orc(p)
+      s.read.orc(p).orderBy("timestamp")
+    }),
     // lake sink+scan under the gate: write real candles through the lake
     // contract (coalesce(1) parquet) and read them back — the oracle computes
     // the same candles from source, so the roundtrip must be lossless
@@ -3451,6 +3502,12 @@ object SparkEntry {
     // exact Jaccard (no pruning): equals minhashPairs' output because emitted
     // values are exact-verified and banding recall at min qualifying J is ~1-3e-12
     "q_minhash_pairs" -> exactJaccardSql(n = 5, threshold = 0.5),
+    // exact Jaccard over pairs with at least one delta (doc_id % 3 ≠ 0) side
+    "q_minhash_incremental" ->
+      s"""WITH ${exactJaccardCtes(5, 0.5)}
+         | SELECT id_a, id_b, jaccard FROM p
+         | WHERE NOT (id_a % 3 = 0 AND id_b % 3 = 0)
+         | ORDER BY id_a, id_b""".stripMargin.replace("\n", ""),
     // triangles enumerated once each as a<b<c over the canonical (a<b) edge
     // list; coeff written as the SAME single double division Spark computes
     "q_triangle_coeff" ->
@@ -4090,6 +4147,24 @@ object SparkEntry {
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", ""),
 
     "q_lake_roundtrip" -> candleSql(bucketD),
+    "q_orc_roundtrip" -> candleSql(bucketD),
+    // explicit grouping-sets levels with grouping() flags
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n_rows,
+        | CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        | CAST(GROUPING(l_linestatus) AS INT) AS g_status
+        | FROM lineitem
+        | GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin.replace("\n", ""),
+    // INTERSECT / EXCEPT with set semantics on distinct user sets
+    "q_set_ops" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        | b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        | SELECT user_id, 'intersect' AS set_op FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM b)
+        | UNION ALL
+        | SELECT user_id, 'except' AS set_op FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM b)
+        | ORDER BY set_op, user_id""".stripMargin.replace("\n", ""),
     // surviving catalog rows after the fixed edit script: row counts restated
     // from the defining queries (clean-events dedup+dropna count; distinct
     // daily buckets), versions are the literal edit sequence (upsert moved

@@ -123,30 +123,82 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
+    val banded = bandBuckets(df, textCol, idCol, shingleN, k, bands)
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyExactJaccard(cand, shingleSets(df, textCol, idCol, shingleN), threshold)
+  }
+
+  /** (id, band, bucket) LSH rows for a corpus slice — the persistable unit of
+    * the banding in [[minhashPairs]]: `bands` rows per document, each keyed by
+    * a 32-bit hash of that band's signature lanes. Narrow (no shuffle); a
+    * curation run writes this next to the corpus as the incremental index.
+    */
+  def bandBuckets(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rowsPerBand = k / bands
     val sigs = minhashSignatures(df, textCol, idCol, shingleN, k)
     // static per-band bucket expressions — no lambda, all codegen'd
     val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
       hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket")))
-    val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+    sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    // exact verification: join candidate ids back to the (narrow, recomputed)
-    // shingle sets; |A∩B| via array_intersect over sorted longs
-    val sets = df.select(col(idCol).as("id"), shingleHashSet(col(textCol), shingleN).as("sh"))
-    val withSets = cand
+  }
+
+  /** (id, sh ARRAY<BIGINT>) distinct shingle-hash sets — the verification
+    * side of the persisted index.
+    */
+  def shingleSets(df: DataFrame, textCol: String, idCol: String, shingleN: Int): DataFrame =
+    df.select(col(idCol).as("id"), shingleHashSet(col(textCol), shingleN).as("sh"))
+
+  /** Exact verification of candidate pairs: join ids back to shingle sets,
+    * true Jaccard via array_intersect, filter at `threshold`. Every emitted
+    * pair is a real near-duplicate (the candidate generator affects recall
+    * only).
+    */
+  private def verifyExactJaccard(cand: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
+    cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-    withSets
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .withColumn("jaccard", col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+
+  /** Incremental near-dup: a DELTA of new documents against a PERSISTED band
+    * index (`baseBands`/`baseSets` from [[bandBuckets]]/[[shingleSets]] over
+    * the existing corpus), plus delta-internal pairs — without ever
+    * re-banding the base corpus. This is the day-N shape of LSH dedup at
+    * 100 TB: the index is an artifact on disk; each ingest bands only its new
+    * slice, probes the stored buckets, and appends its own rows to the index
+    * afterward.
+    *
+    * Candidates = (new × all) sharing a band bucket; the base×base join
+    * never happens, so the work scales with |delta| × bucket occupancy, not
+    * corpus². Emits (id_a, id_b, jaccard) with id_a < id_b, exactly verified
+    * — at least one side of every pair is a delta document.
+    */
+  def minhashPairsIncremental(
+      delta: DataFrame, baseBands: DataFrame, baseSets: DataFrame,
+      textCol: String, idCol: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val newBands = bandBuckets(delta, textCol, idCol, shingleN, k, bands)
+    // new side probes base ∪ new: pair order normalized by least/greatest so
+    // a new-new bucket collision isn't emitted twice
+    val cand = newBands.as("a")
+      .join(baseBands.unionByName(newBands).as("b"), Seq("band", "bucket"))
+      .filter(col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyExactJaccard(cand,
+      baseSets.unionByName(shingleSets(delta, textCol, idCol, shingleN)), threshold)
   }
 
   /** SimHash fingerprint column ([[graft.expressions.SimHash64]]): one narrow

@@ -45,6 +45,26 @@ class DedupSpec extends SparkSpec {
     pairs.flatMap(p => Seq(p._1, p._2)) should not contain 4L
   }
 
+  test("minhashPairsIncremental: delta probes the base index; base-base pairs never form") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val base = Seq((10L, text), (11L, text), (12L, "completely different words here entirely"))
+      .toDF("doc_id", "text")
+    val delta = Seq((20L, text), (21L, text), (22L, "unrelated delta content of its own"))
+      .toDF("doc_id", "text")
+    val out = rows(Dedup.minhashPairsIncremental(delta,
+      Dedup.bandBuckets(base, "text", "doc_id", 2, 64, 16),
+      Dedup.shingleSets(base, "text", "doc_id", 2),
+      "text", "doc_id", shingleN = 2, k = 64, bands = 16, threshold = 0.5)
+      .orderBy("id_a", "id_b"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // delta×base and delta×delta dups found; the base-internal (10,11) pair is NOT emitted
+    out should contain allOf ((10L, 20L), (10L, 21L), (11L, 20L), (11L, 21L), (20L, 21L))
+    out should not contain ((10L, 11L))
+    // every pair has at least one delta side
+    out.foreach { case (a, b) => (a >= 20L || b >= 20L) shouldBe true }
+  }
+
   test("ngramJaccardPairs computes exact jaccard on candidate pairs") {
     val out = rows(Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 2, threshold = 0.3)
       .orderBy("id_a", "id_b"))
