@@ -124,6 +124,25 @@ object ScaleProbe {
         Dedup.contentIndex(docs.filter(col("doc_id") % 3 === 0), "text"),
         "text", "doc_id").count()
     }
+    time("minhash_pairs_incremental") {
+      // ADVERSARIAL for the incremental path: the delta's docs each collide
+      // with every replica of their base copy in all 32 bands, so candidate
+      // volume is the maximal delta×occupancy product. Cost must track that
+      // candidate volume; the base side is banded ONCE here (in a real run
+      // it is read from the persisted index, not re-banded at all).
+      Dedup.minhashPairsIncremental(docs.filter(col("doc_id") % 3 =!= 0),
+        Dedup.bandBuckets(docs.filter(col("doc_id") % 3 === 0), "text", "doc_id", 5, 64, 32),
+        Dedup.shingleSets(docs.filter(col("doc_id") % 3 === 0), "text", "doc_id", 5),
+        "text", "doc_id", shingleN = 5, k = 64, bands = 32, threshold = 0.5).count()
+    }
+    time("boilerplate") {
+      // replication multiplies each gram's df AND n_docs by k — shares are
+      // invariant, so the phrase set is identical at any k while the df
+      // aggregation input grows linearly (all absorbed map-side; the
+      // broadcast phrase frame never grows)
+      val sdocs = docs.withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20L))))
+      graft.operators.TextAnalysis.boilerplate(sdocs, "text", "doc_id", "source").count()
+    }
     time("top_bigrams") {
       graft.operators.TextAnalysis.topBigrams(docs, "text", "doc_id", 50).count()
     }
@@ -248,6 +267,26 @@ object ScaleProbe {
         lit(1L).as("seq"))
       time("cdc_merge") {
         graft.operators.Changelog.merge(ords, changes, "o_orderkey").count()
+      }
+    }
+    locally {
+      // IVM candle merge at k× the tick volume: per-slice partials are
+      // partial-aggregable (both groupBys combine map-side), so cost is one
+      // linear pass per slice + a merge over |buckets| rows — bucket count
+      // is FIXED (30 days) regardless of k, which is the whole point.
+      val evBase = normalizeTs(spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("ts"), col("value")))
+      val ticks = (0 until k).map(_ => evBase).reduce(_ unionAll _)
+        .select(col("ts").as("timestamp"), col("value").as("open"),
+          col("value").as("high"), col("value").as("low"),
+          col("value").as("close"), col("value").as("volume"))
+      val cutoff = lit("2024-01-25 12:00:00").cast(TimestampType)
+      time("ivm_candles_merge") {
+        graft.operators.Transforms.mergeCandlePartials(
+          graft.operators.Transforms.candlePartials(
+            ticks.filter(col("timestamp") < cutoff), "D")
+            .unionByName(graft.operators.Transforms.candlePartials(
+              ticks.filter(col("timestamp") >= cutoff), "D"))).count()
       }
     }
     time("ngram_novelty") {

@@ -659,6 +659,33 @@ object SparkEntry {
           count(lit(1)).as("n_rows"),
           grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
           grouping(col("l_linestatus")).cast(IntegerType).as("g_status"))),
+    // ranking/navigation window-function suite in one pass: lag/lead,
+    // row_number, rank over value ties, percent_rank/cume_dist (integer-rank
+    // divisions — deterministic doubles, no rounding needed), ntile
+    "q_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      events(s, dir).select(col("event_id"), col("event_type"), col("ts"), col("value"))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_value", lead(col("value"), 1).over(w))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("decile", ntile(10).over(w))
+        .drop("ts")
+        .orderBy("event_id")
+    }),
+    // left-semi / left-anti join pair: customers with vs without orders
+    // (EXISTS / NOT EXISTS duals) — the anti side is the relational base of
+    // the decontamination and incremental-dedup operators
+    "q_semi_anti" -> ((s, dir) => {
+      val c = customer(s, dir).select("c_custkey")
+      val o = orders(s, dir).select("o_custkey")
+      val on = col("c_custkey") === col("o_custkey")
+      c.join(o, on, "left_semi").select(col("c_custkey"), lit("has_orders").as("status"))
+        .unionByName(
+          c.join(o, on, "left_anti").select(col("c_custkey"), lit("no_orders").as("status")))
+        .orderBy("c_custkey")
+    }),
     // explicit GROUPING SETS (the general form behind cube/rollup): the two
     // real levels + grand total, with grouping() flags disambiguating real
     // NULL keys from subtotal rows
@@ -4148,6 +4175,26 @@ object SparkEntry {
 
     "q_lake_roundtrip" -> candleSql(bucketD),
     "q_orc_roundtrip" -> candleSql(bucketD),
+    // one-pass window suite (same (ts, event_id) ordering key both sides)
+    "q_window_funcs" ->
+      """SELECT event_id, event_type, value,
+        | lag(value, 1) OVER w AS prev_value,
+        | lead(value, 1) OVER w AS next_value,
+        | CAST(row_number() OVER w AS INT) AS rn,
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd,
+        | CAST(ntile(10) OVER w AS INT) AS decile
+        | FROM events
+        | WINDOW w AS (PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        | ORDER BY event_id""".stripMargin.replace("\n", ""),
+    // EXISTS / NOT EXISTS duals of the semi/anti pair
+    "q_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS status FROM customer c
+        | WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        | UNION ALL
+        | SELECT c_custkey, 'no_orders' AS status FROM customer c
+        | WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        | ORDER BY c_custkey""".stripMargin.replace("\n", ""),
     // explicit grouping-sets levels with grouping() flags
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
