@@ -1860,6 +1860,30 @@ object SparkEntry {
       }.orderBy("p_id", "c_id")
     }),
 
+    // declarative data-quality gate (Deequ shape): 7 checks compiled into
+    // ONE aggregate pass — row floor, null scans, exact uniqueness, range,
+    // allowed-set; includes a deliberately FAILING check (user_id is not
+    // unique) so the report's fail path is gated too
+    "q_data_checks" -> ((s, dir) => {
+      import graft.operators.Checks._
+      graft.operators.Checks.validate(events(s, dir), Seq(
+        RowCountMin(1000L),
+        NotNull("event_id"), NotNull("value"),
+        Unique("event_id"), Unique("user_id"),
+        InRange("value", 0.0, 1000000.0),
+        InSet("event_type", Seq("click", "error", "purchase", "signup", "view"))))
+        .orderBy("ord")
+    }),
+
+    // count-min sketch point queries: d×w exact-sum counters (order-
+    // independent, mergeable, d×w-bounded shuffle per shard — the frequency
+    // analogue of the KMV sketch), estimates = min over each key's d cells;
+    // true counts alongside prove the structural est ≥ true overestimate
+    "q_cms_counts" -> ((s, dir) =>
+      graft.operators.Sketches.cmsEstimates(events(s, dir), "user_id", d = 4, w = 64)
+        .withColumn("overcount", col("est_cnt") - col("true_cnt"))
+        .orderBy("user_id")),
+
     // incremental view maintenance of the daily candles: partial OHLCV state
     // over ticks before a mid-day cutoff is materialized ONCE as the stored
     // state; every pass computes partials over the delta slice only and
@@ -1878,6 +1902,31 @@ object SparkEntry {
         candleInput(s, dir).filter(col("timestamp") >= cutoff), "D")
       Transforms.mergeCandlePartials(s.read.parquet(statePath).unionByName(delta))
         .orderBy("timestamp")
+    }),
+
+    // ... and its continuous form: the post-cutoff ticks replay as TWO
+    // ordered micro-batches whose per-batch partials fold into the stored
+    // state (partial → partial, one row per touched bucket); final candles
+    // resolve once at read time and must equal the full recompute
+    "q_stream_ivm" -> ((s, dir) => {
+      val cutoff = lit("2024-01-25 12:00:00").cast(TimestampType)
+      val tier2 = lit("2024-01-28 00:00:00").cast(TimestampType)
+      val landed = SessionCache.getOrCompute(s, s"stream-ivm-delta:$dir") {
+        val d = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_stream_ivm_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}")
+        val delta = candleInput(s, dir).filter(col("timestamp") >= cutoff)
+        graft.streaming.Streaming.landOrdered(d,
+          Seq(delta.filter(col("timestamp") < tier2),
+            delta.filter(col("timestamp") >= tier2)))
+        d.toString
+      }
+      streamResult(s, dir, "ivm") {
+        withStreamConf(s, noDataBatch = false) {
+          graft.streaming.Streaming.ivmApply(s, landed,
+            Transforms.candlePartials(
+              candleInput(s, dir).filter(col("timestamp") < cutoff), "D"), "D")
+        }
+      }.orderBy("timestamp")
     }),
 
     // metadata-table catalog (reference config.py:26-27 DB_URL — a metadata
@@ -3412,6 +3461,42 @@ object SparkEntry {
          | FROM spans ORDER BY doc_id, span_start""".stripMargin.replace("\n", ""),
     // incremental maintenance must equal the full recompute exactly
     "q_ivm_candles" -> candleSql(bucketD),
+    "q_stream_ivm" -> candleSql(bucketD),
+    // every check's observed metric restated as a scalar subquery
+    "q_data_checks" ->
+      """WITH m AS (SELECT
+        |   CAST(COUNT(*) AS DOUBLE) AS n_rows,
+        |   CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_id,
+        |   CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_val,
+        |   CAST(COUNT(*) - COUNT(DISTINCT event_id) AS DOUBLE) AS dup_id,
+        |   CAST(COUNT(*) - COUNT(DISTINCT user_id) AS DOUBLE) AS dup_user,
+        |   CAST(SUM(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 1000000) THEN 1 ELSE 0 END) AS DOUBLE) AS oor,
+        |   CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('click','error','purchase','signup','view') THEN 1 ELSE 0 END) AS DOUBLE) AS oos
+        |  FROM events)
+        | SELECT * FROM (
+        |   SELECT 0 AS ord, 'row_count_min' AS check, '*' AS col_name, n_rows AS observed, n_rows >= 1000 AS passed FROM m
+        |   UNION ALL SELECT 1, 'not_null', 'event_id', null_id, null_id = 0 FROM m
+        |   UNION ALL SELECT 2, 'not_null', 'value', null_val, null_val = 0 FROM m
+        |   UNION ALL SELECT 3, 'unique', 'event_id', dup_id, dup_id = 0 FROM m
+        |   UNION ALL SELECT 4, 'unique', 'user_id', dup_user, dup_user = 0 FROM m
+        |   UNION ALL SELECT 5, 'in_range', 'value', oor, oor = 0 FROM m
+        |   UNION ALL SELECT 6, 'in_set', 'event_type', oos, oos = 0 FROM m)
+        | ORDER BY ord""".stripMargin.replace("\n", ""),
+    // the full CMS construction restated: same md5-derived cells, exact
+    // integer counters, min-over-d point queries
+    "q_cms_counts" -> {
+      val cellOf = idHashSql("CAST(k AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)") + " % 64"
+      s"""WITH rc AS (SELECT k AS row, $cellOf AS cell, user_id
+         |   FROM events, unnest([0, 1, 2, 3]) AS t(k)),
+         | cells AS (SELECT row, cell, COUNT(*) AS cnt FROM rc GROUP BY 1, 2),
+         | keys AS (SELECT user_id, COUNT(*) AS true_cnt FROM events GROUP BY 1),
+         | kc AS (SELECT user_id, k AS row, $cellOf AS cell
+         |   FROM keys, unnest([0, 1, 2, 3]) AS t(k))
+         | SELECT kc.user_id, ANY_VALUE(keys.true_cnt) AS true_cnt,
+         |   MIN(c.cnt) AS est_cnt, MIN(c.cnt) - ANY_VALUE(keys.true_cnt) AS overcount
+         | FROM kc JOIN cells c USING (row, cell) JOIN keys USING (user_id)
+         | GROUP BY kc.user_id ORDER BY kc.user_id""".stripMargin.replace("\n", "")
+    },
     // Zipf OLS over the same rank/freq integers; ln and the 5-sum regression
     // restated verbatim, coefficients rounded(6) on both sides
     "q_zipf_fit" ->

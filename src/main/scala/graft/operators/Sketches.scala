@@ -101,4 +101,52 @@ object Sketches {
             element_at(col("__sk"), k).cast(DoubleType)))
       .drop("__sk")
   }
+
+  // ---------------------------------------------------------------------------
+  // Count-min sketch (frequency estimation)
+  // ---------------------------------------------------------------------------
+
+  /** `d` independent cell ids in [0, w) for a key — row i hashes
+    * `"i:" + key` through [[h60]], so the rows are as independent as md5
+    * prefixes and BOTH engines can restate every cell exactly.
+    */
+  private def cmsCellIds(key: Column, d: Int, w: Int): Seq[Column] =
+    (0 until d).map(i => pmod(h60(concat_ws(":", lit(i.toString), key)), lit(w.toLong)))
+
+  /** Count-min sketch cells over a key column: d×w counters, each the exact
+    * occurrence count of the keys hashing into it (Cormode & Muthukrishnan,
+    * J. Algorithms 2005). Every counter is an order-independent SUM, so the
+    * sketch is deterministic under any partitioning, mergeable across
+    * shards by cell-wise addition, and oracle-checkable — the properties
+    * that make it the frequency analogue of the KMV sketch above.
+    *
+    * Scale: the input explodes d× but collapses map-side into at most d×w
+    * cells per map task — the shuffle carries a FIXED d×w frame per shard
+    * regardless of input size (the CMS state contract). Estimates only ever
+    * overestimate (collisions add), with ε ≈ e/w relative mass per row.
+    */
+  def cmsCells(df: DataFrame, keyCol: String, d: Int = 4, w: Int = 64): DataFrame = {
+    val cells = cmsCellIds(col(keyCol), d, w).zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("row"), c.as("cell"))
+    }
+    df.select(explode(array(cells: _*)).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query estimates for every key alongside its true count: the CMS
+    * estimate is the MIN over the key's d cells. The d×w cell frame is
+    * broadcast (it is sketch-sized by construction); the true count is the
+    * demonstrator's self-check — a production consumer holds only the cells.
+    * Overestimation is structural: est ≥ true for every key, exactly.
+    */
+  def cmsEstimates(df: DataFrame, keyCol: String, d: Int = 4, w: Int = 64): DataFrame = {
+    val cells = cmsCells(df, keyCol, d, w)
+    val keys = df.groupBy(col(keyCol)).agg(count(lit(1)).as("true_cnt"))
+    keys.select(col(keyCol), col("true_cnt"),
+        posexplode(array(cmsCellIds(col(keyCol), d, w): _*)).as(Seq("row", "cell")))
+      .join(broadcast(cells), Seq("row", "cell"))
+      .groupBy(col(keyCol), col("true_cnt"))
+      .agg(min(col("cnt")).as("est_cnt"))
+  }
 }

@@ -170,6 +170,25 @@ object Transforms {
         count(lit(1)).as("n_ticks"))
   }
 
+  /** Combine [[candlePartials]] frames into ONE partial row per bucket —
+    * partial → partial, same schema, so state can be folded incrementally
+    * (slice by slice, micro-batch by micro-batch) and merged to final
+    * candles once at read time. Associative and commutative in the slices.
+    */
+  def combineCandlePartials(parts: DataFrame, timeCol: String = "timestamp"): DataFrame =
+    parts.groupBy(col(timeCol))
+      .agg(
+        min(col("first_ts")).as("first_ts"),
+        min_by(col("open"), col("first_ts")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max(col("last_ts")).as("last_ts"),
+        max_by(col("close"), col("last_ts")).as("close"),
+        sum(col("vol_part")).as("vol_part"),
+        sum(col("n_ticks")).as("n_ticks"))
+      .select(col(timeCol), col("first_ts"), col("open"), col("high"), col("low"),
+        col("last_ts"), col("close"), col("vol_part"), col("n_ticks"))
+
   /** Merge [[candlePartials]] state frames (union them first) into final
     * candles: arg-min/arg-max re-resolve first/last across slices via the
     * carried timestamps, extrema and decimal sums recombine associatively.

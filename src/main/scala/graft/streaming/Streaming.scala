@@ -282,6 +282,48 @@ object Streaming {
     * snapshot keeps no seq metadata between batches, exactly like a lake
     * table — ordering is the transport's job, as in every CDC pipeline.
     */
+  /** Streaming incremental view maintenance of the candle aggregate: replay
+    * a tick file stream one file per micro-batch, folding each batch's
+    * [[graft.operators.Transforms.candlePartials]] into the running partial
+    * state ([[graft.operators.Transforms.combineCandlePartials]] — partial →
+    * partial, so state stays one row per touched bucket) and resolving to
+    * final candles ONCE at the end. This is the continuous form of the batch
+    * IVM query: the aggregate is maintained, never recomputed; at scale the
+    * state frame is the stored aggregate table a lake sink upserts per batch.
+    */
+  def ivmApply(spark: SparkSession, tickDir: String, baseState: DataFrame,
+      freq: String = "D"): DataFrame = {
+    val schema = spark.read.parquet(tickDir).schema
+    var state = baseState.localCheckpoint()
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(tickDir)
+    val ckptBase = java.nio.file.Paths.get(
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm"
+      else sys.props("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, "graft_ckpt_ivm")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          state = graft.operators.Transforms.combineCandlePartials(
+            state.unionByName(graft.operators.Transforms.candlePartials(batch, freq)))
+            .localCheckpoint()
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.operators.Transforms.mergeCandlePartials(state)
+    } finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(ckpt)
+        val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+        paths.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
   def cdcApply(spark: SparkSession, changeDir: String, base: DataFrame,
       keyCol: String): DataFrame = {
     val schema = spark.read.parquet(changeDir).schema

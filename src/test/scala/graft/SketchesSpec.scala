@@ -35,6 +35,23 @@ class SketchesSpec extends SparkSpec {
     a.head.getDouble(2) shouldBe b.head.getDouble(2) // bit-identical
   }
 
+  test("CMS: est >= true for every key, exact when w is collision-free, partition-invariant") {
+    import spark.implicits._
+    val base = (1 to 500).map(i => ("k" + (i % 17), i))
+    val df = base.toDF("key", "x")
+    val est = rows(Sketches.cmsEstimates(df, "key", d = 4, w = 8).orderBy("key"))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    est.length shouldBe 17
+    est.foreach { case (_, t, e) => e should be >= t } // structural overestimate at w=8
+    // wide sketch (w=4096, 17 keys): no collisions, est == true everywhere
+    val exact = rows(Sketches.cmsEstimates(df, "key", d = 4, w = 4096))
+      .map(r => (r.getLong(1), r.getLong(2)))
+    exact.foreach { case (t, e) => e shouldBe t }
+    // counters are order-independent sums: any repartitioning gives identical cells
+    rows(Sketches.cmsCells(df.repartition(13), "key", 4, 8).orderBy("row", "cell")) shouldBe
+      rows(Sketches.cmsCells(df.repartition(1), "key", 4, 8).orderBy("row", "cell"))
+  }
+
   test("BottomKAgg keeps the k smallest distinct values through reduce and merge") {
     val agg = new Sketches.BottomKAgg(3)
     val b = Seq(5L, 9L, 2L, 5L, 7L, 1L).foldLeft(agg.zero)(agg.reduce)

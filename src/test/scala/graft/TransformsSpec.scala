@@ -155,6 +155,15 @@ class TransformsSpec extends SparkSpec {
     // degenerate slicing (everything in one slice) also matches
     rows(Transforms.mergeCandlePartials(Transforms.candlePartials(ticks, "D"))
       .orderBy("timestamp")) shouldBe full
+    // incremental FOLD (combine is partial -> partial): slice 1 folded with
+    // slice 2, then slice 3, equals the one-shot merge — the streaming shape
+    val s1 = Transforms.candlePartials(ticks.filter(col("timestamp").cast("timestamp") < tsLit("2024-01-01 13:00:00")), "D")
+    val s2 = Transforms.candlePartials(ticks.filter(col("timestamp").cast("timestamp") >= tsLit("2024-01-01 13:00:00")
+      && col("timestamp").cast("timestamp") < tsLit("2024-01-02 00:00:00")), "D")
+    val s3 = Transforms.candlePartials(ticks.filter(col("timestamp").cast("timestamp") >= tsLit("2024-01-02 00:00:00")), "D")
+    val folded = Transforms.combineCandlePartials(
+      Transforms.combineCandlePartials(s1.unionByName(s2)).unionByName(s3))
+    rows(Transforms.mergeCandlePartials(folded).orderBy("timestamp")) shouldBe full
   }
 
   test("clean drops nulls before coercion (pandas order quirk); re-clean drops coerced nulls") {
