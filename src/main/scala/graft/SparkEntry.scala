@@ -333,7 +333,7 @@ object SparkEntry {
     * new edit history rather than appending to the old one) and wiped before
     * the script so a same-pid leftover cannot shift version numbers.
     */
-  private def catalogTable(s: SparkSession, dir: String): DataFrame = {
+  private def catalogOf(s: SparkSession, dir: String): graft.sources.Catalog = {
     val cat = graft.sources.Catalog(s,
       procTmp(s"graft_catalog_${Integer.toHexString(dir.hashCode)}"))
     SessionCache.getOrCompute(s, s"catalog-meta:$dir") {
@@ -349,8 +349,11 @@ object SparkEntry {
       cat.unregister("gold", "candles_weekly_20240110")            // v6
       java.lang.Long.valueOf(cat.currentVersion)
     }
-    cat.entries
+    cat
   }
+
+  private def catalogTable(s: SparkSession, dir: String): DataFrame =
+    catalogOf(s, dir).entries
 
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the full
     * reference pipeline — scan → clean → daily OHLCV candles
@@ -1938,6 +1941,11 @@ object SparkEntry {
     // commit version each row was (re)registered at
     "q_catalog_meta" -> ((s, dir) =>
       catalogTable(s, dir).orderBy("layer", "name")),
+    // time travel: the catalog AS OF snapshot v4 — before the upsert moved
+    // events_clean_20240105 to v5 and before the weekly candles row was
+    // unregistered; immutable snapshots make this a plain read
+    "q_catalog_history" -> ((s, dir) =>
+      catalogOf(s, dir).entriesAt(4L).orderBy("layer", "name")),
     // the metadata-table answer to Lake.latest (storage.py:158-170): latest
     // ingest_date per (layer, source, data_type) via window rank over the
     // catalog-scale table
@@ -4316,6 +4324,30 @@ object SparkEntry {
         |   UNION ALL
         |   SELECT 'events_clean_20240105', 'silver', 'events', 'clean', '20240105',
         |     (SELECT c FROM ec), 6, 5
+        |   UNION ALL
+        |   SELECT 'events_clean_20240106', 'silver', 'events', 'clean', '20240106',
+        |     (SELECT c FROM ec), 6, 2)
+        | ORDER BY layer, name""".stripMargin.replace("\n", ""),
+    // the v4 snapshot: pre-upsert (v1 provenance intact), weekly row present
+    "q_catalog_history" ->
+      """WITH ec AS (SELECT count(*) AS c FROM (
+        |   SELECT DISTINCT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |   FROM events
+        |   WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+        |     AND event_type IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+        |     AND props IS NOT NULL)),
+        | cd AS (SELECT count(DISTINCT date_trunc('day', ts)) AS c FROM events),
+        | cw AS (SELECT count(DISTINCT date_trunc('week', ts)) AS c FROM events)
+        | SELECT * FROM (
+        |   SELECT 'candles_daily_20240110' AS name, 'gold' AS layer, 'candles' AS source,
+        |     'daily' AS data_type, '20240110' AS ingest_date,
+        |     (SELECT c FROM cd) AS num_rows, 6 AS num_cols, 3 AS version
+        |   UNION ALL
+        |   SELECT 'candles_weekly_20240110', 'gold', 'candles', 'weekly', '20240110',
+        |     (SELECT c FROM cw), 6, 4
+        |   UNION ALL
+        |   SELECT 'events_clean_20240105', 'silver', 'events', 'clean', '20240105',
+        |     (SELECT c FROM ec), 6, 1
         |   UNION ALL
         |   SELECT 'events_clean_20240106', 'silver', 'events', 'clean', '20240106',
         |     (SELECT c FROM ec), 6, 2)

@@ -74,6 +74,16 @@ final case class Catalog(spark: SparkSession, root: String) {
     else spark.read.schema(schema).parquet(versionPath(v).toString)
   }
 
+  /** Time travel: the catalog table as of snapshot `v` (1-based commit
+    * numbers; throws if the snapshot has been pruned past [[historyWindow]]
+    * or never existed). Snapshots are immutable — this is a plain read.
+    */
+  def entriesAt(v: Long): DataFrame = {
+    val p = versionPath(v)
+    require(fs.exists(p), s"catalog snapshot v$v does not exist (pruned or never committed)")
+    spark.read.schema(schema).parquet(p.toString)
+  }
+
   /** Upsert one dataset's metadata row; key is (layer, name). `df` supplies
     * num_rows/num_cols; `ingestDate` defaults to the trailing `_YYYYMMDD`
     * filename token when present (helpers.py:96-98 convention), else null.

@@ -65,6 +65,17 @@ class CatalogSpec extends SparkSpec {
     cat.latestName("gold", "av", "stock") shouldBe None
   }
 
+  test("entriesAt time-travels to an immutable snapshot; pruned versions throw") {
+    val cat = freshCatalog("travel")
+    cat.register("silver", "a_x_20240101", df3)
+    cat.register("silver", "b_x_20240102", df3)
+    cat.unregister("silver", "a_x_20240101")
+    cat.entries.count() shouldBe 1L
+    cat.entriesAt(2L).count() shouldBe 2L // before the unregister
+    cat.entriesAt(1L).collect().map(_.getString(0)).toSeq shouldBe Seq("a_x_20240101")
+    an[IllegalArgumentException] should be thrownBy cat.entriesAt(99L)
+  }
+
   test("history is pruned to the window but the live snapshot always survives") {
     val cat = freshCatalog("prune")
     (1 to cat.historyWindow + 3).foreach(i => cat.register("bronze", f"d_x_202401$i%02d", df3))
