@@ -662,6 +662,48 @@ object SparkEntry {
           count(lit(1)).as("n_rows"),
           grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
           grouping(col("l_linestatus")).cast(IntegerType).as("g_status"))),
+    // TPC-H Q3 (shipping-priority shape, adapted to the corpus's columns)
+    // through the spark.sql SURFACE: temp views + ANSI SQL prove the SQL
+    // entry point plans the same broadcast-dim join tree the DataFrame
+    // queries get; exact decimal revenue, full ORDER BY tie-break under the
+    // LIMIT
+    "q_tpch_q3" -> ((s, dir) => {
+      customer(s, dir).createOrReplaceTempView("v_customer")
+      orders(s, dir).createOrReplaceTempView("v_orders")
+      lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT l_orderkey,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+          o_orderdate, o_orderpriority
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""")
+    }),
+    // TPC-H Q10 (returned-item report): 4-way join, quarter filter,
+    // revenue-ranked top-20 customers
+    "q_tpch_q10" -> ((s, dir) => {
+      customer(s, dir).createOrReplaceTempView("v_customer")
+      orders(s, dir).createOrReplaceTempView("v_orders")
+      lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      nation(s, dir).createOrReplaceTempView("v_nation")
+      s.sql("""
+        SELECT c_custkey, c_name, n_name,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        JOIN v_nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")
+    }),
     // ranking/navigation window-function suite in one pass: lag/lead,
     // row_number, rank over value ties, percent_rank/cume_dist (integer-rank
     // divisions — deterministic doubles, no rounding needed), ntile
@@ -1427,6 +1469,15 @@ object SparkEntry {
         "text", "doc_id", n = 8, minContainment = 0.5)
         .orderBy("corpus_id", "bench_id")
     }),
+    // leakage-safe split: near-duplicate documents MUST land in the same
+    // split (a test doc with a train near-dup is evaluation leakage), so the
+    // split hash keys on the CLUSTER canonical id from the cached near-dup
+    // clustering, not the doc id — singletons hash their own id (cluster_id
+    // = id), so only dup groups co-locate
+    "q_split_no_leakage" -> ((s, dir) =>
+      graft.operators.Sampling.withSplit(
+        dedupClusterIndex(s, dir).select(col("id").as("doc_id"), col("cluster_id")),
+        "cluster_id").orderBy("doc_id")),
     "q_split_assign" -> ((s, dir) =>
       graft.operators.Sampling.withSplit(documents(s, dir).select("doc_id"), "doc_id")
         .orderBy("doc_id")),
@@ -3141,6 +3192,30 @@ object SparkEntry {
         | COUNT(*) AS count_order
         | FROM lineitem GROUP BY l_returnflag, l_linestatus
         | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", ""),
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        | CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+        | FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | WHERE c_mktsegment = 'BUILDING'
+        |   AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |   AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        | GROUP BY l_orderkey, CAST(o_orderdate AS TIMESTAMP), o_orderpriority
+        | ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin.replace("\n", ""),
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        | FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |   AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |   AND l_returnflag = 'R'
+        | GROUP BY c_custkey, c_name, n_name
+        | ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin.replace("\n", ""),
     "q_top3_orders_per_customer" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         | row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
@@ -3933,6 +4008,21 @@ object SparkEntry {
       s"""SELECT doc_id, CASE WHEN h % 1000 < 800 THEN 'train' WHEN h % 1000 < 900 THEN 'val'
          | ELSE 'test' END AS split
          | FROM (SELECT doc_id, ${idHashSql("doc_id")} AS h FROM documents) ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // cluster labels via the same transitive closure as q_dedup_clusters,
+    // split hash keyed on the cluster canonical id
+    "q_split_no_leakage" ->
+      s"""WITH RECURSIVE ${exactJaccardCtes(5, 0.5)},
+         | e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+         | closure(id, r) AS (
+         |   SELECT doc_id, doc_id FROM documents
+         |   UNION
+         |   SELECT e.s, c.r FROM e JOIN closure c ON c.id = e.d),
+         | cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM closure GROUP BY id)
+         | SELECT doc_id, cluster_id,
+         |   CASE WHEN h % 1000 < 800 THEN 'train' WHEN h % 1000 < 900 THEN 'val'
+         |     ELSE 'test' END AS split
+         | FROM (SELECT doc_id, cluster_id, ${idHashSql("cluster_id")} AS h FROM cl)
+         | ORDER BY doc_id""".stripMargin.replace("\n", ""),
     // same per-source rank order, same ceil(p·n) picks
     "q_source_length_profile" ->
       """WITH r AS (SELECT source, n_chars,
