@@ -662,6 +662,23 @@ object SparkEntry {
           count(lit(1)).as("n_rows"),
           grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
           grouping(col("l_linestatus")).cast(IntegerType).as("g_status"))),
+    // longest consecutive-day activity streaks per user: classic
+    // gaps-and-islands via (day − row_number) group keys — one distinct
+    // pass + one per-user window over ACTIVE DAYS (≤ calendar span, not
+    // event volume)
+    "q_user_streaks" -> ((s, dir) => {
+      val days = events(s, dir)
+        .select(col("user_id"), date_trunc("DAY", col("ts")).cast(DateType).as("d"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("d")
+      days.withColumn("grp", date_sub(col("d"), row_number().over(w)))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum(col("len")).as("active_days"))
+        .orderBy("user_id")
+    }),
     // TPC-H Q3 (shipping-priority shape, adapted to the corpus's columns)
     // through the spark.sql SURFACE: temp views + ANSI SQL prove the SQL
     // entry point plans the same broadcast-dim join tree the DataFrame
@@ -1185,6 +1202,28 @@ object SparkEntry {
           sum(col("__toks")).as("total_tokens"))
         .withColumn("coverage",
           col("covered_tokens").cast(DoubleType) / col("total_tokens").cast(DoubleType))
+        .orderBy("source")
+    }),
+    // per-source corpus report card: the observability artifact a curation
+    // run publishes — doc/token volume, mean length, Zipf slope, boilerplate
+    // pressure — one row per source, composed from the gated operators
+    // (zipfFit + the cached boilerplate index + narrow token aggregates)
+    "q_source_report" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val vol = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(Dedup.tokens(col("text"))).cast(LongType)).as("total_tokens"),
+        sum(col("n_chars")).as("__chars"))
+        .withColumn("mean_chars",
+          round(col("__chars").cast(DoubleType) / col("n_docs").cast(DoubleType), 6))
+      val zipf = TextAnalysis.zipfFit(docs, "text", "source", topK = 100)
+        .select(col("group").as("source"), col("slope").as("zipf_slope"))
+      val bp = boilerplateIndex(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("__nbp"))
+      vol.join(zipf, Seq("source"))
+        .join(bp, Seq("source"), "left")
+        .withColumn("n_boilerplate", coalesce(col("__nbp"), lit(0L)))
+        .select("source", "n_docs", "total_tokens", "mean_chars", "zipf_slope", "n_boilerplate")
         .orderBy("source")
     }),
     // per-source Zipf-law fit: OLS of ln(freq) on ln(rank) over the top-100
@@ -3192,6 +3231,15 @@ object SparkEntry {
         | COUNT(*) AS count_order
         | FROM lineitem GROUP BY l_returnflag, l_linestatus
         | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", ""),
+    // gaps-and-islands with the identical (day − row_number) group key
+    "q_user_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+        | g AS (SELECT user_id, d,
+        |   d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp FROM d),
+        | s AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2)
+        | SELECT user_id, MAX(len) AS longest_streak, COUNT(*) AS n_streaks,
+        |   CAST(SUM(len) AS BIGINT) AS active_days
+        | FROM s GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", ""),
     "q_tpch_q3" ->
       """SELECT l_orderkey,
         | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
@@ -3580,6 +3628,33 @@ object SparkEntry {
          | FROM kc JOIN cells c USING (row, cell) JOIN keys USING (user_id)
          | GROUP BY kc.user_id ORDER BY kc.user_id""".stripMargin.replace("\n", "")
     },
+    // report card: volume aggregates + the zipf and boilerplate CTEs joined
+    // per source (boilerplate count coalesced to 0 where no phrase passes)
+    "q_source_report" ->
+      s"""WITH words AS (SELECT doc_id, source, n_chars, $dedupWords AS ws FROM documents),
+         | vol AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(len(ws)) AS BIGINT) AS total_tokens,
+         |   round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars FROM words GROUP BY 1),
+         | tf AS (SELECT source, t AS token, COUNT(*) AS freq FROM (
+         |   SELECT source, UNNEST(ws) AS t FROM words) GROUP BY 1, 2),
+         | r AS (SELECT source, freq,
+         |     row_number() OVER (PARTITION BY source ORDER BY freq DESC, token) AS rank
+         |   FROM tf QUALIFY rank <= 100),
+         | zt AS (SELECT source, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y FROM r),
+         | za AS (SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |     SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM zt GROUP BY 1),
+         | z AS (SELECT source, round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+         |     (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope FROM za),
+         | grams AS (SELECT DISTINCT source, doc_id, gram FROM (
+         |   SELECT source, doc_id,
+         |     UNNEST(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS gram
+         |   FROM words)),
+         | dfq AS (SELECT source, gram, COUNT(*) AS df FROM grams GROUP BY 1, 2),
+         | bp AS (SELECT dfq.source, COUNT(*) AS nbp FROM dfq JOIN vol ON dfq.source = vol.source
+         |   WHERE df >= 2 AND CAST(df AS DOUBLE) / n_docs >= 0.2 GROUP BY 1)
+         | SELECT vol.source, n_docs, total_tokens, mean_chars, zipf_slope,
+         |   COALESCE(nbp, 0) AS n_boilerplate
+         | FROM vol JOIN z ON vol.source = z.source LEFT JOIN bp ON vol.source = bp.source
+         | ORDER BY vol.source""".stripMargin.replace("\n", ""),
     // Zipf OLS over the same rank/freq integers; ln and the 5-sum regression
     // restated verbatim, coefficients rounded(6) on both sides
     "q_zipf_fit" ->
