@@ -1997,6 +1997,32 @@ object SparkEntry {
         .orderBy("timestamp")
     }),
 
+    // OLAP rollup cascade: WEEKLY candles derived from the DAILY partial
+    // state (re-bucket the daily partials by week, merge) — coarser grains
+    // reuse finer aggregates instead of rescanning raw ticks, the
+    // multi-granularity contract of the IVM state. Must equal the direct
+    // weekly aggregation over raw ticks exactly
+    "q_rollup_cascade" -> ((s, dir) => {
+      val daily = Transforms.candlePartials(candleInput(s, dir), "D")
+      Transforms.mergeCandlePartials(
+        daily.withColumn("timestamp", Fns.bucketLabel("W")(col("timestamp"))))
+        .orderBy("timestamp")
+    }),
+    // time-decayed engagement score: Σ value · 0.5^(days to corpus end) per
+    // user — the feature-store freshness weighting. 0.5^k is an EXACT dyadic
+    // double for any k, so the per-row product is bit-identical across
+    // engines and the decimal sum is order-free: no rounding needed anywhere
+    "q_decayed_engagement" -> ((s, dir) => {
+      val horizon = lit("2024-01-30").cast(DateType)
+      events(s, dir)
+        .withColumn("__w", pow(lit(0.5),
+          datediff(horizon, col("ts").cast(DateType)).cast(DoubleType)))
+        .groupBy("user_id")
+        .agg(Fns.exactSum(col("value") * col("__w")).as("decayed_score"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // ... and its continuous form: the post-cutoff ticks replay as TWO
     // ordered micro-batches whose per-batch partials fold into the stored
     // state (partial → partial, one row per touched bucket); final candles
@@ -3593,6 +3619,15 @@ object SparkEntry {
     // incremental maintenance must equal the full recompute exactly
     "q_ivm_candles" -> candleSql(bucketD),
     "q_stream_ivm" -> candleSql(bucketD),
+    // rollup from daily partials must equal the direct weekly aggregation
+    "q_rollup_cascade" -> candleSql(bucketW),
+    // 0.5^k dyadic weights: identical doubles both engines, exact decimal sum
+    "q_decayed_engagement" ->
+      """SELECT user_id,
+        | CAST(SUM(CAST(value * pow(0.5, datediff('day', CAST(ts AS DATE), DATE '2024-01-30'))
+        |   AS DECIMAL(30,6))) AS DOUBLE) AS decayed_score,
+        | COUNT(*) AS n_events
+        | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", ""),
     // every check's observed metric restated as a scalar subquery
     "q_data_checks" ->
       """WITH m AS (SELECT
