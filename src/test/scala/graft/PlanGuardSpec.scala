@@ -155,6 +155,43 @@ class PlanGuardSpec extends SparkSpec {
     exec should not include "CartesianProduct"
   }
 
+  test("cmsEstimates broadcasts the sketch-sized cell frame (no sort-merge join)") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("k" + (i % 7), i)).toDF("key", "x")
+    val exec = graft.operators.Sketches.cmsEstimates(df, "key", d = 4, w = 16)
+      .queryExecution.executedPlan.toString
+    // the d×w cell frame is sketch-sized by construction — a refactor that
+    // lets it shuffle into a sort-merge join re-keys the whole input for a
+    // 64-row build side
+    exec should include("BroadcastHashJoin")
+    exec should not include "SortMergeJoin"
+  }
+
+  test("boilerplateScrub broadcasts the phrase list; marking costs no exchange") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b", "s"), (2L, "a b c", "s")).toDF("doc_id", "text", "source")
+    val bp = graft.operators.TextAnalysis.boilerplate(docs, "text", "doc_id", "source",
+      n = 2, minShare = 0.5, minDf = 2)
+    val exec = graft.operators.TextAnalysis.boilerplateScrub(docs, bp, "text", "doc_id", "source", 2)
+      .queryExecution.executedPlan.toString
+    // the threshold-bounded phrase frame must join as a broadcast semi join —
+    // shuffling the posting explode on (source, gram) to meet it would re-key
+    // corpus-scale data against a frame bounded by #sources × threshold
+    exec.split("\n").exists(l => l.contains("BroadcastHashJoin") && l.contains("LeftSemi")) shouldBe true
+  }
+
+  test("validate compiles any check list into ONE aggregate (single scan, no join)") {
+    import spark.implicits._
+    import graft.operators.Checks._
+    val df = Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v")
+    val plan = graft.operators.Checks.validate(df,
+      Seq(RowCountMin(1L), NotNull("id"), Unique("id"), InRange("v", 0, 10)))
+      .queryExecution.optimizedPlan.toString
+    plan should not include "Join"
+    // exactly one logical Aggregate: all metrics fold into one pass
+    plan.split("\n").count(_.contains("Aggregate [")) shouldBe 1
+  }
+
   test("funnel plans no window and no cartesian (user-keyed join chain only)") {
     import spark.implicits._
     val ev = Seq((1L, "view", tsLit("2024-01-01 10:00:00")),
