@@ -1840,6 +1840,25 @@ object SparkEntry {
     // the batch sketch (the oracle states it). countDistinct is not
     // streamable, so the stream emits the estimate only — which is the
     // production shape anyway (the exact column exists to check the sketch)
+    // the CMS under Structured Streaming: the d×w counter table is a plain
+    // complete-mode count aggregate — partial cells merge through the state
+    // store across micro-batches exactly as they merge across shards in
+    // batch; the drained cell table equals the batch construction
+    "q_stream_cms" -> ((s, dir) => {
+      tune(s)
+      streamResult(s, dir, "cms") {
+        withStreamConf(s) {
+          val cells = (0 until 4).map(i => struct(lit(i).as("row"),
+            pmod(graft.operators.Sketches.h60(
+              concat_ws(":", lit(i.toString), col("user_id"))), lit(64L)).as("cell")))
+          val agg = eventStream(s, dir)
+            .select(explode(array(cells: _*)).as("rc"))
+            .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
+            .agg(count(lit(1)).as("cnt"))
+          graft.streaming.Streaming.runToMemory(s, agg, "stream_cms")
+        }
+      }.orderBy("row", "cell")
+    }),
     "q_stream_kmv" -> ((s, dir) => {
       tune(s)
       streamResult(s, dir, "kmv") {
@@ -1952,6 +1971,17 @@ object SparkEntry {
         }
       }.orderBy("p_id", "c_id")
     }),
+
+    // bloom-filter join pruning with a deterministically checkable false-
+    // positive count: BUILDING-segment customer keys set 3 md5-derived bits
+    // of a 16 Ki-bit filter; orders rows probe it.
+    // Pass ⊇ true matches structurally; the fp overhead is the size/
+    // selectivity tradeoff the summary row quantifies
+    "q_bloom_prune" -> ((s, dir) =>
+      graft.operators.Sketches.bloomPruneStats(
+        orders(s, dir), "o_custkey",
+        customer(s, dir).filter(col("c_mktsegment") === "BUILDING"), "c_custkey",
+        m = 16384, k = 3)),
 
     // declarative data-quality gate (Deequ shape): 7 checks compiled into
     // ONE aggregate pass — row floor, null scans, exact uniqueness, range,
@@ -3628,6 +3658,35 @@ object SparkEntry {
         |   AS DECIMAL(30,6))) AS DOUBLE) AS decayed_score,
         | COUNT(*) AS n_events
         | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", ""),
+    // bloom membership restated: same md5-derived bit positions, HAVING = k.
+    // NB the unnest alias must NOT be `i` — idHashSql's own list_transform
+    // lambda binds `i` and would shadow it inside the hash expression
+    "q_bloom_prune" -> {
+      val posOf = idHashSql("CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)") + " % 16384"
+      s"""WITH bk AS (SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         | bits AS (SELECT DISTINCT pos FROM (
+         |   SELECT ${idHashSql("CAST(j AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)")} % 16384 AS pos
+         |   FROM bk, unnest([0, 1, 2]) AS t(j))),
+         | pk AS (SELECT o_custkey AS k, COUNT(*) AS rws FROM orders GROUP BY 1),
+         | kp AS (SELECT k, rws FROM (
+         |     SELECT pk.k, pk.rws, $posOf AS pos FROM pk, unnest([0, 1, 2]) AS t(j))
+         |   WHERE pos IN (SELECT pos FROM bits) GROUP BY k, rws HAVING COUNT(*) = 3),
+         | agg AS (SELECT COALESCE(CAST(SUM(rws) AS BIGINT), 0) AS n_bloom_pass,
+         |   COALESCE(CAST(SUM(CASE WHEN k IN (SELECT c_custkey FROM bk) THEN rws ELSE 0 END) AS BIGINT), 0) AS n_true_match
+         |   FROM kp)
+         | SELECT (SELECT COUNT(*) FROM orders) AS n_probe, n_bloom_pass, n_true_match,
+         |   n_bloom_pass - n_true_match AS n_false_positive,
+         |   round(CAST(n_bloom_pass - n_true_match AS DOUBLE) /
+         |     (SELECT COUNT(*) FROM orders), 6) AS fp_rate
+         | FROM agg""".stripMargin.replace("\n", "")
+    },
+    // the streamed cell table equals the batch CMS construction
+    "q_stream_cms" -> {
+      val cellOf = idHashSql("CAST(k AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)") + " % 64"
+      s"""SELECT k AS row, $cellOf AS cell, COUNT(*) AS cnt
+         | FROM events, unnest([0, 1, 2, 3]) AS t(k)
+         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", "")
+    },
     // every check's observed metric restated as a scalar subquery
     "q_data_checks" ->
       """WITH m AS (SELECT

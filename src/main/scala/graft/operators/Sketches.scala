@@ -134,6 +134,47 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Bloom-filter join pruning, deterministically: the build side's keys set
+    * `k` md5-derived bit positions in an m-bit filter; a probe row passes if
+    * ALL its k positions are set. Pass ⊇ true matches (no false negatives);
+    * false positives are the space/selectivity tradeoff. This is the
+    * runtime-filter shape Spark injects for selective joins (and parquet
+    * row-group skipping uses), restated with the repo's cross-engine hash so
+    * the FALSE-POSITIVE COUNT itself is oracle-checkable.
+    *
+    * Returns one summary row: probe volume, bloom-pass volume, true matches,
+    * false positives, fp rate. Plan: the set-bit frame is at most
+    * min(k·|build|, m) rows — broadcast; the probe side explodes k× and
+    * counts matched positions per row (pass = all k), then one global
+    * aggregate. No shuffle touches the probe payload.
+    */
+  def bloomPruneStats(probe: DataFrame, probeKey: String,
+      build: DataFrame, buildKey: String,
+      m: Int = 2048, k: Int = 3): DataFrame = {
+    def positions(key: Column): Seq[Column] =
+      (0 until k).map(i => pmod(h60(concat_ws(":", lit(i.toString), key)), lit(m.toLong)))
+    val setBits = build.select(explode(array(positions(col(buildKey)): _*)).as("pos")).distinct()
+    val truth = build.select(col(buildKey).as("__bk")).distinct()
+    // membership is a KEY property: test each distinct probe key once, carry
+    // its row count (a hot key never explodes more than k position rows)
+    val keyPass = probe.groupBy(col(probeKey).as("__pk")).agg(count(lit(1)).as("__rows"))
+      .select(col("__pk"), col("__rows"),
+        explode(array(positions(col("__pk")): _*)).as("pos"))
+      .join(broadcast(setBits), Seq("pos"), "left_semi")
+      .groupBy("__pk", "__rows").agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === k) // every position set = bloom pass
+    val passes = keyPass
+      .join(broadcast(truth), col("__pk") === col("__bk"), "left")
+      .agg(coalesce(sum(col("__rows")), lit(0L)).as("n_bloom_pass"),
+        coalesce(sum(when(col("__bk").isNotNull, col("__rows")).otherwise(0L)), lit(0L))
+          .as("n_true_match"))
+    probe.agg(count(lit(1)).as("n_probe"))
+      .crossJoin(broadcast(passes))
+      .withColumn("n_false_positive", col("n_bloom_pass") - col("n_true_match"))
+      .withColumn("fp_rate", round(
+        col("n_false_positive").cast(DoubleType) / col("n_probe").cast(DoubleType), 6))
+  }
+
   /** Point-query estimates for every key alongside its true count: the CMS
     * estimate is the MIN over the key's d cells. The d×w cell frame is
     * broadcast (it is sketch-sized by construction); the true count is the

@@ -52,6 +52,23 @@ class SketchesSpec extends SparkSpec {
       rows(Sketches.cmsCells(df.repartition(1), "key", 4, 8).orderBy("row", "cell"))
   }
 
+  test("bloomPruneStats: no false negatives ever; undersized filter shows false positives") {
+    import spark.implicits._
+    val build = (1 to 40).map(i => i.toLong).toDF("bk")
+    val probe = (1 to 400).flatMap(i => Seq.fill(1 + i % 3)(i.toLong)).toDF("pk")
+    val nMember = probe.filter($"pk" <= 40).count()
+    // roomy filter: pass must still cover every true member (n_pass >= n_true)
+    val roomy = rows(Sketches.bloomPruneStats(probe, "pk", build, "bk", m = 65536, k = 3)).head
+    roomy.getLong(1) should be >= roomy.getLong(2)
+    roomy.getLong(2) shouldBe nMember // true matches counted in probe ROWS
+    // tiny filter (m = 32, 40 keys x 3 bits): saturates, everything passes,
+    // false positives = all nonmember rows - the undersized regime
+    val tiny = rows(Sketches.bloomPruneStats(probe, "pk", build, "bk", m = 32, k = 3)).head
+    tiny.getLong(2) shouldBe nMember
+    tiny.getLong(3) should be > 0L
+    tiny.getLong(1) shouldBe (tiny.getLong(2) + tiny.getLong(3))
+  }
+
   test("BottomKAgg keeps the k smallest distinct values through reduce and merge") {
     val agg = new Sketches.BottomKAgg(3)
     val b = Seq(5L, 9L, 2L, 5L, 7L, 1L).foldLeft(agg.zero)(agg.reduce)
