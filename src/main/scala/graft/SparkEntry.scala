@@ -2104,6 +2104,33 @@ object SparkEntry {
         .orderBy("layer", "source", "data_type")
     }),
 
+    // write-audit-publish happy path: candles stage, the audit validates the
+    // STAGED FILES, the atomic rename publishes; the read-back must equal the
+    // full recompute (the staging hop is lossless)
+    "q_wap_publish" -> ((s, dir) => {
+      import graft.operators.Checks._
+      val lake = graft.sources.Lake(s, procTmp("graft_wap"))
+      val (report, ok) = lake.writeAudited(candles(s, dir, "D"), "gold", "wap_candles",
+        Seq(RowCountMin(1L), NotNull("timestamp"), Unique("timestamp"), NotNull("volume")))
+      require(ok, s"WAP audit unexpectedly failed: ${report.collect().mkString}")
+      lake.read("gold", "wap_candles").orderBy("timestamp")
+    }),
+    // ... and the reject path: a later bad write (nulled volume) FAILS its
+    // audit and must leave the previously published version untouched —
+    // the gate reads the survivor, which must still equal the v1 recompute
+    "q_wap_reject" -> ((s, dir) => {
+      import graft.operators.Checks._
+      val lake = graft.sources.Lake(s, procTmp("graft_wap_reject"))
+      val (_, ok1) = lake.writeAudited(candles(s, dir, "D"), "gold", "wap_guarded",
+        Seq(RowCountMin(1L)))
+      require(ok1, "v1 publish must pass")
+      val bad = candles(s, dir, "D")
+        .withColumn("volume", lit(null).cast(DoubleType))
+      val (report2, ok2) = lake.writeAudited(bad, "gold", "wap_guarded",
+        Seq(NotNull("volume")))
+      require(!ok2, s"bad write must fail the audit: ${report2.collect().mkString}")
+      lake.read("gold", "wap_guarded").orderBy("timestamp")
+    }),
     // ORC sink+scan roundtrip (second columnar format beside parquet): same
     // lossless-roundtrip contract as q_lake_roundtrip, exercising Spark's ORC
     // reader/writer end to end
@@ -4527,6 +4554,10 @@ object SparkEntry {
 
     "q_lake_roundtrip" -> candleSql(bucketD),
     "q_orc_roundtrip" -> candleSql(bucketD),
+    // the staged-then-published bytes must equal the full recompute
+    "q_wap_publish" -> candleSql(bucketD),
+    // the rejected write leaves v1 readable — still the full recompute
+    "q_wap_reject" -> candleSql(bucketD),
     // one-pass window suite (same (ts, event_id) ordering key both sides)
     "q_window_funcs" ->
       """SELECT event_id, event_type, value,

@@ -150,6 +150,40 @@ final case class Lake(spark: SparkSession, root: String) {
     base ++ dates ++ symbols
   }
 
+  /** Write-audit-publish (the Iceberg WAP pattern scaled to this lake): the
+    * frame lands in a STAGING directory, the audit checks run against the
+    * staged files (validating exactly the bytes readers would see, not the
+    * upstream plan), and only an all-green report publishes the staging dir
+    * into the dataset path via an atomic rename — a failed audit leaves the
+    * previous published version untouched and removes the staging dir.
+    *
+    * Returns (report, published): the per-check report frame plus whether
+    * the swap happened. At scale the audit costs one aggregate pass over
+    * the staged files (see [[graft.operators.Checks.validate]]) — the
+    * insurance every promotion pipeline buys before making bad data
+    * readable.
+    */
+  def writeAudited(df: org.apache.spark.sql.DataFrame, layer: String, dataset: String,
+      checks: Seq[graft.operators.Checks.Check]): (DataFrame, Boolean) = {
+    val dest = new Path(layerDir(layer), withExt(dataset))
+    val staging = new Path(layerDir(layer),
+      s".staging_${withExt(dataset)}_p${ProcessHandle.current().pid()}")
+    df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val staged = spark.read.parquet(staging.toString)
+    // eager materialization: the report is #checks rows; localCheckpoint
+    // avoids both a cache-lifecycle leak and a re-scan when the caller
+    // consumes the report after the staging dir is gone
+    val report = graft.operators.Checks.validate(staged, checks).localCheckpoint(true)
+    val allPass = report.filter(!col("passed")).isEmpty
+    if (allPass) {
+      if (fs.exists(dest)) fs.delete(dest, true)
+      fs.rename(staging, dest)
+    } else {
+      fs.delete(staging, true)
+    }
+    (report, allPass)
+  }
+
   private def withExt(dataset: String): String =
     if (dataset.endsWith(".parquet")) dataset else s"$dataset.parquet"
 }

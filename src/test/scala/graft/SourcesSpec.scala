@@ -218,4 +218,24 @@ class SourcesSpec extends SparkSpec {
     landed should startWith("csvimport_stock_clean_")
     Transforms.transformAndStore(lake, "bronze", "nope_20240102", "clean", "silver")("status") shouldBe "error"
   }
+
+  test("writeAudited: green audit publishes atomically; failed audit keeps the old version") {
+    import graft.operators.Checks._
+    val root = java.nio.file.Files.createTempDirectory("graft_wap_spec").toString
+    val lake = Lake(spark, root)
+    val v1 = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    val (r1, ok1) = lake.writeAudited(v1, "gold", "guarded",
+      Seq(RowCountMin(2L), NotNull("v"), Unique("id")))
+    ok1 shouldBe true
+    r1.collect().foreach(_.getBoolean(4) shouldBe true)
+    rows(lake.read("gold", "guarded").orderBy("id")).map(_.getLong(0)) shouldBe Seq(1L, 2L)
+    // bad v2: null v + duplicate id → rejected, v1 survives, staging cleaned
+    val v2 = Seq((1L, Option.empty[Double]), (1L, Some(5.0))).toDF("id", "v")
+    val (r2, ok2) = lake.writeAudited(v2, "gold", "guarded", Seq(NotNull("v"), Unique("id")))
+    ok2 shouldBe false
+    r2.filter(!col("passed")).count() shouldBe 2L
+    rows(lake.read("gold", "guarded").orderBy("id")).map(_.getLong(0)) shouldBe Seq(1L, 2L)
+    new java.io.File(s"$root/gold").listFiles().map(_.getName)
+      .count(_.startsWith(".staging")) shouldBe 0
+  }
 }
