@@ -662,6 +662,16 @@ object SparkEntry {
           count(lit(1)).as("n_rows"),
           grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
           grouping(col("l_linestatus")).cast(IntegerType).as("g_status"))),
+    // grouped top-k WITHOUT a window sort: the bounded aggregator replaces
+    // row_number-over-partition (map-side partial top-k, shuffle carries
+    // map_tasks × k candidates per key) — same rows, same tie-break as the
+    // window formulation q_top3_orders_per_customer, one shared oracle shape
+    "q_grouped_topk_agg" -> ((s, dir) =>
+      graft.operators.Queries.groupedTopKAgg(
+        orders(s, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
+        "o_custkey", "o_totalprice", "o_orderkey", k = 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+        .orderBy("o_custkey", "rnk")),
     // longest consecutive-day activity streaks per user: classic
     // gaps-and-islands via (day − row_number) group keys — one distinct
     // pass + one per-user window over ACTIVE DAYS (≤ calendar span, not
@@ -3348,6 +3358,13 @@ object SparkEntry {
         | GROUP BY c_custkey, c_name, n_name
         | ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin.replace("\n", ""),
     "q_top3_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders
+        | QUALIFY rnk <= 3
+        | ORDER BY o_custkey, rnk""".stripMargin.replace("\n", ""),
+    // identical rows and tie-break as the window formulation
+    "q_grouped_topk_agg" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         | row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         | FROM orders

@@ -954,4 +954,27 @@ object Queries {
         col("trend"), col("seasonal"),
         (col("detrended") - col("seasonal")).as("residual"))
   }
+
+  /** Grouped top-k WITHOUT a window sort: the bounded
+    * [[graft.operators.Similarity.TopKAgg]] aggregator ranks per key with
+    * map-side partial top-k state — the shuffle carries at most
+    * (map_tasks × k) candidates per key instead of every row entering a
+    * per-partition sort. This is the scale answer to `row_number() OVER
+    * (PARTITION BY key ORDER BY ord DESC) <= k` on a key whose partition
+    * would otherwise hold millions of rows; ties break by ascending id,
+    * matching the window formulation's (ord DESC, id) order exactly.
+    *
+    * Emits (key, id, ord, rnk) with rnk in [1, k].
+    */
+  def groupedTopKAgg(df: DataFrame, keyCol: String, ordCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val topk = org.apache.spark.sql.functions.udaf(
+      new Similarity.TopKAgg(k),
+      org.apache.spark.sql.Encoders.product[Similarity.ScoredId])
+    df.groupBy(col(keyCol))
+      .agg(topk(col(ordCol), col(idCol)).as("__top"))
+      .select(col(keyCol), posexplode(col("__top")).as(Seq("__r", "__s")))
+      .select(col(keyCol), col("__s.id").as(idCol), col("__s.score").as(ordCol),
+        (col("__r") + 1).cast(LongType).as("rnk"))
+  }
 }

@@ -192,6 +192,16 @@ class PlanGuardSpec extends SparkSpec {
     plan.split("\n").count(_.contains("Aggregate [")) shouldBe 1
   }
 
+  test("groupedTopKAgg plans no window and no sort of the input (bounded aggregator ranks)") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 5.0), (1L, 11L, 7.0), (2L, 12L, 1.0))
+      .toDF("k", "id", "v")
+    val plan = graft.operators.Queries.groupedTopKAgg(df, "k", "v", "id", 2)
+      .queryExecution.optimizedPlan.toString
+    plan should not include "Window"
+    plan should not include "Sort"
+  }
+
   test("funnel plans no window and no cartesian (user-keyed join chain only)") {
     import spark.implicits._
     val ev = Seq((1L, "view", tsLit("2024-01-01 10:00:00")),
