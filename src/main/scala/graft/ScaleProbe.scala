@@ -270,6 +270,41 @@ object ScaleProbe {
       }
     }
     locally {
+      // grouped top-k A/B at k× the orders volume: the window formulation
+      // sorts EVERY row inside its key partition; the bounded aggregator
+      // keeps k-element state per map task. Same output rows (verified by
+      // the oracle gate); this probe records the cost gap at volume.
+      val oBase = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val oMax = 100000000L
+      val ords = (0 until k).map(i =>
+        oBase.select(col("o_custkey"), // SAME keys: per-key volume grows k×
+          (col("o_orderkey") + lit(i * oMax)).as("o_orderkey"), col("o_totalprice")))
+        .reduce(_ unionAll _)
+      time("grouped_topk_agg") {
+        graft.operators.Queries.groupedTopKAgg(ords, "o_custkey", "o_totalprice",
+          "o_orderkey", 3).count()
+      }
+      time("grouped_topk_window") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        ords.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3).count()
+      }
+      // the SKEW case: every row under ONE key. The window formulation
+      // collapses to a single-task sort of the whole corpus; the aggregator
+      // keeps parallel k-element map state and merges once.
+      val hot = ords.withColumn("o_custkey", lit(1L))
+      time("grouped_topk_skew_agg") {
+        graft.operators.Queries.groupedTopKAgg(hot, "o_custkey", "o_totalprice",
+          "o_orderkey", 3).count()
+      }
+      time("grouped_topk_skew_window") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        hot.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3).count()
+      }
+    }
+    locally {
       // IVM candle merge at k× the tick volume: per-slice partials are
       // partial-aggregable (both groupBys combine map-side), so cost is one
       // linear pass per slice + a merge over |buckets| rows — bucket count
