@@ -1083,6 +1083,12 @@ object SparkEntry {
     // both — basket-keyed self-join, fan-out bounded by basket size
     "q_copurchase_pairs" -> ((s, dir) =>
       Queries.coPurchasePairs(lineitem(s, dir), "l_orderkey", "l_partkey", k = 50)),
+    // neighborhood-recommender scoring over the same baskets: co-occurrence
+    // normalized to item-item cosine (support floor prunes the pair space
+    // before the frequency joins)
+    "q_item_sim" -> ((s, dir) =>
+      Queries.itemSimilarity(lineitem(s, dir), "l_orderkey", "l_partkey", minCo = 2L)
+        .orderBy("item_a", "item_b")),
     "q_sessionize" -> ((s, dir) =>
       Sessionize.sessions(events(s, dir), Seq("user_id"), "ts", "INTERVAL 1 HOUR",
         valueCol = Some("value")).orderBy("user_id", "session_id")),
@@ -2097,6 +2103,17 @@ object SparkEntry {
     // commit version each row was (re)registered at
     "q_catalog_meta" -> ((s, dir) =>
       catalogTable(s, dir).orderBy("layer", "name")),
+    // catalog snapshot diff: Changelog.diff between the v4 snapshot and the
+    // live table — the "what changed since?" audit composed from time travel
+    // + the gated diff operator (key = layer/name; unchanged rows excluded)
+    "q_catalog_diff" -> ((s, dir) => {
+      val cat = catalogOf(s, dir)
+      def keyed(df: DataFrame) = df.select(
+        concat_ws("/", col("layer"), col("name")).as("dataset"),
+        col("num_rows"), col("version"))
+      graft.operators.Changelog.diff(keyed(cat.entriesAt(4L)), keyed(cat.entries), "dataset")
+        .orderBy("dataset")
+    }),
     // time travel: the catalog AS OF snapshot v4 — before the upsert moved
     // events_clean_20240105 to v5 and before the weekly candles row was
     // unregistered; immutable snapshots make this a plain read
@@ -3363,6 +3380,17 @@ object SparkEntry {
         | FROM orders
         | QUALIFY rnk <= 3
         | ORDER BY o_custkey, rnk""".stripMargin.replace("\n", ""),
+    // same wedge join, same support floor, same sqrt-cosine rounded(6)
+    "q_item_sim" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        | f AS (SELECT i, COUNT(*) AS n FROM it GROUP BY 1),
+        | co AS (SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS co
+        |   FROM it a JOIN it b ON a.b = b.b AND a.i < b.i
+        |   GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        | SELECT item_a, item_b, co, fa.n AS n_a, fb.n AS n_b,
+        |   round(CAST(co AS DOUBLE) / sqrt(CAST(fa.n * fb.n AS DOUBLE)), 6) AS cosine
+        | FROM co JOIN f fa ON fa.i = item_a JOIN f fb ON fb.i = item_b
+        | ORDER BY item_a, item_b""".stripMargin.replace("\n", ""),
     // identical rows and tie-break as the window formulation
     "q_grouped_topk_agg" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
@@ -4635,6 +4663,24 @@ object SparkEntry {
         |   SELECT 'events_clean_20240106', 'silver', 'events', 'clean', '20240106',
         |     (SELECT c FROM ec), 6, 2)
         | ORDER BY layer, name""".stripMargin.replace("\n", ""),
+    // diff v4 → live: the weekly row was unregistered (removed), the
+    // upserted events row moved v1 → v5 (updated); unchanged rows absent
+    "q_catalog_diff" ->
+      """WITH ec AS (SELECT count(*) AS c FROM (
+        |   SELECT DISTINCT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |   FROM events
+        |   WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+        |     AND event_type IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+        |     AND props IS NOT NULL)),
+        | cw AS (SELECT count(DISTINCT date_trunc('week', ts)) AS c FROM events)
+        | SELECT * FROM (
+        |   SELECT 'gold/candles_weekly_20240110' AS dataset, 'removed' AS change_type,
+        |     (SELECT c FROM cw) AS old_num_rows, CAST(NULL AS BIGINT) AS new_num_rows,
+        |     CAST(4 AS BIGINT) AS old_version, CAST(NULL AS BIGINT) AS new_version
+        |   UNION ALL
+        |   SELECT 'silver/events_clean_20240105', 'updated',
+        |     (SELECT c FROM ec), (SELECT c FROM ec), 1, 5)
+        | ORDER BY dataset""".stripMargin.replace("\n", ""),
     // the v4 snapshot: pre-upsert (v1 provenance intact), weekly row present
     "q_catalog_history" ->
       """WITH ec AS (SELECT count(*) AS c FROM (

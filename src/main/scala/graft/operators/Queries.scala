@@ -955,6 +955,33 @@ object Queries {
         (col("detrended") - col("seasonal")).as("residual"))
   }
 
+  /** Item-item cosine similarity from basket co-occurrence — the classic
+    * neighborhood recommender scoring: `cos(a,b) = co(a,b) / √(n_a·n_b)`
+    * over distinct (basket, item) incidences. The `minCo` support floor
+    * prunes the pair space BEFORE the frequency joins (noise pairs with one
+    * shared basket dominate raw co-occurrence counts at any scale).
+    *
+    * Scale: one distinct + one basket-keyed self-join (the audited
+    * copurchase wedge shape — fan-out C(basket size, 2), never |items|²) +
+    * two broadcast-eligible frequency joins; round(6) on the cosine for
+    * cross-engine sqrt parity.
+    */
+  def itemSimilarity(df: DataFrame, basketCol: String, itemCol: String,
+      minCo: Long = 3L): DataFrame = {
+    val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
+    val freq = items.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val co = items.join(items.select(col("__b"), col("__i").as("__j")), Seq("__b"))
+      .filter(col("__i") < col("__j"))
+      .groupBy(col("__i").as("item_a"), col("__j").as("item_b"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    co.join(freq.select(col("__i").as("item_a"), col("__n").as("n_a")), Seq("item_a"))
+      .join(freq.select(col("__i").as("item_b"), col("__n").as("n_b")), Seq("item_b"))
+      .withColumn("cosine", round(col("co").cast(DoubleType) /
+        sqrt((col("n_a") * col("n_b")).cast(DoubleType)), 6))
+      .select("item_a", "item_b", "co", "n_a", "n_b", "cosine")
+  }
+
   /** Grouped top-k WITHOUT a window sort: the bounded
     * [[graft.operators.Similarity.TopKAgg]] aggregator ranks per key with
     * map-side partial top-k state — the shuffle carries at most
