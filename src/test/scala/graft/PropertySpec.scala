@@ -84,6 +84,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("IVM law: candle partials merged over ANY random slicing equal the direct aggregate") {
+    seeds.take(6).foreach { s =>
+      // distinct timestamps: arg-extrema over tied ordering keys are
+      // implementation-defined, and this law compares exact rows
+      val ticks = sample(s).dropDuplicates("timestamp")
+      val full = rows(Transforms.aggregate(ticks, "D", exactSums = true).orderBy("timestamp"))
+      // random 3-way slicing by a hash of the timestamp (seed-dependent)
+      val sliced = ticks.withColumn("__slice", pmod(xxhash64(col("timestamp"), lit(s)), lit(3)))
+      val parts = (0 until 3).map(i =>
+        Transforms.candlePartials(sliced.filter(col("__slice") === i).drop("__slice"), "D"))
+      // fold incrementally (combine is partial -> partial), then resolve
+      val folded = parts.reduce((a, b) => Transforms.combineCandlePartials(a.unionByName(b)))
+      rows(Transforms.mergeCandlePartials(folded).orderBy("timestamp")) shouldBe full
+    }
+  }
+
   test("normalize preserves row count and never drops columns") {
     seeds.foreach { s =>
       val df = sample(s)
