@@ -137,9 +137,28 @@ final case class Catalog(spark: SparkSession, root: String) {
     val v = currentVersion
     val next = v + 1
     // untouched rows keep the version that registered them (provenance);
-    // `edit` stamps only its new rows with `next`
+    // `edit` stamps only its new rows with `next`. The snapshot lands in a
+    // writer-private staging dir first — version dirs are only ever created
+    // by a writer that holds the commit claim below.
+    val staging = new Path(dir,
+      f".staging_v$next%08d_p${ProcessHandle.current().pid()}")
     edit(entries, next)
-      .coalesce(1).write.mode("overwrite").parquet(versionPath(next).toString)
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    // optimistic concurrency (the Delta-log protocol in miniature):
+    // create-exclusive of the per-version claim file IS the compare-and-swap
+    // — of two writers racing to commit the same next version, exactly one
+    // create succeeds; the loser aborts with its staging cleaned up and the
+    // table untouched, and retries from the new current version if it wants.
+    val claim = new Path(dir, f"_claim_v$next%08d")
+    val claimed =
+      try { fs.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!claimed) {
+      fs.delete(staging, true)
+      throw new java.util.ConcurrentModificationException(
+        s"catalog commit conflict: version $next already claimed by another writer")
+    }
+    fs.rename(staging, versionPath(next))
     // pointer swap: write-temp + rename is the atomic primitive every
     // HDFS-like FS guarantees for same-directory renames
     val tmp = new Path(dir, s"_CURRENT.tmp.${ProcessHandle.current().pid()}")
@@ -147,13 +166,16 @@ final case class Catalog(spark: SparkSession, root: String) {
     try out.write(f"v$next%08d".getBytes("UTF-8")) finally out.close()
     if (fs.exists(currentPtr)) fs.delete(currentPtr, false)
     fs.rename(tmp, currentPtr)
-    // bounded history: prune snapshots older than the grace window
+    // bounded history: prune snapshots (and their claims) past the window
     val floor = next - historyWindow
     if (floor > 0 && fs.exists(new Path(dir)))
       fs.listStatus(new Path(dir)).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong < floor)
-          fs.delete(st.getPath, true)
+        val ver =
+          if (n.startsWith("v") && n.drop(1).forall(_.isDigit)) Some(n.drop(1).toLong)
+          else if (n.startsWith("_claim_v")) Some(n.stripPrefix("_claim_v").toLong)
+          else None
+        if (ver.exists(_ < floor)) fs.delete(st.getPath, true)
       }
     next
   }

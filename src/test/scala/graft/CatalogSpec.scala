@@ -76,6 +76,22 @@ class CatalogSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy cat.entriesAt(99L)
   }
 
+  test("commit conflict: a claimed next version aborts the writer, table untouched") {
+    val cat = freshCatalog("cas")
+    cat.register("silver", "a_x_20240101", df3)
+    // simulate a concurrent writer holding the v2 claim
+    val fs = new org.apache.hadoop.fs.Path(cat.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(cat.root, "_catalog/_claim_v00000002"), false).close()
+    a[java.util.ConcurrentModificationException] should be thrownBy
+      cat.register("silver", "b_x_20240102", df3)
+    cat.currentVersion shouldBe 1L // pointer unmoved
+    cat.entries.count() shouldBe 1L
+    // no staging leftovers from the aborted writer
+    fs.listStatus(new org.apache.hadoop.fs.Path(cat.root, "_catalog"))
+      .map(_.getPath.getName).count(_.startsWith(".staging")) shouldBe 0
+  }
+
   test("history is pruned to the window but the live snapshot always survives") {
     val cat = freshCatalog("prune")
     (1 to cat.historyWindow + 3).foreach(i => cat.register("bronze", f"d_x_202401$i%02d", df3))
