@@ -50,12 +50,37 @@ object ScaleProbe {
       embBase.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
       .reduce(_ unionAll _)
 
+    // shuffle-byte accounting: seconds alone can hide a quadratic shuffle
+    // behind fast local disks — the BYTES written to shuffle are the direct
+    // witness of what a real cluster would move over its network. One
+    // listener accumulates stage-level shuffle writes; each probe reports
+    // the delta it caused.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          shuffleBytes.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
+    // listener events are async (no public bus-drain API): poll the counter
+    // until it stabilizes so a probe's stages are not billed to the next one
+    def settledBytes(): Long = {
+      var prev = -1L; var cur = shuffleBytes.get(); var waited = 0
+      while (cur != prev && waited < 2000) {
+        prev = cur; Thread.sleep(100); waited += 100; cur = shuffleBytes.get()
+      }
+      cur
+    }
+
     // optional comma-separated probe allowlist for deep-k runs of a subset
     val only = sys.env.get("GRAFT_PROBE_ONLY").map(_.split(",").toSet)
     def time(name: String)(f: => Long): Unit = if (only.forall(_.contains(name))) {
+      val b0 = settledBytes()
       val t0 = System.nanoTime()
       val rows = f
-      println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($rows rows)")
+      val secs = (System.nanoTime() - t0) / 1e9
+      val mb = (settledBytes() - b0) / 1048576.0
+      println(f"[scale] $name%-28s $secs%8.1f s  ($rows rows, shuffle $mb%.1f MiB)")
     }
 
     println(s"[scale] corpus: ${n * k} docs (${k}x sf0.1), ${embs.count()} vectors")
