@@ -672,6 +672,44 @@ object SparkEntry {
         "o_custkey", "o_totalprice", "o_orderkey", k = 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
         .orderBy("o_custkey", "rnk")),
+    // feature-store generation: the classic per-series lag/rolling feature
+    // matrix (lag1, lag7, 7-day mean/std over full windows, day-of-week,
+    // month-end flag) in ONE window pass over the daily aggregate — the
+    // training-feature frame a forecasting model consumes. Exact decimal
+    // moments; std via the power-sum identity both engines restate
+    "q_lag_features" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("d")
+      val w7 = w.rowsBetween(-6, 0)
+      val n7 = count(lit(1)).over(w7)
+      val s1 = sum(col("x").cast(DecimalType(30, 6))).over(w7).cast(DoubleType)
+      val s2 = sum((col("x") * col("x")).cast(DecimalType(30, 6))).over(w7).cast(DoubleType)
+      dailyByType(s, dir)
+        .withColumn("lag1", lag(col("x"), 1).over(w))
+        .withColumn("lag7", lag(col("x"), 7).over(w))
+        .withColumn("mean7", when(n7 === 7, round(s1 / lit(7.0), 6)))
+        .withColumn("std7", when(n7 === 7,
+          round(sqrt((s2 - s1 * s1 / lit(7.0)) / lit(6.0)), 6)))
+        .withColumn("dow", pmod(datediff(col("d").cast(DateType),
+          to_date(lit("1970-01-05"))), lit(7)))
+        .withColumn("is_month_end",
+          col("d").cast(DateType) === last_day(col("d").cast(DateType)))
+        .orderBy("event_type", "d")
+    }),
+    // leave-one-out mean target encoding — the category feature that leaks
+    // without the leave-one-out correction: enc = (Σ_group − x) / (n − 1),
+    // exact decimal subtraction so both engines agree bit-for-bit; singleton
+    // groups encode null
+    "q_target_encoding" -> ((s, dir) => {
+      val g = Window.partitionBy("event_type")
+      events(s, dir)
+        .withColumn("__s", sum(col("value").cast(DecimalType(30, 6))).over(g))
+        .withColumn("__n", count(lit(1)).over(g))
+        .withColumn("te", when(col("__n") > 1,
+          ((col("__s") - col("value").cast(DecimalType(30, 6))).cast(DoubleType)) /
+            (col("__n") - 1).cast(DoubleType)))
+        .select("event_id", "event_type", "value", "te")
+        .orderBy("event_id")
+    }),
     // longest consecutive-day activity streaks per user: classic
     // gaps-and-islands via (day − row_number) group keys — one distinct
     // pass + one per-user window over ACTIVE DAYS (≤ calendar span, not
@@ -3341,6 +3379,33 @@ object SparkEntry {
         | COUNT(*) AS count_order
         | FROM lineitem GROUP BY l_returnflag, l_linestatus
         | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", ""),
+    // one window pass over the daily series; exact-decimal power sums inside
+    // the 7-row frame, std via the same identity, round(6) on both
+    "q_lag_features" ->
+      s"""WITH a AS ($dailyByTypeSql),
+         | w AS (SELECT event_type, d, x,
+         |   lag(x, 1) OVER pw AS lag1,
+         |   lag(x, 7) OVER pw AS lag7,
+         |   COUNT(*) OVER sw AS n7,
+         |   CAST(SUM(CAST(x AS DECIMAL(30,6))) OVER sw AS DOUBLE) AS s1,
+         |   CAST(SUM(CAST(x * x AS DECIMAL(30,6))) OVER sw AS DOUBLE) AS s2
+         |  FROM a
+         |  WINDOW pw AS (PARTITION BY event_type ORDER BY d),
+         |    sw AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         | SELECT event_type, d, x, lag1, lag7,
+         |   CASE WHEN n7 = 7 THEN round(s1 / 7.0, 6) END AS mean7,
+         |   CASE WHEN n7 = 7 THEN round(sqrt((s2 - s1 * s1 / 7.0) / 6.0), 6) END AS std7,
+         |   CAST(datediff('day', DATE '1970-01-05', CAST(d AS DATE)) % 7 AS INTEGER) AS dow,
+         |   CAST(d AS DATE) = last_day(CAST(d AS DATE)) AS is_month_end
+         | FROM w ORDER BY event_type, d""".stripMargin.replace("\n", ""),
+    // exact-decimal leave-one-out subtraction; singleton groups null
+    "q_target_encoding" ->
+      """SELECT event_id, event_type, value,
+        | CASE WHEN n > 1 THEN CAST(s - CAST(value AS DECIMAL(30,6)) AS DOUBLE) / (n - 1) END AS te
+        | FROM (SELECT event_id, event_type, value,
+        |   SUM(CAST(value AS DECIMAL(30,6))) OVER (PARTITION BY event_type) AS s,
+        |   COUNT(*) OVER (PARTITION BY event_type) AS n FROM events)
+        | ORDER BY event_id""".stripMargin.replace("\n", ""),
     // gaps-and-islands with the identical (day − row_number) group key
     "q_user_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
