@@ -672,6 +672,33 @@ object SparkEntry {
         "o_custkey", "o_totalprice", "o_orderkey", k = 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
         .orderBy("o_custkey", "rnk")),
+    // Kaplan–Meier survival estimate over user lifetimes (t = days between
+    // first and last activity; users still active on the corpus's final day
+    // are CENSORED — the distinction naive churn averages get wrong).
+    // surv(t) = Π(1 − d/n_risk) via exp∘Σ∘ln (round(6), the libm-parity
+    // convention); the lifetime table is ≤ calendar-span rows, so the
+    // ordered windows run over a bounded frame
+    "q_kaplan_meier" -> ((s, dir) => {
+      val horizon = lit("2024-01-30").cast(DateType)
+      val life = events(s, dir).groupBy("user_id")
+        .agg(min(col("ts").cast(DateType)).as("first_d"),
+          max(col("ts").cast(DateType)).as("last_d"))
+        .withColumn("t", datediff(col("last_d"), col("first_d")))
+        .withColumn("event", (col("last_d") < horizon).cast(LongType))
+      val byT = life.groupBy("t")
+        .agg(count(lit(1)).as("n_at_t"), sum(col("event")).as("d"))
+      val wAll = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wPrev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT
+        .withColumn("n_risk", sum(col("n_at_t")).over(wAll) -
+          coalesce(sum(col("n_at_t")).over(wPrev), lit(0L)))
+        .withColumn("__lf", log(lit(1.0) -
+          col("d").cast(DoubleType) / col("n_risk").cast(DoubleType)))
+        .withColumn("survival", round(exp(sum(col("__lf")).over(wCum)), 6))
+        .select("t", "n_risk", "d", "survival")
+        .orderBy("t")
+    }),
     // feature-store generation: the classic per-series lag/rolling feature
     // matrix (lag1, lag7, 7-day mean/std over full windows, day-of-week,
     // month-end flag) in ONE window pass over the daily aggregate — the
@@ -3379,6 +3406,22 @@ object SparkEntry {
         | COUNT(*) AS count_order
         | FROM lineitem GROUP BY l_returnflag, l_linestatus
         | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", ""),
+    // same lifetime table, same cumulative ln-sum product, round(6)
+    "q_kaplan_meier" ->
+      """WITH life AS (SELECT user_id,
+        |   min(CAST(ts AS DATE)) AS first_d, max(CAST(ts AS DATE)) AS last_d
+        |  FROM events GROUP BY 1),
+        | lt AS (SELECT datediff('day', first_d, last_d) AS t,
+        |   CASE WHEN last_d < DATE '2024-01-30' THEN 1 ELSE 0 END AS ev FROM life),
+        | byt AS (SELECT t, COUNT(*) AS n_at_t, CAST(SUM(ev) AS BIGINT) AS d FROM lt GROUP BY 1),
+        | r AS (SELECT t, d,
+        |   SUM(n_at_t) OVER () - COALESCE(SUM(n_at_t) OVER (ORDER BY t
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM byt)
+        | SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d,
+        |   round(exp(SUM(ln(1.0 - CAST(d AS DOUBLE) / n_risk)) OVER (ORDER BY t
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+        | FROM r ORDER BY t""".stripMargin.replace("\n", ""),
     // one window pass over the daily series; exact-decimal power sums inside
     // the 7-row frame, std via the same identity, round(6) on both
     "q_lag_features" ->
