@@ -672,6 +672,54 @@ object SparkEntry {
         "o_custkey", "o_totalprice", "o_orderkey", k = 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
         .orderBy("o_custkey", "rnk")),
+    // experimentation analytics: deterministic 50/50 assignment by user hash,
+    // per-(event_type, variant) Welch z-statistic on value means — exact
+    // decimal moments feed the variance identity, z rounded(6). The full
+    // A/B readout (means, counts, z, |z| > 1.96 significance flag) per metric
+    "q_ab_test" -> ((s, dir) => {
+      val assigned = events(s, dir)
+        .withColumn("variant", pmod(graft.operators.Sketches.h60(col("user_id")), lit(2L)))
+      val agg = assigned.groupBy("event_type", "variant")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(30, 6))).as("s1"),
+          sum((col("value") * col("value")).cast(DecimalType(30, 6))).as("s2"))
+        .withColumn("m", col("s1").cast(DoubleType) / col("n").cast(DoubleType))
+        .withColumn("v", (col("s2").cast(DoubleType) -
+          col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / col("n").cast(DoubleType)) /
+          (col("n").cast(DoubleType) - lit(1.0)))
+      val a = agg.filter(col("variant") === 0)
+        .select(col("event_type"), col("n").as("n_a"), col("m").as("mean_a"), col("v").as("__va"))
+      val b = agg.filter(col("variant") === 1)
+        .select(col("event_type"), col("n").as("n_b"), col("m").as("mean_b"), col("v").as("__vb"))
+      a.join(b, Seq("event_type"))
+        .withColumn("z", round((col("mean_a") - col("mean_b")) /
+          sqrt(col("__va") / col("n_a") + col("__vb") / col("n_b")), 6))
+        .withColumn("significant", abs(col("z")) > lit(1.96))
+        .select(col("event_type"), col("n_a"), round(col("mean_a"), 6).as("mean_a"),
+          col("n_b"), round(col("mean_b"), 6).as("mean_b"), col("z"), col("significant"))
+        .orderBy("event_type")
+    }),
+    // cohort LTV curve: cumulative per-user value by (first-touch cohort day,
+    // day offset) — the revenue complement of the retention matrix; decimal
+    // sums cumulated over the bounded offset axis
+    "q_cohort_ltv" -> ((s, dir) => {
+      val e = events(s, dir)
+      val cohort = e.groupBy("user_id").agg(min(date_trunc("DAY", col("ts"))).as("cohort_d"))
+      val daily = e.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_d"),
+          datediff(col("ts").cast(DateType), col("cohort_d").cast(DateType)).as("day_offset"))
+        .agg(sum(col("value").cast(DecimalType(30, 6))).as("rev"),
+          countDistinct(col("user_id")).as("active_users"))
+      val sz = cohort.groupBy("cohort_d").agg(count(lit(1)).as("cohort_users"))
+      val w = Window.partitionBy("cohort_d").orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(broadcast(sz), Seq("cohort_d"))
+        .withColumn("cum_ltv_per_user", round(
+          sum(col("rev")).over(w).cast(DoubleType) / col("cohort_users").cast(DoubleType), 6))
+        .select(col("cohort_d"), col("day_offset"), col("active_users"),
+          col("cohort_users"), col("cum_ltv_per_user"))
+        .orderBy("cohort_d", "day_offset")
+    }),
     // Kaplan–Meier survival estimate over user lifetimes (t = days between
     // first and last activity; users still active on the corpus's final day
     // are CENSORED — the distinction naive churn averages get wrong).
@@ -3406,6 +3454,41 @@ object SparkEntry {
         | COUNT(*) AS count_order
         | FROM lineitem GROUP BY l_returnflag, l_linestatus
         | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", ""),
+    // same hash assignment, same decimal moments, same Welch z, round(6)
+    "q_ab_test" -> {
+      val vh = idHashSql("user_id") + " % 2"
+      s"""WITH a0 AS (SELECT event_type, $vh AS variant, value FROM events),
+         | g AS (SELECT event_type, variant, COUNT(*) AS n,
+         |   SUM(CAST(value AS DECIMAL(30,6))) AS s1,
+         |   SUM(CAST(value * value AS DECIMAL(30,6))) AS s2
+         |  FROM a0 GROUP BY 1, 2),
+         | m AS (SELECT event_type, variant, n,
+         |   CAST(s1 AS DOUBLE) / n AS mn,
+         |   (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) AS vv
+         |  FROM g)
+         | SELECT a.event_type, a.n AS n_a, round(a.mn, 6) AS mean_a,
+         |   b.n AS n_b, round(b.mn, 6) AS mean_b,
+         |   round((a.mn - b.mn) / sqrt(a.vv / a.n + b.vv / b.n), 6) AS z,
+         |   abs((a.mn - b.mn) / sqrt(a.vv / a.n + b.vv / b.n)) > 1.96 AS significant
+         | FROM m a JOIN m b ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+         | ORDER BY a.event_type""".stripMargin.replace("\n", "")
+    },
+    // same cohort attach, same decimal cumulative revenue, round(6)
+    "q_cohort_ltv" ->
+      """WITH c AS (SELECT user_id, CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS cohort_d
+        |   FROM events GROUP BY 1),
+        | d AS (SELECT c.cohort_d,
+        |   datediff('day', CAST(c.cohort_d AS DATE), CAST(e.ts AS DATE)) AS day_offset,
+        |   SUM(CAST(e.value AS DECIMAL(30,6))) AS rev,
+        |   COUNT(DISTINCT e.user_id) AS active_users
+        |  FROM events e JOIN c USING (user_id) GROUP BY 1, 2),
+        | sz AS (SELECT cohort_d, COUNT(*) AS cohort_users FROM c GROUP BY 1)
+        | SELECT d.cohort_d, day_offset, active_users, cohort_users,
+        |   round(CAST(SUM(rev) OVER (PARTITION BY d.cohort_d ORDER BY day_offset
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / cohort_users, 6)
+        |     AS cum_ltv_per_user
+        | FROM d JOIN sz USING (cohort_d)
+        | ORDER BY cohort_d, day_offset""".stripMargin.replace("\n", ""),
     // same lifetime table, same cumulative ln-sum product, round(6)
     "q_kaplan_meier" ->
       """WITH life AS (SELECT user_id,
