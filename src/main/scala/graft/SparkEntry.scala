@@ -672,6 +672,34 @@ object SparkEntry {
         "o_custkey", "o_totalprice", "o_orderkey", k = 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
         .orderBy("o_custkey", "rnk")),
+    // growth accounting: every daily active decomposes into new (first day) /
+    // retained (also active yesterday) / resurrected (returning after a gap),
+    // and yesterday's actives who vanished are churned — the four-quadrant
+    // growth readout. One distinct pass + two self-aligned day joins on the
+    // (user, day) frame; all integers
+    "q_growth_accounting" -> ((s, dir) => {
+      val ud = events(s, dir)
+        .select(col("user_id"), date_trunc("DAY", col("ts")).as("d")).distinct()
+      val first = ud.groupBy("user_id").agg(min(col("d")).as("first_d"))
+      val today = ud.join(first, Seq("user_id"))
+      val yesterday = ud.select(col("user_id"),
+        (col("d") + expr("INTERVAL 1 DAY")).as("d"), lit(1).as("__y"))
+      val joined = today.join(yesterday, Seq("user_id", "d"), "left")
+      val perDay = joined.groupBy("d").agg(
+        sum(when(col("d") === col("first_d"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("d") =!= col("first_d") && col("__y").isNotNull, 1L).otherwise(0L))
+          .as("retained"),
+        sum(when(col("d") =!= col("first_d") && col("__y").isNull, 1L).otherwise(0L))
+          .as("resurrected"))
+      // churned(d) = yesterday's actives − today's retained
+      val actives = ud.groupBy("d").agg(count(lit(1)).as("dau"))
+      val prevActives = actives.select((col("d") + expr("INTERVAL 1 DAY")).as("d"),
+        col("dau").as("__prev_dau"))
+      perDay.join(actives, Seq("d")).join(prevActives, Seq("d"), "left")
+        .withColumn("churned", coalesce(col("__prev_dau"), lit(0L)) - col("retained"))
+        .select("d", "dau", "new_users", "retained", "resurrected", "churned")
+        .orderBy("d")
+    }),
     // experimentation analytics: deterministic 50/50 assignment by user hash,
     // per-(event_type, variant) Welch z-statistic on value means — exact
     // decimal moments feed the variance identity, z rounded(6). The full
@@ -3454,6 +3482,25 @@ object SparkEntry {
         | COUNT(*) AS count_order
         | FROM lineitem GROUP BY l_returnflag, l_linestatus
         | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", ""),
+    // same quadrant decomposition over the distinct (user, day) frame
+    "q_growth_accounting" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        | f AS (SELECT user_id, min(d) AS first_d FROM ud GROUP BY 1),
+        | t AS (SELECT ud.user_id, ud.d, f.first_d,
+        |     EXISTS (SELECT 1 FROM ud y WHERE y.user_id = ud.user_id
+        |       AND y.d = ud.d - INTERVAL 1 DAY) AS was_active
+        |   FROM ud JOIN f USING (user_id)),
+        | p AS (SELECT d,
+        |     CAST(SUM(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |     CAST(SUM(CASE WHEN d <> first_d AND was_active THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+        |     CAST(SUM(CASE WHEN d <> first_d AND NOT was_active THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
+        |     COUNT(*) AS dau
+        |   FROM t GROUP BY 1),
+        | a AS (SELECT d, dau FROM p)
+        | SELECT p.d, p.dau, p.new_users, p.retained, p.resurrected,
+        |   COALESCE(pa.dau, 0) - p.retained AS churned
+        | FROM p LEFT JOIN a pa ON pa.d = p.d - INTERVAL 1 DAY
+        | ORDER BY p.d""".stripMargin.replace("\n", ""),
     // same hash assignment, same decimal moments, same Welch z, round(6)
     "q_ab_test" -> {
       val vh = idHashSql("user_id") + " % 2"
