@@ -968,13 +968,25 @@ object Queries {
     */
   def itemSimilarity(df: DataFrame, basketCol: String, itemCol: String,
       minCo: Long = 3L): DataFrame = {
-    val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
-    val freq = items.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
-    val co = items.join(items.select(col("__b"), col("__i").as("__j")), Seq("__b"))
-      .filter(col("__i") < col("__j"))
-      .groupBy(col("__i").as("item_a"), col("__j").as("item_b"))
+    // basket-array formulation (the measured winner of the copurchase A/B):
+    // one basket shuffle, narrow i<j pair generation, pair-count aggregate —
+    // no incidence self-join; item frequency reads the same basket arrays
+    val baskets = df.groupBy(col(basketCol).as("__b"))
+      .agg(sort_array(collect_set(col(itemCol))).as("__is"))
+    val freq = baskets.select(explode(col("__is")).as("__i"))
+      .groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val co = baskets.filter(size(col("__is")) >= 2)
+      .select(col("__is"), explode(sequence(lit(0), size(col("__is")) - 2)).as("__p"))
+      .select(col("__is"), col("__p"),
+        explode(sequence(col("__p") + 1, size(col("__is")) - 1)).as("__q"))
+      .select(element_at(col("__is"), col("__p") + 1).as("item_a"),
+        element_at(col("__is"), col("__q") + 1).as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("co"))
       .filter(col("co") >= minCo)
+    // no broadcast hint on the frequency joins: the item vocabulary is
+    // usually broadcastable and AQE will pick that; a forced hint would be
+    // wrong for a catalog with more items than executor memory
     co.join(freq.select(col("__i").as("item_a"), col("__n").as("n_a")), Seq("item_a"))
       .join(freq.select(col("__i").as("item_b"), col("__n").as("n_b")), Seq("item_b"))
       .withColumn("cosine", round(col("co").cast(DoubleType) /
