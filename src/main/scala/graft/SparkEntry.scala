@@ -1974,6 +1974,46 @@ object SparkEntry {
       }.orderBy("ts", "event_type")
     }),
 
+    // watermark LATE-DATA semantics under the gate: tiers land as (days
+    // 15–28) → (days 29–30) → (days 1–14 — the late replay). The middle tier
+    // advances the watermark to max(ts) − 1 day while only touching windows
+    // that never emit (29/30 stay open), so by the time the late tier
+    // arrives EVERY one of its rows is behind the operative watermark and
+    // must be dropped; append mode then emits exactly the finalized windows
+    // (days 15–28, first-tier counts only). Robust to the empirically
+    // MEASURED one-batch lag in watermark application (the filter in batch N
+    // uses the value computed from batches ≤ N−2; the middle tier absorbs
+    // the lag) AND to immediate application. The oracle restates drop +
+    // emission in millisecond watermark arithmetic — the bounded-state
+    // contract: late data is dropped deterministically, not silently merged
+    "q_stream_late_drop" -> ((s, dir) => {
+      tune(s)
+      val landed = SessionCache.getOrCompute(s, s"stream-late-delta:$dir") {
+        val d = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_stream_late_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}")
+        val e = events(s, dir)
+        val cut = lit("2024-01-15 00:00:00").cast(TimestampType)
+        val tail = lit("2024-01-29 00:00:00").cast(TimestampType)
+        graft.streaming.Streaming.landOrdered(d,
+          Seq(e.filter(col("ts") >= cut && col("ts") < tail),
+            e.filter(col("ts") >= tail),
+            e.filter(col("ts") < cut)))
+        d.toString
+      }
+      streamResult(s, dir, "late_drop") {
+        withStreamConf(s) { // trailing no-data batch ON: it flushes the final emission
+          val schema = s.read.parquet(landed).schema
+          val src = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(landed)
+          val agg = src.withWatermark("ts", "1 day")
+            .groupBy(window(col("ts"), "1 day").as("w"))
+            .agg(count(lit(1)).as("n"), Fns.exactSum(col("value")).as("sum_value"))
+            .select(col("w.start").as("d"), col("n"), col("sum_value"))
+          graft.streaming.Streaming.runToMemory(s, agg, "stream_late_drop",
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        }
+      }.orderBy("d")
+    }),
     // hopping (overlapping) windows under the streaming gate: the same
     // window(size, slide) Expand as the batch query, complete mode — the
     // stream must land on the batch hopping windows exactly (shared oracle)
@@ -4829,6 +4869,16 @@ object SparkEntry {
         |   AND p.user_id = c.user_id
         |   AND CAST(c.ts AS TIMESTAMP) BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR AND CAST(p.ts AS TIMESTAMP)
         | ORDER BY p_id, c_id""".stripMargin.replace("\n", ""),
+    // drop + emission restated in ms watermark arithmetic: only tier-1 rows
+    // count, only windows whose end ≤ (floor_ms(max tier-1 ts) − 1 day) emit
+    "q_stream_late_drop" ->
+      """WITH t1 AS (SELECT ts, value FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'),
+        | wm AS (SELECT epoch_ms(CAST(max(ts) AS TIMESTAMP)) - 86400000 AS w FROM t1)
+        | SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, COUNT(*) AS n,
+        |   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        | FROM t1, wm
+        | WHERE epoch_ms(CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY) <= w
+        | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", ""),
     "q_stream_candles" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts, event_type,
         | arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
