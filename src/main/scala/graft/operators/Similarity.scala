@@ -434,22 +434,37 @@ object Similarity {
     val xc = vecs.crossJoin(broadcast(muArr))
       .select(zip_with(col("v"), col("muv"), (a, b) => a - b).as("xc"))
       .localCheckpoint(false)
-    var w = xc.limit(1)
-      .select(transform(col("xc"),
-        _ => lit(1.0) / sqrt(size(col("xc")).cast(DoubleType))).as("wv"))
-      .localCheckpoint(false)
+    // w is a d-vector — CATALOG-scale state. It iterates on the DRIVER
+    // (collect d decimal-exact sums, normalize locally, ship back as a
+    // literal), which costs ONE distributed job per round instead of the
+    // former t-frame + checkpointed-w-frame pair. Bit-identical to the
+    // dataflow form: the collected t values are the same exact-decimal
+    // aggregates, and the driver norm accumulates t² in ascending-dim
+    // order — the same sequential-double sum as the `dot(tv, tv)` kernel
+    // the oracle restates.
+    val d = vecs.limit(1).select(size(col("v"))).head().getInt(0)
+    var wv: Array[Double] = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     (1 to iterations).foreach { _ =>
-      val t = xc.crossJoin(broadcast(w))
-        .select(col("xc"), dot(col("xc"), col("wv")).as("s"))
-        .select(col("s"), posexplode(col("xc")).as(Seq("dim", "c")))
+      val tArr = xc
+        .select(dot(col("xc"), typedlit(wv.toSeq)).as("s"),
+          posexplode(col("xc")).as(Seq("dim", "c")))
         .groupBy("dim")
         .agg(sum((col("c") * col("s")).cast(dec)).cast(DoubleType).as("t"))
-      w = t.agg(transform(array_sort(collect_list(struct(col("dim"), col("t")))),
-          s => s.getField("t")).as("tv"))
-        .select(transform(col("tv"), x => x / sqrt(dot(col("tv"), col("tv")))).as("wv"))
-        .localCheckpoint(false)
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+      var nsq = 0.0
+      tArr.foreach(t => nsq += t * t)
+      val norm = math.sqrt(nsq)
+      wv = tArr.map(_ / norm)
     }
-    muFlat.join(w.select(posexplode(col("wv")).as(Seq("dim", "loading"))), Seq("dim"))
+    val spark = corpus.sparkSession
+    val wFlat = spark.createDataFrame(
+      spark.sparkContext.parallelize(wv.toIndexedSeq.zipWithIndex.map { case (l, i) =>
+        org.apache.spark.sql.Row(i, l)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("dim", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("loading", DoubleType))))
+    muFlat.join(wFlat, Seq("dim"))
       .select(col("dim").cast(LongType).as("dim"), col("m").as("mean"),
         col("loading"))
   }
