@@ -456,6 +456,15 @@ object ScaleProbe {
         graft.operators.Sketches.kmvDistinct(ev, Seq("event_type"), "event_id",
           k = 256).count()
       }
+      // The variant above times the sketch PLUS its exact countDistinct
+      // self-check, whose distinct-aggregate shuffle grows with true
+      // cardinality (k× under re-keying) — it does NOT isolate the
+      // bounded-state property. This one does: sketch-only, shuffle =
+      // (#groups × 256) longs at any input size.
+      time("kmv_sketch_only") {
+        graft.operators.Sketches.kmvEstimate(ev, Seq("event_type"), "event_id",
+          k = 256).count()
+      }
     }
     spark.stop()
   }

@@ -45,3 +45,42 @@ class SchedulesSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy Schedules.toTrigger("0 9 * * 1")
   }
 }
+
+/** End-to-end: a cron schedule drives a REAL ProcessingTime micro-batch run
+  * (not just the unit mapping above). ProcessingTime fires batch 0
+  * immediately on start — only subsequent batches wait for the interval —
+  * so the test completes in test time while exercising the actual
+  * cron → Trigger → StreamingQuery wiring the scheduler path ships.
+  */
+class SchedulesE2ESpec extends SparkSpec {
+
+  test("every-minute cron runs a ProcessingTime stream whose first batch aggregates the fed data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val trig = Schedules.toTrigger("* * * * *")
+    trig shouldBe Trigger.ProcessingTime(60000L)
+
+    val in = MemoryStream[(String, Double)]
+    in.addData(("click", 1.5), ("click", 2.5), ("view", 4.0))
+    val agg = in.toDF().toDF("event_type", "value")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    val q = agg.writeStream
+      .format("memory").queryName("sched_e2e").outputMode("complete")
+      .trigger(trig)
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = rows(spark.table("sched_e2e").orderBy("event_type"))
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      out shouldBe Seq(("click", 2L, 4.0), ("view", 1L, 4.0))
+      // the trigger on the RUNNING query is the cron-derived one: a second
+      // batch would wait out the minute, which is exactly the fixed-rate
+      // semantic — we assert progress shows batch 0 completed and stop
+      q.recentProgress.map(_.batchId) should contain(0L)
+    } finally q.stop()
+  }
+}
