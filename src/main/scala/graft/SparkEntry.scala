@@ -2726,6 +2726,82 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the native session_window aggregation as a CONTINUOUS query (complete
+    // mode — session state merges across micro-batches, no watermark needed
+    // under the harness's AvailableNow drain): must land exactly on the
+    // batch builtin, so it shares q_session_window's oracle text
+    "q_stream_session_window" -> ((s, dir) => {
+      tune(s)
+      streamResult(s, dir, "sessw") {
+        withStreamConf(s) {
+          val agg = eventStream(s, dir)
+            .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+            .agg(count(lit(1)).as("n_events"), Fns.exactSum(col("value")).as("total"))
+            .select(col("user_id"), col("session_window.start").as("session_start"),
+              col("n_events"), col("total"))
+          graft.streaming.Streaming.runToMemory(s, agg, "stream_sessw")
+        }
+      }.orderBy("user_id", "session_start")
+    }),
+
+    // two-sample Kolmogorov–Smirnov statistic (click vs purchase value
+    // distributions): D = max |F1 − F2| computed EXACTLY as integers —
+    // |c1·n2 − c2·n1| over the merged distinct-value CDF — so the gate
+    // hashes an integer numerator, no sup-of-doubles ambiguity. The running
+    // CDF window is over the DISTINCT-VALUE frame (bounded by the 2-dp value
+    // granularity, not event volume); an unbounded domain would swap in the
+    // two-level distributed rank (Sampling.globalShuffle's construction).
+    "q_ks_test" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val a = ev.filter(col("event_type") === "click")
+        .select(col("value").as("v"), lit(1L).as("__a"), lit(0L).as("__b"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("value").as("v"), lit(0L).as("__a"), lit(1L).as("__b"))
+      val byV = a.unionAll(b).groupBy("v").agg(sum("__a").as("da"), sum("__b").as("db"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = byV.withColumn("ca", sum(col("da")).over(w))
+        .withColumn("cb", sum(col("db")).over(w))
+      val tot = byV.agg(sum("da").cast(LongType).as("n1"), sum("db").cast(LongType).as("n2"))
+      c.crossJoin(broadcast(tot))
+        .select(col("n1"), col("n2"),
+          abs(col("ca") * col("n2") - col("cb") * col("n1")).as("__dn"))
+        .groupBy("n1", "n2").agg(max("__dn").cast(LongType).as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          (col("d_num").cast(DoubleType) /
+            (col("n1") * col("n2")).cast(DoubleType)).as("d_stat"))
+    }),
+
+    // population stability index between the click and purchase hour-of-day
+    // distributions — the drift monitor a production scorecard ships. Bins
+    // where either side is empty are excluded (reported in n_bins); each
+    // (p−q)·ln(p/q) term rounds to 9 dp and sums as DECIMAL so the 24-term
+    // double sum is order-free cross-engine, then round(6) on the total.
+    "q_psi" -> ((s, dir) => {
+      val ev = events(s, dir)
+      def dist(t: String, cn: String) = ev.filter(col("event_type") === t)
+        .groupBy(hour(col("ts")).as("h")).agg(count(lit(1)).as(cn))
+      val joined = dist("click", "nc").join(dist("purchase", "np"), Seq("h"))
+        .filter(col("nc") > 0 && col("np") > 0)
+      val tot = joined.agg(sum("nc").cast(DoubleType).as("tc"),
+        sum("np").cast(DoubleType).as("tp"))
+      joined.crossJoin(broadcast(tot))
+        .select(((col("nc") / col("tc")) - (col("np") / col("tp"))).as("__d"),
+          log((col("nc") / col("tc")) / (col("np") / col("tp"))).as("__l"))
+        .select(round(col("__d") * col("__l"), 9).cast(DecimalType(20, 9)).as("__t"))
+        .agg(count(lit(1)).as("n_bins"), round(sum(col("__t")).cast(DoubleType), 6).as("psi"))
+    }),
+
+    // degree distribution of the near-dup pair graph (threshold-health shape
+    // metric next to q_dedup_cluster_sizes): consumes the SAME session-cached
+    // exact-verified pair index — two bounded aggregations over pair volume
+    "q_dedup_degree_dist" -> ((s, dir) => {
+      val pairs = minhashPairIndex(s, dir)
+      val deg = pairs.select(col("id_a").as("node"))
+        .unionAll(pairs.select(col("id_b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      deg.groupBy("deg").agg(count(lit(1)).as("n_nodes")).orderBy("deg")
+    }),
+
     // --- sources (SURVEY §2.1; rows-only — fixture inputs, not sfDir tables)
     "q_csv_stock_autodetect" -> ((s, _) =>
       CsvAutoLoader.loadStockCsv(s, "/root/repo/fixtures/stock_canonical.csv").get
@@ -3218,6 +3294,21 @@ object SparkEntry {
        |   CAST(hits AS DOUBLE) / CAST(n_queries * $k AS DOUBLE) >= $threshold AS meets_threshold
        | FROM h CROSS JOIN nq2""".stripMargin.replace("\n", "")
   }
+
+  /** One oracle text for the batch session_window builtin AND its streaming
+    * twin (complete-mode AvailableNow must land on the batch result).
+    */
+  private val sessionWindowSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      | f AS (SELECT user_id, ts, value,
+      |   CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |     THEN 1 ELSE 0 END AS brk
+      |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      | g AS (SELECT user_id, ts, value,
+      |   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+      | SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+      |   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total
+      | FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin.replace("\n", "")
 
   def oracleSql: Map[String, String] = Map(
     "q_clean_events" -> cleanEventsSql,
@@ -5345,20 +5436,42 @@ object SparkEntry {
         | SELECT doc_id,
         |   round(COALESCE(s_spark, 0.0) + COALESCE(s_join, 0.0) + COALESCE(s_stream, 0.0), 6) AS bm25
         | FROM w ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // exact-integer KS: same merged distinct-value CDF construction
+    "q_ks_test" ->
+      """WITH a AS (SELECT value AS v, 1 AS ia, 0 AS ib FROM events WHERE event_type = 'click'),
+        | b AS (SELECT value AS v, 0 AS ia, 1 AS ib FROM events WHERE event_type = 'purchase'),
+        | u AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS da, CAST(SUM(ib) AS BIGINT) AS db
+        |   FROM (SELECT * FROM a UNION ALL SELECT * FROM b) GROUP BY v),
+        | c AS (SELECT v, da, db,
+        |   SUM(da) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+        |   SUM(db) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb FROM u),
+        | t AS (SELECT CAST(SUM(da) AS BIGINT) AS n1, CAST(SUM(db) AS BIGINT) AS n2 FROM u)
+        | SELECT n1, n2, CAST(MAX(abs(ca * n2 - cb * n1)) AS BIGINT) AS d_num,
+        |   CAST(MAX(abs(ca * n2 - cb * n1)) AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d_stat
+        | FROM c CROSS JOIN t GROUP BY n1, n2""".stripMargin.replace("\n", ""),
+    // same excluded-empty-bin rule; 9-dp-rounded DECIMAL terms make the
+    // 24-term sum order-free, ln under the round(6) gate
+    "q_psi" ->
+      """WITH c AS (SELECT hour(ts) AS h, COUNT(*) AS nc FROM events WHERE event_type = 'click' GROUP BY 1),
+        | p AS (SELECT hour(ts) AS h, COUNT(*) AS np FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        | j AS (SELECT h, nc, np FROM c JOIN p USING (h) WHERE nc > 0 AND np > 0),
+        | t AS (SELECT CAST(SUM(nc) AS DOUBLE) AS tc, CAST(SUM(np) AS DOUBLE) AS tp FROM j),
+        | terms AS (SELECT CAST(round((nc / tc - np / tp) * ln((nc / tc) / (np / tp)), 9) AS DECIMAL(20,9)) AS tm
+        |   FROM j CROSS JOIN t)
+        | SELECT COUNT(*) AS n_bins, round(CAST(SUM(tm) AS DOUBLE), 6) AS psi FROM terms""".stripMargin.replace("\n", ""),
+    // degree histogram over the same exact-verified pair set
+    "q_dedup_degree_dist" ->
+      s"""WITH ${exactJaccardCtes(5, 0.5)},
+         | dg AS (SELECT node, COUNT(*) AS deg FROM
+         |   (SELECT id_a AS node FROM p UNION ALL SELECT id_b FROM p) GROUP BY node)
+         | SELECT deg, COUNT(*) AS n_nodes FROM dg GROUP BY deg ORDER BY deg""".stripMargin.replace("\n", ""),
     // gaps-and-islands with the builtin's >=gap session cut: break when the
     // gap since the previous event reaches 30 min (Spark's session_window
     // extends while the next event lands STRICTLY inside prev_ts + gap)
-    "q_session_window" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
-        | f AS (SELECT user_id, ts, value,
-        |   CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-        |     THEN 1 ELSE 0 END AS brk
-        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        | g AS (SELECT user_id, ts, value,
-        |   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f)
-        | SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
-        |   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total
-        | FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin.replace("\n", "")
+    "q_session_window" -> sessionWindowSql,
+    // the streaming session_window must land exactly on the batch builtin —
+    // one oracle text for both
+    "q_stream_session_window" -> sessionWindowSql
   )
 
   /** Shared DuckDB dual of [[graft.sources.JsonPayloads.parseYahooChart]]:
