@@ -1587,6 +1587,38 @@ object SparkEntry {
         .withColumn("meets_threshold", col("recall") >= lit(0.3))
     }),
 
+    // ranking QUALITY beyond recall: per-query nDCG@10 of the partial-probe
+    // IVF list against the brute-force ideal. Graded-relevance discount
+    // weights round(1/log2(rank+1), 9) become DECIMAL so both the DCG and
+    // ideal-DCG sums are order-free; the division is the only double step
+    // (round 6). Same cached index/centroids as q_ivf_recall.
+    "q_ivf_ndcg" -> ((s, dir) => {
+      import s.implicits._
+      val e = embeddings(s, dir)
+      val cents = Dedup.hyperplanes(16, 64, seed = 7L).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("cell_id", "centroid")
+      val queries = e.filter(col("vec_id") < 10)
+      val index = Similarity.ivfIndexCached(e, cents, "embedding", "vec_id",
+        key = s"litcents:$dir")
+      val ivf = Similarity.ivfProbe(index, queries, cents,
+        "embedding", "vec_id", k = 10, nprobe = 2)
+      val brute = Similarity.bruteForceTopKAgg(e, queries, "embedding", "vec_id", k = 10)
+      def disc(rank: Column) =
+        round(lit(1.0) / log2(rank.cast(DoubleType) + lit(1.0)), 9).cast(DecimalType(20, 9))
+      val dcg = ivf
+        .join(brute.select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(when(col("__hit").isNotNull, disc(col("rank")))
+            .otherwise(lit(0).cast(DecimalType(20, 9)))).as("__dcg"),
+          sum(coalesce(col("__hit"), lit(0L))).cast(LongType).as("hits"))
+      val idcg = brute.groupBy("query_id").agg(sum(disc(col("rank"))).as("__idcg"))
+      dcg.join(idcg, Seq("query_id"))
+        .select(col("query_id"), col("hits"),
+          round(col("__dcg").cast(DoubleType) / col("__idcg").cast(DoubleType), 6).as("ndcg"))
+        .orderBy("query_id")
+    }),
+
     // --- text analysis (north star) --------------------------------------
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.qualityFeatures(documents(s, dir).select("doc_id", "text"), "text")
@@ -3295,6 +3327,35 @@ object SparkEntry {
        | FROM h CROSS JOIN nq2""".stripMargin.replace("\n", "")
   }
 
+  /** nDCG@k dual — [[ivfRecallSql]]'s IVF + brute CTE pipeline with ranks
+    * kept, per-query DCG/ideal-DCG as order-free 9-dp DECIMAL sums.
+    */
+  private def ivfNdcgSql(nlist: Int, dim: Int, nprobe: Int, k: Int): String = {
+    val base = ivfRecallSql(nlist, dim, nprobe, k, 0.0)
+    val cut = base.indexOf(", h AS")
+    require(cut > 0, "ivfRecallSql shape changed — update ivfNdcgSql")
+    val ivfWithRank = base.substring(0, cut)
+      // keep ranks on both lists: the recall dual drops them in its final
+      // SELECTs, so re-state the two list CTEs with rank included
+      .replace("ivf AS (SELECT query_id, neighbor_id FROM",
+        "ivf AS (SELECT query_id, neighbor_id, rank FROM")
+      .replace("brute AS (SELECT query_id, neighbor_id FROM",
+        "brute AS (SELECT query_id, neighbor_id, rank FROM")
+    s"""$ivfWithRank,
+       | dcg AS (SELECT i.query_id,
+       |   SUM(CASE WHEN b.neighbor_id IS NOT NULL
+       |     THEN CAST(round(1.0 / log2(i.rank + 1.0), 9) AS DECIMAL(20,9))
+       |     ELSE CAST(0 AS DECIMAL(20,9)) END) AS dcg,
+       |   CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |   FROM ivf i LEFT JOIN brute b ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       |   GROUP BY 1),
+       | idcg AS (SELECT query_id,
+       |   SUM(CAST(round(1.0 / log2(rank + 1.0), 9) AS DECIMAL(20,9))) AS idcg
+       |   FROM brute GROUP BY 1)
+       | SELECT d.query_id, d.hits, round(CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6) AS ndcg
+       | FROM dcg d JOIN idcg i ON i.query_id = d.query_id ORDER BY d.query_id""".stripMargin.replace("\n", "")
+  }
+
   /** One oracle text for the batch session_window builtin AND its streaming
     * twin (complete-mode AvailableNow must land on the batch result).
     */
@@ -4582,6 +4643,7 @@ object SparkEntry {
         |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
         | SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
         | ORDER BY query_id, rank""".stripMargin.replace("\n", ""),
+    "q_ivf_ndcg" -> ivfNdcgSql(nlist = 16, dim = 64, nprobe = 2, k = 10),
     "q_ivf_recall" -> ivfRecallSql(nlist = 16, dim = 64, nprobe = 2, k = 10,
       threshold = 0.3),
     "q_ann_topk_window" ->
