@@ -466,6 +466,60 @@ object ScaleProbe {
           k = 256).count()
       }
     }
+    locally {
+      // round-10 wave 3: the KS distinct-value window and the as-of
+      // attribution carry. Events replicate with SHIFTED users (user count
+      // grows k×, per-user volume constant) but UNCHANGED values — so the
+      // KS probe's distinct-value frame stays FIXED while input grows k×,
+      // which is exactly the bounded-window claim under test.
+      val evB = normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      val ev = (0 until k).map(i => evB.select(
+          (col("event_id") + lit(i * 100000000L)).as("event_id"), col("ts"),
+          (col("user_id") + lit(i * 1000000L)).as("user_id"),
+          col("event_type"), col("value")))
+        .reduce(_ unionAll _)
+      time("ks_test") {
+        import org.apache.spark.sql.expressions.Window
+        val a = ev.filter(col("event_type") === "click")
+          .select(col("value").as("v"), lit(1L).as("__a"), lit(0L).as("__b"))
+        val b = ev.filter(col("event_type") === "purchase")
+          .select(col("value").as("v"), lit(0L).as("__a"), lit(1L).as("__b"))
+        val byV = a.unionAll(b).groupBy("v").agg(sum("__a").as("da"), sum("__b").as("db"))
+        val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byV.withColumn("ca", sum(col("da")).over(w))
+          .withColumn("cb", sum(col("db")).over(w)).count()
+      }
+      time("attribution_asof") {
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        val touches = ev.filter(col("event_type").isin("click", "view"))
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(col("event_type"), col("event_id")).as("touch_type"))
+          .select(col("user_id"), col("ts").as("touch_ts"), col("touch_type"))
+        graft.operators.AsofJoin.asof(purchases, touches, Seq("user_id"), "ts",
+            "touch_ts", payload = Seq("touch_type"), tolerance = Some("INTERVAL 7 DAYS"))
+          .groupBy(coalesce(col("touch_type"), lit("unattributed")).as("touch_type"))
+          .agg(count(lit(1)).as("n")).count()
+      }
+    }
+    time("bm25_scores") {
+      // posting-list BM25 over the k×-replicated corpus: only the three
+      // searched terms' postings shuffle — cost must track corpus scan +
+      // matched-posting volume, both linear in k
+      import graft.operators.TextAnalysis
+      val terms = Seq("spark", "join", "stream")
+      val dl = docs.select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("dl"))
+      val g = dl.agg(count(lit(1)).as("__n"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("__avgdl"))
+      val tf = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfq), Seq("tok")).join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(g)).count()
+    }
     spark.stop()
   }
 }
