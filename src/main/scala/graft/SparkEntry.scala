@@ -369,6 +369,20 @@ object SparkEntry {
   // queries
   // ---------------------------------------------------------------------------
 
+  /** Benford expectations P(d) = log10(1 + 1/d), d = 1..9, computed ONCE here
+    * and embedded as identical double literals in the Spark plan and the SQL
+    * dual — neither engine runs libm at query time, the constants ARE the
+    * contract (Double.toString round-trips exactly in both parsers).
+    */
+  private val benfordPs: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+  private def benfordP(digit: Column): Column =
+    benfordPs.foldLeft(lit(0.0)) { case (acc, (d, p)) =>
+      when(digit === d, lit(p)).otherwise(acc) }
+  private def benfordPSql(digit: String): String =
+    "CASE " + benfordPs.map { case (d, p) => s"WHEN $digit = $d THEN $p" }
+      .mkString(" ") + " ELSE 0.0 END"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- transforms (SURVEY §2.2-2.5) ------------------------------------
     "q_clean_events" -> ((s, dir) =>
@@ -2832,6 +2846,139 @@ object SparkEntry {
         .unionAll(pairs.select(col("id_b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       deg.groupBy("deg").agg(count(lit(1)).as("n_nodes")).orderBy("deg")
+    }),
+
+    // time-weighted average price per (type, day): each tick weighted by its
+    // holding interval to the next tick (integer-µs durations × decimal
+    // values — the numerator/denominator sums are exact, only the final
+    // division is a double). One per-(type,day) lead window; the last tick
+    // of a day has no interval and drops from both engines identically.
+    "q_twap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"), col("d"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir).withColumn("d", date_trunc("DAY", col("ts")))
+        .withColumn("__nxt", lead(col("ts"), 1).over(w))
+        .filter(col("__nxt").isNotNull)
+        .withColumn("__dt",
+          // (20,6) × (16,0) → DECIMAL(37,6): fits precision 38 on BOTH
+          // engines so the product/sum stay exact — a (20,6)×(20,0) product
+          // overflows 38 (engines reduce differently), and a (12,6) left
+          // operand drops DuckDB to int64 storage which overflows in the
+          // multiply itself
+          (unix_micros(col("__nxt")) - unix_micros(col("ts"))).cast(DecimalType(16, 0)))
+        .groupBy("event_type", "d")
+        .agg(sum(col("value").cast(DecimalType(20, 6)) * col("__dt")).as("__num"),
+          sum(col("__dt")).as("__den"), count(lit(1)).as("n_intervals"))
+        .select(col("event_type"), col("d"),
+          // round(6): the num's scaled-int magnitude (~4e18) exceeds 2^53,
+          // where DuckDB's int128-decimal -> double conversion double-rounds
+          // in the last ulp — the quotient is gated at 6 dp instead
+          round(col("__num").cast(DoubleType) / col("__den").cast(DoubleType), 6).as("twap"),
+          col("__den").cast(LongType).as("held_micros"), col("n_intervals"))
+        .orderBy("event_type", "d")
+    }),
+
+    // candlestick pattern detection over the daily candles (doji, bullish /
+    // bearish engulfing vs the prior day) — the rule-based screening pass a
+    // finance pipeline runs on the aggregate layer. One candle agg + one
+    // per-type lag window over DAILY rows; pure double comparisons.
+    "q_candle_patterns" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("d"))
+        .agg(min_by(col("value"), col("ts")).as("open"), max(col("value")).as("high"),
+          min(col("value")).as("low"), max_by(col("value"), col("ts")).as("close"))
+      val w = Window.partitionBy("event_type").orderBy("d")
+      daily
+        .withColumn("po", lag(col("open"), 1).over(w))
+        .withColumn("pc", lag(col("close"), 1).over(w))
+        .select(col("event_type"), col("d"),
+          col("open"), col("high"), col("low"), col("close"),
+          (abs(col("close") - col("open")) <= lit(0.1) * (col("high") - col("low"))).as("doji"),
+          (col("pc").isNotNull && col("pc") < col("po") && col("close") > col("open") &&
+            col("open") <= col("pc") && col("close") >= col("po")).as("bull_engulf"),
+          (col("pc").isNotNull && col("pc") > col("po") && col("close") < col("open") &&
+            col("open") >= col("pc") && col("close") <= col("po")).as("bear_engulf"))
+        .orderBy("event_type", "d")
+    }),
+
+    // drawdown DURATION (the companion to q_drawdown's depth): longest and
+    // total underwater spells per series — consecutive daily closes strictly
+    // below the prior running peak, gaps-and-islands over DAILY rows. Types
+    // that never go underwater report zeros via the left join.
+    "q_drawdown_duration" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("d"))
+        .agg(max_by(col("value"), col("ts")).as("close"))
+      val w = Window.partitionBy("event_type").orderBy("d")
+      val dd = daily
+        .withColumn("peak",
+          max(col("close")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(w))
+      val uw = dd.filter(col("close") < col("peak"))
+        .withColumn("grp",
+          col("rn") - row_number().over(Window.partitionBy("event_type").orderBy("d")))
+      val spells = uw.groupBy("event_type", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("event_type")
+        .agg(max(col("len")).as("longest_underwater"),
+          count(lit(1)).as("n_spells"), sum(col("len")).as("underwater_days"))
+      daily.select("event_type").distinct()
+        .join(spells, Seq("event_type"), "left")
+        .select(col("event_type"),
+          coalesce(col("longest_underwater"), lit(0L)).as("longest_underwater"),
+          coalesce(col("n_spells"), lit(0L)).as("n_spells"),
+          coalesce(col("underwater_days"), lit(0L)).as("underwater_days"))
+        .orderBy("event_type")
+    }),
+
+    // higher central moments per type (skewness + excess kurtosis from exact
+    // decimal power sums S1..S4; the double algebra is written identically
+    // in both engines and the outputs round(6)) — the distribution-shape
+    // panel a risk report carries next to mean/std
+    "q_moments" -> ((s, dir) => {
+      val v = col("value")
+      val agg = events(s, dir).groupBy("event_type").agg(
+        count(lit(1)).cast(DoubleType).as("nD"),
+        count(lit(1)).as("n"),
+        sum(v.cast(DecimalType(30, 6))).cast(DoubleType).as("s1"),
+        sum((v * v).cast(DecimalType(30, 6))).cast(DoubleType).as("s2"),
+        sum((v * v * v).cast(DecimalType(30, 6))).cast(DoubleType).as("s3"),
+        sum((v * v * v * v).cast(DecimalType(30, 6))).cast(DoubleType).as("s4"))
+      val m = col("s1") / col("nD")
+      val m2 = col("s2") / col("nD") - m * m
+      val m3 = col("s3") / col("nD") - lit(3.0) * m * (col("s2") / col("nD")) +
+        lit(2.0) * m * m * m
+      val m4 = col("s4") / col("nD") - lit(4.0) * m * (col("s3") / col("nD")) +
+        lit(6.0) * m * m * (col("s2") / col("nD")) - lit(3.0) * m * m * m * m
+      agg.select(col("event_type"), col("n"),
+          round(m, 6).as("mean"),
+          round(sqrt(m2), 6).as("std"),
+          round(m3 / pow(m2, lit(1.5)), 6).as("skewness"),
+          round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis"))
+        .orderBy("event_type")
+    }),
+
+    // Benford first-digit profile of order totals (the forensic data-quality
+    // screen): leading digit via an INTEGER THRESHOLD LADDER — no log10 on
+    // data, so no libm floor-boundary risk — against expectations whose
+    // log10 constants are embedded as identical double literals in both
+    // engines. Per-digit rows avoid any cross-term double sum.
+    "q_benford" -> ((s, dir) => {
+      val x = col("o_totalprice")
+      val digit = when(x >= 100000.0, floor(x / 100000.0))
+        .when(x >= 10000.0, floor(x / 10000.0))
+        .when(x >= 1000.0, floor(x / 1000.0))
+        .when(x >= 100.0, floor(x / 100.0))
+        .when(x >= 10.0, floor(x / 10.0))
+        .otherwise(floor(x)).cast(LongType)
+      val counts = orders(s, dir).filter(x >= 1.0)
+        .groupBy(digit.as("digit")).agg(count(lit(1)).as("observed"))
+      val tot = counts.agg(sum(col("observed")).cast(DoubleType).as("__t"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("digit"), col("observed"),
+          round(col("__t") * benfordP(col("digit")), 6).as("expected"),
+          round(col("observed").cast(DoubleType) /
+            (col("__t") * benfordP(col("digit"))), 6).as("ratio"))
+        .orderBy("digit")
     }),
 
     // --- sources (SURVEY §2.1; rows-only — fixture inputs, not sfDir tables)
@@ -5498,6 +5645,83 @@ object SparkEntry {
         | SELECT doc_id,
         |   round(COALESCE(s_spark, 0.0) + COALESCE(s_join, 0.0) + COALESCE(s_stream, 0.0), 6) AS bm25
         | FROM w ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // identical interval weighting: lead window, integer-µs durations ×
+    // DECIMAL(20,6) values, last tick of the day dropped on both sides
+    "q_twap" ->
+      """WITH e AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |   CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),
+        | l AS (SELECT event_type, d, value, ts,
+        |   lead(ts) OVER (PARTITION BY event_type, d ORDER BY ts, event_id) AS nxt FROM e),
+        | f AS (SELECT event_type, d, CAST(value AS DECIMAL(20,6)) AS v,
+        |   CAST(epoch_us(nxt) - epoch_us(ts) AS DECIMAL(16,0)) AS dt FROM l WHERE nxt IS NOT NULL)
+        | SELECT event_type, d, round(CAST(SUM(v * dt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6) AS twap,
+        |   CAST(SUM(dt) AS BIGINT) AS held_micros, COUNT(*) AS n_intervals
+        | FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", ""),
+    // same candle agg + lag comparisons; boolean null semantics agree (pc
+    // NULL short-circuits to FALSE through the IS NOT NULL conjunct)
+    "q_candle_patterns" ->
+      """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |   arg_min(value, ts) AS open, MAX(value) AS high, MIN(value) AS low,
+        |   arg_max(value, ts) AS close FROM events GROUP BY 1, 2),
+        | l AS (SELECT *, lag(open) OVER w AS po, lag(close) OVER w AS pc FROM daily
+        |   WINDOW w AS (PARTITION BY event_type ORDER BY d))
+        | SELECT event_type, d, open, high, low, close,
+        |   abs(close - open) <= 0.1 * (high - low) AS doji,
+        |   (pc IS NOT NULL AND pc < po AND close > open AND open <= pc AND close >= po) AS bull_engulf,
+        |   (pc IS NOT NULL AND pc > po AND close < open AND open >= pc AND close <= po) AS bear_engulf
+        | FROM l ORDER BY event_type, d""".stripMargin.replace("\n", ""),
+    // same running-peak + gaps-and-islands over daily rows; zero-spell types
+    // kept via the left join
+    "q_drawdown_duration" ->
+      """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |   arg_max(value, ts) AS close FROM events GROUP BY 1, 2),
+        | p AS (SELECT *, MAX(close) OVER (PARTITION BY event_type ORDER BY d ROWS UNBOUNDED PRECEDING) AS peak,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn FROM daily),
+        | uw AS (SELECT event_type, d, rn - row_number() OVER (PARTITION BY event_type ORDER BY d) AS grp
+        |   FROM p WHERE close < peak),
+        | sp AS (SELECT event_type, grp, COUNT(*) AS len FROM uw GROUP BY 1, 2),
+        | agg AS (SELECT event_type, MAX(len) AS longest_underwater, COUNT(*) AS n_spells,
+        |   CAST(SUM(len) AS BIGINT) AS underwater_days FROM sp GROUP BY 1)
+        | SELECT t.event_type, COALESCE(longest_underwater, 0) AS longest_underwater,
+        |   COALESCE(n_spells, 0) AS n_spells, COALESCE(underwater_days, 0) AS underwater_days
+        | FROM (SELECT DISTINCT event_type FROM daily) t LEFT JOIN agg USING (event_type)
+        | ORDER BY event_type""".stripMargin.replace("\n", ""),
+    // same exact power sums; the central-moment algebra is written with the
+    // identical association order, pow/sqrt under the round(6) gate
+    "q_moments" ->
+      """WITH a AS (SELECT event_type, COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS nD,
+        |   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+        |   CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS s2,
+        |   CAST(SUM(CAST(value * value * value AS DECIMAL(30,6))) AS DOUBLE) AS s3,
+        |   CAST(SUM(CAST(value * value * value * value AS DECIMAL(30,6))) AS DOUBLE) AS s4
+        |   FROM events GROUP BY 1),
+        | b AS (SELECT event_type, n, nD, s1, s2, s3, s4, s1 / nD AS m FROM a),
+        | c AS (SELECT event_type, n, m,
+        |   s2 / nD - m * m AS m2,
+        |   s3 / nD - 3.0 * m * (s2 / nD) + 2.0 * m * m * m AS m3,
+        |   s4 / nD - 4.0 * m * (s3 / nD) + 6.0 * m * m * (s2 / nD) - 3.0 * m * m * m * m AS m4
+        |   FROM b)
+        | SELECT event_type, n, round(m, 6) AS mean, round(sqrt(m2), 6) AS std,
+        |   round(m3 / pow(m2, 1.5), 6) AS skewness,
+        |   round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+        | FROM c ORDER BY event_type""".stripMargin.replace("\n", ""),
+    // identical integer threshold ladder; expectations share the SAME double
+    // literals the Spark plan embeds (benfordPs)
+    "q_benford" -> {
+      val ladder =
+        """CASE WHEN o_totalprice >= 100000.0 THEN floor(o_totalprice / 100000.0)
+          | WHEN o_totalprice >= 10000.0 THEN floor(o_totalprice / 10000.0)
+          | WHEN o_totalprice >= 1000.0 THEN floor(o_totalprice / 1000.0)
+          | WHEN o_totalprice >= 100.0 THEN floor(o_totalprice / 100.0)
+          | WHEN o_totalprice >= 10.0 THEN floor(o_totalprice / 10.0)
+          | ELSE floor(o_totalprice) END""".stripMargin.replace("\n", "")
+      s"""WITH c AS (SELECT CAST($ladder AS BIGINT) AS digit, COUNT(*) AS observed
+         |   FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1),
+         | t AS (SELECT CAST(SUM(observed) AS DOUBLE) AS tt FROM c)
+         | SELECT digit, observed, round(tt * ${benfordPSql("digit")}, 6) AS expected,
+         |   round(CAST(observed AS DOUBLE) / (tt * ${benfordPSql("digit")}), 6) AS ratio
+         | FROM c CROSS JOIN t ORDER BY digit""".stripMargin.replace("\n", "")
+    },
     // exact-integer KS: same merged distinct-value CDF construction
     "q_ks_test" ->
       """WITH a AS (SELECT value AS v, 1 AS ia, 0 AS ib FROM events WHERE event_type = 'click'),
