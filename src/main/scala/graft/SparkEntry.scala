@@ -2981,6 +2981,74 @@ object SparkEntry {
         .orderBy("digit")
     }),
 
+    // historical VaR/CVaR at 5% on daily returns per series: VaR = exact
+    // nearest-rank order statistic, CVaR = mean of the worst ceil(0.05·n)
+    // returns BY RANK (value-tie-free), the tail sum carried as 10-dp
+    // decimal so it is order-free. The ceil argument is computed in DOUBLE
+    // in both engines (a decimal 0.05·n in one engine and a double in the
+    // other disagree at n ≡ 0 mod 20).
+    "q_var_cvar" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("d")
+      val rets = dailyByType(s, dir)
+        .withColumn("ret",
+          (col("x") - lag(col("x"), 1).over(w)) / lag(col("x"), 1).over(w))
+        .filter(col("ret").isNotNull)
+      val rw = Window.partitionBy("event_type").orderBy(col("ret"), col("d"))
+      val cw = Window.partitionBy("event_type")
+      rets.withColumn("rn", row_number().over(rw).cast(LongType))
+        .withColumn("n", count(lit(1)).over(cw))
+        .withColumn("kk", ceil(lit(0.05) * col("n").cast(DoubleType)).cast(LongType))
+        .groupBy("event_type")
+        .agg(max(col("n")).cast(LongType).as("n_days"),
+          max(when(col("rn") === col("kk"), col("ret"))).as("var5"),
+          round(sum(when(col("rn") <= col("kk"), col("ret").cast(DecimalType(20, 10))))
+            .cast(DoubleType) / max(col("kk")).cast(DoubleType), 6).as("cvar5"))
+        .orderBy("event_type")
+    }),
+
+    // funnel latency: exact p50/p90 of the time between first-touch stages
+    // (view→click, click→purchase) per converting user — integer-µs deltas,
+    // so the percentiles are EXACT longs, no float anywhere. Same first-
+    // touch chain as q_funnel; the percentile frame reuses the nearest-rank
+    // construction.
+    "q_funnel_time" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id").as("u"),
+        col("event_type").as("et"), col("ts"))
+      val s1 = e.filter(col("et") === "view").groupBy("u").agg(min("ts").as("t1"))
+      val s2 = e.filter(col("et") === "click").join(s1, Seq("u"))
+        .filter(col("ts") > col("t1")).groupBy("u").agg(min("ts").as("t2"))
+      val s3 = e.filter(col("et") === "purchase").join(s2, Seq("u"))
+        .filter(col("ts") > col("t2")).groupBy("u").agg(min("ts").as("t3"))
+      val d1 = s1.join(s2, Seq("u")).select(lit("1_view->click").as("stage"), col("u"),
+        (unix_micros(col("t2")) - unix_micros(col("t1"))).as("delta_us"))
+      val d2 = s2.join(s3, Seq("u")).select(lit("2_click->purchase").as("stage"), col("u"),
+        (unix_micros(col("t3")) - unix_micros(col("t2"))).as("delta_us"))
+      val all = d1.unionAll(d2)
+      Queries.exactPercentiles(all, "stage", "delta_us", "u", Seq(0.5, 0.9))
+        .join(all.groupBy("stage").agg(count(lit(1)).as("n_users")), Seq("stage"))
+        .select(col("stage"), col("n_users"), col("p50"), col("p90"))
+        .orderBy("stage")
+    }),
+
+    // selectivity estimation from ANALYZE-style stats (the optimizer's
+    // uniform-distribution assumption made checkable): estimated rows for
+    // `o_totalprice > X` via linear interpolation over [min, max] vs the
+    // true count, with the relative error reported. Two tiny aggregates —
+    // the stats pass a cost-based planner would read from the catalog.
+    "q_selectivity_estimate" -> ((s, dir) => {
+      val x = 250000.0
+      val st = orders(s, dir).agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+      val actual = orders(s, dir).filter(col("o_totalprice") > lit(x))
+        .agg(count(lit(1)).as("actual_rows"))
+      st.crossJoin(actual)
+        .withColumn("est_rows",
+          round(col("n").cast(DoubleType) * (col("mx") - lit(x)) / (col("mx") - col("mn")), 2))
+        .select(lit(x).as("threshold"), col("est_rows"), col("actual_rows"),
+          round(abs(col("est_rows") - col("actual_rows").cast(DoubleType)) /
+            col("actual_rows").cast(DoubleType), 6).as("rel_error"))
+    }),
+
     // --- sources (SURVEY §2.1; rows-only — fixture inputs, not sfDir tables)
     "q_csv_stock_autodetect" -> ((s, _) =>
       CsvAutoLoader.loadStockCsv(s, "/root/repo/fixtures/stock_canonical.csv").get
@@ -5722,6 +5790,51 @@ object SparkEntry {
          |   round(CAST(observed AS DOUBLE) / (tt * ${benfordPSql("digit")}), 6) AS ratio
          | FROM c CROSS JOIN t ORDER BY digit""".stripMargin.replace("\n", "")
     },
+    // same rank construction; ceil argument in DOUBLE on both engines, the
+    // rank-based tail sum as 10-dp decimal
+    "q_var_cvar" ->
+      s"""WITH a AS ($dailyByTypeSql),
+         | r AS (SELECT event_type, d, (x - lag(x) OVER w) / lag(x) OVER w AS ret
+         |   FROM a WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+         | f AS (SELECT * FROM r WHERE ret IS NOT NULL),
+         | k AS (SELECT event_type, d, ret,
+         |   row_number() OVER (PARTITION BY event_type ORDER BY ret, d) AS rn,
+         |   COUNT(*) OVER (PARTITION BY event_type) AS n FROM f),
+         | k2 AS (SELECT *, CAST(ceil(CAST(0.05 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT) AS kk FROM k)
+         | SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+         |   MAX(CASE WHEN rn = kk THEN ret END) AS var5,
+         |   round(CAST(SUM(CASE WHEN rn <= kk THEN CAST(ret AS DECIMAL(20,10)) END) AS DOUBLE) /
+         |     CAST(MAX(kk) AS DOUBLE), 6) AS cvar5
+         | FROM k2 GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", ""),
+    // q_funnel's first-touch chain + the exact nearest-rank construction
+    // over integer-µs deltas (ceil argument in DOUBLE on both engines)
+    "q_funnel_time" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS et, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | s1 AS (SELECT u, MIN(ts) AS t1 FROM e WHERE et = 'view' GROUP BY 1),
+        | s2 AS (SELECT e.u, MIN(e.ts) AS t2 FROM e JOIN s1 ON e.u = s1.u AND e.ts > s1.t1
+        |   WHERE e.et = 'click' GROUP BY 1),
+        | s3 AS (SELECT e.u, MIN(e.ts) AS t3 FROM e JOIN s2 ON e.u = s2.u AND e.ts > s2.t2
+        |   WHERE e.et = 'purchase' GROUP BY 1),
+        | d AS (SELECT '1_view->click' AS stage, s1.u, epoch_us(t2) - epoch_us(t1) AS delta_us
+        |     FROM s1 JOIN s2 ON s1.u = s2.u
+        |   UNION ALL SELECT '2_click->purchase', s2.u, epoch_us(t3) - epoch_us(t2)
+        |     FROM s2 JOIN s3 ON s2.u = s3.u),
+        | rk AS (SELECT stage, delta_us,
+        |   row_number() OVER (PARTITION BY stage ORDER BY delta_us, u) AS rn,
+        |   COUNT(*) OVER (PARTITION BY stage) AS n FROM d)
+        | SELECT stage, CAST(MAX(n) AS BIGINT) AS n_users,
+        |   MAX(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT) THEN delta_us END) AS p50,
+        |   MAX(CASE WHEN rn = CAST(ceil(CAST(0.9 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT) THEN delta_us END) AS p90
+        | FROM rk GROUP BY stage ORDER BY stage""".stripMargin.replace("\n", ""),
+    // the uniform-assumption estimate restated verbatim
+    "q_selectivity_estimate" ->
+      """WITH st AS (SELECT COUNT(*) AS n, MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders),
+        | a AS (SELECT COUNT(*) AS actual_rows FROM orders WHERE o_totalprice > 250000.0),
+        | e AS (SELECT round(CAST(n AS DOUBLE) * (mx - 250000.0) / (mx - mn), 2) AS est_rows,
+        |   actual_rows FROM st CROSS JOIN a)
+        | SELECT CAST(250000.0 AS DOUBLE) AS threshold, est_rows, actual_rows,
+        |   round(abs(est_rows - CAST(actual_rows AS DOUBLE)) / CAST(actual_rows AS DOUBLE), 6) AS rel_error
+        | FROM e""".stripMargin.replace("\n", ""),
     // exact-integer KS: same merged distinct-value CDF construction
     "q_ks_test" ->
       """WITH a AS (SELECT value AS v, 1 AS ia, 0 AS ib FROM events WHERE event_type = 'click'),
