@@ -4277,9 +4277,9 @@ object SparkEntry {
         |   row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
         |   COUNT(*) OVER (PARTITION BY event_type) AS n FROM events)
         | SELECT event_type,
-        |   MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
-        |   MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
-        |   MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+        |   MAX(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT) THEN value END) AS p50,
+        |   MAX(CASE WHEN rn = CAST(ceil(CAST(0.9 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT) THEN value END) AS p90,
+        |   MAX(CASE WHEN rn = CAST(ceil(CAST(0.99 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT) THEN value END) AS p99
         | FROM r GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", ""),
     // same two rank frames, same interpolation arithmetic
     "q_quantile_map" ->
@@ -5103,9 +5103,9 @@ object SparkEntry {
         |   row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
         |   COUNT(*) OVER (PARTITION BY source) AS n FROM documents)
         | SELECT source,
-        |   MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_chars END) AS p50,
-        |   MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_chars END) AS p90,
-        |   MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN n_chars END) AS p99
+        |   MAX(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT) THEN n_chars END) AS p50,
+        |   MAX(CASE WHEN rn = CAST(ceil(CAST(0.9 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT) THEN n_chars END) AS p90,
+        |   MAX(CASE WHEN rn = CAST(ceil(CAST(0.99 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT) THEN n_chars END) AS p99
         | FROM r GROUP BY source ORDER BY source""".stripMargin.replace("\n", ""),
     // same hash order, same running sum, same strict-≤ boundary rule
     "q_token_budget_sample" ->
@@ -5304,9 +5304,9 @@ object SparkEntry {
         | r AS (SELECT cos, row_number() OVER (ORDER BY cos, vec_id) AS rn,
         |   COUNT(*) OVER () AS n FROM p)
         | SELECT 'corpus' AS k,
-        |   MAX(CASE WHEN rn = CAST(ceil(0.1 * n) AS BIGINT) THEN cos END) AS p10,
-        |   MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN cos END) AS p50,
-        |   MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN cos END) AS p90
+        |   MAX(CASE WHEN rn = CAST(ceil(CAST(0.1 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT) THEN cos END) AS p10,
+        |   MAX(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT) THEN cos END) AS p50,
+        |   MAX(CASE WHEN rn = CAST(ceil(CAST(0.9 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT) THEN cos END) AS p90
         | FROM r""".stripMargin.replace("\n", ""),
     // same per-dim decimal moments, same std/z double chain
     "q_embed_standardize" ->
