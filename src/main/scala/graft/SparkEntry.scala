@@ -3049,6 +3049,41 @@ object SparkEntry {
             col("actual_rows").cast(DoubleType), 6).as("rel_error"))
     }),
 
+    // similarity histogram over the verified near-dup pairs (how borderline
+    // the dup population is → threshold placement evidence, next to the
+    // degree distribution). bucket = floor(jaccard·20): ×20 keeps the 0.05
+    // bucket edges exact where a /0.05 division would wobble in the ulp.
+    "q_dedup_jaccard_hist" -> ((s, dir) =>
+      minhashPairIndex(s, dir)
+        .select(floor(col("jaccard") * lit(20.0)).cast(LongType).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+        .withColumn("bucket_lo", col("bucket").cast(DoubleType) / lit(20.0))
+        .orderBy("bucket")),
+
+    // join-cardinality estimation from ANALYZE stats (the second half of the
+    // optimizer-stats story next to q_selectivity_estimate): the textbook
+    // |L|·|O| / max(ndv_L, ndv_O) equi-join estimate vs the true join count.
+    // Three aggregates + one count — the stats a cost-based join reorderer
+    // reads, made checkable.
+    "q_join_cardinality" -> ((s, dir) => {
+      val l = lineitem(s, dir).agg(count(lit(1)).as("n_l"),
+        countDistinct(col("l_orderkey")).as("ndv_l"))
+      val o = orders(s, dir).agg(count(lit(1)).as("n_o"),
+        countDistinct(col("o_orderkey")).as("ndv_o"))
+      val actual = lineitem(s, dir).select(col("l_orderkey"))
+        .join(orders(s, dir).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("actual_rows"))
+      l.crossJoin(o).crossJoin(actual)
+        .withColumn("est_rows",
+          round(col("n_l").cast(DoubleType) * col("n_o").cast(DoubleType) /
+            greatest(col("ndv_l"), col("ndv_o")).cast(DoubleType), 2))
+        .select(col("n_l"), col("n_o"), col("ndv_l"), col("ndv_o"),
+          col("est_rows"), col("actual_rows"),
+          round(abs(col("est_rows") - col("actual_rows").cast(DoubleType)) /
+            col("actual_rows").cast(DoubleType), 6).as("rel_error"))
+    }),
+
     // --- sources (SURVEY §2.1; rows-only — fixture inputs, not sfDir tables)
     "q_csv_stock_autodetect" -> ((s, _) =>
       CsvAutoLoader.loadStockCsv(s, "/root/repo/fixtures/stock_canonical.csv").get
@@ -5858,6 +5893,24 @@ object SparkEntry {
         | terms AS (SELECT CAST(round((nc / tc - np / tp) * ln((nc / tc) / (np / tp)), 9) AS DECIMAL(20,9)) AS tm
         |   FROM j CROSS JOIN t)
         | SELECT COUNT(*) AS n_bins, round(CAST(SUM(tm) AS DOUBLE), 6) AS psi FROM terms""".stripMargin.replace("\n", ""),
+    // same ×20 bucketing over the exact pair set
+    "q_dedup_jaccard_hist" ->
+      s"""WITH ${exactJaccardCtes(5, 0.5)}
+         |, b AS (SELECT CAST(floor(jaccard * 20.0) AS BIGINT) AS bucket FROM p)
+         | SELECT bucket, COUNT(*) AS n_pairs, CAST(bucket AS DOUBLE) / 20.0 AS bucket_lo
+         | FROM b GROUP BY bucket ORDER BY bucket""".stripMargin.replace("\n", ""),
+    // the textbook equi-join estimate restated verbatim
+    "q_join_cardinality" ->
+      """WITH l AS (SELECT COUNT(*) AS n_l, COUNT(DISTINCT l_orderkey) AS ndv_l FROM lineitem),
+        | o AS (SELECT COUNT(*) AS n_o, COUNT(DISTINCT o_orderkey) AS ndv_o FROM orders),
+        | a AS (SELECT COUNT(*) AS actual_rows FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        | e AS (SELECT n_l, n_o, ndv_l, ndv_o,
+        |   round(CAST(n_l AS DOUBLE) * CAST(n_o AS DOUBLE) /
+        |     CAST(greatest(ndv_l, ndv_o) AS DOUBLE), 2) AS est_rows, actual_rows
+        |   FROM l CROSS JOIN o CROSS JOIN a)
+        | SELECT n_l, n_o, ndv_l, ndv_o, est_rows, actual_rows,
+        |   round(abs(est_rows - CAST(actual_rows AS DOUBLE)) / CAST(actual_rows AS DOUBLE), 6) AS rel_error
+        | FROM e""".stripMargin.replace("\n", ""),
     // degree histogram over the same exact-verified pair set
     "q_dedup_degree_dist" ->
       s"""WITH ${exactJaccardCtes(5, 0.5)},
