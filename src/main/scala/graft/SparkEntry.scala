@@ -1633,6 +1633,36 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // the nprobe TUNING CURVE: recall@10 at nprobe ∈ {1, 2, 4} in one
+    // table — the accuracy/cost trade a production ANN deployment pins
+    // before sizing the cell probe budget. One cached index + brute ideal;
+    // three probe passes (each cell-bounded).
+    "q_ivf_recall_curve" -> ((s, dir) => {
+      import s.implicits._
+      val e = embeddings(s, dir)
+      val cents = Dedup.hyperplanes(16, 64, seed = 7L).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("cell_id", "centroid")
+      val queries = e.filter(col("vec_id") < 10)
+      val index = Similarity.ivfIndexCached(e, cents, "embedding", "vec_id",
+        key = s"litcents:$dir")
+      val brute = Similarity.bruteForceTopKAgg(e, queries, "embedding", "vec_id", k = 10)
+        .select("query_id", "neighbor_id")
+      val nq = brute.agg(countDistinct(col("query_id")).as("n_queries"))
+      Seq(1, 2, 4).map { np =>
+          Similarity.ivfProbe(index, queries, cents, "embedding", "vec_id",
+              k = 10, nprobe = np)
+            .select("query_id", "neighbor_id")
+            .join(brute, Seq("query_id", "neighbor_id"))
+            .agg(count(lit(1)).as("hits"))
+            .select(lit(np.toLong).as("nprobe"), col("hits"))
+        }.reduce(_ unionAll _)
+        .crossJoin(broadcast(nq))
+        .select(col("nprobe"), col("n_queries"), col("hits"),
+          (col("hits").cast(DoubleType) /
+            (col("n_queries") * lit(10L)).cast(DoubleType)).as("recall"))
+        .orderBy("nprobe")
+    }),
+
     // --- text analysis (north star) --------------------------------------
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.qualityFeatures(documents(s, dir).select("doc_id", "text"), "text")
@@ -3082,6 +3112,56 @@ object SparkEntry {
           col("est_rows"), col("actual_rows"),
           round(abs(col("est_rows") - col("actual_rows").cast(DoubleType)) /
             col("actual_rows").cast(DoubleType), 6).as("rel_error"))
+    }),
+
+    // TPC-H Q4 shape (EXISTS correlated subquery) through the spark.sql
+    // surface: Catalyst must decorrelate the EXISTS into a left-semi join —
+    // the SQL-entry coverage q_semi_anti's DataFrame form doesn't exercise.
+    // Adapted predicate (this lineitem has no commit/receipt dates): an
+    // order counts when any line shipped more than 90 days after the order.
+    "q_tpch_q4" -> ((s, dir) => {
+      orders(s, dir).createOrReplaceTempView("v_orders")
+      lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM v_orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM v_lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
+    // partition-spec EVOLUTION on read (Iceberg's "old files keep the old
+    // layout" property): generation 1 landed unpartitioned, generation 2
+    // hive-partitioned by event_type — one logical table, and the
+    // type-filtered union proves gen2 still prunes at the DIRECTORY level
+    // (runtime partition-filter assert, q_partitioned_read's proof) while
+    // gen1 takes the predicate as an ordinary data filter.
+    "q_partition_evolution" -> ((s, dir) => {
+      tune(s)
+      val base = SessionCache.getOrCompute(s, s"part-evo:$dir") {
+        val p = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_part_evo_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}").toString
+        val e = events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+        e.filter(col("event_id") % 2 === 0).write.mode("overwrite").parquet(s"$p/gen1")
+        e.filter(col("event_id") % 2 === 1).write.mode("overwrite")
+          .partitionBy("event_type").parquet(s"$p/gen2")
+        p
+      }
+      val g1 = s.read.parquet(s"$base/gen1").filter(col("event_type") === "click")
+        .select("event_id", "value")
+      val g2 = s.read.parquet(s"$base/gen2").filter(col("event_type") === "click")
+        .select("event_id", "value")
+      val scan = g2.queryExecution.sparkPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      require(scan.exists(_.partitionFilters.exists(
+          _.references.exists(_.name == "event_type"))),
+        "partition evolution: gen2 lost directory-level pruning")
+      g1.unionByName(g2)
+        .agg(count(lit(1)).as("n_rows"), Fns.exactSum(col("value")).as("total"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
     }),
 
     // --- sources (SURVEY §2.1; rows-only — fixture inputs, not sfDir tables)
@@ -4894,6 +4974,11 @@ object SparkEntry {
         | SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
         | ORDER BY query_id, rank""".stripMargin.replace("\n", ""),
     "q_ivf_ndcg" -> ivfNdcgSql(nlist = 16, dim = 64, nprobe = 2, k = 10),
+    // three full recall pipelines, one per nprobe, unioned into the curve
+    "q_ivf_recall_curve" -> Seq(1, 2, 4).map { np =>
+      s"SELECT CAST($np AS BIGINT) AS nprobe, n_queries, hits, recall FROM (" +
+        ivfRecallSql(nlist = 16, dim = 64, nprobe = np, k = 10, threshold = 0.0) + ")"
+    }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY nprobe"),
     "q_ivf_recall" -> ivfRecallSql(nlist = 16, dim = 64, nprobe = 2, k = 10,
       threshold = 0.3),
     "q_ann_topk_window" ->
@@ -5870,6 +5955,21 @@ object SparkEntry {
         | SELECT CAST(250000.0 AS DOUBLE) AS threshold, est_rows, actual_rows,
         |   round(abs(est_rows - CAST(actual_rows AS DOUBLE)) / CAST(actual_rows AS DOUBLE), 6) AS rel_error
         | FROM e""".stripMargin.replace("\n", ""),
+    // same EXISTS form (DuckDB also plans it as a semi join)
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        | FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |   AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |   AND EXISTS (SELECT 1 FROM lineitem
+        |     WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", ""),
+    // the union must equal the whole filtered table regardless of layout
+    "q_partition_evolution" ->
+      """SELECT COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total,
+        | MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        | FROM events WHERE event_type = 'click'""".stripMargin.replace("\n", ""),
     // exact-integer KS: same merged distinct-value CDF construction
     "q_ks_test" ->
       """WITH a AS (SELECT value AS v, 1 AS ia, 0 AS ib FROM events WHERE event_type = 'click'),
