@@ -1663,6 +1663,33 @@ object SparkEntry {
         .orderBy("nprobe")
     }),
 
+    // BPE vocabulary induction, first 3 merges, DISTRIBUTED: each round is
+    // one full adjacent-pair count over the corpus (the codegen'd bigram
+    // kernel — overlapping pairs counted, classic BPE), only the argmax
+    // lands on the driver (1 row/round — the PCA-w pattern), and the merge
+    // applies as a literal greedy left-to-right replace. The working text
+    // joins tokens with DOUBLE spaces so the "<a>  <b>" pattern can never
+    // match inside a token and both engines' non-overlapping replace
+    // semantics coincide with BPE's greedy application order.
+    "q_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val norm = documents(s, dir).select(
+        array_join(array_remove(split(lower(col("text")), "\\s+"), ""), "  ").as("t"))
+      var cur = norm
+      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+      for (i <- 1 to 3) {
+        val top = cur.select(explode(graft.expressions.GraftFunctions.ngramStrings(
+            split(col("t"), "  "), 2)).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("gram").asc).limit(1).collect()(0)
+        val (gram, c) = (top.getString(0), top.getLong(1))
+        merges += ((i.toLong, gram, c))
+        cur = cur.select(replace(col("t"),
+          lit(gram.replace(" ", "  ")), lit(gram.replace(" ", "_"))).as("t"))
+      }
+      merges.toSeq.toDF("step", "merged_pair", "n_occurrences").orderBy("step")
+    }),
+
     // --- text analysis (north star) --------------------------------------
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.qualityFeatures(documents(s, dir).select("doc_id", "text"), "text")
@@ -5788,6 +5815,27 @@ object SparkEntry {
         |   CAST(SUM(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
         |   CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
         | FROM pr JOIN k USING (pk) GROUP BY source ORDER BY source""".stripMargin.replace("\n", ""),
+    // the 3 BPE rounds unrolled: per round, lateral-unnest adjacent-pair
+    // count -> (count desc, gram asc) argmax -> scalar-subquery replace
+    "q_bpe_merges" -> {
+      def round(prev: String, i: Int): String =
+        s""" p$i AS (SELECT l[i] || ' ' || l[i+1] AS gram, COUNT(*) AS c
+           |   FROM (SELECT string_split(t, '  ') AS l FROM $prev), unnest(range(1, len(l))) AS u(i)
+           |   GROUP BY 1),
+           | m$i AS (SELECT gram, c FROM p$i ORDER BY c DESC, gram ASC LIMIT 1),
+           | d$i AS (SELECT replace(t, (SELECT replace(gram, ' ', '  ') FROM m$i),
+           |   (SELECT replace(gram, ' ', '_') FROM m$i)) AS t FROM $prev)""".stripMargin.replace("\n", "")
+      s"""WITH d0 AS (SELECT array_to_string(list_filter(string_split_regex(lower(text), '\\s+'),
+         |   w -> len(w) > 0), '  ') AS t FROM documents),
+         |${round("d0", 1)},
+         |${round("d1", 2)},
+         |${round("d2", 3)}
+         | SELECT * FROM (
+         |   SELECT CAST(1 AS BIGINT) AS step, gram AS merged_pair, c AS n_occurrences FROM m1
+         |   UNION ALL SELECT 2, gram, c FROM m2
+         |   UNION ALL SELECT 3, gram, c FROM m3)
+         | ORDER BY step""".stripMargin.replace("\n", "")
+    },
     // same ws/BPE-ish token expressions as q_token_counts, summed per lang
     "q_tokenizer_fertility" ->
       """WITH t AS (SELECT lang,
