@@ -132,23 +132,36 @@ object Funnel {
     * EVENTS produced the matrix.
     */
   def stationary(trans: DataFrame, iterations: Int = 4): DataFrame = {
-    val states = trans.select(col("src").as("state"))
-      .unionByName(trans.select(col("dst").as("state"))).distinct()
-      .withColumn("__ns", count(lit(1)).over(Window.partitionBy()))
-    val outs = trans.select(col("src")).distinct().withColumn("__ho", lit(true))
-    val base = states.join(outs, states("state") === outs("src"), "left")
-      .select(col("state"), col("__ns"), coalesce(col("__ho"), lit(false)).as("__ho"))
-    var pi = base.withColumn("pi", lit(1.0) / col("__ns").cast(DoubleType))
+    // r10: the power iteration runs ON THE DRIVER over the COLLECTED
+    // transition matrix — bounded at #states² rows (the state set is the
+    // event-type vocabulary, not data volume), so this is the PCA-w/kmeans
+    // driver-iteration pattern taken to its limit: ONE distributed job (the
+    // transition-count aggregation underneath `trans`) instead of
+    // 4 × (join + decimal agg + join). The arithmetic replicates the
+    // previous dataflow bit for bit: per-edge contribution = double product
+    // → DECIMAL(38,12) HALF_UP (java BigDecimal.valueOf ≡ Spark's
+    // Decimal(double) shortest-string semantics), exact decimal sums
+    // (order-free), decimal→double at the round boundary, and absorbing
+    // states (no outgoing edges) carry their mass forward.
+    val t = trans.select(col("src"), col("dst"), col("p")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val statesArr = (t.map(_._1) ++ t.map(_._2)).distinct.sorted
+    val hasOut = t.map(_._1).toSet
+    var pi: Map[String, Double] = statesArr.map(s => s -> 1.0 / statesArr.length).toMap
     (1 to iterations).foreach { _ =>
-      val contrib = trans
-        .join(pi.select(col("state").as("src"), col("pi")), Seq("src"))
-        .select(col("dst"), (col("pi") * col("p")).cast(DecimalType(38, 12)).as("__c"))
-        .groupBy("dst").agg(sum(col("__c")).as("__m"))
-      pi = pi.join(contrib, pi("state") === contrib("dst"), "left")
-        .select(pi("state"), pi("__ns"), pi("__ho"),
-          (coalesce(col("__m").cast(DoubleType), lit(0.0)) +
-            when(pi("__ho"), lit(0.0)).otherwise(pi("pi"))).as("pi"))
+      val sums = scala.collection.mutable.Map[String, java.math.BigDecimal]()
+      t.foreach { case (src, dst, p) =>
+        val dec = java.math.BigDecimal.valueOf(pi(src) * p)
+          .setScale(12, java.math.RoundingMode.HALF_UP)
+        sums(dst) = sums.getOrElse(dst, java.math.BigDecimal.ZERO).add(dec)
+      }
+      pi = statesArr.map { s =>
+        s -> (sums.get(s).map(_.doubleValue).getOrElse(0.0) +
+          (if (hasOut(s)) 0.0 else pi(s)))
+      }.toMap
     }
-    pi.select(col("state"), col("pi"))
+    val session = trans.sparkSession
+    import session.implicits._
+    statesArr.toSeq.map(s => (s, pi(s))).toDF("state", "pi")
   }
 }

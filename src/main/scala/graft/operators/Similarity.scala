@@ -347,10 +347,17 @@ object Similarity {
     * Scale: per iteration, assignment is a broadcast of k·dim doubles
     * against a narrow corpus scan (no shuffle), and the update is one
     * partial-aggregable shuffle keyed (cell, dim) — uniform,
-    * high-cardinality, skew-free. The tiny centroid frame is
-    * `localCheckpoint`ed each round: it caps the plan that would otherwise
-    * re-expand the full prior iteration into every reference (the
-    * triangles lesson), at the cost of materializing k rows.
+    * high-cardinality, skew-free.
+    *
+    * r10: the centroid state iterates ON THE DRIVER (the PCA-w pattern that
+    * cut pca_power 24.6 s → 6.8 s at 10×): each round collects the k·dim
+    * exact per-dimension means (k·dim rows — 1,024 doubles at the gate's
+    * shape, bounded at any corpus size) and ships them back as LITERALS in
+    * the next assignment expression. That replaces the former per-round
+    * collect_list aggregation job + localCheckpoint of a tiny centroid
+    * frame with zero extra distributed jobs — one assign+update pass per
+    * round — and the arithmetic is unchanged (collect round-trips doubles
+    * exactly), so the output is hash-identical.
     *
     * Output is flat (cell_id, n_members, dim, x) — sizes from the LAST
     * assignment, coordinates from the update that followed it.
@@ -360,39 +367,43 @@ object Similarity {
     val dec = DecimalType(30, 6)
     val vecs = corpus.select(col(idCol).as("__id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("v"))
-    def assign(centroids: DataFrame): DataFrame = {
-      val cells = broadcast(centroids
-        .agg(collect_list(struct(col("cell_id"), col("c"))).as("__cells")))
-      vecs.crossJoin(cells)
-        .withColumn("cell_id", element_at(array_sort(transform(col("__cells"),
-          s => struct(
-            (dot(s.getField("c"), s.getField("c")) -
-              lit(2.0) * dot(col("v"), s.getField("c"))).as("d"),
-            s.getField("cell_id").as("cell_id")))), 1).getField("cell_id"))
-        .drop("__cells")
-    }
-    def update(assigned: DataFrame): DataFrame =
+    def centsLit(cents: Seq[(Long, Array[Double])]) = array(cents.map { case (cid, c) =>
+      struct(lit(cid).as("cell_id"),
+        array(c.map(lit(_)): _*).cast(ArrayType(DoubleType)).as("c"))
+    }: _*)
+    def assign(cents: Seq[(Long, Array[Double])]): DataFrame =
+      vecs.withColumn("cell_id", element_at(array_sort(transform(centsLit(cents),
+        s => struct(
+          (dot(s.getField("c"), s.getField("c")) -
+            lit(2.0) * dot(col("v"), s.getField("c"))).as("d"),
+          s.getField("cell_id").as("cell_id")))), 1).getField("cell_id"))
+    // exact per-(cell, dim) means, collected: k·dim rows per round
+    def update(assigned: DataFrame): Seq[(Long, Array[Double])] =
       assigned.select(col("cell_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cell_id"), col("dim"))
         .agg((sum(col("x").cast(dec)).cast(DoubleType) /
           count(lit(1)).cast(DoubleType)).as("m"))
-        .groupBy(col("cell_id"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          s => s.getField("m")).as("c"))
-    var centroids = vecs.orderBy("__id").limit(k)
-      .select((row_number().over(Window.orderBy("__id")) - 1)
-        .cast(LongType).as("cell_id"), col("v").as("c"))
-      .localCheckpoint(false)
+        .collect()
+        .groupBy(_.getLong(0)).toSeq
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray }
+        .sortBy(_._1)
+    var cents: Seq[(Long, Array[Double])] = vecs.orderBy("__id").limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => i.toLong -> r.getSeq[Double](1).toArray }.toSeq
     var lastAssigned: DataFrame = null
     (1 to iterations).foreach { _ =>
-      lastAssigned = assign(centroids)
-      centroids = update(lastAssigned).localCheckpoint(false)
+      lastAssigned = assign(cents)
+      cents = update(lastAssigned)
     }
     val sizes = lastAssigned.groupBy("cell_id").agg(count(lit(1)).as("n_members"))
-    centroids.select(col("cell_id"), posexplode(col("c")).as(Seq("dim", "x")))
+    val coords = cents.flatMap { case (cid, c) =>
+      c.zipWithIndex.map { case (x, d) => (cid, d.toLong, x) } }
+    val session = corpus.sparkSession
+    import session.implicits._
+    coords.toDF("cell_id", "dim", "x")
       .join(sizes, Seq("cell_id"))
-      .select(col("cell_id"), col("n_members"),
-        col("dim").cast(LongType).as("dim"), col("x"))
+      .select(col("cell_id"), col("n_members"), col("dim"), col("x"))
   }
 
   /** Top principal direction of the embedding cloud by power iteration —
