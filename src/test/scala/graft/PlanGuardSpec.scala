@@ -211,4 +211,50 @@ class PlanGuardSpec extends SparkSpec {
     plan should not include "Window"
     plan should not include "Cartesian"
   }
+
+  // Runtime (not static) skew proof: AQE must SPLIT the hot partition of a
+  // skewed sort-merge join — the engine's automatic complement to the manual
+  // salted-join operators. The executed adaptive plan marks the join
+  // `skew=true` only after OptimizeSkewedJoin actually subdivided a
+  // partition, so this asserts the behavior, not just the configuration.
+  test("AQE splits the hot partition of a skewed sort-merge join at runtime") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val keep = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // hot key 0 carries 40k wide rows; the payload must be INCOMPRESSIBLE
+      // (shuffle sizes are post-compression — a constant pad compresses to
+      // nothing and the hot partition never crosses the skew threshold)
+      import org.apache.spark.sql.functions.{concat, md5, sha2}
+      val pad = concat(md5(col("id").cast("string")),
+        sha2(col("id").cast("string"), 256))
+      val left = spark.range(0, 40000).select(lit(0L).as("k"), pad.as("payload"))
+        .unionAll(spark.range(1, 100).select(col("id").as("k"), pad.as("payload")))
+      val right = spark.range(0, 100).select(col("id").as("k"), col("id").as("r"))
+      val joined = left.join(right, Seq("k"))
+      // collect() runs THIS queryExecution (count() would plan a separate
+      // aggregate query and leave this adaptive plan unfinalized)
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected a skew-split join in the executed plan:\n$finalPlan")
+    } finally keep.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+    }
+  }
 }
