@@ -2180,6 +2180,32 @@ object SparkEntry {
         }
       }.orderBy("event_type", "rnk")
     }),
+    // the funnel as a CONTINUOUS query: per-user chain state (three longs)
+    // folded via mapGroupsWithState; the sink holds (user, furthest stage)
+    // and the read side rolls it into q_funnel's exact step counts — one
+    // oracle text for the batch chain and the stateful stream
+    "q_stream_funnel" -> ((s, dir) => {
+      tune(s)
+      val staged = streamResult(s, dir, "funnel") {
+        withStreamConf(s, noDataBatch = false) {
+          graft.streaming.Streaming.runToMemory(s,
+            graft.streaming.Streaming.funnelStageStream(eventStream(s, dir),
+              "user_id", "ts", "event_type", Seq("view", "click", "purchase")),
+            "stream_funnel", org.apache.spark.sql.streaming.OutputMode.Update())
+        }
+      }
+      staged.agg(
+          sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("c2"),
+          sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("c3"))
+        .select(explode(array(
+          struct(lit(1L).as("step"), lit("view").as("step_name"), col("c1").as("n_users")),
+          struct(lit(2L).as("step"), lit("click").as("step_name"), col("c2").as("n_users")),
+          struct(lit(3L).as("step"), lit("purchase").as("step_name"), col("c3").as("n_users")))).as("r"))
+        .select(col("r.step").as("step"), col("r.step_name").as("step_name"),
+          col("r.n_users").as("n_users"))
+        .orderBy("step")
+    }),
     "q_stream_kmv" -> ((s, dir) => {
       tune(s)
       streamResult(s, dir, "kmv") {
@@ -3713,6 +3739,22 @@ object SparkEntry {
        | FROM dcg d JOIN idcg i ON i.query_id = d.query_id ORDER BY d.query_id""".stripMargin.replace("\n", "")
   }
 
+  /** One oracle text for the batch funnel chain AND its stateful streaming
+    * twin (q_stream_funnel's mapGroupsWithState fold).
+    */
+  private val funnelSql: String =
+    """WITH e AS (SELECT user_id AS u, event_type AS et, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      | s1 AS (SELECT u, MIN(ts) AS t FROM e WHERE et = 'view' GROUP BY 1),
+      | s2 AS (SELECT e.u, MIN(e.ts) AS t FROM e JOIN s1 ON e.u = s1.u AND e.ts > s1.t
+      |   WHERE e.et = 'click' GROUP BY 1),
+      | s3 AS (SELECT e.u, MIN(e.ts) AS t FROM e JOIN s2 ON e.u = s2.u AND e.ts > s2.t
+      |   WHERE e.et = 'purchase' GROUP BY 1)
+      | SELECT * FROM (
+      |   SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, COUNT(*) AS n_users FROM s1
+      |   UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+      |   UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3)
+      | ORDER BY step""".stripMargin.replace("\n", "")
+
   /** One oracle text for the batch session_window builtin AND its streaming
     * twin (complete-mode AvailableNow must land on the batch result).
     */
@@ -4386,18 +4428,9 @@ object SparkEntry {
         | ORDER BY p.event_id""".stripMargin.replace("\n", ""),
     // CAST(ts AS TIMESTAMP) floors TIMESTAMP_NS to µs — exactly the Spark
     // side's timestamp_micros(ts div 1000), so strictly-after compares agree
-    "q_funnel" ->
-      """WITH e AS (SELECT user_id AS u, event_type AS et, CAST(ts AS TIMESTAMP) AS ts FROM events),
-        | s1 AS (SELECT u, MIN(ts) AS t FROM e WHERE et = 'view' GROUP BY 1),
-        | s2 AS (SELECT e.u, MIN(e.ts) AS t FROM e JOIN s1 ON e.u = s1.u AND e.ts > s1.t
-        |   WHERE e.et = 'click' GROUP BY 1),
-        | s3 AS (SELECT e.u, MIN(e.ts) AS t FROM e JOIN s2 ON e.u = s2.u AND e.ts > s2.t
-        |   WHERE e.et = 'purchase' GROUP BY 1)
-        | SELECT * FROM (
-        |   SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, COUNT(*) AS n_users FROM s1
-        |   UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
-        |   UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3)
-        | ORDER BY step""".stripMargin.replace("\n", ""),
+    "q_funnel" -> funnelSql,
+    // the stateful streaming fold must land on the batch chain exactly
+    "q_stream_funnel" -> funnelSql,
     // range-join dual of the explode-formulation (same (user, report-day)
     // contribution set, both sides dedup before counting)
     "q_rolling_dau" ->

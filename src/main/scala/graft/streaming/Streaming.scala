@@ -95,6 +95,59 @@ object Streaming {
     */
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
+  /** Typed event consumed by [[funnelStageStream]]. */
+  case class FunnelEvt(user_id: Long, ts: java.sql.Timestamp, et: String)
+
+  /** Per-user funnel chain state: epoch-µs first-touch times per stage
+    * (Long.MaxValue = stage not yet reached).
+    */
+  case class FunnelSt(t1: Long, t2: Long, t3: Long)
+
+  /** Streaming first-touch funnel: per user, the furthest stage reached
+    * under q_funnel's strictly-after chain (stage k+1 counts only STRICTLY
+    * after the stage-k first touch), folded through `mapGroupsWithState`.
+    *
+    * Within a micro-batch events sort by (ts, type); in ascending order the
+    * chain fold is exact (t1 pins at the first stage-1 event — later ones
+    * are not earlier — then t2 is the first stage-2 event strictly after it,
+    * and so on). Across micro-batches the fold is exact when per-user event
+    * time arrives monotonically (replayed logs, ordered buses — the same
+    * ordering discipline the CDC tier replay documents); the AvailableNow
+    * harness replays in one batch, so the oracle equality is exact.
+    *
+    * Scale: state is THREE LONGS per user ever seen — smaller than
+    * sessionization's record — and the emitted row is (user, stage).
+    */
+  def funnelStageStream(events: DataFrame, userCol: String, timeCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.length == 3, "funnelStageStream: exactly 3 stages")
+    import events.sparkSession.implicits._
+    val Seq(s1, s2, s3) = stages
+    val typed = events.select(
+        col(userCol).cast("long").as("user_id"),
+        col(timeCol).cast("timestamp").as("ts"),
+        col(typeCol).as("et")).as[FunnelEvt]
+    def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    typed.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelSt, (Long, Long)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (user, evs, state: org.apache.spark.sql.streaming.GroupState[FunnelSt]) =>
+          var st = state.getOption.getOrElse(FunnelSt(Long.MaxValue, Long.MaxValue, Long.MaxValue))
+          evs.toSeq.sortBy(e => (micros(e.ts), e.et)).foreach { e =>
+            val m = micros(e.ts)
+            if (e.et == s1 && m < st.t1) st = st.copy(t1 = m)
+            else if (e.et == s2 && st.t1 < m && m < st.t2) st = st.copy(t2 = m)
+            else if (e.et == s3 && st.t2 < m && m < st.t3) st = st.copy(t3 = m)
+          }
+          state.update(st)
+          val stage = if (st.t3 != Long.MaxValue) 3L
+            else if (st.t2 != Long.MaxValue) 2L
+            else if (st.t1 != Long.MaxValue) 1L else 0L
+          (user, stage)
+      }
+      .toDF("user_id", "stage")
+  }
+
   /** Streaming sessionization with CUSTOM state — the one streaming operator
     * whose semantics (emit a session only once it can no longer grow) the
     * built-in aggregations cannot express directly, so it uses
