@@ -79,6 +79,34 @@ class StreamingSpec extends SparkSpec {
     rows(out.select("k")).map(_.getLong(0)).sorted shouldBe Seq(1L, 2L, 3L)
   }
 
+  test("funnelStageStream folds the first-touch chain across MULTIPLE microbatches") {
+    // user 1 views in batch 1, clicks + purchases in batch 2 (monotone
+    // arrival) -> stage 3; user 2's click PRECEDES their first view in event
+    // time -> the strictly-after chain must reject it (stage 1); user 3
+    // clicks without ever viewing -> stage 0.
+    val schema = Seq(("2024-01-01 09:00:00", 1L, "view")).toDF("ts", "user_id", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp")).schema
+    val dir = java.nio.file.Files.createTempDirectory("funnelbatch").toString
+    Seq(("2024-01-01 09:00:00", 1L, "view"),
+        ("2024-01-01 08:00:00", 2L, "click"), ("2024-01-01 09:00:00", 2L, "view"))
+      .toDF("ts", "user_id", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp")).coalesce(1).write.parquet(s"$dir/f1")
+    Seq(("2024-01-01 10:00:00", 1L, "click"), ("2024-01-01 11:00:00", 1L, "purchase"),
+        ("2024-01-01 12:00:00", 3L, "click"))
+      .toDF("ts", "user_id", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp")).coalesce(1).write.parquet(s"$dir/f2")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*/")
+    val out = Streaming.runToMemory(spark,
+      Streaming.funnelStageStream(stream, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase")),
+      "funnel_multibatch", org.apache.spark.sql.streaming.OutputMode.Update())
+    // update mode re-emits a key per batch: keep the LAST stage per user
+    val last = rows(out).map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).max }
+    last shouldBe Map(1L -> 3L, 2L -> 1L, 3L -> 0L)
+  }
+
   test("streaming KMV sketch merges across microbatches to the exact batch sketch") {
     // the Aggregator's merge() runs through the state store between batches;
     // the final estimate must be bit-identical to the one-shot batch sketch
