@@ -323,6 +323,21 @@ object SparkEntry {
       b
     }
 
+  /** Duplicated-passage span list (n=8, minDocFreq=2), built once per
+    * (session, sf dir): the cut list itself (q_dup_spans), the scrub
+    * (q_dup_scrub), and the coverage report (q_span_coverage) all consume
+    * ONE spans frame — the persisted-artifact shape; the frame is one row
+    * per duplicated span (doc-count scale, not token scale), so caching it
+    * is bounded.
+    */
+  private def spansIndex(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCompute(s, s"dup-spans:$dir") {
+      val sp = Dedup.duplicatedSpans(documents(s, dir), "text", "doc_id",
+        n = 8, minDocFreq = 2).cache()
+      sp.count()
+      sp
+    }
+
   /** Metadata-table catalog populated with a fixed registration script, once
     * per (session, sf dir) — the gated queries read the resulting live table.
     * The script exercises every catalog verb: four registers, one
@@ -1347,7 +1362,7 @@ object SparkEntry {
       Dedup.exact(documents(s, dir), "text", "doc_id").orderBy("doc_id")),
     // cross-document duplicated-passage spans (passage-level dedup cut list)
     "q_dup_spans" -> ((s, dir) =>
-      Dedup.duplicatedSpans(documents(s, dir), "text", "doc_id", n = 8, minDocFreq = 2)
+      spansIndex(s, dir)
         .select(col("id").as("doc_id"),
           col("span_start").cast(LongType).as("span_start"),
           col("span_end").cast(LongType).as("span_end"),
@@ -1358,7 +1373,7 @@ object SparkEntry {
     // gaps-and-islands merge, so coverage is a plain length sum)
     "q_span_coverage" -> ((s, dir) => {
       val docs = documents(s, dir)
-      val perDoc = Dedup.duplicatedSpans(docs, "text", "doc_id", n = 8, minDocFreq = 2)
+      val perDoc = spansIndex(s, dir)
         .groupBy(col("id").as("doc_id"))
         .agg(sum(col("span_end") - col("span_start") + 1).cast(LongType).as("__covered"))
       docs.select(col("doc_id"), col("source"),
@@ -1415,8 +1430,7 @@ object SparkEntry {
     // ... and the consumer side: remove those spans, reassemble clean text
     "q_dup_scrub" -> ((s, dir) => {
       val d = documents(s, dir)
-      val spans = Dedup.duplicatedSpans(d, "text", "doc_id", n = 8, minDocFreq = 2)
-      Dedup.removeSpans(d, spans, "text", "doc_id")
+      Dedup.removeSpans(d, spansIndex(s, dir), "text", "doc_id")
         .select(col("id").as("doc_id"), col("clean_text"), col("n_tokens_kept"))
         .orderBy("doc_id")
     }),
