@@ -338,6 +338,18 @@ object SparkEntry {
       sp
     }
 
+  /** (order, sorted item array) basket rollup over lineitem, built once per
+    * (session, sf dir) — the shared first stage of the copurchase and
+    * item-similarity queries (one row per order; array payloads are
+    * basket-sized, so the cached frame is fact-table-row-count bounded).
+    */
+  private def basketIndex(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCompute(s, s"baskets:$dir") {
+      val b = Queries.baskets(lineitem(s, dir), "l_orderkey", "l_partkey").cache()
+      b.count()
+      b
+    }
+
   /** Metadata-table catalog populated with a fixed registration script, once
     * per (session, sf dir) — the gated queries read the resulting live table.
     * The script exercises every catalog verb: four registers, one
@@ -1250,14 +1262,15 @@ object SparkEntry {
         graft.operators.Funnel.transitions(events(s, dir), "user_id", "event_type",
           "ts", "event_id")).orderBy("state")),
     // market-basket mining: top part pairs by the number of orders holding
-    // both — basket-keyed self-join, fan-out bounded by basket size
+    // both — basket-keyed self-join, fan-out bounded by basket size; reads
+    // the shared cached basket rollup
     "q_copurchase_pairs" -> ((s, dir) =>
-      Queries.coPurchasePairs(lineitem(s, dir), "l_orderkey", "l_partkey", k = 50)),
+      Queries.coPurchasePairsFrom(basketIndex(s, dir), k = 50)),
     // neighborhood-recommender scoring over the same baskets: co-occurrence
     // normalized to item-item cosine (support floor prunes the pair space
     // before the frequency joins)
     "q_item_sim" -> ((s, dir) =>
-      Queries.itemSimilarity(lineitem(s, dir), "l_orderkey", "l_partkey", minCo = 2L)
+      Queries.itemSimilarityFrom(basketIndex(s, dir), minCo = 2L)
         .orderBy("item_a", "item_b")),
     "q_sessionize" -> ((s, dir) =>
       Sessionize.sessions(events(s, dir), Seq("user_id"), "ts", "INTERVAL 1 HOUR",

@@ -576,12 +576,23 @@ object Queries {
     * basket with 10⁵ items would fan out 10¹⁰ — cap basket size upstream if
     * the domain allows such baskets; TPC-H's ≤ 7-item baskets do not.
     */
-  def coPurchasePairs(df: DataFrame, basketCol: String, itemCol: String,
-      k: Int): DataFrame = {
-    val baskets = df.groupBy(col(basketCol).as("__b"))
+  /** (basket, sorted distinct item array) frame — the shared first stage of
+    * [[coPurchasePairs]] and [[itemSimilarity]]. One basket shuffle; callers
+    * that run several basket analyses cache THIS (SparkEntry's basketIndex),
+    * the single-JVM analogue of persisting the basket rollup next to the
+    * fact table.
+    */
+  def baskets(df: DataFrame, basketCol: String, itemCol: String): DataFrame =
+    df.groupBy(col(basketCol).as("__b"))
       .agg(sort_array(collect_set(col(itemCol))).as("__is"))
+
+  def coPurchasePairs(df: DataFrame, basketCol: String, itemCol: String,
+      k: Int): DataFrame =
+    coPurchasePairsFrom(baskets(df, basketCol, itemCol), k)
+
+  def coPurchasePairsFrom(basketFrame: DataFrame, k: Int): DataFrame = {
+    basketFrame
       .filter(size(col("__is")) >= 2)
-    baskets
       .select(col("__is"), explode(sequence(lit(0), size(col("__is")) - 2)).as("__i"))
       .select(col("__is"), col("__i"),
         explode(sequence(col("__i") + 1, size(col("__is")) - 1)).as("__j"))
@@ -967,15 +978,16 @@ object Queries {
     * cross-engine sqrt parity.
     */
   def itemSimilarity(df: DataFrame, basketCol: String, itemCol: String,
-      minCo: Long = 3L): DataFrame = {
+      minCo: Long = 3L): DataFrame =
+    itemSimilarityFrom(baskets(df, basketCol, itemCol), minCo)
+
+  def itemSimilarityFrom(basketFrame: DataFrame, minCo: Long): DataFrame = {
     // basket-array formulation (the measured winner of the copurchase A/B):
     // one basket shuffle, narrow i<j pair generation, pair-count aggregate —
     // no incidence self-join; item frequency reads the same basket arrays
-    val baskets = df.groupBy(col(basketCol).as("__b"))
-      .agg(sort_array(collect_set(col(itemCol))).as("__is"))
-    val freq = baskets.select(explode(col("__is")).as("__i"))
+    val freq = basketFrame.select(explode(col("__is")).as("__i"))
       .groupBy(col("__i")).agg(count(lit(1)).as("__n"))
-    val co = baskets.filter(size(col("__is")) >= 2)
+    val co = basketFrame.filter(size(col("__is")) >= 2)
       .select(col("__is"), explode(sequence(lit(0), size(col("__is")) - 2)).as("__p"))
       .select(col("__is"), col("__p"),
         explode(sequence(col("__p") + 1, size(col("__is")) - 1)).as("__q"))
