@@ -3244,6 +3244,30 @@ object SparkEntry {
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
     }),
 
+    // the WHY behind cluster-keyed splits, made a number: near-dup pairs
+    // crossing the train/val/test boundary under the naive per-doc hash
+    // split vs the cluster-keyed split (structurally ZERO — near-dups share
+    // a cluster id, and the split hashes the cluster id). Two joins of the
+    // cached pair index against each assignment; the contamination audit a
+    // training run publishes next to its split manifest.
+    "q_split_leakage_audit" -> ((s, dir) => {
+      val pairs = minhashPairIndex(s, dir).select("id_a", "id_b")
+      val naive = graft.operators.Sampling.withSplit(
+        documents(s, dir).select("doc_id"), "doc_id")
+      val safe = graft.operators.Sampling.withSplit(
+        dedupClusterIndex(s, dir).select(col("id").as("doc_id"), col("cluster_id")),
+        "cluster_id").select("doc_id", "split")
+      def cross(splits: DataFrame, mode: String) = pairs
+        .join(splits.select(col("doc_id").as("id_a"), col("split").as("sa")), Seq("id_a"))
+        .join(splits.select(col("doc_id").as("id_b"), col("split").as("sb")), Seq("id_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("n_cross_split"))
+        .select(lit(mode).as("mode"), col("n_pairs"), col("n_cross_split"))
+      cross(naive.select("doc_id", "split"), "naive_doc_hash")
+        .unionAll(cross(safe, "cluster_keyed"))
+        .orderBy("mode")
+    }),
+
     // --- sources (SURVEY §2.1; rows-only — fixture inputs, not sfDir tables)
     "q_csv_stock_autodetect" -> ((s, _) =>
       CsvAutoLoader.loadStockCsv(s, "/root/repo/fixtures/stock_canonical.csv").get
@@ -5304,6 +5328,31 @@ object SparkEntry {
          |     ELSE 'test' END AS split
          | FROM (SELECT doc_id, cluster_id, ${idHashSql("cluster_id")} AS h FROM cl)
          | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // both assignments restated (naive hashes doc_id, safe hashes the
+    // closure's cluster_id) and joined against the exact pair set
+    "q_split_leakage_audit" ->
+      s"""WITH RECURSIVE ${exactJaccardCtes(5, 0.5)},
+         | e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+         | closure(id, r) AS (
+         |   SELECT doc_id, doc_id FROM documents
+         |   UNION
+         |   SELECT e.s, c.r FROM e JOIN closure c ON c.id = e.d),
+         | cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM closure GROUP BY id),
+         | safe AS (SELECT doc_id, CASE WHEN h % 1000 < 800 THEN 'train'
+         |     WHEN h % 1000 < 900 THEN 'val' ELSE 'test' END AS split
+         |   FROM (SELECT doc_id, ${idHashSql("cluster_id")} AS h FROM cl)),
+         | naive AS (SELECT doc_id, CASE WHEN h % 1000 < 800 THEN 'train'
+         |     WHEN h % 1000 < 900 THEN 'val' ELSE 'test' END AS split
+         |   FROM (SELECT doc_id, ${idHashSql("doc_id")} AS h FROM documents)),
+         | x AS (
+         |   SELECT 'cluster_keyed' AS mode, COUNT(*) AS n_pairs,
+         |     CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_split
+         |   FROM p JOIN safe a ON a.doc_id = p.id_a JOIN safe b ON b.doc_id = p.id_b
+         |   UNION ALL
+         |   SELECT 'naive_doc_hash', COUNT(*),
+         |     CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT)
+         |   FROM p JOIN naive a ON a.doc_id = p.id_a JOIN naive b ON b.doc_id = p.id_b)
+         | SELECT * FROM x ORDER BY mode""".stripMargin.replace("\n", ""),
     // same per-source rank order, same ceil(p·n) picks
     "q_source_length_profile" ->
       """WITH r AS (SELECT source, n_chars,
