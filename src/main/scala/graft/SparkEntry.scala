@@ -3268,6 +3268,32 @@ object SparkEntry {
         .orderBy("mode")
     }),
 
+    // mixture-recipe verification: per source, corpus share BEFORE the
+    // deterministic resample, the target weight, the realized share AFTER,
+    // and the realized up/down-sampling rate — the report a data-mixture run
+    // publishes so recipe drift is visible. Two count aggregates + broadcast
+    // totals over the resample operator already under the gate.
+    "q_mixture_report" -> ((s, dir) => {
+      val docs = documents(s, dir).select("doc_id", "source")
+      val weightCol = mixtureWeights.foldLeft(lit(1.0)) { case (acc, (src, w)) =>
+        when(col("source") === src, lit(w)).otherwise(acc) }
+      val before = docs.groupBy("source").agg(count(lit(1)).as("n_before"))
+      val after = graft.operators.Sampling.mixtureResample(docs, "source", "doc_id",
+          mixtureWeights)
+        .groupBy("source").agg(count(lit(1)).as("n_after"))
+      val tot = before.agg(sum(col("n_before")).cast(DoubleType).as("__tb"))
+        .crossJoin(after.agg(sum(col("n_after")).cast(DoubleType).as("__ta")))
+      before.join(after, Seq("source"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_before"),
+          round(col("n_before").cast(DoubleType) / col("__tb"), 6).as("share_before"),
+          weightCol.as("target_weight"), col("n_after"),
+          round(col("n_after").cast(DoubleType) / col("__ta"), 6).as("share_after"),
+          round(col("n_after").cast(DoubleType) / col("n_before").cast(DoubleType), 6)
+            .as("realized_rate"))
+        .orderBy("source")
+    }),
+
     // --- sources (SURVEY §2.1; rows-only — fixture inputs, not sfDir tables)
     "q_csv_stock_autodetect" -> ((s, _) =>
       CsvAutoLoader.loadStockCsv(s, "/root/repo/fixtures/stock_canonical.csv").get
@@ -5353,6 +5379,29 @@ object SparkEntry {
          |     CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT)
          |   FROM p JOIN naive a ON a.doc_id = p.id_a JOIN naive b ON b.doc_id = p.id_b)
          | SELECT * FROM x ORDER BY mode""".stripMargin.replace("\n", ""),
+    // same n_copies construction, rolled up per source instead of unnested
+    "q_mixture_report" -> {
+      val cases = mixtureWeights.map { case (src, w) =>
+        s"WHEN '$src' THEN CAST($w AS DOUBLE)"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, source,
+         |   CASE source $cases ELSE CAST(1.0 AS DOUBLE) END AS w,
+         |   ${idHashSql("doc_id")} AS h
+         |  FROM documents),
+         | c AS (SELECT doc_id, source, w,
+         |   CAST(floor(w) AS BIGINT) +
+         |     CASE WHEN CAST(h AS DOUBLE) / 1152921504606846976 < w - floor(w) THEN 1 ELSE 0 END AS n_copies
+         |  FROM t),
+         | b AS (SELECT source, ANY_VALUE(w) AS w, COUNT(*) AS n_before,
+         |   CAST(SUM(n_copies) AS BIGINT) AS n_after FROM c GROUP BY source),
+         | g AS (SELECT CAST(SUM(n_before) AS DOUBLE) AS tb, CAST(SUM(n_after) AS DOUBLE) AS ta FROM b)
+         | SELECT source, n_before,
+         |   round(CAST(n_before AS DOUBLE) / tb, 6) AS share_before,
+         |   w AS target_weight, n_after,
+         |   round(CAST(n_after AS DOUBLE) / ta, 6) AS share_after,
+         |   round(CAST(n_after AS DOUBLE) / CAST(n_before AS DOUBLE), 6) AS realized_rate
+         | FROM b CROSS JOIN g ORDER BY source""".stripMargin.replace("\n", "")
+    },
     // same per-source rank order, same ceil(p·n) picks
     "q_source_length_profile" ->
       """WITH r AS (SELECT source, n_chars,
