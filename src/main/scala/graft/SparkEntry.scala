@@ -1552,6 +1552,17 @@ object SparkEntry {
       Similarity.bruteForceTopKAgg(e, e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 10)
         .orderBy("query_id", "rank")
     }),
+    // FILTERED vector search (the production ANN shape: top-k within a
+    // metadata predicate): the label filter applies BEFORE scoring — pre-
+    // filtering, the recall-exact strategy; post-filtering a larger top-k
+    // is the approximate alternative when the predicate is rare. Same
+    // bounded-aggregator ranking over the shrunken corpus.
+    "q_ann_filtered" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.bruteForceTopKAgg(e.filter(col("label") === 0),
+          e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 10)
+        .orderBy("query_id", "rank")
+    }),
     // the application layer over top-k: modal label of the 25 nearest
     // neighbors, integer votes, smallest-label tie-break
     "q_knn_classify" -> ((s, dir) => {
@@ -5137,6 +5148,20 @@ object SparkEntry {
         | dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |   list_inner_product(q.v, c.v) AS dp
         |   FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        |   WHERE q.vec_id < 10),
+        | scored AS (SELECT query_id, neighbor_id, dp / (nq.nrm * nc.nrm) AS cos
+        |   FROM dots JOIN norms nq ON nq.vec_id = query_id JOIN norms nc ON nc.vec_id = neighbor_id),
+        | ranked AS (SELECT query_id, neighbor_id, cos,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+        | SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10
+        | ORDER BY query_id, rank""".stripMargin.replace("\n", ""),
+    // pre-filter inside the candidate CTE, then the same ranking
+    "q_ann_filtered" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        | dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   list_inner_product(q.v, c.v) AS dp
+        |   FROM e q JOIN e c ON c.vec_id <> q.vec_id AND c.label = 0
         |   WHERE q.vec_id < 10),
         | scored AS (SELECT query_id, neighbor_id, dp / (nq.nrm * nc.nrm) AS cos
         |   FROM dots JOIN norms nq ON nq.vec_id = query_id JOIN norms nc ON nc.vec_id = neighbor_id),
