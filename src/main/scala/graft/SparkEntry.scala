@@ -1481,6 +1481,17 @@ object SparkEntry {
     "q_simhash_fingerprints" -> ((s, dir) =>
       Dedup.withSimhash(documents(s, dir).select("doc_id", "text"), "text", "doc_id", "simhash", shingleN = 5)
         .select("doc_id", "simhash").orderBy("doc_id")),
+    // the same fingerprints through the spark.sql SURFACE with the
+    // REGISTERED kernel (GraftFunctions.register → `simhash64(...)` in raw
+    // SQL): proves the SQL extension path end-to-end under the oracle gate,
+    // not just via the Column API — a SQL-only consumer gets the native
+    // codegen'd kernel too
+    "q_sql_simhash" -> ((s, dir) => {
+      documents(s, dir).createOrReplaceTempView("v_docs_sql")
+      s.sql("""SELECT doc_id,
+          simhash64(regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+', 0), 5) AS simhash
+        FROM v_docs_sql ORDER BY doc_id""")
+    }),
     // near-dup clustering: components over the (exact-verified) pair graph;
     // cluster label = min reachable id, survivor = id == cluster_id
     "q_dedup_clusters" -> ((s, dir) =>
@@ -5097,6 +5108,8 @@ object SparkEntry {
          | FROM k JOIN comps c USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "q_dedup_survivors_best" -> dedupSurvivorsBestSql(n = 5, threshold = 0.5),
     "q_simhash_fingerprints" -> simhashSql(n = 5),
+    // identical dual: the SQL-surface twin must produce the same fingerprints
+    "q_sql_simhash" -> simhashSql(n = 5),
     "q_embed_dedup_lsh" -> embedLshSql(threshold = 0.2, dim = 64, planes = 16, bands = 4),
     "q_fingerprints" ->
       """WITH w AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[\p{L}\p{Nd}]+') AS ws FROM documents)
