@@ -3316,6 +3316,28 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // 7-day-ahead baseline forecast (seasonal-naive + drift — the benchmark
+    // every forecasting eval reports against): ŷ(T+h) = y(T+h−7) +
+    // h·(y(T)−y(1))/(T−1). The last week of each daily series seeds the
+    // seasonal term; drift is the endpoint slope. One per-type rank window
+    // over DAILY rows + a broadcast endpoints frame; identical double
+    // arithmetic, round(6).
+    "q_forecast_baseline" -> ((s, dir) => {
+      val daily = dailyByType(s, dir)
+      val w = Window.partitionBy("event_type").orderBy(col("d").desc)
+      val ends = daily.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        min_by(col("x"), col("d")).as("y1"), max_by(col("x"), col("d")).as("yT"))
+      daily.withColumn("rnd", row_number().over(w))
+        .filter(col("rnd") <= 7)
+        .join(broadcast(ends), Seq("event_type"))
+        .select(col("event_type"),
+          date_add(col("d").cast(DateType), 7).as("forecast_d"),
+          round(col("x") + (lit(8) - col("rnd")).cast(DoubleType) *
+            ((col("yT") - col("y1")) / (col("n") - 1).cast(DoubleType)), 6).as("yhat"))
+        .orderBy("event_type", "forecast_d")
+    }),
+
     // --- sources (SURVEY §2.1; rows-only — fixture inputs, not sfDir tables)
     "q_csv_stock_autodetect" -> ((s, _) =>
       CsvAutoLoader.loadStockCsv(s, "/root/repo/fixtures/stock_canonical.csv").get
@@ -6154,6 +6176,17 @@ object SparkEntry {
          |   round(CAST(observed AS DOUBLE) / (tt * ${benfordPSql("digit")}), 6) AS ratio
          | FROM c CROSS JOIN t ORDER BY digit""".stripMargin.replace("\n", "")
     },
+    // same seasonal-naive + drift arithmetic over the daily series
+    "q_forecast_baseline" ->
+      s"""WITH a AS ($dailyByTypeSql),
+         | e AS (SELECT event_type, COUNT(*) AS n, arg_min(x, d) AS y1, arg_max(x, d) AS yT
+         |   FROM a GROUP BY 1),
+         | r AS (SELECT event_type, d, x,
+         |   row_number() OVER (PARTITION BY event_type ORDER BY d DESC) AS rnd FROM a)
+         | SELECT r.event_type, CAST(r.d AS DATE) + 7 AS forecast_d,
+         |   round(x + CAST(8 - rnd AS DOUBLE) * ((yT - y1) / CAST(n - 1 AS DOUBLE)), 6) AS yhat
+         | FROM r JOIN e ON e.event_type = r.event_type WHERE rnd <= 7
+         | ORDER BY r.event_type, forecast_d""".stripMargin.replace("\n", ""),
     // same rank construction; ceil argument in DOUBLE on both engines, the
     // rank-based tail sum as 10-dp decimal
     "q_var_cvar" ->
