@@ -1712,6 +1712,21 @@ object SparkEntry {
         .orderBy("nprobe")
     }),
 
+    // SemDeDup: embedding-space dedup — cluster by nearest (LITERAL seed-7
+    // hyperplane) centroid, drop any vector with a lower-id τ-similar
+    // cluster-mate. Literal centroids let the oracle restate the WHOLE
+    // approximate pipeline (assignment argmax incl. tie-break, cell-bounded
+    // pair scan, drop rule), so the per-vector verdicts are hash-gated, not
+    // just counted. Shares the cached litcents index with q_ivf_recall.
+    "q_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      val cents = Dedup.hyperplanes(16, 64, seed = 7L).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("cell_id", "centroid")
+      Similarity.semDedup(embeddings(s, dir), cents, "embedding", "vec_id",
+          threshold = 0.3, indexKey = Some(s"litcents:$dir"))
+        .orderBy("vec_id")
+    }),
+
     // BPE vocabulary induction, first 3 merges, DISTRIBUTED: each round is
     // one full adjacent-pair count over the corpus (the codegen'd bigram
     // kernel — overlapping pairs counted, classic BPE), only the argmax
@@ -1757,6 +1772,16 @@ object SparkEntry {
       documents(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"),
         TextAnalysis.contentHash(col("text")).as("content_hash")).orderBy("doc_id")),
+    // winnowing (MOSS) local fingerprints: window-min selection over k-gram
+    // hashes — every selected (pos, hash) pick is hash-gated, so the
+    // rightmost-tie argmin rule itself is verified cross-engine
+    "q_winnow_fingerprints" -> ((s, dir) =>
+      Dedup.winnowFingerprints(documents(s, dir), "text", "doc_id", k = 4, w = 5)
+        .orderBy("doc_id", "pos", "h")),
+    "q_winnow_matches" -> ((s, dir) =>
+      Dedup.winnowMatches(documents(s, dir), "text", "doc_id", k = 4, w = 5,
+          docFreqCap = 50)
+        .orderBy("id_a", "id_b")),
 
     // --- dataset curation: splits / sampling / quality gate ----------------
     "q_top_tokens" -> ((s, dir) =>
@@ -3789,6 +3814,29 @@ object SparkEntry {
     * struct order), probe = each query's top-nprobe cells, in-cell ranking
     * (cos desc, id asc), then recall@k against the exact brute-force top-k.
     */
+  /** Winnowing dual: the full MOSS selection restated — same tokenizer
+    * ($dedupWords), same md5-prefix gram hash, same packed-long window min
+    * with the rightmost-tie rule, same partial-frame rule for short docs.
+    * Emits CTE chain ending in `fp(doc_id, pos, h)` (selected fingerprints,
+    * deduped); callers append their SELECT.
+    */
+  private def winnowSql(k: Int, w: Int): String = {
+    val gram = (0 until k).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
+    s"""WITH wd AS (SELECT doc_id, $dedupWords AS ws FROM documents),
+       | g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, $gram AS gram
+       |   FROM wd, UNNEST(range(1, len(ws) - ${k - 2})) AS t(i) WHERE len(ws) >= $k),
+       | h AS (SELECT doc_id, pos, list_reduce(list_transform(range(1, 9),
+       |     i -> CAST(strpos('0123456789abcdef', substring(md5(gram), i, 1)) - 1 AS BIGINT)),
+       |   (a, b) -> a * 16 + b) AS hv FROM g),
+       | s AS (SELECT doc_id, pos,
+       |   min(hv * 33554432 + (16777216 - pos)) OVER (PARTITION BY doc_id ORDER BY pos
+       |     ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS sel,
+       |   max(pos) OVER (PARTITION BY doc_id) AS last FROM h),
+       | fp AS (SELECT DISTINCT doc_id, 16777216 - (sel % 33554432) AS pos,
+       |     sel // 33554432 AS h
+       |   FROM s WHERE pos >= least(${w - 1}, last))""".stripMargin.replace("\n", "")
+  }
+
   private def ivfRecallSql(nlist: Int, dim: Int, nprobe: Int, k: Int,
       threshold: Double): String = {
     val cents = Dedup.hyperplanes(nlist, dim, seed = 7L).zipWithIndex.map { case (v, i) =>
@@ -5141,6 +5189,17 @@ object SparkEntry {
         |   (a, b) -> (a*31 + b) % 2147483647) AS BIGINT) AS fingerprint,
         | md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash
         | FROM w ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_winnow_fingerprints" -> (winnowSql(k = 4, w = 5) +
+      " SELECT doc_id, pos, h FROM fp ORDER BY doc_id, pos, h"),
+    "q_winnow_matches" -> (winnowSql(k = 4, w = 5) +
+      """, fpd AS (SELECT DISTINCT doc_id, h FROM fp),
+        | rare AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df
+        |   FROM fpd GROUP BY 1) WHERE df <= 50),
+        | fpr AS (SELECT fpd.doc_id, fpd.h FROM fpd JOIN rare USING (h))
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+        | FROM fpr a JOIN fpr b ON a.h = b.h AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin.replace("\n", "")),
     "q_kmeans" -> kmeansSql(k = 8, iterations = 2),
     "q_pca_power" -> pcaSql(iterations = 3),
     "q_ivf_topk" ->
@@ -5164,6 +5223,33 @@ object SparkEntry {
     }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY nprobe"),
     "q_ivf_recall" -> ivfRecallSql(nlist = 16, dim = 64, nprobe = 2, k = 10,
       threshold = 0.3),
+    // full SemDeDup restatement: same literal centroids + argmax (incl. the
+    // cs DESC, cell_id DESC tie-break of nearestCells) as ivfRecallSql, then
+    // the cell-bounded lower-id τ-pair drop rule
+    "q_semdedup" -> {
+      val cents = Dedup.hyperplanes(16, 64, seed = 7L).zipWithIndex.map { case (v, i) =>
+        s"($i, [${v.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}])"
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         | cents(cell_id, c) AS (VALUES $cents),
+         | ascore AS (SELECT e.vec_id, cents.cell_id,
+         |   list_inner_product(e.v, cents.c) /
+         |     (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(cents.c, cents.c))) AS cs
+         |   FROM e CROSS JOIN cents),
+         | asg AS (SELECT vec_id, cell_id FROM (SELECT vec_id, cell_id,
+         |     row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id DESC) AS rn
+         |   FROM ascore) WHERE rn = 1),
+         | norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+         | d AS (SELECT DISTINCT b.vec_id
+         |   FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |   JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+         |   JOIN norms na ON na.vec_id = a.vec_id JOIN norms nb ON nb.vec_id = b.vec_id
+         |   WHERE list_inner_product(ea.v, eb.v) / (na.nrm * nb.nrm) >= 0.3)
+         | SELECT asg.vec_id, CAST(asg.cell_id AS BIGINT) AS cell_id,
+         |   (d.vec_id IS NOT NULL) AS dropped
+         | FROM asg LEFT JOIN d ON d.vec_id = asg.vec_id
+         | ORDER BY asg.vec_id""".stripMargin.replace("\n", "")
+    },
     "q_ann_topk_window" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),

@@ -54,6 +54,71 @@ object Dedup {
   def shingleHashSet(text: Column, n: Int): Column =
     G.shingleHashes(tokens(text), n, distinct = true)
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS algorithm): hash every token k-gram, slide a window of `w`
+    * consecutive hashes, keep each window's MINIMUM (ties → rightmost
+    * position), and dedup the selected (pos, hash) picks. Guarantee: any
+    * shared run of ≥ w+k−1 tokens between two docs yields ≥ 1 shared
+    * fingerprint, at expected density 2/(w+1) — the LOCAL fingerprint family
+    * ([[graft.operators.TextAnalysis.fingerprint]] hashes the whole doc and
+    * breaks on any edit; winnowing survives edits outside the shared span).
+    *
+    * The (argmin, rightmost-tie) window selection rides ONE packed-long
+    * `min()`: pack = h·2²⁵ + (2²⁴ − pos), so smaller hash wins and, within a
+    * hash tie, larger pos wins — the frame aggregate stays a primitive
+    * BIGINT min in both engines (md5-prefix hash < 2³², docs capped at 2²⁴
+    * grams, pack < 2⁵⁷). A doc with fewer than w grams fingerprints once,
+    * from its final partial frame.
+    *
+    * Scale: one narrow gram+hash pass (codegen [[graft.expressions
+    * .NgramStrings]]), one doc-keyed bounded-frame window — the same shuffle
+    * class as any per-doc window; no pairwise stage exists here.
+    */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int): DataFrame = {
+    val grams = df.select(col(idCol),
+      posexplode(G.ngramStrings(tokens(col(textCol)), k)).as(Seq("pos", "__gram")))
+    val hashed = grams.select(col(idCol), col("pos").cast(LongType).as("pos"),
+      conv(substring(md5(col("__gram")), 1, 8), 16, 10).cast(LongType).as("h"))
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    val perDoc = Window.partitionBy(col(idCol))
+    hashed
+      .withColumn("__pack", shiftleft(col("h"), 25) + (lit(1L << 24) - col("pos")))
+      .withColumn("__sel", min(col("__pack")).over(frame))
+      .withColumn("__last", max(col("pos")).over(perDoc))
+      // one selection per FULL window: frames ending at pos ≥ w−1 (or the
+      // final frame of a shorter-than-w doc)
+      .filter(col("pos") >= least(lit((w - 1).toLong), col("__last")))
+      .select(col(idCol),
+        (lit(1L << 24) - (col("__sel") % lit(1L << 25))).as("pos"),
+        shiftright(col("__sel"), 25).as("h"))
+      .distinct()
+  }
+
+  /** Cross-doc winnowing matches: doc pairs sharing selected fingerprints,
+    * scored by the count of distinct shared hashes — the MOSS pair report.
+    *
+    * Scale: postings-bounded exactly like the n-gram Jaccard path — the join
+    * key is the fingerprint hash and `docFreqCap` drops hashes shared by more
+    * than `cap` docs (those identify TEMPLATES/boilerplate, not copying, and
+    * are where the quadratic per-key fan-out would otherwise live). Winnowing
+    * has already thinned postings ~(w+1)/2× vs raw shingles, so this is the
+    * cheaper pair generator for long docs.
+    */
+  def winnowMatches(df: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int, docFreqCap: Int = 100): DataFrame = {
+    val fp = winnowFingerprints(df, textCol, idCol, k, w)
+      .select(col(idCol), col("h")).distinct()
+    val rare = fp.groupBy("h").agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") <= docFreqCap).select("h")
+    val posting = fp.join(rare, Seq("h"))
+    posting.select(col("h"), col(idCol).as("id_a"))
+      .join(posting.select(col("h"), col(idCol).as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fingerprints"))
+  }
+
   /** Exact deduplication: keep one representative row (min id) per distinct
     * content hash. groupBy on a 128-bit binary md5 key (`unhex(md5(...))` —
     * 16 BYTES on the wire, not md5()'s 32-char hex string) instead of the raw

@@ -295,6 +295,46 @@ object Similarity {
     ivfProbe(ivfAssign(corpus, centroids, vecCol, idCol), queries, centroids,
       vecCol, idCol, k, nprobe)
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC deduplication —
+    * cluster the corpus by nearest centroid, then WITHIN each cluster drop
+    * every vector that has a lower-id cluster-mate with cosine ≥ `threshold`
+    * (the paper's "keep one representative per τ-similar group", made
+    * deterministic by total id order instead of the paper's random keeper).
+    * Returns one row per corpus vector: (id, cell_id, dropped).
+    *
+    * This is the embedding-space complement of the lexical near-dup family
+    * ([[graft.operators.Dedup]]): MinHash catches token-overlap duplicates,
+    * SemDeDup catches paraphrases that share no tokens.
+    *
+    * Scale: the pairwise cosine stage — quadratic in general — is CELL-bounded,
+    * which is the paper's entire point: k clusters cut candidate volume by ~k
+    * vs all-pairs, and cells are independent shuffle groups (join key =
+    * cell_id), so the stage is embarrassingly parallel across a cluster. At
+    * 100 TB the index ([[ivfAssign]]) lands bucketed on cell_id and this join
+    * is co-located; oversized cells are handled upstream by raising k
+    * (the paper uses k ≈ √N), not by this operator.
+    */
+  def semDedup(corpus: DataFrame, centroids: DataFrame, vecCol: String,
+      idCol: String, threshold: Double, indexKey: Option[String] = None): DataFrame = {
+    val index = indexKey
+      .map(k => ivfIndexCached(corpus, centroids, vecCol, idCol, k))
+      .getOrElse(ivfAssign(corpus, centroids, vecCol, idCol))
+    // norms ride the index (ivfAssign precomputes `nc`) — the cosine below is
+    // one VectorDot + one multiply per candidate pair, no per-pair renorm.
+    val a = index.select(col("cell"), col("neighbor_id").as("__id_a"),
+      col("cv").as("__va"), col("nc").as("__na"))
+    val b = index.select(col("cell"), col("neighbor_id").as("__id_b"),
+      col("cv").as("__vb"), col("nc").as("__nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= threshold)
+      .select(col("__id_b").as(idCol)).distinct()
+    index.select(col("neighbor_id").as(idCol), col("cell").as("cell_id"))
+      .join(dropped.withColumn("__drop", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cell_id"),
+        coalesce(col("__drop"), lit(false)).as("dropped"))
+  }
+
   /** Session-scoped centroid store: IVF centroids are trained ONCE per
     * (session, key) and the resulting tiny frame (nlist rows) is cached, so
     * repeated queries pay only the cell-key join, never the training pass.

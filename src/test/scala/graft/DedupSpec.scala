@@ -305,4 +305,41 @@ class DedupSpec extends SparkSpec {
     found.foreach(_._3 should be >= 0.7)
     found.filter(p => p._2 == p._1 + 100L).foreach(_._3 shouldBe 1.0)
   }
+
+  test("winnowing: the w+k-1 guarantee — a shared token run of that length " +
+       "yields >= 1 shared fingerprint even with a disjoint prefix") {
+    import spark.implicits._
+    // k=4, w=5 -> guarantee threshold 8 tokens; doc 2 embeds doc 1's 8-token
+    // run after an unrelated prefix (whole-doc fingerprints would differ)
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, run),
+      (2L, s"completely different words over here then $run")
+    ).toDF("doc_id", "text")
+    val m = rows(Dedup.winnowMatches(docs, "text", "doc_id", k = 4, w = 5))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    m.map(p => (p._1, p._2)) shouldBe Seq((1L, 2L))
+    m.head._3 should be >= 1L
+  }
+
+  test("winnowing: identical docs share the full fingerprint hash set; " +
+       "selection density lands near 2/(w+1)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen",
+      "ibis", "jay", "kit", "lark", "mole", "newt", "owl", "pig")
+    val text = Seq.fill(300)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val fp = rows(Dedup.winnowFingerprints(docs, "text", "doc_id", k = 4, w = 5))
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val h1 = fp.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = fp.filter(_._1 == 2L).map(_._2).toSet
+    h1 shouldBe h2
+    // 297 grams, expected picks ~ 2/(w+1) = 1/3 of positions (pre-dedup);
+    // allow wide slack — this guards against off-by-one frame bugs that
+    // would select ~every position (w=1-like) or ~one per doc
+    val picks = fp.count(_._1 == 1L)
+    picks should be > 40
+    picks should be < 160
+  }
 }

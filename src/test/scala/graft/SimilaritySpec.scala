@@ -157,4 +157,21 @@ class SimilaritySpec extends SparkSpec {
       zs.min shouldBe -1.161895003862225 +- 1e-9
     }
   }
+
+  test("semDedup: lower-id keeper survives, τ-similar cluster-mate drops, " +
+       "lone cell member survives") {
+    // centroids = ±x axes → cells split the x-cluster {0,1} from opposite 4;
+    // y-cluster {2,3} lands with whichever centroid wins the argmax tie-break
+    val cents = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(-1.0, 0.0, 0.0))
+    ).toDF("cell_id", "centroid")
+    val out = rows(Similarity.semDedup(vecs, cents, "embedding", "vec_id",
+        threshold = 0.9).orderBy("vec_id"))
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    out(0L) shouldBe false // keeper: lowest id in its τ-similar pair
+    out(1L) shouldBe true  // cos(0,1) ≈ 0.994 ≥ 0.9, same cell, higher id
+    out(2L) shouldBe false // cos(2,3) ≈ 0.994 but 2 keeps (lower id)
+    out(3L) shouldBe true
+    out(4L) shouldBe false // alone in the -x cell: nothing to drop against
+  }
 }
