@@ -1786,6 +1786,13 @@ object SparkEntry {
     // --- dataset curation: splits / sampling / quality gate ----------------
     "q_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(documents(s, dir), "text", 50)),
+    // chi-square feature selection: each source's top label-associated
+    // tokens; integer contingency cells + one fixed-shape double formula,
+    // so chi2 and the rank window on it are bit-identical cross-engine
+    "q_chi2_terms" -> ((s, dir) =>
+      TextAnalysis.chi2Terms(documents(s, dir), "text", "doc_id", "source",
+          minDf = 5, topK = 10)
+        .orderBy("label", "rank")),
     // hashing-trick vectorizer: vocabulary-free sparse bag-of-words rows
     // (md5-prefix buckets, engine-portable — see TextAnalysis.featureHash)
     "q_feature_hash" -> ((s, dir) =>
@@ -5351,6 +5358,28 @@ object SparkEntry {
          |   (a, b) -> a * 16 + b) % 64 AS bucket FROM w)
          | SELECT doc_id, bucket, COUNT(*) AS cnt FROM h
          | GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin.replace("\n", ""),
+    "q_chi2_terms" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id, source AS label, UNNEST($dedupWords) AS token FROM documents),
+         | nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+         | lt AS (SELECT source AS label, COUNT(DISTINCT doc_id) AS nl FROM documents GROUP BY 1),
+         | tt AS (SELECT token, COUNT(DISTINCT doc_id) AS dft FROM dt GROUP BY 1
+         |   HAVING COUNT(DISTINCT doc_id) >= 5),
+         | cells AS (SELECT a.label, a.token, a.av, tt.dft, lt.nl, nn.n
+         |   FROM (SELECT token, label, COUNT(DISTINCT doc_id) AS av FROM dt GROUP BY 1, 2) a
+         |   JOIN tt USING (token) JOIN lt ON lt.label = a.label CROSS JOIN nn
+         |   WHERE tt.dft < nn.n AND lt.nl < nn.n),
+         | sc AS (SELECT label, token, nl, dft, av,
+         |   CAST(n AS DOUBLE) * ((CAST(av AS DOUBLE) * CAST(n - dft - nl + av AS DOUBLE)
+         |       - CAST(dft - av AS DOUBLE) * CAST(nl - av AS DOUBLE))
+         |     * (CAST(av AS DOUBLE) * CAST(n - dft - nl + av AS DOUBLE)
+         |       - CAST(dft - av AS DOUBLE) * CAST(nl - av AS DOUBLE)))
+         |   / (CAST(dft AS DOUBLE) * CAST(n - dft AS DOUBLE) * CAST(nl AS DOUBLE) * CAST(n - nl AS DOUBLE)) AS chi2
+         |   FROM cells),
+         | rk AS (SELECT label, token, nl, dft, av, chi2,
+         |   row_number() OVER (PARTITION BY label ORDER BY chi2 DESC, token ASC) AS rank FROM sc)
+         | SELECT label, token, CAST(nl AS BIGINT) AS n_label, CAST(dft AS BIGINT) AS doc_freq,
+         |   CAST(av AS BIGINT) AS n_with, chi2, CAST(rank AS BIGINT) AS rank
+         | FROM rk WHERE rank <= 10 ORDER BY label, rank""".stripMargin.replace("\n", ""),
     "q_source_vocab_overlap" ->
       s"""WITH toks AS (SELECT DISTINCT source, UNNEST($dedupWords) AS tok FROM documents),
          | sizes AS (SELECT source, COUNT(*) AS sz FROM toks GROUP BY 1),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -60,6 +61,65 @@ object TextAnalysis {
       .withColumn("stopword_ratio",
         when(nw > 0, size(filter(words, w => array_contains(sw, w))).cast(DoubleType) / nw.cast(DoubleType))
           .otherwise(lit(0.0)))
+  }
+
+  /** χ² term–label association (the classic feature-selection statistic —
+    * Yang & Pedersen, ICML'97): for every (token, label) presence cell, the
+    * 2×2 contingency χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)), where a =
+    * docs of the label containing the token, using doc-level PRESENCE (not
+    * term frequency). Emits each label's `topK` most label-associated tokens
+    * — the report that tells a mixture designer which vocabulary each source
+    * contributes, and a classifier builder which features discriminate.
+    *
+    * Determinism/cross-engine: every input to the formula is an exact
+    * integer count; the χ² itself is ONE fixed-shape double expression
+    * (casts before multiplies, (A·D)−(B·C) parenthesization) evaluated
+    * identically by both engines — bit-identical, so even the rank window
+    * on the double is oracle-stable. Ubiquitous tokens (df = N) and
+    * degenerate labels (n_label = N) are filtered: their denominator is 0
+    * and their signal is definitionally zero.
+    *
+    * Scale: doc-level presence = one distinct on (doc, label, token) — the
+    * same shuffle class as TF-IDF's df pass; label totals and N are
+    * broadcast scalars; the per-label top-k collapses to a WindowGroupLimit
+    * (no full sort materializes). Nothing is quadratic: cells are bounded by
+    * distinct (token, label) pairs actually observed.
+    */
+  def chi2Terms(df: DataFrame, textCol: String, idCol: String,
+      labelCol: String, minDf: Int, topK: Int): DataFrame = {
+    val docTok = df.select(col(idCol).as("__id"), col(labelCol).as("label"),
+      explode(Dedup.tokens(col(textCol))).as("token")).distinct()
+    val docs = df.select(col(idCol).as("__id"), col(labelCol).as("label"))
+    val n = docs.agg(countDistinct(col("__id")).as("__n"))
+    val labelTotals = docs.groupBy("label")
+      .agg(countDistinct(col("__id")).as("n_label"))
+    val tokTotals = docTok.groupBy("token")
+      .agg(countDistinct(col("__id")).as("doc_freq"))
+      .filter(col("doc_freq") >= minDf)
+    val cells = docTok.groupBy("token", "label")
+      .agg(countDistinct(col("__id")).as("n_with"))
+      .join(tokTotals, Seq("token"))
+      .join(broadcast(labelTotals), Seq("label"))
+      .crossJoin(broadcast(n))
+      .filter(col("doc_freq") < col("__n") && col("n_label") < col("__n"))
+    val A = col("n_with").cast(DoubleType)
+    val B = (col("doc_freq") - col("n_with")).cast(DoubleType)
+    val C = (col("n_label") - col("n_with")).cast(DoubleType)
+    val D = (col("__n") - col("doc_freq") - col("n_label") + col("n_with"))
+      .cast(DoubleType)
+    val adbc = A * D - B * C
+    val chi2 = col("__n").cast(DoubleType) * (adbc * adbc) /
+      (col("doc_freq").cast(DoubleType) *
+        (col("__n") - col("doc_freq")).cast(DoubleType) *
+        col("n_label").cast(DoubleType) *
+        (col("__n") - col("n_label")).cast(DoubleType))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("chi2").desc, col("token").asc)
+    cells.withColumn("chi2", chi2)
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("label"), col("token"), col("n_label"), col("doc_freq"),
+        col("n_with"), col("chi2"), col("rank"))
   }
 
   /** Corpus vocabulary statistics: token frequencies ranked (count desc,

@@ -267,4 +267,26 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     out shouldBe Seq((1L, "alpha", 1L), (2L, "beta", 1L))
   }
+
+  test("chi2Terms: perfectly label-exclusive token scores N exactly; " +
+       "shared filler scores 0; ubiquitous tokens are filtered") {
+    import spark.implicits._
+    // "zebra" in all 3 A-docs, no B-doc: a=3 b=0 c=0 d=3 -> chi2 = 6(9)^2/81 = 6
+    // "filler" in every doc -> df = N, filtered (zero-signal denominator)
+    // "half" in 2 A + 1 B: a=2 b=1 c=1 d=2 -> 6(4-1)^2/(3*3*3*3) = 54/81
+    val docs = Seq(
+      (1L, "A", "zebra filler half"), (2L, "A", "zebra filler half"),
+      (3L, "A", "zebra filler"), (4L, "B", "filler half"),
+      (5L, "B", "filler"), (6L, "B", "filler")
+    ).toDF("doc_id", "label", "text")
+    val out = rows(TextAnalysis.chi2Terms(docs, "text", "doc_id", "label",
+        minDf = 1, topK = 5).orderBy("label", "rank"))
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(5)))
+    out.map(t => (t._1, t._2)) should contain allOf (("A", "zebra"), ("A", "half"))
+    out.find(t => t._1 == "A" && t._2 == "zebra").get._3 shouldBe 6.0 +- 1e-12
+    out.find(t => t._1 == "A" && t._2 == "half").get._3 shouldBe (54.0 / 81.0) +- 1e-12
+    out.map(_._2) should not contain "filler"
+    // symmetric 2x2: B's zebra cell has a=0 and is absent (presence cells only)
+    out.filter(_._1 == "B").map(_._2) should not contain "zebra"
+  }
 }
