@@ -1727,6 +1727,38 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Batch perceptron (Rosenblatt 1958) trained DISTRIBUTED — the
+    // driver-iteration pattern (kmeans/PCA/BPE): each epoch is ONE
+    // partial-aggregable scan computing the misclassified-set update sums;
+    // only 3 weights land on the driver. Features and weights are ALL
+    // BIGINT (bias, token count, n_chars; target lang=='en'), so training
+    // is bit-exact in any engine — no float GD drift, no exp() portability
+    // hazard. n_misclassified is measured under the pre-update weights
+    // (the update's support set).
+    "q_perceptron" -> ((s, dir) => {
+      import s.implicits._
+      val feats = documents(s, dir).select(
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        lit(1L).as("xb"),
+        size(Dedup.tokens(col("text"))).cast(LongType).as("xt"),
+        col("n_chars").as("xc"))
+      var w = (0L, 0L, 0L)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+      for (i <- 1 to 3) {
+        val margin = col("y") *
+          (lit(w._1) * col("xb") + lit(w._2) * col("xt") + lit(w._3) * col("xc"))
+        val r = feats.agg(
+          sum(when(margin <= 0, col("y") * col("xb")).otherwise(0L)).as("d1"),
+          sum(when(margin <= 0, col("y") * col("xt")).otherwise(0L)).as("d2"),
+          sum(when(margin <= 0, col("y") * col("xc")).otherwise(0L)).as("d3"),
+          sum(when(margin <= 0, 1L).otherwise(0L)).as("m")).collect()(0)
+        w = (w._1 + r.getLong(0), w._2 + r.getLong(1), w._3 + r.getLong(2))
+        out += ((i.toLong, w._1, w._2, w._3, r.getLong(3)))
+      }
+      out.toSeq.toDF("iter", "w_bias", "w_tokens", "w_chars", "n_misclassified")
+        .orderBy("iter")
+    }),
+
     // BPE vocabulary induction, first 3 merges, DISTRIBUTED: each round is
     // one full adjacent-pair count over the corpus (the codegen'd bigram
     // kernel — overlapping pairs counted, classic BPE), only the argmax
@@ -3844,6 +3876,37 @@ object SparkEntry {
        |   FROM s WHERE pos >= least(${w - 1}, last))""".stripMargin.replace("\n", "")
   }
 
+  /** Perceptron dual: the epoch recurrence unrolled as CTE pairs — uI
+    * computes the misclassified update sums under wI−1's literal-free
+    * weights, wI folds them in. All-BIGINT arithmetic; m rides each w CTE.
+    */
+  private def perceptronSql(iters: Int): String = {
+    val f = s"f AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y," +
+      s" CAST(1 AS BIGINT) AS xb, CAST(len($dedupWords) AS BIGINT) AS xt," +
+      s" n_chars AS xc FROM documents)"
+    val steps = (1 to iters).map { i =>
+      val margin = if (i == 1) "y * 0"
+        else s"y * (w${i - 1}.a * xb + w${i - 1}.b * xt + w${i - 1}.c * xc)"
+      val from = if (i == 1) "f" else s"f CROSS JOIN w${i - 1}"
+      val prev = if (i == 1) ("0", "0", "0") else (s"w${i - 1}.a", s"w${i - 1}.b", s"w${i - 1}.c")
+      val wFrom = if (i == 1) s"u$i" else s"w${i - 1} CROSS JOIN u$i"
+      s"""u$i AS (SELECT
+         |  CAST(SUM(CASE WHEN $margin <= 0 THEN y * xb ELSE 0 END) AS BIGINT) AS d1,
+         |  CAST(SUM(CASE WHEN $margin <= 0 THEN y * xt ELSE 0 END) AS BIGINT) AS d2,
+         |  CAST(SUM(CASE WHEN $margin <= 0 THEN y * xc ELSE 0 END) AS BIGINT) AS d3,
+         |  CAST(SUM(CASE WHEN $margin <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS m
+         |  FROM $from),
+         | w$i AS (SELECT ${prev._1} + u$i.d1 AS a, ${prev._2} + u$i.d2 AS b,
+         |   ${prev._3} + u$i.d3 AS c, u$i.m AS m FROM $wFrom)""".stripMargin
+    }
+    val rows = (1 to iters).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS iter, a AS w_bias, b AS w_tokens," +
+        s" c AS w_chars, m AS n_misclassified FROM w$i"
+    }.mkString(" UNION ALL ")
+    (s"WITH $f, " + steps.mkString(", ") +
+      s" SELECT * FROM ($rows) ORDER BY iter").replace("\n", "")
+  }
+
   private def ivfRecallSql(nlist: Int, dim: Int, nprobe: Int, k: Int,
       threshold: Double): String = {
     val cents = Dedup.hyperplanes(nlist, dim, seed = 7L).zipWithIndex.map { case (v, i) =>
@@ -5207,6 +5270,7 @@ object SparkEntry {
         |   CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
         | FROM fpr a JOIN fpr b ON a.h = b.h AND a.doc_id < b.doc_id
         | GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin.replace("\n", "")),
+    "q_perceptron" -> perceptronSql(iters = 3),
     "q_kmeans" -> kmeansSql(k = 8, iterations = 2),
     "q_pca_power" -> pcaSql(iterations = 3),
     "q_ivf_topk" ->
