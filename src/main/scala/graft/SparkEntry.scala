@@ -1497,6 +1497,25 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) =>
       dedupClusterIndex(s, dir)
         .select(col("id").as("doc_id"), col("cluster_id")).orderBy("doc_id")),
+    // duplication-penalized sampling (the D4-style middle ground between
+    // keeping all near-dups and hard-dropping to one survivor): every doc
+    // weighted 1/|its near-dup cluster| and kept by the deterministic
+    // id-hash Bernoulli, so each cluster contributes ~1 expected doc while
+    // which member survives stays content-addressed and reproducible.
+    // One window over the cached cluster index — no extra join, no collect.
+    "q_dup_penalized_sample" -> ((s, dir) => {
+      val szw = Window.partitionBy(col("cluster_id"))
+      dedupClusterIndex(s, dir)
+        .withColumn("cluster_size", count(lit(1)).over(szw))
+        .withColumn("weight",
+          lit(1.0) / col("cluster_size").cast(DoubleType))
+        .withColumn("kept",
+          graft.operators.Sampling.idHash(col("id")).cast(DoubleType) /
+            lit(1152921504606846976.0) < col("weight"))
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          col("cluster_size"), col("weight"), col("kept"))
+        .orderBy("doc_id")
+    }),
     // the per-document audit trail a curation run ships alongside its
     // output: keep/drop status with the REASON (exact content dup vs
     // near-dup) and the canonical survivor — composed from the cached
@@ -5230,6 +5249,22 @@ object SparkEntry {
          | comps AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM closure GROUP BY id),
          | szs AS (SELECT cluster_id, COUNT(*) AS sz FROM comps GROUP BY 1)
          | SELECT sz, COUNT(*) AS n_clusters FROM szs GROUP BY 1 ORDER BY sz""".stripMargin.replace("\n", ""),
+    // same transitive closure; 1/cluster-size weight + the id-hash Bernoulli
+    "q_dup_penalized_sample" ->
+      s"""WITH RECURSIVE ${exactJaccardCtes(5, 0.5)},
+         | e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+         | closure(id, r) AS (
+         |   SELECT doc_id, doc_id FROM documents
+         |   UNION
+         |   SELECT e.s, c.r FROM e JOIN closure c ON c.id = e.d),
+         | comps AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM closure GROUP BY id),
+         | sz AS (SELECT doc_id, cluster_id,
+         |   CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size FROM comps)
+         | SELECT doc_id, cluster_id, cluster_size,
+         |   CAST(1 AS DOUBLE) / CAST(cluster_size AS DOUBLE) AS weight,
+         |   CAST(${idHashSql("doc_id")} AS DOUBLE) / 1152921504606846976
+         |     < CAST(1 AS DOUBLE) / CAST(cluster_size AS DOUBLE) AS kept
+         | FROM sz ORDER BY doc_id""".stripMargin.replace("\n", ""),
     // same transitive closure + a content-hash keeper window; identical
     // status precedence (exact beats near)
     "q_dedup_audit" ->
