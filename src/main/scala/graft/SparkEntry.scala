@@ -102,6 +102,19 @@ object SparkEntry {
     * so memory is bounded by the dup rate, and [[SessionCache]]'s
     * context-end listener unpersists it.
     */
+  /** Winnowing fingerprint selection ([[Dedup.winnowFingerprints]], k=4 w=5)
+    * computed once per (session, sf dir) — the fingerprint pass is the
+    * shared substrate of the per-doc dump and the pair report, exactly as a
+    * production MOSS index is built once and queried many times.
+    */
+  private def winnowIndex(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCompute(s, s"winnow-fp:$dir") {
+      val fp = Dedup.winnowFingerprints(documents(s, dir), "text", "doc_id",
+        k = 4, w = 5).cache()
+      fp.count()
+      fp
+    }
+
   private def minhashPairIndex(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCompute(s, s"minhash-pairs:$dir") {
       val p = Dedup.minhashPairs(documents(s, dir), "text", "doc_id",
@@ -1827,11 +1840,9 @@ object SparkEntry {
     // hashes — every selected (pos, hash) pick is hash-gated, so the
     // rightmost-tie argmin rule itself is verified cross-engine
     "q_winnow_fingerprints" -> ((s, dir) =>
-      Dedup.winnowFingerprints(documents(s, dir), "text", "doc_id", k = 4, w = 5)
-        .orderBy("doc_id", "pos", "h")),
+      winnowIndex(s, dir).orderBy("doc_id", "pos", "h")),
     "q_winnow_matches" -> ((s, dir) =>
-      Dedup.winnowMatches(documents(s, dir), "text", "doc_id", k = 4, w = 5,
-          docFreqCap = 50)
+      Dedup.winnowMatchesFrom(winnowIndex(s, dir), "doc_id", docFreqCap = 50)
         .orderBy("id_a", "id_b")),
 
     // --- dataset curation: splits / sampling / quality gate ----------------

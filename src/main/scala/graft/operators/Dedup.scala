@@ -107,9 +107,17 @@ object Dedup {
     * cheaper pair generator for long docs.
     */
   def winnowMatches(df: DataFrame, textCol: String, idCol: String,
-      k: Int, w: Int, docFreqCap: Int = 100): DataFrame = {
-    val fp = winnowFingerprints(df, textCol, idCol, k, w)
-      .select(col(idCol), col("h")).distinct()
+      k: Int, w: Int, docFreqCap: Int = 100): DataFrame =
+    winnowMatchesFrom(winnowFingerprints(df, textCol, idCol, k, w), idCol,
+      docFreqCap)
+
+  /** [[winnowMatches]] over a PREBUILT fingerprint frame — the amortized
+    * form: production builds the index once ([[winnowFingerprints]],
+    * persisted/cached) and every pair report probes it.
+    */
+  def winnowMatchesFrom(fingerprints: DataFrame, idCol: String,
+      docFreqCap: Int): DataFrame = {
+    val fp = fingerprints.select(col(idCol), col("h")).distinct()
     val rare = fp.groupBy("h").agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") <= docFreqCap).select("h")
     val posting = fp.join(rare, Seq("h"))
