@@ -520,6 +520,44 @@ object ScaleProbe {
       tf.join(broadcast(dfq), Seq("tok")).join(dl, Seq("doc_id"))
         .crossJoin(broadcast(g)).count()
     }
+    time("winnow_matches") {
+      // replication multiplies every fingerprint's docFreq by k, so template
+      // hashes cross the cap and DROP — pair volume must stay bounded by
+      // cap² per surviving hash, not grow k²× with the corpus
+      Dedup.winnowMatchesFrom(
+        Dedup.winnowFingerprints(docs, "text", "doc_id", k = 4, w = 5),
+        "doc_id", docFreqCap = 50).count()
+    }
+    time("semdedup_fixed_cells") {
+      // deliberately ADVERSARIAL: cell count held at 16 while the corpus
+      // grows k× ⇒ in-cell pair volume grows k²× — this measures the cost
+      // of violating the operator's contract (k_cells ~ sqrt(N), see
+      // Similarity.semDedup doc). The paper-correct configuration is the
+      // next probe; both are reported so the k² cliff is visible.
+      import spark.implicits._
+      val cents = Dedup.hyperplanes(16, 64, seed = 7L).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("cell_id", "centroid")
+      Similarity.semDedup(embs, cents, "embedding", "vec_id", 0.3)
+        .filter(col("dropped")).count()
+    }
+    time("semdedup_scaled_cells") {
+      // contract-respecting run: cells scale with the corpus (16k planes ≈
+      // 16·k cells for k× vectors), keeping per-cell population — and hence
+      // pair volume PER CELL — constant; total cost should grow ~linearly
+      import spark.implicits._
+      val cents = Dedup.hyperplanes(16 * k, 64, seed = 7L).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("cell_id", "centroid")
+      Similarity.semDedup(embs, cents, "embedding", "vec_id", 0.3)
+        .filter(col("dropped")).count()
+    }
+    time("chi2_terms") {
+      // synthetic 7-way label (cost is driven by distinct (doc, token)
+      // volume, not label cardinality): one distinct + two counts + top-k
+      import graft.operators.TextAnalysis
+      TextAnalysis.chi2Terms(
+        docs.withColumn("label", (col("doc_id") % 7).cast("string")),
+        "text", "doc_id", "label", minDf = 5, topK = 10).count()
+    }
     spark.stop()
   }
 }
