@@ -117,10 +117,14 @@ object Dedup {
     */
   def winnowMatchesFrom(fingerprints: DataFrame, idCol: String,
       docFreqCap: Int): DataFrame = {
+    // docFreq cap as a window over the SAME h-keyed exchange the self-join
+    // needs (instead of a count agg + semi-join back): both join inputs are
+    // the identical capped subplan, so Spark reuses one exchange for the
+    // window and both probe sides — one wide stage fewer than the agg form.
     val fp = fingerprints.select(col(idCol), col("h")).distinct()
-    val rare = fp.groupBy("h").agg(countDistinct(col(idCol)).as("__df"))
-      .filter(col("__df") <= docFreqCap).select("h")
-    val posting = fp.join(rare, Seq("h"))
+    val posting = fp
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("__df") <= docFreqCap).drop("__df")
     posting.select(col("h"), col(idCol).as("id_a"))
       .join(posting.select(col("h"), col(idCol).as("id_b")), Seq("h"))
       .filter(col("id_a") < col("id_b"))
