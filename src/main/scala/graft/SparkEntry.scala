@@ -1848,6 +1848,32 @@ object SparkEntry {
     // --- dataset curation: splits / sampling / quality gate ----------------
     "q_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(documents(s, dir), "text", 50)),
+    // corpus diversity report: distinct-n ratios per source (Li et al. 2016
+    // "distinct-1/2" — the template/repetition pressure metric a mixture
+    // designer reads next to the vocab-overlap table). Distinct is counted
+    // over the 60-bit md5 gram hash on BOTH engines: the distinct shuffle
+    // carries 8-byte keys, never gram strings (the 100 TB shape), collision
+    // probability ~n²/2⁶¹ and identical cross-engine, so the exact gate
+    // still holds.
+    "q_distinct_ngrams" -> ((s, dir) => {
+      val d = documents(s, dir)
+      def stats(n: Int) = d
+        .select(col("source"), explode(graft.expressions.GraftFunctions
+          .ngramStrings(Dedup.tokens(col("text")), n)).as("__g"))
+        .select(col("source"),
+          graft.operators.Sketches.h60(col("__g")).as("g"))
+        .groupBy("source").agg(count(lit(1)).as(s"total_${n}grams"),
+          countDistinct(col("g")).as(s"distinct_${n}grams"))
+      stats(1).join(stats(2), Seq("source"))
+        .select(col("source"),
+          col("total_1grams"), col("distinct_1grams"),
+          (col("distinct_1grams").cast(DoubleType) /
+            col("total_1grams").cast(DoubleType)).as("distinct1_ratio"),
+          col("total_2grams"), col("distinct_2grams"),
+          (col("distinct_2grams").cast(DoubleType) /
+            col("total_2grams").cast(DoubleType)).as("distinct2_ratio"))
+        .orderBy("source")
+    }),
     // chi-square feature selection: each source's top label-associated
     // tokens; integer contingency cells + one fixed-shape double formula,
     // so chi2 and the rank window on it are bit-identical cross-engine
@@ -5468,6 +5494,22 @@ object SparkEntry {
          |   (a, b) -> a * 16 + b) % 64 AS bucket FROM w)
          | SELECT doc_id, bucket, COUNT(*) AS cnt FROM h
          | GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin.replace("\n", ""),
+    "q_distinct_ngrams" ->
+      s"""WITH t AS (SELECT source, $dedupWords AS ws FROM documents),
+         | g1 AS (SELECT source, ${idHashSql("tok")} AS g
+         |   FROM (SELECT source, UNNEST(ws) AS tok FROM t)),
+         | g2 AS (SELECT source, ${idHashSql("gram")} AS g
+         |   FROM (SELECT source, ws[i] || ' ' || ws[i + 1] AS gram
+         |     FROM t, UNNEST(range(1, len(ws))) AS r(i) WHERE len(ws) >= 2)),
+         | s1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS total_1grams,
+         |   CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_1grams FROM g1 GROUP BY 1),
+         | s2 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS total_2grams,
+         |   CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_2grams FROM g2 GROUP BY 1)
+         | SELECT source, total_1grams, distinct_1grams,
+         |   CAST(distinct_1grams AS DOUBLE) / CAST(total_1grams AS DOUBLE) AS distinct1_ratio,
+         |   total_2grams, distinct_2grams,
+         |   CAST(distinct_2grams AS DOUBLE) / CAST(total_2grams AS DOUBLE) AS distinct2_ratio
+         | FROM s1 JOIN s2 USING (source) ORDER BY source""".stripMargin.replace("\n", ""),
     "q_chi2_terms" ->
       s"""WITH dt AS (SELECT DISTINCT doc_id, source AS label, UNNEST($dedupWords) AS token FROM documents),
          | nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
