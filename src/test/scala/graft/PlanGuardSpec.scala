@@ -217,6 +217,57 @@ class PlanGuardSpec extends SparkSpec {
   // salted-join operators. The executed adaptive plan marks the join
   // `skew=true` only after OptimizeSkewedJoin actually subdivided a
   // partition, so this asserts the behavior, not just the configuration.
+  test("winnowFingerprints: both windows share ONE doc-keyed sort; no join anywhere") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "k l m n o p q r s t"))
+      .toDF("doc_id", "text")
+    val exec = graft.operators.Dedup.winnowFingerprints(docs, "text", "doc_id",
+      k = 4, w = 5).queryExecution.executedPlan.toString
+    exec should not include "Join"
+    // frame-min and per-doc-max must pipeline over the same doc_id exchange:
+    // two Window operators, but only one data Sort feeding them (a second
+    // sort would mean the frames stopped sharing their partitioning)
+    exec.split("\n").count(l =>
+      l.contains("Window ") && !l.contains("GroupLimit")) shouldBe 2
+    exec.split("\n").count(l =>
+      l.contains("Sort ") && l.contains("doc_id")) shouldBe 1
+  }
+
+  test("winnowMatchesFrom: docFreq cap rides the h-keyed window (no semi-join back), pair join equi-keyed on h") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val fp = Seq((1L, 0L, 10L), (2L, 0L, 10L), (1L, 1L, 20L), (2L, 1L, 20L))
+      .toDF("doc_id", "pos", "h")
+    val exec = graft.operators.Dedup.winnowMatchesFrom(fp, "doc_id", docFreqCap = 50)
+      .queryExecution.executedPlan.toString
+    exec should not include "LeftSemi"      // the removed agg + semi-join shape
+    exec should not include "CartesianProduct"
+    val joinLines = exec.split("\n").filter(_.contains("Join"))
+    joinLines should not be empty
+    joinLines.exists(_.contains("h#")) shouldBe true
+  }
+
+  test("chi2Terms: the per-label top-k optimizes to a WindowGroupLimit (no full per-label sort materializes)") {
+    import spark.implicits._
+    val docs = Seq((1L, "A", "x y z"), (2L, "B", "x q r")).toDF("doc_id", "label", "text")
+    val exec = graft.operators.TextAnalysis.chi2Terms(docs, "text", "doc_id",
+      "label", minDf = 1, topK = 5).queryExecution.executedPlan.toString
+    exec should include("WindowGroupLimit")
+  }
+
+  test("semDedup: the pair stage joins on the cell key (cluster-bounded, never all-pairs)") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cell_id", "centroid")
+    val exec = graft.operators.Similarity.semDedup(vecs, cents, "embedding",
+      "vec_id", threshold = 0.9).queryExecution.executedPlan.toString
+    exec should not include "CartesianProduct"
+    val joinLines = exec.split("\n").filter(l =>
+      l.contains("Join") && !l.contains("BroadcastNestedLoop"))
+    joinLines.exists(_.contains("cell#")) shouldBe true
+  }
+
   test("AQE splits the hot partition of a skewed sort-merge join at runtime") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
