@@ -1768,27 +1768,13 @@ object SparkEntry {
     // hazard. n_misclassified is measured under the pre-update weights
     // (the update's support set).
     "q_perceptron" -> ((s, dir) => {
-      import s.implicits._
       val feats = documents(s, dir).select(
         when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
-        lit(1L).as("xb"),
-        size(Dedup.tokens(col("text"))).cast(LongType).as("xt"),
-        col("n_chars").as("xc"))
-      var w = (0L, 0L, 0L)
-      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
-      for (i <- 1 to 3) {
-        val margin = col("y") *
-          (lit(w._1) * col("xb") + lit(w._2) * col("xt") + lit(w._3) * col("xc"))
-        val r = feats.agg(
-          sum(when(margin <= 0, col("y") * col("xb")).otherwise(0L)).as("d1"),
-          sum(when(margin <= 0, col("y") * col("xt")).otherwise(0L)).as("d2"),
-          sum(when(margin <= 0, col("y") * col("xc")).otherwise(0L)).as("d3"),
-          sum(when(margin <= 0, 1L).otherwise(0L)).as("m")).collect()(0)
-        w = (w._1 + r.getLong(0), w._2 + r.getLong(1), w._3 + r.getLong(2))
-        out += ((i.toLong, w._1, w._2, w._3, r.getLong(3)))
-      }
-      out.toSeq.toDF("iter", "w_bias", "w_tokens", "w_chars", "n_misclassified")
-        .orderBy("iter")
+        lit(1L).as("bias"),
+        size(Dedup.tokens(col("text"))).cast(LongType).as("tokens"),
+        col("n_chars").as("chars"))
+      graft.operators.Queries.perceptron(feats, "y",
+        Seq("bias", "tokens", "chars"), iters = 3)
     }),
 
     // BPE vocabulary induction, first 3 merges, DISTRIBUTED: each round is

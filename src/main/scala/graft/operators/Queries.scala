@@ -1028,4 +1028,48 @@ object Queries {
       .select(col(keyCol), col("__s.id").as(idCol), col("__s.score").as(ordCol),
         (col("__r") + 1).cast(LongType).as("rnk"))
   }
+
+  /** Batch perceptron (Rosenblatt 1958) trained DISTRIBUTED over INTEGER
+    * features — the driver-iteration pattern (k-means/PCA/BPE): each epoch is
+    * ONE partial-aggregable scan computing the misclassified-set update sums
+    * (`w += Σ_{y·(w·x) ≤ 0} y·x`, η = 1), and only |features| BIGINT weights
+    * land on the driver. Integer features and weights make every epoch
+    * bit-exact in any engine — no float GD drift, no exp() portability
+    * hazard (the reason this ships instead of logistic GD).
+    *
+    * `df` must carry `yCol` ∈ {+1, −1} and BIGINT feature columns. Returns
+    * one row per epoch: (iter, w_<feature>..., n_misclassified), where
+    * n_misclassified is measured under the PRE-update weights (the update's
+    * support set).
+    *
+    * Scale: per epoch one narrow project + one (|features|+1)-column sum —
+    * the same shuffle class as any global aggregate; nothing driver-side
+    * but the weight vector.
+    */
+  def perceptron(df: DataFrame, yCol: String, xCols: Seq[String],
+      iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var w = Vector.fill(xCols.size)(0L)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Seq[Long], Long)]()
+    for (i <- 1 to iters) {
+      val margin = col(yCol) *
+        xCols.zip(w).map { case (c, wi) => lit(wi) * col(c) }.reduce(_ + _)
+      val updates = xCols.map(c =>
+        sum(when(margin <= 0, col(yCol) * col(c)).otherwise(0L)).as(s"__d_$c"))
+      val r = df.agg(updates.head,
+        (updates.tail :+ sum(when(margin <= 0, 1L).otherwise(0L)).as("__m")): _*)
+        .collect()(0)
+      w = w.indices.map(j => w(j) + r.getLong(j)).toVector
+      out += ((i.toLong, w, r.getLong(xCols.size)))
+    }
+    out.toSeq
+      .map { case (it, ws, m) => (it, ws.toArray, m) }
+      .toDF("iter", "__w", "n_misclassified")
+      .select(col("iter") +:
+        xCols.zipWithIndex.map { case (c, j) =>
+          element_at(col("__w"), j + 1).as(s"w_$c") } :+
+        col("n_misclassified"): _*)
+      .orderBy("iter")
+  }
 }

@@ -368,4 +368,19 @@ class QueriesSpec extends SparkSpec {
     got.filter(r => r.getTimestamp(1).toString.startsWith("2024-01-08"))
       .head.getDouble(4) shouldBe -3.0 +- 1e-12
   }
+
+  test("perceptron: separable data converges to zero misclassified and the weights freeze") {
+    import spark.implicits._
+    // y = sign(x); epoch 1 starts at w = 0 so every row's margin is 0 ⇒ all
+    // 4 misclassified, Δw = (Σy, Σy·x) = (0, 18); from epoch 2 on the
+    // classifier is exact, updates are zero, and weights stay (0, 18)
+    val df = Seq((1L, 1L, 5L), (1L, 1L, 3L), (-1L, 1L, -4L), (-1L, 1L, -6L))
+      .toDF("y", "bias", "x")
+    val out = rows(Queries.perceptron(df, "y", Seq("bias", "x"), iters = 4))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.head shouldBe ((1L, 0L, 18L, 4L))
+    out.tail.foreach { case (_, wb, wx, m) =>
+      wb shouldBe 0L; wx shouldBe 18L; m shouldBe 0L
+    }
+  }
 }
