@@ -1744,6 +1744,13 @@ object SparkEntry {
         .orderBy("nprobe")
     }),
 
+    // embedding outlier screen: distance-to-own-label-centroid z-scores —
+    // the mislabel/noise pruning pass; decimal-exact moments, null-guarded z
+    "q_embed_outliers" -> ((s, dir) =>
+      Similarity.embedOutliers(embeddings(s, dir), "embedding", "vec_id",
+          "label", zThreshold = 2.0)
+        .orderBy("vec_id")),
+
     // SemDeDup: embedding-space dedup — cluster by nearest (LITERAL seed-7
     // hyperplane) centroid, drop any vector with a lower-id τ-similar
     // cluster-mate. Literal centroids let the oracle restate the WHOLE
@@ -5352,6 +5359,29 @@ object SparkEntry {
     }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY nprobe"),
     "q_ivf_recall" -> ivfRecallSql(nlist = 16, dim = 64, nprobe = 2, k = 10,
       threshold = 0.3),
+    "q_embed_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | c AS (SELECT label, i, CAST(SUM(CAST(v[i] AS DECIMAL(30,6))) AS DOUBLE)
+        |     / CAST(COUNT(*) AS DOUBLE) AS cent
+        |   FROM (SELECT label, unnest(range(1, len(v) + 1)) AS i, v FROM e) GROUP BY 1, 2),
+        | x AS (SELECT vec_id, label, i2.i AS i, v[i2.i] AS x
+        |   FROM e, unnest(range(1, len(v) + 1)) AS i2(i)),
+        | d AS (SELECT vec_id, x.label,
+        |   CAST(SUM(CAST((x.x - c.cent) * (x.x - c.cent) AS DECIMAL(30,6))) AS DOUBLE) AS d2
+        |   FROM x JOIN c ON c.label = x.label AND c.i = x.i GROUP BY 1, 2),
+        | m AS (SELECT label, COUNT(*) AS n,
+        |   CAST(SUM(CAST(d2 AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+        |   CAST(SUM(CAST(d2 * d2 AS DECIMAL(30,6))) AS DOUBLE) AS s2 FROM d GROUP BY 1),
+        | mm AS (SELECT label, n, s1 / CAST(n AS DOUBLE) AS mean,
+        |   sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0))) AS std
+        |   FROM m),
+        | z AS (SELECT vec_id, d.label, d2,
+        |   CASE WHEN n > 1 AND std <> 0 AND NOT isnan(std)
+        |     THEN round((d2 - mean) / std, 6) END AS z
+        |   FROM d JOIN mm ON mm.label = d.label)
+        | SELECT vec_id, label, round(d2, 6) AS d2, z,
+        |   COALESCE(z > 2.0e0, false) AS is_outlier
+        | FROM z ORDER BY vec_id""".stripMargin.replace("\n", ""),
     // full SemDeDup restatement: same literal centroids + argmax (incl. the
     // cs DESC, cell_id DESC tie-break of nearestCells) as ivfRecallSql, then
     // the cell-bounded lower-id τ-pair drop rule

@@ -335,6 +335,49 @@ object Similarity {
         coalesce(col("__drop"), lit(false)).as("dropped"))
   }
 
+  /** Embedding outlier detection: squared distance to the vector's own
+    * label centroid, z-scored within the label — the curation pass that
+    * flags mislabeled / noise / off-distribution vectors before they pollute
+    * ANN neighborhoods or training mixtures (z > 2 ⇒ outlier).
+    *
+    * Exactness: centroids are the oracle-proven [[meanPooledCentroids]];
+    * per-vector d² is an order-free DECIMAL(30,6) sum of per-dim squared
+    * deviations; the per-label moments reuse the [[standardize]] decimal
+    * idiom with its degenerate guard (n = 1 or constant d² ⇒ null z). d²
+    * magnitudes here stay far below the 2⁵³ scaled-decimal cliff (unit-norm
+    * embeddings ⇒ d² ≲ 4).
+    *
+    * Scale: one posexplode + (label, dim)-keyed partial agg for centroids
+    * (broadcast back — labels × dims rows), one per-vector agg, one tiny
+    * per-label moment frame broadcast back. Nothing pairwise.
+    */
+  def embedOutliers(df: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, zThreshold: Double = 2.0): DataFrame = {
+    val cents = meanPooledCentroids(df, vecCol, labelCol)
+    val expl = df.select(col(idCol), col(labelCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .withColumn("dim", col("dim").cast(LongType))
+    val d2 = expl.join(broadcast(cents), Seq(labelCol, "dim"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(sum(((col("x") - col("centroid")) * (col("x") - col("centroid")))
+        .cast(DecimalType(30, 6))).cast(DoubleType).as("d2"))
+    val nD = col("__n").cast(DoubleType)
+    val mom = d2.groupBy(labelCol).agg(
+        count(lit(1)).as("__n"),
+        sum(col("d2").cast(DecimalType(30, 6))).cast(DoubleType).as("__s1"),
+        sum((col("d2") * col("d2")).cast(DecimalType(30, 6)))
+          .cast(DoubleType).as("__s2"))
+      .withColumn("__mean", col("__s1") / nD)
+      .withColumn("__std", sqrt((nD * col("__s2") - col("__s1") * col("__s1")) /
+        (nD * (nD - lit(1.0)))))
+    d2.join(broadcast(mom.select(col(labelCol), col("__n"), col("__mean"),
+        col("__std"))), Seq(labelCol))
+      .select(col(idCol), col(labelCol), round(col("d2"), 6).as("d2"),
+        when(col("__n") > 1 && col("__std") =!= 0.0 && !isnan(col("__std")),
+          round((col("d2") - col("__mean")) / col("__std"), 6)).as("z"))
+      .withColumn("is_outlier", coalesce(col("z") > lit(zThreshold), lit(false)))
+  }
+
   /** Session-scoped centroid store: IVF centroids are trained ONCE per
     * (session, key) and the resulting tiny frame (nlist rows) is cached, so
     * repeated queries pay only the cell-key join, never the training pass.
