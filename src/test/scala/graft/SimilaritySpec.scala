@@ -174,4 +174,17 @@ class SimilaritySpec extends SparkSpec {
     out(3L) shouldBe true
     out(4L) shouldBe false // alone in the -x cell: nothing to drop against
   }
+
+  test("embedOutliers: the single far vector among ten is the unique outlier " +
+       "(9 identical + 1 far -> z_far = 0.9/sqrt(0.1) ~ 2.846)") {
+    import spark.implicits._
+    val pts = (1L to 9L).map(i => (i, 0, Array(1.0f, 0.0f))) :+
+      ((10L, 0, Array(0.0f, 5.0f)))
+    val out = rows(Similarity.embedOutliers(pts.toDF("vec_id", "label", "embedding"),
+        "embedding", "vec_id", "label").orderBy("vec_id"))
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    out(10L)._2 shouldBe true
+    out(10L)._1 shouldBe 2.846 +- 1e-3
+    (1L to 9L).foreach { i => out(i)._2 shouldBe false }
+  }
 }
