@@ -3347,6 +3347,52 @@ object SparkEntry {
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     }),
 
+    // TPC-H Q5 shape (local-supplier volume): the 6-way snowflake join with
+    // the co-nation residual (c_nationkey = s_nationkey) — dims broadcast,
+    // the fact side shuffles once; decimal-exact revenue
+    "q_tpch_q5" -> ((s, dir) => {
+      customer(s, dir).createOrReplaceTempView("v_customer")
+      orders(s, dir).createOrReplaceTempView("v_orders")
+      lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      table(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+      nation(s, dir).createOrReplaceTempView("v_nation")
+      region(s, dir).createOrReplaceTempView("v_region")
+      s.sql("""
+        SELECT n_name,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        JOIN v_supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN v_nation ON s_nationkey = n_nationkey
+        JOIN v_region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name ORDER BY revenue DESC, n_name""")
+    }),
+
+    // TPC-H Q18 shape (large-volume customers): HAVING-filtered aggregate
+    // subquery driving a semi join into the 3-way detail join; the decimal
+    // quantity sums keep the > 250 gate exact on both engines
+    "q_tpch_q18" -> ((s, dir) => {
+      customer(s, dir).createOrReplaceTempView("v_customer")
+      orders(s, dir).createOrReplaceTempView("v_orders")
+      lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS total_qty
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM v_lineitem
+          GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(20,6))) > 250)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""")
+    }),
+
     // partition-spec EVOLUTION on read (Iceberg's "old files keep the old
     // layout" property): generation 1 landed unpartitioned, generation 2
     // hive-partitioned by event_type — one logical table, and the
@@ -6524,6 +6570,31 @@ object SparkEntry {
         |   AND EXISTS (SELECT 1 FROM lineitem
         |     WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", ""),
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        | FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | WHERE r_name = 'ASIA'
+        |   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        | GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin.replace("\n", ""),
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS total_qty
+        | FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        | WHERE o_orderkey IN (
+        |   SELECT l_orderkey FROM lineitem
+        |   GROUP BY l_orderkey
+        |   HAVING SUM(CAST(l_quantity AS DECIMAL(20,6))) > 250)
+        | GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        | ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin.replace("\n", ""),
     // the union must equal the whole filtered table regardless of layout
     "q_partition_evolution" ->
       """SELECT COUNT(*) AS n_rows,
