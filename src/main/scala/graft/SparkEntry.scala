@@ -1186,6 +1186,21 @@ object SparkEntry {
       AsofJoin.asof(purchases, clicksU, Seq("user_id"), "ts", "ts", Seq("click_value"))
         .orderBy("event_id")
     }),
+    // FORWARD as-of (the next-quote join): earliest click at or after each
+    // purchase — the same union-and-carry over the reversed time order, one
+    // key shuffle; DuckDB's ASOF with l.ts <= r.ts is the dual
+    "q_asof_forward" -> ((s, dir) => {
+      val e = events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value").as("purchase_value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value"), col("event_id").as("click_id"))
+      val clicksU = Queries.latestPerKey(clicks, Seq("user_id", "ts"), Seq(col("click_id").desc))
+        .select("user_id", "ts", "click_value")
+      AsofJoin.asof(purchases, clicksU, Seq("user_id"), "ts", "ts", Seq("click_value"),
+          direction = "forward")
+        .orderBy("event_id")
+    }),
     // as-of with a staleness bound: matches older than 1 hour null out
     "q_asof_tolerance" -> ((s, dir) => {
       val e = events(s, dir)
@@ -4749,6 +4764,15 @@ object SparkEntry {
         |   QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
         | SELECT p.user_id, p.ts, p.event_id, p.purchase_value, c.click_value
         | FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        | ORDER BY p.event_id""".stripMargin.replace("\n", ""),
+    "q_asof_forward" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value AS purchase_value
+        |   FROM events WHERE event_type = 'purchase'),
+        | c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value AS click_value
+        |   FROM events WHERE event_type = 'click'
+        |   QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+        | SELECT p.user_id, p.ts, p.event_id, p.purchase_value, c.click_value
+        | FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
         | ORDER BY p.event_id""".stripMargin.replace("\n", ""),
     "q_asof_tolerance" ->
       """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value AS purchase_value

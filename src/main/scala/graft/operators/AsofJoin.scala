@@ -35,7 +35,14 @@ object AsofJoin {
     * @param rightTime  event-time column on the right
     * @param payload    right-side columns to attach (same names on output)
     * @param tolerance  optional max staleness (e.g. "INTERVAL 7 DAYS"): matches
-    *                   older than `leftTime - tolerance` are nulled out
+    *                   older than `leftTime - tolerance` (backward) or later
+    *                   than `leftTime + tolerance` (forward) are nulled out
+    * @param direction  "backward" (default — most recent right row at or
+    *                   before leftTime) or "forward" (earliest right row at
+    *                   or after leftTime — the next-quote join). Forward is
+    *                   the SAME union-and-carry over the reversed time
+    *                   order, so it costs the identical single key shuffle;
+    *                   DuckDB's `ASOF ... ON l.ts <= r.ts` is its dual.
     */
   def asof(
       left: DataFrame,
@@ -44,7 +51,10 @@ object AsofJoin {
       leftTime: String,
       rightTime: String,
       payload: Seq[String],
-      tolerance: Option[String] = None): DataFrame = {
+      tolerance: Option[String] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asof: direction must be backward|forward, got $direction")
     require(payload.nonEmpty, "asof: payload columns required")
     val lPayloadCols = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == leftTime)
     // the output carries left pass-through columns AND right payload columns
@@ -68,8 +78,12 @@ object AsofJoin {
       keyCols.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side"), nullStruct.as("__r")) ++
         lPayloadCols.map(c => col(c).as(s"__l_$c")): _*)
 
+    // forward = the same carry over the REVERSED time order (right rows
+    // still sort before left rows at equal timestamps, preserving the
+    // inclusive match in both directions)
+    val tOrder = if (direction == "backward") col("__t").asc else col("__t").desc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(tOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = rTagged.unionByName(lTagged)
@@ -77,8 +91,11 @@ object AsofJoin {
       .filter(col("__side") === 1)
 
     val fresh: Column = tolerance match {
-      case Some(t) => col("__m").isNotNull && col("__m.__match_t") >= col("__t") - expr(t)
-      case None    => col("__m").isNotNull
+      case Some(t) if direction == "backward" =>
+        col("__m").isNotNull && col("__m.__match_t") >= col("__t") - expr(t)
+      case Some(t) =>
+        col("__m").isNotNull && col("__m.__match_t") <= col("__t") + expr(t)
+      case None => col("__m").isNotNull
     }
     carried.select(
       keyCols.map(col) ++

@@ -53,4 +53,25 @@ class AsofJoinSpec extends SparkSpec {
     // the matched row's quote IS null — it must not fall through to an older row
     rows(out).head.isNullAt(rows(out).head.fieldIndex("quote")) shouldBe true
   }
+
+  test("asof forward attaches the earliest right row at or after left time; " +
+       "simultaneous still matches; nothing later -> null") {
+    val out = AsofJoin.asof(trades, quotes, Seq("sym"), "ts", "ts", Seq("quote"),
+      direction = "forward").orderBy("trade_id")
+    val got = rows(out).map(r => (r.getAs[Long]("trade_id"), Option(r.getAs[Double]("quote"))))
+    got shouldBe Seq(
+      (1L, Some(11.0)), // simultaneous quote matches in both directions
+      (2L, None),       // no quote after 10:05 for A
+      (3L, Some(10.0)), // next quote at 09:30
+      (4L, None))       // B's only quote is earlier
+  }
+
+  test("asof forward tolerance nulls matches beyond leftTime + tolerance") {
+    val out = AsofJoin.asof(trades, quotes, Seq("sym"), "ts", "ts", Seq("quote"),
+      tolerance = Some("INTERVAL 10 MINUTES"), direction = "forward")
+      .orderBy("trade_id")
+    val got = rows(out).map(r => (r.getAs[Long]("trade_id"), Option(r.getAs[Double]("quote"))))
+    // trade 3's next quote is 30 min away -> nulled under a 10-min bound
+    got shouldBe Seq((1L, Some(11.0)), (2L, None), (3L, None), (4L, None))
+  }
 }
