@@ -117,8 +117,17 @@ object SparkEntry {
 
   private def minhashPairIndex(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCompute(s, s"minhash-pairs:$dir") {
-      val p = Dedup.minhashPairs(documents(s, dir), "text", "doc_id",
-        shingleN = 5, k = 64, bands = 32, threshold = 0.5).cache()
+      // THE PERSISTED-SIGNATURE PATH (r11, SCALE.md non-optimality #1 closed):
+      // the signature frames land in the lake ONCE — one tokenize+hash pass —
+      // and the band self-join + exact verify read the stored parquet, never
+      // re-touching text. This is the same landed-artifact shape
+      // minhashPairsIncremental probes on day N.
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_sigidx_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}").toString
+      Dedup.writeSignatureIndex(documents(s, dir), "text", "doc_id", idxDir,
+        shingleN = 5, k = 64, bands = 32)
+      val (bands, sets) = Dedup.readSignatureIndex(s, idxDir)
+      val p = Dedup.minhashPairsFromIndex(bands, sets, threshold = 0.5).cache()
       p.count() // materialize now so every consumer, including the first, hits the cache
       p
     }
@@ -145,8 +154,15 @@ object SparkEntry {
     */
   private def docPostingsIndex(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCompute(s, s"doc-postings:$dir") {
-      val p = Dedup.prunedPostings(documents(s, dir), "text", "doc_id",
+      // landed-artifact form (r11): the pruned postings — one tokenize+hash
+      // pass — write to the lake once; the Jaccard and containment self-joins
+      // read the stored parquet on BOTH sides instead of re-shingling text.
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_postidx_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}").toString
+      Dedup.prunedPostings(documents(s, dir), "text", "doc_id",
         n = 5, maxDocFreq = 100L)
+        .write.mode("overwrite").parquet(idxDir)
+      val p = s.read.parquet(idxDir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       p.count()
       p
@@ -1300,6 +1316,21 @@ object SparkEntry {
     "q_item_sim" -> ((s, dir) =>
       Queries.itemSimilarityFrom(basketIndex(s, dir), minCo = 2L)
         .orderBy("item_a", "item_b")),
+    // the SKEW-GUARDED co-occurrence path (r11): baskets capped at 5 sorted
+    // items before the quadratic pair generator — one mega-basket can no
+    // longer plan a C(n,2) blowup. TPC-H baskets reach 7, so the cap BINDS
+    // here and the oracle restates the same deterministic truncation
+    // (list_sort[1:5]) — the guarded semantics are themselves hash-gated,
+    // not just the happy path.
+    "q_item_sim_capped" -> ((s, dir) =>
+      Queries.itemSimilarity(lineitem(s, dir), "l_orderkey", "l_partkey",
+          minCo = 2L, maxBasket = Some(5))
+        .orderBy("item_a", "item_b")),
+    // ...and the planning report you run before committing to a cap: basket
+    // totals, truncation count, exact pair volume before/after (one
+    // aggregate over the cached rollup)
+    "q_basket_cap_report" -> ((s, dir) =>
+      Queries.basketCapReport(basketIndex(s, dir), cap = 5)),
     "q_sessionize" -> ((s, dir) =>
       Sessionize.sessions(events(s, dir), Seq("user_id"), "ts", "INTERVAL 1 HOUR",
         valueCol = Some("value")).orderBy("user_id", "session_id")),
@@ -1757,6 +1788,28 @@ object SparkEntry {
           (col("hits").cast(DoubleType) /
             (col("n_queries") * lit(10L)).cast(DoubleType)).as("recall"))
         .orderBy("nprobe")
+    }),
+
+    // incremental IVF maintenance (the day-2 loop for the vector index,
+    // mirroring q_minhash_incremental's landed band index): the base index
+    // covers vec_id < 1500 and is cached (the landed artifact); the delta
+    // batch assigns into the SAME frozen litcents centroids and APPENDS —
+    // no full-corpus rescan (SimilaritySpec pins the plan). Assignment is
+    // per-row, so the incrementally-built index is provably identical to a
+    // full rebuild — which is exactly what the oracle restates: one
+    // assignment over the whole corpus, probed at nprobe=2.
+    "q_ivf_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val e = embeddings(s, dir)
+      val cents = Dedup.hyperplanes(16, 64, seed = 7L).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("cell_id", "centroid")
+      val base = Similarity.ivfIndexCached(e.filter(col("vec_id") < 1500), cents,
+        "embedding", "vec_id", key = s"litcents-base:$dir")
+      val full = Similarity.ivfIndexAppend(base, e.filter(col("vec_id") >= 1500),
+        cents, "embedding", "vec_id")
+      Similarity.ivfProbe(full, e.filter(col("vec_id") < 10), cents,
+        "embedding", "vec_id", k = 10, nprobe = 2)
+        .orderBy("query_id", "rank")
     }),
 
     // embedding outlier screen: distance-to-own-label-centroid z-scores —
@@ -2223,14 +2276,28 @@ object SparkEntry {
     // and dies on ARRAY values, so the 8 feature lanes ride as individual
     // DOUBLE columns — which also makes the stub decode fully oracle-checkable
     // (the DuckDB dual replays the int32 hashCode fold over the payload bytes).
+    // REAL image decode (r11 — the round-10 stub upgraded): deterministic
+    // 24-bit BMP fixture bytes (pixel byte j = (id·131 + j·7) mod 256, a
+    // formula the oracle restates WITHOUT decoding) are built per-partition
+    // from corpus ids, then javax.imageio parses the actual container and
+    // the stats reduce over the actual raster — a mis-parse of the header,
+    // stride, channel order, or row direction lands off the formula values
+    // and the hash gate catches it. Means divide by 16 (power of two) so
+    // the doubles are exact on both engines.
     "q_media_decode" -> ((s, dir) =>
-      Multimodal.decodeStub(
-        documents(s, dir).select(col("doc_id"), col("text").cast(BinaryType).as("payload")),
-        "payload", "doc_id")
-        .select(Seq(col("media_id"), col("n_bytes"), col("format"),
-          col("width").cast(LongType).as("width"), col("height").cast(LongType).as("height"),
-          col("n_frames").cast(LongType).as("n_frames")) ++
-          (0 until 8).map(i => element_at(col("feature"), i + 1).cast(DoubleType).as(s"feature_$i")): _*)
+      Multimodal.decodeImages(
+        Multimodal.withBmpPayload(
+          documents(s, dir).select(col("doc_id")).filter(col("doc_id") < 64), "doc_id"),
+        "payload", "media_id")
+        .orderBy("media_id")),
+    // ...and the same raster through a genuinely COMPRESSED codec: encoded
+    // to real PNG (zlib) per partition, decoded back by the same operator —
+    // same oracle text, so the round-trip is hash-gated too
+    "q_png_roundtrip" -> ((s, dir) =>
+      Multimodal.decodeImages(
+        Multimodal.withPngPayload(
+          documents(s, dir).select(col("doc_id")).filter(col("doc_id") < 64), "doc_id"),
+        "payload", "media_id")
         .orderBy("media_id")),
 
     // --- streaming (SURVEY §2.9) ------------------------------------------
@@ -2371,7 +2438,13 @@ object SparkEntry {
             "stream_funnel", org.apache.spark.sql.streaming.OutputMode.Update())
         }
       }
-      staged.agg(
+      // one row per user FIRST: mapGroupsWithState re-emits a (user, stage)
+      // row every micro-batch in Update mode, so a multi-batch drain (source
+      // split, maxFilesPerTrigger) would double-count users aggregated raw —
+      // max(stage) per user makes the rollup drain-shape-independent (the
+      // same reduction StreamingSpec's multibatch test applies).
+      staged.groupBy(col("user_id")).agg(max(col("stage")).as("stage"))
+        .agg(
           sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("c1"),
           sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("c2"),
           sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("c3"))
@@ -3224,7 +3297,13 @@ object SparkEntry {
     // engines. Per-digit rows avoid any cross-term double sum.
     "q_benford" -> ((s, dir) => {
       val x = col("o_totalprice")
-      val digit = when(x >= 100000.0, floor(x / 100000.0))
+      // ladder extended through 10⁷ (totals to 10⁸−1) and the digit hard-
+      // filtered to 1..9: a magnitude past the top band can no longer reach
+      // benfordP's zero-probability arm and divide by zero — out-of-ladder
+      // rows drop (visibly, by the digit filter) instead of emitting Inf
+      val digit = when(x >= 1.0e7, floor(x / 1.0e7))
+        .when(x >= 1000000.0, floor(x / 1000000.0))
+        .when(x >= 100000.0, floor(x / 100000.0))
         .when(x >= 10000.0, floor(x / 10000.0))
         .when(x >= 1000.0, floor(x / 1000.0))
         .when(x >= 100.0, floor(x / 100.0))
@@ -3232,6 +3311,7 @@ object SparkEntry {
         .otherwise(floor(x)).cast(LongType)
       val counts = orders(s, dir).filter(x >= 1.0)
         .groupBy(digit.as("digit")).agg(count(lit(1)).as("observed"))
+        .filter(col("digit").between(1L, 9L))
       val tot = counts.agg(sum(col("observed")).cast(DoubleType).as("__t"))
       counts.crossJoin(broadcast(tot))
         .select(col("digit"), col("observed"),
@@ -3406,6 +3486,98 @@ object SparkEntry {
           HAVING SUM(CAST(l_quantity AS DECIMAL(20,6))) > 250)
         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""")
+    }),
+
+    // TPC-H Q7 shape (volume shipping): the two-nation disjunctive join
+    // residual ((n1,n2) ∈ {(A,B),(B,A)}) over the 6-way snowflake with a
+    // year extraction — dims broadcast, the fact side shuffles once into
+    // the (supp_nation, cust_nation, year) aggregate; decimal-exact volume
+    "q_tpch_q7" -> ((s, dir) => {
+      customer(s, dir).createOrReplaceTempView("v_customer")
+      orders(s, dir).createOrReplaceTempView("v_orders")
+      lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      table(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+      nation(s, dir).createOrReplaceTempView("v_nation")
+      s.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+          CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+            CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+            l_extendedprice * (1 - l_discount) AS volume
+          FROM v_supplier JOIN v_lineitem ON s_suppkey = l_suppkey
+          JOIN v_orders ON o_orderkey = l_orderkey
+          JOIN v_customer ON c_custkey = o_custkey
+          JOIN v_nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN v_nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+              AND TIMESTAMP '1997-12-31 00:00:00'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year""")
+    }),
+
+    // TPC-H Q8 shape (national market share): 8-way join tree through part,
+    // both nation roles, region filter, then CASE-conditional share-of-total
+    // aggregation per year — the numerator/denominator both decimal-exact,
+    // one double division at the end. Adapted literals (this generator's
+    // nations are NATION_n, p_type single words).
+    "q_tpch_q8" -> ((s, dir) => {
+      customer(s, dir).createOrReplaceTempView("v_customer")
+      orders(s, dir).createOrReplaceTempView("v_orders")
+      lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      table(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+      table(s, dir, "part").createOrReplaceTempView("v_part")
+      nation(s, dir).createOrReplaceTempView("v_nation")
+      region(s, dir).createOrReplaceTempView("v_region")
+      s.sql("""
+        SELECT o_year,
+          round(CAST(SUM(CASE WHEN nation = 'NATION_3'
+              THEN CAST(volume AS DECIMAL(30,6))
+              ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+            / CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE), 6) AS mkt_share
+        FROM (
+          SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+            l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation
+          FROM v_part JOIN v_lineitem ON p_partkey = l_partkey
+          JOIN v_supplier ON s_suppkey = l_suppkey
+          JOIN v_orders ON l_orderkey = o_orderkey
+          JOIN v_customer ON o_custkey = c_custkey
+          JOIN v_nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN v_region ON n1.n_regionkey = r_regionkey
+          JOIN v_nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+            AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+              AND TIMESTAMP '1997-12-31 00:00:00'
+        ) all_nations GROUP BY o_year ORDER BY o_year""")
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the double
+    // correlated-subquery pattern — EXISTS (another supplier in the order)
+    // AND NOT EXISTS (another supplier ALSO late) — that Catalyst must
+    // decorrelate into one left-semi and one left-anti join against the
+    // same detail table; no other registered query exercises both
+    // decorrelations in one plan. Adapted lateness predicate (no
+    // commit/receipt dates in this lineitem): a line is late when it
+    // shipped more than 60 days after the order date.
+    "q_tpch_q21" -> ((s, dir) => {
+      orders(s, dir).createOrReplaceTempView("v_orders")
+      lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      table(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+      s.sql("""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM v_supplier JOIN v_lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN v_orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM v_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM v_lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""")
     }),
 
     // partition-spec EVOLUTION on read (Iceberg's "old files keep the old
@@ -3916,19 +4088,22 @@ object SparkEntry {
        |  FROM byt)""".stripMargin.replace("\n", "")
   }
 
+  /** Dual of the REAL image decode (r11): the fixture raster formula
+    * restated channel-mapped — pixel-array byte j = (id·131 + j·7) mod 256,
+    * BGR triplets, so R sums bytes j ≡ 2 (mod 3) etc. Row order cancels in
+    * the means; /16.0 is a dyadic-exact division on both engines. The
+    * Spark side must decode the actual BMP/PNG container to land on these
+    * values — that asymmetry is the gate.
+    */
   private def mediaDecodeSql: String = {
-    def wrap(x: String) = s"((($x) + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648"
-    val feats = (0 until 8).map { i =>
-      val w = wrap(s"h * 31 + $i")
-      s"CAST((CASE WHEN ($w) < 0 THEN ($w) + 2147483648 ELSE ($w) END) % 1024 AS DOUBLE) / 1024 AS feature_$i"
-    }.mkString(", ")
-    s"""WITH $mediaDecodeCtes
-       | SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_bytes,
-       |  CASE WHEN n >= 3 AND ub[1] = 255 AND ub[2] = 216 THEN 'jpeg' ELSE 'unknown' END AS format,
-       |  CASE WHEN n = 0 THEN 0 ELSE 16 + abs(h % 1024) END AS width,
-       |  CASE WHEN n = 0 THEN 0 ELSE 16 + abs(CAST(trunc(CAST(h AS DOUBLE) / 1024) AS BIGINT) % 1024) END AS height,
-       |  1 + abs(h % 32) AS n_frames, $feats
-       | FROM hh ORDER BY media_id""".stripMargin.replace("\n", "")
+    def chanSum(off: Int) =
+      s"CAST(list_sum(list_transform(range(0, 16), p -> (doc_id * 131 + (3 * p + $off) * 7) % 256)) AS BIGINT)"
+    s"""SELECT doc_id AS media_id, CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+       |  CAST(${chanSum(2)} AS DOUBLE) / 16.0 AS mean_r,
+       |  CAST(${chanSum(1)} AS DOUBLE) / 16.0 AS mean_g,
+       |  CAST(${chanSum(0)} AS DOUBLE) / 16.0 AS mean_b,
+       |  CAST(list_sum(list_transform(range(0, 48), j -> (doc_id * 131 + j * 7) % 256)) AS BIGINT) AS checksum
+       | FROM documents WHERE doc_id < 64 ORDER BY media_id""".stripMargin.replace("\n", "")
   }
 
   /** Hyperplane-LSH oracle: the SAME ±1 plane literals and banding as
@@ -4057,6 +4232,40 @@ object SparkEntry {
        |   CAST(hits AS DOUBLE) / CAST(n_queries * $k AS DOUBLE) AS recall,
        |   CAST(hits AS DOUBLE) / CAST(n_queries * $k AS DOUBLE) >= $threshold AS meets_threshold
        | FROM h CROSS JOIN nq2""".stripMargin.replace("\n", "")
+  }
+
+  /** Probe-only IVF dual (q_ivf_incremental): the full approximate pipeline —
+    * literal ±1 centroids, assignment argmax (cell_id DESC tie-break matching
+    * nearestCells' reversed sort), nprobe query cells, in-cell ranking — over
+    * ONE whole-corpus assignment. The Spark side builds that same index
+    * incrementally (base + delta append); per-row assignment makes the two
+    * constructions provably identical, so one dual covers both.
+    */
+  private def ivfProbeSql(nlist: Int, dim: Int, nprobe: Int, k: Int): String = {
+    val cents = Dedup.hyperplanes(nlist, dim, seed = 7L).zipWithIndex.map { case (v, i) =>
+      s"($i, [${v.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}])"
+    }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       | cents(cell_id, c) AS (VALUES $cents),
+       | ascore AS (SELECT e.vec_id, cents.cell_id,
+       |   list_inner_product(e.v, cents.c) /
+       |     (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(cents.c, cents.c))) AS cs
+       |   FROM e CROSS JOIN cents),
+       | asg AS (SELECT vec_id, cell_id FROM (SELECT vec_id, cell_id,
+       |     row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id DESC) AS rn
+       |   FROM ascore) WHERE rn = 1),
+       | qcells AS (SELECT vec_id AS query_id, cell_id FROM (SELECT vec_id, cell_id,
+       |     row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id DESC) AS rn
+       |   FROM ascore WHERE vec_id < 10) WHERE rn <= $nprobe),
+       | norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       | iscore AS (SELECT qc.query_id, a.vec_id AS neighbor_id,
+       |   list_inner_product(eq.v, ec.v) / (nq.nrm * nc.nrm) AS cos
+       |   FROM qcells qc JOIN asg a ON a.cell_id = qc.cell_id AND a.vec_id <> qc.query_id
+       |   JOIN e eq ON eq.vec_id = qc.query_id JOIN e ec ON ec.vec_id = a.vec_id
+       |   JOIN norms nq ON nq.vec_id = qc.query_id JOIN norms nc ON nc.vec_id = a.vec_id)
+       | SELECT query_id, neighbor_id, cos, rank FROM (SELECT query_id, neighbor_id, cos,
+       |     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |   FROM iscore) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin.replace("\n", "")
   }
 
   /** nDCG@k dual — [[ivfRecallSql]]'s IVF + brute CTE pipeline with ranks
@@ -4749,6 +4958,34 @@ object SparkEntry {
         |   round(CAST(co AS DOUBLE) / sqrt(CAST(fa.n * fb.n AS DOUBLE)), 6) AS cosine
         | FROM co JOIN f fa ON fa.i = item_a JOIN f fb ON fb.i = item_b
         | ORDER BY item_a, item_b""".stripMargin.replace("\n", ""),
+    // the capped path's dual replays the SAME deterministic truncation
+    // (sorted distinct items, first 5) before pairing — co counts AND item
+    // frequencies both read the capped arrays, exactly as the Spark side
+    "q_item_sim_capped" ->
+      """WITH b AS (SELECT l_orderkey, list_sort(list(DISTINCT l_partkey))[1:5] AS items
+        |   FROM lineitem GROUP BY 1),
+        | f AS (SELECT i.i AS item, COUNT(*) AS n FROM b, unnest(items) AS i(i) GROUP BY 1),
+        | co AS (SELECT items[p.p] AS item_a, items[q.q] AS item_b, COUNT(*) AS co
+        |   FROM b,
+        |     unnest(range(1, len(items) + 1)) AS p(p),
+        |     unnest(range(1, len(items) + 1)) AS q(q)
+        |   WHERE q.q > p.p GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        | SELECT item_a, item_b, co, fa.n AS n_a, fb.n AS n_b,
+        |   round(CAST(co AS DOUBLE) / sqrt(CAST(fa.n * fb.n AS DOUBLE)), 6) AS cosine
+        | FROM co JOIN f fa ON fa.item = item_a JOIN f fb ON fb.item = item_b
+        | ORDER BY item_a, item_b""".stripMargin.replace("\n", ""),
+    // same size/truncation/pair-volume arithmetic over the distinct-item
+    // basket sizes; the exact /2 re-integerized on both engines
+    "q_basket_cap_report" ->
+      """WITH s AS (SELECT l_orderkey, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS sz
+        |   FROM lineitem GROUP BY 1),
+        | c AS (SELECT sz, CASE WHEN sz > 5 THEN CAST(5 AS BIGINT) ELSE sz END AS csz FROM s)
+        | SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets,
+        |   CAST(SUM(CASE WHEN sz > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+        |   MAX(sz) AS max_basket_size,
+        |   CAST(SUM(CAST(sz * (sz - 1) / 2 AS BIGINT)) AS BIGINT) AS pair_volume_uncapped,
+        |   CAST(SUM(CAST(csz * (csz - 1) / 2 AS BIGINT)) AS BIGINT) AS pair_volume_capped
+        | FROM c""".stripMargin.replace("\n", ""),
     // identical rows and tie-break as the window formulation
     "q_grouped_topk_agg" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
@@ -5422,6 +5659,8 @@ object SparkEntry {
         | SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
         | ORDER BY query_id, rank""".stripMargin.replace("\n", ""),
     "q_ivf_ndcg" -> ivfNdcgSql(nlist = 16, dim = 64, nprobe = 2, k = 10),
+    // one whole-corpus assignment ≡ the Spark side's base + delta append
+    "q_ivf_incremental" -> ivfProbeSql(nlist = 16, dim = 64, nprobe = 2, k = 10),
     // three full recall pipelines, one per nprobe, unioned into the curve
     "q_ivf_recall_curve" -> Seq(1, 2, 4).map { np =>
       s"SELECT CAST($np AS BIGINT) AS nprobe, n_queries, hits, recall FROM (" +
@@ -6097,6 +6336,8 @@ object SparkEntry {
         | 'unknown' AS format
         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "q_media_decode" -> mediaDecodeSql,
+    // identical dual: the PNG round-trip must land on the same raster
+    "q_png_roundtrip" -> mediaDecodeSql,
     // Emitted set = batch sessions whose close horizon (end + gap) the final
     // watermark strictly passed, at the engine's MILLISECOND watermark
     // precision (epoch_ms floors the µs component exactly like Spark's
@@ -6516,14 +6757,17 @@ object SparkEntry {
     // literals the Spark plan embeds (benfordPs)
     "q_benford" -> {
       val ladder =
-        """CASE WHEN o_totalprice >= 100000.0 THEN floor(o_totalprice / 100000.0)
+        """CASE WHEN o_totalprice >= 10000000.0 THEN floor(o_totalprice / 10000000.0)
+          | WHEN o_totalprice >= 1000000.0 THEN floor(o_totalprice / 1000000.0)
+          | WHEN o_totalprice >= 100000.0 THEN floor(o_totalprice / 100000.0)
           | WHEN o_totalprice >= 10000.0 THEN floor(o_totalprice / 10000.0)
           | WHEN o_totalprice >= 1000.0 THEN floor(o_totalprice / 1000.0)
           | WHEN o_totalprice >= 100.0 THEN floor(o_totalprice / 100.0)
           | WHEN o_totalprice >= 10.0 THEN floor(o_totalprice / 10.0)
           | ELSE floor(o_totalprice) END""".stripMargin.replace("\n", "")
-      s"""WITH c AS (SELECT CAST($ladder AS BIGINT) AS digit, COUNT(*) AS observed
+      s"""WITH c0 AS (SELECT CAST($ladder AS BIGINT) AS digit, COUNT(*) AS observed
          |   FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1),
+         | c AS (SELECT * FROM c0 WHERE digit BETWEEN 1 AND 9),
          | t AS (SELECT CAST(SUM(observed) AS DOUBLE) AS tt FROM c)
          | SELECT digit, observed, round(tt * ${benfordPSql("digit")}, 6) AS expected,
          |   round(CAST(observed AS DOUBLE) / (tt * ${benfordPSql("digit")}), 6) AS ratio
@@ -6594,6 +6838,57 @@ object SparkEntry {
         |   AND EXISTS (SELECT 1 FROM lineitem
         |     WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", ""),
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |   CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        | FROM (
+        |   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |     CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |     l_extendedprice * (1 - l_discount) AS volume
+        |   FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |   JOIN orders ON o_orderkey = l_orderkey
+        |   JOIN customer ON c_custkey = o_custkey
+        |   JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |   JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |   WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |     AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |       AND TIMESTAMP '1997-12-31 00:00:00'
+        | ) shipping
+        | GROUP BY supp_nation, cust_nation, l_year
+        | ORDER BY supp_nation, cust_nation, l_year""".stripMargin.replace("\n", ""),
+    "q_tpch_q8" ->
+      """SELECT o_year,
+        |   round(CAST(SUM(CASE WHEN nation = 'NATION_3'
+        |       THEN CAST(volume AS DECIMAL(30,6))
+        |       ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+        |     / CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE), 6) AS mkt_share
+        | FROM (
+        |   SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |     l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation
+        |   FROM part JOIN lineitem ON p_partkey = l_partkey
+        |   JOIN supplier ON s_suppkey = l_suppkey
+        |   JOIN orders ON l_orderkey = o_orderkey
+        |   JOIN customer ON o_custkey = c_custkey
+        |   JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |   JOIN region ON n1.n_regionkey = r_regionkey
+        |   JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |   WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |     AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |       AND TIMESTAMP '1997-12-31 00:00:00'
+        | ) all_nations GROUP BY o_year ORDER BY o_year""".stripMargin.replace("\n", ""),
+    "q_tpch_q21" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        | FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        | JOIN orders ON o_orderkey = l1.l_orderkey
+        | WHERE o_orderstatus = 'F'
+        |   AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |   AND EXISTS (SELECT 1 FROM lineitem l2
+        |     WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |   AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |     WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |       AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        | GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin.replace("\n", ""),
     "q_tpch_q5" ->
       """SELECT n_name,
         | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue

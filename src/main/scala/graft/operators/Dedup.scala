@@ -80,6 +80,12 @@ object Dedup {
       posexplode(G.ngramStrings(tokens(col(textCol)), k)).as(Seq("pos", "__gram")))
     val hashed = grams.select(col(idCol), col("pos").cast(LongType).as("pos"),
       conv(substring(md5(col("__gram")), 1, 8), 16, 10).cast(LongType).as("h"))
+      // the 2²⁴-gram cap the packing requires, ENFORCED: positions past it
+      // would drive (2²⁴ − pos) negative and borrow into the hash bits,
+      // silently corrupting the packed argmin. Deterministic truncation —
+      // a >16M-token doc fingerprints its first 2²⁴ grams (same guarantee
+      // within the kept prefix) instead of emitting garbage.
+      .filter(col("pos") < lit(1L << 24))
     val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(-(w - 1), Window.currentRow)
     val perDoc = Window.partitionBy(col(idCol))
@@ -199,14 +205,60 @@ object Dedup {
   def minhashPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
-    val banded = bandBuckets(df, textCol, idCol, shingleN, k, bands)
-    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      threshold: Double = 0.7): DataFrame =
+    minhashPairsFromIndex(bandBuckets(df, textCol, idCol, shingleN, k, bands),
+      shingleSets(df, textCol, idCol, shingleN), threshold)
+
+  /** [[minhashPairs]] over a PREBUILT signature index — the landed-artifact
+    * form (SCALE.md known non-optimality #1, closed r11): the one-shot
+    * `minhashPairs` recomputes the tokenize+hash projection on both sides of
+    * its band self-join and again for verification; at 100 TB the signature
+    * frames are computed ONCE ([[bandBuckets]]/[[shingleSets]] — both narrow)
+    * and land in the lake ([[writeSignatureIndex]]), and every pair report —
+    * including [[minhashPairsIncremental]]'s day-N probes — reads the stored
+    * frames instead of re-touching text. Identical output to the one-shot
+    * form (same banding, same exact verification).
+    */
+  def minhashPairsFromIndex(bands: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyExactJaccard(cand, shingleSets(df, textCol, idCol, shingleN), threshold)
+    verifyExactJaccard(cand, sets, threshold)
   }
+
+  /** Land the MinHash signature index as lake artifacts: `dir/bands` (the
+    * (id, band, bucket) LSH rows) and `dir/sets` (the (id, sh) shingle-hash
+    * sets) — ONE tokenize+hash pass over the corpus, after which every pair
+    * report ([[minhashPairsFromIndex]]) and every incremental ingest
+    * ([[minhashPairsIncremental]]) runs off the stored frames. At cluster
+    * scale, land both repartitioned on their join keys (bands on
+    * (band, bucket), sets bucketed on id) so the probe joins co-locate.
+    */
+  def writeSignatureIndex(df: DataFrame, textCol: String, idCol: String,
+      dir: String, shingleN: Int, k: Int, bands: Int): Unit = {
+    require(k % bands == 0, "k must divide into bands")
+    // one shared narrow pass: signature + shingle set projected together so
+    // the text is tokenized once, then split into the two artifacts
+    val base = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleN, k).as("sig"),
+      shingleHashSet(col(textCol), shingleN).as("sh"))
+      .localCheckpoint(true)
+    val rowsPerBand = k / bands
+    val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
+      hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket")))
+    base.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    base.select(col("id"), col("sh")).write.mode("overwrite").parquet(s"$dir/sets")
+    base.unpersist(blocking = false)
+  }
+
+  /** Read a [[writeSignatureIndex]] artifact back: (bands, sets). */
+  def readSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sets"))
 
   /** (id, band, bucket) LSH rows for a corpus slice — the persistable unit of
     * the banding in [[minhashPairs]]: `bands` rows per document, each keyed by

@@ -131,7 +131,18 @@ object Funnel {
     * partial-aggregable sum, the BSP dataflow shape, regardless of how many
     * EVENTS produced the matrix.
     */
-  def stationary(trans: DataFrame, iterations: Int = 4): DataFrame = {
+  def stationary(trans: DataFrame, iterations: Int = 4,
+      maxStates: Int = 512): DataFrame = {
+    // driver-collect guard: the collect below is sized for state sets that
+    // are VOCABULARIES (event types), bounded at maxStates² transition rows.
+    // A high-cardinality state column (user ids, urls) would otherwise OOM
+    // the driver with no diagnostic — fail fast with the actual count. The
+    // limit-probe costs one bounded scan, never a full count of `trans`.
+    val cap = maxStates.toLong * maxStates.toLong
+    require(trans.limit((cap + 1).toInt).count() <= cap,
+      s"stationary: transition frame exceeds $maxStates^2 = $cap rows — " +
+        "the state column looks data-keyed, not a vocabulary; raise maxStates " +
+        "only if the state set is genuinely bounded")
     // r10: the power iteration runs ON THE DRIVER over the COLLECTED
     // transition matrix — bounded at #states² rows (the state set is the
     // event-type vocabulary, not data volume), so this is the PCA-w/kmeans

@@ -582,13 +582,47 @@ object Queries {
     * the single-JVM analogue of persisting the basket rollup next to the
     * fact table.
     */
-  def baskets(df: DataFrame, basketCol: String, itemCol: String): DataFrame =
-    df.groupBy(col(basketCol).as("__b"))
-      .agg(sort_array(collect_set(col(itemCol))).as("__is"))
+  def baskets(df: DataFrame, basketCol: String, itemCol: String,
+      maxBasket: Option[Int] = None): DataFrame = {
+    // r11 skew guard: the co-occurrence family fans out Σ C(|basket|, 2) —
+    // one 10⁵-item mega-basket (a bot account, a catalog-scrape order) is a
+    // 10¹⁰-pair blowup at ANY corpus size. `maxBasket` keeps the first
+    // `maxBasket` items of the SORTED distinct array — deterministic,
+    // engine-reproducible truncation (not a sample), bounding every
+    // downstream pair generator at C(cap, 2) per basket. Truncation loses
+    // only pairs involving a dropped item of an over-cap basket — the same
+    // recall-for-boundedness contract as Dedup's docFreq caps; None (the
+    // default) preserves exact semantics for domains that bound basket size
+    // upstream (TPC-H's ≤ 7). [[basketCapReport]] quantifies what a given
+    // cap would drop. The collect_set state itself stays linear in basket
+    // size (array-building is the rollup's job); the cap bounds the
+    // QUADRATIC stage, which is the one that kills.
+    val full = sort_array(collect_set(col(itemCol)))
+    val arr = maxBasket.fold(full)(b => slice(full, 1, b))
+    df.groupBy(col(basketCol).as("__b")).agg(arr.as("__is"))
+  }
+
+  /** What a basket cap would do before you commit to one: basket/pair-volume
+    * totals plus the truncation count and the exact pair volume the capped
+    * run will generate. One aggregate over the basket frame — run it on the
+    * rollup you already cache.
+    */
+  def basketCapReport(basketFrame: DataFrame, cap: Int): DataFrame = {
+    val sz = size(col("__is")).cast(LongType)
+    val capped = least(sz, lit(cap.toLong))
+    basketFrame.agg(
+      count(lit(1)).as("n_baskets"),
+      sum(when(sz > cap, 1L).otherwise(0L)).as("n_truncated"),
+      max(sz).as("max_basket_size"),
+      // the /2 is exact (even product) — cast back to BIGINT so the report
+      // stays integer-typed on both engines
+      sum((sz * (sz - 1) / 2).cast(LongType)).as("pair_volume_uncapped"),
+      sum((capped * (capped - 1) / 2).cast(LongType)).as("pair_volume_capped"))
+  }
 
   def coPurchasePairs(df: DataFrame, basketCol: String, itemCol: String,
-      k: Int): DataFrame =
-    coPurchasePairsFrom(baskets(df, basketCol, itemCol), k)
+      k: Int, maxBasket: Option[Int] = None): DataFrame =
+    coPurchasePairsFrom(baskets(df, basketCol, itemCol, maxBasket), k)
 
   def coPurchasePairsFrom(basketFrame: DataFrame, k: Int): DataFrame = {
     basketFrame
@@ -978,8 +1012,8 @@ object Queries {
     * cross-engine sqrt parity.
     */
   def itemSimilarity(df: DataFrame, basketCol: String, itemCol: String,
-      minCo: Long = 3L): DataFrame =
-    itemSimilarityFrom(baskets(df, basketCol, itemCol), minCo)
+      minCo: Long = 3L, maxBasket: Option[Int] = None): DataFrame =
+    itemSimilarityFrom(baskets(df, basketCol, itemCol, maxBasket), minCo)
 
   def itemSimilarityFrom(basketFrame: DataFrame, minCo: Long): DataFrame = {
     // basket-array formulation (the measured winner of the copurchase A/B):
@@ -1060,8 +1094,11 @@ object Queries {
       val r = df.agg(updates.head,
         (updates.tail :+ sum(when(margin <= 0, 1L).otherwise(0L)).as("__m")): _*)
         .collect()(0)
-      w = w.indices.map(j => w(j) + r.getLong(j)).toVector
-      out += ((i.toLong, w, r.getLong(xCols.size)))
+      // empty input ⇒ sum() aggregates to NULL: treat as a zero-update epoch
+      // (weights unchanged, 0 misclassified) instead of an opaque NPE
+      def at(j: Int): Long = if (r.isNullAt(j)) 0L else r.getLong(j)
+      w = w.indices.map(j => w(j) + at(j)).toVector
+      out += ((i.toLong, w, at(xCols.size)))
     }
     out.toSeq
       .map { case (it, ws, m) => (it, ws.toArray, m) }

@@ -258,6 +258,22 @@ object Similarity {
       .withColumn("cell", element_at(nearestCells(col("cv"), 1), 1).getField("cell_id"))
       .drop("__cells")
 
+  /** Day-2 incremental IVF index maintenance (r11): a DELTA of new vectors
+    * assigns into the EXISTING centroids and appends to the landed index —
+    * the base corpus is never rescanned (assignment is per-row, so
+    * base ∪ delta assigned incrementally is IDENTICAL to a full rebuild).
+    * This is the vector-index member of the landed-corpus maintenance family
+    * ([[graft.operators.Dedup.minhashPairsIncremental]] for the lexical band
+    * index, candle IVM for aggregates): at 100 TB the assignment pass is the
+    * cost you amortize, and the quantizer stays frozen between retrains —
+    * exactly how production IVF deployments (FAISS `add` after `train`)
+    * behave. Retraining centroids (index drift after heavy ingest) is a new
+    * index build by design, not an append.
+    */
+  def ivfIndexAppend(baseIndex: DataFrame, delta: DataFrame,
+      centroids: DataFrame, vecCol: String, idCol: String): DataFrame =
+    baseIndex.unionByName(ivfAssign(delta, centroids, vecCol, idCol))
+
   /** [[ivfAssign]] computed once per (session, key) and cached. */
   def ivfIndexCached(corpus: DataFrame, centroids: DataFrame,
       vecCol: String, idCol: String, key: String): DataFrame =
@@ -267,6 +283,14 @@ object Similarity {
   /** Probe a prebuilt IVF index ([[ivfAssign]]/[[ivfIndexCached]]): each query
     * probes its `nprobe` nearest cells; the corpus scan becomes an equi-join
     * on cell_id touching ~nprobe/nlist of the index.
+    *
+    * Ranking rides the bounded [[TopKAgg]] aggregator, same as the exact
+    * default [[bruteForceTopKAgg]] (r11): candidates are cell-bounded, but
+    * under a skewed cell distribution one hot query could still window-sort
+    * millions of probed rows — the partial top-k ships map_tasks×k
+    * candidates per query instead, and the plan has no sort of the candidate
+    * set (PlanGuardSpec pins this). Same (cos desc, id asc) order and ranks
+    * as the window form, bit-identical output.
     */
   def ivfProbe(
       index: DataFrame, queries: DataFrame, centroids: DataFrame,
@@ -278,12 +302,14 @@ object Similarity {
       .drop("__cells")
     val scored = index.join(broadcast(queryCells), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("nq") * col("nc")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("nq") * col("nc"))).as("cos"))
+    val topk = udaf(new TopKAgg(k), org.apache.spark.sql.Encoders.product[ScoredId])
+    scored.groupBy("query_id")
+      .agg(topk(col("cos"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        col("s.score").as("cos"), (col("r") + 1).cast(LongType).as("rank"))
   }
 
   /** One-shot IVF ANN top-k: index build + probe in one call (the composed
@@ -311,21 +337,32 @@ object Similarity {
     * vs all-pairs, and cells are independent shuffle groups (join key =
     * cell_id), so the stage is embarrassingly parallel across a cluster. At
     * 100 TB the index ([[ivfAssign]]) lands bucketed on cell_id and this join
-    * is co-located; oversized cells are handled upstream by raising k
-    * (the paper uses k ≈ √N), not by this operator.
+    * is co-located. The paper's answer to oversized cells is raising k
+    * (k ≈ √N); `maxCellSize` (r11) is the ENGINE-SIDE guard for when the
+    * centroid set is degenerate anyway: a cell whose population exceeds the
+    * cap is sub-split by a deterministic secondary id-hash into
+    * ceil(size/cap) subcells, bounding the pair stage at ~cap² rows per
+    * subcell — one hot centroid can no longer silently plan an n² stage.
+    * Sub-splitting trades recall only (τ-similar pairs straddling subcells
+    * survive dedup), the same contract as every banded candidate generator
+    * in [[graft.operators.Dedup]]; `None` (default) keeps the paper-exact
+    * within-cell semantics the oracle restates.
     */
   def semDedup(corpus: DataFrame, centroids: DataFrame, vecCol: String,
-      idCol: String, threshold: Double, indexKey: Option[String] = None): DataFrame = {
+      idCol: String, threshold: Double, indexKey: Option[String] = None,
+      maxCellSize: Option[Long] = None): DataFrame = {
     val index = indexKey
       .map(k => ivfIndexCached(corpus, centroids, vecCol, idCol, k))
       .getOrElse(ivfAssign(corpus, centroids, vecCol, idCol))
     // norms ride the index (ivfAssign precomputes `nc`) — the cosine below is
     // one VectorDot + one multiply per candidate pair, no per-pair renorm.
-    val a = index.select(col("cell"), col("neighbor_id").as("__id_a"),
-      col("cv").as("__va"), col("nc").as("__na"))
-    val b = index.select(col("cell"), col("neighbor_id").as("__id_b"),
-      col("cv").as("__vb"), col("nc").as("__nb"))
-    val dropped = a.join(b, Seq("cell"))
+    val keyed = semDedupPairKey(index, maxCellSize)
+    val joinKeys = maxCellSize.fold(Seq("cell"))(_ => Seq("cell", "__sub"))
+    val a = keyed.select((joinKeys.map(col) :+ col("neighbor_id").as("__id_a") :+
+      col("cv").as("__va") :+ col("nc").as("__na")): _*)
+    val b = keyed.select((joinKeys.map(col) :+ col("neighbor_id").as("__id_b") :+
+      col("cv").as("__vb") :+ col("nc").as("__nb")): _*)
+    val dropped = a.join(b, joinKeys)
       .filter(col("__id_a") < col("__id_b"))
       .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= threshold)
       .select(col("__id_b").as(idCol)).distinct()
@@ -334,6 +371,24 @@ object Similarity {
       .select(col(idCol), col("cell_id"),
         coalesce(col("__drop"), lit(false)).as("dropped"))
   }
+
+  /** The pair-stage keying of [[semDedup]], exposed for the degenerate-
+    * centroid property test: the index frame plus (when `maxCellSize` is
+    * set) a `__sub` subcell column — xxhash64(id) mod ceil(cellSize/cap),
+    * deterministic and engine-independent. Per-cell sizes ride a window over
+    * the SAME cell-keyed exchange the pair join needs, so the guard costs no
+    * extra shuffle; cells at or under the cap keep subcell 0 (exact paper
+    * semantics wherever the cap doesn't bind).
+    */
+  def semDedupPairKey(index: DataFrame, maxCellSize: Option[Long]): DataFrame =
+    maxCellSize.fold(index) { cap =>
+      require(cap >= 2, "maxCellSize must be at least 2")
+      val n = count(lit(1)).over(Window.partitionBy(col("cell")))
+      index.withColumn("__nsplit",
+          when(n <= cap, lit(1L)).otherwise(ceil(n.cast(DoubleType) / cap).cast(LongType)))
+        .withColumn("__sub", pmod(xxhash64(col("neighbor_id")), col("__nsplit")))
+        .drop("__nsplit")
+    }
 
   /** Embedding outlier detection: squared distance to the vector's own
     * label centroid, z-scored within the label — the curation pass that

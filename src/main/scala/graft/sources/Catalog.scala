@@ -133,7 +133,8 @@ final case class Catalog(spark: SparkSession, root: String) {
     */
   val historyWindow = 8
 
-  private def commit(edit: (DataFrame, Long) => DataFrame): Long = synchronized {
+  private def commit(edit: (DataFrame, Long) => DataFrame): Long =
+    Catalog.rootLock(dir).synchronized {
     val v = currentVersion
     val next = v + 1
     // untouched rows keep the version that registered them (provenance);
@@ -179,4 +180,16 @@ final case class Catalog(spark: SparkSession, root: String) {
       }
     next
   }
+}
+
+object Catalog {
+  // One commit monitor per catalog root WITHIN this JVM (r11): `synchronized`
+  // on the instance only serializes one Catalog object, but nothing stops two
+  // instances over the same root in one driver — and on LocalFileSystem the
+  // claim create-exclusive is exists-check+create, not atomic, so same-JVM
+  // racers could both pass it. Cross-PROCESS safety remains the claim file's
+  // job (create-exclusive IS atomic on HDFS-like stores, the cluster target).
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def rootLock(dir: String): Object =
+    locks.computeIfAbsent(dir, _ => new Object)
 }

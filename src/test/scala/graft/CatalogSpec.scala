@@ -92,6 +92,49 @@ class CatalogSpec extends SparkSpec {
       .map(_.getPath.getName).count(_.startsWith(".staging")) shouldBe 0
   }
 
+  test("two-writer race: concurrent commits from independent Catalog instances " +
+       "serialize through the claim CAS — no torn pointer, no lost update") {
+    val cat0 = freshCatalog("race")
+    cat0.register("bronze", "seed_x_20240101", df3) // v1 exists before the race
+    val root = cat0.root
+    // two INDEPENDENT instances (separate objects — the JVM `synchronized`
+    // cannot serialize them; only the claim-file compare-and-swap can), each
+    // committing 6 distinct datasets with retry-on-conflict, concurrently
+    val writers = (1 to 2).map { w =>
+      new Thread {
+        var conflicts = 0
+        override def run(): Unit = {
+          val cat = Catalog(spark, root)
+          (1 to 6).foreach { i =>
+            var done = false
+            while (!done) {
+              try { cat.register("bronze", f"w${w}_x_202402$i%02d", df3); done = true }
+              catch { case _: java.util.ConcurrentModificationException => conflicts += 1 }
+            }
+          }
+        }
+      }
+    }
+    writers.foreach(_.start()); writers.foreach(_.join(120000))
+    val cat = Catalog(spark, root)
+    // no lost update: every one of the 13 registrations present exactly once
+    cat.entries.count() shouldBe 13L
+    cat.entries.select("name").distinct().count() shouldBe 13L
+    // last-committer-wins pointer: names a live, readable snapshot whose
+    // version equals the 13 serialized commits
+    cat.currentVersion shouldBe 13L
+    cat.entries.agg(max(col("version"))).head().getLong(0) shouldBe 13L
+    // no torn state on disk: pointer file readable, its snapshot exists, no
+    // staging leftovers from aborted attempts
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(root, "_catalog"))
+      .map(_.getPath.getName)
+    names should contain(f"v${13L}%08d")
+    names.count(_.startsWith(".staging")) shouldBe 0
+    names.count(_.startsWith("_CURRENT.tmp")) shouldBe 0
+  }
+
   test("history is pruned to the window but the live snapshot always survives") {
     val cat = freshCatalog("prune")
     (1 to cat.historyWindow + 3).foreach(i => cat.register("bronze", f"d_x_202401$i%02d", df3))

@@ -21,6 +21,34 @@ class MultimodalSpec extends SparkSpec {
       fullyMatch regex "[0-9a-f]{64}"
   }
 
+  test("decodeImages: real ImageIO BMP decode lands on the independent raster formula; " +
+       "corrupt payloads degrade to a null-stats row, not a task failure") {
+    val ids = Seq(5L, 6L).toDF("doc_id")
+    val out = rows(Multimodal.decodeImages(
+      Multimodal.withBmpPayload(ids, "doc_id"), "payload", "media_id")
+      .orderBy("media_id"))
+    // formula computed here WITHOUT touching the decode path: byte j of the
+    // pixel array is (id·131 + j·7) mod 256; checksum = Σ all 48 bytes
+    def checksum(id: Long) = (0 until 48).map(j => (id * 131 + j * 7) % 256).sum
+    out.map(_.getAs[Long]("media_id")) shouldBe Seq(5L, 6L)
+    out.foreach { r =>
+      r.getAs[Long]("width") shouldBe 4L
+      r.getAs[Long]("height") shouldBe 4L
+      r.getAs[Long]("checksum") shouldBe checksum(r.getAs[Long]("media_id"))
+    }
+    // PNG round-trip through the zlib codec reaches the identical raster
+    val png = rows(Multimodal.decodeImages(
+      Multimodal.withPngPayload(ids, "doc_id"), "payload", "media_id")
+      .orderBy("media_id"))
+    png.map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("checksum"))) shouldBe
+      out.map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("checksum")))
+    // truncation: ImageIO cannot decode 10 header bytes → contract row
+    val bad = Seq((9L, Multimodal.bmp24(9L).take(10))).toDF("media_id", "payload")
+    val badRow = rows(Multimodal.decodeImages(bad, "payload", "media_id")).head
+    badRow.getAs[Long]("width") shouldBe 0L
+    badRow.getAs[Long]("checksum") shouldBe -1L
+  }
+
   test("decodeStub: deterministic per-content features with the production schema") {
     val out1 = rows(Multimodal.decodeStub(media, "payload", "media_id").orderBy("media_id"))
     val out2 = rows(Multimodal.decodeStub(media, "payload", "media_id").orderBy("media_id"))

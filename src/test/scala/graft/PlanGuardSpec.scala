@@ -268,6 +268,24 @@ class PlanGuardSpec extends SparkSpec {
     joinLines.exists(_.contains("cell#")) shouldBe true
   }
 
+  test("ivfProbe ranks via partial top-k aggregation, never a window sort of the probed candidates") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cell_id", "centroid")
+    val index = graft.operators.Similarity.ivfAssign(vecs, cents, "embedding", "vec_id")
+    val exec = graft.operators.Similarity.ivfProbe(index, vecs.filter($"vec_id" === 1L),
+      cents, "embedding", "vec_id", k = 2, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    // mirror of the q_ann_topk guard (r11): a row_number window over the
+    // probed candidate set is the per-query sort a skewed cell distribution
+    // turns into a hot-partition bottleneck — the bounded TopKAgg must rank
+    exec should not include "Window"
+    exec should include("ObjectHashAggregate")
+    exec.split("\n").filter(_.contains("ObjectHashAggregate"))
+      .exists(_.contains("partial_")) shouldBe true
+  }
+
   test("AQE splits the hot partition of a skewed sort-merge join at runtime") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._

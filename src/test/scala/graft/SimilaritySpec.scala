@@ -175,6 +175,73 @@ class SimilaritySpec extends SparkSpec {
     out(4L) shouldBe false // alone in the -x cell: nothing to drop against
   }
 
+  test("ivfIndexAppend: delta-only assignment (base never rescanned), " +
+       "incrementally-built index equals a full rebuild") {
+    import spark.implicits._
+    val mk = (ids: Seq[Long]) => ids.map(i =>
+      (i, Array(math.cos(i * 0.1).toFloat, math.sin(i * 0.1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(-1.0, 0.0))).toDF("cell_id", "centroid")
+    val baseCorpus = mk(0L until 40L)
+    val delta = mk(40L until 60L)
+    // the landed artifact: base assignment materialized with truncated
+    // lineage — the append below may reference it only as a scan
+    val base = Similarity.ivfAssign(baseCorpus, cents, "embedding", "vec_id")
+      .localCheckpoint(true)
+    val appended = Similarity.ivfIndexAppend(base, delta, cents, "embedding", "vec_id")
+    // delta-only assignment: exactly ONE nearest-cell argmax subtree in the
+    // plan (the delta's); the base side is a lineage-free scan of the landed
+    // frame. A refactor that re-derives base assignment doubles this count.
+    val plan = appended.queryExecution.optimizedPlan.toString
+    plan.split("array_sort", -1).length - 1 shouldBe 1
+    val full = Similarity.ivfAssign(baseCorpus.unionByName(delta), cents,
+      "embedding", "vec_id")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("neighbor_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    key(appended) shouldBe key(full)
+  }
+
+  test("semDedup maxCellSize: a pathological single centroid cannot plan an n² pair stage — " +
+       "subcell split bounds pair volume; exact dups sharing a subcell still drop") {
+    import spark.implicits._
+    // degenerate quantizer: ONE centroid, so every vector lands in one cell.
+    // 200 vectors, cap 20 → 10 subcells by xxhash64(id) mod 10.
+    val n = 200
+    // angle-spread base directions: adjacent cos = cos(0.005) ≈ 0.9999875,
+    // safely under the τ = 1−1e-7 gate, so NO base pair is τ-similar
+    def at(i: Long) = Array(math.cos(i * 0.005).toFloat, math.sin(i * 0.005).toFloat)
+    val vecs = (0L until n.toLong).map(i => (i, at(i))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0))).toDF("cell_id", "centroid")
+    val index = Similarity.ivfAssign(vecs, cents, "embedding", "vec_id")
+    val keyed = Similarity.semDedupPairKey(index, Some(20L))
+    // measured candidate-pair volume = Σ over subcells of C(size, 2) — must
+    // be far under the unguarded C(200, 2) = 19,900 (worst subcell ≤ ~2·cap
+    // by hash balance; the bound asserted is the structural one: the split
+    // actually sharded the cell)
+    val sizes = keyed.groupBy("cell", "__sub").count().collect().map(_.getLong(2))
+    sizes.length should be > 5 // the hash actually spread members
+    val pairVolume = sizes.map(s => s * (s - 1) / 2).sum
+    pairVolume should be < 4000L
+    // semantics under the guard: exact clones (2·v at id+1000 — cosine
+    // exactly 1) are the ONLY τ-similar pairs. Unguarded semDedup drops all
+    // 50 clones; the guarded run must drop a SUBSET of them (recall-only
+    // loss where a clone hashes away from its twin) and never a base vector
+    val clones = (0L until 50L).map(i => (i + 1000L, at(i).map(_ * 2f)))
+    val all = vecs.unionByName(clones.toDF("vec_id", "embedding"))
+    def drops(cap: Option[Long]) =
+      Similarity.semDedup(all, cents, "embedding", "vec_id",
+        threshold = 0.9999999, maxCellSize = cap)
+        .filter(col("dropped")).select("vec_id").collect().map(_.getLong(0)).toSet
+    val unguarded = drops(None)
+    unguarded shouldBe (1000L until 1050L).toSet
+    val guarded = drops(Some(20L))
+    guarded.subsetOf(unguarded) shouldBe true
+    Similarity.semDedup(all, cents, "embedding", "vec_id", threshold = 0.9999999,
+      maxCellSize = Some(20L)).count() shouldBe 250L // one verdict per vector
+  }
+
   test("embedOutliers: the single far vector among ten is the unique outlier " +
        "(9 identical + 1 far -> z_far = 0.9/sqrt(0.1) ~ 2.846)") {
     import spark.implicits._
