@@ -160,6 +160,32 @@ object ScaleProbe {
         Dedup.shingleSets(docs.filter(col("doc_id") % 3 === 0), "text", "doc_id", 5),
         "text", "doc_id", shingleN = 5, k = 64, bands = 32, threshold = 0.5).count()
     }
+    time("minhash_pairs_persisted") {
+      // the landed-signature path (r11): ONE tokenize+hash pass writes the
+      // bands+sets artifacts; the band self-join and exact verify read the
+      // stored parquet on both sides. Compare against `minhash_pairs` in the
+      // same run — identical output, but the text projection runs once
+      // instead of twice (the write cost buys every subsequent pair report
+      // and incremental probe for free).
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_probe_sigidx_p${ProcessHandle.current().pid()}").toString
+      Dedup.writeSignatureIndex(docs, "text", "doc_id", idxDir, 5, 64, 32)
+      val (bands, sets) = Dedup.readSignatureIndex(spark, idxDir)
+      val c = Dedup.minhashPairsFromIndex(bands, sets, threshold = 0.5).count()
+      val p = new org.apache.hadoop.fs.Path(idxDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      c
+    }
+    time("semdedup_degenerate_capped") {
+      // pathological quantizer: ONE centroid puts the whole corpus in one
+      // cell — uncapped, the within-cell pair stage is C(|corpus|, 2)
+      // (2·10⁸ pairs at 10×). maxCellSize=512 sub-splits by id hash; cost
+      // must track Σ subcell², ~cap × corpus — linear-ish in rows.
+      import spark.implicits._
+      val oneCent = Seq((0L, Seq.fill(64)(1.0))).toDF("cell_id", "centroid")
+      Similarity.semDedup(embs, oneCent, "embedding", "vec_id",
+        threshold = 0.95, maxCellSize = Some(512L)).count()
+    }
     time("boilerplate") {
       // replication multiplies each gram's df AND n_docs by k — shares are
       // invariant, so the phrase set is identical at any k while the df
@@ -401,6 +427,17 @@ object ScaleProbe {
       }
       time("copurchase_pairs_join") {
         graft.operators.Queries.coPurchasePairsJoin(li, "l_orderkey", "l_partkey", 50).count()
+      }
+      time("item_sim_skewed_capped") {
+        // a MEGA-BASKET injected on top of the k× fact table: one synthetic
+        // order holding 20,000 distinct items — uncapped that single basket
+        // fans out C(20000, 2) ≈ 2·10⁸ pairs, dwarfing the real corpus.
+        // maxBasket=128 bounds it at C(128, 2) = 8,128: cost must stay at
+        // the normal-corpus level, the skew guard absorbing the outlier.
+        val mega = spark.range(20000).select(lit(999999999L).as("l_orderkey"),
+          (col("id") + 10000000L).as("l_partkey"))
+        graft.operators.Queries.itemSimilarity(li.unionByName(mega),
+          "l_orderkey", "l_partkey", minCo = 2L, maxBasket = Some(128)).count()
       }
     }
     time("source_divergence") {

@@ -62,10 +62,17 @@ final class Api(spark: SparkSession, lake: Lake, ingest: Ingest,
   // --- routing ------------------------------------------------------------
 
   private def handler(ex: HttpExchange): Unit = {
-    val segs = ex.getRequestURI.getPath.split('/').filter(_.nonEmpty).toList
+    val rawSegs = ex.getRequestURI.getPath.split('/').filter(_.nonEmpty).toList
+    // the reference mounts its router under /api (main.py:20) and the
+    // dashboard's fetch calls carry that prefix (index.html:807-1016);
+    // accept both prefixed and bare forms so a browser pointed at this
+    // shell resolves the same URLs
+    val segs = rawSegs match { case "api" :: rest => rest; case s => s }
     val method = ex.getRequestMethod
     try {
       (method, segs) match {
+        case ("GET", Nil) | ("GET", List("dashboard")) =>
+          respondRaw(ex, 200, "text/html", Api.dashboardHtml)
         case ("POST", List("ingest"))       => respondJson(ex, 200, ingestRoute(readBody(ex)))
         case ("POST", List("transform"))    => respondJson(ex, 200, transformRoute(readBody(ex)))
         case ("GET", List("datasets"))      => respondJson(ex, 200, lake.list(layerParam(ex)))
@@ -258,4 +265,59 @@ final class Api(spark: SparkSession, lake: Lake, ingest: Ingest,
     ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length.toLong)
     if (bytes.nonEmpty) { val os = ex.getResponseBody; os.write(bytes); os.close() }
   }
+}
+
+object Api {
+  /** Minimal own-built dashboard over the same data contract the reference's
+    * index.html consumes (its fetch calls: GET /api/datasets?layer=…,
+    * GET /api/datasets/{name}?layer=…, GET /api/data/{layer}/{name} —
+    * index.html:807-1016). Deliberately small: the reference page is ~1,300
+    * lines of Tailwind chrome whose only compute is these three fetches and
+    * a table render (its chart is an explicit placeholder); this page proves
+    * a browser pointed at the shell lists layers, shows dataset metadata,
+    * and renders data rows — the full backend contract — in ~60 lines of
+    * original markup. NOT a copy of the reference HTML.
+    */
+  val dashboardHtml: String =
+    """<!doctype html>
+      |<html><head><meta charset="utf-8"><title>graft dashboard</title>
+      |<style>
+      | body{font-family:system-ui,sans-serif;margin:2rem;color:#222}
+      | h1{font-size:1.3rem} h2{font-size:1.05rem;margin-top:1.5rem}
+      | table{border-collapse:collapse;margin-top:.5rem;font-size:.85rem}
+      | th,td{border:1px solid #ccc;padding:.25rem .6rem;text-align:left}
+      | select,button{margin-right:.5rem;padding:.2rem .5rem}
+      | #info{margin-top:.5rem;font-size:.85rem;color:#444}
+      |</style></head><body>
+      |<h1>graft — dataset browser</h1>
+      |<div>
+      | layer <select id="layer"><option>bronze</option><option>silver</option><option>gold</option></select>
+      | dataset <select id="ds"></select>
+      | <button onclick="load()">load</button>
+      |</div>
+      |<div id="info"></div>
+      |<h2>data</h2><div id="tbl"></div>
+      |<script>
+      |const $=id=>document.getElementById(id);
+      |async function layers(){
+      |  const layer=$('layer').value;
+      |  const names=await (await fetch(`/api/datasets?layer=${layer}`)).json();
+      |  $('ds').innerHTML=names.map(n=>`<option>${n}</option>`).join('');
+      |}
+      |async function load(){
+      |  const layer=$('layer').value, name=$('ds').value;
+      |  if(!name) return;
+      |  const info=await (await fetch(`/api/datasets/${name}?layer=${layer}`)).json();
+      |  $('info').textContent=`type=${info.data_type??'N/A'} source=${info.source??'N/A'} `+
+      |    `rows=${info.record_count??'N/A'} range=${info.first_date??'N/A'}..${info.last_date??'N/A'} `+
+      |    `symbols=${Array.isArray(info.symbols)?info.symbols.join(','):'N/A'}`;
+      |  const rows=await (await fetch(`/api/data/${layer}/${name}`)).json();
+      |  if(!rows.length){$('tbl').textContent='(empty)';return;}
+      |  const cols=Object.keys(rows[0]);
+      |  $('tbl').innerHTML='<table><tr>'+cols.map(c=>`<th>${c}</th>`).join('')+'</tr>'+
+      |    rows.slice(0,100).map(r=>'<tr>'+cols.map(c=>`<td>${r[c]??''}</td>`).join('')+'</tr>').join('')+
+      |    '</table>';
+      |}
+      |$('layer').onchange=layers; layers();
+      |</script></body></html>""".stripMargin
 }

@@ -44,6 +44,20 @@ class ApiSpec extends SparkSpec {
   private def json(r: HttpResponse[String]): Map[String, Any] =
     mapper.readValue(r.body, classOf[Map[String, Any]])
 
+  test("dashboard contract: GET / serves HTML; /api-prefixed routes resolve like bare ones " +
+       "(the reference dashboard's fetch URLs, index.html:807-1016)") {
+    val page = get("/")
+    page.statusCode() shouldBe 200
+    page.headers().firstValue("Content-Type").orElse("") should startWith("text/html")
+    page.body should include("/api/datasets")
+    // same handler through the /api prefix the reference mounts (main.py:20)
+    val bare = get("/datasets?layer=bronze")
+    val prefixed = get("/api/datasets?layer=bronze")
+    prefixed.statusCode() shouldBe 200
+    prefixed.body shouldBe bare.body
+    get("/api/nope").statusCode() shouldBe 404
+  }
+
   test("POST /ingest csv lands the dataset; GET /datasets lists it (success envelope)") {
     val r = post("/ingest",
       """{"source": "csv", "data_type": "stock",
