@@ -1834,6 +1834,22 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ...and the GUARDED form under the gate (r11): maxCellSize=20 BINDS on
+    // this corpus (16 cells over the sf0.01 embeddings table ⇒ 17-43 members
+    // per cell, so most cells subsplit 2-3 ways), and the subcell hash is the 60-bit MD5 idHash the
+    // oracle replays digit for digit — so the overflow behavior itself
+    // (subsplit arithmetic, within-subcell pair scan, recall-only loss) is
+    // hash-gated, not just property-tested.
+    "q_semdedup_capped" -> ((s, dir) => {
+      import s.implicits._
+      val cents = Dedup.hyperplanes(16, 64, seed = 7L).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("cell_id", "centroid")
+      Similarity.semDedup(embeddings(s, dir), cents, "embedding", "vec_id",
+          threshold = 0.3, indexKey = Some(s"litcents:$dir"),
+          maxCellSize = Some(20L))
+        .orderBy("vec_id")
+    }),
+
     // Batch perceptron (Rosenblatt 1958) trained DISTRIBUTED — the
     // driver-iteration pattern (kmeans/PCA/BPE): each epoch is ONE
     // partial-aggregable scan computing the misclassified-set update sums;
@@ -2498,6 +2514,24 @@ object SparkEntry {
             "stream_dedup_q", org.apache.spark.sql.streaming.OutputMode.Append())
         }
       }.orderBy("user_id", "event_type")
+    }),
+
+    // the day-N exact-dedup loop as a CONTINUOUS query (r11): a document
+    // stream anti-joins each micro-batch's 128-bit content keys against the
+    // LANDED index (doc_id % 3 == 0 plays the already-ingested corpus),
+    // appending survivors to both the output and the index — so the emitted
+    // set (genuinely-new content keys) is batch-split-robust by
+    // construction. The oracle is the batch set difference.
+    "q_stream_incremental_dedup" -> ((s, dir) => {
+      tune(s)
+      streamResult(s, dir, "incdedup") {
+        withStreamConf(s, noDataBatch = false) {
+          val landed = Dedup.contentIndex(
+            documents(s, dir).filter(col("doc_id") % 3 === 0), "text")
+          graft.streaming.Streaming.incrementalDedupApply(s, dir,
+            "documents.parquet", col("doc_id") % 3 =!= 0, landed, "text")
+        }
+      }.select(lower(hex(col("h"))).as("content_key")).orderBy("content_key")
     }),
 
     // stream-static enrichment: the live feed broadcast-joins a static
@@ -5718,6 +5752,40 @@ object SparkEntry {
          | FROM asg LEFT JOIN d ON d.vec_id = asg.vec_id
          | ORDER BY asg.vec_id""".stripMargin.replace("\n", "")
     },
+    // the guarded pipeline fully restated: same assignment argmax, per-cell
+    // sizes, ceil(n/cap) subsplit keyed by the digit-replayed MD5 idHash,
+    // within-(cell, sub) pair scan, same drop rule
+    "q_semdedup_capped" -> {
+      val cents = Dedup.hyperplanes(16, 64, seed = 7L).zipWithIndex.map { case (v, i) =>
+        s"($i, [${v.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}])"
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         | cents(cell_id, c) AS (VALUES $cents),
+         | ascore AS (SELECT e.vec_id, cents.cell_id,
+         |   list_inner_product(e.v, cents.c) /
+         |     (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(cents.c, cents.c))) AS cs
+         |   FROM e CROSS JOIN cents),
+         | asg AS (SELECT vec_id, cell_id FROM (SELECT vec_id, cell_id,
+         |     row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id DESC) AS rn
+         |   FROM ascore) WHERE rn = 1),
+         | sz AS (SELECT cell_id, COUNT(*) AS n FROM asg GROUP BY 1),
+         | keyed AS (SELECT a.vec_id, a.cell_id,
+         |   CASE WHEN sz.n <= 20 THEN CAST(0 AS BIGINT)
+         |     ELSE ${idHashSql("a.vec_id")} % CAST(ceil(CAST(sz.n AS DOUBLE) / 20) AS BIGINT)
+         |   END AS sub
+         |   FROM asg a JOIN sz ON sz.cell_id = a.cell_id),
+         | norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+         | d AS (SELECT DISTINCT b.vec_id
+         |   FROM keyed a JOIN keyed b ON a.cell_id = b.cell_id AND a.sub = b.sub
+         |     AND a.vec_id < b.vec_id
+         |   JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+         |   JOIN norms na ON na.vec_id = a.vec_id JOIN norms nb ON nb.vec_id = b.vec_id
+         |   WHERE list_inner_product(ea.v, eb.v) / (na.nrm * nb.nrm) >= 0.3)
+         | SELECT asg.vec_id, CAST(asg.cell_id AS BIGINT) AS cell_id,
+         |   (d.vec_id IS NOT NULL) AS dropped
+         | FROM asg LEFT JOIN d ON d.vec_id = asg.vec_id
+         | ORDER BY asg.vec_id""".stripMargin.replace("\n", "")
+    },
     "q_ann_topk_window" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
@@ -6345,6 +6413,13 @@ object SparkEntry {
     // sequential double accumulation via list_reduce.
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    // the streamed day-N loop lands exactly on the batch set difference:
+    // stream-side contents minus contents already in the landed index
+    "q_stream_incremental_dedup" ->
+      """SELECT DISTINCT md5(text) AS content_key FROM documents
+        | WHERE doc_id % 3 <> 0
+        |   AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 3 = 0)
+        | ORDER BY content_key""".stripMargin.replace("\n", ""),
     // stateless stream-static enrichment ≡ the batch join over the same files
     "q_stream_anomaly" ->
       """WITH st AS (SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(30,6))) AS s1,

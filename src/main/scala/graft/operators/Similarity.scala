@@ -374,11 +374,14 @@ object Similarity {
 
   /** The pair-stage keying of [[semDedup]], exposed for the degenerate-
     * centroid property test: the index frame plus (when `maxCellSize` is
-    * set) a `__sub` subcell column — xxhash64(id) mod ceil(cellSize/cap),
-    * deterministic and engine-independent. Per-cell sizes ride a window over
-    * the SAME cell-keyed exchange the pair join needs, so the guard costs no
-    * extra shuffle; cells at or under the cap keep subcell 0 (exact paper
-    * semantics wherever the cap doesn't bind).
+    * set) a `__sub` subcell column — the 60-bit MD5 [[Sampling.idHash]] mod
+    * ceil(cellSize/cap). The MD5 hash (not xxhash64) on purpose: an external
+    * SQL oracle reproduces it digit for digit, so the GUARDED semantics are
+    * themselves hash-gateable (`q_semdedup_capped`), not just property-
+    * tested. Per-cell sizes ride a window over the SAME cell-keyed exchange
+    * the pair join needs, so the guard costs no extra shuffle; cells at or
+    * under the cap keep subcell 0 (exact paper semantics wherever the cap
+    * doesn't bind).
     */
   def semDedupPairKey(index: DataFrame, maxCellSize: Option[Long]): DataFrame =
     maxCellSize.fold(index) { cap =>
@@ -386,7 +389,7 @@ object Similarity {
       val n = count(lit(1)).over(Window.partitionBy(col("cell")))
       index.withColumn("__nsplit",
           when(n <= cap, lit(1L)).otherwise(ceil(n.cast(DoubleType) / cap).cast(LongType)))
-        .withColumn("__sub", pmod(xxhash64(col("neighbor_id")), col("__nsplit")))
+        .withColumn("__sub", pmod(Sampling.idHash(col("neighbor_id")), col("__nsplit")))
         .drop("__nsplit")
     }
 

@@ -377,6 +377,61 @@ object Streaming {
     }
   }
 
+  /** Streaming ingestion dedup against a LANDED content index — the day-N
+    * exact-dedup loop ([[graft.operators.Dedup.incremental]]) as a CONTINUOUS
+    * query (r11). Per micro-batch: the batch's distinct 128-bit content keys
+    * anti-join the index; the fresh keys append to the OUTPUT and to the
+    * INDEX, so a content first seen in batch k is dropped in batch k+1 —
+    * output is the set of genuinely-new content keys, independent of how the
+    * source splits into batches (set semantics; no per-batch rep-id
+    * ambiguity). This is the ingestion-side gatekeeper a 100 TB corpus runs
+    * in front of its bronze layer: the index is the compact persisted
+    * artifact, each arriving file batch pays one key anti-join, and the
+    * index grows only by what actually landed.
+    */
+  def incrementalDedupApply(spark: SparkSession, docDir: String, glob: String,
+      rowFilter: org.apache.spark.sql.Column, landedIndex: DataFrame,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, md5, unhex}
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(docDir).schema
+    var seen = landedIndex.localCheckpoint()
+    var out = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.BinaryType))))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).option("maxFilesPerTrigger", 1).parquet(docDir)
+    val ckptBase = java.nio.file.Paths.get(
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm"
+      else sys.props("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, "graft_ckpt_incdedup")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val fresh = batch.filter(rowFilter)
+            .select(unhex(md5(col(textCol).cast("binary"))).as("h")).distinct()
+            .join(seen, Seq("h"), "left_anti")
+            .localCheckpoint()
+          out = out.unionByName(fresh).localCheckpoint()
+          seen = seen.unionByName(fresh).localCheckpoint()
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      out
+    } finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(ckpt)
+        val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+        paths.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
   def cdcApply(spark: SparkSession, changeDir: String, base: DataFrame,
       keyCol: String): DataFrame = {
     val schema = spark.read.parquet(changeDir).schema

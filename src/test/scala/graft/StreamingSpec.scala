@@ -266,6 +266,29 @@ class StreamingSpec extends SparkSpec {
     streamed.count() shouldBe 3
   }
 
+  test("incrementalDedupApply across MULTIPLE microbatches: per-batch index update — " +
+       "a content seen in batch 1 is dropped in batch 2; landed contents never emit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_incdedup_spec_p${ProcessHandle.current().pid()}")
+    // batch 1: contents A (new), B (already landed); batch 2: A again
+    // (cross-batch dup), C (new) — maxFilesPerTrigger=1 forces two batches
+    val b1 = Seq((10L, "content A"), (11L, "content B")).toDF("doc_id", "text")
+    val b2 = Seq((12L, "content A"), (13L, "content C")).toDF("doc_id", "text")
+    Streaming.landOrdered(dir, Seq(b1, b2))
+    val landed = graft.operators.Dedup.contentIndex(
+      Seq((1L, "content B")).toDF("doc_id", "text"), "text")
+    val out = Streaming.incrementalDedupApply(spark, dir.toString, "*.parquet",
+      lit(true), landed, "text")
+    import org.apache.spark.sql.functions.{hex, lower, md5}
+    val got = rows(out.select(lower(hex(col("h"))).as("k")).orderBy("k"))
+      .map(_.getString(0))
+    val expect = rows(Seq("content A", "content C").toDF("t")
+      .select(md5(col("t")).as("k")).orderBy("k")).map(_.getString(0))
+    got shouldBe expect
+  }
+
   test("toLake lands candle batches as parquet under the lake contract") {
     val dir = java.nio.file.Files.createTempDirectory("ticks3").toString
     val out = java.nio.file.Files.createTempDirectory("gold").toString + "/candles"
