@@ -1812,6 +1812,30 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ...and the LANDED form (r11): the index (cell, id, vector, norm) lands
+    // as a lake parquet artifact once per session — the literal analogue of
+    // "persist the assignment bucketed on cell_id at 100 TB" — and the probe
+    // runs entirely off the stored table: array<float> vectors, precomputed
+    // norms, and cell keys all round-trip the format. Same dual as
+    // q_ivf_incremental (one whole-corpus assignment, nprobe=2 probe).
+    "q_ivf_persisted" -> ((s, dir) => {
+      import s.implicits._
+      val cents = Dedup.hyperplanes(16, 64, seed = 7L).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("cell_id", "centroid")
+      val idxDir = SessionCache.getOrCompute(s, s"ivf-landed:$dir") {
+        val p = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_ivfidx_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}").toString
+        // land repartitioned on the probe key — the bucketed-layout stand-in
+        Similarity.ivfAssign(embeddings(s, dir), cents, "embedding", "vec_id")
+          .repartition(col("cell")).write.mode("overwrite").parquet(p)
+        p
+      }
+      Similarity.ivfProbe(s.read.parquet(idxDir),
+        embeddings(s, dir).filter(col("vec_id") < 10), cents,
+        "embedding", "vec_id", k = 10, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // embedding outlier screen: distance-to-own-label-centroid z-scores —
     // the mislabel/noise pruning pass; decimal-exact moments, null-guarded z
     "q_embed_outliers" -> ((s, dir) =>
@@ -5695,6 +5719,9 @@ object SparkEntry {
     "q_ivf_ndcg" -> ivfNdcgSql(nlist = 16, dim = 64, nprobe = 2, k = 10),
     // one whole-corpus assignment ≡ the Spark side's base + delta append
     "q_ivf_incremental" -> ivfProbeSql(nlist = 16, dim = 64, nprobe = 2, k = 10),
+    // ...and ≡ the probe over the lake-landed index (same pipeline, the
+    // index merely round-trips parquet)
+    "q_ivf_persisted" -> ivfProbeSql(nlist = 16, dim = 64, nprobe = 2, k = 10),
     // three full recall pipelines, one per nprobe, unioned into the curve
     "q_ivf_recall_curve" -> Seq(1, 2, 4).map { np =>
       s"SELECT CAST($np AS BIGINT) AS nprobe, n_queries, hits, recall FROM (" +

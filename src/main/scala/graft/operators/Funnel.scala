@@ -136,13 +136,11 @@ object Funnel {
     // driver-collect guard: the collect below is sized for state sets that
     // are VOCABULARIES (event types), bounded at maxStates² transition rows.
     // A high-cardinality state column (user ids, urls) would otherwise OOM
-    // the driver with no diagnostic — fail fast with the actual count. The
-    // limit-probe costs one bounded scan, never a full count of `trans`.
+    // the driver with no diagnostic. The guard rides the collect itself —
+    // take(cap+1) either returns the whole (bounded) frame, which then IS
+    // the collected matrix, or proves the overflow and fails fast; zero
+    // extra jobs on the good path.
     val cap = maxStates.toLong * maxStates.toLong
-    require(trans.limit((cap + 1).toInt).count() <= cap,
-      s"stationary: transition frame exceeds $maxStates^2 = $cap rows — " +
-        "the state column looks data-keyed, not a vocabulary; raise maxStates " +
-        "only if the state set is genuinely bounded")
     // r10: the power iteration runs ON THE DRIVER over the COLLECTED
     // transition matrix — bounded at #states² rows (the state set is the
     // event-type vocabulary, not data volume), so this is the PCA-w/kmeans
@@ -154,8 +152,12 @@ object Funnel {
     // Decimal(double) shortest-string semantics), exact decimal sums
     // (order-free), decimal→double at the round boundary, and absorbing
     // states (no outgoing edges) carry their mass forward.
-    val t = trans.select(col("src"), col("dst"), col("p")).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val head = trans.select(col("src"), col("dst"), col("p")).take((cap + 1).toInt)
+    require(head.length <= cap,
+      s"stationary: transition frame exceeds $maxStates^2 = $cap rows — " +
+        "the state column looks data-keyed, not a vocabulary; raise maxStates " +
+        "only if the state set is genuinely bounded")
+    val t = head.map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
     val statesArr = (t.map(_._1) ++ t.map(_._2)).distinct.sorted
     val hasOut = t.map(_._1).toSet
     var pi: Map[String, Double] = statesArr.map(s => s -> 1.0 / statesArr.length).toMap
