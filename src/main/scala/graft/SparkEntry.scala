@@ -2092,6 +2092,36 @@ object SparkEntry {
         (size(array_distinct(split(col("text"), ""))).cast(DoubleType) /
           length(col("text")).cast(DoubleType)).as("distinct_char_ratio"))
         .orderBy("doc_id")),
+    // DSIR importance weights (Xie'23): non-English docs scored by how
+    // English-like their hashed unigram+bigram bucket distribution is —
+    // the data-selection signal you resample against a target domain with.
+    // λ decimal-rounded per bucket ⇒ order-free doc sums; target_like
+    // tests the exact decimal sign.
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      TextAnalysis.dsirWeights(docs.filter(col("lang") =!= "en"),
+          docs.filter(col("lang") === "en"), "text", "doc_id", dim = 64)
+        .orderBy("doc_id")
+    }),
+    // DSIR stage 2: Gumbel top-50 resample over those weights — the
+    // Gumbel-max trick with content-addressed (md5 idHash) uniforms, so
+    // WHICH docs survive is deterministic and oracle-replayed
+    "q_dsir_resample" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val w = TextAnalysis.dsirWeights(docs.filter(col("lang") =!= "en"),
+        docs.filter(col("lang") === "en"), "text", "doc_id", dim = 64)
+      TextAnalysis.gumbelTopK(w, "doc_id", "log_weight", k = 50)
+        .orderBy(col("gumbel_key").desc, col("doc_id"))
+    }),
+    // CCNet-style cross-entropy filter signal: non-English docs scored
+    // under the English-trained add-1 bigram LM (unseen pairs back off to
+    // the 1/V floor) — mean ln p per doc, decimal-ordered sums
+    "q_bigram_cross_score" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      TextAnalysis.bigramCrossScore(docs.filter(col("lang") =!= "en"),
+          docs.filter(col("lang") === "en"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     // self-trained add-one bigram LM fluency score (rounded mean ln p)
     "q_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(documents(s, dir), "text", "doc_id")
@@ -6200,6 +6230,88 @@ object SparkEntry {
         |     list_sum(list_transform(cnts, c2 -> CAST(c2 AS DOUBLE) * (ln(CAST(c2 AS DOUBLE)) / ln(2.0e0)))) / CAST(n AS DOUBLE), 6) AS entropy,
         |   CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) AS distinct_char_ratio
         | FROM k ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // same bucket map (md5-prefix), same add-1 λ rounded to 9 dp as decimal,
+    // same (10,0)×(20,9) product discipline, same exact-sign flag
+    "q_dsir_weights" -> {
+      val bucketSql = (g: String) =>
+        s"list_reduce(list_transform(range(1, 9), i -> CAST(strpos('0123456789abcdef', substring(md5($g), i, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 64"
+      val gramsSql = "list_concat(ts, list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))"
+      s"""WITH tokr AS (SELECT doc_id, $dedupWords AS ts FROM documents WHERE lang <> 'en'),
+         | tokt AS (SELECT $dedupWords AS ts FROM documents WHERE lang = 'en'),
+         | gr AS (SELECT doc_id, unnest($gramsSql) AS g FROM tokr),
+         | gt AS (SELECT unnest($gramsSql) AS g FROM tokt),
+         | rb AS (SELECT doc_id, ${bucketSql("g")} AS b FROM gr),
+         | tb AS (SELECT ${bucketSql("g")} AS b FROM gt),
+         | dc AS (SELECT doc_id, b, COUNT(*) AS c FROM rb GROUP BY 1, 2),
+         | rc AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cr FROM dc GROUP BY 1),
+         | tc AS (SELECT b, COUNT(*) AS ct FROM tb GROUP BY 1),
+         | nt AS (SELECT COUNT(*) AS nt FROM tb),
+         | nr AS (SELECT CAST(SUM(c) AS BIGINT) AS nr FROM dc),
+         | spine AS (SELECT unnest(range(0, 64)) AS b),
+         | lam AS (SELECT spine.b,
+         |   CAST(round(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / CAST(nt + 64 AS DOUBLE)) -
+         |     ln(CAST(COALESCE(cr, 0) + 1 AS DOUBLE) / CAST(nr + 64 AS DOUBLE)), 9) AS DECIMAL(20,9)) AS lam
+         |   FROM spine LEFT JOIN tc ON tc.b = spine.b LEFT JOIN rc ON rc.b = spine.b
+         |   CROSS JOIN nt CROSS JOIN nr),
+         | w AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         |   SUM(CAST(c AS DECIMAL(10,0)) * lam) AS w
+         |   FROM dc JOIN lam ON lam.b = dc.b GROUP BY 1)
+         | SELECT doc_id, n_grams, round(CAST(w AS DOUBLE), 6) AS log_weight,
+         |   w > 0 AS target_like
+         | FROM w ORDER BY doc_id""".stripMargin.replace("\n", "")
+    },
+    // the dsir CTE pipeline + the Gumbel key: uniform from the 15-nibble
+    // md5 idHash, key = round(log_weight + round(−ln(−ln u), 9), 6),
+    // (key DESC, doc_id) top-50
+    "q_dsir_resample" -> {
+      val bucketSql = (g: String) =>
+        s"list_reduce(list_transform(range(1, 9), i -> CAST(strpos('0123456789abcdef', substring(md5($g), i, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 64"
+      val gramsSql = "list_concat(ts, list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))"
+      s"""WITH tokr AS (SELECT doc_id, $dedupWords AS ts FROM documents WHERE lang <> 'en'),
+         | tokt AS (SELECT $dedupWords AS ts FROM documents WHERE lang = 'en'),
+         | gr AS (SELECT doc_id, unnest($gramsSql) AS g FROM tokr),
+         | gt AS (SELECT unnest($gramsSql) AS g FROM tokt),
+         | rb AS (SELECT doc_id, ${bucketSql("g")} AS b FROM gr),
+         | tb AS (SELECT ${bucketSql("g")} AS b FROM gt),
+         | dc AS (SELECT doc_id, b, COUNT(*) AS c FROM rb GROUP BY 1, 2),
+         | rc AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cr FROM dc GROUP BY 1),
+         | tc AS (SELECT b, COUNT(*) AS ct FROM tb GROUP BY 1),
+         | nt AS (SELECT COUNT(*) AS nt FROM tb),
+         | nr AS (SELECT CAST(SUM(c) AS BIGINT) AS nr FROM dc),
+         | spine AS (SELECT unnest(range(0, 64)) AS b),
+         | lam AS (SELECT spine.b,
+         |   CAST(round(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / CAST(nt + 64 AS DOUBLE)) -
+         |     ln(CAST(COALESCE(cr, 0) + 1 AS DOUBLE) / CAST(nr + 64 AS DOUBLE)), 9) AS DECIMAL(20,9)) AS lam
+         |   FROM spine LEFT JOIN tc ON tc.b = spine.b LEFT JOIN rc ON rc.b = spine.b
+         |   CROSS JOIN nt CROSS JOIN nr),
+         | w AS (SELECT doc_id, SUM(CAST(c AS DECIMAL(10,0)) * lam) AS w
+         |   FROM dc JOIN lam ON lam.b = dc.b GROUP BY 1),
+         | keyd AS (SELECT doc_id, round(CAST(w AS DOUBLE), 6) AS log_weight,
+         |   round(round(CAST(w AS DOUBLE), 6) +
+         |     round(-ln(-ln((CAST(${idHashSql("doc_id")} AS DOUBLE) + 0.5) / 1152921504606846976)), 9), 6) AS gumbel_key
+         |   FROM w)
+         | SELECT doc_id, log_weight, gumbel_key FROM keyd
+         | ORDER BY gumbel_key DESC, doc_id LIMIT 50""".stripMargin.replace("\n", "")
+    },
+    // q_bigram_lm's CTE shape with LEFT joins + the add-1 floor for unseen
+    // pairs/contexts; target-trained counts, raw-side scoring
+    "q_bigram_cross_score" ->
+      s"""WITH tokt AS (SELECT $dedupWords AS ts FROM documents WHERE lang = 'en'),
+         | tokr AS (SELECT doc_id, $dedupWords AS ts FROM documents WHERE lang <> 'en'),
+         | bgt AS (SELECT unnest(list_transform(range(1, len(ts)), i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS b FROM tokt),
+         | bgte AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bgt),
+         | pc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgte GROUP BY 1, 2),
+         | cc AS (SELECT w1, COUNT(*) AS c1 FROM bgte GROUP BY 1),
+         | v AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(ts) AS t FROM tokt)),
+         | bgr AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS b FROM tokr),
+         | bgre AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bgr),
+         | sc AS (SELECT doc_id,
+         |   CAST(round(ln(CAST(COALESCE(c2, 0) + 1 AS DOUBLE) /
+         |     (CAST(COALESCE(c1, 0) AS DOUBLE) + CAST(v AS DOUBLE))), 9) AS DECIMAL(20,9)) AS lp
+         |   FROM bgre LEFT JOIN pc USING (w1, w2) LEFT JOIN cc USING (w1) CROSS JOIN v)
+         | SELECT doc_id, COUNT(*) AS n_bigrams,
+         |   round(CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS cross_lp
+         | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "q_bigram_lm" ->
       s"""WITH tok AS (SELECT doc_id, $dedupWords AS ts FROM documents),
          | bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS b FROM tok),

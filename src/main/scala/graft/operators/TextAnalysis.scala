@@ -153,6 +153,133 @@ object TextAnalysis {
           % lit(dim.toLong)).as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
 
+  /** DSIR-style hashed-n-gram importance weights (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS 2023): score
+    * each RAW document by how target-like its hashed unigram+bigram bucket
+    * distribution is. Per bucket, λ(b) = ln p̂_target(b) − ln p̂_raw(b) with
+    * add-1 smoothing over `dim` buckets (the [[featureHash]] md5-prefix map
+    * — engine-portable, vocabulary-free); per document,
+    * log w(x) = Σ_b c_x(b)·λ(b). Resampling ∝ w is the paper's second stage;
+    * here the weight itself is the artifact (feed it to the Sampling family)
+    * plus the exact-sign flag `target_like` (= the doc leans target rather
+    * than raw-average).
+    *
+    * Cross-engine exactness: λ is computed with one libm `ln` per bucket,
+    * rounded to 9 dp, and carried as DECIMAL(20,9) (the nDCG discount
+    * idiom), so the per-doc sum is order-free; counts ride DECIMAL(10,0) so
+    * the product stays at precision 31 ≤ 38 on both engines; `target_like`
+    * compares the exact decimal, not the rounded double.
+    *
+    * Scale: two corpus-level bucket histograms (partial-aggregable, output
+    * bounded by `dim`), a dim-row λ table broadcast onto the per-doc bucket
+    * counts, one (doc, bucket) partial agg, one per-doc sum. No vocabulary
+    * build, no global sort — the hashing trick keeps feature space O(dim)
+    * at any corpus size.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, dim: Int = 64): DataFrame = {
+    import graft.expressions.{GraftFunctions => G}
+    val spark = raw.sparkSession
+    def bucket(g: Column): Column =
+      conv(substring(md5(g), 1, 8), 16, 10).cast(LongType) % dim
+    def gramsOf(c: Column): Column = {
+      val ts = Dedup.tokens(c)
+      concat(G.ngramStrings(ts, 1), G.ngramStrings(ts, 2))
+    }
+    val docCounts = raw
+      .select(col(idCol).as("doc_id"), explode(gramsOf(col(textCol))).as("__g"))
+      .select(col("doc_id"), bucket(col("__g")).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val tgtB = target.select(explode(gramsOf(col(textCol))).as("__g"))
+      .select(bucket(col("__g")).as("b"))
+    val tCounts = tgtB.groupBy("b").agg(count(lit(1)).as("ct"))
+    val rCounts = docCounts.groupBy("b").agg(sum(col("c")).as("cr"))
+    val nt = tgtB.agg(count(lit(1)).as("nt"))
+    val nr = docCounts.agg(sum(col("c")).cast(LongType).as("nr"))
+    val dimD = lit(dim.toDouble)
+    val lam = spark.range(dim).select(col("id").as("b"))
+      .join(tCounts, Seq("b"), "left").join(rCounts, Seq("b"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("b"),
+        round(
+          log((coalesce(col("ct"), lit(0L)) + 1L).cast(DoubleType) /
+            (col("nt").cast(DoubleType) + dimD)) -
+          log((coalesce(col("cr"), lit(0L)) + 1L).cast(DoubleType) /
+            (col("nr").cast(DoubleType) + dimD)), 9)
+          .cast(DecimalType(20, 9)).as("lam"))
+    docCounts.join(broadcast(lam), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast(LongType).as("n_grams"),
+        sum(col("c").cast(DecimalType(10, 0)) * col("lam")).as("__w"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("__w").cast(DoubleType), 6).as("log_weight"),
+        (col("__w") > 0).as("target_like"))
+  }
+
+  /** DSIR stage 2 — Gumbel top-k resampling over importance weights: each
+    * doc draws a deterministic uniform from its id (the md5
+    * [[Sampling.idHash]], so the draw is content-addressed and
+    * engine-replayable), perturbs its log-weight with Gumbel noise
+    * g = −ln(−ln u), and the top-k perturbed keys are the sample — the
+    * standard Gumbel-max trick, equivalent to sampling without replacement
+    * ∝ exp(w). Keys round at 6 dp with id tie-break, so selection is exact
+    * cross-engine despite the libm lns.
+    *
+    * Scale: narrow per-row arithmetic + one TakeOrdered(k) — no global sort
+    * materializes (k rows per partition reduce to k total).
+    */
+  def gumbelTopK(weights: DataFrame, idCol: String, wCol: String,
+      k: Int): DataFrame = {
+    val u = (Sampling.idHash(col(idCol)).cast(DoubleType) + lit(0.5)) /
+      lit(1152921504606846976.0) // 2^60 — u ∈ (0, 1), identical IEEE doubles
+    weights
+      .withColumn("gumbel_key", round(col(wCol) + round(-log(-log(u)), 9), 6))
+      .orderBy(col("gumbel_key").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col(wCol), col("gumbel_key"))
+  }
+
+  /** CCNet-style cross-entropy quality scoring (Wenzek et al. 2020): score
+    * RAW documents under a bigram LM trained on the TARGET corpus — the
+    * classic "perplexity under a clean-domain LM" filter signal (CCNet uses
+    * a KenLM 5-gram; the add-1 bigram here is the same signal with exact,
+    * engine-portable arithmetic). Unseen pairs/contexts back off to the
+    * add-1 floor (c₂ = 0, c₁ = 0 ⇒ p = 1/(0 + V)). Each bigram's ln p
+    * rounds to 9 dp and rides DECIMAL(20,9) so the per-doc sum is
+    * order-free; the emitted mean rounds at 6.
+    *
+    * Scale: LM counts are vocabulary-bounded partial aggregates; scoring is
+    * two (w1[, w2])-keyed joins against those count tables + one per-doc
+    * agg. Nothing scales with corpus² and the raw corpus never re-shuffles
+    * beyond its bigram stream.
+    */
+  def bigramCrossScore(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    import graft.expressions.{GraftFunctions => G}
+    def bg(df: DataFrame, idCols: Seq[Column]): DataFrame =
+      df.select(idCols :+
+          explode(G.ngramStrings(Dedup.tokens(col(textCol)), 2)).as("__bg"): _*)
+        .select(idCols :+ substring_index(col("__bg"), " ", 1).as("w1") :+
+          substring_index(col("__bg"), " ", -1).as("w2"): _*)
+    val tgtBg = bg(target, Seq.empty)
+    val pairCounts = tgtBg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val ctxCounts = tgtBg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = target.select(explode(Dedup.tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    bg(raw, Seq(col(idCol).as("doc_id")))
+      .join(pairCounts, Seq("w1", "w2"), "left")
+      .join(ctxCounts, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp", round(
+          log((coalesce(col("c2"), lit(0L)) + 1L).cast(DoubleType) /
+            (coalesce(col("c1"), lit(0L)).cast(DoubleType) + col("v").cast(DoubleType))), 9)
+        .cast(DecimalType(20, 9)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+        round(sum(col("__lp")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), 6).as("cross_lp"))
+  }
+
   /** Pairwise vocabulary overlap between groups (sources, languages, shards):
     * token-set Jaccard per (group_a, group_b), `a < b`. The mixture-design
     * diagnostic — two sources with near-identical vocabularies are redundant

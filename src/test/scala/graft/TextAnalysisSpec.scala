@@ -289,4 +289,45 @@ class TextAnalysisSpec extends SparkSpec {
     // symmetric 2x2: B's zebra cell has a=0 and is absent (presence cells only)
     out.filter(_._1 == "B").map(_._2) should not contain "zebra"
   }
+
+  test("dsirWeights: a raw doc written in the target's vocabulary outscores gibberish; " +
+       "target_like tracks the exact sign") {
+    val target = (1L to 20L).map(i => (i, "the cat sat on the mat and the dog ran"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (100L, "the cat sat on the mat"),          // pure target phrasing
+      (101L, "zxq vbn qwerty asdfgh zzz yyy")    // buckets the target never hits
+    ).toDF("doc_id", "text")
+    val w = rows(TextAnalysis.dsirWeights(raw, target, "text", "doc_id").orderBy("doc_id"))
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    w(100L)._1 should be > w(101L)._1
+    w(100L)._2 shouldBe true   // leans target
+    w(101L)._2 shouldBe false  // leans raw-average
+  }
+
+  test("gumbelTopK: k >= n keeps every row; selection is deterministic across invocations") {
+    val weights = Seq((1L, 0.5), (2L, -0.5), (3L, 2.0)).toDF("doc_id", "log_weight")
+    val all = rows(TextAnalysis.gumbelTopK(weights, "doc_id", "log_weight", k = 10))
+    all.length shouldBe 3
+    val a = rows(TextAnalysis.gumbelTopK(weights, "doc_id", "log_weight", k = 2))
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val b = rows(TextAnalysis.gumbelTopK(weights, "doc_id", "log_weight", k = 2))
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    a shouldBe b
+  }
+
+  test("bigramCrossScore: bigrams seen in the target score above the unseen add-1 floor") {
+    val target = (1L to 10L).map(i => (i, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (100L, "the cat sat"),        // both bigrams target-attested
+      (101L, "purple elephant sky") // wholly unseen -> 1/V floor per bigram
+    ).toDF("doc_id", "text")
+    val sc = rows(TextAnalysis.bigramCrossScore(raw, target, "text", "doc_id").orderBy("doc_id"))
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    sc(100L) should be > sc(101L)
+    // the unseen floor is exactly ln(1 / V) with V = 5 distinct target
+    // tokens ({the, cat, sat, on, mat})
+    sc(101L) shouldBe math.log(1.0 / 5.0) +- 1e-6
+  }
 }
