@@ -1255,6 +1255,16 @@ object SparkEntry {
     "q_value_percentiles" -> ((s, dir) =>
       Queries.exactPercentiles(events(s, dir), "event_type", "value", "event_id",
         Seq(0.5, 0.9, 0.99)).orderBy("event_type")),
+    // ...and the SKETCH path for the same percentiles (r11): a 64-bin
+    // equi-width histogram — two partial-aggregable passes, 64 rows per
+    // group on the shuffle at ANY input size, shard-mergeable by cell
+    // addition — where the exact form above window-sorts every group. The
+    // bin-edge estimates are a fixed double formula both engines compute
+    // identically, so even the approximation is hash-gated; error ≤ 1 bin.
+    "q_quantile_sketch" -> ((s, dir) =>
+      graft.operators.Sketches.histogramQuantiles(events(s, dir),
+          Seq("event_type"), "value", bins = 64, qs = Seq(0.5, 0.9, 0.99))
+        .orderBy("event_type")),
     // quantile mapping: click values re-expressed on the purchase
     // distribution (rank → percentile → interpolated reference order stats)
     "q_quantile_map" -> ((s, dir) =>
@@ -3415,6 +3425,37 @@ object SparkEntry {
     // decimal so it is order-free. The ceil argument is computed in DOUBLE
     // in both engines (a decimal 0.05·n in one engine and a double in the
     // other disagree at n ≡ 0 mod 20).
+    // risk-adjusted return summary per series (r11): annualized Sharpe
+    // (mean/std·√252) and Sortino (mean/downside-dev·√252) over daily
+    // returns — decimal-exact power sums (the q_stat_moments idiom), one
+    // identically-written double formula each, √252 an identical IEEE
+    // constant; degenerate guards emit null (zero variance / no downside)
+    "q_sharpe" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("d")
+      val rets = dailyByType(s, dir)
+        .withColumn("ret",
+          (col("x") - lag(col("x"), 1).over(w)) / lag(col("x"), 1).over(w))
+        .filter(col("ret").isNotNull)
+      val r = col("ret")
+      val dn = least(r, lit(0.0))
+      val agg = rets.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        count(lit(1)).cast(DoubleType).as("nD"),
+        sum(r.cast(DecimalType(20, 10))).cast(DoubleType).as("s1"),
+        sum((r * r).cast(DecimalType(20, 10))).cast(DoubleType).as("s2"),
+        sum((dn * dn).cast(DecimalType(20, 10))).cast(DoubleType).as("sd2"))
+      val mean = col("s1") / col("nD")
+      val variance = (col("nD") * col("s2") - col("s1") * col("s1")) /
+        (col("nD") * (col("nD") - lit(1.0)))
+      val downside = sqrt(col("sd2") / col("nD"))
+      val ann = sqrt(lit(252.0))
+      agg.select(col("event_type"), col("n").as("n_days"),
+          round(mean, 6).as("mean_ret"),
+          when(variance > 0, round(mean / sqrt(variance) * ann, 6)).as("sharpe"),
+          when(col("sd2") > 0, round(mean / downside * ann, 6)).as("sortino"))
+        .orderBy("event_type")
+    }),
+
     "q_var_cvar" -> ((s, dir) => {
       val w = Window.partitionBy("event_type").orderBy("d")
       val rets = dailyByType(s, dir)
@@ -5139,6 +5180,27 @@ object SparkEntry {
         |   MAX(CASE WHEN rn = CAST(ceil(CAST(0.9 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT) THEN value END) AS p90,
         |   MAX(CASE WHEN rn = CAST(ceil(CAST(0.99 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT) THEN value END) AS p99
         | FROM r GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", ""),
+    // same bounds pass, same clamped equi-width bin index, same cumulative
+    // bin walk and upper-edge formula — the sketch's approximation itself
+    // is restated, not the exact percentile
+    "q_quantile_sketch" ->
+      """WITH b AS (SELECT event_type, MIN(CAST(value AS DOUBLE)) AS lo,
+        |   MAX(CAST(value AS DOUBLE)) AS hi, COUNT(*) AS n FROM events GROUP BY 1),
+        | i AS (SELECT e.event_type, b.lo, b.hi, b.n,
+        |   CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+        |     ELSE least(CAST(63 AS BIGINT),
+        |       CAST(floor((CAST(e.value AS DOUBLE) - b.lo) / ((b.hi - b.lo) / 64.0)) AS BIGINT)) END AS idx
+        |   FROM events e JOIN b ON b.event_type = e.event_type),
+        | c AS (SELECT event_type, lo, hi, n, idx, COUNT(*) AS c FROM i GROUP BY 1, 2, 3, 4, 5),
+        | cc AS (SELECT *, SUM(c) OVER (PARTITION BY event_type ORDER BY idx) AS cum FROM c)
+        | SELECT event_type, lo, hi, n,
+        |   MIN(CASE WHEN cum >= CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT)
+        |     THEN CASE WHEN hi = lo THEN lo ELSE lo + ((hi - lo) / 64.0) * CAST(idx + 1 AS DOUBLE) END END) AS p50_est,
+        |   MIN(CASE WHEN cum >= CAST(ceil(0.9 * CAST(n AS DOUBLE)) AS BIGINT)
+        |     THEN CASE WHEN hi = lo THEN lo ELSE lo + ((hi - lo) / 64.0) * CAST(idx + 1 AS DOUBLE) END END) AS p90_est,
+        |   MIN(CASE WHEN cum >= CAST(ceil(0.99 * CAST(n AS DOUBLE)) AS BIGINT)
+        |     THEN CASE WHEN hi = lo THEN lo ELSE lo + ((hi - lo) / 64.0) * CAST(idx + 1 AS DOUBLE) END END) AS p99_est
+        | FROM cc GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin.replace("\n", ""),
     // same two rank frames, same interpolation arithmetic
     "q_quantile_map" ->
       """WITH r AS (SELECT event_type, event_id, value,
@@ -6998,6 +7060,24 @@ object SparkEntry {
          |   round(x + CAST(8 - rnd AS DOUBLE) * ((yT - y1) / CAST(n - 1 AS DOUBLE)), 6) AS yhat
          | FROM r JOIN e ON e.event_type = r.event_type WHERE rnd <= 7
          | ORDER BY r.event_type, forecast_d""".stripMargin.replace("\n", ""),
+    // same return window, same decimal power sums, same double formulas
+    "q_sharpe" ->
+      s"""WITH a AS ($dailyByTypeSql),
+         | r AS (SELECT event_type, (x - lag(x) OVER w) / lag(x) OVER w AS ret
+         |   FROM a WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+         | f AS (SELECT event_type, ret, least(ret, 0.0e0) AS dn FROM r WHERE ret IS NOT NULL),
+         | g AS (SELECT event_type, COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS nd,
+         |   CAST(SUM(CAST(ret AS DECIMAL(20,10))) AS DOUBLE) AS s1,
+         |   CAST(SUM(CAST(ret * ret AS DECIMAL(20,10))) AS DOUBLE) AS s2,
+         |   CAST(SUM(CAST(dn * dn AS DECIMAL(20,10))) AS DOUBLE) AS sd2
+         |   FROM f GROUP BY 1)
+         | SELECT event_type, n AS n_days,
+         |   round(s1 / nd, 6) AS mean_ret,
+         |   CASE WHEN (nd * s2 - s1 * s1) / (nd * (nd - 1.0e0)) > 0
+         |     THEN round(s1 / nd / sqrt((nd * s2 - s1 * s1) / (nd * (nd - 1.0e0))) * sqrt(252.0e0), 6) END AS sharpe,
+         |   CASE WHEN sd2 > 0
+         |     THEN round(s1 / nd / sqrt(sd2 / nd) * sqrt(252.0e0), 6) END AS sortino
+         | FROM g ORDER BY event_type""".stripMargin.replace("\n", ""),
     // same rank construction; ceil argument in DOUBLE on both engines, the
     // rank-based tail sum as 10-dp decimal
     "q_var_cvar" ->

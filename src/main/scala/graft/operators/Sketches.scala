@@ -175,6 +175,52 @@ object Sketches {
         col("n_false_positive").cast(DoubleType) / col("n_probe").cast(DoubleType), 6))
   }
 
+  /** Equi-width histogram quantile sketch (r11): the mergeable scale path
+    * for percentiles — the suite's exact nearest-rank percentiles
+    * (`q_value_percentiles`) window-sort every group, which at 100 TB is a
+    * full per-key sort; this sketch is two partial-aggregable passes
+    * (per-group bounds, then per-(group, bin) counts — `bins` rows per
+    * group on the shuffle regardless of input size), and histograms for
+    * disjoint shards merge by cell addition, the same rollup property as
+    * the KMV/CMS members of this file.
+    *
+    * Estimate: for quantile q with rank ⌈q·n⌉, the UPPER EDGE of the first
+    * bin whose cumulative count reaches the rank — deliberately
+    * interpolation-free, so the estimate is a fixed-shape double formula
+    * (`lo + width·(idx+1)`) both engines compute bit-identically. Error is
+    * bounded by one bin width (max−min)/bins. A constant group (max = min)
+    * estimates every quantile at that constant.
+    */
+  def histogramQuantiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, bins: Int, qs: Seq[Double]): DataFrame = {
+    val g = groupCols.map(col)
+    val x = col(valueCol).cast(DoubleType)
+    val bounds = df.groupBy(g: _*).agg(
+      min(x).as("__lo"), max(x).as("__hi"), count(lit(1)).as("n"))
+    val width = (col("__hi") - col("__lo")) / lit(bins.toDouble)
+    val idx = when(col("__hi") === col("__lo"), lit(0L))
+      .otherwise(least(lit((bins - 1).toLong),
+        floor((x - col("__lo")) / width).cast(LongType)))
+    val binCounts = df.join(bounds, groupCols)
+      .select(g :+ col("__lo") :+ col("__hi") :+ col("n") :+ idx.as("__idx"): _*)
+      .groupBy(g :+ col("__lo") :+ col("__hi") :+ col("n") :+ col("__idx"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = binCounts.withColumn("__cum", sum(col("__c")).over(w))
+    val estCols = qs.map { q =>
+      val rank = ceil(lit(q) * col("n").cast(DoubleType)).cast(LongType)
+      // first bin whose cumulative count reaches the rank → its upper edge
+      min(when(col("__cum") >= rank,
+        when(col("__hi") === col("__lo"), col("__lo"))
+          .otherwise(col("__lo") + width * (col("__idx") + 1L).cast(DoubleType))))
+        .as(s"p${(q * 100).round}_est")
+    }
+    cum.groupBy(g :+ col("__lo").as("lo") :+ col("__hi").as("hi") :+ col("n"): _*)
+      .agg(estCols.head, estCols.tail: _*)
+  }
+
   /** Point-query estimates for every key alongside its true count: the CMS
     * estimate is the MIN over the key's d cells. The d×w cell frame is
     * broadcast (it is sketch-sized by construction); the true count is the

@@ -69,6 +69,28 @@ class SketchesSpec extends SparkSpec {
     tiny.getLong(1) shouldBe (tiny.getLong(2) + tiny.getLong(3))
   }
 
+  test("histogramQuantiles: estimates land within one bin width of the exact " +
+       "nearest-rank percentile; constant groups estimate the constant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val vals = (1 to 1000).map(i => ("a", i.toDouble)) ++
+      (1 to 50).map(_ => ("const", 7.5))
+    val df = vals.toDF("k", "v")
+    val out = rows(Sketches.histogramQuantiles(df, Seq("k"), "v",
+      bins = 64, qs = Seq(0.5, 0.9, 0.99)).orderBy("k"))
+    val a = out.find(_.getString(0) == "a").get
+    val binW = (1000.0 - 1.0) / 64
+    // exact nearest-rank picks: p50=500, p90=900, p99=990
+    (a.getAs[Double]("p50_est") - 500.0).abs should be <= binW
+    (a.getAs[Double]("p90_est") - 900.0).abs should be <= binW
+    (a.getAs[Double]("p99_est") - 990.0).abs should be <= binW
+    // estimates are upper bin edges -> never below the true quantile
+    a.getAs[Double]("p50_est") should be >= 500.0
+    val c = out.find(_.getString(0) == "const").get
+    c.getAs[Double]("p50_est") shouldBe 7.5
+    c.getAs[Double]("p99_est") shouldBe 7.5
+  }
+
   test("BottomKAgg keeps the k smallest distinct values through reduce and merge") {
     val agg = new Sketches.BottomKAgg(3)
     val b = Seq(5L, 9L, 2L, 5L, 7L, 1L).foldLeft(agg.zero)(agg.reduce)
