@@ -1662,6 +1662,45 @@ object SparkEntry {
           e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 10)
         .orderBy("query_id", "rank")
     }),
+    // HYBRID retrieval with reciprocal-rank fusion (r11, Cormack'09 — the
+    // standard lexical+vector ensemble every RAG stack runs): per query
+    // doc, a 5-gram-Jaccard lexical ranking and an exact-cosine vector
+    // ranking (both bounded top-50 through TopKAgg — no full sorts), fused
+    // by RRF = Σ 1/(60 + rank) over the lists that contain the candidate,
+    // top-10 fused per query. Both rankings, the fusion arithmetic, and
+    // the (rrf desc, id) tie-break are fully restated by the dual.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val e = embeddings(s, dir)
+      val topk = udaf(new graft.operators.Similarity.TopKAgg(50),
+        org.apache.spark.sql.Encoders.product[graft.operators.Similarity.ScoredId])
+      val sets = Dedup.shingleSets(docs, "text", "doc_id", 5)
+      val qsets = sets.filter(col("id") < 3)
+        .select(col("id").as("query_id"), col("sh").as("qsh"))
+      val inter = size(array_intersect(col("sh"), col("qsh"))).cast(DoubleType)
+      val lexScored = sets.crossJoin(broadcast(qsets))
+        .filter(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id"),
+          (inter / (size(col("sh")) + size(col("qsh")) - inter)).as("score"))
+      val lex = lexScored.groupBy("query_id")
+        .agg(topk(col("score"), col("id")).as("t"))
+        .select(col("query_id"), posexplode(col("t")).as(Seq("r", "sx")))
+        .select(col("query_id"), col("sx.id").as("id"),
+          (col("r") + 1).cast(LongType).as("lex_rank"))
+      val vec = Similarity.bruteForceTopKAgg(e, e.filter(col("vec_id") < 3),
+          "embedding", "vec_id", 50)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank").as("vec_rank"))
+      val fused = lex.join(vec, Seq("query_id", "id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60.0) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0)), 9))
+      val wf = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("id"))
+      fused.withColumn("fused_rank", row_number().over(wf).cast(LongType))
+        .filter(col("fused_rank") <= 10)
+        .select("query_id", "id", "lex_rank", "vec_rank", "rrf", "fused_rank")
+        .orderBy("query_id", "fused_rank")
+    }),
+
     // the application layer over top-k: modal label of the 25 nearest
     // neighbors, integer votes, smallest-label tie-break
     "q_knn_classify" -> ((s, dir) => {
@@ -5905,6 +5944,45 @@ object SparkEntry {
          | FROM asg LEFT JOIN d ON d.vec_id = asg.vec_id
          | ORDER BY asg.vec_id""".stripMargin.replace("\n", "")
     },
+    // both rankings restated (zero-overlap candidates carry it = 0 via the
+    // left join, so the lexical tail matches TopKAgg's all-candidate rank),
+    // same RRF constant, same rounded fusion, same tie-break
+    "q_hybrid_rrf" ->
+      s"""WITH ${shingleCte(5)},
+         | sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+         | q AS (SELECT doc_id AS query_id FROM documents WHERE doc_id < 3),
+         | cand AS (SELECT q.query_id, d.doc_id AS id FROM q CROSS JOIN documents d
+         |   WHERE d.doc_id <> q.query_id),
+         | it AS (SELECT a.doc_id AS query_id, b.doc_id AS id, COUNT(*) AS it
+         |   FROM sh a JOIN sh b ON a.s = b.s
+         |   WHERE a.doc_id < 3 AND b.doc_id <> a.doc_id GROUP BY 1, 2),
+         | lexscore AS (SELECT c.query_id, c.id,
+         |   CAST(COALESCE(it.it, 0) AS DOUBLE) /
+         |     CAST(sa.sz + sb.sz - COALESCE(it.it, 0) AS DOUBLE) AS score
+         |   FROM cand c LEFT JOIN it ON it.query_id = c.query_id AND it.id = c.id
+         |   JOIN sizes sa ON sa.doc_id = c.query_id JOIN sizes sb ON sb.doc_id = c.id),
+         | lex AS (SELECT query_id, id, rnk AS lex_rank FROM (SELECT query_id, id,
+         |     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rnk
+         |   FROM lexscore) WHERE rnk <= 50),
+         | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         | norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+         | vscore AS (SELECT qv.vec_id AS query_id, c.vec_id AS id,
+         |   list_inner_product(qv.v, c.v) / (nq.nrm * nc.nrm) AS cos
+         |   FROM e qv JOIN e c ON c.vec_id <> qv.vec_id
+         |   JOIN norms nq ON nq.vec_id = qv.vec_id JOIN norms nc ON nc.vec_id = c.vec_id
+         |   WHERE qv.vec_id < 3),
+         | vec AS (SELECT query_id, id, rnk AS vec_rank FROM (SELECT query_id, id,
+         |     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rnk
+         |   FROM vscore) WHERE rnk <= 50),
+         | fused AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         |   COALESCE(l.id, v.id) AS id, l.lex_rank, v.vec_rank,
+         |   round(COALESCE(1.0 / (60.0 + l.lex_rank), 0.0) +
+         |     COALESCE(1.0 / (60.0 + v.vec_rank), 0.0), 9) AS rrf
+         |   FROM lex l FULL OUTER JOIN vec v ON v.query_id = l.query_id AND v.id = l.id)
+         | SELECT query_id, id, lex_rank, vec_rank, rrf,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, id) AS fused_rank
+         | FROM fused QUALIFY fused_rank <= 10
+         | ORDER BY query_id, fused_rank""".stripMargin.replace("\n", ""),
     "q_ann_topk_window" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
