@@ -1701,6 +1701,38 @@ object SparkEntry {
         .orderBy("query_id", "fused_rank")
     }),
 
+    // ...and its QUALITY gate (the recall/nDCG pattern applied to the
+    // hybrid): with the exact-cosine top-10 as the relevant set, MRR
+    // (1/rank of the first relevant fused hit) and precision@10 per query
+    // — integer/rational arithmetic, the numbers themselves hash-gated
+    "q_hybrid_mrr" -> ((s, dir) => {
+      val fused = queries("q_hybrid_rrf")(s, dir)
+        .select(col("query_id"), col("id"), col("fused_rank"))
+      val rel = Similarity.bruteForceTopKAgg(embeddings(s, dir),
+          embeddings(s, dir).filter(col("vec_id") < 3), "embedding", "vec_id", 10)
+        .select(col("query_id"), col("neighbor_id").as("id"))
+      fused.join(rel.withColumn("__rel", lit(1L)), Seq("query_id", "id"), "left")
+        .groupBy("query_id")
+        .agg(min(when(col("__rel").isNotNull, col("fused_rank"))).as("first_rel_rank"),
+          sum(coalesce(col("__rel"), lit(0L))).cast(LongType).as("n_relevant_in_10"))
+        .select(col("query_id"), col("first_rel_rank"),
+          round(coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)), 6).as("rr"),
+          (col("n_relevant_in_10").cast(DoubleType) / lit(10.0)).as("p_at_10"))
+        .orderBy("query_id")
+    }),
+
+    // MMR diversified re-rank (Carbonell'98): greedy λ·relevance −
+    // (1−λ)·max-sim-to-selected over each query's top-20 candidates, 5
+    // picks — the redundancy-pruning pass after retrieval; the greedy
+    // TRAJECTORY (argmax per step incl. tie-breaks) is what the unrolled
+    // dual restates
+    "q_mmr_rerank" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.mmrRerank(e, e.filter(col("vec_id") < 3), "embedding", "vec_id",
+          kCand = 20, kOut = 5, lambda = 0.5)
+        .orderBy("query_id", "mmr_rank")
+    }),
+
     // the application layer over top-k: modal label of the 25 nearest
     // neighbors, integer votes, smallest-label tie-break
     "q_knn_classify" -> ((s, dir) => {
@@ -4070,6 +4102,92 @@ object SparkEntry {
     * docFreq pruning) into a `p(id_a, id_b, jaccard)` relation — shared by
     * the pair oracle and the clustering oracle.
     */
+  /** Unrolled MMR dual of [[Similarity.mmrRerank]]: candidate top-kCand and
+    * pairwise sims once, then per greedy step t an anti-join against the
+    * accumulated selection, a bounded MAX penalty, and the identical
+    * `0.5·cos − 0.5·pen` argmax with id tie-break (λ = 0.5 dyadic-exact;
+    * ordering on the UNROUNDED score, rounding only in the emitted column —
+    * exactly the Spark side's discipline).
+    */
+  private def mmrSql(kCand: Int, kOut: Int): String = {
+    val base =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         | norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+         | sc AS (SELECT qv.vec_id AS query_id, c.vec_id AS id,
+         |   list_inner_product(qv.v, c.v) / (nq.nrm * nc.nrm) AS cos
+         |   FROM e qv JOIN e c ON c.vec_id <> qv.vec_id
+         |   JOIN norms nq ON nq.vec_id = qv.vec_id JOIN norms nc ON nc.vec_id = c.vec_id
+         |   WHERE qv.vec_id < 3),
+         | cand AS (SELECT query_id, id, cos FROM (SELECT query_id, id, cos,
+         |     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rn
+         |   FROM sc) WHERE rn <= $kCand),
+         | ps AS (SELECT a.query_id, a.id AS id_a, b.id AS id_b,
+         |   list_inner_product(ea.v, eb.v) / (na.nrm * nb.nrm) AS sim
+         |   FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.id <> b.id
+         |   JOIN e ea ON ea.vec_id = a.id JOIN e eb ON eb.vec_id = b.id
+         |   JOIN norms na ON na.vec_id = a.id JOIN norms nb ON nb.vec_id = b.id),
+         | s1 AS (SELECT query_id, id, round(0.5 * cos - 0.5 * 0.0, 6) AS mmr_score,
+         |   CAST(1 AS BIGINT) AS mmr_rank FROM (SELECT query_id, id, cos,
+         |     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rn
+         |   FROM cand) WHERE rn = 1),
+         | sel1 AS (SELECT query_id, id FROM s1)""".stripMargin
+    val steps = (2 to kOut).map { t =>
+      s""" pen$t AS (SELECT c.query_id, c.id, c.cos, MAX(p.sim) AS pen
+         |   FROM cand c
+         |   LEFT JOIN sel${t - 1} x ON x.query_id = c.query_id AND x.id = c.id
+         |   JOIN sel${t - 1} s ON s.query_id = c.query_id
+         |   JOIN ps p ON p.query_id = c.query_id AND p.id_a = c.id AND p.id_b = s.id
+         |   WHERE x.id IS NULL GROUP BY 1, 2, 3),
+         | s$t AS (SELECT query_id, id, round(0.5 * cos - 0.5 * pen, 6) AS mmr_score,
+         |   CAST($t AS BIGINT) AS mmr_rank FROM (SELECT query_id, id, cos, pen,
+         |     row_number() OVER (PARTITION BY query_id ORDER BY (0.5 * cos - 0.5 * pen) DESC, id) AS rn
+         |   FROM pen$t) WHERE rn = 1),
+         | sel$t AS (SELECT query_id, id FROM sel${t - 1} UNION ALL SELECT query_id, id FROM s$t)""".stripMargin
+    }
+    val union = (1 to kOut).map(t => s"SELECT * FROM s$t").mkString(" UNION ALL ")
+    ((base +: steps).mkString(",") +
+      s" SELECT query_id, id, mmr_score, mmr_rank FROM ($union)" +
+      " ORDER BY query_id, mmr_rank").replace("\n", "")
+  }
+
+  /** Hybrid-RRF dual, shared by `q_hybrid_rrf` and its quality gate. */
+  private lazy val hybridRrfSql: String =
+    s"""WITH ${shingleCte(5)},
+         | sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+         | q AS (SELECT doc_id AS query_id FROM documents WHERE doc_id < 3),
+         | cand AS (SELECT q.query_id, d.doc_id AS id FROM q CROSS JOIN documents d
+         |   WHERE d.doc_id <> q.query_id),
+         | it AS (SELECT a.doc_id AS query_id, b.doc_id AS id, COUNT(*) AS it
+         |   FROM sh a JOIN sh b ON a.s = b.s
+         |   WHERE a.doc_id < 3 AND b.doc_id <> a.doc_id GROUP BY 1, 2),
+         | lexscore AS (SELECT c.query_id, c.id,
+         |   CAST(COALESCE(it.it, 0) AS DOUBLE) /
+         |     CAST(sa.sz + sb.sz - COALESCE(it.it, 0) AS DOUBLE) AS score
+         |   FROM cand c LEFT JOIN it ON it.query_id = c.query_id AND it.id = c.id
+         |   JOIN sizes sa ON sa.doc_id = c.query_id JOIN sizes sb ON sb.doc_id = c.id),
+         | lex AS (SELECT query_id, id, rnk AS lex_rank FROM (SELECT query_id, id,
+         |     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rnk
+         |   FROM lexscore) WHERE rnk <= 50),
+         | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         | norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+         | vscore AS (SELECT qv.vec_id AS query_id, c.vec_id AS id,
+         |   list_inner_product(qv.v, c.v) / (nq.nrm * nc.nrm) AS cos
+         |   FROM e qv JOIN e c ON c.vec_id <> qv.vec_id
+         |   JOIN norms nq ON nq.vec_id = qv.vec_id JOIN norms nc ON nc.vec_id = c.vec_id
+         |   WHERE qv.vec_id < 3),
+         | vec AS (SELECT query_id, id, rnk AS vec_rank FROM (SELECT query_id, id,
+         |     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rnk
+         |   FROM vscore) WHERE rnk <= 50),
+         | fused AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         |   COALESCE(l.id, v.id) AS id, l.lex_rank, v.vec_rank,
+         |   round(COALESCE(1.0 / (60.0 + l.lex_rank), 0.0) +
+         |     COALESCE(1.0 / (60.0 + v.vec_rank), 0.0), 9) AS rrf
+         |   FROM lex l FULL OUTER JOIN vec v ON v.query_id = l.query_id AND v.id = l.id)
+         | SELECT query_id, id, lex_rank, vec_rank, rrf,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, id) AS fused_rank
+         | FROM fused QUALIFY fused_rank <= 10
+         | ORDER BY query_id, fused_rank""".stripMargin.replace("\n", "")
+
   private def exactJaccardCtes(n: Int, threshold: Double): String =
     s"""${shingleCte(n)},
        | sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
@@ -5947,42 +6065,30 @@ object SparkEntry {
     // both rankings restated (zero-overlap candidates carry it = 0 via the
     // left join, so the lexical tail matches TopKAgg's all-candidate rank),
     // same RRF constant, same rounded fusion, same tie-break
-    "q_hybrid_rrf" ->
-      s"""WITH ${shingleCte(5)},
-         | sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-         | q AS (SELECT doc_id AS query_id FROM documents WHERE doc_id < 3),
-         | cand AS (SELECT q.query_id, d.doc_id AS id FROM q CROSS JOIN documents d
-         |   WHERE d.doc_id <> q.query_id),
-         | it AS (SELECT a.doc_id AS query_id, b.doc_id AS id, COUNT(*) AS it
-         |   FROM sh a JOIN sh b ON a.s = b.s
-         |   WHERE a.doc_id < 3 AND b.doc_id <> a.doc_id GROUP BY 1, 2),
-         | lexscore AS (SELECT c.query_id, c.id,
-         |   CAST(COALESCE(it.it, 0) AS DOUBLE) /
-         |     CAST(sa.sz + sb.sz - COALESCE(it.it, 0) AS DOUBLE) AS score
-         |   FROM cand c LEFT JOIN it ON it.query_id = c.query_id AND it.id = c.id
-         |   JOIN sizes sa ON sa.doc_id = c.query_id JOIN sizes sb ON sb.doc_id = c.id),
-         | lex AS (SELECT query_id, id, rnk AS lex_rank FROM (SELECT query_id, id,
-         |     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rnk
-         |   FROM lexscore) WHERE rnk <= 50),
-         | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         | norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-         | vscore AS (SELECT qv.vec_id AS query_id, c.vec_id AS id,
+    "q_hybrid_rrf" -> hybridRrfSql,
+    "q_mmr_rerank" -> mmrSql(kCand = 20, kOut = 5),
+    // the fused list nested as a CTE; relevant set = exact-cosine top-10,
+    // MRR/precision in integer/rational arithmetic
+    "q_hybrid_mrr" ->
+      s"""WITH hybrid AS ($hybridRrfSql),
+         | e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         | norms2 AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e2),
+         | bs AS (SELECT qv.vec_id AS query_id, c.vec_id AS id,
          |   list_inner_product(qv.v, c.v) / (nq.nrm * nc.nrm) AS cos
-         |   FROM e qv JOIN e c ON c.vec_id <> qv.vec_id
-         |   JOIN norms nq ON nq.vec_id = qv.vec_id JOIN norms nc ON nc.vec_id = c.vec_id
+         |   FROM e2 qv JOIN e2 c ON c.vec_id <> qv.vec_id
+         |   JOIN norms2 nq ON nq.vec_id = qv.vec_id JOIN norms2 nc ON nc.vec_id = c.vec_id
          |   WHERE qv.vec_id < 3),
-         | vec AS (SELECT query_id, id, rnk AS vec_rank FROM (SELECT query_id, id,
+         | rel AS (SELECT query_id, id FROM (SELECT query_id, id,
          |     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rnk
-         |   FROM vscore) WHERE rnk <= 50),
-         | fused AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
-         |   COALESCE(l.id, v.id) AS id, l.lex_rank, v.vec_rank,
-         |   round(COALESCE(1.0 / (60.0 + l.lex_rank), 0.0) +
-         |     COALESCE(1.0 / (60.0 + v.vec_rank), 0.0), 9) AS rrf
-         |   FROM lex l FULL OUTER JOIN vec v ON v.query_id = l.query_id AND v.id = l.id)
-         | SELECT query_id, id, lex_rank, vec_rank, rrf,
-         |   row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, id) AS fused_rank
-         | FROM fused QUALIFY fused_rank <= 10
-         | ORDER BY query_id, fused_rank""".stripMargin.replace("\n", ""),
+         |   FROM bs) WHERE rnk <= 10),
+         | j AS (SELECT h.query_id, h.fused_rank,
+         |   CASE WHEN r.id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |   FROM hybrid h LEFT JOIN rel r ON r.query_id = h.query_id AND r.id = h.id)
+         | SELECT query_id,
+         |   MIN(CASE WHEN rel = 1 THEN fused_rank END) AS first_rel_rank,
+         |   round(COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN fused_rank END), 0.0), 6) AS rr,
+         |   CAST(CAST(SUM(rel) AS BIGINT) AS DOUBLE) / 10.0 AS p_at_10
+         | FROM j GROUP BY 1 ORDER BY query_id""".stripMargin.replace("\n", ""),
     "q_ann_topk_window" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),

@@ -393,6 +393,64 @@ object Similarity {
         .drop("__nsplit")
     }
 
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein, SIGIR'98 —
+    * the diversified-retrieval pass RAG stacks run after top-k): from each
+    * query's `kCand` nearest candidates, greedily select `kOut` maximizing
+    * `λ·cos(q, d) − (1−λ)·max_{s ∈ selected} cos(d, s)` — relevance traded
+    * against redundancy with what is already picked. Selection order IS the
+    * output rank; ties break by ascending id, so the greedy trajectory is
+    * deterministic and (with the dyadic default λ = 0.5) bit-reproducible —
+    * the dual unrolls the same steps.
+    *
+    * Scale: the candidate frame is Q×kCand and the pair-sim frame Q×kCand²
+    * — both bounded by the re-rank window, never corpus-sized (that is the
+    * point of re-ranking after retrieval). Each greedy step is one
+    * anti-join + one bounded max-aggregation + one per-query argmax over
+    * ≤ kCand rows; kOut steps total, each frame localCheckpoint'ed so the
+    * iterated plan stays flat (the CC/kmeans lesson).
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, kCand: Int, kOut: Int, lambda: Double = 0.5): DataFrame = {
+    require(kOut <= kCand, "kOut must not exceed kCand")
+    val cands = bruteForceTopKAgg(corpus, queries, vecCol, idCol, kCand)
+      .select(col("query_id"), col("neighbor_id").as("id"), col("cos"))
+      .localCheckpoint(true)
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val ps = cands.as("a").join(cands.as("b"),
+        col("a.query_id") === col("b.query_id") && col("a.id") =!= col("b.id"))
+      .select(col("a.query_id").as("query_id"), col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .select(col("query_id"), col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .localCheckpoint(true)
+    val w1 = Window.partitionBy("query_id").orderBy(col("cos").desc, col("id"))
+    var selected = cands.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("id"),
+        round(lit(lambda) * col("cos") - lit(1.0 - lambda) * lit(0.0), 6).as("mmr_score"),
+        lit(1L).as("mmr_rank"))
+      .localCheckpoint(true)
+    (2 to kOut).foreach { t =>
+      val sel = selected.select("query_id", "id")
+      val remaining = cands.join(sel, Seq("query_id", "id"), "left_anti")
+      val pen = remaining
+        .join(ps.select(col("query_id"), col("id_a").as("id"), col("id_b"), col("sim")),
+          Seq("query_id", "id"))
+        .join(sel.select(col("query_id"), col("id").as("id_b")), Seq("query_id", "id_b"))
+        .groupBy("query_id", "id", "cos").agg(max(col("sim")).as("__pen"))
+      val score = lit(lambda) * col("cos") - lit(1.0 - lambda) * col("__pen")
+      val wt = Window.partitionBy("query_id").orderBy(score.desc, col("id"))
+      val next = pen.withColumn("__rn", row_number().over(wt))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("id"), round(score, 6).as("mmr_score"),
+          lit(t.toLong).as("mmr_rank"))
+      selected = selected.unionByName(next).localCheckpoint(true)
+    }
+    selected
+  }
+
   /** Embedding outlier detection: squared distance to the vector's own
     * label centroid, z-scored within the label — the curation pass that
     * flags mislabeled / noise / off-distribution vectors before they pollute

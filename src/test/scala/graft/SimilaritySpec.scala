@@ -203,6 +203,26 @@ class SimilaritySpec extends SparkSpec {
     key(appended) shouldBe key(full)
   }
 
+  test("mmrRerank: the second pick diversifies away from the first pick's near-clone " +
+       "even though the clone has higher raw relevance") {
+    import spark.implicits._
+    // query along +x; candidates: two near-identical high-relevance vectors
+    // (10, 11) and one moderately relevant orthogonal-ish vector (12).
+    // Pure relevance ranks 10, 11, 12 — MMR at λ=0.5 must pick 10 then 12
+    // (11's redundancy penalty ≈ its relevance; 12's penalty ≈ 0).
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)),
+      (11L, Array(0.999f, 0.045f)),
+      (12L, Array(0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(1.0f, 0.001f))).toDF("vec_id", "embedding")
+    val out = rows(Similarity.mmrRerank(corpus, q, "embedding", "vec_id",
+        kCand = 3, kOut = 3).orderBy("mmr_rank"))
+      .map(r => (r.getLong(1), r.getLong(3)))
+    out.map(_._1) shouldBe Seq(10L, 12L, 11L)
+    out.map(_._2) shouldBe Seq(1L, 2L, 3L)
+  }
+
   test("semDedup maxCellSize: a pathological single centroid cannot plan an n² pair stage — " +
        "subcell split bounds pair volume; exact dups sharing a subcell still drop") {
     import spark.implicits._
