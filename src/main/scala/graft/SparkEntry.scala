@@ -2575,6 +2575,43 @@ object SparkEntry {
         }
       }.orderBy("event_type", "rnk")
     }),
+    // ANN SERVING as a continuous query (r11): query vectors ARRIVE AS A
+    // STREAM and probe the static cached IVF index — probe-cell explode is
+    // narrow on the stream side, the index attach is a STATELESS
+    // stream-static equi-join on the cell key, and the per-query ranking is
+    // the bounded TopKAgg in complete mode (k-element state per query).
+    // This is the lookup-service shape a deployed vector index runs; the
+    // oracle is the batch probe over the same queries.
+    "q_stream_ann" -> ((s, dir) => {
+      tune(s)
+      streamResult(s, dir, "ann") {
+        withStreamConf(s) {
+          import s.implicits._
+          val cents = Dedup.hyperplanes(16, 64, seed = 7L).zipWithIndex
+            .map { case (v, i) => (i.toLong, v) }.toDF("cell_id", "centroid")
+          val index = Similarity.ivfIndexCached(embeddings(s, dir), cents,
+            "embedding", "vec_id", key = s"litcents:$dir")
+          val schema = table(s, dir, "embeddings").schema
+          val qstream = s.readStream.schema(schema)
+            .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+            .filter(col("vec_id") < 10)
+          val scored = Similarity.probeCells(qstream, cents, "embedding", "vec_id", nprobe = 2)
+            .join(index, Seq("cell"))
+            .filter(col("neighbor_id") =!= col("query_id"))
+            .select(col("query_id"), col("neighbor_id"),
+              (Similarity.dot(col("qv"), col("cv")) / (col("nq") * col("nc"))).as("cos"))
+          val topk = udaf(new graft.operators.Similarity.TopKAgg(10),
+            org.apache.spark.sql.Encoders.product[graft.operators.Similarity.ScoredId])
+          val agg = scored.groupBy("query_id")
+            .agg(topk(col("cos"), col("neighbor_id")).as("__top"))
+            .select(col("query_id"), posexplode(col("__top")).as(Seq("__r", "__s")))
+            .select(col("query_id"), col("__s.id").as("neighbor_id"),
+              col("__s.score").as("cos"), (col("__r") + 1).cast(LongType).as("rank"))
+          graft.streaming.Streaming.runToMemory(s, agg, "stream_ann")
+        }
+      }.orderBy("query_id", "rank")
+    }),
+
     // the funnel as a CONTINUOUS query: per-user chain state (three longs)
     // folded via mapGroupsWithState; the sink holds (user, furthest stage)
     // and the read side rolls it into q_funnel's exact step counts — one
@@ -5971,6 +6008,9 @@ object SparkEntry {
     // ...and ≡ the probe over the lake-landed index (same pipeline, the
     // index merely round-trips parquet)
     "q_ivf_persisted" -> ivfProbeSql(nlist = 16, dim = 64, nprobe = 2, k = 10),
+    // ...and ≡ the STREAMED probe (AvailableNow over the fixed query file
+    // must land on the batch probe exactly)
+    "q_stream_ann" -> ivfProbeSql(nlist = 16, dim = 64, nprobe = 2, k = 10),
     // three full recall pipelines, one per nprobe, unioned into the curve
     "q_ivf_recall_curve" -> Seq(1, 2, 4).map { np =>
       s"SELECT CAST($np AS BIGINT) AS nprobe, n_queries, hits, recall FROM (" +

@@ -292,14 +292,24 @@ object Similarity {
     * set (PlanGuardSpec pins this). Same (cos desc, id asc) order and ranks
     * as the window form, bit-identical output.
     */
-  def ivfProbe(
-      index: DataFrame, queries: DataFrame, centroids: DataFrame,
-      vecCol: String, idCol: String, k: Int, nprobe: Int = 2): DataFrame = {
-    val queryCells = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+  /** (query_id, qv, nq, cell) probe rows: each query exploded to its
+    * `nprobe` nearest cells against the broadcast centroid list — narrow
+    * (no shuffle), and legal on a STREAMING query frame (the centroid list
+    * is a 1-row broadcast static side), which is what [[ivfProbe]] and the
+    * streaming ANN serve share.
+    */
+  def probeCells(queries: DataFrame, centroids: DataFrame, vecCol: String,
+      idCol: String, nprobe: Int): DataFrame =
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("nq", norm(col("qv")))
       .crossJoin(cellList(centroids))
       .withColumn("cell", explode(transform(nearestCells(col("qv"), nprobe), _.getField("cell_id"))))
       .drop("__cells")
+
+  def ivfProbe(
+      index: DataFrame, queries: DataFrame, centroids: DataFrame,
+      vecCol: String, idCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    val queryCells = probeCells(queries, centroids, vecCol, idCol, nprobe)
     val scored = index.join(broadcast(queryCells), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
