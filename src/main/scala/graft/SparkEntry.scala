@@ -1721,6 +1721,15 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // greedy farthest-point k-center selection (Gonzalez'85): the corpus-
+    // level diverse-coreset pass (data pruning / coverage seeding) — 8
+    // centers, each step one corpus scan + a 1-row argmax; the greedy
+    // trajectory (incl. squared-L2 identity + id tie-breaks) is restated
+    // step by step by the unrolled dual
+    "q_kcenters" -> ((s, dir) =>
+      Similarity.kCenters(embeddings(s, dir), "embedding", "vec_id", k = 8)
+        .orderBy("center_rank")),
+
     // MMR diversified re-rank (Carbonell'98): greedy λ·relevance −
     // (1−λ)·max-sim-to-selected over each query's top-20 candidates, 5
     // picks — the redundancy-pruning pass after retrieval; the greedy
@@ -4187,6 +4196,36 @@ object SparkEntry {
       " ORDER BY query_id, mmr_rank").replace("\n", "")
   }
 
+  /** Unrolled farthest-point dual of [[Similarity.kCenters]]: per step, the
+    * per-candidate distance is MIN over the selected set of the identical
+    * `v·v − 2·v·c + c·c` double expression; argmax by (dist DESC, id), the
+    * winner's vector carried forward into the next step's selected set.
+    */
+  private def kCentersSql(k: Int): String = {
+    val base =
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | c1 AS (SELECT id, v FROM e WHERE id = (SELECT MIN(id) FROM e)),
+        | sel1 AS (SELECT id FROM c1),
+        | cs1 AS (SELECT id, v FROM c1)""".stripMargin
+    val steps = (2 to k).map { t =>
+      s""" d$t AS (SELECT e.id,
+         |   MIN(list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, s.v)
+         |     + list_inner_product(s.v, s.v)) AS d
+         |   FROM e CROSS JOIN cs${t - 1} s
+         |   WHERE e.id NOT IN (SELECT id FROM sel${t - 1}) GROUP BY e.id),
+         | c$t AS (SELECT e.id, e.v, d$t.d FROM d$t JOIN e ON e.id = d$t.id
+         |   ORDER BY d$t.d DESC, e.id LIMIT 1),
+         | sel$t AS (SELECT id FROM sel${t - 1} UNION ALL SELECT id FROM c$t),
+         | cs$t AS (SELECT id, v FROM cs${t - 1} UNION ALL SELECT id, v FROM c$t)""".stripMargin
+    }
+    val rows = (s"SELECT CAST(1 AS BIGINT) AS center_rank, id AS vec_id," +
+      s" CAST(NULL AS DOUBLE) AS dist_at_selection FROM c1") +:
+      (2 to k).map(t => s"SELECT CAST($t AS BIGINT), id, round(d, 6) FROM c$t")
+    ((base +: steps).mkString(",") +
+      s" SELECT * FROM (${rows.mkString(" UNION ALL ")}) ORDER BY center_rank")
+      .replace("\n", "")
+  }
+
   /** Hybrid-RRF dual, shared by `q_hybrid_rrf` and its quality gate. */
   private lazy val hybridRrfSql: String =
     s"""WITH ${shingleCte(5)},
@@ -6107,6 +6146,7 @@ object SparkEntry {
     // same RRF constant, same rounded fusion, same tie-break
     "q_hybrid_rrf" -> hybridRrfSql,
     "q_mmr_rerank" -> mmrSql(kCand = 20, kOut = 5),
+    "q_kcenters" -> kCentersSql(k = 8),
     // the fused list nested as a CTE; relevant set = exact-cosine top-10,
     // MRR/precision in integer/rational arithmetic
     "q_hybrid_mrr" ->

@@ -461,6 +461,47 @@ object Similarity {
     selected
   }
 
+  /** Greedy farthest-point (k-center / Gonzalez'85) coreset selection: start
+    * from the minimum-id vector, then repeatedly add the vector FARTHEST
+    * from the selected set (squared-L2 via the `v·v − 2·v·c + c·c` identity
+    * on the sequential-double kernel; ties → smallest id). The classic
+    * 2-approximation to the k-center cover — the corpus-level diversity
+    * selection (coreset building, diverse-subset data pruning) that
+    * complements [[mmrRerank]]'s per-query window.
+    *
+    * Scale: the driver-iteration pattern (kmeans/PCA-w): selected centers
+    * are k·dim doubles on the driver, shipped back as LITERALS; each step
+    * is ONE corpus scan computing min-dist-to-selected (a `least` over t
+    * codegen'd dot products — no join) + one TakeOrdered(1) argmax. k
+    * corpus passes total, nothing driver-side beyond the k vectors.
+    */
+  def kCenters(corpus: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
+    val vecs = corpus.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v")).localCheckpoint(true)
+    val first = vecs.orderBy(col("id")).limit(1).collect()(0)
+    var centers = Vector((first.getLong(0), first.getSeq[Double](1).toArray))
+    var out = Vector((1L, first.getLong(0), Option.empty[Double]))
+    (2 to k).foreach { t =>
+      val dists = centers.map { case (_, c) =>
+        val cl = typedLit(c.toSeq)
+        dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), cl) + dot(cl, cl)
+      }
+      val minDist = dists.reduce((a, b) => least(a, b))
+      val picked = vecs.filter(!col("id").isInCollection(centers.map(_._1)))
+        .select(col("id"), col("v"), minDist.as("d"))
+        .orderBy(col("d").desc, col("id").asc).limit(1).collect()(0)
+      centers :+= ((picked.getLong(0), picked.getSeq[Double](1).toArray))
+      out :+= ((t.toLong, picked.getLong(0), Some(picked.getDouble(2))))
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // HALF_UP like SQL round(x, 6) — rint would round half-even
+    out.map { case (r, id, d) => (r, id, d.map(x =>
+        java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())) }
+      .toDF("center_rank", "vec_id", "dist_at_selection")
+  }
+
   /** Embedding outlier detection: squared distance to the vector's own
     * label centroid, z-scored within the label — the curation pass that
     * flags mislabeled / noise / off-distribution vectors before they pollute
