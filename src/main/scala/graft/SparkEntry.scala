@@ -1735,6 +1735,28 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // END-TO-END retrieval pipeline (the serving-side flagship, r11):
+    // exact-dedup survivors → IVF index over the surviving embeddings
+    // (frozen litcents quantizer) → nprobe=4 probe for the query batch →
+    // the probe list fed straight into the MMR greedy as its candidate set
+    // → diverse top-5 answers. Every stage is an already-gated operator;
+    // this gates their COMPOSITION (the dual chains the same stages).
+    "q_retrieval_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val cents = Dedup.hyperplanes(16, 64, seed = 7L).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("cell_id", "centroid")
+      val e = embeddings(s, dir)
+      val survivors = Dedup.exact(documents(s, dir), "text", "doc_id")
+        .select(col("doc_id").as("vec_id"))
+      val corpus = e.join(survivors, Seq("vec_id"), "left_semi")
+      val index = Similarity.ivfAssign(corpus, cents, "embedding", "vec_id")
+      val cands = Similarity.ivfProbe(index, e.filter(col("vec_id") < 3), cents,
+          "embedding", "vec_id", k = 20, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("cos"))
+      Similarity.mmrRerankFrom(cands, e, "embedding", "vec_id", kOut = 5)
+        .orderBy("query_id", "mmr_rank")
+    }),
+
     // greedy farthest-point k-center selection (Gonzalez'85): the corpus-
     // level diverse-coreset pass (data pruning / coverage seeding) — 8
     // centers, each step one corpus scan + a 1-row argmax; the greedy
@@ -4163,19 +4185,14 @@ object SparkEntry {
     * ordering on the UNROUNDED score, rounding only in the emitted column —
     * exactly the Spark side's discipline).
     */
-  private def mmrSql(kCand: Int, kOut: Int): String = {
+  /** The greedy-step CTE chain shared by the MMR duals: requires CTEs
+    * `e`(vec_id, v), `norms`(vec_id, nrm), and `cand`(query_id, id, cos)
+    * to be in scope; appends the pair-sim table and kOut unrolled argmax
+    * steps, returning the final SELECT.
+    */
+  private def mmrStepsSql(kOut: Int): String = {
     val base =
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         | norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-         | sc AS (SELECT qv.vec_id AS query_id, c.vec_id AS id,
-         |   list_inner_product(qv.v, c.v) / (nq.nrm * nc.nrm) AS cos
-         |   FROM e qv JOIN e c ON c.vec_id <> qv.vec_id
-         |   JOIN norms nq ON nq.vec_id = qv.vec_id JOIN norms nc ON nc.vec_id = c.vec_id
-         |   WHERE qv.vec_id < 3),
-         | cand AS MATERIALIZED (SELECT query_id, id, cos FROM (SELECT query_id, id, cos,
-         |     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rn
-         |   FROM sc) WHERE rn <= $kCand),
-         | ps AS MATERIALIZED (SELECT a.query_id, a.id AS id_a, b.id AS id_b,
+      s""" ps AS MATERIALIZED (SELECT a.query_id, a.id AS id_a, b.id AS id_b,
          |   list_inner_product(ea.v, eb.v) / (na.nrm * nb.nrm) AS sim
          |   FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.id <> b.id
          |   JOIN e ea ON ea.vec_id = a.id JOIN e eb ON eb.vec_id = b.id
@@ -4202,6 +4219,61 @@ object SparkEntry {
     ((base +: steps).mkString(",") +
       s" SELECT query_id, id, mmr_score, mmr_rank FROM ($union)" +
       " ORDER BY query_id, mmr_rank").replace("\n", "")
+  }
+
+  /** Unrolled MMR dual of [[Similarity.mmrRerank]] (brute-force top-kCand
+    * candidates + the shared greedy steps).
+    */
+  private def mmrSql(kCand: Int, kOut: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       | norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       | sc AS (SELECT qv.vec_id AS query_id, c.vec_id AS id,
+       |   list_inner_product(qv.v, c.v) / (nq.nrm * nc.nrm) AS cos
+       |   FROM e qv JOIN e c ON c.vec_id <> qv.vec_id
+       |   JOIN norms nq ON nq.vec_id = qv.vec_id JOIN norms nc ON nc.vec_id = c.vec_id
+       |   WHERE qv.vec_id < 3),
+       | cand AS MATERIALIZED (SELECT query_id, id, cos FROM (SELECT query_id, id, cos,
+       |     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rn
+       |   FROM sc) WHERE rn <= $kCand),""".stripMargin.replace("\n", "") +
+      mmrStepsSql(kOut)
+
+  /** End-to-end retrieval pipeline dual: exact-dedup survivors → IVF
+    * assignment over the surviving embeddings (litcents) → nprobe probe →
+    * the probe list AS the MMR candidate set → the shared greedy steps.
+    */
+  private def retrievalPipelineSql(nlist: Int, dim: Int, nprobe: Int,
+      kCand: Int, kOut: Int): String = {
+    val cents = Dedup.hyperplanes(nlist, dim, seed = 7L).zipWithIndex.map { case (v, i) =>
+      s"($i, [${v.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}])"
+    }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       | surv AS (SELECT MIN(doc_id) AS vec_id FROM documents GROUP BY md5(text)),
+       | es AS (SELECT e.vec_id, e.v FROM e JOIN surv USING (vec_id)),
+       | cents(cell_id, c) AS (VALUES $cents),
+       | ascore AS (SELECT es.vec_id, cents.cell_id,
+       |   list_inner_product(es.v, cents.c) /
+       |     (sqrt(list_inner_product(es.v, es.v)) * sqrt(list_inner_product(cents.c, cents.c))) AS cs
+       |   FROM es CROSS JOIN cents),
+       | asg AS (SELECT vec_id, cell_id FROM (SELECT vec_id, cell_id,
+       |     row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id DESC) AS rn
+       |   FROM ascore) WHERE rn = 1),
+       | qscore AS (SELECT e.vec_id, cents.cell_id,
+       |   list_inner_product(e.v, cents.c) /
+       |     (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(cents.c, cents.c))) AS cs
+       |   FROM e CROSS JOIN cents WHERE e.vec_id < 3),
+       | qcells AS (SELECT vec_id AS query_id, cell_id FROM (SELECT vec_id, cell_id,
+       |     row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id DESC) AS rn
+       |   FROM qscore) WHERE rn <= $nprobe),
+       | norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       | iscore AS (SELECT qc.query_id, a.vec_id AS id,
+       |   list_inner_product(eq.v, ec.v) / (nq.nrm * nc.nrm) AS cos
+       |   FROM qcells qc JOIN asg a ON a.cell_id = qc.cell_id AND a.vec_id <> qc.query_id
+       |   JOIN e eq ON eq.vec_id = qc.query_id JOIN e ec ON ec.vec_id = a.vec_id
+       |   JOIN norms nq ON nq.vec_id = qc.query_id JOIN norms nc ON nc.vec_id = a.vec_id),
+       | cand AS MATERIALIZED (SELECT query_id, id, cos FROM (SELECT query_id, id, cos,
+       |     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rn
+       |   FROM iscore) WHERE rn <= $kCand),""".stripMargin.replace("\n", "") +
+      mmrStepsSql(kOut)
   }
 
   /** Unrolled farthest-point dual of [[Similarity.kCenters]]: per step, the
@@ -6158,6 +6230,8 @@ object SparkEntry {
     "q_hybrid_rrf" -> hybridRrfSql,
     "q_mmr_rerank" -> mmrSql(kCand = 20, kOut = 5),
     "q_kcenters" -> kCentersSql(k = 8),
+    "q_retrieval_pipeline" ->
+      retrievalPipelineSql(nlist = 16, dim = 64, nprobe = 4, kCand = 20, kOut = 5),
     // the fused list nested as a CTE; relevant set = exact-cosine top-10,
     // MRR/precision in integer/rational arithmetic
     "q_hybrid_mrr" ->

@@ -420,11 +420,20 @@ object Similarity {
     * iterated plan stays flat (the CC/kmeans lesson).
     */
   def mmrRerank(corpus: DataFrame, queries: DataFrame, vecCol: String,
-      idCol: String, kCand: Int, kOut: Int, lambda: Double = 0.5): DataFrame = {
-    require(kOut <= kCand, "kOut must not exceed kCand")
-    val cands = bruteForceTopKAgg(corpus, queries, vecCol, idCol, kCand)
-      .select(col("query_id"), col("neighbor_id").as("id"), col("cos"))
-      .localCheckpoint(true)
+      idCol: String, kCand: Int, kOut: Int, lambda: Double = 0.5): DataFrame =
+    mmrRerankFrom(
+      bruteForceTopKAgg(corpus, queries, vecCol, idCol, kCand)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("cos")),
+      corpus, vecCol, idCol, kOut, lambda)
+
+  /** [[mmrRerank]] over an ARBITRARY candidate list (query_id, id, cos) —
+    * the composable form: feed it the bounded brute-force top-k, an IVF
+    * probe list, or a fused hybrid list; the greedy diversification is
+    * provider-agnostic.
+    */
+  def mmrRerankFrom(candidates: DataFrame, corpus: DataFrame, vecCol: String,
+      idCol: String, kOut: Int, lambda: Double = 0.5): DataFrame = {
+    val cands = candidates.localCheckpoint(true)
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
     val ps = cands.as("a").join(cands.as("b"),
