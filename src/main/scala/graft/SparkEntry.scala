@@ -3764,6 +3764,58 @@ object SparkEntry {
         ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""")
     }),
 
+    // TPC-H Q6 shape (forecasting revenue change): the pure scan-filter-agg
+    // — predicate pushdown straight into the parquet scan, one decimal agg,
+    // no join at all (the baseline every column store is fastest at)
+    "q_tpch_q6" -> ((s, dir) => {
+      lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        FROM v_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")
+    }),
+
+    // TPC-H Q14 shape (promotion effect): CASE share-of-total over one
+    // part⋈lineitem month slice — conditional numerator and denominator in
+    // ONE aggregate pass, decimal-exact, one double division at the end
+    "q_tpch_q14" -> ((s, dir) => {
+      lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      table(s, dir, "part").createOrReplaceTempView("v_part")
+      s.sql("""
+        SELECT round(100.0 *
+          CAST(SUM(CASE WHEN p_type = 'PROMO'
+            THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+            ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+          / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE),
+          6) AS promo_revenue
+        FROM v_lineitem JOIN v_part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""")
+    }),
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicates): the
+    // three-armed OR of conjunctions over the part⋈lineitem join — the
+    // filter structure that exercises CNF conversion / join-predicate
+    // pushout. Adapted literals (no p_container here: brand + size +
+    // quantity bands play its role).
+    "q_tpch_q19" -> ((s, dir) => {
+      lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      table(s, dir, "part").createOrReplaceTempView("v_part")
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+        WHERE
+          (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+            AND l_quantity >= 1 AND l_quantity <= 11)
+          OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+            AND l_quantity >= 10 AND l_quantity <= 20)
+          OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+            AND l_quantity >= 20 AND l_quantity <= 30)""")
+    }),
+
     // TPC-H Q7 shape (volume shipping): the two-nation disjunctive join
     // residual ((n1,n2) ∈ {(A,B),(B,A)}) over the 6-way snowflake with a
     // year extraction — dims broadcast, the fact side shuffles once into
@@ -7481,6 +7533,33 @@ object SparkEntry {
         |   AND EXISTS (SELECT 1 FROM lineitem
         |     WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", ""),
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |   AND l_discount BETWEEN 0.05 AND 0.07
+        |   AND l_quantity < 24""".stripMargin.replace("\n", ""),
+    "q_tpch_q14" ->
+      """SELECT round(100.0 *
+        |   CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+        |     ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+        |   / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE),
+        |   6) AS promo_revenue
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |   AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin.replace("\n", ""),
+    "q_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        | FROM lineitem JOIN part ON p_partkey = l_partkey
+        | WHERE
+        |   (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |     AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |     AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |     AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin.replace("\n", ""),
     "q_tpch_q7" ->
       """SELECT supp_nation, cust_nation, l_year,
         |   CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE) AS revenue
