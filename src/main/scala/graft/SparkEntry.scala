@@ -2727,6 +2727,27 @@ object SparkEntry {
       }.orderBy("user_id", "event_type")
     }),
 
+    // the ingest-time QUALITY GATE as a continuous query (r11): arriving
+    // documents flow through the C4-style keep/drop rules per micro-batch —
+    // stateless, so AvailableNow lands exactly on the batch filter's
+    // verdicts (one oracle serves both); in production this runs in front
+    // of bronze with the audit reasons landing beside the data
+    "q_stream_quality_gate" -> ((s, dir) => {
+      tune(s)
+      streamResult(s, dir, "quality") {
+        withStreamConf(s) {
+          val docsSchema = table(s, dir, "documents").schema
+          val stream = s.readStream.schema(docsSchema)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          val gated = TextAnalysis.qualityFilter(
+              stream.select(col("doc_id"), col("text")), "text")
+            .select(col("doc_id"), col("keep"), col("drop_reason"))
+          graft.streaming.Streaming.runToMemory(s, gated, "stream_quality",
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        }
+      }.orderBy("doc_id")
+    }),
+
     // the day-N exact-dedup loop as a CONTINUOUS query (r11): a document
     // stream anti-joins each micro-batch's 128-bit content keys against the
     // LANDED index (doc_id % 3 == 0 plays the already-ingested corpus),
@@ -6789,6 +6810,22 @@ object SparkEntry {
          |   round(SUM(lp) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_lp
          | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "q_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, text, $textWords AS ws FROM documents),
+         | f AS (SELECT doc_id, len(ws) AS n_words,
+         |   CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END AS mwl,
+         |   CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS pr,
+         |   CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS dr
+         |  FROM t)
+         | SELECT doc_id,
+         |  (CASE WHEN n_words < 5 THEN 'too_few_words' WHEN n_words > 100000 THEN 'too_many_words'
+         |    WHEN mwl < 2.0 OR mwl > 12.0 THEN 'word_len_out_of_range'
+         |    WHEN dr > 0.3 THEN 'too_many_digits' WHEN pr > 0.25 THEN 'too_much_punct' END) IS NULL AS keep,
+         |  CASE WHEN n_words < 5 THEN 'too_few_words' WHEN n_words > 100000 THEN 'too_many_words'
+         |    WHEN mwl < 2.0 OR mwl > 12.0 THEN 'word_len_out_of_range'
+         |    WHEN dr > 0.3 THEN 'too_many_digits' WHEN pr > 0.25 THEN 'too_much_punct' END AS drop_reason
+         | FROM f ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // the stateless stream must land on the identical batch verdicts
+    "q_stream_quality_gate" ->
       s"""WITH t AS (SELECT doc_id, text, $textWords AS ws FROM documents),
          | f AS (SELECT doc_id, len(ws) AS n_words,
          |   CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END AS mwl,
