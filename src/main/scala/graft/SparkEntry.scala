@@ -2748,6 +2748,26 @@ object SparkEntry {
       }.orderBy("doc_id")
     }),
 
+    // ...and the NEAR-dup (LSH) sibling: arriving docs band once, probe the
+    // landed band index (base = doc_id % 3 == 0), emit exactly-verified
+    // near-dup pairs with ≥1 stream-side member, and append their
+    // bands/sets to the index — batch-split-invariant pair set, base never
+    // re-banded. The oracle is the exact all-pairs Jaccard restricted to
+    // pairs touching the stream side.
+    "q_stream_minhash" -> ((s, dir) => {
+      tune(s)
+      streamResult(s, dir, "minhash") {
+        withStreamConf(s) {
+          val base = documents(s, dir).filter(col("doc_id") % 3 === 0)
+          graft.streaming.Streaming.incrementalLshApply(s, dir,
+            "documents.parquet", col("doc_id") % 3 =!= 0,
+            Dedup.bandBuckets(base, "text", "doc_id", 5, 64, 32),
+            Dedup.shingleSets(base, "text", "doc_id", 5),
+            "text", "doc_id", shingleN = 5, k = 64, bands = 32, threshold = 0.5)
+        }
+      }.orderBy("id_a", "id_b")
+    }),
+
     // the day-N exact-dedup loop as a CONTINUOUS query (r11): a document
     // stream anti-joins each micro-batch's 128-bit content keys against the
     // LANDED index (doc_id % 3 == 0 plays the already-ingested corpus),
@@ -7052,6 +7072,10 @@ object SparkEntry {
     // sequential double accumulation via list_reduce.
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    // every exactly-verified near-dup pair with >= 1 stream-side member
+    "q_stream_minhash" ->
+      (s"WITH ${exactJaccardCtes(5, 0.5)} SELECT id_a, id_b, jaccard FROM p " +
+        "WHERE id_a % 3 <> 0 OR id_b % 3 <> 0 ORDER BY id_a, id_b"),
     // the streamed day-N loop lands exactly on the batch set difference:
     // stream-side contents minus contents already in the landed index
     "q_stream_incremental_dedup" ->

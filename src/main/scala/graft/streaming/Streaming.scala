@@ -432,6 +432,63 @@ object Streaming {
     }
   }
 
+  /** Streaming NEAR-dup detection against a landed LSH band index — the
+    * lexical sibling of [[incrementalDedupApply]] and the continuous form of
+    * [[graft.operators.Dedup.minhashPairsIncremental]] (r11): per
+    * micro-batch, the arriving slice is banded once, probes the
+    * index-so-far (base ∪ earlier batches ∪ itself), and its bands/sets
+    * append to the index — so the emitted pair set (every exactly-verified
+    * near-dup pair with ≥ 1 stream-side member) is independent of how the
+    * stream splits into batches. The base corpus is never re-banded.
+    */
+  def incrementalLshApply(spark: SparkSession, docDir: String, glob: String,
+      rowFilter: org.apache.spark.sql.Column, baseBands: DataFrame,
+      baseSets: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    import graft.operators.Dedup
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(docDir).schema
+    var bb = baseBands.localCheckpoint()
+    var ss = baseSets.localCheckpoint()
+    var out = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id_b", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType))))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).option("maxFilesPerTrigger", 1).parquet(docDir)
+    val ckptBase = java.nio.file.Paths.get(
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm"
+      else sys.props("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, "graft_ckpt_inclsh")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch0: DataFrame, _: Long) =>
+          val batch = batch0.filter(rowFilter)
+          val pairs = Dedup.minhashPairsIncremental(batch, bb, ss, textCol, idCol,
+            shingleN, k, bands, threshold).localCheckpoint()
+          out = out.unionByName(pairs).localCheckpoint()
+          bb = bb.unionByName(Dedup.bandBuckets(batch, textCol, idCol, shingleN, k, bands))
+            .localCheckpoint()
+          ss = ss.unionByName(Dedup.shingleSets(batch, textCol, idCol, shingleN))
+            .localCheckpoint()
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      out
+    } finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(ckpt)
+        val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+        paths.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
   def cdcApply(spark: SparkSession, changeDir: String, base: DataFrame,
       keyCol: String): DataFrame = {
     val schema = spark.read.parquet(changeDir).schema

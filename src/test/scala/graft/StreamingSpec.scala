@@ -289,6 +289,34 @@ class StreamingSpec extends SparkSpec {
     got shouldBe expect
   }
 
+  test("incrementalLshApply across MULTIPLE microbatches: cross-batch near-dup pairs emit " +
+       "(index grows per batch); base-vs-stream pairs emit; base×base never") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_inclsh_spec_p${ProcessHandle.current().pid()}")
+    val t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val t2 = t1 + " ok" // near-dup of t1
+    val other = "completely different content about distributed query engines"
+    // batch 1: doc 10 (dup of base 1), doc 11 (unique); batch 2: doc 12 (dup of 10)
+    val b1 = Seq((10L, t1), (11L, other)).toDF("doc_id", "text")
+    val b2 = Seq((12L, t2)).toDF("doc_id", "text")
+    Streaming.landOrdered(dir, Seq(b1, b2))
+    val base = Seq((1L, t1), (2L, t1)).toDF("doc_id", "text") // base pair (1,2) must NOT emit
+    val out = Streaming.incrementalLshApply(spark, dir.toString, "*.parquet",
+      lit(true),
+      graft.operators.Dedup.bandBuckets(base, "text", "doc_id", 3, 64, 32),
+      graft.operators.Dedup.shingleSets(base, "text", "doc_id", 3),
+      "text", "doc_id", shingleN = 3, k = 64, bands = 32, threshold = 0.5)
+    val pairs = rows(out.orderBy("id_a", "id_b"))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain(1L -> 10L)  // base vs batch-1
+    pairs should contain(2L -> 10L)
+    pairs should contain(10L -> 12L) // CROSS-BATCH: batch-2 probes batch-1's appended bands
+    pairs should contain(1L -> 12L)  // base vs batch-2
+    pairs should not contain (1L -> 2L) // base×base never forms
+  }
+
   test("toLake lands candle batches as parquet under the lake contract") {
     val dir = java.nio.file.Files.createTempDirectory("ticks3").toString
     val out = java.nio.file.Files.createTempDirectory("gold").toString + "/candles"
