@@ -1538,6 +1538,35 @@ object SparkEntry {
     "q_containment_pairs" -> ((s, dir) =>
       Dedup.containmentPairsFrom(docPostingsIndex(s, dir), threshold = 0.6)
         .orderBy("contained_id", "container_id")),
+    // RIGHT-TO-ERASURE propagation audit (r11, the governance pass a
+    // training-data lake owes its takedown queue): for a delete set
+    // (doc_id % 97 == 0), the per-artifact row counts before/after the
+    // erasure — documents, the 128-bit content index, the pruned postings
+    // index, and the near-dup pair list. The subtle row the gate pins:
+    // postings must be REBUILT, not row-deleted — removing docs can drop a
+    // shingle's docFreq back under the cap and legitimately ADD postings
+    // for the retained docs, so naive row deletion under-indexes. Pair
+    // erasure IS a filter (a pair's existence depends only on its two
+    // members). Six bounded driver counts — catalog-scale output.
+    "q_erasure_audit" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir)
+      val ret = docs.filter(col("doc_id") % 97 =!= 0)
+      val pairsBefore = minhashPairIndex(s, dir)
+      val pairsAfter = pairsBefore
+        .filter(col("id_a") % 97 =!= 0 && col("id_b") % 97 =!= 0)
+      Seq(
+        ("documents", docs.count(), ret.count()),
+        ("content_index",
+          Dedup.contentIndex(docs, "text").count(),
+          Dedup.contentIndex(ret, "text").count()),
+        ("pruned_postings",
+          Dedup.prunedPostings(docs, "text", "doc_id", n = 5, maxDocFreq = 100L).count(),
+          Dedup.prunedPostings(ret, "text", "doc_id", n = 5, maxDocFreq = 100L).count()),
+        ("near_dup_pairs", pairsBefore.count(), pairsAfter.count())
+      ).toDF("artifact", "n_before", "n_after").orderBy("artifact")
+    }),
+
     // Banded LSH candidates, EXACT-verified: every emitted jaccard is the true
     // shingle-set value, so the oracle is plain exact Jaccard SQL. Recall of
     // the banding (k=64, 32 bands of 2) at the corpus's minimum qualifying
@@ -6099,6 +6128,26 @@ object SparkEntry {
     // exact Jaccard (no pruning): equals minhashPairs' output because emitted
     // values are exact-verified and banding recall at min qualifying J is ~1-3e-12
     "q_minhash_pairs" -> exactJaccardSql(n = 5, threshold = 0.5),
+    // same artifact arithmetic: postings recomputed per corpus (the df cap
+    // re-evaluates on the retained docs), pairs filtered on both ends
+    "q_erasure_audit" ->
+      s"""WITH ${exactJaccardCtes(5, 0.5)},
+         | shr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+         | pb AS (SELECT COUNT(*) AS c FROM sh
+         |   WHERE s IN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100)),
+         | pa AS (SELECT COUNT(*) AS c FROM shr
+         |   WHERE s IN (SELECT s FROM shr GROUP BY s HAVING COUNT(*) <= 100))
+         | SELECT * FROM (
+         |   SELECT 'documents' AS artifact,
+         |     (SELECT COUNT(*) FROM documents) AS n_before,
+         |     (SELECT COUNT(*) FROM documents WHERE doc_id % 97 <> 0) AS n_after
+         |   UNION ALL SELECT 'content_index',
+         |     (SELECT COUNT(DISTINCT md5(text)) FROM documents),
+         |     (SELECT COUNT(DISTINCT md5(text)) FROM documents WHERE doc_id % 97 <> 0)
+         |   UNION ALL SELECT 'pruned_postings', (SELECT c FROM pb), (SELECT c FROM pa)
+         |   UNION ALL SELECT 'near_dup_pairs', (SELECT COUNT(*) FROM p),
+         |     (SELECT COUNT(*) FROM p WHERE id_a % 97 <> 0 AND id_b % 97 <> 0)
+         | ) ORDER BY artifact""".stripMargin.replace("\n", ""),
     // exact Jaccard over pairs with at least one delta (doc_id % 3 ≠ 0) side
     "q_minhash_incremental" ->
       s"""WITH ${exactJaccardCtes(5, 0.5)}
