@@ -1561,7 +1561,7 @@ object SparkEntry {
           Dedup.contentIndex(docs, "text").count(),
           Dedup.contentIndex(ret, "text").count()),
         ("pruned_postings",
-          Dedup.prunedPostings(docs, "text", "doc_id", n = 5, maxDocFreq = 100L).count(),
+          docPostingsIndex(s, dir).count(), // the landed index IS the before
           Dedup.prunedPostings(ret, "text", "doc_id", n = 5, maxDocFreq = 100L).count()),
         ("near_dup_pairs", pairsBefore.count(), pairsAfter.count())
       ).toDF("artifact", "n_before", "n_after").orderBy("artifact")
