@@ -342,4 +342,26 @@ class DedupSpec extends SparkSpec {
     picks should be > 40
     picks should be < 160
   }
+
+  test("erasure semantics: deleting docs can bring a shingle back under the docFreq cap — " +
+       "the pruned postings index must REBUILD, not row-delete") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // shingle "hot one two" lives in 12 docs (df = 12 > cap 10 -> pruned);
+    // each doc also carries a unique tail shingle that stays indexed
+    val docs = (1L to 12L).map(i => (i, s"hot one two unique$i tail$i"))
+      .toDF("doc_id", "text")
+    val cap = 10L
+    val before = Dedup.prunedPostings(docs, "text", "doc_id", n = 3, maxDocFreq = cap)
+    // the hot shingle is absent from every doc's postings before erasure
+    val hotHash = rows(Seq(("x", "hot one two")).toDF("k", "t")
+      .select(Dedup.shingleHashSet(col("t"), 3).getItem(0).as("h"))).head.getLong(0)
+    before.filter(col("sh") === hotHash).count() shouldBe 0L
+    // erase 3 docs -> df drops to 9 <= cap: a rebuild indexes the hot
+    // shingle for all 9 retained docs — rows a naive row-delete of the old
+    // index could never produce
+    val ret = docs.filter(col("doc_id") > 3)
+    val after = Dedup.prunedPostings(ret, "text", "doc_id", n = 3, maxDocFreq = cap)
+    after.filter(col("sh") === hotHash).count() shouldBe 9L
+  }
 }
