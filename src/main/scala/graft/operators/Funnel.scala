@@ -141,6 +141,13 @@ object Funnel {
     // the collected matrix, or proves the overflow and fails fast; zero
     // extra jobs on the good path.
     val cap = maxStates.toLong * maxStates.toLong
+    // the guard below rides take((cap+1).toInt): for maxStates ≥ 46341 the
+    // Int cast would WRAP (e.g. 65536² + 1 → 1) and silently truncate the
+    // matrix to one row while the require still passes — fail fast instead
+    require(cap + 1 <= Int.MaxValue,
+      s"stationary: maxStates = $maxStates overflows the driver-collect guard " +
+        s"(maxStates^2 + 1 must fit an Int); a state vocabulary this large " +
+        "should not be driver-collected — use the dataflow pageRank shape")
     // r10: the power iteration runs ON THE DRIVER over the COLLECTED
     // transition matrix — bounded at #states² rows (the state set is the
     // event-type vocabulary, not data volume), so this is the PCA-w/kmeans

@@ -128,7 +128,15 @@ object Multimodal {
           try {
             if (bytes == null) null
             else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          } catch { case _: java.io.IOException => null }
+          } catch {
+            // NonFatal, not just IOException: ImageIO codecs throw
+            // RuntimeExceptions (IllegalArgumentException, CMMException,
+            // IndexOutOfBoundsException, NegativeArraySizeException) on
+            // adversarially malformed containers — on a dirty 100 TB corpus
+            // one such payload must land on the null-stats row, not kill the
+            // partition (and, with retries, the job)
+            case scala.util.control.NonFatal(_) => null
+          }
         if (img == null) ImageStats(id, 0L, 0L, Double.NaN, Double.NaN, Double.NaN, -1L)
         else {
           val (w, h) = (img.getWidth, img.getHeight)
@@ -185,6 +193,24 @@ object Multimodal {
     ids.select(col(idCol).cast(LongType)).as[Long]
       .mapPartitions(_.map(id => (id, bmp24(id))))
       .toDF("media_id", "payload")
+  }
+
+  /** Adversarially malformed container bytes — a [[bmp24]] truncated mid
+    * pixel array (valid magic + header, missing raster), the classic dirty-
+    * corpus payload. [[decodeImages]] must land it on the null-stats row
+    * (width = height = 0, NaN means, checksum −1), never kill the partition.
+    */
+  def corruptBmp(id: Long): Array[Byte] = bmp24(id).take(58)
+
+  /** Append one corrupt-container row (media_id = −1, [[corruptBmp]] bytes)
+    * to a (media_id, payload) fixture frame — the poisoned-partition row the
+    * gated decode queries carry so the dirty-input contract is itself
+    * hash-gated, not just spec'd.
+    */
+  def withCorruptRow(payloads: DataFrame): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.unionByName(
+      Seq((-1L, corruptBmp(-1L))).toDF("media_id", "payload"))
   }
 
   /** PNG round-trip twin: the same formula raster encoded to REAL PNG bytes

@@ -299,23 +299,27 @@ object Api {
       |<h2>data</h2><div id="tbl"></div>
       |<script>
       |const $=id=>document.getElementById(id);
+      |// stored-XSS guard: dataset names, metadata and CELL VALUES are lake
+      |// data (any text column can carry '<img onerror=...>'); everything
+      |// interpolated into markup goes through esc() first
+      |const esc=v=>String(v).replace(/[&<>"']/g,c=>({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));
       |async function layers(){
       |  const layer=$('layer').value;
-      |  const names=await (await fetch(`/api/datasets?layer=${layer}`)).json();
-      |  $('ds').innerHTML=names.map(n=>`<option>${n}</option>`).join('');
+      |  const names=await (await fetch(`/api/datasets?layer=${encodeURIComponent(layer)}`)).json();
+      |  $('ds').innerHTML=names.map(n=>`<option>${esc(n)}</option>`).join('');
       |}
       |async function load(){
       |  const layer=$('layer').value, name=$('ds').value;
       |  if(!name) return;
-      |  const info=await (await fetch(`/api/datasets/${name}?layer=${layer}`)).json();
+      |  const info=await (await fetch(`/api/datasets/${encodeURIComponent(name)}?layer=${encodeURIComponent(layer)}`)).json();
       |  $('info').textContent=`type=${info.data_type??'N/A'} source=${info.source??'N/A'} `+
       |    `rows=${info.record_count??'N/A'} range=${info.first_date??'N/A'}..${info.last_date??'N/A'} `+
       |    `symbols=${Array.isArray(info.symbols)?info.symbols.join(','):'N/A'}`;
-      |  const rows=await (await fetch(`/api/data/${layer}/${name}`)).json();
+      |  const rows=await (await fetch(`/api/data/${encodeURIComponent(layer)}/${encodeURIComponent(name)}`)).json();
       |  if(!rows.length){$('tbl').textContent='(empty)';return;}
       |  const cols=Object.keys(rows[0]);
-      |  $('tbl').innerHTML='<table><tr>'+cols.map(c=>`<th>${c}</th>`).join('')+'</tr>'+
-      |    rows.slice(0,100).map(r=>'<tr>'+cols.map(c=>`<td>${r[c]??''}</td>`).join('')+'</tr>').join('')+
+      |  $('tbl').innerHTML='<table><tr>'+cols.map(c=>`<th>${esc(c)}</th>`).join('')+'</tr>'+
+      |    rows.slice(0,100).map(r=>'<tr>'+cols.map(c=>`<td>${esc(r[c]??'')}</td>`).join('')+'</tr>').join('')+
       |    '</table>';
       |}
       |$('layer').onchange=layers; layers();

@@ -461,17 +461,27 @@ object Streaming {
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm"
       else sys.props("java.io.tmpdir"))
     val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, "graft_ckpt_inclsh")
+    // batchId idempotence (ADVICE r11): Structured Streaming re-runs a
+    // micro-batch after a transient failure with the SAME batchId; this
+    // accumulator is NOT naturally idempotent (the exact-dedup sibling is) —
+    // by the time the re-run arrives, the batch's bands are already in `bb`,
+    // so re-mining would re-emit the batch's pairs into `out` as duplicates.
+    // Skip batchIds already folded in, the standard foreachBatch contract.
+    var lastBatchId = -1L
     try {
       val q = stream.writeStream
-        .foreachBatch { (batch0: DataFrame, _: Long) =>
-          val batch = batch0.filter(rowFilter)
-          val pairs = Dedup.minhashPairsIncremental(batch, bb, ss, textCol, idCol,
-            shingleN, k, bands, threshold).localCheckpoint()
-          out = out.unionByName(pairs).localCheckpoint()
-          bb = bb.unionByName(Dedup.bandBuckets(batch, textCol, idCol, shingleN, k, bands))
-            .localCheckpoint()
-          ss = ss.unionByName(Dedup.shingleSets(batch, textCol, idCol, shingleN))
-            .localCheckpoint()
+        .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+          if (batchId > lastBatchId) {
+            val batch = batch0.filter(rowFilter)
+            val pairs = Dedup.minhashPairsIncremental(batch, bb, ss, textCol, idCol,
+              shingleN, k, bands, threshold).localCheckpoint()
+            out = out.unionByName(pairs).localCheckpoint()
+            bb = bb.unionByName(Dedup.bandBuckets(batch, textCol, idCol, shingleN, k, bands))
+              .localCheckpoint()
+            ss = ss.unionByName(Dedup.shingleSets(batch, textCol, idCol, shingleN))
+              .localCheckpoint()
+            lastBatchId = batchId
+          }
           ()
         }
         .option("checkpointLocation", ckpt.toString)

@@ -47,6 +47,65 @@ class MultimodalSpec extends SparkSpec {
     val badRow = rows(Multimodal.decodeImages(bad, "payload", "media_id")).head
     badRow.getAs[Long]("width") shouldBe 0L
     badRow.getAs[Long]("checksum") shouldBe -1L
+    // the gated fixture's corrupt row (withCorruptRow): mid-raster truncation
+    // with a VALID header — lands on the same contract row
+    val mixed = rows(Multimodal.decodeImages(
+      Multimodal.withCorruptRow(Multimodal.withBmpPayload(ids, "doc_id")),
+      "payload", "media_id").orderBy("media_id"))
+    mixed.map(_.getAs[Long]("media_id")) shouldBe Seq(-1L, 5L, 6L)
+    mixed.head.getAs[Long]("width") shouldBe 0L
+    mixed.head.getAs[Long]("checksum") shouldBe -1L
+  }
+
+  /** Hostile codec SPI: claims payloads with magic "GRFT" then throws a
+    * RuntimeException from read() — the failure class the JDK's own
+    * hardened BMP/PNG/JPEG readers no longer exhibit (verified: truncated /
+    * bogus-header / corrupt-zlib / bad-RLE containers all surface as
+    * IIOException today) but third-party and older codecs do
+    * (CMMException, IndexOutOfBoundsException, NegativeArraySizeException).
+    */
+  private class HostileSpi extends javax.imageio.spi.ImageReaderSpi(
+      "graft-test", "1.0", Array("grft"), Array("grft"),
+      Array("application/x-grft"), "graft.MultimodalSpec$HostileReader",
+      Array[Class[_]](classOf[javax.imageio.stream.ImageInputStream]),
+      null, false, null, null, null, null, false, null, null, null, null) {
+    override def canDecodeInput(src: Object): Boolean = {
+      val s = src.asInstanceOf[javax.imageio.stream.ImageInputStream]
+      val b = new Array[Byte](4)
+      s.mark()
+      val n = s.read(b)
+      s.reset()
+      n == 4 && new String(b, "US-ASCII") == "GRFT"
+    }
+    override def getDescription(l: java.util.Locale) = "graft hostile test codec"
+    override def createReaderInstance(ext: Object): javax.imageio.ImageReader =
+      new javax.imageio.ImageReader(this) {
+        private def boom = throw new IllegalArgumentException("hostile codec")
+        override def getNumImages(allowSearch: Boolean) = 1
+        override def getWidth(i: Int): Int = boom
+        override def getHeight(i: Int): Int = boom
+        override def getImageTypes(i: Int): java.util.Iterator[javax.imageio.ImageTypeSpecifier] = boom
+        override def getStreamMetadata(): javax.imageio.metadata.IIOMetadata = null
+        override def getImageMetadata(i: Int): javax.imageio.metadata.IIOMetadata = null
+        override def read(i: Int, p: javax.imageio.ImageReadParam): java.awt.image.BufferedImage = boom
+      }
+  }
+
+  test("decodeImages: a RuntimeException-throwing codec degrades to the null-stats row " +
+       "(NonFatal, not just IOException) and the rest of the partition decodes") {
+    val spi = new HostileSpi
+    val reg = javax.imageio.spi.IIORegistry.getDefaultInstance
+    reg.registerServiceProvider(spi)
+    try {
+      val df = Seq(
+        (1L, "GRFThostile-payload".getBytes("US-ASCII")),
+        (5L, Multimodal.bmp24(5L))).toDF("media_id", "payload").coalesce(1)
+      val out = rows(Multimodal.decodeImages(df, "payload", "media_id").orderBy("media_id"))
+      out.map(_.getAs[Long]("media_id")) shouldBe Seq(1L, 5L)
+      out(0).getAs[Long]("width") shouldBe 0L
+      out(0).getAs[Long]("checksum") shouldBe -1L
+      out(1).getAs[Long]("width") shouldBe 4L // same partition survived
+    } finally reg.deregisterServiceProvider(spi)
   }
 
   test("decodeStub: deterministic per-content features with the production schema") {
