@@ -595,6 +595,64 @@ object ScaleProbe {
         docs.withColumn("label", (col("doc_id") % 7).cast("string")),
         "text", "doc_id", "label", minDf = 5, topK = 10).count()
     }
+    locally {
+      // round-12: the retrieval/selection wave probed (r11 verdict ask #2 —
+      // SCALE.md r11 called this wave's scale argument "structural rather
+      // than probed"; these rows make it measured)
+      val docsLang = {
+        val b = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text", "lang")
+        (0 until k).map(i => b.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          col("text"), col("lang"))).reduce(_ unionAll _)
+      }
+      time("dsir_weights") {
+        // two corpus-scan hash passes + a FIXED 64-bucket count frame
+        // broadcast back: cost must track the scans, k× linear
+        graft.operators.TextAnalysis.dsirWeights(
+          docsLang.filter(col("lang") =!= "en"), docsLang.filter(col("lang") === "en"),
+          "text", "doc_id", dim = 64).count()
+      }
+      time("kcenters") {
+        // 8 greedy steps = 8 corpus scans + one TakeOrdered(1) each; the
+        // selected set is 8×64 doubles on the driver at ANY corpus size
+        Similarity.kCenters(embs, "embedding", "vec_id", k = 8).count()
+      }
+      time("mmr_rerank") {
+        // the linear part is candidate generation (brute top-20, 3 queries);
+        // the greedy itself is ONE bounded (query)-keyed aggregator shuffle
+        // of Q×kCand rows — invariant in corpus size (r12 rewrite)
+        Similarity.mmrRerank(embs, embs.filter(col("vec_id") < 3), "embedding",
+          "vec_id", kCand = 20, kOut = 5).count()
+      }
+      time("hybrid_rrf") {
+        // both rankings are broadcast-query scans into bounded TopKAgg
+        // partial top-50s; the fusion join touches Q×50 rows only
+        import org.apache.spark.sql.Encoders
+        val topk = udaf(new Similarity.TopKAgg(50), Encoders.product[Similarity.ScoredId])
+        val sets = Dedup.shingleSets(docs, "text", "doc_id", 5)
+        val qsets = sets.filter(col("id") < 3)
+          .select(col("id").as("query_id"), col("sh").as("qsh"))
+        val inter = size(array_intersect(col("sh"), col("qsh"))).cast("double")
+        val lex = sets.crossJoin(broadcast(qsets)).filter(col("id") =!= col("query_id"))
+          .select(col("query_id"), col("id"),
+            (inter / (size(col("sh")) + size(col("qsh")) - inter)).as("score"))
+          .groupBy("query_id").agg(topk(col("score"), col("id")).as("t"))
+          .select(col("query_id"), posexplode(col("t")).as(Seq("r", "sx")))
+          .select(col("query_id"), col("sx.id").as("id"),
+            (col("r") + 1).cast("long").as("lex_rank"))
+        val vec = Similarity.bruteForceTopKAgg(embs, embs.filter(col("vec_id") < 3),
+            "embedding", "vec_id", 50)
+          .select(col("query_id"), col("neighbor_id").as("id"), col("rank").as("vec_rank"))
+        lex.join(vec, Seq("query_id", "id"), "full_outer").count()
+      }
+      time("pq_adc_topk") {
+        // encode = one narrow pass over the float corpus; serve = broadcast
+        // LUTs scanning the CODE table (m ints/vector) into partial top-k
+        val books = Similarity.pqCodebooks(m = 8, subDim = 8, ksub = 16, seed = 11L)
+        Similarity.pqAdcTopK(Similarity.pqEncode(embs, "embedding", "vec_id", books),
+          embs.filter(col("vec_id") < 3), "embedding", "vec_id", books, k = 10).count()
+      }
+    }
     spark.stop()
   }
 }

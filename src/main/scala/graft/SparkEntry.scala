@@ -169,6 +169,20 @@ object SparkEntry {
       f
     }
 
+  /** Land the MinHash signature index once per (session, sf dir) and return
+    * its path — the shared landed artifact behind [[minhashPairIndex]] and
+    * the erasure-apply gate (which needs the band/set frames themselves,
+    * not just the derived pairs).
+    */
+  private def signatureIndexDir(s: SparkSession, dir: String): String =
+    SessionCache.getOrCompute(s, s"sigidx-dir:$dir") {
+      val idxDir = SessionCache.registerTmpIndexDir(new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_sigidx_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}").toString)
+      Dedup.writeSignatureIndex(documents(s, dir), "text", "doc_id", idxDir,
+        shingleN = 5, k = 64, bands = 32)
+      idxDir
+    }
+
   private def minhashPairIndex(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCompute(s, s"minhash-pairs:$dir") {
       // THE PERSISTED-SIGNATURE PATH (r11, SCALE.md non-optimality #1 closed):
@@ -176,11 +190,7 @@ object SparkEntry {
       // and the band self-join + exact verify read the stored parquet, never
       // re-touching text. This is the same landed-artifact shape
       // minhashPairsIncremental probes on day N.
-      val idxDir = SessionCache.registerTmpIndexDir(new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_sigidx_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}").toString)
-      Dedup.writeSignatureIndex(documents(s, dir), "text", "doc_id", idxDir,
-        shingleN = 5, k = 64, bands = 32)
-      val (bands, sets) = Dedup.readSignatureIndex(s, idxDir)
+      val (bands, sets) = Dedup.readSignatureIndex(s, signatureIndexDir(s, dir))
       val p = Dedup.minhashPairsFromIndex(bands, sets, threshold = 0.5).cache()
       p.count() // materialize now so every consumer, including the first, hits the cache
       p
@@ -1629,6 +1639,52 @@ object SparkEntry {
       ).toDF("artifact", "n_before", "n_after").orderBy("artifact")
     }),
 
+    // Right-to-erasure APPLY (r11 verdict ask #7 — the audit's maintenance
+    // counterpart): execute the erasure against the landed artifacts — the
+    // band index, shingle sets and pair list by broadcast-anti FILTER, the
+    // postings and content index by rebuild — then prove, multiset-exactly
+    // (per-row hash, one tagged aggregate pass), that every erased artifact
+    // equals a from-scratch rebuild on the retained corpus. The substantive
+    // claim is the filter arms: per-doc artifacts never need the rebuild.
+    "q_erasure_apply" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val retainedPred = col("doc_id") % 97 =!= 0
+      val ret = docs.filter(retainedPred)
+      val del = docs.filter(!retainedPred).select("doc_id")
+      val (bandsL, setsL) = Dedup.readSignatureIndex(s, signatureIndexDir(s, dir))
+      val applied = Dedup.erasureApply(ret, del, bandsL, setsL,
+        minhashPairIndex(s, dir), "text", "doc_id", shingleN = 5, maxDocFreq = 100L)
+      // the reference rebuild tokenizes the retained corpus ONCE for the
+      // band/set frames (checkpointed — three consumers: two comparisons
+      // and the pair re-mine), exactly how a real re-land would run
+      val bandsR = Dedup.bandBuckets(ret, "text", "doc_id", shingleN = 5, k = 64, bands = 32)
+        .localCheckpoint(true)
+      val setsR = Dedup.shingleSets(ret, "text", "doc_id", shingleN = 5)
+        .localCheckpoint(true)
+      val rebuilt = Map(
+        "band_index" -> bandsR,
+        "shingle_sets" -> setsR,
+        "near_dup_pairs" -> Dedup.minhashPairsFromIndex(bandsR, setsR, threshold = 0.5),
+        "content_index" -> Dedup.contentIndex(ret, "text"),
+        "pruned_postings" -> Dedup.prunedPostings(ret, "text", "doc_id", n = 5, maxDocFreq = 100L))
+      // multiset equality per artifact in ONE aggregate: row-hash both sides
+      // (columns in the rebuilt frame's order), tag, count per (artifact,
+      // hash) — any count mismatch flips matches_rebuild
+      val tagged = applied.keys.toSeq.sorted.map { name =>
+        val cs = rebuilt(name).columns.toSeq
+        applied(name).select(lit(name).as("artifact"),
+            xxhash64(cs.map(col): _*).as("rh"), lit(1L).as("wa"), lit(0L).as("wb"))
+          .unionByName(rebuilt(name).select(lit(name).as("artifact"),
+            xxhash64(cs.map(col): _*).as("rh"), lit(0L).as("wa"), lit(1L).as("wb")))
+      }.reduce(_ unionByName _)
+      tagged.groupBy("artifact", "rh")
+        .agg(sum("wa").as("na"), sum("wb").as("nb"))
+        .groupBy("artifact")
+        .agg(sum("na").cast(LongType).as("n_rows"),
+          (sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)) === 0L).as("matches_rebuild"))
+        .orderBy("artifact")
+    }),
+
     // Banded LSH candidates, EXACT-verified: every emitted jaccard is the true
     // shingle-set value, so the oracle is plain exact Jaccard SQL. Recall of
     // the banding (k=64, 32 bands of 2) at the corpus's minimum qualifying
@@ -1893,6 +1949,51 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast(LongType)).orderBy("query_id", "rank")
     }),
 
+    // PRODUCT QUANTIZATION with ADC scoring (r11 verdict ask #8 — the
+    // standard compression step after IVF for 100 TB vector serving:
+    // Jégou'11): 8 subspaces × 16 deterministic ±1 centroids (literal
+    // codebooks shared with the dual), vectors encode to 8 codes (32×
+    // compression), queries score the CODE table via per-query lookup
+    // tables — no float-corpus arithmetic at serve time. Encode/LUT/ADC
+    // sum/ranking all restated by the oracle.
+    "q_pq_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val books = Similarity.pqCodebooks(m = 8, subDim = 8, ksub = 16, seed = 11L)
+      val codes = SessionCache.getOrCompute(s, s"pq-codes:$dir") {
+        val c = Similarity.pqEncode(e, "embedding", "vec_id", books).cache()
+        c.count()
+        c
+      }
+      Similarity.pqAdcTopK(codes, e.filter(col("vec_id") < 3),
+          "embedding", "vec_id", books, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+    // ...and its QUALITY gate: recall@10 of the ADC ranking against the
+    // exact inner-product top-10 (ADC approximates q·x, so IP is the
+    // correct reference), same shape as q_ivf_recall; the recall number is
+    // itself hash-gated and meets_threshold pins the floor.
+    "q_pq_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = embeddings(s, dir)
+      val books = Similarity.pqCodebooks(m = 8, subDim = 8, ksub = 16, seed = 11L)
+      val codes = SessionCache.getOrCompute(s, s"pq-codes:$dir") {
+        val c = Similarity.pqEncode(e, "embedding", "vec_id", books).cache()
+        c.count()
+        c
+      }
+      val queries = e.filter(col("vec_id") < 10)
+      val pq = Similarity.pqAdcTopK(codes, queries, "embedding", "vec_id", books, k = 10)
+      val exact = Similarity.bruteForceTopKDot(e, queries, "embedding", "vec_id", k = 10)
+      val hits = pq.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+      val nq = exact.agg(countDistinct(col("query_id")).as("n_queries"))
+      hits.agg(count(lit(1)).as("hits")).crossJoin(broadcast(nq))
+        .select(col("n_queries"), lit(10L).as("k"), col("hits"),
+          (col("hits").cast(DoubleType) /
+            (col("n_queries") * lit(10L)).cast(DoubleType)).as("recall"))
+        .withColumn("meets_threshold", col("recall") >= lit(0.2))
+    }),
+
     // IVF QUALITY gate: recall@10 of a partial probe (nprobe=2 of 16 cells)
     // against exact brute force, both sides fully restated by the oracle.
     // Centroids are LITERAL ±1 vectors (hyperplanes seed=7) — the same
@@ -2138,6 +2239,12 @@ object SparkEntry {
     "q_winnow_matches" -> ((s, dir) =>
       Dedup.winnowMatchesFrom(winnowIndex(s, dir), "doc_id", docFreqCap = 50)
         .orderBy("id_a", "id_b")),
+    // ...and the cap-observability report (r11 verdict ask #4): where the
+    // 2²⁴-gram fingerprint truncation BINDS, as corpus-level numbers — one
+    // token-count pass, no fingerprinting (a doc truncates iff
+    // max(0, tokens−k+1) > cap)
+    "q_winnow_truncation" -> ((s, dir) =>
+      Dedup.winnowTruncationReport(documents(s, dir), "text", k = 4)),
 
     // --- dataset curation: splits / sampling / quality gate ----------------
     "q_top_tokens" -> ((s, dir) =>
@@ -4021,6 +4128,67 @@ object SparkEntry {
         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""")
     }),
 
+    // TPC-H Q13 shape (customer order-count distribution): the LEFT-OUTER-
+    // COUNT-ZERO pattern — the ON-clause residual filter must stay IN the
+    // join (a WHERE would delete the no-order customers), and COUNT(col)
+    // over the null-extended side yields the 0 bucket. The one remaining
+    // outer-join-aggregate Catalyst path no other registered query
+    // exercises. Adapted filter (no o_comment here): order priority.
+    "q_tpch_q13" -> ((s, dir) => {
+      customer(s, dir).createOrReplaceTempView("v_customer")
+      orders(s, dir).createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+          FROM v_customer LEFT OUTER JOIN v_orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) c_orders
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")
+    }),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): the CORRELATED
+    // SCALAR-AVG subquery — each lineitem compares against 20% of its own
+    // part's average quantity; Catalyst decorrelates into an aggregate-
+    // then-join. Cross-engine exactness: l_quantity is integer-valued, so
+    // the per-part double AVG is order-independent (integer partial sums
+    // < 2^53 are exact) and 0.2·avg is the same IEEE product on both
+    // engines; the revenue sum rides decimal. Adapted filter (no
+    // p_container): brand + size band.
+    "q_tpch_q17" -> ((s, dir) => {
+      lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      table(s, dir, "part").createOrReplaceTempView("v_part")
+      s.sql("""
+        SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+        FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1' AND p_size < 10
+          AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+            FROM v_lineitem l2 WHERE l2.l_partkey = p_partkey)""")
+    }),
+
+    // TPC-H Q20 shape (potential part promotion): the NESTED IN-CHAIN —
+    // supplier IN (aggregated lineitem slice whose partkey is itself IN a
+    // part subquery), with a HAVING gate on the inner aggregate; Catalyst
+    // must decorrelate two stacked IN-subqueries into semi-joins around an
+    // aggregate. Adapted (no partsupp table in this generator): the
+    // availqty arm becomes the decimal-exact shipped-quantity HAVING gate.
+    "q_tpch_q20" -> ((s, dir) => {
+      lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      table(s, dir, "part").createOrReplaceTempView("v_part")
+      table(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+      s.sql("""
+        SELECT s_name, CAST(s_suppkey AS BIGINT) AS s_suppkey
+        FROM v_supplier
+        WHERE s_suppkey IN (
+          SELECT l1.l_suppkey FROM v_lineitem l1
+          WHERE l1.l_partkey IN (SELECT p_partkey FROM v_part WHERE p_brand = 'Brand#1')
+            AND l1.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l1.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY l1.l_suppkey
+          HAVING SUM(CAST(l1.l_quantity AS DECIMAL(20,6))) > 50)
+        ORDER BY s_name, s_suppkey""")
+    }),
+
     // partition-spec EVOLUTION on read (Iceberg's "old files keep the old
     // layout" property): generation 1 landed unpartitioned, generation 2
     // hive-partitioned by event_type — one logical table, and the
@@ -4881,6 +5049,37 @@ object SparkEntry {
        | SELECT query_id, neighbor_id, cos, rank FROM (SELECT query_id, neighbor_id, cos,
        |     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |   FROM iscore) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin.replace("\n", "")
+  }
+
+  /** PQ duals (q_pq_topk / q_pq_recall): the same literal ±1 codebooks as
+    * [[graft.operators.Similarity.pqCodebooks]] (seed 11), encode = per-
+    * subspace argmax-IP with list_indexof's first-match (smallest-code)
+    * tie-break mirroring array_position, ADC = the identical left-assoc
+    * m-term lookup-table sum — the whole quantize+serve pipeline restated.
+    */
+  private def pqCtes(m: Int, subDim: Int, ksub: Int, queryMax: Int): String = {
+    val books = Similarity.pqCodebooks(m, subDim, ksub, seed = 11L)
+    def cb(c: Array[Double]) =
+      "[" + c.map(x => if (x > 0) "1.0" else "-1.0").mkString(",") + "]"
+    def ip(j: Int, c: Array[Double]) =
+      s"list_inner_product(v[${j * subDim + 1}:${(j + 1) * subDim}], ${cb(c)})"
+    val scoreCols = (0 until m).map(j =>
+      "[" + books(j).map(c => ip(j, c)).mkString(",") + s"] AS s$j").mkString(", ")
+    val codesList = "[" + (0 until m).map(j =>
+      s"list_indexof(s$j, list_max(s$j)) - 1").mkString(",") + "]"
+    val lutList = "[" + books.zipWithIndex.flatMap { case (bk, j) =>
+      bk.map(c => ip(j, c))
+    }.mkString(",") + "]"
+    val adcSum = (0 until m).map(j => s"lut[codes[${j + 1}] + ${j * ksub} + 1]").mkString(" + ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       | sc AS (SELECT vec_id, $scoreCols FROM e),
+       | codes AS (SELECT vec_id, $codesList AS codes FROM sc),
+       | q AS (SELECT vec_id AS query_id, $lutList AS lut FROM e WHERE vec_id < $queryMax),
+       | scored AS (SELECT query_id, c.vec_id AS neighbor_id, $adcSum AS adc
+       |   FROM codes c CROSS JOIN q WHERE c.vec_id <> query_id),
+       | pq AS (SELECT query_id, neighbor_id, adc,
+       |     CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS BIGINT) AS rank
+       |   FROM scored)""".stripMargin.replace("\n", "")
   }
 
   /** nDCG@k dual — [[ivfRecallSql]]'s IVF + brute CTE pipeline with ranks
@@ -6196,6 +6395,25 @@ object SparkEntry {
          |   UNION ALL SELECT 'near_dup_pairs', (SELECT COUNT(*) FROM p),
          |     (SELECT COUNT(*) FROM p WHERE id_a % 97 <> 0 AND id_b % 97 <> 0)
          | ) ORDER BY artifact""".stripMargin.replace("\n", ""),
+    // erasure APPLY: expected retained-corpus sizes per artifact, and the
+    // apply==rebuild equivalence flags pinned TRUE (the engine computes the
+    // multiset equality; the oracle restates the expected landed state)
+    "q_erasure_apply" ->
+      s"""WITH ${exactJaccardCtes(5, 0.5)},
+         | shr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+         | pa AS (SELECT COUNT(*) AS c FROM shr
+         |   WHERE s IN (SELECT s FROM shr GROUP BY s HAVING COUNT(*) <= 100)),
+         | nret AS (SELECT COUNT(*) AS c FROM documents WHERE doc_id % 97 <> 0)
+         | SELECT * FROM (
+         |   SELECT 'band_index' AS artifact,
+         |     CAST(32 * (SELECT c FROM nret) AS BIGINT) AS n_rows, true AS matches_rebuild
+         |   UNION ALL SELECT 'content_index',
+         |     (SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) FROM documents WHERE doc_id % 97 <> 0), true
+         |   UNION ALL SELECT 'near_dup_pairs',
+         |     (SELECT CAST(COUNT(*) AS BIGINT) FROM p WHERE id_a % 97 <> 0 AND id_b % 97 <> 0), true
+         |   UNION ALL SELECT 'pruned_postings', (SELECT CAST(c AS BIGINT) FROM pa), true
+         |   UNION ALL SELECT 'shingle_sets', CAST((SELECT c FROM nret) AS BIGINT), true
+         | ) ORDER BY artifact""".stripMargin.replace("\n", ""),
     // exact Jaccard over pairs with at least one delta (doc_id % 3 ≠ 0) side
     "q_minhash_incremental" ->
       s"""WITH ${exactJaccardCtes(5, 0.5)}
@@ -6289,6 +6507,13 @@ object SparkEntry {
         | FROM w ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "q_winnow_fingerprints" -> (winnowSql(k = 4, w = 5) +
       " SELECT doc_id, pos, h FROM fp ORDER BY doc_id, pos, h"),
+    "q_winnow_truncation" ->
+      s"""WITH g AS (SELECT greatest(0, len($dedupWords) - 3) AS ng FROM documents)
+        | SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN ng > 16777216 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+        |  CAST(MAX(ng) AS BIGINT) AS max_grams,
+        |  CAST(SUM(CASE WHEN ng > 16777216 THEN ng - 16777216 ELSE 0 END) AS BIGINT) AS grams_dropped
+        | FROM g""".stripMargin.replace("\n", ""),
     "q_winnow_matches" -> (winnowSql(k = 4, w = 5) +
       """, fpd AS (SELECT DISTINCT doc_id, h FROM fp),
         | rare AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df
@@ -6328,6 +6553,24 @@ object SparkEntry {
       s"SELECT CAST($np AS BIGINT) AS nprobe, n_queries, hits, recall FROM (" +
         ivfRecallSql(nlist = 16, dim = 64, nprobe = np, k = 10, threshold = 0.0) + ")"
     }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY nprobe"),
+    "q_pq_topk" ->
+      s"""WITH ${pqCtes(m = 8, subDim = 8, ksub = 16, queryMax = 3)}
+         | SELECT query_id, neighbor_id, adc, rank FROM pq
+         | WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", ""),
+    "q_pq_recall" ->
+      s"""WITH ${pqCtes(m = 8, subDim = 8, ksub = 16, queryMax = 10)},
+         | ex AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |     row_number() OVER (PARTITION BY a.vec_id
+         |       ORDER BY list_inner_product(a.v, b.v) DESC, b.vec_id) AS rank
+         |   FROM e a JOIN e b ON b.vec_id <> a.vec_id WHERE a.vec_id < 10),
+         | exk AS (SELECT query_id, neighbor_id FROM ex WHERE rank <= 10),
+         | pqk AS (SELECT query_id, neighbor_id FROM pq WHERE rank <= 10),
+         | h AS (SELECT COUNT(*) AS hits FROM pqk JOIN exk USING (query_id, neighbor_id)),
+         | nq2 AS (SELECT COUNT(DISTINCT query_id) AS n_queries FROM exk)
+         | SELECT n_queries, CAST(10 AS BIGINT) AS k, hits,
+         |   CAST(hits AS DOUBLE) / CAST(n_queries * 10 AS DOUBLE) AS recall,
+         |   CAST(hits AS DOUBLE) / CAST(n_queries * 10 AS DOUBLE) >= 0.2 AS meets_threshold
+         | FROM h CROSS JOIN nq2""".stripMargin.replace("\n", ""),
     "q_ivf_recall" -> ivfRecallSql(nlist = 16, dim = 64, nprobe = 2, k = 10,
       threshold = 0.3),
     "q_embed_outliers" ->
@@ -7794,6 +8037,31 @@ object SparkEntry {
         |   HAVING SUM(CAST(l_quantity AS DECIMAL(20,6))) > 250)
         | GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         | ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin.replace("\n", ""),
+    "q_tpch_q13" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        | FROM (
+        |   SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |   FROM customer LEFT OUTER JOIN orders
+        |     ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |   GROUP BY c_custkey) c_orders
+        | GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin.replace("\n", ""),
+    "q_tpch_q17" ->
+      """SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+        | FROM lineitem JOIN part ON p_partkey = l_partkey
+        | WHERE p_brand = 'Brand#1' AND p_size < 10
+        |   AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+        |     FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin.replace("\n", ""),
+    "q_tpch_q20" ->
+      """SELECT s_name, CAST(s_suppkey AS BIGINT) AS s_suppkey
+        | FROM supplier
+        | WHERE s_suppkey IN (
+        |   SELECT l1.l_suppkey FROM lineitem l1
+        |   WHERE l1.l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+        |     AND l1.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |     AND l1.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |   GROUP BY l1.l_suppkey
+        |   HAVING SUM(CAST(l1.l_quantity AS DECIMAL(20,6))) > 50)
+        | ORDER BY s_name, s_suppkey""".stripMargin.replace("\n", ""),
     // the union must equal the whole filtered table regardless of layout
     "q_partition_evolution" ->
       """SELECT COUNT(*) AS n_rows,

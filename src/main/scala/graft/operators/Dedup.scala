@@ -75,7 +75,11 @@ object Dedup {
     * class as any per-doc window; no pairwise stage exists here.
     */
   def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
-      k: Int, w: Int): DataFrame = {
+      k: Int, w: Int, capGrams: Long = 1L << 24): DataFrame = {
+    // capGrams ≤ 2²⁴ is the packing invariant; smaller values are legal and
+    // let [[winnowTruncationReport]]'s contract be spec'd at toy scale
+    require(capGrams >= 1 && capGrams <= (1L << 24),
+      s"capGrams must be in [1, 2^24], got $capGrams")
     val grams = df.select(col(idCol),
       posexplode(G.ngramStrings(tokens(col(textCol)), k)).as(Seq("pos", "__gram")))
     val hashed = grams.select(col(idCol), col("pos").cast(LongType).as("pos"),
@@ -83,9 +87,10 @@ object Dedup {
       // the 2²⁴-gram cap the packing requires, ENFORCED: positions past it
       // would drive (2²⁴ − pos) negative and borrow into the hash bits,
       // silently corrupting the packed argmin. Deterministic truncation —
-      // a >16M-token doc fingerprints its first 2²⁴ grams (same guarantee
-      // within the kept prefix) instead of emitting garbage.
-      .filter(col("pos") < lit(1L << 24))
+      // a >16M-token doc fingerprints its first capGrams grams (same
+      // guarantee within the kept prefix) instead of emitting garbage.
+      // Where truncation BINDS is observable: [[winnowTruncationReport]].
+      .filter(col("pos") < lit(capGrams))
     val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(-(w - 1), Window.currentRow)
     val perDoc = Window.partitionBy(col(idCol))
@@ -100,6 +105,26 @@ object Dedup {
         (lit(1L << 24) - (col("__sel") % lit(1L << 25))).as("pos"),
         shiftright(col("__sel"), 25).as("h"))
       .distinct()
+  }
+
+  /** Truncation observability for [[winnowFingerprints]]'s gram cap (r11
+    * verdict: the enforced cap silently truncates — a corpus where it binds
+    * gets weaker fingerprint coverage with no signal). One narrow pass over
+    * token COUNTS (no per-position work — a doc truncates iff its gram count
+    * `max(0, tokens − k + 1)` exceeds the cap, which is derivable without
+    * fingerprinting): corpus-level doc count, docs truncated, max gram
+    * count, and total grams dropped. The [[graft.operators.Queries
+    * .basketCapReport]] pattern applied to the fingerprint cap.
+    */
+  def winnowTruncationReport(df: DataFrame, textCol: String, k: Int,
+      capGrams: Long = 1L << 24): DataFrame = {
+    val g = greatest(lit(0L), (size(tokens(col(textCol))) - (k - 1)).cast(LongType))
+    df.select(g.as("__g")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("__g") > capGrams, 1L).otherwise(0L)).cast(LongType).as("n_truncated"),
+      max(col("__g")).as("max_grams"),
+      sum(when(col("__g") > capGrams, col("__g") - lit(capGrams)).otherwise(0L))
+        .cast(LongType).as("grams_dropped"))
   }
 
   /** Cross-doc winnowing matches: doc pairs sharing selected fingerprints,
@@ -259,6 +284,44 @@ object Dedup {
   def readSignatureIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sets"))
+
+  /** Right-to-erasure EXECUTION against the landed dedup artifacts (r11
+    * verdict ask #7 — the maintenance counterpart of the audit: the audit
+    * pins WHAT must change, this performs it). Erasure semantics per
+    * artifact class:
+    *  - PER-DOC artifacts (the LSH band index, the shingle-set index) and
+    *    PAIR lists erase by FILTER — each row depends only on its own
+    *    member doc(s), so dropping the deleted ids is exactly equivalent to
+    *    a from-scratch rebuild on the retained corpus (the gated query
+    *    proves this equivalence multiset-exactly);
+    *  - DOCFREQ-dependent artifacts (the pruned postings index) REBUILD:
+    *    deleting docs can bring a shingle back under the cap and
+    *    legitimately ADD postings for retained docs (DedupSpec pins the
+    *    re-admission case), so row deletion under-indexes;
+    *  - the hash-only CONTENT index rebuilds too: it stores no refcounts,
+    *    so whether a deleted doc's hash must go depends on whether a
+    *    retained doc shares the content — answerable only by a pass over
+    *    the retained corpus (a refcounted index would make this a filter;
+    *    the landed artifact deliberately stores 128-bit keys only).
+    *
+    * The delete set is takedown-queue sized, so it BROADCASTS into the
+    * index scans — erasing the per-doc artifacts costs one narrow pass over
+    * each index, never a corpus shuffle; only the rebuild arms touch text.
+    */
+  def erasureApply(retained: DataFrame, deleteIds: DataFrame,
+      landedBands: DataFrame, landedSets: DataFrame, landedPairs: DataFrame,
+      textCol: String, idCol: String, shingleN: Int,
+      maxDocFreq: Long): Map[String, DataFrame] = {
+    val del = deleteIds.select(col(idCol).as("__del")).distinct()
+    def drop(df: DataFrame, c: String): DataFrame =
+      df.join(broadcast(del), df(c) === col("__del"), "left_anti")
+    Map(
+      "band_index" -> drop(landedBands, "id"),
+      "shingle_sets" -> drop(landedSets, "id"),
+      "near_dup_pairs" -> drop(drop(landedPairs, "id_a"), "id_b"),
+      "content_index" -> contentIndex(retained, textCol),
+      "pruned_postings" -> prunedPostings(retained, textCol, idCol, shingleN, maxDocFreq))
+  }
 
   /** (id, band, bucket) LSH rows for a corpus slice — the persistable unit of
     * the banding in [[minhashPairs]]: `bands` rows per document, each keyed by

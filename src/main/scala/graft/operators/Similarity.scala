@@ -331,6 +331,103 @@ object Similarity {
     ivfProbe(ivfAssign(corpus, centroids, vecCol, idCol), queries, centroids,
       vecCol, idCol, k, nprobe)
 
+  /** Deterministic product-quantization codebooks: `m` subspaces × `ksub`
+    * ±1 centroids of `subDim` dims each — the literal-constant trick the
+    * IVF/LSH gates use (Dedup.hyperplanes), so an external SQL oracle can
+    * restate the ENTIRE quantize+score pipeline digit for digit. Real PQ
+    * trains codebooks per subspace with k-means (Jégou et al. 2011,
+    * "Product Quantization for Nearest Neighbor Search"); the quantizer's
+    * QUALITY tunes recall, never the scoring semantics, exactly like the
+    * IVF coarse quantizer. Candidates are drawn with margin and
+    * deduplicated so each codebook holds `ksub` DISTINCT centroids.
+    */
+  def pqCodebooks(m: Int, subDim: Int, ksub: Int, seed: Long = 11L): Seq[Seq[Array[Double]]] =
+    (0 until m).map { j =>
+      val cands = Dedup.hyperplanes(8 * ksub, subDim, seed + j).map(_.toSeq).distinct.take(ksub)
+      require(cands.size == ksub, s"not enough distinct codebook vectors for subspace $j")
+      cands.map(_.toArray)
+    }
+
+  /** PQ ENCODE — the index-build pass: each vector compresses to `m` small
+    * codes (here m bytes — a 64-dim float vector becomes 8 bytes, a 32×
+    * compression), code_j = the subspace-j centroid maximizing the inner
+    * product with the vector's j-th slice (±1 centroids make argmax-IP ≡
+    * argmin-L2: ‖x−c‖² = ‖x‖² − 2x·c + subDim). Ties break to the SMALLEST
+    * code (array_position semantics — mirrored by the dual's list_indexof).
+    *
+    * Scale: narrow projection, one pass, no shuffle — at 100 TB this is
+    * the landed artifact (codes bucketed by id next to the corpus), the
+    * standard memory-footprint step before serving: the float corpus stays
+    * on disk, the code table fits executors.
+    */
+  def pqEncode(corpus: DataFrame, vecCol: String, idCol: String,
+      books: Seq[Seq[Array[Double]]]): DataFrame = {
+    val subDim = books.head.head.length
+    val codeCols = books.zipWithIndex.map { case (cb, j) =>
+      val sub = slice(col(vecCol), j * subDim + 1, subDim)
+      val scores = array(cb.map(c => dot(sub, typedLit(c.toSeq))): _*)
+      (array_position(scores, array_max(scores)) - 1).cast(IntegerType)
+    }
+    corpus.select(col(idCol).as("neighbor_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** PQ ADC top-k — asymmetric distance computation (the paper's serving
+    * path): the QUERY stays un-quantized; per query one 128-entry lookup
+    * table (lut[j·ksub + c] = q_subⱼ · centroidⱼ,c) is computed ONCE, and
+    * each corpus vector scores as Σⱼ lut[j·ksub + codeⱼ] — m array lookups
+    * + m−1 adds per candidate, no float-vector arithmetic against the
+    * corpus at all. Ranking rides the bounded [[TopKAgg]] (map-side partial
+    * top-k, no sort of the scored set), same as brute force and IVF probe.
+    *
+    * Scale: the scored side is the CODE table (m small ints per vector,
+    * not the float corpus) with the query LUTs broadcast — the shuffle
+    * carries map_tasks×k candidates per query. The static per-j unrolled
+    * sum keeps the ADC inside whole-stage codegen (a higher-order
+    * `aggregate` lambda would run interpreted per row). Scores approximate
+    * the INNER PRODUCT (like FAISS `IndexPQ` with METRIC_INNER_PRODUCT);
+    * the recall gate compares against exact-IP brute force.
+    */
+  def pqAdcTopK(codes: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, books: Seq[Seq[Array[Double]]], k: Int): DataFrame = {
+    val subDim = books.head.head.length
+    val ksub = books.head.size
+    val lutCol = array(books.zipWithIndex.flatMap { case (cb, j) =>
+      val sub = slice(col(vecCol), j * subDim + 1, subDim)
+      cb.map(c => dot(sub, typedLit(c.toSeq)))
+    }: _*)
+    val q = queries.select(col(idCol).as("query_id"), lutCol.as("lut"))
+    val adc = books.indices.map(j =>
+      element_at(col("lut"), col("codes").getItem(j) + j * ksub + 1)).reduce(_ + _)
+    val topk = udaf(new TopKAgg(k), org.apache.spark.sql.Encoders.product[ScoredId])
+    codes.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+      .groupBy("query_id")
+      .agg(topk(col("adc"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        col("s.score").as("adc"), (col("r") + 1).cast(LongType).as("rank"))
+  }
+
+  /** Brute-force INNER-PRODUCT top-k ([[TopKAgg]]-ranked) — the exact
+    * reference for the PQ recall gate (ADC approximates q·x, so its quality
+    * is judged against the exact-IP ranking, not cosine).
+    */
+  def bruteForceTopKDot(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val topk = udaf(new TopKAgg(k), org.apache.spark.sql.Encoders.product[ScoredId])
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("cv"), col("qv")).as("ip"))
+      .groupBy("query_id")
+      .agg(topk(col("ip"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        col("s.score").as("ip"), (col("r") + 1).cast(LongType).as("rank"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC deduplication —
     * cluster the corpus by nearest centroid, then WITHIN each cluster drop
     * every vector that has a lower-id cluster-mate with cosine ≥ `threshold`

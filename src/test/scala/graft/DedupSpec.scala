@@ -343,6 +343,32 @@ class DedupSpec extends SparkSpec {
     picks should be < 160
   }
 
+  test("winnow gram cap: truncation is deterministic (kept-prefix fingerprints) and OBSERVABLE " +
+       "via winnowTruncationReport") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // doc 1: 30 tokens -> 27 4-grams, exceeds cap 16 by 11; doc 2: 5 tokens -> 2 grams
+    val big = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, "a b c d e")).toDF("doc_id", "text")
+    val rep = rows(Dedup.winnowTruncationReport(docs, "text", k = 4, capGrams = 16L)).head
+    rep.getAs[Long]("n_docs") shouldBe 2L
+    rep.getAs[Long]("n_truncated") shouldBe 1L
+    rep.getAs[Long]("max_grams") shouldBe 27L
+    rep.getAs[Long]("grams_dropped") shouldBe 11L
+    // capped fingerprints == fingerprints of the kept prefix (first
+    // capGrams + k - 1 = 19 tokens): the documented same-guarantee-within-
+    // the-kept-prefix contract, not garbage selection
+    val capped = rows(Dedup.winnowFingerprints(docs.filter(col("doc_id") === 1L),
+      "text", "doc_id", k = 4, w = 5, capGrams = 16L).orderBy("pos", "h"))
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("h")))
+    val prefix = (1 to 19).map(i => s"w$i").mkString(" ")
+    val prefixFp = rows(Dedup.winnowFingerprints(Seq((1L, prefix)).toDF("doc_id", "text"),
+      "text", "doc_id", k = 4, w = 5).orderBy("pos", "h"))
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("h")))
+    capped shouldBe prefixFp
+    capped.foreach { case (pos, _) => pos should be < 16L }
+  }
+
   test("erasure semantics: deleting docs can bring a shingle back under the docFreq cap — " +
        "the pruned postings index must REBUILD, not row-delete") {
     import spark.implicits._

@@ -262,6 +262,37 @@ class SimilaritySpec extends SparkSpec {
       maxCellSize = Some(20L)).count() shouldBe 250L // one verdict per vector
   }
 
+  test("PQ: encode picks the argmax-IP centroid per subspace; ADC is EXACT for a " +
+       "losslessly-encodable corpus (vectors that ARE codebook concatenations)") {
+    import spark.implicits._
+    val books = Similarity.pqCodebooks(m = 2, subDim = 4, ksub = 4, seed = 11L)
+    books.foreach(_.size shouldBe 4)
+    // corpus: every (c0, c1) concatenation of subspace centroids — encoding
+    // is lossless, so ADC(q, x) = Σⱼ q_subⱼ·centroid_codeⱼ = q·x EXACTLY
+    val corpus = (for (a <- 0 until 4; b <- 0 until 4) yield {
+      val v = (books(0)(a) ++ books(1)(b)).map(_.toFloat)
+      ((a * 4 + b).toLong, v)
+    }).toDF("vec_id", "embedding")
+    val codes = rows(Similarity.pqEncode(corpus, "embedding", "vec_id", books)
+      .orderBy("neighbor_id"))
+    codes.foreach { r =>
+      val id = r.getAs[Long]("neighbor_id")
+      r.getAs[Seq[Int]]("codes") shouldBe Seq((id / 4).toInt, (id % 4).toInt)
+    }
+    // arbitrary float query: ADC ranking == exact inner-product ranking,
+    // scores equal to the exact dot products
+    val q = Seq((100L, Array(0.3f, -1.2f, 0.7f, 0.1f, 2.0f, -0.5f, 0.9f, 1.1f)))
+      .toDF("vec_id", "embedding")
+    val adc = rows(Similarity.pqAdcTopK(
+        Similarity.pqEncode(corpus, "embedding", "vec_id", books), q,
+        "embedding", "vec_id", books, k = 16).orderBy("rank"))
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc")))
+    val exact = rows(Similarity.bruteForceTopKDot(corpus, q, "embedding", "vec_id", k = 16)
+      .orderBy("rank"))
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("ip")))
+    adc shouldBe exact
+  }
+
   test("embedOutliers: the single far vector among ten is the unique outlier " +
        "(9 identical + 1 far -> z_far = 0.9/sqrt(0.1) ~ 2.846)") {
     import spark.implicits._

@@ -107,6 +107,52 @@ class StreamingSpec extends SparkSpec {
     last shouldBe Map(1L -> 3L, 2L -> 1L, 3L -> 0L)
   }
 
+  test("q_stream_funnel gate rollup is drain-shape-independent: forced two-batch drain " +
+       "produces the same step counts as the single-batch drain") {
+    // r11 verdict ask #5: the gate's max(stage)-per-user reduction claims
+    // Update-mode re-emission across batches cannot change the rollup —
+    // prove it by draining the SAME events once as one file and once split
+    // across two files (maxFilesPerTrigger=1), with users straddling the
+    // split so re-emission genuinely occurs.
+    import org.apache.spark.sql.functions.{array, explode, lit, struct, sum, when, max => smax}
+    val rowsIn = Seq(
+      ("2024-01-01 09:00:00", 1L, "view"), ("2024-01-01 10:00:00", 1L, "click"),
+      ("2024-01-01 09:10:00", 2L, "view"),
+      ("2024-01-01 11:00:00", 1L, "purchase"), // user 1 advances in batch 2
+      ("2024-01-01 12:00:00", 2L, "click"), ("2024-01-01 13:00:00", 3L, "view"))
+    val df = rowsIn.toDF("ts", "user_id", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val one = java.nio.file.Files.createTempDirectory("funnel1b").toString
+    val two = java.nio.file.Files.createTempDirectory("funnel2b").toString
+    df.coalesce(1).write.parquet(s"$one/f1")
+    df.limit(3).coalesce(1).write.parquet(s"$two/f1")
+    df.exceptAll(df.limit(3)).coalesce(1).write.parquet(s"$two/f2")
+    def stepCounts(dir: String, name: String): Seq[(Long, Long)] = {
+      val stream = spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*/")
+      val staged = Streaming.runToMemory(spark,
+        Streaming.funnelStageStream(stream, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase")),
+        name, org.apache.spark.sql.streaming.OutputMode.Update())
+      // the GATE's exact reduction (SparkEntry q_stream_funnel)
+      rows(staged.groupBy(col("user_id")).agg(smax(col("stage")).as("stage"))
+        .agg(
+          sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("c2"),
+          sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("c3"))
+        .select(explode(array(
+          struct(lit(1L).as("step"), col("c1").as("n_users")),
+          struct(lit(2L).as("step"), col("c2").as("n_users")),
+          struct(lit(3L).as("step"), col("c3").as("n_users")))).as("r"))
+        .select(col("r.step"), col("r.n_users")).orderBy("step"))
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val single = stepCounts(one, "funnel_gate_1b")
+    val split = stepCounts(two, "funnel_gate_2b")
+    split shouldBe single
+    single shouldBe Seq((1L, 3L), (2L, 2L), (3L, 1L))
+  }
+
   test("streaming KMV sketch merges across microbatches to the exact batch sketch") {
     // the Aggregator's merge() runs through the state store between batches;
     // the final estimate must be bit-identical to the one-shot batch sketch
