@@ -69,9 +69,27 @@ object SessionCache {
       m
     }
 
-  /** Compute `f` once per (session, key); later calls return the cached value. */
-  def getOrCompute[T <: AnyRef](s: SparkSession, key: String)(f: => T): T =
-    of(s).computeIfAbsent(key, _ => f).asInstanceOf[T]
+  /** Compute `f` once per (session, key); later calls return the cached
+    * value. NOT computeIfAbsent: cached builders NEST (an index builder
+    * calls getOrCompute for its sub-index — e.g. minhash pairs → signature
+    * dir, erasure apply → both), and ConcurrentHashMap forbids map mutation
+    * inside computeIfAbsent's mapping function — it throws "Recursive
+    * update" whenever the nested key happens to land in the same bin (a
+    * hash-placement landmine, not a deterministic error). Compute OUTSIDE
+    * the map, then putIfAbsent; the benign race (two threads computing the
+    * same frame, first one wins) is the standard price and irrelevant on a
+    * single-threaded driver.
+    */
+  def getOrCompute[T <: AnyRef](s: SparkSession, key: String)(f: => T): T = {
+    val m = of(s)
+    val existing = m.get(key)
+    if (existing != null) existing.asInstanceOf[T]
+    else {
+      val v = f
+      val prev = m.putIfAbsent(key, v)
+      (if (prev != null) prev else v).asInstanceOf[T]
+    }
+  }
 
   /** True exactly once per (session, key) — one-time session setup guard. */
   def once(s: SparkSession, key: String): Boolean =
