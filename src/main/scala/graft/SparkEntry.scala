@@ -183,6 +183,21 @@ object SparkEntry {
       idxDir
     }
 
+  /** The PQ codebooks every PQ query shares (deterministic, restated as
+    * literals by the duals) and the session-cached code table over the sf
+    * corpus — the landed artifact a production PQ deployment buckets by id
+    * next to the corpus.
+    */
+  private def pqBooks: Seq[Seq[Array[Double]]] =
+    Similarity.pqCodebooks(m = 8, subDim = 8, ksub = 16, seed = 11L)
+
+  private def pqCodeIndex(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCompute(s, s"pq-codes:$dir") {
+      val c = Similarity.pqEncode(embeddings(s, dir), "embedding", "vec_id", pqBooks).cache()
+      c.count()
+      c
+    }
+
   private def minhashPairIndex(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCompute(s, s"minhash-pairs:$dir") {
       // THE PERSISTED-SIGNATURE PATH (r11, SCALE.md non-optimality #1 closed):
@@ -1973,14 +1988,24 @@ object SparkEntry {
     // sum/ranking all restated by the oracle.
     "q_pq_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val books = Similarity.pqCodebooks(m = 8, subDim = 8, ksub = 16, seed = 11L)
-      val codes = SessionCache.getOrCompute(s, s"pq-codes:$dir") {
-        val c = Similarity.pqEncode(e, "embedding", "vec_id", books).cache()
-        c.count()
-        c
-      }
-      Similarity.pqAdcTopK(codes, e.filter(col("vec_id") < 3),
-          "embedding", "vec_id", books, k = 10)
+      Similarity.pqAdcTopK(pqCodeIndex(s, dir), e.filter(col("vec_id") < 3),
+          "embedding", "vec_id", pqBooks, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+    // IVF-PQ composed serve (FAISS IndexIVFPQ): the session-shared litcents
+    // coarse index restricts each query to nprobe=4 cells; within them,
+    // candidates score by ADC against the shared code table — the float
+    // corpus is touched by NEITHER stage. Coarse probe, codes, LUTs, and
+    // the lookup sum are all restated by the dual.
+    "q_ivfpq_topk" -> ((s, dir) => {
+      import s.implicits._
+      val e = embeddings(s, dir)
+      val cents = Dedup.hyperplanes(16, 64, seed = 7L).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("cell_id", "centroid")
+      val index = Similarity.ivfIndexCached(e, cents, "embedding", "vec_id",
+        key = s"litcents:$dir")
+      Similarity.ivfPqProbe(index, pqCodeIndex(s, dir), e.filter(col("vec_id") < 3),
+          cents, "embedding", "vec_id", pqBooks, k = 10, nprobe = 4)
         .orderBy("query_id", "rank")
     }),
     // ...and its QUALITY gate: recall@10 of the ADC ranking against the
@@ -1990,14 +2015,9 @@ object SparkEntry {
     "q_pq_recall" -> ((s, dir) => {
       import s.implicits._
       val e = embeddings(s, dir)
-      val books = Similarity.pqCodebooks(m = 8, subDim = 8, ksub = 16, seed = 11L)
-      val codes = SessionCache.getOrCompute(s, s"pq-codes:$dir") {
-        val c = Similarity.pqEncode(e, "embedding", "vec_id", books).cache()
-        c.count()
-        c
-      }
       val queries = e.filter(col("vec_id") < 10)
-      val pq = Similarity.pqAdcTopK(codes, queries, "embedding", "vec_id", books, k = 10)
+      val pq = Similarity.pqAdcTopK(pqCodeIndex(s, dir), queries,
+        "embedding", "vec_id", pqBooks, k = 10)
       val exact = Similarity.bruteForceTopKDot(e, queries, "embedding", "vec_id", k = 10)
       val hits = pq.select("query_id", "neighbor_id")
         .join(exact.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
@@ -2683,6 +2703,31 @@ object SparkEntry {
           documents(s, dir).select(col("doc_id")).filter(col("doc_id") < 64), "doc_id")),
         "payload", "media_id")
         .orderBy("media_id")),
+    // PERCEPTUAL image fingerprints (dHash, r12): gradient-sign hash of the
+    // decoded raster — computed from the PNG payloads while the oracle
+    // restates the gradient signs from the BMP byte formula, so the hash
+    // gate simultaneously proves (a) the decode reaches the true raster
+    // through the compressed codec and (b) dHash survives the codec
+    // round-trip (the re-encoded copy fingerprints identically) — the
+    // property that makes it the multimodal near-dup key. Corrupt row → −1.
+    "q_image_dhash" -> ((s, dir) =>
+      Multimodal.dHash(
+        Multimodal.withCorruptRow(Multimodal.withPngPayload(
+          documents(s, dir).select(col("doc_id")).filter(col("doc_id") < 64), "doc_id")),
+        "payload", "media_id")
+        .orderBy("media_id")),
+    // ...and the dedup pass over it: perceptual-duplicate clusters = group
+    // by dhash (exact 8-byte key — the scale shape is a plain hash shuffle),
+    // keeper = min media_id, the Dedup.exact survivor rule applied to the
+    // perceptual key
+    "q_image_dedup" -> ((s, dir) =>
+      Multimodal.dHash(
+        Multimodal.withBmpPayload(
+          documents(s, dir).select(col("doc_id")).filter(col("doc_id") < 64), "doc_id"),
+        "payload", "media_id")
+        .groupBy("dhash")
+        .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("keeper_id"))
+        .orderBy("dhash")),
 
     // --- streaming (SURVEY §2.9) ------------------------------------------
     "q_stream_candles" -> ((s, dir) => {
@@ -2841,6 +2886,48 @@ object SparkEntry {
             .select(col("query_id"), col("__s.id").as("neighbor_id"),
               col("__s.score").as("cos"), (col("__r") + 1).cast(LongType).as("rank"))
           graft.streaming.Streaming.runToMemory(s, agg, "stream_ann")
+        }
+      }.orderBy("query_id", "rank")
+    }),
+
+    // Streaming IVF-PQ serve (r12 — the COMPRESSED twin of q_stream_ann,
+    // and the shape a deployed vector service actually runs at 100 TB):
+    // query vectors arrive as a stream, build their ADC lookup tables
+    // narrowly, probe nprobe=4 cells of the static coarse index, and score
+    // the static CODE table via a stateless stream-static cell equi-join —
+    // the float corpus is never touched at serve time. Oracle = the batch
+    // IVF-PQ dual over the same queries.
+    "q_stream_pq" -> ((s, dir) => {
+      tune(s)
+      streamResult(s, dir, "pq_serve") {
+        withStreamConf(s) {
+          import s.implicits._
+          val cents = Dedup.hyperplanes(16, 64, seed = 7L).zipWithIndex
+            .map { case (v, i) => (i.toLong, v) }.toDF("cell_id", "centroid")
+          val index = Similarity.ivfIndexCached(embeddings(s, dir), cents,
+            "embedding", "vec_id", key = s"litcents:$dir")
+          val cellCodes = index.select(col("neighbor_id"), col("cell"))
+            .join(pqCodeIndex(s, dir), Seq("neighbor_id"))
+          val schema = table(s, dir, "embeddings").schema
+          val qstream = s.readStream.schema(schema)
+            .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+            .filter(col("vec_id") < 10)
+          val queryCells = Similarity
+            .probeCells(qstream, cents, "embedding", "vec_id", nprobe = 4)
+            .select(col("query_id"), col("cell"),
+              Similarity.pqLut(pqBooks, col("qv")).as("lut"))
+          val scored = queryCells.join(cellCodes, Seq("cell"))
+            .filter(col("neighbor_id") =!= col("query_id"))
+            .select(col("query_id"), col("neighbor_id"),
+              Similarity.pqAdc(pqBooks, col("lut"), col("codes")).as("adc"))
+          val topk = udaf(new graft.operators.Similarity.TopKAgg(10),
+            org.apache.spark.sql.Encoders.product[graft.operators.Similarity.ScoredId])
+          val agg = scored.groupBy("query_id")
+            .agg(topk(col("adc"), col("neighbor_id")).as("__top"))
+            .select(col("query_id"), posexplode(col("__top")).as(Seq("__r", "__s")))
+            .select(col("query_id"), col("__s.id").as("neighbor_id"),
+              col("__s.score").as("adc"), (col("__r") + 1).cast(LongType).as("rank"))
+          graft.streaming.Streaming.runToMemory(s, agg, "stream_pq")
         }
       }.orderBy("query_id", "rank")
     }),
@@ -4219,6 +4306,173 @@ object SparkEntry {
         ORDER BY s_name, s_suppkey""")
     }),
 
+    // TPC-H Q15 shape (top supplier): aggregate view + scalar MAX-of-
+    // aggregate subquery selecting the argmax rows — the arg-max-by-equality
+    // pattern; the equality filter runs on the EXACT decimal revenue (cast
+    // to double only at output), so the tie semantics are engine-portable.
+    "q_tpch_q15" -> ((s, dir) => {
+      lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      table(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+      s.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+            SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS total_revenue
+          FROM v_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+          CAST(total_revenue AS DOUBLE) AS total_revenue
+        FROM v_supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey""")
+    }),
+
+    // TPC-H Q22 shape (global sales opportunity): scalar avg subquery
+    // gating the probe side PLUS a NOT-EXISTS anti-join — the two remaining
+    // subquery classes in one plan. Cross-engine exactness: the average is
+    // exact-decimal-sum ÷ exact count, both converted to double BEFORE the
+    // one division, so the filter compares identical doubles. Adapted (no
+    // c_phone): country = nationkey, and the anti-join is scoped to urgent
+    // orders so the shape stays non-degenerate on this generator's data.
+    "q_tpch_q22" -> ((s, dir) => {
+      customer(s, dir).createOrReplaceTempView("v_customer")
+      orders(s, dir).createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT CAST(c_nationkey AS BIGINT) AS cntry, CAST(COUNT(*) AS BIGINT) AS numcust,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS totacctbal
+        FROM v_customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE)
+            FROM v_customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM v_orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey ORDER BY cntry""")
+    }),
+
+    // TPC-H Q2 shape (min-cost supplier): correlated scalar-MIN subquery
+    // whose correlation threads through a 4-table join chain — Catalyst
+    // decorrelates it to an aggregate-then-join on the partkey. Adapted (no
+    // partsupp): the supply relation is lineitem rolled up to
+    // (part, supplier) grain with MIN exact-decimal price as the cost, so
+    // the argmin-equality runs on exact decimals cross-engine.
+    "q_tpch_q2" -> ((s, dir) => {
+      lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      table(s, dir, "part").createOrReplaceTempView("v_part")
+      table(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+      table(s, dir, "nation").createOrReplaceTempView("v_nation")
+      table(s, dir, "region").createOrReplaceTempView("v_region")
+      s.sql("""
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+            MIN(CAST(l_extendedprice AS DECIMAL(20,6))) AS ps_supplycost
+          FROM v_lineitem GROUP BY l_partkey, l_suppkey)
+        SELECT s_acctbal, s_name, n_name, CAST(p_partkey AS BIGINT) AS p_partkey, p_type
+        FROM v_part JOIN ps ON p_partkey = ps_partkey
+          JOIN v_supplier ON s_suppkey = ps_suppkey
+          JOIN v_nation ON s_nationkey = n_nationkey
+          JOIN v_region ON n_regionkey = r_regionkey
+        WHERE p_size = 15 AND r_name = 'EUROPE'
+          AND ps_supplycost = (
+            SELECT MIN(ps2.ps_supplycost)
+            FROM ps ps2 JOIN v_supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+              JOIN v_nation n2 ON s2.s_nationkey = n2.n_nationkey
+              JOIN v_region r2 ON n2.n_regionkey = r2.r_regionkey
+            WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""")
+    }),
+
+    // TPC-H Q9 shape (product-type profit): five-way join star + LIKE
+    // pushdown + EXTRACT(YEAR) grouping — no subquery, but the widest join
+    // tree in the set; Catalyst's join reorder + broadcast of the three dim
+    // tables is the plan that must emerge. Adapted: supply cost =
+    // p_retailprice/2 (no partsupp), both profit terms cast to exact
+    // decimals BEFORE the sum so the aggregate is order-free cross-engine.
+    "q_tpch_q9" -> ((s, dir) => {
+      lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      table(s, dir, "part").createOrReplaceTempView("v_part")
+      table(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+      orders(s, dir).createOrReplaceTempView("v_orders")
+      table(s, dir, "nation").createOrReplaceTempView("v_nation")
+      s.sql("""
+        SELECT n_name AS nation, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+                 - CAST(p_retailprice * 0.5 * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_profit
+        FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+          JOIN v_supplier ON s_suppkey = l_suppkey
+          JOIN v_orders ON o_orderkey = l_orderkey
+          JOIN v_nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+        ORDER BY nation, o_year DESC""")
+    }),
+
+    // TPC-H Q11 shape (important stock): grouped HAVING gated by an
+    // UNCORRELATED scalar-aggregate subquery over the same filtered join —
+    // the having-vs-global-total pattern (the subquery plan is a reusable
+    // subtree; exact-decimal comparison both sides). Adapted: value =
+    // exact-decimal lineitem revenue per part for one nation's suppliers,
+    // threshold 0.2% of the nation total.
+    "q_tpch_q11" -> ((s, dir) => {
+      lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      table(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+      table(s, dir, "nation").createOrReplaceTempView("v_nation")
+      s.sql("""
+        SELECT CAST(l_partkey AS BIGINT) AS ps_partkey,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS value
+        FROM v_lineitem JOIN v_supplier ON l_suppkey = s_suppkey
+          JOIN v_nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+        HAVING SUM(CAST(l_extendedprice AS DECIMAL(30,6))) > (
+          SELECT SUM(CAST(l_extendedprice AS DECIMAL(30,6))) * 0.002
+          FROM v_lineitem JOIN v_supplier ON l_suppkey = s_suppkey
+            JOIN v_nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3')
+        ORDER BY value DESC""")
+    }),
+
+    // TPC-H Q12 shape (shipping-mode priority split): fact-fact join with a
+    // NON-EQUI residual (l_shipdate >= o_orderdate + 30 days — the
+    // late-shipment predicate) feeding conditional CASE-sum pivot counts.
+    // Adapted (no l_shipmode/commitdate/receiptdate): returnflag stands in
+    // for the mode axis and orderdate+30d for the lateness test.
+    "q_tpch_q12" -> ((s, dir) => {
+      lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      orders(s, dir).createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT l_returnflag AS shipmode,
+          CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM v_orders JOIN v_lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_returnflag ORDER BY shipmode""")
+    }),
+
+    // TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT) over a
+    // NOT IN exclusion subquery — the null-aware anti-join decorrelation
+    // path (the last subquery class not yet in the set) plus distinct-agg
+    // expansion. Adapted: the (part, supplier) relation is lineitem;
+    // excluded suppliers are the negative-balance ones (6 at sf0.01, so the
+    // anti-join binds without emptying the result).
+    "q_tpch_q16" -> ((s, dir) => {
+      lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      table(s, dir, "part").createOrReplaceTempView("v_part")
+      table(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+      s.sql("""
+        SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+          CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1' AND p_size IN (1, 2, 3, 4, 5)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM v_supplier WHERE s_acctbal < 0.0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+    }),
+
     // partition-spec EVOLUTION on read (Iceberg's "old files keep the old
     // layout" property): generation 1 landed unpartitioned, generation 2
     // hive-partitioned by event_type — one logical table, and the
@@ -4919,6 +5173,39 @@ object SparkEntry {
        |) ORDER BY media_id""".stripMargin.replace("\n", "")
   }
 
+  /** dHash dual: the gradient SIGNS restated from the fixture byte formula
+    * without decoding — gray(x,y) = Σ_off (id·131 + (base+off)·7) mod 256
+    * with base = ((3−y)·4+x)·3 (BGR bottom-up), bit layout exactly
+    * [[graft.operators.Multimodal.dHash]]'s (12 row bits then 12 column
+    * bits on the 4×4 raster).
+    */
+  private def dhashExpr: String = {
+    def gray(x: Int, y: Int) = {
+      val base = ((3 - y) * 4 + x) * 3
+      (0 until 3).map(off => s"((doc_id * 131 + ${base + off} * 7) % 256)").mkString(" + ")
+    }
+    val terms =
+      (for (y <- 0 until 4; x <- 0 until 3) yield
+        s"(CASE WHEN (${gray(x + 1, y)}) > (${gray(x, y)}) THEN ${1L << (y * 3 + x)} ELSE 0 END)") ++
+      (for (y <- 0 until 3; x <- 0 until 4) yield
+        s"(CASE WHEN (${gray(x, y + 1)}) > (${gray(x, y)}) THEN ${1L << (12 + y * 4 + x)} ELSE 0 END)")
+    terms.mkString(" + ")
+  }
+
+  private def dhashSql: String =
+    s"""SELECT * FROM (
+       | SELECT doc_id AS media_id, CAST($dhashExpr AS BIGINT) AS dhash
+       | FROM documents WHERE doc_id < 64
+       | UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+       |) ORDER BY media_id""".stripMargin.replace("\n", "")
+
+  private def imageDedupSql: String =
+    s"""WITH hx AS (SELECT doc_id AS media_id, CAST($dhashExpr AS BIGINT) AS dhash
+       |  FROM documents WHERE doc_id < 64)
+       | SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n_images,
+       |   MIN(media_id) AS keeper_id
+       | FROM hx GROUP BY dhash ORDER BY dhash""".stripMargin.replace("\n", "")
+
   /** Hyperplane-LSH oracle: the SAME ±1 plane literals and banding as
     * [[Dedup.embeddingPairs]] (both generated from [[Dedup.hyperplanes]]), so
     * DuckDB reproduces the candidate set exactly, then the same exact-cosine
@@ -5087,7 +5374,11 @@ object SparkEntry {
     * tie-break mirroring array_position, ADC = the identical left-assoc
     * m-term lookup-table sum — the whole quantize+serve pipeline restated.
     */
-  private def pqCtes(m: Int, subDim: Int, ksub: Int, queryMax: Int): String = {
+  /** The four generated SQL fragments of the PQ pipeline: per-subspace
+    * score-list columns, the code list, the query LUT list, and the
+    * left-assoc ADC lookup sum.
+    */
+  private def pqParts(m: Int, subDim: Int, ksub: Int): (String, String, String, String) = {
     val books = Similarity.pqCodebooks(m, subDim, ksub, seed = 11L)
     def cb(c: Array[Double]) =
       "[" + c.map(x => if (x > 0) "1.0" else "-1.0").mkString(",") + "]"
@@ -5101,6 +5392,11 @@ object SparkEntry {
       bk.map(c => ip(j, c))
     }.mkString(",") + "]"
     val adcSum = (0 until m).map(j => s"lut[codes[${j + 1}] + ${j * ksub} + 1]").mkString(" + ")
+    (scoreCols, codesList, lutList, adcSum)
+  }
+
+  private def pqCtes(m: Int, subDim: Int, ksub: Int, queryMax: Int): String = {
+    val (scoreCols, codesList, lutList, adcSum) = pqParts(m, subDim, ksub)
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        | sc AS (SELECT vec_id, $scoreCols FROM e),
        | codes AS (SELECT vec_id, $codesList AS codes FROM sc),
@@ -5110,6 +5406,41 @@ object SparkEntry {
        | pq AS (SELECT query_id, neighbor_id, adc,
        |     CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS BIGINT) AS rank
        |   FROM scored)""".stripMargin.replace("\n", "")
+  }
+
+  /** IVF-PQ dual: the literal-centroid coarse probe (assignment argmax with
+    * cell_id DESC ties, top-nprobe query cells — [[ivfProbeSql]]'s CTEs)
+    * composed with the PQ encode/LUT/ADC fragments — candidates restricted
+    * to probed cells, scored by the identical lookup sum.
+    */
+  private def ivfPqSql(nlist: Int, dim: Int, nprobe: Int, k: Int,
+      m: Int, subDim: Int, ksub: Int, queryMax: Int): String = {
+    val cents = Dedup.hyperplanes(nlist, dim, seed = 7L).zipWithIndex.map { case (v, i) =>
+      s"($i, [${v.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}])"
+    }.mkString(", ")
+    val (scoreCols, codesList, lutList, adcSum) = pqParts(m, subDim, ksub)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       | cents(cell_id, c) AS (VALUES $cents),
+       | ascore AS (SELECT e.vec_id, cents.cell_id,
+       |   list_inner_product(e.v, cents.c) /
+       |     (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(cents.c, cents.c))) AS cs
+       |   FROM e CROSS JOIN cents),
+       | asg AS (SELECT vec_id, cell_id FROM (SELECT vec_id, cell_id,
+       |     row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id DESC) AS rn
+       |   FROM ascore) WHERE rn = 1),
+       | qcells AS (SELECT vec_id AS query_id, cell_id FROM (SELECT vec_id, cell_id,
+       |     row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id DESC) AS rn
+       |   FROM ascore WHERE vec_id < $queryMax) WHERE rn <= $nprobe),
+       | sc AS (SELECT vec_id, $scoreCols FROM e),
+       | codes AS (SELECT vec_id, $codesList AS codes FROM sc),
+       | q AS (SELECT vec_id AS query_id, $lutList AS lut FROM e WHERE vec_id < $queryMax),
+       | scored AS (SELECT qc.query_id, cdx.vec_id AS neighbor_id, $adcSum AS adc
+       |   FROM qcells qc JOIN asg a ON a.cell_id = qc.cell_id AND a.vec_id <> qc.query_id
+       |   JOIN codes cdx ON cdx.vec_id = a.vec_id
+       |   JOIN q ON q.query_id = qc.query_id)
+       | SELECT query_id, neighbor_id, adc, rank FROM (SELECT query_id, neighbor_id, adc,
+       |     CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS BIGINT) AS rank
+       |   FROM scored) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin.replace("\n", "")
   }
 
   /** nDCG@k dual — [[ivfRecallSql]]'s IVF + brute CTE pipeline with ranks
@@ -6587,6 +6918,10 @@ object SparkEntry {
       s"""WITH ${pqCtes(m = 8, subDim = 8, ksub = 16, queryMax = 3)}
          | SELECT query_id, neighbor_id, adc, rank FROM pq
          | WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", ""),
+    "q_ivfpq_topk" -> ivfPqSql(nlist = 16, dim = 64, nprobe = 4, k = 10,
+      m = 8, subDim = 8, ksub = 16, queryMax = 3),
+    "q_stream_pq" -> ivfPqSql(nlist = 16, dim = 64, nprobe = 4, k = 10,
+      m = 8, subDim = 8, ksub = 16, queryMax = 10),
     "q_pq_recall" ->
       s"""WITH ${pqCtes(m = 8, subDim = 8, ksub = 16, queryMax = 10)},
          | ex AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -7433,6 +7768,8 @@ object SparkEntry {
         | 'unknown' AS format
         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "q_media_decode" -> mediaDecodeSql,
+    "q_image_dhash" -> dhashSql,
+    "q_image_dedup" -> imageDedupSql,
     // identical dual: the PNG round-trip must land on the same raster
     "q_png_roundtrip" -> mediaDecodeSql,
     // Emitted set = batch sessions whose close horizon (end + gap) the final
@@ -8092,6 +8429,90 @@ object SparkEntry {
         |   GROUP BY l1.l_suppkey
         |   HAVING SUM(CAST(l1.l_quantity AS DECIMAL(20,6))) > 50)
         | ORDER BY s_name, s_suppkey""".stripMargin.replace("\n", ""),
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |   SELECT l_suppkey AS supplier_no,
+        |     SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS total_revenue
+        |   FROM lineitem
+        |   WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |     AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |   GROUP BY l_suppkey)
+        | SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+        |   CAST(total_revenue AS DOUBLE) AS total_revenue
+        | FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        | WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        | ORDER BY s_suppkey""".stripMargin.replace("\n", ""),
+    "q_tpch_q22" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS cntry, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |   CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS totacctbal
+        | FROM customer
+        | WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE)
+        |       / CAST(COUNT(*) AS DOUBLE)
+        |     FROM customer WHERE c_acctbal > 0.0)
+        |   AND NOT EXISTS (SELECT 1 FROM orders
+        |     WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        | GROUP BY c_nationkey ORDER BY cntry""".stripMargin.replace("\n", ""),
+    "q_tpch_q2" ->
+      """WITH ps AS (
+        |   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |     MIN(CAST(l_extendedprice AS DECIMAL(20,6))) AS ps_supplycost
+        |   FROM lineitem GROUP BY l_partkey, l_suppkey)
+        | SELECT s_acctbal, s_name, n_name, CAST(p_partkey AS BIGINT) AS p_partkey, p_type
+        | FROM part JOIN ps ON p_partkey = ps_partkey
+        |   JOIN supplier ON s_suppkey = ps_suppkey
+        |   JOIN nation ON s_nationkey = n_nationkey
+        |   JOIN region ON n_regionkey = r_regionkey
+        | WHERE p_size = 15 AND r_name = 'EUROPE'
+        |   AND ps_supplycost = (
+        |     SELECT MIN(ps2.ps_supplycost)
+        |     FROM ps ps2 JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        |       JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |       JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |     WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        | ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin.replace("\n", ""),
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+        |   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+        |          - CAST(p_retailprice * 0.5 * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_profit
+        | FROM lineitem JOIN part ON p_partkey = l_partkey
+        |   JOIN supplier ON s_suppkey = l_suppkey
+        |   JOIN orders ON o_orderkey = l_orderkey
+        |   JOIN nation ON s_nationkey = n_nationkey
+        | WHERE p_name LIKE '%red%'
+        | GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+        | ORDER BY nation, o_year DESC""".stripMargin.replace("\n", ""),
+    "q_tpch_q11" ->
+      """SELECT CAST(l_partkey AS BIGINT) AS ps_partkey,
+        |   CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS value
+        | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |   JOIN nation ON s_nationkey = n_nationkey
+        | WHERE n_name = 'NATION_3'
+        | GROUP BY l_partkey
+        | HAVING SUM(CAST(l_extendedprice AS DECIMAL(30,6))) > (
+        |   SELECT SUM(CAST(l_extendedprice AS DECIMAL(30,6))) * 0.002
+        |   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |     JOIN nation ON s_nationkey = n_nationkey
+        |   WHERE n_name = 'NATION_3')
+        | ORDER BY value DESC""".stripMargin.replace("\n", ""),
+    "q_tpch_q12" ->
+      """SELECT l_returnflag AS shipmode,
+        |   CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |   CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        | WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+        |   AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        | GROUP BY l_returnflag ORDER BY shipmode""".stripMargin.replace("\n", ""),
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        | FROM lineitem JOIN part ON p_partkey = l_partkey
+        | WHERE p_brand <> 'Brand#1' AND p_size IN (1, 2, 3, 4, 5)
+        |   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        | GROUP BY p_brand, p_type, p_size
+        | ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin.replace("\n", ""),
     // the union must equal the whole filtered table regardless of layout
     "q_partition_evolution" ->
       """SELECT COUNT(*) AS n_rows,

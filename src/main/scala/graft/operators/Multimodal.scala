@@ -158,6 +158,69 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Per-image perceptual hash record produced by [[dHash]]. */
+  case class ImageHash(media_id: Long, dhash: Long)
+
+  /** Difference-hash (dHash) perceptual fingerprint: the sign of the
+    * luminance gradient between adjacent pixels, packed into a long — row
+    * gradients first (bit y·(w−1)+x set iff gray(x+1,y) > gray(x,y)), then
+    * column gradients (bit rowBits+y·w+x iff gray(x,y+1) > gray(x,y)).
+    * Gray = r+g+b (integer sum, no division — exact, oracle-restatable).
+    * Classic dHash resamples to 9×8 first; here the hash runs on the native
+    * raster (the fixtures are 4×4 → 24 bits) — the resample step is a
+    * pre-processing policy, the gradient-sign structure is the operator.
+    *
+    * This is the MULTIMODAL member of the near-dup family: byte-identical
+    * images share a content hash ([[withBinaryMetadata]]'s sha256), but
+    * re-encoded/recompressed copies don't — dHash survives codec round-trips
+    * (the PNG fixture of an id hashes identically to its BMP twin, gated).
+    * Undecodable payloads emit dhash = −1, the null-stats contract.
+    *
+    * Scale: same as [[decodeImages]] — narrow mapPartitions, binary column
+    * never shuffles; downstream dedup groups on the 8-byte hash.
+    */
+  def dHash(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img =
+          try {
+            if (bytes == null) null
+            else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          } catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) ImageHash(id, -1L)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          def g(x: Int, y: Int): Int = {
+            val rgb = img.getRGB(x, y)
+            ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          }
+          var hash = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w - 1) {
+              if (g(x + 1, y) > g(x, y)) hash |= 1L << (y * (w - 1) + x)
+              x += 1
+            }
+            y += 1
+          }
+          val rowBits = h * (w - 1)
+          y = 0
+          while (y < h - 1) {
+            var x = 0
+            while (x < w) {
+              if (g(x, y + 1) > g(x, y)) hash |= 1L << (rowBits + y * w + x)
+              x += 1
+            }
+            y += 1
+          }
+          ImageHash(id, hash)
+        }
+      }).toDF()
+  }
+
   /** Deterministic 24-bit BMP fixture bytes: pixel-array byte j carries
     * `(id·131 + j·7) mod 256` — pure integer arithmetic an oracle can
     * restate WITHOUT decoding, which is exactly what makes [[decodeImages]]

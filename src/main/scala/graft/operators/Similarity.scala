@@ -409,6 +409,58 @@ object Similarity {
         col("s.score").as("adc"), (col("r") + 1).cast(LongType).as("rank"))
   }
 
+  /** IVF-PQ probe — the composed serving shape (FAISS `IndexIVFPQ`): the
+    * coarse quantizer restricts each query to its `nprobe` nearest cells
+    * (the [[ivfAssign]] index provides the cell key), and WITHIN the probed
+    * cells candidates score by PQ ADC lookups against the CODE table — the
+    * float corpus is touched by neither stage at serve time. This is the
+    * standard 100 TB layout: the cell-bucketed code table is the entire
+    * serving working set (m bytes/vector), floats stay on cold storage.
+    *
+    * Join shape: code table ⋈(cell) broadcast query-probe rows (each
+    * carrying its precomputed 128-entry LUT), ADC = the statically-unrolled
+    * lookup sum, ranking via the bounded [[TopKAgg]] — no sort of the
+    * candidate set, no shuffle of anything corpus-sized.
+    */
+  /** The per-query ADC lookup table over a query-vector column: entry
+    * j·ksub + c = q_subⱼ · centroidⱼ,c. Narrow (m×ksub codegen'd dots vs
+    * literals) — legal on a STREAMING query frame, which is what the
+    * streaming PQ serve shares with [[ivfPqProbe]].
+    */
+  def pqLut(books: Seq[Seq[Array[Double]]], qv: Column): Column = {
+    val subDim = books.head.head.length
+    array(books.zipWithIndex.flatMap { case (cb, j) =>
+      val sub = slice(qv, j * subDim + 1, subDim)
+      cb.map(c => dot(sub, typedLit(c.toSeq)))
+    }: _*)
+  }
+
+  /** The statically-unrolled ADC score over (`lut`, `codes`) columns. */
+  def pqAdc(books: Seq[Seq[Array[Double]]], lut: Column, codes: Column): Column = {
+    val ksub = books.head.size
+    books.indices.map(j =>
+      element_at(lut, codes.getItem(j) + j * ksub + 1)).reduce(_ + _)
+  }
+
+  def ivfPqProbe(index: DataFrame, codes: DataFrame, queries: DataFrame,
+      centroids: DataFrame, vecCol: String, idCol: String,
+      books: Seq[Seq[Array[Double]]], k: Int, nprobe: Int): DataFrame = {
+    val queryCells = probeCells(queries, centroids, vecCol, idCol, nprobe)
+      .select(col("query_id"), col("cell"), pqLut(books, col("qv")).as("lut"))
+    val cellCodes = index.select(col("neighbor_id"), col("cell"))
+      .join(codes, Seq("neighbor_id"))
+    val topk = udaf(new TopKAgg(k), org.apache.spark.sql.Encoders.product[ScoredId])
+    cellCodes.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pqAdc(books, col("lut"), col("codes")).as("adc"))
+      .groupBy("query_id")
+      .agg(topk(col("adc"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        col("s.score").as("adc"), (col("r") + 1).cast(LongType).as("rank"))
+  }
+
   /** Brute-force INNER-PRODUCT top-k ([[TopKAgg]]-ranked) — the exact
     * reference for the PQ recall gate (ADC approximates q·x, so its quality
     * is judged against the exact-IP ranking, not cosine).

@@ -282,21 +282,41 @@ object Api {
     """<!doctype html>
       |<html><head><meta charset="utf-8"><title>graft dashboard</title>
       |<style>
-      | body{font-family:system-ui,sans-serif;margin:2rem;color:#222}
+      | body{font-family:system-ui,sans-serif;margin:2rem;color:#222;max-width:70rem}
       | h1{font-size:1.3rem} h2{font-size:1.05rem;margin-top:1.5rem}
       | table{border-collapse:collapse;margin-top:.5rem;font-size:.85rem}
       | th,td{border:1px solid #ccc;padding:.25rem .6rem;text-align:left}
-      | select,button{margin-right:.5rem;padding:.2rem .5rem}
+      | select,button,input{margin-right:.5rem;padding:.2rem .5rem}
       | #info{margin-top:.5rem;font-size:.85rem;color:#444}
+      | .badge{display:inline-block;background:#e3ecfb;color:#1a4f9c;border-radius:9px;
+      |   padding:.05rem .55rem;font-size:.75rem;margin:0 .15rem}
+      | .card{border:1px solid #ddd;border-radius:6px;padding:.8rem 1rem;margin:.6rem 0}
+      | #chart{margin-top:.5rem}
+      | #msg{font-size:.85rem;color:#1a6}
       |</style></head><body>
-      |<h1>graft — dataset browser</h1>
-      |<div>
+      |<h1>graft — financial data pipeline</h1>
+      |<div class="card"><h2>ingest</h2>
+      | source <select id="isrc"><option>csv</option><option>alphavantage</option><option>yahoo_finance</option></select>
+      | type <select id="ityp"><option>stock</option><option>forex</option><option>crypto</option><option>economic</option></select>
+      | symbols <input id="isym" placeholder="AAPL,MSFT" size="12">
+      | file <input id="ifile" placeholder="/path/data.csv" size="18">
+      | <button onclick="ingest()">ingest</button> <span id="msg"></span>
+      |</div>
+      |<div class="card"><h2>explore <span class="badge" id="dscount"></span></h2>
       | layer <select id="layer"><option>bronze</option><option>silver</option><option>gold</option></select>
       | dataset <select id="ds"></select>
       | <button onclick="load()">load</button>
+      | <a id="dl" href="#" style="font-size:.85rem">download csv</a>
+      | <div id="info"></div><div id="syms"></div>
+      | <div id="chart"></div>
+      | <div id="tbl"></div>
       |</div>
-      |<div id="info"></div>
-      |<h2>data</h2><div id="tbl"></div>
+      |<div class="card"><h2>transform</h2>
+      | dataset <input id="tds" placeholder="bronze dataset name" size="18">
+      | op <select id="top"><option>aggregate</option><option>filter</option><option>normalize</option></select>
+      | freq <select id="tfreq"><option>D</option><option>W</option><option>M</option></select>
+      | <button onclick="transform()">run</button> <span id="tmsg"></span>
+      |</div>
       |<script>
       |const $=id=>document.getElementById(id);
       |// stored-XSS guard: dataset names, metadata and CELL VALUES are lake
@@ -306,21 +326,56 @@ object Api {
       |async function layers(){
       |  const layer=$('layer').value;
       |  const names=await (await fetch(`/api/datasets?layer=${encodeURIComponent(layer)}`)).json();
-      |  $('ds').innerHTML=names.map(n=>`<option>${esc(n)}</option>`).join('');
+      |  $('ds').innerHTML=names.sort().map(n=>`<option>${esc(n)}</option>`).join('');
+      |  $('dscount').textContent=`${names.length} datasets`;
+      |}
+      |// minimal line chart of the first numeric column as inline SVG —
+      |// values escaped/numeric-coerced, no external chart lib (the
+      |// reference's chart is an explicit placeholder; this renders real data)
+      |function sparkline(rows,cols){
+      |  const c=cols.find(c=>rows.some(r=>typeof r[c]==='number'&&isFinite(r[c])));
+      |  if(!c){$('chart').textContent='';return;}
+      |  const vs=rows.slice(0,200).map(r=>r[c]).filter(v=>typeof v==='number'&&isFinite(v));
+      |  const mn=Math.min(...vs),mx=Math.max(...vs),W=600,H=80;
+      |  const pts=vs.map((v,i)=>`${(i*W/Math.max(1,vs.length-1)).toFixed(1)},`+
+      |    `${(H-(mx>mn?(v-mn)/(mx-mn):0.5)*H).toFixed(1)}`).join(' ');
+      |  $('chart').innerHTML=`<svg width="${W}" height="${H+18}">`+
+      |    `<polyline points="${pts}" fill="none" stroke="#1a4f9c" stroke-width="1.5"/>`+
+      |    `<text x="0" y="${H+14}" font-size="11">${esc(c)}: ${mn}..${mx}</text></svg>`;
       |}
       |async function load(){
       |  const layer=$('layer').value, name=$('ds').value;
       |  if(!name) return;
       |  const info=await (await fetch(`/api/datasets/${encodeURIComponent(name)}?layer=${encodeURIComponent(layer)}`)).json();
       |  $('info').textContent=`type=${info.data_type??'N/A'} source=${info.source??'N/A'} `+
-      |    `rows=${info.record_count??'N/A'} range=${info.first_date??'N/A'}..${info.last_date??'N/A'} `+
-      |    `symbols=${Array.isArray(info.symbols)?info.symbols.join(','):'N/A'}`;
+      |    `rows=${info.record_count??'N/A'} range=${info.first_date??'N/A'}..${info.last_date??'N/A'}`;
+      |  $('syms').innerHTML=Array.isArray(info.symbols)
+      |    ? info.symbols.map(sx=>`<span class="badge">${esc(sx)}</span>`).join('') : '';
+      |  $('dl').href=`/api/data/${encodeURIComponent(layer)}/${encodeURIComponent(name)}/download`;
       |  const rows=await (await fetch(`/api/data/${encodeURIComponent(layer)}/${encodeURIComponent(name)}`)).json();
-      |  if(!rows.length){$('tbl').textContent='(empty)';return;}
+      |  if(!rows.length){$('tbl').textContent='(empty)';$('chart').textContent='';return;}
       |  const cols=Object.keys(rows[0]);
+      |  sparkline(rows,cols);
       |  $('tbl').innerHTML='<table><tr>'+cols.map(c=>`<th>${esc(c)}</th>`).join('')+'</tr>'+
       |    rows.slice(0,100).map(r=>'<tr>'+cols.map(c=>`<td>${esc(r[c]??'')}</td>`).join('')+'</tr>').join('')+
       |    '</table>';
+      |}
+      |async function ingest(){
+      |  const body={source:$('isrc').value,data_type:$('ityp').value,
+      |    symbols:$('isym').value?$('isym').value.split(','):[],
+      |    params:$('ifile').value?{file_path:$('ifile').value}:{}};
+      |  const r=await (await fetch('/api/ingest',{method:'POST',
+      |    headers:{'Content-Type':'application/json'},body:JSON.stringify(body)})).json();
+      |  $('msg').textContent=`${r.status??''}: ${r.message??''}`;
+      |  layers();
+      |}
+      |async function transform(){
+      |  const body={source_layer:'bronze',source_path:$('tds').value,
+      |    transformation_type:$('top').value,destination_layer:'silver',
+      |    params:{freq:$('tfreq').value}};
+      |  const r=await (await fetch('/api/transform',{method:'POST',
+      |    headers:{'Content-Type':'application/json'},body:JSON.stringify(body)})).json();
+      |  $('tmsg').textContent=`${r.status??''}: ${r.message??''}`;
       |}
       |$('layer').onchange=layers; layers();
       |</script></body></html>""".stripMargin

@@ -50,6 +50,16 @@ class ApiSpec extends SparkSpec {
     page.statusCode() shouldBe 200
     page.headers().firstValue("Content-Type").orElse("") should startWith("text/html")
     page.body should include("/api/datasets")
+    // r12 parity pass: the three reference flows (ingest form, explore
+    // browser incl. download + chart, transform form) and the stored-XSS
+    // guard — everything interpolated into markup goes through esc()
+    page.body should include("/api/ingest")
+    page.body should include("/api/transform")
+    page.body should include("download")
+    page.body should include("sparkline")
+    page.body should include("const esc=")
+    page.body should not include "${n}</option>"   // unescaped interpolations are gone
+    page.body should not include "${r[c]??''}</td>"
     // same handler through the /api prefix the reference mounts (main.py:20)
     val bare = get("/datasets?layer=bronze")
     val prefixed = get("/api/datasets?layer=bronze")

@@ -108,6 +108,22 @@ class MultimodalSpec extends SparkSpec {
     } finally reg.deregisterServiceProvider(spi)
   }
 
+  test("dHash: perceptual fingerprint survives the codec round-trip (BMP twin == PNG twin), " +
+       "corrupt containers emit -1") {
+    val ids = Seq(3L, 7L, 11L).toDF("doc_id")
+    def hashes(payloads: org.apache.spark.sql.DataFrame) =
+      rows(Multimodal.dHash(payloads, "payload", "media_id").orderBy("media_id"))
+        .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("dhash")))
+    val bmp = hashes(Multimodal.withBmpPayload(ids, "doc_id"))
+    val png = hashes(Multimodal.withPngPayload(ids, "doc_id"))
+    // the re-encoded copy fingerprints identically — the property that makes
+    // dHash the multimodal near-dup key where sha256 sees different bytes
+    png shouldBe bmp
+    bmp.map(_._2).foreach(_ should be >= 0L)
+    hashes(Multimodal.withCorruptRow(Multimodal.withBmpPayload(ids, "doc_id")))
+      .head shouldBe (-1L, -1L)
+  }
+
   test("decodeStub: deterministic per-content features with the production schema") {
     val out1 = rows(Multimodal.decodeStub(media, "payload", "media_id").orderBy("media_id"))
     val out2 = rows(Multimodal.decodeStub(media, "payload", "media_id").orderBy("media_id"))
