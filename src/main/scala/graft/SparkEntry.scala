@@ -4351,11 +4351,15 @@ object SparkEntry {
     }),
 
     // TPC-H Q2 shape (min-cost supplier): correlated scalar-MIN subquery
-    // whose correlation threads through a 4-table join chain — Catalyst
-    // decorrelates it to an aggregate-then-join on the partkey. Adapted (no
-    // partsupp): the supply relation is lineitem rolled up to
-    // (part, supplier) grain with MIN exact-decimal price as the cost, so
-    // the argmin-equality runs on exact decimals cross-engine.
+    // over the grouped supply relation — Catalyst decorrelates it to an
+    // aggregate-then-join on the partkey. Adapted (no partsupp): the supply
+    // relation is lineitem rolled up to (part, supplier) grain with MIN
+    // exact-decimal price as the cost, so the argmin-equality runs on exact
+    // decimals cross-engine. The region predicate is pushed INTO the shared
+    // ps rollup: it gates the pick and the min identically, and with CTE
+    // inlining the textbook re-threading of the dimension chain inside the
+    // subquery doubles the 4-table join for no semantic gain — one
+    // EUROPE-scoped rollup feeds both sides and the correlated MIN stays.
     "q_tpch_q2" -> ((s, dir) => {
       lineitem(s, dir).createOrReplaceTempView("v_lineitem")
       table(s, dir, "part").createOrReplaceTempView("v_part")
@@ -4366,19 +4370,19 @@ object SparkEntry {
         WITH ps AS (
           SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
             MIN(CAST(l_extendedprice AS DECIMAL(20,6))) AS ps_supplycost
-          FROM v_lineitem GROUP BY l_partkey, l_suppkey)
+          FROM v_lineitem JOIN v_supplier ON s_suppkey = l_suppkey
+            JOIN v_nation ON s_nationkey = n_nationkey
+            JOIN v_region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+          GROUP BY l_partkey, l_suppkey)
         SELECT s_acctbal, s_name, n_name, CAST(p_partkey AS BIGINT) AS p_partkey, p_type
         FROM v_part JOIN ps ON p_partkey = ps_partkey
           JOIN v_supplier ON s_suppkey = ps_suppkey
           JOIN v_nation ON s_nationkey = n_nationkey
-          JOIN v_region ON n_regionkey = r_regionkey
-        WHERE p_size = 15 AND r_name = 'EUROPE'
+        WHERE p_size = 15
           AND ps_supplycost = (
-            SELECT MIN(ps2.ps_supplycost)
-            FROM ps ps2 JOIN v_supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
-              JOIN v_nation n2 ON s2.s_nationkey = n2.n_nationkey
-              JOIN v_region r2 ON n2.n_regionkey = r2.r_regionkey
-            WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+            SELECT MIN(ps2.ps_supplycost) FROM ps ps2
+            WHERE ps2.ps_partkey = p_partkey)
         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""")
     }),
 
@@ -8456,19 +8460,19 @@ object SparkEntry {
       """WITH ps AS (
         |   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
         |     MIN(CAST(l_extendedprice AS DECIMAL(20,6))) AS ps_supplycost
-        |   FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |   FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |     JOIN nation ON s_nationkey = n_nationkey
+        |     JOIN region ON n_regionkey = r_regionkey
+        |   WHERE r_name = 'EUROPE'
+        |   GROUP BY l_partkey, l_suppkey)
         | SELECT s_acctbal, s_name, n_name, CAST(p_partkey AS BIGINT) AS p_partkey, p_type
         | FROM part JOIN ps ON p_partkey = ps_partkey
         |   JOIN supplier ON s_suppkey = ps_suppkey
         |   JOIN nation ON s_nationkey = n_nationkey
-        |   JOIN region ON n_regionkey = r_regionkey
-        | WHERE p_size = 15 AND r_name = 'EUROPE'
+        | WHERE p_size = 15
         |   AND ps_supplycost = (
-        |     SELECT MIN(ps2.ps_supplycost)
-        |     FROM ps ps2 JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
-        |       JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
-        |       JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
-        |     WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        |     SELECT MIN(ps2.ps_supplycost) FROM ps ps2
+        |     WHERE ps2.ps_partkey = p_partkey)
         | ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin.replace("\n", ""),
     "q_tpch_q9" ->
       """SELECT n_name AS nation, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
