@@ -198,6 +198,16 @@ object SparkEntry {
       c
     }
 
+  /** Session-cached sign-bit code table (8 bytes/vector) — the landed
+    * artifact of the binary-quantization serving path.
+    */
+  private def bqCodeIndex(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCompute(s, s"bq-codes:$dir") {
+      val c = Similarity.binaryQuantize(embeddings(s, dir), "embedding", "vec_id").cache()
+      c.count()
+      c
+    }
+
   private def minhashPairIndex(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCompute(s, s"minhash-pairs:$dir") {
       // THE PERSISTED-SIGNATURE PATH (r11, SCALE.md non-optimality #1 closed):
@@ -2027,6 +2037,37 @@ object SparkEntry {
           (col("hits").cast(DoubleType) /
             (col("n_queries") * lit(10L)).cast(DoubleType)).as("recall"))
         .withColumn("meets_threshold", col("recall") >= lit(0.2))
+    }),
+
+    // BINARY quantization serving (r12 — the 1-bit rung of the compression
+    // ladder after int8 and PQ): sign-bit codes are 8 bytes/vector, Hamming
+    // = bit_count(xor) per candidate, TopKAgg-ranked. Hamming ties are
+    // frequent by construction; the (hamming asc, id asc) tie rule is
+    // restated by the dual's row_number, so the gate pins the whole ranking.
+    "q_bq_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.bqHammingTopK(bqCodeIndex(s, dir), e.filter(col("vec_id") < 3),
+          "embedding", "vec_id", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+    // ...and its QUALITY gate: recall@10 of the Hamming ranking against the
+    // exact inner-product brute force (both restated by the dual). Sign-bit
+    // codes keep ~0.25 recall@10 on this corpus — the gate pins ≥ 0.15 so a
+    // broken pack (wrong bit order, sign flip) fails loudly.
+    "q_bq_recall" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+      val bq = Similarity.bqHammingTopK(bqCodeIndex(s, dir), queries,
+        "embedding", "vec_id", k = 10)
+      val exact = Similarity.bruteForceTopKDot(e, queries, "embedding", "vec_id", k = 10)
+      val hits = bq.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+      val nq = exact.agg(countDistinct(col("query_id")).as("n_queries"))
+      hits.agg(count(lit(1)).as("hits")).crossJoin(broadcast(nq))
+        .select(col("n_queries"), lit(10L).as("k"), col("hits"),
+          (col("hits").cast(DoubleType) /
+            (col("n_queries") * lit(10L)).cast(DoubleType)).as("recall"))
+        .withColumn("meets_threshold", col("recall") >= lit(0.15))
     }),
 
     // IVF QUALITY gate: recall@10 of a partial probe (nprobe=2 of 16 cells)
@@ -5399,6 +5440,30 @@ object SparkEntry {
     (scoreCols, codesList, lutList, adcSum)
   }
 
+  /** Binary-quantization dual fragments: the same 64 sign-bit CASE terms as
+    * [[graft.operators.Similarity.binaryQuantize]] (bit 63 = the min-long
+    * literal — DuckDB rejects `1 << 63` but accepts the constant), over
+    * DOUBLE[] — float>0 and double>0 agree on sign exactly, and
+    * `bit_count(xor(...))` counts the same two's-complement bit pattern in
+    * both engines. `bqr` ranks (hamming asc, id asc) — [[Similarity
+    * .bqHammingTopK]]'s TopKAgg tie rule restated.
+    */
+  private def bqCtes(queryMax: Int): String = {
+    val lits = (0 until 63).map(i => (1L << i).toString) :+ "(-9223372036854775807 - 1)"
+    val bq = (0 until 64)
+      .map(i => s"(CASE WHEN v[${i + 1}] > 0 THEN ${lits(i)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       | bq AS (SELECT vec_id, $bq AS bq FROM e),
+       | h AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |     CAST(bit_count(xor(q.bq, c.bq)) AS BIGINT) AS hamming
+       |   FROM bq q JOIN bq c ON c.vec_id <> q.vec_id WHERE q.vec_id < $queryMax),
+       | bqr AS (SELECT query_id, neighbor_id, hamming,
+       |     CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY hamming, neighbor_id) AS BIGINT) AS rank
+       |   FROM h)""".stripMargin.replace("\n", "")
+  }
+
   private def pqCtes(m: Int, subDim: Int, ksub: Int, queryMax: Int): String = {
     val (scoreCols, codesList, lutList, adcSum) = pqParts(m, subDim, ksub)
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -6940,6 +7005,24 @@ object SparkEntry {
          |   CAST(hits AS DOUBLE) / CAST(n_queries * 10 AS DOUBLE) AS recall,
          |   CAST(hits AS DOUBLE) / CAST(n_queries * 10 AS DOUBLE) >= 0.2 AS meets_threshold
          | FROM h CROSS JOIN nq2""".stripMargin.replace("\n", ""),
+    "q_bq_topk" ->
+      s"""WITH ${bqCtes(queryMax = 3)}
+         | SELECT query_id, neighbor_id, hamming, rank FROM bqr WHERE rank <= 10
+         | ORDER BY query_id, rank""".stripMargin.replace("\n", ""),
+    "q_bq_recall" ->
+      s"""WITH ${bqCtes(queryMax = 10)},
+         | ex AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |     row_number() OVER (PARTITION BY a.vec_id
+         |       ORDER BY list_inner_product(a.v, b.v) DESC, b.vec_id) AS rank
+         |   FROM e a JOIN e b ON b.vec_id <> a.vec_id WHERE a.vec_id < 10),
+         | exk AS (SELECT query_id, neighbor_id FROM ex WHERE rank <= 10),
+         | bqk AS (SELECT query_id, neighbor_id FROM bqr WHERE rank <= 10),
+         | hh AS (SELECT COUNT(*) AS hits FROM bqk JOIN exk USING (query_id, neighbor_id)),
+         | nq2 AS (SELECT COUNT(DISTINCT query_id) AS n_queries FROM exk)
+         | SELECT n_queries, CAST(10 AS BIGINT) AS k, hits,
+         |   CAST(hits AS DOUBLE) / CAST(n_queries * 10 AS DOUBLE) AS recall,
+         |   CAST(hits AS DOUBLE) / CAST(n_queries * 10 AS DOUBLE) >= 0.15 AS meets_threshold
+         | FROM hh CROSS JOIN nq2""".stripMargin.replace("\n", ""),
     "q_ivf_recall" -> ivfRecallSql(nlist = 16, dim = 64, nprobe = 2, k = 10,
       threshold = 0.3),
     "q_embed_outliers" ->

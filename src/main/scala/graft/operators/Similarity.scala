@@ -169,6 +169,55 @@ object Similarity {
         col("scale"))
   }
 
+  /** BINARY (sign-bit) quantization — the extreme rung of the compression
+    * ladder (int8 → PQ → 1 bit/dim): each vector compresses to ONE long whose
+    * bit i is sign(v[i]). 8 bytes/vector means a 100 TB float corpus's codes
+    * fit in ~2 GB per billion vectors — small enough to broadcast or pin in
+    * memory per executor, the property binary serving exploits. Hamming
+    * distance between sign codes is a monotone proxy for angular distance
+    * (Charikar 2002, the same identity the hyperplane-LSH family uses; here
+    * the "planes" are the coordinate axes).
+    *
+    * The pack is 64 statically-unrolled CASE terms — codegen'd, no lambda, no
+    * shuffle — and bit 63 rides the sign bit (1L << 63 == Long.MinValue; sum
+    * of distinct powers of two never overflows).
+    */
+  def binaryQuantize(df: DataFrame, vecCol: String, idCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim <= 64, s"binaryQuantize packs into one long; dim $dim > 64")
+    val bits = (0 until dim).map { i =>
+      when(element_at(col(vecCol), i + 1) > lit(0.0f), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col(idCol).as("vec_id"), bits.as("bq"))
+  }
+
+  /** Hamming top-k over [[binaryQuantize]] codes — the binary serving stage:
+    * query codes broadcast over the CODE table (8 bytes/row — the float
+    * corpus is never scanned), distance = `bit_count(xor)` (one fused
+    * codegen'd expression per candidate), ranking by the same [[TopKAgg]]
+    * bounded partial top-k as every other serving path (ties at equal
+    * Hamming break by neighbor id — Hamming over 64 bits ties often, so the
+    * tie rule is part of the contract and of the oracle dual).
+    */
+  def bqHammingTopK(codes: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, dim: Int = 64): DataFrame = {
+    val qc = binaryQuantize(queries, vecCol, idCol, dim)
+      .select(col("vec_id").as("query_id"), col("bq").as("qbq"))
+    val topk = udaf(new TopKAgg(k), org.apache.spark.sql.Encoders.product[ScoredId])
+    codes.select(col("vec_id").as("neighbor_id"), col("bq"))
+      .crossJoin(broadcast(qc))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        bit_count(col("bq").bitwiseXOR(col("qbq"))).cast(DoubleType).as("h"))
+      .groupBy("query_id")
+      .agg(topk(-col("h"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        (-col("s.score")).cast(LongType).as("hamming"),
+        (col("r") + 1).cast(LongType).as("rank"))
+  }
+
   /** Exact brute-force cosine top-k, window-rank formulation — kept as the
     * ORACLE CROSS-CHECK of [[bruteForceTopKAgg]] (`q_ann_topk_window`): the
     * per-query `row_number` window sorts the full Q×N scored set, which is

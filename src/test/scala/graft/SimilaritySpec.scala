@@ -305,4 +305,35 @@ class SimilaritySpec extends SparkSpec {
     out(10L)._1 shouldBe 2.846 +- 1e-3
     (1L to 9L).foreach { i => out(i)._2 shouldBe false }
   }
+
+  test("binaryQuantize packs sign bits exactly (incl. bit 63 = min long); " +
+       "bqHammingTopK counts xor bits and breaks Hamming ties by neighbor id") {
+    import spark.implicits._
+    // deterministic 64-dim vectors: v[id][i] > 0 iff (id·67 + i·13) % 5 < 2
+    def mk(id: Long): Array[Float] =
+      Array.tabulate(64)(i => if ((id * 67 + i * 13) % 5 < 2) 1.0f else -1.0f)
+    val corpus = (0L to 9L).map(id => (id, mk(id))).toDF("vec_id", "embedding")
+    val codes = rows(Similarity.binaryQuantize(corpus, "embedding", "vec_id")
+      .orderBy("vec_id")).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def expect(id: Long): Long =
+      (0 until 64).foldLeft(0L)((acc, i) => if (mk(id)(i) > 0) acc | (1L << i) else acc)
+    (0L to 9L).foreach { id => codes(id) shouldBe expect(id) }
+    // at least one code must use the sign bit or the fixture is too tame
+    codes.values.exists(_ < 0) shouldBe true
+
+    val top = rows(Similarity.bqHammingTopK(
+        Similarity.binaryQuantize(corpus, "embedding", "vec_id"),
+        corpus.filter(col("vec_id") === 0L), "embedding", "vec_id", k = 9)
+      .orderBy("rank"))
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("hamming")))
+    top.length shouldBe 9 // self excluded
+    top.foreach { case (nid, h) =>
+      h shouldBe java.lang.Long.bitCount(codes(0L) ^ codes(nid)).toLong
+    }
+    // ranking is (hamming asc, id asc): verify against the direct sort
+    val direct = (1L to 9L)
+      .map(nid => (nid, java.lang.Long.bitCount(codes(0L) ^ codes(nid)).toLong))
+      .sortBy { case (nid, h) => (h, nid) }
+    top shouldBe direct
+  }
 }
