@@ -652,6 +652,41 @@ object ScaleProbe {
         Similarity.pqAdcTopK(Similarity.pqEncode(embs, "embedding", "vec_id", books),
           embs.filter(col("vec_id") < 3), "embedding", "vec_id", books, k = 10).count()
       }
+      time("bq_hamming_topk") {
+        // encode = 64 fused sign tests per vector, one narrow pass; serve =
+        // 8-byte codes × broadcast query codes → bit_count(xor) → partial
+        // top-k. The float corpus is scanned once (encode), never at serve
+        Similarity.bqHammingTopK(
+          Similarity.binaryQuantize(embs, "embedding", "vec_id"),
+          embs.filter(col("vec_id") < 3), "embedding", "vec_id", k = 10).count()
+      }
+      time("ivfpq_probe") {
+        // composed compressed serve: coarse assign (one corpus pass vs 16
+        // literal centroids) + PQ encode (one narrow pass) + nprobe-bounded
+        // cell join scored by ADC — candidates ∝ probed-cell occupancy,
+        // which replication grows linearly
+        import spark.implicits._
+        val cents = Dedup.hyperplanes(16, 64, seed = 7L).zipWithIndex
+          .map { case (v, i) => (i.toLong, v) }.toDF("cell_id", "centroid")
+        val books = Similarity.pqCodebooks(m = 8, subDim = 8, ksub = 16, seed = 11L)
+        Similarity.ivfPqProbe(
+          Similarity.ivfAssign(embs, cents, "embedding", "vec_id"),
+          Similarity.pqEncode(embs, "embedding", "vec_id", books),
+          embs.filter(col("vec_id") < 3), cents, "embedding", "vec_id",
+          books, k = 10, nprobe = 4).count()
+      }
+      time("image_dhash_dedup") {
+        // k×64 synthetic rasters: per-partition decode → narrow dHash →
+        // 8-byte-key hash agg; the probe pins decode+fingerprint+dedup as
+        // scan-speed linear in image count
+        val ids = docs.select(col("doc_id")).filter(col("doc_id") % 1000000L < 64)
+        graft.operators.Multimodal.dHash(
+            graft.operators.Multimodal.withBmpPayload(ids, "doc_id"),
+            "payload", "media_id")
+          .groupBy("dhash")
+          .agg(count(lit(1)).as("n"), min(col("media_id")).as("keeper"))
+          .count()
+      }
     }
     spark.stop()
   }
