@@ -2769,6 +2769,37 @@ object SparkEntry {
         .groupBy("dhash")
         .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("keeper_id"))
         .orderBy("dhash")),
+    // AUDIO decode (r12 — the second modality branch): real RIFF/PCM16
+    // containers built per partition from the sample formula, parsed by a
+    // real chunk walker; stats are exact integers (energy = Σ s², peak =
+    // max |s|) the oracle restates WITHOUT decoding — so the hash gate
+    // proves the parse reaches the true samples. Corrupt row → null-stats.
+    "q_audio_decode" -> ((s, dir) =>
+      Multimodal.decodeWav(
+        Multimodal.withCorruptWavRow(Multimodal.withWavPayload(
+          documents(s, dir).select(col("doc_id")).filter(col("doc_id") < 64), "doc_id")),
+        "payload", "media_id")
+        .orderBy("media_id")),
+    // ...the acoustic fingerprint over it (chromaprint-style energy-delta
+    // signs on 32-sample frames — the audio member of the near-dup family;
+    // corrupt → −1)...
+    "q_audio_fingerprint" -> ((s, dir) =>
+      Multimodal.audioFingerprint(
+        Multimodal.withCorruptWavRow(Multimodal.withWavPayload(
+          documents(s, dir).select(col("doc_id")).filter(col("doc_id") < 64), "doc_id")),
+        "payload", "media_id")
+        .orderBy("media_id")),
+    // ...and the dedup pass: 7 delta bits over 64 assets force clusters by
+    // pigeonhole, keeper = min media_id — the perceptual-key hash shuffle
+    // is 8 bytes/asset, the q_image_dedup scale shape exactly
+    "q_audio_dedup" -> ((s, dir) =>
+      Multimodal.audioFingerprint(
+        Multimodal.withWavPayload(
+          documents(s, dir).select(col("doc_id")).filter(col("doc_id") < 64), "doc_id"),
+        "payload", "media_id")
+        .groupBy("afp")
+        .agg(count(lit(1)).as("n_assets"), min(col("media_id")).as("keeper_id"))
+        .orderBy("afp")),
 
     // --- streaming (SURVEY §2.9) ------------------------------------------
     "q_stream_candles" -> ((s, dir) => {
@@ -5250,6 +5281,55 @@ object SparkEntry {
        | SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n_images,
        |   MIN(media_id) AS keeper_id
        | FROM hx GROUP BY dhash ORDER BY dhash""".stripMargin.replace("\n", "")
+
+  /** Audio dual fragments: the PCM sample formula of
+    * [[graft.operators.Multimodal.wav16]] restated per (media_id, t) WITHOUT
+    * parsing any container — `s`: the samples, `fe`: per-32-sample-frame
+    * exact energies. All integer arithmetic.
+    */
+  private def audioCtes: String =
+    """ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 64),
+      | s AS (SELECT media_id, CAST(t AS BIGINT) AS t,
+      |     ((media_id * 31 + t * t * 7) % 4096) - 2048 AS smp
+      |   FROM ids, unnest(range(0, 256)) AS r(t)),
+      | fe AS (SELECT media_id, t // 32 AS f, CAST(SUM(smp * smp) AS BIGINT) AS energy
+      |   FROM s GROUP BY 1, 2)""".stripMargin.replace("\n", "")
+
+  private def audioDecodeSql: String =
+    s"""WITH $audioCtes
+       | SELECT * FROM (
+       |   SELECT media_id, CAST(8000 AS BIGINT) AS sample_rate,
+       |     CAST(256 AS BIGINT) AS n_samples,
+       |     CAST(SUM(smp * smp) AS BIGINT) AS total_energy,
+       |     CAST(MAX(ABS(smp)) AS BIGINT) AS peak_abs
+       |   FROM s GROUP BY media_id
+       |   UNION ALL SELECT CAST(-1 AS BIGINT), 0, 0, -1, -1
+       | ) ORDER BY media_id""".stripMargin.replace("\n", "")
+
+  private def audioFpSql: String =
+    s"""WITH $audioCtes,
+       | w AS (SELECT media_id, f, energy,
+       |     lead(energy) OVER (PARTITION BY media_id ORDER BY f) AS nxt FROM fe),
+       | fp AS (SELECT media_id, CAST(8 AS BIGINT) AS n_frames,
+       |     CAST(SUM(CASE WHEN nxt > energy THEN (1::BIGINT << CAST(f AS INT))
+       |       ELSE 0 END) AS BIGINT) AS afp
+       |   FROM w GROUP BY media_id)
+       | SELECT * FROM (
+       |   SELECT media_id, n_frames, afp FROM fp
+       |   UNION ALL SELECT CAST(-1 AS BIGINT), -1, -1
+       | ) ORDER BY media_id""".stripMargin.replace("\n", "")
+
+  private def audioDedupSql: String =
+    s"""WITH $audioCtes,
+       | w AS (SELECT media_id, f, energy,
+       |     lead(energy) OVER (PARTITION BY media_id ORDER BY f) AS nxt FROM fe),
+       | fp AS (SELECT media_id,
+       |     CAST(SUM(CASE WHEN nxt > energy THEN (1::BIGINT << CAST(f AS INT))
+       |       ELSE 0 END) AS BIGINT) AS afp
+       |   FROM w GROUP BY media_id)
+       | SELECT afp, CAST(COUNT(*) AS BIGINT) AS n_assets,
+       |   MIN(media_id) AS keeper_id
+       | FROM fp GROUP BY afp ORDER BY afp""".stripMargin.replace("\n", "")
 
   /** Hyperplane-LSH oracle: the SAME ±1 plane literals and banding as
     * [[Dedup.embeddingPairs]] (both generated from [[Dedup.hyperplanes]]), so
@@ -7857,6 +7937,9 @@ object SparkEntry {
     "q_media_decode" -> mediaDecodeSql,
     "q_image_dhash" -> dhashSql,
     "q_image_dedup" -> imageDedupSql,
+    "q_audio_decode" -> audioDecodeSql,
+    "q_audio_fingerprint" -> audioFpSql,
+    "q_audio_dedup" -> audioDedupSql,
     // identical dual: the PNG round-trip must land on the same raster
     "q_png_roundtrip" -> mediaDecodeSql,
     // Emitted set = batch sessions whose close horizon (end + gap) the final

@@ -309,6 +309,180 @@ object Multimodal {
       }.toDF("media_id", "payload")
   }
 
+  // --------------------------------------------------------------------
+  // Audio (WAV/RIFF, PCM16 mono) — the second modality branch. Same design
+  // as the image family: a REAL container (44-byte canonical RIFF header +
+  // little-endian PCM16 samples) built per partition from a pure integer
+  // formula, a REAL chunk-walking parser behind the per-partition decode
+  // contract, and stats/fingerprints in exact integer arithmetic so the
+  // DuckDB dual restates the sample formula WITHOUT decoding — the decode
+  // itself is what the hash gate proves.
+  // --------------------------------------------------------------------
+
+  /** Decoded-audio stat record produced by [[decodeWav]]. */
+  case class AudioStats(media_id: Long, sample_rate: Long, n_samples: Long,
+      total_energy: Long, peak_abs: Long)
+
+  /** Per-asset acoustic fingerprint record produced by [[audioFingerprint]]. */
+  case class AudioFp(media_id: Long, n_frames: Long, afp: Long)
+
+  /** Deterministic PCM16 mono WAV fixture: sample t carries
+    * `((id·31 + t²·7) mod 4096) − 2048` — pure integer arithmetic the oracle
+    * restates without parsing, in [−2048, 2047] so it fits PCM16 with
+    * headroom. 256 samples / 8 kHz keeps frame math exact (8 frames of 32).
+    * Canonical RIFF layout: `RIFF` size `WAVE` + `fmt ` (PCM, mono, 16-bit)
+    * + `data` chunk of little-endian shorts.
+    */
+  def wav16(id: Long, sampleRate: Int = 8000, nSamples: Int = 256): Array[Byte] = {
+    val dataBytes = nSamples * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                       // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)     // byte rate = sr·2
+      .putShort(2).putShort(16)                      // block align, bits
+    out.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var t = 0
+    while (t < nSamples) {
+      out.putShort((((id * 31 + t.toLong * t * 7) % 4096) - 2048).toShort)
+      t += 1
+    }
+    out.array()
+  }
+
+  /** Attach [[wav16]] fixture payloads to an id frame — the audio twin of
+    * [[withBmpPayload]]: bytes are born distributed, never collected.
+    */
+  def withWavPayload(ids: DataFrame, idCol: String): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions(_.map(id => (id, wav16(id))))
+      .toDF("media_id", "payload")
+  }
+
+  /** Malformed audio container: valid RIFF magic, truncated before the data
+    * chunk completes its declaration — [[decodeWav]] must land it on the
+    * null-stats row, never kill the partition.
+    */
+  def corruptWav(id: Long): Array[Byte] = wav16(id).take(30)
+
+  /** Append one corrupt-container row (media_id = −1, [[corruptWav]] bytes)
+    * to a (media_id, payload) frame — same poisoned-row discipline as
+    * [[withCorruptRow]].
+    */
+  def withCorruptWavRow(payloads: DataFrame): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.unionByName(
+      Seq((-1L, corruptWav(-1L))).toDF("media_id", "payload"))
+  }
+
+  /** Parse a WAV payload into (sampleRate, PCM16 samples), or null when the
+    * container is malformed. A real chunk walker (not a fixed-offset read):
+    * validates RIFF/WAVE magic, walks chunk headers honoring sizes + word
+    * alignment, requires PCM/mono/16-bit from `fmt `, bounds-checks `data`.
+    */
+  private def parseWav(bytes: Array[Byte]): (Int, Array[Short]) = {
+    if (bytes == null || bytes.length < 12) return null
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(at: Int): String =
+      new String(bytes, at, 4, "US-ASCII")
+    if (fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return null
+    var pos = 12
+    var fmtOk = false
+    var sampleRate = 0
+    var samples: Array[Short] = null
+    while (pos + 8 <= bytes.length) {
+      val cid = fourcc(pos)
+      val csize = buf.getInt(pos + 4)
+      if (csize < 0 || pos + 8 + csize > bytes.length) return null
+      cid match {
+        case "fmt " if csize >= 16 =>
+          val fmt = buf.getShort(pos + 8)
+          val ch = buf.getShort(pos + 10)
+          val bits = buf.getShort(pos + 22)
+          sampleRate = buf.getInt(pos + 12)
+          fmtOk = fmt == 1 && ch == 1 && bits == 16 && sampleRate > 0
+        case "data" =>
+          val n = csize / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = buf.getShort(pos + 8 + i * 2); i += 1 }
+        case _ => () // unknown chunks are legal RIFF — skip them
+      }
+      pos += 8 + csize + (csize & 1) // RIFF chunks are word-aligned
+    }
+    if (!fmtOk || samples == null) null else (sampleRate, samples)
+  }
+
+  /** REAL audio decode: RIFF/PCM16 parse behind the per-partition contract
+    * of [[decodeImages]] — narrow mapPartitions, binary column never
+    * shuffles; stats are exact integers (energy = Σ s², peak = max |s|) so
+    * the dual restates them from the sample formula. Undecodable payloads
+    * emit the null-stats row (rate = samples = 0, energy = peak = −1).
+    */
+  def decodeWav(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val parsed =
+          try parseWav(bytes)
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (parsed == null) AudioStats(id, 0L, 0L, -1L, -1L)
+        else {
+          val (sr, s) = parsed
+          var energy = 0L
+          var peak = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong
+            energy += v * v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            i += 1
+          }
+          AudioStats(id, sr.toLong, s.length.toLong, energy, peak)
+        }
+      }).toDF()
+  }
+
+  /** Acoustic fingerprint (chromaprint-style energy-delta signs): the decoded
+    * PCM divides into fixed 32-sample frames, E[f] = Σ s² per frame (exact
+    * longs), and bit f of the fingerprint is sign(E[f+1] − E[f]) — the
+    * audio member of the near-dup family, robust to container-level
+    * re-encoding exactly as [[dHash]] is for rasters. Undecodable → −1.
+    */
+  def audioFingerprint(df: DataFrame, binCol: String, idCol: String,
+      frame: Int = 32): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val parsed =
+          try parseWav(bytes)
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (parsed == null) AudioFp(id, -1L, -1L)
+        else {
+          val s = parsed._2
+          val nf = s.length / frame
+          val e = Array.tabulate(nf) { f =>
+            var acc = 0L
+            var i = f * frame
+            val end = i + frame
+            while (i < end) { acc += s(i).toLong * s(i); i += 1 }
+            acc
+          }
+          var fp = 0L
+          var f = 0
+          while (f < nf - 1) {
+            if (e(f + 1) > e(f)) fp |= 1L << f
+            f += 1
+          }
+          AudioFp(id, nf.toLong, fp)
+        }
+      }).toDF()
+  }
+
   /** Deterministic frame-sample selector: which of `nFrames` frames to keep at
     * `rate` frames-per-frame-count. Pure expression, used to plan decode work
     * before touching bytes.

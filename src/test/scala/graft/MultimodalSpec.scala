@@ -135,6 +135,63 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeWav: chunk-walking RIFF/PCM16 parse reproduces the sample formula's " +
+       "exact stats; truncated and garbage containers land on the null-stats row") {
+    val ids = Seq(0L, 5L, 9L).toDF("doc_id")
+    val out = rows(Multimodal.decodeWav(
+        Multimodal.withWavPayload(ids, "doc_id"), "payload", "media_id")
+      .orderBy("media_id"))
+    out.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      r.getAs[Long]("sample_rate") shouldBe 8000L
+      r.getAs[Long]("n_samples") shouldBe 256L
+      val samples = (0 until 256).map(t => ((id * 31 + t.toLong * t * 7) % 4096) - 2048)
+      r.getAs[Long]("total_energy") shouldBe samples.map(v => v * v).sum
+      r.getAs[Long]("peak_abs") shouldBe samples.map(math.abs).max
+    }
+    // poisoned rows: truncated container AND non-RIFF garbage both survive
+    val dirty = rows(Multimodal.decodeWav(
+        Multimodal.withCorruptWavRow(Multimodal.withWavPayload(ids, "doc_id"))
+          .unionByName(Seq((-2L, Array.fill[Byte](64)(42))).toDF("media_id", "payload")),
+        "payload", "media_id")
+      .orderBy("media_id"))
+    dirty.take(2).foreach { r =>
+      r.getAs[Long]("sample_rate") shouldBe 0L
+      r.getAs[Long]("total_energy") shouldBe -1L
+    }
+  }
+
+  test("audioFingerprint: energy-delta sign bits match the direct computation; " +
+       "an appended extra RIFF chunk (re-containerized copy) fingerprints identically") {
+    val ids = Seq(2L, 6L).toDF("doc_id")
+    def direct(id: Long): Long = {
+      val s = (0 until 256).map(t => ((id * 31 + t.toLong * t * 7) % 4096) - 2048)
+      val e = s.grouped(32).map(fr => fr.map(v => v * v).sum).toArray
+      (0 until 7).foldLeft(0L)((acc, f) => if (e(f + 1) > e(f)) acc | (1L << f) else acc)
+    }
+    val fp = rows(Multimodal.audioFingerprint(
+        Multimodal.withWavPayload(ids, "doc_id"), "payload", "media_id")
+      .orderBy("media_id"))
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("n_frames"), r.getAs[Long]("afp")))
+    fp shouldBe Seq((2L, 8L, direct(2L)), (6L, 8L, direct(6L)))
+    // same PCM re-wrapped with a trailing LIST chunk: different bytes (sha256
+    // would split them), same fingerprint — the chunk walker skips unknown
+    // chunks per the RIFF spec, so the perceptual key survives
+    val rewrapped = Seq((2L, {
+      val base = Multimodal.wav16(2L)
+      val extra = java.nio.ByteBuffer.allocate(12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      extra.put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+      val joined = base ++ extra.array()
+      // patch the RIFF size field for the appended chunk
+      val bb = java.nio.ByteBuffer.wrap(joined).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(4, joined.length - 8)
+      joined
+    })).toDF("media_id", "payload")
+    rows(Multimodal.audioFingerprint(rewrapped, "payload", "media_id"))
+      .head.getAs[Long]("afp") shouldBe direct(2L)
+  }
+
   test("frameSampleIndices plans every-k frame decode without touching bytes") {
     rows(Seq(Tuple1(10)).toDF("n")
       .select(Multimodal.frameSampleIndices(col("n"), 3).as("idx")))
