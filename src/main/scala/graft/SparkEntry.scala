@@ -2800,6 +2800,41 @@ object SparkEntry {
         .groupBy("afp")
         .agg(count(lit(1)).as("n_assets"), min(col("media_id")).as("keeper_id"))
         .orderBy("afp")),
+    // VIDEO scene-cut detection (r12 — the temporal composition of the
+    // multimodal pieces): frame PLAN (frameSampleIndices: every 2nd of 8
+    // frames, decided before touching bytes) → per-frame raster synth +
+    // REAL BMP decode → perceptual dHash → per-asset lag window → Hamming
+    // delta between consecutive sampled frames → cut flag. The fixture
+    // makes consecutive frames perceptually NEAR (global brightness drift,
+    // hamming ≤ 3) with an injected scene change at frame 4 of even assets
+    // (seed jump +777, hamming 10–14) — threshold 6 separates cleanly and
+    // the whole chain (plan, decode, hash, temporal delta) is hash-gated.
+    // Scale: frames fan out narrowly (plan is arithmetic), payloads never
+    // shuffle, the only exchange is the per-asset window key.
+    "q_video_scenes" -> ((s, dir) => {
+      val assets = documents(s, dir).select(col("doc_id")).filter(col("doc_id") < 16)
+      val planned = assets.select(col("doc_id"),
+        explode(Multimodal.frameSampleIndices(lit(8L), 2)).as("frame_idx"))
+      val keyed = planned.select(
+        (col("doc_id") * 1000 + col("frame_idx") +
+          when(col("frame_idx") >= 4 && col("doc_id") % 2 === 0, lit(777L))
+            .otherwise(lit(0L))).as("fkey"))
+      val hashed = Multimodal.dHash(
+        Multimodal.withBmpPayload(keyed, "fkey"), "payload", "media_id")
+      val rem = col("media_id") % 1000
+      val frames = hashed.select(
+        expr("media_id DIV 1000").as("asset"),
+        when(rem >= 777, rem - 777).otherwise(rem).as("frame_idx"),
+        col("dhash"))
+      val w = Window.partitionBy("asset").orderBy("frame_idx")
+      frames
+        .withColumn("hamming_prev",
+          bit_count(col("dhash").bitwiseXOR(lag("dhash", 1).over(w))).cast(LongType))
+        .withColumn("is_cut", col("hamming_prev") > 6)
+        .select(col("asset").as("media_id"), col("frame_idx"), col("dhash"),
+          col("hamming_prev"), col("is_cut"))
+        .orderBy("media_id", "frame_idx")
+    }),
 
     // --- streaming (SURVEY §2.9) ------------------------------------------
     "q_stream_candles" -> ((s, dir) => {
@@ -5255,10 +5290,15 @@ object SparkEntry {
     * [[graft.operators.Multimodal.dHash]]'s (12 row bits then 12 column
     * bits on the 4×4 raster).
     */
-  private def dhashExpr: String = {
+  private def dhashExpr: String = dhashExprOf("doc_id")
+
+  /** The same gradient-sign sum over an arbitrary id EXPRESSION — lets the
+    * video dual hash per-(asset, frame) rasters keyed by a derived fkey.
+    */
+  private def dhashExprOf(idExpr: String): String = {
     def gray(x: Int, y: Int) = {
       val base = ((3 - y) * 4 + x) * 3
-      (0 until 3).map(off => s"((doc_id * 131 + ${base + off} * 7) % 256)").mkString(" + ")
+      (0 until 3).map(off => s"((($idExpr) * 131 + ${base + off} * 7) % 256)").mkString(" + ")
     }
     val terms =
       (for (y <- 0 until 4; x <- 0 until 3) yield
@@ -7940,6 +7980,22 @@ object SparkEntry {
     "q_audio_decode" -> audioDecodeSql,
     "q_audio_fingerprint" -> audioFpSql,
     "q_audio_dedup" -> audioDedupSql,
+    // the planned frames [0,2,4,6] are frameSampleIndices(8, 2)'s output
+    // (spec'd); the dual restates the per-frame raster formula keyed by the
+    // same seed arithmetic, then the identical lag/xor/threshold chain
+    "q_video_scenes" ->
+      s"""WITH fr AS (SELECT doc_id AS asset, f,
+         |     doc_id * 1000 + f + (CASE WHEN f >= 4 AND doc_id % 2 = 0
+         |       THEN 777 ELSE 0 END) AS fkey
+         |   FROM documents, unnest([0, 2, 4, 6]) AS u(f) WHERE doc_id < 16),
+         | hx AS (SELECT asset, CAST(f AS BIGINT) AS frame_idx,
+         |     CAST(${dhashExprOf("fkey")} AS BIGINT) AS dhash FROM fr),
+         | w AS (SELECT asset, frame_idx, dhash,
+         |     lag(dhash) OVER (PARTITION BY asset ORDER BY frame_idx) AS prev FROM hx)
+         | SELECT asset AS media_id, frame_idx, dhash,
+         |   CAST(bit_count(xor(dhash, prev)) AS BIGINT) AS hamming_prev,
+         |   bit_count(xor(dhash, prev)) > 6 AS is_cut
+         | FROM w ORDER BY media_id, frame_idx""".stripMargin.replace("\n", ""),
     // identical dual: the PNG round-trip must land on the same raster
     "q_png_roundtrip" -> mediaDecodeSql,
     // Emitted set = batch sessions whose close horizon (end + gap) the final

@@ -192,6 +192,23 @@ class MultimodalSpec extends SparkSpec {
       .head.getAs[Long]("afp") shouldBe direct(2L)
   }
 
+  test("q_video_scenes: injected scene changes at frame 4 of even assets are the ONLY " +
+       "cuts; within-scene frames stay perceptually near (hamming <= 3)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, s"$dir missing")
+    val out = rows(SparkEntry.queries("q_video_scenes")(spark, dir))
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("frame_idx"),
+        Option(r.getAs[java.lang.Long]("hamming_prev")).map(_.toLong),
+        Option(r.getAs[java.lang.Boolean]("is_cut")).map(_.booleanValue)))
+    out.length shouldBe 64 // 16 assets × 4 planned frames
+    out.filter(_._2 == 0L).foreach { r => r._3 shouldBe None; r._4 shouldBe None }
+    val cuts = out.filter(_._4.contains(true))
+    cuts.map(r => (r._1, r._2)) shouldBe
+      (0L until 16L by 2).map(mid => (mid, 4L))
+    cuts.foreach(_._3.get should be >= 10L)
+    out.filter(_._4.contains(false)).foreach(_._3.get should be <= 3L)
+  }
+
   test("frameSampleIndices plans every-k frame decode without touching bytes") {
     rows(Seq(Tuple1(10)).toDF("n")
       .select(Multimodal.frameSampleIndices(col("n"), 3).as("idx")))
