@@ -208,6 +208,30 @@ object SparkEntry {
       c
     }
 
+  /** Session-cached brute-force ideals over the standard 10-query panel —
+    * the quality-gate REFERENCE a production deployment computes once and
+    * lands next to the index (every recall/nDCG/curve gate compares against
+    * the same landed ideal rather than re-scanning the corpus per gate):
+    * cosine for the IVF gates, inner-product for the PQ/BQ gates.
+    */
+  private def bruteCosTop10(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCompute(s, s"brute-cos10:$dir") {
+      val e = embeddings(s, dir)
+      val b = Similarity.bruteForceTopKAgg(e, e.filter(col("vec_id") < 10),
+        "embedding", "vec_id", k = 10).cache()
+      b.count()
+      b
+    }
+
+  private def bruteIpTop10(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCompute(s, s"brute-ip10:$dir") {
+      val e = embeddings(s, dir)
+      val b = Similarity.bruteForceTopKDot(e, e.filter(col("vec_id") < 10),
+        "embedding", "vec_id", k = 10).cache()
+      b.count()
+      b
+    }
+
   private def minhashPairIndex(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCompute(s, s"minhash-pairs:$dir") {
       // THE PERSISTED-SIGNATURE PATH (r11, SCALE.md non-optimality #1 closed):
@@ -2028,7 +2052,7 @@ object SparkEntry {
       val queries = e.filter(col("vec_id") < 10)
       val pq = Similarity.pqAdcTopK(pqCodeIndex(s, dir), queries,
         "embedding", "vec_id", pqBooks, k = 10)
-      val exact = Similarity.bruteForceTopKDot(e, queries, "embedding", "vec_id", k = 10)
+      val exact = bruteIpTop10(s, dir)
       val hits = pq.select("query_id", "neighbor_id")
         .join(exact.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
       val nq = exact.agg(countDistinct(col("query_id")).as("n_queries"))
@@ -2059,7 +2083,7 @@ object SparkEntry {
       val queries = e.filter(col("vec_id") < 10)
       val bq = Similarity.bqHammingTopK(bqCodeIndex(s, dir), queries,
         "embedding", "vec_id", k = 10)
-      val exact = Similarity.bruteForceTopKDot(e, queries, "embedding", "vec_id", k = 10)
+      val exact = bruteIpTop10(s, dir)
       val hits = bq.select("query_id", "neighbor_id")
         .join(exact.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
       val nq = exact.agg(countDistinct(col("query_id")).as("n_queries"))
@@ -2087,7 +2111,7 @@ object SparkEntry {
         key = s"litcents:$dir")
       val ivf = Similarity.ivfProbe(index, queries, cents,
         "embedding", "vec_id", k = 10, nprobe = 2)
-      val brute = Similarity.bruteForceTopKAgg(e, queries, "embedding", "vec_id", k = 10)
+      val brute = bruteCosTop10(s, dir)
       val hits = ivf.select("query_id", "neighbor_id")
         .join(brute.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
       val nq = brute.agg(countDistinct(col("query_id")).as("n_queries"))
@@ -2113,7 +2137,7 @@ object SparkEntry {
         key = s"litcents:$dir")
       val ivf = Similarity.ivfProbe(index, queries, cents,
         "embedding", "vec_id", k = 10, nprobe = 2)
-      val brute = Similarity.bruteForceTopKAgg(e, queries, "embedding", "vec_id", k = 10)
+      val brute = bruteCosTop10(s, dir)
       def disc(rank: Column) =
         round(lit(1.0) / log2(rank.cast(DoubleType) + lit(1.0)), 9).cast(DecimalType(20, 9))
       val dcg = ivf
@@ -2142,7 +2166,7 @@ object SparkEntry {
       val queries = e.filter(col("vec_id") < 10)
       val index = Similarity.ivfIndexCached(e, cents, "embedding", "vec_id",
         key = s"litcents:$dir")
-      val brute = Similarity.bruteForceTopKAgg(e, queries, "embedding", "vec_id", k = 10)
+      val brute = bruteCosTop10(s, dir)
         .select("query_id", "neighbor_id")
       val nq = brute.agg(countDistinct(col("query_id")).as("n_queries"))
       Seq(1, 2, 4).map { np =>
@@ -4084,8 +4108,19 @@ object SparkEntry {
         .select(lit("2_click->purchase").as("stage"), col("u"),
           (unix_micros(col("t3")) - unix_micros(col("t2"))).as("delta_us"))
       val all = d1.unionAll(d2)
-      Queries.exactPercentiles(all, "stage", "delta_us", "u", Seq(0.5, 0.9))
-        .join(all.groupBy("stage").agg(count(lit(1)).as("n_users")), Seq("stage"))
+      // exactPercentiles inlined WITH the user count folded into the same
+      // rollup (r12: was a separate groupBy + join-back — one fewer
+      // exchange; __n is constant per stage so max(__n) IS the count)
+      val wRank = Window.partitionBy(col("stage")).orderBy(col("delta_us"), col("u"))
+      val wAll = Window.partitionBy(col("stage"))
+      all.withColumn("__rn", row_number().over(wRank).cast(LongType))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .groupBy(col("stage"))
+        .agg(max(col("__n")).as("n_users"),
+          max(when(col("__rn") === ceil(lit(0.5) * col("__n")).cast(LongType),
+            col("delta_us"))).as("p50"),
+          max(when(col("__rn") === ceil(lit(0.9) * col("__n")).cast(LongType),
+            col("delta_us"))).as("p90"))
         .select(col("stage"), col("n_users"), col("p50"), col("p90"))
         .orderBy("stage")
     }),
