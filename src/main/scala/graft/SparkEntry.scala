@@ -1749,6 +1749,50 @@ object SparkEntry {
         .localCheckpoint(true)
     }),
 
+    // VECTOR-SIDE right-to-erasure (r12 — q_erasure_apply's counterpart for
+    // the ANN serving artifacts): with FROZEN quantization parameters
+    // (literal coarse centroids, deterministic PQ codebooks, axis-sign BQ),
+    // assignment and encoding are PER-ROW functions — erasure against the
+    // landed IVF index / PQ codes / BQ codes is therefore a PURE anti-join
+    // filter, no rebuild required. That is the structural CONTRAST with the
+    // lexical side (q_erasure_audit: pruned postings depend on corpus-wide
+    // docFreq, so erasure there must rebuild). The gate PROVES it per
+    // artifact: filtered-landed equals from-scratch-rebuilt-on-retained,
+    // multiset-exactly (the tagged row-hash aggregate of q_erasure_apply).
+    "q_vector_erasure" -> ((s, dir) => {
+      import s.implicits._
+      val e = embeddings(s, dir)
+      val del = e.select(col("vec_id")).filter(col("vec_id") % 17 === 3)
+      val retained = e.join(broadcast(del), Seq("vec_id"), "left_anti")
+      val cents = Dedup.hyperplanes(16, 64, seed = 7L).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("cell_id", "centroid")
+      val landed = Map(
+        "ivf_index" -> (Similarity.ivfIndexCached(e, cents, "embedding", "vec_id",
+          key = s"litcents:$dir"), "neighbor_id"),
+        "pq_codes" -> (pqCodeIndex(s, dir), "neighbor_id"),
+        "bq_codes" -> (bqCodeIndex(s, dir), "vec_id"))
+      val rebuilt = Map(
+        "ivf_index" -> Similarity.ivfAssign(retained, cents, "embedding", "vec_id"),
+        "pq_codes" -> Similarity.pqEncode(retained, "embedding", "vec_id", pqBooks),
+        "bq_codes" -> Similarity.binaryQuantize(retained, "embedding", "vec_id"))
+      val tagged = landed.keys.toSeq.sorted.map { name =>
+        val (frame, idc) = landed(name)
+        val cs = rebuilt(name).columns.toSeq
+        val applied = frame.join(broadcast(del.select(col("vec_id").as(idc))),
+          Seq(idc), "left_anti")
+        applied.select(lit(name).as("artifact"),
+            xxhash64(cs.map(col): _*).as("rh"), lit(1L).as("wa"), lit(0L).as("wb"))
+          .unionByName(rebuilt(name).select(lit(name).as("artifact"),
+            xxhash64(cs.map(col): _*).as("rh"), lit(0L).as("wa"), lit(1L).as("wb")))
+      }.reduce(_ unionByName _)
+      tagged.groupBy("artifact", "rh")
+        .agg(sum("wa").as("na"), sum("wb").as("nb"))
+        .groupBy("artifact")
+        .agg(sum("na").cast(LongType).as("n_rows"),
+          (sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)) === 0L).as("matches_rebuild"))
+        .orderBy("artifact")
+    }),
+
     // Banded LSH candidates, EXACT-verified: every emitted jaccard is the true
     // shingle-set value, so the oracle is plain exact Jaccard SQL. Recall of
     // the banding (k=64, 32 bands of 2) at the corpus's minimum qualifying
@@ -8015,6 +8059,19 @@ object SparkEntry {
     "q_audio_decode" -> audioDecodeSql,
     "q_audio_fingerprint" -> audioFpSql,
     "q_audio_dedup" -> audioDedupSql,
+    // frozen quantizers ⇒ per-row assignment ⇒ filter == rebuild is the
+    // SEMANTIC claim; the dual restates the retained cardinality (one index
+    // row per retained vector in each artifact) and pins matches_rebuild
+    // TRUE — a Spark side whose filtered artifacts diverged from its own
+    // rebuild would emit false and hash-mismatch
+    "q_vector_erasure" ->
+      """WITH r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+        |   WHERE vec_id % 17 <> 3)
+        | SELECT * FROM (
+        |   SELECT 'bq_codes' AS artifact, n AS n_rows, true AS matches_rebuild FROM r
+        |   UNION ALL SELECT 'ivf_index', n, true FROM r
+        |   UNION ALL SELECT 'pq_codes', n, true FROM r
+        | ) ORDER BY artifact""".stripMargin.replace("\n", ""),
     // the planned frames [0,2,4,6] are frameSampleIndices(8, 2)'s output
     // (spec'd); the dual restates the per-frame raster formula keyed by the
     // same seed arithmetic, then the identical lag/xor/threshold chain
