@@ -232,6 +232,22 @@ object SparkEntry {
       b
     }
 
+  /** Recall@10 rollup shared by every serving-path quality gate (IVF, PQ,
+    * BQ): fraction of the exact ideal's (query, neighbor) pairs the serving
+    * ranking reproduces, plus the pinned threshold flag.
+    */
+  private def recallGate(serving: DataFrame, exact: DataFrame,
+      threshold: Double): DataFrame = {
+    val hits = serving.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+    val nq = exact.agg(countDistinct(col("query_id")).as("n_queries"))
+    hits.agg(count(lit(1)).as("hits")).crossJoin(broadcast(nq))
+      .select(col("n_queries"), lit(10L).as("k"), col("hits"),
+        (col("hits").cast(DoubleType) /
+          (col("n_queries") * lit(10L)).cast(DoubleType)).as("recall"))
+      .withColumn("meets_threshold", col("recall") >= lit(threshold))
+  }
+
   private def minhashPairIndex(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCompute(s, s"minhash-pairs:$dir") {
       // THE PERSISTED-SIGNATURE PATH (r11, SCALE.md non-optimality #1 closed):
@@ -2091,20 +2107,11 @@ object SparkEntry {
     // correct reference), same shape as q_ivf_recall; the recall number is
     // itself hash-gated and meets_threshold pins the floor.
     "q_pq_recall" -> ((s, dir) => {
-      import s.implicits._
       val e = embeddings(s, dir)
-      val queries = e.filter(col("vec_id") < 10)
-      val pq = Similarity.pqAdcTopK(pqCodeIndex(s, dir), queries,
-        "embedding", "vec_id", pqBooks, k = 10)
-      val exact = bruteIpTop10(s, dir)
-      val hits = pq.select("query_id", "neighbor_id")
-        .join(exact.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
-      val nq = exact.agg(countDistinct(col("query_id")).as("n_queries"))
-      hits.agg(count(lit(1)).as("hits")).crossJoin(broadcast(nq))
-        .select(col("n_queries"), lit(10L).as("k"), col("hits"),
-          (col("hits").cast(DoubleType) /
-            (col("n_queries") * lit(10L)).cast(DoubleType)).as("recall"))
-        .withColumn("meets_threshold", col("recall") >= lit(0.2))
+      recallGate(
+        Similarity.pqAdcTopK(pqCodeIndex(s, dir), e.filter(col("vec_id") < 10),
+          "embedding", "vec_id", pqBooks, k = 10),
+        bruteIpTop10(s, dir), threshold = 0.2)
     }),
 
     // BINARY quantization serving (r12 — the 1-bit rung of the compression
@@ -2124,18 +2131,10 @@ object SparkEntry {
     // broken pack (wrong bit order, sign flip) fails loudly.
     "q_bq_recall" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val queries = e.filter(col("vec_id") < 10)
-      val bq = Similarity.bqHammingTopK(bqCodeIndex(s, dir), queries,
-        "embedding", "vec_id", k = 10)
-      val exact = bruteIpTop10(s, dir)
-      val hits = bq.select("query_id", "neighbor_id")
-        .join(exact.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
-      val nq = exact.agg(countDistinct(col("query_id")).as("n_queries"))
-      hits.agg(count(lit(1)).as("hits")).crossJoin(broadcast(nq))
-        .select(col("n_queries"), lit(10L).as("k"), col("hits"),
-          (col("hits").cast(DoubleType) /
-            (col("n_queries") * lit(10L)).cast(DoubleType)).as("recall"))
-        .withColumn("meets_threshold", col("recall") >= lit(0.15))
+      recallGate(
+        Similarity.bqHammingTopK(bqCodeIndex(s, dir), e.filter(col("vec_id") < 10),
+          "embedding", "vec_id", k = 10),
+        bruteIpTop10(s, dir), threshold = 0.15)
     }),
 
     // IVF QUALITY gate: recall@10 of a partial probe (nprobe=2 of 16 cells)
@@ -2150,20 +2149,12 @@ object SparkEntry {
       val e = embeddings(s, dir)
       val cents = Dedup.hyperplanes(16, 64, seed = 7L).zipWithIndex
         .map { case (v, i) => (i.toLong, v) }.toDF("cell_id", "centroid")
-      val queries = e.filter(col("vec_id") < 10)
       val index = Similarity.ivfIndexCached(e, cents, "embedding", "vec_id",
         key = s"litcents:$dir")
-      val ivf = Similarity.ivfProbe(index, queries, cents,
-        "embedding", "vec_id", k = 10, nprobe = 2)
-      val brute = bruteCosTop10(s, dir)
-      val hits = ivf.select("query_id", "neighbor_id")
-        .join(brute.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
-      val nq = brute.agg(countDistinct(col("query_id")).as("n_queries"))
-      hits.agg(count(lit(1)).as("hits")).crossJoin(broadcast(nq))
-        .select(col("n_queries"), lit(10L).as("k"), col("hits"),
-          (col("hits").cast(DoubleType) /
-            (col("n_queries") * lit(10L)).cast(DoubleType)).as("recall"))
-        .withColumn("meets_threshold", col("recall") >= lit(0.3))
+      recallGate(
+        Similarity.ivfProbe(index, e.filter(col("vec_id") < 10), cents,
+          "embedding", "vec_id", k = 10, nprobe = 2),
+        bruteCosTop10(s, dir), threshold = 0.3)
     }),
 
     // ranking QUALITY beyond recall: per-query nDCG@10 of the partial-probe
@@ -3459,7 +3450,11 @@ object SparkEntry {
     // full recompute (the staging hop is lossless)
     "q_wap_publish" -> ((s, dir) => {
       import graft.operators.Checks._
-      val lake = graft.sources.Lake(s, procTmp("graft_wap"))
+      // path scoped per sf DIR like the once-key below: a second dir in the
+      // same session must publish into its OWN lake, not overwrite the
+      // first dir's table (which later reads would then return)
+      val lake = graft.sources.Lake(s,
+        procTmp(s"graft_wap_${Integer.toHexString(dir.hashCode)}"))
       // stage+audit+rename once per session (the publish is idempotent for a
       // fixed sf dir); every later invocation reads the published artifact —
       // the same once-per-session landing pattern as q_lake_delete, and the
@@ -3476,7 +3471,8 @@ object SparkEntry {
     // the gate reads the survivor, which must still equal the v1 recompute
     "q_wap_reject" -> ((s, dir) => {
       import graft.operators.Checks._
-      val lake = graft.sources.Lake(s, procTmp("graft_wap_reject"))
+      val lake = graft.sources.Lake(s,
+        procTmp(s"graft_wap_reject_${Integer.toHexString(dir.hashCode)}"))
       if (SessionCache.once(s, s"wap-reject:$dir")) {
         val (_, ok1) = lake.writeAudited(candles(s, dir, "D"), "gold", "wap_guarded",
           Seq(RowCountMin(1L)))

@@ -188,7 +188,15 @@ object Multimodal {
             if (bytes == null) null
             else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           } catch { case scala.util.control.NonFatal(_) => null }
-        if (img == null) ImageHash(id, -1L)
+        // gradient bits must fit one long: a raster with h(w−1)+(h−1)w > 64
+        // would wrap the shift amounts mod 64 and silently fold distinct
+        // gradients onto shared bit positions (unrelated images hashing
+        // equal) — such rasters land on the −1 sentinel like undecodable
+        // payloads; classic dHash's 9×8 pre-resample is the policy that
+        // brings arbitrary rasters under the cap
+        if (img == null ||
+            img.getHeight * (img.getWidth - 1) + (img.getHeight - 1) * img.getWidth > 64)
+          ImageHash(id, -1L)
         else {
           val w = img.getWidth
           val h = img.getHeight
@@ -396,7 +404,12 @@ object Multimodal {
     while (pos + 8 <= bytes.length) {
       val cid = fourcc(pos)
       val csize = buf.getInt(pos + 4)
-      if (csize < 0 || pos + 8 + csize > bytes.length) return null
+      // Long arithmetic: an adversarial csize near Int.MaxValue overflows
+      // the Int sum negative, sneaks past the bound, and the data-chunk
+      // allocation below becomes a fatal ~2 GB OutOfMemoryError that no
+      // NonFatal handler catches — Long comparison keeps the hostile
+      // container on the null-stats contract instead
+      if (csize < 0 || pos.toLong + 8L + csize.toLong > bytes.length) return null
       cid match {
         case "fmt " if csize >= 16 =>
           val fmt = buf.getShort(pos + 8)

@@ -438,19 +438,13 @@ object Similarity {
     */
   def pqAdcTopK(codes: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, books: Seq[Seq[Array[Double]]], k: Int): DataFrame = {
-    val subDim = books.head.head.length
-    val ksub = books.head.size
-    val lutCol = array(books.zipWithIndex.flatMap { case (cb, j) =>
-      val sub = slice(col(vecCol), j * subDim + 1, subDim)
-      cb.map(c => dot(sub, typedLit(c.toSeq)))
-    }: _*)
-    val q = queries.select(col(idCol).as("query_id"), lutCol.as("lut"))
-    val adc = books.indices.map(j =>
-      element_at(col("lut"), col("codes").getItem(j) + j * ksub + 1)).reduce(_ + _)
+    val q = queries.select(col(idCol).as("query_id"),
+      pqLut(books, col(vecCol)).as("lut"))
     val topk = udaf(new TopKAgg(k), org.apache.spark.sql.Encoders.product[ScoredId])
     codes.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+      .select(col("query_id"), col("neighbor_id"),
+        pqAdc(books, col("lut"), col("codes")).as("adc"))
       .groupBy("query_id")
       .agg(topk(col("adc"), col("neighbor_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("r", "s")))
@@ -722,6 +716,14 @@ object Similarity {
     * provider-agnostic. The candidate list BROADCASTS into the corpus scan
     * (one pass fetches the ≤ Q×kCand vectors), then [[MmrAgg]] runs the
     * greedy per query group.
+    *
+    * Contract: every candidate id must have a vector in `corpus` — MMR's
+    * redundancy penalty is defined on the vectors, so a candidate WITHOUT
+    * one cannot participate in the diversity term and is dropped by the
+    * fetch join (the r11 chained-step form would still have emitted such an
+    * id on the relevance-only first pick, an accident of ordering, not a
+    * semantics). Retrieval providers draw candidates from the corpus, so
+    * the join is lossless in every composed pipeline here.
     */
   def mmrRerankFrom(candidates: DataFrame, corpus: DataFrame, vecCol: String,
       idCol: String, kOut: Int, lambda: Double = 0.5): DataFrame = {

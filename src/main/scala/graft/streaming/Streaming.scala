@@ -472,15 +472,21 @@ object Streaming {
       val q = stream.writeStream
         .foreachBatch { (batch0: DataFrame, batchId: Long) =>
           if (batchId > lastBatchId) {
+            // all-or-nothing vs retries: MATERIALIZE every successor frame
+            // BEFORE touching any accumulator var — localCheckpoint is the
+            // throwing step, and a partial mutation followed by a retried
+            // batchId would re-append the already-landed pairs (the exact
+            // failure the guard exists to stop). Plain assignments below
+            // cannot throw, so a batch either folds in fully or not at all.
             val batch = batch0.filter(rowFilter)
             val pairs = Dedup.minhashPairsIncremental(batch, bb, ss, textCol, idCol,
               shingleN, k, bands, threshold).localCheckpoint()
-            out = out.unionByName(pairs).localCheckpoint()
-            bb = bb.unionByName(Dedup.bandBuckets(batch, textCol, idCol, shingleN, k, bands))
+            val outN = out.unionByName(pairs).localCheckpoint()
+            val bbN = bb.unionByName(Dedup.bandBuckets(batch, textCol, idCol, shingleN, k, bands))
               .localCheckpoint()
-            ss = ss.unionByName(Dedup.shingleSets(batch, textCol, idCol, shingleN))
+            val ssN = ss.unionByName(Dedup.shingleSets(batch, textCol, idCol, shingleN))
               .localCheckpoint()
-            lastBatchId = batchId
+            out = outN; bb = bbN; ss = ssN; lastBatchId = batchId
           }
           ()
         }

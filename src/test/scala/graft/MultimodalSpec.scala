@@ -209,6 +209,31 @@ class MultimodalSpec extends SparkSpec {
     out.filter(_._4.contains(false)).foreach(_._3.get should be <= 3L)
   }
 
+  test("dHash: rasters whose gradient bits exceed 64 land on the -1 sentinel " +
+       "instead of silently folding bit positions mod 64") {
+    // 9x8: 8*8 + 7*9 = 127 gradient bits > 64 — the classic-dHash size that
+    // REQUIRES the pre-resample policy; hashing it natively would wrap shifts
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 8).foreach(y => (0 until 9).foreach(x => img.setRGB(x, y, (x * 37 + y * 91) << 8)))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val payload = Seq((1L, buf.toByteArray)).toDF("media_id", "payload")
+    rows(Multimodal.dHash(payload, "payload", "media_id"))
+      .head.getAs[Long]("dhash") shouldBe -1L
+  }
+
+  test("decodeWav: an adversarial data-chunk size near Int.MaxValue fails the " +
+       "Long bounds check and lands on null-stats (no 2 GB allocation attempt)") {
+    val base = Multimodal.wav16(1L)
+    val bb = java.nio.ByteBuffer.wrap(base).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(40, 2147483640) // the 'data' chunk's declared size field
+    val out = rows(Multimodal.decodeWav(
+      Seq((1L, base)).toDF("media_id", "payload"), "payload", "media_id")).head
+    out.getAs[Long]("sample_rate") shouldBe 0L
+    out.getAs[Long]("total_energy") shouldBe -1L
+  }
+
   test("frameSampleIndices plans every-k frame decode without touching bytes") {
     rows(Seq(Tuple1(10)).toDF("n")
       .select(Multimodal.frameSampleIndices(col("n"), 3).as("idx")))
