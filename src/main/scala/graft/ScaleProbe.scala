@@ -675,6 +675,18 @@ object ScaleProbe {
           embs.filter(col("vec_id") < 3), cents, "embedding", "vec_id",
           books, k = 10, nprobe = 4).count()
       }
+      time("audio_fp_dedup") {
+        // k×64 synthetic WAVs: RIFF chunk-walk parse + frame energies +
+        // delta-sign fingerprint in one narrow mapPartitions → 8-byte-key
+        // hash agg — the audio twin of the image probe below
+        val ids = docs.select(col("doc_id")).filter(col("doc_id") % 1000000L < 64)
+        graft.operators.Multimodal.audioFingerprint(
+            graft.operators.Multimodal.withWavPayload(ids, "doc_id"),
+            "payload", "media_id")
+          .groupBy("afp")
+          .agg(count(lit(1)).as("n"), min(col("media_id")).as("keeper"))
+          .count()
+      }
       time("image_dhash_dedup") {
         // k×64 synthetic rasters: per-partition decode → narrow dHash →
         // 8-byte-key hash agg; the probe pins decode+fingerprint+dedup as
