@@ -896,7 +896,7 @@ object Similarity {
       col(vecCol).cast(ArrayType(DoubleType)).as("v"))
     def centsLit(cents: Seq[(Long, Array[Double])]) = array(cents.map { case (cid, c) =>
       struct(lit(cid).as("cell_id"),
-        array(c.map(lit(_)): _*).cast(ArrayType(DoubleType)).as("c"))
+        array(c.toIndexedSeq.map(lit): _*).cast(ArrayType(DoubleType)).as("c"))
     }: _*)
     def assign(cents: Seq[(Long, Array[Double])]): DataFrame =
       vecs.withColumn("cell_id", element_at(array_sort(transform(centsLit(cents),

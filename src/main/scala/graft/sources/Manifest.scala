@@ -74,7 +74,7 @@ object Manifest {
       // the root read discovers the hive chunk column the chunk-directory
       // reads below never see — drop it so both branches return one schema
       if (live.isEmpty) spark.read.parquet(path).limit(0).drop(chunkKey)
-      else spark.read.parquet(live.map(c => s"$path/$c"): _*)
+      else spark.read.parquet(live.toIndexedSeq.map(c => s"$path/$c"): _*)
     base.filter(col(statCol) >= lo && col(statCol) <= hi)
   }
 }
