@@ -3098,6 +3098,42 @@ object SparkEntry {
       }.orderBy("query_id", "rank")
     }),
 
+    // Streaming BINARY-quantization serve (r12 — the 1-bit rung's streaming
+    // twin, completing the per-rung deployed shapes: q_stream_ann floats,
+    // q_stream_pq ADC, this one Hamming): query vectors arrive as a stream,
+    // pack to sign codes narrowly, and score the STATIC 8-byte code table
+    // via a stateless broadcast — per micro-batch exactly the q_bq_topk
+    // plan, corpus floats never touched. Oracle = the batch Hamming dual
+    // over the same query panel.
+    "q_stream_bq" -> ((s, dir) => {
+      tune(s)
+      streamResult(s, dir, "bq_serve") {
+        withStreamConf(s) {
+          val codes = bqCodeIndex(s, dir)
+          val schema = table(s, dir, "embeddings").schema
+          val qstream = s.readStream.schema(schema)
+            .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+            .filter(col("vec_id") < 10)
+          val qcodes = Similarity.binaryQuantize(qstream, "embedding", "vec_id")
+            .select(col("vec_id").as("query_id"), col("bq").as("qbq"))
+          val scored = qcodes.crossJoin(codes.select(
+              col("vec_id").as("neighbor_id"), col("bq")))
+            .filter(col("neighbor_id") =!= col("query_id"))
+            .select(col("query_id"), col("neighbor_id"),
+              bit_count(col("bq").bitwiseXOR(col("qbq"))).cast(DoubleType).as("__h"))
+          val topk = udaf(new graft.operators.Similarity.TopKAgg(10),
+            org.apache.spark.sql.Encoders.product[graft.operators.Similarity.ScoredId])
+          val agg = scored.groupBy("query_id")
+            .agg(topk(-col("__h"), col("neighbor_id")).as("__top"))
+            .select(col("query_id"), posexplode(col("__top")).as(Seq("__r", "__s")))
+            .select(col("query_id"), col("__s.id").as("neighbor_id"),
+              (-col("__s.score")).cast(LongType).as("hamming"),
+              (col("__r") + 1).cast(LongType).as("rank"))
+          graft.streaming.Streaming.runToMemory(s, agg, "stream_bq")
+        }
+      }.orderBy("query_id", "rank")
+    }),
+
     // the funnel as a CONTINUOUS query: per-user chain state (three longs)
     // folded via mapGroupsWithState; the sink holds (user, furthest stage)
     // and the read side rolls it into q_funnel's exact step counts — one
@@ -7202,6 +7238,11 @@ object SparkEntry {
          | FROM h CROSS JOIN nq2""".stripMargin.replace("\n", ""),
     "q_bq_topk" ->
       s"""WITH ${bqCtes(queryMax = 3)}
+         | SELECT query_id, neighbor_id, hamming, rank FROM bqr WHERE rank <= 10
+         | ORDER BY query_id, rank""".stripMargin.replace("\n", ""),
+    // the streaming twin scores identically — one dual text for batch+stream
+    "q_stream_bq" ->
+      s"""WITH ${bqCtes(queryMax = 10)}
          | SELECT query_id, neighbor_id, hamming, rank FROM bqr WHERE rank <= 10
          | ORDER BY query_id, rank""".stripMargin.replace("\n", ""),
     "q_bq_recall" ->
