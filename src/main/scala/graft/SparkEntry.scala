@@ -1851,6 +1851,29 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) =>
       dedupClusterIndex(s, dir)
         .select(col("id").as("doc_id"), col("cluster_id")).orderBy("doc_id")),
+    // CROSS-MODAL dedup policy (r12): one cluster decision over the UNION of
+    // evidence channels — text near-dup pairs (exact-verified MinHash) and
+    // image perceptual pairs (equal dHash among the assets docs 0..63 carry)
+    // feed ONE connected-components pass, so a re-OCR'd doc whose text
+    // drifted but whose page image survives (or vice versa) still lands in
+    // its duplicate's cluster. The scale shape is the sum of its parts: both
+    // pair miners are the already-probed candidate-bounded passes, and CC
+    // runs on the pair graph, never the corpus².
+    "q_multimodal_dedup" -> ((s, dir) => {
+      val textPairs = minhashPairIndex(s, dir).select("id_a", "id_b")
+      val imgHash = Multimodal.dHash(
+        Multimodal.withBmpPayload(
+          documents(s, dir).select(col("doc_id")).filter(col("doc_id") < 64), "doc_id"),
+        "payload", "media_id")
+      val imgPairs = imgHash.as("a").join(imgHash.as("b"),
+          col("a.dhash") === col("b.dhash") && col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      Dedup.connectedComponents(
+          documents(s, dir).select(col("doc_id").as("id")),
+          textPairs.unionByName(imgPairs))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
     // duplication-penalized sampling (the D4-style middle ground between
     // keeping all near-dups and hard-dropping to one survivor): every doc
     // weighted 1/|its near-dup cluster| and kept by the deterministic
@@ -7109,6 +7132,22 @@ object SparkEntry {
          | LEFT JOIN cm ON cm.a = e.a AND cm.b = e.b
          | ORDER BY id_a, id_b""".stripMargin.replace("\n", ""),
     "q_dedup_clusters" -> dedupClustersSql(n = 5, threshold = 0.5),
+    // union the text pair set with the perceptual-equality pairs before the
+    // same transitive closure — one dual restates the whole policy
+    "q_multimodal_dedup" ->
+      s"""WITH RECURSIVE ${exactJaccardCtes(5, 0.5)},
+         | hx AS (SELECT doc_id AS media_id, CAST($dhashExpr AS BIGINT) AS dhash
+         |   FROM documents WHERE doc_id < 64),
+         | ip AS (SELECT a.media_id AS id_a, b.media_id AS id_b FROM hx a JOIN hx b
+         |   ON a.dhash = b.dhash AND a.media_id < b.media_id),
+         | ap AS (SELECT id_a, id_b FROM p UNION SELECT id_a, id_b FROM ip),
+         | e AS (SELECT id_a AS s, id_b AS d FROM ap UNION SELECT id_b, id_a FROM ap),
+         | closure(id, r) AS (
+         |   SELECT doc_id, doc_id FROM documents
+         |   UNION
+         |   SELECT e.s, c.r FROM e JOIN closure c ON c.id = e.d)
+         | SELECT id AS doc_id, MIN(r) AS cluster_id FROM closure GROUP BY id
+         | ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "q_dedup_report" -> dedupReportSql(n = 5, threshold = 0.5),
     // same transitive closure, two stacked group-bys
     "q_dedup_cluster_sizes" ->
