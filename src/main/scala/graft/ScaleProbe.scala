@@ -699,6 +699,16 @@ object ScaleProbe {
           .agg(count(lit(1)).as("n"), min(col("media_id")).as("keeper"))
           .count()
       }
+      time("subword_encode") {
+        // tokenizer APPLY at k×: vocab learn (3 partial-agg count passes,
+        // 300 strings to the driver) + ONE narrow codegen'd greedy-match
+        // pass over the whole corpus — the encode itself must ride scan
+        // speed with zero shuffle beyond the tiny per-source rollup
+        import graft.operators.TextAnalysis
+        val src = docs.withColumn("source", (col("doc_id") % 4).cast("string"))
+        val vocab = TextAnalysis.subwordVocab(src, "text", topWords = 100, topGrams = 100)
+        TextAnalysis.subwordEncodeReport(src, "text", "source", vocab).count()
+      }
     }
     spark.stop()
   }

@@ -3840,6 +3840,64 @@ object SparkEntry {
           round(col("n_chars").cast(DoubleType) / col("bpe_tokens").cast(DoubleType), 6))
         .orderBy("lang")),
 
+    // Tokenizer APPLY (the learn-side duals are q_bpe_merges / q_top_tokens):
+    // greedy longest-match segmentation of every word against a corpus-learned
+    // vocabulary (top-100 words + top-100 char 3-grams + top-100 2-grams,
+    // ties by string — deterministic in both engines), single-char fallback.
+    // The encode itself is ONE narrow codegen'd kernel pass (GreedySegment);
+    // vocabulary learning is three partial-agg count passes with only ~300
+    // strings landing on the driver (the BPE-merge literal-shipping pattern).
+    // Per-source fallback-rate / chars-per-token is the report a tokenizer
+    // designer reads before freezing a vocab.
+    "q_subword_encode" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val vocab = TextAnalysis.subwordVocab(d, "text", topWords = 100, topGrams = 100)
+      TextAnalysis.subwordEncodeReport(d, "text", "source", vocab)
+    }),
+
+    // Rendezvous (highest-random-weight) shard rebalance plan: every doc is
+    // assigned argmax_s h(doc,s) under 16 and under 20 shards; the report per
+    // new shard shows HRW's minimal-movement property — docs only ever move
+    // INTO the four new shards (n_moved_in = 0 for shards 0-15), expected
+    // movement 4/20 of the corpus. Narrow per-row expression (md5 for oracle
+    // parity; an engine-internal deployment would swap in xxhash64), one tiny
+    // 20-row rollup — scan-speed at 100 TB, the capacity-planning query a
+    // serving operator runs before adding nodes.
+    "q_shard_plan" -> ((s, dir) => {
+      def hv(salt: Int) = conv(substring(md5(concat(col("doc_id").cast(StringType),
+        lit(":" + salt))), 1, 15), 16, 10).cast(LongType)
+      val h16 = array((0 until 16).map(hv): _*)
+      val h20 = array((0 until 20).map(hv): _*)
+      documents(s, dir).select(col("doc_id"),
+          (array_position(h16, array_max(h16)) - 1).cast(LongType).as("shard_before"),
+          (array_position(h20, array_max(h20)) - 1).cast(LongType).as("shard_after"))
+        .groupBy("shard_after").agg(count(lit(1)).as("n_docs"),
+          sum(when(col("shard_before") =!= col("shard_after"), 1L).otherwise(0L))
+            .as("n_moved_in"))
+        .withColumn("moved_frac",
+          round(col("n_moved_in").cast(DoubleType) / col("n_docs").cast(DoubleType), 6))
+        .orderBy("shard_after")
+    }),
+
+    // Dedup economics: token-weighted savings per exact-dup cluster size —
+    // keep the min-doc_id survivor per content-hash cluster, roll up how many
+    // documents/tokens each cluster-size class contributes and how many
+    // tokens dedup removes. THE capacity number a curation planner reads
+    // (q_dedup_cluster_sizes gives the size histogram; this prices it in
+    // tokens). Two partial-aggregable shuffles, nothing quadratic.
+    "q_dedup_savings" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+          TextAnalysis.contentHash(col("text")).as("h"),
+          TextAnalysis.wsTokens(col("text")).cast(LongType).as("toks"))
+        .groupBy("h").agg(count(lit(1)).as("sz"), sum("toks").as("tt"),
+          min_by(col("toks"), col("doc_id")).as("kept"))
+        .groupBy(col("sz").as("cluster_size")).agg(
+          count(lit(1)).as("n_clusters"),
+          sum("sz").as("n_docs"),
+          sum("tt").as("total_tokens"),
+          sum(col("tt") - col("kept")).as("tokens_removed"))
+        .orderBy("cluster_size")),
+
     // Spark's NATIVE session_window aggregation (vs the gaps-and-islands
     // formulation q_sessionize gates and the stateful streaming twin): new
     // session when the gap since the previous event is >= 30 min. The
@@ -8500,6 +8558,81 @@ object SparkEntry {
         |   round(CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE), 6) AS fertility,
         |   round(CAST(n_chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE), 6) AS chars_per_token
         | FROM a ORDER BY lang""".stripMargin.replace("\n", ""),
+    // Tokenizer-apply dual: identical vocabulary rank (count DESC, string ASC,
+    // top-100 words + top-100 char 3-/2-grams), identical greedy matcher — the
+    // per-(position, length) candidate substring equi-joins the vocab (hash
+    // join), MAX(length) per position is the longest match, and a recursive
+    // CTE (MATERIALIZED — the q_kcenters lesson) walks each DISTINCT word.
+    // Code-point units agree: DuckDB len/substr and Spark length/substr.
+    "q_subword_encode" ->
+      """WITH t AS MATERIALIZED (SELECT source, doc_id,
+        |   regexp_extract_all(lower(text), '[\p{L}\p{Nd}]+') AS ws FROM documents),
+        | docw AS MATERIALIZED (SELECT source, doc_id, UNNEST(ws) AS w FROM t),
+        | vw AS (SELECT w AS v FROM (SELECT w, COUNT(*) AS c FROM docw GROUP BY w)
+        |   ORDER BY c DESC, w ASC LIMIT 100),
+        | g3 AS (SELECT substr(w, i, 3) AS g FROM docw, UNNEST(range(1, len(w) - 1)) AS r(i)),
+        | vg3 AS (SELECT g AS v FROM (SELECT g, COUNT(*) AS c FROM g3 GROUP BY g)
+        |   ORDER BY c DESC, g ASC LIMIT 100),
+        | g2 AS (SELECT substr(w, i, 2) AS g FROM docw, UNNEST(range(1, len(w))) AS r(i)),
+        | vg2 AS (SELECT g AS v FROM (SELECT g, COUNT(*) AS c FROM g2 GROUP BY g)
+        |   ORDER BY c DESC, g ASC LIMIT 100),
+        | vocab AS MATERIALIZED (SELECT DISTINCT v FROM
+        |   (SELECT v FROM vw UNION ALL SELECT v FROM vg3 UNION ALL SELECT v FROM vg2)),
+        | dw AS MATERIALIZED (SELECT DISTINCT w FROM docw),
+        | pos AS MATERIALIZED (SELECT w, i AS p FROM dw, UNNEST(range(0, len(w))) AS r(i)),
+        | vlen AS (SELECT DISTINCT len(v) AS L FROM vocab),
+        | cand AS MATERIALIZED (SELECT w, p, L, substr(w, p + 1, L) AS c FROM pos, vlen
+        |   WHERE p + L <= len(w)),
+        | best AS MATERIALIZED (SELECT cand.w, cand.p, MAX(cand.L) AS blen
+        |   FROM cand JOIN vocab v ON cand.c = v.v GROUP BY cand.w, cand.p),
+        | seg AS MATERIALIZED (WITH RECURSIVE st AS (
+        |     SELECT w, CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS toks, CAST(0 AS BIGINT) AS fb FROM dw
+        |   UNION ALL
+        |     SELECT st.w, st.p + COALESCE(b.blen, 1), st.toks + 1,
+        |       st.fb + CASE WHEN b.blen IS NULL THEN 1 ELSE 0 END
+        |     FROM st LEFT JOIN best b ON b.w = st.w AND b.p = st.p WHERE st.p < len(st.w))
+        |   SELECT w, toks, fb FROM st WHERE p >= len(w)),
+        | perdoc AS (SELECT d.source, d.doc_id, COUNT(*) AS nw, SUM(s.toks) AS toks,
+        |     SUM(s.fb) AS fb, SUM(len(d.w)) AS ch
+        |   FROM docw d JOIN seg s USING (w) GROUP BY d.source, d.doc_id),
+        | alldocs AS (SELECT t.source, COALESCE(p.nw, 0) AS nw, COALESCE(p.toks, 0) AS toks,
+        |     COALESCE(p.fb, 0) AS fb, COALESCE(p.ch, 0) AS ch
+        |   FROM t LEFT JOIN perdoc p ON p.doc_id = t.doc_id)
+        | SELECT source, COUNT(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS n_words,
+        |   CAST(SUM(toks) AS BIGINT) AS n_tokens, CAST(SUM(fb) AS BIGINT) AS n_fallback,
+        |   CAST(SUM(ch) AS BIGINT) AS n_chars,
+        |   CASE WHEN SUM(toks) > 0 THEN round(CAST(SUM(fb) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE), 6) END AS fallback_rate,
+        |   CASE WHEN SUM(toks) > 0 THEN round(CAST(SUM(ch) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE), 6) END AS chars_per_token
+        | FROM alldocs GROUP BY source ORDER BY source""".stripMargin.replace("\n", ""),
+    // HRW dual: same 60-bit md5 nibble fold (q_feature_hash precedent), argmax
+    // by (hash DESC, salt ASC) = Spark's array_position-first-max tie rule
+    "q_shard_plan" ->
+      """WITH h AS MATERIALIZED (SELECT doc_id, r.s AS s,
+        |   list_reduce(list_transform(range(1, 16), i -> CAST(strpos('0123456789abcdef',
+        |     substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(r.s AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |     (a,b) -> a*16 + b) AS hv
+        |   FROM documents, UNNEST(range(0, 20)) AS r(s)),
+        | b16 AS (SELECT doc_id, s AS shard_before FROM (SELECT doc_id, s,
+        |     row_number() OVER (PARTITION BY doc_id ORDER BY hv DESC, s ASC) AS rn
+        |   FROM h WHERE s < 16) WHERE rn = 1),
+        | b20 AS (SELECT doc_id, s AS shard_after FROM (SELECT doc_id, s,
+        |     row_number() OVER (PARTITION BY doc_id ORDER BY hv DESC, s ASC) AS rn
+        |   FROM h) WHERE rn = 1)
+        | SELECT shard_after, COUNT(*) AS n_docs,
+        |   CAST(SUM(CASE WHEN shard_before <> shard_after THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in,
+        |   round(CAST(SUM(CASE WHEN shard_before <> shard_after THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS moved_frac
+        | FROM b16 JOIN b20 USING (doc_id) GROUP BY shard_after ORDER BY shard_after""".stripMargin.replace("\n", ""),
+    // same whitespace-normalized content hash (q_fingerprints), ws-token
+    // count (q_tokenizer_fertility), arg_min survivor = Spark min_by
+    "q_dedup_savings" ->
+      """WITH d AS (SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
+        |   CAST(len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS BIGINT) AS toks
+        |   FROM documents),
+        | cl AS (SELECT h, COUNT(*) AS sz, SUM(toks) AS tt, arg_min(toks, doc_id) AS kept
+        |   FROM d GROUP BY h)
+        | SELECT sz AS cluster_size, COUNT(*) AS n_clusters, CAST(SUM(sz) AS BIGINT) AS n_docs,
+        |   CAST(SUM(tt) AS BIGINT) AS total_tokens, CAST(SUM(tt - kept) AS BIGINT) AS tokens_removed
+        | FROM cl GROUP BY sz ORDER BY cluster_size""".stripMargin.replace("\n", ""),
     // same per-date max + strictly-newer running max construction; equal
     // (date, price) duplicates survive on both sides
     "q_skyline" ->

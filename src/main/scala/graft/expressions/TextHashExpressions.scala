@@ -590,3 +590,85 @@ case class RollingFingerprint(child: Expression) extends TokenKernel {
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   override def prettyName: String = "rolling_fingerprint"
 }
+
+/** Greedy longest-match subword segmentation against a plan-time vocabulary —
+  * the APPLY side of the tokenizer loop whose LEARN side the engine already
+  * gates (`q_bpe_merges` induces merges, `q_top_tokens` the word vocabulary).
+  * At each code-point position the LONGEST vocabulary entry matching there is
+  * consumed as one token; when nothing matches, ONE code point is consumed as
+  * a fallback (byte/char-level) token. Returns `[n_tokens, n_fallback]` for
+  * the input word.
+  *
+  * Semantics are pinned for the DuckDB oracle: both engines walk positions in
+  * code points (Spark `length`/`substr` and DuckDB `len`/`substr` agree on
+  * that unit), longest-match is unambiguous (at a fixed position and length
+  * the candidate substring is unique), and the vocabulary is a plan-time
+  * string set so the kernel is a pure per-word function.
+  *
+  * Scale (100 TB): narrow per-row kernel fused into whole-stage codegen; the
+  * vocabulary (hundreds of entries) rides the closure as one broadcast-sized
+  * reference object — no shuffle, no join, scan speed. The O(maxLen) probe
+  * per position against a hash set is the textbook WordPiece matcher.
+  */
+case class GreedySegment(child: Expression, vocab: Seq[String]) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects STRING, got ${other.sql}")
+    }
+
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](math.max(16, vocab.size * 2))
+    vocab.foreach(v => if (v.nonEmpty) s.add(v))
+    s
+  }
+
+  @transient private lazy val maxCp: Int =
+    if (vocab.isEmpty) 0
+    else vocab.iterator.map(v => v.codePointCount(0, v.length)).max
+
+  def compute(input: UTF8String): ArrayData = {
+    val w = input.toString
+    // UTF-16 offset of each code point start; offs(nCp) = w.length
+    val offs = new Array[Int](w.length + 1)
+    var cp = 0
+    var i = 0
+    while (i < w.length) {
+      offs(cp) = i
+      i += Character.charCount(w.codePointAt(i))
+      cp += 1
+    }
+    offs(cp) = w.length
+    val n = cp
+    var pos = 0
+    var toks = 0L
+    var fb = 0L
+    while (pos < n) {
+      var l = math.min(maxCp, n - pos)
+      var matched = 0
+      while (l >= 1 && matched == 0) {
+        if (vocabSet.contains(w.substring(offs(pos), offs(pos + l)))) matched = l
+        l -= 1
+      }
+      if (matched > 0) pos += matched
+      else { pos += 1; fb += 1L }
+      toks += 1L
+    }
+    new GenericArrayData(Array[Any](toks, fb))
+  }
+
+  override protected def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("greedySegment", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "greedy_segment"
+}

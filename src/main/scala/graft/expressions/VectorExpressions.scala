@@ -241,4 +241,12 @@ object GraftFunctions {
   /** Code-point Shannon entropy (bits) of a string. */
   def charEntropy(text: Column): Column =
     GraftColumnBridge.column(CharEntropy(GraftColumnBridge.expression(text)))
+
+  /** Greedy longest-match subword segmentation stats `[n_tokens, n_fallback]`
+    * for one word against a plan-time vocabulary (the tokenizer APPLY kernel,
+    * [[GreedySegment]]). Column-API only: the vocabulary is plan-time
+    * configuration, like [[langId]]'s marker lists.
+    */
+  def greedySegment(word: Column, vocab: Seq[String]): Column =
+    GraftColumnBridge.column(GreedySegment(GraftColumnBridge.expression(word), vocab))
 }

@@ -817,4 +817,73 @@ object TextAnalysis {
         s => s.getField("tok")), " ").as("clean_text"),
         count(lit(1)).as("n_tokens_kept"))
   }
+
+  // ---------------------------------------------------------------------------
+  // Subword tokenizer APPLY (greedy longest-match against a learned vocab)
+  // ---------------------------------------------------------------------------
+
+  /** Character n-grams of a (single-word) string column in document order;
+    * empty array when the word is shorter than `n`. Code-point positions
+    * (Spark `length`/`substr` semantics — the unit the DuckDB dual shares).
+    */
+  def charGrams(word: Column, n: Int): Column =
+    when(length(word) >= n,
+      transform(sequence(lit(1), length(word) - (n - 1)), i => word.substr(i, lit(n))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Learn a subword vocabulary from the corpus: the `topWords` most frequent
+    * whole words plus the `topGrams` most frequent character 3-grams and
+    * 2-grams (occurrence-weighted), ties broken by string ascending — the
+    * deterministic rank both engines reproduce. Single-char fallback is
+    * implicit in the matcher, so chars are not part of the vocabulary.
+    *
+    * Scale: three partial-aggregated count passes over the token stream; only
+    * the top few hundred strings land on the driver (the k-centers /
+    * BPE-merge literal-shipping pattern).
+    */
+  def subwordVocab(df: DataFrame, textCol: String, topWords: Int, topGrams: Int): Seq[String] = {
+    val toks = df.select(explode(Dedup.tokens(col(textCol))).as("w"))
+    val words = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(topWords)
+      .collect().map(_.getString(0)).toSeq
+    def grams(n: Int): Seq[String] = toks
+      .select(explode(charGrams(col("w"), n)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g").asc).limit(topGrams)
+      .collect().map(_.getString(0)).toSeq
+    (words ++ grams(3) ++ grams(2)).distinct
+  }
+
+  /** Corpus segmentation report under greedy longest-match encoding with
+    * `vocab`: per `groupCol`, document/word/token/fallback/char totals plus
+    * the two tokenizer-quality ratios (fallback rate, chars per token) a
+    * vocab designer reads before committing to a tokenizer. The whole encode
+    * is one narrow codegen'd pass ([[graft.expressions.GreedySegment]]); the
+    * only wide stage is the final tiny per-group rollup.
+    */
+  def subwordEncodeReport(df: DataFrame, textCol: String, groupCol: String,
+      vocab: Seq[String]): DataFrame = {
+    import graft.expressions.{GraftFunctions => G}
+    val ws = Dedup.tokens(col(textCol))
+    val folded = aggregate(
+      transform(ws, w => G.greedySegment(w, vocab)),
+      array(lit(0L), lit(0L)),
+      (acc, s) => array(acc.getItem(0) + s.getItem(0), acc.getItem(1) + s.getItem(1)))
+    val chars = aggregate(ws, lit(0L), (a, w) => a + length(w))
+    df.select(col(groupCol), size(ws).cast(LongType).as("nw"),
+        folded.as("tf"), chars.as("ch"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nw").as("n_words"),
+        sum(element_at(col("tf"), 1)).as("n_tokens"),
+        sum(element_at(col("tf"), 2)).as("n_fallback"),
+        sum("ch").as("n_chars"))
+      .withColumn("fallback_rate",
+        when(col("n_tokens") > 0,
+          round(col("n_fallback").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6)))
+      .withColumn("chars_per_token",
+        when(col("n_tokens") > 0,
+          round(col("n_chars").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6)))
+      .orderBy(groupCol)
+  }
 }

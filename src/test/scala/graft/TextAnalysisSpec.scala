@@ -330,4 +330,60 @@ class TextAnalysisSpec extends SparkSpec {
     // tokens ({the, cat, sat, on, mat})
     sc(101L) shouldBe math.log(1.0 / 5.0) +- 1e-6
   }
+
+  test("greedySegment: longest match wins, single-char fallback, empty word") {
+    import graft.expressions.{GraftFunctions => G}
+    val vocab = Seq("ab", "abc", "c", "de")
+    val out = rows(Seq("abcde", "xabcz", "").toDF("w")
+      .select(G.greedySegment(col("w"), vocab).as("s")))
+      .map(_.getSeq[Long](0))
+    out(0) shouldBe Seq(2L, 0L) // abc + de (longest-first: abc beats ab)
+    out(1) shouldBe Seq(3L, 2L) // x(fb) + abc + z(fb)
+    out(2) shouldBe Seq(0L, 0L)
+  }
+
+  test("charGrams emits code-point n-grams in order; short words give empty") {
+    val out = rows(Seq("abcd", "ab", "x").toDF("w")
+      .select(TextAnalysis.charGrams(col("w"), 3).as("g")))
+      .map(_.getSeq[String](0))
+    out(0) shouldBe Seq("abc", "bcd")
+    out(1) shouldBe Seq()
+    out(2) shouldBe Seq()
+  }
+
+  test("subwordEncodeReport totals: tokens, fallback, chars, ratios") {
+    val df = Seq(("a", "ab ab zz"), ("a", "")).toDF("source", "text")
+    val r = rows(TextAnalysis.subwordEncodeReport(df, "text", "source", Seq("ab"))).head
+    r.getAs[Long]("n_docs") shouldBe 2L
+    r.getAs[Long]("n_words") shouldBe 3L
+    r.getAs[Long]("n_tokens") shouldBe 4L   // ab, ab, z+z
+    r.getAs[Long]("n_fallback") shouldBe 2L // the two z's
+    r.getAs[Long]("n_chars") shouldBe 6L
+    r.getAs[Double]("fallback_rate") shouldBe 0.5
+    r.getAs[Double]("chars_per_token") shouldBe 1.5
+  }
+
+  test("subwordVocab ranks by count desc then string asc and dedupes") {
+    val df = Seq("aa bb aa").toDF("text")
+    val v = TextAnalysis.subwordVocab(df, "text", topWords = 2, topGrams = 2)
+    v.toSet shouldBe Set("aa", "bb") // words {aa,bb}; 2-grams {aa,bb}; deduped
+  }
+
+  test("q_shard_plan: HRW movement only ever lands in the four NEW shards") {
+    val out = rows(SparkEntry.queries("q_shard_plan")(spark, "/root/testdata/sf0.001"))
+    out.size should be <= 20
+    val moved = out.map(r => r.getAs[Long]("shard_after") -> r.getAs[Long]("n_moved_in"))
+    moved.filter(_._1 < 16).foreach { case (_, m) => m shouldBe 0L }
+    moved.filter(_._1 >= 16).map(_._2).sum should be > 0L
+  }
+
+  test("q_dedup_savings: totals reconcile with the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val out = rows(SparkEntry.queries("q_dedup_savings")(spark, dir))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    out.map(r => r.getAs[Long]("n_docs")).sum shouldBe docs.count()
+    // every singleton cluster removes nothing
+    out.filter(_.getAs[Long]("cluster_size") == 1L)
+      .foreach(r => r.getAs[Long]("tokens_removed") shouldBe 0L)
+  }
 }
