@@ -622,19 +622,48 @@ case class GreedySegment(child: Expression, vocab: Seq[String]) extends UnaryExp
         s"$prettyName expects STRING, got ${other.sql}")
     }
 
-  @transient private lazy val vocabSet: java.util.HashSet[String] = {
+  @transient private lazy val matcher = new SubwordMatcher(vocab)
+
+  def compute(input: UTF8String): ArrayData = {
+    val packed = matcher.segmentPacked(input.toString)
+    new GenericArrayData(Array[Any](packed >>> 32, packed & 0xffffffffL))
+  }
+
+  override protected def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("greedySegment", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "greedy_segment"
+}
+
+/** The greedy longest-match core shared by [[GreedySegment]] (per word) and
+  * [[SubwordStats]] (per document): one hash-set probe per (position,
+  * candidate-length), walking positions in code points. Counts stay within
+  * 32 bits (bounded by word length), so a segmentation packs into one long —
+  * `toks` in the high half, `fallback` in the low half — keeping the per-word
+  * hot loop allocation-free.
+  */
+private[expressions] final class SubwordMatcher(vocab: Seq[String]) extends Serializable {
+
+  private val vocabSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](math.max(16, vocab.size * 2))
     vocab.foreach(v => if (v.nonEmpty) s.add(v))
     s
   }
 
-  @transient private lazy val maxCp: Int =
+  private val maxCp: Int =
     if (vocab.isEmpty) 0
     else vocab.iterator.map(v => v.codePointCount(0, v.length)).max
 
-  def compute(input: UTF8String): ArrayData = {
-    val w = input.toString
-    // UTF-16 offset of each code point start; offs(nCp) = w.length
+  /** `(nTokens << 32) | nFallback` for one word. (The offset array is
+    * allocated per call: the matcher object is a shared codegen reference,
+    * so it must stay stateless across concurrently running tasks.)
+    */
+  def segmentPacked(w: String): Long = {
     val offs = new Array[Int](w.length + 1)
     var cp = 0
     var i = 0
@@ -659,16 +688,114 @@ case class GreedySegment(child: Expression, vocab: Seq[String]) extends UnaryExp
       else { pos += 1; fb += 1L }
       toks += 1L
     }
-    new GenericArrayData(Array[Any](toks, fb))
+    (toks << 32) | fb
+  }
+}
+
+/** Whole-document segmentation stats in ONE kernel call: given the token
+  * array, returns `[n_words, n_tokens, n_fallback, n_chars]` (chars in code
+  * points) under greedy longest-match encoding with the plan-time `vocab`.
+  *
+  * This is the hot-path form of [[GreedySegment]]: the per-word variant
+  * inside `transform(...)`/`aggregate(...)` pays interpreted higher-order
+  * lambda dispatch per word AND CollapseProject re-inlines the tokenize
+  * regexp into every use of the token array (the documented lambda pitfall —
+  * see the class doc above). One doc-level call keeps the regexp at once per
+  * row and the whole encode inside a tight precompiled loop.
+  */
+/** Vocabulary-candidate entries of a document's token array in one kernel
+  * pass: for every token `w`, emits the word itself and all of its
+  * code-point character 3-grams and 2-grams, each tagged with a one-char
+  * kind prefix (`wthe`, `3the`, `2th` — no separator needed: prefixes are
+  * disjoint and the value is `substring(entry, 2)`). The prefix keeps
+  * cross-kind collisions ("aa" the word vs
+  * "aa" the 2-gram) distinct through ONE count shuffle, and since the prefix
+  * is constant within a kind, ordering by the full entry string equals
+  * ordering by the value — so the per-kind top-k rank runs directly on the
+  * counted entries.
+  *
+  * Exists because the lambda formulation (`transform(charGrams(w,3), ...)`
+  * per token) runs interpreted per element — ~1.25M interpreted evals at
+  * sf0.1 dominated the vocab learn (the documented higher-order-lambda
+  * pitfall; see the class doc above).
+  */
+case class VocabGramEntries(child: Expression) extends TokenKernel {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  def compute(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val out = new java.util.ArrayList[UTF8String](n * 8)
+    var i = 0
+    while (i < n) {
+      val w = tokens.getUTF8String(i).toString
+      out.add(UTF8String.fromString("w" + w))
+      // code-point offsets (same unit as the matcher and the DuckDB dual)
+      val offs = new Array[Int](w.length + 1)
+      var cp = 0
+      var j = 0
+      while (j < w.length) {
+        offs(cp) = j
+        j += Character.charCount(w.codePointAt(j))
+        cp += 1
+      }
+      offs(cp) = w.length
+      var p = 0
+      while (p + 3 <= cp) {
+        out.add(UTF8String.fromString("3" + w.substring(offs(p), offs(p + 3))))
+        p += 1
+      }
+      p = 0
+      while (p + 2 <= cp) {
+        out.add(UTF8String.fromString("2" + w.substring(offs(p), offs(p + 2))))
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 
-  override protected def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("greedySegment", this)
+    val ref = ctx.addReferenceObj("vocabGramEntries", this)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
-  override def prettyName: String = "greedy_segment"
+  override def prettyName: String = "vocab_gram_entries"
+}
+
+case class SubwordStats(child: Expression, vocab: Seq[String]) extends TokenKernel {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val matcher = new SubwordMatcher(vocab)
+
+  def compute(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    var toks = 0L
+    var fb = 0L
+    var chars = 0L
+    var i = 0
+    while (i < n) {
+      val w = tokens.getUTF8String(i).toString
+      val packed = matcher.segmentPacked(w)
+      toks += (packed >>> 32)
+      fb += (packed & 0xffffffffL)
+      chars += w.codePointCount(0, w.length)
+      i += 1
+    }
+    new GenericArrayData(Array[Any](n.toLong, toks, fb, chars))
+  }
+
+  override protected def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("subwordStats", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "subword_stats"
 }

@@ -249,4 +249,17 @@ object GraftFunctions {
     */
   def greedySegment(word: Column, vocab: Seq[String]): Column =
     GraftColumnBridge.column(GreedySegment(GraftColumnBridge.expression(word), vocab))
+
+  /** Whole-document greedy-segmentation stats `[n_words, n_tokens,
+    * n_fallback, n_chars]` over a token array ([[SubwordStats]]) — the
+    * hot-path doc-level form of [[greedySegment]].
+    */
+  def subwordStats(tokens: Column, vocab: Seq[String]): Column =
+    GraftColumnBridge.column(SubwordStats(GraftColumnBridge.expression(tokens), vocab))
+
+  /** Kind-prefixed vocabulary-candidate entries (word + char 3-/2-grams) of
+    * a token array in one kernel pass ([[VocabGramEntries]]).
+    */
+  def vocabGramEntries(tokens: Column): Column =
+    GraftColumnBridge.column(VocabGramEntries(GraftColumnBridge.expression(tokens)))
 }

@@ -842,16 +842,33 @@ object TextAnalysis {
     * BPE-merge literal-shipping pattern).
     */
   def subwordVocab(df: DataFrame, textCol: String, topWords: Int, topGrams: Int): Seq[String] = {
-    val toks = df.select(explode(Dedup.tokens(col(textCol))).as("w"))
-    val words = toks.groupBy("w").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w").asc).limit(topWords)
-      .collect().map(_.getString(0)).toSeq
-    def grams(n: Int): Seq[String] = toks
-      .select(explode(charGrams(col("w"), n)).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("g").asc).limit(topGrams)
-      .collect().map(_.getString(0)).toSeq
-    (words ++ grams(3) ++ grams(2)).distinct
+    // ONE job, one kernel pass: every doc emits its kind-prefixed candidate
+    // entries ("w"+word, "3"+gram, "2"+gram — graft.expressions
+    // VocabGramEntries; a lambda formulation here ran ~1.25M interpreted
+    // evals at sf0.1) → one entry-count shuffle → per-kind top-k. Prefixes
+    // are constant within a kind, so ordering by the counted entry string
+    // equals ordering by the value, and row_number ≤ k optimizes to
+    // WindowGroupLimit (no per-kind full sort materializes). The r12
+    // first-cut ran this as THREE count jobs re-tokenizing the corpus each
+    // time; same vocabulary, one tokenize pass, one shuffle.
+    import graft.expressions.{GraftFunctions => G}
+    val wk = Window.partitionBy(substring(col("e"), 1, 1))
+      .orderBy(col("c").desc, col("e").asc)
+    val ranked = df
+      .select(explode(G.vocabGramEntries(Dedup.tokens(col(textCol)))).as("e"))
+      .groupBy("e").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= when(substring(col("e"), 1, 1) === "w", topWords)
+        .otherwise(topGrams))
+      .select(substring(col("e"), 1, 1).as("kind"),
+        expr("substring(e, 2)").as("v"), col("rn")).collect()
+    // preserve the (words, 3-grams, 2-grams) rank order of the original
+    // three-pass formulation; `distinct` dedupes cross-kind collisions
+    val byKind = ranked.groupBy(_.getString(0)).map { case (k, rows) =>
+      k -> rows.sortBy(_.getInt(2)).map(_.getString(1)).toSeq
+    }
+    (byKind.getOrElse("w", Nil) ++ byKind.getOrElse("3", Nil) ++
+      byKind.getOrElse("2", Nil)).distinct
   }
 
   /** Corpus segmentation report under greedy longest-match encoding with
@@ -864,20 +881,19 @@ object TextAnalysis {
   def subwordEncodeReport(df: DataFrame, textCol: String, groupCol: String,
       vocab: Seq[String]): DataFrame = {
     import graft.expressions.{GraftFunctions => G}
-    val ws = Dedup.tokens(col(textCol))
-    val folded = aggregate(
-      transform(ws, w => G.greedySegment(w, vocab)),
-      array(lit(0L), lit(0L)),
-      (acc, s) => array(acc.getItem(0) + s.getItem(0), acc.getItem(1) + s.getItem(1)))
-    val chars = aggregate(ws, lit(0L), (a, w) => a + length(w))
-    df.select(col(groupCol), size(ws).cast(LongType).as("nw"),
-        folded.as("tf"), chars.as("ch"))
+    // ONE doc-level kernel call per row ([n_words, n_tokens, n_fallback,
+    // n_chars]); the token array appears in exactly one expression, so the
+    // tokenize regexp runs once per row (the per-word transform/aggregate
+    // formulation paid interpreted lambda dispatch per word and re-inlined
+    // the regexp 3× via CollapseProject)
+    df.select(col(groupCol),
+        G.subwordStats(Dedup.tokens(col(textCol)), vocab).as("st"))
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n_docs"),
-        sum("nw").as("n_words"),
-        sum(element_at(col("tf"), 1)).as("n_tokens"),
-        sum(element_at(col("tf"), 2)).as("n_fallback"),
-        sum("ch").as("n_chars"))
+        sum(element_at(col("st"), 1)).as("n_words"),
+        sum(element_at(col("st"), 2)).as("n_tokens"),
+        sum(element_at(col("st"), 3)).as("n_fallback"),
+        sum(element_at(col("st"), 4)).as("n_chars"))
       .withColumn("fallback_rate",
         when(col("n_tokens") > 0,
           round(col("n_fallback").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6)))

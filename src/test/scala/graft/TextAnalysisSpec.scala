@@ -351,6 +351,28 @@ class TextAnalysisSpec extends SparkSpec {
     out(2) shouldBe Seq()
   }
 
+  test("subwordStats (doc kernel) == per-word greedySegment composition") {
+    import graft.expressions.{GraftFunctions => G}
+    val vocab = Seq("ab", "abc", "de", "ü")
+    val df = Seq("abcde xx ü", "", "abc abc abc").toDF("text")
+    val toks = graft.operators.Dedup.tokens(col("text"))
+    val out = rows(df.select(
+      G.subwordStats(toks, vocab).as("st"),
+      org.apache.spark.sql.functions.size(toks).cast("long").as("nw"),
+      aggregate(transform(toks, w => G.greedySegment(w, vocab)),
+        array(lit(0L), lit(0L)),
+        (a, s) => array(a.getItem(0) + s.getItem(0), a.getItem(1) + s.getItem(1))).as("tf"),
+      aggregate(toks, lit(0L),
+        (a, w) => a + org.apache.spark.sql.functions.length(w)).as("ch")))
+    out.foreach { r =>
+      val st = r.getSeq[Long](0)
+      st(0) shouldBe r.getLong(1)              // n_words
+      st(1) shouldBe r.getSeq[Long](2).head    // n_tokens
+      st(2) shouldBe r.getSeq[Long](2)(1)      // n_fallback
+      st(3) shouldBe r.getLong(3)              // n_chars (code points)
+    }
+  }
+
   test("subwordEncodeReport totals: tokens, fallback, chars, ratios") {
     val df = Seq(("a", "ab ab zz"), ("a", "")).toDF("source", "text")
     val r = rows(TextAnalysis.subwordEncodeReport(df, "text", "source", Seq("ab"))).head
