@@ -700,14 +700,38 @@ object ScaleProbe {
           .count()
       }
       time("subword_encode") {
-        // tokenizer APPLY at k×: vocab learn (3 partial-agg count passes,
-        // 300 strings to the driver) + ONE narrow codegen'd greedy-match
-        // pass over the whole corpus — the encode itself must ride scan
-        // speed with zero shuffle beyond the tiny per-source rollup
+        // tokenizer APPLY at k×: vocab learn (ONE VocabGramEntries kernel
+        // pass + count shuffle + per-kind WindowGroupLimit, 300 strings to
+        // the driver) + ONE narrow codegen'd greedy-match pass over the
+        // whole corpus — the encode itself must ride scan speed with zero
+        // shuffle beyond the tiny per-source rollup
         import graft.operators.TextAnalysis
         val src = docs.withColumn("source", (col("doc_id") % 4).cast("string"))
         val vocab = TextAnalysis.subwordVocab(src, "text", topWords = 100, topGrams = 100)
         TextAnalysis.subwordEncodeReport(src, "text", "source", vocab).count()
+      }
+      time("token_shards") {
+        // distributed global rank at k×: per-token-count row_number (bounded
+        // groups) + broadcast cumulative-offset join — the only wide stage is
+        // the (toks) exchange; the offset window runs over the DISTINCT token
+        // counts, which replication leaves invariant
+        import org.apache.spark.sql.expressions.Window
+        val t = docs.select(col("doc_id"),
+          graft.operators.TextAnalysis.wsTokens(col("text")).cast("long").as("toks"))
+        val wIn = Window.partitionBy("toks").orderBy("doc_id")
+        val wOff = Window.orderBy(col("toks").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = t.groupBy("toks").agg(count(lit(1)).as("n"))
+          .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
+          .select("toks", "off")
+        t.withColumn("rn", row_number().over(wIn).cast("long"))
+          .join(broadcast(offs), "toks")
+          .withColumn("rk", col("off") + col("rn") - 1)
+          .withColumn("shard", when(expr("rk DIV 8") % 2 === 0, col("rk") % 8)
+            .otherwise(lit(7L) - col("rk") % 8))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_tokens"))
+          .count()
       }
     }
     spark.stop()

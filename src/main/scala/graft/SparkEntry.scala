@@ -169,6 +169,16 @@ object SparkEntry {
       f
     }
 
+  /** The frozen subword vocabulary (top-100 words + top-100 char 3-/2-grams),
+    * learned once per (session, sf dir) — shared by the batch encode report,
+    * its streaming twin, and any future consumer, the way a deployed
+    * tokenizer's vocab is learned once and shipped read-only.
+    */
+  private def sessionVocab(s: SparkSession, dir: String): Seq[String] =
+    SessionCache.getOrCompute(s, s"subword-vocab:$dir") {
+      TextAnalysis.subwordVocab(documents(s, dir), "text", topWords = 100, topGrams = 100)
+    }
+
   /** Land the MinHash signature index once per (session, sf dir) and return
     * its path — the shared landed artifact behind [[minhashPairIndex]] and
     * the erasure-apply gate (which needs the band/set frames themselves,
@@ -3849,11 +3859,9 @@ object SparkEntry {
     // strings landing on the driver (the BPE-merge literal-shipping pattern).
     // Per-source fallback-rate / chars-per-token is the report a tokenizer
     // designer reads before freezing a vocab.
-    "q_subword_encode" -> ((s, dir) => {
-      val d = documents(s, dir)
-      val vocab = TextAnalysis.subwordVocab(d, "text", topWords = 100, topGrams = 100)
-      TextAnalysis.subwordEncodeReport(d, "text", "source", vocab)
-    }),
+    "q_subword_encode" -> ((s, dir) =>
+      TextAnalysis.subwordEncodeReport(documents(s, dir), "text", "source",
+        sessionVocab(s, dir))),
 
     // Rendezvous (highest-random-weight) shard rebalance plan: every doc is
     // assigned argmax_s h(doc,s) under 16 and under 20 shards; the report per
@@ -3897,6 +3905,102 @@ object SparkEntry {
           sum("tt").as("total_tokens"),
           sum(col("tt") - col("kept")).as("tokens_removed"))
         .orderBy("cluster_size")),
+
+    // Token-balanced serpentine shard packing: docs ranked by token count
+    // (desc, doc_id tiebreak) snake across 8 shards (rank row r goes to
+    // shard r%8 on even passes, 7-r%8 on odd) — the standard near-balanced
+    // deterministic assignment a training run uses to build equal-token
+    // shards. The global rank is DISTRIBUTED: per-token-count row_number
+    // (bounded groups) + a cumulative-offset window over the DISTINCT token
+    // counts (a few hundred rows at any corpus size — the pack_sequences
+    // carry-table pattern); no single-task corpus sort anywhere.
+    "q_token_shards" -> ((s, dir) => {
+      val nSh = 8
+      val t = documents(s, dir).select(col("doc_id"),
+        TextAnalysis.wsTokens(col("text")).cast(LongType).as("toks"))
+      val wIn = Window.partitionBy("toks").orderBy("doc_id")
+      val wOff = Window.orderBy(col("toks").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = t.groupBy("toks").agg(count(lit(1)).as("n"))
+        .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
+        .select("toks", "off")
+      val rk = t.withColumn("rn", row_number().over(wIn).cast(LongType))
+        .join(broadcast(offs), "toks")
+        .withColumn("rk", col("off") + col("rn") - 1)
+        .withColumn("shard", when(expr(s"rk DIV $nSh") % 2 === 0, col("rk") % nSh)
+          .otherwise(lit(nSh - 1L) - col("rk") % nSh))
+      rk.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_tokens"))
+        .withColumn("balance_ratio", round(
+          col("total_tokens").cast(DoubleType) * nSh /
+            sum("total_tokens").over(Window.partitionBy()), 6))
+        .orderBy("shard")
+    }),
+
+    // Tokenizer vocab-size curve: learn the candidate ranking ONCE (top-200
+    // per kind), then encode the corpus under the size-50/100/200 slices in
+    // ONE scan (three doc-level SubwordStats kernels in a single projection,
+    // one global aggregate, unpivoted to a row per size) — the
+    // fallback-vs-size tradeoff a tokenizer designer reads to pick the vocab
+    // budget (the q_ivf_recall_curve pattern applied to tokenization).
+    "q_vocab_curve" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val ranked = TextAnalysis.subwordVocabRanked(d, "text", 200)
+      val sizes = Seq(50, 100, 200)
+      val stats = sizes.map(k => graft.expressions.GraftFunctions
+        .subwordStats(Dedup.tokens(col("text")),
+          TextAnalysis.vocabAtSize(ranked, k)).as(s"st$k"))
+      val aggs = sizes.flatMap(k => Seq(
+        sum(element_at(col(s"st$k"), 2)).as(s"toks$k"),
+        sum(element_at(col(s"st$k"), 3)).as(s"fb$k"),
+        sum(element_at(col(s"st$k"), 4)).as(s"ch$k")))
+      val wide = d.select(stats: _*).agg(aggs.head, aggs.tail: _*)
+      val rows = sizes.map(k => struct(lit(k.toLong).as("vocab_size"),
+        col(s"toks$k").as("n_tokens"), col(s"fb$k").as("n_fallback"),
+        col(s"ch$k").as("n_chars")))
+      wide.select(explode(array(rows: _*)).as("r")).select(
+          col("r.vocab_size").as("vocab_size"), col("r.n_tokens").as("n_tokens"),
+          col("r.n_fallback").as("n_fallback"), col("r.n_chars").as("n_chars"))
+        .withColumn("fallback_rate", round(
+          col("n_fallback").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6))
+        .withColumn("chars_per_token", round(
+          col("n_chars").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6))
+        .orderBy("vocab_size")
+    }),
+
+    // Streaming tokenizer APPLY: the vocabulary is FROZEN from the landed
+    // corpus (the deployment shape — a tokenizer never re-learns per batch),
+    // arriving docs encode through the same doc-level SubwordStats kernel
+    // (narrow, stateless), and the per-source report aggregates in Complete
+    // mode. ≡ the batch report under the gate (shared oracle shape with
+    // q_subword_encode) — the per-rung streaming-twin discipline applied to
+    // the tokenizer rung.
+    "q_stream_subword" -> ((s, dir) => {
+      tune(s)
+      streamResult(s, dir, "subword") {
+        withStreamConf(s) {
+          val vocab = sessionVocab(s, dir)
+          val docsSchema = table(s, dir, "documents").schema
+          val stream = s.readStream.schema(docsSchema)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          val st = stream.select(col("source"), graft.expressions.GraftFunctions
+            .subwordStats(Dedup.tokens(col("text")), vocab).as("st"))
+          val rep = st.groupBy("source")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(element_at(col("st"), 1)).as("n_words"),
+              sum(element_at(col("st"), 2)).as("n_tokens"),
+              sum(element_at(col("st"), 3)).as("n_fallback"),
+              sum(element_at(col("st"), 4)).as("n_chars"))
+            .withColumn("fallback_rate", when(col("n_tokens") > 0, round(
+              col("n_fallback").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6)))
+            .withColumn("chars_per_token", when(col("n_tokens") > 0, round(
+              col("n_chars").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6)))
+          graft.streaming.Streaming.runToMemory(s, rep, "stream_subword",
+            org.apache.spark.sql.streaming.OutputMode.Complete())
+            .orderBy("source")
+        }
+      }
+    }),
 
     // Spark's NATIVE session_window aggregation (vs the gaps-and-islands
     // formulation q_sessionize gates and the stateful streaming twin): new
@@ -5883,6 +5987,50 @@ object SparkEntry {
       | SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
       |   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total
       | FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin.replace("\n", "")
+
+  /** The tokenizer-apply dual, shared by `q_subword_encode` and its
+    * streaming twin `q_stream_subword` (same frozen vocab, same corpus).
+    */
+  private val subwordEncodeDual: String =
+    """WITH t AS MATERIALIZED (SELECT source, doc_id,
+        |   regexp_extract_all(lower(text), '[\p{L}\p{Nd}]+') AS ws FROM documents),
+        | docw AS MATERIALIZED (SELECT source, doc_id, UNNEST(ws) AS w FROM t),
+        | vw AS (SELECT w AS v FROM (SELECT w, COUNT(*) AS c FROM docw GROUP BY w)
+        |   ORDER BY c DESC, w ASC LIMIT 100),
+        | g3 AS (SELECT substr(w, i, 3) AS g FROM docw, UNNEST(range(1, len(w) - 1)) AS r(i)),
+        | vg3 AS (SELECT g AS v FROM (SELECT g, COUNT(*) AS c FROM g3 GROUP BY g)
+        |   ORDER BY c DESC, g ASC LIMIT 100),
+        | g2 AS (SELECT substr(w, i, 2) AS g FROM docw, UNNEST(range(1, len(w))) AS r(i)),
+        | vg2 AS (SELECT g AS v FROM (SELECT g, COUNT(*) AS c FROM g2 GROUP BY g)
+        |   ORDER BY c DESC, g ASC LIMIT 100),
+        | vocab AS MATERIALIZED (SELECT DISTINCT v FROM
+        |   (SELECT v FROM vw UNION ALL SELECT v FROM vg3 UNION ALL SELECT v FROM vg2)),
+        | dw AS MATERIALIZED (SELECT DISTINCT w FROM docw),
+        | pos AS MATERIALIZED (SELECT w, i AS p FROM dw, UNNEST(range(0, len(w))) AS r(i)),
+        | vlen AS (SELECT DISTINCT len(v) AS L FROM vocab),
+        | cand AS MATERIALIZED (SELECT w, p, L, substr(w, p + 1, L) AS c FROM pos, vlen
+        |   WHERE p + L <= len(w)),
+        | best AS MATERIALIZED (SELECT cand.w, cand.p, MAX(cand.L) AS blen
+        |   FROM cand JOIN vocab v ON cand.c = v.v GROUP BY cand.w, cand.p),
+        | seg AS MATERIALIZED (WITH RECURSIVE st AS (
+        |     SELECT w, CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS toks, CAST(0 AS BIGINT) AS fb FROM dw
+        |   UNION ALL
+        |     SELECT st.w, st.p + COALESCE(b.blen, 1), st.toks + 1,
+        |       st.fb + CASE WHEN b.blen IS NULL THEN 1 ELSE 0 END
+        |     FROM st LEFT JOIN best b ON b.w = st.w AND b.p = st.p WHERE st.p < len(st.w))
+        |   SELECT w, toks, fb FROM st WHERE p >= len(w)),
+        | perdoc AS (SELECT d.source, d.doc_id, COUNT(*) AS nw, SUM(s.toks) AS toks,
+        |     SUM(s.fb) AS fb, SUM(len(d.w)) AS ch
+        |   FROM docw d JOIN seg s USING (w) GROUP BY d.source, d.doc_id),
+        | alldocs AS (SELECT t.source, COALESCE(p.nw, 0) AS nw, COALESCE(p.toks, 0) AS toks,
+        |     COALESCE(p.fb, 0) AS fb, COALESCE(p.ch, 0) AS ch
+        |   FROM t LEFT JOIN perdoc p ON p.doc_id = t.doc_id)
+        | SELECT source, COUNT(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS n_words,
+        |   CAST(SUM(toks) AS BIGINT) AS n_tokens, CAST(SUM(fb) AS BIGINT) AS n_fallback,
+        |   CAST(SUM(ch) AS BIGINT) AS n_chars,
+        |   CASE WHEN SUM(toks) > 0 THEN round(CAST(SUM(fb) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE), 6) END AS fallback_rate,
+        |   CASE WHEN SUM(toks) > 0 THEN round(CAST(SUM(ch) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE), 6) END AS chars_per_token
+        | FROM alldocs GROUP BY source ORDER BY source""".stripMargin.replace("\n", "")
 
   def oracleSql: Map[String, String] = Map(
     "q_clean_events" -> cleanEventsSql,
@@ -8564,46 +8712,10 @@ object SparkEntry {
     // join), MAX(length) per position is the longest match, and a recursive
     // CTE (MATERIALIZED — the q_kcenters lesson) walks each DISTINCT word.
     // Code-point units agree: DuckDB len/substr and Spark length/substr.
-    "q_subword_encode" ->
-      """WITH t AS MATERIALIZED (SELECT source, doc_id,
-        |   regexp_extract_all(lower(text), '[\p{L}\p{Nd}]+') AS ws FROM documents),
-        | docw AS MATERIALIZED (SELECT source, doc_id, UNNEST(ws) AS w FROM t),
-        | vw AS (SELECT w AS v FROM (SELECT w, COUNT(*) AS c FROM docw GROUP BY w)
-        |   ORDER BY c DESC, w ASC LIMIT 100),
-        | g3 AS (SELECT substr(w, i, 3) AS g FROM docw, UNNEST(range(1, len(w) - 1)) AS r(i)),
-        | vg3 AS (SELECT g AS v FROM (SELECT g, COUNT(*) AS c FROM g3 GROUP BY g)
-        |   ORDER BY c DESC, g ASC LIMIT 100),
-        | g2 AS (SELECT substr(w, i, 2) AS g FROM docw, UNNEST(range(1, len(w))) AS r(i)),
-        | vg2 AS (SELECT g AS v FROM (SELECT g, COUNT(*) AS c FROM g2 GROUP BY g)
-        |   ORDER BY c DESC, g ASC LIMIT 100),
-        | vocab AS MATERIALIZED (SELECT DISTINCT v FROM
-        |   (SELECT v FROM vw UNION ALL SELECT v FROM vg3 UNION ALL SELECT v FROM vg2)),
-        | dw AS MATERIALIZED (SELECT DISTINCT w FROM docw),
-        | pos AS MATERIALIZED (SELECT w, i AS p FROM dw, UNNEST(range(0, len(w))) AS r(i)),
-        | vlen AS (SELECT DISTINCT len(v) AS L FROM vocab),
-        | cand AS MATERIALIZED (SELECT w, p, L, substr(w, p + 1, L) AS c FROM pos, vlen
-        |   WHERE p + L <= len(w)),
-        | best AS MATERIALIZED (SELECT cand.w, cand.p, MAX(cand.L) AS blen
-        |   FROM cand JOIN vocab v ON cand.c = v.v GROUP BY cand.w, cand.p),
-        | seg AS MATERIALIZED (WITH RECURSIVE st AS (
-        |     SELECT w, CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS toks, CAST(0 AS BIGINT) AS fb FROM dw
-        |   UNION ALL
-        |     SELECT st.w, st.p + COALESCE(b.blen, 1), st.toks + 1,
-        |       st.fb + CASE WHEN b.blen IS NULL THEN 1 ELSE 0 END
-        |     FROM st LEFT JOIN best b ON b.w = st.w AND b.p = st.p WHERE st.p < len(st.w))
-        |   SELECT w, toks, fb FROM st WHERE p >= len(w)),
-        | perdoc AS (SELECT d.source, d.doc_id, COUNT(*) AS nw, SUM(s.toks) AS toks,
-        |     SUM(s.fb) AS fb, SUM(len(d.w)) AS ch
-        |   FROM docw d JOIN seg s USING (w) GROUP BY d.source, d.doc_id),
-        | alldocs AS (SELECT t.source, COALESCE(p.nw, 0) AS nw, COALESCE(p.toks, 0) AS toks,
-        |     COALESCE(p.fb, 0) AS fb, COALESCE(p.ch, 0) AS ch
-        |   FROM t LEFT JOIN perdoc p ON p.doc_id = t.doc_id)
-        | SELECT source, COUNT(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS n_words,
-        |   CAST(SUM(toks) AS BIGINT) AS n_tokens, CAST(SUM(fb) AS BIGINT) AS n_fallback,
-        |   CAST(SUM(ch) AS BIGINT) AS n_chars,
-        |   CASE WHEN SUM(toks) > 0 THEN round(CAST(SUM(fb) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE), 6) END AS fallback_rate,
-        |   CASE WHEN SUM(toks) > 0 THEN round(CAST(SUM(ch) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE), 6) END AS chars_per_token
-        | FROM alldocs GROUP BY source ORDER BY source""".stripMargin.replace("\n", ""),
+    "q_subword_encode" -> subwordEncodeDual,
+    // the streaming twin drains the same corpus through the same frozen
+    // vocab: one dual serves both (q_stream_cms precedent)
+    "q_stream_subword" -> subwordEncodeDual,
     // HRW dual: same 60-bit md5 nibble fold (q_feature_hash precedent), argmax
     // by (hash DESC, salt ASC) = Spark's array_position-first-max tie rule
     "q_shard_plan" ->
@@ -8633,6 +8745,66 @@ object SparkEntry {
         | SELECT sz AS cluster_size, COUNT(*) AS n_clusters, CAST(SUM(sz) AS BIGINT) AS n_docs,
         |   CAST(SUM(tt) AS BIGINT) AS total_tokens, CAST(SUM(tt - kept) AS BIGINT) AS tokens_removed
         | FROM cl GROUP BY sz ORDER BY cluster_size""".stripMargin.replace("\n", ""),
+    // same snake formula on the identical (toks DESC, doc_id) global rank;
+    // DuckDB `//` = Spark DIV on BIGINTs
+    "q_token_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |   CAST(len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS BIGINT) AS toks
+        |   FROM documents),
+        | r AS (SELECT toks, row_number() OVER (ORDER BY toks DESC, doc_id) - 1 AS rk FROM t),
+        | sh AS (SELECT toks, CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - (rk % 8) END AS shard FROM r),
+        | g AS (SELECT shard, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS total_tokens FROM sh GROUP BY shard)
+        | SELECT shard, n_docs, total_tokens,
+        |   round(CAST(total_tokens AS DOUBLE) * 8 / SUM(total_tokens) OVER (), 6) AS balance_ratio
+        | FROM g ORDER BY shard""".stripMargin.replace("\n", ""),
+    // vocab-size curve dual: rank candidates once per kind (count DESC, value
+    // ASC), vocab(k) = values whose best cross-kind rank <= k; the greedy
+    // matcher parameterizes the per-position longest match by k (MAX length
+    // whose candidate's min-rank <= k) and ONE recursive CTE walks every
+    // (distinct word, k) pair — the q_subword_encode matcher lifted to the
+    // size axis, all recurrence inputs MATERIALIZED (the q_kcenters lesson)
+    "q_vocab_curve" ->
+      """WITH t AS MATERIALIZED (SELECT doc_id,
+        |   regexp_extract_all(lower(text), '[\p{L}\p{Nd}]+') AS ws FROM documents),
+        | docw AS MATERIALIZED (SELECT doc_id, UNNEST(ws) AS w FROM t),
+        | vw AS (SELECT v, row_number() OVER (ORDER BY c DESC, v ASC) AS rn FROM
+        |   (SELECT w AS v, COUNT(*) AS c FROM docw GROUP BY w)),
+        | g3 AS (SELECT substr(w, i, 3) AS g FROM docw, UNNEST(range(1, len(w) - 1)) AS r(i)),
+        | vg3 AS (SELECT v, row_number() OVER (ORDER BY c DESC, v ASC) AS rn FROM
+        |   (SELECT g AS v, COUNT(*) AS c FROM g3 GROUP BY g)),
+        | g2 AS (SELECT substr(w, i, 2) AS g FROM docw, UNNEST(range(1, len(w))) AS r(i)),
+        | vg2 AS (SELECT v, row_number() OVER (ORDER BY c DESC, v ASC) AS rn FROM
+        |   (SELECT g AS v, COUNT(*) AS c FROM g2 GROUP BY g)),
+        | vocab AS MATERIALIZED (SELECT v, MIN(rn) AS rn FROM
+        |   (SELECT v, rn FROM vw WHERE rn <= 200 UNION ALL
+        |    SELECT v, rn FROM vg3 WHERE rn <= 200 UNION ALL
+        |    SELECT v, rn FROM vg2 WHERE rn <= 200) GROUP BY v),
+        | sizes AS (SELECT UNNEST([50, 100, 200]) AS k),
+        | dw AS MATERIALIZED (SELECT DISTINCT w FROM docw),
+        | pos AS MATERIALIZED (SELECT w, i AS p FROM dw, UNNEST(range(0, len(w))) AS r(i)),
+        | vlen AS (SELECT DISTINCT len(v) AS L FROM vocab),
+        | cand AS MATERIALIZED (SELECT w, p, L, substr(w, p + 1, L) AS c FROM pos, vlen
+        |   WHERE p + L <= len(w)),
+        | m AS MATERIALIZED (SELECT cand.w, cand.p, cand.L, MIN(v.rn) AS mr
+        |   FROM cand JOIN vocab v ON cand.c = v.v GROUP BY cand.w, cand.p, cand.L),
+        | best AS MATERIALIZED (SELECT m.w, m.p, s.k, MAX(m.L) AS blen
+        |   FROM m, sizes s WHERE m.mr <= s.k GROUP BY m.w, m.p, s.k),
+        | seg AS MATERIALIZED (WITH RECURSIVE st AS (
+        |     SELECT w, k, CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS toks,
+        |       CAST(0 AS BIGINT) AS fb FROM dw, sizes
+        |   UNION ALL
+        |     SELECT st.w, st.k, st.p + COALESCE(b.blen, 1), st.toks + 1,
+        |       st.fb + CASE WHEN b.blen IS NULL THEN 1 ELSE 0 END
+        |     FROM st LEFT JOIN best b ON b.w = st.w AND b.k = st.k AND b.p = st.p
+        |     WHERE st.p < len(st.w))
+        |   SELECT w, k, toks, fb FROM st WHERE p >= len(w)),
+        | tot AS (SELECT s.k, CAST(SUM(s.toks) AS BIGINT) AS n_tokens,
+        |     CAST(SUM(s.fb) AS BIGINT) AS n_fallback, CAST(SUM(len(d.w)) AS BIGINT) AS n_chars
+        |   FROM docw d JOIN seg s ON s.w = d.w GROUP BY s.k)
+        | SELECT CAST(k AS BIGINT) AS vocab_size, n_tokens, n_fallback, n_chars,
+        |   round(CAST(n_fallback AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS fallback_rate,
+        |   round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS chars_per_token
+        | FROM tot ORDER BY vocab_size""".stripMargin.replace("\n", ""),
     // same per-date max + strictly-newer running max construction; equal
     // (date, price) duplicates survive on both sides
     "q_skyline" ->

@@ -841,6 +841,37 @@ object TextAnalysis {
     * the top few hundred strings land on the driver (the k-centers /
     * BPE-merge literal-shipping pattern).
     */
+  /** Ranked vocabulary candidates: `(kind, value, rank)` for the top `top`
+    * entries of each kind ("w" whole words, "3"/"2" char grams), rank =
+    * count desc then value asc within the kind — ONE job (see
+    * [[subwordVocab]]). Slicing `rank <= k` per kind yields the vocabulary
+    * at any size `k <= top`, which is how the vocab-size curve learns once
+    * and encodes at every size.
+    */
+  def subwordVocabRanked(df: DataFrame, textCol: String, top: Int): Seq[(String, String, Int)] = {
+    import graft.expressions.{GraftFunctions => G}
+    val wk = Window.partitionBy(substring(col("e"), 1, 1))
+      .orderBy(col("c").desc, col("e").asc)
+    df.select(explode(G.vocabGramEntries(Dedup.tokens(col(textCol)))).as("e"))
+      .groupBy("e").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= top)
+      .select(substring(col("e"), 1, 1).as("kind"),
+        expr("substring(e, 2)").as("v"), col("rn"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+  }
+
+  /** The vocabulary at size `k` from a [[subwordVocabRanked]] listing:
+    * per-kind `rank <= k` slices in (words, 3-grams, 2-grams) order,
+    * cross-kind deduped — identical to [[subwordVocab]] at `(k, k)`.
+    */
+  def vocabAtSize(ranked: Seq[(String, String, Int)], k: Int): Seq[String] = {
+    def kindSlice(kind: String) =
+      ranked.filter(e => e._1 == kind && e._3 <= k).sortBy(_._3).map(_._2)
+    (kindSlice("w") ++ kindSlice("3") ++ kindSlice("2")).distinct
+  }
+
   def subwordVocab(df: DataFrame, textCol: String, topWords: Int, topGrams: Int): Seq[String] = {
     // ONE job, one kernel pass: every doc emits its kind-prefixed candidate
     // entries ("w"+word, "3"+gram, "2"+gram — graft.expressions

@@ -399,6 +399,34 @@ class TextAnalysisSpec extends SparkSpec {
     moved.filter(_._1 >= 16).map(_._2).sum should be > 0L
   }
 
+  test("q_token_shards: doc counts within 1, tokens balanced, corpus reconciles") {
+    val dir = "/root/testdata/sf0.001"
+    val out = rows(SparkEntry.queries("q_token_shards")(spark, dir))
+    out.size shouldBe 8
+    val docs = out.map(_.getAs[Long]("n_docs"))
+    (docs.max - docs.min) should be <= 1L // serpentine rank assigns round-robin
+    docs.sum shouldBe spark.read.parquet(s"$dir/documents.parquet").count()
+    out.foreach(r => r.getAs[Double]("balance_ratio") shouldBe 1.0 +- 0.15)
+  }
+
+  test("q_vocab_curve: fallback rate non-increasing in vocab size, chars invariant") {
+    val out = rows(SparkEntry.queries("q_vocab_curve")(spark, "/root/testdata/sf0.001"))
+    out.map(_.getAs[Long]("vocab_size")) shouldBe Seq(50L, 100L, 200L)
+    val fb = out.map(_.getAs[Double]("fallback_rate"))
+    fb.zip(fb.tail).foreach { case (a, b) => b should be <= a }
+    out.map(_.getAs[Long]("n_chars")).distinct.size shouldBe 1
+    // a bigger vocab can only merge more: token counts non-increasing too
+    val tk = out.map(_.getAs[Long]("n_tokens"))
+    tk.zip(tk.tail).foreach { case (a, b) => b should be <= a }
+  }
+
+  test("q_stream_subword drains to exactly the batch encode report") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = rows(SparkEntry.queries("q_stream_subword")(spark, dir))
+    val batch = rows(SparkEntry.queries("q_subword_encode")(spark, dir))
+    streamed.map(_.toSeq) shouldBe batch.map(_.toSeq)
+  }
+
   test("q_dedup_savings: totals reconcile with the corpus") {
     val dir = "/root/testdata/sf0.001"
     val out = rows(SparkEntry.queries("q_dedup_savings")(spark, dir))
