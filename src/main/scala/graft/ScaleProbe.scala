@@ -714,24 +714,10 @@ object ScaleProbe {
         // distributed global rank at k×: per-token-count row_number (bounded
         // groups) + broadcast cumulative-offset join — the only wide stage is
         // the (toks) exchange; the offset window runs over the DISTINCT token
-        // counts, which replication leaves invariant
-        import org.apache.spark.sql.expressions.Window
-        val t = docs.select(col("doc_id"),
-          graft.operators.TextAnalysis.wsTokens(col("text")).cast("long").as("toks"))
-        val wIn = Window.partitionBy("toks").orderBy("doc_id")
-        val wOff = Window.orderBy(col("toks").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offs = t.groupBy("toks").agg(count(lit(1)).as("n"))
-          .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
-          .select("toks", "off")
-        t.withColumn("rn", row_number().over(wIn).cast("long"))
-          .join(broadcast(offs), "toks")
-          .withColumn("rk", col("off") + col("rn") - 1)
-          .withColumn("shard", when(expr("rk DIV 8") % 2 === 0, col("rk") % 8)
-            .otherwise(lit(7L) - col("rk") % 8))
-          .groupBy("shard")
-          .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_tokens"))
-          .count()
+        // counts, which replication leaves invariant. Same code path as the
+        // gated query (TextAnalysis.tokenShardReport).
+        graft.operators.TextAnalysis
+          .tokenShardReport(docs, "text", "doc_id", nShards = 8).count()
       }
     }
     spark.stop()

@@ -3914,28 +3914,8 @@ object SparkEntry {
     // (bounded groups) + a cumulative-offset window over the DISTINCT token
     // counts (a few hundred rows at any corpus size — the pack_sequences
     // carry-table pattern); no single-task corpus sort anywhere.
-    "q_token_shards" -> ((s, dir) => {
-      val nSh = 8
-      val t = documents(s, dir).select(col("doc_id"),
-        TextAnalysis.wsTokens(col("text")).cast(LongType).as("toks"))
-      val wIn = Window.partitionBy("toks").orderBy("doc_id")
-      val wOff = Window.orderBy(col("toks").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = t.groupBy("toks").agg(count(lit(1)).as("n"))
-        .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
-        .select("toks", "off")
-      val rk = t.withColumn("rn", row_number().over(wIn).cast(LongType))
-        .join(broadcast(offs), "toks")
-        .withColumn("rk", col("off") + col("rn") - 1)
-        .withColumn("shard", when(expr(s"rk DIV $nSh") % 2 === 0, col("rk") % nSh)
-          .otherwise(lit(nSh - 1L) - col("rk") % nSh))
-      rk.groupBy("shard")
-        .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_tokens"))
-        .withColumn("balance_ratio", round(
-          col("total_tokens").cast(DoubleType) * nSh /
-            sum("total_tokens").over(Window.partitionBy()), 6))
-        .orderBy("shard")
-    }),
+    "q_token_shards" -> ((s, dir) =>
+      TextAnalysis.tokenShardReport(documents(s, dir), "text", "doc_id", nShards = 8)),
 
     // Tokenizer vocab-size curve: learn the candidate ranking ONCE (top-200
     // per kind), then encode the corpus under the size-50/100/200 slices in
@@ -3945,8 +3925,11 @@ object SparkEntry {
     // budget (the q_ivf_recall_curve pattern applied to tokenization).
     "q_vocab_curve" -> ((s, dir) => {
       val d = documents(s, dir)
-      val ranked = TextAnalysis.subwordVocabRanked(d, "text", 200)
-      val sizes = Seq(50, 100, 200)
+      val ranked = TextAnalysis.subwordVocabRanked(d, "text", 100)
+      // 5/25/100: the synthetic corpus's Zipf head is short enough that
+      // >=50 entries per kind already encode with zero fallback (measured
+      // flat at 50/100/200) — the decision curve lives below that
+      val sizes = Seq(5, 25, 100)
       val stats = sizes.map(k => graft.expressions.GraftFunctions
         .subwordStats(Dedup.tokens(col("text")),
           TextAnalysis.vocabAtSize(ranked, k)).as(s"st$k"))
@@ -8776,10 +8759,10 @@ object SparkEntry {
         | vg2 AS (SELECT v, row_number() OVER (ORDER BY c DESC, v ASC) AS rn FROM
         |   (SELECT g AS v, COUNT(*) AS c FROM g2 GROUP BY g)),
         | vocab AS MATERIALIZED (SELECT v, MIN(rn) AS rn FROM
-        |   (SELECT v, rn FROM vw WHERE rn <= 200 UNION ALL
-        |    SELECT v, rn FROM vg3 WHERE rn <= 200 UNION ALL
-        |    SELECT v, rn FROM vg2 WHERE rn <= 200) GROUP BY v),
-        | sizes AS (SELECT UNNEST([50, 100, 200]) AS k),
+        |   (SELECT v, rn FROM vw WHERE rn <= 100 UNION ALL
+        |    SELECT v, rn FROM vg3 WHERE rn <= 100 UNION ALL
+        |    SELECT v, rn FROM vg2 WHERE rn <= 100) GROUP BY v),
+        | sizes AS (SELECT UNNEST([5, 25, 100]) AS k),
         | dw AS MATERIALIZED (SELECT DISTINCT w FROM docw),
         | pos AS MATERIALIZED (SELECT w, i AS p FROM dw, UNNEST(range(0, len(w))) AS r(i)),
         | vlen AS (SELECT DISTINCT len(v) AS L FROM vocab),

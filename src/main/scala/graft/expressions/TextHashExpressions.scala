@@ -692,17 +692,6 @@ private[expressions] final class SubwordMatcher(vocab: Seq[String]) extends Seri
   }
 }
 
-/** Whole-document segmentation stats in ONE kernel call: given the token
-  * array, returns `[n_words, n_tokens, n_fallback, n_chars]` (chars in code
-  * points) under greedy longest-match encoding with the plan-time `vocab`.
-  *
-  * This is the hot-path form of [[GreedySegment]]: the per-word variant
-  * inside `transform(...)`/`aggregate(...)` pays interpreted higher-order
-  * lambda dispatch per word AND CollapseProject re-inlines the tokenize
-  * regexp into every use of the token array (the documented lambda pitfall —
-  * see the class doc above). One doc-level call keeps the regexp at once per
-  * row and the whole encode inside a tight precompiled loop.
-  */
 /** Vocabulary-candidate entries of a document's token array in one kernel
   * pass: for every token `w`, emits the word itself and all of its
   * code-point character 3-grams and 2-grams, each tagged with a one-char
@@ -766,6 +755,17 @@ case class VocabGramEntries(child: Expression) extends TokenKernel {
   override def prettyName: String = "vocab_gram_entries"
 }
 
+/** Whole-document segmentation stats in ONE kernel call: given the token
+  * array, returns `[n_words, n_tokens, n_fallback, n_chars]` (chars in code
+  * points) under greedy longest-match encoding with the plan-time `vocab`.
+  *
+  * This is the hot-path form of [[GreedySegment]]: the per-word variant
+  * inside `transform(...)`/`aggregate(...)` pays interpreted higher-order
+  * lambda dispatch per word AND CollapseProject re-inlines the tokenize
+  * regexp into every use of the token array (the documented lambda pitfall —
+  * see the class doc above). One doc-level call keeps the regexp at once per
+  * row and the whole encode inside a tight precompiled loop.
+  */
 case class SubwordStats(child: Expression, vocab: Seq[String]) extends TokenKernel {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -831,22 +831,18 @@ object TextAnalysis {
       transform(sequence(lit(1), length(word) - (n - 1)), i => word.substr(i, lit(n))))
       .otherwise(array().cast(ArrayType(StringType)))
 
-  /** Learn a subword vocabulary from the corpus: the `topWords` most frequent
-    * whole words plus the `topGrams` most frequent character 3-grams and
-    * 2-grams (occurrence-weighted), ties broken by string ascending — the
-    * deterministic rank both engines reproduce. Single-char fallback is
-    * implicit in the matcher, so chars are not part of the vocabulary.
-    *
-    * Scale: three partial-aggregated count passes over the token stream; only
-    * the top few hundred strings land on the driver (the k-centers /
-    * BPE-merge literal-shipping pattern).
-    */
   /** Ranked vocabulary candidates: `(kind, value, rank)` for the top `top`
     * entries of each kind ("w" whole words, "3"/"2" char grams), rank =
-    * count desc then value asc within the kind — ONE job (see
-    * [[subwordVocab]]). Slicing `rank <= k` per kind yields the vocabulary
-    * at any size `k <= top`, which is how the vocab-size curve learns once
-    * and encodes at every size.
+    * count desc then value asc within the kind. ONE job, one kernel pass:
+    * every doc emits its kind-prefixed candidate entries
+    * ([[graft.expressions.VocabGramEntries]] — a lambda formulation here ran
+    * ~1.25M interpreted evals at sf0.1) → one entry-count shuffle → per-kind
+    * top-k; the literal `rn <= top` predicate is what InferWindowGroupLimit
+    * needs to push a rank limit below the sort, so no per-kind full sort
+    * materializes. Only the top few hundred strings land on the driver (the
+    * k-centers / BPE-merge literal-shipping pattern). Slicing `rank <= k`
+    * per kind yields the vocabulary at any size `k <= top`, which is how
+    * the vocab-size curve learns once and encodes at every size.
     */
   def subwordVocabRanked(df: DataFrame, textCol: String, top: Int): Seq[(String, String, Int)] = {
     import graft.expressions.{GraftFunctions => G}
@@ -872,34 +868,55 @@ object TextAnalysis {
     (kindSlice("w") ++ kindSlice("3") ++ kindSlice("2")).distinct
   }
 
+  /** Learn a subword vocabulary from the corpus: the `topWords` most frequent
+    * whole words plus the `topGrams` most frequent character 3-grams and
+    * 2-grams (occurrence-weighted), ties broken by string ascending — the
+    * deterministic rank both engines reproduce. Single-char fallback is
+    * implicit in the matcher, so chars are not part of the vocabulary.
+    * One [[subwordVocabRanked]] job (literal rank limit — keeps
+    * InferWindowGroupLimit applicable) sliced per kind on the driver.
+    */
   def subwordVocab(df: DataFrame, textCol: String, topWords: Int, topGrams: Int): Seq[String] = {
-    // ONE job, one kernel pass: every doc emits its kind-prefixed candidate
-    // entries ("w"+word, "3"+gram, "2"+gram — graft.expressions
-    // VocabGramEntries; a lambda formulation here ran ~1.25M interpreted
-    // evals at sf0.1) → one entry-count shuffle → per-kind top-k. Prefixes
-    // are constant within a kind, so ordering by the counted entry string
-    // equals ordering by the value, and row_number ≤ k optimizes to
-    // WindowGroupLimit (no per-kind full sort materializes). The r12
-    // first-cut ran this as THREE count jobs re-tokenizing the corpus each
-    // time; same vocabulary, one tokenize pass, one shuffle.
-    import graft.expressions.{GraftFunctions => G}
-    val wk = Window.partitionBy(substring(col("e"), 1, 1))
-      .orderBy(col("c").desc, col("e").asc)
-    val ranked = df
-      .select(explode(G.vocabGramEntries(Dedup.tokens(col(textCol)))).as("e"))
-      .groupBy("e").agg(count(lit(1)).as("c"))
-      .withColumn("rn", row_number().over(wk))
-      .filter(col("rn") <= when(substring(col("e"), 1, 1) === "w", topWords)
-        .otherwise(topGrams))
-      .select(substring(col("e"), 1, 1).as("kind"),
-        expr("substring(e, 2)").as("v"), col("rn")).collect()
-    // preserve the (words, 3-grams, 2-grams) rank order of the original
-    // three-pass formulation; `distinct` dedupes cross-kind collisions
-    val byKind = ranked.groupBy(_.getString(0)).map { case (k, rows) =>
-      k -> rows.sortBy(_.getInt(2)).map(_.getString(1)).toSeq
-    }
-    (byKind.getOrElse("w", Nil) ++ byKind.getOrElse("3", Nil) ++
-      byKind.getOrElse("2", Nil)).distinct
+    val ranked = subwordVocabRanked(df, textCol, math.max(topWords, topGrams))
+    def slice(kind: String, k: Int) =
+      ranked.filter(e => e._1 == kind && e._3 <= k).sortBy(_._3).map(_._2)
+    (slice("w", topWords) ++ slice("3", topGrams) ++ slice("2", topGrams)).distinct
+  }
+
+  /** Token-balanced serpentine shard packing report: docs ranked by token
+    * count (desc, `idCol` tiebreak) snake across `nShards` shards (rank row
+    * r → shard r%n on even passes, n-1-r%n on odd — the standard
+    * near-balanced deterministic assignment for equal-token training
+    * shards), rolled up per shard with a balance ratio vs the even split.
+    *
+    * The global rank is DISTRIBUTED: per-token-count row_number (bounded
+    * groups) + a cumulative-offset window over the DISTINCT token counts (a
+    * few hundred rows at any corpus size — the pack_sequences carry-table
+    * pattern) broadcast back; no single-task corpus sort anywhere. Shared by
+    * the gated query and the scale probe so the rank/snake formula cannot
+    * diverge between them.
+    */
+  def tokenShardReport(df: DataFrame, textCol: String, idCol: String,
+      nShards: Int): DataFrame = {
+    val t = df.select(col(idCol),
+      wsTokens(col(textCol)).cast(LongType).as("toks"))
+    val wIn = Window.partitionBy("toks").orderBy(idCol)
+    val wOff = Window.orderBy(col("toks").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = t.groupBy("toks").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
+      .select("toks", "off")
+    t.withColumn("rn", row_number().over(wIn).cast(LongType))
+      .join(broadcast(offs), "toks")
+      .withColumn("rk", col("off") + col("rn") - 1)
+      .withColumn("shard", when(expr(s"rk DIV $nShards") % 2 === 0, col("rk") % nShards)
+        .otherwise(lit(nShards - 1L) - col("rk") % nShards))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_tokens"))
+      .withColumn("balance_ratio", round(
+        col("total_tokens").cast(DoubleType) * nShards /
+          sum("total_tokens").over(Window.partitionBy()), 6))
+      .orderBy("shard")
   }
 
   /** Corpus segmentation report under greedy longest-match encoding with

