@@ -647,7 +647,7 @@ case class GreedySegment(child: Expression, vocab: Seq[String]) extends UnaryExp
   * `toks` in the high half, `fallback` in the low half — keeping the per-word
   * hot loop allocation-free.
   */
-private[expressions] final class SubwordMatcher(vocab: Seq[String]) extends Serializable {
+private[graft] final class SubwordMatcher(vocab: Seq[String]) extends Serializable {
 
   private val vocabSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](math.max(16, vocab.size * 2))

@@ -286,6 +286,46 @@ class PlanGuardSpec extends SparkSpec {
       .exists(_.contains("partial_")) shouldBe true
   }
 
+  test("subwordVocabRanked's rank limit optimizes to a WindowGroupLimit (literal predicate — r12 review fix stays fixed)") {
+    import spark.implicits._
+    import graft.expressions.{GraftFunctions => G}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the exact plan subwordVocabRanked builds, un-collected so it's inspectable
+    val docs = Seq("the cat sat", "the dog ran").toDF("text")
+    val wk = Window.partitionBy(substring(col("e"), 1, 1))
+      .orderBy(col("c").desc, col("e").asc)
+    val exec = docs
+      .select(explode(G.vocabGramEntries(graft.operators.Dedup.tokens(col("text")))).as("e"))
+      .groupBy("e").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= 100)
+      .queryExecution.executedPlan.toString
+    exec should include("WindowGroupLimit")
+  }
+
+  test("subwordEncodeReport: the tokenize regexp runs ONCE per row (doc-level kernel, no lambda re-inlining) and no join") {
+    // parquet-backed input: a local Seq constant-folds to a LocalRelation
+    // and the projection under test would evaluate at plan time
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exec = graft.operators.TextAnalysis
+      .subwordEncodeReport(docs, "text", "source", Seq("the", "ca"))
+      .queryExecution.optimizedPlan.toString
+    exec should not include "Join"
+    exec.sliding("regexp_extract_all".length).count(_ == "regexp_extract_all") shouldBe 1
+  }
+
+  test("tokenShardReport: the offset table broadcasts (no sort-merge join) and no global window over the corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "one two"), (2L, "three"), (3L, "four five six"))
+      .toDF("doc_id", "text")
+    val exec = graft.operators.TextAnalysis
+      .tokenShardReport(docs, "text", "doc_id", nShards = 4)
+      .queryExecution.executedPlan.toString
+    exec should include("BroadcastHashJoin")
+    exec should not include "SortMergeJoin"
+  }
+
   test("AQE splits the hot partition of a skewed sort-merge join at runtime") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
