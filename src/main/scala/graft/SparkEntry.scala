@@ -3917,6 +3917,21 @@ object SparkEntry {
     "q_token_shards" -> ((s, dir) =>
       TextAnalysis.tokenShardReport(documents(s, dir), "text", "doc_id", nShards = 8)),
 
+    // Tokenizer OOV drift — the day-2 monitoring query: the vocabulary is
+    // frozen on the LANDED cohort only (doc_id even — the already-ingested
+    // corpus a deployed tokenizer trained on), then both cohorts encode
+    // under it; the arriving cohort's higher fallback rate IS the drift
+    // signal an operator alerts on before the tokenizer degrades. Small
+    // vocab (25/25 — below the corpus's saturation point, see q_vocab_curve)
+    // so the fallback channel carries signal.
+    "q_vocab_drift" -> ((s, dir) => {
+      val d = documents(s, dir).withColumn("cohort",
+        when(col("doc_id") % 2 === 0, "landed").otherwise("arriving"))
+      val vocab = TextAnalysis.subwordVocab(d.filter(col("cohort") === "landed"),
+        "text", topWords = 25, topGrams = 25)
+      TextAnalysis.subwordEncodeReport(d, "text", "cohort", vocab)
+    }),
+
     // Tokenizer vocab-size curve: learn the candidate ranking ONCE (top-200
     // per kind), then encode the corpus under the size-50/100/200 slices in
     // ONE scan (three doc-level SubwordStats kernels in a single projection,
@@ -8740,6 +8755,50 @@ object SparkEntry {
         | SELECT shard, n_docs, total_tokens,
         |   round(CAST(total_tokens AS DOUBLE) * 8 / SUM(total_tokens) OVER (), 6) AS balance_ratio
         | FROM g ORDER BY shard""".stripMargin.replace("\n", ""),
+    // drift dual: the q_subword_encode matcher with the vocab CTEs filtered
+    // to the LANDED cohort (doc_id even) at 25/25, report keyed by cohort
+    "q_vocab_drift" ->
+      """WITH t AS MATERIALIZED (SELECT doc_id,
+        |   CASE WHEN doc_id % 2 = 0 THEN 'landed' ELSE 'arriving' END AS cohort,
+        |   regexp_extract_all(lower(text), '[\p{L}\p{Nd}]+') AS ws FROM documents),
+        | docw AS MATERIALIZED (SELECT cohort, doc_id, UNNEST(ws) AS w FROM t),
+        | docwl AS MATERIALIZED (SELECT w FROM docw WHERE cohort = 'landed'),
+        | vw AS (SELECT w AS v FROM (SELECT w, COUNT(*) AS c FROM docwl GROUP BY w)
+        |   ORDER BY c DESC, w ASC LIMIT 25),
+        | g3 AS (SELECT substr(w, i, 3) AS g FROM docwl, UNNEST(range(1, len(w) - 1)) AS r(i)),
+        | vg3 AS (SELECT g AS v FROM (SELECT g, COUNT(*) AS c FROM g3 GROUP BY g)
+        |   ORDER BY c DESC, g ASC LIMIT 25),
+        | g2 AS (SELECT substr(w, i, 2) AS g FROM docwl, UNNEST(range(1, len(w))) AS r(i)),
+        | vg2 AS (SELECT g AS v FROM (SELECT g, COUNT(*) AS c FROM g2 GROUP BY g)
+        |   ORDER BY c DESC, g ASC LIMIT 25),
+        | vocab AS MATERIALIZED (SELECT DISTINCT v FROM
+        |   (SELECT v FROM vw UNION ALL SELECT v FROM vg3 UNION ALL SELECT v FROM vg2)),
+        | dw AS MATERIALIZED (SELECT DISTINCT w FROM docw),
+        | pos AS MATERIALIZED (SELECT w, i AS p FROM dw, UNNEST(range(0, len(w))) AS r(i)),
+        | vlen AS (SELECT DISTINCT len(v) AS L FROM vocab),
+        | cand AS MATERIALIZED (SELECT w, p, L, substr(w, p + 1, L) AS c FROM pos, vlen
+        |   WHERE p + L <= len(w)),
+        | best AS MATERIALIZED (SELECT cand.w, cand.p, MAX(cand.L) AS blen
+        |   FROM cand JOIN vocab v ON cand.c = v.v GROUP BY cand.w, cand.p),
+        | seg AS MATERIALIZED (WITH RECURSIVE st AS (
+        |     SELECT w, CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS toks, CAST(0 AS BIGINT) AS fb FROM dw
+        |   UNION ALL
+        |     SELECT st.w, st.p + COALESCE(b.blen, 1), st.toks + 1,
+        |       st.fb + CASE WHEN b.blen IS NULL THEN 1 ELSE 0 END
+        |     FROM st LEFT JOIN best b ON b.w = st.w AND b.p = st.p WHERE st.p < len(st.w))
+        |   SELECT w, toks, fb FROM st WHERE p >= len(w)),
+        | perdoc AS (SELECT d.cohort, d.doc_id, COUNT(*) AS nw, SUM(s.toks) AS toks,
+        |     SUM(s.fb) AS fb, SUM(len(d.w)) AS ch
+        |   FROM docw d JOIN seg s USING (w) GROUP BY d.cohort, d.doc_id),
+        | alldocs AS (SELECT t.cohort, COALESCE(p.nw, 0) AS nw, COALESCE(p.toks, 0) AS toks,
+        |     COALESCE(p.fb, 0) AS fb, COALESCE(p.ch, 0) AS ch
+        |   FROM t LEFT JOIN perdoc p ON p.doc_id = t.doc_id)
+        | SELECT cohort, COUNT(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS n_words,
+        |   CAST(SUM(toks) AS BIGINT) AS n_tokens, CAST(SUM(fb) AS BIGINT) AS n_fallback,
+        |   CAST(SUM(ch) AS BIGINT) AS n_chars,
+        |   CASE WHEN SUM(toks) > 0 THEN round(CAST(SUM(fb) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE), 6) END AS fallback_rate,
+        |   CASE WHEN SUM(toks) > 0 THEN round(CAST(SUM(ch) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE), 6) END AS chars_per_token
+        | FROM alldocs GROUP BY cohort ORDER BY cohort""".stripMargin.replace("\n", ""),
     // vocab-size curve dual: rank candidates once per kind (count DESC, value
     // ASC), vocab(k) = values whose best cross-kind rank <= k; the greedy
     // matcher parameterizes the per-position longest match by k (MAX length

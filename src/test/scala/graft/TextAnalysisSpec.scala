@@ -428,6 +428,31 @@ class TextAnalysisSpec extends SparkSpec {
     out.map(_.getAs[Long]("n_tokens")).distinct.size should be > 1
   }
 
+  test("q_vocab_drift: both cohorts present, parity split, rates well-formed") {
+    val dir = "/root/testdata/sf0.001"
+    val out = rows(SparkEntry.queries("q_vocab_drift")(spark, dir))
+    out.map(_.getString(0)).sorted shouldBe Seq("arriving", "landed")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val evenDocs = docs.filter(col("doc_id") % 2 === 0).count()
+    out.find(_.getString(0) == "landed").get.getAs[Long]("n_docs") shouldBe evenDocs
+    out.map(_.getAs[Long]("n_docs")).sum shouldBe docs.count()
+    out.foreach { r =>
+      r.getAs[Double]("fallback_rate") should (be >= 0.0 and be <= 1.0)
+    }
+  }
+
+  test("drift construction: unseen-vocabulary cohort falls back strictly more") {
+    // the deterministic version of the drift signal: cohort B is written in
+    // words the landed vocab never saw, so its fallback must exceed A's
+    val df = Seq(("landed", "aaa bbb aaa"), ("landed", "bbb aaa"),
+      ("arriving", "zzz qqq xyz")).toDF("cohort", "text")
+    val vocab = TextAnalysis.subwordVocab(df.filter(col("cohort") === "landed"),
+      "text", topWords = 2, topGrams = 2)
+    val out = rows(TextAnalysis.subwordEncodeReport(df, "text", "cohort", vocab))
+      .map(r => r.getString(0) -> r.getAs[Double]("fallback_rate")).toMap
+    out("arriving") should be > out("landed")
+  }
+
   test("q_stream_subword drains to exactly the batch encode report") {
     val dir = "/root/testdata/sf0.001"
     val streamed = rows(SparkEntry.queries("q_stream_subword")(spark, dir))
