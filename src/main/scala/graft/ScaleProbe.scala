@@ -117,6 +117,12 @@ object ScaleProbe {
       Dedup.embeddingPairs(embs, "embedding", "vec_id", threshold = 0.2,
         dim = 64, planes = 16, bands = 4).count()
     }
+    time("embed_pairs_slim") {
+      // PB-scale join-back shape: the band exchange carries 12-byte rows
+      // instead of the 256-byte vector payload; identical output multiset
+      Dedup.embeddingPairsSlim(embs, "embedding", "vec_id", threshold = 0.2,
+        dim = 64, planes = 16, bands = 4).count()
+    }
     time("kmeans") {
       // k× duplicated vectors leave the centroids mathematically unchanged;
       // the probe isolates the per-iteration corpus passes (assignment

@@ -1959,6 +1959,15 @@ object SparkEntry {
       Dedup.embeddingPairs(embeddings(s, dir), "embedding", "vec_id",
         threshold = 0.2, dim = 64, planes = 16, bands = 4).orderBy("id_a", "id_b")),
 
+    // The PB-scale shape of the same operator (PLANS.md non-optimality #2
+    // closed): the band-bucket exchange carries 12-byte (id, sig, band,
+    // bucket) rows — the vector never rides the bands× explode — and the
+    // exact-cosine verify joins vectors back by id AFTER the shuffle-free
+    // first-band pair dedup. Identical pair multiset, same dual.
+    "q_embed_dedup_slim" -> ((s, dir) =>
+      Dedup.embeddingPairsSlim(embeddings(s, dir), "embedding", "vec_id",
+        threshold = 0.2, dim = 64, planes = 16, bands = 4).orderBy("id_a", "id_b")),
+
     // --- similarity search (north star) ----------------------------------
     // DEFAULT provider is the typed bounded top-k Aggregator: map-side
     // partial top-k, so the (query) shuffle carries map_tasks×k candidates
@@ -7401,6 +7410,8 @@ object SparkEntry {
     // identical dual: the SQL-surface twin must produce the same fingerprints
     "q_sql_simhash" -> simhashSql(n = 5),
     "q_embed_dedup_lsh" -> embedLshSql(threshold = 0.2, dim = 64, planes = 16, bands = 4),
+    // join-back variant emits the identical pair multiset — one dual shape
+    "q_embed_dedup_slim" -> embedLshSql(threshold = 0.2, dim = 64, planes = 16, bands = 4),
     "q_fingerprints" ->
       """WITH w AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[\p{L}\p{Nd}]+') AS ws FROM documents)
         | SELECT doc_id,

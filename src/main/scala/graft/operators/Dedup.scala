@@ -857,4 +857,58 @@ object Dedup {
           col("a.id") < col("b.id") && !earlierBandMatches && cos >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), cos.as("cos"))
   }
+
+  /** [[embeddingPairs]] in the PB-scale shape (PLANS.md non-optimality #2
+    * closed): the banded frame carries ONLY (id, sig, band, bucket) — the
+    * vector and its norm never ride the bands× explode — and the exact
+    * cosine verify joins the vectors back BY ID after the (still
+    * shuffle-free) first-matching-band pair dedup. Costs two extra id-keyed
+    * hash joins; saves bands× the vector payload on the band-bucket
+    * exchange, which dominates once dim×4 bytes ≫ the 12-byte band row —
+    * the 100 TB trade. Emits the identical (id_a, id_b, cos) multiset (same
+    * signatures, same first-band rule, same cosine kernel — bit-for-bit;
+    * DedupSpec pins slim ≡ carried on the corpus).
+    */
+  def embeddingPairsSlim(
+      df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double = 0.95, dim: Int = 64,
+      planes: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    require(planes % bands == 0, "planes must divide into bands")
+    val rowsPerBand = planes / bands
+    require(planes <= 31, "signature must fit an int")
+    val pvs = hyperplanes(planes, dim, seed)
+    val sig = pvs.zipWithIndex
+      .map { case (p, i) =>
+        when(G.vectorDot(col("v"), typedLit(p)) >= 0, lit(1 << i)).otherwise(lit(0)) }
+      .reduce(_ + _)
+    val mask = (1 << rowsPerBand) - 1
+    def slice(c: Column, b: Int): Column = shiftrightunsigned(c, b * rowsPerBand).bitwiseAND(lit(mask))
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"), slice(col("sig"), b).as("bucket")))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig", sig)
+      .withColumn("nrm", sqrt(G.vectorDot(col("v"), col("v"))))
+    // the banded frame: 12-byte rows, no payload — localCheckpoint-free,
+    // recomputed from the narrow projection on each side of the self-join
+    val bucketed = vecs
+      .select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val probeParts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val a = bucketed.repartition(probeParts, col("id")).as("a"); val b = bucketed.as("b")
+    val x = col("a.sig").bitwiseXOR(col("b.sig"))
+    val earlierBandMatches = (0 until bands)
+      .map(bd => col("a.band") > bd && (slice(x, bd) === 0))
+      .reduce(_ || _)
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id") && !earlierBandMatches)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val va = vecs.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val vb = vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val cos = G.vectorDot(col("va"), col("vb")) / (col("na") * col("nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .filter(cos >= threshold)
+      .select(col("id_a"), col("id_b"), cos.as("cos"))
+  }
 }

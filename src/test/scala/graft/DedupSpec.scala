@@ -215,6 +215,23 @@ class DedupSpec extends SparkSpec {
     pairs shouldBe Seq((1L, 2L))
   }
 
+  test("embeddingPairsSlim == embeddingPairs exactly (values incl. cos) on random vectors") {
+    // the PB-scale join-back shape must emit the identical pair multiset —
+    // same signatures, same first-band rule, same cosine kernel
+    val rng = new scala.util.Random(11)
+    val dim = 8; val planes = 8; val bands = 4
+    val vecs = (0L until 80L).map(i =>
+      (i, Array.fill(dim)(rng.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      rows(f.orderBy("id_a", "id_b")).map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val carried = run(Dedup.embeddingPairs(vecs, "embedding", "vec_id",
+      threshold = 0.3, dim = dim, planes = planes, bands = bands))
+    val slim = run(Dedup.embeddingPairsSlim(vecs, "embedding", "vec_id",
+      threshold = 0.3, dim = dim, planes = planes, bands = bands))
+    carried.nonEmpty shouldBe true
+    slim shouldBe carried
+  }
+
   test("embeddingPairs first-matching-band dedup equals the dropDuplicates formulation") {
     // property: the shuffle-free per-row dedup (keep a pair only in the first
     // band where the signature slices agree) emits exactly the candidate set
