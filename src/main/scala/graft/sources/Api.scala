@@ -294,7 +294,7 @@ object Api {
       | #chart{margin-top:.5rem}
       | #msg{font-size:.85rem;color:#1a6}
       |</style></head><body>
-      |<h1>graft — financial data pipeline</h1>
+      |<h1>graft — financial data pipeline <span class="badge" id="total"></span></h1>
       |<div class="card"><h2>ingest</h2>
       | source <select id="isrc"><option>csv</option><option>alphavantage</option><option>yahoo_finance</option></select>
       | type <select id="ityp"><option>stock</option><option>forex</option><option>crypto</option><option>economic</option></select>
@@ -312,7 +312,7 @@ object Api {
       | <div id="tbl"></div>
       |</div>
       |<div class="card"><h2>transform</h2>
-      | dataset <input id="tds" placeholder="bronze dataset name" size="18">
+      | dataset <select id="tds"></select>
       | op <select id="top"><option>aggregate</option><option>filter</option><option>normalize</option></select>
       | freq <select id="tfreq"><option>D</option><option>W</option><option>M</option></select>
       | <button onclick="transform()">run</button> <span id="tmsg"></span>
@@ -367,16 +367,32 @@ object Api {
       |  const r=await (await fetch('/api/ingest',{method:'POST',
       |    headers:{'Content-Type':'application/json'},body:JSON.stringify(body)})).json();
       |  $('msg').textContent=`${r.status??''}: ${r.message??''}`;
-      |  layers();
+      |  layers(); sources();
+      |}
+      |// transform-source dropdown grouped by layer + all-layers dataset count
+      |// (the reference's loadSourceDatasets / fetchOverallDatasetCount flows,
+      |// index.html:1015, 1228-1247 — re-expressed, not copied)
+      |async function sources(){
+      |  const layersAll=['bronze','silver','gold'];
+      |  const lists=await Promise.all(layersAll.map(async l=>{
+      |    try{return await (await fetch(`/api/datasets?layer=${l}`)).json();}
+      |    catch(e){return [];}}));
+      |  $('total').textContent=`${lists.flat().length} datasets`;
+      |  $('tds').innerHTML=['bronze','silver'].map((l,i)=>
+      |    `<optgroup label="${l}">`+lists[i].sort().map(n=>
+      |      `<option value="${esc(l)}:${esc(n)}">${esc(n)}</option>`).join('')+'</optgroup>').join('');
       |}
       |async function transform(){
-      |  const body={source_layer:'bronze',source_path:$('tds').value,
-      |    transformation_type:$('top').value,destination_layer:'silver',
+      |  const [srcLayer,...rest]=$('tds').value.split(':');
+      |  const dest=srcLayer==='silver'?'gold':'silver';
+      |  const body={source_layer:srcLayer,source_path:rest.join(':'),
+      |    transformation_type:$('top').value,destination_layer:dest,
       |    params:{freq:$('tfreq').value}};
       |  const r=await (await fetch('/api/transform',{method:'POST',
       |    headers:{'Content-Type':'application/json'},body:JSON.stringify(body)})).json();
       |  $('tmsg').textContent=`${r.status??''}: ${r.message??''}`;
+      |  sources();
       |}
-      |$('layer').onchange=layers; layers();
+      |$('layer').onchange=layers; layers(); sources();
       |</script></body></html>""".stripMargin
 }
