@@ -2422,6 +2422,89 @@ object SparkEntry {
     // max(0, tokens−k+1) > cap)
     "q_winnow_truncation" -> ((s, dir) =>
       Dedup.winnowTruncationReport(documents(s, dir), "text", k = 4)),
+    // CAP-OBSERVABILITY SWEEP (r13 — verdict ask #8): every silent bound the
+    // engine applies, in one gated table — name, configured value, candidate
+    // population, how many candidates the bound actually cuts at this SF,
+    // and whether it binds at all. The winnow gram cap got its dedicated
+    // report in r12; this row set covers the REST of the bounds (postings
+    // docFreq caps on the jaccard/containment and winnow-match indexes, the
+    // symbols listing cap, TopKAgg's k, the SemDeDup cell cap, the item-sim
+    // basket cap) so no truncation is silent. Each term is one bounded
+    // aggregate (the shared session indexes are reused where they exist);
+    // the union is seven 1-row frames.
+    "q_caps_report" -> ((s, dir) => {
+      import s.implicits._
+      def row(name: String, capValue: Long, agg: DataFrame): DataFrame =
+        agg.select(lit(name).as("cap_name"), lit(capValue).as("cap_value"),
+          col("n_candidates").cast(LongType).as("n_candidates"),
+          col("n_over").cast(LongType).as("n_over"),
+          (col("n_over") > 0).as("binds"))
+      val posts = documents(s, dir)
+        .select(explode(Dedup.shingleHashSet(col("text"), 5)).as("sh"))
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("df") > 100, 1L).otherwise(0L)).as("n_over"))
+      val winnowDf = winnowIndex(s, dir).select("doc_id", "h").distinct()
+        .groupBy("h").agg(count(lit(1)).as("df"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("df") > 50, 1L).otherwise(0L)).as("n_over"))
+      val syms = events(s, dir)
+        .select(format_string("U%03d", col("user_id") % 120).as("sym"))
+        .agg(countDistinct(col("sym")).as("n"))
+        .select(col("n").as("n_candidates"),
+          greatest(lit(0L), col("n") - 50).as("n_over"))
+      val topk = embeddings(s, dir).agg(count(lit(1)).as("n"))
+        .select(col("n").as("n_candidates"),
+          greatest(lit(0L), col("n") - 10).as("n_over"))
+      val cents = Dedup.hyperplanes(16, 64, seed = 7L).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("cell_id", "centroid")
+      val cells = Similarity.ivfIndexCached(embeddings(s, dir), cents,
+          "embedding", "vec_id", s"litcents:$dir")
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("n") > 20, 1L).otherwise(0L)).as("n_over"))
+      val winnowGrams = documents(s, dir).select(
+          greatest(lit(0L), (size(Dedup.tokens(col("text"))) - 3).cast(LongType)).as("g"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("g") > (1L << 24), 1L).otherwise(0L)).as("n_over"))
+      val baskets = basketIndex(s, dir).select(size(col("__is")).cast(LongType).as("sz"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("sz") > 5, 1L).otherwise(0L)).as("n_over"))
+      row("item_sim_basket_cap", 5L, baskets)
+        .unionByName(row("postings_docfreq_cap", 100L, posts))
+        .unionByName(row("semdedup_cell_cap", 20L, cells))
+        .unionByName(row("symbols_cap", 50L, syms))
+        .unionByName(row("topk_agg_k", 10L, topk))
+        .unionByName(row("winnow_gram_cap", 1L << 24, winnowGrams))
+        .unionByName(row("winnow_postings_docfreq_cap", 50L, winnowDf))
+        .orderBy("cap_name")
+    }),
+    // MULTI-WRITER DATA-TABLE COMMITS (r13 — verdict ask #4): the TxTable
+    // transaction log (manifest-per-version + pointer CAS + overlap-checked
+    // rebase, sources/TxTable.scala) driven through a deterministic commit
+    // script — two appends, a compaction (removes both batches, adds the
+    // rewrite), a third append — then the full retained history read back
+    // with a SNAPSHOT ROW COUNT at every version (the gated time-travel
+    // read: v2 and v3 must agree across the compaction, v4 sees the whole
+    // events table). Batch row counts are data-dependent (event_id mod 3
+    // slices); the race semantics are spec'd in TxTableSpec.
+    "q_table_commit_history" -> ((s, dir) => {
+      import s.implicits._
+      val t = graft.sources.TxTable(s,
+        SessionCache.registerTmpIndexDir(procTmp("graft_txtable")),
+        s"evt_${Integer.toHexString(dir.hashCode)}")
+      if (SessionCache.once(s, s"txtable:$dir")) {
+        val ev = events(s, dir).select("event_id", "event_type", "value")
+        t.append(ev.filter(col("event_id") % 3 === 0))
+        t.append(ev.filter(col("event_id") % 3 === 1))
+        t.compact()
+        t.append(ev.filter(col("event_id") % 3 === 2))
+      }
+      t.history.map(m => (m.version, m.action, m.added.size.toLong,
+          m.removed.size.toLong, m.files.size.toLong, t.snapshot(m.version).count()))
+        .toDF("version", "action", "n_added", "n_removed", "n_live_batches", "n_rows")
+        .orderBy("version")
+    }),
 
     // --- dataset curation: splits / sampling / quality gate ----------------
     "q_top_tokens" -> ((s, dir) =>
@@ -4991,6 +5074,35 @@ object SparkEntry {
         .orderBy("event_type", "forecast_d")
     }),
 
+    // --- URL / web-provenance family (r13 — verdict ask #3) ---------------
+    // canonical URL normalization as pure codegen'd string expressions over
+    // a deterministic messy-URL fixture column (formula in Web.withUrls, the
+    // oracle restates it verbatim): lowercase scheme+host, strip www./default
+    // ports/fragments/tracking params, sort surviving params, collapse
+    // trailing slashes; plus registrable domain (PSL-lite) and the SURT key.
+    // Narrow projection — zero shuffle before the final ORDER BY.
+    "q_url_canonicalize" -> ((s, dir) =>
+      graft.operators.Web.canonicalize(
+        graft.operators.Web.withUrls(documents(s, dir)), "url")
+        .select("doc_id", "url", "url_canon", "domain", "surt")
+        .orderBy("doc_id")),
+    // URL-keyed exact dedup on the scheme-less SURT key: one hash shuffle,
+    // survivor = min doc_id; n_distinct_canon separates true re-crawls from
+    // the scheme/port variants SURT folds together (v0 http vs v1-3 https
+    // collapse to one page; the :8080 variant stays its own page)
+    "q_url_dedup" -> ((s, dir) =>
+      graft.operators.Web.urlDedup(
+        graft.operators.Web.canonicalize(
+          graft.operators.Web.withUrls(documents(s, dir)), "url"), "doc_id")
+        .orderBy("surt")),
+    // per-registrable-domain corpus report: docs, distinct pages, dup rate,
+    // ws tokens — the per-domain budget table a mixture designer reads
+    "q_domain_report" -> ((s, dir) =>
+      graft.operators.Web.domainReport(
+        graft.operators.Web.canonicalize(
+          graft.operators.Web.withUrls(documents(s, dir)), "url"), "text")
+        .orderBy("domain")),
+
     // --- sources (SURVEY §2.1; rows-only — fixture inputs, not sfDir tables)
     "q_csv_stock_autodetect" -> ((s, _) =>
       CsvAutoLoader.loadStockCsv(s, "/root/repo/fixtures/stock_canonical.csv").get
@@ -5617,6 +5729,55 @@ object SparkEntry {
        | FROM documents WHERE doc_id < 64
        | UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
        |) ORDER BY media_id""".stripMargin.replace("\n", "")
+
+  /** URL-family dual fragments: `u` restates [[graft.operators.Web.withUrls]]'s
+    * messy-URL formula; `cn` restates [[graft.operators.Web.canonicalize]] —
+    * same regexes (RE2 ∩ Java semantics: anchored, single-replacement-safe),
+    * same param filter + lexicographic sort, same PSL-lite domain rule and
+    * SURT layout.
+    */
+  private def urlCtes: String =
+    """u AS (SELECT doc_id, text,
+      |   CASE CAST((doc_id // 100) % 5 AS INTEGER)
+      |     WHEN 0 THEN 'HTTP://WWW.' || upper(hb) || ':80' || art || '?utm_source=feed&x=2&id=' || cs || '#frag'
+      |     WHEN 1 THEN 'https://' || hb || ':443' || art || '/?id=' || cs || '&x=2'
+      |     WHEN 2 THEN 'https://' || hb || art || '?x=2&id=' || cs || '&utm_campaign=summer&gclid=g' || cs
+      |     WHEN 3 THEN 'https://www.' || hb || art || '?id=' || cs || '&x=2&fbclid=f' || cs
+      |     ELSE 'http://' || hb || ':8080' || art || '?id=' || cs END AS url
+      |  FROM (SELECT doc_id, text, cs, art,
+      |     CASE WHEN hs = '6' THEN 'news.example.co.uk'
+      |       ELSE 'site' || hs || '.example-' || hs || '.com' END AS hb
+      |   FROM (SELECT doc_id, text,
+      |      CAST(doc_id % 100 AS VARCHAR) AS cs,
+      |      CAST(doc_id % 100 % 7 AS VARCHAR) AS hs,
+      |      '/articles/' || CAST(doc_id % 100 AS VARCHAR) AS art
+      |     FROM documents))),
+      | pr AS (SELECT doc_id, text, url, regexp_replace(url, '#.*', '') AS nofrag FROM u),
+      | p2 AS (SELECT doc_id, text, url,
+      |   lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |   lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+      |   regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
+      |   regexp_extract(nofrag, '\?([^#]*)', 1) AS rawq FROM pr),
+      | p3 AS (SELECT doc_id, text, url, scheme,
+      |   regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), '^www\.', '') AS host,
+      |   regexp_extract(hostport, ':([0-9]+)$', 1) AS prt,
+      |   CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+      |     ELSE regexp_replace(rawpath, '/+$', '') END AS pth,
+      |   array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+      |     q -> len(q) > 0 AND NOT regexp_matches(q, '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid)='))), '&') AS qs
+      |  FROM p2),
+      | p4 AS (SELECT doc_id, text, url, scheme, host, pth, qs,
+      |   CASE WHEN prt <> '' AND NOT ((scheme = 'http' AND prt = '80') OR (scheme = 'https' AND prt = '443'))
+      |     THEN ':' || prt ELSE '' END AS portsfx,
+      |   CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS qsfx,
+      |   string_split(host, '.') AS labels FROM p3),
+      | cn AS (SELECT doc_id, text, url,
+      |   scheme || '://' || host || portsfx || pth || qsfx AS url_canon,
+      |   CASE WHEN len(labels) <= 2 THEN host
+      |     WHEN regexp_matches(host, '\.(co\.uk|org\.uk|com\.au|co\.jp)$') THEN array_to_string(labels[-3:], '.')
+      |     ELSE array_to_string(labels[-2:], '.') END AS domain,
+      |   array_to_string(list_reverse(labels), ',') || portsfx || ')' || pth || qsfx AS surt
+      |  FROM p4)""".stripMargin.replace("\n", "")
 
   private def imageDedupSql: String =
     s"""WITH hx AS (SELECT doc_id AS media_id, CAST($dhashExpr AS BIGINT) AS dhash
@@ -7429,6 +7590,76 @@ object SparkEntry {
         |  CAST(MAX(ng) AS BIGINT) AS max_grams,
         |  CAST(SUM(CASE WHEN ng > 16777216 THEN ng - 16777216 ELSE 0 END) AS BIGINT) AS grams_dropped
         | FROM g""".stripMargin.replace("\n", ""),
+    // caps sweep: each bound's candidate population + overflow count
+    // restated from first principles — shingle strings stand in for the
+    // hash-keyed postings (the green q_ngram_jaccard_pairs precedent:
+    // distinct-string and distinct-hash counts coincide collision-free),
+    // the winnow fingerprint CTE is the q_winnow_matches substrate, the
+    // cell assignment is the q_semdedup substrate
+    "q_caps_report" -> {
+      val ws = "list_filter(string_split_regex(regexp_replace(lower(text), '[^\\p{L}\\p{Nd}]+', ' ', 'g'), ' '), w -> len(w) > 0)"
+      val cents = Dedup.hyperplanes(16, 64, seed = 7L).zipWithIndex.map { case (v, i) =>
+        s"($i, [${v.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}])"
+      }.mkString(", ")
+      winnowSql(k = 4, w = 5) +
+      s""", fpd AS (SELECT DISTINCT doc_id, h FROM fp),
+         | wdf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |   CAST(SUM(CASE WHEN df > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_over
+         |  FROM (SELECT h, COUNT(*) AS df FROM fpd GROUP BY 1)),
+         | words2 AS (SELECT doc_id, $ws AS ws FROM documents),
+         | sh2 AS (SELECT doc_id, UNNEST(list_distinct(
+         |   CASE WHEN len(ws) - 4 <= 0 THEN [array_to_string(ws, ' ')]
+         |   ELSE list_transform(range(0, len(ws) - 4), i -> array_to_string(list_slice(ws, i + 1, i + 5), ' ')) END)) AS s
+         |  FROM words2),
+         | pdf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |   CAST(SUM(CASE WHEN df > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_over
+         |  FROM (SELECT s, COUNT(*) AS df FROM sh2 GROUP BY 1)),
+         | symc AS (SELECT CAST(COUNT(DISTINCT printf('U%03d', CAST(user_id % 120 AS INTEGER))) AS BIGINT) AS n FROM events),
+         | embc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+         | e3 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         | cents3(cell_id, c) AS (VALUES $cents),
+         | ascore3 AS (SELECT e3.vec_id, cents3.cell_id,
+         |   list_inner_product(e3.v, cents3.c) /
+         |     (sqrt(list_inner_product(e3.v, e3.v)) * sqrt(list_inner_product(cents3.c, cents3.c))) AS cs
+         |  FROM e3 CROSS JOIN cents3),
+         | asg3 AS (SELECT vec_id, cell_id FROM (SELECT vec_id, cell_id,
+         |     row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id DESC) AS rn
+         |   FROM ascore3) WHERE rn = 1),
+         | csz AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |   CAST(SUM(CASE WHEN n > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_over
+         |  FROM (SELECT cell_id, COUNT(*) AS n FROM asg3 GROUP BY 1)),
+         | wg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |   CAST(SUM(CASE WHEN ng > 16777216 THEN 1 ELSE 0 END) AS BIGINT) AS n_over
+         |  FROM (SELECT greatest(0, len($dedupWords) - 3) AS ng FROM documents)),
+         | bsk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |   CAST(SUM(CASE WHEN sz > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_over
+         |  FROM (SELECT l_orderkey, COUNT(DISTINCT l_partkey) AS sz FROM lineitem GROUP BY 1))
+         | SELECT * FROM (
+         |  SELECT 'item_sim_basket_cap' AS cap_name, CAST(5 AS BIGINT) AS cap_value, n_candidates, n_over, n_over > 0 AS binds FROM bsk
+         |  UNION ALL SELECT 'postings_docfreq_cap', 100, n_candidates, n_over, n_over > 0 FROM pdf
+         |  UNION ALL SELECT 'semdedup_cell_cap', 20, n_candidates, n_over, n_over > 0 FROM csz
+         |  UNION ALL SELECT 'symbols_cap', 50, n, greatest(0, n - 50), n > 50 FROM symc
+         |  UNION ALL SELECT 'topk_agg_k', 10, n, greatest(0, n - 10), n > 10 FROM embc
+         |  UNION ALL SELECT 'winnow_gram_cap', 16777216, n_candidates, n_over, n_over > 0 FROM wg
+         |  UNION ALL SELECT 'winnow_postings_docfreq_cap', 50, n_candidates, n_over, n_over > 0 FROM wdf
+         | ) ORDER BY cap_name""".stripMargin.replace("\n", "")
+    },
+    // TxTable commit script restated: batch dir counts are protocol
+    // literals (append adds 1, the compaction folds 2 into 1), row counts
+    // are the event_id mod-3 slices; v3 must equal v2 (compaction rewrites,
+    // never changes rows)
+    "q_table_commit_history" ->
+      """SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS version, 'append' AS action,
+        |   CAST(1 AS BIGINT) AS n_added, CAST(0 AS BIGINT) AS n_removed, CAST(1 AS BIGINT) AS n_live_batches,
+        |   (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE event_id % 3 = 0) AS n_rows
+        | UNION ALL SELECT 2, 'append', 1, 0, 2,
+        |   (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE event_id % 3 IN (0, 1))
+        | UNION ALL SELECT 3, 'compact', 1, 2, 1,
+        |   (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE event_id % 3 IN (0, 1))
+        | UNION ALL SELECT 4, 'append', 1, 0, 2,
+        |   (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
+        |) ORDER BY version""".stripMargin.replace("\n", ""),
     "q_winnow_matches" -> (winnowSql(k = 4, w = 5) +
       """, fpd AS (SELECT DISTINCT doc_id, h FROM fp),
         | rare AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df
@@ -8344,6 +8575,23 @@ object SparkEntry {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS content_sha256,
         | 'unknown' AS format
         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_url_canonicalize" ->
+      s"""WITH $urlCtes
+         | SELECT doc_id, url, url_canon, domain, surt FROM cn
+         | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_url_dedup" ->
+      s"""WITH $urlCtes
+         | SELECT surt, COUNT(*) AS n_docs,
+         |   CAST(COUNT(DISTINCT url_canon) AS BIGINT) AS n_distinct_canon,
+         |   MIN(doc_id) AS keeper_id
+         | FROM cn GROUP BY surt ORDER BY surt""".stripMargin.replace("\n", ""),
+    "q_domain_report" ->
+      s"""WITH $urlCtes
+         | SELECT domain, COUNT(*) AS n_docs,
+         |   CAST(COUNT(DISTINCT surt) AS BIGINT) AS n_pages,
+         |   round(1.0 - CAST(COUNT(DISTINCT surt) AS DOUBLE) / COUNT(*), 6) AS dup_rate,
+         |   CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0))) AS BIGINT) AS total_tokens
+         | FROM cn GROUP BY domain ORDER BY domain""".stripMargin.replace("\n", ""),
     "q_media_decode" -> mediaDecodeSql,
     "q_image_dhash" -> dhashSql,
     "q_image_dedup" -> imageDedupSql,

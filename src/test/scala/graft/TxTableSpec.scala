@@ -1,0 +1,93 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, CyclicBarrier, Executors, TimeUnit}
+import org.apache.spark.sql.functions._
+import graft.sources.TxTable
+
+class TxTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(tag: String): TxTable =
+    TxTable(spark,
+      java.nio.file.Files.createTempDirectory(s"txtable_$tag").toString, "t")
+
+  test("append/compact/append: history, live sets, snapshot isolation") {
+    val t = freshTable("basic")
+    t.append(Seq(1, 2, 3).toDF("x"))
+    t.append(Seq(4, 5).toDF("x"))
+    t.compact()
+    t.append(Seq(6).toDF("x"))
+    t.currentVersion shouldBe 4L
+    val h = t.history
+    h.map(_.action) shouldBe Seq("append", "append", "compact", "append")
+    h.map(m => (m.added.size, m.removed.size, m.files.size)) shouldBe
+      Seq((1, 0, 1), (1, 0, 2), (1, 2, 1), (1, 0, 2))
+    // snapshot isolation: every retained version still reads its own rows
+    (1L to 4L).map(v => t.snapshot(v).count()) shouldBe Seq(3L, 5L, 5L, 6L)
+    rows(t.snapshot().orderBy("x")).map(_.getInt(0)) shouldBe Seq(1, 2, 3, 4, 5, 6)
+  }
+
+  test("two-writer race on the DATA path: concurrent appends both land via rebase") {
+    val t = freshTable("race")
+    t.append(Seq(0).toDF("x"))
+    val barrier = new CyclicBarrier(2)
+    val pool = Executors.newFixedThreadPool(2)
+    val done = new CountDownLatch(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // both writers stage + commit from the same base version; the CAS/lock
+    // serializes the commit section and the loser rebases onto the winner
+    Seq(Seq(1, 2), Seq(3, 4, 5)).foreach { batch =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try { barrier.await(30, TimeUnit.SECONDS); t.append(batch.toDF("x")); () }
+          catch { case e: Throwable => errs.add(e) }
+          finally done.countDown()
+      })
+    }
+    done.await(120, TimeUnit.SECONDS) shouldBe true
+    pool.shutdown()
+    errs shouldBe empty
+    t.currentVersion shouldBe 3L
+    t.history.map(_.action) shouldBe Seq("append", "append", "append")
+    t.snapshot().count() shouldBe 6L
+    rows(t.snapshot().orderBy("x")).map(_.getInt(0)) shouldBe (0 to 5)
+  }
+
+  test("overlapping file sets CONFLICT: second compaction of the same batches aborts") {
+    val t = freshTable("conflict")
+    t.append(Seq(1).toDF("x"))
+    t.append(Seq(2).toDF("x"))
+    val victims = t.manifest(t.currentVersion).files
+    t.compact(Some(victims))
+    // a writer that planned against the pre-compaction file set must abort —
+    // its removes are no longer live (the Delta conflict rule), never
+    // double-apply
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.compact(Some(victims))
+    }
+    e.getMessage should include("no longer live")
+    t.currentVersion shouldBe 3L
+    t.snapshot().count() shouldBe 2L
+  }
+
+  test("disjoint compactions both land: overlap rule keys on FILES, not on action") {
+    val t = freshTable("disjoint")
+    t.append(Seq(1).toDF("x"))
+    t.append(Seq(2).toDF("x"))
+    val Seq(a, b) = t.manifest(t.currentVersion).files.toSeq
+    t.compact(Some(Seq(a)))
+    t.compact(Some(Seq(b))) // b is still live — no overlap, no conflict
+    t.currentVersion shouldBe 4L
+    t.snapshot().count() shouldBe 2L
+    t.manifest(4L).files.size shouldBe 2
+  }
+
+  test("vacuum deletes only unreferenced batch dirs") {
+    val t = freshTable("vacuum")
+    t.append(Seq(1).toDF("x"))
+    t.append(Seq(2).toDF("x"))
+    // everything is still referenced by some retained manifest → no-op
+    t.vacuum() shouldBe empty
+    t.snapshot(1L).count() shouldBe 1L
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Web
+
+class WebSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canonOf(url: String): (String, String, String) = {
+    val r = rows(Web.canonicalize(Seq(url).toDF("url"), "url")
+      .select("url_canon", "domain", "surt")).head
+    (r.getString(0), r.getString(1), r.getString(2))
+  }
+
+  test("canonicalize: case, www., default port, fragment, tracking params, param sort") {
+    val (c, d, s) =
+      canonOf("HTTP://WWW.Site3.Example-3.COM:80/articles/7?utm_source=feed&x=2&id=7#frag")
+    c shouldBe "http://site3.example-3.com/articles/7?id=7&x=2"
+    d shouldBe "example-3.com"
+    s shouldBe "com,example-3,site3)/articles/7?id=7&x=2"
+  }
+
+  test("canonicalize: https default port dropped, trailing slash collapsed") {
+    canonOf("https://a.example.com:443/p/q/?b=2&a=1")._1 shouldBe
+      "https://a.example.com/p/q?a=1&b=2"
+  }
+
+  test("canonicalize: non-default port kept (in canon AND surt)") {
+    val (c, _, s) = canonOf("http://a.example.com:8080/p?id=1")
+    c shouldBe "http://a.example.com:8080/p?id=1"
+    s shouldBe "com,example,a:8080)/p?id=1"
+  }
+
+  test("canonicalize: root path survives as /, empty query omitted") {
+    val (c, _, s) = canonOf("https://example.com/#top")
+    c shouldBe "https://example.com/"
+    s shouldBe "com,example)/"
+  }
+
+  test("canonicalize: gclid/fbclid/msclkid stripped, non-tracking ref kept") {
+    canonOf("https://e.com/p?gclid=g1&ref=rss&fbclid=f1&msclkid=m1")._1 shouldBe
+      "https://e.com/p?ref=rss"
+  }
+
+  test("registrable domain: multi-label public suffix takes three labels") {
+    val (_, d, s) = canonOf("https://news.guardian.co.uk/x")
+    d shouldBe "guardian.co.uk"
+    s shouldBe "uk,co,guardian,news)/x"
+  }
+
+  test("registrable domain: short host passes through") {
+    canonOf("http://localhost/x")._2 shouldBe "localhost"
+  }
+
+  test("canonicalize is idempotent on its own output") {
+    val messy = Seq(
+      "HTTP://WWW.A.Example.COM:80/p/?utm_source=x&b=2&a=1#f",
+      "https://news.example.co.uk:8443/q?id=9",
+      "https://example.com/").toDF("url")
+    val once = Web.canonicalize(messy, "url").select(col("url_canon").as("url"))
+    val twice = Web.canonicalize(once, "url")
+    rows(twice.select("url", "url_canon")).foreach { r =>
+      r.getString(1) shouldBe r.getString(0)
+    }
+  }
+
+  test("urlDedup folds scheme variants on the SURT key, keeps distinct ports apart") {
+    val docs = Seq(
+      (1L, "http://a.example.com/p?id=1"),
+      (2L, "https://a.example.com/p?id=1"),
+      (3L, "https://WWW.a.example.com/p/?id=1"),
+      (4L, "http://a.example.com:8080/p?id=1")).toDF("doc_id", "url")
+    val out = rows(Web.urlDedup(Web.canonicalize(docs, "url"), "doc_id").orderBy("surt"))
+    out.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))) shouldBe Seq(
+      ("com,example,a)/p?id=1", 3L, 2L, 1L),
+      ("com,example,a:8080)/p?id=1", 1L, 1L, 4L))
+  }
+
+  test("domainReport: docs, pages, dup rate, tokens per registrable domain") {
+    val docs = Seq(
+      (1L, "one two", "http://a.example.com/p"),
+      (2L, "three", "https://a.example.com/p"),
+      (3L, "four five six", "https://b.example.com/q")).toDF("doc_id", "text", "url")
+    val out = rows(Web.domainReport(Web.canonicalize(docs, "url"), "text"))
+    out.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))) shouldBe
+      Seq(("example.com", 3L, 2L, 0.333333, 6L))
+  }
+
+  test("plan guard: canonicalize is a shuffle-free narrow projection") {
+    val plan = Web.canonicalize(Web.withUrls(Seq((1L, "t")).toDF("doc_id", "text")), "url")
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+}
