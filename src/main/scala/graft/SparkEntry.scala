@@ -2953,6 +2953,28 @@ object SparkEntry {
         .groupBy("dhash")
         .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("keeper_id"))
         .orderBy("dhash")),
+    // JPEG decode (r13 — verdict ask #1, the real-corpus image format):
+    // COMMITTED fixture files (fixtures/jpeg, written once by
+    // JpegFixtureGen at quality 0.95 from the jpegRaster formula) read
+    // through the binaryFile source, decoded by javax.imageio's native JPEG
+    // codec, reduced to the LOSSY-CODEC-EXACT invariants (dims, channel
+    // count, perceptual dHash — the fixture's ±60-gray-level gradient
+    // margins make the dHash bits codec-noise-proof, Multimodal.jpegRaster).
+    // The oracle restates the decoded values as LITERALS from the committed
+    // fixtures — JPEG rasters aren't formula-restatable, the decode
+    // invariants are. img_corrupt.jpg (valid SOI, truncated body) rides the
+    // NonFatal arm onto the (0,0,0,−1) sentinel row, hash-gated like the
+    // BMP/WAV corrupt rows.
+    "q_jpeg_decode" -> ((s, _) => {
+      val files = s.read.format("binaryFile").option("pathGlobFilter", "*.jpg")
+        .load("/root/repo/fixtures/jpeg")
+      val idc = regexp_extract(col("path"), "img_(\\d+)\\.jpg$", 1)
+      Multimodal.imageMeta(
+        files.withColumn("media_id",
+          when(idc === "", lit(-1L)).otherwise(idc.cast(LongType))),
+        "content", "media_id")
+        .orderBy("media_id")
+    }),
     // AUDIO decode (r12 — the second modality branch): real RIFF/PCM16
     // containers built per partition from the sample formula, parsed by a
     // real chunk walker; stats are exact integers (energy = Σ s², peak =
@@ -5779,6 +5801,30 @@ object SparkEntry {
       |   array_to_string(list_reverse(labels), ',') || portsfx || ')' || pth || qsfx AS surt
       |  FROM p4)""".stripMargin.replace("\n", "")
 
+  /** JPEG-decode dual: dims/channels are decode invariants (literals); the
+    * dHash gradient signs are restated from the PRE-ENCODE raster formula
+    * (`gray = 40 + 20·((3x+5y+id) mod 9)` — [[graft.operators.Multimodal
+    * .jpegRaster]], bit layout = rasterDHash's 30 row + 30 column bits on
+    * 6×6). The Spark side decodes the committed LOSSY bytes; landing on the
+    * formula signs proves the codec error never flipped a gradient (the
+    * ±60-gray-level margin), i.e. a real noise-free JPEG decode.
+    */
+  private def jpegDecodeSql: String = {
+    def lv(x: Int, y: Int) = s"((${3 * x + 5 * y} + i) % 9)"
+    val terms =
+      (for (y <- 0 until 6; x <- 0 until 5) yield
+        s"(CASE WHEN ${lv(x + 1, y)} > ${lv(x, y)} THEN ${1L << (y * 5 + x)} ELSE 0 END)") ++
+      (for (y <- 0 until 5; x <- 0 until 6) yield
+        s"(CASE WHEN ${lv(x, y + 1)} > ${lv(x, y)} THEN ${1L << (30 + y * 6 + x)} ELSE 0 END)")
+    s"""SELECT * FROM (
+       | SELECT CAST(i AS BIGINT) AS media_id, CAST(6 AS BIGINT) AS width,
+       |   CAST(6 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
+       |   CAST(${terms.mkString(" + ")} AS BIGINT) AS dhash
+       | FROM range(0, 16) t(i)
+       | UNION ALL SELECT CAST(-1 AS BIGINT), 0, 0, 0, -1
+       |) ORDER BY media_id""".stripMargin.replace("\n", "")
+  }
+
   private def imageDedupSql: String =
     s"""WITH hx AS (SELECT doc_id AS media_id, CAST($dhashExpr AS BIGINT) AS dhash
        |  FROM documents WHERE doc_id < 64)
@@ -8593,6 +8639,7 @@ object SparkEntry {
          |   CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0))) AS BIGINT) AS total_tokens
          | FROM cn GROUP BY domain ORDER BY domain""".stripMargin.replace("\n", ""),
     "q_media_decode" -> mediaDecodeSql,
+    "q_jpeg_decode" -> jpegDecodeSql,
     "q_image_dhash" -> dhashSql,
     "q_image_dedup" -> imageDedupSql,
     "q_audio_decode" -> audioDecodeSql,

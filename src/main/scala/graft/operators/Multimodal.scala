@@ -188,45 +188,129 @@ object Multimodal {
             if (bytes == null) null
             else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           } catch { case scala.util.control.NonFatal(_) => null }
-        // gradient bits must fit one long: a raster with h(w−1)+(h−1)w > 64
-        // would wrap the shift amounts mod 64 and silently fold distinct
-        // gradients onto shared bit positions (unrelated images hashing
-        // equal) — such rasters land on the −1 sentinel like undecodable
-        // payloads; classic dHash's 9×8 pre-resample is the policy that
-        // brings arbitrary rasters under the cap
-        if (img == null ||
-            img.getHeight * (img.getWidth - 1) + (img.getHeight - 1) * img.getWidth > 64)
-          ImageHash(id, -1L)
-        else {
-          val w = img.getWidth
-          val h = img.getHeight
-          def g(x: Int, y: Int): Int = {
-            val rgb = img.getRGB(x, y)
-            ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-          }
-          var hash = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w - 1) {
-              if (g(x + 1, y) > g(x, y)) hash |= 1L << (y * (w - 1) + x)
-              x += 1
-            }
-            y += 1
-          }
-          val rowBits = h * (w - 1)
-          y = 0
-          while (y < h - 1) {
-            var x = 0
-            while (x < w) {
-              if (g(x, y + 1) > g(x, y)) hash |= 1L << (rowBits + y * w + x)
-              x += 1
-            }
-            y += 1
-          }
-          ImageHash(id, hash)
-        }
+        ImageHash(id, rasterDHash(img))
       }).toDF()
+  }
+
+  /** The dHash gradient walk over a decoded raster, shared by [[dHash]] and
+    * [[imageMeta]]. Gradient bits must fit one long: a raster with
+    * h(w−1)+(h−1)w > 64 would wrap the shift amounts mod 64 and silently
+    * fold distinct gradients onto shared bit positions (unrelated images
+    * hashing equal) — such rasters land on the −1 sentinel like undecodable
+    * payloads; classic dHash's 9×8 pre-resample is the policy that brings
+    * arbitrary rasters under the cap.
+    */
+  private def rasterDHash(img: java.awt.image.BufferedImage): Long = {
+    if (img == null ||
+        img.getHeight * (img.getWidth - 1) + (img.getHeight - 1) * img.getWidth > 64)
+      return -1L
+    val w = img.getWidth
+    val h = img.getHeight
+    def g(x: Int, y: Int): Int = {
+      val rgb = img.getRGB(x, y)
+      ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+    }
+    var hash = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w - 1) {
+        if (g(x + 1, y) > g(x, y)) hash |= 1L << (y * (w - 1) + x)
+        x += 1
+      }
+      y += 1
+    }
+    val rowBits = h * (w - 1)
+    y = 0
+    while (y < h - 1) {
+      var x = 0
+      while (x < w) {
+        if (g(x, y + 1) > g(x, y)) hash |= 1L << (rowBits + y * w + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Decoded-image identity record produced by [[imageMeta]]: container-
+    * independent dimensions, channel count, and the perceptual dHash — the
+    * fields a LOSSY codec preserves exactly, which is what makes this the
+    * JPEG gate (the per-pixel stats of [[decodeImages]] are only
+    * formula-restatable for lossless containers).
+    */
+  case class ImageMetaRow(media_id: Long, width: Long, height: Long,
+      channels: Long, dhash: Long)
+
+  /** One-pass decode → (dims, channels, dHash) for ANY `javax.imageio`
+    * container — BMP, PNG, and crucially JPEG, the format real web corpora
+    * are dominated by (r13). JPEG is lossy, so raster bytes are not
+    * formula-restatable; dims/channels survive exactly and the dHash
+    * gradient signs survive any sane quality level when the source image's
+    * adjacent-luminance margins exceed the codec error (the committed
+    * fixtures guarantee ≥60 gray levels per channel vs ≲5 of JPEG noise at
+    * q=0.95 — see [[jpegRaster]]). Undecodable payloads land on the
+    * (0, 0, 0, −1) sentinel row, the [[decodeImages]] dirty-corpus contract.
+    *
+    * Scale: identical to [[decodeImages]] — narrow mapPartitions, the
+    * binary column never shuffles.
+    */
+  def imageMeta(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img =
+          try {
+            if (bytes == null) null
+            else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          } catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) ImageMetaRow(id, 0L, 0L, 0L, -1L)
+        else ImageMetaRow(id, img.getWidth.toLong, img.getHeight.toLong,
+          img.getRaster.getNumBands.toLong, rasterDHash(img))
+      }).toDF()
+  }
+
+  /** The JPEG fixture raster: 6×6 grayscale-in-RGB where
+    * `gray(x, y) = 40 + 20·((3x + 5y + id) mod 9)` on all three channels.
+    * Designed for codec-noise-proof gradient signs: adjacent cells differ by
+    * ±60 or ∓120 gray levels per channel (the mod-9 lattice never produces a
+    * tie), so JPEG quantization error at quality 0.95 (≲5 levels) can never
+    * flip a dHash bit — dims, channels, and dHash are EXACT decode
+    * invariants even through the lossy codec. 6×6 keeps the gradient-bit
+    * count at 60 ≤ 64.
+    */
+  def jpegRaster(id: Long, w: Int = 6, h: Int = 6): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = (40 + 20 * (((3 * x + 5 * y + id) % 9 + 9) % 9)).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Real JPEG encode at an explicit quality (ImageIO's bare `write` hides
+    * the quality knob at 0.75; the fixtures pin 0.95 so the margin math in
+    * [[jpegRaster]] holds).
+    */
+  def encodeJpeg(img: java.awt.image.BufferedImage, quality: Float = 0.95f): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val buf = new java.io.ByteArrayOutputStream()
+    val out = javax.imageio.ImageIO.createImageOutputStream(buf)
+    try {
+      writer.setOutput(out)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { out.close(); writer.dispose() }
+    buf.toByteArray
   }
 
   /** Deterministic 24-bit BMP fixture bytes: pixel-array byte j carries

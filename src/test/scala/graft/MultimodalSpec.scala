@@ -234,6 +234,45 @@ class MultimodalSpec extends SparkSpec {
     out.getAs[Long]("total_energy") shouldBe -1L
   }
 
+  test("imageMeta decodes committed-formula JPEG to the pre-encode dims/channels/dHash") {
+    // the decoded (lossy) raster must carry the SAME gradient signs as the
+    // source raster — the ±60-gray-level margin vs ≲5 of codec noise
+    val ids = Seq(0L, 3L, 8L, 15L)
+    val payload = ids.map(id => (id, Multimodal.encodeJpeg(Multimodal.jpegRaster(id))))
+      .toDF("media_id", "payload")
+    val out = rows(Multimodal.imageMeta(payload, "payload", "media_id").orderBy("media_id"))
+    out.map(_.getAs[Long]("width")) shouldBe Seq.fill(4)(6L)
+    out.map(_.getAs[Long]("channels")) shouldBe Seq.fill(4)(3L)
+    val sourceHashes = ids.map(id =>
+      rows(Multimodal.dHash(
+        // lossless PNG of the same raster = the source-raster dHash
+        Seq((id, {
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(Multimodal.jpegRaster(id), "png", buf)
+          buf.toByteArray
+        })).toDF("media_id", "payload"), "payload", "media_id")).head.getAs[Long]("dhash"))
+    out.map(_.getAs[Long]("dhash")) shouldBe sourceHashes
+  }
+
+  test("dHash is stable across JPEG RE-encodes (decode → re-encode → decode)") {
+    val first = Multimodal.encodeJpeg(Multimodal.jpegRaster(5L))
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(first))
+    val second = Multimodal.encodeJpeg(decoded) // a re-compressed copy of the copy
+    val hashes = rows(Multimodal.dHash(
+      Seq((1L, first), (2L, second)).toDF("media_id", "payload"),
+      "payload", "media_id").orderBy("media_id")).map(_.getAs[Long]("dhash"))
+    hashes(0) shouldBe hashes(1)
+    hashes(0) should not be -1L
+  }
+
+  test("imageMeta: truncated JPEG rides the NonFatal arm onto the sentinel row") {
+    val corrupt = Multimodal.encodeJpeg(Multimodal.jpegRaster(0L)).take(24)
+    val out = rows(Multimodal.imageMeta(
+      Seq((-1L, corrupt)).toDF("media_id", "payload"), "payload", "media_id")).head
+    (out.getAs[Long]("width"), out.getAs[Long]("height"),
+      out.getAs[Long]("channels"), out.getAs[Long]("dhash")) shouldBe (0L, 0L, 0L, -1L)
+  }
+
   test("frameSampleIndices plans every-k frame decode without touching bytes") {
     rows(Seq(Tuple1(10)).toDF("n")
       .select(Multimodal.frameSampleIndices(col("n"), 3).as("idx")))
