@@ -511,6 +511,47 @@ object SparkEntry {
     * item-similarity queries (one row per order; array payloads are
     * basket-sized, so the cached frame is fact-table-row-count bounded).
     */
+  /** How many merges [[bpeTrainCached]] learns (and its duals restate). */
+  private val bpeTrainRounds = 64
+
+  /** The 64-round BPE training loop, once per (session, dir): returns the
+    * merge table and the fully-merged working frame. Same per-round shape
+    * as q_bpe_merges (distributed pair count → 1-row argmax → literal
+    * replace), plus the two things a 20× longer loop needs: a small fixed
+    * partition count (the working frame is corpus-text-sized — 32-task
+    * rounds would be pure scheduling overhead) and a localCheckpoint per
+    * round so lineage/analysis cost stays O(1) per round. Stops early if a
+    * round finds no pair (degenerate single-token corpus) — the duals'
+    * chain just re-selects the last state from there on.
+    */
+  private def bpeTrainCached(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    SessionCache.getOrCompute(s, s"bpetrain:$dir") {
+      import s.implicits._
+      // lazy checkpoints: the next round's argmax job materializes the
+      // frame as a side effect, so each round costs ONE job dispatch, not
+      // two — at 64 rounds the dispatch floor is the whole cost
+      var cur = documents(s, dir).select(
+        array_join(array_remove(split(lower(col("text")), "\\s+"), ""), "  ").as("t"))
+        .repartition(4).localCheckpoint(false)
+      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+      var exhausted = false
+      for (i <- 1 to bpeTrainRounds if !exhausted) {
+        val top = cur.select(explode(graft.expressions.GraftFunctions.ngramStrings(
+            split(col("t"), "  "), 2)).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("gram").asc).limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (gram, c) = (top(0).getString(0), top(0).getLong(1))
+          merges += ((i.toLong, gram, c))
+          cur = cur.select(replace(col("t"),
+            lit(gram.replace(" ", "  ")), lit(gram.replace(" ", "_"))).as("t"))
+            .localCheckpoint(false)
+        }
+      }
+      (merges.toSeq.toDF("step", "merged_pair", "n_occurrences"), cur)
+    }
+
   private def basketIndex(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCompute(s, s"baskets:$dir") {
       val b = Queries.baskets(lineitem(s, dir), "l_orderkey", "l_partkey").cache()
@@ -2388,6 +2429,38 @@ object SparkEntry {
           lit(gram.replace(" ", "  ")), lit(gram.replace(" ", "_"))).as("t"))
       }
       merges.toSeq.toDF("step", "merged_pair", "n_occurrences").orderBy("step")
+    }),
+
+    // FULL BPE TRAINING LOOP (r13 — verdict ask #7): q_bpe_merges's 3-round
+    // demonstration driven to 64 merges, the real driver-iteration shape.
+    // Each round is ONE distributed adjacent-pair count (the codegen'd
+    // bigram kernel) with a 1-row argmax collect; the merge applies as a
+    // narrow literal replace and the working frame localCheckpoints so
+    // round i+1's plan reads round i's materialized rows instead of
+    // replaying i stacked replaces from parquet (O(R) corpus passes, not
+    // O(R²)). The (session, dir)-cached result feeds both the merge-table
+    // gate and the fallback report below.
+    "q_bpe_train" -> ((s, dir) => bpeTrainCached(s, dir)._1.orderBy("step")),
+    // ...and the encoded-corpus report after all 64 merges: token counts
+    // before/after, merged vs FALLBACK tokens (words no merge reached —
+    // they fall back to the base vocab), fallback rate and compression.
+    // tokens_before is recovered exactly from the final frame (every merge
+    // application removes one boundary and writes one '_').
+    "q_bpe_fallback" -> ((s, dir) => {
+      val fin = bpeTrainCached(s, dir)._2
+      val tk = fin.select(explode(split(col("t"), "  ")).as("tok"))
+      tk.agg(
+        (count(lit(1)) + sum(length(col("tok")) -
+          length(regexp_replace(col("tok"), "_", "")))).cast(LongType).as("n_tokens_before"),
+        count(lit(1)).as("n_tokens_after"),
+        sum(when(col("tok").contains("_"), 1L).otherwise(0L)).cast(LongType).as("n_merged_tokens"),
+        sum(when(col("tok").contains("_"), 0L).otherwise(1L)).cast(LongType).as("n_fallback_tokens"))
+        .select(col("n_tokens_before"), col("n_tokens_after"),
+          col("n_merged_tokens"), col("n_fallback_tokens"),
+          round(col("n_fallback_tokens").cast(DoubleType) /
+            col("n_tokens_after").cast(DoubleType), 6).as("fallback_rate"),
+          round(col("n_tokens_before").cast(DoubleType) /
+            col("n_tokens_after").cast(DoubleType), 6).as("compression_ratio"))
     }),
 
     // --- text analysis (north star) --------------------------------------
@@ -5919,6 +5992,25 @@ object SparkEntry {
     * Emits CTE chain ending in `fp(doc_id, pos, h)` (selected fingerprints,
     * deduped); callers append their SELECT.
     */
+  /** The 64-round BPE chain shared by the q_bpe_train/q_bpe_fallback duals:
+    * d0 (normalized double-space-joined corpus), then per round a pair
+    * count (p_i), the argmax merge (m_i) and the applied state (d_i) — all
+    * MATERIALIZED so the chain evaluates once per CTE (see the dual's
+    * comment on DuckDB's per-use inlining).
+    */
+  private def bpeChainSql(rounds: Int): String = {
+    def round(prev: String, i: Int): String =
+      s""" p$i AS MATERIALIZED (SELECT l[i] || ' ' || l[i+1] AS gram, COUNT(*) AS c
+         |   FROM (SELECT string_split(t, '  ') AS l FROM $prev), unnest(range(1, len(l))) AS u(i)
+         |   GROUP BY 1),
+         | m$i AS MATERIALIZED (SELECT gram, c FROM p$i ORDER BY c DESC, gram ASC LIMIT 1),
+         | d$i AS MATERIALIZED (SELECT replace(t, (SELECT replace(gram, ' ', '  ') FROM m$i),
+         |   (SELECT replace(gram, ' ', '_') FROM m$i)) AS t FROM $prev)""".stripMargin.replace("\n", "")
+    """WITH d0 AS MATERIALIZED (SELECT array_to_string(list_filter(string_split_regex(lower(text), '\s+'),
+      |   w -> len(w) > 0), '  ') AS t FROM documents),""".stripMargin.replace("\n", "") +
+      (1 to rounds).map(i => round(s"d${i - 1}", i)).mkString(",")
+  }
+
   private def winnowSql(k: Int, w: Int): String = {
     val gram = (0 until k).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
     s"""WITH wd AS (SELECT doc_id, $dedupWords AS ws FROM documents),
@@ -8978,6 +9070,28 @@ object SparkEntry {
         | FROM pr JOIN k USING (pk) GROUP BY source ORDER BY source""".stripMargin.replace("\n", ""),
     // the 3 BPE rounds unrolled: per round, lateral-unnest adjacent-pair
     // count -> (count desc, gram asc) argmax -> scalar-subquery replace
+    // the 3-round dual scaled to 64 MATERIALIZED rounds: every m_i/d_i CTE
+    // is referenced more than once down the chain, so without MATERIALIZED
+    // DuckDB's per-use inlining would expand the plan ~3^64; materialized,
+    // the chain is linear — 64 pair-counts + 64 replaces, exactly the Spark
+    // loop's work
+    "q_bpe_train" -> (bpeChainSql(bpeTrainRounds) +
+      " SELECT * FROM (" +
+      (1 to bpeTrainRounds).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS step, gram AS merged_pair, c AS n_occurrences FROM m$i")
+        .mkString(" UNION ALL ") +
+      ") ORDER BY step"),
+    // same chain, then the post-merge token stats from the final state;
+    // tokens_before recovered as tokens_after + total '_' writes
+    "q_bpe_fallback" -> (bpeChainSql(bpeTrainRounds) +
+      s""", tk AS (SELECT UNNEST(string_split(t, '  ')) AS tok FROM d$bpeTrainRounds)
+         | SELECT CAST(COUNT(*) + SUM(len(tok) - len(replace(tok, '_', ''))) AS BIGINT) AS n_tokens_before,
+         |   CAST(COUNT(*) AS BIGINT) AS n_tokens_after,
+         |   CAST(SUM(CASE WHEN contains(tok, '_') THEN 1 ELSE 0 END) AS BIGINT) AS n_merged_tokens,
+         |   CAST(SUM(CASE WHEN contains(tok, '_') THEN 0 ELSE 1 END) AS BIGINT) AS n_fallback_tokens,
+         |   round(CAST(SUM(CASE WHEN contains(tok, '_') THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*), 6) AS fallback_rate,
+         |   round(CAST(COUNT(*) + SUM(len(tok) - len(replace(tok, '_', ''))) AS DOUBLE) / COUNT(*), 6) AS compression_ratio
+         | FROM tk""".stripMargin.replace("\n", "")),
     "q_bpe_merges" -> {
       def round(prev: String, i: Int): String =
         s""" p$i AS (SELECT l[i] || ' ' || l[i+1] AS gram, COUNT(*) AS c
