@@ -123,6 +123,51 @@ object ScaleProbe {
       Dedup.embeddingPairsSlim(embs, "embedding", "vec_id", threshold = 0.2,
         dim = 64, planes = 16, bands = 4).count()
     }
+    time("embed_pairs_slim_fine") {
+      // deep-k config (r13, the 100× decade): planes raised 16→28 — the
+      // documented LSH scale knob (finer buckets as the corpus grows, the
+      // k ≈ √N rule). At k=100 the 16-plane config's 16-bucket bands hold
+      // ~12.5k vectors each, so candidate volume is ~4×10⁸ REGARDLESS of
+      // threshold — the quantizer is exhausted, not the exchange; 28 planes
+      // (128 buckets/band) keeps candidates output-bound. Run next to
+      // embed_pairs_lsh_fine below: same candidates, the slim form's band
+      // exchange carries 12-byte rows vs the carried form's vector payload.
+      Dedup.embeddingPairsSlim(embs, "embedding", "vec_id", threshold = 0.2,
+        dim = 64, planes = 28, bands = 4).count()
+    }
+    time("embed_pairs_lsh_fine") {
+      Dedup.embeddingPairs(embs, "embedding", "vec_id", threshold = 0.2,
+        dim = 64, planes = 28, bands = 4).count()
+    }
+    time("embed_dedup_then_pairs") {
+      // THE 100× lesson (r13): under heavy exact replication, LSH candidate
+      // volume grows as replication² × base-collision-rate — at k=100 every
+      // colliding BASE pair is a 100×100 candidate block, and even 28-plane
+      // signatures leave ~10⁸-10⁹ candidates (the direct probe fills local
+      // disk; an int signature cannot buy buckets fine enough). The engine
+      // answer is COMPOSITIONAL: exact-dedup first (one vector-keyed hash
+      // agg — replicas are byte-identical), LSH over the survivors at the
+      // ORIGINAL config, then recover the logical pair count by expanding
+      // cluster sizes over the survivor pairs. The logical multiset is
+      // identical to the direct run's (verified: at 10× this reports
+      // exactly the 4,230,700 pairs the direct probe materializes) and
+      // nothing replication-quadratic ever hits an exchange.
+      val clusters = embs.groupBy(col("embedding"))
+        .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("csz"))
+        .localCheckpoint()
+      val surv = clusters.select(col("vec_id"), col("embedding"))
+      val intra = clusters
+        .agg(sum((col("csz") * (col("csz") - 1) / 2).cast("long")).as("n"))
+        .collect()(0).getLong(0)
+      val sa = clusters.select(col("vec_id").as("id_a"), col("csz").as("ca"))
+      val sb = clusters.select(col("vec_id").as("id_b"), col("csz").as("cb"))
+      val cross = Dedup.embeddingPairsSlim(surv, "embedding", "vec_id",
+          threshold = 0.2, dim = 64, planes = 16, bands = 4)
+        .join(sa, "id_a").join(sb, "id_b")
+        .agg(sum((col("ca") * col("cb")).cast("long")).as("n"))
+        .collect()(0).getLong(0)
+      intra + cross
+    }
     time("kmeans") {
       // k× duplicated vectors leave the centroids mathematically unchanged;
       // the probe isolates the per-iteration corpus passes (assignment
@@ -715,6 +760,28 @@ object ScaleProbe {
         val src = docs.withColumn("source", (col("doc_id") % 4).cast("string"))
         val vocab = TextAnalysis.subwordVocab(src, "text", topWords = 100, topGrams = 100)
         TextAnalysis.subwordEncodeReport(src, "text", "source", vocab).count()
+      }
+      time("bpe_merge_rounds") {
+        // BPE merge-loop growth (r13): 8 rounds of the q_bpe_train shape at
+        // k× — each round is one pair-count shuffle + a 1-row argmax collect
+        // + a narrow replace. Per-round cost must grow linearly in corpus
+        // bytes (the count shuffle carries distinct grams × partial counts,
+        // replication leaves distinct grams invariant so the exchange is
+        // k-invariant — only the scan side grows). Reported rows = rounds.
+        var cur = docs.select(
+          array_join(array_remove(split(lower(col("text")), "\\s+"), ""), "  ").as("t"))
+          .repartition(8).localCheckpoint(false)
+        (1 to 8).foreach { _ =>
+          val top = cur.select(explode(graft.expressions.GraftFunctions.ngramStrings(
+              split(col("t"), "  "), 2)).as("gram"))
+            .groupBy("gram").agg(count(lit(1)).as("c"))
+            .orderBy(col("c").desc, col("gram").asc).limit(1).collect()(0)
+          cur = cur.select(replace(col("t"),
+            lit(top.getString(0).replace(" ", "  ")),
+            lit(top.getString(0).replace(" ", "_"))).as("t"))
+            .localCheckpoint(false)
+        }
+        8L
       }
       time("token_shards") {
         // distributed global rank at k×: per-token-count row_number (bounded
