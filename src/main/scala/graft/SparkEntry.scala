@@ -2009,6 +2009,22 @@ object SparkEntry {
       Dedup.embeddingPairsSlim(embeddings(s, dir), "embedding", "vec_id",
         threshold = 0.2, dim = 64, planes = 16, bands = 4).orderBy("id_a", "id_b")),
 
+    // The REPLICATION-PROOF composition (r13 — the 100× probe lesson as
+    // API, SCALE.md r13): exact-dedup the byte-identical vectors first,
+    // band only the survivors, expand pair WEIGHTS from cluster sizes. The
+    // fixture replicates every vec_id < 50 once (id + 10000), so the gate
+    // pins all three arms: clustering (50 size-2 clusters), survivor-only
+    // banding (same planes as q_embed_dedup_lsh), and the weight algebra
+    // (|Ca|·|Cb| cross, C(sz,2)-at-cos-1 intra).
+    "q_embed_dedup_weighted" -> ((s, dir) => {
+      val base = embeddings(s, dir).select("vec_id", "embedding")
+      val corpus = base.unionByName(base.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Dedup.embeddingPairsDeduped(corpus, "embedding", "vec_id",
+        threshold = 0.2, dim = 64, planes = 16, bands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- similarity search (north star) ----------------------------------
     // DEFAULT provider is the typed bounded top-k Aggregator: map-side
     // partial top-k, so the (query) shuffle carries map_tasks×k candidates
@@ -5959,7 +5975,11 @@ object SparkEntry {
     * DuckDB reproduces the candidate set exactly, then the same exact-cosine
     * verification.
     */
-  private def embedLshSql(threshold: Double, dim: Int, planes: Int, bands: Int): String = {
+  /** The LSH candidate+score CTE chain (`e`→`bits`→`k`→`cand`→`scored`)
+    * over an arbitrary (vec_id, embedding) source CTE/table — shared by the
+    * direct duals and the dedup-composed weighted dual.
+    */
+  private def embedLshCtes(dim: Int, planes: Int, bands: Int, src: String): String = {
     val pvs = Dedup.hyperplanes(planes, dim)
     val rowsPerBand = planes / bands
     val bitExprs = pvs.zipWithIndex.map { case (p, i) =>
@@ -5969,16 +5989,39 @@ object SparkEntry {
       val bucket = (0 until rowsPerBand).map(j => s"(bit${b * rowsPerBand + j} * ${1 << j})").mkString(" + ")
       s"SELECT vec_id, $b AS band, $bucket AS bucket FROM bits"
     }.mkString(" UNION ALL ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $src),
        | bits AS (SELECT vec_id, $bitExprs FROM e),
        | k AS ($bandSelects),
        | cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
        |   FROM k a JOIN k b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
        | scored AS (SELECT id_a, id_b,
        |   list_inner_product(ea.v, eb.v) / (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) AS cos
-       |   FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
-       | SELECT id_a, id_b, cos FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b""".stripMargin.replace("\n", "")
+       |   FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)""".stripMargin.replace("\n", "")
   }
+
+  private def embedLshSql(threshold: Double, dim: Int, planes: Int, bands: Int): String =
+    s"""WITH ${embedLshCtes(dim, planes, bands, "embeddings")}
+       | SELECT id_a, id_b, cos FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b""".stripMargin.replace("\n", "")
+
+  /** Dedup-composed weighted dual: the replicated fixture (every vec_id < 50
+    * gains one byte-identical copy at id+10000) is exact-deduped by GROUP BY
+    * on the vector itself, the SAME LSH chain runs over the survivors, and
+    * weights expand from cluster sizes — cross pairs |Ca|·|Cb|, intra
+    * clusters C(sz,2) at cos 1.
+    */
+  private def embedWeightedSql(threshold: Double, dim: Int, planes: Int, bands: Int): String =
+    s"""WITH src AS (SELECT vec_id, embedding FROM embeddings
+       |   UNION ALL SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 50),
+       | cl AS (SELECT embedding, MIN(vec_id) AS vec_id, COUNT(*) AS csz FROM src GROUP BY embedding),
+       | ${embedLshCtes(dim, planes, bands, "cl")}
+       | SELECT * FROM (
+       |  SELECT s.id_a, s.id_b, s.cos, CAST(ca.csz * cb.csz AS BIGINT) AS n_pairs
+       |  FROM scored s JOIN cl ca ON ca.vec_id = s.id_a JOIN cl cb ON cb.vec_id = s.id_b
+       |  WHERE s.cos >= $threshold
+       |  UNION ALL
+       |  SELECT vec_id, vec_id, CAST(1.0 AS DOUBLE), CAST((csz * (csz - 1)) // 2 AS BIGINT)
+       |  FROM cl WHERE csz > 1
+       | ) ORDER BY id_a, id_b""".stripMargin.replace("\n", "")
 
   /** Full restatement of the PARTIAL-probe IVF pipeline over the same literal
     * ±1 centroids as the Spark side (q_ivf_recall): assignment = argmax
@@ -7711,6 +7754,7 @@ object SparkEntry {
     "q_embed_dedup_lsh" -> embedLshSql(threshold = 0.2, dim = 64, planes = 16, bands = 4),
     // join-back variant emits the identical pair multiset — one dual shape
     "q_embed_dedup_slim" -> embedLshSql(threshold = 0.2, dim = 64, planes = 16, bands = 4),
+    "q_embed_dedup_weighted" -> embedWeightedSql(threshold = 0.2, dim = 64, planes = 16, bands = 4),
     "q_fingerprints" ->
       """WITH w AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[\p{L}\p{Nd}]+') AS ws FROM documents)
         | SELECT doc_id,

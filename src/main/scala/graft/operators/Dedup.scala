@@ -911,4 +911,41 @@ object Dedup {
       .filter(cos >= threshold)
       .select(col("id_a"), col("id_b"), cos.as("cos"))
   }
+
+  /** Exact-dedup → LSH → weighted-pair expansion: the composition the 100×
+    * probe proved is the ONLY shape that survives heavy exact replication
+    * (SCALE.md r13 — direct banding at replication k makes every colliding
+    * base pair a k×k candidate block, candidates ∝ replication², and no int
+    * signature buys buckets fine enough; composed, nothing quadratic ever
+    * reaches an exchange: 424 M logical pairs in 10 s / 52 MiB at 100×).
+    *
+    * Step 1 groups byte-identical vectors (one vector-keyed hash agg),
+    * keeping the min-id survivor and the cluster size. Step 2 runs
+    * [[embeddingPairsSlim]] over the survivors at the ORIGINAL banding
+    * config. Step 3 restores the duplicate-aware semantics: each survivor
+    * pair (a, b) carries `n_pairs = |C_a|·|C_b|` (every replica combination)
+    * and each cluster of size > 1 contributes an intra row (keeper, keeper,
+    * cos = 1, C(size, 2)). The output multiset of (pair, weight) equals the
+    * direct run's pair multiset exactly — pinned by the 10× probe equality
+    * and the q_embed_dedup_weighted hash gate.
+    */
+  def embeddingPairsDeduped(
+      df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double = 0.95, dim: Int = 64,
+      planes: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    val clusters = df.groupBy(col(vecCol))
+      .agg(min(col(idCol)).as("__id"), count(lit(1)).as("__csz"))
+    val surv = clusters.select(col("__id").as(idCol), col(vecCol))
+    val sa = clusters.select(col("__id").as("id_a"), col("__csz").as("__ca"))
+    val sb = clusters.select(col("__id").as("id_b"), col("__csz").as("__cb"))
+    val cross = embeddingPairsSlim(surv, vecCol, idCol, threshold, dim, planes, bands, seed)
+      .join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"), col("cos"),
+        (col("__ca") * col("__cb")).as("n_pairs"))
+    val intra = clusters.filter(col("__csz") > 1)
+      .select(col("__id").as("id_a"), col("__id").as("id_b"), lit(1.0).as("cos"),
+        (col("__csz") * (col("__csz") - 1) / 2).cast(org.apache.spark.sql.types.LongType)
+          .as("n_pairs"))
+    cross.unionByName(intra)
+  }
 }

@@ -232,6 +232,24 @@ class DedupSpec extends SparkSpec {
     slim shouldBe carried
   }
 
+  test("embeddingPairsDeduped total weight == direct pair count under replication") {
+    // the replication-proof composition must cover the direct run's logical
+    // pair multiset exactly: every replica pair is accounted once, either as
+    // a weighted survivor pair or an intra-cluster C(sz,2) row
+    val rng = new scala.util.Random(23)
+    val dim = 8; val planes = 8; val bands = 4
+    val base = (0L until 40L).map(i => (i, Array.fill(dim)(rng.nextFloat() * 2f - 1f)))
+    val replicated = (0 until 3).flatMap(r =>
+      base.map { case (id, v) => (id + r * 1000L, v) }).toDF("vec_id", "embedding")
+    val direct = Dedup.embeddingPairsSlim(replicated, "embedding", "vec_id",
+      threshold = 0.3, dim = dim, planes = planes, bands = bands).count()
+    val composed = rows(Dedup.embeddingPairsDeduped(replicated, "embedding", "vec_id",
+      threshold = 0.3, dim = dim, planes = planes, bands = bands)
+      .agg(sum(col("n_pairs")))).head.getLong(0)
+    direct should be > 0L
+    composed shouldBe direct
+  }
+
   test("embeddingPairs first-matching-band dedup equals the dropDuplicates formulation") {
     // property: the shuffle-free per-row dedup (keep a pair only in the first
     // band where the signature slices agree) emits exactly the candidate set
