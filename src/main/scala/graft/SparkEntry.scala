@@ -2594,6 +2594,43 @@ object SparkEntry {
         .toDF("version", "action", "n_added", "n_removed", "n_live_batches", "n_rows")
         .orderBy("version")
     }),
+    // ...and the STREAMING sink through the same log (r13): foreachBatch →
+    // TxTable.appendIdempotent, the Delta txnAppId/txnVersion contract in
+    // miniature. The events stream drains under AvailableNow (one file ⇒
+    // one deterministic micro-batch), then the WHOLE stream REPLAYS from a
+    // fresh checkpoint — batch ids restart, redelivering batch 0 — and the
+    // idempotency token must swallow the redelivery: the gate pins history
+    // to exactly one append carrying token evloader:0 with the full events
+    // row count. This is the streaming→lake exactly-once story: retries and
+    // restarts cannot double-land a batch.
+    "q_stream_table_commits" -> ((s, dir) => {
+      import s.implicits._
+      tune(s)
+      val t = graft.sources.TxTable(s,
+        SessionCache.registerTmpIndexDir(procTmp("graft_txstream")),
+        s"ev_${Integer.toHexString(dir.hashCode)}")
+      if (SessionCache.once(s, s"txstream:$dir")) {
+        withStreamConf(s, noDataBatch = false) {
+          def drain(cp: String): Unit = {
+            val q = eventStream(s, dir).select("event_id", "event_type", "value")
+              .writeStream
+              .foreachBatch { (b: DataFrame, id: Long) =>
+                t.appendIdempotent(b, "evloader", id); ()
+              }
+              .option("checkpointLocation",
+                SessionCache.registerTmpIndexDir(procTmp(cp)))
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
+          drain("graft_txstream_cp1")
+          drain("graft_txstream_cp2") // full replay: same batch ids, fresh checkpoint
+        }
+      }
+      t.history.map(m => (m.version, m.action, m.txn.getOrElse(""),
+          t.snapshot(m.version).count()))
+        .toDF("version", "action", "txn", "n_rows").orderBy("version")
+    }),
 
     // --- dataset curation: splits / sampling / quality gate ----------------
     "q_top_tokens" -> ((s, dir) =>
@@ -7842,6 +7879,13 @@ object SparkEntry {
         | UNION ALL SELECT 4, 'append', 1, 0, 2,
         |   (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
         |) ORDER BY version""".stripMargin.replace("\n", ""),
+    // idempotent streaming commits: one AvailableNow drain = one batch (one
+    // source file), the full replay redelivers batch 0 and the txn token
+    // swallows it — history stays a single tagged append
+    "q_stream_table_commits" ->
+      """SELECT CAST(1 AS BIGINT) AS version, 'append' AS action,
+        | 'evloader:0' AS txn,
+        | (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_rows""".stripMargin.replace("\n", ""),
     "q_winnow_matches" -> (winnowSql(k = 4, w = 5) +
       """, fpd AS (SELECT DISTINCT doc_id, h FROM fp),
         | rare AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df

@@ -57,10 +57,12 @@ final case class TxTable(spark: SparkSession, root: String, name: String) {
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** One committed version: the action tag, the batch dirs this commit
-    * added/removed, and the full live set after it.
+    * added/removed, the full live set after it, and the optional idempotency
+    * token (`writerId:batchId`) of an [[appendIdempotent]] commit.
     */
   final case class Manifest(version: Long, action: String,
-      added: Seq[String], removed: Seq[String], files: Seq[String])
+      added: Seq[String], removed: Seq[String], files: Seq[String],
+      txn: Option[String] = None)
 
   def currentVersion: Long =
     if (!fs.exists(currentPtr)) 0L
@@ -82,7 +84,7 @@ final case class TxTable(spark: SparkSession, root: String, name: String) {
     def section(tag: String): Seq[String] =
       lines.filter(_.startsWith(tag + " ")).map(_.drop(tag.length + 1))
     Manifest(v, lines.head.stripPrefix("action="),
-      section("A"), section("R"), section("F"))
+      section("A"), section("R"), section("F"), section("T").headOption)
   }
 
   /** All retained manifests, oldest first. */
@@ -103,8 +105,34 @@ final case class TxTable(spark: SparkSession, root: String, name: String) {
     */
   def append(df: DataFrame, partitions: Int = 1): Long = {
     val staged = stage(df, partitions)
-    commit("append", add = Seq(staged), remove = Nil)
+    commit("append", add = Seq(staged), remove = Nil).get
   }
+
+  /** Idempotent append keyed by (writerId, batchId) — the Delta
+    * txnAppId/txnVersion pattern in miniature, and exactly the
+    * `foreachBatch` sink contract: a micro-batch REDELIVERED after a
+    * failure/restart (same writer, same batch id) must not double-append.
+    * The token rides the commit manifest, so the dedup check and the commit
+    * are one atomic step: the token is re-checked against the LIVE history
+    * inside the commit lock on every (rebase) attempt — two racing
+    * deliveries of one batch can never both land. Returns the committed
+    * version, or None when the token was already committed (the staged
+    * parquet is discarded).
+    */
+  def appendIdempotent(df: DataFrame, writerId: String, batchId: Long,
+      partitions: Int = 1): Option[Long] = {
+    val tag = s"$writerId:$batchId"
+    if (committedTxns.contains(tag)) return None // cheap pre-check, no staging
+    val staged = stage(df, partitions)
+    val v = commit("append", add = Seq(staged), remove = Nil, txn = Some(tag))
+    if (v.isEmpty) fs.delete(new Path(staged), true) // lost the txn race
+    v
+  }
+
+  /** All idempotency tokens in the retained history. O(versions) tiny
+    * manifest reads — log-scale, never data-scale.
+    */
+  def committedTxns: Set[String] = history.flatMap(_.txn).toSet
 
   /** Compact the given batch dirs (default: all live) into one rewritten
     * batch: the remove side is what makes two compactions of the same dirs
@@ -115,7 +143,7 @@ final case class TxTable(spark: SparkSession, root: String, name: String) {
     val victims = target.getOrElse(manifest(v).files)
     require(victims.nonEmpty, "nothing to compact")
     val staged = stage(spark.read.parquet(victims: _*), partitions)
-    commit("compact", add = Seq(staged), remove = victims)
+    commit("compact", add = Seq(staged), remove = victims).get
   }
 
   /** Physically delete batch dirs no retained manifest references — safe
@@ -137,41 +165,53 @@ final case class TxTable(spark: SparkSession, root: String, name: String) {
     staged.toString
   }
 
-  private def commit(action: String, add: Seq[String], remove: Seq[String]): Long = {
+  /** Returns Some(version) on commit, or None when `txn` is set and its
+    * token already rides a retained manifest (the idempotent-skip). The
+    * token check happens INSIDE the lock on every attempt, so it sees every
+    * interleaved commit.
+    */
+  private def commit(action: String, add: Seq[String], remove: Seq[String],
+      txn: Option[String] = None): Option[Long] = {
     var attempt = 0
     while (true) {
-      val committed = TxTable.rootLock(dir).synchronized {
+      // outer None = CAS lost (retry/rebase); Some(None) = txn already
+      // committed (idempotent skip); Some(Some(v)) = committed as v
+      val committed: Option[Option[Long]] = TxTable.rootLock(dir).synchronized {
         val v = currentVersion
-        val base = if (v == 0) Seq.empty[String] else manifest(v).files
-        val missing = remove.filterNot(base.contains)
-        if (missing.nonEmpty)
-          throw new java.util.ConcurrentModificationException(
-            s"table $name commit conflict: batch(es) ${missing.mkString(", ")} " +
-              "no longer live (rewritten or removed by a concurrent commit)")
-        val next = v + 1
-        val claim = new Path(logDir, f"_claim_v$next%08d")
-        if (!fs.exists(logDir)) fs.mkdirs(logDir)
-        val claimed =
-          try { fs.create(claim, false).close(); true }
-          catch { case _: java.io.IOException => false }
-        if (claimed) {
-          val files = base.filterNot(remove.toSet) ++ add
-          val body = (s"action=$action" +: (add.map("A " + _) ++
-            remove.map("R " + _) ++ files.map("F " + _))).mkString("\n")
-          val tmp = new Path(logDir, s".v$next.tmp.${ProcessHandle.current().pid()}")
-          val out = fs.create(tmp, true)
-          try out.write(body.getBytes("UTF-8")) finally out.close()
-          fs.rename(tmp, manifestPath(next))
-          val ptrTmp = new Path(logDir, s"_CURRENT.tmp.${ProcessHandle.current().pid()}")
-          val pout = fs.create(ptrTmp, true)
-          try pout.write(f"v$next%08d".getBytes("UTF-8")) finally pout.close()
-          if (fs.exists(currentPtr)) fs.delete(currentPtr, false)
-          fs.rename(ptrTmp, currentPtr)
-          Some(next)
-        } else None
+        if (txn.exists(t => committedTxns.contains(t))) Some(None)
+        else {
+          val base = if (v == 0) Seq.empty[String] else manifest(v).files
+          val missing = remove.filterNot(base.contains)
+          if (missing.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"table $name commit conflict: batch(es) ${missing.mkString(", ")} " +
+                "no longer live (rewritten or removed by a concurrent commit)")
+          val next = v + 1
+          val claim = new Path(logDir, f"_claim_v$next%08d")
+          if (!fs.exists(logDir)) fs.mkdirs(logDir)
+          val claimed =
+            try { fs.create(claim, false).close(); true }
+            catch { case _: java.io.IOException => false }
+          if (claimed) {
+            val files = base.filterNot(remove.toSet) ++ add
+            val body = (s"action=$action" +: (add.map("A " + _) ++
+              remove.map("R " + _) ++ files.map("F " + _) ++
+              txn.map("T " + _).toSeq)).mkString("\n")
+            val tmp = new Path(logDir, s".v$next.tmp.${ProcessHandle.current().pid()}")
+            val out = fs.create(tmp, true)
+            try out.write(body.getBytes("UTF-8")) finally out.close()
+            fs.rename(tmp, manifestPath(next))
+            val ptrTmp = new Path(logDir, s"_CURRENT.tmp.${ProcessHandle.current().pid()}")
+            val pout = fs.create(ptrTmp, true)
+            try pout.write(f"v$next%08d".getBytes("UTF-8")) finally pout.close()
+            if (fs.exists(currentPtr)) fs.delete(currentPtr, false)
+            fs.rename(ptrTmp, currentPtr)
+            Some(Some(next))
+          } else None
+        }
       }
       committed match {
-        case Some(next) => return next
+        case Some(result) => return result
         case None =>
           // CAS lost: rebase if our removes are untouched by the interleaved
           // commits, else surface the conflict (the overlap rule). The

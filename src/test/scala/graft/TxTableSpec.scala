@@ -82,6 +82,42 @@ class TxTableSpec extends SparkSpec {
     t.manifest(4L).files.size shouldBe 2
   }
 
+  test("appendIdempotent: a redelivered (writer, batch) token never double-appends") {
+    val t = freshTable("idem")
+    t.appendIdempotent(Seq(1, 2).toDF("x"), "w1", 0L) shouldBe Some(1L)
+    t.appendIdempotent(Seq(3).toDF("x"), "w1", 1L) shouldBe Some(2L)
+    // the foreachBatch failure-retry case: same writer, same batch id
+    t.appendIdempotent(Seq(1, 2).toDF("x"), "w1", 0L) shouldBe None
+    // a DIFFERENT writer's batch 0 is its own transaction
+    t.appendIdempotent(Seq(9).toDF("x"), "w2", 0L) shouldBe Some(3L)
+    t.snapshot().count() shouldBe 4L
+    t.history.flatMap(_.txn) shouldBe Seq("w1:0", "w1:1", "w2:0")
+    // the skipped redelivery's staged parquet was discarded, not leaked
+    t.vacuum() shouldBe empty
+  }
+
+  test("appendIdempotent race: two concurrent deliveries of one batch, exactly one lands") {
+    val t = freshTable("idemrace")
+    val barrier = new CyclicBarrier(2)
+    val pool = Executors.newFixedThreadPool(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Option[Long]]()
+    val done = new CountDownLatch(2)
+    (1 to 2).foreach { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try { barrier.await(30, TimeUnit.SECONDS)
+            results.add(t.appendIdempotent(Seq(7).toDF("x"), "w", 5L)) }
+          catch { case e: Throwable => results.add(None); e.printStackTrace() }
+          finally done.countDown()
+      })
+    }
+    done.await(120, TimeUnit.SECONDS) shouldBe true
+    pool.shutdown()
+    import scala.jdk.CollectionConverters._
+    results.asScala.toSeq.flatten shouldBe Seq(1L) // exactly one commit
+    t.snapshot().count() shouldBe 1L
+  }
+
   test("vacuum deletes only unreferenced batch dirs") {
     val t = freshTable("vacuum")
     t.append(Seq(1).toDF("x"))
