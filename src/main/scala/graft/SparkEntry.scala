@@ -5250,6 +5250,31 @@ object SparkEntry {
         graft.operators.Web.canonicalize(
           graft.operators.Web.withUrls(documents(s, dir)), "url"), "text")
         .orderBy("domain")),
+    // HTML → text extraction (r13): the pipeline front. Deterministic full
+    // pages (title/h1/script-with-bare-`<`/style/entities/two links) built
+    // around each doc; the strip chain must drop script/style BLOCKS before
+    // tags, decode entities after (&amp; last), and collapse whitespace —
+    // every rule is in the hash gate. Scan-speed, zero data shuffle.
+    "q_html_extract" -> ((s, dir) => {
+      val h = graft.operators.Web.withHtml(
+        graft.operators.Web.withUrls(documents(s, dir)))
+      h.select(col("doc_id"),
+        graft.operators.Web.htmlToText(col("html")).as("text_clean"),
+        size(graft.operators.Web.extractLinks(col("html"))).cast(LongType).as("n_links"))
+        .orderBy("doc_id")
+    }),
+    // ...and the link graph out of the same pages: href extraction →
+    // explode → the SAME canonicalization chain as q_url_canonicalize —
+    // HTML parse, URL normalization, and domain attribution composed
+    "q_html_links" -> ((s, dir) => {
+      val h = graft.operators.Web.withHtml(
+        graft.operators.Web.withUrls(documents(s, dir)))
+      val links = h.select(col("doc_id"),
+        explode(graft.operators.Web.extractLinks(col("html"))).as("url"))
+      graft.operators.Web.canonicalize(links, "url")
+        .select("doc_id", "url", "url_canon", "domain")
+        .orderBy("doc_id", "url")
+    }),
 
     // --- sources (SURVEY §2.1; rows-only — fixture inputs, not sfDir tables)
     "q_csv_stock_autodetect" -> ((s, _) =>
@@ -5884,7 +5909,12 @@ object SparkEntry {
     * same param filter + lexicographic sort, same PSL-lite domain rule and
     * SURT layout.
     */
-  private def urlCtes: String =
+  private def urlCtes: String = urlFixtureCte + "," + canonChainSql("u")
+
+  /** Just the messy-URL fixture CTE `u` (doc_id, text, url) — the shared
+    * base of the URL duals and the HTML-page duals.
+    */
+  private def urlFixtureCte: String =
     """u AS (SELECT doc_id, text,
       |   CASE CAST((doc_id // 100) % 5 AS INTEGER)
       |     WHEN 0 THEN 'HTTP://WWW.' || upper(hb) || ':80' || art || '?utm_source=feed&x=2&id=' || cs || '#frag'
@@ -5899,18 +5929,33 @@ object SparkEntry {
       |      CAST(doc_id % 100 AS VARCHAR) AS cs,
       |      CAST(doc_id % 100 % 7 AS VARCHAR) AS hs,
       |      '/articles/' || CAST(doc_id % 100 AS VARCHAR) AS art
-      |     FROM documents))),
-      | pr AS (SELECT doc_id, text, url, regexp_replace(url, '#.*', '') AS nofrag FROM u),
+      |     FROM documents)))""".stripMargin.replace("\n", "")
+
+  /** The HTML-page fixture CTE `h` over `u` — the verbatim restatement of
+    * [[graft.operators.Web.withHtml]]'s template.
+    */
+  private def htmlCtes: String =
+    urlFixtureCte + "," +
+    """ h AS (SELECT doc_id, text,
+      |   '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title><script>var x = 1 < 2;</script><style>.c{color:red}</style></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || ' &amp; tail &lt;tag&gt;</p><a href="' || url || '">first</a> <a href="HTTP://Example.COM/p?id=' || CAST(doc_id % 100 AS VARCHAR) || '#x">second</a></body></html>' AS html
+      |  FROM u)""".stripMargin.replace("\n", "")
+
+  /** The canonicalization CTE chain (`pr`→`p2`→`p3`→`p4`→`cn`) over any
+    * source CTE carrying (doc_id, text, url) — shared by the URL-fixture
+    * duals and the HTML-link duals.
+    */
+  private def canonChainSql(src: String): String =
+    s""" pr AS (SELECT doc_id, text, url, regexp_replace(url, '#.*', '') AS nofrag FROM $src),
       | p2 AS (SELECT doc_id, text, url,
       |   lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
       |   lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
       |   regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
-      |   regexp_extract(nofrag, '\?([^#]*)', 1) AS rawq FROM pr),
+      |   regexp_extract(nofrag, '\\?([^#]*)', 1) AS rawq FROM pr),
       | p3 AS (SELECT doc_id, text, url, scheme,
-      |   regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), '^www\.', '') AS host,
-      |   regexp_extract(hostport, ':([0-9]+)$', 1) AS prt,
-      |   CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
-      |     ELSE regexp_replace(rawpath, '/+$', '') END AS pth,
+      |   regexp_replace(regexp_replace(hostport, ':[0-9]+$$', ''), '^www\\.', '') AS host,
+      |   regexp_extract(hostport, ':([0-9]+)$$', 1) AS prt,
+      |   CASE WHEN regexp_replace(rawpath, '/+$$', '') = '' THEN '/'
+      |     ELSE regexp_replace(rawpath, '/+$$', '') END AS pth,
       |   array_to_string(list_sort(list_filter(string_split(rawq, '&'),
       |     q -> len(q) > 0 AND NOT regexp_matches(q, '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid)='))), '&') AS qs
       |  FROM p2),
@@ -5922,7 +5967,7 @@ object SparkEntry {
       | cn AS (SELECT doc_id, text, url,
       |   scheme || '://' || host || portsfx || pth || qsfx AS url_canon,
       |   CASE WHEN len(labels) <= 2 THEN host
-      |     WHEN regexp_matches(host, '\.(co\.uk|org\.uk|com\.au|co\.jp)$') THEN array_to_string(labels[-3:], '.')
+      |     WHEN regexp_matches(host, '\\.(co\\.uk|org\\.uk|com\\.au|co\\.jp)$$') THEN array_to_string(labels[-3:], '.')
       |     ELSE array_to_string(labels[-2:], '.') END AS domain,
       |   array_to_string(list_reverse(labels), ',') || portsfx || ')' || pth || qsfx AS surt
       |  FROM p4)""".stripMargin.replace("\n", "")
@@ -8818,6 +8863,22 @@ object SparkEntry {
          |   round(1.0 - CAST(COUNT(DISTINCT surt) AS DOUBLE) / COUNT(*), 6) AS dup_rate,
          |   CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0))) AS BIGINT) AS total_tokens
          | FROM cn GROUP BY domain ORDER BY domain""".stripMargin.replace("\n", ""),
+    // strip chain restated with DuckDB's 'g' flag (global replace = Spark's
+    // regexp_replace semantics); same block-before-tag order, same entity
+    // order (&amp; last), same collapse+trim
+    "q_html_extract" -> ("WITH " + htmlCtes + "," +
+      """ s1 AS (SELECT doc_id, html, regexp_replace(html, '(?s)<script.*?</script>', ' ', 'g') AS t FROM h),
+        | s2 AS (SELECT doc_id, html, regexp_replace(t, '(?s)<style.*?</style>', ' ', 'g') AS t FROM s1),
+        | s3 AS (SELECT doc_id, html, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+        | s4 AS (SELECT doc_id, html, replace(replace(replace(replace(replace(t,
+        |   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM s3)
+        | SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text_clean,
+        |   CAST(len(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS BIGINT) AS n_links
+        | FROM s4 ORDER BY doc_id""".stripMargin.replace("\n", "")),
+    "q_html_links" -> ("WITH " + htmlCtes + "," +
+      """ links AS (SELECT doc_id, text, UNNEST(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS url FROM h),""".stripMargin.replace("\n", "") +
+      canonChainSql("links") +
+      " SELECT doc_id, url, url_canon, domain FROM cn ORDER BY doc_id, url"),
     "q_media_decode" -> mediaDecodeSql,
     "q_jpeg_decode" -> jpegDecodeSql,
     "q_image_dhash" -> dhashSql,

@@ -130,6 +130,51 @@ object Web {
         count(lit(1)).cast(DoubleType), 6).as("dup_rate"),
       sum(TextAnalysis.wsTokens(col(textCol)).cast(LongType)).as("total_tokens"))
 
+  /** HTML → text extraction (r13): the front of every web-corpus pipeline.
+    * Order is load-bearing: script/style BLOCKS drop first (dotall,
+    * non-greedy — a `<` inside script code must not derail tag stripping),
+    * then tags strip to spaces, then entities decode (`&amp;` LAST or it
+    * double-decodes), then whitespace collapses. Pure codegen'd string
+    * expressions — scan-speed, zero shuffle, the [[canonicalize]] class.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = replace(
+      replace(
+        replace(
+          replace(
+            replace(noTags, lit("&lt;"), lit("<")),
+            lit("&gt;"), lit(">")),
+          lit("&quot;"), lit("\"")),
+        lit("&#39;"), lit("'")),
+      lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** All href link targets in an HTML payload, in document order. */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit("href=\"([^\"]*)\""), lit(1))
+
+  /** Deterministic HTML fixture around (doc_id, text, url): a full page with
+    * title/h1, a script block containing a bare `<` (the classic
+    * tag-stripper trap), a style block, entity-encoded text, and two links
+    * (the doc's messy [[withUrls]] URL + a case-messy absolute second link).
+    * Pure string concatenation the oracle restates verbatim.
+    */
+  def withHtml(docsWithUrl: DataFrame): DataFrame = {
+    val idStr = col("doc_id").cast(StringType)
+    val c = (col("doc_id") % 100).cast(StringType)
+    docsWithUrl.withColumn("html", concat(
+      lit("<html><head><title>Doc "), idStr,
+      lit("</title><script>var x = 1 < 2;</script><style>.c{color:red}</style></head><body><h1>Doc "),
+      idStr, lit("</h1><p>"), col("text"),
+      lit(" &amp; tail &lt;tag&gt;</p><a href=\""), col("url"),
+      lit("\">first</a> <a href=\"HTTP://Example.COM/p?id="), c,
+      lit("#x\">second</a></body></html>")))
+  }
+
   /** Deterministic messy-URL fixture: derives a crawl-shaped `url` column
     * from `doc_id` — 100 page clusters (c = doc_id % 100), 7 hosts
     * (c % 7, one under a multi-label suffix), 5 mess variants

@@ -86,6 +86,33 @@ class WebSpec extends SparkSpec {
       Seq(("example.com", 3L, 2L, 0.333333, 6L))
   }
 
+  test("htmlToText: script blocks with bare < drop BEFORE tag stripping") {
+    val html = """<html><script>if (a < b) { f(); }</script><p>kept</p></html>"""
+    rows(Seq(html).toDF("h").select(Web.htmlToText(col("h")).as("t")))
+      .head.getString(0) shouldBe "kept"
+  }
+
+  test("htmlToText: entity decode order — &amp; last, no double-decode") {
+    // &amp;lt; must decode to the literal text "&lt;", NOT to "<"
+    val html = "<p>&amp;lt; and &lt;x&gt; &quot;q&quot; &#39;s&#39; &amp; end</p>"
+    rows(Seq(html).toDF("h").select(Web.htmlToText(col("h")).as("t")))
+      .head.getString(0) shouldBe "&lt; and <x> \"q\" 's' & end"
+  }
+
+  test("htmlToText: style blocks drop, whitespace collapses, output trimmed") {
+    val html = "<div>  a  <style>.x{}</style>\n\n b \t c  </div>"
+    rows(Seq(html).toDF("h").select(Web.htmlToText(col("h")).as("t")))
+      .head.getString(0) shouldBe "a b c"
+  }
+
+  test("extractLinks pulls hrefs in document order; composes with canonicalize") {
+    val html = """<a href="HTTP://A.Example.COM:80/p#f">x</a><img src="i"/><a href="https://b.example.com/q?utm_source=s&id=1">y</a>"""
+    val links = Seq((7L, html)).toDF("doc_id", "h")
+      .select(col("doc_id"), explode(Web.extractLinks(col("h"))).as("url"))
+    rows(Web.canonicalize(links, "url").select("url_canon")).map(_.getString(0)) shouldBe
+      Seq("http://a.example.com/p", "https://b.example.com/q?id=1")
+  }
+
   test("plan guard: canonicalize is a shuffle-free narrow projection") {
     val plan = Web.canonicalize(Web.withUrls(Seq((1L, "t")).toDF("doc_id", "text")), "url")
       .queryExecution.executedPlan.toString
