@@ -5250,6 +5250,27 @@ object SparkEntry {
         graft.operators.Web.canonicalize(
           graft.operators.Web.withUrls(documents(s, dir)), "url"), "text")
         .orderBy("domain")),
+    // ...and the budget APPLIED (the consumer of q_domain_report): within
+    // each registrable domain, docs rank by quality proxy (longer first,
+    // doc_id tiebreak) and accumulate whitespace tokens; a doc is kept while
+    // its running total fits the 2,000-token domain budget — the greedy
+    // per-domain cap every mixture recipe executes. One exchange (the
+    // domain window); the rank and the cumulative sum share it.
+    "q_domain_budget" -> ((s, dir) => {
+      val c = graft.operators.Web.canonicalize(
+        graft.operators.Web.withUrls(documents(s, dir)), "url")
+        .select(col("doc_id"), col("domain"),
+          TextAnalysis.wsTokens(col("text")).cast(LongType).as("ws_tokens"),
+          col("n_chars"))
+      val w = Window.partitionBy("domain")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      c.withColumn("rnk", row_number().over(w))
+        .withColumn("cum_tokens",
+          sum(col("ws_tokens")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("kept", col("cum_tokens") <= 2000L)
+        .select("doc_id", "domain", "ws_tokens", "rnk", "cum_tokens", "kept")
+        .orderBy("domain", "rnk")
+    }),
     // HTML → text extraction (r13): the pipeline front. Deterministic full
     // pages (title/h1/script-with-bare-`<`/style/entities/two links) built
     // around each doc; the strip chain must drop script/style BLOCKS before
@@ -8863,6 +8884,20 @@ object SparkEntry {
          |   round(1.0 - CAST(COUNT(DISTINCT surt) AS DOUBLE) / COUNT(*), 6) AS dup_rate,
          |   CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0))) AS BIGINT) AS total_tokens
          | FROM cn GROUP BY domain ORDER BY domain""".stripMargin.replace("\n", ""),
+    // same domain window: rank by (n_chars DESC, doc_id), running token sum,
+    // greedy 2,000-token budget cut
+    "q_domain_budget" -> ("WITH " + urlCtes + "," +
+      """ d AS (SELECT doc_id, domain,
+        |   CAST(len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS BIGINT) AS ws_tokens,
+        |   (SELECT n_chars FROM documents dd WHERE dd.doc_id = cn.doc_id) AS n_chars
+        |  FROM cn),
+        | r AS (SELECT doc_id, domain, ws_tokens,
+        |   CAST(row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id ASC) AS INTEGER) AS rnk,
+        |   CAST(SUM(ws_tokens) OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id ASC
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM d)
+        | SELECT doc_id, domain, ws_tokens, rnk, cum_tokens, cum_tokens <= 2000 AS kept
+        | FROM r ORDER BY domain, rnk""".stripMargin.replace("\n", "")),
     // strip chain restated with DuckDB's 'g' flag (global replace = Spark's
     // regexp_replace semantics); same block-before-tag order, same entity
     // order (&amp; last), same collapse+trim
