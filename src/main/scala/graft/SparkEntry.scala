@@ -2623,8 +2623,12 @@ object SparkEntry {
               .start()
             q.awaitTermination()
           }
-          drain("graft_txstream_cp1")
-          drain("graft_txstream_cp2") // full replay: same batch ids, fresh checkpoint
+          // checkpoints must be dir-qualified like the table name: Bench
+          // warms every query at sf0.001 first, and a checkpoint created
+          // against one source path poisons a later run against another
+          val dh = Integer.toHexString(dir.hashCode)
+          drain(s"graft_txstream_cp1_$dh")
+          drain(s"graft_txstream_cp2_$dh") // full replay: same batch ids, fresh checkpoint
         }
       }
       t.history.map(m => (m.version, m.action, m.txn.getOrElse(""),
