@@ -769,16 +769,18 @@ object ScaleProbe {
         // replication leaves distinct grams invariant so the exchange is
         // k-invariant — only the scan side grows). Reported rows = rounds.
         var cur = docs.select(
-          array_join(array_remove(split(lower(col("text")), "\\s+"), ""), "  ").as("t"))
+          concat(lit("  "),
+            array_join(array_remove(split(lower(col("text")), "\\s+"), ""), "  "),
+            lit("  ")).as("t"))
           .repartition(8).localCheckpoint(false)
         (1 to 8).foreach { _ =>
           val top = cur.select(explode(graft.expressions.GraftFunctions.ngramStrings(
-              split(col("t"), "  "), 2)).as("gram"))
+              split(trim(col("t")), "  "), 2)).as("gram"))
             .groupBy("gram").agg(count(lit(1)).as("c"))
             .orderBy(col("c").desc, col("gram").asc).limit(1).collect()(0)
           cur = cur.select(replace(col("t"),
-            lit(top.getString(0).replace(" ", "  ")),
-            lit(top.getString(0).replace(" ", "_"))).as("t"))
+            lit(" " + top.getString(0).replace(" ", "  ") + " "),
+            lit(" " + top.getString(0).replace(" ", "_") + " ")).as("t"))
             .localCheckpoint(false)
         }
         8L

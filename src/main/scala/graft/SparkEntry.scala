@@ -530,14 +530,23 @@ object SparkEntry {
       // lazy checkpoints: the next round's argmax job materializes the
       // frame as a side effect, so each round costs ONE job dispatch, not
       // two — at 64 rounds the dispatch floor is the whole cost
+      // the working text is "  " + tokens joined by DOUBLE spaces + "  ":
+      // the interior double space means a merge pattern can never match
+      // inside a token, and giving the pattern ONE space of each boundary
+      // (" a  b ") guards the OUTER edges too — "he is" can no longer match
+      // the tail of "the is" (r13 review finding) — while adjacent repeats
+      // still all match, because each 2-space boundary donates one space to
+      // each neighboring occurrence
       var cur = documents(s, dir).select(
-        array_join(array_remove(split(lower(col("text")), "\\s+"), ""), "  ").as("t"))
+        concat(lit("  "),
+          array_join(array_remove(split(lower(col("text")), "\\s+"), ""), "  "),
+          lit("  ")).as("t"))
         .repartition(4).localCheckpoint(false)
       val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
       var exhausted = false
       for (i <- 1 to bpeTrainRounds if !exhausted) {
         val top = cur.select(explode(graft.expressions.GraftFunctions.ngramStrings(
-            split(col("t"), "  "), 2)).as("gram"))
+            split(trim(col("t")), "  "), 2)).as("gram"))
           .groupBy("gram").agg(count(lit(1)).as("c"))
           .orderBy(col("c").desc, col("gram").asc).limit(1).collect()
         if (top.isEmpty) exhausted = true
@@ -545,7 +554,8 @@ object SparkEntry {
           val (gram, c) = (top(0).getString(0), top(0).getLong(1))
           merges += ((i.toLong, gram, c))
           cur = cur.select(replace(col("t"),
-            lit(gram.replace(" ", "  ")), lit(gram.replace(" ", "_"))).as("t"))
+            lit(" " + gram.replace(" ", "  ") + " "),
+            lit(" " + gram.replace(" ", "_") + " ")).as("t"))
             .localCheckpoint(false)
         }
       }
@@ -2425,24 +2435,32 @@ object SparkEntry {
     // kernel — overlapping pairs counted, classic BPE), only the argmax
     // lands on the driver (1 row/round — the PCA-w pattern), and the merge
     // applies as a literal greedy left-to-right replace. The working text
-    // joins tokens with DOUBLE spaces so the "<a>  <b>" pattern can never
-    // match inside a token and both engines' non-overlapping replace
-    // semantics coincide with BPE's greedy application order.
+    // is "  " + tokens joined by DOUBLE spaces + "  ": the interior double
+    // space keeps a pattern from matching inside a token, and the pattern
+    // carrying ONE space of each boundary (" a  b ") guards the outer edges
+    // too (r13 — "he is" must not match the tail of "the is"), while each
+    // 2-space boundary still donates a space to both neighbors so adjacent
+    // repeats all match under non-overlapping replace.
     "q_bpe_merges" -> ((s, dir) => {
       import s.implicits._
+      // same boundary-guarded working-text scheme as bpeTrainCached (r13):
+      // 2-space padding + patterns carrying one space of each boundary
       val norm = documents(s, dir).select(
-        array_join(array_remove(split(lower(col("text")), "\\s+"), ""), "  ").as("t"))
+        concat(lit("  "),
+          array_join(array_remove(split(lower(col("text")), "\\s+"), ""), "  "),
+          lit("  ")).as("t"))
       var cur = norm
       val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
       for (i <- 1 to 3) {
         val top = cur.select(explode(graft.expressions.GraftFunctions.ngramStrings(
-            split(col("t"), "  "), 2)).as("gram"))
+            split(trim(col("t")), "  "), 2)).as("gram"))
           .groupBy("gram").agg(count(lit(1)).as("c"))
           .orderBy(col("c").desc, col("gram").asc).limit(1).collect()(0)
         val (gram, c) = (top.getString(0), top.getLong(1))
         merges += ((i.toLong, gram, c))
         cur = cur.select(replace(col("t"),
-          lit(gram.replace(" ", "  ")), lit(gram.replace(" ", "_"))).as("t"))
+          lit(" " + gram.replace(" ", "  ") + " "),
+          lit(" " + gram.replace(" ", "_") + " ")).as("t"))
       }
       merges.toSeq.toDF("step", "merged_pair", "n_occurrences").orderBy("step")
     }),
@@ -2464,7 +2482,7 @@ object SparkEntry {
     // application removes one boundary and writes one '_').
     "q_bpe_fallback" -> ((s, dir) => {
       val fin = bpeTrainCached(s, dir)._2
-      val tk = fin.select(explode(split(col("t"), "  ")).as("tok"))
+      val tk = fin.select(explode(split(trim(col("t")), "  ")).as("tok"))
       tk.agg(
         (count(lit(1)) + sum(length(col("tok")) -
           length(regexp_replace(col("tok"), "_", "")))).cast(LongType).as("n_tokens_before"),
@@ -2583,6 +2601,12 @@ object SparkEntry {
         SessionCache.registerTmpIndexDir(procTmp("graft_txtable")),
         s"evt_${Integer.toHexString(dir.hashCode)}")
       if (SessionCache.once(s, s"txtable:$dir")) {
+        // wipe any same-pid leftover log first (the catalogOf rule): the
+        // oracle pins versions 1-4 exactly, so a surviving table from a
+        // prior session in this process must not shift the version numbers
+        val tp = new org.apache.hadoop.fs.Path(
+          s"${procTmp("graft_txtable")}/evt_${Integer.toHexString(dir.hashCode)}")
+        tp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(tp, true)
         val ev = events(s, dir).select("event_id", "event_type", "value")
         t.append(ev.filter(col("event_id") % 3 === 0))
         t.append(ev.filter(col("event_id") % 3 === 1))
@@ -2610,6 +2634,19 @@ object SparkEntry {
         SessionCache.registerTmpIndexDir(procTmp("graft_txstream")),
         s"ev_${Integer.toHexString(dir.hashCode)}")
       if (SessionCache.once(s, s"txstream:$dir")) {
+        // same leftover-wipe rule as q_table_commit_history: the gate pins
+        // exactly one tagged append, so a same-pid survivor (crashed prior
+        // session whose cleanup hook never fired) must not pre-seed history
+        val hfs = new org.apache.hadoop.fs.Path(procTmp("graft_txstream"))
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        hfs.delete(new org.apache.hadoop.fs.Path(
+          s"${procTmp("graft_txstream")}/ev_${Integer.toHexString(dir.hashCode)}"), true)
+        // ...and the checkpoints with it: a surviving checkpoint over a
+        // wiped table would mark the batch already-processed and land NOTHING
+        Seq("graft_txstream_cp1_", "graft_txstream_cp2_").foreach { c =>
+          hfs.delete(new org.apache.hadoop.fs.Path(
+            procTmp(c + Integer.toHexString(dir.hashCode))), true)
+        }
         withStreamConf(s, noDataBatch = false) {
           def drain(cp: String): Unit = {
             val q = eventStream(s, dir).select("event_id", "event_type", "value")
@@ -6149,15 +6186,20 @@ object SparkEntry {
     * comment on DuckDB's per-use inlining).
     */
   private def bpeChainSql(rounds: Int): String = {
+    // boundary-guarded scheme (r13): 2-space padding, patterns carry one
+    // space of each boundary; the COUNT guard keeps d_i = t verbatim when a
+    // round finds no pair (matching the Spark loop's early stop — without
+    // it the NULL scalar subqueries would NULL the whole chain)
     def round(prev: String, i: Int): String =
       s""" p$i AS MATERIALIZED (SELECT l[i] || ' ' || l[i+1] AS gram, COUNT(*) AS c
-         |   FROM (SELECT string_split(t, '  ') AS l FROM $prev), unnest(range(1, len(l))) AS u(i)
+         |   FROM (SELECT string_split(trim(t), '  ') AS l FROM $prev), unnest(range(1, len(l))) AS u(i)
          |   GROUP BY 1),
          | m$i AS MATERIALIZED (SELECT gram, c FROM p$i ORDER BY c DESC, gram ASC LIMIT 1),
-         | d$i AS MATERIALIZED (SELECT replace(t, (SELECT replace(gram, ' ', '  ') FROM m$i),
-         |   (SELECT replace(gram, ' ', '_') FROM m$i)) AS t FROM $prev)""".stripMargin.replace("\n", "")
-    """WITH d0 AS MATERIALIZED (SELECT array_to_string(list_filter(string_split_regex(lower(text), '\s+'),
-      |   w -> len(w) > 0), '  ') AS t FROM documents),""".stripMargin.replace("\n", "") +
+         | d$i AS MATERIALIZED (SELECT CASE WHEN (SELECT COUNT(*) FROM m$i) = 0 THEN t
+         |   ELSE replace(t, ' ' || (SELECT replace(gram, ' ', '  ') FROM m$i) || ' ',
+         |     ' ' || (SELECT replace(gram, ' ', '_') FROM m$i) || ' ') END AS t FROM $prev)""".stripMargin.replace("\n", "")
+    """WITH d0 AS MATERIALIZED (SELECT '  ' || array_to_string(list_filter(string_split_regex(lower(text), '\s+'),
+      |   w -> len(w) > 0), '  ') || '  ' AS t FROM documents),""".stripMargin.replace("\n", "") +
       (1 to rounds).map(i => round(s"d${i - 1}", i)).mkString(",")
   }
 
@@ -9272,7 +9314,7 @@ object SparkEntry {
     // same chain, then the post-merge token stats from the final state;
     // tokens_before recovered as tokens_after + total '_' writes
     "q_bpe_fallback" -> (bpeChainSql(bpeTrainRounds) +
-      s""", tk AS (SELECT UNNEST(string_split(t, '  ')) AS tok FROM d$bpeTrainRounds)
+      s""", tk AS (SELECT UNNEST(string_split(trim(t), '  ')) AS tok FROM d$bpeTrainRounds)
          | SELECT CAST(COUNT(*) + SUM(len(tok) - len(replace(tok, '_', ''))) AS BIGINT) AS n_tokens_before,
          |   CAST(COUNT(*) AS BIGINT) AS n_tokens_after,
          |   CAST(SUM(CASE WHEN contains(tok, '_') THEN 1 ELSE 0 END) AS BIGINT) AS n_merged_tokens,
@@ -9280,25 +9322,13 @@ object SparkEntry {
          |   round(CAST(SUM(CASE WHEN contains(tok, '_') THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*), 6) AS fallback_rate,
          |   round(CAST(COUNT(*) + SUM(len(tok) - len(replace(tok, '_', ''))) AS DOUBLE) / COUNT(*), 6) AS compression_ratio
          | FROM tk""".stripMargin.replace("\n", "")),
-    "q_bpe_merges" -> {
-      def round(prev: String, i: Int): String =
-        s""" p$i AS (SELECT l[i] || ' ' || l[i+1] AS gram, COUNT(*) AS c
-           |   FROM (SELECT string_split(t, '  ') AS l FROM $prev), unnest(range(1, len(l))) AS u(i)
-           |   GROUP BY 1),
-           | m$i AS (SELECT gram, c FROM p$i ORDER BY c DESC, gram ASC LIMIT 1),
-           | d$i AS (SELECT replace(t, (SELECT replace(gram, ' ', '  ') FROM m$i),
-           |   (SELECT replace(gram, ' ', '_') FROM m$i)) AS t FROM $prev)""".stripMargin.replace("\n", "")
-      s"""WITH d0 AS (SELECT array_to_string(list_filter(string_split_regex(lower(text), '\\s+'),
-         |   w -> len(w) > 0), '  ') AS t FROM documents),
-         |${round("d0", 1)},
-         |${round("d1", 2)},
-         |${round("d2", 3)}
-         | SELECT * FROM (
-         |   SELECT CAST(1 AS BIGINT) AS step, gram AS merged_pair, c AS n_occurrences FROM m1
-         |   UNION ALL SELECT 2, gram, c FROM m2
-         |   UNION ALL SELECT 3, gram, c FROM m3)
-         | ORDER BY step""".stripMargin.replace("\n", "")
-    },
+    // 3-round view of the same boundary-guarded chain as q_bpe_train
+    "q_bpe_merges" -> (bpeChainSql(3) +
+      """ SELECT * FROM (
+        |   SELECT CAST(1 AS BIGINT) AS step, gram AS merged_pair, c AS n_occurrences FROM m1
+        |   UNION ALL SELECT 2, gram, c FROM m2
+        |   UNION ALL SELECT 3, gram, c FROM m3)
+        | ORDER BY step""".stripMargin.replace("\n", "")),
     // same ws/BPE-ish token expressions as q_token_counts, summed per lang
     "q_tokenizer_fertility" ->
       """WITH t AS (SELECT lang,

@@ -56,6 +56,16 @@ final case class TxTable(spark: SparkSession, root: String, name: String) {
   private def fs: FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** FileContext for the ATOMIC overwrite rename (`Options.Rename.OVERWRITE`)
+    * — the old FileSystem.rename path needed delete-then-rename for the
+    * pointer swap, opening a window where readers saw no `_CURRENT` at all
+    * (r13 review finding). FileContext's overwrite rename is the real
+    * same-directory atomic primitive on HDFS-like stores AND local FS.
+    */
+  private def fc: org.apache.hadoop.fs.FileContext =
+    org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
+
   /** One committed version: the action tag, the batch dirs this commit
     * added/removed, the full live set after it, and the optional idempotency
     * token (`writerId:batchId`) of an [[appendIdempotent]] commit.
@@ -129,10 +139,23 @@ final case class TxTable(spark: SparkSession, root: String, name: String) {
     v
   }
 
-  /** All idempotency tokens in the retained history. O(versions) tiny
-    * manifest reads — log-scale, never data-scale.
+  /** All idempotency tokens in the retained history, incrementally cached:
+    * only manifests beyond the last cached version are read, so the
+    * inside-the-lock token check is O(new commits), not O(all history) per
+    * attempt (r13 review finding).
     */
-  def committedTxns: Set[String] = history.flatMap(_.txn).toSet
+  def committedTxns: Set[String] = TxTable.rootLock(dir).synchronized {
+    val v = currentVersion
+    val (cachedV, cachedSet) = txnCache
+    if (v == cachedV) cachedSet
+    else {
+      val merged = cachedSet ++ ((cachedV + 1) to v).flatMap(manifest(_).txn)
+      txnCache = (v, merged)
+      merged
+    }
+  }
+
+  @volatile private var txnCache: (Long, Set[String]) = (0L, Set.empty)
 
   /** Compact the given batch dirs (default: all live) into one rewritten
     * batch: the remove side is what makes two compactions of the same dirs
@@ -150,13 +173,19 @@ final case class TxTable(spark: SparkSession, root: String, name: String) {
     * because [[history]] is the full retained log. Run after readers of
     * pruned versions have drained (the VACUUM contract).
     */
-  def vacuum(): Seq[String] = {
+  def vacuum(retentionMs: Long = 3600000L): Seq[String] = {
     // manifests record writer-side path strings; listStatus returns
-    // FS-qualified URIs — compare on the scheme-free path component
+    // FS-qualified URIs — compare on the scheme-free path component.
+    // The retention window protects STAGED-BUT-UNCOMMITTED batches of
+    // in-flight writers (r13 review finding: an ageless vacuum could delete
+    // a dir between a writer's stage() and its commit, and the subsequent
+    // commit would then reference a dead dir) — the Delta retention rule.
     val live = history.flatMap(_.files).map(f => new Path(f).toUri.getPath).toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
     if (!fs.exists(dataDir)) Seq.empty
-    else fs.listStatus(dataDir).map(_.getPath).filterNot(p => live(p.toUri.getPath))
-      .map { p => fs.delete(p, true); p.toString }.toSeq
+    else fs.listStatus(dataDir)
+      .filter(st => st.getModificationTime < cutoff && !live(st.getPath.toUri.getPath))
+      .map { st => fs.delete(st.getPath, true); st.getPath.toString }.toSeq
   }
 
   private def stage(df: DataFrame, partitions: Int): String = {
@@ -200,12 +229,18 @@ final case class TxTable(spark: SparkSession, root: String, name: String) {
             val tmp = new Path(logDir, s".v$next.tmp.${ProcessHandle.current().pid()}")
             val out = fs.create(tmp, true)
             try out.write(body.getBytes("UTF-8")) finally out.close()
-            fs.rename(tmp, manifestPath(next))
+            // rename failures on Hadoop FileSystems report as `false`, not
+            // exceptions — an unchecked failed manifest rename followed by a
+            // pointer swap would corrupt the table permanently
+            if (!fs.rename(tmp, manifestPath(next)))
+              throw new java.io.IOException(
+                s"table $name: manifest rename failed for v$next")
             val ptrTmp = new Path(logDir, s"_CURRENT.tmp.${ProcessHandle.current().pid()}")
             val pout = fs.create(ptrTmp, true)
             try pout.write(f"v$next%08d".getBytes("UTF-8")) finally pout.close()
-            if (fs.exists(currentPtr)) fs.delete(currentPtr, false)
-            fs.rename(ptrTmp, currentPtr)
+            // ATOMIC overwrite rename: readers either see the old pointer or
+            // the new one, never a missing-pointer window
+            fc.rename(ptrTmp, currentPtr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
             Some(Some(next))
           } else None
         }
@@ -221,6 +256,11 @@ final case class TxTable(spark: SparkSession, root: String, name: String) {
           if (attempt > 16)
             throw new java.util.ConcurrentModificationException(
               s"table $name commit conflict: claim contention persisted for $attempt attempts")
+          // exponential backoff before rebasing: a cross-process loser spins
+          // sub-millisecond per attempt, faster than the winner's
+          // manifest-write + renames — without a wait, 16 retries can
+          // exhaust while the winner is still mid-commit (r13 review)
+          Thread.sleep(math.min(200L, 2L << math.min(attempt, 6)))
       }
     }
     throw new IllegalStateException("unreachable")
