@@ -118,12 +118,21 @@ class TxTableSpec extends SparkSpec {
     t.snapshot().count() shouldBe 1L
   }
 
-  test("vacuum deletes only unreferenced batch dirs") {
+  test("vacuum deletes only unreferenced batch dirs past the retention window") {
     val t = freshTable("vacuum")
     t.append(Seq(1).toDF("x"))
     t.append(Seq(2).toDF("x"))
     // everything is still referenced by some retained manifest → no-op
+    t.vacuum(retentionMs = 0L) shouldBe empty
+    // an orphan (staged-but-never-committed shape): fresh ⇒ protected by the
+    // default retention window (an in-flight writer may still commit it);
+    // past the window ⇒ collected
+    val orphan = new java.io.File(
+      t.manifest(1L).files.head).getParentFile.toPath.resolve("orphan123")
+    Seq(9).toDF("x").write.parquet(orphan.toString)
     t.vacuum() shouldBe empty
+    t.vacuum(retentionMs = 0L).map(p => p.substring(p.lastIndexOf('/') + 1)) shouldBe
+      Seq("orphan123")
     t.snapshot(1L).count() shouldBe 1L
   }
 }
