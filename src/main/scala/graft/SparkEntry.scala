@@ -5284,6 +5284,21 @@ object SparkEntry {
         graft.operators.Web.canonicalize(
           graft.operators.Web.withUrls(documents(s, dir)), "url"), "doc_id")
         .orderBy("surt")),
+    // ...and the 100 TB shape of the same dedup, GATED (Web.scala documents
+    // the swap as one line — this proves it): the group key rides as
+    // xxhash64(surt) (8 bytes instead of the full string), the output drops
+    // the key and is re-keyed by the deterministic keeper id — identical
+    // clusters to the string-keyed run (collision probability ~n²/2⁶⁴),
+    // which is exactly what the string-keyed oracle asserts
+    "q_url_dedup_hashed" -> ((s, dir) =>
+      graft.operators.Web.canonicalize(
+          graft.operators.Web.withUrls(documents(s, dir)), "url")
+        .groupBy(xxhash64(col("surt")))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url_canon")).as("n_distinct_canon"),
+          min(col("doc_id")).as("keeper_id"))
+        .select("keeper_id", "n_docs", "n_distinct_canon")
+        .orderBy("keeper_id")),
     // per-registrable-domain corpus report: docs, distinct pages, dup rate,
     // ws tokens — the per-domain budget table a mixture designer reads
     "q_domain_report" -> ((s, dir) =>
@@ -8923,6 +8938,13 @@ object SparkEntry {
          |   CAST(COUNT(DISTINCT url_canon) AS BIGINT) AS n_distinct_canon,
          |   MIN(doc_id) AS keeper_id
          | FROM cn GROUP BY surt ORDER BY surt""".stripMargin.replace("\n", ""),
+    // the hashed-key run must land on the STRING-keyed clusters: the dual
+    // groups by surt itself and re-keys by the keeper id
+    "q_url_dedup_hashed" ->
+      s"""WITH $urlCtes
+         | SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs,
+         |   CAST(COUNT(DISTINCT url_canon) AS BIGINT) AS n_distinct_canon
+         | FROM cn GROUP BY surt ORDER BY keeper_id""".stripMargin.replace("\n", ""),
     "q_domain_report" ->
       s"""WITH $urlCtes
          | SELECT domain, COUNT(*) AS n_docs,
