@@ -2523,6 +2523,26 @@ object SparkEntry {
     "q_winnow_matches" -> ((s, dir) =>
       Dedup.winnowMatchesFrom(winnowIndex(s, dir), "doc_id", docFreqCap = 50)
         .orderBy("id_a", "id_b")),
+    // DEDUP-FIRST winnowing (r14 — verdict ask #1): exact-dedup →
+    // winnow-the-survivors → weighted pair expansion, the composition that
+    // keeps a heavily re-crawled corpus from reporting ZERO plagiarism pairs
+    // when replication pushes every fingerprint's docFreq over the cap
+    // (SCALE.md r13: the cap counts replicas; composed, it counts distinct
+    // contents). The corpus is the documents table plus a deterministic
+    // replication fixture (every 7th doc twice, every 21st three times —
+    // cluster sizes {1,2,3}), so intra rows, kept-fingerprint shared counts
+    // and the |Ca|·|Cb| weight arithmetic are all under the hash gate.
+    "q_winnow_after_dedup" -> ((s, dir) => {
+      val d = documents(s, dir).select("doc_id", "text")
+      val corpus = d
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+        .unionByName(d.filter(col("doc_id") % 21 === 0)
+          .withColumn("doc_id", col("doc_id") + 200000L))
+      Dedup.winnowMatchesDeduped(corpus, "text", "doc_id", k = 4, w = 5,
+          docFreqCap = 50)
+        .orderBy("id_a", "id_b")
+    }),
     // ...and the cap-observability report (r11 verdict ask #4): where the
     // 2²⁴-gram fingerprint truncation BINDS, as corpus-level numbers — one
     // token-count pass, no fingerprinting (a doc truncates iff
@@ -6218,9 +6238,10 @@ object SparkEntry {
       (1 to rounds).map(i => round(s"d${i - 1}", i)).mkString(",")
   }
 
-  private def winnowSql(k: Int, w: Int): String = {
+  private def winnowSql(k: Int, w: Int, src: String = "documents",
+      prelude: String = ""): String = {
     val gram = (0 until k).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
-    s"""WITH wd AS (SELECT doc_id, $dedupWords AS ws FROM documents),
+    s"""WITH $prelude wd AS (SELECT doc_id, $dedupWords AS ws FROM $src),
        | g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, $gram AS gram
        |   FROM wd, UNNEST(range(1, len(ws) - ${k - 2})) AS t(i) WHERE len(ws) >= $k),
        | h AS (SELECT doc_id, pos, list_reduce(list_transform(range(1, 9),
@@ -8022,6 +8043,34 @@ object SparkEntry {
         |   CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
         | FROM fpr a JOIN fpr b ON a.h = b.h AND a.doc_id < b.doc_id
         | GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin.replace("\n", "")),
+    // dedup-first winnowing dual: the identical composition restated —
+    // md5-keyed clusters (min-id keeper + size), the SAME winnow CTE chain
+    // over the survivor docs, the df<=cap posting rule on survivor counts,
+    // |Ca|·|Cb| cross weights and C(sz,2) intra rows carrying the keeper's
+    // kept-fingerprint count
+    "q_winnow_after_dedup" -> (winnowSql(k = 4, w = 5, src = "sdocs", prelude =
+      """ corpus AS (SELECT doc_id, text FROM documents
+        | UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+        | UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 21 = 0),
+        | cl AS (SELECT MIN(doc_id) AS kid, CAST(COUNT(*) AS BIGINT) AS csz
+        |   FROM corpus GROUP BY md5(text)),
+        | sdocs AS (SELECT c.doc_id, c.text FROM corpus c JOIN cl ON c.doc_id = cl.kid),""".stripMargin.replace("\n", "")) +
+      """, fpd AS (SELECT DISTINCT doc_id, h FROM fp),
+        | rare AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df
+        |   FROM fpd GROUP BY 1) WHERE df <= 50),
+        | fpr AS (SELECT fpd.doc_id, fpd.h FROM fpd JOIN rare USING (h)),
+        | prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+        |   FROM fpr a JOIN fpr b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        | crossp AS (SELECT prs.id_a, prs.id_b, prs.shared_fingerprints,
+        |   sa.csz * sb.csz AS n_pairs
+        |   FROM prs JOIN cl sa ON prs.id_a = sa.kid JOIN cl sb ON prs.id_b = sb.kid),
+        | nfp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM fpr GROUP BY 1),
+        | intra AS (SELECT kid AS id_a, kid AS id_b, nfp.n AS shared_fingerprints,
+        |   csz * (csz - 1) // 2 AS n_pairs
+        |   FROM cl JOIN nfp ON cl.kid = nfp.doc_id WHERE csz > 1)
+        | SELECT * FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra)
+        | ORDER BY id_a, id_b""".stripMargin.replace("\n", "")),
     "q_perceptron" -> perceptronSql(iters = 3),
     "q_kmeans" -> kmeansSql(k = 8, iterations = 2),
     "q_pca_power" -> pcaSql(iterations = 3),

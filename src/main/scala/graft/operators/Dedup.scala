@@ -162,6 +162,68 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fingerprints"))
   }
 
+  /** Exact-dedup → winnow → weighted-pair expansion (r14): the
+    * [[embeddingPairsDeduped]] composition applied to the winnowing family,
+    * closing the second failure shape the 100× probes exposed (SCALE.md r13):
+    * [[winnowMatchesFrom]]'s docFreq cap counts REPLICAS, so under heavy
+    * exact replication every fingerprint crosses the cap, classifies as
+    * boilerplate, and a corpus that is almost entirely copies reports ZERO
+    * plagiarism pairs.
+    *
+    * Composed: (1) group byte-identical texts (128-bit md5 content key — the
+    * [[exact]] discipline), keeping the min-id survivor and the cluster
+    * size; (2) winnow ONLY the survivors at the ORIGINAL (k, w, docFreqCap)
+    * config — docFreq now counts distinct CONTENTS, which is what
+    * "boilerplate" means; (3) expand pair weights from cluster sizes: a
+    * survivor pair (a, b, shared) stands for |C_a|·|C_b| logical pairs, and
+    * each cluster of size > 1 adds an intra row (keeper, keeper,
+    * n kept fingerprints, C(size, 2)) — identical docs share exactly the
+    * keeper's under-cap fingerprint set, and a cluster whose fingerprints
+    * are ALL capped out emits nothing, matching the direct pair-join (which
+    * only emits rows with ≥ 1 shared kept hash). Whenever per-hash cap
+    * binding agrees between the two runs, the expanded (pair, shared)
+    * multiset EQUALS the direct run's — pinned by the 10× probe; where
+    * binding diverges (heavy replication) the composed answer is the
+    * correct one and the direct run's zero is the bug.
+    *
+    * Scale: step 1 is one content-hash aggregation (map-side partial);
+    * steps 2-3 run on the deduped survivor set, so the pair join's fan-out
+    * is bounded by DISTINCT-content docFreq — replication never reaches an
+    * exchange. Weight joins key on survivor ids (catalog-scale frames).
+    */
+  def winnowMatchesDeduped(df: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int, docFreqCap: Int = 100): DataFrame = {
+    val clusters = df
+      .groupBy(unhex(md5(col(textCol).cast(BinaryType))).as("__ch"))
+      .agg(min(col(idCol)).as("__kid"), count(lit(1)).as("__csz"))
+      .drop("__ch")
+    val surv = df.join(clusters.select(col("__kid").as(idCol)), Seq(idCol), "left_semi")
+    val fpd = winnowFingerprints(surv, textCol, idCol, k, w)
+      .select(col(idCol), col("h")).distinct()
+    // same capped-posting shape as winnowMatchesFrom: the window and both
+    // join probes reuse one h-keyed exchange
+    val posting = fpd
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("__df") <= docFreqCap).drop("__df")
+    val pairs = posting.select(col("h"), col(idCol).as("id_a"))
+      .join(posting.select(col("h"), col(idCol).as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fingerprints"))
+    val sa = clusters.select(col("__kid").as("id_a"), col("__csz").as("__ca"))
+    val sb = clusters.select(col("__kid").as("id_b"), col("__csz").as("__cb"))
+    val cross = pairs.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"), col("shared_fingerprints"),
+        (col("__ca") * col("__cb")).as("n_pairs"))
+    val keptPerDoc = posting.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nfp"))
+    val intra = clusters.filter(col("__csz") > 1)
+      .join(keptPerDoc.withColumnRenamed(idCol, "__kid"), Seq("__kid"))
+      .select(col("__kid").as("id_a"), col("__kid").as("id_b"),
+        col("__nfp").as("shared_fingerprints"),
+        (col("__csz") * (col("__csz") - 1) / 2).cast(LongType).as("n_pairs"))
+    cross.unionByName(intra)
+  }
+
   /** Exact deduplication: keep one representative row (min id) per distinct
     * content hash. groupBy on a 128-bit binary md5 key (`unhex(md5(...))` —
     * 16 BYTES on the wire, not md5()'s 32-char hex string) instead of the raw
@@ -942,7 +1004,17 @@ object Dedup {
       .join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"), col("cos"),
         (col("__ca") * col("__cb")).as("n_pairs"))
+    // intra rows carry a LITERAL cos = 1.0, so they must only exist where
+    // the direct run would compute one (r14 advisor finding): a zero-norm
+    // duplicate vector's numeric cos is 0/0 = NaN (engine-specific
+    // comparison semantics — the direct run's behavior for those pairs is
+    // undefined, and the composed form defines them AWAY rather than
+    // emitting a fabricated 1.0), and a threshold > 1 config must emit no
+    // intra rows at all. Both guards are plan-time-cheap: the norm guard is
+    // one dot over the cluster's (single) vector, the threshold guard folds
+    // to a constant.
     val intra = clusters.filter(col("__csz") > 1)
+      .filter(G.vectorDot(col(vecCol), col(vecCol)) > 0 && lit(1.0) >= lit(threshold))
       .select(col("__id").as("id_a"), col("__id").as("id_b"), lit(1.0).as("cos"),
         (col("__csz") * (col("__csz") - 1) / 2).cast(org.apache.spark.sql.types.LongType)
           .as("n_pairs"))

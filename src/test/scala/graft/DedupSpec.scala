@@ -378,6 +378,86 @@ class DedupSpec extends SparkSpec {
     picks should be < 160
   }
 
+  test("winnowMatchesDeduped: expanded (keeper-pair, shared) multiset equals the direct run " +
+       "when cap binding agrees") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t1 = s"$run one two three four five six"
+    val t2 = s"prefix words over here then $run"
+    val t3 = "totally unrelated content about columnar storage engines and formats"
+    // clusters: {1,11,12} (keeper 1, size 3), {2} (size 1), {3,13} (keeper 3, size 2)
+    val corpus = Seq((1L, t1), (2L, t2), (3L, t3), (11L, t1), (12L, t1), (13L, t3))
+      .toDF("doc_id", "text")
+    val keeper = Map(1L -> 1L, 11L -> 1L, 12L -> 1L, 2L -> 2L, 3L -> 3L, 13L -> 3L)
+    val composed = rows(Dedup.winnowMatchesDeduped(corpus, "text", "doc_id",
+        k = 4, w = 5, docFreqCap = 50))
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    // direct pairs, folded onto keeper pairs: multiplicity must equal n_pairs
+    // and every member of a folded group must carry the same shared count
+    val direct = rows(Dedup.winnowMatches(corpus, "text", "doc_id", k = 4, w = 5,
+        docFreqCap = 50))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val folded = direct.groupBy { case (a, b, s) =>
+      val (ka, kb) = (keeper(a), keeper(b))
+      (math.min(ka, kb), math.max(ka, kb), s)
+    }.map { case (k, v) => (k, v.size.toLong) }
+    folded shouldBe composed
+  }
+
+  test("winnowMatchesDeduped: under heavy replication the direct run's docFreq cap zeroes " +
+       "out while the composed run reports the true pairs") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t1 = s"$run one two three four five six"
+    val t2 = s"prefix words over here then $run"
+    // 5 replicas of each: every fingerprint's direct docFreq is >= 5 > cap 4
+    val corpus = (0 until 5).flatMap(r =>
+      Seq((1L + 10 * r, t1), (2L + 10 * r, t2))).toDF("doc_id", "text")
+    val direct = rows(Dedup.winnowMatches(corpus, "text", "doc_id", k = 4, w = 5,
+      docFreqCap = 4))
+    direct shouldBe empty
+    val composed = rows(Dedup.winnowMatchesDeduped(corpus, "text", "doc_id",
+        k = 4, w = 5, docFreqCap = 4))
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    composed.keySet shouldBe Set((1L, 1L), (2L, 2L), (1L, 2L))
+    composed((1L, 2L))._1 should be >= 1L // the shared run survives
+    composed((1L, 2L))._2 shouldBe 25L    // 5 x 5 logical pairs
+    composed((1L, 1L))._2 shouldBe 10L    // C(5,2)
+    composed((2L, 2L))._2 shouldBe 10L
+  }
+
+  test("winnowMatchesDeduped: a cluster whose fingerprints are ALL capped out emits no " +
+       "intra row (matches the direct pair-join's >=1-shared rule)") {
+    import spark.implicits._
+    // two DISTINCT boilerplate texts sharing every 4-gram window across 6
+    // survivor docs... simplest construction: 6 distinct docs all containing
+    // the same 8-token run and nothing else except a unique leading token —
+    // with w=5, k=4 some fingerprints are shared by all 6 docs (> cap 5);
+    // instead pin the rule directly: cap 0-like tight cap of 1 kills every
+    // hash shared by >= 2 distinct contents, so a 2-cluster of a text whose
+    // every hash is also in another doc emits nothing
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq((1L, run), (2L, run), (3L, run + " extra trailing words here"))
+      .toDF("doc_id", "text")
+    // doc 1's fingerprints all come from the shared run; with cap 1 every
+    // hash shared with doc 3's survivor is dropped -> doc 1's kept set can
+    // only be hashes doc 3 missed; verify that IF nothing is kept, no intra
+    // row appears
+    val composed = rows(Dedup.winnowMatchesDeduped(corpus, "text", "doc_id",
+        k = 4, w = 5, docFreqCap = 1))
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val kept = rows(Dedup.winnowFingerprints(
+        Seq((1L, run), (3L, run + " extra trailing words here")).toDF("doc_id", "text"),
+        "text", "doc_id", k = 4, w = 5).select("doc_id", "h").distinct())
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val h1 = kept.filter(_._1 == 1L).map(_._2).toSet
+    val h3 = kept.filter(_._1 == 3L).map(_._2).toSet
+    val keptOfDoc1 = (h1 -- h3).size.toLong
+    if (keptOfDoc1 == 0L) composed.get((1L, 1L)) shouldBe None
+    else composed((1L, 1L)) shouldBe ((keptOfDoc1, 1L))
+    composed.get((1L, 3L)) shouldBe None // every shared hash is over cap 1
+  }
+
   test("winnow gram cap: truncation is deterministic (kept-prefix fingerprints) and OBSERVABLE " +
        "via winnowTruncationReport") {
     import spark.implicits._
