@@ -594,12 +594,36 @@ object Queries {
     // recall-for-boundedness contract as Dedup's docFreq caps; None (the
     // default) preserves exact semantics for domains that bound basket size
     // upstream (TPC-H's ≤ 7). [[basketCapReport]] quantifies what a given
-    // cap would drop. The collect_set state itself stays linear in basket
-    // size (array-building is the rollup's job); the cap bounds the
-    // QUADRATIC stage, which is the one that kills.
-    val full = sort_array(collect_set(col(itemCol)))
-    val arr = maxBasket.fold(full)(b => slice(full, 1, b))
-    df.groupBy(col(basketCol).as("__b")).agg(arr.as("__is"))
+    // cap would drop.
+    //
+    // r14 (SCALE.md r13's 25×→50× spill step): the CAPPED path no longer
+    // builds the full collect_set and slices it — that held every over-cap
+    // basket's ENTIRE item set in ObjectHashAggregate state, a memory cliff
+    // exactly where the cap exists to protect. Instead: hash-distinct
+    // (basket, item) pairs (codegen, partial-aggregable, spills gracefully),
+    // rank items per basket through one sort-based window (ExternalSorter —
+    // disk-backed, no cliff), keep rank ≤ cap, and only then collect — the
+    // aggregation state is bounded by the cap for EVERY basket. Same output
+    // bit for bit: row_number over distinct items ordered ascending keeps
+    // exactly the first `cap` entries of the sorted distinct array. One
+    // extra exchange vs the uncapped path ((b,i)-distinct, then b-keyed
+    // window; the final groupBy reuses the window's partitioning) — the
+    // price of bounded memory, paid only when a cap is requested. The
+    // UNCAPPED path keeps the single-shuffle collect_set (its state is
+    // inherently the basket, and domains that skip the cap have bounded
+    // baskets by contract).
+    maxBasket match {
+      case None =>
+        df.groupBy(col(basketCol).as("__b"))
+          .agg(sort_array(collect_set(col(itemCol))).as("__is"))
+      case Some(cap) =>
+        val pairs = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
+        pairs
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("__b")).orderBy(col("__i"))))
+          .filter(col("__rn") <= cap).drop("__rn")
+          .groupBy(col("__b")).agg(sort_array(collect_list(col("__i"))).as("__is"))
+    }
   }
 
   /** What a basket cap would do before you commit to one: basket/pair-volume

@@ -45,8 +45,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * serialize on a per-root monitor ([[Catalog]]'s r11 lesson: local-FS
   * create-exclusive is exists+create, not atomic; on HDFS/object stores the
   * claim file alone carries cross-process safety).
+  *
+  * r14 — the two pieces that complete the protocol:
+  *   - CHECKPOINTS: every `checkpointInterval`-th commit also writes
+  *     `_ckpt_v{N}` (full live file set + cumulative idempotency-token set),
+  *     so cold readers resolve `checkpoint + manifest tail` instead of
+  *     replaying the whole log; [[expireManifests]] then prunes manifests
+  *     below the checkpoint (the Delta checkpoint + log-retention move).
+  *     [[history]], [[committedTxns]] and [[vacuum]]'s protected set all
+  *     become O(tail), invariant in table age.
+  *   - STALE-CLAIM RECONCILIATION: a writer that crashes between creating
+  *     `_claim_v{N+1}` and landing the manifest no longer wedges the table —
+  *     a claim with no manifest after `staleClaimMs` is provably dead and
+  *     any contending writer deletes it and retries (advisor finding; the
+  *     claim-create catch is correspondingly narrowed so only
+  *     already-exists reads as contention — disk-full/permission errors
+  *     surface immediately).
   */
-final case class TxTable(spark: SparkSession, root: String, name: String) {
+final case class TxTable(spark: SparkSession, root: String, name: String,
+    checkpointInterval: Int = 10, staleClaimMs: Long = 30000L) {
 
   private val dir = s"$root/$name"
   private val logDir = new Path(dir, "_log")
@@ -83,6 +100,57 @@ final case class TxTable(spark: SparkSession, root: String, name: String) {
     }
 
   private def manifestPath(v: Long): Path = new Path(logDir, f"v$v%08d")
+  private def checkpointPath(v: Long): Path = new Path(logDir, f"_ckpt_v$v%08d")
+
+  /** Versions whose manifest is still on disk, ascending. After
+    * [[expireManifests]] this is a contiguous tail ending at
+    * [[currentVersion]] (expiry only ever removes below a checkpoint).
+    */
+  private def manifestVersions: Seq[Long] =
+    if (!fs.exists(logDir)) Seq.empty
+    else fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.matches("v\\d{8}")).map(_.drop(1).toLong).sorted.toSeq
+
+  /** A checkpoint: the FULL table state at `version` — live file set plus
+    * every idempotency token committed up to it — so readers resolve
+    * `state = checkpoint + manifest tail` instead of replaying the whole
+    * log (the Delta checkpoint move, r14 verdict ask #3).
+    */
+  final case class Checkpoint(version: Long, files: Seq[String], txns: Set[String])
+
+  /** The newest checkpoint at or below the current version, if any. One
+    * log-dir listing + one small file read — metadata scale.
+    */
+  def latestCheckpoint: Option[Checkpoint] = {
+    if (!fs.exists(logDir)) return None
+    val vs = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.matches("_ckpt_v\\d{8}")).map(_.stripPrefix("_ckpt_v").toLong)
+    val cur = currentVersion
+    vs.filter(_ <= cur).sorted.lastOption.map { v =>
+      val in = fs.open(checkpointPath(v))
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      Checkpoint(v,
+        lines.filter(_.startsWith("F ")).map(_.drop(2)),
+        lines.filter(_.startsWith("T ")).map(_.drop(2)).toSet)
+    }
+  }
+
+  /** Delete manifests strictly below the latest checkpoint — the Delta log
+    * cleanup. Snapshot reads at expired versions become unavailable, and
+    * batch dirs referenced ONLY by expired manifests become vacuum-eligible
+    * (exactly Delta's log-retention + VACUUM contract). The checkpoint
+    * carries everything readers of live state need.
+    */
+  def expireManifests(): Seq[String] = TxTable.rootLock(dir).synchronized {
+    latestCheckpoint match {
+      case None => Seq.empty
+      case Some(c) => manifestVersions.filter(_ < c.version).map { v =>
+        val p = manifestPath(v); fs.delete(p, false); p.toString
+      }
+    }
+  }
 
   def manifest(v: Long): Manifest = {
     val p = manifestPath(v)
@@ -97,8 +165,11 @@ final case class TxTable(spark: SparkSession, root: String, name: String) {
       section("A"), section("R"), section("F"), section("T").headOption)
   }
 
-  /** All retained manifests, oldest first. */
-  def history: Seq[Manifest] = (1L to currentVersion).map(manifest)
+  /** All retained manifests, oldest first — the full log before any
+    * [[expireManifests]], the post-checkpoint tail after (O(tail), not
+    * O(all commits) — r14).
+    */
+  def history: Seq[Manifest] = manifestVersions.map(manifest)
 
   /** The table at version `v` (default: live). Reads only the manifest's
     * immutable batch dirs — a plain parquet scan, pushdown intact.
@@ -149,7 +220,14 @@ final case class TxTable(spark: SparkSession, root: String, name: String) {
     val (cachedV, cachedSet) = txnCache
     if (v == cachedV) cachedSet
     else {
-      val merged = cachedSet ++ ((cachedV + 1) to v).flatMap(manifest(_).txn)
+      // cold start resolves checkpoint + tail (r14): a fresh reader of a
+      // long-lived table reads ONE checkpoint file plus the post-checkpoint
+      // manifests, never the full log (which may be expired anyway)
+      val (baseV, baseSet) =
+        if (cachedV == 0L)
+          latestCheckpoint.map(c => (c.version, c.txns)).getOrElse((0L, Set.empty[String]))
+        else (cachedV, cachedSet)
+      val merged = baseSet ++ ((baseV + 1) to v).flatMap(manifest(_).txn)
       txnCache = (v, merged)
       merged
     }
@@ -180,7 +258,12 @@ final case class TxTable(spark: SparkSession, root: String, name: String) {
     // in-flight writers (r13 review finding: an ageless vacuum could delete
     // a dir between a writer's stage() and its commit, and the subsequent
     // commit would then reference a dead dir) — the Delta retention rule.
-    val live = history.flatMap(_.files).map(f => new Path(f).toUri.getPath).toSet
+    // r14: the protected set is checkpoint ∪ retained tail — O(tail + 1)
+    // small files, not O(all commits). Before any expiry this equals the
+    // full-history union (a checkpoint's files are a subset of the live
+    // sets recorded by the manifests at and after it).
+    val live = (latestCheckpoint.map(_.files).getOrElse(Seq.empty) ++
+      history.flatMap(_.files)).map(f => new Path(f).toUri.getPath).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
     if (!fs.exists(dataDir)) Seq.empty
     else fs.listStatus(dataDir)
@@ -203,11 +286,13 @@ final case class TxTable(spark: SparkSession, root: String, name: String) {
       txn: Option[String] = None): Option[Long] = {
     var attempt = 0
     while (true) {
-      // outer None = CAS lost (retry/rebase); Some(None) = txn already
-      // committed (idempotent skip); Some(Some(v)) = committed as v
-      val committed: Option[Option[Long]] = TxTable.rootLock(dir).synchronized {
+      // Left(nextTried) = CAS lost (retry/rebase — carries the version we
+      // contended on so the reconciliation below can inspect ITS claim);
+      // Right(None) = txn already committed (idempotent skip);
+      // Right(Some(v)) = committed as v
+      val committed: Either[Long, Option[Long]] = TxTable.rootLock(dir).synchronized {
         val v = currentVersion
-        if (txn.exists(t => committedTxns.contains(t))) Some(None)
+        if (txn.exists(t => committedTxns.contains(t))) Right(None)
         else {
           val base = if (v == 0) Seq.empty[String] else manifest(v).files
           val missing = remove.filterNot(base.contains)
@@ -218,9 +303,18 @@ final case class TxTable(spark: SparkSession, root: String, name: String) {
           val next = v + 1
           val claim = new Path(logDir, f"_claim_v$next%08d")
           if (!fs.exists(logDir)) fs.mkdirs(logDir)
+          // r14 advisor: the claim catch is NARROW — only already-exists
+          // reads as CAS-lost. Any other IOException (disk full, permission
+          // denied) is a real failure and must surface, not spin 16 retries
+          // as phantom contention.
           val claimed =
             try { fs.create(claim, false).close(); true }
-            catch { case _: java.io.IOException => false }
+            catch {
+              case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+              case _: java.nio.file.FileAlreadyExistsException => false
+              case e: java.io.IOException =>
+                if (fs.exists(claim)) false else throw e
+            }
           if (claimed) {
             val files = base.filterNot(remove.toSet) ++ add
             val body = (s"action=$action" +: (add.map("A " + _) ++
@@ -241,13 +335,29 @@ final case class TxTable(spark: SparkSession, root: String, name: String) {
             // ATOMIC overwrite rename: readers either see the old pointer or
             // the new one, never a missing-pointer window
             fc.rename(ptrTmp, currentPtr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-            Some(Some(next))
-          } else None
+            // checkpoint cadence (r14): every `checkpointInterval`-th commit
+            // snapshots the full state (live files + cumulative txn set) —
+            // written INSIDE the lock by the winner, via the same
+            // tmp-then-rename discipline, so readers never see a partial
+            // checkpoint. committedTxns here already includes this commit's
+            // token (the pointer moved above).
+            if (checkpointInterval > 0 && next % checkpointInterval == 0) {
+              val body = (f"ckpt=v$next%08d" +: (files.map("F " + _) ++
+                committedTxns.toSeq.sorted.map("T " + _))).mkString("\n")
+              val ctmp = new Path(logDir, s"._ckpt.tmp.${ProcessHandle.current().pid()}")
+              val cout = fs.create(ctmp, true)
+              try cout.write(body.getBytes("UTF-8")) finally cout.close()
+              if (!fs.rename(ctmp, checkpointPath(next)))
+                throw new java.io.IOException(
+                  s"table $name: checkpoint rename failed for v$next")
+            }
+            Right(Some(next))
+          } else Left(next)
         }
       }
       committed match {
-        case Some(result) => return result
-        case None =>
+        case Right(result) => return result
+        case Left(next) =>
           // CAS lost: rebase if our removes are untouched by the interleaved
           // commits, else surface the conflict (the overlap rule). The
           // missing-batch check at the top of the next iteration enforces
@@ -255,7 +365,25 @@ final case class TxTable(spark: SparkSession, root: String, name: String) {
           attempt += 1
           if (attempt > 16)
             throw new java.util.ConcurrentModificationException(
-              s"table $name commit conflict: claim contention persisted for $attempt attempts")
+              s"table $name commit conflict: claim contention persisted for " +
+                f"$attempt attempts (an orphaned _claim_v$next%08d from a " +
+                "crashed writer reconciles after the stale-claim window)")
+          // stale-claim reconciliation (r14 advisor, the medium finding): a
+          // writer that died BETWEEN claim-create and manifest-rename leaves
+          // `_claim_v{next}` with no manifest and the pointer parked — every
+          // future commit would contend on next forever, wedging the table
+          // with no recovery path. A claim whose manifest never landed
+          // within `staleClaimMs` is provably dead (a live winner writes the
+          // manifest milliseconds after claiming), so the loser deletes it
+          // and retries the CAS. A healthy winner is unaffected: its
+          // manifest exists by the time anyone's clock window expires.
+          val staleClaim = new Path(logDir, f"_claim_v$next%08d")
+          val stale = try {
+            fs.exists(staleClaim) && !fs.exists(manifestPath(next)) &&
+              System.currentTimeMillis() -
+                fs.getFileStatus(staleClaim).getModificationTime > staleClaimMs
+          } catch { case _: java.io.FileNotFoundException => false }
+          if (stale) fs.delete(staleClaim, false)
           // exponential backoff before rebasing: a cross-process loser spins
           // sub-millisecond per attempt, faster than the winner's
           // manifest-write + renames — without a wait, 16 retries can

@@ -135,4 +135,66 @@ class TxTableSpec extends SparkSpec {
       Seq("orphan123")
     t.snapshot(1L).count() shouldBe 1L
   }
+
+  test("checkpointed recovery: cold readers resolve checkpoint + tail after manifest expiry") {
+    val root = java.nio.file.Files.createTempDirectory("txtable_ckpt").toString
+    val t = TxTable(spark, root, "t", checkpointInterval = 4)
+    t.append(Seq(1).toDF("x"))
+    t.appendIdempotent(Seq(2).toDF("x"), "w1", 0L) shouldBe Some(2L)
+    t.append(Seq(3).toDF("x"))
+    t.append(Seq(4).toDF("x"))                       // v4 → checkpoint lands
+    t.appendIdempotent(Seq(5).toDF("x"), "w1", 1L) shouldBe Some(5L)
+    t.append(Seq(6).toDF("x"))
+    val ck = t.latestCheckpoint.get
+    ck.version shouldBe 4L
+    ck.files should have size 4
+    ck.txns shouldBe Set("w1:0")                      // cumulative set AT v4
+    t.expireManifests().size shouldBe 3               // v1..v3 pruned
+    // a COLD instance (fresh caches, as a new process would be): txn set =
+    // checkpoint ∪ tail, history = the retained tail, live reads intact
+    val cold = TxTable(spark, root, "t", checkpointInterval = 4)
+    cold.committedTxns shouldBe Set("w1:0", "w1:1")
+    cold.appendIdempotent(Seq(99).toDF("x"), "w1", 0L) shouldBe None // still dedups
+    cold.history.map(_.version) shouldBe Seq(4L, 5L, 6L)
+    cold.snapshot().count() shouldBe 6L
+    // expired versions are gone by contract (Delta log retention)
+    intercept[IllegalArgumentException](cold.snapshot(2L))
+  }
+
+  test("snapshot-read-during-vacuum: retained manifests protect a compacted-away batch; " +
+       "only expiry releases it") {
+    val root = java.nio.file.Files.createTempDirectory("txtable_vacrace").toString
+    val t = TxTable(spark, root, "t", checkpointInterval = 2)
+    t.append(Seq(1, 2).toDF("x"))
+    val v1dir = t.manifest(1L).files.head
+    t.compact()                                       // v2 rewrites; ckpt at v2
+    val snap1 = t.snapshot(1L)                        // lazy plan over v1's dir
+    // v1's manifest is retained → its dir is protected from vacuum at ANY age
+    t.vacuum(retentionMs = 0L) shouldBe empty
+    snap1.count() shouldBe 2L                         // read AFTER vacuum: intact
+    // expiry releases v1: its dir is now referenced only by the pruned
+    // manifest and becomes vacuum-eligible — exactly Delta's contract
+    t.expireManifests().size shouldBe 1
+    val collected = t.vacuum(retentionMs = 0L)
+    collected.map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath) shouldBe
+      Seq(new org.apache.hadoop.fs.Path(v1dir).toUri.getPath)
+    t.snapshot().count() shouldBe 2L                  // live state untouched
+  }
+
+  test("stale-claim reconciliation: an orphaned claim of a crashed writer no longer " +
+       "wedges the table") {
+    val root = java.nio.file.Files.createTempDirectory("txtable_stale").toString
+    val t = TxTable(spark, root, "t", staleClaimMs = 0L)
+    t.append(Seq(1).toDF("x"))
+    // simulate a writer that died between claim-create and manifest-rename:
+    // _claim_v2 exists, manifest v2 never landed, pointer still at v1
+    val orphan = new java.io.File(root, "t/_log/_claim_v00000002")
+    orphan.createNewFile() shouldBe true
+    // every commit would contend on v2 forever without reconciliation; with
+    // it, the dead claim (no manifest after the stale window) is deleted and
+    // the append lands as v2
+    t.append(Seq(2).toDF("x")) shouldBe 2L
+    t.snapshot().count() shouldBe 2L
+    t.history.map(_.action) shouldBe Seq("append", "append")
+  }
 }
