@@ -177,6 +177,11 @@ object ScaleProbe {
     time("pca_power") {
       Similarity.pcaTopComponent(embs, "embedding", iterations = 3).count()
     }
+    time("pca_power_gram") {
+      // the r14 A/B: one n·d² Gram pass + driver matvecs vs one n·d scan
+      // per round — which wins flips on d vs iterations vs job latency
+      Similarity.pcaTopComponentGram(embs, "embedding", iterations = 3).count()
+    }
     time("ann_brute_topk") {
       Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 10), "embedding", "vec_id", 10).count()
     }
@@ -616,6 +621,19 @@ object ScaleProbe {
         Dedup.winnowFingerprints(docs, "text", "doc_id", k = 4, w = 5),
         "doc_id", docFreqCap = 50).count()
     }
+    time("winnow_after_dedup") {
+      // r14 (verdict ask #1): the dedup-first composition under the SAME
+      // replication that drives the direct probe above to zero pairs once
+      // the docFreq cap binds on replicas. Here the cap counts distinct
+      // CONTENTS (exact-dedup first), so this must report nonzero LOGICAL
+      // pairs at every k while the pair join stays bounded by
+      // distinct-content docFreq — replication never reaches an exchange.
+      // Reported rows = Σ n_pairs (the logical pair count the direct run
+      // would enumerate physically).
+      Dedup.winnowMatchesDeduped(docs, "text", "doc_id", k = 4, w = 5,
+        docFreqCap = 50)
+        .agg(coalesce(sum(col("n_pairs")), lit(0L))).head().getLong(0)
+    }
     time("semdedup_fixed_cells") {
       // deliberately ADVERSARIAL: cell count held at 16 while the corpus
       // grows k× ⇒ in-cell pair volume grows k²× — this measures the cost
@@ -793,6 +811,98 @@ object ScaleProbe {
         // gated query (TextAnalysis.tokenShardReport).
         graft.operators.TextAnalysis
           .tokenShardReport(docs, "text", "doc_id", nShards = 8).count()
+      }
+      time("bpe_merge_rounds_deep") {
+        // r14 (verdict ask #8) — BPE at production merge counts: the same
+        // driver-loop shape driven to GRAFT_BPE_ROUNDS merges (default 256;
+        // run 1024 for the far point). The SCALE.md law says cost = rounds ×
+        // one linear corpus scan; this probe measures the per-round wall
+        // directly, in 64-round bands (per-round cost can only FALL as
+        // merges shrink the token stream), locating where the driver-loop
+        // wall-clock stops being practical — the design boundary of this
+        // shape (past it: batch several merges per scan, accepting
+        // approximate counts, or move the loop off the driver).
+        val rounds = sys.env.getOrElse("GRAFT_BPE_ROUNDS", "256").toInt
+        var cur = docs.select(
+          concat(lit("  "),
+            array_join(array_remove(split(lower(col("text")), "\\s+"), ""), "  "),
+            lit("  ")).as("t"))
+          .repartition(8).localCheckpoint(false)
+        val bandWall = new scala.collection.mutable.ArrayBuffer[Double]()
+        var bandStart = System.nanoTime()
+        var done = 0
+        var exhausted = false
+        (1 to rounds).foreach { i =>
+          if (!exhausted) {
+            val top = cur.select(explode(graft.expressions.GraftFunctions.ngramStrings(
+                split(trim(col("t")), "  "), 2)).as("gram"))
+              .groupBy("gram").agg(count(lit(1)).as("c"))
+              .orderBy(col("c").desc, col("gram").asc).limit(1).collect()
+            if (top.isEmpty) exhausted = true
+            else {
+              cur = cur.select(replace(col("t"),
+                lit(" " + top(0).getString(0).replace(" ", "  ") + " "),
+                lit(" " + top(0).getString(0).replace(" ", "\u0001") + " ")).as("t"))
+                .localCheckpoint(false)
+              done = i
+            }
+          }
+          if (i % 64 == 0) {
+            bandWall += (System.nanoTime() - bandStart) / 1e9
+            bandStart = System.nanoTime()
+          }
+        }
+        bandWall.zipWithIndex.foreach { case (s, b) =>
+          println(f"[scale-bpe] rounds ${b * 64 + 1}%4d-${(b + 1) * 64}%4d: " +
+            f"$s%7.1f s  (${s / 64}%.2f s/round)")
+        }
+        done.toLong
+      }
+      time("stream_dedup_state") {
+        // r14 (verdict ask #6) — STREAMING-STATE probe: the batch decades
+        // measure dataflow; this measures the state-store law of the
+        // stateful streaming family instead of asserting it from watermark
+        // bounds. dedupStream (dropDuplicatesWithinWatermark, 8-byte hash
+        // keys) drains a k× duplicate-heavy event log (k byte-identical
+        // copies of every event — SAME dedup key) landed as 8 event-time-
+        // ordered files, one file per micro-batch. The law that makes
+        // streaming dedup viable on an unbounded feed, now measured per
+        // batch: INPUT rows are k×, STATE rows track distinct in-watermark
+        // keys (k-invariant — the k copies are one key; old keys evict as
+        // the watermark passes), and batch wall follows batch input, not
+        // accumulated history.
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
+          .select(xxhash64(col("event_id")).as("key"), col("ts"))
+        val dup = (0 until k).map(_ => ev).reduce(_ unionAll _)
+        val tiered = dup.withColumn("__tier",
+          ntile(8).over(org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("key"))))
+        val landDir = new java.io.File(sys.props("java.io.tmpdir"), "graft_scale_streamdedup")
+        graft.streaming.Streaming.landOrdered(landDir,
+          (1 to 8).map(t => tiered.filter(col("__tier") === t).select("key", "ts")))
+        val ckpt = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_scale_streamdedup_ckpt_${ProcessHandle.current().pid()}")
+        val sch = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("key", LongType),
+          org.apache.spark.sql.types.StructField("ts", TimestampType)))
+        val ticks = graft.streaming.Streaming.tickStream(spark, landDir.toString, sch,
+          maxFilesPerTrigger = 1)
+        val deduped = graft.streaming.Streaming.dedupStream(ticks, Seq("key"), "ts", "1 hour")
+        var out = 0L
+        val q = deduped.writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+            { out += b.count(); () })
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        q.recentProgress.filter(_.numInputRows > 0).foreach { p =>
+          val st = p.stateOperators.headOption
+          println(f"[scale-stream] dedup batch=${p.batchId}%2d " +
+            f"input=${p.numInputRows}%9d state=${st.map(_.numRowsTotal).getOrElse(-1L)}%8d " +
+            f"evicted=${st.map(_.numRowsRemoved).getOrElse(-1L)}%8d " +
+            f"ms=${p.durationMs.get("triggerExecution")}%6d")
+        }
+        out
       }
     }
     spark.stop()

@@ -553,9 +553,14 @@ object SparkEntry {
         else {
           val (gram, c) = (top(0).getString(0), top(0).getLong(1))
           merges += ((i.toLong, gram, c))
+          // the merge joiner is U+0001, NOT '_' (r14 advisor): a corpus
+          // token containing a literal underscore would corrupt the
+          // merged/fallback classification and the n_tokens_before
+          // recovery below — U+0001 cannot survive the \s+ split of any
+          // real text (and both engines write the same sentinel)
           cur = cur.select(replace(col("t"),
             lit(" " + gram.replace(" ", "  ") + " "),
-            lit(" " + gram.replace(" ", "_") + " ")).as("t"))
+            lit(" " + gram.replace(" ", "\u0001") + " ")).as("t"))
             .localCheckpoint(false)
         }
       }
@@ -2460,7 +2465,7 @@ object SparkEntry {
         merges += ((i.toLong, gram, c))
         cur = cur.select(replace(col("t"),
           lit(" " + gram.replace(" ", "  ") + " "),
-          lit(" " + gram.replace(" ", "_") + " ")).as("t"))
+          lit(" " + gram.replace(" ", "\u0001") + " ")).as("t"))
       }
       merges.toSeq.toDF("step", "merged_pair", "n_occurrences").orderBy("step")
     }),
@@ -2479,16 +2484,16 @@ object SparkEntry {
     // before/after, merged vs FALLBACK tokens (words no merge reached —
     // they fall back to the base vocab), fallback rate and compression.
     // tokens_before is recovered exactly from the final frame (every merge
-    // application removes one boundary and writes one '_').
+    // application removes one boundary and writes one U+0001 joiner).
     "q_bpe_fallback" -> ((s, dir) => {
       val fin = bpeTrainCached(s, dir)._2
       val tk = fin.select(explode(split(trim(col("t")), "  ")).as("tok"))
       tk.agg(
         (count(lit(1)) + sum(length(col("tok")) -
-          length(regexp_replace(col("tok"), "_", "")))).cast(LongType).as("n_tokens_before"),
+          length(regexp_replace(col("tok"), "\u0001", "")))).cast(LongType).as("n_tokens_before"),
         count(lit(1)).as("n_tokens_after"),
-        sum(when(col("tok").contains("_"), 1L).otherwise(0L)).cast(LongType).as("n_merged_tokens"),
-        sum(when(col("tok").contains("_"), 0L).otherwise(1L)).cast(LongType).as("n_fallback_tokens"))
+        sum(when(col("tok").contains("\u0001"), 1L).otherwise(0L)).cast(LongType).as("n_merged_tokens"),
+        sum(when(col("tok").contains("\u0001"), 0L).otherwise(1L)).cast(LongType).as("n_fallback_tokens"))
         .select(col("n_tokens_before"), col("n_tokens_after"),
           col("n_merged_tokens"), col("n_fallback_tokens"),
           round(col("n_fallback_tokens").cast(DoubleType) /
@@ -5361,16 +5366,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     // ...and the link graph out of the same pages: href extraction →
-    // explode → the SAME canonicalization chain as q_url_canonicalize —
-    // HTML parse, URL normalization, and domain attribution composed
+    // explode → RFC 3986 base resolution against the page URL (r14 — the
+    // messy-href shapes: ../relative with dot-segment removal,
+    // protocol-relative //host, absolute path with /./, userinfo) → the
+    // SAME canonicalization chain as q_url_canonicalize — HTML parse, URL
+    // resolution, normalization, and domain attribution composed
     "q_html_links" -> ((s, dir) => {
       val h = graft.operators.Web.withHtml(
         graft.operators.Web.withUrls(documents(s, dir)))
-      val links = h.select(col("doc_id"),
-        explode(graft.operators.Web.extractLinks(col("html"))).as("url"))
-      graft.operators.Web.canonicalize(links, "url")
-        .select("doc_id", "url", "url_canon", "domain")
-        .orderBy("doc_id", "url")
+      val links = h.select(col("doc_id"), col("text"), col("url").as("page_url"),
+        explode(graft.operators.Web.extractLinks(col("html"))).as("href"))
+      val resolved = links.select(col("doc_id"), col("text"), col("href"),
+        graft.operators.Web.resolveUrl(col("page_url"), col("href")).as("url"))
+      graft.operators.Web.canonicalize(resolved, "url")
+        .select(col("doc_id"), col("href"), col("url").as("url_resolved"),
+          col("url_canon"), col("domain"))
+        .orderBy("doc_id", "href")
+    }),
+    // registrable-domain resolution against the COMMITTED PSL data file
+    // (r14 — verdict ask #4): a host fixture sweeping every listed
+    // multi-label suffix (plus sub.-prefixed and 3-label-suffix variants,
+    // so longest-suffix-wins is itself under the hash gate); the oracle
+    // regenerates the same longest-first CASE from the same file
+    "q_psl_domains" -> ((s, dir) => {
+      val n = graft.operators.Web.pslSuffixes.size
+      val sufCol = element_at(typedlit(graft.operators.Web.pslSuffixes),
+        (col("doc_id") % n).cast(IntegerType) + 1)
+      val host = concat(
+        when(col("doc_id") % 3 === 0, lit("sub.")).otherwise(lit("")),
+        lit("w"), (col("doc_id") % 100).cast(StringType), lit("."), sufCol)
+      documents(s, dir).select(col("doc_id"), host.as("host"),
+          graft.operators.Web.registrableDomain(host).as("registrable"))
+        .orderBy("doc_id")
     }),
 
     // --- sources (SURVEY §2.1; rows-only — fixture inputs, not sfDir tables)
@@ -6033,22 +6060,54 @@ object SparkEntry {
     */
   private def htmlCtes: String =
     urlFixtureCte + "," +
-    """ h AS (SELECT doc_id, text,
-      |   '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title><script>var x = 1 < 2;</script><style>.c{color:red}</style></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || ' &amp; tail &lt;tag&gt;</p><a href="' || url || '">first</a> <a href="HTTP://Example.COM/p?id=' || CAST(doc_id % 100 AS VARCHAR) || '#x">second</a></body></html>' AS html
+    """ h AS (SELECT doc_id, text, url,
+      |   '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title><script>var x = 1 < 2;</script><style>.c{color:red}</style></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || ' &amp; tail &lt;tag&gt;</p><a href="' || url || '">first</a> <a href="HTTP://Example.COM/p?id=' || CAST(doc_id % 100 AS VARCHAR) || '#x">second</a> <a href="../other/page-' || CAST(doc_id % 100 AS VARCHAR) || '?x=1">third</a> <a href="//cdn.example-' || CAST(doc_id % 100 AS VARCHAR) || '.com/lib/app.js">fourth</a> <a href="/ROOT/./deep/page-' || CAST(doc_id % 100 AS VARCHAR) || '.html">fifth</a> <a href="https://user@media.example.org/m/' || CAST(doc_id % 100 AS VARCHAR) || '">sixth</a></body></html>' AS html
       |  FROM u)""".stripMargin.replace("\n", "")
+
+  /** The PSL longest-suffix-match CASE, generated from the SAME committed
+    * data file [[graft.operators.Web.pslSuffixes]] the Spark expression
+    * chain compiles from (the hyperplanes/mixtureWeights single-constant
+    * precedent) — label-count-desc order so `act.edu.au` beats `edu.au`.
+    */
+  private def pslDomainCaseSql(host: String, labels: String): String = {
+    val branches = graft.operators.Web.pslSuffixesLongestFirst.map { sfx =>
+      val keep = sfx.count(_ == '.') + 2
+      s"WHEN ends_with($host, '.$sfx') THEN array_to_string($labels[-$keep:], '.')"
+    }
+    s"CASE WHEN len($labels) <= 2 THEN $host ${branches.mkString(" ")} " +
+      s"ELSE array_to_string($labels[-2:], '.') END"
+  }
+
+  /** [[graft.operators.Web.removeDotSegments]] dual: the identical bounded
+    * regex chain (all RE2-safe, all 'g' = Spark's replace-all) over a SQL
+    * expression `x`.
+    */
+  private def dotsSql(x: String): String = {
+    val nd = s"regexp_replace(regexp_replace(regexp_replace($x, " +
+      "'/\\./', '/', 'g'), '/\\./', '/', 'g'), '/\\.$', '/', 'g')"
+    val popped = (1 to 4).foldLeft(nd)((acc, _) =>
+      s"regexp_replace(regexp_replace($acc, '/[^/]+/\\.\\./', '/', 'g'), " +
+        "'/[^/]+/\\.\\.$', '/', 'g')")
+    s"regexp_replace(regexp_replace($popped, " +
+      "'^(/\\.\\./)+', '/', 'g'), '^/\\.\\.$', '/', 'g')"
+  }
 
   /** The canonicalization CTE chain (`pr`→`p2`→`p3`→`p4`→`cn`) over any
     * source CTE carrying (doc_id, text, url) — shared by the URL-fixture
-    * duals and the HTML-link duals.
+    * duals and the HTML-link duals. `extra` names passthrough columns
+    * (e.g. ", href") carried to the final `cn`. r14: userinfo strips with
+    * the same greedy `^.*@` as the Spark chain, the registrable domain is
+    * the generated PSL CASE, and empty scheme/host NULLs all three
+    * canonical keys.
     */
-  private def canonChainSql(src: String): String =
-    s""" pr AS (SELECT doc_id, text, url, regexp_replace(url, '#.*', '') AS nofrag FROM $src),
-      | p2 AS (SELECT doc_id, text, url,
+  private def canonChainSql(src: String, extra: String = ""): String =
+    s""" pr AS (SELECT doc_id, text$extra, url, regexp_replace(url, '#.*', '') AS nofrag FROM $src),
+      | p2 AS (SELECT doc_id, text$extra, url,
       |   lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-      |   lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+      |   regexp_replace(lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^.*@', '') AS hostport,
       |   regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
       |   regexp_extract(nofrag, '\\?([^#]*)', 1) AS rawq FROM pr),
-      | p3 AS (SELECT doc_id, text, url, scheme,
+      | p3 AS (SELECT doc_id, text$extra, url, scheme,
       |   regexp_replace(regexp_replace(hostport, ':[0-9]+$$', ''), '^www\\.', '') AS host,
       |   regexp_extract(hostport, ':([0-9]+)$$', 1) AS prt,
       |   CASE WHEN regexp_replace(rawpath, '/+$$', '') = '' THEN '/'
@@ -6056,17 +6115,18 @@ object SparkEntry {
       |   array_to_string(list_sort(list_filter(string_split(rawq, '&'),
       |     q -> len(q) > 0 AND NOT regexp_matches(q, '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid)='))), '&') AS qs
       |  FROM p2),
-      | p4 AS (SELECT doc_id, text, url, scheme, host, pth, qs,
+      | p4 AS (SELECT doc_id, text$extra, url, scheme, host, pth, qs,
       |   CASE WHEN prt <> '' AND NOT ((scheme = 'http' AND prt = '80') OR (scheme = 'https' AND prt = '443'))
       |     THEN ':' || prt ELSE '' END AS portsfx,
       |   CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS qsfx,
       |   string_split(host, '.') AS labels FROM p3),
-      | cn AS (SELECT doc_id, text, url,
-      |   scheme || '://' || host || portsfx || pth || qsfx AS url_canon,
-      |   CASE WHEN len(labels) <= 2 THEN host
-      |     WHEN regexp_matches(host, '\\.(co\\.uk|org\\.uk|com\\.au|co\\.jp)$$') THEN array_to_string(labels[-3:], '.')
-      |     ELSE array_to_string(labels[-2:], '.') END AS domain,
-      |   array_to_string(list_reverse(labels), ',') || portsfx || ')' || pth || qsfx AS surt
+      | cn AS (SELECT doc_id, text$extra, url,
+      |   CASE WHEN scheme = '' OR host = '' THEN NULL
+      |     ELSE scheme || '://' || host || portsfx || pth || qsfx END AS url_canon,
+      |   CASE WHEN scheme = '' OR host = '' THEN NULL
+      |     ELSE ${pslDomainCaseSql("host", "labels")} END AS domain,
+      |   CASE WHEN scheme = '' OR host = '' THEN NULL
+      |     ELSE array_to_string(list_reverse(labels), ',') || portsfx || ')' || pth || qsfx END AS surt
       |  FROM p4)""".stripMargin.replace("\n", "")
 
   /** JPEG-decode dual: dims/channels are decode invariants (literals); the
@@ -6232,7 +6292,7 @@ object SparkEntry {
          | m$i AS MATERIALIZED (SELECT gram, c FROM p$i ORDER BY c DESC, gram ASC LIMIT 1),
          | d$i AS MATERIALIZED (SELECT CASE WHEN (SELECT COUNT(*) FROM m$i) = 0 THEN t
          |   ELSE replace(t, ' ' || (SELECT replace(gram, ' ', '  ') FROM m$i) || ' ',
-         |     ' ' || (SELECT replace(gram, ' ', '_') FROM m$i) || ' ') END AS t FROM $prev)""".stripMargin.replace("\n", "")
+         |     ' ' || (SELECT replace(gram, ' ', chr(1)) FROM m$i) || ' ') END AS t FROM $prev)""".stripMargin.replace("\n", "")
     """WITH d0 AS MATERIALIZED (SELECT '  ' || array_to_string(list_filter(string_split_regex(lower(text), '\s+'),
       |   w -> len(w) > 0), '  ') || '  ' AS t FROM documents),""".stripMargin.replace("\n", "") +
       (1 to rounds).map(i => round(s"d${i - 1}", i)).mkString(",")
@@ -9028,9 +9088,36 @@ object SparkEntry {
         |   CAST(len(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS BIGINT) AS n_links
         | FROM s4 ORDER BY doc_id""".stripMargin.replace("\n", "")),
     "q_html_links" -> ("WITH " + htmlCtes + "," +
-      """ links AS (SELECT doc_id, text, UNNEST(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS url FROM h),""".stripMargin.replace("\n", "") +
-      canonChainSql("links") +
-      " SELECT doc_id, url, url_canon, domain FROM cn ORDER BY doc_id, url"),
+      """ links AS (SELECT doc_id, text, url AS page_url, UNNEST(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href FROM h),
+        | rb AS (SELECT doc_id, text, href, regexp_replace(page_url, '#.*', '') AS basenf FROM links),
+        | rp AS (SELECT doc_id, text, href, basenf,
+        |   regexp_extract(basenf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS bscheme,
+        |   regexp_extract(basenf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS bauth,
+        |   regexp_extract(basenf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS bpath
+        |  FROM rb),""".stripMargin.replace("\n", "") +
+      s""" rr AS (SELECT doc_id, text, href,
+         |  CASE
+         |   WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN href
+         |   WHEN starts_with(href, '//') THEN bscheme || ':' || href
+         |   WHEN starts_with(href, '/') THEN bscheme || '://' || bauth || ${dotsSql("href")}
+         |   WHEN starts_with(href, '#') OR href = '' THEN basenf
+         |   WHEN starts_with(href, '?') THEN bscheme || '://' || bauth || (CASE WHEN bpath = '' THEN '/' ELSE bpath END) || href
+         |   ELSE bscheme || '://' || bauth || ${dotsSql(
+              "((CASE WHEN bpath = '' THEN '/' ELSE regexp_replace(bpath, '[^/]*$', '') END) || href)")}
+         |  END AS url
+         | FROM rp),""".stripMargin.replace("\n", "") +
+      canonChainSql("rr", extra = ", href") +
+      " SELECT doc_id, href, url AS url_resolved, url_canon, domain FROM cn ORDER BY doc_id, href"),
+    "q_psl_domains" -> {
+      val sufs = graft.operators.Web.pslSuffixes.map(s => s"'$s'").mkString(", ")
+      val n = graft.operators.Web.pslSuffixes.size
+      s"""WITH sx AS (SELECT doc_id, ([$sufs])[CAST(doc_id % $n AS INTEGER) + 1] AS suf FROM documents),
+         | hx AS (SELECT doc_id, (CASE WHEN doc_id % 3 = 0 THEN 'sub.' ELSE '' END) ||
+         |   'w' || CAST(doc_id % 100 AS VARCHAR) || '.' || suf AS host FROM sx),
+         | lx AS (SELECT doc_id, host, string_split(host, '.') AS labels FROM hx)
+         | SELECT doc_id, host, ${pslDomainCaseSql("host", "labels")} AS registrable
+         | FROM lx ORDER BY doc_id""".stripMargin.replace("\n", "")
+    },
     "q_media_decode" -> mediaDecodeSql,
     "q_jpeg_decode" -> jpegDecodeSql,
     "q_image_dhash" -> dhashSql,
@@ -9383,15 +9470,15 @@ object SparkEntry {
         .mkString(" UNION ALL ") +
       ") ORDER BY step"),
     // same chain, then the post-merge token stats from the final state;
-    // tokens_before recovered as tokens_after + total '_' writes
+    // tokens_before recovered as tokens_after + total joiner (U+0001) writes
     "q_bpe_fallback" -> (bpeChainSql(bpeTrainRounds) +
       s""", tk AS (SELECT UNNEST(string_split(trim(t), '  ')) AS tok FROM d$bpeTrainRounds)
-         | SELECT CAST(COUNT(*) + SUM(len(tok) - len(replace(tok, '_', ''))) AS BIGINT) AS n_tokens_before,
+         | SELECT CAST(COUNT(*) + SUM(len(tok) - len(replace(tok, chr(1), ''))) AS BIGINT) AS n_tokens_before,
          |   CAST(COUNT(*) AS BIGINT) AS n_tokens_after,
-         |   CAST(SUM(CASE WHEN contains(tok, '_') THEN 1 ELSE 0 END) AS BIGINT) AS n_merged_tokens,
-         |   CAST(SUM(CASE WHEN contains(tok, '_') THEN 0 ELSE 1 END) AS BIGINT) AS n_fallback_tokens,
-         |   round(CAST(SUM(CASE WHEN contains(tok, '_') THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*), 6) AS fallback_rate,
-         |   round(CAST(COUNT(*) + SUM(len(tok) - len(replace(tok, '_', ''))) AS DOUBLE) / COUNT(*), 6) AS compression_ratio
+         |   CAST(SUM(CASE WHEN contains(tok, chr(1)) THEN 1 ELSE 0 END) AS BIGINT) AS n_merged_tokens,
+         |   CAST(SUM(CASE WHEN contains(tok, chr(1)) THEN 0 ELSE 1 END) AS BIGINT) AS n_fallback_tokens,
+         |   round(CAST(SUM(CASE WHEN contains(tok, chr(1)) THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*), 6) AS fallback_rate,
+         |   round(CAST(COUNT(*) + SUM(len(tok) - len(replace(tok, chr(1), ''))) AS DOUBLE) / COUNT(*), 6) AS compression_ratio
          | FROM tk""".stripMargin.replace("\n", "")),
     // 3-round view of the same boundary-guarded chain as q_bpe_train
     "q_bpe_merges" -> (bpeChainSql(3) +

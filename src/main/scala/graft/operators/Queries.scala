@@ -599,29 +599,30 @@ object Queries {
     // r14 (SCALE.md r13's 25×→50× spill step): the CAPPED path no longer
     // builds the full collect_set and slices it — that held every over-cap
     // basket's ENTIRE item set in ObjectHashAggregate state, a memory cliff
-    // exactly where the cap exists to protect. Instead: hash-distinct
-    // (basket, item) pairs (codegen, partial-aggregable, spills gracefully),
-    // rank items per basket through one sort-based window (ExternalSorter —
-    // disk-backed, no cliff), keep rank ≤ cap, and only then collect — the
-    // aggregation state is bounded by the cap for EVERY basket. Same output
-    // bit for bit: row_number over distinct items ordered ascending keeps
-    // exactly the first `cap` entries of the sorted distinct array. One
-    // extra exchange vs the uncapped path ((b,i)-distinct, then b-keyed
-    // window; the final groupBy reuses the window's partitioning) — the
-    // price of bounded memory, paid only when a cap is requested. The
-    // UNCAPPED path keeps the single-shuffle collect_set (its state is
-    // inherently the basket, and domains that skip the cap have bounded
-    // baskets by contract).
+    // exactly where the cap exists to protect. Instead the rows ride ONE
+    // basket-keyed sort-based window (ExternalSorter — disk-backed, no
+    // cliff): dense_rank counts distinct items in sort order, lag marks
+    // first occurrences, so `dense_rank ≤ cap AND first-occurrence` keeps
+    // exactly the first `cap` entries of the sorted distinct item set —
+    // bit-identical to slicing the sorted collect_set — and only those
+    // bounded survivors reach the collect (aggregation state ≤ cap for
+    // EVERY basket). Both window functions share one (partition, sort) and
+    // the final groupBy reuses the window's hash partitioning: the plan
+    // stays a single exchange, the same count as the uncapped path; the
+    // hash agg's set state is traded for a spillable sort. The UNCAPPED
+    // path keeps the single-shuffle collect_set (its state is inherently
+    // the basket; domains that skip the cap bound basket size by contract).
     maxBasket match {
       case None =>
         df.groupBy(col(basketCol).as("__b"))
           .agg(sort_array(collect_set(col(itemCol))).as("__is"))
       case Some(cap) =>
-        val pairs = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
-        pairs
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(col("__b")).orderBy(col("__i"))))
-          .filter(col("__rn") <= cap).drop("__rn")
+        val w = Window.partitionBy(col("__b")).orderBy(col("__i"))
+        df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+          .withColumn("__dr", dense_rank().over(w))
+          .withColumn("__dup", lag(col("__i"), 1).over(w) === col("__i"))
+          .filter(col("__dr") <= cap && !coalesce(col("__dup"), lit(false)))
+          .drop("__dr", "__dup")
           .groupBy(col("__b")).agg(sort_array(collect_list(col("__i"))).as("__is"))
     }
   }

@@ -15,8 +15,9 @@ import org.apache.spark.sql.types._
   *   - [[canonicalize]]: the normalization pass (lowercase scheme+host,
   *     strip `www.`, drop default ports, drop fragments, drop tracking
   *     params, sort surviving params, collapse trailing slashes) plus the
-  *     registrable domain (public-suffix-lite: a small multi-label suffix
-  *     list, else last two labels) and the SURT form (scheme-less,
+  *     registrable domain (longest-suffix match over a committed
+  *     public-suffix-list data file, else last two labels) and the SURT
+  *     form (scheme-less,
   *     comma-reversed host labels — the Internet-Archive sort key that
   *     co-locates a domain's pages under any range partitioning).
   *   - URL-keyed exact dedup on the SURT key (scheme variants of one page
@@ -44,21 +45,45 @@ object Web {
     */
   val trackingParamRe = "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid)="
 
-  /** Multi-label public suffixes recognized by [[registrableDomain]] —
-    * a deliberately small public-suffix-list stand-in (the real PSL is a
-    * data file; the operator structure is identical).
+  /** Multi-label public suffixes recognized by [[registrableDomain]],
+    * loaded from the COMMITTED DATA FILE
+    * `resources/graft/public_suffix_subset.txt` (publicsuffix.org line
+    * format: one suffix per line, `//` comments) — r14: the r13 4-suffix
+    * regex stand-in replaced by the real operator shape. Swap the file for
+    * the full PSL in production; nothing else changes.
     */
-  val multiLabelSuffixRe = "\\.(co\\.uk|org\\.uk|com\\.au|co\\.jp)$"
+  lazy val pslSuffixes: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_subset.txt")
+    require(in != null, "graft/public_suffix_subset.txt missing from classpath")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toVector
+    finally in.close()
+  }
 
-  /** Registrable domain of an already-lowercased host: last three labels
-    * when the host ends in a listed multi-label suffix, else last two;
-    * hosts of ≤2 labels pass through unchanged.
+  /** [[pslSuffixes]] ordered for LONGEST-SUFFIX-FIRST matching (label count
+    * desc, then lexicographic for determinism) — `act.edu.au` must win over
+    * `edu.au` exactly as the PSL algorithm specifies.
+    */
+  lazy val pslSuffixesLongestFirst: Seq[String] =
+    pslSuffixes.sortBy(s => (-s.count(_ == '.'), s))
+
+  /** Registrable domain of an already-lowercased host: suffix labels + 1
+    * for the longest matching listed suffix, else last two labels; hosts of
+    * ≤2 labels pass through unchanged. The list compiles to a generated
+    * longest-first `CASE` chain of codegen'd `EndsWith` tests — still a
+    * pure narrow expression, zero shuffle, scan speed (a broadcast join
+    * would work too but would force the suffix count into the plan's join
+    * cardinality; ~50 string suffix tests per row is cheaper than a
+    * per-label explode at every corpus size).
     */
   def registrableDomain(host: Column): Column = {
     val labels = split(host, "\\.")
-    when(size(labels) <= 2, host)
-      .when(host.rlike(multiLabelSuffixRe), array_join(slice(labels, -3, 3), "."))
-      .otherwise(array_join(slice(labels, -2, 2), "."))
+    val chain = pslSuffixesLongestFirst.foldLeft(when(size(labels) <= 2, host)) {
+      (acc, s) =>
+        val keep = s.count(_ == '.') + 2 // suffix labels + 1 registrable label
+        acc.when(host.endsWith("." + s), array_join(slice(labels, -keep, keep), "."))
+    }
+    chain.otherwise(array_join(slice(labels, -2, 2), "."))
   }
 
   /** Canonicalization pass: adds `url_canon`, `domain`, `surt` beside the
@@ -67,10 +92,17 @@ object Web {
     * no UDF, no shuffle.
     */
   def canonicalize(df: DataFrame, urlCol: String): DataFrame = {
-    // structural parse (fragment already stripped): scheme://host[:port]path[?query]
+    // structural parse (fragment already stripped): scheme://host[:port]path[?query].
+    // r14 advisor hardening: userinfo (`user:pass@host`) strips before
+    // host/port extraction (greedy `^.*@` — RFC 3986: the LAST `@` of the
+    // authority ends userinfo), and URLs whose scheme or host extraction
+    // comes back empty (relative hrefs, mailto:, garbage) canonicalize to
+    // NULL keys instead of collapsing onto one `://…` bucket downstream.
     val noFrag = regexp_replace(col(urlCol), "#.*", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostPort = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val hostPort = regexp_replace(
+      lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+      "^.*@", "")
     val rawPath = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     val rawQuery = regexp_extract(noFrag, "\\?([^#]*)", 1)
     df.withColumn("__scheme", scheme)
@@ -94,16 +126,21 @@ object Web {
       })
       .withColumn("__qSfx",
         when(col("__qs") =!= "", concat(lit("?"), col("__qs"))).otherwise(lit("")))
-      .withColumn("url_canon",
-        concat(col("__scheme"), lit("://"), col("__host"), col("__portSfx"),
-          col("__path"), col("__qSfx")))
-      .withColumn("domain", registrableDomain(col("__host")))
+      // malformed-URL guard: every canonical key NULLs together, so a
+      // groupBy on any of them sends malformed rows to the null bucket
+      // (inspectable) instead of a shared '://…' collision cluster
+      .withColumn("__bad", col("__scheme") === "" || col("__host") === "")
+      .withColumn("url_canon", when(col("__bad"), lit(null).cast(StringType))
+        .otherwise(concat(col("__scheme"), lit("://"), col("__host"), col("__portSfx"),
+          col("__path"), col("__qSfx"))))
+      .withColumn("domain", when(col("__bad"), lit(null).cast(StringType))
+        .otherwise(registrableDomain(col("__host"))))
       // SURT: scheme-less, host labels reversed + comma-joined — range
       // partitioning on this key co-locates a domain (and its subdomains)
-      .withColumn("surt",
-        concat(array_join(reverse(split(col("__host"), "\\.")), ","),
-          col("__portSfx"), lit(")"), col("__path"), col("__qSfx")))
-      .drop("__scheme", "__host", "__port", "__path", "__qs", "__portSfx", "__qSfx")
+      .withColumn("surt", when(col("__bad"), lit(null).cast(StringType))
+        .otherwise(concat(array_join(reverse(split(col("__host"), "\\.")), ","),
+          col("__portSfx"), lit(")"), col("__path"), col("__qSfx"))))
+      .drop("__scheme", "__host", "__port", "__path", "__qs", "__portSfx", "__qSfx", "__bad")
   }
 
   /** URL-keyed exact dedup on the SURT key: one hash-shuffle on the key,
@@ -157,11 +194,57 @@ object Web {
   def extractLinks(html: Column): Column =
     regexp_extract_all(html, lit("href=\"([^\"]*)\""), lit(1))
 
+  /** RFC 3986 remove_dot_segments over a path(+query) string, as a BOUNDED
+    * unrolled regex chain (codegen'd, RE2-compatible — no lookaround, so the
+    * DuckDB dual restates it verbatim): `/./` collapses, then four passes
+    * each remove one `segment/../` level (innermost-first, exactly the RFC
+    * stack pop), then root-excess `/../` drops. Nesting deeper than 4
+    * `..`-levels keeps a residual — real href corpora don't nest deeper,
+    * and the bound keeps this a pure narrow expression. Queries containing
+    * literal `/../` are outside the contract (the RFC splits query off
+    * first; this chain runs over path+query for one fewer parse pass).
+    */
+  def removeDotSegments(p: Column): Column = {
+    val noDot = regexp_replace(regexp_replace(regexp_replace(p,
+      "/\\./", "/"), "/\\./", "/"), "/\\.$", "/")
+    val popped = (1 to 4).foldLeft(noDot)((x, _) =>
+      regexp_replace(regexp_replace(x, "/[^/]+/\\.\\./", "/"), "/[^/]+/\\.\\.$", "/"))
+    regexp_replace(regexp_replace(popped, "^(/\\.\\./)+", "/"), "^/\\.\\.$", "/")
+  }
+
+  /** Resolve an href against its page URL — RFC 3986 §5.2 reference
+    * resolution (r14): scheme-ful hrefs pass through; `//host/…` takes the
+    * base scheme (protocol-relative); `/abs` takes scheme + authority;
+    * `?q` replaces the base query; `#frag` (and empty) is the page itself;
+    * anything else merges onto the base path's directory. Merged paths run
+    * through [[removeDotSegments]]. Pure codegen'd string expressions —
+    * the link graph resolves at scan speed; compose with [[canonicalize]]
+    * (which also strips userinfo and NULLs malformed results, so a
+    * `mailto:` or garbage href never pollutes a dedup key).
+    */
+  def resolveUrl(base: Column, href: Column): Column = {
+    val baseNF = regexp_replace(base, "#.*", "")
+    val scheme = regexp_extract(baseNF, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val auth = regexp_extract(baseNF, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val bpath = regexp_extract(baseNF, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val bpathOrRoot = when(bpath === "", lit("/")).otherwise(bpath)
+    val dir = when(bpath === "", lit("/")).otherwise(regexp_replace(bpath, "[^/]*$", ""))
+    when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), href)
+      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+      .when(href.startsWith("/"), concat(scheme, lit("://"), auth, removeDotSegments(href)))
+      .when(href.startsWith("#") || href === "", baseNF)
+      .when(href.startsWith("?"), concat(scheme, lit("://"), auth, bpathOrRoot, href))
+      .otherwise(concat(scheme, lit("://"), auth, removeDotSegments(concat(dir, href))))
+  }
+
   /** Deterministic HTML fixture around (doc_id, text, url): a full page with
     * title/h1, a script block containing a bare `<` (the classic
-    * tag-stripper trap), a style block, entity-encoded text, and two links
-    * (the doc's messy [[withUrls]] URL + a case-messy absolute second link).
-    * Pure string concatenation the oracle restates verbatim.
+    * tag-stripper trap), a style block, entity-encoded text, and six links —
+    * the doc's messy [[withUrls]] URL, a case-messy absolute link, and (r14)
+    * the four messy-href shapes [[resolveUrl]] must handle: a `../` relative
+    * path, a protocol-relative `//host`, an absolute path with a `/./` dot
+    * segment, and a scheme-ful link carrying userinfo. Pure string
+    * concatenation the oracle restates verbatim.
     */
   def withHtml(docsWithUrl: DataFrame): DataFrame = {
     val idStr = col("doc_id").cast(StringType)
@@ -172,7 +255,11 @@ object Web {
       idStr, lit("</h1><p>"), col("text"),
       lit(" &amp; tail &lt;tag&gt;</p><a href=\""), col("url"),
       lit("\">first</a> <a href=\"HTTP://Example.COM/p?id="), c,
-      lit("#x\">second</a></body></html>")))
+      lit("#x\">second</a> <a href=\"../other/page-"), c,
+      lit("?x=1\">third</a> <a href=\"//cdn.example-"), c,
+      lit(".com/lib/app.js\">fourth</a> <a href=\"/ROOT/./deep/page-"), c,
+      lit(".html\">fifth</a> <a href=\"https://user@media.example.org/m/"), c,
+      lit("\">sixth</a></body></html>")))
   }
 
   /** Deterministic messy-URL fixture: derives a crawl-shaped `url` column
