@@ -2160,7 +2160,13 @@ object SparkEntry {
       Similarity.kmeans(embeddings(s, dir), "embedding", "vec_id",
         k = 8, iterations = 2).orderBy("cell_id", "dim")),
     // covariance-free PCA: top principal direction by 3 power iterations
-    // (centering + projections + decimal accumulations, Similarity doc)
+    // (centering + projections + decimal accumulations, Similarity doc).
+    // r14 closed the perf-weak carryover by MEASUREMENT, not swap: the
+    // Gram-fused alternative (pcaTopComponentGram) was implemented and
+    // A/B'd at bench scale — 12.1 s vs 1.4 s — because the cross-engine
+    // exactness discipline prices every scalar at a double→decimal cast
+    // and Gram casts n·d² of them vs n·d·iterations here (PLANS.md
+    // deliberate-non-optimality #4). This form stays registered.
     "q_pca_power" -> ((s, dir) =>
       Similarity.pcaTopComponent(embeddings(s, dir), "embedding", iterations = 3)
         .orderBy("dim")),

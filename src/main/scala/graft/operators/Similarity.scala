@@ -958,26 +958,30 @@ object Similarity {
     * Output: (dim, mean, loading) — the centering vector and the unit
     * principal direction, flat for oracle hashing.
     */
-  /** [[pcaTopComponent]] fused through one Gram pass (r14 — retiring the
-    * perf-weak carryover): for moderate d the d×d Gram matrix
-    * `G = Σ xc·xcᵀ` is CATALOG-scale state (d=64 → 4,096 doubles), so ONE
-    * corpus pass computes it and every power iteration after that is a
-    * driver-side matvec — zero distributed jobs per round, vs one scan per
-    * round in the covariance-free form. The iterate is mathematically
+  /** [[pcaTopComponent]] fused through one Gram pass — implemented for the
+    * r14 A/B that closed the perf-weak carryover, MEASURED, AND REJECTED
+    * for registration: for moderate d the d×d Gram matrix `G = Σ xc·xcᵀ`
+    * is CATALOG-scale state (d=64 → 4,096 doubles), so ONE corpus pass
+    * computes it and every power iteration after that is a driver-side
+    * matvec — zero distributed jobs per round, vs one scan per round in the
+    * covariance-free form. The iterate is mathematically
     * `w ← normalize(G·w)`, the same fixpoint, but the ACCUMULATION
     * GROUPING differs from the per-round form (Σ_k G_jk·w_k vs
-    * Σ_rows xc_j·(xc·w)), so the floats differ in low ulps and the oracle
-    * restates THIS formulation: G entries are exact DECIMAL(30,6) sums of
-    * per-row products (order-free), the matvec is the sequential-double
-    * kernel (≡ `list_inner_product` over the k-ascending row list), the
-    * norm accumulates t² in ascending j — every step engine-portable by
-    * the established discipline.
+    * Σ_rows xc_j·(xc·w)) — each form rounds DIFFERENT per-row quantities
+    * to DECIMAL(30,6), so loadings diverge at the quantization level
+    * (~1e-8); an oracle dual for this formulation exists in git history
+    * (r14 `pcaGramSql`).
     *
-    * Scale contract: total work is n·d² products in one partial-aggregable
-    * (j,k)-keyed pass — the right trade up to d where n·d² scan cost or
-    * d² driver state dominates (d ≳ 10³); past that, [[pcaTopComponent]]'s
-    * per-round scans (n·d per round, no d² anywhere) remain the shape, and
-    * both are kept for exactly that reason.
+    * The measured verdict (sf0.1 bench, PLANS.md non-optimality #4): the
+    * cross-engine exactness discipline prices every accumulated scalar at
+    * one double→DECIMAL(30,6) cast (~0.6 µs — `BigDecimal.valueOf` is a
+    * `Double.toString` on JDK 17), and this form casts n·d² of them vs the
+    * per-round form's n·d·iterations — d/its ≈ 21× more at d=64/its=3.
+    * 12.1 s vs 1.4 s end-to-end; the same agg with plain double sums runs
+    * 0.9 s, so the job-count saving is real but the decimal volume buys it
+    * back 14× over. Fewer-jobs-per-iteration only wins when the per-scan
+    * work is cheap — kept as the measured counterexample and for the
+    * d-vs-iterations regime where it would flip (its ≫ d).
     */
   def pcaTopComponentGram(corpus: DataFrame, vecCol: String,
       iterations: Int = 3): DataFrame = {
@@ -990,8 +994,13 @@ object Similarity {
     val muArr = muFlat
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
         s => s.getField("m")).as("muv"))
+    // materialize xc BEFORE the double explode: the zip_with lambda runs
+    // interpreted and CollapseProject would re-inline it into both Generate
+    // operators — re-evaluated per exploded LANE, an n·d² interpreted-lambda
+    // blowup (measured 10.9 s vs 0.9 s at sf0.1 bench scale)
     val xc = vecs.crossJoin(broadcast(muArr))
       .select(zip_with(col("v"), col("muv"), (a, b) => a - b).as("xc"))
+      .localCheckpoint(false)
     val d = vecs.limit(1).select(size(col("v"))).head().getInt(0)
     // the Gram pass: n·d² narrow rows → (j,k)-keyed exact-decimal partial
     // agg → d² rows collected. One job; j,k are 0-based positions.

@@ -131,6 +131,36 @@ class SimilaritySpec extends SparkSpec {
     got(0) shouldBe 1.0 / math.sqrt(2.0) +- 1e-9
   }
 
+  test("pcaTopComponentGram: same unit-axis fixpoints as the per-round form") {
+    val pts = Seq((1L, Seq(0f, 0f)), (2L, Seq(4f, 0f))).toDF("vec_id", "embedding")
+    val got = rows(Similarity.pcaTopComponentGram(pts, "embedding", iterations = 3)
+      .orderBy("dim"))
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    got.map(_._2) shouldBe Seq(2.0, 0.0)
+    got(0)._3 shouldBe 1.0 +- 1e-12
+    got(1)._3 shouldBe 0.0 +- 1e-12
+  }
+
+  test("pcaTopComponentGram: agrees with pcaTopComponent to float tolerance") {
+    // same fixpoint, different accumulation grouping (Σ_k G_jk·w_k vs
+    // Σ_rows xc_j·(xc·w)) — means are bit-equal (identical centering
+    // aggregate); loadings diverge at the 6-dp decimal quantization level
+    // (each form rounds DIFFERENT per-row quantities to DECIMAL(30,6):
+    // xc_j·xc_k products vs xc_j·s projections — ~1e-7 absolute on the
+    // accumulators, ~1e-8 on the normalized loadings here)
+    val pts = Seq(
+      (1L, Seq(1.5f, -0.25f, 3f)), (2L, Seq(-2f, 0.5f, 1f)),
+      (3L, Seq(0.75f, 4f, -1.5f)), (4L, Seq(2.25f, -3f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val a = rows(Similarity.pcaTopComponent(pts, "embedding", iterations = 3)
+      .orderBy("dim")).map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val b = rows(Similarity.pcaTopComponentGram(pts, "embedding", iterations = 3)
+      .orderBy("dim")).map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    a.map(_._1) shouldBe b.map(_._1)
+    a.map(_._2) shouldBe b.map(_._2)
+    a.zip(b).foreach { case (x, y) => x._3 shouldBe y._3 +- 1e-6 }
+  }
+
   test("ivfTopK with enough probes matches brute force on the top hit") {
     val queries = vecs.filter(col("vec_id") === 0L)
     val cents = Similarity.trainCentroids(vecs, "embedding", "vec_id", 2)
