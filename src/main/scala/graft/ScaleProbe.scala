@@ -95,6 +95,24 @@ object ScaleProbe {
       Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 5, threshold = 0.3,
         maxDocFreq = 100L * k).count()
     }
+    time("ngram_jaccard_unscaled_cap") {
+      // the SEMANTIC cap (100, NOT scaled by k — the scaled cap above is a
+      // probe workaround, production can't know per-shingle replication):
+      // replication inflates every shingle's docFreq k×, so shingles whose
+      // distinct-content frequency exceeds 100/k prune and the pair report
+      // under-counts — the r13 winnow failure shape in the jaccard family
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 5, threshold = 0.3,
+        maxDocFreq = 100L).count()
+    }
+    time("ngram_jaccard_deduped") {
+      // r14: the dedup-first composition at the SAME semantic cap — docFreq
+      // counts distinct contents, replication never reaches the posting
+      // join, and the reported logical multiset (Σ n_pairs) must equal
+      // base_pairs·k² + n_docs·C(k,2) at every k
+      Dedup.ngramJaccardPairsDeduped(docs, "text", "doc_id", n = 5,
+          threshold = 0.3, maxDocFreq = 100L)
+        .agg(coalesce(sum(col("n_pairs")), lit(0L))).head().getLong(0)
+    }
     time("containment_pairs") {
       // same inverted-index shape as jaccard, but no size-ratio prefilter
       // (asymmetric sizes are the point) — the docFreq cap alone must hold

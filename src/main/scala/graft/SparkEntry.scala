@@ -91,6 +91,21 @@ object SparkEntry {
   private def documents(s: SparkSession, dir: String) = table(s, dir, "documents")
   private def embeddings(s: SparkSession, dir: String) = table(s, dir, "embeddings")
 
+  /** Deterministic replication fixture shared by the dedup-first composition
+    * gates (`q_winnow_after_dedup`, `q_jaccard_after_dedup`,
+    * `q_containment_after_dedup`): documents plus every 7th doc twice and
+    * every 21st three times — exact-dup cluster sizes {1, 2, 3}, so keeper
+    * selection, intra-row emission and the |Ca|·|Cb| / C(sz,2) weight
+    * arithmetic all vary under the hash gate.
+    */
+  private def replicatedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      .unionByName(d.filter(col("doc_id") % 21 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000L))
+  }
+
   /** MinHash+LSH near-dup pair graph over `documents`, built once per
     * (session, sf dir) and kept cached — five dedup queries consume the SAME
     * exact-verified pair graph (the pair list itself, triangles/coefficients,
@@ -1719,6 +1734,20 @@ object SparkEntry {
     "q_containment_pairs" -> ((s, dir) =>
       Dedup.containmentPairsFrom(docPostingsIndex(s, dir), threshold = 0.6)
         .orderBy("contained_id", "container_id")),
+    // DEDUP-FIRST compositions for the posting families (r14): the same
+    // replication fixture as q_winnow_after_dedup ({1,2,3} cluster sizes),
+    // so the content-frequency cap semantics, the intra J = k/(2sz−k) /
+    // containment = k/sz formulas, and the |Ca|·|Cb| + C(sz,2) weight
+    // arithmetic are all under the hash gate. Same config as the direct
+    // queries (n=5, docFreq cap 100, thresholds 0.3 / 0.6).
+    "q_jaccard_after_dedup" -> ((s, dir) =>
+      Dedup.ngramJaccardPairsDeduped(replicatedDocs(s, dir), "text", "doc_id",
+        n = 5, threshold = 0.3, maxDocFreq = 100L)
+        .orderBy("id_a", "id_b")),
+    "q_containment_after_dedup" -> ((s, dir) =>
+      Dedup.containmentPairsDeduped(replicatedDocs(s, dir), "text", "doc_id",
+        n = 5, threshold = 0.6, maxDocFreq = 100L)
+        .orderBy("contained_id", "container_id")),
     // RIGHT-TO-ERASURE propagation audit (r11, the governance pass a
     // training-data lake owes its takedown queue): for a delete set
     // (doc_id % 97 == 0), the per-artifact row counts before/after the
@@ -2543,17 +2572,10 @@ object SparkEntry {
     // replication fixture (every 7th doc twice, every 21st three times —
     // cluster sizes {1,2,3}), so intra rows, kept-fingerprint shared counts
     // and the |Ca|·|Cb| weight arithmetic are all under the hash gate.
-    "q_winnow_after_dedup" -> ((s, dir) => {
-      val d = documents(s, dir).select("doc_id", "text")
-      val corpus = d
-        .unionByName(d.filter(col("doc_id") % 7 === 0)
-          .withColumn("doc_id", col("doc_id") + 100000L))
-        .unionByName(d.filter(col("doc_id") % 21 === 0)
-          .withColumn("doc_id", col("doc_id") + 200000L))
-      Dedup.winnowMatchesDeduped(corpus, "text", "doc_id", k = 4, w = 5,
-          docFreqCap = 50)
-        .orderBy("id_a", "id_b")
-    }),
+    "q_winnow_after_dedup" -> ((s, dir) =>
+      Dedup.winnowMatchesDeduped(replicatedDocs(s, dir), "text", "doc_id",
+          k = 4, w = 5, docFreqCap = 50)
+        .orderBy("id_a", "id_b")),
     // ...and the cap-observability report (r11 verdict ask #4): where the
     // 2²⁴-gram fingerprint truncation BINDS, as corpus-level numbers — one
     // token-count pass, no fingerprinting (a doc truncates iff
@@ -5793,6 +5815,30 @@ object SparkEntry {
          | FROM fused QUALIFY fused_rank <= 10
          | ORDER BY query_id, fused_rank""".stripMargin.replace("\n", "")
 
+  /** Shared prelude of the r14 dedup-first posting duals: the replication
+    * fixture ([[replicatedDocs]]), exact-content clusters, keeper docs, and
+    * the content-capped posting CTEs (5-gram, docFreq ≤ 100) — `sizes` =
+    * full set sizes, `pruned` = under-cap postings, `kn` = kept-posting
+    * counts per keeper.
+    */
+  private val dedupedPostingPrelude: String = {
+    val ws = "list_filter(string_split_regex(regexp_replace(lower(text), '[^\\p{L}\\p{Nd}]+', ' ', 'g'), ' '), w -> len(w) > 0)"
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents
+       | UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+       | UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 21 = 0),
+       | cl AS (SELECT MIN(doc_id) AS kid, CAST(COUNT(*) AS BIGINT) AS csz
+       |   FROM corpus GROUP BY md5(text)),
+       | sdocs AS (SELECT c.doc_id, c.text FROM corpus c JOIN cl ON c.doc_id = cl.kid),
+       | words AS (SELECT doc_id, $ws AS ws FROM sdocs),
+       | sh AS (SELECT doc_id, UNNEST(list_distinct(
+       |   CASE WHEN len(ws) - 4 <= 0 THEN [array_to_string(ws, ' ')]
+       |   ELSE list_transform(range(0, len(ws) - 4), i -> array_to_string(list_slice(ws, i + 1, i + 5), ' ')) END)) AS s
+       |   FROM words),
+       | sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+       | pruned AS (SELECT * FROM sh WHERE s IN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100)),
+       | kn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS k FROM pruned GROUP BY 1)""".stripMargin.replace("\n", "")
+  }
+
   private def exactJaccardCtes(n: Int, threshold: Double): String =
     s"""${shingleCte(n)},
        | sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
@@ -7862,6 +7908,47 @@ object SparkEntry {
          | containment FROM scored WHERE containment >= 0.6
          | ORDER BY contained_id, container_id""".stripMargin.replace("\n", "")
     },
+    // dedup-first posting compositions (r14): same replication fixture as
+    // q_winnow_after_dedup; the posting CTEs run over the KEEPERS so the
+    // docFreq cap counts distinct contents, then |Ca|·|Cb| cross expansion
+    // and intra rows with J = k/(2sz−k) / containment = k/sz
+    "q_jaccard_after_dedup" -> (dedupedPostingPrelude +
+      """, inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS it
+        |   FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        | p AS (SELECT id_a, id_b,
+        |   CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) AS jaccard
+        |   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |   WHERE CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) >= 0.3),
+        | crossp AS (SELECT p.id_a, p.id_b, p.jaccard, sa.csz * sb.csz AS n_pairs
+        |   FROM p JOIN cl sa ON p.id_a = sa.kid JOIN cl sb ON p.id_b = sb.kid),
+        | intra AS (SELECT kid AS id_a, kid AS id_b,
+        |   CAST(kn.k AS DOUBLE) / CAST(2 * sizes.sz - kn.k AS DOUBLE) AS jaccard,
+        |   csz * (csz - 1) // 2 AS n_pairs
+        |   FROM cl JOIN kn ON cl.kid = kn.doc_id JOIN sizes ON sizes.doc_id = cl.kid
+        |   WHERE csz > 1 AND CAST(kn.k AS DOUBLE) / CAST(2 * sizes.sz - kn.k AS DOUBLE) >= 0.3)
+        | SELECT * FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra)
+        | ORDER BY id_a, id_b""".stripMargin.replace("\n", "")),
+    "q_containment_after_dedup" -> (dedupedPostingPrelude +
+      """, inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS it
+        |   FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        | scored AS (SELECT id_a, id_b, sa.sz AS sz_a, sb.sz AS sz_b,
+        |   CAST(it AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment
+        |   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b),
+        | p AS (SELECT CASE WHEN sz_a < sz_b THEN id_a WHEN sz_b < sz_a THEN id_b
+        |     ELSE greatest(id_a, id_b) END AS contained_id,
+        |   CASE WHEN sz_a < sz_b THEN id_b WHEN sz_b < sz_a THEN id_a
+        |     ELSE least(id_a, id_b) END AS container_id,
+        |   containment FROM scored WHERE containment >= 0.6),
+        | crossp AS (SELECT p.contained_id, p.container_id, p.containment,
+        |   sa.csz * sb.csz AS n_pairs
+        |   FROM p JOIN cl sa ON p.contained_id = sa.kid JOIN cl sb ON p.container_id = sb.kid),
+        | intra AS (SELECT kid AS contained_id, kid AS container_id,
+        |   CAST(kn.k AS DOUBLE) / CAST(sizes.sz AS DOUBLE) AS containment,
+        |   csz * (csz - 1) // 2 AS n_pairs
+        |   FROM cl JOIN kn ON cl.kid = kn.doc_id JOIN sizes ON sizes.doc_id = cl.kid
+        |   WHERE csz > 1 AND CAST(kn.k AS DOUBLE) / CAST(sizes.sz AS DOUBLE) >= 0.6)
+        | SELECT * FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra)
+        | ORDER BY contained_id, container_id""".stripMargin.replace("\n", "")),
     // exact Jaccard (no pruning): equals minhashPairs' output because emitted
     // values are exact-verified and banding recall at min qualifying J is ~1-3e-12
     "q_minhash_pairs" -> exactJaccardSql(n = 5, threshold = 0.5),

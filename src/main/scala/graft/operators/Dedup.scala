@@ -575,6 +575,106 @@ object Dedup {
       .select("contained_id", "container_id", "containment")
   }
 
+  /** Exact-dedup → n-gram Jaccard → weighted-pair expansion (r14): the
+    * [[winnowMatchesDeduped]] / [[embeddingPairsDeduped]] composition applied
+    * to the THIRD pair family. [[ngramJaccardPairs]]' `maxDocFreq` cap counts
+    * REPLICAS: under heavy exact replication every shingle crosses the cap,
+    * classifies as boilerplate, and the posting join reports (near) zero
+    * pairs — the same failure shape the 100× probes exposed for winnowing.
+    * (The ScaleProbe workaround of scaling the cap with k is a knob, not
+    * semantics — production replication factors are unknown per shingle.)
+    *
+    * Composed: (1) cluster byte-identical texts (128-bit content key, min-id
+    * keeper, size); (2) run the pruned-postings Jaccard join on the keepers
+    * at the ORIGINAL config — docFreq now counts distinct CONTENTS; (3)
+    * expand logical pair weights: a keeper pair (a, b, J) stands for
+    * |C_a|·|C_b| pairs, and each cluster of size > 1 adds an intra row whose
+    * Jaccard replicates what the direct run computes for two identical docs
+    * under the content-frequency cap: kept-posting count k over full set
+    * size sz → J = k / (2·sz − k) (docFreq pruning shrinks the
+    * INTERSECTION, not the sizes), emitted only when ≥ threshold and k ≥ 1
+    * — a fully-capped-out or shingle-less cluster emits nothing, exactly
+    * like the direct posting join.
+    *
+    * Scale: the content-hash agg is one map-side-combinable exchange over
+    * 16-byte keys; everything quadratic-prone runs on the deduped survivor
+    * set, so per-shingle fan-out is bounded by distinct-content docFreq —
+    * replication never reaches the join.
+    */
+  def ngramJaccardPairsDeduped(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Long = 1000L): DataFrame = {
+    val (clusters, pruned) = dedupedPostings(df, textCol, idCol, n, maxDocFreq)
+    val pairs = ngramJaccardPairsFrom(pruned, threshold)
+    val sa = clusters.select(col("__kid").as("id_a"), col("__csz").as("__ca"))
+    val sb = clusters.select(col("__kid").as("id_b"), col("__csz").as("__cb"))
+    val cross = pairs.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        (col("__ca") * col("__cb")).as("n_pairs"))
+    val intra = intraStats(clusters, pruned)
+      .withColumn("jaccard", col("__k").cast(DoubleType) /
+        (lit(2) * col("__sz") - col("__k")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__kid").as("id_a"), col("__kid").as("id_b"), col("jaccard"),
+        (col("__csz") * (col("__csz") - 1) / 2).cast(LongType).as("n_pairs"))
+    cross.unionByName(intra)
+  }
+
+  /** [[ngramJaccardPairsDeduped]]'s asymmetric twin: exact-dedup →
+    * [[containmentPairs]] → weighted expansion. Intra containment for an
+    * identical pair is k / sz (shared kept postings over the common set
+    * size — `min` of two equal sizes); the contained/container distinction
+    * collapses onto the keeper id for intra rows, matching the composed
+    * contract (both sides are the same content).
+    */
+  def containmentPairsDeduped(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Long = 1000L): DataFrame = {
+    val (clusters, pruned) = dedupedPostings(df, textCol, idCol, n, maxDocFreq)
+    val pairs = containmentPairsFrom(pruned, threshold)
+    val sa = clusters.select(col("__kid").as("contained_id"), col("__csz").as("__ca"))
+    val sb = clusters.select(col("__kid").as("container_id"), col("__csz").as("__cb"))
+    val cross = pairs.join(sa, "contained_id").join(sb, "container_id")
+      .select(col("contained_id"), col("container_id"), col("containment"),
+        (col("__ca") * col("__cb")).as("n_pairs"))
+    val intra = intraStats(clusters, pruned)
+      .withColumn("containment", col("__k").cast(DoubleType) / col("__sz").cast(DoubleType))
+      .filter(col("containment") >= threshold)
+      .select(col("__kid").as("contained_id"), col("__kid").as("container_id"),
+        col("containment"),
+        (col("__csz") * (col("__csz") - 1) / 2).cast(LongType).as("n_pairs"))
+    cross.unionByName(intra)
+  }
+
+  /** Shared first stage of the deduped posting compositions: exact-content
+    * clusters (keeper id, size) and the [[prunedPostings]] index built over
+    * the keepers only.
+    */
+  private def dedupedPostings(df: DataFrame, textCol: String, idCol: String,
+      n: Int, maxDocFreq: Long): (DataFrame, DataFrame) = {
+    // clusters is catalog-scale (one row per distinct content) but derives
+    // from a full corpus scan, and three consumers read it (the survivor
+    // semi-join + both weight joins) — localCheckpoint or the corpus is
+    // re-scanned per consumer (measured 220 → 34 s at the 100× probe)
+    val clusters = df
+      .groupBy(unhex(md5(col(textCol).cast(BinaryType))).as("__ch"))
+      .agg(min(col(idCol)).as("__kid"), count(lit(1)).as("__csz"))
+      .drop("__ch")
+      .localCheckpoint()
+    val surv = df.join(clusters.select(col("__kid").as(idCol)), Seq(idCol), "left_semi")
+    (clusters, prunedPostings(surv, textCol, idCol, n, maxDocFreq))
+  }
+
+  /** Per-cluster intra inputs: clusters of size > 1 whose keeper kept ≥ 1
+    * posting under the cap, with kept count `__k` and full set size `__sz`.
+    */
+  private def intraStats(clusters: DataFrame, pruned: DataFrame): DataFrame =
+    clusters.filter(col("__csz") > 1)
+      .join(pruned.groupBy(col("id").as("__kid"))
+        .agg(count(lit(1)).as("__k"), max(col("sz")).as("__sz")), Seq("__kid"))
+
   /** Connected components over a near-duplicate pair graph: every id gets the
     * minimum id reachable from it (`cluster_id`), via iterative min-label
     * propagation. The canonical survivor of each cluster is the row whose

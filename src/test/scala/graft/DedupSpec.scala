@@ -250,6 +250,54 @@ class DedupSpec extends SparkSpec {
     composed shouldBe direct
   }
 
+  test("ngramJaccardPairsDeduped: logical multiset equals direct under no cap, " +
+      "and survives the cap the direct run drowns under") {
+    // 3 distinct texts, replicated 6x each: with a cap replication can't
+    // cross (100), composed total weight == the direct run's physical pair
+    // count; with cap 5 EVERY shingle's doc frequency is >= its 6 replicas
+    // and prunes, so the direct run reports ZERO — while distinct-content
+    // frequencies are <= 2 and the composed run still reports the full
+    // logical multiset. The failure shape, unit-scale.
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "totally different words entirely here now"))
+    val replicated = (0 until 6).flatMap(r =>
+      base.map { case (id, t) => (id + r * 100L, t) }).toDF("doc_id", "text")
+    val direct = Dedup.ngramJaccardPairs(replicated, "text", "doc_id",
+      n = 2, threshold = 0.3, maxDocFreq = 100L).count()
+    val composedBig = rows(Dedup.ngramJaccardPairsDeduped(replicated, "text", "doc_id",
+      n = 2, threshold = 0.3, maxDocFreq = 100L).agg(sum(col("n_pairs"))))
+      .head.getLong(0)
+    direct should be > 0L
+    composedBig shouldBe direct
+    val directCapped = Dedup.ngramJaccardPairs(replicated, "text", "doc_id",
+      n = 2, threshold = 0.3, maxDocFreq = 5L).count()
+    val composedCapped = rows(Dedup.ngramJaccardPairsDeduped(replicated, "text", "doc_id",
+      n = 2, threshold = 0.3, maxDocFreq = 5L).agg(sum(col("n_pairs"))))
+      .head.getLong(0)
+    directCapped shouldBe 0L
+    composedCapped shouldBe composedBig
+  }
+
+  test("containmentPairsDeduped: intra rows carry containment k/sz and " +
+      "fully-capped clusters emit nothing") {
+    // two identical docs + one unrelated: intra row for the pair, none for
+    // the singleton; with cap 0-equivalent semantics (cap below distinct
+    // content count across shared shingles) nothing emits
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (11L, "alpha beta gamma delta"),
+      (3L, "other text entirely different")).toDF("doc_id", "text")
+    val out = rows(Dedup.containmentPairsDeduped(df, "text", "doc_id",
+      n = 2, threshold = 0.8, maxDocFreq = 10L))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    out shouldBe Seq((1L, 1L, 1.0, 1L)) // keeper intra row, k == sz, C(2,2)=1
+    // a cap of 0 kills every posting -> composed emits nothing, like direct
+    Dedup.containmentPairsDeduped(df, "text", "doc_id",
+      n = 2, threshold = 0.8, maxDocFreq = 0L).count() shouldBe 0L
+  }
+
   test("embeddingPairs first-matching-band dedup equals the dropDuplicates formulation") {
     // property: the shuffle-free per-row dedup (keep a pair only in the first
     // band where the signature slices agree) emits exactly the candidate set
