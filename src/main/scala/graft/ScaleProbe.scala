@@ -95,6 +95,16 @@ object ScaleProbe {
       Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 5, threshold = 0.3,
         maxDocFreq = 100L * k).count()
     }
+    time("minhash_deduped") {
+      // r14: the composition on the banded-LSH family — no cap to mislead
+      // here, but the direct run enumerates every replica pair PHYSICALLY
+      // (100×: 364 s / 9.9 GiB for 27.3 M verified pairs); composed, the
+      // replica mass is C(sz,2) arithmetic and Σ n_pairs must equal the
+      // direct run's count at every k
+      Dedup.minhashPairsDeduped(docs, "text", "doc_id", shingleN = 5, k = 64,
+          bands = 32, threshold = 0.5)
+        .agg(coalesce(sum(col("n_pairs")), lit(0L))).head().getLong(0)
+    }
     time("ngram_jaccard_unscaled_cap") {
       // the SEMANTIC cap (100, NOT scaled by k — the scaled cap above is a
       // probe workaround, production can't know per-shingle replication):

@@ -1910,6 +1910,14 @@ object SparkEntry {
     // J=0.75 is 1-(1-0.75²)³² ≈ 1-3e-12 — no qualifying pair can be missed.
     "q_minhash_pairs" -> ((s, dir) =>
       minhashPairIndex(s, dir).orderBy("id_a", "id_b")),
+    // dedup-first banded LSH (r14 — the composition on the FOURTH pair
+    // generator): replicas collapse before banding, return as C(sz,2)
+    // arithmetic; same config as q_minhash_pairs (5-shingles, k=64, 32
+    // bands, τ=0.5), same replication fixture as the other compositions
+    "q_minhash_after_dedup" -> ((s, dir) =>
+      Dedup.minhashPairsDeduped(replicatedDocs(s, dir), "text", "doc_id",
+        shingleN = 5, k = 64, bands = 32, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
     // cohesion of the near-dup graph: per-doc triangle count + local
     // clustering coefficient via degree-oriented wedge join (Graph.triangles)
     "q_triangle_coeff" -> ((s, dir) =>
@@ -5635,8 +5643,10 @@ object SparkEntry {
   /** DuckDB distinct word-5-gram shingle CTE (mirrors [[Dedup.shingleHashSet]]
     * semantics: whole-token-list fallback for short docs, distinct set).
     */
-  private def shingleCte(n: Int): String =
-    s"""words AS (SELECT doc_id, $dedupWords AS ws FROM documents),
+  private def shingleCte(n: Int): String = shingleCte(n, "documents")
+
+  private def shingleCte(n: Int, src: String): String =
+    s"""words AS (SELECT doc_id, $dedupWords AS ws FROM $src),
        | sh AS (SELECT doc_id, UNNEST(list_distinct(
        |   CASE WHEN len(ws) - ${n - 1} <= 0 THEN [array_to_string(ws, ' ')]
        |   ELSE list_transform(range(0, len(ws) - ${n - 1}), i -> array_to_string(list_slice(ws, i + 1, i + $n), ' ')) END)) AS s
@@ -5821,14 +5831,20 @@ object SparkEntry {
     * full set sizes, `pruned` = under-cap postings, `kn` = kept-posting
     * counts per keeper.
     */
+  /** corpus/cl/sdocs CTEs of the r14 dedup-first duals: the
+    * [[replicatedDocs]] fixture, exact-content clusters, keeper docs.
+    */
+  private val replicatedClustersCtes: String =
+    """corpus AS (SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+      | UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 21 = 0),
+      | cl AS (SELECT MIN(doc_id) AS kid, CAST(COUNT(*) AS BIGINT) AS csz
+      |   FROM corpus GROUP BY md5(text)),
+      | sdocs AS (SELECT c.doc_id, c.text FROM corpus c JOIN cl ON c.doc_id = cl.kid)""".stripMargin.replace("\n", "")
+
   private val dedupedPostingPrelude: String = {
     val ws = "list_filter(string_split_regex(regexp_replace(lower(text), '[^\\p{L}\\p{Nd}]+', ' ', 'g'), ' '), w -> len(w) > 0)"
-    s"""WITH corpus AS (SELECT doc_id, text FROM documents
-       | UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
-       | UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 21 = 0),
-       | cl AS (SELECT MIN(doc_id) AS kid, CAST(COUNT(*) AS BIGINT) AS csz
-       |   FROM corpus GROUP BY md5(text)),
-       | sdocs AS (SELECT c.doc_id, c.text FROM corpus c JOIN cl ON c.doc_id = cl.kid),
+    s"""WITH $replicatedClustersCtes,
        | words AS (SELECT doc_id, $ws AS ws FROM sdocs),
        | sh AS (SELECT doc_id, UNNEST(list_distinct(
        |   CASE WHEN len(ws) - 4 <= 0 THEN [array_to_string(ws, ' ')]
@@ -7952,6 +7968,25 @@ object SparkEntry {
     // exact Jaccard (no pruning): equals minhashPairs' output because emitted
     // values are exact-verified and banding recall at min qualifying J is ~1-3e-12
     "q_minhash_pairs" -> exactJaccardSql(n = 5, threshold = 0.5),
+    // dedup-first banded LSH: exact Jaccard over the KEEPERS (the banding
+    // recall argument above applies unchanged) + |Ca|·|Cb| cross expansion
+    // + literal-1.0 intra rows (identical texts ⇒ identical shingle sets)
+    "q_minhash_after_dedup" ->
+      s"""WITH $replicatedClustersCtes,
+         | ${shingleCte(5, "sdocs")},
+         | sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+         | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS it
+         |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         | p AS (SELECT id_a, id_b,
+         |   CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) AS jaccard
+         |   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |   WHERE CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) >= 0.5),
+         | crossp AS (SELECT p.id_a, p.id_b, p.jaccard, sa.csz * sb.csz AS n_pairs
+         |   FROM p JOIN cl sa ON p.id_a = sa.kid JOIN cl sb ON p.id_b = sb.kid),
+         | intra AS (SELECT kid AS id_a, kid AS id_b, CAST(1.0 AS DOUBLE) AS jaccard,
+         |   csz * (csz - 1) // 2 AS n_pairs FROM cl WHERE csz > 1)
+         | SELECT * FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra)
+         | ORDER BY id_a, id_b""".stripMargin.replace("\n", ""),
     // same artifact arithmetic: postings recomputed per corpus (the df cap
     // re-evaluates on the retained docs), pairs filtered on both ends
     "q_erasure_audit" ->

@@ -648,6 +648,43 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** Exact-dedup → banded MinHash LSH → weighted-pair expansion (r14): the
+    * composition on the FOURTH pair generator. [[minhashPairs]] has no
+    * docFreq cap to mislead — its banded index is linear in TRUE output —
+    * but under heavy exact replication that true output is dominated by
+    * replica self-pairs it enumerates PHYSICALLY (100× probe: 364 s /
+    * 9.9 GiB for 27.3 M pairs, every one verified through an
+    * array_intersect of two identical sets). Composed, the replicas
+    * collapse before banding: LSH runs over distinct contents, the replica
+    * mass returns as C(sz,2) arithmetic, and the logical multiset is
+    * identical (intra jaccard is literally 1.0 — identical texts have
+    * identical shingle sets, and [[shingleHashSet]]'s whole-text fallback
+    * means the set is never empty, so 1.0 is always the true value —
+    * guarded only against threshold > 1 configs).
+    */
+  def minhashPairsDeduped(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val clusters = df
+      .groupBy(unhex(md5(col(textCol).cast(BinaryType))).as("__ch"))
+      .agg(min(col(idCol)).as("__kid"), count(lit(1)).as("__csz"))
+      .drop("__ch")
+      .localCheckpoint()
+    val surv = df.join(clusters.select(col("__kid").as(idCol)), Seq(idCol), "left_semi")
+    val pairs = minhashPairs(surv, textCol, idCol, shingleN, k, bands, threshold)
+    val sa = clusters.select(col("__kid").as("id_a"), col("__csz").as("__ca"))
+    val sb = clusters.select(col("__kid").as("id_b"), col("__csz").as("__cb"))
+    val cross = pairs.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        (col("__ca") * col("__cb")).as("n_pairs"))
+    val intra = clusters.filter(col("__csz") > 1 && lit(1.0) >= lit(threshold))
+      .select(col("__kid").as("id_a"), col("__kid").as("id_b"),
+        lit(1.0).as("jaccard"),
+        (col("__csz") * (col("__csz") - 1) / 2).cast(LongType).as("n_pairs"))
+    cross.unionByName(intra)
+  }
+
   /** Shared first stage of the deduped posting compositions: exact-content
     * clusters (keeper id, size) and the [[prunedPostings]] index built over
     * the keepers only.

@@ -280,6 +280,25 @@ class DedupSpec extends SparkSpec {
     composedCapped shouldBe composedBig
   }
 
+  test("minhashPairsDeduped total weight == direct banded pair count under replication") {
+    // no cap in this family, so direct and composed must agree EXACTLY on
+    // the logical multiset at any replication — replicas collapse to
+    // C(sz,2) intra arithmetic instead of physical band rows
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "totally different words entirely here now"))
+    val replicated = (0 until 5).flatMap(r =>
+      base.map { case (id, t) => (id + r * 100L, t) }).toDF("doc_id", "text")
+    val direct = Dedup.minhashPairs(replicated, "text", "doc_id",
+      shingleN = 2, k = 16, bands = 8, threshold = 0.3).count()
+    val composed = rows(Dedup.minhashPairsDeduped(replicated, "text", "doc_id",
+      shingleN = 2, k = 16, bands = 8, threshold = 0.3)
+      .agg(sum(col("n_pairs")))).head.getLong(0)
+    direct should be > 0L
+    composed shouldBe direct
+  }
+
   test("containmentPairsDeduped: intra rows carry containment k/sz and " +
       "fully-capped clusters emit nothing") {
     // two identical docs + one unrelated: intra row for the pair, none for
