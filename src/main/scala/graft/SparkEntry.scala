@@ -582,6 +582,83 @@ object SparkEntry {
       (merges.toSeq.toDF("step", "merged_pair", "n_occurrences"), cur)
     }
 
+  /** Batched BPE training (r14 — the SCALE.md deep-probe design boundary
+    * made operational): the sequential loop's cost floor is the driver
+    * round-trip (~0.15 s/merge at ANY corpus size — 32k merges ≈ 80 min of
+    * pure loop latency), so past O(10³) merges the standard move is to
+    * apply SEVERAL merges per scan. This trains `bpeBatchM` merges per
+    * pair-count job by greedily selecting, in the deterministic
+    * (count DESC, gram ASC) order, pairs that are pairwise SYMBOL-DISJOINT
+    * — two merges sharing no token can neither create nor destroy each
+    * other's occurrences (a merge only rewrites adjacencies touching its
+    * own two tokens), so applying them in one pass is order-independent
+    * and each pick's reported count is its true scan-time count. The
+    * result can differ from sequential BPE (a round-2 pick there may
+    * involve round-1's supertoken) — that is the documented accuracy/cost
+    * trade of every batched trainer, and the exact selection rule is
+    * hash-gated: the dual restates pair counts, the M-step greedy
+    * disjoint selection (NOT EXISTS over prior picks), and the chained
+    * guarded replaces verbatim.
+    *
+    * Driver exactness: selection reads a top-C prefix of the count frame
+    * (one job, frame checkpointed); if the greedy exhausts the prefix with
+    * fewer than M picks AND the prefix was complete, selection is done —
+    * otherwise the prefix widens 4× and re-reads the checkpointed frame
+    * (no recount). Picks found strictly inside a prefix equal full-list
+    * greedy picks, because greedy only ever inspects candidates in order.
+    */
+  private val bpeBatchScans = 8
+  private val bpeBatchM = 8
+
+  private def bpeTrainBatchedCached(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCompute(s, s"bpebatch:$dir") {
+      import s.implicits._
+      var cur = documents(s, dir).select(
+        concat(lit("  "),
+          array_join(array_remove(split(lower(col("text")), "\\s+"), ""), "  "),
+          lit("  ")).as("t"))
+        .repartition(4).localCheckpoint(false)
+      val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, String, Long)]()
+      var exhausted = false
+      for (sc <- 1 to bpeBatchScans if !exhausted) {
+        val counted = cur.select(explode(graft.expressions.GraftFunctions.ngramStrings(
+            split(trim(col("t")), "  "), 2)).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("gram").asc)
+          .localCheckpoint(false)
+        val chosen = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+        val used = scala.collection.mutable.Set[String]()
+        var limit = 256
+        var complete = false
+        while (chosen.size < bpeBatchM && !complete) {
+          chosen.clear(); used.clear()
+          val rows = counted.limit(limit).collect()
+          rows.foreach { r =>
+            if (chosen.size < bpeBatchM) {
+              val g = r.getString(0)
+              val sp = g.split(' ')
+              if (!used(sp(0)) && !used(sp(1))) {
+                chosen += ((g, r.getLong(1))); used += sp(0); used += sp(1)
+              }
+            }
+          }
+          complete = rows.length < limit // the prefix WAS the full list
+          limit *= 4
+        }
+        if (chosen.isEmpty) exhausted = true
+        else {
+          chosen.zipWithIndex.foreach { case ((g, c), j) =>
+            picks += ((sc.toLong, (j + 1).toLong, g, c)) }
+          val applied = chosen.foldLeft(col("t")) { case (acc, (g, _)) =>
+            replace(acc, lit(" " + g.replace(" ", "  ") + " "),
+              lit(" " + g.replace(" ", "\u0001") + " "))
+          }
+          cur = cur.select(applied.as("t")).localCheckpoint(false)
+        }
+      }
+      picks.toSeq.toDF("scan", "pick", "merged_pair", "n_occurrences")
+    }
+
   private def basketIndex(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCompute(s, s"baskets:$dir") {
       val b = Queries.baskets(lineitem(s, dir), "l_orderkey", "l_partkey").cache()
@@ -2523,6 +2600,11 @@ object SparkEntry {
     // O(R²)). The (session, dir)-cached result feeds both the merge-table
     // gate and the fallback report below.
     "q_bpe_train" -> ((s, dir) => bpeTrainCached(s, dir)._1.orderBy("step")),
+    // BATCHED BPE (r14 — the deep-probe design boundary made operational):
+    // 8 scans × 8 symbol-disjoint merges = 64 merges at 1/8th the driver
+    // round-trips; selection rule and chained guarded replaces hash-gated
+    "q_bpe_train_batched" -> ((s, dir) =>
+      bpeTrainBatchedCached(s, dir).orderBy("scan", "pick")),
     // ...and the encoded-corpus report after all 64 merges: token counts
     // before/after, merged vs FALLBACK tokens (words no merge reached —
     // they fall back to the base vocab), fallback rate and compression.
@@ -6366,6 +6448,50 @@ object SparkEntry {
       (1 to rounds).map(i => round(s"d${i - 1}", i)).mkString(",")
   }
 
+  /** Dual of [[bpeTrainBatchedCached]]: per scan, one MATERIALIZED pair
+    * count, then M selection CTEs — each the (count DESC, gram ASC) argmax
+    * among pairs sharing no token with any prior pick (NOT EXISTS, the
+    * greedy disjoint rule verbatim) — then one stream rewrite chaining the
+    * M guarded replaces innermost-first (the Spark application order;
+    * disjointness makes it order-independent, the chain pins it anyway).
+    */
+  private def bpeBatchedSql(scans: Int, m: Int): String = {
+    def sel(sc: Int, j: Int): String = {
+      val conflicts = (1 until j).map(q =>
+        s" AND NOT EXISTS (SELECT 1 FROM k${sc}_$q kq WHERE" +
+          s" string_split(p.gram, ' ')[1] IN (string_split(kq.gram, ' ')[1], string_split(kq.gram, ' ')[2])" +
+          s" OR string_split(p.gram, ' ')[2] IN (string_split(kq.gram, ' ')[1], string_split(kq.gram, ' ')[2]))")
+        .mkString
+      s"k${sc}_$j AS MATERIALIZED (SELECT gram, c FROM p$sc p WHERE TRUE$conflicts" +
+        " ORDER BY c DESC, gram ASC LIMIT 1)"
+    }
+    def applyScan(sc: Int): String = {
+      // empty-pick guard via coalesce-to-chr(2) (a byte the \s+-split stream
+      // cannot contain, so the replace is a no-op), NOT a CASE: `CASE WHEN
+      // empty THEN acc ELSE replace(acc,…)` duplicates acc per level — a
+      // 2^m expression blowup that OOM'd DuckDB at m=7 (measured)
+      val expr = (1 to m).foldLeft("t") { (acc, j) =>
+        s"replace($acc," +
+          s" ' ' || coalesce((SELECT replace(gram, ' ', '  ') FROM k${sc}_$j), chr(2)) || ' '," +
+          s" ' ' || coalesce((SELECT replace(gram, ' ', chr(1)) FROM k${sc}_$j), '') || ' ')"
+      }
+      s"d$sc AS MATERIALIZED (SELECT $expr AS t FROM d${sc - 1})"
+    }
+    val chain = (1 to scans).map { sc =>
+      s"p$sc AS MATERIALIZED (SELECT l[i] || ' ' || l[i+1] AS gram, COUNT(*) AS c" +
+        s" FROM (SELECT string_split(trim(t), '  ') AS l FROM d${sc - 1})," +
+        s" unnest(range(1, len(l))) AS u(i) GROUP BY 1)," +
+        (1 to m).map(j => sel(sc, j)).mkString(",") + "," + applyScan(sc)
+    }.mkString(",")
+    val unions = (for (sc <- 1 to scans; j <- 1 to m) yield
+      s"SELECT CAST($sc AS BIGINT) AS scan, CAST($j AS BIGINT) AS pick," +
+        s" gram AS merged_pair, CAST(c AS BIGINT) AS n_occurrences FROM k${sc}_$j")
+      .mkString(" UNION ALL ")
+    """WITH d0 AS MATERIALIZED (SELECT '  ' || array_to_string(list_filter(string_split_regex(lower(text), '\s+'),
+      |   w -> len(w) > 0), '  ') || '  ' AS t FROM documents),""".stripMargin.replace("\n", "") +
+      chain + s" SELECT * FROM ($unions) ORDER BY scan, pick"
+  }
+
   private def winnowSql(k: Int, w: Int, src: String = "documents",
       prelude: String = ""): String = {
     val gram = (0 until k).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
@@ -9591,6 +9717,7 @@ object SparkEntry {
     // DuckDB's per-use inlining would expand the plan ~3^64; materialized,
     // the chain is linear — 64 pair-counts + 64 replaces, exactly the Spark
     // loop's work
+    "q_bpe_train_batched" -> bpeBatchedSql(scans = 8, m = 8),
     "q_bpe_train" -> (bpeChainSql(bpeTrainRounds) +
       " SELECT * FROM (" +
       (1 to bpeTrainRounds).map(i =>
