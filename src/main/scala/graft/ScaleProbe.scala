@@ -988,6 +988,56 @@ object ScaleProbe {
         }
         out
       }
+      time("stream_sessions_state") {
+        // r14 companion to stream_dedup_state: the CUSTOM-state shape
+        // (flatMapGroupsWithState sessionization, event-time timeout)
+        // instead of the built-in dedup operator. k× re-keyed users over
+        // the same time span → k× concurrent sessions; the law under test
+        // is state = ONE fixed-size record per ACTIVE user — proportional
+        // to in-window users, never to accumulated event history — with
+        // idle users reclaimed by the watermark timeout, and batch wall
+        // following batch input.
+        import org.apache.spark.sql.streaming.Trigger
+        val evB = normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
+          .select(col("user_id"), col("ts"), col("value"))
+        val ev = (0 until k).map(i =>
+          evB.select((col("user_id") + lit(i * 10000000L)).as("user_id"),
+            col("ts"), col("value"))).reduce(_ unionAll _)
+        val tiered = ev.withColumn("__tier",
+          ntile(8).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("ts"), col("user_id"))))
+        val landDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_scale_streamsess_${ProcessHandle.current().pid()}")
+        graft.streaming.Streaming.landOrdered(landDir,
+          (1 to 8).map(t => tiered.filter(col("__tier") === t)
+            .select("user_id", "ts", "value")))
+        val ckpt = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_scale_streamsess_ckpt_${ProcessHandle.current().pid()}")
+        val sch = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id", LongType),
+          org.apache.spark.sql.types.StructField("ts", TimestampType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType)))
+        val ticks = graft.streaming.Streaming.tickStream(spark, landDir.toString, sch,
+          maxFilesPerTrigger = 1)
+        val sessions = graft.streaming.Streaming.sessionizeStream(
+          ticks, "user_id", "ts", "value", gap = "30 minutes", watermark = "30 minutes")
+        var out = 0L
+        val q = sessions.toDF().writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+            { out += b.count(); () })
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        q.recentProgress.filter(_.numInputRows > 0).foreach { p =>
+          val st = p.stateOperators.headOption
+          println(f"[scale-stream] sessions batch=${p.batchId}%2d " +
+            f"input=${p.numInputRows}%9d state=${st.map(_.numRowsTotal).getOrElse(-1L)}%8d " +
+            f"evicted=${st.map(_.numRowsRemoved).getOrElse(-1L)}%8d " +
+            f"ms=${p.durationMs.get("triggerExecution")}%6d")
+        }
+        out
+      }
     }
     spark.stop()
   }
