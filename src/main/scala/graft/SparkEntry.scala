@@ -2010,6 +2010,32 @@ object SparkEntry {
         Dedup.minhashPairsDeduped(replicatedDocs(s, dir), "text", "doc_id",
           shingleN = 5, k = 64, bands = 32, threshold = 0.5)
       }.orderBy("id_a", "id_b")),
+    // COMPOSED GRAPH → CLUSTERING CONSUMER (r14): the per-source dup report
+    // computed over the replicated corpus through the composition — CC runs
+    // on the keeper pair graph only, replicas enter as Σ csz logical doc
+    // counts (never as pair rows), keeper source attribution is the min-id
+    // policy (dual restates it). This is how the existing q_dedup_report
+    // consumers plug into the dedup-first world unchanged.
+    "q_dedup_report_weighted" -> ((s, dir) => {
+      val pairs = compositionIndex(s, dir, "minhash") {
+        Dedup.minhashPairsDeduped(replicatedDocs(s, dir), "text", "doc_id",
+          shingleN = 5, k = 64, bands = 32, threshold = 0.5)
+      }
+      val clusters = replicatedDocs(s, dir)
+        .groupBy(unhex(md5(col("text").cast(BinaryType))).as("__ch"))
+        .agg(min(col("doc_id")).as("id"), count(lit(1)).as("csz"))
+        .drop("__ch")
+      val cc = Dedup.connectedComponents(clusters.select("id"),
+        pairs.filter(col("id_a") =!= col("id_b")).select("id_a", "id_b"))
+      clusters.join(cc, Seq("id"))
+        .join(documents(s, dir).select(col("doc_id").as("id"), col("source")), Seq("id"))
+        .groupBy("source")
+        .agg(sum(col("csz")).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .withColumn("dup_rate",
+          lit(1.0) - col("n_clusters").cast(DoubleType) / col("n_docs").cast(DoubleType))
+        .orderBy("source")
+    }),
     // cohesion of the near-dup graph: per-doc triangle count + local
     // clustering coefficient via degree-oriented wedge join (Graph.triangles)
     "q_triangle_coeff" -> ((s, dir) =>
@@ -8107,6 +8133,29 @@ object SparkEntry {
         |   WHERE csz > 1 AND CAST(kn.k AS DOUBLE) / CAST(sizes.sz AS DOUBLE) >= 0.6)
         | SELECT * FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra)
         | ORDER BY contained_id, container_id""".stripMargin.replace("\n", "")),
+    // composed graph → clustering consumer: transitive closure over the
+    // keeper exact-Jaccard pairs (same banding-recall argument), logical doc
+    // counts as Σ csz, min-id keeper source attribution
+    "q_dedup_report_weighted" ->
+      s"""WITH RECURSIVE $replicatedClustersCtes,
+         | ${shingleCte(5, "sdocs")},
+         | sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+         | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS it
+         |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         | p AS (SELECT id_a, id_b
+         |   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |   WHERE CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) >= 0.5),
+         | e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+         | closure(id, r) AS (
+         |   SELECT kid, kid FROM cl
+         |   UNION
+         |   SELECT e.s, c.r FROM e JOIN closure c ON c.id = e.d),
+         | comps AS (SELECT id, MIN(r) AS cluster_id FROM closure GROUP BY id)
+         | SELECT d.source, CAST(SUM(cl.csz) AS BIGINT) AS n_docs,
+         |   COUNT(DISTINCT comps.cluster_id) AS n_clusters,
+         |   1.0 - CAST(COUNT(DISTINCT comps.cluster_id) AS DOUBLE) / CAST(SUM(cl.csz) AS DOUBLE) AS dup_rate
+         | FROM cl JOIN comps ON comps.id = cl.kid JOIN documents d ON d.doc_id = cl.kid
+         | GROUP BY d.source ORDER BY d.source""".stripMargin.replace("\n", ""),
     // exact Jaccard (no pruning): equals minhashPairs' output because emitted
     // values are exact-verified and banding recall at min qualifying J is ~1-3e-12
     "q_minhash_pairs" -> exactJaccardSql(n = 5, threshold = 0.5),
