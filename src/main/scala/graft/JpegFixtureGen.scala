@@ -28,3 +28,23 @@ object JpegFixtureGen {
     println(s"[jpeg-fixtures] wrote 17 files to $dir")
   }
 }
+
+/** GIF twin of [[JpegFixtureGen]] (r14): same 16 rasters, committed under
+  * `fixtures/gif/` — GIF's palette makes the encode LOSSLESS for the
+  * 9-gray formula, so `q_gif_decode`'s oracle restates the raster formula
+  * exactly (see [[Multimodal.encodeGif]]). The corrupt file carries a valid
+  * `GIF89a` signature with the body truncated mid-header.
+  */
+object GifFixtureGen {
+  def main(args: Array[String]): Unit = {
+    val dir = Paths.get(args.headOption.getOrElse("fixtures/gif"))
+    Files.createDirectories(dir)
+    (0L until 16L).foreach { id =>
+      Files.write(dir.resolve(f"img_$id%02d.gif"),
+        Multimodal.encodeGif(Multimodal.jpegRaster(id)))
+    }
+    Files.write(dir.resolve("img_corrupt.gif"),
+      Multimodal.encodeGif(Multimodal.jpegRaster(0L)).take(10))
+    println(s"[gif-fixtures] wrote 17 files to $dir")
+  }
+}

@@ -894,7 +894,7 @@ object ScaleProbe {
         // SCAN, so wall should approach 1/8 of the sequential run at equal
         // merges — the design boundary's answer, measured.
         val rounds = sys.env.getOrElse("GRAFT_BPE_ROUNDS", "256").toInt
-        val m = 8
+        val m = sys.env.getOrElse("GRAFT_BPE_M", "8").toInt
         var cur = docs.select(
           concat(lit("  "),
             array_join(array_remove(split(lower(col("text")), "\\s+"), ""), "  "),

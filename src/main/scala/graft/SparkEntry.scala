@@ -3327,6 +3327,24 @@ object SparkEntry {
         "content", "media_id")
         .orderBy("media_id")
     }),
+    // GIF decode (r14 — third real ImageIO codec): same committed-fixture
+    // contract as q_jpeg_decode but STRONGER — GIF's palette holds the
+    // 9-gray raster losslessly, so the oracle restates the raster FORMULA
+    // itself (decoded pixels land on it exactly) rather than
+    // quantization-safe invariants. channels = 1: the decoder hands back
+    // the indexed raster; the dHash reads through the color model so the
+    // hash is representation-independent. Corrupt file (valid GIF89a
+    // signature, truncated) rides the NonFatal arm to the sentinel row.
+    "q_gif_decode" -> ((s, _) => {
+      val files = s.read.format("binaryFile").option("pathGlobFilter", "*.gif")
+        .load("/root/repo/fixtures/gif")
+      val idc = regexp_extract(col("path"), "img_(\\d+)\\.gif$", 1)
+      Multimodal.imageMeta(
+        files.withColumn("media_id",
+          when(idc === "", lit(-1L)).otherwise(idc.cast(LongType))),
+        "content", "media_id")
+        .orderBy("media_id")
+    }),
     // AUDIO decode (r12 — the second modality branch): real RIFF/PCM16
     // containers built per partition from the sample formula, parsed by a
     // real chunk walker; stats are exact integers (energy = Σ s², peak =
@@ -6339,6 +6357,26 @@ object SparkEntry {
     s"""SELECT * FROM (
        | SELECT CAST(i AS BIGINT) AS media_id, CAST(6 AS BIGINT) AS width,
        |   CAST(6 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
+       |   CAST(${terms.mkString(" + ")} AS BIGINT) AS dhash
+       | FROM range(0, 16) t(i)
+       | UNION ALL SELECT CAST(-1 AS BIGINT), 0, 0, 0, -1
+       |) ORDER BY media_id""".stripMargin.replace("\n", "")
+  }
+
+  /** GIF dual — [[jpegDecodeSql]]'s formula with channels = 1 (indexed
+    * raster): GIF is lossless for the 9-gray fixture, so these literals ARE
+    * the decoded pixels' dHash, not merely codec-safe invariants.
+    */
+  private def gifDecodeSql: String = {
+    def lv(x: Int, y: Int) = s"((${3 * x + 5 * y} + i) % 9)"
+    val terms =
+      (for (y <- 0 until 6; x <- 0 until 5) yield
+        s"(CASE WHEN ${lv(x + 1, y)} > ${lv(x, y)} THEN ${1L << (y * 5 + x)} ELSE 0 END)") ++
+      (for (y <- 0 until 5; x <- 0 until 6) yield
+        s"(CASE WHEN ${lv(x, y + 1)} > ${lv(x, y)} THEN ${1L << (30 + y * 6 + x)} ELSE 0 END)")
+    s"""SELECT * FROM (
+       | SELECT CAST(i AS BIGINT) AS media_id, CAST(6 AS BIGINT) AS width,
+       |   CAST(6 AS BIGINT) AS height, CAST(1 AS BIGINT) AS channels,
        |   CAST(${terms.mkString(" + ")} AS BIGINT) AS dhash
        | FROM range(0, 16) t(i)
        | UNION ALL SELECT CAST(-1 AS BIGINT), 0, 0, 0, -1
@@ -9439,6 +9477,7 @@ object SparkEntry {
     },
     "q_media_decode" -> mediaDecodeSql,
     "q_jpeg_decode" -> jpegDecodeSql,
+    "q_gif_decode" -> gifDecodeSql,
     "q_image_dhash" -> dhashSql,
     "q_image_dedup" -> imageDedupSql,
     "q_audio_decode" -> audioDecodeSql,

@@ -313,6 +313,23 @@ object Multimodal {
     buf.toByteArray
   }
 
+  /** Real GIF encode (r14 — the third real ImageIO codec beside BMP/PNG and
+    * JPEG): palette-based, so a raster with ≤256 distinct colors — the
+    * [[jpegRaster]] formula has 9 grays — round-trips LOSSLESSLY
+    * (empirically bit-exact through the JDK encoder/decoder), which makes
+    * the decode gate strictly stronger than JPEG's: the oracle restates the
+    * raster FORMULA and the decoded pixels must land on it exactly, not
+    * merely within quantization-safe margins. The decoded image is indexed
+    * (TYPE_BYTE_BINARY, raster bands = 1) — the channels column records
+    * that, and [[rasterDHash]] reads through `getRGB` (color-model
+    * resolved), so the hash is representation-independent.
+    */
+  def encodeGif(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", buf)
+    buf.toByteArray
+  }
+
   /** Deterministic 24-bit BMP fixture bytes: pixel-array byte j carries
     * `(id·131 + j·7) mod 256` — pure integer arithmetic an oracle can
     * restate WITHOUT decoding, which is exactly what makes [[decodeImages]]

@@ -254,6 +254,29 @@ class MultimodalSpec extends SparkSpec {
     out.map(_.getAs[Long]("dhash")) shouldBe sourceHashes
   }
 
+  test("encodeGif round-trips the 9-gray raster LOSSLESSLY (pixel-exact, indexed)") {
+    // the palette holds all 9 grays, so unlike JPEG the decode must land on
+    // the raster formula exactly — and as a 1-band indexed image whose
+    // color-model-resolved pixels equal the RGB source
+    val src = Multimodal.jpegRaster(7L)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodeGif(src)))
+    back.getRaster.getNumBands shouldBe 1
+    for (y <- 0 until 6; x <- 0 until 6)
+      (back.getRGB(x, y) & 0xFFFFFF) shouldBe (src.getRGB(x, y) & 0xFFFFFF)
+    val meta = rows(Multimodal.imageMeta(
+      Seq((7L, Multimodal.encodeGif(src))).toDF("media_id", "payload"),
+      "payload", "media_id")).head
+    meta.getAs[Long]("channels") shouldBe 1L
+    val pngHash = rows(Multimodal.dHash(
+      Seq((7L, {
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(src, "png", buf)
+        buf.toByteArray
+      })).toDF("media_id", "payload"), "payload", "media_id")).head.getAs[Long]("dhash")
+    meta.getAs[Long]("dhash") shouldBe pngHash
+  }
+
   test("dHash is stable across JPEG RE-encodes (decode → re-encode → decode)") {
     val first = Multimodal.encodeJpeg(Multimodal.jpegRaster(5L))
     val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(first))
