@@ -3345,6 +3345,22 @@ object SparkEntry {
         "content", "media_id")
         .orderBy("media_id")
     }),
+    // CROSS-CODEC image dedup (r14): PNG + GIF + JPEG encodings of the same
+    // raster (and every id sharing its mod-9 lattice class — ids 0..15 fold
+    // to 9 classes) must collapse into ONE perceptual cluster: the dHash
+    // key is codec-invariant across all three real ImageIO codecs, which is
+    // exactly what makes it a dedup key for a real crawled image corpus
+    // where the same picture arrives re-encoded.
+    "q_image_dedup_cross_codec" -> ((s, dir) =>
+      Multimodal.dHash(
+        Multimodal.withTriCodecPayload(
+          documents(s, dir).select(col("doc_id")).filter(col("doc_id") < 16), "doc_id"),
+        "payload", "media_id")
+        .groupBy("dhash")
+        .agg(count(lit(1)).as("n_encodings"),
+          countDistinct(expr("media_id div 10")).as("n_rasters"),
+          min(col("media_id")).as("keeper_id"))
+        .orderBy("dhash")),
     // AUDIO decode (r12 — the second modality branch): real RIFF/PCM16
     // containers built per partition from the sample formula, parsed by a
     // real chunk walker; stats are exact integers (energy = Σ s², peak =
@@ -9478,6 +9494,21 @@ object SparkEntry {
     "q_media_decode" -> mediaDecodeSql,
     "q_jpeg_decode" -> jpegDecodeSql,
     "q_gif_decode" -> gifDecodeSql,
+    // ids 0..15 mod 9 → classes 0..8; classes 0..6 carry two ids (6
+    // encodings), 7..8 one (3); keeper = class·10 + 1 (the class id's PNG)
+    "q_image_dedup_cross_codec" -> {
+      def lv(x: Int, y: Int) = s"((${3 * x + 5 * y} + i) % 9)"
+      val terms =
+        (for (y <- 0 until 6; x <- 0 until 5) yield
+          s"(CASE WHEN ${lv(x + 1, y)} > ${lv(x, y)} THEN ${1L << (y * 5 + x)} ELSE 0 END)") ++
+        (for (y <- 0 until 5; x <- 0 until 6) yield
+          s"(CASE WHEN ${lv(x, y + 1)} > ${lv(x, y)} THEN ${1L << (30 + y * 6 + x)} ELSE 0 END)")
+      s"""SELECT CAST(${terms.mkString(" + ")} AS BIGINT) AS dhash,
+         | CAST(CASE WHEN i < 7 THEN 6 ELSE 3 END AS BIGINT) AS n_encodings,
+         | CAST(CASE WHEN i < 7 THEN 2 ELSE 1 END AS BIGINT) AS n_rasters,
+         | CAST(i * 10 + 1 AS BIGINT) AS keeper_id
+         | FROM range(0, 9) t(i) ORDER BY dhash""".stripMargin.replace("\n", "")
+    },
     "q_image_dhash" -> dhashSql,
     "q_image_dedup" -> imageDedupSql,
     "q_audio_decode" -> audioDecodeSql,

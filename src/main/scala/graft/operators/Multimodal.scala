@@ -330,6 +330,29 @@ object Multimodal {
     buf.toByteArray
   }
 
+  /** Tri-codec payload fixture (r14): for each id, THREE encodings of the
+    * same [[jpegRaster]] — PNG (lossless deflate), GIF (lossless palette),
+    * JPEG (lossy, margin-safe) — as media_id = id·10 + {1 png, 2 gif,
+    * 3 jpeg}. The cross-codec dedup gate proves the perceptual key is
+    * CODEC-INVARIANT: all three encodings of a raster (and every id sharing
+    * its mod-9 lattice class) fold into one dHash cluster. Built per
+    * partition like every payload fixture — bytes never shuffle.
+    */
+  def withTriCodecPayload(ids: DataFrame, idCol: String): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val img = jpegRaster(id)
+        val png = {
+          val b = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", b)
+          b.toByteArray
+        }
+        Seq((id * 10 + 1, png), (id * 10 + 2, encodeGif(img)),
+          (id * 10 + 3, encodeJpeg(img)))
+      }).toDF("media_id", "payload")
+  }
+
   /** Deterministic 24-bit BMP fixture bytes: pixel-array byte j carries
     * `(id·131 + j·7) mod 256` — pure integer arithmetic an oracle can
     * restate WITHOUT decoding, which is exactly what makes [[decodeImages]]
