@@ -893,54 +893,17 @@ object ScaleProbe {
         // floor is one driver round-trip per MERGE; this shape pays one per
         // SCAN, so wall should approach 1/8 of the sequential run at equal
         // merges — the design boundary's answer, measured.
+        // r14 self-review: call the SHARED trainer core (the exact code the
+        // gated q_bpe_train_batched runs) instead of a probe-local copy - a
+        // selection-rule change must be what this probe measures
         val rounds = sys.env.getOrElse("GRAFT_BPE_ROUNDS", "256").toInt
         val m = sys.env.getOrElse("GRAFT_BPE_M", "8").toInt
-        var cur = docs.select(
-          concat(lit("  "),
-            array_join(array_remove(split(lower(col("text")), "\\s+"), ""), "  "),
-            lit("  ")).as("t"))
-          .repartition(8).localCheckpoint(false)
-        var done = 0L
-        var exhausted = false
         val t0 = System.nanoTime()
-        (1 to rounds / m).foreach { sc =>
-          if (!exhausted) {
-            val counted = cur.select(explode(graft.expressions.GraftFunctions.ngramStrings(
-                split(trim(col("t")), "  "), 2)).as("gram"))
-              .groupBy("gram").agg(count(lit(1)).as("c"))
-              .orderBy(col("c").desc, col("gram").asc).localCheckpoint(false)
-            val chosen = scala.collection.mutable.ArrayBuffer[String]()
-            val used = scala.collection.mutable.Set[String]()
-            var limit = 256
-            var complete = false
-            while (chosen.size < m && !complete) {
-              chosen.clear(); used.clear()
-              val rows = counted.limit(limit).collect()
-              rows.foreach { r =>
-                if (chosen.size < m) {
-                  val sp = r.getString(0).split(' ')
-                  if (!used(sp(0)) && !used(sp(1))) {
-                    chosen += r.getString(0); used += sp(0); used += sp(1)
-                  }
-                }
-              }
-              complete = rows.length < limit
-              limit *= 4
-            }
-            if (chosen.isEmpty) exhausted = true
-            else {
-              done += chosen.size
-              val applied = chosen.foldLeft(col("t")) { (acc, g) =>
-                replace(acc, lit(" " + g.replace(" ", "  ") + " "),
-                  lit(" " + g.replace(" ", "\u0001") + " "))
-              }
-              cur = cur.select(applied.as("t")).localCheckpoint(false)
-            }
-          }
-          if (sc % 8 == 0) println(f"[scale-bpe-batched] merges ${done}%5d " +
-            f"wall ${(System.nanoTime() - t0) / 1e9}%7.1f s")
-        }
-        done
+        val picks = graft.SparkEntry.bpeBatchedTrain(docs, rounds / m, m,
+          partitions = 8, onScan = (sc, done) =>
+            if (sc % 8 == 0) println(f"[scale-bpe-batched] merges ${done}%5d " +
+              f"wall ${(System.nanoTime() - t0) / 1e9}%7.1f s"))
+        picks.length.toLong
       }
       time("stream_dedup_state") {
         // r14 (verdict ask #6) — STREAMING-STATE probe: the batch decades
@@ -961,7 +924,8 @@ object ScaleProbe {
         val dup = (0 until k).map(_ => ev).reduce(_ unionAll _)
         val tiered = dup.withColumn("__tier",
           ntile(8).over(org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("key"))))
-        val landDir = new java.io.File(sys.props("java.io.tmpdir"), "graft_scale_streamdedup")
+        val landDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_scale_streamdedup_${ProcessHandle.current().pid()}")
         graft.streaming.Streaming.landOrdered(landDir,
           (1 to 8).map(t => tiered.filter(col("__tier") === t).select("key", "ts")))
         val ckpt = new java.io.File(sys.props("java.io.tmpdir"),

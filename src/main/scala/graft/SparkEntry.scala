@@ -622,53 +622,68 @@ object SparkEntry {
   private val bpeBatchScans = 8
   private val bpeBatchM = 8
 
+  /** The batched-trainer CORE, shared by the gated query and ScaleProbe's
+    * deep probe (r14 self-review: a selection-rule fix must reach both -
+    * the probe must measure the algorithm the gate proves). `corpus` needs
+    * a `text` column; returns (scan, pick, gram, count) in selection order;
+    * `onScan` fires after each scan with the cumulative pick count (probe
+    * progress bands).
+    */
+  def bpeBatchedTrain(corpus: DataFrame, scans: Int, m: Int,
+      partitions: Int = 4,
+      onScan: (Int, Long) => Unit = (_, _) => ()): Seq[(Long, Long, String, Long)] = {
+    var cur = corpus.select(
+      concat(lit("  "),
+        array_join(array_remove(split(lower(col("text")), "\\s+"), ""), "  "),
+        lit("  ")).as("t"))
+      .repartition(partitions).localCheckpoint(false)
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, String, Long)]()
+    var exhausted = false
+    for (sc <- 1 to scans if !exhausted) {
+      val counted = cur.select(explode(graft.expressions.GraftFunctions.ngramStrings(
+          split(trim(col("t")), "  "), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("gram").asc)
+        .localCheckpoint(false)
+      val chosen = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      val used = scala.collection.mutable.Set[String]()
+      var limit = 256
+      var complete = false
+      while (chosen.size < m && !complete) {
+        chosen.clear(); used.clear()
+        val rows = counted.limit(limit).collect()
+        rows.foreach { r =>
+          if (chosen.size < m) {
+            val g = r.getString(0)
+            val sp = g.split(' ')
+            if (!used(sp(0)) && !used(sp(1))) {
+              chosen += ((g, r.getLong(1))); used += sp(0); used += sp(1)
+            }
+          }
+        }
+        complete = rows.length < limit // the prefix WAS the full list
+        limit *= 4
+      }
+      if (chosen.isEmpty) exhausted = true
+      else {
+        chosen.zipWithIndex.foreach { case ((g, c), j) =>
+          picks += ((sc.toLong, (j + 1).toLong, g, c)) }
+        val applied = chosen.foldLeft(col("t")) { case (acc, (g, _)) =>
+          replace(acc, lit(" " + g.replace(" ", "  ") + " "),
+            lit(" " + g.replace(" ", "\u0001") + " "))
+        }
+        cur = cur.select(applied.as("t")).localCheckpoint(false)
+      }
+      onScan(sc, picks.length.toLong)
+    }
+    picks.toSeq
+  }
+
   private def bpeTrainBatchedCached(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCompute(s, s"bpebatch:$dir") {
       import s.implicits._
-      var cur = documents(s, dir).select(
-        concat(lit("  "),
-          array_join(array_remove(split(lower(col("text")), "\\s+"), ""), "  "),
-          lit("  ")).as("t"))
-        .repartition(4).localCheckpoint(false)
-      val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, String, Long)]()
-      var exhausted = false
-      for (sc <- 1 to bpeBatchScans if !exhausted) {
-        val counted = cur.select(explode(graft.expressions.GraftFunctions.ngramStrings(
-            split(trim(col("t")), "  "), 2)).as("gram"))
-          .groupBy("gram").agg(count(lit(1)).as("c"))
-          .orderBy(col("c").desc, col("gram").asc)
-          .localCheckpoint(false)
-        val chosen = scala.collection.mutable.ArrayBuffer[(String, Long)]()
-        val used = scala.collection.mutable.Set[String]()
-        var limit = 256
-        var complete = false
-        while (chosen.size < bpeBatchM && !complete) {
-          chosen.clear(); used.clear()
-          val rows = counted.limit(limit).collect()
-          rows.foreach { r =>
-            if (chosen.size < bpeBatchM) {
-              val g = r.getString(0)
-              val sp = g.split(' ')
-              if (!used(sp(0)) && !used(sp(1))) {
-                chosen += ((g, r.getLong(1))); used += sp(0); used += sp(1)
-              }
-            }
-          }
-          complete = rows.length < limit // the prefix WAS the full list
-          limit *= 4
-        }
-        if (chosen.isEmpty) exhausted = true
-        else {
-          chosen.zipWithIndex.foreach { case ((g, c), j) =>
-            picks += ((sc.toLong, (j + 1).toLong, g, c)) }
-          val applied = chosen.foldLeft(col("t")) { case (acc, (g, _)) =>
-            replace(acc, lit(" " + g.replace(" ", "  ") + " "),
-              lit(" " + g.replace(" ", "\u0001") + " "))
-          }
-          cur = cur.select(applied.as("t")).localCheckpoint(false)
-        }
-      }
-      picks.toSeq.toDF("scan", "pick", "merged_pair", "n_occurrences")
+      bpeBatchedTrain(documents(s, dir), bpeBatchScans, bpeBatchM)
+        .toDF("scan", "pick", "merged_pair", "n_occurrences")
     }
 
   private def basketIndex(s: SparkSession, dir: String): DataFrame =
@@ -2021,10 +2036,8 @@ object SparkEntry {
         Dedup.minhashPairsDeduped(replicatedDocs(s, dir), "text", "doc_id",
           shingleN = 5, k = 64, bands = 32, threshold = 0.5)
       }
-      val clusters = replicatedDocs(s, dir)
-        .groupBy(unhex(md5(col("text").cast(BinaryType))).as("__ch"))
-        .agg(min(col("doc_id")).as("id"), count(lit(1)).as("csz"))
-        .drop("__ch")
+      val clusters = Dedup.exactClusters(replicatedDocs(s, dir), "text", "doc_id")
+        .select(col("__kid").as("id"), col("__csz").as("csz"))
       val cc = Dedup.connectedComponents(clusters.select("id"),
         pairs.filter(col("id_a") =!= col("id_b")).select("id_a", "id_b"))
       clusters.join(cc, Seq("id"))
@@ -6000,18 +6013,15 @@ object SparkEntry {
       |   FROM corpus GROUP BY md5(text)),
       | sdocs AS (SELECT c.doc_id, c.text FROM corpus c JOIN cl ON c.doc_id = cl.kid)""".stripMargin.replace("\n", "")
 
-  private val dedupedPostingPrelude: String = {
-    val ws = "list_filter(string_split_regex(regexp_replace(lower(text), '[^\\p{L}\\p{Nd}]+', ' ', 'g'), ' '), w -> len(w) > 0)"
+  private val dedupedPostingPrelude: String =
+    // r14 self-review: share shingleCte(5, "sdocs") (and its $dedupWords
+    // tokenizer) with the other r14 duals instead of re-inlining — a
+    // tokenizer/shingle-rule change must reach every composition dual
     s"""WITH $replicatedClustersCtes,
-       | words AS (SELECT doc_id, $ws AS ws FROM sdocs),
-       | sh AS (SELECT doc_id, UNNEST(list_distinct(
-       |   CASE WHEN len(ws) - 4 <= 0 THEN [array_to_string(ws, ' ')]
-       |   ELSE list_transform(range(0, len(ws) - 4), i -> array_to_string(list_slice(ws, i + 1, i + 5), ' ')) END)) AS s
-       |   FROM words),
+       | ${shingleCte(5, "sdocs")},
        | sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
        | pruned AS (SELECT * FROM sh WHERE s IN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100)),
        | kn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS k FROM pruned GROUP BY 1)""".stripMargin.replace("\n", "")
-  }
 
   private def exactJaccardCtes(n: Int, threshold: Double): String =
     s"""${shingleCte(n)},
@@ -6506,6 +6516,8 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT vec_id, vec_id, CAST(1.0 AS DOUBLE), CAST((csz * (csz - 1)) // 2 AS BIGINT)
        |  FROM cl WHERE csz > 1
+       |    AND list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
+       |    AND 1.0 >= $threshold
        | ) ORDER BY id_a, id_b""".stripMargin.replace("\n", "")
 
   /** Full restatement of the PARTIAL-probe IVF pipeline over the same literal

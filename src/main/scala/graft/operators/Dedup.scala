@@ -191,12 +191,23 @@ object Dedup {
     * is bounded by DISTINCT-content docFreq — replication never reaches an
     * exchange. Weight joins key on survivor ids (catalog-scale frames).
     */
-  def winnowMatchesDeduped(df: DataFrame, textCol: String, idCol: String,
-      k: Int, w: Int, docFreqCap: Int = 100): DataFrame = {
-    val clusters = df
-      .groupBy(unhex(md5(col(textCol).cast(BinaryType))).as("__ch"))
+  /** Exact-content clusters of a corpus: (`__kid` = min-id keeper,
+    * `__csz` = cluster size), keyed on the 128-bit content hash ([[exact]]'s
+    * collision discipline). The shared first stage of every dedup-first
+    * composition — localCheckpoint'ed because each composition consumes it
+    * from 2-3 subplans while its lineage is a full corpus scan (without the
+    * checkpoint the corpus re-scans per consumer: 220 → 34 s at the 100×
+    * probe).
+    */
+  def exactClusters(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(unhex(md5(col(textCol).cast(BinaryType))).as("__ch"))
       .agg(min(col(idCol)).as("__kid"), count(lit(1)).as("__csz"))
       .drop("__ch")
+      .localCheckpoint()
+
+  def winnowMatchesDeduped(df: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int, docFreqCap: Int = 100): DataFrame = {
+    val clusters = exactClusters(df, textCol, idCol)
     val surv = df.join(clusters.select(col("__kid").as(idCol)), Seq(idCol), "left_semi")
     val fpd = winnowFingerprints(surv, textCol, idCol, k, w)
       .select(col(idCol), col("h")).distinct()
@@ -666,11 +677,7 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
-    val clusters = df
-      .groupBy(unhex(md5(col(textCol).cast(BinaryType))).as("__ch"))
-      .agg(min(col(idCol)).as("__kid"), count(lit(1)).as("__csz"))
-      .drop("__ch")
-      .localCheckpoint()
+    val clusters = exactClusters(df, textCol, idCol)
     val surv = df.join(clusters.select(col("__kid").as(idCol)), Seq(idCol), "left_semi")
     val pairs = minhashPairs(surv, textCol, idCol, shingleN, k, bands, threshold)
     val sa = clusters.select(col("__kid").as("id_a"), col("__csz").as("__ca"))
@@ -691,15 +698,7 @@ object Dedup {
     */
   private def dedupedPostings(df: DataFrame, textCol: String, idCol: String,
       n: Int, maxDocFreq: Long): (DataFrame, DataFrame) = {
-    // clusters is catalog-scale (one row per distinct content) but derives
-    // from a full corpus scan, and three consumers read it (the survivor
-    // semi-join + both weight joins) — localCheckpoint or the corpus is
-    // re-scanned per consumer (measured 220 → 34 s at the 100× probe)
-    val clusters = df
-      .groupBy(unhex(md5(col(textCol).cast(BinaryType))).as("__ch"))
-      .agg(min(col(idCol)).as("__kid"), count(lit(1)).as("__csz"))
-      .drop("__ch")
-      .localCheckpoint()
+    val clusters = exactClusters(df, textCol, idCol)
     val surv = df.join(clusters.select(col("__kid").as(idCol)), Seq(idCol), "left_semi")
     (clusters, prunedPostings(surv, textCol, idCol, n, maxDocFreq))
   }
@@ -1141,15 +1140,17 @@ object Dedup {
       .join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"), col("cos"),
         (col("__ca") * col("__cb")).as("n_pairs"))
-    // intra rows carry a LITERAL cos = 1.0, so they must only exist where
-    // the direct run would compute one (r14 advisor finding): a zero-norm
-    // duplicate vector's numeric cos is 0/0 = NaN (engine-specific
-    // comparison semantics — the direct run's behavior for those pairs is
-    // undefined, and the composed form defines them AWAY rather than
-    // emitting a fabricated 1.0), and a threshold > 1 config must emit no
-    // intra rows at all. Both guards are plan-time-cheap: the norm guard is
-    // one dot over the cluster's (single) vector, the threshold guard folds
-    // to a constant.
+    // intra rows carry a LITERAL cos = 1.0, guarded (r14 advisor finding,
+    // semantics pinned by self-review): the ONE possible zero-norm content
+    // (the all-zeros vector) has numeric intra cos 0/0 = NaN, and BOTH
+    // engines order NaN above every threshold, so the direct run emits
+    // C(sz,2) NaN-cos rows for it — meaningless output the composed form
+    // deliberately SUPPRESSES (its cross candidates still ride the LSH path
+    // unchanged, NaN and all). So the exact-multiset claim is scoped: it
+    // holds over nonzero-norm contents; the zero-norm cluster's intra rows
+    // are the one documented, intentional divergence. A threshold > 1
+    // config emits no intra rows (the literal can't qualify). Both guards
+    // are restated in the dual (embedWeightedSql) and plan-time-cheap.
     val intra = clusters.filter(col("__csz") > 1)
       .filter(G.vectorDot(col(vecCol), col(vecCol)) > 0 && lit(1.0) >= lit(threshold))
       .select(col("__id").as("id_a"), col("__id").as("id_b"), lit(1.0).as("cos"),

@@ -617,8 +617,17 @@ object Queries {
         df.groupBy(col(basketCol).as("__b"))
           .agg(sort_array(collect_set(col(itemCol))).as("__is"))
       case Some(cap) =>
+        // r14 self-review: cap must be positive (a 0-cap basket frame is a
+        // contradiction, not an empty rollup), and NULL items must be
+        // dropped BEFORE the window — collect_set (both paths' semantics)
+        // ignores nulls, but nulls sort FIRST under the window and would
+        // consume dense_rank slot 1 while every null row passes the
+        // first-occurrence test (lag === null is null → coalesce false),
+        // silently evicting one real item per affected basket.
+        require(cap > 0, s"maxBasket must be positive, got $cap")
         val w = Window.partitionBy(col("__b")).orderBy(col("__i"))
         df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+          .filter(col("__i").isNotNull)
           .withColumn("__dr", dense_rank().over(w))
           .withColumn("__dup", lag(col("__i"), 1).over(w) === col("__i"))
           .filter(col("__dr") <= cap && !coalesce(col("__dup"), lit(false)))

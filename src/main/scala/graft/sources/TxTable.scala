@@ -323,12 +323,34 @@ final case class TxTable(spark: SparkSession, root: String, name: String,
             val tmp = new Path(logDir, s".v$next.tmp.${ProcessHandle.current().pid()}")
             val out = fs.create(tmp, true)
             try out.write(body.getBytes("UTF-8")) finally out.close()
-            // rename failures on Hadoop FileSystems report as `false`, not
-            // exceptions — an unchecked failed manifest rename followed by a
-            // pointer swap would corrupt the table permanently
-            if (!fs.rename(tmp, manifestPath(next)))
-              throw new java.io.IOException(
-                s"table $name: manifest rename failed for v$next")
+            // paused-writer guard (r14 self-review): if OUR claim vanished
+            // between claim-create and here, a reconciler declared this
+            // writer dead (a GC/IO pause outlasted staleClaimMs) and the
+            // version may already belong to someone else — renaming over
+            // their manifest would be a silent lost update. Treat as
+            // CAS-lost and retry at the next version.
+            if (!fs.exists(claim)) {
+              fs.delete(tmp, false)
+              Left(next)
+            } else {
+            // NO-OVERWRITE rename (r14 self-review): Rename.NONE refuses an
+            // existing destination, so even the residual race (claim
+            // reconciled AND a new winner committed between the exists
+            // check above and this rename) cannot clobber a committed
+            // manifest — the resumed writer fails here and retries. POSIX
+            // rename(2) overwrites; FileContext's NONE option adds the
+            // destination check, shrinking the unsafe window from an
+            // unbounded pause to Hadoop's internal check-then-rename.
+            val renamed =
+              try { fc.rename(tmp, manifestPath(next),
+                org.apache.hadoop.fs.Options.Rename.NONE); true }
+              catch {
+                case _: org.apache.hadoop.fs.FileAlreadyExistsException
+                     | _: java.nio.file.FileAlreadyExistsException =>
+                  fs.delete(tmp, false); false
+              }
+            if (!renamed) Left(next)
+            else {
             val ptrTmp = new Path(logDir, s"_CURRENT.tmp.${ProcessHandle.current().pid()}")
             val pout = fs.create(ptrTmp, true)
             try pout.write(f"v$next%08d".getBytes("UTF-8")) finally pout.close()
@@ -340,18 +362,29 @@ final case class TxTable(spark: SparkSession, root: String, name: String,
             // written INSIDE the lock by the winner, via the same
             // tmp-then-rename discipline, so readers never see a partial
             // checkpoint. committedTxns here already includes this commit's
-            // token (the pointer moved above).
+            // token (the pointer moved above). BEST-EFFORT (r14 self-review):
+            // the commit is already durable once the pointer moved — a
+            // checkpoint I/O failure must not surface as a failed commit
+            // (the caller would retry a committed append and double-write);
+            // the next interval simply re-attempts.
             if (checkpointInterval > 0 && next % checkpointInterval == 0) {
-              val body = (f"ckpt=v$next%08d" +: (files.map("F " + _) ++
-                committedTxns.toSeq.sorted.map("T " + _))).mkString("\n")
-              val ctmp = new Path(logDir, s"._ckpt.tmp.${ProcessHandle.current().pid()}")
-              val cout = fs.create(ctmp, true)
-              try cout.write(body.getBytes("UTF-8")) finally cout.close()
-              if (!fs.rename(ctmp, checkpointPath(next)))
-                throw new java.io.IOException(
-                  s"table $name: checkpoint rename failed for v$next")
+              try {
+                val body = (f"ckpt=v$next%08d" +: (files.map("F " + _) ++
+                  committedTxns.toSeq.sorted.map("T " + _))).mkString("\n")
+                val ctmp = new Path(logDir, s"._ckpt.tmp.${ProcessHandle.current().pid()}")
+                val cout = fs.create(ctmp, true)
+                try cout.write(body.getBytes("UTF-8")) finally cout.close()
+                if (!fs.rename(ctmp, checkpointPath(next)))
+                  throw new java.io.IOException("checkpoint rename failed")
+              } catch {
+                case scala.util.control.NonFatal(e) =>
+                  System.err.println(
+                    s"[txtable] $name: best-effort checkpoint v$next skipped: $e")
+              }
             }
             Right(Some(next))
+            }
+            }
           } else Left(next)
         }
       }
@@ -384,6 +417,26 @@ final case class TxTable(spark: SparkSession, root: String, name: String,
                 fs.getFileStatus(staleClaim).getModificationTime > staleClaimMs
           } catch { case _: java.io.FileNotFoundException => false }
           if (stale) fs.delete(staleClaim, false)
+          // ORPHANED-MANIFEST ADOPTION (r14 self-review, the no-overwrite
+          // rename's twin): a writer that crashed between manifest rename
+          // and pointer swap leaves a COMPLETE manifest (tmp-then-rename —
+          // the name never maps to a partial file) that Rename.NONE would
+          // now block on forever. The manifest IS the commit's content; any
+          // contender publishes the pointer itself and retries on top. The
+          // swap is idempotent-by-value, so the original writer resuming
+          // and re-swapping (or two adopters racing) is harmless.
+          if (fs.exists(manifestPath(next)) && currentVersion < next) {
+            TxTable.rootLock(dir).synchronized {
+              if (currentVersion < next) {
+                val ptrTmp = new Path(logDir,
+                  s"_CURRENT.adopt.${ProcessHandle.current().pid()}")
+                val pout = fs.create(ptrTmp, true)
+                try pout.write(f"v$next%08d".getBytes("UTF-8")) finally pout.close()
+                fc.rename(ptrTmp, currentPtr,
+                  org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+              }
+            }
+          }
           // exponential backoff before rebasing: a cross-process loser spins
           // sub-millisecond per attempt, faster than the winner's
           // manifest-write + renames — without a wait, 16 retries can

@@ -197,4 +197,34 @@ class TxTableSpec extends SparkSpec {
     t.snapshot().count() shouldBe 2L
     t.history.map(_.action) shouldBe Seq("append", "append")
   }
+
+  test("orphaned-manifest ADOPTION: a complete manifest whose writer died before " +
+       "the pointer swap is published by the next contender, never clobbered") {
+    // the no-overwrite rename (r14 self-review: a paused-but-alive writer's
+    // resumed rename must not silently replace a reconciled winner's
+    // manifest) means an orphaned COMPLETE manifest blocks its version —
+    // the recovery is adoption: the manifest IS the commit, any contender
+    // swaps the pointer to it and retries on top
+    val root = java.nio.file.Files.createTempDirectory("txtable_adopt").toString
+    val t = TxTable(spark, root, "t", staleClaimMs = 0L)
+    t.append(Seq(1).toDF("x")) shouldBe 1L
+    // simulate the crash window: stage a real batch, hand-write its v2
+    // manifest (claim + manifest landed, pointer still at v1)
+    val staged = new java.io.File(root, "t/_data/orphanbatch")
+    Seq(9).toDF("x").repartition(1).write.parquet(staged.toString)
+    new java.io.File(root, "t/_log/_claim_v00000002").createNewFile() shouldBe true
+    val mf = new java.io.File(root, "t/_log/v00000002")
+    val prev = t.history.head.files
+    java.nio.file.Files.write(mf.toPath,
+      (s"action=append\nA ${staged}\n" +
+        (prev :+ staged.toString).map("F " + _).mkString("\n")).getBytes("UTF-8"))
+    t.currentVersion shouldBe 1L // pointer untouched by the orphan
+    // the next append adopts v2 (publishing the crashed writer's commit)
+    // and lands itself on top as v3 — nothing lost, nothing overwritten
+    t.append(Seq(2).toDF("x")) shouldBe 3L
+    t.currentVersion shouldBe 3L
+    t.snapshot().count() shouldBe 3L // rows 1, 9 (adopted), 2
+    rows(t.snapshot().orderBy("x")).map(_.getInt(0)) shouldBe Seq(1, 2, 9)
+    t.history.map(_.action) shouldBe Seq("append", "append", "append")
+  }
 }
