@@ -123,6 +123,41 @@ object ScaleProbe {
           threshold = 0.3, maxDocFreq = 100L)
         .agg(coalesce(sum(col("n_pairs")), lit(0L))).head().getLong(0)
     }
+    time("split_decisions_direct") {
+      // r15 (verdict ask #1): the DECISION consumers under the DIRECT index
+      // at the semantic cap. Leakage metric: content groups (exact replicas
+      // of one base doc, identifiable by id re-keying) whose members land
+      // in DIFFERENT splits when the split hash keys on the direct
+      // clustering's cluster_id. Where the cap binds (content-df·k > 100),
+      // cross-content pairs prune, replicas of affected contents become
+      // their own clusters, and the split scatters them — a test doc with a
+      // byte-identical train twin IS evaluation leakage, decided wrong.
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 5,
+        threshold = 0.3, maxDocFreq = 100L)
+      val labels = Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+      val leaked = graft.operators.Sampling.withSplit(
+          labels.select(col("id").as("doc_id"), col("cluster_id")), "cluster_id")
+        .withColumn("grp", col("doc_id") % 1000000L)
+        .groupBy("grp").agg(countDistinct(col("split")).as("ns"))
+        .filter(col("ns") > 1).count()
+      println(s"[scale-decisions] direct index: $leaked content groups leaked across splits")
+      leaked
+    }
+    time("split_decisions_composed") {
+      // the same decision on the composed labeling (composedClusterIndex):
+      // replicas inherit their keeper's cluster, the split hash keys on the
+      // composed cluster_id — leaked content groups must be ZERO at every k
+      val pairs = Dedup.ngramJaccardPairsDeduped(docs, "text", "doc_id", n = 5,
+        threshold = 0.3, maxDocFreq = 100L)
+      val lbl = Dedup.composedClusterIndex(docs, "text", "doc_id", pairs)
+      val leaked = graft.operators.Sampling.withSplit(
+          lbl.select(col("id").as("doc_id"), col("cluster_id")), "cluster_id")
+        .withColumn("grp", col("doc_id") % 1000000L)
+        .groupBy("grp").agg(countDistinct(col("split")).as("ns"))
+        .filter(col("ns") > 1).count()
+      println(s"[scale-decisions] composed index: $leaked content groups leaked across splits")
+      leaked
+    }
     time("containment_pairs") {
       // same inverted-index shape as jaccard, but no size-ratio prefilter
       // (asymmetric sizes are the point) — the docFreq cap alone must hold
@@ -924,12 +959,19 @@ object ScaleProbe {
         val dup = (0 until k).map(_ => ev).reduce(_ unionAll _)
         val tiered = dup.withColumn("__tier",
           ntile(8).over(org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("key"))))
-        val landDir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_scale_streamdedup_${ProcessHandle.current().pid()}")
+        // landing + checkpoint dirs registered with the JVM-exit cleanup
+        // hook (r15 advisor: the pid suffix that isolates concurrent runs
+        // guaranteed each run LEAKED its parquet tiers + state-store data
+        // in java.io.tmpdir — one probe per JVM, so end-of-JVM is
+        // end-of-probe and the lease pattern from the session indexes fits)
+        val landDir = new java.io.File(SessionCache.registerTmpIndexDir(
+          new java.io.File(sys.props("java.io.tmpdir"),
+            s"graft_scale_streamdedup_${ProcessHandle.current().pid()}").toString))
         graft.streaming.Streaming.landOrdered(landDir,
           (1 to 8).map(t => tiered.filter(col("__tier") === t).select("key", "ts")))
-        val ckpt = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_scale_streamdedup_ckpt_${ProcessHandle.current().pid()}")
+        val ckpt = new java.io.File(SessionCache.registerTmpIndexDir(
+          new java.io.File(sys.props("java.io.tmpdir"),
+            s"graft_scale_streamdedup_ckpt_${ProcessHandle.current().pid()}").toString))
         val sch = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("key", LongType),
           org.apache.spark.sql.types.StructField("ts", TimestampType)))
@@ -970,13 +1012,16 @@ object ScaleProbe {
         val tiered = ev.withColumn("__tier",
           ntile(8).over(org.apache.spark.sql.expressions.Window
             .orderBy(col("ts"), col("user_id"))))
-        val landDir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_scale_streamsess_${ProcessHandle.current().pid()}")
+        // same JVM-exit lease as the dedup probe's dirs (r15 advisor)
+        val landDir = new java.io.File(SessionCache.registerTmpIndexDir(
+          new java.io.File(sys.props("java.io.tmpdir"),
+            s"graft_scale_streamsess_${ProcessHandle.current().pid()}").toString))
         graft.streaming.Streaming.landOrdered(landDir,
           (1 to 8).map(t => tiered.filter(col("__tier") === t)
             .select("user_id", "ts", "value")))
-        val ckpt = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_scale_streamsess_ckpt_${ProcessHandle.current().pid()}")
+        val ckpt = new java.io.File(SessionCache.registerTmpIndexDir(
+          new java.io.File(sys.props("java.io.tmpdir"),
+            s"graft_scale_streamsess_ckpt_${ProcessHandle.current().pid()}").toString))
         val sch = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("user_id", LongType),
           org.apache.spark.sql.types.StructField("ts", TimestampType),

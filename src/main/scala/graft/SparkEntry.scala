@@ -118,6 +118,27 @@ object SparkEntry {
       val f = build.cache(); f.count(); f
     }
 
+  /** Per-logical-document cluster labels over the replicated fixture through
+    * the composed (dedup-first) minhash pair graph — the session-cached
+    * DECISION substrate (r15 verdict ask #1): audit, leakage-safe split,
+    * duplication-penalized sampling, and survivor policy all read THIS
+    * labeling, so keep/drop and split decisions survive replicated corpora
+    * (the direct index's caps report zero pairs there — SCALE.md r13/r15).
+    * One frame, corpus-row-sized (id, keeper, cluster), cached like the
+    * pair indexes it derives from.
+    */
+  private def weightedClusterIndex(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCompute(s, s"weighted-cluster-index:$dir") {
+      val pairs = compositionIndex(s, dir, "minhash") {
+        Dedup.minhashPairsDeduped(replicatedDocs(s, dir), "text", "doc_id",
+          shingleN = 5, k = 64, bands = 32, threshold = 0.5)
+      }
+      val c = Dedup.composedClusterIndex(replicatedDocs(s, dir), "text", "doc_id",
+        pairs).cache()
+      c.count()
+      c
+    }
+
   /** MinHash+LSH near-dup pair graph over `documents`, built once per
     * (session, sf dir) and kept cached — five dedup queries consume the SAME
     * exact-verified pair graph (the pair list itself, triangles/coefficients,
@@ -2025,6 +2046,23 @@ object SparkEntry {
         Dedup.minhashPairsDeduped(replicatedDocs(s, dir), "text", "doc_id",
           shingleN = 5, k = 64, bands = 32, threshold = 0.5)
       }.orderBy("id_a", "id_b")),
+    // MEASURED banding recall (r15, verdict ask #2): the corpus's truth
+    // pairs are all J ≥ 0.88 — useless for the curve — so a constructed
+    // J-spread fixture (7 levels, J ≈ 0.21 … 0.90, 40 pairs each) measures
+    // recall at the PRODUCTION shape (k=64, 32 bands of 2). MD5-derived
+    // lane hashes make every band collision deterministic in both engines;
+    // the curve itself is hash-gated, not asserted from banding theory.
+    "q_minhash_recall" -> ((s, dir) =>
+      Dedup.minhashRecallCurve(s, shared = Seq(14, 20, 27, 31, 33, 36, 38),
+        n = 40, pairsPerLevel = 40, k = 64, bands = 32)),
+    // the SHARP banding shape (8 bands of 8): same fixture, the S-curve now
+    // bends inside the measured J range — the committed artifact that shows
+    // WHY the production 32×2 config is the right one for τ=0.5 dedup
+    // (32×2 holds recall 1.0 down to J≈0.33; 8×8 loses half the pairs at
+    // J=0.8) and what a precision-hungry config would trade away
+    "q_minhash_recall_sharp" -> ((s, dir) =>
+      Dedup.minhashRecallCurve(s, shared = Seq(27, 31, 33, 36, 38, 39),
+        n = 40, pairsPerLevel = 40, k = 64, bands = 8)),
     // COMPOSED GRAPH → CLUSTERING CONSUMER (r14): the per-source dup report
     // computed over the replicated corpus through the composition — CC runs
     // on the keeper pair graph only, replicas enter as Σ csz logical doc
@@ -2049,6 +2087,57 @@ object SparkEntry {
           lit(1.0) - col("n_clusters").cast(DoubleType) / col("n_docs").cast(DoubleType))
         .orderBy("source")
     }),
+    // --- COMPOSED GRAPH → DECISION CONSUMERS (r15, verdict ask #1) --------
+    // r14 proved the composed weighted graph for the REPORTING consumer;
+    // these four make it the engine's BEHAVIOR: the keep/drop audit, the
+    // leakage-safe split, the D4 duplication-penalized sample, and the
+    // survivor policy all read the session-cached per-logical-doc labeling
+    // (weightedClusterIndex: doc → content keeper → keeper's CC cluster)
+    // over the replicated fixture — the corpus shape where the direct
+    // index's docFreq caps report zero pairs and every direct decision is
+    // provably wrong (leaked splits, un-penalized replicas; SCALE.md r15).
+    "q_dedup_audit_weighted" -> ((s, dir) =>
+      weightedClusterIndex(s, dir)
+        .select(col("id").as("doc_id"),
+          when(col("id") =!= col("keeper_id"), lit("exact_dup"))
+            .when(col("id") =!= col("cluster_id"), lit("near_dup"))
+            .otherwise(lit("kept")).as("status"),
+          col("cluster_id").as("survivor_id"))
+        .orderBy("doc_id")),
+    // split hash keys on the COMPOSED cluster canonical — replicas of one
+    // content (and their near-dups) co-locate in one split by construction,
+    // even when the direct pair index has capped out
+    "q_split_no_leakage_weighted" -> ((s, dir) =>
+      graft.operators.Sampling.withSplit(
+        weightedClusterIndex(s, dir).select(col("id").as("doc_id"), col("cluster_id")),
+        "cluster_id").orderBy("doc_id")),
+    // 1/|cluster| weighting over the LOGICAL cluster size (every replica
+    // counts through its keeper), so each duplicated content contributes ~1
+    // expected doc no matter how many byte-identical copies arrived
+    "q_dup_penalized_weighted" -> ((s, dir) => {
+      val szw = Window.partitionBy(col("cluster_id"))
+      weightedClusterIndex(s, dir)
+        .withColumn("cluster_size", count(lit(1)).over(szw))
+        .withColumn("weight",
+          lit(1.0) / col("cluster_size").cast(DoubleType))
+        .withColumn("kept",
+          graft.operators.Sampling.idHash(col("id")).cast(DoubleType) /
+            lit(1152921504606846976.0) < col("weight"))
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          col("cluster_size"), col("weight"), col("kept"))
+        .orderBy("doc_id")
+    }),
+    // survivor POLICY on the composed labeling: longest doc per weighted
+    // cluster (ties → min id) — replicas tie on length, so the keeper's
+    // min-id wins inside each content group while genuinely longer
+    // near-dups win across groups
+    "q_dedup_survivors_weighted" -> ((s, dir) =>
+      Dedup.nearDupSurvivorsByFrom(
+        replicatedDocs(s, dir)
+          .select(col("doc_id"), length(col("text")).cast(LongType).as("n_chars")),
+        "doc_id", weightedClusterIndex(s, dir), col("n_chars"))
+        .orderBy("doc_id")),
+
     // cohesion of the near-dup graph: per-doc triangle count + local
     // clustering coefficient via degree-oriented wedge join (Graph.triangles)
     "q_triangle_coeff" -> ((s, dir) =>
@@ -3792,6 +3881,37 @@ object SparkEntry {
             "documents.parquet", col("doc_id") % 3 =!= 0,
             Dedup.bandBuckets(base, "text", "doc_id", 5, 64, 32),
             Dedup.shingleSets(base, "text", "doc_id", 5),
+            "text", "doc_id", shingleN = 5, k = 64, bands = 32, threshold = 0.5)
+        }
+      }.orderBy("id_a", "id_b")
+    }),
+
+    // the STREAMING DEDUP-FIRST COMPOSITION (r15, verdict ask #6):
+    // q_stream_minhash probes every arrival against the band index directly
+    // — under replicated arrivals that inherits the direct-banding blowup
+    // r14 fixed in batch. Here the content-key anti-join composes IN FRONT
+    // per micro-batch: the REPLICATED corpus (the other compositions'
+    // fixture) lands as 4 id-ordered tiers; exact replicas of landed
+    // contents fold into cluster weights without banding, only novel
+    // contents band + probe the keeper index, and the final weighted state
+    // must multiset-equal the BATCH composed run (q_minhash_after_dedup's
+    // exact dual serves both) — batch-split invariance as a hash gate.
+    "q_stream_minhash_deduped" -> ((s, dir) => {
+      tune(s)
+      val landed = SessionCache.getOrCompute(s, s"stream-mhdd-delta:$dir") {
+        val d = new java.io.File(SessionCache.registerTmpIndexDir(
+          new java.io.File(sys.props("java.io.tmpdir"),
+            s"graft_stream_mhdd_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}").toString))
+        val corpus = replicatedDocs(s, dir)
+        val tiered = corpus.withColumn("__tier",
+          ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+        graft.streaming.Streaming.landOrdered(d,
+          (1 to 4).map(t => tiered.filter(col("__tier") === t).select("doc_id", "text")))
+        d.toString
+      }
+      streamResult(s, dir, "mhdd") {
+        withStreamConf(s) {
+          graft.streaming.Streaming.incrementalLshDedupedApply(s, landed,
             "text", "doc_id", shingleN = 5, k = 64, bands = 32, threshold = 0.5)
         }
       }.orderBy("id_a", "id_b")
@@ -5606,6 +5726,49 @@ object SparkEntry {
           graft.operators.Web.registrableDomain(host).as("registrable"))
         .orderBy("doc_id")
     }),
+    // STRATEGY-PARITY gate (r15, verdict ask #4): the broadcast
+    // longest-suffix-match JOIN over the committed subset must equal the
+    // CASE chain host-for-host — the dual is q_psl_domains' CASE semantics
+    // verbatim, so a join-variant divergence hash-fails here while
+    // q_psl_domains pins the CASE strategy unchanged
+    "q_psl_join_parity" -> ((s, dir) => {
+      val n = graft.operators.Web.pslSuffixes.size
+      val sufCol = element_at(typedlit(graft.operators.Web.pslSuffixes),
+        (col("doc_id") % n).cast(IntegerType) + 1)
+      val host = concat(
+        when(col("doc_id") % 3 === 0, lit("sub.")).otherwise(lit("")),
+        lit("w"), (col("doc_id") % 100).cast(StringType), lit("."), sufCol)
+      graft.operators.Web.registrableDomainJoin(
+          documents(s, dir).select(col("doc_id"), host.as("host")),
+          "host", "doc_id", "registrable",
+          graft.operators.Web.parsePslRules(graft.operators.Web.pslSuffixes))
+        .orderBy("doc_id")
+    }),
+    // PSL AT REAL SCALE (r15): a 500-rule list — past caseChainMaxRules, so
+    // withRegistrableDomain provably dispatches to the join — including the
+    // wildcard (*.ck) and exception (!www.ck) rule forms the subset file
+    // lacks. Hosts exercise all ten shapes: exact suffixes at every depth,
+    // wildcard hosts at and above the registrable boundary, the exception
+    // host and its subdomain, unlisted fallbacks, and a single-label host.
+    "q_psl_scaled" -> ((s, dir) => {
+      val c = (col("doc_id") % 100).cast(StringType)
+      val i = (col("doc_id") % 166).cast(StringType)
+      val m = col("doc_id") % 10
+      val host = when(m === 0, concat(lit("a"), c, lit(".co.t"), i))
+        .when(m === 1, concat(lit("b.a"), c, lit(".org.t"), i))
+        .when(m === 2, concat(lit("x"), c, lit(".t"), i))
+        .when(m === 3, lit("www.ck"))
+        .when(m === 4, lit("sub.www.ck"))
+        .when(m === 5, concat(lit("a"), c, lit(".b"), c, lit(".ck")))
+        .when(m === 6, concat(lit("d.a"), c, lit(".b"), c, lit(".ck")))
+        .when(m === 7, lit("bare.example"))
+        .when(m === 8, concat(lit("deep.x.y.unlisted"), c, lit(".zz")))
+        .otherwise(lit("ck"))
+      graft.operators.Web.withRegistrableDomain(
+          documents(s, dir).select(col("doc_id"), host.as("host")),
+          "host", "doc_id", "registrable", graft.operators.Web.pslScaledRules)
+        .orderBy("doc_id")
+    }),
 
     // --- sources (SURVEY §2.1; rows-only — fixture inputs, not sfDir tables)
     "q_csv_stock_autodetect" -> ((s, _) =>
@@ -6012,6 +6175,88 @@ object SparkEntry {
       | cl AS (SELECT MIN(doc_id) AS kid, CAST(COUNT(*) AS BIGINT) AS csz
       |   FROM corpus GROUP BY md5(text)),
       | sdocs AS (SELECT c.doc_id, c.text FROM corpus c JOIN cl ON c.doc_id = cl.kid)""".stripMargin.replace("\n", "")
+
+  /** Shared CTE chain of the composed-graph DECISION-consumer duals (r15):
+    * replicated corpus + exact-content clusters (`cl`), exact keeper-Jaccard
+    * pairs at τ=0.5 (the q_minhash_after_dedup banding-recall argument
+    * applies unchanged), transitive closure over keepers (`comps`), the
+    * per-doc content-keeper window (`k`), and the per-LOGICAL-doc labeling
+    * (`lbl`: doc_id, keeper, cluster_id) every consumer reads.
+    */
+  private val composedConsumerPrelude: String =
+    s"""$replicatedClustersCtes,
+       | ${shingleCte(5, "sdocs")},
+       | sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+       | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS it
+       |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       | p AS (SELECT id_a, id_b
+       |   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |   WHERE CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) >= 0.5),
+       | e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+       | closure(id, r) AS (
+       |   SELECT kid, kid FROM cl
+       |   UNION
+       |   SELECT e.s, c.r FROM e JOIN closure c ON c.id = e.d),
+       | comps AS (SELECT id, MIN(r) AS cluster_id FROM closure GROUP BY id),
+       | k AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM corpus),
+       | lbl AS (SELECT k.doc_id, k.keeper, c.cluster_id
+       |   FROM k JOIN comps c ON c.id = k.keeper)""".stripMargin.replace("\n", "")
+
+  /** Dual of [[Dedup.minhashRecallCurve]]: the same constructed J-spread
+    * fixture, md5-prefix lane folds, and band-slice agreement test — fully
+    * generated (k lane aggregates + b band conjunctions), like simhashSql.
+    */
+  private def minhashRecallSql(shared: Seq[Int], n: Int, p: Int,
+      k: Int, bands: Int): String = {
+    val r = k / bands
+    def fold(x: String) = "list_reduce(list_transform(range(1, 9), " +
+      s"q -> CAST(strpos('0123456789abcdef', substring(md5($x), q, 1)) - 1 AS BIGINT)), " +
+      "(a,b) -> a*16 + b)"
+    val lanes = (0 until k).map(i => s"MIN(${fold(s"tok || '#$i'")}) AS m$i").mkString(", ")
+    val foundExpr = (0 until bands).map { bd =>
+      "(" + (0 until r).map(j => s"a.m${bd * r + j} = b.m${bd * r + j}").mkString(" AND ") + ")"
+    }.mkString(" OR ")
+    val lv = shared.map(s => s"($s)").mkString(",")
+    s"""WITH lv(s) AS (VALUES $lv),
+       | pr AS (SELECT s, unnest(range(0, $p)) AS p FROM lv),
+       | g AS (SELECT s, p, unnest(range(0, $n)) AS g FROM pr),
+       | tk AS (
+       |   SELECT s, p, 'a' AS side, CASE WHEN g < s THEN 'x' || s || '_' || p || '_s_' || g
+       |     ELSE 'x' || s || '_' || p || '_a_' || g END AS tok FROM g
+       |   UNION ALL
+       |   SELECT s, p, 'b', CASE WHEN g < s THEN 'x' || s || '_' || p || '_s_' || g
+       |     ELSE 'x' || s || '_' || p || '_b_' || g END FROM g),
+       | sig AS (SELECT s, p, side, $lanes FROM tk GROUP BY 1, 2, 3),
+       | f AS (SELECT a.s, ($foundExpr) AS fnd
+       |   FROM sig a JOIN sig b ON a.s = b.s AND a.p = b.p AND a.side = 'a' AND b.side = 'b')
+       | SELECT CAST(s AS BIGINT) AS shared_tokens,
+       |   CAST(s AS DOUBLE) / CAST(${2 * n} - s AS DOUBLE) AS jaccard,
+       |   COUNT(*) AS n_pairs,
+       |   CAST(SUM(CASE WHEN fnd THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       |   CAST(SUM(CASE WHEN fnd THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+       | FROM f GROUP BY s ORDER BY shared_tokens""".stripMargin.replace("\n", "")
+  }
+
+  /** Shared dual of the batch composed banded-LSH run AND its streaming
+    * twin: exact Jaccard over the keepers + |Ca|·|Cb| cross expansion +
+    * literal-1.0 intra rows.
+    */
+  private val minhashAfterDedupSql: String =
+    s"""WITH $replicatedClustersCtes,
+       | ${shingleCte(5, "sdocs")},
+       | sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+       | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS it
+       |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       | p AS (SELECT id_a, id_b,
+       |   CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) AS jaccard
+       |   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |   WHERE CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) >= 0.5),
+       | crossp AS (SELECT p.id_a, p.id_b, p.jaccard, sa.csz * sb.csz AS n_pairs
+       |   FROM p JOIN cl sa ON p.id_a = sa.kid JOIN cl sb ON p.id_b = sb.kid),
+       | intra AS (SELECT kid AS id_a, kid AS id_b, CAST(1.0 AS DOUBLE) AS jaccard,
+       |   csz * (csz - 1) // 2 AS n_pairs FROM cl WHERE csz > 1)
+       | SELECT * FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra)
+       | ORDER BY id_a, id_b""".stripMargin.replace("\n", "")
 
   private val dedupedPostingPrelude: String =
     // r14 self-review: share shingleCte(5, "sdocs") (and its $dedupWords
@@ -8222,28 +8467,54 @@ object SparkEntry {
          |   1.0 - CAST(COUNT(DISTINCT comps.cluster_id) AS DOUBLE) / CAST(SUM(cl.csz) AS DOUBLE) AS dup_rate
          | FROM cl JOIN comps ON comps.id = cl.kid JOIN documents d ON d.doc_id = cl.kid
          | GROUP BY d.source ORDER BY d.source""".stripMargin.replace("\n", ""),
+    // composed-graph DECISION consumers (r15): every dual reads the shared
+    // `lbl` labeling (doc → content keeper → keeper-closure cluster) over
+    // the replicated corpus — one CTE chain restates the whole policy
+    "q_dedup_audit_weighted" ->
+      s"""WITH RECURSIVE $composedConsumerPrelude
+         | SELECT doc_id,
+         |   CASE WHEN doc_id <> keeper THEN 'exact_dup'
+         |        WHEN doc_id <> cluster_id THEN 'near_dup' ELSE 'kept' END AS status,
+         |   cluster_id AS survivor_id
+         | FROM lbl ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_split_no_leakage_weighted" ->
+      s"""WITH RECURSIVE $composedConsumerPrelude
+         | SELECT doc_id, cluster_id,
+         |   CASE WHEN h % 1000 < 800 THEN 'train' WHEN h % 1000 < 900 THEN 'val'
+         |     ELSE 'test' END AS split
+         | FROM (SELECT doc_id, cluster_id, ${idHashSql("cluster_id")} AS h FROM lbl)
+         | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_dup_penalized_weighted" ->
+      s"""WITH RECURSIVE $composedConsumerPrelude,
+         | sz AS (SELECT doc_id, cluster_id,
+         |   CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size FROM lbl)
+         | SELECT doc_id, cluster_id, cluster_size,
+         |   CAST(1 AS DOUBLE) / CAST(cluster_size AS DOUBLE) AS weight,
+         |   CAST(${idHashSql("doc_id")} AS DOUBLE) / 1152921504606846976
+         |     < CAST(1 AS DOUBLE) / CAST(cluster_size AS DOUBLE) AS kept
+         | FROM sz ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_dedup_survivors_weighted" ->
+      s"""WITH RECURSIVE $composedConsumerPrelude,
+         | ranked AS (SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars,
+         |   row_number() OVER (PARTITION BY l.cluster_id
+         |     ORDER BY length(c.text) DESC, c.doc_id) AS rn
+         |   FROM corpus c JOIN lbl l USING (doc_id))
+         | SELECT doc_id, n_chars FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
     // exact Jaccard (no pruning): equals minhashPairs' output because emitted
     // values are exact-verified and banding recall at min qualifying J is ~1-3e-12
     "q_minhash_pairs" -> exactJaccardSql(n = 5, threshold = 0.5),
+    "q_minhash_recall" -> minhashRecallSql(
+      shared = Seq(14, 20, 27, 31, 33, 36, 38), n = 40, p = 40, k = 64, bands = 32),
+    "q_minhash_recall_sharp" -> minhashRecallSql(
+      shared = Seq(27, 31, 33, 36, 38, 39), n = 40, p = 40, k = 64, bands = 8),
     // dedup-first banded LSH: exact Jaccard over the KEEPERS (the banding
     // recall argument above applies unchanged) + |Ca|·|Cb| cross expansion
     // + literal-1.0 intra rows (identical texts ⇒ identical shingle sets)
-    "q_minhash_after_dedup" ->
-      s"""WITH $replicatedClustersCtes,
-         | ${shingleCte(5, "sdocs")},
-         | sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-         | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS it
-         |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         | p AS (SELECT id_a, id_b,
-         |   CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) AS jaccard
-         |   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-         |   WHERE CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) >= 0.5),
-         | crossp AS (SELECT p.id_a, p.id_b, p.jaccard, sa.csz * sb.csz AS n_pairs
-         |   FROM p JOIN cl sa ON p.id_a = sa.kid JOIN cl sb ON p.id_b = sb.kid),
-         | intra AS (SELECT kid AS id_a, kid AS id_b, CAST(1.0 AS DOUBLE) AS jaccard,
-         |   csz * (csz - 1) // 2 AS n_pairs FROM cl WHERE csz > 1)
-         | SELECT * FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra)
-         | ORDER BY id_a, id_b""".stripMargin.replace("\n", ""),
+    "q_minhash_after_dedup" -> minhashAfterDedupSql,
+    // the STREAMING twin must land on the identical weighted multiset: one
+    // dual serves both (batch-split invariance is the Spark side's claim)
+    "q_stream_minhash_deduped" -> minhashAfterDedupSql,
     // same artifact arithmetic: postings recomputed per corpus (the df cap
     // re-evaluates on the retained docs), pairs filtered on both ends
     "q_erasure_audit" ->
@@ -9503,6 +9774,58 @@ object SparkEntry {
          | SELECT doc_id, host, ${pslDomainCaseSql("host", "labels")} AS registrable
          | FROM lx ORDER BY doc_id""".stripMargin.replace("\n", "")
     },
+    // strategy parity: the SAME CASE-semantics dual as q_psl_domains — the
+    // join variant must reproduce it host-for-host on the exact-only subset
+    "q_psl_join_parity" -> {
+      val sufs = graft.operators.Web.pslSuffixes.map(s => s"'$s'").mkString(", ")
+      val n = graft.operators.Web.pslSuffixes.size
+      s"""WITH sx AS (SELECT doc_id, ([$sufs])[CAST(doc_id % $n AS INTEGER) + 1] AS suf FROM documents),
+         | hx AS (SELECT doc_id, (CASE WHEN doc_id % 3 = 0 THEN 'sub.' ELSE '' END) ||
+         |   'w' || CAST(doc_id % 100 AS VARCHAR) || '.' || suf AS host FROM sx),
+         | lx AS (SELECT doc_id, host, string_split(host, '.') AS labels FROM hx)
+         | SELECT doc_id, host, ${pslDomainCaseSql("host", "labels")} AS registrable
+         | FROM lx ORDER BY doc_id""".stripMargin.replace("\n", "")
+    },
+    // the 500-rule PSL fixture: rule table restated relationally (exact /
+    // wildcard / exception with their prevailing order and public-suffix
+    // lengths), candidate label-suffix explode, argmax by (exception,
+    // rule labels), registrable cut at the winner's ps length — the same
+    // algorithm the broadcast join runs
+    "q_psl_scaled" ->
+      s"""WITH rl AS (
+         |   SELECT 't' || i AS key, 1 AS klab, 1 AS rlab, 1 AS pslab,
+         |     false AS exc, false AS wild FROM range(0, 166) t(i)
+         |   UNION ALL SELECT 'co.t' || i, 2, 2, 2, false, false FROM range(0, 166) t(i)
+         |   UNION ALL SELECT 'org.t' || i, 2, 2, 2, false, false FROM range(0, 166) t(i)
+         |   UNION ALL SELECT 'ck', 1, 2, 2, false, true
+         |   UNION ALL SELECT 'www.ck', 2, 2, 1, true, false),
+         | hx AS (SELECT doc_id,
+         |   CASE WHEN doc_id % 10 = 0 THEN 'a' || (doc_id % 100) || '.co.t' || (doc_id % 166)
+         |        WHEN doc_id % 10 = 1 THEN 'b.a' || (doc_id % 100) || '.org.t' || (doc_id % 166)
+         |        WHEN doc_id % 10 = 2 THEN 'x' || (doc_id % 100) || '.t' || (doc_id % 166)
+         |        WHEN doc_id % 10 = 3 THEN 'www.ck'
+         |        WHEN doc_id % 10 = 4 THEN 'sub.www.ck'
+         |        WHEN doc_id % 10 = 5 THEN 'a' || (doc_id % 100) || '.b' || (doc_id % 100) || '.ck'
+         |        WHEN doc_id % 10 = 6 THEN 'd.a' || (doc_id % 100) || '.b' || (doc_id % 100) || '.ck'
+         |        WHEN doc_id % 10 = 7 THEN 'bare.example'
+         |        WHEN doc_id % 10 = 8 THEN 'deep.x.y.unlisted' || (doc_id % 100) || '.zz'
+         |        ELSE 'ck' END AS host FROM documents),
+         | lx AS (SELECT doc_id, host, string_split(host, '.') AS labels,
+         |   len(string_split(host, '.')) AS hl FROM hx),
+         | cand AS (SELECT doc_id, hl,
+         |   array_to_string(labels[CAST(hl - kp + 1 AS INTEGER):], '.') AS cnd
+         |   FROM lx, unnest(range(1, hl + 1)) AS t(kp)),
+         | m AS (SELECT c.doc_id, r.pslab, row_number() OVER (PARTITION BY c.doc_id
+         |   ORDER BY r.exc DESC, r.rlab DESC, r.key) AS rn
+         |   FROM cand c JOIN rl r ON c.cnd = r.key AND (NOT r.wild OR c.hl >= r.klab + 1)),
+         | w AS (SELECT doc_id, pslab FROM m WHERE rn = 1)
+         | SELECT l.doc_id, l.host,
+         |   CASE WHEN l.hl <= 2 THEN l.host
+         |        WHEN w.pslab IS NULL THEN array_to_string(l.labels[-2:], '.')
+         |        WHEN l.hl > w.pslab THEN
+         |          array_to_string(l.labels[CAST(l.hl - w.pslab AS INTEGER):], '.')
+         |        ELSE l.host END AS registrable
+         | FROM lx l LEFT JOIN w USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "q_media_decode" -> mediaDecodeSql,
     "q_jpeg_decode" -> jpegDecodeSql,
     "q_gif_decode" -> gifDecodeSql,

@@ -466,6 +466,74 @@ object Dedup {
       baseSets.unionByName(shingleSets(delta, textCol, idCol, shingleN)), threshold)
   }
 
+  /** MEASURED recall of banded MinHash vs exact Jaccard on a constructed
+    * J-spread fixture (r15, verdict ask #2: the vector family has four gated
+    * recall/quality curves; banded MinHash's recall was asserted from
+    * banding theory — 1−(1−J^r)^b — never measured, and the sf0.01 truth
+    * pairs are all J ∈ [0.88, 0.99], far above where the curve bends).
+    *
+    * Fixture: for each level `s` in `shared`, `pairsPerLevel` document pairs
+    * of `n` distinct tokens each sharing exactly `s` tokens (every token
+    * string is unique to its (level, pair, class) — nothing collides across
+    * pairs), so true unigram-set Jaccard is exactly s/(2n−s). Signatures
+    * use MD5-derived lane hashes (lane i = min over tokens of the first-8-
+    * hex-digit fold of md5(token#i)) — the same oracle-reproducibility move
+    * as SimHash64/winnowing, so per-pair band collision is DETERMINISTIC
+    * and the whole curve is hash-gated in both engines; banding recall is a
+    * distribution-level property, so the md5-lane curve is the xxhash64
+    * production kernel's curve.
+    *
+    * Emits one row per level: (shared_tokens, jaccard, n_pairs, n_found,
+    * recall) at the PRODUCTION banding shape (k lanes, `bands` bands of
+    * k/bands rows; a pair is found iff some band's full lane slice agrees).
+    *
+    * Scale: the fixture is constant-size (levels × pairsPerLevel); in
+    * production this gate runs at index-build time as a fixed-cost canary,
+    * never over the corpus.
+    */
+  def minhashRecallCurve(spark: org.apache.spark.sql.SparkSession,
+      shared: Seq[Int], n: Int, pairsPerLevel: Int,
+      k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    require(shared.forall(s => s >= 0 && s <= n), "shared token counts must fit n")
+    val r = k / bands
+    import spark.implicits._
+    val base = shared.toDF("s")
+      .crossJoin(spark.range(pairsPerLevel.toLong).toDF("p"))
+    val grams = base.select(col("s"), col("p"),
+      explode(sequence(lit(0), lit(n - 1))).as("g"))
+    def tok(cls: String): Column = concat(lit("x"), col("s").cast(StringType),
+      lit("_"), col("p").cast(StringType), lit(s"_${cls}_"), col("g").cast(StringType))
+    def side(name: String): DataFrame = grams.select(col("s"), col("p"),
+      lit(name).as("side"),
+      when(col("g") < col("s"), tok("s")).otherwise(tok(name)).as("tok"))
+    val toks = side("a").unionAll(side("b"))
+    // per-lane min over the token set: 64 static codegen'd min aggregates of
+    // the md5-prefix fold (conv(substr(md5, 1, 8)) ≡ the DuckDB strpos fold)
+    def laneHash(i: Int): Column =
+      conv(substring(md5(concat(col("tok"), lit(s"#$i"))), 1, 8), 16, 10).cast(LongType)
+    val lanes = (0 until k).map(i => min(laneHash(i)).as(s"m$i"))
+    val sig = toks.groupBy(col("s"), col("p"), col("side"))
+      .agg(lanes.head, lanes.tail: _*)
+    val a = sig.filter(col("side") === "a").drop("side").as("a")
+    val b = sig.filter(col("side") === "b").drop("side").as("b")
+    val found = (0 until bands).map(bd =>
+        (0 until r).map(j => col(s"a.m${bd * r + j}") === col(s"b.m${bd * r + j}"))
+          .reduce(_ && _))
+      .reduce(_ || _)
+    a.join(b, col("a.s") === col("b.s") && col("a.p") === col("b.p"))
+      .select(col("a.s").as("shared_tokens"), found.as("__f"))
+      .groupBy(col("shared_tokens"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__f"), 1L).otherwise(0L)).cast(LongType).as("n_found"))
+      .select(col("shared_tokens").cast(LongType).as("shared_tokens"),
+        (col("shared_tokens").cast(DoubleType) /
+          (lit(2 * n) - col("shared_tokens")).cast(DoubleType)).as("jaccard"),
+        col("n_pairs"), col("n_found"),
+        (col("n_found").cast(DoubleType) / col("n_pairs").cast(DoubleType)).as("recall"))
+      .orderBy("shared_tokens")
+  }
+
   /** SimHash fingerprint column ([[graft.expressions.SimHash64]]): one narrow
     * kernel pass per document, MD5-derived bits for oracle reproducibility.
     */
@@ -832,6 +900,48 @@ object Dedup {
     labels.union(singletons)
   }
 
+  /** Per-document cluster labels through a KEEPER pair graph — the consumer
+    * substrate of the dedup-first compositions (r15, verdict ask #1: r14
+    * proved the composed graph for REPORTING; the decision consumers —
+    * keep/drop audit, leakage-safe split, duplication-penalized sampling,
+    * survivor policy — still read the direct index, which is exactly the
+    * shape that breaks under heavy exact replication: capped-out
+    * fingerprints → missed near-dups → leaked splits).
+    *
+    * Input `keeperPairs` is any composed pair report over the exact-dedup
+    * keepers ([[minhashPairsDeduped]], [[ngramJaccardPairsDeduped]], ...);
+    * intra rows (id_a == id_b) are ignored — they carry replica weights,
+    * not graph edges. Output: one row per LOGICAL document with
+    * (`id`, `keeper_id` = its content group's min-id keeper, `cluster_id` =
+    * the keeper's connected component). Replicas inherit their keeper's
+    * cluster, so every downstream decision — split hash, 1/|cluster|
+    * weight, survivor choice — sees the composed graph.
+    *
+    * Equivalence: when the direct pair index has perfect recall (no cap
+    * binding, banding recall ≈ 1), these labels EQUAL the direct
+    * clustering's — the component min is always a keeper (a content group's
+    * keeper has the group's min id and shares its edges), pinned by
+    * DedupSpec. Where the direct index caps out, these labels are the
+    * correct ones.
+    *
+    * Scale: the keeper mapping is one 16-byte-content-key window over
+    * (id, hash) rows (frames are replication-bounded); CC runs on the
+    * keeper pair graph only (duplication-bounded, never corpus²); the label
+    * join keys on keeper ids. Replication never reaches an exchange as
+    * pair rows.
+    */
+  def composedClusterIndex(df: DataFrame, textCol: String, idCol: String,
+      keeperPairs: DataFrame): DataFrame = {
+    val keeper = df.select(col(idCol).as("id"),
+      min(col(idCol)).over(
+        Window.partitionBy(unhex(md5(col(textCol).cast(BinaryType))))).as("keeper_id"))
+    val cc = connectedComponents(
+      keeper.filter(col("id") === col("keeper_id")).select("id"),
+      keeperPairs.filter(col("id_a") =!= col("id_b")).select("id_a", "id_b"))
+    keeper.join(cc.select(col("id").as("keeper_id"), col("cluster_id")), Seq("keeper_id"))
+      .select(col("id"), col("keeper_id"), col("cluster_id"))
+  }
+
   /** One row per near-dup cluster: keep the minimum-id member of each
     * connected component of the pair graph (plus every unpaired row).
     */
@@ -854,11 +964,20 @@ object Dedup {
     * documents ride the same path as singleton clusters.
     */
   def nearDupSurvivorsBy(df: DataFrame, idCol: String, pairs: DataFrame,
+      priority: Column): DataFrame =
+    nearDupSurvivorsByFrom(df, idCol,
+      connectedComponents(df.select(col(idCol).as("id")), pairs), priority)
+
+  /** [[nearDupSurvivorsBy]] over a PREBUILT cluster labeling (`id`,
+    * `cluster_id`) — the form the composed-graph consumers use (r15): the
+    * labeling is built once ([[composedClusterIndex]], session-cached) and
+    * every policy choice reads it, instead of re-running CC per consumer.
+    */
+  def nearDupSurvivorsByFrom(df: DataFrame, idCol: String, labels: DataFrame,
       priority: Column): DataFrame = {
-    val comps = connectedComponents(df.select(col(idCol).as("id")), pairs)
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(priority.desc, col(idCol).asc)
-    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol))
+    df.join(labels.select(col("id").as(idCol), col("cluster_id")), Seq(idCol))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "cluster_id")

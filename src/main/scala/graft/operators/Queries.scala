@@ -596,22 +596,30 @@ object Queries {
     // upstream (TPC-H's ≤ 7). [[basketCapReport]] quantifies what a given
     // cap would drop.
     //
-    // r14 (SCALE.md r13's 25×→50× spill step): the CAPPED path no longer
-    // builds the full collect_set and slices it — that held every over-cap
-    // basket's ENTIRE item set in ObjectHashAggregate state, a memory cliff
-    // exactly where the cap exists to protect. Instead the rows ride ONE
-    // basket-keyed sort-based window (ExternalSorter — disk-backed, no
-    // cliff): dense_rank counts distinct items in sort order, lag marks
-    // first occurrences, so `dense_rank ≤ cap AND first-occurrence` keeps
-    // exactly the first `cap` entries of the sorted distinct item set —
-    // bit-identical to slicing the sorted collect_set — and only those
-    // bounded survivors reach the collect (aggregation state ≤ cap for
-    // EVERY basket). Both window functions share one (partition, sort) and
-    // the final groupBy reuses the window's hash partitioning: the plan
-    // stays a single exchange, the same count as the uncapped path; the
-    // hash agg's set state is traded for a spillable sort. The UNCAPPED
-    // path keeps the single-shuffle collect_set (its state is inherently
-    // the basket; domains that skip the cap bound basket size by contract).
+    // r15 (closing the r14 trade, SCALE.md): the CAPPED path is now ADAPTIVE
+    // per basket. r13's collect_set-then-slice held every over-cap basket's
+    // ENTIRE item set in ObjectHashAggregate state (memory cliff at the 50×
+    // mega-basket probe); r14's all-rows sort window removed the cliff but
+    // paid a disk-backed sort for EVERY basket (4.5× at the 25× probe where
+    // collect_set is safe). The two paths have bit-identical output — the
+    // window's dense_rank+lag truncation equals slicing the sorted
+    // collect_set — so compose them per key with the skew-detector idiom:
+    //   1. one map-combinable count of non-null rows per basket (raw rows
+    //      >= distinct items, so `raw <= cap` PROVES the basket's distinct
+    //      set fits the cap — a conservative, never-wrong split);
+    //   2. provably-under baskets take the single-shuffle collect_set with
+    //      per-basket state bounded by cap (no cliff by construction);
+    //   3. only the over-cap tail — the anomaly the cap exists for, so a
+    //      broadcastable key set by the same contract that makes the cap
+    //      meaningful ([[basketCapReport]] measures it first) — rides the
+    //      disk-backed sort window, truncated to the first `cap` of the
+    //      sorted distinct set;
+    //   4. union the halves.
+    // Both broadcast semi/anti joins keep the fact rows narrow (no extra
+    // full-data exchange); the detector's count combines map-side. The
+    // UNCAPPED path keeps the single-shuffle collect_set (its state is
+    // inherently the basket; domains that skip the cap bound basket size
+    // by contract).
     maxBasket match {
       case None =>
         df.groupBy(col(basketCol).as("__b"))
@@ -625,14 +633,27 @@ object Queries {
         // first-occurrence test (lag === null is null → coalesce false),
         // silently evicting one real item per affected basket.
         require(cap > 0, s"maxBasket must be positive, got $cap")
+        val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+        // detector counts NON-null rows: an all-null basket (0 <= cap)
+        // routes to the collect_set half and emits its (basket, empty
+        // array) row exactly like the uncapped path — r15 advisor finding:
+        // the r14 window path's pre-groupBy null filter dropped such
+        // baskets entirely, diverging from the uncapped path's cardinality.
+        val over = items.groupBy(col("__b"))
+          .agg(sum(when(col("__i").isNotNull, 1L).otherwise(0L)).as("__nn"))
+          .filter(col("__nn") > cap).select(col("__b"))
+        val under = items.join(broadcast(over), Seq("__b"), "left_anti")
+          .groupBy(col("__b"))
+          .agg(sort_array(collect_set(col("__i"))).as("__is"))
         val w = Window.partitionBy(col("__b")).orderBy(col("__i"))
-        df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+        val overAgg = items.join(broadcast(over), Seq("__b"), "left_semi")
           .filter(col("__i").isNotNull)
           .withColumn("__dr", dense_rank().over(w))
           .withColumn("__dup", lag(col("__i"), 1).over(w) === col("__i"))
           .filter(col("__dr") <= cap && !coalesce(col("__dup"), lit(false)))
           .drop("__dr", "__dup")
           .groupBy(col("__b")).agg(sort_array(collect_list(col("__i"))).as("__is"))
+        under.unionByName(overAgg)
     }
   }
 

@@ -74,17 +74,134 @@ object Web {
     * pure narrow expression, zero shuffle, scan speed (a broadcast join
     * would work too but would force the suffix count into the plan's join
     * cardinality; ~50 string suffix tests per row is cheaper than a
-    * per-label explode at every corpus size).
+    * per-label explode at every corpus size). For the FULL ~9,000-rule PSL
+    * (where a CASE chain blows codegen limits) and for wildcard/exception
+    * rule forms, use [[withRegistrableDomain]] — it dispatches to the
+    * broadcast longest-suffix-match join past [[caseChainMaxRules]].
     */
-  def registrableDomain(host: Column): Column = {
+  def registrableDomain(host: Column): Column =
+    registrableDomainCase(host, pslSuffixes)
+
+  /** The generated-CASE strategy over an arbitrary EXACT-rule suffix list
+    * (sorted longest-first internally). Right up to ~100 rules; beyond that
+    * the chain exceeds codegen method limits and falls back interpreted —
+    * the join strategy takes over ([[withRegistrableDomain]]).
+    */
+  def registrableDomainCase(host: Column, suffixes: Seq[String]): Column = {
+    val ordered = suffixes.sortBy(s => (-s.count(_ == '.'), s))
     val labels = split(host, "\\.")
-    val chain = pslSuffixesLongestFirst.foldLeft(when(size(labels) <= 2, host)) {
+    val chain = ordered.foldLeft(when(size(labels) <= 2, host)) {
       (acc, s) =>
         val keep = s.count(_ == '.') + 2 // suffix labels + 1 registrable label
         acc.when(host.endsWith("." + s), array_join(slice(labels, -keep, keep), "."))
     }
     chain.otherwise(array_join(slice(labels, -2, 2), "."))
   }
+
+  /** One parsed PSL rule. `key` is the literal label suffix the candidate
+    * join matches on (a wildcard rule joins on its tail — the labels right
+    * of `*.`); `ruleLabels` counts the rule's labels INCLUDING the `*` (the
+    * PSL prevailing order); `psLabels` is the public-suffix label count if
+    * this rule prevails (exact = its labels; wildcard = tail + 1; exception
+    * = its labels − 1, per the PSL algorithm's leftmost-label removal).
+    */
+  final case class PslRule(key: String, keyLabels: Int, ruleLabels: Int,
+      psLabels: Int, isException: Boolean, isWildcard: Boolean)
+
+  /** Parse publicsuffix.org line format (one rule per line, `//` comments,
+    * `*.` wildcards, `!` exceptions) into [[PslRule]]s.
+    */
+  def parsePslRules(lines: Seq[String]): Seq[PslRule] =
+    lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).map { r =>
+      val exc = r.startsWith("!")
+      val wild = !exc && r.startsWith("*.")
+      val key = if (exc) r.drop(1) else if (wild) r.drop(2) else r
+      val kl = key.count(_ == '.') + 1
+      PslRule(key, kl, if (wild) kl + 1 else kl,
+        if (exc) kl - 1 else if (wild) kl + 1 else kl, exc, wild)
+    }
+
+  /** The CASE chain is right up to this many rules; beyond it (or whenever
+    * wildcard/exception forms appear, which CASE cannot express) the
+    * broadcast join strategy runs. ~9,000 PSL rules as an EndsWith chain
+    * would blow past the codegen method-size limit and fall back to an
+    * interpreted 9,000-branch CaseWhen per row — the join is one broadcast
+    * hash probe per host label instead.
+    */
+  val caseChainMaxRules: Int = 100
+
+  /** Registrable domain via BROADCAST LONGEST-SUFFIX-MATCH JOIN — the
+    * full-PSL strategy (r15, verdict ask #4): explode each host into its
+    * label-suffix candidates (bounded by label depth, ≤ ~6 in real hosts),
+    * equality-join the broadcast rule table, take the prevailing rule per
+    * host (exception first, then most rule labels — the PSL algorithm), and
+    * cut the registrable domain at the winner's public-suffix length.
+    * Handles all three PSL rule forms (exact, `*.` wildcard — which
+    * requires one extra host label — and `!` exception). Unmatched hosts
+    * take the implicit `*` default (last two labels); hosts of ≤2 labels
+    * pass through unchanged, exactly the CASE strategy's contract, so on an
+    * exact-only rule list the two strategies are output-identical (gated:
+    * q_psl_join_parity).
+    *
+    * Scale: the rule table is ~9,000 tiny rows — broadcast; the host frame
+    * fans out ≤ label-depth× into the hash probe and one per-host window
+    * picks the winner. One narrow exchange class (the window keys on the
+    * host row id); no corpus-sized shuffle.
+    */
+  def registrableDomainJoin(df: DataFrame, hostCol: String, idCol: String,
+      outCol: String, rules: Seq[PslRule]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val rulesDf = rules.toDF()
+    val withL = df.withColumn("__labels", split(col(hostCol), "\\."))
+      .withColumn("__hl", size(col("__labels")))
+    val cands = withL.select(col(idCol), col("__labels"), col("__hl"),
+        explode(sequence(lit(1), col("__hl"))).as("__keep"))
+      .withColumn("__cand",
+        array_join(slice(col("__labels"), col("__keep") * -1, col("__keep")), "."))
+    val matched = cands.join(broadcast(rulesDf),
+      col("__cand") === col("key") &&
+        (!col("isWildcard") || col("__hl") >= col("keyLabels") + 1))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(col("isException").desc, col("ruleLabels").desc, col("key"))
+    val winner = matched.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("psLabels").as("__ps"))
+    withL.join(winner, Seq(idCol), "left")
+      .withColumn(outCol,
+        when(col("__hl") <= 2, col(hostCol))
+          .when(col("__ps").isNull, array_join(slice(col("__labels"), -2, 2), "."))
+          .when(col("__hl") > col("__ps"),
+            array_join(slice(col("__labels"),
+              (col("__ps") + 1) * -1, col("__ps") + 1), "."))
+          .otherwise(col(hostCol)))
+      .drop("__labels", "__hl", "__ps")
+  }
+
+  /** Strategy dispatch (r15): small exact-only lists (the committed subset)
+    * compile to the codegen'd CASE chain; large lists or lists carrying
+    * wildcard/exception rules run the broadcast join. Both strategies are
+    * gated output-equal on exact-only lists.
+    */
+  def withRegistrableDomain(df: DataFrame, hostCol: String, idCol: String,
+      outCol: String, lines: Seq[String]): DataFrame = {
+    val rules = parsePslRules(lines)
+    val exactOnly = rules.forall(r => !r.isException && !r.isWildcard)
+    if (exactOnly && rules.size <= caseChainMaxRules)
+      df.withColumn(outCol, registrableDomainCase(col(hostCol), rules.map(_.key)))
+    else registrableDomainJoin(df, hostCol, idCol, outCol, rules)
+  }
+
+  /** Deterministic ≥500-rule PSL fixture (r15): 166 synthetic TLD families
+    * each contributing `t$i`, `co.t$i`, `org.t$i` (498 exact rules — the
+    * shape of the real PSL's country sections), plus the two rule FORMS the
+    * committed subset lacks: wildcard `*.ck` and exception `!www.ck` (the
+    * PSL's own canonical pair). 500 rules total — past [[caseChainMaxRules]],
+    * so [[withRegistrableDomain]] provably takes the join strategy.
+    */
+  lazy val pslScaledRules: Seq[String] =
+    (0 until 166).flatMap(i => Seq(s"t$i", s"co.t$i", s"org.t$i")) ++
+      Seq("*.ck", "!www.ck")
 
   /** Canonicalization pass: adds `url_canon`, `domain`, `surt` beside the
     * raw `urlCol`. All columns are built from codegen'd string expressions

@@ -277,6 +277,42 @@ final case class TxTable(spark: SparkSession, root: String, name: String,
     staged.toString
   }
 
+  /** MONOTONIC pointer publication (r15 advisor, the medium finding): every
+    * `_CURRENT` swap — main commit path and orphan adoption alike — goes
+    * through here. Without the guard, a writer that paused between its
+    * manifest rename and its pointer swap could resume AFTER a contender has
+    * adopted its manifest and committed further versions, and its
+    * unconditional Rename.OVERWRITE would move the pointer BACKWARD —
+    * readers would see stale versions until a later contender happened to
+    * walk the pointer forward, each walk burning one of the 16 retry
+    * attempts. Two defenses, both metadata-scale:
+    *   1. skip-if-current: re-read the pointer immediately before the
+    *      rename and skip when it already names a version >= `next` (the
+    *      common case after an adoption race — zero extra renames);
+    *   2. post-verify + forward repair: the check-then-rename window is
+    *      still a window, so after OUR rename re-read the pointer against
+    *      the max LANDED manifest (a manifest's rename IS the durable
+    *      commit; the pointer is only publication) and re-publish forward
+    *      if a higher committed version got regressed. The walk terminates
+    *      because versions are finite and each round only ever moves the
+    *      pointer up.
+    */
+  private[graft] def publishPointer(next: Long, tag: String): Unit = {
+    var target = next
+    var rounds = 0
+    while (rounds < 64) {
+      rounds += 1
+      if (currentVersion >= target) return
+      val ptrTmp = new Path(logDir, s"_CURRENT.$tag.${ProcessHandle.current().pid()}")
+      val pout = fs.create(ptrTmp, true)
+      try pout.write(f"v$target%08d".getBytes("UTF-8")) finally pout.close()
+      fc.rename(ptrTmp, currentPtr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      val maxLanded = manifestVersions.lastOption.getOrElse(target)
+      if (maxLanded <= target || currentVersion >= maxLanded) return
+      target = maxLanded // our overwrite regressed a later commit: repair forward
+    }
+  }
+
   /** Returns Some(version) on commit, or None when `txn` is set and its
     * token already rides a retained manifest (the idempotent-skip). The
     * token check happens INSIDE the lock on every attempt, so it sees every
@@ -351,12 +387,11 @@ final case class TxTable(spark: SparkSession, root: String, name: String,
               }
             if (!renamed) Left(next)
             else {
-            val ptrTmp = new Path(logDir, s"_CURRENT.tmp.${ProcessHandle.current().pid()}")
-            val pout = fs.create(ptrTmp, true)
-            try pout.write(f"v$next%08d".getBytes("UTF-8")) finally pout.close()
-            // ATOMIC overwrite rename: readers either see the old pointer or
-            // the new one, never a missing-pointer window
-            fc.rename(ptrTmp, currentPtr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+            // ATOMIC overwrite rename via the monotonic publisher: readers
+            // either see the old pointer or the new one, never a
+            // missing-pointer window — and never a BACKWARD move (a paused
+            // writer resuming after its manifest was adopted skips the swap)
+            publishPointer(next, "tmp")
             // checkpoint cadence (r14): every `checkpointInterval`-th commit
             // snapshots the full state (live files + cumulative txn set) —
             // written INSIDE the lock by the winner, via the same
@@ -427,14 +462,11 @@ final case class TxTable(spark: SparkSession, root: String, name: String,
           // and re-swapping (or two adopters racing) is harmless.
           if (fs.exists(manifestPath(next)) && currentVersion < next) {
             TxTable.rootLock(dir).synchronized {
-              if (currentVersion < next) {
-                val ptrTmp = new Path(logDir,
-                  s"_CURRENT.adopt.${ProcessHandle.current().pid()}")
-                val pout = fs.create(ptrTmp, true)
-                try pout.write(f"v$next%08d".getBytes("UTF-8")) finally pout.close()
-                fc.rename(ptrTmp, currentPtr,
-                  org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-              }
+              // publishPointer re-checks >= next right before the rename and
+              // forward-repairs after it, so a cross-process contender racing
+              // this adoption can no longer be regressed (rootLock is
+              // JVM-local and cannot fence another process)
+              publishPointer(next, "adopt")
             }
           }
           // exponential backoff before rebasing: a cross-process loser spins

@@ -505,6 +505,126 @@ object Streaming {
     }
   }
 
+  /** Streaming twin of the DEDUP-FIRST composition (r15, verdict ask #6):
+    * [[incrementalLshApply]] probes every arriving doc against the band
+    * index directly — under replicated ARRIVALS it inherits the direct-
+    * banding blowup r14 fixed in batch (each replica bands, probes, and
+    * pairs physically). Here the streaming content-key anti-join
+    * ([[incrementalDedupApply]]'s discipline) composes IN FRONT: arriving
+    * exact-replicas of already-seen contents fold into cluster WEIGHTS (one
+    * count bump on the landed content index — no banding, no probe, no pair
+    * rows), and only NOVEL contents band, probe the keeper-only index, and
+    * append to it.
+    *
+    * State per batch (all localCheckpoint'ed, batchId-idempotent like the
+    * LSH sibling): the content index (h → keeper id, cluster size), the
+    * keeper band/set index, and the accumulated keeper pair list. The final
+    * result expands weights exactly like
+    * [[graft.operators.Dedup.minhashPairsDeduped]]: cross pairs carry
+    * |C_a|·|C_b|, clusters of size > 1 add a (keeper, keeper, 1.0, C(sz,2))
+    * intra row — so the emitted multiset EQUALS the batch composed run over
+    * the same corpus regardless of how the stream splits into batches,
+    * PROVIDED arrival order is id-ascending per content group (the keeper =
+    * min id rule; land tiers ordered by id, as ingest naturally does with
+    * monotonic ids).
+    *
+    * Scale: per batch the only corpus-shaped work is one content-hash agg
+    * over the batch; replication never reaches the band exchange — the
+    * batch composition's law, now holding per micro-batch on an unbounded
+    * feed.
+    */
+  def incrementalLshDedupedApply(spark: SparkSession, docDir: String,
+      textCol: String, idCol: String,
+      shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    import graft.operators.Dedup
+    val schema = spark.read.parquet(docDir).schema
+    def emptyDf(fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
+          org.apache.spark.sql.types.StructField(n, t) }))
+    import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType}
+    var contentIdx = emptyDf("h" -> BinaryType, "kid" -> LongType, "csz" -> LongType)
+    var bb = emptyDf("id" -> LongType,
+      "band" -> org.apache.spark.sql.types.IntegerType,
+      "bucket" -> org.apache.spark.sql.types.IntegerType)
+    var ss = emptyDf("id" -> LongType,
+      "sh" -> org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))
+    var pairs = emptyDf("id_a" -> LongType, "id_b" -> LongType, "jaccard" -> DoubleType)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(docDir)
+    val ckptBase = java.nio.file.Paths.get(
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm"
+      else sys.props("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, "graft_ckpt_inclshdd")
+    var lastBatchId = -1L
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId > lastBatchId) {
+            // within-batch exact groups: (content key, min id, count)
+            val grouped = batch
+              .select(col(idCol).cast(LongType).as("id"),
+                unhex(md5(col(textCol).cast("binary"))).as("h"))
+              .groupBy(col("h")).agg(min(col("id")).as("bid"), count(lit(1)).as("bcnt"))
+              .localCheckpoint()
+            // replicas of landed contents: pure weight bumps
+            val updated = contentIdx
+              .join(grouped.select(col("h"), col("bcnt")), Seq("h"), "left")
+              .select(col("h"), col("kid"),
+                (col("csz") + coalesce(col("bcnt"), lit(0L))).as("csz"))
+            // novel contents: their min-id doc becomes the keeper
+            val novel = grouped.join(contentIdx.select("h"), Seq("h"), "left_anti")
+            val novelDocs = batch.select(col(idCol).cast(LongType).as(idCol),
+                col(textCol))
+              .join(novel.select(col("bid").as(idCol)), Seq(idCol), "left_semi")
+            // only novel keepers band + probe the keeper-only index
+            val newPairs = Dedup.minhashPairsIncremental(novelDocs, bb, ss,
+              textCol, idCol, shingleN, k, bands, threshold).localCheckpoint()
+            // materialize-before-mutate: every successor frame checkpoints
+            // before any accumulator assignment (the LSH sibling's retry
+            // discipline — a thrown localCheckpoint must leave state whole)
+            val contentIdxN = updated.unionByName(
+              novel.select(col("h"), col("bid").as("kid"), col("bcnt").as("csz")))
+              .localCheckpoint()
+            val bbN = bb.unionByName(
+              Dedup.bandBuckets(novelDocs, textCol, idCol, shingleN, k, bands))
+              .localCheckpoint()
+            val ssN = ss.unionByName(
+              Dedup.shingleSets(novelDocs, textCol, idCol, shingleN))
+              .localCheckpoint()
+            val pairsN = pairs.unionByName(newPairs).localCheckpoint()
+            contentIdx = contentIdxN; bb = bbN; ss = ssN; pairs = pairsN
+            lastBatchId = batchId
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // weight expansion — Dedup.minhashPairsDeduped's step 3, over the
+      // final streamed state
+      val sa = contentIdx.select(col("kid").as("id_a"), col("csz").as("__ca"))
+      val sb = contentIdx.select(col("kid").as("id_b"), col("csz").as("__cb"))
+      val cross = pairs.join(sa, "id_a").join(sb, "id_b")
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          (col("__ca") * col("__cb")).as("n_pairs"))
+      val intra = contentIdx.filter(col("csz") > 1 && lit(1.0) >= lit(threshold))
+        .select(col("kid").as("id_a"), col("kid").as("id_b"),
+          lit(1.0).as("jaccard"),
+          (col("csz") * (col("csz") - 1) / 2).cast(LongType).as("n_pairs"))
+      cross.unionByName(intra)
+    } finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(ckpt)
+        val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+        paths.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
   def cdcApply(spark: SparkSession, changeDir: String, base: DataFrame,
       keyCol: String): DataFrame = {
     val schema = spark.read.parquet(changeDir).schema

@@ -299,6 +299,81 @@ class DedupSpec extends SparkSpec {
     composed shouldBe direct
   }
 
+  test("composedClusterIndex labels equal the direct clustering when the direct " +
+      "index has full recall (1x binding agreement)") {
+    // exact dups (1≡11), a near-dup chain (1~2), an unrelated pair (3≡13):
+    // with no cap binding, the composed per-doc labels must equal CC over
+    // the direct pair graph on all ids — the component min is always a
+    // keeper, so replicas inherit exactly the label the direct run gives
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "totally different words entirely here now"),
+      (13L, "totally different words entirely here now"),
+      (4L, "a lonely singleton document")).toDF("doc_id", "text")
+    val directPairs = Dedup.ngramJaccardPairs(df, "text", "doc_id",
+      n = 2, threshold = 0.3, maxDocFreq = 100L)
+    val direct = rows(Dedup.connectedComponents(
+        df.select(col("doc_id").as("id")), directPairs).orderBy("id"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val composedPairs = Dedup.ngramJaccardPairsDeduped(df, "text", "doc_id",
+      n = 2, threshold = 0.3, maxDocFreq = 100L)
+    val composed = rows(Dedup.composedClusterIndex(df, "text", "doc_id", composedPairs)
+        .select("id", "cluster_id").orderBy("id"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    composed shouldBe direct
+    composed.toMap.apply(11L) shouldBe 1L // replica inherits the keeper's cluster
+    composed.toMap.apply(2L) shouldBe 1L  // near-dup joins through the keeper graph
+    composed.toMap.apply(4L) shouldBe 4L  // singleton labels itself
+  }
+
+  test("composedClusterIndex makes the DECISIONS right under replication where the " +
+      "direct index caps out: no leaked splits, penalized weights, exact-dup audit") {
+    // 6x replication with cap 5: the direct posting index prunes EVERYTHING
+    // (docFreq counts replicas) → every doc becomes its own cluster → split
+    // hash keys on the doc id and replicas of one content scatter across
+    // splits (evaluation leakage). The composed labeling keys every replica
+    // to its keeper's cluster: zero leaked content groups by construction.
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "totally different words entirely here now"))
+    val replicated = (0 until 6).flatMap(r =>
+      base.map { case (id, t) => (id + r * 100L, t) }).toDF("doc_id", "text")
+    val directPairs = Dedup.ngramJaccardPairs(replicated, "text", "doc_id",
+      n = 2, threshold = 0.3, maxDocFreq = 5L)
+    directPairs.count() shouldBe 0L // the failure shape: cap counts replicas
+    def leakedGroups(labels: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.Sampling.withSplit(labels, "cluster_id")
+        .withColumn("grp", col("doc_id") % 100) // content group by construction
+        .groupBy("grp").agg(countDistinct(col("split")).as("ns"))
+        .filter(col("ns") > 1).count()
+    val directLabels = Dedup.connectedComponents(
+        replicated.select(col("doc_id").as("id")), directPairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    leakedGroups(directLabels) should be > 0L // replicas scatter across splits
+    val composedPairs = Dedup.ngramJaccardPairsDeduped(replicated, "text", "doc_id",
+      n = 2, threshold = 0.3, maxDocFreq = 5L)
+    val lbl = Dedup.composedClusterIndex(replicated, "text", "doc_id", composedPairs)
+    leakedGroups(lbl.select(col("id").as("doc_id"), col("cluster_id"))) shouldBe 0L
+    // D4 weighting sees the LOGICAL cluster size: contents 1 and 2 are
+    // near-dups (one 12-member cluster), content 3 is its own 6-member one
+    val sizes = rows(lbl.groupBy("cluster_id").count().orderBy("cluster_id"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    sizes shouldBe Seq((1L, 12L), (3L, 6L))
+    // audit statuses: keepers 'kept'/'near_dup', every replica 'exact_dup'
+    val statuses = rows(lbl.select(col("id"),
+        when(col("id") =!= col("keeper_id"), lit("exact_dup"))
+          .when(col("id") =!= col("cluster_id"), lit("near_dup"))
+          .otherwise(lit("kept")).as("status")))
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    statuses(1L) shouldBe "kept"
+    statuses(2L) shouldBe "near_dup"
+    statuses(3L) shouldBe "kept"
+    (statuses.count(_._2 == "exact_dup")) shouldBe 15 // 5 replicas x 3 contents
+  }
+
   test("containmentPairsDeduped: intra rows carry containment k/sz and " +
       "fully-capped clusters emit nothing") {
     // two identical docs + one unrelated: intra row for the pair, none for

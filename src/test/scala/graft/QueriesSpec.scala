@@ -58,6 +58,37 @@ class QueriesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe out
   }
 
+  test("baskets adaptive cap: capped output equals sliced-sorted-collect_set on " +
+       "every split class, and all-null baskets keep their empty-array row") {
+    // exercise all three routes of the r15 adaptive capped path:
+    //   b1 under-cap by raw count (collect_set half)
+    //   b2 over-cap raw but under-cap DISTINCT (window half, no truncation)
+    //   b3 over-cap distinct (window half, truncates to first cap sorted)
+    //   b4 all-null items (r15 advisor: must emit (b4, []) like the uncapped
+    //      path — the r14 window path dropped it entirely)
+    //   b5 nulls mixed into an over-cap basket (nulls never consume a slot)
+    val df = (Seq((1L, Some(30L)), (1L, Some(10L))) ++
+      (0 until 6).map(_ => (2L, Some(7L))) ++ Seq((2L, Some(3L))) ++
+      (0 until 5).map(i => (3L, Some(i * 10L))) ++
+      Seq((4L, None), (4L, None)) ++
+      (Seq((5L, None: Option[Long])) ++ (0 until 5).map(i => (5L, Some(i + 100L)))))
+      .toDF("b", "i")
+    val capped = rows(Queries.baskets(df, "b", "i", maxBasket = Some(3)).orderBy("__b"))
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    capped shouldBe Seq(
+      (1L, Seq(10L, 30L)),        // under-cap: full sorted set
+      (2L, Seq(3L, 7L)),          // 7 raw rows but 2 distinct: window half, no cut
+      (3L, Seq(0L, 10L, 20L)),    // 5 distinct: first 3 of sorted set
+      (4L, Seq.empty[Long]),      // all-null basket preserved as empty array
+      (5L, Seq(100L, 101L, 102L)))// null rows don't consume dense_rank slots
+    // cardinality parity with the uncapped path (the r15 advisor divergence)
+    val uncapped = rows(Queries.baskets(df, "b", "i", None).orderBy("__b"))
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    uncapped.map(_._1) shouldBe capped.map(_._1)
+    // bit-identical to slicing each uncapped basket's sorted distinct set
+    uncapped.map { case (b, is) => (b, is.take(3)) } shouldBe capped
+  }
+
   test("groupedOls: exact line recovered per group; r2 = 1 on it, < 1 off it") {
     val df = Seq(
       ("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0), ("a", 4.0, 9.0),   // y = 2x + 1

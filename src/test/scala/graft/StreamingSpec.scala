@@ -363,6 +363,41 @@ class StreamingSpec extends SparkSpec {
     pairs should not contain (1L -> 2L) // base×base never forms
   }
 
+  test("incrementalLshDedupedApply: replicated arrivals across batches fold into weights " +
+       "and the final multiset equals the batch composed run") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_inclshdd_spec_p${ProcessHandle.current().pid()}")
+    val t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val t2 = t1 + " ok" // near-dup of t1
+    val other = "completely different content about distributed query engines"
+    // id-ascending arrival (the keeper = min id contract): batch 1 carries
+    // the three contents' first copies; batch 2 is ALL exact replicas (the
+    // replicated-arrival shape) plus one novel near-dup of t1
+    val b1 = Seq((1L, t1), (2L, other), (3L, t2)).toDF("doc_id", "text")
+    val b2 = Seq((10L, t1), (11L, t1), (12L, other), (13L, t2), (14L, other + " v2"))
+      .toDF("doc_id", "text")
+    if (dir.exists()) { def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); () }; rm(dir) }
+    Streaming.landOrdered(dir, Seq(b1, b2))
+    val streamed = rows(Streaming.incrementalLshDedupedApply(spark, dir.toString,
+        "text", "doc_id", shingleN = 3, k = 64, bands = 32, threshold = 0.5)
+      .orderBy("id_a", "id_b"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val batch = rows(graft.operators.Dedup.minhashPairsDeduped(
+        b1.unionByName(b2), "text", "doc_id",
+        shingleN = 3, k = 64, bands = 32, threshold = 0.5)
+      .orderBy("id_a", "id_b"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    streamed shouldBe batch
+    // the composed law, spot-checked: cross pair (1,3) carries |C1|·|C3| =
+    // 3·2 = 6 logical pairs; intra rows carry C(3,2)=3 for t1 {1,10,11},
+    // C(2,2)=1 for other {2,12}, C(2,2)=1 for t2 {3,13}
+    streamed.find(p => p._1 == 1L && p._2 == 3L).map(_._4) shouldBe Some(6L)
+    streamed.filter(p => p._1 == p._2).map(p => (p._1, p._4)).toSet shouldBe
+      Set((1L, 3L), (2L, 1L), (3L, 1L))
+  }
+
   test("toLake lands candle batches as parquet under the lake contract") {
     val dir = java.nio.file.Files.createTempDirectory("ticks3").toString
     val out = java.nio.file.Files.createTempDirectory("gold").toString + "/candles"
