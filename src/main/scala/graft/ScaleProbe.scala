@@ -123,40 +123,49 @@ object ScaleProbe {
           threshold = 0.3, maxDocFreq = 100L)
         .agg(coalesce(sum(col("n_pairs")), lit(0L))).head().getLong(0)
     }
+    // r15 (verdict ask #1): the DECISION consumers under replication. Two
+    // leakage metrics against the same ground truth (the composed miner's
+    // keeper pairs — correct by construction at every k):
+    //   groups — content groups (exact replicas, identifiable by id
+    //     re-keying) whose members land in DIFFERENT splits: the scatter
+    //     shape when even replica self-pairs cap out (content-df-1 shingles
+    //     prune once k > cap);
+    //   pairs — TRUE near-dup keeper pairs whose two sides land in
+    //     different splits: the leakage shape when cross-content pairs
+    //     prune (content-df·k > cap) while replicas still self-pair — a
+    //     test doc with a train near-dup IS evaluation leakage.
+    // The direct clustering must show nonzero leakage where the cap binds;
+    // the composed labeling must show ZERO on both metrics at every k.
+    def leakReport(tag: String, labels: DataFrame): Long = {
+      val truth = Dedup.ngramJaccardPairsDeduped(docs, "text", "doc_id", n = 5,
+          threshold = 0.3, maxDocFreq = 100L)
+        .filter(col("id_a") =!= col("id_b")).select("id_a", "id_b")
+      val sp = graft.operators.Sampling.withSplit(labels, "cluster_id")
+        .localCheckpoint(true)
+      val leakedGroups = sp
+        .withColumn("grp", col("doc_id") % 1000000L)
+        .groupBy("grp").agg(countDistinct(col("split")).as("ns"))
+        .filter(col("ns") > 1).count()
+      val leakedPairs = truth
+        .join(sp.select(col("doc_id").as("id_a"), col("split").as("__sa")), Seq("id_a"))
+        .join(sp.select(col("doc_id").as("id_b"), col("split").as("__sb")), Seq("id_b"))
+        .filter(col("__sa") =!= col("__sb")).count()
+      println(s"[scale-decisions] $tag index: $leakedGroups content groups, " +
+        s"$leakedPairs true near-dup keeper pairs leaked across splits")
+      sp.unpersist(blocking = false)
+      leakedGroups + leakedPairs
+    }
     time("split_decisions_direct") {
-      // r15 (verdict ask #1): the DECISION consumers under the DIRECT index
-      // at the semantic cap. Leakage metric: content groups (exact replicas
-      // of one base doc, identifiable by id re-keying) whose members land
-      // in DIFFERENT splits when the split hash keys on the direct
-      // clustering's cluster_id. Where the cap binds (content-df·k > 100),
-      // cross-content pairs prune, replicas of affected contents become
-      // their own clusters, and the split scatters them — a test doc with a
-      // byte-identical train twin IS evaluation leakage, decided wrong.
       val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 5,
         threshold = 0.3, maxDocFreq = 100L)
       val labels = Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
-      val leaked = graft.operators.Sampling.withSplit(
-          labels.select(col("id").as("doc_id"), col("cluster_id")), "cluster_id")
-        .withColumn("grp", col("doc_id") % 1000000L)
-        .groupBy("grp").agg(countDistinct(col("split")).as("ns"))
-        .filter(col("ns") > 1).count()
-      println(s"[scale-decisions] direct index: $leaked content groups leaked across splits")
-      leaked
+      leakReport("direct", labels.select(col("id").as("doc_id"), col("cluster_id")))
     }
     time("split_decisions_composed") {
-      // the same decision on the composed labeling (composedClusterIndex):
-      // replicas inherit their keeper's cluster, the split hash keys on the
-      // composed cluster_id — leaked content groups must be ZERO at every k
       val pairs = Dedup.ngramJaccardPairsDeduped(docs, "text", "doc_id", n = 5,
         threshold = 0.3, maxDocFreq = 100L)
       val lbl = Dedup.composedClusterIndex(docs, "text", "doc_id", pairs)
-      val leaked = graft.operators.Sampling.withSplit(
-          lbl.select(col("id").as("doc_id"), col("cluster_id")), "cluster_id")
-        .withColumn("grp", col("doc_id") % 1000000L)
-        .groupBy("grp").agg(countDistinct(col("split")).as("ns"))
-        .filter(col("ns") > 1).count()
-      println(s"[scale-decisions] composed index: $leaked content groups leaked across splits")
-      leaked
+      leakReport("composed", lbl.select(col("id").as("doc_id"), col("cluster_id")))
     }
     time("containment_pairs") {
       // same inverted-index shape as jaccard, but no size-ratio prefilter

@@ -3483,6 +3483,32 @@ object SparkEntry {
           documents(s, dir).select(col("doc_id")).filter(col("doc_id") < 64), "doc_id")),
         "payload", "media_id")
         .orderBy("media_id")),
+    // AIFF decode (r15, verdict ask #8 — the SECOND real audio container):
+    // big-endian IFF/COMM/SSND walk incl. the 80-bit extended sample rate,
+    // same sample formula ⇒ the dual is audioDecodeSql VERBATIM — the AIFF
+    // parse must land on the exact stats the WAV parse lands on, corrupt
+    // (truncated-COMM) arm included
+    "q_aiff_decode" -> ((s, dir) =>
+      Multimodal.decodeWav(
+        Multimodal.withCorruptAiffRow(Multimodal.withAiffPayload(
+          documents(s, dir).select(col("doc_id")).filter(col("doc_id") < 64), "doc_id")),
+        "payload", "media_id")
+        .orderBy("media_id")),
+    // CROSS-CONTAINER audio dedup (r15): WAV + AIFF encodings of each PCM
+    // stream class (id mod 7 keys the formula) fold into ONE acoustic-
+    // fingerprint cluster — the audio mirror of q_image_dedup_cross_codec's
+    // codec-invariant dHash; the oracle restates the fingerprint from the
+    // formula once per class and expands it to both containers
+    "q_audio_dedup_cross_codec" -> ((s, dir) =>
+      Multimodal.audioFingerprint(
+        Multimodal.withDualContainerPayload(
+          documents(s, dir).select(col("doc_id")).filter(col("doc_id") < 14), "doc_id"),
+        "payload", "media_id")
+        .groupBy("afp")
+        .agg(count(lit(1)).as("n_encodings"),
+          countDistinct(expr("media_id div 10") % 7).as("n_streams"),
+          min(col("media_id")).as("keeper_id"))
+        .orderBy("afp")),
     // ...and the dedup pass: 7 delta bits over 64 assets force clusters by
     // pigeonhole, keeper = min media_id — the perceptual-key hash shuffle
     // is 8 bytes/asset, the q_image_dedup scale shape exactly
@@ -9847,8 +9873,33 @@ object SparkEntry {
     "q_image_dhash" -> dhashSql,
     "q_image_dedup" -> imageDedupSql,
     "q_audio_decode" -> audioDecodeSql,
+    // the AIFF container must decode to the IDENTICAL stats — one dual
+    // serves both containers (that identity IS the gate)
+    "q_aiff_decode" -> audioDecodeSql,
     "q_audio_fingerprint" -> audioFpSql,
     "q_audio_dedup" -> audioDedupSql,
+    // fingerprint restated from the formula once per stream class (doc_id
+    // mod 7), expanded to both containers' media ids — container-invariance
+    // is the Spark side's claim under the hash
+    "q_audio_dedup_cross_codec" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 14),
+        | s AS (SELECT doc_id, CAST(t AS BIGINT) AS t,
+        |     ((((doc_id % 7) * 9 + 1) * 31 + t * t * 7) % 4096) - 2048 AS smp
+        |   FROM ids, unnest(range(0, 256)) AS r(t)),
+        | fe AS (SELECT doc_id, t // 32 AS f, CAST(SUM(smp * smp) AS BIGINT) AS energy
+        |   FROM s GROUP BY 1, 2),
+        | w AS (SELECT doc_id, f, energy,
+        |     lead(energy) OVER (PARTITION BY doc_id ORDER BY f) AS nxt FROM fe),
+        | fp AS (SELECT doc_id,
+        |     CAST(SUM(CASE WHEN nxt > energy THEN (1::BIGINT << CAST(f AS INT))
+        |       ELSE 0 END) AS BIGINT) AS afp
+        |   FROM w GROUP BY doc_id),
+        | m AS (SELECT doc_id * 10 + j AS media_id, doc_id, afp
+        |   FROM fp, unnest([1, 2]) AS u(j))
+        | SELECT afp, CAST(COUNT(*) AS BIGINT) AS n_encodings,
+        |   COUNT(DISTINCT doc_id % 7) AS n_streams,
+        |   MIN(media_id) AS keeper_id
+        | FROM m GROUP BY afp ORDER BY afp""".stripMargin.replace("\n", ""),
     // frozen quantizers ⇒ per-row assignment ⇒ filter == rebuild is the
     // SEMANTIC claim; the dual restates the retained cardinality (one index
     // row per retained vector in each artifact) and pins matches_rebuild

@@ -494,11 +494,87 @@ object Multimodal {
       .toDF("media_id", "payload")
   }
 
+  /** Deterministic PCM16 mono AIFF fixture (r15 — the SECOND real audio
+    * container, the audio twin of the image family's PNG/GIF/JPEG spread):
+    * the SAME sample formula as [[wav16]] inside an IFF `FORM…AIFF`
+    * container — big-endian throughout, `COMM` carrying the sample rate as
+    * the real 80-bit extended float (sign/15-bit exponent/64-bit mantissa,
+    * the one genuinely AIFF-specific encoding), `SSND` with offset/blockSize
+    * prelude and big-endian PCM16. Same id ⇒ byte-DIFFERENT container,
+    * IDENTICAL decoded stream — the cross-container dedup contract.
+    */
+  def aiff16(id: Long, sampleRate: Int = 8000, nSamples: Int = 256): Array[Byte] = {
+    val dataBytes = nSamples * 2
+    val out = java.nio.ByteBuffer.allocate(54 + dataBytes)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    out.put("FORM".getBytes("US-ASCII")).putInt(46 + dataBytes)
+      .put("AIFF".getBytes("US-ASCII"))
+    out.put("COMM".getBytes("US-ASCII")).putInt(18)
+      .putShort(1)                                    // channels
+      .putInt(nSamples)                               // sample frames (mono)
+      .putShort(16)                                   // bits
+    // 80-bit extended float: exponent = 16383 + floor(log2(sr)), mantissa =
+    // sr << (63 − floor(log2(sr))) — integer rates are exact
+    val p = 63 - java.lang.Long.numberOfLeadingZeros(sampleRate.toLong)
+    out.putShort((16383 + p).toShort).putLong(sampleRate.toLong << (63 - p))
+    out.put("SSND".getBytes("US-ASCII")).putInt(8 + dataBytes)
+      .putInt(0).putInt(0)                            // offset, blockSize
+    var t = 0
+    while (t < nSamples) {
+      out.putShort((((id * 31 + t.toLong * t * 7) % 4096) - 2048).toShort)
+      t += 1
+    }
+    out.array()
+  }
+
+  /** Attach [[aiff16]] payloads to an id frame — [[withWavPayload]]'s AIFF
+    * twin.
+    */
+  def withAiffPayload(ids: DataFrame, idCol: String): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions(_.map(id => (id, aiff16(id))))
+      .toDF("media_id", "payload")
+  }
+
+  /** Dual-container payload fixture (r15): for each id, the SAME PCM stream
+    * (class c = id mod 7, spread into the formula's varied-fingerprint
+    * region via key = c·9 + 1 — consecutive small keys share delta signs)
+    * encoded as BOTH containers — media_id = id·10 + {1 wav, 2 aiff}. The
+    * cross-container dedup gate proves the acoustic fingerprint is
+    * CONTAINER-INVARIANT: every encoding of a stream class folds into one
+    * afp cluster, the audio mirror of [[withTriCodecPayload]]'s
+    * codec-invariant dHash. (Two of the seven classes legitimately share a
+    * fingerprint — the merged cluster exercises n_streams > 1.)
+    */
+  def withDualContainerPayload(ids: DataFrame, idCol: String): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val key = (((id % 7) + 7) % 7) * 9 + 1
+        Seq((id * 10 + 1, wav16(key)), (id * 10 + 2, aiff16(key)))
+      }).toDF("media_id", "payload")
+  }
+
   /** Malformed audio container: valid RIFF magic, truncated before the data
     * chunk completes its declaration — [[decodeWav]] must land it on the
     * null-stats row, never kill the partition.
     */
   def corruptWav(id: Long): Array[Byte] = wav16(id).take(30)
+
+  /** [[corruptWav]]'s AIFF twin: valid FORM/AIFF magic, truncated inside the
+    * COMM chunk — the parser must land it on the null-stats contract.
+    */
+  def corruptAiff(id: Long): Array[Byte] = aiff16(id).take(20)
+
+  /** Append one corrupt-AIFF row (media_id = −1, matching the shared
+    * null-stats oracle row) — the AIFF arm of the poisoned-row discipline.
+    */
+  def withCorruptAiffRow(payloads: DataFrame): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.unionByName(
+      Seq((-1L, corruptAiff(-1L))).toDF("media_id", "payload"))
+  }
 
   /** Append one corrupt-container row (media_id = −1, [[corruptWav]] bytes)
     * to a (media_id, payload) frame — same poisoned-row discipline as
@@ -553,7 +629,65 @@ object Multimodal {
     if (!fmtOk || samples == null) null else (sampleRate, samples)
   }
 
-  /** REAL audio decode: RIFF/PCM16 parse behind the per-partition contract
+  /** Parse an AIFF payload into (sampleRate, PCM16 samples), or null when
+    * malformed — [[parseWav]]'s big-endian IFF twin (r15): validates
+    * FORM/AIFF magic, walks chunks with Long-guarded sizes + word alignment,
+    * requires mono/16-bit from `COMM` (decoding the 80-bit extended sample
+    * rate: value = mantissa >>> (16446 − exponent) for integral rates),
+    * honors `SSND`'s offset prelude, reads big-endian shorts.
+    */
+  private def parseAiff(bytes: Array[Byte]): (Int, Array[Short]) = {
+    if (bytes == null || bytes.length < 12) return null
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+    def fourcc(at: Int): String = new String(bytes, at, 4, "US-ASCII")
+    if (fourcc(0) != "FORM" || fourcc(8) != "AIFF") return null
+    var pos = 12
+    var commOk = false
+    var sampleRate = 0
+    var samples: Array[Short] = null
+    while (pos + 8 <= bytes.length) {
+      val cid = fourcc(pos)
+      val csize = buf.getInt(pos + 4)
+      if (csize < 0 || pos.toLong + 8L + csize.toLong > bytes.length) return null
+      cid match {
+        case "COMM" if csize >= 18 =>
+          val ch = buf.getShort(pos + 8)
+          val bits = buf.getShort(pos + 14)
+          val exp = java.lang.Short.toUnsignedInt(buf.getShort(pos + 16))
+          val mant = buf.getLong(pos + 18)
+          val shift = 16446 - exp
+          sampleRate =
+            if (shift >= 0 && shift <= 63) (mant >>> shift).toInt else 0
+          commOk = ch == 1 && bits == 16 && sampleRate > 0
+        case "SSND" if csize >= 8 =>
+          val off = buf.getInt(pos + 8)
+          if (off < 0 || 8L + off > csize.toLong) return null
+          val n = (csize - 8 - off) / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = buf.getShort(pos + 16 + off + i * 2); i += 1 }
+        case _ => () // unknown chunks are legal IFF — skip them
+      }
+      pos += 8 + csize + (csize & 1)
+    }
+    if (!commOk || samples == null) null else (sampleRate, samples)
+  }
+
+  /** Container dispatch: RIFF → [[parseWav]], FORM → [[parseAiff]], anything
+    * else null — one decode surface over both real containers, so every
+    * stat/fingerprint consumer is container-invariant by construction.
+    */
+  private def parseAudio(bytes: Array[Byte]): (Int, Array[Short]) = {
+    if (bytes == null || bytes.length < 12) return null
+    new String(bytes, 0, 4, "US-ASCII") match {
+      case "RIFF" => parseWav(bytes)
+      case "FORM" => parseAiff(bytes)
+      case _ => null
+    }
+  }
+
+  /** REAL audio decode: RIFF/PCM16 or AIFF/PCM16 ([[parseAudio]] container
+    * dispatch, r15) behind the per-partition contract
     * of [[decodeImages]] — narrow mapPartitions, binary column never
     * shuffles; stats are exact integers (energy = Σ s², peak = max |s|) so
     * the dual restates them from the sample formula. Undecodable payloads
@@ -564,7 +698,7 @@ object Multimodal {
     df.select(col(idCol).cast(LongType), col(binCol)).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val parsed =
-          try parseWav(bytes)
+          try parseAudio(bytes)
           catch { case scala.util.control.NonFatal(_) => null }
         if (parsed == null) AudioStats(id, 0L, 0L, -1L, -1L)
         else {
@@ -596,7 +730,7 @@ object Multimodal {
     df.select(col(idCol).cast(LongType), col(binCol)).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val parsed =
-          try parseWav(bytes)
+          try parseAudio(bytes)
           catch { case scala.util.control.NonFatal(_) => null }
         if (parsed == null) AudioFp(id, -1L, -1L)
         else {

@@ -596,65 +596,134 @@ object Queries {
     // upstream (TPC-H's ≤ 7). [[basketCapReport]] quantifies what a given
     // cap would drop.
     //
-    // r15 (closing the r14 trade, SCALE.md): the CAPPED path is now ADAPTIVE
-    // per basket. r13's collect_set-then-slice held every over-cap basket's
-    // ENTIRE item set in ObjectHashAggregate state (memory cliff at the 50×
-    // mega-basket probe); r14's all-rows sort window removed the cliff but
-    // paid a disk-backed sort for EVERY basket (4.5× at the 25× probe where
-    // collect_set is safe). The two paths have bit-identical output — the
-    // window's dense_rank+lag truncation equals slicing the sorted
-    // collect_set — so compose them per key with the skew-detector idiom:
-    //   1. one map-combinable count of non-null rows per basket (raw rows
-    //      >= distinct items, so `raw <= cap` PROVES the basket's distinct
-    //      set fits the cap — a conservative, never-wrong split);
-    //   2. provably-under baskets take the single-shuffle collect_set with
-    //      per-basket state bounded by cap (no cliff by construction);
-    //   3. only the over-cap tail — the anomaly the cap exists for, so a
-    //      broadcastable key set by the same contract that makes the cap
-    //      meaningful ([[basketCapReport]] measures it first) — rides the
-    //      disk-backed sort window, truncated to the first `cap` of the
-    //      sorted distinct set;
-    //   4. union the halves.
-    // Both broadcast semi/anti joins keep the fact rows narrow (no extra
-    // full-data exchange); the detector's count combines map-side. The
-    // UNCAPPED path keeps the single-shuffle collect_set (its state is
-    // inherently the basket; domains that skip the cap bound basket size
-    // by contract).
+    // r15 (closing the r14 trade, SCALE.md): the CAPPED path is BOUNDED-STATE
+    // by construction. History of the shape: r13's collect_set-then-slice
+    // held every over-cap basket's ENTIRE item set in ObjectHashAggregate
+    // state (memory cliff at the 50× mega-basket probe); r14's all-rows sort
+    // window removed the cliff but paid a disk-backed sort for EVERY basket
+    // (4.5× at the 25× probe); an r15 two-pass skew-split measured 1.9× at
+    // 25× (the detector is a second full aggregation). The right shape is a
+    // typed [[BoundedSetAgg]]: keep the `cap` SMALLEST distinct items per
+    // basket as the aggregation STATE — bit-identical to slicing the sorted
+    // collect_set (ascending sort ⇒ the first `cap` ARE the smallest), ONE
+    // exchange exactly like the uncapped path, map-side partials and final
+    // state both ≤ cap items for EVERY basket, mega-basket included. No
+    // detector pass, no window, no cliff, at any scale.
+    //
+    // The agg specializes to integral item types (cast through long, cast
+    // back — every caller's item keys); other item types take a two-pass
+    // per-key split (count-detector → under-cap collect_set ∪ over-cap sort
+    // window — the r15 fallback, same output, one extra aggregation).
+    // All-null baskets keep their (basket, empty array) row on every path,
+    // matching the uncapped collect_set's cardinality (r15 advisor finding:
+    // the r14 window path dropped them).
     maxBasket match {
       case None =>
         df.groupBy(col(basketCol).as("__b"))
           .agg(sort_array(collect_set(col(itemCol))).as("__is"))
       case Some(cap) =>
         // r14 self-review: cap must be positive (a 0-cap basket frame is a
-        // contradiction, not an empty rollup), and NULL items must be
-        // dropped BEFORE the window — collect_set (both paths' semantics)
-        // ignores nulls, but nulls sort FIRST under the window and would
-        // consume dense_rank slot 1 while every null row passes the
-        // first-occurrence test (lag === null is null → coalesce false),
-        // silently evicting one real item per affected basket.
+        // contradiction, not an empty rollup)
         require(cap > 0, s"maxBasket must be positive, got $cap")
-        val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-        // detector counts NON-null rows: an all-null basket (0 <= cap)
-        // routes to the collect_set half and emits its (basket, empty
-        // array) row exactly like the uncapped path — r15 advisor finding:
-        // the r14 window path's pre-groupBy null filter dropped such
-        // baskets entirely, diverging from the uncapped path's cardinality.
-        val over = items.groupBy(col("__b"))
-          .agg(sum(when(col("__i").isNotNull, 1L).otherwise(0L)).as("__nn"))
-          .filter(col("__nn") > cap).select(col("__b"))
-        val under = items.join(broadcast(over), Seq("__b"), "left_anti")
-          .groupBy(col("__b"))
-          .agg(sort_array(collect_set(col("__i"))).as("__is"))
-        val w = Window.partitionBy(col("__b")).orderBy(col("__i"))
-        val overAgg = items.join(broadcast(over), Seq("__b"), "left_semi")
-          .filter(col("__i").isNotNull)
-          .withColumn("__dr", dense_rank().over(w))
-          .withColumn("__dup", lag(col("__i"), 1).over(w) === col("__i"))
-          .filter(col("__dr") <= cap && !coalesce(col("__dup"), lit(false)))
-          .drop("__dr", "__dup")
-          .groupBy(col("__b")).agg(sort_array(collect_list(col("__i"))).as("__is"))
-        under.unionByName(overAgg)
+        val itemType = df.schema(itemCol).dataType
+        itemType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            val agg = udaf(new BoundedSetAgg(cap),
+              org.apache.spark.sql.Encoders.LONG)
+            val rolled = df.select(col(basketCol).as("__b"),
+                col(itemCol).cast(LongType).as("__i"))
+              .groupBy(col("__b"))
+              .agg(agg(col("__i")).as("__is"))
+            if (itemType == LongType) rolled
+            else rolled.withColumn("__is", col("__is").cast(ArrayType(itemType)))
+          case _ =>
+            // NULL items must be dropped BEFORE the window — collect_set
+            // (both paths' semantics) ignores nulls, but nulls sort FIRST
+            // under the window and would consume dense_rank slot 1 while
+            // every null row passes the first-occurrence test, silently
+            // evicting one real item per affected basket. The detector
+            // counts NON-null rows, so an all-null basket (0 <= cap) routes
+            // to the collect_set half and keeps its empty-array row.
+            val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+            val over = items.groupBy(col("__b"))
+              .agg(sum(when(col("__i").isNotNull, 1L).otherwise(0L)).as("__nn"))
+              .filter(col("__nn") > cap).select(col("__b"))
+            val under = items.join(broadcast(over), Seq("__b"), "left_anti")
+              .groupBy(col("__b"))
+              .agg(sort_array(collect_set(col("__i"))).as("__is"))
+            val w = Window.partitionBy(col("__b")).orderBy(col("__i"))
+            val overAgg = items.join(broadcast(over), Seq("__b"), "left_semi")
+              .filter(col("__i").isNotNull)
+              .withColumn("__dr", dense_rank().over(w))
+              .withColumn("__dup", lag(col("__i"), 1).over(w) === col("__i"))
+              .filter(col("__dr") <= cap && !coalesce(col("__dup"), lit(false)))
+              .drop("__dr", "__dup")
+              .groupBy(col("__b")).agg(sort_array(collect_list(col("__i"))).as("__is"))
+            under.unionByName(overAgg)
+        }
     }
+  }
+
+  /** Bounded sorted-distinct-set aggregator (r15): the state is the `cap`
+    * SMALLEST distinct values seen so far — so the final value is exactly
+    * the first `cap` entries of the full sorted distinct set (what the
+    * capped basket rollup means), while aggregation state NEVER exceeds
+    * `cap` values for any group on any corpus. Nulls are ignored
+    * (collect_set semantics); per-row reduce is an O(cap) membership scan +
+    * occasional re-sort, bounded at cap ≤ a few hundred by the callers.
+    * Public — ExpressionEncoder-generated deserializers require it.
+    */
+  class BoundedSetAgg(cap: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[java.lang.Long, Array[Long], Seq[Long]] {
+    // buffer = the sorted cap-smallest distinct values, as a PRIMITIVE array
+    // (unboxed UnsafeArrayData through the encoder; binary-search +
+    // arraycopy insert in reduce — the hot path runs once per fact row)
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], a: java.lang.Long): Array[Long] =
+      if (a == null) b
+      else {
+        val v = a.longValue()
+        val i = java.util.Arrays.binarySearch(b, v)
+        if (i >= 0) b // already present
+        else {
+          val at = -i - 1
+          if (b.length < cap) {
+            val out = new Array[Long](b.length + 1)
+            System.arraycopy(b, 0, out, 0, at)
+            out(at) = v
+            System.arraycopy(b, at, out, at + 1, b.length - at)
+            out
+          } else if (at < cap) { // v displaces the current maximum
+            val out = new Array[Long](cap)
+            System.arraycopy(b, 0, out, 0, at)
+            out(at) = v
+            System.arraycopy(b, at, out, at + 1, cap - at - 1)
+            out
+          } else b
+        }
+      }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      // sorted-merge of two sorted distinct arrays, stopping at cap
+      val out = new Array[Long](math.min(cap, b1.length + b2.length))
+      var i = 0; var j = 0; var k = 0
+      while (k < out.length && (i < b1.length || j < b2.length)) {
+        val v =
+          if (j >= b2.length) { val x = b1(i); i += 1; x }
+          else if (i >= b1.length) { val x = b2(j); j += 1; x }
+          else if (b1(i) < b2(j)) { val x = b1(i); i += 1; x }
+          else if (b2(j) < b1(i)) { val x = b2(j); j += 1; x }
+          else { val x = b1(i); i += 1; j += 1; x } // equal: consume both
+        out(k) = v
+        k += 1
+      }
+      if (k == out.length) out else java.util.Arrays.copyOf(out, k)
+    }
+    override def finish(r: Array[Long]): Seq[Long] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(r)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
   /** What a basket cap would do before you commit to one: basket/pair-volume

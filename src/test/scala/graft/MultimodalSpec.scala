@@ -192,6 +192,48 @@ class MultimodalSpec extends SparkSpec {
       .head.getAs[Long]("afp") shouldBe direct(2L)
   }
 
+  test("aiff16/parseAiff: the big-endian IFF walk (80-bit extended rate included) decodes " +
+       "to the SAME stats and fingerprint as the WAV of the same stream; corrupt arm nulls") {
+    val ids = Seq(0L, 5L, 9L).toDF("doc_id")
+    val wav = rows(Multimodal.decodeWav(
+        Multimodal.withWavPayload(ids, "doc_id"), "payload", "media_id")
+      .orderBy("media_id")).map(_.toSeq)
+    val aiff = rows(Multimodal.decodeWav(
+        Multimodal.withAiffPayload(ids, "doc_id"), "payload", "media_id")
+      .orderBy("media_id")).map(_.toSeq)
+    aiff shouldBe wav // container-invariant decode: rate, samples, energy, peak
+    // fingerprints agree too — the cross-container dedup contract
+    val wfp = rows(Multimodal.audioFingerprint(
+        Multimodal.withWavPayload(ids, "doc_id"), "payload", "media_id")
+      .orderBy("media_id")).map(_.toSeq)
+    val afp = rows(Multimodal.audioFingerprint(
+        Multimodal.withAiffPayload(ids, "doc_id"), "payload", "media_id")
+      .orderBy("media_id")).map(_.toSeq)
+    afp shouldBe wfp
+    // truncated-COMM AIFF and FORM-but-not-AIFF garbage land on null stats
+    val dirty = rows(Multimodal.decodeWav(
+        Seq((-1L, Multimodal.corruptAiff(-1L)),
+          (-2L, "FORMxxxxAIFC0000".getBytes("US-ASCII"))).toDF("media_id", "payload"),
+        "payload", "media_id").orderBy("media_id"))
+    dirty.foreach { r =>
+      r.getAs[Long]("sample_rate") shouldBe 0L
+      r.getAs[Long]("total_energy") shouldBe -1L
+    }
+  }
+
+  test("withDualContainerPayload: WAV and AIFF encodings of one stream class fold into " +
+       "one fingerprint cluster (cross-container dedup)") {
+    val ids = Seq(0L, 1L, 7L, 8L).toDF("doc_id") // classes 0,1 each ×2 ids ×2 containers
+    val clusters = rows(Multimodal.audioFingerprint(
+        Multimodal.withDualContainerPayload(ids, "doc_id"), "payload", "media_id")
+      .groupBy("afp").agg(count(lit(1)).as("n"), min(col("media_id")).as("keeper"))
+      .orderBy("keeper"))
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // class 0 = ids {0,7} → media {1,2,71,72}; class 1 = ids {1,8} → media
+    // {11,12,81,82}: four encodings each, keeper = min media id
+    clusters shouldBe Seq((4L, 1L), (4L, 11L))
+  }
+
   test("q_video_scenes: injected scene changes at frame 4 of even assets are the ONLY " +
        "cuts; within-scene frames stay perceptually near (hamming <= 3)") {
     val dir = "/root/testdata/sf0.001"

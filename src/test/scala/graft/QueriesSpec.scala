@@ -87,6 +87,19 @@ class QueriesSpec extends SparkSpec {
     uncapped.map(_._1) shouldBe capped.map(_._1)
     // bit-identical to slicing each uncapped basket's sorted distinct set
     uncapped.map { case (b, is) => (b, is.take(3)) } shouldBe capped
+    // the NON-integral item fallback (two-pass per-key split) must produce
+    // the same rollup — string-encode the items and compare
+    val sdf = df.select(col("b"), when(col("i").isNotNull,
+      concat(lit("it"), format_string("%03d", col("i")))).as("i"))
+    val scapped = rows(Queries.baskets(sdf, "b", "i", maxBasket = Some(3)).orderBy("__b"))
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    scapped shouldBe capped.map { case (b, is) => (b, is.map(v => f"it$v%03d")) }
+    // integral non-long items: values cap identically and the array keeps
+    // the source type
+    val idf = df.select(col("b"), col("i").cast("int").as("i"))
+    val icapped = rows(Queries.baskets(idf, "b", "i", maxBasket = Some(3)).orderBy("__b"))
+      .map(r => (r.getLong(0), r.getSeq[Int](1)))
+    icapped shouldBe capped.map { case (b, is) => (b, is.map(_.toInt)) }
   }
 
   test("groupedOls: exact line recovered per group; r2 = 1 on it, < 1 off it") {
