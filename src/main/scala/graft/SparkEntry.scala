@@ -2127,6 +2127,38 @@ object SparkEntry {
           col("cluster_size"), col("weight"), col("kept"))
         .orderBy("doc_id")
     }),
+    // the leakage AUDIT on the composed labeling (the SCALE.md r15 100×
+    // finding as a hash gate): the same truth pairs and content groups
+    // scored under BOTH split policies — naive doc-id hashing leaks
+    // deterministically-counted near-dup pairs and replica groups across
+    // train/val/test; the composed cluster-hash policy leaks ZERO of either
+    "q_split_leakage_audit_weighted" -> ((s, dir) => {
+      val lbl = weightedClusterIndex(s, dir)
+      val pairs = compositionIndex(s, dir, "minhash") {
+        Dedup.minhashPairsDeduped(replicatedDocs(s, dir), "text", "doc_id",
+          shingleN = 5, k = 64, bands = 32, threshold = 0.5)
+      }.filter(col("id_a") =!= col("id_b")).select("id_a", "id_b")
+      def audit(policy: String, key: Column): DataFrame = {
+        val asg = graft.operators.Sampling.withSplit(
+          lbl.select(col("id"), col("keeper_id"), key.as("__k")), "__k")
+        val pairLeaks = pairs
+          .join(asg.select(col("id").as("id_a"), col("split").as("__sa")), Seq("id_a"))
+          .join(asg.select(col("id").as("id_b"), col("split").as("__sb")), Seq("id_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L))
+              .cast(LongType).as("n_pairs_leaked"))
+        val groupLeaks = asg.groupBy(col("keeper_id"))
+          .agg(countDistinct(col("split")).as("__ns"))
+          .agg(sum(when(col("__ns") > 1, 1L).otherwise(0L))
+            .cast(LongType).as("n_groups_leaked"))
+        pairLeaks.crossJoin(groupLeaks)
+          .select(lit(policy).as("policy"), col("n_pairs"),
+            col("n_pairs_leaked"), col("n_groups_leaked"))
+      }
+      audit("cluster_hash", col("cluster_id"))
+        .unionByName(audit("doc_hash", col("id")))
+        .orderBy("policy")
+    }),
     // survivor POLICY on the composed labeling: longest doc per weighted
     // cluster (ties → min id) — replicas tie on length, so the keeper's
     // min-id wins inside each content group while genuinely longer
@@ -8519,6 +8551,32 @@ object SparkEntry {
          |   CAST(${idHashSql("doc_id")} AS DOUBLE) / 1152921504606846976
          |     < CAST(1 AS DOUBLE) / CAST(cluster_size AS DOUBLE) AS kept
          | FROM sz ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_split_leakage_audit_weighted" -> {
+      def splitCase(x: String) =
+        s"CASE WHEN ${idHashSql(x)} % 1000 < 800 THEN 'train' " +
+          s"WHEN ${idHashSql(x)} % 1000 < 900 THEN 'val' ELSE 'test' END"
+      s"""WITH RECURSIVE $composedConsumerPrelude,
+         | ac AS (SELECT doc_id, keeper, ${splitCase("cluster_id")} AS split FROM lbl),
+         | ad AS (SELECT doc_id, keeper, ${splitCase("doc_id")} AS split FROM lbl),
+         | pe AS (SELECT id_a, id_b FROM p)
+         | SELECT * FROM (
+         |   SELECT 'cluster_hash' AS policy,
+         |     (SELECT CAST(COUNT(*) AS BIGINT) FROM pe) AS n_pairs,
+         |     (SELECT CAST(COUNT(*) AS BIGINT) FROM pe
+         |       JOIN ac a ON a.doc_id = pe.id_a JOIN ac b ON b.doc_id = pe.id_b
+         |       WHERE a.split <> b.split) AS n_pairs_leaked,
+         |     (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT keeper FROM ac
+         |       GROUP BY keeper HAVING COUNT(DISTINCT split) > 1)) AS n_groups_leaked
+         |   UNION ALL
+         |   SELECT 'doc_hash',
+         |     (SELECT CAST(COUNT(*) AS BIGINT) FROM pe),
+         |     (SELECT CAST(COUNT(*) AS BIGINT) FROM pe
+         |       JOIN ad a ON a.doc_id = pe.id_a JOIN ad b ON b.doc_id = pe.id_b
+         |       WHERE a.split <> b.split),
+         |     (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT keeper FROM ad
+         |       GROUP BY keeper HAVING COUNT(DISTINCT split) > 1))
+         | ) ORDER BY policy""".stripMargin.replace("\n", "")
+    },
     "q_dedup_survivors_weighted" ->
       s"""WITH RECURSIVE $composedConsumerPrelude,
          | ranked AS (SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars,

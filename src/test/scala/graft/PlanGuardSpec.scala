@@ -48,6 +48,29 @@ class PlanGuardSpec extends SparkSpec {
     plan should not include "Window"
   }
 
+  test("capped baskets plan ONE bounded-state aggregation: no window, no second " +
+       "full-data pass (r15 BoundedSetAgg shape)") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("b", "i")
+    val plan = graft.operators.Queries.baskets(df, "b", "i", maxBasket = Some(2))
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include("ObjectHashAggregate")
+    // exactly one aggregation pair (partial + final) — the detector-split
+    // shape would plan a second one
+    "ObjectHashAggregate".r.findAllIn(plan).size shouldBe 2
+  }
+
+  test("registrableDomainJoin broadcasts the rule table (host side stays narrow)") {
+    import spark.implicits._
+    val hosts = Seq((1L, "a.co.t1"), (2L, "www.ck")).toDF("doc_id", "host")
+    val plan = graft.operators.Web.registrableDomainJoin(hosts, "host", "doc_id", "d",
+        graft.operators.Web.parsePslRules(graft.operators.Web.pslScaledRules))
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
   test("containmentPairs keeps the docFreq semi-join skew guard") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d"), (2L, "a b c d e f")).toDF("doc_id", "text")

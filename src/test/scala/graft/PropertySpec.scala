@@ -33,6 +33,33 @@ class PropertySpec extends SparkSpec {
 
   private val seeds = 1L to 12L
 
+  test("BoundedSetAgg law: any partition/merge order equals sorted-distinct-take(cap), " +
+       "nulls ignored, state never exceeds cap") {
+    // pure-JVM law over the aggregator the capped basket rollup runs per
+    // fact row: random values (with duplicates and nulls), random partition
+    // boundaries, random merge order — the result must be the first `cap`
+    // of the sorted distinct value set, and no intermediate buffer may ever
+    // hold more than cap entries.
+    val rnd = new scala.util.Random(1815)
+    (1 to 50).foreach { _ =>
+      val cap = 1 + rnd.nextInt(12)
+      val agg = new graft.operators.Queries.BoundedSetAgg(cap)
+      val n = rnd.nextInt(200)
+      val values: Seq[java.lang.Long] = Seq.fill(n) {
+        if (rnd.nextInt(10) == 0) null
+        else java.lang.Long.valueOf(rnd.nextInt(40).toLong - 20L)
+      }
+      // random partitioning into 1..6 slices, each reduced independently
+      val slices = values.grouped(1 + rnd.nextInt(math.max(1, n / 3 + 1))).toSeq
+      val buffers = slices.map(_.foldLeft(agg.zero)(agg.reduce))
+      buffers.foreach(b => b.length should be <= cap)
+      // fold the partials in a shuffled order (merge must be order-free)
+      val merged = rnd.shuffle(buffers).foldLeft(agg.zero)(agg.merge)
+      val expect = values.filter(_ != null).map(_.longValue()).distinct.sorted.take(cap)
+      agg.finish(merged) shouldBe expect
+    }
+  }
+
   test("clean is idempotent: clean(clean(df)) == clean(df)") {
     seeds.foreach { s =>
       val once = Transforms.clean(sample(s))
