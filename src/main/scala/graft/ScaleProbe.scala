@@ -136,17 +136,22 @@ object ScaleProbe {
     //     test doc with a train near-dup IS evaluation leakage.
     // The direct clustering must show nonzero leakage where the cap binds;
     // the composed labeling must show ZERO on both metrics at every k.
+    // the ground-truth keeper pairs (the composed miner — correct by
+    // construction at every k), built ONCE and checkpointed: both probes
+    // score against it (r15 self-review: rebuilding it per call tripled the
+    // pair-mining work and inflated the probe seconds)
+    lazy val decisionTruth = Dedup.ngramJaccardPairsDeduped(docs, "text", "doc_id",
+        n = 5, threshold = 0.3, maxDocFreq = 100L)
+      .filter(col("id_a") =!= col("id_b")).select("id_a", "id_b")
+      .localCheckpoint(true)
     def leakReport(tag: String, labels: DataFrame): Long = {
-      val truth = Dedup.ngramJaccardPairsDeduped(docs, "text", "doc_id", n = 5,
-          threshold = 0.3, maxDocFreq = 100L)
-        .filter(col("id_a") =!= col("id_b")).select("id_a", "id_b")
       val sp = graft.operators.Sampling.withSplit(labels, "cluster_id")
         .localCheckpoint(true)
       val leakedGroups = sp
         .withColumn("grp", col("doc_id") % 1000000L)
         .groupBy("grp").agg(countDistinct(col("split")).as("ns"))
         .filter(col("ns") > 1).count()
-      val leakedPairs = truth
+      val leakedPairs = decisionTruth
         .join(sp.select(col("doc_id").as("id_a"), col("split").as("__sa")), Seq("id_a"))
         .join(sp.select(col("doc_id").as("id_b"), col("split").as("__sb")), Seq("id_b"))
         .filter(col("__sa") =!= col("__sb")).count()
@@ -162,9 +167,9 @@ object ScaleProbe {
       leakReport("direct", labels.select(col("id").as("doc_id"), col("cluster_id")))
     }
     time("split_decisions_composed") {
-      val pairs = Dedup.ngramJaccardPairsDeduped(docs, "text", "doc_id", n = 5,
-        threshold = 0.3, maxDocFreq = 100L)
-      val lbl = Dedup.composedClusterIndex(docs, "text", "doc_id", pairs)
+      // the composed labeling consumes the SAME checkpointed truth frame —
+      // exactly the landed-artifact contract the gated consumers use
+      val lbl = Dedup.composedClusterIndex(docs, "text", "doc_id", decisionTruth)
       leakReport("composed", lbl.select(col("id").as("doc_id"), col("cluster_id")))
     }
     time("containment_pairs") {

@@ -9896,12 +9896,13 @@ object SparkEntry {
          |        ELSE 'ck' END AS host FROM documents),
          | lx AS (SELECT doc_id, host, string_split(host, '.') AS labels,
          |   len(string_split(host, '.')) AS hl FROM hx),
-         | cand AS (SELECT doc_id, hl,
+         | cand AS (SELECT doc_id, hl, kp,
          |   array_to_string(labels[CAST(hl - kp + 1 AS INTEGER):], '.') AS cnd
          |   FROM lx, unnest(range(1, hl + 1)) AS t(kp)),
          | m AS (SELECT c.doc_id, r.pslab, row_number() OVER (PARTITION BY c.doc_id
          |   ORDER BY r.exc DESC, r.rlab DESC, r.key) AS rn
-         |   FROM cand c JOIN rl r ON c.cnd = r.key AND (NOT r.wild OR c.hl >= r.klab + 1)),
+         |   FROM cand c JOIN rl r ON c.cnd = r.key AND (NOT r.wild OR c.hl >= r.klab + 1)
+         |     AND (r.exc OR r.wild OR c.kp < c.hl)),
          | w AS (SELECT doc_id, pslab FROM m WHERE rn = 1)
          | SELECT l.doc_id, l.host,
          |   CASE WHEN l.hl <= 2 THEN l.host

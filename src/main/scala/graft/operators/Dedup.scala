@@ -748,15 +748,31 @@ object Dedup {
     val clusters = exactClusters(df, textCol, idCol)
     val surv = df.join(clusters.select(col("__kid").as(idCol)), Seq(idCol), "left_semi")
     val pairs = minhashPairs(surv, textCol, idCol, shingleN, k, bands, threshold)
-    val sa = clusters.select(col("__kid").as("id_a"), col("__csz").as("__ca"))
-    val sb = clusters.select(col("__kid").as("id_b"), col("__csz").as("__cb"))
+    expandMinhashWeights(pairs,
+      clusters.select(col("__kid").as("kid"), col("__csz").as("csz")), threshold)
+  }
+
+  /** Step 3 of the minhash dedup-first composition, SHARED by the batch
+    * operator and the streaming twin (r15 self-review: the expansion law —
+    * |C_a|·|C_b| cross weights, (keeper, keeper, 1.0, C(sz,2)) intra rows,
+    * the threshold guard on the literal-1.0 jaccard — must live once or the
+    * two gates can silently diverge). `clusters` = (kid keeper id, csz
+    * cluster size); `pairs` = (id_a, id_b, jaccard) over keepers.
+    */
+  def expandMinhashWeights(pairs: DataFrame, clusters: DataFrame,
+      threshold: Double): DataFrame = {
+    val sa = clusters.select(col("kid").as("id_a"), col("csz").as("__ca"))
+    val sb = clusters.select(col("kid").as("id_b"), col("csz").as("__cb"))
     val cross = pairs.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"), col("jaccard"),
         (col("__ca") * col("__cb")).as("n_pairs"))
-    val intra = clusters.filter(col("__csz") > 1 && lit(1.0) >= lit(threshold))
-      .select(col("__kid").as("id_a"), col("__kid").as("id_b"),
+    // intra jaccard is literally 1.0 — identical texts have identical
+    // shingle sets and the whole-text fallback means the set is never
+    // empty; a threshold > 1 config emits no intra rows
+    val intra = clusters.filter(col("csz") > 1 && lit(1.0) >= lit(threshold))
+      .select(col("kid").as("id_a"), col("kid").as("id_b"),
         lit(1.0).as("jaccard"),
-        (col("__csz") * (col("__csz") - 1) / 2).cast(LongType).as("n_pairs"))
+        (col("csz") * (col("csz") - 1) / 2).cast(LongType).as("n_pairs"))
     cross.unionByName(intra)
   }
 

@@ -645,14 +645,19 @@ object Queries {
             // counts NON-null rows, so an all-null basket (0 <= cap) routes
             // to the collect_set half and keeps its empty-array row.
             val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+            // the over-cap key set is UNHINTED on purpose (r15 self-review):
+            // its size is corpus-dependent, not cap-bounded — a degenerate
+            // corpus where most baskets exceed the cap would blow a forced
+            // broadcast; AQE broadcasts it when it is the anomaly tail it
+            // usually is, and falls back to a shuffled join when it isn't
             val over = items.groupBy(col("__b"))
               .agg(sum(when(col("__i").isNotNull, 1L).otherwise(0L)).as("__nn"))
               .filter(col("__nn") > cap).select(col("__b"))
-            val under = items.join(broadcast(over), Seq("__b"), "left_anti")
+            val under = items.join(over, Seq("__b"), "left_anti")
               .groupBy(col("__b"))
               .agg(sort_array(collect_set(col("__i"))).as("__is"))
             val w = Window.partitionBy(col("__b")).orderBy(col("__i"))
-            val overAgg = items.join(broadcast(over), Seq("__b"), "left_semi")
+            val overAgg = items.join(over, Seq("__b"), "left_semi")
               .filter(col("__i").isNotNull)
               .withColumn("__dr", dense_rank().over(w))
               .withColumn("__dup", lag(col("__i"), 1).over(w) === col("__i"))

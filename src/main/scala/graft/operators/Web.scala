@@ -159,9 +159,18 @@ object Web {
         explode(sequence(lit(1), col("__hl"))).as("__keep"))
       .withColumn("__cand",
         array_join(slice(col("__labels"), col("__keep") * -1, col("__keep")), "."))
+    // EXACT rules match only PROPER suffixes (r15 self-review): the CASE
+    // strategy's EndsWith(".suffix") can never match the host itself, so a
+    // host EQUAL to a listed multi-label rule whose parent suffix is
+    // unlisted must fall to the last-2 default under BOTH strategies, or
+    // growing a list past caseChainMaxRules would silently change outputs.
+    // Exceptions still match the full host (`!www.ck` matches www.ck — the
+    // PSL algorithm's own example); wildcards already require an extra
+    // label, which implies a proper-suffix candidate.
     val matched = cands.join(broadcast(rulesDf),
       col("__cand") === col("key") &&
-        (!col("isWildcard") || col("__hl") >= col("keyLabels") + 1))
+        (!col("isWildcard") || col("__hl") >= col("keyLabels") + 1) &&
+        (col("isException") || col("isWildcard") || col("__keep") < col("__hl")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
       .orderBy(col("isException").desc, col("ruleLabels").desc, col("key"))
     val winner = matched.withColumn("__rn", row_number().over(w))

@@ -311,6 +311,13 @@ final case class TxTable(spark: SparkSession, root: String, name: String,
       if (maxLanded <= target || currentVersion >= maxLanded) return
       target = maxLanded // our overwrite regressed a later commit: repair forward
     }
+    // 64 lost races in a row means a sustained cross-process commit stream
+    // kept outrunning the repair — the pointer may briefly trail the max
+    // landed manifest until the NEXT commit's publish walks it forward
+    // (every commit path runs this repair). Observable, never silent
+    // (r15 self-review): readers of live state deserve the breadcrumb.
+    System.err.println(s"[txtable] $name: pointer repair gave up after 64 " +
+      s"rounds at v$target — a later commit's publish will complete the walk")
   }
 
   /** Returns Some(version) on commit, or None when `txn` is set and its

@@ -366,15 +366,7 @@ object Streaming {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       graft.operators.Transforms.mergeCandlePartials(state)
-    } finally {
-      try {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(ckpt)
-        val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
-        paths.foreach(p =>
-          try java.nio.file.Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
-      } catch { case _: java.io.IOException => () }
-    }
+    } finally deleteStreamCkpt(ckpt)
   }
 
   /** Streaming ingestion dedup against a LANDED content index — the day-N
@@ -421,15 +413,7 @@ object Streaming {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       out
-    } finally {
-      try {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(ckpt)
-        val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
-        paths.foreach(p =>
-          try java.nio.file.Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
-      } catch { case _: java.io.IOException => () }
-    }
+    } finally deleteStreamCkpt(ckpt)
   }
 
   /** Streaming NEAR-dup detection against a landed LSH band index — the
@@ -494,15 +478,7 @@ object Streaming {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       out
-    } finally {
-      try {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(ckpt)
-        val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
-        paths.foreach(p =>
-          try java.nio.file.Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
-      } catch { case _: java.io.IOException => () }
-    }
+    } finally deleteStreamCkpt(ckpt)
   }
 
   /** Streaming twin of the DEDUP-FIRST composition (r15, verdict ask #6):
@@ -594,6 +570,16 @@ object Streaming {
               Dedup.shingleSets(novelDocs, textCol, idCol, shingleN))
               .localCheckpoint()
             val pairsN = pairs.unionByName(newPairs).localCheckpoint()
+            // superseded checkpoints unpersist once their successors are
+            // materialized (r15 self-review — the connectedComponents
+            // discipline): without this, every micro-batch pins one more
+            // generation of state blocks in the block manager, unbounded
+            // growth on exactly the unbounded feed this operator targets.
+            // grouped/newPairs are consumed by the successors above and
+            // drop with them; the batch's own frames (the final state)
+            // stay persisted — the returned expansion reads them lazily.
+            Seq(contentIdx, bb, ss, pairs, grouped, newPairs)
+              .foreach(_.unpersist(blocking = false))
             contentIdx = contentIdxN; bb = bbN; ss = ssN; pairs = pairsN
             lastBatchId = batchId
           }
@@ -602,27 +588,23 @@ object Streaming {
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      // weight expansion — Dedup.minhashPairsDeduped's step 3, over the
-      // final streamed state
-      val sa = contentIdx.select(col("kid").as("id_a"), col("csz").as("__ca"))
-      val sb = contentIdx.select(col("kid").as("id_b"), col("csz").as("__cb"))
-      val cross = pairs.join(sa, "id_a").join(sb, "id_b")
-        .select(col("id_a"), col("id_b"), col("jaccard"),
-          (col("__ca") * col("__cb")).as("n_pairs"))
-      val intra = contentIdx.filter(col("csz") > 1 && lit(1.0) >= lit(threshold))
-        .select(col("kid").as("id_a"), col("kid").as("id_b"),
-          lit(1.0).as("jaccard"),
-          (col("csz") * (col("csz") - 1) / 2).cast(LongType).as("n_pairs"))
-      cross.unionByName(intra)
-    } finally {
-      try {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(ckpt)
-        val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
-        paths.foreach(p =>
-          try java.nio.file.Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
-      } catch { case _: java.io.IOException => () }
-    }
+      // weight expansion — the SHARED step 3 of the composition (one law
+      // for batch and stream) over the final streamed state
+      Dedup.expandMinhashWeights(pairs, contentIdx.select("kid", "csz"), threshold)
+    } finally deleteStreamCkpt(ckpt)
+  }
+
+  /** Recursively delete a streaming checkpoint dir (shared by the
+    * incremental-apply family's cleanup paths).
+    */
+  private def deleteStreamCkpt(ckpt: java.nio.file.Path): Unit = {
+    try {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(ckpt)
+      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      paths.foreach(p =>
+        try java.nio.file.Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+    } catch { case _: java.io.IOException => () }
   }
 
   def cdcApply(spark: SparkSession, changeDir: String, base: DataFrame,
@@ -646,15 +628,7 @@ object Streaming {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       snapshot
-    } finally {
-      try {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(ckpt)
-        val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
-        paths.foreach(p =>
-          try java.nio.file.Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
-      } catch { case _: java.io.IOException => () }
-    }
+    } finally deleteStreamCkpt(ckpt)
   }
 
   /** Run a stream to a named in-memory sink and return the materialized result
@@ -687,13 +661,7 @@ object Streaming {
       // best-effort cleanup: the state-store maintenance thread can still be
       // writing into the checkpoint as the query winds down, so deletion must
       // never throw over a successful result (or mask the real failure)
-      try {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(ckpt)
-        val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
-        paths.foreach(p =>
-          try java.nio.file.Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
-      } catch { case _: java.io.IOException => () }
+      deleteStreamCkpt(ckpt)
     }
   }
 }
