@@ -954,6 +954,57 @@ object ScaleProbe {
               f"wall ${(System.nanoTime() - t0) / 1e9}%7.1f s"))
         picks.length.toLong
       }
+      locally {
+        // r15 (verdict ask #6) — streaming DEDUP-FIRST composition vs the
+        // direct band probe under REPLICATED ARRIVALS: the k×-replicated
+        // corpus lands as 8 id-ordered tiers and drains through both
+        // operators. The direct form bands every arriving replica and
+        // enumerates replica pairs physically per batch (candidates ∝
+        // arrival replication²); the composed form folds replicas into
+        // cluster weights via the per-batch content-key anti-join and bands
+        // only novel contents — per-batch work must track DISTINCT novel
+        // content, not arrivals. Logical output (Σ n_pairs vs physical pair
+        // count) must agree — the batch composition's invariant, streamed.
+        import org.apache.spark.sql.expressions.Window
+        val landDir = new java.io.File(SessionCache.registerTmpIndexDir(
+          new java.io.File(sys.props("java.io.tmpdir"),
+            s"graft_scale_streammhdd_${ProcessHandle.current().pid()}").toString))
+        val tiered = docs.withColumn("__tier",
+          ntile(8).over(Window.orderBy(col("doc_id"))))
+        graft.streaming.Streaming.landOrdered(landDir,
+          (1 to 8).map(t => tiered.filter(col("__tier") === t).select("doc_id", "text")))
+        var directPairs = 0L
+        time("stream_minhash_direct") {
+          // empty base index: the stream IS the corpus (day-0 ingest shape)
+          val emptyBands = docs.sparkSession.createDataFrame(
+            docs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
+              org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType))))
+          val emptySets = docs.sparkSession.createDataFrame(
+            docs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("sh",
+                org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)))))
+          directPairs = graft.streaming.Streaming.incrementalLshApply(
+            docs.sparkSession, landDir.toString, "*.parquet", lit(true),
+            emptyBands, emptySets, "text", "doc_id",
+            shingleN = 5, k = 64, bands = 32, threshold = 0.5).count()
+          directPairs
+        }
+        time("stream_minhash_composed") {
+          val logical = graft.streaming.Streaming.incrementalLshDedupedApply(
+              docs.sparkSession, landDir.toString, "text", "doc_id",
+              shingleN = 5, k = 64, bands = 32, threshold = 0.5)
+            .agg(coalesce(sum(col("n_pairs")), lit(0L))).head().getLong(0)
+          println(s"[scale-stream-mhdd] direct physical pairs=$directPairs " +
+            s"composed logical pairs=$logical " +
+            s"(must be equal — the composition invariant under streaming)")
+          logical
+        }
+      }
       time("stream_dedup_state") {
         // r14 (verdict ask #6) — STREAMING-STATE probe: the batch decades
         // measure dataflow; this measures the state-store law of the
