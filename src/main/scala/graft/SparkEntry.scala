@@ -2187,6 +2187,44 @@ object SparkEntry {
     "q_graph_ra" -> ((s, dir) =>
       graft.operators.Graph.resourceAllocation(minhashPairIndex(s, dir), "id_a", "id_b")
         .orderBy("id_a", "id_b")),
+    // UNICODE NORMALIZATION (r15): crawled corpora mix NFC and NFD per
+    // source, and every content-keyed operator (exact dedup, content index,
+    // SURT keys, shingles) is byte-sensitive. The fixture appends an NFC
+    // 'café' to even docs and its NFD decomposition (e + combining acute)
+    // to odd — byte-different, canonically identical. The kernel is the
+    // codegen'd NfcNormalize (JDK Normalizer ≡ DuckDB nfc_normalize,
+    // md5-identical across engines — that identity IS the gate).
+    "q_nfc_normalize" -> ((s, dir) => {
+      val suffix = when(col("doc_id") % 2 === 0, lit(" caf\u00e9"))
+        .otherwise(lit(" cafe\u0301"))
+      documents(s, dir)
+        .select(col("doc_id"), concat(col("text"), suffix).as("raw"))
+        .select(col("doc_id"),
+          length(col("raw")).cast(LongType).as("n_chars_raw"),
+          length(graft.expressions.GraftFunctions.nfcNormalize(col("raw")))
+            .cast(LongType).as("n_chars_nfc"),
+          (graft.expressions.GraftFunctions.nfcNormalize(col("raw")) === col("raw"))
+            .as("was_nfc"),
+          md5(graft.expressions.GraftFunctions.nfcNormalize(col("raw"))
+            .cast(BinaryType)).as("nfc_key"))
+        .orderBy("doc_id")
+    }),
+    // ...and the dedup consequence: on the mixed-normalization corpus
+    // (every doc + an NFD-suffixed replica) raw content keys see 2n
+    // distinct documents while NFC-normalized keys fold each pair — the
+    // one-aggregate report that says WHY normalization runs before the
+    // content hash at ingest
+    "q_nfc_dedup" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" caf\u00e9")).as("raw"))
+      val nfd = documents(s, dir).select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" cafe\u0301")).as("raw"))
+      base.unionByName(nfd).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("raw").cast(BinaryType))).as("raw_distinct"),
+        countDistinct(md5(graft.expressions.GraftFunctions.nfcNormalize(col("raw"))
+          .cast(BinaryType))).as("nfc_distinct"))
+    }),
     "q_simhash_fingerprints" -> ((s, dir) =>
       Dedup.withSimhash(documents(s, dir).select("doc_id", "text"), "text", "doc_id", "simhash", shingleN = 5)
         .select("doc_id", "simhash").orderBy("doc_id")),
@@ -8733,6 +8771,26 @@ object SparkEntry {
          |   c.cluster_id AS survivor_id
          | FROM k JOIN comps c USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "q_dedup_survivors_best" -> dedupSurvivorsBestSql(n = 5, threshold = 0.5),
+    // JDK Normalizer NFC ≡ DuckDB nfc_normalize (utf8proc) — the md5 of the
+    // normalized text is the cross-engine identity the gate rides on
+    "q_nfc_normalize" ->
+      """WITH m AS (SELECT doc_id, text ||
+        |   (CASE WHEN doc_id % 2 = 0 THEN ' caf' || chr(233)
+        |    ELSE ' cafe' || chr(769) END) AS raw FROM documents)
+        | SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_chars_raw,
+        |   CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc,
+        |   nfc_normalize(raw) = raw AS was_nfc,
+        |   md5(nfc_normalize(raw)) AS nfc_key
+        | FROM m ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_nfc_dedup" ->
+      """WITH m AS (
+        |   SELECT doc_id, text || ' caf' || chr(233) AS raw FROM documents
+        |   UNION ALL
+        |   SELECT doc_id + 100000, text || ' cafe' || chr(769) FROM documents)
+        | SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |   COUNT(DISTINCT md5(raw)) AS raw_distinct,
+        |   COUNT(DISTINCT md5(nfc_normalize(raw))) AS nfc_distinct
+        | FROM m""".stripMargin.replace("\n", ""),
     "q_simhash_fingerprints" -> simhashSql(n = 5),
     // identical dual: the SQL-surface twin must produce the same fingerprints
     "q_sql_simhash" -> simhashSql(n = 5),

@@ -473,6 +473,57 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
   override def prettyName: String = "char_entropy"
 }
 
+/** Unicode NFC normalization (r15): crawled corpora mix NFC and NFD
+  * encodings per source (macOS filesystems and some CMSes emit decomposed
+  * forms), and every content-keyed operator in this engine — exact dedup,
+  * the content index, URL/SURT keys, shingle hashes — is byte-sensitive, so
+  * canonically-identical documents that differ only in normalization form
+  * would silently fail to fold. Spark ships no normalization builtin; this
+  * kernel wraps `java.text.Normalizer` (the JDK's Unicode NFC, the same
+  * canonical composition DuckDB's `nfc_normalize` implements — empirically
+  * md5-identical across engines, which is what makes the gate possible).
+  *
+  * Fast path: `Normalizer.isNormalized` is a cheap quick-check scan (most
+  * real text is already NFC and ASCII short-circuits immediately), so the
+  * common case costs one scan and ZERO allocation — the input UTF8String
+  * passes through untouched.
+  *
+  * Scale: a pure narrow map at parquet-scan speed, like every kernel here.
+  * Run it ONCE at ingest (in front of the content hash) rather than per
+  * consumer.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects STRING, got ${other.sql}")
+    }
+
+  def compute(input: UTF8String): UTF8String = {
+    val s = input.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfcNormalize", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
+}
+
 /** Marker-word language ID as one precompiled pass over the (lowercased)
   * text. Semantics are pinned to the declarative original (and its DuckDB
   * oracle): tokenize on maximal runs of letters/apostrophes, score each

@@ -194,7 +194,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => VectorMaxAbs(args(0))),
     (new FunctionIdentifier("char_entropy"),
       new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
-      (args: Seq[Expression]) => CharEntropy(args(0))))
+      (args: Seq[Expression]) => CharEntropy(args(0))),
+    (new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => NfcNormalize(args(0))))
 
   /** Idempotently register the graft functions on an existing session. */
   def register(spark: SparkSession): Unit = descriptors.foreach { case (id, info, builder) =>
@@ -241,6 +244,13 @@ object GraftFunctions {
   /** Code-point Shannon entropy (bits) of a string. */
   def charEntropy(text: Column): Column =
     GraftColumnBridge.column(CharEntropy(GraftColumnBridge.expression(text)))
+
+  /** Unicode NFC normalization ([[NfcNormalize]]) — run once at ingest in
+    * front of every content-keyed operator; already-NFC text passes through
+    * allocation-free.
+    */
+  def nfcNormalize(text: Column): Column =
+    GraftColumnBridge.column(NfcNormalize(GraftColumnBridge.expression(text)))
 
   /** Greedy longest-match subword segmentation stats `[n_tokens, n_fallback]`
     * for one word against a plan-time vocabulary (the tokenizer APPLY kernel,

@@ -108,6 +108,31 @@ class TextHashSpec extends SparkSpec {
     }
   }
 
+  test("nfcNormalize: NFD composes to NFC, already-NFC and ASCII pass through, " +
+       "nulls stay null, SQL surface matches the Column API") {
+    import graft.expressions.{GraftFunctions => GF}
+    val nfc = "caf\u00e9"            // precomposed U+00E9
+    val nfd = "cafe\u0301"           // e + combining acute U+0301
+    val df = Seq((1L, nfd), (2L, nfc), (3L, "plain ascii"), (4L, null))
+      .toDF("id", "t")
+    val out = rows(df.select(col("id"), GF.nfcNormalize(col("t")).as("n"))
+      .orderBy("id")).map(r => if (r.isNullAt(1)) null else r.getString(1))
+    out(0) shouldBe nfc                       // composed
+    out(1) shouldBe nfc                       // identity
+    out(2) shouldBe "plain ascii"             // ASCII fast path
+    out(3) shouldBe null
+    // normalization-sensitive dedup law: raw keys differ, NFC keys fold
+    rows(df.filter(col("id") <= 2)
+      .agg(countDistinct(col("t")).as("raw"),
+        countDistinct(GF.nfcNormalize(col("t"))).as("nfc")))
+      .head.toSeq shouldBe Seq(2L, 1L)
+    // registered SQL function
+    GF.register(spark)
+    df.createOrReplaceTempView("v_nfc")
+    rows(spark.sql("SELECT nfc_normalize(t) FROM v_nfc WHERE id = 1"))
+      .head.getString(0) shouldBe nfc
+  }
+
   test("rollingFingerprint matches the interpreted aggregate formulation") {
     def ref(text: String): Long = {
       val toks = "[\\p{L}\\p{Nd}]+".r.findAllIn(text.toLowerCase).toSeq
