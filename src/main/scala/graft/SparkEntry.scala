@@ -5865,6 +5865,76 @@ object SparkEntry {
           "host", "doc_id", "registrable", graft.operators.Web.pslScaledRules)
         .orderBy("doc_id")
     }),
+    // WARC container front door (r15): serialize each doc's HTML page into
+    // a real three-record WARC/1.0 segment (warcinfo + request + response,
+    // CRLF framing, octet Content-Lengths, varying HTTP status, a 1-in-101
+    // undecodable corrupt member), then PARSE it back — the oracle restates
+    // the construction, so every row is a parse(serialize(x)) == x identity
+    // (the codec-gate style): header fields, block framing (block_octets
+    // must land exactly on the Content-Length claim), HTTP status/mime
+    // split, and payload md5, with corrupt members yielding zero rows.
+    "q_warc_parse" -> ((s, dir) => {
+      val w = graft.operators.Web.withWarc(graft.operators.Web.withHtml(
+        graft.operators.Web.withUrls(documents(s, dir))))
+      graft.operators.Web.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
+        .select(col("doc_id"), col("rec_pos").cast(LongType).as("rec_pos"),
+          col("rec_type"), col("target_uri"), col("warc_date"),
+          col("content_length"), col("http_status"), col("mime"),
+          col("block_octets"), md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id", "rec_pos")
+    }),
+    // ...and the crawl pipeline composed on top: WARC records → keep
+    // HTTP-200 responses only (404s, redirects, corrupt members drop) →
+    // HTML→text strip chain + link count on the payload → URL
+    // canonicalization + registrable domain on the WARC-Target-URI. The
+    // complete web front door — container to curated text — in ONE plan:
+    // scan-speed narrow ops end to end, zero shuffles before curation.
+    "q_warc_pipeline" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
+        .filter(col("rec_type") === "response" && col("http_status") === 200)
+      val ext = recs.select(col("doc_id"), col("target_uri").as("url"),
+          col("payload"))
+        .withColumn("text_clean", W.htmlToText(col("payload")))
+        .withColumn("n_links", size(W.extractLinks(col("payload"))).cast(LongType))
+      W.canonicalize(ext, "url")
+        .select(col("doc_id"), col("domain"), col("url_canon"), col("n_links"),
+          md5(col("text_clean")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+    // robots.txt compliance (r15): parse per-host robots fixtures into the
+    // REP rule table — comment/blank/unknown-directive filtering, `key:
+    // value` cut, and the User-agent RUN rule (consecutive UA lines share
+    // one rule block) via one lag+running-sum window per host.
+    "q_robots_parse" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val hosts = W.withUrls(documents(s, dir))
+        .select(W.hostOf(col("url")).as("host")).distinct()
+      W.robotsRules(hosts.withColumn("robots", W.robotsTxt(col("host"))),
+          "host", "robots")
+        .select(col("host"), col("agent"), col("directive"), col("prefix"),
+          col("ln").cast(LongType).as("ln"))
+        .orderBy("host", "ln", "agent")
+    }),
+    // ...and the crawl-allowance decisions: REP group selection (a host
+    // naming the agent uses ONLY that group, else `*`), longest-prefix-
+    // match, Allow-wins-ties, no-match → allowed — evaluated for BOTH an
+    // agent with dedicated groups (graftbot) and one falling back to `*`
+    // (otherbot), so group selection itself is under the hash gate.
+    "q_robots_filter" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val pages = W.withUrls(documents(s, dir))
+        .select(col("doc_id"), W.hostOf(col("url")).as("host"),
+          W.pathOf(col("url")).as("path"))
+      val hosts = pages.select("host").distinct()
+      val rules = W.robotsRules(
+        hosts.withColumn("robots", W.robotsTxt(col("host"))), "host", "robots")
+      W.robotsDecisionsFor(pages, rules, Seq("graftbot", "otherbot"))
+        .select(col("doc_id"), col("agent"), col("host"), col("path"),
+          col("matched_prefix"), col("matched_directive"), col("allowed"))
+        .orderBy("doc_id", "agent")
+    }),
 
     // --- sources (SURVEY §2.1; rows-only — fixture inputs, not sfDir tables)
     "q_csv_stock_autodetect" -> ((s, _) =>
@@ -6640,6 +6710,105 @@ object SparkEntry {
     """ h AS (SELECT doc_id, text, url,
       |   '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title><script>var x = 1 < 2;</script><style>.c{color:red}</style></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || ' &amp; tail &lt;tag&gt;</p><a href="' || url || '">first</a> <a href="HTTP://Example.COM/p?id=' || CAST(doc_id % 100 AS VARCHAR) || '#x">second</a> <a href="../other/page-' || CAST(doc_id % 100 AS VARCHAR) || '?x=1">third</a> <a href="//cdn.example-' || CAST(doc_id % 100 AS VARCHAR) || '.com/lib/app.js">fourth</a> <a href="/ROOT/./deep/page-' || CAST(doc_id % 100 AS VARCHAR) || '.html">fifth</a> <a href="https://user@media.example.org/m/' || CAST(doc_id % 100 AS VARCHAR) || '">sixth</a></body></html>' AS html
       |  FROM u)""".stripMargin.replace("\n", "")
+
+  /** WARC construction dual (r15): restates [[graft.operators.Web.withWarc]]'s
+    * segment formula — bodies, HTTP response block, octet Content-Lengths —
+    * over the `h` HTML-fixture CTE, with corrupt members (`doc_id % 101 =
+    * 100`) excluded up front (the parser must yield zero rows for them).
+    * CRLF rides as a 1-row `k` CTE (`chr(13)||chr(10)`) since the
+    * newline-stripped SQL string cannot carry literal control bytes.
+    * Yields CTE `wblk` with (doc_id, url, wdate, m, infob, reqb, rbody,
+    * respb).
+    */
+  private def warcCtes: String =
+    htmlCtes + "," +
+    """ k AS (SELECT chr(13) || chr(10) AS crlf),
+      | wd AS (SELECT doc_id, url, html, crlf,
+      |   printf('2024-%02d-%02dT%02d:15:00Z', CAST(doc_id % 12 + 1 AS INTEGER),
+      |     CAST(doc_id % 28 + 1 AS INTEGER), CAST(doc_id % 24 AS INTEGER)) AS wdate,
+      |   CAST(doc_id % 11 AS INTEGER) AS m,
+      |   CAST(doc_id % 100 AS VARCHAR) AS cs
+      |  FROM h, k WHERE doc_id % 101 <> 100),
+      | wbod AS (SELECT *,
+      |   'software: graft-crawler/1.0' || crlf || 'isPartOf: crawl-' || CAST(doc_id % 10 AS VARCHAR) || crlf AS infob,
+      |   'GET ' || url || ' HTTP/1.1' || crlf || 'User-Agent: graftbot/1.0' || crlf AS reqb,
+      |   CASE WHEN m = 0 THEN '<html><body>Not Found</body></html>' WHEN m = 1 THEN '' ELSE html END AS rbody,
+      |   CASE WHEN m = 0 THEN '404 Not Found' WHEN m = 1 THEN '301 Moved Permanently' ELSE '200 OK' END AS sline,
+      |   CASE WHEN m = 1 THEN 'Location: https://moved.example.net/p-' || cs || crlf ELSE '' END AS loch
+      |  FROM wd),
+      | wblk AS (SELECT *,
+      |   'HTTP/1.1 ' || sline || crlf || 'Content-Type: text/html; charset=UTF-8' || crlf || loch || crlf || rbody AS respb
+      |  FROM wbod)""".stripMargin.replace("\n", "")
+
+  /** Robots fixture + REP parse dual (r15): pages (host/path from the
+    * messy-URL fixture via the [[canonChainSql]] regexes), per-host robots
+    * bodies restated from [[graft.operators.Web.robotsTxt]], then the SAME
+    * relational parse [[graft.operators.Web.robotsRules]] runs — line
+    * split with ordinality (the `unnest(range(...))` zip pattern),
+    * comment/blank/unknown-directive filters, first-colon cut, UA-run
+    * block assembly with one lag+sum window, rules×agents join. Yields
+    * CTEs `pg` (doc_id, host, path) and `rules` (host, agent, directive,
+    * prefix, ln).
+    */
+  private def robotsCtes: String = {
+    def lines(ls: Seq[String]) = ls.map(l => s"'$l'").mkString(" || chr(10) || ") +
+      " || chr(10)"
+    val base = lines(Seq("# graft robots fixture", "User-agent: *",
+      "Disallow: /private/", "Allow: /private/ok/", "Disallow: /articles/1",
+      "Allow: /articles/12", "Disallow: /articles/3", "Allow: /articles/3",
+      "Crawl-delay: 5"))
+    val graftGrp = lines(Seq("User-agent: graftbot", "Disallow: /", "Allow: /articles/"))
+    val stacked = lines(Seq("User-agent: graftbot", "User-agent: newsbot",
+      "Disallow: /articles/2"))
+    val emptyGrp = lines(Seq("User-agent: emptybot", "Disallow:"))
+    urlFixtureCte + "," +
+    s""" pg AS (SELECT doc_id,
+       |   regexp_replace(regexp_replace(regexp_replace(lower(regexp_extract(regexp_replace(url, '#.*', ''), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^.*@', ''), ':[0-9]+$$', ''), '^www\\.', '') AS host,
+       |   CASE WHEN regexp_replace(regexp_extract(regexp_replace(url, '#.*', ''), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$$', '') = '' THEN '/'
+       |     ELSE regexp_replace(regexp_extract(regexp_replace(url, '#.*', ''), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$$', '') END AS path
+       |  FROM u),
+       | rhs AS (SELECT DISTINCT host FROM pg),
+       | rbg AS (SELECT host, CAST(coalesce(nullif(regexp_extract(host, '([0-9])', 1), ''), '7') AS INTEGER) AS g FROM rhs),
+       | rbx AS (SELECT host, $base ||
+       |   CASE WHEN g % 2 = 0 THEN $graftGrp ELSE '' END ||
+       |   CASE WHEN g = 3 THEN $stacked ELSE '' END ||
+       |   CASE WHEN g = 5 THEN $emptyGrp ELSE '' END AS robots FROM rbg),
+       | rsp AS (SELECT host, string_split(robots, chr(10)) AS lst FROM rbx),
+       | rln AS (SELECT host, UNNEST(range(1, len(lst) + 1)) AS i, lst FROM rsp),
+       | rfl AS (SELECT host, i - 1 AS ln, trim(lst[i]) AS line FROM rln
+       |   WHERE trim(lst[i]) <> '' AND NOT starts_with(trim(lst[i]), '#')),
+       | rkv AS (SELECT host, ln,
+       |   lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS key,
+       |   trim(regexp_extract(line, '^[^:]+:(.*)$$', 1)) AS value FROM rfl),
+       | rmk AS (SELECT *, (key = 'user-agent') AS is_ua FROM rkv
+       |   WHERE key IN ('user-agent', 'allow', 'disallow')),
+       | rlg AS (SELECT *, coalesce(lag(is_ua) OVER (PARTITION BY host ORDER BY ln), FALSE) AS prev_ua FROM rmk),
+       | rbl AS (SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END) OVER (PARTITION BY host ORDER BY ln) AS blk FROM rlg),
+       | rag AS (SELECT host, blk, lower(value) AS agent FROM rbl WHERE is_ua),
+       | rrl AS (SELECT host, blk, key AS directive, value AS prefix, ln FROM rbl WHERE NOT is_ua),
+       | rules AS (SELECT rrl.host AS host, agent, directive, prefix, rrl.ln AS ln
+       |   FROM rrl JOIN rag ON rrl.host = rag.host AND rrl.blk = rag.blk)""".stripMargin.replace("\n", "")
+  }
+
+  /** One agent's REP decision chain (suffix `$s` keeps the two agents'
+    * CTEs disjoint): group selection, empty-pattern drop, prefix match,
+    * longest-match/Allow-ties winner, no-match → allowed.
+    */
+  private def robotsDecisionSql(s: String, agent: String): String =
+    s""" hsp$s AS (SELECT DISTINCT host FROM rules WHERE agent = '$agent'),
+       | ch$s AS (SELECT r.host AS host, directive, prefix, ln FROM rules r
+       |   LEFT JOIN hsp$s h ON r.host = h.host
+       |   WHERE ((h.host IS NOT NULL AND r.agent = '$agent') OR (h.host IS NULL AND r.agent = '*'))
+       |     AND prefix <> ''),
+       | mt$s AS (SELECT doc_id, p.host AS host, path, directive, prefix, ln
+       |   FROM pg p JOIN ch$s c ON p.host = c.host AND starts_with(p.path, c.prefix)),
+       | wn$s AS (SELECT doc_id, directive, prefix FROM (
+       |   SELECT doc_id, directive, prefix, row_number() OVER (PARTITION BY doc_id
+       |     ORDER BY len(prefix) DESC, directive ASC, ln ASC) AS rn FROM mt$s) WHERE rn = 1),
+       | d$s AS (SELECT p.doc_id AS doc_id, '$agent' AS agent, p.host AS host, p.path AS path,
+       |   w.prefix AS matched_prefix, w.directive AS matched_directive,
+       |   coalesce(w.directive = 'allow', TRUE) AS allowed
+       |  FROM pg p LEFT JOIN wn$s w ON p.doc_id = w.doc_id)""".stripMargin.replace("\n", "")
 
   /** The PSL longest-suffix-match CASE, generated from the SAME committed
     * data file [[graft.operators.Web.pslSuffixes]] the Spark expression
@@ -9969,6 +10138,57 @@ object SparkEntry {
          |          array_to_string(l.labels[CAST(l.hl - w.pslab AS INTEGER):], '.')
          |        ELSE l.host END AS registrable
          | FROM lx l LEFT JOIN w USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // WARC parse: the construction restated — every row is a
+    // parse(serialize(x)) == x identity (field-for-field, octet lengths,
+    // payload md5), corrupt members absent from both sides
+    "q_warc_parse" -> ("WITH " + warcCtes +
+      """ SELECT doc_id, rec_pos, rec_type, target_uri, warc_date, content_length,
+        |   http_status, mime, block_octets, payload_md5 FROM (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS rec_pos, 'warcinfo' AS rec_type,
+        |    '' AS target_uri, wdate AS warc_date,
+        |    CAST(octet_length(encode(infob)) AS BIGINT) AS content_length,
+        |    CAST(NULL AS INTEGER) AS http_status, CAST(NULL AS VARCHAR) AS mime,
+        |    CAST(octet_length(encode(infob)) AS BIGINT) AS block_octets,
+        |    md5(infob) AS payload_md5 FROM wblk
+        |  UNION ALL
+        |  SELECT doc_id, CAST(2 AS BIGINT), 'request', url, wdate,
+        |    CAST(octet_length(encode(reqb)) AS BIGINT), CAST(NULL AS INTEGER),
+        |    CAST(NULL AS VARCHAR), CAST(octet_length(encode(reqb)) AS BIGINT),
+        |    md5(reqb) FROM wblk
+        |  UNION ALL
+        |  SELECT doc_id, CAST(3 AS BIGINT), 'response', url, wdate,
+        |    CAST(octet_length(encode(respb)) AS BIGINT),
+        |    CASE WHEN m = 0 THEN 404 WHEN m = 1 THEN 301 ELSE 200 END,
+        |    'text/html', CAST(octet_length(encode(respb)) AS BIGINT),
+        |    md5(rbody) FROM wblk
+        | ) ORDER BY doc_id, rec_pos""".stripMargin.replace("\n", "")),
+    // WARC pipeline: 200-responses only (m NOT IN (0,1), corrupt excluded
+    // by warcCtes), then the q_html_extract strip chain + the canonical
+    // URL chain over the SAME pages the response payloads carry
+    "q_warc_pipeline" -> ("WITH " + warcCtes + "," +
+      """ ws1 AS (SELECT doc_id, url, rbody AS html, regexp_replace(rbody, '(?s)<script.*?</script>', ' ', 'g') AS t FROM wblk WHERE m NOT IN (0, 1)),
+        | ws2 AS (SELECT doc_id, url, html, regexp_replace(t, '(?s)<style.*?</style>', ' ', 'g') AS t FROM ws1),
+        | ws3 AS (SELECT doc_id, url, html, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM ws2),
+        | ws4 AS (SELECT doc_id, url, html, replace(replace(replace(replace(replace(t,
+        |   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM ws3),
+        | wsrc AS (SELECT doc_id, '' AS text, url,
+        |   trim(regexp_replace(t, '\s+', ' ', 'g')) AS tc,
+        |   CAST(len(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS BIGINT) AS n_links
+        |  FROM ws4),""".stripMargin.replace("\n", "") +
+      canonChainSql("wsrc", extra = ", tc, n_links") +
+      " SELECT doc_id, domain, url_canon, n_links, md5(tc) AS text_md5" +
+      " FROM cn ORDER BY doc_id"),
+    // robots.txt: the REP rule table from the same relational parse
+    "q_robots_parse" -> ("WITH " + robotsCtes +
+      " SELECT host, agent, directive, prefix, CAST(ln AS BIGINT) AS ln" +
+      " FROM rules ORDER BY host, ln, agent"),
+    // ...and the two-agent decision table (group selection under the gate)
+    "q_robots_filter" -> ("WITH " + robotsCtes + "," +
+      robotsDecisionSql("1", "graftbot") + "," +
+      robotsDecisionSql("2", "otherbot") +
+      """ SELECT doc_id, agent, host, path, matched_prefix, matched_directive,
+        |  allowed FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+        | ORDER BY doc_id, agent""".stripMargin.replace("\n", "")),
     "q_media_decode" -> mediaDecodeSql,
     "q_jpeg_decode" -> jpegDecodeSql,
     "q_gif_decode" -> gifDecodeSql,

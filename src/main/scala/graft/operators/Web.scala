@@ -417,4 +417,295 @@ object Web {
       .otherwise(concat(lit("http://"), hostbase, lit(":8080"), art, lit("?id="), c))
     docs.withColumn("url", url)
   }
+
+  // ------------------------------------------------------------------
+  // WARC container front door (r15)
+  // ------------------------------------------------------------------
+
+  private val CRLF = "\r\n"
+
+  /** Deterministic WARC-Date for a doc id — ISO 8601 Zulu, the WARC 1.0
+    * mandatory format.
+    */
+  def warcDate(id: Column): Column =
+    format_string("2024-%02d-%02dT%02d:15:00Z",
+      (id % 12 + 1).cast(IntegerType), (id % 28 + 1).cast(IntegerType),
+      (id % 24).cast(IntegerType))
+
+  /** Deterministic WARC/1.0 fixture around (doc_id, url, html): a full
+    * three-record segment — warcinfo, request, response — with real WARC
+    * headers (WARC-Type / WARC-Target-URI / WARC-Record-ID / WARC-Date /
+    * Content-Type / Content-Length in octets), CRLF line discipline, the
+    * `headers CRLF CRLF block CRLF CRLF` record framing, and an HTTP
+    * response block (status line + headers + body) wrapping [[withHtml]]'s
+    * page. Status varies: `doc_id % 11 == 0` → 404 with an error body,
+    * `== 1` → 301 with a Location header and empty body, else 200 with the
+    * HTML page. One doc per 101 (`doc_id % 101 == 100`) serializes as an
+    * undecodable member (`corrupt-member:<id>` — the truncated-gzip-member
+    * shape of a real crawl dump) that [[warcRecords]] must yield ZERO
+    * records for. Pure string concatenation the oracle restates verbatim,
+    * making parse(serialize(x)) an identity gate in the codec-fixture
+    * style (cf. Multimodal's BMP/GIF oracles).
+    */
+  def withWarc(docsWithHtml: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val idStr = id.cast(StringType)
+    val c = (id % 100).cast(StringType)
+    val m = id % 11
+    val infoBody = concat(
+      lit("software: graft-crawler/1.0" + CRLF + "isPartOf: crawl-"),
+      (id % 10).cast(StringType), lit(CRLF))
+    val reqBody = concat(lit("GET "), col("url"),
+      lit(" HTTP/1.1" + CRLF + "User-Agent: graftbot/1.0" + CRLF))
+    val statusLine = when(m === 0, lit("404 Not Found"))
+      .when(m === 1, lit("301 Moved Permanently"))
+      .otherwise(lit("200 OK"))
+    val body = when(m === 0, lit("<html><body>Not Found</body></html>"))
+      .when(m === 1, lit(""))
+      .otherwise(col("html"))
+    val locHdr = when(m === 1,
+      concat(lit("Location: https://moved.example.net/p-"), c, lit(CRLF)))
+      .otherwise(lit(""))
+    val respBlock = concat(lit("HTTP/1.1 "), statusLine,
+      lit(CRLF + "Content-Type: text/html; charset=UTF-8" + CRLF),
+      locHdr, lit(CRLF), body)
+    val uriHdr = concat(lit("WARC-Target-URI: "), col("url"), lit(CRLF))
+    def rec(recType: String, n: Int, uri: Column, ctype: String, block: Column) =
+      concat(lit("WARC/1.0" + CRLF + "WARC-Type: " + recType + CRLF),
+        uri,
+        lit("WARC-Record-ID: <urn:graft:"), idStr, lit("-" + n + ">" + CRLF +
+          "WARC-Date: "), warcDate(id), lit(CRLF +
+          "Content-Type: " + ctype + CRLF +
+          "Content-Length: "), octet_length(block).cast(StringType),
+        lit(CRLF + CRLF), block, lit(CRLF + CRLF))
+    val seg = concat(
+      rec("warcinfo", 1, lit(""), "application/warc-fields", infoBody),
+      rec("request", 2, uriHdr, "application/http;msgtype=request", reqBody),
+      rec("response", 3, uriHdr, "application/http;msgtype=response", respBlock))
+    docsWithHtml.withColumn("warc",
+      when(id % 101 === 100, concat(lit("corrupt-member:"), idStr)).otherwise(seg))
+  }
+
+  /** Parse WARC segments into one row per record: split on the `WARC/1.0`
+    * record marker, cut each chunk at the first blank line into the WARC
+    * header block vs the content block, extract the named headers, and for
+    * `response` records additionally split the HTTP head from the payload
+    * body (status from the status line, mime from the HTTP Content-Type
+    * with its parameters dropped). Chunks without a `WARC-Type` header
+    * (corrupt/undecodable members) are dropped — a crawl dump's broken
+    * member must quarantine, not emit garbage rows.
+    *
+    * Spark shape: explode(split) then PER-ROW narrow string expressions —
+    * everything after the explode is whole-stage-codegen'd (the
+    * higher-order-lambda alternative would run interpreted; see the
+    * minhashSignatures precedent). At 100 TB this rides `binaryFile`/text
+    * scans at input speed: one segment per task row, no shuffle anywhere —
+    * record extraction is embarrassingly parallel and the downstream
+    * pipeline (HTML→text→quality→dedup) decides what shuffles.
+    *
+    * Emits: rec_pos (1-based record ordinal within the segment), rec_type,
+    * target_uri, warc_date, content_length (the header's claim),
+    * block_octets (the PARSED block's actual octet length — equal iff the
+    * framing round-trips), http_status, mime, payload.
+    */
+  def warcRecords(df: DataFrame, segCol: String): DataFrame = {
+    val rec2 = CRLF + CRLF
+    df.select(col("*"),
+        posexplode(split(col(segCol), "WARC/1\\.0\r\n")).as(Seq("rec_pos", "__chunk")))
+      .filter(length(col("__chunk")) > 0)
+      .withColumn("rec_type",
+        regexp_extract(col("__chunk"), "WARC-Type: ([^\r\n]+)", 1))
+      .filter(col("rec_type") =!= "")
+      .withColumn("__hdr", substring_index(col("__chunk"), rec2, 1))
+      .withColumn("target_uri",
+        regexp_extract(col("__hdr"), "WARC-Target-URI: ([^\r\n]+)", 1))
+      .withColumn("warc_date",
+        regexp_extract(col("__hdr"), "WARC-Date: ([^\r\n]+)", 1))
+      .withColumn("content_length",
+        regexp_extract(col("__hdr"), "Content-Length: ([0-9]+)", 1).cast(LongType))
+      .withColumn("__block", regexp_replace(
+        col("__chunk").substr(length(col("__hdr")) + lit(5), length(col("__chunk"))),
+        "\r\n\r\n$", ""))
+      .withColumn("block_octets", octet_length(col("__block")).cast(LongType))
+      .withColumn("__httpHdr",
+        when(col("rec_type") === "response", substring_index(col("__block"), rec2, 1))
+          .otherwise(lit("")))
+      .withColumn("http_status",
+        when(col("rec_type") === "response",
+          regexp_extract(col("__httpHdr"), "^HTTP/1\\.[01] ([0-9]{3})", 1)
+            .cast(IntegerType))
+          .otherwise(lit(null).cast(IntegerType)))
+      .withColumn("mime",
+        when(col("rec_type") === "response",
+          regexp_extract(col("__httpHdr"), "Content-Type: ([^;\r\n]+)", 1))
+          .otherwise(lit(null).cast(StringType)))
+      .withColumn("payload",
+        when(col("rec_type") === "response",
+          col("__block").substr(length(col("__httpHdr")) + lit(5), length(col("__block"))))
+          .otherwise(col("__block")))
+      .drop("__chunk", "__hdr", "__block", "__httpHdr")
+  }
+
+  // ------------------------------------------------------------------
+  // robots.txt compliance (r15)
+  // ------------------------------------------------------------------
+
+  /** Lowercased host of a URL (userinfo and port stripped, `www.` folded)
+    * — the robots-scope key, shared regex chain with [[canonicalize]].
+    */
+  def hostOf(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val hostPort = regexp_replace(
+      lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+      "^.*@", "")
+    regexp_replace(regexp_replace(hostPort, ":[0-9]+$", ""), "^www\\.", "")
+  }
+
+  /** Path of a URL with trailing slashes collapsed, empty → `/` — the
+    * robots match subject (the [[canonicalize]] path rule).
+    */
+  def pathOf(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val rawPath =
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val p1 = regexp_replace(rawPath, "/+$", "")
+    when(p1 === "", lit("/")).otherwise(p1)
+  }
+
+  /** Deterministic robots.txt fixture per host: a comment line, a `*`
+    * group exercising longest-match (`/articles/1` vs `/articles/12`) and
+    * the Allow-wins-tie rule (`/articles/3` both ways), an ignored
+    * `Crawl-delay`, and per-host variants keyed on the host's digit
+    * (news host → 7): even hosts add a `graftbot` group (`Disallow: /`
+    * overridden by `Allow: /articles/` — the classic partial-access
+    * pattern), host 3 adds a STACKED user-agent group (graftbot+newsbot
+    * sharing one rule block), host 5 adds an empty-Disallow group (REP:
+    * empty pattern matches nothing = allow all).
+    */
+  def robotsTxt(host: Column): Column = {
+    val g = coalesce(nullif(regexp_extract(host, "([0-9])", 1), lit("")), lit("7"))
+      .cast(IntegerType)
+    concat(
+      lit("# graft robots fixture\nUser-agent: *\nDisallow: /private/\n" +
+        "Allow: /private/ok/\nDisallow: /articles/1\nAllow: /articles/12\n" +
+        "Disallow: /articles/3\nAllow: /articles/3\nCrawl-delay: 5\n"),
+      when(g % 2 === 0,
+        lit("User-agent: graftbot\nDisallow: /\nAllow: /articles/\n"))
+        .otherwise(lit("")),
+      when(g === 3,
+        lit("User-agent: graftbot\nUser-agent: newsbot\nDisallow: /articles/2\n"))
+        .otherwise(lit("")),
+      when(g === 5, lit("User-agent: emptybot\nDisallow:\n")).otherwise(lit("")))
+  }
+
+  /** Parse robots.txt bodies into one rule row per (host, agent, rule):
+    * lines split and trimmed, comments/blanks dropped, `key: value` cut at
+    * the first colon, only `user-agent`/`allow`/`disallow` kept (REP:
+    * unknown directives like Crawl-delay are ignored by the access-control
+    * parser). Group assembly is the REP run rule — a run of consecutive
+    * User-agent lines opens a group owning every rule line until the next
+    * run — computed with one lag + running sum window per host, then rules
+    * join their group's agents (a stacked-UA group emits one row per
+    * agent).
+    *
+    * Scale: robots bodies are KBs per host; the window partitions by host
+    * (bounded partitions, no skew possible) and the output is a few rows
+    * per host — the canonical broadcast side of [[robotsDecisions]].
+    */
+  def robotsRules(df: DataFrame, hostCol: String, robotsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df.select(col(hostCol).as("host"),
+        posexplode(split(col(robotsCol), "\n")).as(Seq("ln", "line")))
+      .withColumn("line", trim(col("line")))
+      .filter(col("line") =!= "" && !col("line").startsWith("#"))
+      .withColumn("key", lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))))
+      .withColumn("value", trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)))
+      .filter(col("key").isin("user-agent", "allow", "disallow"))
+    val w = Window.partitionBy("host").orderBy("ln")
+    val marked = lines
+      .withColumn("is_ua", col("key") === "user-agent")
+      .withColumn("blk", sum(
+        when(col("is_ua") && !coalesce(lag(col("is_ua"), 1).over(w), lit(false)), 1)
+          .otherwise(0)).over(w))
+    val agents = marked.filter(col("is_ua"))
+      .select(col("host"), col("blk"), lower(col("value")).as("agent"))
+    marked.filter(!col("is_ua"))
+      .select(col("host"), col("blk"), col("key").as("directive"),
+        col("value").as("prefix"), col("ln"))
+      .join(agents, Seq("host", "blk"))
+      .select("host", "agent", "directive", "prefix", "ln")
+  }
+
+  /** Crawl-allowance decisions for `agent` over pages (doc_id, host, path):
+    * REP group selection first (a host that names the agent uses ONLY that
+    * group; otherwise the `*` group), empty rule patterns dropped (match
+    * nothing), then prefix match against the path with Google-REP
+    * precedence — longest matched pattern wins, Allow wins length ties —
+    * and no matching rule means allowed.
+    *
+    * Spark shape: the rules side is tiny (a few rows per host) and rides
+    * BROADCAST joins; the per-page fan-out is bounded by that host's rule
+    * count, and the winner window partitions by doc_id (bounded rows per
+    * page). At 100 TB: millions of hosts × ~10 rules still broadcasts at
+    * ~100 MB, else the same plan shuffle-joins on host — page rows never
+    * fan out beyond their own host's rules either way.
+    */
+  def robotsDecisions(pages: DataFrame, rules: DataFrame, agent: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hasSpec = rules.filter(col("agent") === agent)
+      .select("host").distinct().withColumn("has_spec", lit(true))
+    val chosen = rules.join(broadcast(hasSpec), Seq("host"), "left")
+      .withColumn("has_spec", coalesce(col("has_spec"), lit(false)))
+      .filter((col("has_spec") && col("agent") === agent) ||
+        (!col("has_spec") && col("agent") === "*"))
+      .filter(col("prefix") =!= "")
+      .select("host", "directive", "prefix", "ln")
+    val win = Window.partitionBy("doc_id")
+      .orderBy(length(col("prefix")).desc, col("directive").asc, col("ln").asc)
+    val winner = pages.join(broadcast(chosen), Seq("host"))
+      .filter(col("path").startsWith(col("prefix")))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("directive").as("matched_directive"),
+        col("prefix").as("matched_prefix"))
+    pages.join(winner, Seq("doc_id"), "left")
+      .withColumn("allowed",
+        coalesce(col("matched_directive") === "allow", lit(true)))
+  }
+
+  /** [[robotsDecisions]] for SEVERAL agents in ONE pass: pages explode per
+    * agent, group selection rides a per-host agent-set broadcast
+    * (`array_contains` instead of a per-agent semi-join), and one winner
+    * window partitions by (doc_id, agent). Identical decisions to the
+    * per-agent form; k agents cost one plan instead of k — the per-agent
+    * form rebuilds its broadcasts per call, which at local job-dispatch
+    * prices dominates the (tiny) actual work.
+    */
+  def robotsDecisionsFor(pages: DataFrame, rules: DataFrame,
+      agents: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pagesA = pages.withColumn("agent", explode(typedlit(agents)))
+    val present = rules.groupBy("host")
+      .agg(collect_set(col("agent")).as("__present"))
+    val withEff = pagesA.join(broadcast(present), Seq("host"), "left")
+      .withColumn("__eff",
+        when(array_contains(coalesce(col("__present"), typedlit(Seq.empty[String])),
+          col("agent")), col("agent")).otherwise(lit("*")))
+      .drop("__present")
+    val rulesB = rules.filter(col("prefix") =!= "")
+      .withColumnRenamed("agent", "__ragent")
+    val matches = withEff.join(broadcast(rulesB), Seq("host"))
+      .filter(col("__ragent") === col("__eff") &&
+        col("path").startsWith(col("prefix")))
+    val win = Window.partitionBy("doc_id", "agent")
+      .orderBy(length(col("prefix")).desc, col("directive").asc, col("ln").asc)
+    val winner = matches.withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("agent"),
+        col("directive").as("matched_directive"),
+        col("prefix").as("matched_prefix"))
+    pagesA.join(winner, Seq("doc_id", "agent"), "left")
+      .withColumn("allowed",
+        coalesce(col("matched_directive") === "allow", lit(true)))
+  }
 }

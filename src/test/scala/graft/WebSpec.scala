@@ -194,4 +194,109 @@ class WebSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should not include "Exchange"
   }
+
+  // --- WARC container (r15) ---
+
+  private def warcFixture(ids: Long*) = Web.withWarc(
+    ids.map(i => (i, s"https://site.example.com/articles/$i",
+      s"<html><body>page $i</body></html>")).toDF("doc_id", "url", "html"))
+
+  test("warc round-trip: serialize then parse yields the three records with exact framing") {
+    val recs = rows(Web.warcRecords(warcFixture(5L), "warc")
+      .select("rec_pos", "rec_type", "target_uri", "content_length", "block_octets",
+        "http_status", "mime", "payload").orderBy("rec_pos"))
+    recs.map(_.getString(1)) shouldBe Seq("warcinfo", "request", "response")
+    recs.foreach(r => r.getLong(3) shouldBe r.getLong(4)) // Content-Length == parsed block octets
+    recs(0).getString(2) shouldBe ""
+    recs(1).getString(2) shouldBe "https://site.example.com/articles/5"
+    recs(1).getString(7) should startWith("GET https://site.example.com/articles/5 HTTP/1.1")
+    recs(2).getInt(5) shouldBe 200
+    recs(2).getString(6) shouldBe "text/html"
+    recs(2).getString(7) shouldBe "<html><body>page 5</body></html>"
+  }
+
+  test("warc status arms: 404 error body, 301 empty payload with Location in head only") {
+    val recs = rows(Web.warcRecords(warcFixture(0L, 1L), "warc")
+      .filter(col("rec_type") === "response")
+      .select("doc_id", "http_status", "payload").orderBy("doc_id"))
+    recs(0).getInt(1) shouldBe 404
+    recs(0).getString(2) shouldBe "<html><body>Not Found</body></html>"
+    recs(1).getInt(1) shouldBe 301
+    recs(1).getString(2) shouldBe ""
+  }
+
+  test("warc corrupt member yields ZERO records, never garbage rows") {
+    rows(Web.warcRecords(warcFixture(100L), "warc")) shouldBe empty
+  }
+
+  // --- robots.txt (r15) ---
+
+  private def robotsRulesOf(hosts: String*) = Web.robotsRules(
+    hosts.toDF("host").withColumn("robots", Web.robotsTxt(col("host"))),
+    "host", "robots")
+
+  test("robots parse: unknown directives drop, stacked UA group fans to both agents") {
+    val r = rows(robotsRulesOf("site3.example-3.com")
+      .select("agent", "directive", "prefix").orderBy("agent", "prefix"))
+    r.map(_.getString(0)).distinct.sorted shouldBe Seq("*", "graftbot", "newsbot")
+    // the stacked group's single rule appears once per agent
+    r.filter(x => x.getString(0) != "*").map(x => (x.getString(1), x.getString(2))) shouldBe
+      Seq(("disallow", "/articles/2"), ("disallow", "/articles/2"))
+    r.map(_.getString(1)) should not contain "crawl-delay"
+  }
+
+  test("robots decisions: longest match, Allow-wins-tie, no-match allows") {
+    val pages = Seq((10L, "/articles/15"), (12L, "/articles/12"), (30L, "/articles/30"),
+      (50L, "/articles/55"), (77L, "/private/ok/x"), (78L, "/private/x"))
+      .map { case (id, p) => (id, "news.example.co.uk", p) }
+      .toDF("doc_id", "host", "path")
+    val d = rows(Web.robotsDecisions(pages, robotsRulesOf("news.example.co.uk"), "otherbot")
+      .select("doc_id", "allowed").orderBy("doc_id"))
+    d.map(r => r.getLong(0) -> r.getBoolean(1)).toMap shouldBe Map(
+      10L -> false, // Disallow /articles/1
+      12L -> true,  // Allow /articles/12 longer than Disallow /articles/1
+      30L -> true,  // tie /articles/3 both ways → Allow wins
+      50L -> true,  // no matching rule
+      77L -> true,  // Allow /private/ok/ beats Disallow /private/
+      78L -> false)
+  }
+
+  test("robots group selection: a host naming the agent uses ONLY that group") {
+    val pages = Seq((1L, "site2.example-2.com", "/articles/15"),
+      (2L, "site2.example-2.com", "/other/x")).toDF("doc_id", "host", "path")
+    val rules = robotsRulesOf("site2.example-2.com")
+    val g = rows(Web.robotsDecisions(pages, rules, "graftbot")
+      .select("doc_id", "allowed").orderBy("doc_id"))
+    // graftbot group: Disallow / overridden by Allow /articles/ — the *
+    // group's /articles/1 disallow must NOT leak in
+    g.map(r => r.getLong(0) -> r.getBoolean(1)).toMap shouldBe Map(1L -> true, 2L -> false)
+    val o = rows(Web.robotsDecisions(pages, rules, "otherbot")
+      .select("doc_id", "allowed").orderBy("doc_id"))
+    o.map(r => r.getLong(0) -> r.getBoolean(1)).toMap shouldBe Map(1L -> false, 2L -> true)
+  }
+
+  test("robotsDecisionsFor: one-pass multi-agent form equals the per-agent form") {
+    val pages = Seq((1L, "site2.example-2.com", "/articles/15"),
+      (2L, "site2.example-2.com", "/other/x"),
+      (3L, "news.example.co.uk", "/articles/15"),
+      (4L, "site3.example-3.com", "/articles/25")).toDF("doc_id", "host", "path")
+    val rules = robotsRulesOf("site2.example-2.com", "news.example.co.uk",
+      "site3.example-3.com")
+    val agents = Seq("graftbot", "otherbot")
+    val fused = rows(Web.robotsDecisionsFor(pages, rules, agents)
+      .select("doc_id", "agent", "matched_prefix", "matched_directive", "allowed")
+      .orderBy("doc_id", "agent"))
+    val perAgent = agents.map(a =>
+      Web.robotsDecisions(pages, rules, a).withColumn("agent", lit(a)))
+      .reduce(_ unionByName _)
+    rows(perAgent.select("doc_id", "agent", "matched_prefix", "matched_directive",
+      "allowed").orderBy("doc_id", "agent")) shouldBe fused
+  }
+
+  test("robots empty Disallow matches nothing: emptybot gets full access") {
+    val pages = Seq((1L, "site5.example-5.com", "/articles/15"))
+      .toDF("doc_id", "host", "path")
+    rows(Web.robotsDecisions(pages, robotsRulesOf("site5.example-5.com"), "emptybot")
+      .select("allowed")).head.getBoolean(0) shouldBe true
+  }
 }
