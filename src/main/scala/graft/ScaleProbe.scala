@@ -954,6 +954,27 @@ object ScaleProbe {
               f"wall ${(System.nanoTime() - t0) / 1e9}%7.1f s"))
         picks.length.toLong
       }
+      time("warc_front_door") {
+        // r15 — the WARC container front door at replication: serialize
+        // every doc as a three-record WARC/1.0 segment, parse records, keep
+        // 200-responses, strip HTML, canonicalize the target URI. The whole
+        // chain is narrow (explode + codegen'd string ops): the pass signal
+        // is wall ∝ bytes parsed with the shuffle delta at ~0 MiB — any
+        // nonzero shuffle here means the front door stopped being a
+        // scan-speed map and would bottleneck a 100 TB crawl read.
+        val W = graft.operators.Web
+        val w = W.withWarc(W.withHtml(W.withUrls(docs)))
+        val segMiB = w.agg(sum(octet_length(col("warc")))).head().getLong(0) / 1048576.0
+        val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
+          .filter(col("rec_type") === "response" && col("http_status") === 200)
+        val curated = W.canonicalize(
+          recs.select(col("doc_id"), col("target_uri").as("url"),
+            W.htmlToText(col("payload")).as("tc")), "url")
+        val r = curated.agg(count(lit(1)).as("n"),
+          sum(length(col("tc"))), sum(length(col("surt")))).head()
+        println(f"[scale-warc] segments=$segMiB%.1f MiB serialized+parsed")
+        r.getLong(0)
+      }
       locally {
         // r15 (verdict ask #6) — streaming DEDUP-FIRST composition vs the
         // direct band probe under REPLICATED ARRIVALS: the k×-replicated

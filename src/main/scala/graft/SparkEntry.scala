@@ -5935,6 +5935,80 @@ object SparkEntry {
           col("matched_prefix"), col("matched_directive"), col("allowed"))
         .orderBy("doc_id", "agent")
     }),
+    // THE CRAWL CURATION FUNNEL (r15): the complete front door composed —
+    // WARC records → HTTP-200 → robots-allowed (graftbot) → declared-lang
+    // filter → min-length gate on the EXTRACTED text → SURT-unique — with
+    // per-registrable-domain counts at every stage plus kept tokens. One
+    // plan: the narrow parse/strip/canonicalize chain, two tiny broadcast
+    // joins (robots rules, doc language), ONE window (SURT survivor) and
+    // ONE aggregation — stage flags are conjunctions computed per row, so
+    // the funnel costs one pass regardless of how many stages report.
+    "q_crawl_curation" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
+        .filter(col("rec_type") === "response")
+        .select(col("doc_id"), col("target_uri").as("url"), col("payload"),
+          col("http_status"))
+      val canon = W.canonicalize(recs, "url")
+      // robots decisions run on the FRONTIER (the pre-fetch request URL),
+      // as a real crawler does — and keeping the decision subplan off the
+      // parsed-container frame means the expensive parse chain is computed
+      // exactly ONCE (the broadcast builds below would otherwise re-run it
+      // per build)
+      val frontier = W.withUrls(documents(s, dir))
+        .select(col("doc_id"), W.hostOf(col("url")).as("host"),
+          W.pathOf(col("url")).as("path"))
+      val hosts = frontier.select("host").distinct()
+      val rules = W.robotsRules(
+        hosts.withColumn("robots", W.robotsTxt(col("host"))), "host", "robots")
+      val dec = W.robotsDecisionsFor(frontier, rules, Seq("graftbot"))
+        .select(col("doc_id"), col("allowed"))
+      val lang = documents(s, dir).select(col("doc_id"), col("lang"))
+      val staged = canon
+        .join(broadcast(dec), Seq("doc_id"))
+        .join(broadcast(lang), Seq("doc_id"))
+        .withColumn("is200", col("http_status") === 200)
+        .withColumn("tc", W.htmlToText(col("payload")))
+        .withColumn("toks", TextAnalysis.wsTokens(col("tc")).cast(LongType))
+        .withColumn("elig", col("is200") && col("allowed") &&
+          col("lang") === "en" && col("toks") >= 50)
+        .withColumn("surv", col("elig") && col("doc_id") ===
+          min(when(col("elig"), col("doc_id"))).over(Window.partitionBy("surt")))
+      staged.groupBy("domain").agg(
+        count(lit(1)).as("n_responses"),
+        sum(col("is200").cast(LongType)).as("n_200"),
+        sum((col("is200") && col("allowed")).cast(LongType)).as("n_allowed"),
+        sum((col("is200") && col("allowed") && col("lang") === "en")
+          .cast(LongType)).as("n_en"),
+        sum(col("elig").cast(LongType)).as("n_kept"),
+        sum(col("surv").cast(LongType)).as("n_unique"),
+        sum(when(col("surv"), col("toks")).otherwise(lit(0L))).as("tokens_kept"))
+        .orderBy("domain")
+    }),
+    // streaming twin of the WARC front door: segments arrive on a stream
+    // and parse per micro-batch — the record extraction is STATELESS
+    // (explode + narrow string ops, no watermark, no state store), so the
+    // drained Append-mode sink must equal the batch parse row-for-row;
+    // corrupt members quarantine in-stream exactly as in batch.
+    "q_stream_warc" -> ((s, dir) => {
+      tune(s)
+      streamResult(s, dir, "warc") {
+        withStreamConf(s) {
+          val docsSchema = table(s, dir, "documents").schema
+          val stream = s.readStream.schema(docsSchema)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          val W = graft.operators.Web
+          val w = W.withWarc(W.withHtml(W.withUrls(stream)))
+          val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
+            .select(col("doc_id"), col("rec_pos").cast(LongType).as("rec_pos"),
+              col("rec_type"), col("http_status"), col("content_length"),
+              col("block_octets"))
+          graft.streaming.Streaming.runToMemory(s, recs, "stream_warc",
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        }
+      }.orderBy("doc_id", "rec_pos")
+    }),
 
     // --- sources (SURVEY §2.1; rows-only — fixture inputs, not sfDir tables)
     "q_csv_stock_autodetect" -> ((s, _) =>
@@ -6750,7 +6824,14 @@ object SparkEntry {
     * CTEs `pg` (doc_id, host, path) and `rules` (host, agent, directive,
     * prefix, ln).
     */
-  private def robotsCtes: String = {
+  private def robotsCtes: String = urlFixtureCte + "," + robotsParseCtes
+
+  /** The robots CTE chain from the page frame onward (`pg` … `rules`) —
+    * factored out so the crawl-curation dual can compose it with
+    * [[warcCtes]] (which already carries the `u` URL fixture) without
+    * redefining `u`.
+    */
+  private def robotsParseCtes: String = {
     def lines(ls: Seq[String]) = ls.map(l => s"'$l'").mkString(" || chr(10) || ") +
       " || chr(10)"
     val base = lines(Seq("# graft robots fixture", "User-agent: *",
@@ -6761,7 +6842,6 @@ object SparkEntry {
     val stacked = lines(Seq("User-agent: graftbot", "User-agent: newsbot",
       "Disallow: /articles/2"))
     val emptyGrp = lines(Seq("User-agent: emptybot", "Disallow:"))
-    urlFixtureCte + "," +
     s""" pg AS (SELECT doc_id,
        |   regexp_replace(regexp_replace(regexp_replace(lower(regexp_extract(regexp_replace(url, '#.*', ''), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^.*@', ''), ':[0-9]+$$', ''), '^www\\.', '') AS host,
        |   CASE WHEN regexp_replace(regexp_extract(regexp_replace(url, '#.*', ''), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$$', '') = '' THEN '/'
@@ -10189,6 +10269,51 @@ object SparkEntry {
       """ SELECT doc_id, agent, host, path, matched_prefix, matched_directive,
         |  allowed FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
         | ORDER BY doc_id, agent""".stripMargin.replace("\n", "")),
+    // the crawl funnel: WARC construction + robots decisions + strip chain
+    // + canonical chain composed, stage conjunctions aggregated per domain
+    "q_crawl_curation" -> ("WITH " + warcCtes + "," + robotsParseCtes + "," +
+      robotsDecisionSql("1", "graftbot") + "," +
+      """ cs1 AS (SELECT doc_id, url, m, regexp_replace(rbody, '(?s)<script.*?</script>', ' ', 'g') AS t FROM wblk),
+        | cs2 AS (SELECT doc_id, url, m, regexp_replace(t, '(?s)<style.*?</style>', ' ', 'g') AS t FROM cs1),
+        | cs3 AS (SELECT doc_id, url, m, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM cs2),
+        | cs4 AS (SELECT doc_id, url, m, replace(replace(replace(replace(replace(t,
+        |   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM cs3),
+        | csrc AS (SELECT doc_id, '' AS text, url, m,
+        |   trim(regexp_replace(t, '\s+', ' ', 'g')) AS tc FROM cs4),""".stripMargin.replace("\n", "") +
+      canonChainSql("csrc", extra = ", m, tc") + "," +
+      """ cfd AS (SELECT cn.doc_id AS doc_id, domain, surt, m,
+        |   CAST(len(list_filter(string_split_regex(tc, '\s+'), w -> len(w) > 0)) AS BIGINT) AS toks,
+        |   (m NOT IN (0, 1)) AS is200, d1.allowed AS allowed, dd.lang AS lang
+        |  FROM cn JOIN d1 ON cn.doc_id = d1.doc_id JOIN documents dd ON cn.doc_id = dd.doc_id),
+        | cfe AS (SELECT *, (is200 AND allowed AND lang = 'en' AND toks >= 50) AS elig FROM cfd),
+        | cfs AS (SELECT *, (elig AND doc_id = min(CASE WHEN elig THEN doc_id END) OVER (PARTITION BY surt)) AS surv FROM cfe)
+        | SELECT domain, CAST(count(*) AS BIGINT) AS n_responses,
+        |   CAST(sum(CASE WHEN is200 THEN 1 ELSE 0 END) AS BIGINT) AS n_200,
+        |   CAST(sum(CASE WHEN is200 AND allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+        |   CAST(sum(CASE WHEN is200 AND allowed AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |   CAST(sum(CASE WHEN elig THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |   CAST(sum(CASE WHEN surv THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |   CAST(sum(CASE WHEN surv THEN toks ELSE 0 END) AS BIGINT) AS tokens_kept
+        | FROM cfs GROUP BY domain ORDER BY domain""".stripMargin.replace("\n", "")),
+    // streaming WARC parse: stateless per-batch extraction — the drained
+    // sink equals the batch construction restatement
+    "q_stream_warc" -> ("WITH " + warcCtes +
+      """ SELECT doc_id, rec_pos, rec_type, http_status, content_length,
+        |   block_octets FROM (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS rec_pos, 'warcinfo' AS rec_type,
+        |    CAST(NULL AS INTEGER) AS http_status,
+        |    CAST(octet_length(encode(infob)) AS BIGINT) AS content_length,
+        |    CAST(octet_length(encode(infob)) AS BIGINT) AS block_octets FROM wblk
+        |  UNION ALL
+        |  SELECT doc_id, CAST(2 AS BIGINT), 'request', CAST(NULL AS INTEGER),
+        |    CAST(octet_length(encode(reqb)) AS BIGINT),
+        |    CAST(octet_length(encode(reqb)) AS BIGINT) FROM wblk
+        |  UNION ALL
+        |  SELECT doc_id, CAST(3 AS BIGINT), 'response',
+        |    CASE WHEN m = 0 THEN 404 WHEN m = 1 THEN 301 ELSE 200 END,
+        |    CAST(octet_length(encode(respb)) AS BIGINT),
+        |    CAST(octet_length(encode(respb)) AS BIGINT) FROM wblk
+        | ) ORDER BY doc_id, rec_pos""".stripMargin.replace("\n", "")),
     "q_media_decode" -> mediaDecodeSql,
     "q_jpeg_decode" -> jpegDecodeSql,
     "q_gif_decode" -> gifDecodeSql,
