@@ -160,6 +160,12 @@ object ScaleProbe {
       sp.unpersist(blocking = false)
       leakedGroups + leakedPairs
     }
+    // force the shared truth OUTSIDE any timed window (r15 review: the lazy
+    // val's first access was inside split_decisions_direct's time() block,
+    // so the direct probe was billed for the composed miner's build)
+    if (only.forall(s => s.contains("split_decisions_direct") ||
+        s.contains("split_decisions_composed")))
+      decisionTruth.count()
     time("split_decisions_direct") {
       val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 5,
         threshold = 0.3, maxDocFreq = 100L)
@@ -975,7 +981,12 @@ object ScaleProbe {
         println(f"[scale-warc] segments=$segMiB%.1f MiB serialized+parsed")
         r.getLong(0)
       }
-      locally {
+      // gated on the allowlist BEFORE the landing (r15 review: the
+      // global-sort ntile + 8 coalesced parquet writes ran even when
+      // neither stream-minhash probe was selected, taxing unrelated
+      // GRAFT_PROBE_ONLY deep-k runs with minutes of landing I/O)
+      if (only.forall(s => s.contains("stream_minhash_direct") ||
+          s.contains("stream_minhash_composed"))) locally {
         // r15 (verdict ask #6) — streaming DEDUP-FIRST composition vs the
         // direct band probe under REPLICATED ARRIVALS: the k×-replicated
         // corpus lands as 8 id-ordered tiers and drains through both
@@ -994,24 +1005,16 @@ object ScaleProbe {
           ntile(8).over(Window.orderBy(col("doc_id"))))
         graft.streaming.Streaming.landOrdered(landDir,
           (1 to 8).map(t => tiered.filter(col("__tier") === t).select("doc_id", "text")))
-        var directPairs = 0L
+        var directPairs = -1L // -1 = direct probe not selected this run
         time("stream_minhash_direct") {
-          // empty base index: the stream IS the corpus (day-0 ingest shape)
-          val emptyBands = docs.sparkSession.createDataFrame(
-            docs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
-              org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType))))
-          val emptySets = docs.sparkSession.createDataFrame(
-            docs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("sh",
-                org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)))))
+          // empty base index: the stream IS the corpus (day-0 ingest
+          // shape); schemas come from Streaming's own constructors so the
+          // probe can't drift from the operator's index layout (r15 review)
           directPairs = graft.streaming.Streaming.incrementalLshApply(
             docs.sparkSession, landDir.toString, "*.parquet", lit(true),
-            emptyBands, emptySets, "text", "doc_id",
+            graft.streaming.Streaming.emptyBandIndex(docs.sparkSession),
+            graft.streaming.Streaming.emptyShingleSetIndex(docs.sparkSession),
+            "text", "doc_id",
             shingleN = 5, k = 64, bands = 32, threshold = 0.5).count()
           directPairs
         }
@@ -1020,9 +1023,13 @@ object ScaleProbe {
               docs.sparkSession, landDir.toString, "text", "doc_id",
               shingleN = 5, k = 64, bands = 32, threshold = 0.5)
             .agg(coalesce(sum(col("n_pairs")), lit(0L))).head().getLong(0)
-          println(s"[scale-stream-mhdd] direct physical pairs=$directPairs " +
-            s"composed logical pairs=$logical " +
-            s"(must be equal — the composition invariant under streaming)")
+          if (directPairs >= 0)
+            println(s"[scale-stream-mhdd] direct physical pairs=$directPairs " +
+              s"composed logical pairs=$logical " +
+              s"(must be equal — the composition invariant under streaming)")
+          else
+            println(s"[scale-stream-mhdd] composed logical pairs=$logical " +
+              s"(direct arm not selected — no equality check this run)")
           logical
         }
       }

@@ -6837,7 +6837,7 @@ object SparkEntry {
     val base = lines(Seq("# graft robots fixture", "User-agent: *",
       "Disallow: /private/", "Allow: /private/ok/", "Disallow: /articles/1",
       "Allow: /articles/12", "Disallow: /articles/3", "Allow: /articles/3",
-      "Crawl-delay: 5"))
+      "Disallow: /articles/*4", "Disallow: /articles/7$", "Crawl-delay: 5"))
     val graftGrp = lines(Seq("User-agent: graftbot", "Disallow: /", "Allow: /articles/"))
     val stacked = lines(Seq("User-agent: graftbot", "User-agent: newsbot",
       "Disallow: /articles/2"))
@@ -6870,8 +6870,24 @@ object SparkEntry {
        |   FROM rrl JOIN rag ON rrl.host = rag.host AND rrl.blk = rag.blk)""".stripMargin.replace("\n", "")
   }
 
+  /** [[graft.operators.Web.robotsPathMatches]] restated: same metachar
+    * detection, same trailing-`$` cut, same escape list in the same order,
+    * `*` → `.*` last — the translated regex is RE2∩Java-safe by
+    * construction.
+    */
+  private def robotsMatchSql(path: String, prefix: String): String = {
+    val chars = Seq("\\", ".", "+", "?", "(", ")", "[", "]", "{", "}", "|", "^", "$")
+    val body = s"(CASE WHEN ends_with($prefix, '$$') THEN left($prefix, len($prefix) - 1) ELSE $prefix END)"
+    val esc = chars.foldLeft(body)((acc, ch) => s"replace($acc, '$ch', '\\$ch')")
+    s"(CASE WHEN contains($prefix, '*') OR ends_with($prefix, '$$')" +
+      s" THEN regexp_matches($path, '^' || replace($esc, '*', '.*') ||" +
+      s" (CASE WHEN ends_with($prefix, '$$') THEN '$$' ELSE '' END))" +
+      s" ELSE starts_with($path, $prefix) END)"
+  }
+
   /** One agent's REP decision chain (suffix `$s` keeps the two agents'
-    * CTEs disjoint): group selection, empty-pattern drop, prefix match,
+    * CTEs disjoint): group selection, empty-pattern drop, RFC 9309 pattern
+    * match (`*`/trailing-`$`; literal fast path),
     * longest-match/Allow-ties winner, no-match → allowed.
     */
   private def robotsDecisionSql(s: String, agent: String): String =
@@ -6881,7 +6897,7 @@ object SparkEntry {
        |   WHERE ((h.host IS NOT NULL AND r.agent = '$agent') OR (h.host IS NULL AND r.agent = '*'))
        |     AND prefix <> ''),
        | mt$s AS (SELECT doc_id, p.host AS host, path, directive, prefix, ln
-       |   FROM pg p JOIN ch$s c ON p.host = c.host AND starts_with(p.path, c.prefix)),
+       |   FROM pg p JOIN ch$s c ON p.host = c.host AND ${robotsMatchSql("p.path", "c.prefix")}),
        | wn$s AS (SELECT doc_id, directive, prefix FROM (
        |   SELECT doc_id, directive, prefix, row_number() OVER (PARTITION BY doc_id
        |     ORDER BY len(prefix) DESC, directive ASC, ln ASC) AS rn FROM mt$s) WHERE rn = 1),

@@ -226,18 +226,12 @@ object Web {
     // NULL keys instead of collapsing onto one `://…` bucket downstream.
     val noFrag = regexp_replace(col(urlCol), "#.*", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostPort = regexp_replace(
-      lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
-      "^.*@", "")
-    val rawPath = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val hostPort = rawHostPort(noFrag)
     val rawQuery = regexp_extract(noFrag, "\\?([^#]*)", 1)
     df.withColumn("__scheme", scheme)
-      .withColumn("__host", regexp_replace(regexp_replace(hostPort, ":[0-9]+$", ""), "^www\\.", ""))
+      .withColumn("__host", normalizedHost(noFrag))
       .withColumn("__port", regexp_extract(hostPort, ":([0-9]+)$", 1))
-      .withColumn("__path", {
-        val p1 = regexp_replace(rawPath, "/+$", "")
-        when(p1 === "", lit("/")).otherwise(p1)
-      })
+      .withColumn("__path", collapsedPath(noFrag))
       .withColumn("__qs", {
         // drop empties + tracking params, then sort for order stability —
         // sorting the whole "k=v" strings sorts by key then value
@@ -551,36 +545,74 @@ object Web {
   // ------------------------------------------------------------------
 
   /** Lowercased host of a URL (userinfo and port stripped, `www.` folded)
-    * — the robots-scope key, shared regex chain with [[canonicalize]].
+    * — the robots-scope key, the SAME chain [[canonicalize]] uses (both
+    * call [[normalizedHost]], so a hardening applied to one can never
+    * silently diverge the robots scope from the canonical-URL host).
     */
-  def hostOf(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*", "")
-    val hostPort = regexp_replace(
-      lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
-      "^.*@", "")
-    regexp_replace(regexp_replace(hostPort, ":[0-9]+$", ""), "^www\\.", "")
-  }
+  def hostOf(url: Column): Column =
+    normalizedHost(regexp_replace(url, "#.*", ""))
 
   /** Path of a URL with trailing slashes collapsed, empty → `/` — the
-    * robots match subject (the [[canonicalize]] path rule).
+    * robots match subject, shared with [[canonicalize]] via
+    * [[collapsedPath]].
     */
-  def pathOf(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*", "")
+  def pathOf(url: Column): Column =
+    collapsedPath(regexp_replace(url, "#.*", ""))
+
+  /** userinfo-stripped, lowercased `host[:port]` of a fragment-free URL —
+    * the single definition both [[canonicalize]] and [[hostOf]] build on
+    * (greedy `^.*@`: RFC 3986, the LAST `@` of the authority ends
+    * userinfo).
+    */
+  private def rawHostPort(noFrag: Column): Column = regexp_replace(
+    lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+    "^.*@", "")
+
+  /** Port and `www.` stripped from [[rawHostPort]]. */
+  private def normalizedHost(noFrag: Column): Column =
+    regexp_replace(regexp_replace(rawHostPort(noFrag), ":[0-9]+$", ""),
+      "^www\\.", "")
+
+  /** Path of a fragment-free URL, trailing slashes collapsed, empty → `/`. */
+  private def collapsedPath(noFrag: Column): Column = {
     val rawPath =
       regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     val p1 = regexp_replace(rawPath, "/+$", "")
     when(p1 === "", lit("/")).otherwise(p1)
   }
 
+  /** RFC 9309 §2.2.3 path-pattern match: `*` matches any octet sequence
+    * and a TRAILING `$` anchors the end of the path; all other characters
+    * are literal (an inner `$` is literal). Patterns without
+    * metacharacters take the codegen'd `startsWith` fast path; pattern
+    * rows carrying `*`/`$` translate to an anchored regex per row
+    * (regex-escaped literals, `*` → `.*` — the translation produces only
+    * RE2∩Java-safe constructs, so the DuckDB dual restates it verbatim).
+    */
+  def robotsPathMatches(path: Column, pattern: Column): Column = {
+    val anchored = pattern.endsWith("$")
+    val body = when(anchored, pattern.substr(lit(1), length(pattern) - 1))
+      .otherwise(pattern)
+    val esc = Seq("\\", ".", "+", "?", "(", ")", "[", "]", "{", "}", "|", "^", "$")
+      .foldLeft(body)((c, ch) => replace(c, lit(ch), lit("\\" + ch)))
+    val re = concat(lit("^"), replace(esc, lit("*"), lit(".*")),
+      when(anchored, lit("$")).otherwise(lit("")))
+    when(pattern.contains("*") || anchored, regexp_like(path, re))
+      .otherwise(path.startsWith(pattern))
+  }
+
   /** Deterministic robots.txt fixture per host: a comment line, a `*`
-    * group exercising longest-match (`/articles/1` vs `/articles/12`) and
-    * the Allow-wins-tie rule (`/articles/3` both ways), an ignored
-    * `Crawl-delay`, and per-host variants keyed on the host's digit
-    * (news host → 7): even hosts add a `graftbot` group (`Disallow: /`
-    * overridden by `Allow: /articles/` — the classic partial-access
-    * pattern), host 3 adds a STACKED user-agent group (graftbot+newsbot
-    * sharing one rule block), host 5 adds an empty-Disallow group (REP:
-    * empty pattern matches nothing = allow all).
+    * group exercising longest-match (`/articles/1` vs `/articles/12`),
+    * the Allow-wins-tie rule (`/articles/3` both ways), an RFC 9309
+    * wildcard pattern (star-4 after the articles prefix) and an
+    * end-anchored one (`/articles/7` + `$`),
+    * an ignored `Crawl-delay`, and per-host variants keyed on the host's
+    * digit (news host → 7): even hosts add a `graftbot` group
+    * (`Disallow: /` overridden by `Allow: /articles/` — the classic
+    * partial-access pattern), host 3 adds a STACKED user-agent group
+    * (graftbot+newsbot sharing one rule block), host 5 adds an
+    * empty-Disallow group (REP: empty pattern matches nothing = allow
+    * all).
     */
   def robotsTxt(host: Column): Column = {
     val g = coalesce(nullif(regexp_extract(host, "([0-9])", 1), lit("")), lit("7"))
@@ -588,7 +620,8 @@ object Web {
     concat(
       lit("# graft robots fixture\nUser-agent: *\nDisallow: /private/\n" +
         "Allow: /private/ok/\nDisallow: /articles/1\nAllow: /articles/12\n" +
-        "Disallow: /articles/3\nAllow: /articles/3\nCrawl-delay: 5\n"),
+        "Disallow: /articles/3\nAllow: /articles/3\n" +
+        "Disallow: /articles/*4\nDisallow: /articles/7$\nCrawl-delay: 5\n"),
       when(g % 2 === 0,
         lit("User-agent: graftbot\nDisallow: /\nAllow: /articles/\n"))
         .otherwise(lit("")),
@@ -606,7 +639,10 @@ object Web {
     * User-agent lines opens a group owning every rule line until the next
     * run — computed with one lag + running sum window per host, then rules
     * join their group's agents (a stacked-UA group emits one row per
-    * agent).
+    * agent). Unknown directives are TRANSPARENT to run detection (two
+    * User-agent lines separated only by a Crawl-delay still stack into one
+    * group) — the google/robotstxt reference parser's behavior, where only
+    * allow/disallow rules terminate a user-agent run; pinned by spec.
     *
     * Scale: robots bodies are KBs per host; the window partitions by host
     * (bounded partitions, no skew possible) and the output is a few rows
@@ -663,7 +699,7 @@ object Web {
     val win = Window.partitionBy("doc_id")
       .orderBy(length(col("prefix")).desc, col("directive").asc, col("ln").asc)
     val winner = pages.join(broadcast(chosen), Seq("host"))
-      .filter(col("path").startsWith(col("prefix")))
+      .filter(robotsPathMatches(col("path"), col("prefix")))
       .withColumn("rn", row_number().over(win))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("directive").as("matched_directive"),
@@ -696,7 +732,7 @@ object Web {
       .withColumnRenamed("agent", "__ragent")
     val matches = withEff.join(broadcast(rulesB), Seq("host"))
       .filter(col("__ragent") === col("__eff") &&
-        col("path").startsWith(col("prefix")))
+        robotsPathMatches(col("path"), col("prefix")))
     val win = Window.partitionBy("doc_id", "agent")
       .orderBy(length(col("prefix")).desc, col("directive").asc, col("ln").asc)
     val winner = matches.withColumn("rn", row_number().over(win))

@@ -509,24 +509,41 @@ object Streaming {
     * batch composition's law, now holding per micro-batch on an unbounded
     * feed.
     */
+  private def emptyDf(spark: SparkSession,
+      fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t) }))
+
+  /** Empty band index in [[incrementalLshApply]]'s expected schema — the
+    * day-0 bootstrap input (the stream IS the corpus). The schema lives
+    * HERE so call sites (probes, first-run pipelines) can't drift from the
+    * operator's union when the index layout changes.
+    */
+  def emptyBandIndex(spark: SparkSession): DataFrame =
+    emptyDf(spark, "id" -> org.apache.spark.sql.types.LongType,
+      "band" -> org.apache.spark.sql.types.IntegerType,
+      "bucket" -> org.apache.spark.sql.types.IntegerType)
+
+  /** Empty shingle-set index matching [[incrementalLshApply]] — see
+    * [[emptyBandIndex]].
+    */
+  def emptyShingleSetIndex(spark: SparkSession): DataFrame =
+    emptyDf(spark, "id" -> org.apache.spark.sql.types.LongType,
+      "sh" -> org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false))
+
   def incrementalLshDedupedApply(spark: SparkSession, docDir: String,
       textCol: String, idCol: String,
       shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
     import graft.operators.Dedup
     val schema = spark.read.parquet(docDir).schema
-    def emptyDf(fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
-          org.apache.spark.sql.types.StructField(n, t) }))
     import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType}
-    var contentIdx = emptyDf("h" -> BinaryType, "kid" -> LongType, "csz" -> LongType)
-    var bb = emptyDf("id" -> LongType,
-      "band" -> org.apache.spark.sql.types.IntegerType,
-      "bucket" -> org.apache.spark.sql.types.IntegerType)
-    var ss = emptyDf("id" -> LongType,
-      "sh" -> org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))
-    var pairs = emptyDf("id_a" -> LongType, "id_b" -> LongType, "jaccard" -> DoubleType)
+    var contentIdx = emptyDf(spark, "h" -> BinaryType, "kid" -> LongType, "csz" -> LongType)
+    var bb = emptyBandIndex(spark)
+    var ss = emptyShingleSetIndex(spark)
+    var pairs = emptyDf(spark, "id_a" -> LongType, "id_b" -> LongType, "jaccard" -> DoubleType)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(docDir)
     val ckptBase = java.nio.file.Paths.get(

@@ -275,6 +275,39 @@ class WebSpec extends SparkSpec {
     o.map(r => r.getLong(0) -> r.getBoolean(1)).toMap shouldBe Map(1L -> false, 2L -> true)
   }
 
+  test("robots RFC 9309 patterns: * wildcard and trailing-$ anchor decide real paths") {
+    val pages = Seq((1L, "/articles/14"), (2L, "/articles/42"), (3L, "/articles/7"),
+      (4L, "/articles/70"), (5L, "/articles/34"))
+      .map { case (id, p) => (id, "news.example.co.uk", p) }
+      .toDF("doc_id", "host", "path")
+    val d = rows(Web.robotsDecisions(pages, robotsRulesOf("news.example.co.uk"), "otherbot")
+      .select("doc_id", "allowed").orderBy("doc_id"))
+    d.map(r => r.getLong(0) -> r.getBoolean(1)).toMap shouldBe Map(
+      1L -> false, // Disallow /articles/*4 (wildcard)
+      2L -> false, // .* matches empty — /articles/42 still has a 4 after the prefix
+      3L -> false, // Disallow /articles/7$ anchors exactly
+      4L -> true,  // the anchor must NOT match /articles/70
+      5L -> false) // /articles/*4 (len 12) beats the /articles/3 Allow tie (len 11)
+  }
+
+  test("robotsPathMatches: literal fast path, metachar escaping, anchors") {
+    val df = Seq(("/a.b/x", "/a.b*"), ("/axb/x", "/a.b*"), ("/p/q", "/p"),
+      ("/p/q", "/p/q$"), ("/p/qr", "/p/q$"), ("/w/4x/y", "/w/*/y"))
+      .toDF("path", "pat")
+    rows(df.select(Web.robotsPathMatches(col("path"), col("pat")).as("m")))
+      .map(_.getBoolean(0)) shouldBe Seq(true, false, true, true, false, true)
+  }
+
+  test("robots UA run: an unknown directive between User-agent lines is transparent " +
+    "(google/robotstxt reference-parser behavior — only rules terminate a run)") {
+    val df = Seq(("h", "User-agent: a\nCrawl-delay: 10\nUser-agent: b\nDisallow: /x"))
+      .toDF("host", "robots")
+    rows(Web.robotsRules(df, "host", "robots")
+      .select("agent", "directive", "prefix").orderBy("agent"))
+      .map(x => (x.getString(0), x.getString(1), x.getString(2))) shouldBe
+      Seq(("a", "disallow", "/x"), ("b", "disallow", "/x"))
+  }
+
   test("robotsDecisionsFor: one-pass multi-agent form equals the per-agent form") {
     val pages = Seq((1L, "site2.example-2.com", "/articles/15"),
       (2L, "site2.example-2.com", "/other/x"),
