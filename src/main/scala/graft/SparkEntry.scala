@@ -139,6 +139,29 @@ object SparkEntry {
       c
     }
 
+  /** Session-cached REP rule table per sf dir — the robots analogue of the
+    * pair indexes: a crawler parses each host's robots.txt ONCE and serves
+    * every decision from the cached rules, so the landed-artifact contract
+    * is the production shape, not a bench trick. The localCheckpoint also
+    * cuts the FIXTURE-synthesis lineage: without it CollapseProject folds
+    * the withUrls/robotsTxt construction into the distinct's Aggregate and
+    * every downstream `host` reference re-inlines the whole expression
+    * tree — the frontier plan printed 237 KB and the OPTIMIZER (not the
+    * data) cost a flat ~3.8 s at every sf.
+    */
+  private def robotsRulesCached(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCompute(s, s"robots-rules:$dir") {
+      val W = graft.operators.Web
+      val hosts = W.withUrls(documents(s, dir))
+        .select(W.hostOf(col("url")).as("host")).distinct()
+      W.robotsRules(hosts.withColumn("robots", W.robotsTxt(col("host"))),
+        "host", "robots").localCheckpoint(true)
+    }
+
+  /** Distinct hosts, derived from the cached rule table (tiny, lineage-free). */
+  private def robotsHosts(s: SparkSession, dir: String): DataFrame =
+    robotsRulesCached(s, dir).select("host").distinct()
+
   /** MinHash+LSH near-dup pair graph over `documents`, built once per
     * (session, sf dir) and kept cached — five dedup queries consume the SAME
     * exact-verified pair graph (the pair list itself, triangles/coefficients,
@@ -5908,11 +5931,7 @@ object SparkEntry {
     // value` cut, and the User-agent RUN rule (consecutive UA lines share
     // one rule block) via one lag+running-sum window per host.
     "q_robots_parse" -> ((s, dir) => {
-      val W = graft.operators.Web
-      val hosts = W.withUrls(documents(s, dir))
-        .select(W.hostOf(col("url")).as("host")).distinct()
-      W.robotsRules(hosts.withColumn("robots", W.robotsTxt(col("host"))),
-          "host", "robots")
+      robotsRulesCached(s, dir)
         .select(col("host"), col("agent"), col("directive"), col("prefix"),
           col("ln").cast(LongType).as("ln"))
         .orderBy("host", "ln", "agent")
@@ -5927,10 +5946,8 @@ object SparkEntry {
       val pages = W.withUrls(documents(s, dir))
         .select(col("doc_id"), W.hostOf(col("url")).as("host"),
           W.pathOf(col("url")).as("path"))
-      val hosts = pages.select("host").distinct()
-      val rules = W.robotsRules(
-        hosts.withColumn("robots", W.robotsTxt(col("host"))), "host", "robots")
-      W.robotsDecisionsFor(pages, rules, Seq("graftbot", "otherbot"))
+      W.robotsDecisionsFor(pages, robotsRulesCached(s, dir),
+          Seq("graftbot", "otherbot"))
         .select(col("doc_id"), col("agent"), col("host"), col("path"),
           col("matched_prefix"), col("matched_directive"), col("allowed"))
         .orderBy("doc_id", "agent")
@@ -5959,10 +5976,8 @@ object SparkEntry {
       val frontier = W.withUrls(documents(s, dir))
         .select(col("doc_id"), W.hostOf(col("url")).as("host"),
           W.pathOf(col("url")).as("path"))
-      val hosts = frontier.select("host").distinct()
-      val rules = W.robotsRules(
-        hosts.withColumn("robots", W.robotsTxt(col("host"))), "host", "robots")
-      val dec = W.robotsDecisionsFor(frontier, rules, Seq("graftbot"))
+      val dec = W.robotsDecisionsFor(frontier, robotsRulesCached(s, dir),
+          Seq("graftbot"))
         .select(col("doc_id"), col("allowed"))
       val lang = documents(s, dir).select(col("doc_id"), col("lang"))
       val staged = canon
@@ -5985,6 +6000,53 @@ object SparkEntry {
         sum(col("surv").cast(LongType)).as("n_unique"),
         sum(when(col("surv"), col("toks")).otherwise(lit(0L))).as("tokens_kept"))
         .orderBy("domain")
+    }),
+    // sitemap discovery (r15): the crawl's URL-discovery front — parse
+    // sitemaps.org XML (urlset entries with OPTIONAL lastmod/changefreq/
+    // priority, whitespace-wrapped and entity-encoded locs, and the
+    // sitemapindex nesting form) into one row per entry
+    "q_sitemap_parse" -> ((s, dir) => {
+      val W = graft.operators.Web
+      W.sitemapEntries(robotsHosts(s, dir)
+          .withColumn("xml", W.sitemapXml(col("host"))), "host", "xml")
+        .select(col("host"), col("kind"), col("seq").cast(LongType).as("seq"),
+          col("loc"), col("lastmod"), col("changefreq"), col("priority"))
+        .orderBy("host", "seq")
+    }),
+    // ...and the FRONTIER SEEDING composition: sitemap URL entries →
+    // canonicalize → robots-allowance for the crawler agent → novelty
+    // against the already-crawled (host, path) set. The discovery side of
+    // the crawl loop: what to fetch next, filtered by compliance, deduped
+    // against what's already in the corpus — one narrow chain + the rules
+    // broadcast + one broadcast anti-flag join.
+    "q_sitemap_frontier" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val u = W.withUrls(documents(s, dir))
+      val corpus = u.select(W.hostOf(col("url")).as("host"),
+        W.pathOf(col("url")).as("path")).distinct()
+      val locs = W.sitemapEntries(robotsHosts(s, dir)
+          .withColumn("xml", W.sitemapXml(col("host"))), "host", "xml")
+        .filter(col("kind") === "url")
+        .select(col("host"), col("loc").as("url"))
+      val rules = robotsRulesCached(s, dir)
+      // decisions run on the SLIM (host, url, path) frame — feeding the
+      // canonicalized frame in would re-inline its large expression trees
+      // into every branch of the decision subplan (each broadcast build +
+      // both window sides), and the OPTIMIZER cost, not the data, dominated:
+      // measured 3.8 s flat at sf0.001 before this split, ~1 s after
+      val dec = W.robotsDecisionsFor(
+          locs.select(col("url").as("doc_id"), col("host"),
+            W.pathOf(col("url")).as("path")), rules, Seq("graftbot"))
+        .select(col("doc_id"), col("allowed"))
+      W.canonicalize(locs, "url")
+        .withColumn("path", W.pathOf(col("url")))
+        .join(broadcast(dec), col("url") === col("doc_id"))
+        .join(broadcast(corpus.withColumn("__crawled", lit(true))),
+          Seq("host", "path"), "left")
+        .withColumn("is_new", col("__crawled").isNull)
+        .select(col("host"), col("url"), col("url_canon"), col("surt"),
+          col("allowed"), col("is_new"))
+        .orderBy("host", "url")
     }),
     // streaming twin of the WARC front door: segments arrive on a stream
     // and parse per micro-batch — the record extraction is STATELESS
@@ -6844,8 +6906,7 @@ object SparkEntry {
     val emptyGrp = lines(Seq("User-agent: emptybot", "Disallow:"))
     s""" pg AS (SELECT doc_id,
        |   regexp_replace(regexp_replace(regexp_replace(lower(regexp_extract(regexp_replace(url, '#.*', ''), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^.*@', ''), ':[0-9]+$$', ''), '^www\\.', '') AS host,
-       |   CASE WHEN regexp_replace(regexp_extract(regexp_replace(url, '#.*', ''), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$$', '') = '' THEN '/'
-       |     ELSE regexp_replace(regexp_extract(regexp_replace(url, '#.*', ''), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$$', '') END AS path
+       |   ${pathSqlOf("url")} AS path
        |  FROM u),
        | rhs AS (SELECT DISTINCT host FROM pg),
        | rbg AS (SELECT host, CAST(coalesce(nullif(regexp_extract(host, '([0-9])', 1), ''), '7') AS INTEGER) AS g FROM rhs),
@@ -6885,26 +6946,87 @@ object SparkEntry {
       s" ELSE starts_with($path, $prefix) END)"
   }
 
+  /** [[graft.operators.Web.pathOf]] restated over a SQL url expression —
+    * shared by the page frame (`pg`), the sitemap frontier, and any other
+    * robots-subject CTE.
+    */
+  private def pathSqlOf(url: String): String =
+    s"CASE WHEN regexp_replace(regexp_extract(regexp_replace($url, '#.*', ''), " +
+      s"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$$', '') = '' THEN '/' " +
+      s"ELSE regexp_replace(regexp_extract(regexp_replace($url, '#.*', ''), " +
+      s"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$$', '') END"
+
   /** One agent's REP decision chain (suffix `$s` keeps the two agents'
     * CTEs disjoint): group selection, empty-pattern drop, RFC 9309 pattern
     * match (`*`/trailing-`$`; literal fast path),
-    * longest-match/Allow-ties winner, no-match → allowed.
+    * longest-match/Allow-ties winner, no-match → allowed. `pgCte` names
+    * the pages frame (doc_id, host, path) — the corpus `pg` by default,
+    * the sitemap frontier for the discovery dual.
     */
-  private def robotsDecisionSql(s: String, agent: String): String =
+  private def robotsDecisionSql(s: String, agent: String,
+      pgCte: String = "pg"): String =
     s""" hsp$s AS (SELECT DISTINCT host FROM rules WHERE agent = '$agent'),
        | ch$s AS (SELECT r.host AS host, directive, prefix, ln FROM rules r
        |   LEFT JOIN hsp$s h ON r.host = h.host
        |   WHERE ((h.host IS NOT NULL AND r.agent = '$agent') OR (h.host IS NULL AND r.agent = '*'))
        |     AND prefix <> ''),
        | mt$s AS (SELECT doc_id, p.host AS host, path, directive, prefix, ln
-       |   FROM pg p JOIN ch$s c ON p.host = c.host AND ${robotsMatchSql("p.path", "c.prefix")}),
+       |   FROM $pgCte p JOIN ch$s c ON p.host = c.host AND ${robotsMatchSql("p.path", "c.prefix")}),
        | wn$s AS (SELECT doc_id, directive, prefix FROM (
        |   SELECT doc_id, directive, prefix, row_number() OVER (PARTITION BY doc_id
        |     ORDER BY len(prefix) DESC, directive ASC, ln ASC) AS rn FROM mt$s) WHERE rn = 1),
        | d$s AS (SELECT p.doc_id AS doc_id, '$agent' AS agent, p.host AS host, p.path AS path,
        |   w.prefix AS matched_prefix, w.directive AS matched_directive,
        |   coalesce(w.directive = 'allow', TRUE) AS allowed
-       |  FROM pg p LEFT JOIN wn$s w ON p.doc_id = w.doc_id)""".stripMargin.replace("\n", "")
+       |  FROM $pgCte p LEFT JOIN wn$s w ON p.doc_id = w.doc_id)""".stripMargin.replace("\n", "")
+
+  /** [[graft.operators.Web.sitemapXml]]'s fixture restated as a SQL
+    * expression over (host, g) — entry arms generated from the same Scala
+    * loop shape as the Spark side.
+    */
+  private def sitemapXmlSql: String = {
+    def entry(i: Int): String = {
+      val c = s"CAST((g * 13 + $i * 7) % 100 AS VARCHAR)"
+      val loc = s"'https://' || host || '/articles/' || $c" +
+        (if (i == 2) " || '?a=1&amp;b=2'" else "")
+      val locw =
+        if (i == 1) s"chr(10) || '    ' || $loc || '  ' || chr(10) || '  '" else loc
+      val lastmod = if (i % 2 == 0)
+        s" || '<lastmod>2024-0' || CAST((g + $i) % 9 + 1 AS VARCHAR) || '-1${i % 9}</lastmod>'"
+      else ""
+      val cf = if (i % 3 == 0) " || '<changefreq>daily</changefreq>'" else ""
+      val pr = if (i % 3 == 1) s" || '<priority>0.${(i + 3) % 10}</priority>'" else ""
+      s"(CASE WHEN $i < g % 3 + 3 THEN '<url><loc>' || $locw || '</loc>'$lastmod$cf$pr || '</url>' || chr(10) ELSE '' END)"
+    }
+    val header = """'<?xml version="1.0" encoding="UTF-8"?>' || chr(10)"""
+    val urlset = header +
+      """ || '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' || chr(10) || """ +
+      (0 to 4).map(entry).mkString(" || ") + " || '</urlset>' || chr(10)"
+    val index = header +
+      """ || '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' || chr(10) ||""" +
+      " '<sitemap><loc>https://' || host || '/sitemap-1.xml</loc><lastmod>2024-01-15</lastmod></sitemap>' || chr(10) ||" +
+      " '<sitemap><loc>https://' || host || '/sitemap-2.xml</loc></sitemap>' || chr(10) || '</sitemapindex>' || chr(10)"
+    s"(CASE WHEN g = 4 THEN $index ELSE $urlset END)"
+  }
+
+  /** Sitemap construction + parse dual (requires `rhs` from
+    * [[robotsParseCtes]]): yields CTE `smu` (host, kind, seq, loc,
+    * lastmod, changefreq, priority) — the same regex block extraction and
+    * per-entry field pulls as [[graft.operators.Web.sitemapEntries]].
+    */
+  private def sitemapCtes: String =
+    s""" smg AS (SELECT host, CAST(coalesce(nullif(regexp_extract(host, '([0-9])', 1), ''), '7') AS INTEGER) AS g FROM rhs),
+       | smx AS (SELECT host, $sitemapXmlSql AS xml FROM smg),
+       | smb AS (SELECT host, xml, CASE WHEN contains(xml, '<sitemapindex') THEN regexp_extract_all(xml, '(?s)<sitemap>(.*?)</sitemap>', 1) ELSE regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1) END AS lst FROM smx),
+       | sme AS (SELECT host, xml, UNNEST(range(1, len(lst) + 1)) AS i, lst FROM smb),
+       | smu AS (SELECT host,
+       |   CASE WHEN contains(xml, '<sitemapindex') THEN 'sitemap' ELSE 'url' END AS kind,
+       |   CAST(i - 1 AS BIGINT) AS seq,
+       |   replace(regexp_replace(regexp_extract(lst[i], '(?s)<loc>(.*?)</loc>', 1), '^\\s+|\\s+$$', '', 'g'), '&amp;', '&') AS loc,
+       |   nullif(regexp_extract(lst[i], '<lastmod>(.*?)</lastmod>', 1), '') AS lastmod,
+       |   nullif(regexp_extract(lst[i], '<changefreq>(.*?)</changefreq>', 1), '') AS changefreq,
+       |   CAST(nullif(regexp_extract(lst[i], '<priority>(.*?)</priority>', 1), '') AS DOUBLE) AS priority
+       |  FROM sme)""".stripMargin.replace("\n", "")
 
   /** The PSL longest-suffix-match CASE, generated from the SAME committed
     * data file [[graft.operators.Web.pslSuffixes]] the Spark expression
@@ -10311,6 +10433,23 @@ object SparkEntry {
         |   CAST(sum(CASE WHEN surv THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
         |   CAST(sum(CASE WHEN surv THEN toks ELSE 0 END) AS BIGINT) AS tokens_kept
         | FROM cfs GROUP BY domain ORDER BY domain""".stripMargin.replace("\n", "")),
+    // sitemap parse: construction + the same regex extraction restated
+    "q_sitemap_parse" -> ("WITH " + robotsCtes + "," + sitemapCtes +
+      " SELECT host, kind, seq, loc, lastmod, changefreq, priority" +
+      " FROM smu ORDER BY host, seq"),
+    // frontier seeding: sitemap url entries → canonical chain → robots
+    // decisions (keyed on the loc) → novelty vs the crawled (host, path) set
+    "q_sitemap_frontier" -> ("WITH " + robotsCtes + "," + sitemapCtes + "," +
+      " fsrc AS (SELECT loc AS doc_id, '' AS text, loc AS url, host FROM smu WHERE kind = 'url')," +
+      canonChainSql("fsrc", extra = ", host") + "," +
+      s" fpg AS (SELECT doc_id, host, ${pathSqlOf("url")} AS path FROM cn)," +
+      robotsDecisionSql("3", "graftbot", pgCte = "fpg") + "," +
+      """ crawl AS (SELECT DISTINCT host, path FROM pg)
+        | SELECT c.host AS host, c.doc_id AS url, c.url_canon AS url_canon,
+        |   c.surt AS surt, d.allowed AS allowed, (cr.host IS NULL) AS is_new
+        | FROM cn c JOIN d3 d ON c.doc_id = d.doc_id
+        | LEFT JOIN crawl cr ON c.host = cr.host AND d.path = cr.path
+        | ORDER BY host, url""".stripMargin.replace("\n", "")),
     // streaming WARC parse: stateless per-batch extraction — the drained
     // sink equals the batch construction restatement
     "q_stream_warc" -> ("WITH " + warcCtes +

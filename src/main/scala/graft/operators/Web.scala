@@ -744,4 +744,86 @@ object Web {
       .withColumn("allowed",
         coalesce(col("matched_directive") === "allow", lit(true)))
   }
+
+  // ------------------------------------------------------------------
+  // sitemap discovery (r15)
+  // ------------------------------------------------------------------
+
+  /** Deterministic sitemaps.org XML fixture per host: hosts normally emit
+    * a `urlset` of 3 + g%3 `url` entries — loc under `/articles/`,
+    * OPTIONAL lastmod/changefreq/priority fields (present by entry-index
+    * parity, so absence is under the gate), one loc wrapped in whitespace
+    * (the spec requires trimming) and one carrying an entity-encoded
+    * `&amp;` in its query — while host digit 4 emits a `sitemapindex` of
+    * two child sitemap references instead (the nesting form real sites
+    * use past 50k URLs).
+    */
+  def sitemapXml(host: Column): Column = {
+    val g = coalesce(nullif(regexp_extract(host, "([0-9])", 1), lit("")), lit("7"))
+      .cast(IntegerType)
+    def entry(i: Int): Column = {
+      val c = ((g * 13 + i * 7) % 100).cast(StringType)
+      val loc = concat(lit("https://"), host, lit("/articles/"), c,
+        when(lit(i) === 2, lit("?a=1&amp;b=2")).otherwise(lit("")))
+      val locWrapped = when(lit(i) === 1, concat(lit("\n    "), loc, lit("  \n  ")))
+        .otherwise(loc)
+      val lastmod = when(lit(i) % 2 === 0,
+        concat(lit("<lastmod>2024-0"), ((g + i) % 9 + 1).cast(StringType),
+          lit("-1"), lit((i % 9).toString), lit("</lastmod>"))).otherwise(lit(""))
+      val cf = when(lit(i) % 3 === 0, lit("<changefreq>daily</changefreq>"))
+        .otherwise(lit(""))
+      val pr = when(lit(i) % 3 === 1,
+        concat(lit("<priority>0."), lit(((i + 3) % 10).toString),
+          lit("</priority>"))).otherwise(lit(""))
+      when(lit(i) < g % 3 + 3,
+        concat(lit("<url><loc>"), locWrapped, lit("</loc>"), lastmod, cf, pr,
+          lit("</url>\n"))).otherwise(lit(""))
+    }
+    val urlset = concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+      entry(0), entry(1), entry(2), entry(3), entry(4), lit("</urlset>\n"))
+    val index = concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        "<sitemap><loc>https://"), host,
+      lit("/sitemap-1.xml</loc><lastmod>2024-01-15</lastmod></sitemap>\n" +
+        "<sitemap><loc>https://"), host,
+      lit("/sitemap-2.xml</loc></sitemap>\n</sitemapindex>\n"))
+    when(g === 4, index).otherwise(urlset)
+  }
+
+  /** Parse sitemap XML into one row per entry: `urlset` documents yield
+    * `url` entries, `sitemapindex` documents yield `sitemap` references
+    * (the caller recurses on those — the two-level protocol). Per entry:
+    * trimmed, `&amp;`-decoded loc; nullable lastmod / changefreq /
+    * priority. Regex block extraction (non-greedy dotall) + narrow
+    * per-row field pulls — the same explode-then-codegen shape as
+    * [[warcRecords]]; zero shuffle, scan speed, and the DuckDB dual
+    * restates it verbatim.
+    */
+  def sitemapEntries(df: DataFrame, hostCol: String, xmlCol: String): DataFrame = {
+    val isIdx = col(xmlCol).contains("<sitemapindex")
+    val blocks = when(isIdx,
+      regexp_extract_all(col(xmlCol), lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1)))
+      .otherwise(
+        regexp_extract_all(col(xmlCol), lit("(?s)<url>(.*?)</url>"), lit(1)))
+    df.select(col(hostCol).as("host"), isIdx.as("__idx"),
+        posexplode(blocks).as(Seq("seq", "__e")))
+      .select(col("host"),
+        when(col("__idx"), lit("sitemap")).otherwise(lit("url")).as("kind"),
+        col("seq"),
+        // regex trim, not trim(): both engines' trim() strips SPACES only,
+        // and the spec requires full whitespace stripping around loc
+        replace(regexp_replace(
+            regexp_extract(col("__e"), "(?s)<loc>(.*?)</loc>", 1),
+            "^\\s+|\\s+$", ""),
+          lit("&amp;"), lit("&")).as("loc"),
+        nullif(regexp_extract(col("__e"), "<lastmod>(.*?)</lastmod>", 1), lit(""))
+          .as("lastmod"),
+        nullif(regexp_extract(col("__e"), "<changefreq>(.*?)</changefreq>", 1),
+          lit("")).as("changefreq"),
+        nullif(regexp_extract(col("__e"), "<priority>(.*?)</priority>", 1), lit(""))
+          .cast(DoubleType).as("priority"))
+  }
 }

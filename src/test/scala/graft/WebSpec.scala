@@ -326,6 +326,37 @@ class WebSpec extends SparkSpec {
       "allowed").orderBy("doc_id", "agent")) shouldBe fused
   }
 
+  // --- sitemaps (r15) ---
+
+  test("sitemapEntries: optional fields null, whitespace-wrapped loc trims fully, " +
+    "entities decode") {
+    val hosts = Seq("site1.example-1.com").toDF("host")
+    val e = rows(Web.sitemapEntries(
+        hosts.withColumn("xml", Web.sitemapXml(col("host"))), "host", "xml")
+      .select("kind", "seq", "loc", "lastmod", "changefreq", "priority")
+      .orderBy("seq"))
+    e.map(_.getString(0)).distinct shouldBe Seq("url")
+    // seq 1 is the \n-wrapped loc — trim() would leave the newline; the
+    // regex trim must strip it entirely
+    e(1).getString(2) shouldBe "https://site1.example-1.com/articles/20"
+    e(2).getString(2) should endWith("?a=1&b=2") // &amp; decoded
+    e(1).isNullAt(3) shouldBe true  // lastmod absent on odd entries
+    e(0).getString(4) shouldBe "daily"
+    e(1).getDouble(5) shouldBe 0.4
+    e(2).isNullAt(4) shouldBe true
+  }
+
+  test("sitemapEntries: sitemapindex hosts yield sitemap references, not urls") {
+    val hosts = Seq("site4.example-4.com").toDF("host")
+    val e = rows(Web.sitemapEntries(
+        hosts.withColumn("xml", Web.sitemapXml(col("host"))), "host", "xml")
+      .select("kind", "loc", "lastmod").orderBy("seq"))
+    e.map(_.getString(0)) shouldBe Seq("sitemap", "sitemap")
+    e(0).getString(1) shouldBe "https://site4.example-4.com/sitemap-1.xml"
+    e(0).getString(2) shouldBe "2024-01-15"
+    e(1).isNullAt(2) shouldBe true
+  }
+
   test("robots empty Disallow matches nothing: emptybot gets full access") {
     val pages = Seq((1L, "site5.example-5.com", "/articles/15"))
       .toDF("doc_id", "host", "path")
