@@ -162,6 +162,39 @@ object SparkEntry {
   private def robotsHosts(s: SparkSession, dir: String): DataFrame =
     robotsRulesCached(s, dir).select("host").distinct()
 
+  /** Session-cached crawl ledger — the distinct (host, path) set already in
+    * the corpus. The novelty side of frontier seeding; in production this
+    * IS a landed table (the crawl log), so the artifact contract is the
+    * real shape and the fixture-synthesis lineage is cut like
+    * [[robotsRulesCached]].
+    */
+  private def crawledPagesCached(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCompute(s, s"crawled-pages:$dir") {
+      val W = graft.operators.Web
+      W.withUrls(documents(s, dir))
+        .select(W.hostOf(col("url")).as("host"), W.pathOf(col("url")).as("path"))
+        .distinct().localCheckpoint(true)
+    }
+
+  /** Session-cached effective per-host Crawl-delay for the crawler agent:
+    * agent-specific group first, else `*`, else the 1 s default.
+    */
+  private def crawlDelayByHost(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCompute(s, s"crawl-delay:$dir") {
+      val W = graft.operators.Web
+      val delays = W.robotsCrawlDelays(robotsHosts(s, dir)
+        .withColumn("robots", W.robotsTxt(col("host"))), "host", "robots")
+      val spec = delays.filter(col("agent") === "graftbot")
+        .groupBy("host").agg(min(col("delay_s")).as("__dspec"))
+      val star = delays.filter(col("agent") === "*")
+        .groupBy("host").agg(min(col("delay_s")).as("__dstar"))
+      robotsHosts(s, dir)
+        .join(spec, Seq("host"), "left").join(star, Seq("host"), "left")
+        .select(col("host"),
+          coalesce(col("__dspec"), col("__dstar"), lit(1.0)).as("delay_s"))
+        .localCheckpoint(true)
+    }
+
   /** MinHash+LSH near-dup pair graph over `documents`, built once per
     * (session, sf dir) and kept cached — five dedup queries consume the SAME
     * exact-verified pair graph (the pair list itself, triangles/coefficients,
@@ -6021,9 +6054,7 @@ object SparkEntry {
     // broadcast + one broadcast anti-flag join.
     "q_sitemap_frontier" -> ((s, dir) => {
       val W = graft.operators.Web
-      val u = W.withUrls(documents(s, dir))
-      val corpus = u.select(W.hostOf(col("url")).as("host"),
-        W.pathOf(col("url")).as("path")).distinct()
+      val corpus = crawledPagesCached(s, dir)
       val locs = W.sitemapEntries(robotsHosts(s, dir)
           .withColumn("xml", W.sitemapXml(col("host"))), "host", "xml")
         .filter(col("kind") === "url")
@@ -6046,6 +6077,36 @@ object SparkEntry {
         .withColumn("is_new", col("__crawled").isNull)
         .select(col("host"), col("url"), col("url_canon"), col("surt"),
           col("allowed"), col("is_new"))
+        .orderBy("host", "url")
+    }),
+    // politeness scheduler (r15): the Crawl-delay directive the REP
+    // access parser ignores becomes the fetch plan — frontier URLs that
+    // are allowed AND novel get per-host serial slots, spaced by the
+    // host's effective delay (agent-specific group, else `*`, else 1 s).
+    // One window per host; the delay table is a per-host broadcast.
+    "q_crawl_schedule" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val locs = W.sitemapEntries(robotsHosts(s, dir)
+          .withColumn("xml", W.sitemapXml(col("host"))), "host", "xml")
+        .filter(col("kind") === "url")
+        .select(col("host"), col("loc").as("url"))
+      val dec = W.robotsDecisionsFor(
+          locs.select(col("url").as("doc_id"), col("host"),
+            W.pathOf(col("url")).as("path")), robotsRulesCached(s, dir),
+          Seq("graftbot"))
+        .select(col("doc_id").as("url"), col("host"), col("path"), col("allowed"))
+      val fetchable = dec
+        .join(broadcast(crawledPagesCached(s, dir).withColumn("__crawled", lit(true))),
+          Seq("host", "path"), "left")
+        .filter(col("allowed") && col("__crawled").isNull)
+      val hostDelay = crawlDelayByHost(s, dir)
+      fetchable
+        .withColumn("slot", (row_number().over(
+          Window.partitionBy("host").orderBy("url")) - 1).cast(LongType))
+        .join(broadcast(hostDelay), Seq("host"))
+        .withColumn("offset_s", col("slot") * col("delay_s"))
+        .select(col("host"), col("url"), col("slot"), col("delay_s"),
+          col("offset_s"))
         .orderBy("host", "url")
     }),
     // streaming twin of the WARC front door: segments arrive on a stream
@@ -6900,7 +6961,8 @@ object SparkEntry {
       "Disallow: /private/", "Allow: /private/ok/", "Disallow: /articles/1",
       "Allow: /articles/12", "Disallow: /articles/3", "Allow: /articles/3",
       "Disallow: /articles/*4", "Disallow: /articles/7$", "Crawl-delay: 5"))
-    val graftGrp = lines(Seq("User-agent: graftbot", "Disallow: /", "Allow: /articles/"))
+    val graftGrp = lines(Seq("User-agent: graftbot", "Disallow: /", "Allow: /articles/",
+      "Crawl-delay: 2"))
     val stacked = lines(Seq("User-agent: graftbot", "User-agent: newsbot",
       "Disallow: /articles/2"))
     val emptyGrp = lines(Seq("User-agent: emptybot", "Disallow:"))
@@ -10449,6 +10511,36 @@ object SparkEntry {
         |   c.surt AS surt, d.allowed AS allowed, (cr.host IS NULL) AS is_new
         | FROM cn c JOIN d3 d ON c.doc_id = d.doc_id
         | LEFT JOIN crawl cr ON c.host = cr.host AND d.path = cr.path
+        | ORDER BY host, url""".stripMargin.replace("\n", "")),
+    // politeness scheduler: frontier chain + the Crawl-delay group parse
+    // (UA + crawl-delay lines only, from the same rkv line frame) + the
+    // per-host slot window
+    "q_crawl_schedule" -> ("WITH " + robotsCtes + "," + sitemapCtes + "," +
+      " fsrc AS (SELECT loc AS doc_id, '' AS text, loc AS url, host FROM smu WHERE kind = 'url')," +
+      canonChainSql("fsrc", extra = ", host") + "," +
+      s" fpg AS (SELECT doc_id, host, ${pathSqlOf("url")} AS path FROM cn)," +
+      robotsDecisionSql("3", "graftbot", pgCte = "fpg") + "," +
+      """ crawl AS (SELECT DISTINCT host, path FROM pg),
+        | fet AS (SELECT d.host AS host, d.doc_id AS url FROM d3 d
+        |   LEFT JOIN crawl cr ON d.host = cr.host AND d.path = cr.path
+        |   WHERE d.allowed AND cr.host IS NULL),
+        | cdm AS (SELECT *, (key = 'user-agent') AS is_ua FROM rkv
+        |   WHERE key IN ('user-agent', 'crawl-delay')),
+        | cdg AS (SELECT *, coalesce(lag(is_ua) OVER (PARTITION BY host ORDER BY ln), FALSE) AS prev_ua FROM cdm),
+        | cdb AS (SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END) OVER (PARTITION BY host ORDER BY ln) AS blk FROM cdg),
+        | cda AS (SELECT host, blk, lower(value) AS agent FROM cdb WHERE is_ua),
+        | cdd AS (SELECT host, blk, CASE WHEN regexp_matches(value, '^[0-9]+(\.[0-9]+)?$') THEN CAST(value AS DOUBLE) END AS delay_s FROM cdb WHERE NOT is_ua),
+        | cdr AS (SELECT cdd.host AS host, agent, delay_s FROM cdd
+        |   JOIN cda ON cdd.host = cda.host AND cdd.blk = cda.blk
+        |   WHERE delay_s IS NOT NULL),
+        | hdl AS (SELECT r.host AS host, coalesce(sp.delay_s, st.delay_s, 1.0) AS delay_s FROM rhs r
+        |   LEFT JOIN (SELECT host, min(delay_s) AS delay_s FROM cdr WHERE agent = 'graftbot' GROUP BY host) sp ON r.host = sp.host
+        |   LEFT JOIN (SELECT host, min(delay_s) AS delay_s FROM cdr WHERE agent = '*' GROUP BY host) st ON r.host = st.host)
+        | SELECT f.host AS host, url,
+        |   CAST(row_number() OVER (PARTITION BY f.host ORDER BY url) - 1 AS BIGINT) AS slot,
+        |   delay_s,
+        |   CAST(row_number() OVER (PARTITION BY f.host ORDER BY url) - 1 AS BIGINT) * delay_s AS offset_s
+        | FROM fet f JOIN hdl ON f.host = hdl.host
         | ORDER BY host, url""".stripMargin.replace("\n", "")),
     // streaming WARC parse: stateless per-batch extraction — the drained
     // sink equals the batch construction restatement

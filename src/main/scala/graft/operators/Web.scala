@@ -623,7 +623,7 @@ object Web {
         "Disallow: /articles/3\nAllow: /articles/3\n" +
         "Disallow: /articles/*4\nDisallow: /articles/7$\nCrawl-delay: 5\n"),
       when(g % 2 === 0,
-        lit("User-agent: graftbot\nDisallow: /\nAllow: /articles/\n"))
+        lit("User-agent: graftbot\nDisallow: /\nAllow: /articles/\nCrawl-delay: 2\n"))
         .otherwise(lit("")),
       when(g === 3,
         lit("User-agent: graftbot\nUser-agent: newsbot\nDisallow: /articles/2\n"))
@@ -743,6 +743,45 @@ object Web {
     pagesA.join(winner, Seq("doc_id", "agent"), "left")
       .withColumn("allowed",
         coalesce(col("matched_directive") === "allow", lit(true)))
+  }
+
+  /** Per-(host, agent) Crawl-delay extraction — the politeness knob
+    * [[robotsRules]] deliberately ignores for access control. Group
+    * assembly here runs over User-agent + Crawl-delay lines only, so a
+    * delay attaches to the UA run it follows (the layout real sites emit:
+    * delay after the group's rules). Known edge: a delay line BETWEEN two
+    * stacked UA header lines attributes to the earlier run, where the
+    * access-control parser merges the runs — header-interleaved delays do
+    * not occur in practice and the divergence is documented rather than
+    * engineered around. Crawl-delay is non-standard (ignored by Google,
+    * honored by Yandex/Bing) — the scheduler treats it as advisory input.
+    */
+  def robotsCrawlDelays(df: DataFrame, hostCol: String, robotsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df.select(col(hostCol).as("host"),
+        posexplode(split(col(robotsCol), "\n")).as(Seq("ln", "line")))
+      .withColumn("line", trim(col("line")))
+      .filter(col("line") =!= "" && !col("line").startsWith("#"))
+      .withColumn("key", lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))))
+      .withColumn("value", trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)))
+      .filter(col("key").isin("user-agent", "crawl-delay"))
+    val w = Window.partitionBy("host").orderBy("ln")
+    val marked = lines
+      .withColumn("is_ua", col("key") === "user-agent")
+      .withColumn("blk", sum(
+        when(col("is_ua") && !coalesce(lag(col("is_ua"), 1).over(w), lit(false)), 1)
+          .otherwise(0)).over(w))
+    val agents = marked.filter(col("is_ua"))
+      .select(col("host"), col("blk"), lower(col("value")).as("agent"))
+    marked.filter(!col("is_ua"))
+      // regex-guarded parse (ANSI cast throws on junk; the guard also IS
+      // the value contract — plain non-negative decimals only, so the
+      // DuckDB dual restates it instead of engine-specific TRY_CAST)
+      .withColumn("delay_s", when(col("value").rlike("^[0-9]+(\\.[0-9]+)?$"),
+        col("value").cast(DoubleType)))
+      .filter(col("delay_s").isNotNull)
+      .join(agents, Seq("host", "blk"))
+      .select("host", "agent", "delay_s")
   }
 
   // ------------------------------------------------------------------

@@ -326,6 +326,20 @@ class WebSpec extends SparkSpec {
       "allowed").orderBy("doc_id", "agent")) shouldBe fused
   }
 
+  test("robotsCrawlDelays: delay attaches to its UA group; agent-specific beats *") {
+    val d = rows(Web.robotsCrawlDelays(
+        Seq("site2.example-2.com").toDF("host")
+          .withColumn("robots", Web.robotsTxt(col("host"))), "host", "robots")
+      .select("agent", "delay_s").orderBy("agent"))
+      .map(r => r.getString(0) -> r.getDouble(1))
+    d shouldBe Seq("*" -> 5.0, "graftbot" -> 2.0)
+    // malformed / negative delays drop instead of poisoning the schedule
+    val bad = rows(Web.robotsCrawlDelays(
+      Seq(("h", "User-agent: a\nCrawl-delay: soon\nUser-agent: b\nCrawl-delay: -3"))
+        .toDF("host", "robots"), "host", "robots"))
+    bad shouldBe empty
+  }
+
   // --- sitemaps (r15) ---
 
   test("sitemapEntries: optional fields null, whitespace-wrapped loc trims fully, " +
