@@ -981,6 +981,30 @@ object ScaleProbe {
         println(f"[scale-warc] segments=$segMiB%.1f MiB serialized+parsed")
         r.getLong(0)
       }
+      time("robots_decisions") {
+        // r15 — robots at HOST scale: 50k distinct hosts' rule tables
+        // (~600k rule rows after stacked-UA fan-out) against the k×
+        // page corpus. The claims under test: the rule table stays
+        // broadcast-sized at large host counts, decisions stay one
+        // broadcast join + a (doc_id, agent)-keyed window whose per-page
+        // fan-out is bounded by the page's own host's rules — shuffle
+        // must track PAGES (the window), never pages × total rules.
+        val W = graft.operators.Web
+        val hostOf50k = (id: org.apache.spark.sql.Column) =>
+          concat(lit("h"), (id % 50000).cast(org.apache.spark.sql.types.StringType),
+            lit(".example-"), ((id % 50000) % 97).cast(org.apache.spark.sql.types.StringType),
+            lit(".com"))
+        val hosts = spark.range(50000).select(hostOf50k(col("id")).as("host"))
+        val rules = W.robotsRules(
+          hosts.withColumn("robots", W.robotsTxt(col("host"))), "host", "robots")
+          .localCheckpoint(true)
+        println(s"[scale-robots] rule rows=${rules.count()} over 50k hosts")
+        val pages = docs.select(col("doc_id"), hostOf50k(col("doc_id")).as("host"),
+          concat(lit("/articles/"),
+            (col("doc_id") % 100).cast(org.apache.spark.sql.types.StringType)).as("path"))
+        W.robotsDecisionsFor(pages, rules, Seq("graftbot"))
+          .agg(sum(col("allowed").cast(LongType))).head().getLong(0)
+      }
       // gated on the allowlist BEFORE the landing (r15 review: the
       // global-sort ntile + 8 coalesced parquet writes ran even when
       // neither stream-minhash probe was selected, taxing unrelated
