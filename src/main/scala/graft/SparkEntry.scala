@@ -6109,6 +6109,37 @@ object SparkEntry {
           col("offset_s"))
         .orderBy("host", "url")
     }),
+    // freshness-driven recrawl planning (r15): sitemap lastmod vs the crawl
+    // record's fetch dates. Per sitemap URL: never fetched → fetch_new;
+    // lastmod post-dates the LAST fetch of that (host, path) → refetch;
+    // else skip. The fetch record derives from the WARC front door itself
+    // (response WARC-Date, max per page across re-crawls) — the loop's
+    // bookkeeping closed over its own container format. ISO date strings
+    // compare lexicographically; one grouped agg + one broadcast join.
+    "q_recrawl_plan" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      val fetched = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
+        .filter(col("rec_type") === "response")
+        .select(W.hostOf(col("target_uri")).as("host"),
+          W.pathOf(col("target_uri")).as("path"),
+          substring(col("warc_date"), 1, 10).as("fetch_date"))
+        .groupBy("host", "path").agg(max(col("fetch_date")).as("last_fetched"))
+      val sm = W.sitemapEntries(robotsHosts(s, dir)
+          .withColumn("xml", W.sitemapXml(col("host"))), "host", "xml")
+        .filter(col("kind") === "url")
+        .select(col("host"), col("loc").as("url"),
+          W.pathOf(col("loc")).as("path"), col("lastmod"))
+      sm.join(broadcast(fetched), Seq("host", "path"), "left")
+        .withColumn("action",
+          when(col("last_fetched").isNull, lit("fetch_new"))
+            .when(col("lastmod").isNotNull && col("lastmod") > col("last_fetched"),
+              lit("refetch"))
+            .otherwise(lit("skip")))
+        .select(col("host"), col("path"), col("url"), col("lastmod"),
+          col("last_fetched"), col("action"))
+        .orderBy("host", "path", "url")
+    }),
     // streaming twin of the WARC front door: segments arrive on a stream
     // and parse per micro-batch — the record extraction is STATELESS
     // (explode + narrow string ops, no watermark, no state store), so the
@@ -7053,8 +7084,9 @@ object SparkEntry {
         (if (i == 2) " || '?a=1&amp;b=2'" else "")
       val locw =
         if (i == 1) s"chr(10) || '    ' || $loc || '  ' || chr(10) || '  '" else loc
+      val year = if (i == 0) "2025" else "2024"
       val lastmod = if (i % 2 == 0)
-        s" || '<lastmod>2024-0' || CAST((g + $i) % 9 + 1 AS VARCHAR) || '-1${i % 9}</lastmod>'"
+        s" || '<lastmod>$year-0' || CAST((g + $i) % 9 + 1 AS VARCHAR) || '-1${i % 9}</lastmod>'"
       else ""
       val cf = if (i % 3 == 0) " || '<changefreq>daily</changefreq>'" else ""
       val pr = if (i % 3 == 1) s" || '<priority>0.${(i + 3) % 10}</priority>'" else ""
@@ -10542,6 +10574,21 @@ object SparkEntry {
         |   CAST(row_number() OVER (PARTITION BY f.host ORDER BY url) - 1 AS BIGINT) * delay_s AS offset_s
         | FROM fet f JOIN hdl ON f.host = hdl.host
         | ORDER BY host, url""".stripMargin.replace("\n", "")),
+    // recrawl plan: fetch record from the WARC construction (response
+    // dates grouped per page) vs sitemap lastmod
+    "q_recrawl_plan" -> ("WITH " + warcCtes + "," + robotsParseCtes + "," +
+      sitemapCtes + "," +
+      s""" ft AS (SELECT p.host AS host, p.path AS path,
+         |   max(substr(wdate, 1, 10)) AS last_fetched
+         |  FROM pg p JOIN wd w ON p.doc_id = w.doc_id GROUP BY 1, 2),
+         | smp AS (SELECT host, loc AS url, ${pathSqlOf("loc")} AS path, lastmod
+         |  FROM smu WHERE kind = 'url')
+         | SELECT s.host AS host, s.path AS path, url, lastmod, f.last_fetched AS last_fetched,
+         |   CASE WHEN f.last_fetched IS NULL THEN 'fetch_new'
+         |     WHEN s.lastmod IS NOT NULL AND s.lastmod > f.last_fetched THEN 'refetch'
+         |     ELSE 'skip' END AS action
+         | FROM smp s LEFT JOIN ft f ON s.host = f.host AND s.path = f.path
+         | ORDER BY host, path, url""".stripMargin.replace("\n", "")),
     // streaming WARC parse: stateless per-batch extraction — the drained
     // sink equals the batch construction restatement
     "q_stream_warc" -> ("WITH " + warcCtes +

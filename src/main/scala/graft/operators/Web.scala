@@ -806,8 +806,9 @@ object Web {
         when(lit(i) === 2, lit("?a=1&amp;b=2")).otherwise(lit("")))
       val locWrapped = when(lit(i) === 1, concat(lit("\n    "), loc, lit("  \n  ")))
         .otherwise(loc)
+      val year = if (i == 0) "2025" else "2024" // i=0 post-dates every fetch
       val lastmod = when(lit(i) % 2 === 0,
-        concat(lit("<lastmod>2024-0"), ((g + i) % 9 + 1).cast(StringType),
+        concat(lit("<lastmod>" + year + "-0"), ((g + i) % 9 + 1).cast(StringType),
           lit("-1"), lit((i % 9).toString), lit("</lastmod>"))).otherwise(lit(""))
       val cf = when(lit(i) % 3 === 0, lit("<changefreq>daily</changefreq>"))
         .otherwise(lit(""))
