@@ -326,6 +326,56 @@ class WebSpec extends SparkSpec {
       "allowed").orderBy("doc_id", "agent")) shouldBe fused
   }
 
+  test("warc round-trip PROPERTY: random payloads survive serialize→parse byte-exact") {
+    // random printable bodies (no CR — the fixture's framing owns CRLF);
+    // ids chosen so every doc takes the 200 arm (m >= 2, not corrupt)
+    val rnd = new scala.util.Random(2024)
+    val chars = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ " <>&\"'=/.:;-_()\n\t"
+    val docs = (0 until 40).map { i =>
+      val id = i.toLong * 11 + 2 // id % 11 == 2, never % 101 == 100 for i < 40
+      val body = (0 until rnd.nextInt(400)).map(_ => chars(rnd.nextInt(chars.size))).mkString
+      (id, s"https://rt.example.com/p/$id", body)
+    }
+    val recs = rows(Web.warcRecords(
+        Web.withWarc(docs.toDF("doc_id", "url", "html")), "warc")
+      .select("doc_id", "rec_type", "content_length", "block_octets", "payload")
+      .orderBy("doc_id", "rec_pos"))
+    recs.size shouldBe docs.size * 3
+    recs.foreach(r => r.getLong(2) shouldBe r.getLong(3)) // framing exact on every record
+    val payloads = recs.filter(_.getString(1) == "response").map(_.getString(4))
+    payloads should contain theSameElementsInOrderAs docs.map(_._3)
+  }
+
+  test("robotsPathMatches PROPERTY: column translation equals a JVM reference matcher") {
+    def refMatch(path: String, pat: String): Boolean = {
+      val anchored = pat.endsWith("$")
+      val body = if (anchored) pat.dropRight(1) else pat
+      val esc = body.flatMap {
+        case '*' => ".*"
+        case c if "\\.+?()[]{}|^$".contains(c) => "\\" + c
+        case c => c.toString
+      }
+      if (pat.contains('*') || anchored)
+        java.util.regex.Pattern.compile("^" + esc + (if (anchored) "$" else ""))
+          .matcher(path).find()
+      else path.startsWith(pat)
+    }
+    val rnd = new scala.util.Random(9309)
+    val patAtoms = Seq("/", "a", "b", "c", ".", "*", "$", "+", "[", "(", "|", "x")
+    val pathAtoms = Seq("/", "a", "b", "c", ".", "x", "1")
+    val cases = (0 until 300).map { _ =>
+      val path = "/" + (0 until rnd.nextInt(10)).map(_ =>
+        pathAtoms(rnd.nextInt(pathAtoms.size))).mkString
+      val pat = (0 until rnd.nextInt(8)).map(_ =>
+        patAtoms(rnd.nextInt(patAtoms.size))).mkString
+      (path, pat)
+    }
+    val got = rows(cases.toDF("path", "pat")
+      .select(Web.robotsPathMatches(col("path"), col("pat")).as("m")))
+      .map(_.getBoolean(0))
+    got should contain theSameElementsInOrderAs cases.map { case (p, q) => refMatch(p, q) }
+  }
+
   test("robotsCrawlDelays: delay attaches to its UA group; agent-specific beats *") {
     val d = rows(Web.robotsCrawlDelays(
         Seq("site2.example-2.com").toDF("host")
