@@ -981,6 +981,44 @@ object ScaleProbe {
         println(f"[scale-warc] segments=$segMiB%.1f MiB serialized+parsed")
         r.getLong(0)
       }
+      time("crawl_funnel") {
+        // r15 — the SIX-STAGE curation funnel at replication: WARC
+        // serialize+parse → 200-filter → robots decisions (cached-rule
+        // broadcast) → strip chain → canonicalize → SURT-survivor window →
+        // per-domain agg. The only corpus-keyed exchange is the SURT
+        // window + the final agg; everything upstream is the narrow
+        // front door, so wall must track bytes and shuffle must track
+        // ROWS (the window), not the fan-out of any join.
+        val W = graft.operators.Web
+        val u = W.withUrls(docs)
+        val w = W.withWarc(W.withHtml(u))
+        val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
+          .filter(col("rec_type") === "response")
+          .select(col("doc_id"), col("target_uri").as("url"), col("payload"),
+            col("http_status"))
+        val pages = u.select(col("doc_id"), W.hostOf(col("url")).as("host"),
+          W.pathOf(col("url")).as("path"))
+        val hosts = pages.select("host").distinct()
+        val rules = W.robotsRules(
+          hosts.withColumn("robots", W.robotsTxt(col("host"))), "host", "robots")
+          .localCheckpoint(true)
+        val dec = W.robotsDecisionsFor(pages, rules, Seq("graftbot"))
+          .select(col("doc_id"), col("allowed"))
+        val staged = W.canonicalize(recs, "url")
+          .join(dec, Seq("doc_id"))
+          .withColumn("is200", col("http_status") === 200)
+          .withColumn("tc", W.htmlToText(col("payload")))
+          .withColumn("toks", graft.operators.TextAnalysis.wsTokens(col("tc"))
+            .cast(LongType))
+          .withColumn("elig", col("is200") && col("allowed") && col("toks") >= 50)
+          .withColumn("surv", col("elig") && col("doc_id") ===
+            min(when(col("elig"), col("doc_id")))
+              .over(org.apache.spark.sql.expressions.Window.partitionBy("surt")))
+        staged.groupBy("domain").agg(
+            count(lit(1)).as("n"), sum(col("surv").cast(LongType)).as("u"),
+            sum(when(col("surv"), col("toks")).otherwise(lit(0L))).as("t"))
+          .agg(sum(col("n")) + sum(col("u")) + sum(col("t"))).head().getLong(0)
+      }
       time("robots_decisions") {
         // r15 — robots at HOST scale: 50k distinct hosts' rule tables
         // (~600k rule rows after stacked-UA fan-out) against the k×
