@@ -6140,6 +6140,43 @@ object SparkEntry {
           col("last_fetched"), col("action"))
         .orderBy("host", "path", "url")
     }),
+    // SFT / conversation prep (r15): transcripts parse into turns with the
+    // role-structure validator — one doc per 17 carries a broken
+    // alternation (turn 2 role swapped) the ok_role flag must catch
+    "q_sft_turns" -> ((s, dir) => {
+      val t = graft.operators.Sft.parseTurns(graft.operators.Sft.withTranscript(
+        documents(s, dir).select("doc_id", "text")), "doc_id", "transcript")
+      t.select(col("doc_id"), col("turn_idx"), col("role"), col("content"),
+          TextAnalysis.wsTokens(col("content")).cast(LongType).as("toks"),
+          (col("role") === graft.operators.Sft.expectedRole(col("turn_idx")))
+            .as("ok_role"))
+        .orderBy("doc_id", "turn_idx")
+    }),
+    // ...adjacent (prompt → response) pair mining: pairs exist only where
+    // user is IMMEDIATELY followed by assistant (corrupted docs lose that
+    // slot), plus the cross-corpus duplicate-response count — templated
+    // answers are the classic SFT near-dup, and the signal shuffles only
+    // a 16-byte response hash
+    "q_sft_pairs" -> ((s, dir) => {
+      val t = graft.operators.Sft.parseTurns(graft.operators.Sft.withTranscript(
+        documents(s, dir).select("doc_id", "text")), "doc_id", "transcript")
+      graft.operators.Sft.minePairs(t, "doc_id")
+        .select(col("doc_id"), col("pair_idx"),
+          TextAnalysis.wsTokens(col("prompt")).cast(LongType).as("prompt_toks"),
+          TextAnalysis.wsTokens(col("response")).cast(LongType).as("response_toks"),
+          col("prompt_md5"), col("response_md5"), col("n_same_response"))
+        .orderBy("doc_id", "pair_idx")
+    }),
+    // ...and the loss-mask spans: exclusive prefix sum of turn token counts
+    // per conversation → each assistant turn's [tok_start, tok_end) in the
+    // conversation's token stream — the offsets the trainer unmasks
+    "q_sft_masks" -> ((s, dir) => {
+      val t = graft.operators.Sft.parseTurns(graft.operators.Sft.withTranscript(
+        documents(s, dir).select("doc_id", "text")), "doc_id", "transcript")
+      graft.operators.Sft.maskSpans(t, "doc_id",
+          TextAnalysis.wsTokens(col("content")))
+        .orderBy("doc_id", "turn_idx")
+    }),
     // streaming twin of the WARC front door: segments arrive on a stream
     // and parse per micro-batch — the record extraction is STATELESS
     // (explode + narrow string ops, no watermark, no state store), so the
@@ -7121,6 +7158,34 @@ object SparkEntry {
        |   nullif(regexp_extract(lst[i], '<changefreq>(.*?)</changefreq>', 1), '') AS changefreq,
        |   CAST(nullif(regexp_extract(lst[i], '<priority>(.*?)</priority>', 1), '') AS DOUBLE) AS priority
        |  FROM sme)""".stripMargin.replace("\n", "")
+
+  /** SFT transcript construction + parse dual — yields CTE `sfk`
+    * (doc_id, turn_idx, role, content, toks); the turn arms are generated
+    * from the same loop shape as [[graft.operators.Sft.withTranscript]].
+    */
+  private def sftCtes: String = {
+    def turn(i: Int): String = {
+      val role =
+        if (i == 3) "CASE WHEN doc_id % 17 = 0 THEN 'user' ELSE 'assistant' END"
+        else if (i % 2 == 0) "'user'" else "'assistant'"
+      // coalesce: DuckDB array_to_string([]) is NULL (Spark array_join = ''),
+      // and a NULL would poison the whole transcript concat
+      s"(CASE WHEN $i < (doc_id % 3 + 1) * 2 THEN '<|' || $role || '|>' || " +
+        s"coalesce(array_to_string(ws[${i * 4 + 1}:${i * 4 + 4}], ' '), '') ELSE '' END)"
+    }
+    val wsOf = (c: String) =>
+      s"CAST(len(list_filter(string_split_regex($c, '\\s+'), w -> len(w) > 0)) AS BIGINT)"
+    s""" sfw AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0) AS ws FROM documents),
+       | sfx AS (SELECT doc_id, '<|system|>be concise and helpful' || ${(0 to 5).map(turn).mkString(" || ")} AS tr FROM sfw),
+       | sfs AS (SELECT doc_id, string_split(tr, '<|') AS lst FROM sfx),
+       | sfe AS (SELECT doc_id, UNNEST(range(1, len(lst) + 1)) AS i, lst FROM sfs),
+       | sft AS (SELECT doc_id, CAST(i - 2 AS BIGINT) AS turn_idx,
+       |   split_part(lst[i], '|>', 1) AS role,
+       |   substr(lst[i], len(split_part(lst[i], '|>', 1)) + 3) AS content
+       |  FROM sfe WHERE len(lst[i]) > 0),
+       | sfk AS (SELECT *, ${wsOf("content")} AS toks FROM sft)""".stripMargin
+      .replace("\n", "")
+  }
 
   /** The PSL longest-suffix-match CASE, generated from the SAME committed
     * data file [[graft.operators.Web.pslSuffixes]] the Spark expression
@@ -10589,6 +10654,31 @@ object SparkEntry {
          |     ELSE 'skip' END AS action
          | FROM smp s LEFT JOIN ft f ON s.host = f.host AND s.path = f.path
          | ORDER BY host, path, url""".stripMargin.replace("\n", "")),
+    // SFT turns: construction + the same literal-split parse
+    "q_sft_turns" -> ("WITH " + sftCtes +
+      """ SELECT doc_id, turn_idx, role, content, toks,
+        |  (role = CASE WHEN turn_idx = 0 THEN 'system'
+        |    WHEN turn_idx % 2 = 1 THEN 'user' ELSE 'assistant' END) AS ok_role
+        | FROM sfk ORDER BY doc_id, turn_idx""".stripMargin.replace("\n", "")),
+    // SFT pairs: adjacency join + the response-hash dedup window
+    "q_sft_pairs" -> ("WITH " + sftCtes + "," +
+      """ pu AS (SELECT doc_id, turn_idx, content AS prompt, toks AS ptoks FROM sfk WHERE role = 'user'),
+        | pa AS (SELECT doc_id, turn_idx - 1 AS turn_idx, content AS response, toks AS rtoks FROM sfk WHERE role = 'assistant'),
+        | pp AS (SELECT pu.doc_id AS doc_id, pu.turn_idx AS ti, prompt, ptoks, response, rtoks
+        |   FROM pu JOIN pa ON pu.doc_id = pa.doc_id AND pu.turn_idx = pa.turn_idx)
+        | SELECT doc_id, CAST((ti - 1) // 2 AS BIGINT) AS pair_idx,
+        |   ptoks AS prompt_toks, rtoks AS response_toks,
+        |   md5(prompt) AS prompt_md5, md5(response) AS response_md5,
+        |   CAST(count(*) OVER (PARTITION BY md5(response)) AS BIGINT) AS n_same_response
+        | FROM pp ORDER BY doc_id, pair_idx""".stripMargin.replace("\n", "")),
+    // SFT masks: exclusive prefix sum per conversation, assistant spans
+    "q_sft_masks" -> ("WITH " + sftCtes +
+      """ SELECT doc_id, turn_idx, tok_start, tok_start + toks AS tok_end FROM (
+        |  SELECT doc_id, turn_idx, role, toks,
+        |   CAST(coalesce(sum(toks) OVER (PARTITION BY doc_id ORDER BY turn_idx
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM sfk)
+        | WHERE role = 'assistant' ORDER BY doc_id, turn_idx""".stripMargin.replace("\n", "")),
     // streaming WARC parse: stateless per-batch extraction — the drained
     // sink equals the batch construction restatement
     "q_stream_warc" -> ("WITH " + warcCtes +
