@@ -6177,6 +6177,36 @@ object SparkEntry {
           TextAnalysis.wsTokens(col("content")))
         .orderBy("doc_id", "turn_idx")
     }),
+    // ...and the TRAINER-READY closure: conversations pack into
+    // budget-2048 sequences (the two-level distributed prefix sum — no
+    // global window) and each assistant span's offsets re-express in
+    // PACKED-sequence coordinates, splitting at sequence boundaries (a
+    // span crosses at most ⌈span/budget⌉ boundaries; the explode is over
+    // the 2-element candidate boundary set). Zero-width spans carry no
+    // trainable tokens and drop. This is the exact frame a masked-loss
+    // dataloader consumes.
+    "q_sft_packed_masks" -> ((s, dir) => {
+      val t = graft.operators.Sft.parseTurns(graft.operators.Sft.withTranscript(
+        documents(s, dir).select("doc_id", "text")), "doc_id", "transcript")
+        .withColumn("toks", TextAnalysis.wsTokens(col("content")).cast(LongType))
+      val conv = t.groupBy("doc_id").agg(sum(col("toks")).as("n_tokens"))
+      val packed = graft.operators.Packing.packSequences(conv, "n_tokens",
+        "doc_id", budget = 2048L)
+      val spans = graft.operators.Sft.maskSpans(t, "doc_id", col("toks"))
+      spans.join(packed.select("doc_id", "seq_start"), Seq("doc_id"))
+        .filter(col("tok_end") > col("tok_start"))
+        .withColumn("__a", col("seq_start") + col("tok_start"))
+        .withColumn("__b", col("seq_start") + col("tok_end"))
+        .withColumn("seq_id", explode(array_distinct(array(
+          expr("__a div 2048"), expr("(__b - 1) div 2048")))))
+        .withColumn("span_start",
+          greatest(col("__a"), col("seq_id") * 2048) - col("seq_id") * 2048)
+        .withColumn("span_end",
+          least(col("__b"), (col("seq_id") + 1) * 2048) - col("seq_id") * 2048)
+        .select(col("doc_id"), col("turn_idx"), col("seq_id"),
+          col("span_start"), col("span_end"))
+        .orderBy("doc_id", "turn_idx", "seq_id")
+    }),
     // streaming twin of the WARC front door: segments arrive on a stream
     // and parse per micro-batch — the record extraction is STATELESS
     // (explode + narrow string ops, no watermark, no state store), so the
@@ -10679,6 +10709,24 @@ object SparkEntry {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
         |  FROM sfk)
         | WHERE role = 'assistant' ORDER BY doc_id, turn_idx""".stripMargin.replace("\n", "")),
+    // SFT packed masks: the global prefix-sum packing + boundary split
+    "q_sft_packed_masks" -> ("WITH " + sftCtes + "," +
+      """ cvt AS (SELECT doc_id, CAST(sum(toks) AS BIGINT) AS n_tokens FROM sfk GROUP BY 1),
+        | cps AS (SELECT doc_id, CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS seq_start FROM cvt),
+        | msp AS (SELECT doc_id, turn_idx, role, toks,
+        |   CAST(coalesce(sum(toks) OVER (PARTITION BY doc_id ORDER BY turn_idx
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start FROM sfk),
+        | msf AS (SELECT doc_id, turn_idx, tok_start, tok_start + toks AS tok_end
+        |   FROM msp WHERE role = 'assistant' AND toks > 0),
+        | mj AS (SELECT m.doc_id AS doc_id, turn_idx, seq_start + tok_start AS a,
+        |   seq_start + tok_end AS b FROM msf m JOIN cps p ON m.doc_id = p.doc_id),
+        | mk AS (SELECT doc_id, turn_idx, a, b,
+        |   UNNEST(list_distinct([a // 2048, (b - 1) // 2048])) AS k FROM mj)
+        | SELECT doc_id, turn_idx, CAST(k AS BIGINT) AS seq_id,
+        |   CAST(greatest(a, k * 2048) - k * 2048 AS BIGINT) AS span_start,
+        |   CAST(least(b, (k + 1) * 2048) - k * 2048 AS BIGINT) AS span_end
+        | FROM mk ORDER BY doc_id, turn_idx, seq_id""".stripMargin.replace("\n", "")),
     // streaming WARC parse: stateless per-batch extraction — the drained
     // sink equals the batch construction restatement
     "q_stream_warc" -> ("WITH " + warcCtes +
