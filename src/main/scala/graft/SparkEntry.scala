@@ -6207,6 +6207,29 @@ object SparkEntry {
           col("span_start"), col("span_end"))
         .orderBy("doc_id", "turn_idx", "seq_id")
     }),
+    // streaming SFT twin: transcripts arrive on a stream and parse +
+    // validate per micro-batch (stateless — same class as q_stream_warc);
+    // the drained sink must equal the batch parse row-for-row, broken
+    // alternations flagged in-stream
+    "q_stream_sft" -> ((s, dir) => {
+      tune(s)
+      streamResult(s, dir, "sft") {
+        withStreamConf(s) {
+          val docsSchema = table(s, dir, "documents").schema
+          val stream = s.readStream.schema(docsSchema)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          val t = graft.operators.Sft.parseTurns(
+            graft.operators.Sft.withTranscript(stream.select("doc_id", "text")),
+            "doc_id", "transcript")
+          val out = t.select(col("doc_id"), col("turn_idx"), col("role"),
+            TextAnalysis.wsTokens(col("content")).cast(LongType).as("toks"),
+            (col("role") === graft.operators.Sft.expectedRole(col("turn_idx")))
+              .as("ok_role"))
+          graft.streaming.Streaming.runToMemory(s, out, "stream_sft",
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        }
+      }.orderBy("doc_id", "turn_idx")
+    }),
     // streaming twin of the WARC front door: segments arrive on a stream
     // and parse per micro-batch — the record extraction is STATELESS
     // (explode + narrow string ops, no watermark, no state store), so the
@@ -10727,6 +10750,12 @@ object SparkEntry {
         |   CAST(greatest(a, k * 2048) - k * 2048 AS BIGINT) AS span_start,
         |   CAST(least(b, (k + 1) * 2048) - k * 2048 AS BIGINT) AS span_end
         | FROM mk ORDER BY doc_id, turn_idx, seq_id""".stripMargin.replace("\n", "")),
+    // streaming SFT parse: the batch turn dual minus the content column
+    "q_stream_sft" -> ("WITH " + sftCtes +
+      """ SELECT doc_id, turn_idx, role, toks,
+        |  (role = CASE WHEN turn_idx = 0 THEN 'system'
+        |    WHEN turn_idx % 2 = 1 THEN 'user' ELSE 'assistant' END) AS ok_role
+        | FROM sfk ORDER BY doc_id, turn_idx""".stripMargin.replace("\n", "")),
     // streaming WARC parse: stateless per-batch extraction — the drained
     // sink equals the batch construction restatement
     "q_stream_warc" -> ("WITH " + warcCtes +
