@@ -158,9 +158,43 @@ object SparkEntry {
         "host", "robots").localCheckpoint(true)
     }
 
-  /** Distinct hosts, derived from the cached rule table (tiny, lineage-free). */
+  /** The sitemap frontier with crawl-allowance and novelty flags —
+    * (host, url, path, allowed, is_new) — the shared first half of
+    * q_sitemap_frontier and q_crawl_schedule (r15 review: the chain was
+    * duplicated; a fix to one copy could silently miss the other).
+    * Decisions run on the SLIM (doc_id, host, path) frame — feeding a
+    * canonicalized frame in would re-inline its large expression trees
+    * into every decision branch (measured 3.8 s of flat optimizer time).
+    * The novelty join against the page-granularity crawl ledger carries NO
+    * broadcast hint (r15 review): unlike the host-granularity rules table
+    * there is no size argument for it at 100 TB — AQE broadcasts it at
+    * bench scale and shuffle-joins it at ledger scale.
+    */
+  private def sitemapFrontier(s: SparkSession, dir: String): DataFrame = {
+    val W = graft.operators.Web
+    val locs = W.sitemapEntries(robotsHosts(s, dir)
+        .withColumn("xml", W.sitemapXml(col("host"))), "host", "xml")
+      .filter(col("kind") === "url")
+      .select(col("host"), col("loc").as("url"))
+    val dec = W.robotsDecisionsFor(
+        locs.select(col("url").as("doc_id"), col("host"),
+          W.pathOf(col("url")).as("path")), robotsRulesCached(s, dir),
+        Seq("graftbot"))
+      .select(col("doc_id").as("url"), col("host"), col("path"), col("allowed"))
+    dec.join(crawledPagesCached(s, dir).withColumn("__crawled", lit(true)),
+        Seq("host", "path"), "left")
+      .withColumn("is_new", col("__crawled").isNull)
+      .select("host", "url", "path", "allowed", "is_new")
+  }
+
+  /** Distinct hosts, derived from the cached crawl ledger (tiny,
+    * lineage-free) — NOT from the rules table (r15 review: a host whose
+    * robots.txt yields zero access rules would vanish from a rules-derived
+    * universe, silently skipping its sitemap and delay resolution; the
+    * DuckDB duals have always derived hosts from the corpus).
+    */
   private def robotsHosts(s: SparkSession, dir: String): DataFrame =
-    robotsRulesCached(s, dir).select("host").distinct()
+    crawledPagesCached(s, dir).select("host").distinct()
 
   /** Session-cached crawl ledger — the distinct (host, path) set already in
     * the corpus. The novelty side of frontier seeding; in production this
@@ -176,22 +210,32 @@ object SparkEntry {
         .distinct().localCheckpoint(true)
     }
 
-  /** Session-cached effective per-host Crawl-delay for the crawler agent:
-    * agent-specific group first, else `*`, else the 1 s default.
+  /** Session-cached effective per-host Crawl-delay for the crawler agent,
+    * with REP GROUP EXCLUSIVITY (r15 review): a host that has an
+    * agent-specific UA group uses ONLY that group's delay (default 1 s if
+    * the group declares none) — the `*` group's delay must not leak in,
+    * exactly as the access parser selects groups. Hosts without the
+    * agent's group fall back to `*`'s delay, else the default.
     */
   private def crawlDelayByHost(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCompute(s, s"crawl-delay:$dir") {
       val W = graft.operators.Web
-      val delays = W.robotsCrawlDelays(robotsHosts(s, dir)
-        .withColumn("robots", W.robotsTxt(col("host"))), "host", "robots")
+      val hx = robotsHosts(s, dir).withColumn("robots", W.robotsTxt(col("host")))
+      val delays = W.robotsCrawlDelays(hx, "host", "robots")
+      val groups = W.robotsAgentGroups(hx, "host", "robots")
+      val hasSpec = groups.filter(col("agent") === "graftbot")
+        .select("host").distinct().withColumn("__has", lit(true))
       val spec = delays.filter(col("agent") === "graftbot")
         .groupBy("host").agg(min(col("delay_s")).as("__dspec"))
       val star = delays.filter(col("agent") === "*")
         .groupBy("host").agg(min(col("delay_s")).as("__dstar"))
       robotsHosts(s, dir)
+        .join(hasSpec, Seq("host"), "left")
         .join(spec, Seq("host"), "left").join(star, Seq("host"), "left")
         .select(col("host"),
-          coalesce(col("__dspec"), col("__dstar"), lit(1.0)).as("delay_s"))
+          when(coalesce(col("__has"), lit(false)),
+            coalesce(col("__dspec"), lit(1.0)))
+            .otherwise(coalesce(col("__dstar"), lit(1.0))).as("delay_s"))
         .localCheckpoint(true)
     }
 
@@ -6013,9 +6057,12 @@ object SparkEntry {
           Seq("graftbot"))
         .select(col("doc_id"), col("allowed"))
       val lang = documents(s, dir).select(col("doc_id"), col("lang"))
+      // no broadcast hints: decisions and language are PER-DOC frames
+      // (r15 review) — AQE broadcasts them at bench scale and shuffle-joins
+      // at corpus scale; only host-granularity artifacts carry the hint
       val staged = canon
-        .join(broadcast(dec), Seq("doc_id"))
-        .join(broadcast(lang), Seq("doc_id"))
+        .join(dec, Seq("doc_id"))
+        .join(lang, Seq("doc_id"))
         .withColumn("is200", col("http_status") === 200)
         .withColumn("tc", W.htmlToText(col("payload")))
         .withColumn("toks", TextAnalysis.wsTokens(col("tc")).cast(LongType))
@@ -6054,27 +6101,8 @@ object SparkEntry {
     // broadcast + one broadcast anti-flag join.
     "q_sitemap_frontier" -> ((s, dir) => {
       val W = graft.operators.Web
-      val corpus = crawledPagesCached(s, dir)
-      val locs = W.sitemapEntries(robotsHosts(s, dir)
-          .withColumn("xml", W.sitemapXml(col("host"))), "host", "xml")
-        .filter(col("kind") === "url")
-        .select(col("host"), col("loc").as("url"))
-      val rules = robotsRulesCached(s, dir)
-      // decisions run on the SLIM (host, url, path) frame — feeding the
-      // canonicalized frame in would re-inline its large expression trees
-      // into every branch of the decision subplan (each broadcast build +
-      // both window sides), and the OPTIMIZER cost, not the data, dominated:
-      // measured 3.8 s flat at sf0.001 before this split, ~1 s after
-      val dec = W.robotsDecisionsFor(
-          locs.select(col("url").as("doc_id"), col("host"),
-            W.pathOf(col("url")).as("path")), rules, Seq("graftbot"))
-        .select(col("doc_id"), col("allowed"))
-      W.canonicalize(locs, "url")
-        .withColumn("path", W.pathOf(col("url")))
-        .join(broadcast(dec), col("url") === col("doc_id"))
-        .join(broadcast(corpus.withColumn("__crawled", lit(true))),
-          Seq("host", "path"), "left")
-        .withColumn("is_new", col("__crawled").isNull)
+      val f = sitemapFrontier(s, dir)
+      W.canonicalize(f.select("host", "url", "allowed", "is_new"), "url")
         .select(col("host"), col("url"), col("url_canon"), col("surt"),
           col("allowed"), col("is_new"))
         .orderBy("host", "url")
@@ -6085,20 +6113,8 @@ object SparkEntry {
     // host's effective delay (agent-specific group, else `*`, else 1 s).
     // One window per host; the delay table is a per-host broadcast.
     "q_crawl_schedule" -> ((s, dir) => {
-      val W = graft.operators.Web
-      val locs = W.sitemapEntries(robotsHosts(s, dir)
-          .withColumn("xml", W.sitemapXml(col("host"))), "host", "xml")
-        .filter(col("kind") === "url")
-        .select(col("host"), col("loc").as("url"))
-      val dec = W.robotsDecisionsFor(
-          locs.select(col("url").as("doc_id"), col("host"),
-            W.pathOf(col("url")).as("path")), robotsRulesCached(s, dir),
-          Seq("graftbot"))
-        .select(col("doc_id").as("url"), col("host"), col("path"), col("allowed"))
-      val fetchable = dec
-        .join(broadcast(crawledPagesCached(s, dir).withColumn("__crawled", lit(true))),
-          Seq("host", "path"), "left")
-        .filter(col("allowed") && col("__crawled").isNull)
+      val fetchable = sitemapFrontier(s, dir)
+        .filter(col("allowed") && col("is_new"))
       val hostDelay = crawlDelayByHost(s, dir)
       fetchable
         .withColumn("slot", (row_number().over(
@@ -6130,7 +6146,9 @@ object SparkEntry {
         .filter(col("kind") === "url")
         .select(col("host"), col("loc").as("url"),
           W.pathOf(col("loc")).as("path"), col("lastmod"))
-      sm.join(broadcast(fetched), Seq("host", "path"), "left")
+      // no broadcast hint: the fetch record is page-granularity (r15
+      // review) — AQE broadcasts it at bench scale, shuffles it at 100 TB
+      sm.join(fetched, Seq("host", "path"), "left")
         .withColumn("action",
           when(col("last_fetched").isNull, lit("fetch_new"))
             .when(col("lastmod").isNotNull && col("lastmod") > col("last_fetched"),
@@ -6181,8 +6199,8 @@ object SparkEntry {
     // budget-2048 sequences (the two-level distributed prefix sum — no
     // global window) and each assistant span's offsets re-express in
     // PACKED-sequence coordinates, splitting at sequence boundaries (a
-    // span crosses at most ⌈span/budget⌉ boundaries; the explode is over
-    // the 2-element candidate boundary set). Zero-width spans carry no
+    // span spanning k sequences explodes into exactly k pieces via the
+    // boundary-range sequence). Zero-width spans carry no
     // trainable tokens and drop. This is the exact frame a masked-loss
     // dataloader consumes.
     "q_sft_packed_masks" -> ((s, dir) => {
@@ -6197,8 +6215,10 @@ object SparkEntry {
         .filter(col("tok_end") > col("tok_start"))
         .withColumn("__a", col("seq_start") + col("tok_start"))
         .withColumn("__b", col("seq_start") + col("tok_end"))
-        .withColumn("seq_id", explode(array_distinct(array(
-          expr("__a div 2048"), expr("(__b - 1) div 2048")))))
+        // FULL boundary range (r15 review: the 2-endpoint explode dropped
+        // the middle sequences of any span wider than the budget)
+        .withColumn("seq_id", explode(sequence(
+          expr("__a div 2048"), expr("(__b - 1) div 2048"))))
         .withColumn("span_start",
           greatest(col("__a"), col("seq_id") * 2048) - col("seq_id") * 2048)
         .withColumn("span_end",
@@ -7235,7 +7255,7 @@ object SparkEntry {
        | sft AS (SELECT doc_id, CAST(i - 2 AS BIGINT) AS turn_idx,
        |   split_part(lst[i], '|>', 1) AS role,
        |   substr(lst[i], len(split_part(lst[i], '|>', 1)) + 3) AS content
-       |  FROM sfe WHERE len(lst[i]) > 0),
+       |  FROM sfe WHERE len(lst[i]) > 0 AND contains(lst[i], '|>')),
        | sfk AS (SELECT *, ${wsOf("content")} AS toks FROM sft)""".stripMargin
       .replace("\n", "")
   }
@@ -10683,7 +10703,11 @@ object SparkEntry {
         | cdr AS (SELECT cdd.host AS host, agent, delay_s FROM cdd
         |   JOIN cda ON cdd.host = cda.host AND cdd.blk = cda.blk
         |   WHERE delay_s IS NOT NULL),
-        | hdl AS (SELECT r.host AS host, coalesce(sp.delay_s, st.delay_s, 1.0) AS delay_s FROM rhs r
+        | hga AS (SELECT DISTINCT host, lower(value) AS agent FROM cdm WHERE is_ua),
+        | hdl AS (SELECT r.host AS host,
+        |   CASE WHEN g1.host IS NOT NULL THEN coalesce(sp.delay_s, 1.0)
+        |     ELSE coalesce(st.delay_s, 1.0) END AS delay_s FROM rhs r
+        |   LEFT JOIN (SELECT DISTINCT host FROM hga WHERE agent = 'graftbot') g1 ON r.host = g1.host
         |   LEFT JOIN (SELECT host, min(delay_s) AS delay_s FROM cdr WHERE agent = 'graftbot' GROUP BY host) sp ON r.host = sp.host
         |   LEFT JOIN (SELECT host, min(delay_s) AS delay_s FROM cdr WHERE agent = '*' GROUP BY host) st ON r.host = st.host)
         | SELECT f.host AS host, url,
@@ -10719,7 +10743,7 @@ object SparkEntry {
         | pa AS (SELECT doc_id, turn_idx - 1 AS turn_idx, content AS response, toks AS rtoks FROM sfk WHERE role = 'assistant'),
         | pp AS (SELECT pu.doc_id AS doc_id, pu.turn_idx AS ti, prompt, ptoks, response, rtoks
         |   FROM pu JOIN pa ON pu.doc_id = pa.doc_id AND pu.turn_idx = pa.turn_idx)
-        | SELECT doc_id, CAST((ti - 1) // 2 AS BIGINT) AS pair_idx,
+        | SELECT doc_id, CAST(ti // 2 AS BIGINT) AS pair_idx,
         |   ptoks AS prompt_toks, rtoks AS response_toks,
         |   md5(prompt) AS prompt_md5, md5(response) AS response_md5,
         |   CAST(count(*) OVER (PARTITION BY md5(response)) AS BIGINT) AS n_same_response
@@ -10745,7 +10769,7 @@ object SparkEntry {
         | mj AS (SELECT m.doc_id AS doc_id, turn_idx, seq_start + tok_start AS a,
         |   seq_start + tok_end AS b FROM msf m JOIN cps p ON m.doc_id = p.doc_id),
         | mk AS (SELECT doc_id, turn_idx, a, b,
-        |   UNNEST(list_distinct([a // 2048, (b - 1) // 2048])) AS k FROM mj)
+        |   UNNEST(range(a // 2048, (b - 1) // 2048 + 1)) AS k FROM mj)
         | SELECT doc_id, turn_idx, CAST(k AS BIGINT) AS seq_id,
         |   CAST(greatest(a, k * 2048) - k * 2048 AS BIGINT) AS span_start,
         |   CAST(least(b, (k + 1) * 2048) - k * 2048 AS BIGINT) AS span_end

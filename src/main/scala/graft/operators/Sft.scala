@@ -59,7 +59,9 @@ object Sft {
     val role = substring_index(seg, "|>", 1)
     df.select(col(idCol),
         posexplode(split(col(transcriptCol), "<\\|")).as(Seq("__pos", "__seg")))
-      .filter(length(seg) > 0)
+      // a segment without the role delimiter (e.g. preamble text before
+      // the first marker) is NOT a turn — dropped, not emitted as garbage
+      .filter(length(seg) > 0 && seg.contains("|>"))
       .select(col(idCol), (col("__pos") - 1).cast(LongType).as("turn_idx"),
         role.as("role"),
         seg.substr(length(role) + lit(3), length(seg)).as("content"))
@@ -88,7 +90,10 @@ object Sft {
       .select(col(idCol), (col("turn_idx") - 1).as("turn_idx"),
         col("content").as("response"))
     u.join(a, Seq(idCol, "turn_idx"))
-      .withColumn("pair_idx", ((col("turn_idx") - 1) / 2).cast(LongType))
+      // turn_idx div 2, NOT (turn_idx-1)/2: div semantics on a possible
+      // turn_idx 0 (no system turn) diverge between truncate-toward-zero
+      // and floor — idx div 2 is identical in both engines for all idx ≥ 0
+      .withColumn("pair_idx", expr("turn_idx div 2").cast(LongType))
       .withColumn("prompt_md5", md5(col("prompt")))
       .withColumn("response_md5", md5(col("response")))
       .withColumn("n_same_response",

@@ -784,6 +784,20 @@ object Web {
       .select("host", "agent", "delay_s")
   }
 
+  /** The distinct UA groups declared per host — the group-presence frame
+    * [[robotsCrawlDelays]]' consumers need for REP group exclusivity (a
+    * group may exist with no delay; presence must come from the UA lines,
+    * not from the delay rows).
+    */
+  def robotsAgentGroups(df: DataFrame, hostCol: String, robotsCol: String): DataFrame =
+    df.select(col(hostCol).as("host"),
+        posexplode(split(col(robotsCol), "\n")).as(Seq("ln", "line")))
+      .withColumn("line", trim(col("line")))
+      .filter(lower(col("line")).startsWith("user-agent:"))
+      .select(col("host"),
+        lower(trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1))).as("agent"))
+      .distinct()
+
   // ------------------------------------------------------------------
   // sitemap discovery (r15)
   // ------------------------------------------------------------------
