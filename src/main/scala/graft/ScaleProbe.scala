@@ -1019,6 +1019,28 @@ object ScaleProbe {
             sum(when(col("surv"), col("toks")).otherwise(lit(0L))).as("t"))
           .agg(sum(col("n")) + sum(col("u")) + sum(col("t"))).head().getLong(0)
       }
+      time("sft_prep") {
+        // r15 — the SFT family at replication: transcript synthesis →
+        // turn parse → pair mining with the cross-corpus response-hash
+        // window → packed mask spans. Replication is adversarial for the
+        // response-dedup window (every response gains k-1 identical
+        // copies → maximal hash-partition populations); the law under
+        // test is shuffle ∝ rows through the hash/window exchanges with
+        // no corpus² stage anywhere.
+        val S = graft.operators.Sft
+        val t = S.parseTurns(S.withTranscript(docs), "doc_id", "transcript")
+          .withColumn("toks", graft.operators.TextAnalysis.wsTokens(col("content"))
+            .cast(LongType))
+        val pairs = S.minePairs(t, "doc_id")
+        val conv = t.groupBy("doc_id").agg(sum(col("toks")).as("n_tokens"))
+        val packed = graft.operators.Packing.packSequences(conv, "n_tokens",
+          "doc_id", budget = 2048L)
+        val spans = S.maskSpans(t, "doc_id", col("toks"))
+          .join(packed.select("doc_id", "seq_start"), Seq("doc_id"))
+        val r = pairs.agg(count(lit(1)), sum(col("n_same_response"))).head()
+        val m = spans.agg(count(lit(1))).head()
+        r.getLong(0) + m.getLong(0)
+      }
       time("robots_decisions") {
         // r15 — robots at HOST scale: 50k distinct hosts' rule tables
         // (~600k rule rows after stacked-UA fan-out) against the k×
