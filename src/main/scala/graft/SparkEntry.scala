@@ -6250,6 +6250,26 @@ object SparkEntry {
         }
       }.orderBy("doc_id", "turn_idx")
     }),
+    // REAL .warc.gz round trip (r15): segments serialize as member-per-
+    // record multi-member gzip (the Common Crawl layout), decode through
+    // JDK GZIPInputStream's concatenated-member reader, and parse back.
+    // TWO corruption arms: a payload garbled from byte 0 yields zero
+    // records; a garbled THIRD member (doc_id % 89 == 88) loses ONLY the
+    // response record behind it — the truncated-dump behavior a real
+    // crawl reader must have. Oracle = the construction, minus exactly
+    // the records the corruptions quarantine.
+    "q_warc_gz_parse" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      val gz = W.withWarcGz(w.select(col("doc_id"), col("warc")), "doc_id", "warc")
+      val txt = W.gunzipWarc(gz, "doc_id", "warc_gz")
+      W.warcRecords(txt, "warc")
+        .select(col("doc_id"), col("rec_pos").cast(LongType).as("rec_pos"),
+          col("rec_type"), col("target_uri"), col("warc_date"),
+          col("content_length"), col("http_status"), col("mime"),
+          col("block_octets"), md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id", "rec_pos")
+    }),
     // streaming twin of the WARC front door: segments arrive on a stream
     // and parse per micro-batch — the record extraction is STATELESS
     // (explode + narrow string ops, no watermark, no state store), so the
@@ -10780,6 +10800,29 @@ object SparkEntry {
         |  (role = CASE WHEN turn_idx = 0 THEN 'system'
         |    WHEN turn_idx % 2 = 1 THEN 'user' ELSE 'assistant' END) AS ok_role
         | FROM sfk ORDER BY doc_id, turn_idx""".stripMargin.replace("\n", "")),
+    // .warc.gz parse: the q_warc_parse construction minus the third
+    // record of the garbled-tail-member docs
+    "q_warc_gz_parse" -> ("WITH " + warcCtes +
+      """ SELECT doc_id, rec_pos, rec_type, target_uri, warc_date, content_length,
+        |   http_status, mime, block_octets, payload_md5 FROM (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS rec_pos, 'warcinfo' AS rec_type,
+        |    '' AS target_uri, wdate AS warc_date,
+        |    CAST(octet_length(encode(infob)) AS BIGINT) AS content_length,
+        |    CAST(NULL AS INTEGER) AS http_status, CAST(NULL AS VARCHAR) AS mime,
+        |    CAST(octet_length(encode(infob)) AS BIGINT) AS block_octets,
+        |    md5(infob) AS payload_md5 FROM wblk
+        |  UNION ALL
+        |  SELECT doc_id, CAST(2 AS BIGINT), 'request', url, wdate,
+        |    CAST(octet_length(encode(reqb)) AS BIGINT), CAST(NULL AS INTEGER),
+        |    CAST(NULL AS VARCHAR), CAST(octet_length(encode(reqb)) AS BIGINT),
+        |    md5(reqb) FROM wblk
+        |  UNION ALL
+        |  SELECT doc_id, CAST(3 AS BIGINT), 'response', url, wdate,
+        |    CAST(octet_length(encode(respb)) AS BIGINT),
+        |    CASE WHEN m = 0 THEN 404 WHEN m = 1 THEN 301 ELSE 200 END,
+        |    'text/html', CAST(octet_length(encode(respb)) AS BIGINT),
+        |    md5(rbody) FROM wblk WHERE doc_id % 89 <> 88
+        | ) ORDER BY doc_id, rec_pos""".stripMargin.replace("\n", "")),
     // streaming WARC parse: stateless per-batch extraction — the drained
     // sink equals the batch construction restatement
     "q_stream_warc" -> ("WITH " + warcCtes +

@@ -480,6 +480,63 @@ object Web {
       when(id % 101 === 100, concat(lit("corrupt-member:"), idStr)).otherwise(seg))
   }
 
+  /** One gzip member for a UTF-8 string (fixture builder). */
+  private def gzipMember(s: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(s.getBytes("UTF-8")); gz.close(); bos.toByteArray
+  }
+
+  /** Serialize WARC segments as REAL `.warc.gz` payloads — each record
+    * gzips as its OWN member and members concatenate, the Common Crawl
+    * layout (member-per-record is what makes range reads into a petabyte
+    * dump possible). Corruption arms: a segment carrying no record marker
+    * (the `corrupt-member:` fixture docs) emits a single member with a
+    * FLIPPED gzip magic (undecodable from byte 0); `doc_id % 89 == 88`
+    * docs flip the THIRD member's magic instead — the garbled-tail-member
+    * shape, which must lose ONLY the records behind the corruption.
+    * Narrow mapPartitions, binary column born distributed.
+    */
+  def withWarcGz(df: DataFrame, idCol: String, warcCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast(LongType), col(warcCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, warc) =>
+        val recs = warc.split("WARC/1\\.0\r\n").filter(_.nonEmpty)
+          .map(body => if (warc.startsWith("WARC/1.0")) "WARC/1.0\r\n" + body else body)
+        val members = recs.map(gzipMember)
+        if (!warc.startsWith("WARC/1.0") && members.nonEmpty) members(0)(0) = 0x00
+        else if (id % 89 == 88 && members.length >= 3) members(2)(0) = 0x00
+        (id, members.toArray.flatten)
+      }).toDF("doc_id", "warc_gz")
+  }
+
+  /** Decode a multi-member gzip payload to text — the `.warc.gz` reader.
+    * JDK `GZIPInputStream` reads concatenated members transparently and
+    * treats a garbled next-member header as end-of-stream, so a corrupted
+    * tail member quarantines exactly the records behind it; a payload
+    * garbled from byte 0 decodes to the empty string (zero records).
+    * Narrow mapPartitions at scan speed — pair with [[warcRecords]].
+    */
+  def gunzipWarc(df: DataFrame, idCol: String, gzCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast(LongType), col(gzCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val text =
+          try {
+            val in = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(bytes), 65536)
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](65536)
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+            new String(out.toByteArray, "UTF-8")
+          } catch { case _: java.io.IOException => "" }
+        (id, text)
+      }).toDF("doc_id", "warc")
+  }
+
   /** Parse WARC segments into one row per record: split on the `WARC/1.0`
     * record marker, cut each chunk at the first blank line into the WARC
     * header block vs the content block, extract the named headers, and for

@@ -229,6 +229,24 @@ class WebSpec extends SparkSpec {
     rows(Web.warcRecords(warcFixture(100L), "warc")) shouldBe empty
   }
 
+  test("warc.gz: member-per-record gzip round-trips; a garbled TAIL member loses " +
+    "only the records behind it; a garbled FIRST member loses everything") {
+    def parseGz(ids: Long*) = Web.warcRecords(
+      Web.gunzipWarc(Web.withWarcGz(warcFixture(ids: _*), "doc_id", "warc"),
+        "doc_id", "warc_gz"), "warc")
+    // clean doc (13 % 89 != 88): all three records byte-exact
+    val clean = rows(parseGz(13L).select("rec_type", "payload").orderBy("rec_pos"))
+    clean.map(_.getString(0)) shouldBe Seq("warcinfo", "request", "response")
+    clean(2).getString(1) shouldBe "<html><body>page 13</body></html>"
+    // 88 % 89 == 88 (and 88 % 11 == 0 -> 404 arm): third member garbled,
+    // records 1-2 still decode — JDK's concatenated-member reader treats
+    // the bad next-header as end-of-stream
+    rows(parseGz(88L).select("rec_type").orderBy("rec_pos"))
+      .map(_.getString(0)) shouldBe Seq("warcinfo", "request")
+    // 100 % 101 == 100: undecodable from byte 0 -> zero records
+    rows(parseGz(100L)) shouldBe empty
+  }
+
   // --- robots.txt (r15) ---
 
   private def robotsRulesOf(hosts: String*) = Web.robotsRules(
