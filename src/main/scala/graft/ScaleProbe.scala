@@ -1019,6 +1019,19 @@ object ScaleProbe {
             sum(when(col("surv"), col("toks")).otherwise(lit(0L))).as("t"))
           .agg(sum(col("n")) + sum(col("u")) + sum(col("t"))).head().getLong(0)
       }
+      time("warc_gz_roundtrip") {
+        // r15 — the .warc.gz path at replication: member-per-record gzip
+        // encode + multi-member decode + record parse. Gzip codec cost is
+        // the real Common Crawl read bottleneck; the law under test is
+        // wall ∝ bytes with ZERO shuffle (both stages are narrow
+        // mapPartitions; the binary never moves).
+        val W = graft.operators.Web
+        val w = W.withWarc(W.withHtml(W.withUrls(docs)))
+        val gz = W.withWarcGz(w.select(col("doc_id"), col("warc")), "doc_id", "warc")
+        val recs = W.warcRecords(
+          W.gunzipWarc(gz, "doc_id", "warc_gz"), "warc")
+        recs.agg(count(lit(1)), sum(col("block_octets"))).head().getLong(0)
+      }
       time("sft_prep") {
         // r15 — the SFT family at replication: transcript synthesis →
         // turn parse → pair mining with the cross-corpus response-hash
