@@ -6013,6 +6013,15 @@ object SparkEntry {
           col("ln").cast(LongType).as("ln"))
         .orderBy("host", "ln", "agent")
     }),
+    // REP Sitemap directives (r15): the discovery hook robots.txt carries —
+    // global (not group-scoped) lines, URL case preserved, multi-sitemap
+    // hosts under the gate (news declares two)
+    "q_robots_sitemaps" -> ((s, dir) => {
+      val W = graft.operators.Web
+      W.robotsSitemaps(robotsHosts(s, dir)
+          .withColumn("robots", W.robotsTxt(col("host"))), "host", "robots")
+        .orderBy("host", "ln")
+    }),
     // ...and the crawl-allowance decisions: REP group selection (a host
     // naming the agent uses ONLY that group, else `*`), longest-prefix-
     // match, Allow-wins-ties, no-match → allowed — evaluated for BOTH an
@@ -7133,7 +7142,9 @@ object SparkEntry {
        |  FROM u),
        | rhs AS (SELECT DISTINCT host FROM pg),
        | rbg AS (SELECT host, CAST(coalesce(nullif(regexp_extract(host, '([0-9])', 1), ''), '7') AS INTEGER) AS g FROM rhs),
-       | rbx AS (SELECT host, $base ||
+       | rbx AS (SELECT host, 'Sitemap: https://' || host || '/sitemap.xml' || chr(10) ||
+       |   CASE WHEN g = 7 THEN 'Sitemap: https://' || host || '/news-sitemap.xml' || chr(10) ELSE '' END ||
+       |   $base ||
        |   CASE WHEN g % 2 = 0 THEN $graftGrp ELSE '' END ||
        |   CASE WHEN g = 3 THEN $stacked ELSE '' END ||
        |   CASE WHEN g = 5 THEN $emptyGrp ELSE '' END AS robots FROM rbg),
@@ -10648,6 +10659,12 @@ object SparkEntry {
       canonChainSql("wsrc", extra = ", tc, n_links") +
       " SELECT doc_id, domain, url_canon, n_links, md5(tc) AS text_md5" +
       " FROM cn ORDER BY doc_id"),
+    // robots Sitemap directives: line filter over the same fixture
+    "q_robots_sitemaps" -> ("WITH " + robotsCtes +
+      """ SELECT host, CAST(ln AS BIGINT) AS ln,
+        |   trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) AS sitemap_url
+        | FROM rfl WHERE lower(line) LIKE 'sitemap:%'
+        | ORDER BY host, ln""".stripMargin.replace("\n", "")),
     // robots.txt: the REP rule table from the same relational parse
     "q_robots_parse" -> ("WITH " + robotsCtes +
       " SELECT host, agent, directive, prefix, CAST(ln AS BIGINT) AS ln" +

@@ -675,6 +675,9 @@ object Web {
     val g = coalesce(nullif(regexp_extract(host, "([0-9])", 1), lit("")), lit("7"))
       .cast(IntegerType)
     concat(
+      lit("Sitemap: https://"), host, lit("/sitemap.xml\n"),
+      when(g === 7, concat(lit("Sitemap: https://"), host,
+        lit("/news-sitemap.xml\n"))).otherwise(lit("")),
       lit("# graft robots fixture\nUser-agent: *\nDisallow: /private/\n" +
         "Allow: /private/ok/\nDisallow: /articles/1\nAllow: /articles/12\n" +
         "Disallow: /articles/3\nAllow: /articles/3\n" +
@@ -840,6 +843,18 @@ object Web {
       .join(agents, Seq("host", "blk"))
       .select("host", "agent", "delay_s")
   }
+
+  /** `Sitemap:` directives per host — REP's discovery hook. Sitemap lines
+    * are GLOBAL (not group-scoped), so extraction is a plain line filter;
+    * the URL keeps its case (REP: sitemap URLs are case-sensitive).
+    */
+  def robotsSitemaps(df: DataFrame, hostCol: String, robotsCol: String): DataFrame =
+    df.select(col(hostCol).as("host"),
+        posexplode(split(col(robotsCol), "\n")).as(Seq("ln", "line")))
+      .withColumn("line", trim(col("line")))
+      .filter(lower(col("line")).startsWith("sitemap:"))
+      .select(col("host"), col("ln").cast(LongType).as("ln"),
+        trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("sitemap_url"))
 
   /** The distinct UA groups declared per host — the group-presence frame
     * [[robotsCrawlDelays]]' consumers need for REP group exclusivity (a
