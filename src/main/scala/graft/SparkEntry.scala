@@ -5974,8 +5974,12 @@ object SparkEntry {
     // must land exactly on the Content-Length claim), HTTP status/mime
     // split, and payload md5, with corrupt members yielding zero rows.
     "q_warc_parse" -> ((s, dir) => {
+      // embedMarker (r16): 200-arm docs with doc_id % 13 == 5 carry a QUOTED
+      // fake WARC record inside the HTML body — the length-framed parser
+      // must carry it through as payload (one record, octet-exact), where
+      // the r15 marker-split parser shattered it into phantom records
       val w = graft.operators.Web.withWarc(graft.operators.Web.withHtml(
-        graft.operators.Web.withUrls(documents(s, dir))))
+        graft.operators.Web.withUrls(documents(s, dir))), embedMarker = true)
       graft.operators.Web.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
         .select(col("doc_id"), col("rec_pos").cast(LongType).as("rec_pos"),
           col("rec_type"), col("target_uri"), col("warc_date"),
@@ -6052,7 +6056,7 @@ object SparkEntry {
       val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
         .filter(col("rec_type") === "response")
         .select(col("doc_id"), col("target_uri").as("url"), col("payload"),
-          col("http_status"))
+          col("http_status"), col("http_location"))
       val canon = W.canonicalize(recs, "url")
       // robots decisions run on the FRONTIER (the pre-fetch request URL),
       // as a real crawler does — and keeping the decision subplan off the
@@ -6079,6 +6083,27 @@ object SparkEntry {
           col("lang") === "en" && col("toks") >= 50)
         .withColumn("surv", col("elig") && col("doc_id") ===
           min(when(col("elig"), col("doc_id"))).over(Window.partitionBy("surt")))
+      // redirect attribution (r16, verdict ask #2): 301 chains resolve to
+      // their terminal and, when that terminal is a FETCHED 200 page,
+      // count as an arrival at the LANDING page's domain — redirected
+      // pages attribute at their resolved target, not at the hop. The
+      // landed-canon set derives from the slim URL formula (not the parsed
+      // frame) so the expensive parse chain still computes exactly once;
+      // at 100 TB both the edge set and the landed ledger are landed
+      // artifacts of the same crawl.
+      val edges = recs.filter(col("http_status") === 301 &&
+          col("http_location").isNotNull)
+        .select(W.urlCanonOf(col("url")).as("src"),
+          W.urlCanonOf(col("http_location")).as("dst"))
+      val landed = W.withUrls(documents(s, dir))
+        .filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 11 =!= 1 &&
+          col("doc_id") % 101 =!= 100)
+        .select(W.urlCanonOf(col("url")).as("final_url")).distinct()
+      val arrivals = W.resolveRedirectChains(edges, maxHops = 5)
+        .filter(col("status") === "settled")
+        .join(landed, Seq("final_url"), "left_semi")
+        .groupBy(W.registrableDomain(W.hostOf(col("final_url"))).as("domain"))
+        .agg(count(lit(1)).as("__arr"))
       staged.groupBy("domain").agg(
         count(lit(1)).as("n_responses"),
         sum(col("is200").cast(LongType)).as("n_200"),
@@ -6088,6 +6113,9 @@ object SparkEntry {
         sum(col("elig").cast(LongType)).as("n_kept"),
         sum(col("surv").cast(LongType)).as("n_unique"),
         sum(when(col("surv"), col("toks")).otherwise(lit(0L))).as("tokens_kept"))
+        .join(arrivals, Seq("domain"), "left")
+        .withColumn("n_redirect_arrivals", coalesce(col("__arr"), lit(0L)))
+        .drop("__arr")
         .orderBy("domain")
     }),
     // sitemap discovery (r15): the crawl's URL-discovery front — parse
@@ -6278,6 +6306,76 @@ object SparkEntry {
           col("content_length"), col("http_status"), col("mime"),
           col("block_octets"), md5(col("payload")).as("payload_md5"))
         .orderBy("doc_id", "rec_pos")
+    }),
+    // redirect-chain resolution (r16, verdict ask #2): the 301 Location
+    // headers the fixture has planted since r15 are finally CONSUMED —
+    // edges (target_uri → Location) canonicalize on both endpoints and a
+    // bounded-iteration join (5 hops, cycle-safe via the path array — the
+    // pageRank BSP idiom) resolves each chain to its terminal, classified
+    // against the fetched-200 canon set: content (settled on a fetched
+    // page), dangling (settled off-corpus), loop (revisited its own path).
+    // Fixture arms by k = (id div 11) mod 6: dangling, 1-hop, 2-hop chain,
+    // and a 2-cycle loop — all under the hash gate.
+    "q_redirect_chains" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
+      val edges = recs.filter(col("rec_type") === "response" &&
+          col("http_status") === 301 && col("http_location").isNotNull)
+        .select(W.urlCanonOf(col("target_uri")).as("src"),
+          W.urlCanonOf(col("http_location")).as("dst"))
+      val content = recs.filter(col("rec_type") === "response" &&
+          col("http_status") === 200)
+        .select(W.urlCanonOf(col("target_uri")).as("final_url"))
+        .distinct().withColumn("__has", lit(true))
+      // no broadcast hint on the content set: page-granularity (AQE
+      // broadcasts at bench scale, shuffles at corpus scale)
+      W.resolveRedirectChains(edges, maxHops = 5)
+        .join(content, Seq("final_url"), "left")
+        .select(col("src"), col("final_url"), col("hops"),
+          when(col("status") === "loop", lit("loop"))
+            .when(col("status") === "settled" && coalesce(col("__has"), lit(false)),
+              lit("content"))
+            .when(col("status") === "settled", lit("dangling"))
+            .otherwise(lit("exhausted")).as("outcome"))
+        .orderBy("src")
+    }),
+    // WARC revisit records (r16, verdict ask #8): a second crawl of the
+    // same pages dedupes at capture time — every third page refetches as a
+    // `revisit` record (WARC-Refers-To the original response + payload
+    // digest, head-only block) instead of re-shipping the body. The
+    // refers-to edge is a ZERO-COST exact-dup signal: revisit docs adopt
+    // the referenced original's content-cluster keeper without shuffling
+    // any content, and land in exactly the cluster content-key dedup gives
+    // the full-response refetches; the digest cross-checks against the
+    // original's content key.
+    "q_warc_revisit" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val base = W.withHtml(W.withUrls(documents(s, dir)))
+      val crawl1 = W.withWarc(base).select(col("doc_id"), col("warc"))
+      val crawl2 = W.withWarcRevisits(base, 100000L)
+      val recs = W.warcRecords(crawl1.unionByName(crawl2), "warc")
+      val responses = recs.filter(col("rec_type") === "response" &&
+          col("http_status") === 200)
+        .select(col("doc_id"), md5(col("payload")).as("content_key"))
+      val keepers = responses.groupBy("content_key")
+        .agg(min(col("doc_id")).as("keeper"))
+      val byContent = responses.join(keepers, Seq("content_key"))
+        .select(col("doc_id"), col("keeper"), lit("content").as("via"),
+          lit(null).cast(BooleanType).as("digest_ok"))
+      val revisits = recs.filter(col("rec_type") === "revisit")
+        .select(col("doc_id"),
+          regexp_extract(col("refers_to"), "urn:graft:([0-9]+)-", 1)
+            .cast(LongType).as("ref_id"),
+          col("payload_digest"))
+      val byRevisit = revisits
+        .join(byContent.select(col("doc_id").as("ref_id"), col("keeper")),
+          Seq("ref_id"))
+        .join(responses.select(col("doc_id").as("ref_id"),
+          concat(lit("md5:"), col("content_key")).as("orig_digest")), Seq("ref_id"))
+        .select(col("doc_id"), col("keeper"), lit("revisit").as("via"),
+          (col("payload_digest") === col("orig_digest")).as("digest_ok"))
+      byContent.unionByName(byRevisit).orderBy("doc_id")
     }),
     // streaming twin of the WARC front door: segments arrive on a stream
     // and parse per micro-batch — the record extraction is STATELESS
@@ -7078,6 +7176,48 @@ object SparkEntry {
       |   '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title><script>var x = 1 < 2;</script><style>.c{color:red}</style></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || ' &amp; tail &lt;tag&gt;</p><a href="' || url || '">first</a> <a href="HTTP://Example.COM/p?id=' || CAST(doc_id % 100 AS VARCHAR) || '#x">second</a> <a href="../other/page-' || CAST(doc_id % 100 AS VARCHAR) || '?x=1">third</a> <a href="//cdn.example-' || CAST(doc_id % 100 AS VARCHAR) || '.com/lib/app.js">fourth</a> <a href="/ROOT/./deep/page-' || CAST(doc_id % 100 AS VARCHAR) || '.html">fifth</a> <a href="https://user@media.example.org/m/' || CAST(doc_id % 100 AS VARCHAR) || '">sixth</a></body></html>' AS html
       |  FROM u)""".stripMargin.replace("\n", "")
 
+  /** [[graft.operators.Web.urlOf]]'s messy-URL formula over an arbitrary
+    * SQL id expression (r16) — the redirect fixture's Location targets are
+    * `urlOf(id ± k)` values, so the dual needs the formula composable over
+    * id arithmetic, not just the fixed `u` CTE.
+    */
+  private def urlSqlOf(i: String): String = {
+    val c = s"CAST(($i) % 100 AS VARCHAR)"
+    val h = s"CAST(($i) % 100 % 7 AS VARCHAR)"
+    val hb = s"(CASE WHEN ($i) % 100 % 7 = 6 THEN 'news.example.co.uk' " +
+      s"ELSE 'site' || $h || '.example-' || $h || '.com' END)"
+    val art = s"('/articles/' || $c)"
+    s"(CASE CAST((($i) // 100) % 5 AS INTEGER)" +
+      s" WHEN 0 THEN 'HTTP://WWW.' || upper($hb) || ':80' || $art || '?utm_source=feed&x=2&id=' || $c || '#frag'" +
+      s" WHEN 1 THEN 'https://' || $hb || ':443' || $art || '/?id=' || $c || '&x=2'" +
+      s" WHEN 2 THEN 'https://' || $hb || $art || '?x=2&id=' || $c || '&utm_campaign=summer&gclid=g' || $c" +
+      s" WHEN 3 THEN 'https://www.' || $hb || $art || '?id=' || $c || '&x=2&fbclid=f' || $c" +
+      s" ELSE 'http://' || $hb || ':8080' || $art || '?id=' || $c END)"
+  }
+
+  /** The redirect fixture's Location-target formula over `wd` columns —
+    * shared by the `loch` header construction and the redirect-edge CTE so
+    * the two can never diverge (k = (doc_id div 11) mod 6: dangling /
+    * 1-hop / 2-hop chain / loop arms — Web.withWarc r16).
+    */
+  private def locTargetSql: String =
+    s"(CASE CAST((doc_id // 11) % 6 AS INTEGER)" +
+      s" WHEN 0 THEN 'https://moved.example.net/p-' || cs" +
+      s" WHEN 1 THEN ${urlSqlOf("doc_id + 1")}" +
+      s" WHEN 3 THEN ${urlSqlOf("doc_id + 1")}" +
+      s" WHEN 2 THEN ${urlSqlOf("doc_id + 11")}" +
+      s" WHEN 4 THEN ${urlSqlOf("doc_id + 11")}" +
+      s" ELSE ${urlSqlOf("doc_id - 11")} END)"
+
+  /** The marker-in-payload quoted block
+    * ([[graft.operators.Web.quotedWarcBlock]]) restated over the `crlf`
+    * column.
+    */
+  private def quotedWarcBlockSql: String =
+    "'<pre>quoted dump: WARC/1.0' || crlf || 'WARC-Type: response' || crlf || " +
+      "'WARC-Target-URI: https://phantom.example/p' || crlf || " +
+      "'Content-Length: 9999' || crlf || crlf || 'phantom body</pre>'"
+
   /** WARC construction dual (r15): restates [[graft.operators.Web.withWarc]]'s
     * segment formula — bodies, HTTP response block, octet Content-Lengths —
     * over the `h` HTML-fixture CTE, with corrupt members (`doc_id % 101 =
@@ -7085,11 +7225,16 @@ object SparkEntry {
     * CRLF rides as a 1-row `k` CTE (`chr(13)||chr(10)`) since the
     * newline-stripped SQL string cannot carry literal control bytes.
     * Yields CTE `wblk` with (doc_id, url, wdate, m, infob, reqb, rbody,
-    * respb).
+    * respb). `embed = true` appends the quoted-marker block to 200-arm
+    * bodies of `doc_id % 13 == 5` docs (the q_warc_parse length-framing
+    * arm, r16).
     */
-  private def warcCtes: String =
+  private def warcCtes(embed: Boolean = false): String = {
+    val embedSfx = if (embed)
+      s" || (CASE WHEN doc_id % 13 = 5 THEN $quotedWarcBlockSql ELSE '' END)"
+    else ""
     htmlCtes + "," +
-    """ k AS (SELECT chr(13) || chr(10) AS crlf),
+    s""" k AS (SELECT chr(13) || chr(10) AS crlf),
       | wd AS (SELECT doc_id, url, html, crlf,
       |   printf('2024-%02d-%02dT%02d:15:00Z', CAST(doc_id % 12 + 1 AS INTEGER),
       |     CAST(doc_id % 28 + 1 AS INTEGER), CAST(doc_id % 24 AS INTEGER)) AS wdate,
@@ -7099,13 +7244,82 @@ object SparkEntry {
       | wbod AS (SELECT *,
       |   'software: graft-crawler/1.0' || crlf || 'isPartOf: crawl-' || CAST(doc_id % 10 AS VARCHAR) || crlf AS infob,
       |   'GET ' || url || ' HTTP/1.1' || crlf || 'User-Agent: graftbot/1.0' || crlf AS reqb,
-      |   CASE WHEN m = 0 THEN '<html><body>Not Found</body></html>' WHEN m = 1 THEN '' ELSE html END AS rbody,
+      |   CASE WHEN m = 0 THEN '<html><body>Not Found</body></html>' WHEN m = 1 THEN '' ELSE html$embedSfx END AS rbody,
       |   CASE WHEN m = 0 THEN '404 Not Found' WHEN m = 1 THEN '301 Moved Permanently' ELSE '200 OK' END AS sline,
-      |   CASE WHEN m = 1 THEN 'Location: https://moved.example.net/p-' || cs || crlf ELSE '' END AS loch
+      |   CASE WHEN m = 1 THEN 'Location: ' || $locTargetSql || crlf ELSE '' END AS loch
       |  FROM wd),
       | wblk AS (SELECT *,
       |   'HTTP/1.1 ' || sline || crlf || 'Content-Type: text/html; charset=UTF-8' || crlf || loch || crlf || rbody AS respb
       |  FROM wbod)""".stripMargin.replace("\n", "")
+  }
+
+  /** Canonical-key CTE chain over an arbitrary source CTE carrying a `url`
+    * column plus `cols` passthroughs, with suffixed CTE names so it can
+    * coexist with [[canonChainSql]] (and with a second instance of itself)
+    * in one WITH — restates [[graft.operators.Web.urlCanonOf]]. Yields
+    * `ck$sfx` (cols…, url_canon), MATERIALIZED (consumers join it twice).
+    */
+  private def canonKeySql(src: String, sfx: String, cols: String): String =
+    s""" ka$sfx AS (SELECT $cols, regexp_replace(url, '#.*', '') AS nofrag FROM $src),
+       | kb$sfx AS (SELECT $cols,
+       |   lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |   regexp_replace(lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^.*@', '') AS hostport,
+       |   regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
+       |   regexp_extract(nofrag, '\\?([^#]*)', 1) AS rawq FROM ka$sfx),
+       | kc$sfx AS (SELECT $cols, scheme,
+       |   regexp_replace(regexp_replace(hostport, ':[0-9]+$$', ''), '^www\\.', '') AS host,
+       |   regexp_extract(hostport, ':([0-9]+)$$', 1) AS prt,
+       |   CASE WHEN regexp_replace(rawpath, '/+$$', '') = '' THEN '/'
+       |     ELSE regexp_replace(rawpath, '/+$$', '') END AS pth,
+       |   array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+       |     q -> len(q) > 0 AND NOT regexp_matches(q, '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid)='))), '&') AS qs
+       |  FROM kb$sfx),
+       | ck$sfx AS MATERIALIZED (SELECT $cols,
+       |   CASE WHEN scheme = '' OR host = '' THEN NULL
+       |     ELSE scheme || '://' || host ||
+       |       (CASE WHEN prt <> '' AND NOT ((scheme = 'http' AND prt = '80') OR (scheme = 'https' AND prt = '443')) THEN ':' || prt ELSE '' END)
+       |       || pth || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) END AS url_canon
+       |  FROM kc$sfx)""".stripMargin.replace("\n", "")
+
+  /** Redirect edges + bounded chain resolution (r16, the
+    * [[graft.operators.Web.resolveRedirectChains]] dual): edge set from the
+    * `wd` fixture frame (src = the 301 doc's url, dst = the shared
+    * [[locTargetSql]] formula), both endpoints through [[canonKeySql]],
+    * then `maxHops` UNROLLED left joins with the same freeze/loop rules.
+    * Yields CTE `rchain` (src, final_url, hops, status).
+    */
+  private def redirectChainSql(maxHops: Int): String = {
+    val hops = (1 to maxHops).map { i =>
+      val p = s"h${i - 1}"
+      s""" h$i AS (SELECT start,
+         |   CASE WHEN status = 'active' AND e.dst IS NOT NULL THEN e.dst ELSE cur END AS cur,
+         |   CASE WHEN status = 'active' AND e.dst IS NOT NULL THEN hops + 1 ELSE hops END AS hops,
+         |   CASE WHEN status = 'active' AND e.dst IS NOT NULL THEN list_append(path, e.dst) ELSE path END AS path,
+         |   CASE WHEN status <> 'active' THEN status
+         |     WHEN e.dst IS NULL THEN 'settled'
+         |     WHEN list_contains(path, e.dst) THEN 'loop'
+         |     ELSE 'active' END AS status
+         |  FROM $p LEFT JOIN e ON $p.cur = e.src)""".stripMargin.replace("\n", "")
+    }.mkString(",")
+    s""" red AS (SELECT doc_id, url AS src_url, $locTargetSql AS dst_url
+       |  FROM wd WHERE m = 1),
+       | reu AS (SELECT doc_id, 'src' AS kind, src_url AS url FROM red
+       |   UNION ALL SELECT doc_id, 'dst', dst_url FROM red),""".stripMargin
+      .replace("\n", "") +
+      canonKeySql("reu", "e", "doc_id, kind") + "," +
+      s""" ec AS (SELECT s.url_canon AS src, d.url_canon AS dst
+         |  FROM cke s JOIN cke d ON s.doc_id = d.doc_id
+         |  WHERE s.kind = 'src' AND d.kind = 'dst'),
+         | e AS MATERIALIZED (SELECT src, min(dst) AS dst FROM ec
+         |   WHERE src IS NOT NULL AND dst IS NOT NULL GROUP BY src),
+         | h0 AS (SELECT src AS start, src AS cur, 0 AS hops, [src] AS path,
+         |   'active' AS status FROM e),""".stripMargin.replace("\n", "") +
+      hops + "," +
+      s""" rchain AS (SELECT start AS src, cur AS final_url,
+         |   CAST(hops AS BIGINT) AS hops,
+         |   CASE WHEN status = 'active' THEN 'exhausted' ELSE status END AS status
+         |  FROM h$maxHops)""".stripMargin.replace("\n", "")
+  }
 
   /** Robots fixture + REP parse dual (r15): pages (host/path from the
     * messy-URL fixture via the [[canonChainSql]] regexes), per-host robots
@@ -10622,7 +10836,7 @@ object SparkEntry {
     // WARC parse: the construction restated — every row is a
     // parse(serialize(x)) == x identity (field-for-field, octet lengths,
     // payload md5), corrupt members absent from both sides
-    "q_warc_parse" -> ("WITH " + warcCtes +
+    "q_warc_parse" -> ("WITH " + warcCtes(embed = true) +
       """ SELECT doc_id, rec_pos, rec_type, target_uri, warc_date, content_length,
         |   http_status, mime, block_octets, payload_md5 FROM (
         |  SELECT doc_id, CAST(1 AS BIGINT) AS rec_pos, 'warcinfo' AS rec_type,
@@ -10646,7 +10860,7 @@ object SparkEntry {
     // WARC pipeline: 200-responses only (m NOT IN (0,1), corrupt excluded
     // by warcCtes), then the q_html_extract strip chain + the canonical
     // URL chain over the SAME pages the response payloads carry
-    "q_warc_pipeline" -> ("WITH " + warcCtes + "," +
+    "q_warc_pipeline" -> ("WITH " + warcCtes() + "," +
       """ ws1 AS (SELECT doc_id, url, rbody AS html, regexp_replace(rbody, '(?s)<script.*?</script>', ' ', 'g') AS t FROM wblk WHERE m NOT IN (0, 1)),
         | ws2 AS (SELECT doc_id, url, html, regexp_replace(t, '(?s)<style.*?</style>', ' ', 'g') AS t FROM ws1),
         | ws3 AS (SELECT doc_id, url, html, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM ws2),
@@ -10678,7 +10892,7 @@ object SparkEntry {
         | ORDER BY doc_id, agent""".stripMargin.replace("\n", "")),
     // the crawl funnel: WARC construction + robots decisions + strip chain
     // + canonical chain composed, stage conjunctions aggregated per domain
-    "q_crawl_curation" -> ("WITH " + warcCtes + "," + robotsParseCtes + "," +
+    "q_crawl_curation" -> ("WITH " + warcCtes() + "," + robotsParseCtes + "," +
       robotsDecisionSql("1", "graftbot") + "," +
       """ cs1 AS (SELECT doc_id, url, m, regexp_replace(rbody, '(?s)<script.*?</script>', ' ', 'g') AS t FROM wblk),
         | cs2 AS (SELECT doc_id, url, m, regexp_replace(t, '(?s)<style.*?</style>', ' ', 'g') AS t FROM cs1),
@@ -10693,15 +10907,28 @@ object SparkEntry {
         |   (m NOT IN (0, 1)) AS is200, d1.allowed AS allowed, dd.lang AS lang
         |  FROM cn JOIN d1 ON cn.doc_id = d1.doc_id JOIN documents dd ON cn.doc_id = dd.doc_id),
         | cfe AS (SELECT *, (is200 AND allowed AND lang = 'en' AND toks >= 50) AS elig FROM cfd),
-        | cfs AS (SELECT *, (elig AND doc_id = min(CASE WHEN elig THEN doc_id END) OVER (PARTITION BY surt)) AS surv FROM cfe)
-        | SELECT domain, CAST(count(*) AS BIGINT) AS n_responses,
-        |   CAST(sum(CASE WHEN is200 THEN 1 ELSE 0 END) AS BIGINT) AS n_200,
-        |   CAST(sum(CASE WHEN is200 AND allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
-        |   CAST(sum(CASE WHEN is200 AND allowed AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
-        |   CAST(sum(CASE WHEN elig THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |   CAST(sum(CASE WHEN surv THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
-        |   CAST(sum(CASE WHEN surv THEN toks ELSE 0 END) AS BIGINT) AS tokens_kept
-        | FROM cfs GROUP BY domain ORDER BY domain""".stripMargin.replace("\n", "")),
+        | cfs AS (SELECT *, (elig AND doc_id = min(CASE WHEN elig THEN doc_id END) OVER (PARTITION BY surt)) AS surv FROM cfe),""".stripMargin.replace("\n", "") +
+      redirectChainSql(5) + "," +
+      s""" lnd AS (SELECT DISTINCT url_canon AS final_url FROM cn
+         |   WHERE m NOT IN (0, 1) AND url_canon IS NOT NULL),
+         | arh AS (SELECT regexp_replace(regexp_replace(regexp_replace(lower(regexp_extract(regexp_replace(r.final_url, '#.*', ''), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^.*@', ''), ':[0-9]+$$', ''), '^www\\.', '') AS host
+         |  FROM rchain r JOIN lnd ON r.final_url = lnd.final_url
+         |  WHERE r.status = 'settled'),
+         | arl AS (SELECT host, string_split(host, '.') AS labels FROM arh),
+         | arr AS (SELECT ${pslDomainCaseSql("host", "labels")} AS domain,
+         |   CAST(count(*) AS BIGINT) AS n_arr FROM arl GROUP BY 1)
+         | SELECT f.domain AS domain, n_responses, n_200, n_allowed, n_en, n_kept,
+         |   n_unique, tokens_kept, coalesce(arr.n_arr, 0) AS n_redirect_arrivals
+         | FROM (SELECT domain, CAST(count(*) AS BIGINT) AS n_responses,
+         |   CAST(sum(CASE WHEN is200 THEN 1 ELSE 0 END) AS BIGINT) AS n_200,
+         |   CAST(sum(CASE WHEN is200 AND allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+         |   CAST(sum(CASE WHEN is200 AND allowed AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |   CAST(sum(CASE WHEN elig THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |   CAST(sum(CASE WHEN surv THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |   CAST(sum(CASE WHEN surv THEN toks ELSE 0 END) AS BIGINT) AS tokens_kept
+         |  FROM cfs GROUP BY domain) f
+         | LEFT JOIN arr ON f.domain = arr.domain
+         | ORDER BY domain""".stripMargin.replace("\n", "")),
     // sitemap parse: construction + the same regex extraction restated
     "q_sitemap_parse" -> ("WITH " + robotsCtes + "," + sitemapCtes +
       " SELECT host, kind, seq, loc, lastmod, changefreq, priority" +
@@ -10755,7 +10982,7 @@ object SparkEntry {
         | ORDER BY host, url""".stripMargin.replace("\n", "")),
     // recrawl plan: fetch record from the WARC construction (response
     // dates grouped per page) vs sitemap lastmod
-    "q_recrawl_plan" -> ("WITH " + warcCtes + "," + robotsParseCtes + "," +
+    "q_recrawl_plan" -> ("WITH " + warcCtes() + "," + robotsParseCtes + "," +
       sitemapCtes + "," +
       s""" ft AS (SELECT p.host AS host, p.path AS path,
          |   max(substr(wdate, 1, 10)) AS last_fetched
@@ -10819,7 +11046,7 @@ object SparkEntry {
         | FROM sfk ORDER BY doc_id, turn_idx""".stripMargin.replace("\n", "")),
     // .warc.gz parse: the q_warc_parse construction minus the third
     // record of the garbled-tail-member docs
-    "q_warc_gz_parse" -> ("WITH " + warcCtes +
+    "q_warc_gz_parse" -> ("WITH " + warcCtes() +
       """ SELECT doc_id, rec_pos, rec_type, target_uri, warc_date, content_length,
         |   http_status, mime, block_octets, payload_md5 FROM (
         |  SELECT doc_id, CAST(1 AS BIGINT) AS rec_pos, 'warcinfo' AS rec_type,
@@ -10840,9 +11067,43 @@ object SparkEntry {
         |    'text/html', CAST(octet_length(encode(respb)) AS BIGINT),
         |    md5(rbody) FROM wblk WHERE doc_id % 89 <> 88
         | ) ORDER BY doc_id, rec_pos""".stripMargin.replace("\n", "")),
+    // redirect chains: edges from the fixture formula (the SAME locTarget
+    // expression the loch header construction uses), endpoints through the
+    // canonical-key chain, 5 unrolled hop joins with identical freeze/loop
+    // rules, outcome vs the fetched-200 canon set
+    "q_redirect_chains" -> ("WITH " + warcCtes() + "," + redirectChainSql(5) + "," +
+      """ rsrc AS (SELECT doc_id, '' AS text, url FROM wd WHERE m NOT IN (0, 1)),""".stripMargin.replace("\n", "") +
+      canonChainSql("rsrc") + "," +
+      """ c200 AS (SELECT DISTINCT url_canon FROM cn WHERE url_canon IS NOT NULL)
+        | SELECT src, final_url, hops,
+        |   CASE WHEN status = 'loop' THEN 'loop'
+        |     WHEN status = 'settled' AND c.url_canon IS NOT NULL THEN 'content'
+        |     WHEN status = 'settled' THEN 'dangling'
+        |     ELSE 'exhausted' END AS outcome
+        | FROM rchain LEFT JOIN c200 c ON rchain.final_url = c.url_canon
+        | ORDER BY src""".stripMargin.replace("\n", "")),
+    // WARC revisits: content clusters from the construction (crawl1 bodies
+    // + crawl2 full-response refetches), revisit docs adopt the referenced
+    // original's keeper, digests cross-check the original's content key
+    "q_warc_revisit" -> ("WITH " + warcCtes() + "," +
+      """ rsp AS MATERIALIZED (SELECT doc_id, md5(rbody) AS ck FROM wblk WHERE m NOT IN (0, 1)
+        |   UNION ALL
+        |   SELECT doc_id + 100000, md5(html) FROM wblk WHERE m NOT IN (0, 1) AND doc_id % 3 <> 0),
+        | kp AS (SELECT ck, min(doc_id) AS keeper FROM rsp GROUP BY ck),
+        | bc AS MATERIALIZED (SELECT doc_id, keeper, 'content' AS via,
+        |   CAST(NULL AS BOOLEAN) AS digest_ok FROM rsp JOIN kp USING (ck)),
+        | rv AS (SELECT doc_id + 100000 AS doc_id, doc_id AS ref_id,
+        |   'md5:' || md5(html) AS pd FROM wblk WHERE m NOT IN (0, 1) AND doc_id % 3 = 0),
+        | br AS (SELECT rv.doc_id AS doc_id, b.keeper AS keeper, 'revisit' AS via,
+        |   (rv.pd = 'md5:' || r2.ck) AS digest_ok
+        |  FROM rv JOIN bc b ON rv.ref_id = b.doc_id
+        |  JOIN rsp r2 ON rv.ref_id = r2.doc_id)
+        | SELECT doc_id, keeper, via, digest_ok
+        | FROM (SELECT * FROM bc UNION ALL SELECT * FROM br)
+        | ORDER BY doc_id""".stripMargin.replace("\n", "")),
     // streaming WARC parse: stateless per-batch extraction — the drained
     // sink equals the batch construction restatement
-    "q_stream_warc" -> ("WITH " + warcCtes +
+    "q_stream_warc" -> ("WITH " + warcCtes() +
       """ SELECT doc_id, rec_pos, rec_type, http_status, content_length,
         |   block_octets FROM (
         |  SELECT doc_id, CAST(1 AS BIGINT) AS rec_pos, 'warcinfo' AS rec_type,

@@ -227,18 +227,11 @@ object Web {
     val noFrag = regexp_replace(col(urlCol), "#.*", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostPort = rawHostPort(noFrag)
-    val rawQuery = regexp_extract(noFrag, "\\?([^#]*)", 1)
     df.withColumn("__scheme", scheme)
       .withColumn("__host", normalizedHost(noFrag))
       .withColumn("__port", regexp_extract(hostPort, ":([0-9]+)$", 1))
       .withColumn("__path", collapsedPath(noFrag))
-      .withColumn("__qs", {
-        // drop empties + tracking params, then sort for order stability —
-        // sorting the whole "k=v" strings sorts by key then value
-        val params = filter(split(rawQuery, "&"),
-          (p: Column) => p =!= "" && !p.rlike(trackingParamRe))
-        array_join(array_sort(params), "&")
-      })
+      .withColumn("__qs", sortedQuery(noFrag))
       .withColumn("__portSfx", {
         val default = (col("__scheme") === "http" && col("__port") === "80") ||
           (col("__scheme") === "https" && col("__port") === "443")
@@ -393,14 +386,26 @@ object Web {
     * v0–v3 canonicalize to one SURT; v4 stays separate. The formula is
     * pure integer/string arithmetic the oracle restates verbatim.
     */
-  def withUrls(docs: DataFrame): DataFrame = {
-    val c = (col("doc_id") % 100).cast(StringType)
-    val v = expr("doc_id DIV 100") % 5
-    val h = (col("doc_id") % 100 % 7).cast(StringType)
-    val hostbase = when(col("doc_id") % 100 % 7 === 6, lit("news.example.co.uk"))
+  def withUrls(docs: DataFrame): DataFrame =
+    docs.withColumn("url", urlOf(col("doc_id")))
+
+  /** The messy-URL formula over an arbitrary id EXPRESSION (r16): factored
+    * out of [[withUrls]] so the redirect fixture can synthesize Location
+    * targets pointing at OTHER fixture docs' URLs (`urlOf(id + 11)`) from
+    * the same single source of truth. Integral div is restated as
+    * subtract-mod-divide so the expression composes over id arithmetic
+    * (all fixture ids are ≥ 0 and far below 2^53, so the division is
+    * exact).
+    */
+  def urlOf(id: Column): Column = {
+    val idL = id.cast(LongType)
+    val c = (idL % 100).cast(StringType)
+    val v = ((idL - idL % 100) / 100).cast(LongType) % 5
+    val h = (idL % 100 % 7).cast(StringType)
+    val hostbase = when(idL % 100 % 7 === 6, lit("news.example.co.uk"))
       .otherwise(concat(lit("site"), h, lit(".example-"), h, lit(".com")))
     val art = concat(lit("/articles/"), c)
-    val url = when(v === 0, concat(lit("HTTP://WWW."), upper(hostbase), lit(":80"), art,
+    when(v === 0, concat(lit("HTTP://WWW."), upper(hostbase), lit(":80"), art,
         lit("?utm_source=feed&x=2&id="), c, lit("#frag")))
       .when(v === 1, concat(lit("https://"), hostbase, lit(":443"), art,
         lit("/?id="), c, lit("&x=2")))
@@ -409,7 +414,6 @@ object Web {
       .when(v === 3, concat(lit("https://www."), hostbase, art,
         lit("?id="), c, lit("&x=2&fbclid=f"), c))
       .otherwise(concat(lit("http://"), hostbase, lit(":8080"), art, lit("?id="), c))
-    docs.withColumn("url", url)
   }
 
   // ------------------------------------------------------------------
@@ -417,6 +421,17 @@ object Web {
   // ------------------------------------------------------------------
 
   private val CRLF = "\r\n"
+
+  /** The marker-in-payload fixture block (r16): a fake WARC record QUOTED
+    * inside an HTML body — literal marker bytes, a phantom header set, a
+    * Content-Length claim larger than anything behind it. Split on the
+    * marker and this shatters the record stream; frame by octet count and
+    * it is just payload. Public so the oracle dual restates it verbatim.
+    */
+  val quotedWarcBlock: String =
+    "<pre>quoted dump: WARC/1.0" + CRLF + "WARC-Type: response" + CRLF +
+      "WARC-Target-URI: https://phantom.example/p" + CRLF +
+      "Content-Length: 9999" + CRLF + CRLF + "phantom body</pre>"
 
   /** Deterministic WARC-Date for a doc id — ISO 8601 Zulu, the WARC 1.0
     * mandatory format.
@@ -440,8 +455,24 @@ object Web {
     * records for. Pure string concatenation the oracle restates verbatim,
     * making parse(serialize(x)) an identity gate in the codec-fixture
     * style (cf. Multimodal's BMP/GIF oracles).
+    *
+    * Redirect arms (r16, verdict ask #2): a 301 doc's Location target is
+    * keyed on k = (id div 11) mod 6 — k0 an off-corpus dangling host,
+    * k1/k3 the NEXT doc's URL (a 200 page: one-hop resolution, and k3 is
+    * also the terminal of k2's chain), k2 the next 301's URL (→ that k3 →
+    * its 200: a TWO-hop chain), k4 the next 301's URL and k5 the PREVIOUS
+    * 301's URL (k4 → k5 → k4: a redirect LOOP). Targets are [[urlOf]]
+    * formula values, so edges canonicalize and resolve against real
+    * fixture pages.
+    *
+    * `embedMarker = true` (r16, verdict ask #1) appends a QUOTED fake WARC
+    * record — literal `WARC/1.0` marker, fake headers, an over-long
+    * Content-Length claim — inside the HTML body of every 200 doc with
+    * `doc_id % 13 == 5`: the crawled-mirror-of-a-dump payload that a
+    * marker-split parser shatters into phantom records and the
+    * length-framed parser must carry through as payload.
     */
-  def withWarc(docsWithHtml: DataFrame): DataFrame = {
+  def withWarc(docsWithHtml: DataFrame, embedMarker: Boolean = false): DataFrame = {
     val id = col("doc_id")
     val idStr = id.cast(StringType)
     val c = (id % 100).cast(StringType)
@@ -454,11 +485,20 @@ object Web {
     val statusLine = when(m === 0, lit("404 Not Found"))
       .when(m === 1, lit("301 Moved Permanently"))
       .otherwise(lit("200 OK"))
+    val page = if (embedMarker)
+      when(id % 13 === 5, concat(col("html"), lit(quotedWarcBlock)))
+        .otherwise(col("html"))
+    else col("html")
     val body = when(m === 0, lit("<html><body>Not Found</body></html>"))
       .when(m === 1, lit(""))
-      .otherwise(col("html"))
+      .otherwise(page)
+    val k = ((id - id % 11) / 11).cast(LongType) % 6
+    val locTarget = when(k === 0, concat(lit("https://moved.example.net/p-"), c))
+      .when(k === 1 || k === 3, urlOf(id + 1))
+      .when(k === 2 || k === 4, urlOf(id + 11))
+      .otherwise(urlOf(id - 11))
     val locHdr = when(m === 1,
-      concat(lit("Location: https://moved.example.net/p-"), c, lit(CRLF)))
+      concat(lit("Location: "), locTarget, lit(CRLF)))
       .otherwise(lit(""))
     val respBlock = concat(lit("HTTP/1.1 "), statusLine,
       lit(CRLF + "Content-Type: text/html; charset=UTF-8" + CRLF),
@@ -480,6 +520,65 @@ object Web {
       when(id % 101 === 100, concat(lit("corrupt-member:"), idStr)).otherwise(seg))
   }
 
+  /** A SECOND crawl of the same pages, with capture-time dedup (r16,
+    * verdict ask #8): real Common Crawl dumps carry `revisit` records —
+    * content-identical refetches that reference the original capture via
+    * `WARC-Refers-To` plus a payload digest instead of re-shipping the
+    * body. Over the 200-arm docs of [[withWarc]]'s fixture (404/301/
+    * corrupt arms excluded — a revisit of an empty or error body is not
+    * the contract under test), every third page (`doc_id % 3 == 0`)
+    * refetches as a revisit record — refers-to `<urn:graft:id-3>` (the
+    * original crawl's response record), `WARC-Payload-Digest: md5:` of the
+    * original body, an HTTP-head-only block — while the rest refetch as
+    * full responses with byte-identical bodies. Re-crawl records carry ids
+    * and dates keyed on `doc_id + idOffset`. The refers-to edge is the
+    * container-level exact-dup signal: cluster membership through it must
+    * match content-key dedup of the full-response pages (gated:
+    * q_warc_revisit).
+    */
+  def withWarcRevisits(docsWithHtml: DataFrame, idOffset: Long): DataFrame = {
+    val id = col("doc_id")
+    val nid = id + lit(idOffset)
+    val nidStr = nid.cast(StringType)
+    val m = id % 11
+    val isRevisit = id % 3 === 0
+    val infoBody = concat(
+      lit("software: graft-crawler/1.0" + CRLF + "isPartOf: recrawl-"),
+      (id % 10).cast(StringType), lit(CRLF))
+    val reqBody = concat(lit("GET "), col("url"),
+      lit(" HTTP/1.1" + CRLF + "User-Agent: graftbot/1.0" + CRLF))
+    val uriHdr = concat(lit("WARC-Target-URI: "), col("url"), lit(CRLF))
+    def rec(recType: String, n: Int, uri: Column, extra: Column, ctype: String,
+        block: Column) =
+      concat(lit("WARC/1.0" + CRLF + "WARC-Type: " + recType + CRLF),
+        uri,
+        lit("WARC-Record-ID: <urn:graft:"), nidStr, lit("-" + n + ">" + CRLF +
+          "WARC-Date: "), warcDate(nid), lit(CRLF), extra,
+        lit("Content-Type: " + ctype + CRLF +
+          "Content-Length: "), octet_length(block).cast(StringType),
+        lit(CRLF + CRLF), block, lit(CRLF + CRLF))
+    val respBlock = concat(
+      lit("HTTP/1.1 200 OK" + CRLF + "Content-Type: text/html; charset=UTF-8" +
+        CRLF + CRLF), col("html"))
+    val revisitExtra = concat(
+      lit("WARC-Refers-To: <urn:graft:"), id.cast(StringType),
+      lit("-3>" + CRLF + "WARC-Payload-Digest: md5:"), md5(col("html")),
+      lit(CRLF + "WARC-Profile: identical-payload-digest" + CRLF))
+    val headOnly = lit("HTTP/1.1 200 OK" + CRLF +
+      "Content-Type: text/html; charset=UTF-8" + CRLF)
+    val seg = concat(
+      rec("warcinfo", 1, lit(""), lit(""), "application/warc-fields", infoBody),
+      rec("request", 2, uriHdr, lit(""), "application/http;msgtype=request", reqBody),
+      when(isRevisit,
+        rec("revisit", 3, uriHdr, revisitExtra,
+          "application/http;msgtype=response", headOnly))
+        .otherwise(
+          rec("response", 3, uriHdr, lit(""),
+            "application/http;msgtype=response", respBlock)))
+    docsWithHtml.filter(m =!= 0 && m =!= 1 && id % 101 =!= 100)
+      .select(nid.as("doc_id"), seg.as("warc"))
+  }
+
   /** One gzip member for a UTF-8 string (fixture builder). */
   private def gzipMember(s: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -487,96 +586,198 @@ object Web {
     gz.write(s.getBytes("UTF-8")); gz.close(); bos.toByteArray
   }
 
+  /** One length-framed record cut: the record's byte offset in the segment
+    * (marker start), its WARC header text, and its content block text —
+    * the block cut at EXACTLY `Content-Length` octets, never by marker
+    * scan, so payloads containing the literal `WARC/1.0` marker bytes
+    * survive intact.
+    */
+  private[graft] final case class WarcCut(start: Int, hdr: String, block: String)
+
+  private def indexOfBytes(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = hay.length - needle.length
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** The length-framed WARC walk (r16, verdict ask #1) over a segment's
+    * UTF-8 octets — the actual WARC framing contract: find a `WARC/1.0`
+    * marker, cut the header at the first blank line, read the header's
+    * `Content-Length` claim, and take EXACTLY that many octets as the
+    * record's content block. The marker scan is ONLY the resync path:
+    * initial sync, recovery after a record whose trailing CRLF CRLF is
+    * missing, and the fallback frame for a header that carries no
+    * Content-Length (cut at the next marker, one trailing blank line
+    * stripped — the old marker discipline, kept for resilience). A record
+    * whose claim runs past the end of the segment is TRUNCATED — dropped,
+    * and the walk stops (the claimed octets belong to it; nothing behind a
+    * truncation is trustworthy). Byte-level on purpose: Content-Length
+    * counts octets, not UTF-16 chars.
+    */
+  private[graft] def warcCuts(bytes: Array[Byte]): Seq[WarcCut] = {
+    val marker = "WARC/1.0\r\n".getBytes("UTF-8")
+    val sep = "\r\n\r\n".getBytes("UTF-8")
+    val clRe = "Content-Length: ([0-9]+)".r
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcCut]
+    var cur = indexOfBytes(bytes, marker, 0)
+    while (cur >= 0) {
+      val hdrStart = cur + marker.length
+      val hdrEnd = indexOfBytes(bytes, sep, hdrStart)
+      if (hdrEnd < 0) cur = -1 // headerless tail: nothing parseable remains
+      else {
+        val hdr = new String(bytes, hdrStart, hdrEnd - hdrStart, "UTF-8")
+        val blockStart = hdrEnd + sep.length
+        clRe.findFirstMatchIn(hdr).map(_.group(1).toLong) match {
+          case Some(n) if blockStart + n <= bytes.length =>
+            val blockEnd = blockStart + n.toInt
+            out += WarcCut(cur,
+              hdr, new String(bytes, blockStart, blockEnd - blockStart, "UTF-8"))
+            // past the framed block: skip the record's trailing blank line
+            // if present, then expect the next marker right there — scan
+            // (resync) only when the framing discipline breaks
+            val after = if (indexOfBytes(bytes, sep, blockEnd) == blockEnd)
+              blockEnd + sep.length else blockEnd
+            cur = if (indexOfBytes(bytes, marker, after) == after) after
+              else indexOfBytes(bytes, marker, after)
+          case Some(_) => cur = -1 // truncated claim: quarantine, stop
+          case None => // no Content-Length: marker-framed fallback
+            val next = indexOfBytes(bytes, marker, blockStart)
+            val rawEnd = if (next < 0) bytes.length else next
+            val blockEnd = if (rawEnd - sep.length >= blockStart &&
+              indexOfBytes(bytes, sep, rawEnd - sep.length) == rawEnd - sep.length)
+              rawEnd - sep.length else rawEnd
+            out += WarcCut(cur,
+              hdr, new String(bytes, blockStart, blockEnd - blockStart, "UTF-8"))
+            cur = next
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Member slices for `.warc.gz` serialization: the segment cut at TRUE
+    * (length-framed) record boundaries, concatenation-exact — any junk
+    * prefix before the first record rides as its own slice, a segment with
+    * no records at all is one slice. Replaces the r15 marker split, which
+    * would cut a member INSIDE a payload that quotes the marker bytes.
+    */
+  private[graft] def warcMemberSlices(seg: String): Seq[String] = {
+    val bytes = seg.getBytes("UTF-8")
+    val starts = warcCuts(bytes).map(_.start)
+    if (starts.isEmpty) Seq(seg)
+    else {
+      val bounds = (if (starts.head == 0) starts else 0 +: starts) :+ bytes.length
+      bounds.sliding(2).map { case Seq(a, b) =>
+        new String(bytes, a, b - a, "UTF-8")
+      }.toSeq
+    }
+  }
+
   /** Serialize WARC segments as REAL `.warc.gz` payloads — each record
     * gzips as its OWN member and members concatenate, the Common Crawl
     * layout (member-per-record is what makes range reads into a petabyte
-    * dump possible). Corruption arms: a segment carrying no record marker
-    * (the `corrupt-member:` fixture docs) emits a single member with a
-    * FLIPPED gzip magic (undecodable from byte 0); `doc_id % 89 == 88`
-    * docs flip the THIRD member's magic instead — the garbled-tail-member
-    * shape, which must lose ONLY the records behind the corruption.
-    * Narrow mapPartitions, binary column born distributed.
+    * dump possible). Member boundaries come from the LENGTH-FRAMED walk
+    * ([[warcMemberSlices]]), so a payload quoting the marker bytes still
+    * serializes as one member. Corruption arms: a segment carrying no
+    * record (the `corrupt-member:` fixture docs) emits a single member
+    * with a FLIPPED gzip magic (undecodable from byte 0); `doc_id % 89 ==
+    * 88` docs flip the THIRD member's magic instead — the
+    * garbled-tail-member shape, which must lose ONLY the records behind
+    * the corruption. Narrow mapPartitions, binary column born distributed.
     */
   def withWarcGz(df: DataFrame, idCol: String, warcCol: String): DataFrame = {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast(LongType), col(warcCol))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, warc) =>
-        val recs = warc.split("WARC/1\\.0\r\n").filter(_.nonEmpty)
-          .map(body => if (warc.startsWith("WARC/1.0")) "WARC/1.0\r\n" + body else body)
-        val members = recs.map(gzipMember)
+        val members = warcMemberSlices(warc).map(gzipMember).toArray
         if (!warc.startsWith("WARC/1.0") && members.nonEmpty) members(0)(0) = 0x00
         else if (id % 89 == 88 && members.length >= 3) members(2)(0) = 0x00
-        (id, members.toArray.flatten)
-      }).toDF("doc_id", "warc_gz")
+        (id, members.flatten)
+      }).toDF(idCol, "warc_gz")
   }
 
   /** Decode a multi-member gzip payload to text — the `.warc.gz` reader.
     * JDK `GZIPInputStream` reads concatenated members transparently and
-    * treats a garbled next-member header as end-of-stream, so a corrupted
-    * tail member quarantines exactly the records behind it; a payload
-    * garbled from byte 0 decodes to the empty string (zero records).
-    * Narrow mapPartitions at scan speed — pair with [[warcRecords]].
+    * treats a garbled next-member HEADER as end-of-stream; a member whose
+    * DEFLATE data is corrupted MID-STREAM throws instead, and the catch
+    * returns the prefix decoded so far (r16 advisor fix — previously the
+    * whole payload was discarded, contradicting the quarantine contract).
+    * Either way a corrupted tail member loses exactly the records behind
+    * it; a payload garbled from byte 0 decodes to the empty string (zero
+    * records). Narrow mapPartitions at scan speed — pair with
+    * [[warcRecords]].
     */
   def gunzipWarc(df: DataFrame, idCol: String, gzCol: String): DataFrame = {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast(LongType), col(gzCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val text =
-          try {
-            val in = new java.util.zip.GZIPInputStream(
-              new java.io.ByteArrayInputStream(bytes), 65536)
-            val out = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](65536)
-            var n = in.read(buf)
-            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-            new String(out.toByteArray, "UTF-8")
-          } catch { case _: java.io.IOException => "" }
-        (id, text)
-      }).toDF("doc_id", "warc")
+        val out = new java.io.ByteArrayOutputStream()
+        try {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(bytes), 65536)
+          val buf = new Array[Byte](65536)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        } catch { case _: java.io.IOException => () /* keep decoded prefix */ }
+        (id, new String(out.toByteArray, "UTF-8"))
+      }).toDF(idCol, "warc")
   }
 
-  /** Parse WARC segments into one row per record: split on the `WARC/1.0`
-    * record marker, cut each chunk at the first blank line into the WARC
-    * header block vs the content block, extract the named headers, and for
-    * `response` records additionally split the HTTP head from the payload
-    * body (status from the status line, mime from the HTTP Content-Type
-    * with its parameters dropped). Chunks without a `WARC-Type` header
-    * (corrupt/undecodable members) are dropped — a crawl dump's broken
-    * member must quarantine, not emit garbage rows.
+  /** Parse WARC segments into one row per record, LENGTH-FRAMED (r16): the
+    * byte walk ([[warcCuts]]) frames each record by its header's
+    * `Content-Length` octet claim — the WARC contract — with the marker
+    * scan demoted to the resync path, so a response payload that QUOTES
+    * the `WARC/1.0` marker bytes (a crawled mirror of a WARC file, a page
+    * citing WARC text — guaranteed at Common Crawl scale) rides through as
+    * payload instead of shattering into phantom records. Per record the
+    * named WARC headers extract, and `response` records additionally split
+    * the HTTP head from the payload body (status from the status line,
+    * mime from the HTTP Content-Type with its parameters dropped). Records
+    * without a `WARC-Type` header (corrupt/undecodable members) are
+    * dropped — a crawl dump's broken member must quarantine, not emit
+    * garbage rows.
     *
-    * Spark shape: explode(split) then PER-ROW narrow string expressions —
-    * everything after the explode is whole-stage-codegen'd (the
-    * higher-order-lambda alternative would run interpreted; see the
-    * minhashSignatures precedent). At 100 TB this rides `binaryFile`/text
-    * scans at input speed: one segment per task row, no shuffle anywhere —
-    * record extraction is embarrassingly parallel and the downstream
-    * pipeline (HTML→text→quality→dedup) decides what shuffles.
+    * Spark shape: a narrow typed mapPartitions walk (byte-exact codec
+    * work, the [[gunzipWarc]] class) emits (id, rec_pos, header, block);
+    * every field extraction after it is a PER-ROW codegen'd string
+    * expression. At 100 TB this rides `binaryFile`/text scans at input
+    * speed: one segment per task row, no shuffle anywhere — record
+    * extraction is embarrassingly parallel and the downstream pipeline
+    * (HTML→text→quality→dedup) decides what shuffles.
     *
     * Emits: rec_pos (1-based record ordinal within the segment), rec_type,
     * target_uri, warc_date, content_length (the header's claim),
-    * block_octets (the PARSED block's actual octet length — equal iff the
-    * framing round-trips), http_status, mime, payload.
+    * block_octets (the PARSED block's actual octet length — equal by
+    * construction whenever the claim framed the cut; they diverge only on
+    * the claim-less fallback path), http_status, mime, payload.
     */
   def warcRecords(df: DataFrame, segCol: String): DataFrame = {
+    import df.sparkSession.implicits._
     val rec2 = CRLF + CRLF
-    df.select(col("*"),
-        posexplode(split(col(segCol), "WARC/1\\.0\r\n")).as(Seq("rec_pos", "__chunk")))
-      .filter(length(col("__chunk")) > 0)
+    df.select(col("doc_id").cast(LongType), col(segCol).cast(StringType))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, seg) =>
+        warcCuts(seg.getBytes("UTF-8")).iterator.zipWithIndex.map {
+          case (c, i) => (id, i + 1, c.hdr, c.block)
+        }
+      }).toDF("doc_id", "rec_pos", "__hdr", "__block")
       .withColumn("rec_type",
-        regexp_extract(col("__chunk"), "WARC-Type: ([^\r\n]+)", 1))
+        regexp_extract(col("__hdr"), "WARC-Type: ([^\r\n]+)", 1))
       .filter(col("rec_type") =!= "")
-      .withColumn("__hdr", substring_index(col("__chunk"), rec2, 1))
       .withColumn("target_uri",
         regexp_extract(col("__hdr"), "WARC-Target-URI: ([^\r\n]+)", 1))
       .withColumn("warc_date",
         regexp_extract(col("__hdr"), "WARC-Date: ([^\r\n]+)", 1))
       .withColumn("content_length",
         regexp_extract(col("__hdr"), "Content-Length: ([0-9]+)", 1).cast(LongType))
-      .withColumn("__block", regexp_replace(
-        col("__chunk").substr(length(col("__hdr")) + lit(5), length(col("__chunk"))),
-        "\r\n\r\n$", ""))
       .withColumn("block_octets", octet_length(col("__block")).cast(LongType))
       .withColumn("__httpHdr",
         when(col("rec_type") === "response", substring_index(col("__block"), rec2, 1))
@@ -590,11 +791,25 @@ object Web {
         when(col("rec_type") === "response",
           regexp_extract(col("__httpHdr"), "Content-Type: ([^;\r\n]+)", 1))
           .otherwise(lit(null).cast(StringType)))
+      // redirect consumption (r16, verdict ask #2): the HTTP Location
+      // header becomes an edge the chain resolver follows
+      .withColumn("http_location",
+        when(col("rec_type") === "response",
+          nullif(regexp_extract(col("__httpHdr"), "Location: ([^\r\n]+)", 1),
+            lit(""))).otherwise(lit(null).cast(StringType)))
+      // revisit consumption (r16, verdict ask #8): the refers-to edge and
+      // payload digest are the container-level exact-dup signal
+      .withColumn("refers_to",
+        nullif(regexp_extract(col("__hdr"), "WARC-Refers-To: <([^>]+)>", 1),
+          lit("")))
+      .withColumn("payload_digest",
+        nullif(regexp_extract(col("__hdr"), "WARC-Payload-Digest: ([^\r\n]+)", 1),
+          lit("")))
       .withColumn("payload",
         when(col("rec_type") === "response",
           col("__block").substr(length(col("__httpHdr")) + lit(5), length(col("__block"))))
           .otherwise(col("__block")))
-      .drop("__chunk", "__hdr", "__block", "__httpHdr")
+      .drop("__hdr", "__block", "__httpHdr")
   }
 
   // ------------------------------------------------------------------
@@ -636,6 +851,82 @@ object Web {
       regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     val p1 = regexp_replace(rawPath, "/+$", "")
     when(p1 === "", lit("/")).otherwise(p1)
+  }
+
+  /** Query string with empties + tracking params dropped and the surviving
+    * `k=v` strings sorted (key-then-value order stability) — the query
+    * half of the canonical key, shared by [[canonicalize]] and
+    * [[urlCanonOf]].
+    */
+  private def sortedQuery(noFrag: Column): Column = {
+    val rawQuery = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val params = filter(split(rawQuery, "&"),
+      (p: Column) => p =!= "" && !p.rlike(trackingParamRe))
+    array_join(array_sort(params), "&")
+  }
+
+  /** The canonical-URL key as a single column EXPRESSION (r16) — the same
+    * normalization [[canonicalize]] lands in `url_canon` (same shared
+    * [[rawHostPort]]/[[normalizedHost]]/[[collapsedPath]]/[[sortedQuery]]
+    * pieces, same NULL-on-malformed guard), for call sites that need a
+    * canonical key over a second URL column in the same frame (redirect
+    * edges canonicalize BOTH endpoints).
+    */
+  def urlCanonOf(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = normalizedHost(noFrag)
+    val port = regexp_extract(rawHostPort(noFrag), ":([0-9]+)$", 1)
+    val qs = sortedQuery(noFrag)
+    val default = (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443")
+    val portSfx = when(port =!= "" && !default, concat(lit(":"), port)).otherwise(lit(""))
+    val qSfx = when(qs =!= "", concat(lit("?"), qs)).otherwise(lit(""))
+    when(scheme === "" || host === "", lit(null).cast(StringType))
+      .otherwise(concat(scheme, lit("://"), host, portSfx, collapsedPath(noFrag), qSfx))
+  }
+
+  /** Resolve redirect chains over a canonical-key edge set with a BOUNDED
+    * iteration of joins (r16, verdict ask #2 — the pageRank BSP idiom):
+    * starting from every edge source, follow (src → dst) up to `maxHops`
+    * times, freezing a chain when its head has no outgoing edge (settled)
+    * or its next hop is already on the visited path (loop — cycle-safe by
+    * construction, the path array is bounded by maxHops). Chains still
+    * active after `maxHops` report `exhausted` — at crawl scale a bounded
+    * hop budget is the contract (real crawlers cap at ~5), never an
+    * unbounded convergence loop.
+    *
+    * Edges are made functional first (min dst per src — a crawl can
+    * legitimately record two fetches of one URL with different Locations;
+    * the deterministic pick keeps both engines aligned). Scale: each hop
+    * is one equi-join of the live chain frame against the edge set, keyed
+    * on the chain head; the edge set is redirect-sized (≪ corpus), the
+    * chain frame never exceeds the redirect count, and maxHops bounds the
+    * plan depth — no corpus-sized shuffle anywhere.
+    */
+  def resolveRedirectChains(edges: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.filter(col("src").isNotNull && col("dst").isNotNull)
+      .groupBy("src").agg(min(col("dst")).as("dst"))
+    var state = e.select(col("src").as("start"), col("src").as("cur"),
+      lit(0).cast(LongType).as("hops"), array(col("src")).as("__path"),
+      lit("active").as("status"))
+    for (_ <- 1 to maxHops) {
+      val step = state.join(e.withColumnRenamed("src", "cur"), Seq("cur"), "left")
+      val advances = col("status") === "active" && col("dst").isNotNull
+      state = step.select(
+        col("start"),
+        when(advances, col("dst")).otherwise(col("cur")).as("cur"),
+        when(advances, col("hops") + 1).otherwise(col("hops")).as("hops"),
+        when(advances, array_append(col("__path"), col("dst")))
+          .otherwise(col("__path")).as("__path"),
+        when(col("status") =!= "active", col("status"))
+          .when(col("dst").isNull, lit("settled"))
+          .when(array_contains(col("__path"), col("dst")), lit("loop"))
+          .otherwise(lit("active")).as("status"))
+    }
+    state.select(col("start").as("src"), col("cur").as("final_url"), col("hops"),
+      when(col("status") === "active", lit("exhausted"))
+        .otherwise(col("status")).as("status"))
   }
 
   /** RFC 9309 §2.2.3 path-pattern match: `*` matches any octet sequence

@@ -37,21 +37,27 @@ class SftSpec extends SparkSpec {
       (4L, 5L, 5L))  // empty final assistant: zero-width span
   }
 
-  test("packed mask spans split exactly at sequence boundaries") {
-    // hand construction mirroring q_sft_packed_masks with budget 2048:
-    // a span at global [2040, 2060) must split into (seq 0, [2040, 2048))
-    // and (seq 1, [0, 12))
-    val spans = Seq((1L, 2L, 2040L, 2060L), (2L, 2L, 100L, 110L))
+  test("packed mask spans split exactly at sequence boundaries — including " +
+    "the MIDDLE sequences of a span wider than one budget") {
+    // the PRODUCTION construction from q_sft_packed_masks (the full
+    // sequence() boundary range, r15 review fix — the old 2-endpoint
+    // array_distinct explode dropped middle sequences): a boundary-
+    // straddling span splits in two, a narrow span stays whole, and a span
+    // WIDER than one 2048 budget ([100, 4500)) yields exactly THREE pieces
+    // with the middle sequence fully covered
+    val spans = Seq((1L, 2L, 2040L, 2060L), (2L, 2L, 100L, 110L),
+        (3L, 2L, 100L, 4500L))
       .toDF("doc_id", "turn_idx", "a", "b")
     val pieces = rows(spans
-      .withColumn("seq_id", explode(array_distinct(array(
-        expr("a div 2048"), expr("(b - 1) div 2048")))))
+      .withColumn("seq_id", explode(sequence(
+        expr("a div 2048"), expr("(b - 1) div 2048"))))
       .withColumn("span_start", greatest(col("a"), col("seq_id") * 2048) - col("seq_id") * 2048)
       .withColumn("span_end", least(col("b"), (col("seq_id") + 1) * 2048) - col("seq_id") * 2048)
       .select("doc_id", "seq_id", "span_start", "span_end")
       .orderBy("doc_id", "seq_id"))
     pieces.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))) shouldBe
-      Seq((1L, 0L, 2040L, 2048L), (1L, 1L, 0L, 12L), (2L, 0L, 100L, 110L))
+      Seq((1L, 0L, 2040L, 2048L), (1L, 1L, 0L, 12L), (2L, 0L, 100L, 110L),
+        (3L, 0L, 100L, 2048L), (3L, 1L, 0L, 2048L), (3L, 2L, 0L, 404L))
   }
 
   test("withTranscript corrupt arm: doc_id % 17 == 0 with >= 4 turns breaks alternation") {

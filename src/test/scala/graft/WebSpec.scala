@@ -247,6 +247,59 @@ class WebSpec extends SparkSpec {
     rows(parseGz(100L)) shouldBe empty
   }
 
+  test("length framing: a payload QUOTING the WARC/1.0 marker parses as ONE record, " +
+    "and the quoted bytes survive as payload") {
+    val quoted = "<html><body>mirror of a dump: WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://phantom.example/x\r\nContent-Length: 9999\r\n\r\n" +
+      "phantom body</body></html>"
+    val recs = rows(Web.warcRecords(Web.withWarc(
+        Seq((2L, "https://site.example.com/articles/2", quoted))
+          .toDF("doc_id", "url", "html")), "warc")
+      .select("rec_pos", "rec_type", "target_uri", "content_length", "block_octets",
+        "payload").orderBy("rec_pos"))
+    recs.map(_.getString(1)) shouldBe Seq("warcinfo", "request", "response")
+    recs.foreach(r => r.getLong(3) shouldBe r.getLong(4)) // framing exact everywhere
+    recs(2).getString(2) shouldBe "https://site.example.com/articles/2"
+    recs(2).getString(5) shouldBe quoted // the phantom never became a record
+  }
+
+  test("length framing counts OCTETS: multi-byte UTF-8 payloads frame exactly") {
+    val multi = "<html><body>héllo • 日本語のページ — ümlaut</body></html>"
+    val recs = rows(Web.warcRecords(Web.withWarc(
+        Seq((2L, "https://site.example.com/articles/2", multi))
+          .toDF("doc_id", "url", "html")), "warc")
+      .select("rec_type", "content_length", "block_octets", "payload")
+      .orderBy("rec_pos"))
+    recs.size shouldBe 3
+    recs.foreach(r => r.getLong(1) shouldBe r.getLong(2))
+    recs(2).getString(3) shouldBe multi
+  }
+
+  test("gunzipWarc: a member whose DEFLATE data corrupts MID-STREAM keeps the " +
+    "prefix decoded so far (r16 advisor fix — not the whole-payload discard)") {
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    val recs = Seq(
+      "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nok_1\r\n\r\n",
+      "WARC/1.0\r\nWARC-Type: request\r\nContent-Length: 4\r\n\r\nok_2\r\n\r\n",
+      "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 600\r\n\r\n" +
+        ("x" * 600) + "\r\n\r\n")
+    val members = recs.map(gz)
+    val m3 = members(2).clone()
+    // corrupt DEFLATE payload bytes (past the 10-byte member header), not
+    // the magic — the truncated/garbled-data arm the fixture never hits
+    (12 until math.min(40, m3.length)).foreach(i => m3(i) = (m3(i) ^ 0x5a).toByte)
+    val payload = (members.take(2) :+ m3.toSeq.toArray).flatten.toArray
+    val out = rows(Web.gunzipWarc(Seq((9L, payload)).toDF("doc_id", "warc_gz"),
+      "doc_id", "warc_gz"))
+    val text = out.head.getString(1)
+    // records 1-2 quarantine-survive; the corrupted member loses only itself
+    Web.warcCuts(text.getBytes("UTF-8")).map(_.block) shouldBe Seq("ok_1", "ok_2")
+  }
+
   // --- robots.txt (r15) ---
 
   private def robotsRulesOf(hosts: String*) = Web.robotsRules(
@@ -345,13 +398,21 @@ class WebSpec extends SparkSpec {
   }
 
   test("warc round-trip PROPERTY: random payloads survive serialize→parse byte-exact") {
-    // random printable bodies (no CR — the fixture's framing owns CRLF);
-    // ids chosen so every doc takes the 200 arm (m >= 2, not corrupt)
+    // random bodies over a charset that now includes CR, multi-byte UTF-8
+    // (octet framing must count bytes, not chars), and — every third doc —
+    // an INJECTED literal `WARC/1.0` record marker with fake headers: the
+    // adversarial quoted-WARC payload that shattered the r15 marker-split
+    // parser into phantom records. Ids chosen so every doc takes the 200
+    // arm (m >= 2, not corrupt).
     val rnd = new scala.util.Random(2024)
-    val chars = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ " <>&\"'=/.:;-_()\n\t"
+    val chars = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++
+      " <>&\"'=/.:;-_()\n\t\réé日本"
     val docs = (0 until 40).map { i =>
       val id = i.toLong * 11 + 2 // id % 11 == 2, never % 101 == 100 for i < 40
-      val body = (0 until rnd.nextInt(400)).map(_ => chars(rnd.nextInt(chars.size))).mkString
+      val rand = (0 until rnd.nextInt(400)).map(_ => chars(rnd.nextInt(chars.size))).mkString
+      val body = if (i % 3 == 0)
+        rand + "quoted: WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 9999\r\n\r\nphantom" + rand
+      else rand
       (id, s"https://rt.example.com/p/$id", body)
     }
     val recs = rows(Web.warcRecords(
