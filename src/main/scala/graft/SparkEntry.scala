@@ -158,6 +158,20 @@ object SparkEntry {
         "host", "robots").localCheckpoint(true)
     }
 
+  /** Session-cached declared-UA-group frame (r16 advisor fix): decision
+    * group PRESENCE must come from the User-agent lines, not from the rule
+    * rows — a declared group whose lines are all unknown directives (the
+    * fixture's `delayonly` group) has zero rule rows but still owns its
+    * agent under RFC 9309 (matched group, no rules → allow-all).
+    */
+  private def robotsGroupsCached(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCompute(s, s"robots-groups:$dir") {
+      val W = graft.operators.Web
+      W.robotsAgentGroups(robotsHosts(s, dir)
+          .withColumn("robots", W.robotsTxt(col("host"))), "host", "robots")
+        .localCheckpoint(true)
+    }
+
   /** The sitemap frontier with crawl-allowance and novelty flags —
     * (host, url, path, allowed, is_new) — the shared first half of
     * q_sitemap_frontier and q_crawl_schedule (r15 review: the chain was
@@ -179,7 +193,7 @@ object SparkEntry {
     val dec = W.robotsDecisionsFor(
         locs.select(col("url").as("doc_id"), col("host"),
           W.pathOf(col("url")).as("path")), robotsRulesCached(s, dir),
-        Seq("graftbot"))
+        Seq("graftbot"), Some(robotsGroupsCached(s, dir)))
       .select(col("doc_id").as("url"), col("host"), col("path"), col("allowed"))
     dec.join(crawledPagesCached(s, dir).withColumn("__crawled", lit(true)),
         Seq("host", "path"), "left")
@@ -6037,7 +6051,27 @@ object SparkEntry {
         .select(col("doc_id"), W.hostOf(col("url")).as("host"),
           W.pathOf(col("url")).as("path"))
       W.robotsDecisionsFor(pages, robotsRulesCached(s, dir),
-          Seq("graftbot", "otherbot"))
+          Seq("graftbot", "otherbot", "delayonly"),
+          Some(robotsGroupsCached(s, dir)))
+        .select(col("doc_id"), col("agent"), col("host"), col("path"),
+          col("matched_prefix"), col("matched_directive"), col("allowed"))
+        .orderBy("doc_id", "agent")
+    }),
+    // ...and the SHUFFLE-JOIN strategy parity gate (r16, verdict ask #6 —
+    // the PSL q_psl_join_parity treatment): the same three-agent decision
+    // table through host-keyed shuffle-hash joins instead of broadcasts
+    // (the plan for a rule table too large for the driver at millions of
+    // hosts), gated against the SAME oracle as q_robots_filter — the two
+    // strategies must be output-identical. The production entry point is
+    // robotsDecisionsForAuto, dispatching on the landed rule count.
+    "q_robots_join_parity" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val pages = W.withUrls(documents(s, dir))
+        .select(col("doc_id"), W.hostOf(col("url")).as("host"),
+          W.pathOf(col("url")).as("path"))
+      W.robotsDecisionsForShuffled(pages, robotsRulesCached(s, dir),
+          Seq("graftbot", "otherbot", "delayonly"),
+          Some(robotsGroupsCached(s, dir)))
         .select(col("doc_id"), col("agent"), col("host"), col("path"),
           col("matched_prefix"), col("matched_directive"), col("allowed"))
         .orderBy("doc_id", "agent")
@@ -6067,7 +6101,7 @@ object SparkEntry {
         .select(col("doc_id"), W.hostOf(col("url")).as("host"),
           W.pathOf(col("url")).as("path"))
       val dec = W.robotsDecisionsFor(frontier, robotsRulesCached(s, dir),
-          Seq("graftbot"))
+          Seq("graftbot"), Some(robotsGroupsCached(s, dir)))
         .select(col("doc_id"), col("allowed"))
       val lang = documents(s, dir).select(col("doc_id"), col("lang"))
       // no broadcast hints: decisions and language are PER-DOC frames
@@ -6095,9 +6129,11 @@ object SparkEntry {
           col("http_location").isNotNull)
         .select(W.urlCanonOf(col("url")).as("src"),
           W.urlCanonOf(col("http_location")).as("dst"))
-      val landed = W.withUrls(documents(s, dir))
-        .filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 11 =!= 1 &&
-          col("doc_id") % 101 =!= 100)
+      // landed set from the PARSE output, not the URL formula: the
+      // mapPartitions walk is a lineage barrier, so the canon expression
+      // stays small (canon-over-synthesized-url re-inlined the fixture
+      // tree ~15x and blew the hashAgg past janino's method limit)
+      val landed = recs.filter(col("http_status") === 200)
         .select(W.urlCanonOf(col("url")).as("final_url")).distinct()
       val arrivals = W.resolveRedirectChains(edges, maxHops = 5)
         .filter(col("status") === "settled")
@@ -6355,9 +6391,13 @@ object SparkEntry {
       val crawl1 = W.withWarc(base).select(col("doc_id"), col("warc"))
       val crawl2 = W.withWarcRevisits(base, 100000L)
       val recs = W.warcRecords(crawl1.unionByName(crawl2), "warc")
+      // localCheckpoint (lazy): three consumers below (cluster keepers,
+      // the content labeling, the digest cross-check) would each re-run
+      // the two-crawl synthesis+parse without the lineage cut
       val responses = recs.filter(col("rec_type") === "response" &&
           col("http_status") === 200)
         .select(col("doc_id"), md5(col("payload")).as("content_key"))
+        .localCheckpoint(false)
       val keepers = responses.groupBy("content_key")
         .agg(min(col("doc_id")).as("keeper"))
       val byContent = responses.join(keepers, Seq("content_key"))
@@ -7350,6 +7390,7 @@ object SparkEntry {
     val stacked = lines(Seq("User-agent: graftbot", "User-agent: newsbot",
       "Disallow: /articles/2"))
     val emptyGrp = lines(Seq("User-agent: emptybot", "Disallow:"))
+    val delayOnlyGrp = lines(Seq("User-agent: delayonly", "Crawl-delay: 9"))
     s""" pg AS (SELECT doc_id,
        |   regexp_replace(regexp_replace(regexp_replace(lower(regexp_extract(regexp_replace(url, '#.*', ''), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^.*@', ''), ':[0-9]+$$', ''), '^www\\.', '') AS host,
        |   ${pathSqlOf("url")} AS path
@@ -7361,7 +7402,8 @@ object SparkEntry {
        |   $base ||
        |   CASE WHEN g % 2 = 0 THEN $graftGrp ELSE '' END ||
        |   CASE WHEN g = 3 THEN $stacked ELSE '' END ||
-       |   CASE WHEN g = 5 THEN $emptyGrp ELSE '' END AS robots FROM rbg),
+       |   CASE WHEN g = 5 THEN $emptyGrp ELSE '' END ||
+       |   CASE WHEN g = 1 THEN $delayOnlyGrp ELSE '' END AS robots FROM rbg),
        | rsp AS (SELECT host, string_split(robots, chr(10)) AS lst FROM rbx),
        | rln AS (SELECT host, UNNEST(range(1, len(lst) + 1)) AS i, lst FROM rsp),
        | rfl AS (SELECT host, i - 1 AS ln, trim(lst[i]) AS line FROM rln
@@ -7411,9 +7453,28 @@ object SparkEntry {
     * the pages frame (doc_id, host, path) — the corpus `pg` by default,
     * the sitemap frontier for the discovery dual.
     */
+  /** One oracle text for q_robots_filter AND q_robots_join_parity — the
+    * broadcast and shuffle-join strategies must be output-identical (r16).
+    */
+  private lazy val robotsFilterDual: String =
+    "WITH " + robotsCtes + "," +
+      robotsDecisionSql("1", "graftbot") + "," +
+      robotsDecisionSql("2", "otherbot") + "," +
+      robotsDecisionSql("3", "delayonly") +
+      """ SELECT doc_id, agent, host, path, matched_prefix, matched_directive,
+        |  allowed FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+        |    UNION ALL SELECT * FROM d3)
+        | ORDER BY doc_id, agent""".stripMargin.replace("\n", "")
+
   private def robotsDecisionSql(s: String, agent: String,
       pgCte: String = "pg"): String =
-    s""" hsp$s AS (SELECT DISTINCT host FROM rules WHERE agent = '$agent'),
+    // r16 advisor fix: group presence from the DECLARED UA lines (rmk's
+    // user-agent rows), not from the rules output — a group whose lines
+    // are all unknown directives still owns its agent (allow-all)
+    s""" hsp$s AS (SELECT DISTINCT host FROM rmk
+       |   WHERE is_ua AND lower(value) = '$agent'),""".stripMargin
+      .replace("\n", "") +
+    s"""
        | ch$s AS (SELECT r.host AS host, directive, prefix, ln FROM rules r
        |   LEFT JOIN hsp$s h ON r.host = h.host
        |   WHERE ((h.host IS NOT NULL AND r.agent = '$agent') OR (h.host IS NULL AND r.agent = '*'))
@@ -10883,13 +10944,13 @@ object SparkEntry {
     "q_robots_parse" -> ("WITH " + robotsCtes +
       " SELECT host, agent, directive, prefix, CAST(ln AS BIGINT) AS ln" +
       " FROM rules ORDER BY host, ln, agent"),
-    // ...and the two-agent decision table (group selection under the gate)
-    "q_robots_filter" -> ("WITH " + robotsCtes + "," +
-      robotsDecisionSql("1", "graftbot") + "," +
-      robotsDecisionSql("2", "otherbot") +
-      """ SELECT doc_id, agent, host, path, matched_prefix, matched_directive,
-        |  allowed FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
-        | ORDER BY doc_id, agent""".stripMargin.replace("\n", "")),
+    // ...and the three-agent decision table (group selection under the
+    // gate, incl. the r16 declared-group-with-no-rules arm: delayonly owns
+    // its group on g=1 hosts → allow-all, `*` fallback elsewhere)
+    "q_robots_filter" -> robotsFilterDual,
+    // strategy parity (r16, verdict ask #6): the shuffle-join decision
+    // table must land on the SAME oracle as the broadcast strategy
+    "q_robots_join_parity" -> robotsFilterDual,
     // the crawl funnel: WARC construction + robots decisions + strip chain
     // + canonical chain composed, stage conjunctions aggregated per domain
     "q_crawl_curation" -> ("WITH " + warcCtes() + "," + robotsParseCtes + "," +

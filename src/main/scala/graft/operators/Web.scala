@@ -905,8 +905,14 @@ object Web {
     * plan depth — no corpus-sized shuffle anywhere.
     */
   def resolveRedirectChains(edges: DataFrame, maxHops: Int): DataFrame = {
+    // localCheckpoint (lazy): the edge frame is referenced maxHops+1 times
+    // downstream — without the lineage cut, an upstream synthesis/canon
+    // expression tree re-inlines into every hop join (the pageRank and r15
+    // CollapseProject lessons; uncut, the hashAgg output projection blew
+    // past janino's method limit and fell back interpreted)
     val e = edges.filter(col("src").isNotNull && col("dst").isNotNull)
       .groupBy("src").agg(min(col("dst")).as("dst"))
+      .localCheckpoint(false)
     var state = e.select(col("src").as("start"), col("src").as("cur"),
       lit(0).cast(LongType).as("hops"), array(col("src")).as("__path"),
       lit("active").as("status"))
@@ -979,7 +985,13 @@ object Web {
       when(g === 3,
         lit("User-agent: graftbot\nUser-agent: newsbot\nDisallow: /articles/2\n"))
         .otherwise(lit("")),
-      when(g === 5, lit("User-agent: emptybot\nDisallow:\n")).otherwise(lit("")))
+      when(g === 5, lit("User-agent: emptybot\nDisallow:\n")).otherwise(lit("")),
+      // r16 (advisor): a DECLARED group whose lines are all unknown
+      // directives — RFC 9309: a matched group with no rules means
+      // allow-all, NOT fallback to `*`; presence must come from the UA
+      // lines, which this arm puts under the gate
+      when(g === 1, lit("User-agent: delayonly\nCrawl-delay: 9\n"))
+        .otherwise(lit("")))
   }
 
   /** Parse robots.txt bodies into one rule row per (host, agent, rule):
@@ -1037,9 +1049,16 @@ object Web {
     * ~100 MB, else the same plan shuffle-joins on host — page rows never
     * fan out beyond their own host's rules either way.
     */
-  def robotsDecisions(pages: DataFrame, rules: DataFrame, agent: String): DataFrame = {
+  def robotsDecisions(pages: DataFrame, rules: DataFrame, agent: String,
+      groups: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hasSpec = rules.filter(col("agent") === agent)
+    // r16 (advisor): group PRESENCE comes from the declared UA lines
+    // (robotsAgentGroups) when supplied — a declared group whose lines are
+    // all unknown directives yields zero rule rows, and RFC 9309 says a
+    // matched group with no rules means allow-all, not `*` fallback. The
+    // rules-derived fallback remains for callers without a groups frame
+    // (identical whenever every declared group carries at least one rule).
+    val hasSpec = groups.getOrElse(rules).filter(col("agent") === agent)
       .select("host").distinct().withColumn("has_spec", lit(true))
     val chosen = rules.join(broadcast(hasSpec), Seq("host"), "left")
       .withColumn("has_spec", coalesce(col("has_spec"), lit(false)))
@@ -1060,28 +1079,66 @@ object Web {
         coalesce(col("matched_directive") === "allow", lit(true)))
   }
 
+  /** Rule-table size above which [[robotsDecisionsForAuto]] flips from the
+    * broadcast strategy to host-keyed shuffle joins (r16, verdict ask #6 —
+    * the PSL caseChainMaxRules treatment): ~10 rules/host × millions of
+    * hosts ≈ hundreds of MB, past any sane broadcast threshold; below it
+    * the rule table rides the driver like every other host-granularity
+    * artifact.
+    */
+  val robotsBroadcastMaxRules: Long = 1000000L
+
   /** [[robotsDecisions]] for SEVERAL agents in ONE pass: pages explode per
-    * agent, group selection rides a per-host agent-set broadcast
+    * agent, group selection rides a per-host agent-set frame
     * (`array_contains` instead of a per-agent semi-join), and one winner
     * window partitions by (doc_id, agent). Identical decisions to the
     * per-agent form; k agents cost one plan instead of k — the per-agent
     * form rebuilds its broadcasts per call, which at local job-dispatch
-    * prices dominates the (tiny) actual work.
+    * prices dominates the (tiny) actual work. Group presence from the UA
+    * lines when `groups` is supplied (r16 advisor — see
+    * [[robotsDecisions]]).
     */
   def robotsDecisionsFor(pages: DataFrame, rules: DataFrame,
-      agents: Seq[String]): DataFrame = {
+      agents: Seq[String], groups: Option[DataFrame] = None): DataFrame =
+    robotsDecisionsImpl(pages, rules, agents, groups, b => broadcast(b))
+
+  /** The SHUFFLE-JOIN strategy (r16, verdict ask #6): identical decisions
+    * (gated: q_robots_join_parity shares q_robots_filter's oracle), but the
+    * presence frame and the rule table join host-keyed shuffle-hash instead
+    * of broadcasting — the plan for a rule table too large for the driver
+    * (millions of hosts). Pages never fan out beyond their own host's
+    * rules under either strategy; the shuffle carries the page frame once
+    * per join instead of shipping the rules everywhere.
+    */
+  def robotsDecisionsForShuffled(pages: DataFrame, rules: DataFrame,
+      agents: Seq[String], groups: Option[DataFrame] = None): DataFrame =
+    robotsDecisionsImpl(pages, rules, agents, groups, b => b.hint("shuffle_hash"))
+
+  /** Strategy dispatch by rule-table size (r16): callers that know the rule
+    * count (the catalog of a landed rules artifact does) pick broadcast
+    * below [[robotsBroadcastMaxRules]], shuffle at or above it.
+    */
+  def robotsDecisionsForAuto(pages: DataFrame, rules: DataFrame,
+      agents: Seq[String], groups: Option[DataFrame], ruleCount: Long): DataFrame =
+    if (ruleCount < robotsBroadcastMaxRules)
+      robotsDecisionsFor(pages, rules, agents, groups)
+    else robotsDecisionsForShuffled(pages, rules, agents, groups)
+
+  private def robotsDecisionsImpl(pages: DataFrame, rules: DataFrame,
+      agents: Seq[String], groups: Option[DataFrame],
+      side: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pagesA = pages.withColumn("agent", explode(typedlit(agents)))
-    val present = rules.groupBy("host")
+    val present = groups.getOrElse(rules).groupBy("host")
       .agg(collect_set(col("agent")).as("__present"))
-    val withEff = pagesA.join(broadcast(present), Seq("host"), "left")
+    val withEff = pagesA.join(side(present), Seq("host"), "left")
       .withColumn("__eff",
         when(array_contains(coalesce(col("__present"), typedlit(Seq.empty[String])),
           col("agent")), col("agent")).otherwise(lit("*")))
       .drop("__present")
     val rulesB = rules.filter(col("prefix") =!= "")
       .withColumnRenamed("agent", "__ragent")
-    val matches = withEff.join(broadcast(rulesB), Seq("host"))
+    val matches = withEff.join(side(rulesB), Seq("host"))
       .filter(col("__ragent") === col("__eff") &&
         robotsPathMatches(col("path"), col("prefix")))
     val win = Window.partitionBy("doc_id", "agent")

@@ -397,6 +397,45 @@ class WebSpec extends SparkSpec {
       "allowed").orderBy("doc_id", "agent")) shouldBe fused
   }
 
+  test("a DECLARED group whose lines are all unknown directives means allow-all " +
+    "for that agent (RFC 9309), not * fallback — presence from UA lines") {
+    // site1 (g=1) declares `User-agent: delayonly` with only a Crawl-delay
+    // line -> zero rule rows; site2 declares no such group
+    val hosts = Seq("site1.example-1.com", "site2.example-2.com")
+    val hx = hosts.toDF("host").withColumn("robots", Web.robotsTxt(col("host")))
+    val rules = Web.robotsRules(hx, "host", "robots")
+    val groups = Web.robotsAgentGroups(hx, "host", "robots")
+    val pages = Seq((1L, "site1.example-1.com", "/private/x"),
+      (2L, "site2.example-2.com", "/private/x")).toDF("doc_id", "host", "path")
+    val dec = rows(Web.robotsDecisionsFor(pages, rules, Seq("delayonly"),
+      Some(groups)).select("doc_id", "allowed").orderBy("doc_id"))
+    dec.map(r => (r.getLong(0), r.getBoolean(1))) shouldBe Seq(
+      (1L, true),  // matched group, no rules -> allow-all
+      (2L, false)) // no group -> * fallback, /private/ disallowed
+  }
+
+  test("shuffle-join decision strategy is output-identical to broadcast, and " +
+    "Auto dispatches by rule count") {
+    val hosts = Seq("site1.example-1.com", "site2.example-2.com",
+      "news.example.co.uk")
+    val hx = hosts.toDF("host").withColumn("robots", Web.robotsTxt(col("host")))
+    val rules = Web.robotsRules(hx, "host", "robots")
+    val groups = Some(Web.robotsAgentGroups(hx, "host", "robots"))
+    val pages = Seq((1L, "site1.example-1.com", "/articles/12"),
+      (2L, "site2.example-2.com", "/articles/3"),
+      (3L, "news.example.co.uk", "/private/x")).toDF("doc_id", "host", "path")
+    val agents = Seq("graftbot", "delayonly")
+    def out(df: org.apache.spark.sql.DataFrame) = rows(df.select("doc_id",
+      "agent", "matched_prefix", "matched_directive", "allowed")
+      .orderBy("doc_id", "agent"))
+    val bcast = out(Web.robotsDecisionsFor(pages, rules, agents, groups))
+    out(Web.robotsDecisionsForShuffled(pages, rules, agents, groups)) shouldBe bcast
+    out(Web.robotsDecisionsForAuto(pages, rules, agents, groups,
+      ruleCount = Web.robotsBroadcastMaxRules + 1)) shouldBe bcast
+    out(Web.robotsDecisionsForAuto(pages, rules, agents, groups,
+      ruleCount = 10L)) shouldBe bcast
+  }
+
   test("warc round-trip PROPERTY: random payloads survive serialize→parse byte-exact") {
     // random bodies over a charset that now includes CR, multi-byte UTF-8
     // (octet framing must count bytes, not chars), and — every third doc —
