@@ -6300,6 +6300,68 @@ object SparkEntry {
           col("span_start"), col("span_end"))
         .orderBy("doc_id", "turn_idx", "seq_id")
     }),
+    // SFT masks in the engine's OWN subword-tokenizer coordinates (r16,
+    // verdict ask #3): a trainer unmasks offsets in ITS tokenizer's space,
+    // not whitespace-token space — per-turn counts come from the frozen
+    // session vocab's greedy segmenter (the q_subword_encode kernel), then
+    // the same prefix-sum machinery. One narrow codegen'd kernel call per
+    // turn; the only wide stage is the per-conversation window.
+    "q_sft_masks_subword" -> ((s, dir) => {
+      val t = graft.operators.Sft.parseTurns(graft.operators.Sft.withTranscript(
+        documents(s, dir).select("doc_id", "text")), "doc_id", "transcript")
+      val sw = element_at(graft.expressions.GraftFunctions.subwordStats(
+        graft.operators.Dedup.tokens(col("content")), sessionVocab(s, dir)), 2)
+      graft.operators.Sft.maskSpans(t, "doc_id", sw)
+        .orderBy("doc_id", "turn_idx")
+    }),
+    // ...the trainer-ready packed twin in subword coordinates
+    "q_sft_packed_masks_subword" -> ((s, dir) => {
+      val t = graft.operators.Sft.parseTurns(graft.operators.Sft.withTranscript(
+        documents(s, dir).select("doc_id", "text")), "doc_id", "transcript")
+        .withColumn("toks", element_at(graft.expressions.GraftFunctions
+          .subwordStats(graft.operators.Dedup.tokens(col("content")),
+            sessionVocab(s, dir)), 2).cast(LongType))
+      val conv = t.groupBy("doc_id").agg(sum(col("toks")).as("n_tokens"))
+      val packed = graft.operators.Packing.packSequences(conv, "n_tokens",
+        "doc_id", budget = 2048L)
+      val spans = graft.operators.Sft.maskSpans(t, "doc_id", col("toks"))
+      spans.join(packed.select("doc_id", "seq_start"), Seq("doc_id"))
+        .filter(col("tok_end") > col("tok_start"))
+        .withColumn("__a", col("seq_start") + col("tok_start"))
+        .withColumn("__b", col("seq_start") + col("tok_end"))
+        .withColumn("seq_id", explode(sequence(
+          expr("__a div 2048"), expr("(__b - 1) div 2048"))))
+        .withColumn("span_start",
+          greatest(col("__a"), col("seq_id") * 2048) - col("seq_id") * 2048)
+        .withColumn("span_end",
+          least(col("__b"), (col("seq_id") + 1) * 2048) - col("seq_id") * 2048)
+        .select(col("doc_id"), col("turn_idx"), col("seq_id"),
+          col("span_start"), col("span_end"))
+        .orderBy("doc_id", "turn_idx", "seq_id")
+    }),
+    // ...and the coordinate-divergence gate: the bug a trainer silently
+    // hits — whitespace-token offsets unmask the WRONG subword positions.
+    // One row: how many spans, how many diverge between the two coordinate
+    // systems, and the total mask length in each.
+    "q_sft_mask_coords" -> ((s, dir) => {
+      val t = graft.operators.Sft.parseTurns(graft.operators.Sft.withTranscript(
+        documents(s, dir).select("doc_id", "text")), "doc_id", "transcript")
+      val ws = graft.operators.Sft.maskSpans(t, "doc_id",
+          TextAnalysis.wsTokens(col("content")))
+        .withColumnRenamed("tok_start", "ws_start")
+        .withColumnRenamed("tok_end", "ws_end")
+      val sw = graft.operators.Sft.maskSpans(t, "doc_id",
+          element_at(graft.expressions.GraftFunctions.subwordStats(
+            graft.operators.Dedup.tokens(col("content")), sessionVocab(s, dir)), 2))
+        .withColumnRenamed("tok_start", "sw_start")
+        .withColumnRenamed("tok_end", "sw_end")
+      ws.join(sw, Seq("doc_id", "turn_idx"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum((col("ws_start") =!= col("sw_start") ||
+            col("ws_end") =!= col("sw_end")).cast(LongType)).as("n_diverging"),
+          sum(col("ws_end") - col("ws_start")).as("ws_tokens"),
+          sum(col("sw_end") - col("sw_start")).as("subword_tokens"))
+    }),
     // streaming SFT twin: transcripts arrive on a stream and parse +
     // validate per micro-batch (stateless — same class as q_stream_warc);
     // the drained sink must equal the batch parse row-for-row, broken
@@ -8150,11 +8212,14 @@ object SparkEntry {
       |   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total
       | FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin.replace("\n", "")
 
-  /** The tokenizer-apply dual, shared by `q_subword_encode` and its
-    * streaming twin `q_stream_subword` (same frozen vocab, same corpus).
+  /** The vocabulary-learning + greedy-segmentation CTE chain (`t` … `seg`),
+    * shared by the subword-encode dual and the r16 SFT subword-mask duals:
+    * `seg` maps every DISTINCT corpus word to its greedy token count under
+    * the frozen session vocab (top-100 words + 3-grams + 2-grams, the
+    * [[graft.operators.TextAnalysis.subwordVocab]] law).
     */
-  private val subwordEncodeDual: String =
-    """WITH t AS MATERIALIZED (SELECT source, doc_id,
+  private def subwordSegCtes(dwSrc: String = "docw"): String =
+    """t AS MATERIALIZED (SELECT source, doc_id,
         |   regexp_extract_all(lower(text), '[\p{L}\p{Nd}]+') AS ws FROM documents),
         | docw AS MATERIALIZED (SELECT source, doc_id, UNNEST(ws) AS w FROM t),
         | vw AS (SELECT w AS v FROM (SELECT w, COUNT(*) AS c FROM docw GROUP BY w)
@@ -8167,7 +8232,7 @@ object SparkEntry {
         |   ORDER BY c DESC, g ASC LIMIT 100),
         | vocab AS MATERIALIZED (SELECT DISTINCT v FROM
         |   (SELECT v FROM vw UNION ALL SELECT v FROM vg3 UNION ALL SELECT v FROM vg2)),
-        | dw AS MATERIALIZED (SELECT DISTINCT w FROM docw),
+        | dw AS MATERIALIZED (SELECT DISTINCT w FROM __DWSRC__),
         | pos AS MATERIALIZED (SELECT w, i AS p FROM dw, UNNEST(range(0, len(w))) AS r(i)),
         | vlen AS (SELECT DISTINCT len(v) AS L FROM vocab),
         | cand AS MATERIALIZED (SELECT w, p, L, substr(w, p + 1, L) AS c FROM pos, vlen
@@ -8180,8 +8245,43 @@ object SparkEntry {
         |     SELECT st.w, st.p + COALESCE(b.blen, 1), st.toks + 1,
         |       st.fb + CASE WHEN b.blen IS NULL THEN 1 ELSE 0 END
         |     FROM st LEFT JOIN best b ON b.w = st.w AND b.p = st.p WHERE st.p < len(st.w))
-        |   SELECT w, toks, fb FROM st WHERE p >= len(w)),
-        | perdoc AS (SELECT d.source, d.doc_id, COUNT(*) AS nw, SUM(s.toks) AS toks,
+        |   SELECT w, toks, fb FROM st WHERE p >= len(w))""".stripMargin
+      .replace("\n", "").replace("__DWSRC__", dwSrc)
+
+  /** The widened distinct-word universe for the SFT masks duals: corpus
+    * words PLUS transcript-content words — the fixture's constant system
+    * turn ("be concise and helpful") contains words absent from the
+    * corpus, and seg must segment them too (Spark's kernel does).
+    */
+  private val sftDwSrc: String =
+    "(SELECT w FROM docw UNION ALL SELECT w FROM swx)"
+
+  /** Per-turn SUBWORD token counts over the SFT turn frame (r16, verdict
+    * ask #3): turn contents tokenize with the corpus tokenizer and join
+    * the `seg` per-word token counts (every content word IS a corpus word
+    * — contents are whitespace slices of document text, so their alnum
+    * runs appear in `docw`). Zero-token turns keep a 0 row via the LEFT
+    * join. Yields CTE `sfm` (doc_id, turn_idx, role, stoks).
+    */
+  private val sftWordsCte: String =
+    """ swx AS (SELECT doc_id, turn_idx, UNNEST(regexp_extract_all(lower(content), '[\p{L}\p{Nd}]+')) AS w FROM sfk)"""
+      .stripMargin.replace("\n", "")
+
+  private val sftSubwordCtes: String =
+    """ swt AS (SELECT x.doc_id AS doc_id, x.turn_idx AS turn_idx,
+      |   CAST(SUM(s.toks) AS BIGINT) AS stoks
+      |  FROM swx x JOIN seg s USING (w) GROUP BY 1, 2),
+      | sfm AS (SELECT k.doc_id AS doc_id, k.turn_idx AS turn_idx, k.role AS role,
+      |   coalesce(t2.stoks, 0) AS stoks
+      |  FROM sfk k LEFT JOIN swt t2 ON k.doc_id = t2.doc_id AND k.turn_idx = t2.turn_idx)""".stripMargin
+      .replace("\n", "")
+
+  /** The tokenizer-apply dual, shared by `q_subword_encode` and its
+    * streaming twin `q_stream_subword` (same frozen vocab, same corpus).
+    */
+  private val subwordEncodeDual: String =
+    "WITH " + subwordSegCtes() + "," +
+    """ perdoc AS (SELECT d.source, d.doc_id, COUNT(*) AS nw, SUM(s.toks) AS toks,
         |     SUM(s.fb) AS fb, SUM(len(d.w)) AS ch
         |   FROM docw d JOIN seg s USING (w) GROUP BY d.source, d.doc_id),
         | alldocs AS (SELECT t.source, COALESCE(p.nw, 0) AS nw, COALESCE(p.toks, 0) AS toks,
@@ -11099,6 +11199,56 @@ object SparkEntry {
         |   CAST(greatest(a, k * 2048) - k * 2048 AS BIGINT) AS span_start,
         |   CAST(least(b, (k + 1) * 2048) - k * 2048 AS BIGINT) AS span_end
         | FROM mk ORDER BY doc_id, turn_idx, seq_id""".stripMargin.replace("\n", "")),
+    // SFT masks in subword coordinates: per-turn counts via the shared
+    // vocab+seg chain, then the same prefix-sum spans
+    "q_sft_masks_subword" -> ("WITH " + sftCtes + "," + sftWordsCte + "," +
+      subwordSegCtes(sftDwSrc) + "," + sftSubwordCtes +
+      """ SELECT doc_id, turn_idx, tok_start, tok_start + stoks AS tok_end FROM (
+        |  SELECT doc_id, turn_idx, role, stoks,
+        |   CAST(coalesce(sum(stoks) OVER (PARTITION BY doc_id ORDER BY turn_idx
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM sfm)
+        | WHERE role = 'assistant' ORDER BY doc_id, turn_idx""".stripMargin.replace("\n", "")),
+    // ...the packed twin with subword counts
+    "q_sft_packed_masks_subword" -> ("WITH " + sftCtes + "," + sftWordsCte + "," +
+      subwordSegCtes(sftDwSrc) + "," + sftSubwordCtes + "," +
+      """ cvt AS (SELECT doc_id, CAST(sum(stoks) AS BIGINT) AS n_tokens FROM sfm GROUP BY 1),
+        | cps AS (SELECT doc_id, CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS seq_start FROM cvt),
+        | msp AS (SELECT doc_id, turn_idx, role, stoks,
+        |   CAST(coalesce(sum(stoks) OVER (PARTITION BY doc_id ORDER BY turn_idx
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start FROM sfm),
+        | msf AS (SELECT doc_id, turn_idx, tok_start, tok_start + stoks AS tok_end
+        |   FROM msp WHERE role = 'assistant' AND stoks > 0),
+        | mj AS (SELECT m.doc_id AS doc_id, turn_idx, seq_start + tok_start AS a,
+        |   seq_start + tok_end AS b FROM msf m JOIN cps p ON m.doc_id = p.doc_id),
+        | mk AS (SELECT doc_id, turn_idx, a, b,
+        |   UNNEST(range(a // 2048, (b - 1) // 2048 + 1)) AS k FROM mj)
+        | SELECT doc_id, turn_idx, CAST(k AS BIGINT) AS seq_id,
+        |   CAST(greatest(a, k * 2048) - k * 2048 AS BIGINT) AS span_start,
+        |   CAST(least(b, (k + 1) * 2048) - k * 2048 AS BIGINT) AS span_end
+        | FROM mk ORDER BY doc_id, turn_idx, seq_id""".stripMargin.replace("\n", "")),
+    // coordinate divergence: the ws-vs-subword comparison a trainer needs
+    // to see before trusting whitespace offsets
+    "q_sft_mask_coords" -> ("WITH " + sftCtes + "," + sftWordsCte + "," +
+      subwordSegCtes(sftDwSrc) + "," + sftSubwordCtes + "," +
+      """ wsp AS (SELECT doc_id, turn_idx, tok_start AS ws_start,
+        |   tok_start + toks AS ws_end FROM (
+        |  SELECT doc_id, turn_idx, role, toks,
+        |   CAST(coalesce(sum(toks) OVER (PARTITION BY doc_id ORDER BY turn_idx
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM sfk) WHERE role = 'assistant'),
+        | ssp AS (SELECT doc_id, turn_idx, tok_start AS sw_start,
+        |   tok_start + stoks AS sw_end FROM (
+        |  SELECT doc_id, turn_idx, role, stoks,
+        |   CAST(coalesce(sum(stoks) OVER (PARTITION BY doc_id ORDER BY turn_idx
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM sfm) WHERE role = 'assistant')
+        | SELECT CAST(count(*) AS BIGINT) AS n_spans,
+        |   CAST(sum(CASE WHEN ws_start <> sw_start OR ws_end <> sw_end THEN 1 ELSE 0 END) AS BIGINT) AS n_diverging,
+        |   CAST(sum(ws_end - ws_start) AS BIGINT) AS ws_tokens,
+        |   CAST(sum(sw_end - sw_start) AS BIGINT) AS subword_tokens
+        | FROM wsp JOIN ssp USING (doc_id, turn_idx)""".stripMargin.replace("\n", "")),
     // streaming SFT parse: the batch turn dual minus the content column
     "q_stream_sft" -> ("WITH " + sftCtes +
       """ SELECT doc_id, turn_idx, role, toks,
