@@ -1078,6 +1078,120 @@ object ScaleProbe {
         W.robotsDecisionsFor(pages, rules, Seq("graftbot"))
           .agg(sum(col("allowed").cast(LongType))).head().getLong(0)
       }
+      if (only.forall(_.contains("robots_shuffled_500k"))) locally {
+        // r16 (verdict ask #6) — the SHUFFLE-JOIN decision strategy at the
+        // scale that motivates it: 500k distinct hosts' rule tables (~6M
+        // rule rows after stacked-UA fan-out — past robotsBroadcastMaxRules,
+        // so robotsDecisionsForAuto provably dispatches to the shuffled
+        // arm) against the k× page corpus. Claims: decisions stay
+        // host-keyed (shuffle ∝ pages + rules, never pages × rules), and
+        // the strategy is OUTPUT-IDENTICAL to broadcast — checked here by
+        // count + allowed-count + row-hash checksum over both arms (the
+        // fixture-scale oracle gate is q_robots_join_parity).
+        val W = graft.operators.Web
+        val hostOf500k = (id: org.apache.spark.sql.Column) =>
+          concat(lit("h"), (id % 500000).cast(org.apache.spark.sql.types.StringType),
+            lit(".example-"), ((id % 500000) % 97).cast(org.apache.spark.sql.types.StringType),
+            lit(".com"))
+        val hosts = spark.range(500000).select(hostOf500k(col("id")).as("host"))
+        val rules = W.robotsRules(
+          hosts.withColumn("robots", W.robotsTxt(col("host"))), "host", "robots")
+          .localCheckpoint(true)
+        val nRules = rules.count()
+        println(s"[scale-robots500k] rule rows=$nRules over 500k hosts " +
+          s"(broadcastMax=${W.robotsBroadcastMaxRules} -> " +
+          s"${if (nRules >= W.robotsBroadcastMaxRules) "SHUFFLE" else "BROADCAST"})")
+        val pages = docs.select(col("doc_id"), hostOf500k(col("doc_id")).as("host"),
+          concat(lit("/articles/"),
+            (col("doc_id") % 100).cast(org.apache.spark.sql.types.StringType)).as("path"))
+        def checksum(d: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+          // bit_xor, not sum: order-independent AND overflow-free under
+          // ANSI (sum of 4.5M xxhash64 values overflows Long)
+          val r = d.withColumn("__h", xxhash64(col("doc_id"), col("agent"),
+              col("matched_prefix"), col("matched_directive"), col("allowed")))
+            .agg(count(lit(1)), sum(col("allowed").cast(LongType)),
+              expr("bit_xor(__h)")).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+        var shuffled: (Long, Long, Long) = null
+        time("robots_shuffled_500k") {
+          shuffled = checksum(W.robotsDecisionsForAuto(pages, rules,
+            Seq("graftbot"), None, ruleCount = nRules))
+          shuffled._1
+        }
+        time("robots_broadcast_500k") {
+          val b = checksum(W.robotsDecisionsFor(pages, rules, Seq("graftbot")))
+          require(b == shuffled, s"strategy outputs diverge: $b vs $shuffled")
+          b._1
+        }
+      }
+      if (only.forall(s => s.contains("frontier_bloom") ||
+          s.contains("frontier_exact") || s.contains("frontier_bloom_sketch"))) locally {
+        // r16 (verdict ask #5) — bloom-guarded frontier novelty at ledger
+        // scale: a k×100k-URL crawled ledger vs a k×50k-URL sitemap wave
+        // that is 90% novel (the production shape — most of a sitemap wave
+        // is new). The unguarded anti-join moves BOTH sides into the
+        // exchange; the guarded path resolves the novel 90% at scan speed
+        // against the broadcast bit set and sends only the ~10% suspects
+        // (plus the fp rate's worth of noise) into the exact join. Novel
+        // counts must agree exactly — fp's cost is wasted work, never a
+        // wrong answer.
+        val W = graft.operators.Web
+        val ledger = spark.range(k * 100000L).select(
+          concat(lit("h"), (col("id") % 50000).cast(org.apache.spark.sql.types.StringType),
+            lit("|/p/"), col("id").cast(org.apache.spark.sql.types.StringType)).as("key"))
+          .localCheckpoint(true)
+        // 10% of candidates hit the ledger (id kept), 90% step past it
+        val cands = spark.range(k * 50000L).select(
+          when(col("id") % 10 === 0, col("id"))
+            .otherwise(col("id") + lit(k * 100000L)).as("cid"))
+          .select(concat(lit("h"), (col("cid") % 50000).cast(org.apache.spark.sql.types.StringType),
+            lit("|/p/"), col("cid").cast(org.apache.spark.sql.types.StringType)).as("key"))
+          .localCheckpoint(true)
+        var exactNovel = -1L
+        time("frontier_exact") {
+          exactNovel = cands.join(ledger, Seq("key"), "left_anti").count()
+          exactNovel
+        }
+        // the bits frame is the amortized per-wave artifact — built (and
+        // billed) once, outside the probed wave
+        val mBits = 1 << 24
+        val bits = W.bloomBits(ledger, "key", mBits, 3).localCheckpoint(true)
+        println(s"[scale-bloom] bits rows=${bits.count()} of $mBits")
+        time("frontier_bloom") {
+          val g = W.bloomNoveltyWith(cands, "key", ledger, "key", bits,
+            m = mBits, k = 3)
+          val r = g.agg(sum(col("is_new").cast(LongType)),
+            sum((col("bloom_pass") && col("is_new")).cast(LongType)),
+            count(lit(1))).head()
+          println(f"[scale-bloom] novel=${r.getLong(0)} fp=${r.getLong(1)} " +
+            f"cands=${r.getLong(2)} (exact novel=$exactNovel)")
+          require(r.getLong(0) == exactNovel,
+            s"guarded novelty ${r.getLong(0)} != exact $exactNovel")
+          r.getLong(0)
+        }
+        // the sketch too is a per-ledger-update artifact: built (and
+        // billed) outside the probed wave, like `bits` above
+        val sketch = W.bloomSketchOf(ledger, "key", k * 100000L, 0.01)
+        println(s"[scale-bloom-sketch] filter bits=${sketch.bitSize()} " +
+          f"(~${sketch.bitSize() / 8 / 1048576.0}%.1f MiB vs the row-set's " +
+          f"${6966510L * 8 / 1048576.0}%.1f MiB)")
+        time("frontier_bloom_sketch") {
+          // the BITSET scale path: treeAggregate'd BloomFilter (1 bit per
+          // position — megabytes where the row-set form is gigabytes)
+          // probed by the codegen'd expression; same guarantees, same
+          // exact-novel answer, suspect-bounded exchange only
+          val g = W.bloomNoveltySketchWith(cands, "key", ledger, "key", sketch)
+          val r = g.agg(sum(col("is_new").cast(LongType)),
+            sum((col("bloom_pass") && col("is_new")).cast(LongType)),
+            count(lit(1))).head()
+          println(f"[scale-bloom-sketch] novel=${r.getLong(0)} fp=${r.getLong(1)} " +
+            f"cands=${r.getLong(2)} (exact novel=$exactNovel)")
+          require(r.getLong(0) == exactNovel,
+            s"sketch novelty ${r.getLong(0)} != exact $exactNovel")
+          r.getLong(0)
+        }
+      }
       // gated on the allowlist BEFORE the landing (r15 review: the
       // global-sort ntile + 8 coalesced parquet writes ran even when
       // neither stream-minhash probe was selected, taxing unrelated

@@ -6180,6 +6180,30 @@ object SparkEntry {
           col("allowed"), col("is_new"))
         .orderBy("host", "url")
     }),
+    // Bloom-guarded frontier novelty (r16, verdict ask #5): the sitemap
+    // frontier's novelty check against the crawled ledger, with a
+    // deterministic m-bit bloom (md5-derived positions) in FRONT of the
+    // exact anti-join — bloom-fail candidates are provably novel and skip
+    // the ledger shuffle; only suspects reach the exact join. The dual
+    // computes is_new via the PLAIN anti-join, so row equality IS the
+    // no-false-negative gate; bloom_pass itself is hash-checked, making
+    // the false-positive count (bloom_pass AND is_new) oracle-visible.
+    "q_frontier_bloom" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val f = W.sitemapEntries(robotsHosts(s, dir)
+          .withColumn("xml", W.sitemapXml(col("host"))), "host", "xml")
+        .filter(col("kind") === "url")
+        .select(col("host"), col("loc").as("url"), W.pathOf(col("loc")).as("path"))
+        .withColumn("__key", concat_ws("|", col("host"), col("path")))
+      val ledger = crawledPagesCached(s, dir)
+        .withColumn("__key", concat_ws("|", col("host"), col("path")))
+      // m = 2048 (not the 16384 default): small enough that the sf0.01
+      // ledger populates ~half the filter, so the FALSE-POSITIVE arm
+      // (bloom_pass AND is_new) is exercised under the hash gate
+      W.bloomNovelty(f, "__key", ledger, "__key", m = 2048)
+        .select(col("host"), col("url"), col("bloom_pass"), col("is_new"))
+        .orderBy("host", "url")
+    }),
     // politeness scheduler (r15): the Crawl-delay directive the REP
     // access parser ignores becomes the fetch plan — frontier URLs that
     // are allowed AND novel get per-host serial slots, spaced by the
@@ -11107,6 +11131,22 @@ object SparkEntry {
         | FROM cn c JOIN d3 d ON c.doc_id = d.doc_id
         | LEFT JOIN crawl cr ON c.host = cr.host AND d.path = cr.path
         | ORDER BY host, url""".stripMargin.replace("\n", "")),
+    // bloom-guarded frontier novelty: bloom_pass from the md5-position
+    // filter, is_new from the PLAIN exact anti-join (equality with the
+    // Spark side's guarded composition proves no false negatives)
+    "q_frontier_bloom" -> ("WITH " + robotsCtes + "," + sitemapCtes + "," +
+      s""" cnd AS (SELECT host, loc AS url, ${pathSqlOf("loc")} AS path FROM smu WHERE kind = 'url'),
+         | led AS MATERIALIZED (SELECT DISTINCT host, path FROM pg),
+         | bits AS MATERIALIZED (SELECT DISTINCT ${idHashSql("CAST(j AS VARCHAR) || ':' || host || '|' || path")} % 2048 AS pos
+         |   FROM led, unnest([0, 1, 2]) AS t(j)),
+         | cpos AS (SELECT host, url, path, ${idHashSql("CAST(j AS VARCHAR) || ':' || host || '|' || path")} % 2048 AS pos
+         |   FROM cnd, unnest([0, 1, 2]) AS t(j)),
+         | cps AS (SELECT host, url, path,
+         |   (COUNT(CASE WHEN pos IN (SELECT pos FROM bits) THEN 1 END) = 3) AS bloom_pass
+         |   FROM cpos GROUP BY host, url, path)
+         | SELECT c.host AS host, c.url AS url, bloom_pass, (l.host IS NULL) AS is_new
+         | FROM cps c LEFT JOIN led l ON c.host = l.host AND c.path = l.path
+         | ORDER BY host, url""".stripMargin.replace("\n", "")),
     // politeness scheduler: frontier chain + the Crawl-delay group parse
     // (UA + crawl-delay lines only, from the same rkv line frame) + the
     // per-host slot window

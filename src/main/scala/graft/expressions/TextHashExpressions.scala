@@ -850,3 +850,41 @@ case class SubwordStats(child: Expression, vocab: Seq[String]) extends TokenKern
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   override def prettyName: String = "subword_stats"
 }
+
+/** Bitset bloom-membership probe (r16, verdict ask #5's scale path): wraps
+  * a `spark.util.sketch.BloomFilter` — built from the ledger by
+  * `DataFrameStatFunctions.bloomFilter`'s treeAggregate of partial bitsets,
+  * 1 bit per position where a row-set filter pays 64 — as a narrow
+  * codegen'd predicate over the candidate key: zero shuffle, zero join on
+  * the pass flag. The sketch rides the closure as one reference object
+  * (the [[GreedySegment]] vocabulary pattern). Murmur3-based, so not
+  * cross-engine restatable — the md5 row-set twin
+  * (graft.operators.Web.bloomNovelty) carries the oracle gate; this form
+  * carries the 10^11-key ledger. Probes the key's UTF-8 octets
+  * (`mightContainBinary`), matching the builder's string insertion.
+  */
+case class BloomMightContain(child: Expression,
+    filter: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects STRING, got ${other.sql}")
+    }
+
+  def compute(input: UTF8String): Boolean = filter.mightContainBinary(input.getBytes)
+
+  override protected def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomMightContain", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "bloom_might_contain"
+}

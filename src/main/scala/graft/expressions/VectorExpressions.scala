@@ -267,6 +267,13 @@ object GraftFunctions {
   def subwordStats(tokens: Column, vocab: Seq[String]): Column =
     GraftColumnBridge.column(SubwordStats(GraftColumnBridge.expression(tokens), vocab))
 
+  /** Bitset bloom-membership probe over a prebuilt sketch
+    * ([[BloomMightContain]]) — the frontier-novelty guard's scale path.
+    */
+  def bloomMightContain(key: Column,
+      filter: org.apache.spark.util.sketch.BloomFilter): Column =
+    GraftColumnBridge.column(BloomMightContain(GraftColumnBridge.expression(key), filter))
+
   /** Kind-prefixed vocabulary-candidate entries (word + char 3-/2-grams) of
     * a token array in one kernel pass ([[VocabGramEntries]]).
     */

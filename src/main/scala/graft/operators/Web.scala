@@ -1300,4 +1300,149 @@ object Web {
         nullif(regexp_extract(col("__e"), "<priority>(.*?)</priority>", 1), lit(""))
           .cast(DoubleType).as("priority"))
   }
+
+  // ------------------------------------------------------------------
+  // Bloom-guarded frontier novelty (r16)
+  // ------------------------------------------------------------------
+
+  /** Bloom-guarded novelty flags (r16, verdict ask #5): annotate candidate
+    * rows with `bloom_pass` (all k of the key's md5-derived bit positions
+    * set by the ledger — maybe-crawled) and `is_new` (truly absent from the
+    * ledger), where the EXACT anti-join runs only over the bloom-pass
+    * suspects — bloom-fail candidates are PROVABLY novel (no false
+    * negatives, pass ⊇ truth) and skip the ledger shuffle entirely.
+    *
+    * This is the approximate-membership shape for the sitemap-frontier
+    * novelty check at crawl scale: with ~10¹¹ crawled URLs in the ledger,
+    * the unguarded anti-join shuffles every candidate against the full
+    * page-granularity ledger; the bloom (a fixed m-bit broadcast built
+    * once per crawl wave from the ledger) lets the typical sitemap wave —
+    * mostly-novel URLs — resolve novelty at scan speed, sending only the
+    * suspect minority (true re-listings + the fp rate's worth of noise)
+    * into the exact join. False positives cost only wasted exact-join
+    * work, never a wrong answer: the final `is_new` equals the plain
+    * anti-join's on every row (gated: q_frontier_bloom against an exact
+    * dual). Deterministic md5-derived positions (the [[graft.operators
+    * .Sketches.bloomPruneStats]] hash) keep the PASS FLAG itself
+    * oracle-checkable, fp count included.
+    */
+  private def bloomPosition(key: Column, i: Int, m: Int): Column = {
+    import graft.operators.Sketches.h60
+    pmod(h60(concat_ws(":", lit(i.toString), key)), lit(m.toLong))
+  }
+
+  /** The ledger's set-bit frame — the bloom filter AS AN ARTIFACT: built
+    * once per crawl wave (one explode + distinct over the ledger) and
+    * amortized across every frontier wave that probes it, exactly as a
+    * production ledger maintains its membership sketch incrementally.
+    * ≤ min(k·|ledger|, m) rows of one long.
+    */
+  def bloomBits(ledger: DataFrame, ledgerKey: String, m: Int, k: Int): DataFrame =
+    ledger.select(explode(array(
+      (0 until k).map(i => bloomPosition(col(ledgerKey), i, m)): _*)).as("pos"))
+      .distinct()
+
+  /** Bloom-guarded novelty flags (r16, verdict ask #5): annotate candidate
+    * rows with `bloom_pass` (all k of the key's md5-derived bit positions
+    * set by the ledger — maybe-crawled) and `is_new` (truly absent from the
+    * ledger), where the EXACT anti-join runs only over the bloom-pass
+    * suspects — bloom-fail candidates are PROVABLY novel (no false
+    * negatives, pass ⊇ truth) and never touch the ledger exchange.
+    *
+    * Plan shape — the pass flag is NARROW: k broadcast hash probes per
+    * candidate row against the (reused) bits broadcast, zero shuffle on
+    * the candidate side (the first formulation's explode + groupBy +
+    * join-back shuffled the full candidate set three times and measured
+    * SLOWER than the unguarded join — ScaleProbe r16). At crawl scale
+    * (~10¹¹ ledger URLs) the row-set bits frame gives way to a real
+    * bitset sketch with the same hash family; this form keeps the flag —
+    * and therefore the false-positive count — oracle-checkable, and the
+    * composition is identical. False positives cost only wasted exact-join
+    * work, never a wrong answer: final `is_new` equals the plain
+    * anti-join's on every row (gated: q_frontier_bloom).
+    */
+  def bloomNovelty(cands: DataFrame, candKey: String, ledger: DataFrame,
+      ledgerKey: String, m: Int = 16384, k: Int = 3): DataFrame =
+    bloomNoveltyWith(cands, candKey, ledger, ledgerKey,
+      bloomBits(ledger, ledgerKey, m, k).localCheckpoint(false), m, k)
+
+  /** [[bloomNovelty]] over a PREBUILT bits artifact (the amortized shape —
+    * the probe times the wave without re-billing the filter build).
+    */
+  def bloomNoveltyWith(cands: DataFrame, candKey: String, ledger: DataFrame,
+      ledgerKey: String, bits: DataFrame, m: Int, k: Int): DataFrame = {
+    val probed = (0 until k).foldLeft(cands) { (df, i) =>
+      df.join(broadcast(bits.select(col("pos").as(s"__p$i"))),
+        bloomPosition(col(candKey), i, m) === col(s"__p$i"), "left")
+    }
+    val flagged = probed.withColumn("bloom_pass",
+        (0 until k).map(i => col(s"__p$i").isNotNull).reduce(_ && _))
+      .drop((0 until k).map(i => s"__p$i"): _*)
+    noveltyBySuspects(flagged, candKey, ledger, ledgerKey)
+  }
+
+  /** The exact-check tail shared by the row-set and bitset bloom guards:
+    * bloom-fail rows are novel by construction; the SUSPECT minority
+    * semi-probes the ledger with the suspect-key set as the (small,
+    * unhinted — AQE sizes it) build side, so the ledger SCANS but never
+    * shuffles — the matched-key set that comes back is suspect-bounded and
+    * joins back as the is_new flag. This is the shape that holds at a
+    * 10^11-URL ledger in the mostly-novel regime the guard serves; a
+    * mostly-CRAWLED wave makes the suspect set wave-sized, at which point
+    * the caller should skip the guard and run the plain anti-join.
+    */
+  private def noveltyBySuspects(flagged: DataFrame, candKey: String,
+      ledger: DataFrame, ledgerKey: String): DataFrame = {
+    // explicit broadcast on BOTH suspect-bounded frames: without the hint
+    // the static planner SMJ-plans the semi join and the ledger's shuffle
+    // WRITE lands before AQE can convert (probe r16: 40 MiB of pure ledger
+    // exchange on a wave whose suspect set was 4 MB). The hint is safe in
+    // the mostly-novel regime this guard serves — suspects = true
+    // re-listings + the fp rate — and a mostly-crawled wave should skip
+    // the guard entirely (see scaladoc).
+    val suspectKeys = flagged.filter(col("bloom_pass"))
+      .select(col(candKey).as("__sk")).distinct()
+    val matched = ledger.join(broadcast(suspectKeys),
+        col(ledgerKey) === col("__sk"), "left_semi")
+      .select(col(ledgerKey).as("__mk")).distinct()
+    val suspects = flagged.filter(col("bloom_pass"))
+      .join(broadcast(matched), col(candKey) === col("__mk"), "left")
+      .withColumn("is_new", col("__mk").isNull).drop("__mk")
+    flagged.filter(!col("bloom_pass")).withColumn("is_new", lit(true))
+      .unionByName(suspects)
+  }
+
+  /** The BITSET scale path (r16): the ledger builds a real
+    * `spark.util.sketch.BloomFilter` (treeAggregate of partial bitsets —
+    * 1 bit per position where the row-set form pays 64, so a 10⁸-key
+    * ledger's filter is megabytes) and candidates probe it through a
+    * narrow codegen'd expression — zero shuffle, zero join on the pass
+    * flag. The sketch's Murmur3 hash is not cross-engine restatable, so
+    * the md5 row-set twin ([[bloomNovelty]], gated by q_frontier_bloom)
+    * carries the oracle and THIS form carries the scale; composition and
+    * guarantees (pass ⊇ truth, is_new exact) are identical, spec-pinned
+    * against the exact anti-join in WebSpec.
+    */
+  def bloomNoveltySketch(cands: DataFrame, candKey: String, ledger: DataFrame,
+      ledgerKey: String, expectedItems: Long, fpp: Double): DataFrame =
+    bloomNoveltySketchWith(cands, candKey, ledger, ledgerKey,
+      bloomSketchOf(ledger, ledgerKey, expectedItems, fpp))
+
+  /** Build the ledger's bitset sketch — the amortized per-wave artifact
+    * (`DataFrameStatFunctions.bloomFilter`: treeAggregate of partial
+    * bitsets OR-merged; the shuffle cost is the BUILD's, paid once per
+    * ledger update, not per frontier wave).
+    */
+  def bloomSketchOf(ledger: DataFrame, ledgerKey: String, expectedItems: Long,
+      fpp: Double): org.apache.spark.util.sketch.BloomFilter =
+    ledger.stat.bloomFilter(ledgerKey, expectedItems, fpp)
+
+  /** [[bloomNoveltySketch]] over a prebuilt sketch. */
+  def bloomNoveltySketchWith(cands: DataFrame, candKey: String,
+      ledger: DataFrame, ledgerKey: String,
+      filter: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val flagged = cands.withColumn("bloom_pass",
+      graft.expressions.GraftFunctions.bloomMightContain(col(candKey), filter))
+    noveltyBySuspects(flagged, candKey, ledger, ledgerKey)
+  }
 }

@@ -436,6 +436,28 @@ class WebSpec extends SparkSpec {
       ruleCount = 10L)) shouldBe bcast
   }
 
+  test("bloom-guarded novelty: md5 row-set and bitset-sketch paths both equal " +
+    "the exact anti-join, with pass superset of truth") {
+    val ledger = (0L until 400L).map(i => s"h${i % 7}|/p/$i").toDF("key")
+    // every 5th candidate is crawled; the rest are novel
+    val cands = (0L until 200L)
+      .map(i => if (i % 5 == 0) s"h${i % 7}|/p/$i" else s"h${i % 7}|/new/$i")
+      .toDF("key")
+    val exact = rows(cands.join(ledger, Seq("key"), "left_anti")
+      .orderBy("key")).map(_.getString(0))
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val out = rows(df.orderBy("key"))
+      out.filter(r => r.getBoolean(2)).map(_.getString(0)).sorted shouldBe exact.sorted
+      // no false negatives: every truly-crawled key must bloom-pass
+      out.filter(r => !r.getBoolean(2)).foreach(r => r.getBoolean(1) shouldBe true)
+    }
+    check(Web.bloomNovelty(cands, "key", ledger, "key", m = 512, k = 3)
+      .select("key", "bloom_pass", "is_new"))
+    check(Web.bloomNoveltySketch(cands, "key", ledger, "key",
+        expectedItems = 400L, fpp = 0.05)
+      .select("key", "bloom_pass", "is_new"))
+  }
+
   test("warc round-trip PROPERTY: random payloads survive serialize→parse byte-exact") {
     // random bodies over a charset that now includes CR, multi-byte UTF-8
     // (octet framing must count bytes, not chars), and — every third doc —
