@@ -46,6 +46,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * create-exclusive is exists+create, not atomic; on HDFS/object stores the
   * claim file alone carries cross-process safety).
   *
+  * CROSS-PROCESS CONTRACT (r16, stated explicitly): manifests and data dirs
+  * are immutable once landed and the pointer only ever moves forward
+  * (publishPointer), so ANY number of processes may read concurrently with
+  * ANY writer — snapshot reads, history walks and pointer polls are safe
+  * under live commits/compaction/vacuum from another process (spec-pinned:
+  * TxTableSpec's CROSS-PROCESS reader arm runs a second JVM against a live
+  * writer). Sequential cross-process WRITERS adopt and extend each other's
+  * logs (spec-pinned: the CROSS-PROCESS commits arm). Same-INSTANT writer
+  * races are store-dependent: the claim-file CAS is atomic on HDFS/object
+  * stores (the deployment target), best-effort on a local FS where
+  * create-exclusive is exists+create — single-writer-per-process is the
+  * supported local-FS contract.
+  *
   * r14 — the two pieces that complete the protocol:
   *   - CHECKPOINTS: every `checkpointInterval`-th commit also writes
   *     `_ckpt_v{N}` (full live file set + cumulative idempotency-token set),

@@ -325,4 +325,60 @@ class TxTableSpec extends SparkSpec {
     cold.committedTxns shouldBe Set("w1:1", "w3:3")
     cold.snapshot().count() shouldBe 6L
   }
+
+  // --- cross-process arms (r16, verdict ask #7): a genuinely separate JVM
+  // opening the same table dir. The CONTRACT these pin: sequential
+  // cross-process commits adopt + extend the landed log, and a concurrent
+  // reader process observes monotonic pointers and readable snapshots
+  // while this process commits/compacts. Same-INSTANT cross-process commit
+  // races are store-dependent (LocalFS create-exclusive is exists+create,
+  // not atomic — TxTable scaladoc; HDFS/object stores carry the claim CAS).
+
+  private def runChild(mode: String, root: String, n: Int): Process = {
+    val java = System.getProperty("java.home") + "/bin/java"
+    val pb = new ProcessBuilder(java, "-Xmx1500m", "-cp",
+      System.getProperty("java.class.path"),
+      "graft.TxCrossProcessChild", mode, root, n.toString)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+    pb.start()
+  }
+
+  test("CROSS-PROCESS: a second JVM's commits adopt and extend the landed log") {
+    val root = java.nio.file.Files.createTempDirectory("txtable_xproc").toString
+    val t = TxTable(spark, root, "t")
+    (1 to 3).foreach(i => t.append(Seq(i).toDF("x")))
+    val child = runChild("commits", root, 3)
+    child.waitFor(180, TimeUnit.SECONDS) shouldBe true
+    child.exitValue() shouldBe 0
+    // the child's three appends extended OUR three: one merged chain
+    t.currentVersion shouldBe 6L
+    val h = t.history
+    h.map(_.version) shouldBe (1L to 6L)
+    // file-set algebra holds across the process boundary
+    h.sliding(2).foreach { case Seq(a, b) =>
+      b.files.toSet shouldBe (a.files.toSet ++ b.added -- b.removed)
+    }
+    t.snapshot().count() shouldBe 6L
+    rows(t.snapshot().orderBy("x")).map(_.getInt(0)) shouldBe
+      Seq(1, 2, 3, 1001, 1002, 1003)
+  }
+
+  test("CROSS-PROCESS: a reader JVM sees monotonic pointers and readable " +
+    "snapshots while this process commits, compacts and vacuums") {
+    val root = java.nio.file.Files.createTempDirectory("txtable_xread").toString
+    val t = TxTable(spark, root, "t")
+    t.append(Seq(0).toDF("x"))
+    val child = runChild("reader", root, 40)
+    // live maintenance under the reader: appends, two compactions (which
+    // REMOVE data dirs), a retention-respecting vacuum
+    (1 to 5).foreach { i =>
+      t.append(Seq(i).toDF("x"))
+      if (i % 2 == 0) t.compact()
+    }
+    t.vacuum(3600000L)
+    child.waitFor(180, TimeUnit.SECONDS) shouldBe true
+    child.exitValue() shouldBe 0
+    t.snapshot().count() shouldBe 6L
+  }
 }
