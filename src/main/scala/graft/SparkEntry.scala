@@ -6087,10 +6087,15 @@ object SparkEntry {
     "q_crawl_curation" -> ((s, dir) => {
       val W = graft.operators.Web
       val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      // localCheckpoint (lazy): THREE consumers — the funnel's canon chain,
+      // the redirect edge set, the landed-canon set — would each re-run
+      // the synthesis+parse without the lineage cut (and in production the
+      // parse IS a landed artifact read once per consumer)
       val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
         .filter(col("rec_type") === "response")
         .select(col("doc_id"), col("target_uri").as("url"), col("payload"),
           col("http_status"), col("http_location"))
+        .localCheckpoint(false)
       val canon = W.canonicalize(recs, "url")
       // robots decisions run on the FRONTIER (the pre-fetch request URL),
       // as a real crawler does — and keeping the decision subplan off the
