@@ -1125,6 +1125,27 @@ object ScaleProbe {
           b._1
         }
       }
+      time("redirect_chains") {
+        // r16 — bounded-iteration chain resolution at replication: the 301
+        // arm contributes edges ∝ docs/11, but CANONICAL endpoints fold
+        // replicas (the +i·10⁶ id offsets preserve (c, v, host)), so the
+        // functional edge set is replication-INVARIANT — extraction scans
+        // ∝ k while the 5 hop joins run over the folded set. Law: wall
+        // tracks the scan, shuffle tracks edges (the functional agg), and
+        // nothing is corpus².
+        val W = graft.operators.Web
+        val w = W.withWarc(W.withHtml(W.withUrls(docs)))
+        val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
+        val edges = recs.filter(col("http_status") === 301 &&
+            col("http_location").isNotNull)
+          .select(W.urlCanonOf(col("target_uri")).as("src"),
+            W.urlCanonOf(col("http_location")).as("dst"))
+        val r = W.resolveRedirectChains(edges, 5)
+          .groupBy("status").agg(count(lit(1)).as("n"))
+          .collect().map(x => s"${x.getString(0)}=${x.getLong(1)}").sorted
+        println(s"[scale-redirects] ${r.mkString(" ")}")
+        r.length.toLong
+      }
       if (only.forall(s => s.contains("frontier_bloom") ||
           s.contains("frontier_exact") || s.contains("frontier_bloom_sketch"))) locally {
         // r16 (verdict ask #5) — bloom-guarded frontier novelty at ledger

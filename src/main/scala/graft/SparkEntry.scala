@@ -6434,6 +6434,29 @@ object SparkEntry {
           col("block_octets"), md5(col("payload")).as("payload_md5"))
         .orderBy("doc_id", "rec_pos")
     }),
+    // WET round trip (r16): the engine's curated text serializes back into
+    // the container format as `conversion` records — the Common Crawl WET
+    // layout, THE artifact downstream LLM pipelines consume — and the
+    // length-framed parser reads them back generically. serialize∘parse is
+    // gated as an identity over REAL derived text (the funnel's extracted
+    // pages), not fixture constants: URI/date/refers-to round-trip,
+    // content_length lands exactly on block_octets, payload md5 equals the
+    // extracted text's.
+    "q_wet_roundtrip" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
+        .filter(col("rec_type") === "response" && col("http_status") === 200)
+      val curated = recs.select(col("doc_id"), col("target_uri").as("url"),
+        col("warc_date"), W.htmlToText(col("payload")).as("text"))
+      val wet = W.toWet(curated, "doc_id", "url", "warc_date", "text")
+      W.warcRecords(wet.select(col("doc_id"), col("wet")), "wet")
+        .select(col("doc_id"), col("rec_type"), col("target_uri"),
+          col("warc_date"), col("refers_to"), col("content_length"),
+          col("block_octets"), col("mime"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id")
+    }),
     // redirect-chain resolution (r16, verdict ask #2): the 301 Location
     // headers the fixture has planted since r15 are finally CONSUMED —
     // edges (target_uri → Location) canonicalize on both endpoints and a
@@ -11323,6 +11346,24 @@ object SparkEntry {
         |    'text/html', CAST(octet_length(encode(respb)) AS BIGINT),
         |    md5(rbody) FROM wblk WHERE doc_id % 89 <> 88
         | ) ORDER BY doc_id, rec_pos""".stripMargin.replace("\n", "")),
+    // WET round trip: the q_warc_pipeline strip chain produces the curated
+    // text; every output field restates the WET construction — the parse
+    // must recover it identically (incl. conversion records NOT taking the
+    // HTTP head/body split: mime stays NULL)
+    "q_wet_roundtrip" -> ("WITH " + warcCtes() + "," +
+      """ ws1 AS (SELECT doc_id, url, wdate, regexp_replace(rbody, '(?s)<script.*?</script>', ' ', 'g') AS t FROM wblk WHERE m NOT IN (0, 1)),
+        | ws2 AS (SELECT doc_id, url, wdate, regexp_replace(t, '(?s)<style.*?</style>', ' ', 'g') AS t FROM ws1),
+        | ws3 AS (SELECT doc_id, url, wdate, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM ws2),
+        | ws4 AS (SELECT doc_id, url, wdate, replace(replace(replace(replace(replace(t,
+        |   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM ws3),
+        | wtc AS (SELECT doc_id, url, wdate, trim(regexp_replace(t, '\s+', ' ', 'g')) AS tc FROM ws4)
+        | SELECT doc_id, 'conversion' AS rec_type, url AS target_uri,
+        |   wdate AS warc_date,
+        |   'urn:graft:' || CAST(doc_id AS VARCHAR) || '-3' AS refers_to,
+        |   CAST(octet_length(encode(tc)) AS BIGINT) AS content_length,
+        |   CAST(octet_length(encode(tc)) AS BIGINT) AS block_octets,
+        |   CAST(NULL AS VARCHAR) AS mime, md5(tc) AS payload_md5
+        | FROM wtc ORDER BY doc_id""".stripMargin.replace("\n", "")),
     // redirect chains: edges from the fixture formula (the SAME locTarget
     // expression the loch header construction uses), endpoints through the
     // canonical-key chain, 5 unrolled hop joins with identical freeze/loop

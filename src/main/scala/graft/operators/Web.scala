@@ -579,6 +579,32 @@ object Web {
       .select(nid.as("doc_id"), seg.as("warc"))
   }
 
+  /** Serialize curated page text as WET `conversion` records (r16) — the
+    * WARC sibling format LLM pipelines actually consume from Common Crawl:
+    * one WARC/1.0 record per page, `WARC-Type: conversion`, the page's
+    * target URI and date, `WARC-Refers-To` the response record the text
+    * was extracted from, `Content-Type: text/plain`, octet Content-Length.
+    * Unlike the fixture builders this is a PRODUCTION operator: it writes
+    * the engine's own curated output back into the container format, and
+    * [[warcRecords]] parses it back generically (conversion is just a
+    * record type) — q_wet_roundtrip gates serialize∘parse as an identity
+    * over REAL derived text, not fixture constants. Pure codegen'd string
+    * concatenation, zero shuffle — the WET writer rides the curation scan.
+    */
+  def toWet(df: DataFrame, idCol: String, urlCol: String, dateCol: String,
+      textCol: String): DataFrame = {
+    val idStr = col(idCol).cast(StringType)
+    df.withColumn("wet", concat(
+      lit("WARC/1.0" + CRLF + "WARC-Type: conversion" + CRLF +
+        "WARC-Target-URI: "), col(urlCol),
+      lit(CRLF + "WARC-Record-ID: <urn:graft:wet:"), idStr,
+      lit(">" + CRLF + "WARC-Refers-To: <urn:graft:"), idStr,
+      lit("-3>" + CRLF + "WARC-Date: "), col(dateCol),
+      lit(CRLF + "Content-Type: text/plain" + CRLF + "Content-Length: "),
+      octet_length(col(textCol)).cast(StringType),
+      lit(CRLF + CRLF), col(textCol), lit(CRLF + CRLF)))
+  }
+
   /** One gzip member for a UTF-8 string (fixture builder). */
   private def gzipMember(s: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()

@@ -436,6 +436,30 @@ class WebSpec extends SparkSpec {
       ruleCount = 10L)) shouldBe bcast
   }
 
+  test("WET conversion records round-trip: multibyte text frames by octets and " +
+    "marker-quoting text survives as payload") {
+    val curated = Seq(
+      (1L, "https://a.example/x", "2024-01-01T00:15:00Z", "plain text page"),
+      (2L, "https://b.example/y", "2024-02-02T00:15:00Z", "héllo 日本語 — ümlaut"),
+      (3L, "https://c.example/z", "2024-03-03T00:15:00Z",
+        "quoting a dump: WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 9999\r\n\r\nphantom"))
+      .toDF("doc_id", "url", "warc_date", "text")
+    val recs = rows(Web.warcRecords(
+        Web.toWet(curated, "doc_id", "url", "warc_date", "text")
+          .select(col("doc_id"), col("wet")), "wet")
+      .select("doc_id", "rec_type", "target_uri", "refers_to",
+        "content_length", "block_octets", "payload", "mime")
+      .orderBy("doc_id"))
+    recs.size shouldBe 3
+    recs.foreach { r =>
+      r.getString(1) shouldBe "conversion"
+      r.getLong(4) shouldBe r.getLong(5) // octet framing exact
+      r.isNullAt(7) shouldBe true // conversion records take no HTTP split
+    }
+    recs.map(_.getString(6)) shouldBe curated.collect().map(_.getString(3)).toSeq
+    recs(1).getString(3) shouldBe "urn:graft:2-3"
+  }
+
   test("bloom-guarded novelty: md5 row-set and bitset-sketch paths both equal " +
     "the exact anti-join, with pass superset of truth") {
     val ledger = (0L until 400L).map(i => s"h${i % 7}|/p/$i").toDF("key")
