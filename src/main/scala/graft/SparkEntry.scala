@@ -6457,6 +6457,29 @@ object SparkEntry {
           md5(col("payload")).as("payload_md5"))
         .orderBy("doc_id")
     }),
+    // ...and the full .wet.gz lane: the WET records land through the
+    // PRODUCTION member-per-record gzip writer (no corruption arms — the
+    // Common Crawl layout for curated text), decode, and parse back to the
+    // SAME oracle as q_wet_roundtrip: the compressed lane is
+    // output-identical to the uncompressed one, end to end over real
+    // derived text.
+    "q_wet_gz_roundtrip" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
+        .filter(col("rec_type") === "response" && col("http_status") === 200)
+      val curated = recs.select(col("doc_id"), col("target_uri").as("url"),
+        col("warc_date"), W.htmlToText(col("payload")).as("text"))
+      val wet = W.toWet(curated, "doc_id", "url", "warc_date", "text")
+      val gz = W.gzipWarcRecords(wet.select(col("doc_id"), col("wet")),
+        "doc_id", "wet")
+      W.warcRecords(W.gunzipWarc(gz, "doc_id", "warc_gz"), "warc")
+        .select(col("doc_id"), col("rec_type"), col("target_uri"),
+          col("warc_date"), col("refers_to"), col("content_length"),
+          col("block_octets"), col("mime"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id")
+    }),
     // redirect-chain resolution (r16, verdict ask #2): the 301 Location
     // headers the fixture has planted since r15 are finally CONSUMED —
     // edges (target_uri → Location) canonicalize on both endpoints and a
@@ -8345,6 +8368,25 @@ object SparkEntry {
         |   CASE WHEN SUM(toks) > 0 THEN round(CAST(SUM(fb) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE), 6) END AS fallback_rate,
         |   CASE WHEN SUM(toks) > 0 THEN round(CAST(SUM(ch) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE), 6) END AS chars_per_token
         | FROM alldocs GROUP BY source ORDER BY source""".stripMargin.replace("\n", "")
+
+  /** One oracle text for q_wet_roundtrip AND q_wet_gz_roundtrip — the
+    * compressed lane must be output-identical to the uncompressed one.
+    */
+  private lazy val wetRoundtripDual: String =
+    "WITH " + warcCtes() + "," +
+      """ ws1 AS (SELECT doc_id, url, wdate, regexp_replace(rbody, '(?s)<script.*?</script>', ' ', 'g') AS t FROM wblk WHERE m NOT IN (0, 1)),
+        | ws2 AS (SELECT doc_id, url, wdate, regexp_replace(t, '(?s)<style.*?</style>', ' ', 'g') AS t FROM ws1),
+        | ws3 AS (SELECT doc_id, url, wdate, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM ws2),
+        | ws4 AS (SELECT doc_id, url, wdate, replace(replace(replace(replace(replace(t,
+        |   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM ws3),
+        | wtc AS (SELECT doc_id, url, wdate, trim(regexp_replace(t, '\s+', ' ', 'g')) AS tc FROM ws4)
+        | SELECT doc_id, 'conversion' AS rec_type, url AS target_uri,
+        |   wdate AS warc_date,
+        |   'urn:graft:' || CAST(doc_id AS VARCHAR) || '-3' AS refers_to,
+        |   CAST(octet_length(encode(tc)) AS BIGINT) AS content_length,
+        |   CAST(octet_length(encode(tc)) AS BIGINT) AS block_octets,
+        |   CAST(NULL AS VARCHAR) AS mime, md5(tc) AS payload_md5
+        | FROM wtc ORDER BY doc_id""".stripMargin.replace("\n", "")
 
   def oracleSql: Map[String, String] = Map(
     "q_clean_events" -> cleanEventsSql,
@@ -11350,20 +11392,11 @@ object SparkEntry {
     // text; every output field restates the WET construction — the parse
     // must recover it identically (incl. conversion records NOT taking the
     // HTTP head/body split: mime stays NULL)
-    "q_wet_roundtrip" -> ("WITH " + warcCtes() + "," +
-      """ ws1 AS (SELECT doc_id, url, wdate, regexp_replace(rbody, '(?s)<script.*?</script>', ' ', 'g') AS t FROM wblk WHERE m NOT IN (0, 1)),
-        | ws2 AS (SELECT doc_id, url, wdate, regexp_replace(t, '(?s)<style.*?</style>', ' ', 'g') AS t FROM ws1),
-        | ws3 AS (SELECT doc_id, url, wdate, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM ws2),
-        | ws4 AS (SELECT doc_id, url, wdate, replace(replace(replace(replace(replace(t,
-        |   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM ws3),
-        | wtc AS (SELECT doc_id, url, wdate, trim(regexp_replace(t, '\s+', ' ', 'g')) AS tc FROM ws4)
-        | SELECT doc_id, 'conversion' AS rec_type, url AS target_uri,
-        |   wdate AS warc_date,
-        |   'urn:graft:' || CAST(doc_id AS VARCHAR) || '-3' AS refers_to,
-        |   CAST(octet_length(encode(tc)) AS BIGINT) AS content_length,
-        |   CAST(octet_length(encode(tc)) AS BIGINT) AS block_octets,
-        |   CAST(NULL AS VARCHAR) AS mime, md5(tc) AS payload_md5
-        | FROM wtc ORDER BY doc_id""".stripMargin.replace("\n", "")),
+    "q_wet_roundtrip" -> wetRoundtripDual,
+    // the compressed lane shares the WET oracle verbatim: gzip round-trip
+    // must be invisible to the parse
+    "q_wet_gz_roundtrip" -> wetRoundtripDual,
+
     // redirect chains: edges from the fixture formula (the SAME locTarget
     // expression the loch header construction uses), endpoints through the
     // canonical-key chain, 5 unrolled hop joins with identical freeze/loop

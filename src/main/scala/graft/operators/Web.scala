@@ -729,6 +729,22 @@ object Web {
       }).toDF(idCol, "warc_gz")
   }
 
+  /** PRODUCTION `.warc.gz` writer (r16): member-per-record gzip at true
+    * (length-framed) record boundaries, NO corruption arms — the form the
+    * WET sink uses to land curated text in the Common Crawl layout
+    * ([[withWarcGz]] is the fixture twin that adds the corruption arms on
+    * top of the same slicing). Narrow mapPartitions; the binary column is
+    * born distributed.
+    */
+  def gzipWarcRecords(df: DataFrame, idCol: String, warcCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast(LongType), col(warcCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, warc) =>
+        (id, warcMemberSlices(warc).map(gzipMember).toArray.flatten)
+      }).toDF(idCol, "warc_gz")
+  }
+
   /** Decode a multi-member gzip payload to text — the `.warc.gz` reader.
     * JDK `GZIPInputStream` reads concatenated members transparently and
     * treats a garbled next-member HEADER as end-of-stream; a member whose
