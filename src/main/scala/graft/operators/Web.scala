@@ -632,6 +632,17 @@ object Web {
     -1
   }
 
+  /** needle present at EXACTLY `at` — O(|needle|), where an indexOf-based
+    * equality check would scan the whole remaining buffer on a miss (r16
+    * self-review).
+    */
+  private def matchesAt(hay: Array[Byte], needle: Array[Byte], at: Int): Boolean = {
+    if (at < 0 || at + needle.length > hay.length) return false
+    var j = 0
+    while (j < needle.length && hay(at + j) == needle(j)) j += 1
+    j == needle.length
+  }
+
   /** The length-framed WARC walk (r16, verdict ask #1) over a segment's
     * UTF-8 octets — the actual WARC framing contract: find a `WARC/1.0`
     * marker, cut the header at the first blank line, read the header's
@@ -649,7 +660,10 @@ object Web {
   private[graft] def warcCuts(bytes: Array[Byte]): Seq[WarcCut] = {
     val marker = "WARC/1.0\r\n".getBytes("UTF-8")
     val sep = "\r\n\r\n".getBytes("UTF-8")
-    val clRe = "Content-Length: ([0-9]+)".r
+    // line-anchored: a header VALUE quoting the words "Content-Length:"
+    // must not frame the record (the column extraction below anchors the
+    // same way, so claim and cut can never diverge)
+    val clRe = "(?m)^Content-Length: ([0-9]+)".r
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcCut]
     var cur = indexOfBytes(bytes, marker, 0)
     while (cur >= 0) {
@@ -667,16 +681,16 @@ object Web {
             // past the framed block: skip the record's trailing blank line
             // if present, then expect the next marker right there — scan
             // (resync) only when the framing discipline breaks
-            val after = if (indexOfBytes(bytes, sep, blockEnd) == blockEnd)
+            val after = if (matchesAt(bytes, sep, blockEnd))
               blockEnd + sep.length else blockEnd
-            cur = if (indexOfBytes(bytes, marker, after) == after) after
+            cur = if (matchesAt(bytes, marker, after)) after
               else indexOfBytes(bytes, marker, after)
           case Some(_) => cur = -1 // truncated claim: quarantine, stop
           case None => // no Content-Length: marker-framed fallback
             val next = indexOfBytes(bytes, marker, blockStart)
             val rawEnd = if (next < 0) bytes.length else next
             val blockEnd = if (rawEnd - sep.length >= blockStart &&
-              indexOfBytes(bytes, sep, rawEnd - sep.length) == rawEnd - sep.length)
+              matchesAt(bytes, sep, rawEnd - sep.length))
               rawEnd - sep.length else rawEnd
             out += WarcCut(cur,
               hdr, new String(bytes, blockStart, blockEnd - blockStart, "UTF-8"))
@@ -819,7 +833,7 @@ object Web {
       .withColumn("warc_date",
         regexp_extract(col("__hdr"), "WARC-Date: ([^\r\n]+)", 1))
       .withColumn("content_length",
-        regexp_extract(col("__hdr"), "Content-Length: ([0-9]+)", 1).cast(LongType))
+        regexp_extract(col("__hdr"), "(?m)^Content-Length: ([0-9]+)", 1).cast(LongType))
       .withColumn("block_octets", octet_length(col("__block")).cast(LongType))
       .withColumn("__httpHdr",
         when(col("rec_type") === "response", substring_index(col("__block"), rec2, 1))
