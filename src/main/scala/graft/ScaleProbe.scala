@@ -1125,6 +1125,37 @@ object ScaleProbe {
           b._1
         }
       }
+      time("wet_write_gz") {
+        // r16 — the WRITE side of the container loop at replication: curated
+        // text → WET conversion records → member-per-record gzip →
+        // multi-member decode → parse. Same law as the read side
+        // (warc_gz_roundtrip): wall ∝ bytes through the codec, ZERO shuffle
+        // — landing curated text in the Common Crawl layout rides the
+        // curation scan.
+        val W = graft.operators.Web
+        val w = W.withWarc(W.withHtml(W.withUrls(docs)))
+        val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
+          .filter(col("rec_type") === "response" && col("http_status") === 200)
+        val curated = recs.select(col("doc_id"), col("target_uri").as("url"),
+          col("warc_date"), W.htmlToText(col("payload")).as("text"))
+        val wet = W.toWet(curated, "doc_id", "url", "warc_date", "text")
+        val gz = W.gzipWarcRecords(wet.select(col("doc_id"), col("wet")),
+          "doc_id", "wet")
+        W.warcRecords(W.gunzipWarc(gz, "doc_id", "warc_gz"), "warc")
+          .agg(count(lit(1)), sum(col("block_octets"))).head().getLong(0)
+      }
+      time("http_dechunk") {
+        // r16 — chunked-transfer decode at replication: three-chunk bodies
+        // + the 1-in-13 malformed arm. Narrow byte-walk: wall ∝ bytes,
+        // zero shuffle, quarantine count exactly corpus/13.
+        val W = graft.operators.Web
+        val w = W.withChunkedHttp(W.withHtml(W.withUrls(docs)))
+        val d = W.dechunk(w.select(col("doc_id"), col("chunked")), "doc_id", "chunked")
+        val r = d.agg(sum(col("ok").cast(LongType)),
+          count(lit(1)), sum(length(col("decoded")))).head()
+        println(s"[scale-dechunk] ok=${r.getLong(0)} of ${r.getLong(1)}")
+        r.getLong(0)
+      }
       time("redirect_chains") {
         // r16 — bounded-iteration chain resolution at replication: the 301
         // arm contributes edges ∝ docs/11, but CANONICAL endpoints fold

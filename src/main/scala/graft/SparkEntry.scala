@@ -6434,6 +6434,20 @@ object SparkEntry {
           col("block_octets"), md5(col("payload")).as("payload_md5"))
         .orderBy("doc_id", "rec_pos")
     }),
+    // HTTP chunked-transfer decode (r16): Common Crawl stores RAW HTTP, so
+    // responses arrive chunked — hex octet sizes, CRLF framing, terminal 0
+    // chunk. The decoder walks octets (the record-walk codec class) and
+    // every row is a decode(chunk(x)) == x identity: three chunks per page,
+    // md5(decoded) == md5(html); the non-hex-size arm (1 in 13) must
+    // quarantine to NULL, never emit a garbage prefix as content.
+    "q_http_dechunk" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val w = W.withChunkedHttp(W.withHtml(W.withUrls(documents(s, dir))))
+      W.dechunk(w.select(col("doc_id"), col("chunked")), "doc_id", "chunked")
+        .select(col("doc_id"), col("ok"), col("n_chunks"),
+          md5(col("decoded")).as("decoded_md5"))
+        .orderBy("doc_id")
+    }),
     // WET round trip (r16): the engine's curated text serializes back into
     // the container format as `conversion` records — the Common Crawl WET
     // layout, THE artifact downstream LLM pipelines consume — and the
@@ -11392,6 +11406,16 @@ object SparkEntry {
     // text; every output field restates the WET construction — the parse
     // must recover it identically (incl. conversion records NOT taking the
     // HTTP head/body split: mime stays NULL)
+    // chunked decode: the construction restated — ok/n_chunks/md5 all from
+    // the fixture arms (c1||c2||c3 == html by construction)
+    "q_http_dechunk" -> ("WITH " + htmlCtes + "," +
+      """ chx AS (SELECT doc_id, html,
+        |   greatest(1, CAST(len(html) // 3 AS INTEGER)) AS L FROM h)
+        | SELECT doc_id, (doc_id % 13 <> 3) AS ok,
+        |   CASE WHEN doc_id % 13 <> 3 THEN CAST(3 AS BIGINT) END AS n_chunks,
+        |   CASE WHEN doc_id % 13 <> 3 THEN md5(substr(html, 1, L) ||
+        |     substr(html, L + 1, L) || substr(html, 2 * L + 1)) END AS decoded_md5
+        | FROM chx ORDER BY doc_id""".stripMargin.replace("\n", "")),
     "q_wet_roundtrip" -> wetRoundtripDual,
     // the compressed lane shares the WET oracle verbatim: gzip round-trip
     // must be invisible to the parse

@@ -605,6 +605,90 @@ object Web {
       lit(CRLF + CRLF), col(textCol), lit(CRLF + CRLF)))
   }
 
+  /** Deterministic chunked-transfer fixture (r16): each page's HTML body
+    * re-serializes with HTTP/1.1 chunked framing — three chunks cut at
+    * character thirds, sizes declared in lowercase hex OCTETS, CRLF
+    * discipline, the terminal `0` chunk — exactly what a crawler that
+    * stores raw HTTP (Common Crawl does) hands the extraction step. One
+    * doc per 13 (`doc_id % 13 == 3`) carries a non-hex size line (`zz`) —
+    * the malformed arm [[dechunk]] must reject as NULL, never emit garbage
+    * from. Pure codegen'd string construction the oracle restates verbatim.
+    */
+  def withChunkedHttp(docsWithHtml: DataFrame): DataFrame = {
+    val h = col("html")
+    val third = greatest(lit(1), (length(h) / 3).cast(IntegerType))
+    val c1 = h.substr(lit(1), third)
+    val c2 = h.substr(third + 1, third)
+    val c3 = h.substr(third * 2 + 1, length(h))
+    def chunk(c: Column) =
+      concat(lower(hex(octet_length(c))), lit(CRLF), c, lit(CRLF))
+    val body = concat(chunk(c1), chunk(c2), chunk(c3), lit("0" + CRLF + CRLF))
+    val corrupt = concat(lit("zz" + CRLF), h, lit(CRLF + "0" + CRLF + CRLF))
+    docsWithHtml.withColumn("chunked",
+      when(col("doc_id") % 13 === 3, corrupt).otherwise(body))
+  }
+
+  /** Decode one HTTP/1.1 chunked-encoded body: hex size (chunk extensions
+    * after the digits are skipped per RFC 9112), CRLF, exactly `size`
+    * OCTETS, CRLF — until the terminal 0-size chunk (trailers ignored).
+    * Returns None on any framing violation (non-hex size, truncated chunk,
+    * missing CRLF): a malformed body must quarantine, not emit a garbage
+    * prefix as if it were content.
+    */
+  private[graft] def dechunkBytes(bytes: Array[Byte]): Option[(String, Int)] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    var nChunks = 0
+    while (true) {
+      var n = 0L
+      var digits = 0
+      def hexVal(b: Byte): Int = b match {
+        case d if d >= '0' && d <= '9' => d - '0'
+        case a if a >= 'a' && a <= 'f' => a - 'a' + 10
+        case a if a >= 'A' && a <= 'F' => a - 'A' + 10
+        case _ => -1
+      }
+      while (i < bytes.length && hexVal(bytes(i)) >= 0 && digits <= 8) {
+        n = n * 16 + hexVal(bytes(i)); i += 1; digits += 1
+      }
+      if (digits == 0 || digits > 8) return None
+      while (i < bytes.length && bytes(i) != '\r') i += 1 // chunk extensions
+      if (i + 2 > bytes.length || bytes(i) != '\r' || bytes(i + 1) != '\n') return None
+      i += 2
+      if (n == 0) return Some((new String(out.toByteArray, "UTF-8"), nChunks))
+      if (i + n + 2 > bytes.length) return None // truncated chunk
+      out.write(bytes, i, n.toInt)
+      i += n.toInt
+      if (bytes(i) != '\r' || bytes(i + 1) != '\n') return None
+      i += 2
+      nChunks += 1
+    }
+    None // unreachable
+  }
+
+  /** Chunked-transfer decode over a body column (r16): the step between
+    * [[warcRecords]]' payload extraction and [[htmlToText]] for responses
+    * whose HTTP head declares `Transfer-Encoding: chunked`. Emits
+    * (id, decoded, n_chunks, ok) — malformed bodies decode to NULL with
+    * ok = false. Byte-level on purpose (chunk sizes count octets); the
+    * same narrow typed-mapPartitions codec class as the record walk and
+    * the gzip lanes: zero shuffle, scan speed.
+    */
+  def dechunk(df: DataFrame, idCol: String, bodyCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast(LongType), col(bodyCol).cast(StringType))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, body) =>
+        dechunkBytes(body.getBytes("UTF-8")) match {
+          case Some((txt, k)) => (id, txt, k, true)
+          case None => (id, null.asInstanceOf[String], -1, false)
+        }
+      }).toDF(idCol, "decoded", "__k", "ok")
+      .withColumn("n_chunks",
+        when(col("ok"), col("__k").cast(LongType)).otherwise(lit(null).cast(LongType)))
+      .drop("__k")
+  }
+
   /** One gzip member for a UTF-8 string (fixture builder). */
   private def gzipMember(s: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()

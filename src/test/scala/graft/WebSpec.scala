@@ -436,6 +436,36 @@ class WebSpec extends SparkSpec {
       ruleCount = 10L)) shouldBe bcast
   }
 
+  test("dechunk: octet-exact chunked decode, chunk extensions skipped, truncated " +
+    "and non-hex arms quarantine to NULL") {
+    // chunk boundaries at CHAR positions (a String column cannot carry a
+    // mid-codepoint split), sizes declared in OCTETS — multibyte chunks
+    // declare more octets than chars, which is what the decoder must count
+    def enc(s: String, pieces: Int = 2): String = {
+      val step = math.max(1, s.length / pieces)
+      s.grouped(step).map(g =>
+        f"${g.getBytes("UTF-8").length}%x" + "\r\n" + g + "\r\n").mkString +
+        "0\r\n\r\n"
+    }
+    val multi = "héllo 日本語 page"
+    val rowsIn = Seq(
+      (1L, enc("plain ascii body", 3)),
+      (2L, enc(multi, 2)),
+      (3L, "a;ext=1\r\n0123456789\r\n0\r\n\r\n"), // size 0xa + chunk extension
+      (4L, "zz\r\ngarbage\r\n0\r\n\r\n"), // non-hex size
+      (5L, "ff\r\nshort\r\n0\r\n\r\n")) // truncated claim
+      .toDF("doc_id", "body")
+    val out = rows(Web.dechunk(rowsIn, "doc_id", "body")
+      .select("doc_id", "ok", "n_chunks", "decoded").orderBy("doc_id"))
+    out.map(r => (r.getLong(0), r.getBoolean(1))) shouldBe
+      Seq((1L, true), (2L, true), (3L, true), (4L, false), (5L, false))
+    out(0).getString(3) shouldBe "plain ascii body"
+    out(1).getString(3) shouldBe multi // multibyte split mid-char re-joins by octets
+    out(2).getString(3) shouldBe "0123456789"
+    out(2).getLong(2) shouldBe 1L
+    out.drop(3).foreach(r => r.isNullAt(3) shouldBe true)
+  }
+
   test("WET conversion records round-trip: multibyte text frames by octets and " +
     "marker-quoting text survives as payload") {
     val curated = Seq(
