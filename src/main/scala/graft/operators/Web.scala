@@ -620,8 +620,14 @@ object Web {
     val c1 = h.substr(lit(1), third)
     val c2 = h.substr(third + 1, third)
     val c3 = h.substr(third * 2 + 1, length(h))
-    def chunk(c: Column) =
-      concat(lower(hex(octet_length(c))), lit(CRLF), c, lit(CRLF))
+    // empty chunks are SKIPPED (r17 advisor fix): a body shorter than 3
+    // chars would otherwise emit a 0-size middle chunk whose size line is
+    // the TERMINAL-chunk sentinel, silently truncating the decode —
+    // unreachable with the HTML fixture (bodies are long) but latent in
+    // the public builder
+    def chunk(c: Column) = when(octet_length(c) > 0,
+      concat(lower(hex(octet_length(c))), lit(CRLF), c, lit(CRLF)))
+      .otherwise(lit(""))
     val body = concat(chunk(c1), chunk(c2), chunk(c3), lit("0" + CRLF + CRLF))
     val corrupt = concat(lit("zz" + CRLF), h, lit(CRLF + "0" + CRLF + CRLF))
     docsWithHtml.withColumn("chunked",
@@ -652,6 +658,11 @@ object Web {
         n = n * 16 + hexVal(bytes(i)); i += 1; digits += 1
       }
       if (digits == 0 || digits > 8) return None
+      // RFC 9112 §7.1.1: anything after the size digits must be a chunk
+      // extension, and extensions BEGIN with ';' — a junk byte right after
+      // the digits (`5junk\r\n`) is a framing violation, not an extension
+      // (r17 advisor fix; previously any byte run to CR was skipped)
+      if (i >= bytes.length || (bytes(i) != ';' && bytes(i) != '\r')) return None
       while (i < bytes.length && bytes(i) != '\r') i += 1 // chunk extensions
       if (i + 2 > bytes.length || bytes(i) != '\r' || bytes(i + 1) != '\n') return None
       i += 2
@@ -679,7 +690,10 @@ object Web {
     df.select(col(idCol).cast(LongType), col(bodyCol).cast(StringType))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, body) =>
-        dechunkBytes(body.getBytes("UTF-8")) match {
+        // NULL body quarantines like a malformed one (r17 advisor fix —
+        // one null row must not NPE the task)
+        val dec = if (body == null) None else dechunkBytes(body.getBytes("UTF-8"))
+        dec match {
           case Some((txt, k)) => (id, txt, k, true)
           case None => (id, null.asInstanceOf[String], -1, false)
         }
@@ -757,8 +771,13 @@ object Web {
       else {
         val hdr = new String(bytes, hdrStart, hdrEnd - hdrStart, "UTF-8")
         val blockStart = hdrEnd + sep.length
-        clRe.findFirstMatchIn(hdr).map(_.group(1).toLong) match {
-          case Some(n) if blockStart + n <= bytes.length =>
+        // claim digits bounded to 18 (r17 advisor fix): a corrupt header
+        // claiming ≥19 digits would overflow Long.parseLong and crash the
+        // task; any such claim exceeds every real segment, so it takes the
+        // same truncated-claim quarantine arm as an over-length claim
+        clRe.findFirstMatchIn(hdr).map(_.group(1))
+          .map(g => if (g.length <= 18) g.toLong else Long.MaxValue) match {
+          case Some(n) if n <= bytes.length.toLong - blockStart =>
             val blockEnd = blockStart + n.toInt
             out += WarcCut(cur,
               hdr, new String(bytes, blockStart, blockEnd - blockStart, "UTF-8"))
@@ -916,8 +935,15 @@ object Web {
         regexp_extract(col("__hdr"), "WARC-Target-URI: ([^\r\n]+)", 1))
       .withColumn("warc_date",
         regexp_extract(col("__hdr"), "WARC-Date: ([^\r\n]+)", 1))
+      .withColumn("__clg",
+        regexp_extract(col("__hdr"), "(?m)^Content-Length: ([0-9]+)", 1))
+      // length-bounded like warcCuts' claim parse (r17): a claim-less
+      // fallback record extracts "" and an absurd ≥19-digit claim can't
+      // reach here framed anyway — both land NULL instead of an ANSI
+      // cast failure
       .withColumn("content_length",
-        regexp_extract(col("__hdr"), "(?m)^Content-Length: ([0-9]+)", 1).cast(LongType))
+        when(length(col("__clg")).between(1, 18), col("__clg").cast(LongType)))
+      .drop("__clg")
       .withColumn("block_octets", octet_length(col("__block")).cast(LongType))
       .withColumn("__httpHdr",
         when(col("rec_type") === "response", substring_index(col("__block"), rec2, 1))
@@ -1585,4 +1611,42 @@ object Web {
       graft.expressions.GraftFunctions.bloomMightContain(col(candKey), filter))
     noveltyBySuspects(flagged, candKey, ledger, ledgerKey)
   }
+
+  /** Wave size above which [[noveltyAuto]] skips the bloom guard entirely
+    * (r17 advisor fix — the robotsBroadcastMaxRules treatment): the guard's
+    * exact tail broadcast-hints the suspect-key and matched-key frames,
+    * which is safe only while even the WORST-CASE suspect set (every
+    * candidate a true re-listing) fits the driver. Past this bound the
+    * plain anti-join is the right plan anyway — a mostly-crawled wave makes
+    * the suspect set wave-sized and the guard pure overhead.
+    */
+  val noveltyGuardMaxCands: Long = 1000000L
+
+  /** The UNGUARDED novelty path: one exact membership join, no bloom, no
+    * broadcast hints (AQE sizes the sides). `bloom_pass` is NULL — no
+    * filter was probed — so callers keep one schema across both strategies.
+    */
+  def exactNovelty(cands: DataFrame, candKey: String, ledger: DataFrame,
+      ledgerKey: String): DataFrame = {
+    val candKeys = cands.select(col(candKey).as("__sk")).distinct()
+    val matched = ledger.join(candKeys, col(ledgerKey) === col("__sk"), "left_semi")
+      .select(col(ledgerKey).as("__mk")).distinct()
+    cands.withColumn("bloom_pass", lit(null).cast(BooleanType))
+      .join(matched, col(candKey) === col("__mk"), "left")
+      .withColumn("is_new", col("__mk").isNull).drop("__mk")
+  }
+
+  /** Strategy dispatch by wave size (r17 advisor fix): waves small enough
+    * that the guard's suspect-bounded broadcasts are safe by construction
+    * take the bitset-sketch fast path; larger waves run the plain exact
+    * join — the guard's scaladoc contract ("a mostly-crawled wave should
+    * skip the guard") made safe by default instead of left to the caller.
+    * `is_new` is identical under both strategies (spec-pinned in WebSpec).
+    */
+  def noveltyAuto(cands: DataFrame, candKey: String, ledger: DataFrame,
+      ledgerKey: String, candCount: Long, expectedItems: Long,
+      fpp: Double): DataFrame =
+    if (candCount < noveltyGuardMaxCands)
+      bloomNoveltySketch(cands, candKey, ledger, ledgerKey, expectedItems, fpp)
+    else exactNovelty(cands, candKey, ledger, ledgerKey)
 }

@@ -466,6 +466,54 @@ class WebSpec extends SparkSpec {
     out.drop(3).foreach(r => r.isNullAt(3) shouldBe true)
   }
 
+  test("dechunk hardening (r17 advisor): junk after size digits quarantines, " +
+    "NULL body quarantines instead of NPE, short-body builder emits no empty chunks") {
+    val rowsIn = Seq(
+      (1L, "5junk\r\nhello\r\n0\r\n\r\n"), // junk is not a ';' extension
+      (2L, "5;ext\r\nhello\r\n0\r\n\r\n"), // real extension still fine
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "body")
+    val out = rows(Web.dechunk(rowsIn, "doc_id", "body")
+      .select("doc_id", "ok", "decoded").orderBy("doc_id"))
+    out.map(r => (r.getLong(0), r.getBoolean(1))) shouldBe
+      Seq((1L, false), (2L, true), (3L, false))
+    out(1).getString(2) shouldBe "hello"
+    // builder: a 2-char body must not emit a 0-size middle chunk (which the
+    // decoder would read as the terminal sentinel and truncate)
+    val short = Web.withChunkedHttp(Seq((7L, "ab")).toDF("doc_id", "html"))
+    val dec = rows(Web.dechunk(short.select(col("doc_id"), col("chunked")),
+      "doc_id", "chunked").select("ok", "decoded")).head
+    dec.getBoolean(0) shouldBe true
+    dec.getString(1) shouldBe "ab"
+  }
+
+  test("warcCuts hardening (r17 advisor): a >=19-digit Content-Length claim " +
+    "quarantines the record instead of crashing the task") {
+    val seg = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99999999999999999999\r\n\r\nbody\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: request\r\nContent-Length: 2\r\n\r\nok\r\n\r\n"
+    // the absurd claim poisons everything behind it (truncated-claim arm)
+    Web.warcCuts(seg.getBytes("UTF-8")) shouldBe Seq.empty
+    // a clean record BEFORE the poisoned one still parses
+    val seg2 = "WARC/1.0\r\nWARC-Type: request\r\nContent-Length: 2\r\n\r\nok\r\n\r\n" + seg
+    Web.warcCuts(seg2.getBytes("UTF-8")).map(_.block) shouldBe Seq("ok")
+  }
+
+  test("noveltyAuto (r17 advisor): both dispatch regimes equal the plain anti-join") {
+    val ledger = (0L until 300L).map(i => s"h${i % 5}|/p/$i").toDF("key")
+    val cands = (0L until 120L)
+      .map(i => if (i % 4 == 0) s"h${i % 5}|/p/$i" else s"h${i % 5}|/new/$i")
+      .toDF("key")
+    val exact = rows(cands.join(ledger, Seq("key"), "left_anti")
+      .orderBy("key")).map(_.getString(0))
+    def novel(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      rows(df.filter(col("is_new")).select("key").orderBy("key")).map(_.getString(0))
+    novel(Web.noveltyAuto(cands, "key", ledger, "key", candCount = 120L,
+      expectedItems = 300L, fpp = 0.05)) shouldBe exact.sorted
+    novel(Web.noveltyAuto(cands, "key", ledger, "key",
+      candCount = Web.noveltyGuardMaxCands + 1,
+      expectedItems = 300L, fpp = 0.05)) shouldBe exact.sorted
+  }
+
   test("WET conversion records round-trip: multibyte text frames by octets and " +
     "marker-quoting text survives as payload") {
     val curated = Seq(
