@@ -6448,6 +6448,62 @@ object SparkEntry {
           md5(col("decoded")).as("decoded_md5"))
         .orderBy("doc_id")
     }),
+    // HTTP entity decode (r17, verdict ask #1): real crawl responses are
+    // mostly Content-Encoding: gzip — often INSIDE Transfer-Encoding:
+    // chunked (TE is outermost, so the order is dechunk → gunzip). Every
+    // ok row is a decode(encode(x)) == x identity against the page's HTML;
+    // the corrupt-gzip arm (1 in 23, flipped magic under a `gzip` header)
+    // must quarantine to NULL — emitting encoded octets as if they were
+    // content is the one forbidden outcome. The arm label restates the
+    // fixture formula so the encoding MIX itself is under the hash gate.
+    "q_http_body_decode" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val w = W.withEncodedHttp(W.withHtml(W.withUrls(documents(s, dir))))
+      W.decodeHttpBody(w, "doc_id", "body",
+          "transfer_encoding", "content_encoding")
+        .withColumn("enc",
+          when(col("doc_id") % 23 === 9, lit("corrupt"))
+            .when(col("doc_id") % 5 === 0, lit("identity"))
+            .when(col("doc_id") % 5 === 1, lit("gzip"))
+            .when(col("doc_id") % 5 === 2, lit("chunked+gzip"))
+            .when(col("doc_id") % 5 === 3, lit("deflate"))
+            .otherwise(lit("chunked")))
+        .select(col("doc_id"), col("enc"), col("ok"),
+          md5(col("decoded")).as("decoded_md5"))
+        .orderBy("doc_id")
+    }),
+    // ...and the full front door over the BINARY container (r17): a WARC
+    // whose entity bodies carry the wire codings (Content-Length counts
+    // ENCODED octets — a text-typed fixture cannot even express this,
+    // gzip bytes are not valid UTF-8) → length-framed binary parse
+    // (warcRecordsBin, the SAME warcCutsB walk) → header-keyed entity
+    // decode → the q_warc_pipeline strip/canonicalize chain. The oracle is
+    // the PLAIN pipeline restatement: transport codings must be invisible
+    // to curation, corrupt-encode docs quarantine out.
+    "q_warc_pipeline_encoded" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val base = W.withHtml(W.withUrls(documents(s, dir)))
+      val wb = W.withWarcBin(base)
+      // localCheckpoint (lazy): two consumers — the URI frame and the
+      // decode — would each re-run the binary synthesis+parse without the
+      // lineage cut (and in production the parse IS a landed artifact)
+      val recs = W.warcRecordsBin(wb, "doc_id", "warc_bin")
+        .filter(col("rec_type") === "response" && col("http_status") === 200)
+        .select(col("doc_id"), col("target_uri"), col("payload_bin"),
+          col("transfer_encoding"), col("content_encoding"))
+        .localCheckpoint(false)
+      val dec = W.decodeHttpBody(recs, "doc_id", "payload_bin",
+          "transfer_encoding", "content_encoding")
+        .filter(col("ok"))
+      val ext = recs.select(col("doc_id"), col("target_uri").as("url"))
+        .join(dec, Seq("doc_id"))
+        .withColumn("text_clean", W.htmlToText(col("decoded")))
+        .withColumn("n_links", size(W.extractLinks(col("decoded"))).cast(LongType))
+      W.canonicalize(ext, "url")
+        .select(col("doc_id"), col("domain"), col("url_canon"), col("n_links"),
+          md5(col("text_clean")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
     // WET round trip (r16): the engine's curated text serializes back into
     // the container format as `conversion` records — the Common Crawl WET
     // layout, THE artifact downstream LLM pipelines consume — and the
@@ -11416,6 +11472,36 @@ object SparkEntry {
         |   CASE WHEN doc_id % 13 <> 3 THEN md5(substr(html, 1, L) ||
         |     substr(html, L + 1, L) || substr(html, 2 * L + 1)) END AS decoded_md5
         | FROM chx ORDER BY doc_id""".stripMargin.replace("\n", "")),
+    // HTTP entity decode: arm labels + ok from the fixture formulas;
+    // decoded_md5 = md5(html) on every ok row — the Spark side must run
+    // the real dechunk∘gunzip/inflate composition to land on it
+    "q_http_body_decode" -> ("WITH " + htmlCtes +
+      """ SELECT doc_id,
+        |   CASE WHEN doc_id % 23 = 9 THEN 'corrupt'
+        |     WHEN doc_id % 5 = 0 THEN 'identity'
+        |     WHEN doc_id % 5 = 1 THEN 'gzip'
+        |     WHEN doc_id % 5 = 2 THEN 'chunked+gzip'
+        |     WHEN doc_id % 5 = 3 THEN 'deflate'
+        |     ELSE 'chunked' END AS enc,
+        |   (doc_id % 23 <> 9) AS ok,
+        |   CASE WHEN doc_id % 23 <> 9 THEN md5(html) END AS decoded_md5
+        | FROM h ORDER BY doc_id""".stripMargin.replace("\n", "")),
+    // encoded-container pipeline: the PLAIN pipeline restatement (strip
+    // chain + canonical chain over the fixture pages) minus the
+    // corrupt-encode arm — wire codings must be invisible to curation
+    "q_warc_pipeline_encoded" -> ("WITH " + htmlCtes + "," +
+      """ ws1 AS (SELECT doc_id, url, html, regexp_replace(html, '(?s)<script.*?</script>', ' ', 'g') AS t FROM h WHERE doc_id % 23 <> 9),
+        | ws2 AS (SELECT doc_id, url, html, regexp_replace(t, '(?s)<style.*?</style>', ' ', 'g') AS t FROM ws1),
+        | ws3 AS (SELECT doc_id, url, html, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM ws2),
+        | ws4 AS (SELECT doc_id, url, html, replace(replace(replace(replace(replace(t,
+        |   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM ws3),
+        | wsrc AS (SELECT doc_id, '' AS text, url,
+        |   trim(regexp_replace(t, '\s+', ' ', 'g')) AS tc,
+        |   CAST(len(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS BIGINT) AS n_links
+        |  FROM ws4),""".stripMargin.replace("\n", "") +
+      canonChainSql("wsrc", extra = ", tc, n_links") +
+      " SELECT doc_id, domain, url_canon, n_links, md5(tc) AS text_md5" +
+      " FROM cn ORDER BY doc_id"),
     "q_wet_roundtrip" -> wetRoundtripDual,
     // the compressed lane shares the WET oracle verbatim: gzip round-trip
     // must be invisible to the parse

@@ -641,7 +641,15 @@ object Web {
     * missing CRLF): a malformed body must quarantine, not emit a garbage
     * prefix as if it were content.
     */
-  private[graft] def dechunkBytes(bytes: Array[Byte]): Option[(String, Int)] = {
+  private[graft] def dechunkBytes(bytes: Array[Byte]): Option[(String, Int)] =
+    dechunkBytesRaw(bytes).map { case (b, k) => (new String(b, "UTF-8"), k) }
+
+  /** The byte-level core of [[dechunkBytes]] (r17): chunked framing wraps
+    * ARBITRARY octets — when Transfer-Encoding composes with
+    * Content-Encoding the chunks carry gzip bytes, and a UTF-8 round-trip
+    * here would corrupt them before the entity decode ever ran.
+    */
+  private[graft] def dechunkBytesRaw(bytes: Array[Byte]): Option[(Array[Byte], Int)] = {
     val out = new java.io.ByteArrayOutputStream()
     var i = 0
     var nChunks = 0
@@ -666,7 +674,7 @@ object Web {
       while (i < bytes.length && bytes(i) != '\r') i += 1 // chunk extensions
       if (i + 2 > bytes.length || bytes(i) != '\r' || bytes(i + 1) != '\n') return None
       i += 2
-      if (n == 0) return Some((new String(out.toByteArray, "UTF-8"), nChunks))
+      if (n == 0) return Some((out.toByteArray, nChunks))
       if (i + n + 2 > bytes.length) return None // truncated chunk
       out.write(bytes, i, n.toInt)
       i += n.toInt
@@ -703,6 +711,177 @@ object Web {
       .drop("__k")
   }
 
+  // ------------------------------------------------------------------
+  // HTTP entity decoding (r17, verdict ask #1)
+  // ------------------------------------------------------------------
+
+  /** Whole-stream gzip decode for an HTTP entity body: every member must
+    * decode completely or the body quarantines to None — unlike
+    * [[gunzipWarc]]'s prefix-keeping container read, an entity body is one
+    * document and a partial decode is garbage text, not salvage. Trailing
+    * junk after the final valid member is TOLERATED (the JDK treats a
+    * garbled next-member header as end-of-stream — the lenient behavior
+    * browsers and curl ship for real servers' sloppy tails); corruption
+    * inside a member's DEFLATE data quarantines.
+    */
+  private[graft] def gunzipStrict(bytes: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes), 65536)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
+
+  /** STRICT deflate decode: zlib-wrapped per RFC 9110 §8.4.1.3, with the
+    * raw-DEFLATE fallback every browser ships (a long tail of servers
+    * sends `Content-Encoding: deflate` without the zlib wrapper). None on
+    * corruption or trailing junk.
+    */
+  private[graft] def inflateStrict(bytes: Array[Byte]): Option[Array[Byte]] = {
+    def run(nowrap: Boolean): Option[Array[Byte]] =
+      try {
+        val inf = new java.util.zip.Inflater(nowrap)
+        inf.setInput(bytes)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](65536)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && !inf.finished()) { inf.end(); return None } // needs more input: truncated
+          out.write(buf, 0, n)
+        }
+        val clean = inf.getRemaining == 0
+        inf.end()
+        if (clean) Some(out.toByteArray) else None
+      } catch { case _: java.util.zip.DataFormatException => None }
+    run(false).orElse(run(true))
+  }
+
+  /** Decode one HTTP entity body to its content octets, per the message's
+    * framing headers — Transfer-Encoding is OUTERMOST (RFC 9112: chunked
+    * frames the wire; Content-Encoding describes the entity inside), so
+    * the order is dechunk first, then content-decode. `identity` and
+    * absent pass through; unknown codings quarantine (emitting the encoded
+    * octets as if they were content is the one forbidden outcome).
+    */
+  private[graft] def decodeHttpBodyBytes(body: Array[Byte], te: String,
+      ce: String): Option[Array[Byte]] = {
+    if (body == null) return None
+    val afterTe: Option[Array[Byte]] = te match {
+      case null | "" | "identity" => Some(body)
+      case t if t.trim.equalsIgnoreCase("chunked") =>
+        dechunkBytesRaw(body).map(_._1)
+      case _ => None
+    }
+    afterTe.flatMap { b =>
+      ce match {
+        case null | "" | "identity" => Some(b)
+        case c if c.trim.equalsIgnoreCase("gzip") ||
+          c.trim.equalsIgnoreCase("x-gzip") => gunzipStrict(b)
+        case c if c.trim.equalsIgnoreCase("deflate") => inflateStrict(b)
+        case _ => None
+      }
+    }
+  }
+
+  /** HTTP entity decode over a BINARY body column (r17, verdict ask #1):
+    * the step between [[warcRecordsBin]]' payload extraction and
+    * [[htmlToText]] — most real crawl responses are `Content-Encoding:
+    * gzip` (often inside `Transfer-Encoding: chunked`), and without this
+    * step those octets reach text extraction as binary garbage. Emits
+    * (id, decoded UTF-8 text, ok); any framing or codec violation
+    * quarantines to NULL/false. Charset-aware decoding of the CONTENT
+    * octets is [[decodeCharset]]'s job — this operator undoes the
+    * transport codings only. Same narrow typed-mapPartitions codec class
+    * as [[dechunk]]/[[gunzipWarc]]: zero shuffle, scan speed, decode
+    * parallelism = task parallelism at 100 TB.
+    */
+  def decodeHttpBody(df: DataFrame, idCol: String, bodyCol: String,
+      teCol: String, ceCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast(LongType), col(bodyCol).cast(BinaryType),
+        col(teCol).cast(StringType), col(ceCol).cast(StringType))
+      .as[(Long, Array[Byte], String, String)]
+      .mapPartitions(_.map { case (id, body, te, ce) =>
+        decodeHttpBodyBytes(body, te, ce) match {
+          case Some(b) => (id, new String(b, "UTF-8"), true)
+          case None => (id, null.asInstanceOf[String], false)
+        }
+      }).toDF(idCol, "decoded", "ok")
+  }
+
+  /** One gzip stream for arbitrary octets (fixture builder). */
+  private def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(b); gz.close(); bos.toByteArray
+  }
+
+  /** zlib-wrapped deflate for arbitrary octets (fixture builder). */
+  private def deflateBytes(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](65536)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end(); bos.toByteArray
+  }
+
+  /** HTTP/1.1 chunked framing around arbitrary octets — three chunks at
+    * byte thirds (empty chunks skipped), lowercase hex sizes, CRLF
+    * discipline, terminal 0 chunk (fixture builder; the byte-level twin
+    * of [[withChunkedHttp]]'s string construction).
+    */
+  private def chunkBytes(b: Array[Byte]): Array[Byte] = {
+    val third = math.max(1, b.length / 3)
+    val parts = Seq(b.slice(0, third), b.slice(third, 2 * third),
+      b.slice(2 * third, b.length)).filter(_.nonEmpty)
+    val bos = new java.io.ByteArrayOutputStream()
+    val crlf = CRLF.getBytes("US-ASCII")
+    parts.foreach { p =>
+      bos.write(p.length.toHexString.getBytes("US-ASCII"))
+      bos.write(crlf); bos.write(p); bos.write(crlf)
+    }
+    bos.write(("0" + CRLF + CRLF).getBytes("US-ASCII"))
+    bos.toByteArray
+  }
+
+  /** Deterministic encoded-HTTP fixture (r17): each page's HTML body
+    * re-serializes under the transport codings real crawls store, keyed on
+    * e = doc_id % 5 — identity / gzip / chunked∘gzip (Transfer-Encoding
+    * outermost: the gzip entity is what gets chunked) / deflate (zlib) /
+    * chunked-only — with a corrupt-gzip arm (`doc_id % 23 == 9`: flipped
+    * magic byte under a `gzip` header) that must quarantine, never emit
+    * binary garbage as text. Emits BINARY `body` plus the declared
+    * `transfer_encoding` / `content_encoding` header values and the
+    * `enc` arm label. Narrow mapPartitions; the binary column is born
+    * distributed.
+    */
+  def withEncodedHttp(docsWithHtml: DataFrame): DataFrame = {
+    import docsWithHtml.sparkSession.implicits._
+    docsWithHtml.select(col("doc_id").cast(LongType), col("html"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, html) =>
+        val raw = html.getBytes("UTF-8")
+        if (id % 23 == 9) {
+          val g = gzipBytes(raw); g(0) = 0x00
+          (id, g, null.asInstanceOf[String], "gzip", "corrupt")
+        } else (id % 5) match {
+          case 0 => (id, raw, null.asInstanceOf[String],
+            null.asInstanceOf[String], "identity")
+          case 1 => (id, gzipBytes(raw), null.asInstanceOf[String], "gzip", "gzip")
+          case 2 => (id, chunkBytes(gzipBytes(raw)), "chunked", "gzip",
+            "chunked+gzip")
+          case 3 => (id, deflateBytes(raw), null.asInstanceOf[String],
+            "deflate", "deflate")
+          case _ => (id, chunkBytes(raw), "chunked", null.asInstanceOf[String],
+            "chunked")
+        }
+      }).toDF("doc_id", "body", "transfer_encoding", "content_encoding", "enc")
+  }
+
   /** One gzip member for a UTF-8 string (fixture builder). */
   private def gzipMember(s: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -717,6 +896,16 @@ object Web {
     * survive intact.
     */
   private[graft] final case class WarcCut(start: Int, hdr: String, block: String)
+
+  /** The byte-offset form of [[WarcCut]] (r17): headers are ASCII and ride
+    * as String; the content block stays [blockStart, blockEnd) offsets so
+    * BINARY payloads (gzip/deflate entity bodies) can be sliced without a
+    * UTF-8 round-trip corrupting them. [[warcCuts]] is a thin view over
+    * this — ONE framing implementation, so the text and binary paths can
+    * never diverge.
+    */
+  private[graft] final case class WarcCutB(start: Int, hdr: String,
+      blockStart: Int, blockEnd: Int)
 
   private def indexOfBytes(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
     var i = math.max(from, 0)
@@ -755,14 +944,14 @@ object Web {
     * truncation is trustworthy). Byte-level on purpose: Content-Length
     * counts octets, not UTF-16 chars.
     */
-  private[graft] def warcCuts(bytes: Array[Byte]): Seq[WarcCut] = {
+  private[graft] def warcCutsB(bytes: Array[Byte]): Seq[WarcCutB] = {
     val marker = "WARC/1.0\r\n".getBytes("UTF-8")
     val sep = "\r\n\r\n".getBytes("UTF-8")
     // line-anchored: a header VALUE quoting the words "Content-Length:"
     // must not frame the record (the column extraction below anchors the
     // same way, so claim and cut can never diverge)
     val clRe = "(?m)^Content-Length: ([0-9]+)".r
-    val out = scala.collection.mutable.ArrayBuffer.empty[WarcCut]
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcCutB]
     var cur = indexOfBytes(bytes, marker, 0)
     while (cur >= 0) {
       val hdrStart = cur + marker.length
@@ -779,8 +968,7 @@ object Web {
           .map(g => if (g.length <= 18) g.toLong else Long.MaxValue) match {
           case Some(n) if n <= bytes.length.toLong - blockStart =>
             val blockEnd = blockStart + n.toInt
-            out += WarcCut(cur,
-              hdr, new String(bytes, blockStart, blockEnd - blockStart, "UTF-8"))
+            out += WarcCutB(cur, hdr, blockStart, blockEnd)
             // past the framed block: skip the record's trailing blank line
             // if present, then expect the next marker right there — scan
             // (resync) only when the framing discipline breaks
@@ -795,14 +983,17 @@ object Web {
             val blockEnd = if (rawEnd - sep.length >= blockStart &&
               matchesAt(bytes, sep, rawEnd - sep.length))
               rawEnd - sep.length else rawEnd
-            out += WarcCut(cur,
-              hdr, new String(bytes, blockStart, blockEnd - blockStart, "UTF-8"))
+            out += WarcCutB(cur, hdr, blockStart, blockEnd)
             cur = next
         }
       }
     }
     out.toSeq
   }
+
+  private[graft] def warcCuts(bytes: Array[Byte]): Seq[WarcCut] =
+    warcCutsB(bytes).map(c => WarcCut(c.start, c.hdr,
+      new String(bytes, c.blockStart, c.blockEnd - c.blockStart, "UTF-8")))
 
   /** Member slices for `.warc.gz` serialization: the segment cut at TRUE
     * (length-framed) record boundaries, concatenation-exact — any junk
@@ -976,6 +1167,117 @@ object Web {
           col("__block").substr(length(col("__httpHdr")) + lit(5), length(col("__block"))))
           .otherwise(col("__block")))
       .drop("__hdr", "__block", "__httpHdr")
+  }
+
+  /** Serialize (doc_id, url, html) as a BINARY WARC response record whose
+    * HTTP entity body carries the transport codings real crawls store
+    * (r17, verdict ask #1): e = doc_id % 5 keys identity / gzip /
+    * chunked∘gzip / deflate / chunked arms (the [[withEncodedHttp]]
+    * family), `doc_id % 23 == 9` plants a corrupt gzip body under a `gzip`
+    * header. Content-Length counts the WIRE octets (head + encoded body) —
+    * the real container contract a text-typed fixture cannot express,
+    * since gzip octets are not valid UTF-8. Narrow mapPartitions; binary
+    * column born distributed.
+    */
+  def withWarcBin(docsWithHtml: DataFrame): DataFrame = {
+    import docsWithHtml.sparkSession.implicits._
+    docsWithHtml.select(col("doc_id").cast(LongType), col("url"), col("html"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, url, html) =>
+        val raw = html.getBytes("UTF-8")
+        val (body, te, ce) =
+          if (id % 23 == 9) { val g = gzipBytes(raw); g(0) = 0x00; (g, null, "gzip") }
+          else (id % 5) match {
+            case 0 => (raw, null, null)
+            case 1 => (gzipBytes(raw), null, "gzip")
+            case 2 => (chunkBytes(gzipBytes(raw)), "chunked", "gzip")
+            case 3 => (deflateBytes(raw), null, "deflate")
+            case _ => (chunkBytes(raw), "chunked", null)
+          }
+        val head = "HTTP/1.1 200 OK" + CRLF +
+          "Content-Type: text/html; charset=UTF-8" + CRLF +
+          Option(te).map(t => s"Transfer-Encoding: $t" + CRLF).getOrElse("") +
+          Option(ce).map(c => s"Content-Encoding: $c" + CRLF).getOrElse("") +
+          CRLF
+        val headB = head.getBytes("US-ASCII")
+        val date = "2024-%02d-%02dT%02d:15:00Z".format(
+          id % 12 + 1, id % 28 + 1, id % 24)
+        val hdr = ("WARC/1.0" + CRLF + "WARC-Type: response" + CRLF +
+          s"WARC-Target-URI: $url" + CRLF +
+          s"WARC-Record-ID: <urn:graft:$id-3>" + CRLF +
+          s"WARC-Date: $date" + CRLF +
+          "Content-Type: application/http;msgtype=response" + CRLF +
+          s"Content-Length: ${headB.length + body.length}" + CRLF + CRLF)
+          .getBytes("US-ASCII")
+        val bos = new java.io.ByteArrayOutputStream(
+          hdr.length + headB.length + body.length + 4)
+        bos.write(hdr); bos.write(headB); bos.write(body)
+        bos.write((CRLF + CRLF).getBytes("US-ASCII"))
+        (id, bos.toByteArray)
+      }).toDF("doc_id", "warc_bin")
+  }
+
+  /** [[warcRecords]] over a BINARY segment column (r17): the same
+    * length-framed walk ([[warcCutsB]] — literally the same function, so
+    * the text and binary framings can never diverge), but the HTTP entity
+    * body stays BYTES end to end — a gzip payload sliced through a String
+    * would corrupt before [[decodeHttpBody]] could run. The HTTP head is
+    * ASCII by spec and splits inside the walk (block starting `HTTP/1.`,
+    * cut at the first CRLF CRLF); header-field extraction stays per-row
+    * codegen'd string expressions over the head. Emits the
+    * [[warcRecords]] field set with `payload_bin` (binary) in place of
+    * `payload`, plus the `transfer_encoding` / `content_encoding` framing
+    * headers the entity decode keys on.
+    */
+  def warcRecordsBin(df: DataFrame, idCol: String, segCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val httpMagic = "HTTP/1.".getBytes("US-ASCII")
+    val sep = "\r\n\r\n".getBytes("US-ASCII")
+    df.select(col(idCol).cast(LongType), col(segCol).cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, seg) =>
+        warcCutsB(seg).iterator.zipWithIndex.map { case (c, i) =>
+          val isHttp = matchesAt(seg, httpMagic, c.blockStart) &&
+            c.blockStart + httpMagic.length <= c.blockEnd
+          val sepAt = if (isHttp) {
+            val at = indexOfBytes(seg, sep, c.blockStart)
+            if (at >= 0 && at + sep.length <= c.blockEnd) at else -1
+          } else -1
+          val head = if (sepAt >= 0)
+            new String(seg, c.blockStart, sepAt - c.blockStart, "UTF-8") else ""
+          val bodyStart = if (sepAt >= 0) sepAt + sep.length else c.blockStart
+          (id, i + 1, c.hdr, head,
+            java.util.Arrays.copyOfRange(seg, bodyStart, c.blockEnd),
+            (c.blockEnd - c.blockStart).toLong)
+        }
+      }).toDF(idCol, "rec_pos", "__hdr", "__http", "payload_bin", "block_octets")
+      .withColumn("rec_type",
+        regexp_extract(col("__hdr"), "WARC-Type: ([^\r\n]+)", 1))
+      .filter(col("rec_type") =!= "")
+      .withColumn("target_uri",
+        regexp_extract(col("__hdr"), "WARC-Target-URI: ([^\r\n]+)", 1))
+      .withColumn("warc_date",
+        regexp_extract(col("__hdr"), "WARC-Date: ([^\r\n]+)", 1))
+      .withColumn("__clg",
+        regexp_extract(col("__hdr"), "(?m)^Content-Length: ([0-9]+)", 1))
+      .withColumn("content_length",
+        when(length(col("__clg")).between(1, 18), col("__clg").cast(LongType)))
+      .withColumn("http_status",
+        when(col("__http") =!= "",
+          regexp_extract(col("__http"), "^HTTP/1\\.[01] ([0-9]{3})", 1)
+            .cast(IntegerType)))
+      .withColumn("mime",
+        when(col("__http") =!= "",
+          regexp_extract(col("__http"), "Content-Type: ([^;\r\n]+)", 1)))
+      .withColumn("transfer_encoding",
+        when(col("__http") =!= "",
+          nullif(regexp_extract(col("__http"),
+            "(?m)^Transfer-Encoding: ([^\r\n]+)", 1), lit(""))))
+      .withColumn("content_encoding",
+        when(col("__http") =!= "",
+          nullif(regexp_extract(col("__http"),
+            "(?m)^Content-Encoding: ([^\r\n]+)", 1), lit(""))))
+      .drop("__hdr", "__http", "__clg")
   }
 
   // ------------------------------------------------------------------

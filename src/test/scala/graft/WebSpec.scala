@@ -498,6 +498,73 @@ class WebSpec extends SparkSpec {
     Web.warcCuts(seg2.getBytes("UTF-8")).map(_.block) shouldBe Seq("ok")
   }
 
+  test("decodeHttpBody (r17): TE-outermost composition, raw-deflate fallback, " +
+    "unknown codings and trailing junk quarantine") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    def rawDeflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6, true) // nowrap: no zlib header
+      d.setInput(b); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end(); bos.toByteArray
+    }
+    val text = "héllo 日本語 page body"
+    val raw = text.getBytes("UTF-8")
+    // chunked framing around the GZIP bytes — TE must undo first
+    def chunked(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(f"${b.length}%x\r\n".getBytes("US-ASCII"))
+      bos.write(b); bos.write("\r\n0\r\n\r\n".getBytes("US-ASCII"))
+      bos.toByteArray
+    }
+    val junkTail = gz(raw) ++ Array[Byte](1, 2, 3)
+    val midCorrupt = gz(raw)
+    (12 until 20).foreach(i => midCorrupt(i) = (midCorrupt(i) ^ 0x5a).toByte)
+    val rowsIn = Seq(
+      (1L, raw, null, null),
+      (2L, gz(raw), null, "gzip"),
+      (3L, chunked(gz(raw)), "chunked", "gzip"),
+      (4L, rawDeflate(raw), null, "deflate"), // browsers' raw-deflate fallback
+      (5L, raw, null, "br"), // unknown coding: quarantine, never pass through
+      (6L, junkTail, null, "gzip"), // sloppy tail tolerated (browser behavior)
+      (7L, gz(raw), "gzip", null), // gzip is not a transfer coding we accept
+      (8L, midCorrupt, null, "gzip")) // mid-member DEFLATE corruption quarantines
+      .toDF("doc_id", "body", "te", "ce")
+    val out = rows(Web.decodeHttpBody(rowsIn, "doc_id", "body", "te", "ce")
+      .select("doc_id", "ok", "decoded").orderBy("doc_id"))
+    out.map(r => (r.getLong(0), r.getBoolean(1))) shouldBe
+      Seq((1L, true), (2L, true), (3L, true), (4L, true), (5L, false),
+        (6L, true), (7L, false), (8L, false))
+    out.take(4).foreach(_.getString(2) shouldBe text)
+    out(5).getString(2) shouldBe text
+  }
+
+  test("warcRecordsBin (r17): binary parse shares the text walk's framing; " +
+    "gzip payload octets survive byte-exact; framing headers extract") {
+    val html = "<html><body>page WARC/1.0 quoting</body></html>"
+    val base = Seq((2L, "https://site2.example-2.com/articles/2", html))
+      .toDF("doc_id", "url", "html")
+    val recs = rows(Web.warcRecordsBin(Web.withWarcBin(base), "doc_id", "warc_bin")
+      .select("rec_type", "http_status", "content_length", "block_octets",
+        "transfer_encoding", "content_encoding", "payload_bin"))
+    recs.size shouldBe 1
+    val r = recs.head
+    r.getString(0) shouldBe "response"
+    r.getInt(1) shouldBe 200
+    r.getLong(2) shouldBe r.getLong(3) // claim framed the cut exactly
+    // doc_id 2 → e = 2: chunked ∘ gzip
+    r.getString(4) shouldBe "chunked"
+    r.getString(5) shouldBe "gzip"
+    val body = r.getAs[Array[Byte]](6)
+    Web.decodeHttpBodyBytes(body, "chunked", "gzip")
+      .map(new String(_, "UTF-8")) shouldBe Some(html)
+  }
+
   test("noveltyAuto (r17 advisor): both dispatch regimes equal the plain anti-join") {
     val ledger = (0L until 300L).map(i => s"h${i % 5}|/p/$i").toDF("key")
     val cands = (0L until 120L)
