@@ -6504,6 +6504,35 @@ object SparkEntry {
           md5(col("text_clean")).as("text_md5"))
         .orderBy("doc_id")
     }),
+    // charset-aware payload decode (r17, verdict ask #2): five charset
+    // arms (header-declared UTF-8 / ISO-8859-1, meta-declared cp1252 /
+    // Shift_JIS, undeclared-UTF-8 default) decode strictly to the SAME
+    // expected text the oracle restates as UTF-8 literals — the Spark side
+    // must honor the label to land on them (€ at 0x80 distinguishes cp1252
+    // from Latin-1; the Japanese arm is unreachable by single-byte
+    // decoding). The mojibake arm (Latin-1 bytes under a UTF-8 label) and
+    // the unknown-label arm must quarantine, never emit replacement
+    // garbage.
+    "q_charset_decode" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val w = W.withCharsetHttp(documents(s, dir))
+      W.decodeCharset(w, "doc_id", "body", "content_type")
+        .select(col("doc_id"), col("charset"), col("charset_src"), col("ok"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+    // ...and the dedup CONSEQUENCE (the q_nfc_dedup pattern): the same
+    // page served UTF-8 and cp1252 must fold onto ONE extracted-text
+    // content key per doc — a UTF-8-assuming reader splits every pair
+    "q_charset_dedup" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val w = W.withCharsetVariants(documents(s, dir))
+      W.decodeCharset(w, "rid", "body", "content_type")
+        .withColumn("ck", md5(W.htmlToText(col("text"))))
+        .groupBy("ck").agg(count(lit(1)).as("n_variants"),
+          min(col("rid")).as("keeper"))
+        .orderBy("keeper")
+    }),
     // WET round trip (r16): the engine's curated text serializes back into
     // the container format as `conversion` records — the Common Crawl WET
     // layout, THE artifact downstream LLM pipelines consume — and the
@@ -11502,6 +11531,37 @@ object SparkEntry {
       canonChainSql("wsrc", extra = ", tc, n_links") +
       " SELECT doc_id, domain, url_canon, n_links, md5(tc) AS text_md5" +
       " FROM cn ORDER BY doc_id"),
+    // charset decode: arm labels/provenance/ok from the fixture formulas;
+    // text_md5 = md5 of the expected page restated as UTF-8 SQL literals —
+    // the Spark side must decode the cp1252/Shift_JIS/Latin-1 bytes under
+    // the right label to land on them
+    "q_charset_decode" ->
+      """WITH cf AS (SELECT doc_id, text,
+        |  CASE WHEN doc_id % 29 = 7 OR doc_id % 31 = 11 THEN NULL
+        |    WHEN doc_id % 5 = 1 THEN 'iso-8859-1'
+        |    WHEN doc_id % 5 = 2 THEN 'windows-1252'
+        |    WHEN doc_id % 5 = 3 THEN 'shift_jis'
+        |    ELSE 'utf-8' END AS charset,
+        |  CASE WHEN doc_id % 29 = 7 OR doc_id % 31 = 11 THEN 'header'
+        |    WHEN doc_id % 5 IN (0, 1) THEN 'header'
+        |    WHEN doc_id % 5 IN (2, 3) THEN 'meta'
+        |    ELSE 'default' END AS charset_src,
+        |  (doc_id % 29 <> 7 AND doc_id % 31 <> 11) AS ok,
+        |  CASE WHEN doc_id % 29 = 7 OR doc_id % 31 = 11 THEN NULL
+        |    WHEN doc_id % 5 = 0 THEN '<html><head></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text || ' café № Ümlaut 日本語</p></body></html>'
+        |    WHEN doc_id % 5 = 1 THEN '<html><head></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' café Ümlaut ±°</p></body></html>'
+        |    WHEN doc_id % 5 = 2 THEN '<html><head><meta charset="windows-1252"></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' café Ümlaut €99</p></body></html>'
+        |    WHEN doc_id % 5 = 3 THEN '<html><head><meta http-equiv="Content-Type" content="text/html; charset=Shift_JIS"></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' 日本語テキスト 円</p></body></html>'
+        |    ELSE '<html><head></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text || ' ✓</p></body></html>' END AS expected
+        | FROM documents)
+        | SELECT doc_id, charset, charset_src, ok, md5(expected) AS text_md5
+        | FROM cf ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // charset dedup consequence: each doc's pair folds onto one
+    // extracted-text key (tag-stripping erases the meta difference)
+    "q_charset_dedup" ->
+      """SELECT md5('Shared doc ' || CAST(doc_id AS VARCHAR) || ' café Ümlaut €') AS ck,
+        | CAST(2 AS BIGINT) AS n_variants, doc_id * 2 AS keeper
+        | FROM documents ORDER BY keeper""".stripMargin.replace("\n", ""),
     "q_wet_roundtrip" -> wetRoundtripDual,
     // the compressed lane shares the WET oracle verbatim: gzip round-trip
     // must be invisible to the parse

@@ -848,6 +848,165 @@ object Web {
     bos.toByteArray
   }
 
+  // ------------------------------------------------------------------
+  // charset-aware payload decode (r17, verdict ask #2)
+  // ------------------------------------------------------------------
+
+  /** HTML5-prescan window: charset detection reads at most this many bytes
+    * of the payload head (the spec's 1024-byte prescan) — a `<meta
+    * charset>` buried megabytes deep does not count, and the scan cost is
+    * O(1) per document regardless of payload size.
+    */
+  val charsetPrescanBytes: Int = 1024
+
+  private val headerCharsetRe =
+    java.util.regex.Pattern.compile("(?i)charset=\"?'?([A-Za-z0-9._-]+)")
+  private val metaCharsetRe = java.util.regex.Pattern.compile(
+    "(?i)<meta\\s+charset=[\"']?([A-Za-z0-9._-]+)")
+  private val metaEquivRe = java.util.regex.Pattern.compile(
+    "(?i)<meta\\s+http-equiv=[\"']?content-type[\"']?\\s+content=[\"'][^\"']*charset=([A-Za-z0-9._-]+)")
+
+  /** Resolve the charset label and its provenance for one payload: the
+    * HTTP Content-Type `charset` parameter wins (the transport's own
+    * declaration), else the HTML `<meta charset>` / `http-equiv` prescan
+    * over the first [[charsetPrescanBytes]] octets (decoded as Latin-1 —
+    * every byte maps, so the scan itself can't fail), else UTF-8.
+    */
+  private[graft] def resolveCharset(bytes: Array[Byte],
+      contentType: String): (String, String) = {
+    val fromHeader = Option(contentType).flatMap { ct =>
+      val m = headerCharsetRe.matcher(ct)
+      if (m.find()) Some(m.group(1)) else None
+    }
+    fromHeader match {
+      case Some(l) => (l, "header")
+      case None =>
+        val head = new String(bytes, 0,
+          math.min(bytes.length, charsetPrescanBytes), "ISO-8859-1")
+        val mc = metaCharsetRe.matcher(head)
+        val me = metaEquivRe.matcher(head)
+        if (mc.find()) (mc.group(1), "meta")
+        else if (me.find()) (me.group(1), "meta")
+        else ("UTF-8", "default")
+    }
+  }
+
+  /** STRICT decode of one payload under a charset label: any malformed or
+    * unmappable byte sequence — the mojibake case, Latin-1 bytes under a
+    * UTF-8 label — quarantines to None instead of emitting replacement
+    * garbage that would silently split content keys downstream.
+    */
+  private[graft] def decodeCharsetBytes(bytes: Array[Byte],
+      label: String): Option[String] =
+    try {
+      val dec = java.nio.charset.Charset.forName(label).newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      Some(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+    } catch { case _: Exception => None } // unknown label or malformed bytes
+
+  /** Charset-aware payload decode (r17, verdict ask #2): the step between
+    * [[decodeHttpBody]]'s transport decode and [[htmlToText]]. A
+    * Latin-1/Windows-1252/Shift_JIS page read as UTF-8 becomes mojibake
+    * that silently splits content keys, shingles, and SURT — the same
+    * key-splitting class the NFC kernel closed for Unicode normal forms.
+    * Charset resolution: HTTP header param, else HTML meta prescan
+    * (first 1 KiB), else UTF-8; decode is STRICT (quarantine over
+    * replacement garbage). Emits (id, text, charset, charset_src, ok).
+    * Same narrow typed-mapPartitions codec class as the rest of the front
+    * door: zero shuffle, scan speed.
+    */
+  def decodeCharset(df: DataFrame, idCol: String, bytesCol: String,
+      ctypeCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast(LongType), col(bytesCol).cast(BinaryType),
+        col(ctypeCol).cast(StringType))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, bytes, ctype) =>
+        if (bytes == null) (id, null.asInstanceOf[String],
+          null.asInstanceOf[String], null.asInstanceOf[String], false)
+        else {
+          val (label, src) = resolveCharset(bytes, ctype)
+          decodeCharsetBytes(bytes, label) match {
+            case Some(txt) =>
+              val canon = java.nio.charset.Charset.forName(label)
+                .name().toLowerCase(java.util.Locale.ROOT)
+              (id, txt, canon, src, true)
+            case None => (id, null.asInstanceOf[String],
+              null.asInstanceOf[String], src, false)
+          }
+        }
+      }).toDF(idCol, "text", "charset", "charset_src", "ok")
+  }
+
+  /** Deterministic charset fixture (r17): per doc, the page serializes
+    * under one of five charset arms keyed on c = doc_id % 5 — UTF-8
+    * declared in the header / ISO-8859-1 in the header / windows-1252
+    * declared ONLY by `<meta charset>` (bare `text/html` header; the €
+    * at 0x80 distinguishes cp1252 from Latin-1) / Shift_JIS declared by
+    * `<meta http-equiv>` / UNDECLARED UTF-8 (the default arm, with a
+    * multibyte ✓ so the default actually decodes multibyte) — plus the
+    * MOJIBAKE arm (`doc_id % 29 == 7`: Latin-1 bytes under a UTF-8 header
+    * label, the classic silent corruption) and an unknown-label arm
+    * (`doc_id % 31 == 11`: `charset=x-graft-unknown`), both of which must
+    * quarantine. Doc text rides only the arms whose charset can encode
+    * anything (UTF-8); the others carry fixed repertoire-safe content.
+    * Emits BINARY `body` + the `content_type` header value.
+    */
+  def withCharsetHttp(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast(LongType), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        def page(meta: String, content: String) =
+          s"<html><head>$meta</head><body><p>Doc $id $content</p></body></html>"
+        val (bytes, ctype) =
+          if (id % 29 == 7)
+            (page("", "café mojibake").getBytes("ISO-8859-1"),
+              "text/html; charset=UTF-8")
+          else if (id % 31 == 11)
+            (page("", "opaque").getBytes("US-ASCII"),
+              "text/html; charset=x-graft-unknown")
+          else (id % 5) match {
+            case 0 => (page("", s"$text café № Ümlaut 日本語").getBytes("UTF-8"),
+              "text/html; charset=UTF-8")
+            case 1 => (page("", "café Ümlaut ±°").getBytes("ISO-8859-1"),
+              "text/html; charset=ISO-8859-1")
+            case 2 => (page("<meta charset=\"windows-1252\">",
+              "café Ümlaut €99").getBytes("windows-1252"), "text/html")
+            case 3 => (page(
+              "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=Shift_JIS\">",
+              "日本語テキスト 円").getBytes("Shift_JIS"), "text/html")
+            case _ => (page("", s"$text ✓").getBytes("UTF-8"), "text/html")
+          }
+        (id, bytes, ctype)
+      }).toDF("doc_id", "body", "content_type")
+  }
+
+  /** The dedup-consequence fixture (r17): every doc serves the SAME
+    * logical page twice — once UTF-8 with the charset in the header, once
+    * windows-1252 declared only by `<meta charset>` (the meta tag is the
+    * only html difference, and tag-stripping erases it) — so charset-aware
+    * decode must fold each pair onto ONE extracted-text content key. Under
+    * a UTF-8-assuming reader the cp1252 é/Ü/€ bytes decode to mojibake (or
+    * quarantine) and the pair silently splits — the exact key-splitting
+    * class the NFC kernel closed for Unicode normal forms. Variant row id
+    * = doc_id·2 + v.
+    */
+  def withCharsetVariants(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast(LongType)).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        def page(meta: String) =
+          s"<html><head>$meta</head><body><p>Shared doc $id café Ümlaut €</p></body></html>"
+        Iterator(
+          (id * 2, page("").getBytes("UTF-8"), "text/html; charset=UTF-8"),
+          (id * 2 + 1,
+            page("<meta charset=\"windows-1252\">").getBytes("windows-1252"),
+            "text/html"))
+      }).toDF("rid", "body", "content_type")
+  }
+
   /** Deterministic encoded-HTTP fixture (r17): each page's HTML body
     * re-serializes under the transport codings real crawls store, keyed on
     * e = doc_id % 5 — identity / gzip / chunked∘gzip (Transfer-Encoding

@@ -565,6 +565,36 @@ class WebSpec extends SparkSpec {
       .map(new String(_, "UTF-8")) shouldBe Some(html)
   }
 
+  test("decodeCharset (r17): header beats meta, prescan is bounded to 1 KiB, " +
+    "mojibake and unknown labels quarantine, null body quarantines") {
+    val latin = "café Ümlaut ±"
+    // header declares latin-1, meta LIES utf-8 — header must win
+    val hdrWins = s"""<html><head><meta charset="utf-8"></head><body>$latin</body></html>"""
+      .getBytes("ISO-8859-1")
+    // meta buried past the 1 KiB prescan window → default utf-8 applies
+    val pad = "x" * 1100
+    val deepMeta =
+      s"""<html><body>$pad<meta charset="windows-1252"> plain ascii</body></html>"""
+        .getBytes("US-ASCII")
+    val rowsIn = Seq(
+      (1L, hdrWins, "text/html; charset=ISO-8859-1"),
+      (2L, deepMeta, "text/html"),
+      (3L, latin.getBytes("ISO-8859-1"), "text/html; charset=UTF-8"), // mojibake
+      (4L, "ok".getBytes("US-ASCII"), "text/html; charset=x-nope"),
+      (5L, null.asInstanceOf[Array[Byte]], "text/html"))
+      .toDF("rid", "body", "content_type")
+    val out = rows(Web.decodeCharset(rowsIn, "rid", "body", "content_type")
+      .select("rid", "ok", "charset", "charset_src", "text").orderBy("rid"))
+    out.map(r => (r.getLong(0), r.getBoolean(1))) shouldBe
+      Seq((1L, true), (2L, true), (3L, false), (4L, false), (5L, false))
+    out(0).getString(2) shouldBe "iso-8859-1"
+    out(0).getString(3) shouldBe "header"
+    out(0).getString(4) should include(latin)
+    out(1).getString(2) shouldBe "utf-8"
+    out(1).getString(3) shouldBe "default" // deep meta is outside the prescan
+    out(2).getString(3) shouldBe "header"
+  }
+
   test("noveltyAuto (r17 advisor): both dispatch regimes equal the plain anti-join") {
     val ledger = (0L until 300L).map(i => s"h${i % 5}|/p/$i").toDF("key")
     val cands = (0L until 120L)
