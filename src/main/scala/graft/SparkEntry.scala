@@ -6076,6 +6076,26 @@ object SparkEntry {
           col("matched_prefix"), col("matched_directive"), col("allowed"))
         .orderBy("doc_id", "agent")
     }),
+    // robots fetch-failure semantics (r17, verdict ask #3 — RFC 9309
+    // §2.3.1): allowance keyed on what the robots.txt FETCH returned —
+    // 5xx hosts (g=2) assume complete-disallow, 4xx hosts (g=4) allow-all,
+    // never-fetched hosts (g=5, no record) take the missing-robots
+    // allow-all default, 2xx hosts get the parsed REP decision. All four
+    // modes bind under the hash gate; non-parsed modes NULL the matched
+    // rule columns (no rule was consulted).
+    "q_robots_unreachable" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val pages = W.withUrls(documents(s, dir))
+        .select(col("doc_id"), W.hostOf(col("url")).as("host"),
+          W.pathOf(col("url")).as("path"))
+      W.robotsDecisionsWithStatus(pages, robotsRulesCached(s, dir),
+          Seq("graftbot", "otherbot"), Some(robotsGroupsCached(s, dir)),
+          W.robotsFetchStatuses(robotsHosts(s, dir)))
+        .select(col("doc_id"), col("agent"), col("host"), col("robots_status"),
+          col("robots_mode"), col("matched_prefix"), col("matched_directive"),
+          col("allowed"))
+        .orderBy("doc_id", "agent")
+    }),
     // THE CRAWL CURATION FUNNEL (r15): the complete front door composed —
     // WARC records → HTTP-200 → robots-allowed (graftbot) → declared-lang
     // filter → min-length gate on the EXTRACTED text → SURT-unique — with
@@ -6105,8 +6125,14 @@ object SparkEntry {
       val frontier = W.withUrls(documents(s, dir))
         .select(col("doc_id"), W.hostOf(col("url")).as("host"),
           W.pathOf(col("url")).as("path"))
-      val dec = W.robotsDecisionsFor(frontier, robotsRulesCached(s, dir),
-          Seq("graftbot"), Some(robotsGroupsCached(s, dir)))
+      // the robots stage consumes the FETCH-OUTCOME-aware entry point
+      // (r17, verdict ask #3): this fixture's robots fetches all returned
+      // 200 (the parse-mode arm), so the decision table is unchanged —
+      // the 4xx/5xx/absent semantics themselves are gated by
+      // q_robots_unreachable
+      val dec = W.robotsDecisionsWithStatus(frontier, robotsRulesCached(s, dir),
+          Seq("graftbot"), Some(robotsGroupsCached(s, dir)),
+          robotsHosts(s, dir).withColumn("robots_status", lit(200)))
         .select(col("doc_id"), col("allowed"))
       val lang = documents(s, dir).select(col("doc_id"), col("lang"))
       // no broadcast hints: decisions and language are PER-DOC frames
@@ -6140,10 +6166,19 @@ object SparkEntry {
       // tree ~15x and blew the hashAgg past janino's method limit)
       val landed = recs.filter(col("http_status") === 200)
         .select(W.urlCanonOf(col("url")).as("final_url")).distinct()
+      // lineage cut before the domain agg (r17, verdict ask #7): the PSL
+      // CASE chain over hostOf(final_url) re-inlines the 5-regex host
+      // tree into all ~50 suffix branches of the hashAgg output
+      // projection — past janino's method limit at the Verify conf
+      // (CPUS=16), where it fell back interpreted. Staging the HOST
+      // through a checkpointed projection keeps every branch a column
+      // reference; the frame is redirect-scale, so the cut is ~free.
       val arrivals = W.resolveRedirectChains(edges, maxHops = 5)
         .filter(col("status") === "settled")
         .join(landed, Seq("final_url"), "left_semi")
-        .groupBy(W.registrableDomain(W.hostOf(col("final_url"))).as("domain"))
+        .select(W.hostOf(col("final_url")).as("__arrh"))
+        .localCheckpoint(false)
+        .groupBy(W.registrableDomain(col("__arrh")).as("domain"))
         .agg(count(lit(1)).as("__arr"))
       staged.groupBy("domain").agg(
         count(lit(1)).as("n_responses"),
@@ -11240,6 +11275,31 @@ object SparkEntry {
     // ...and the three-agent decision table (group selection under the
     // gate, incl. the r16 declared-group-with-no-rules arm: delayonly owns
     // its group on g=1 hosts → allow-all, `*` fallback elsewhere)
+    // robots fetch-failure semantics: the two-agent REP decision table
+    // with the per-host fetch status joined over it — 5xx → disallow-all,
+    // 4xx → allow-all, no record → allow-all, 2xx → the parsed decision;
+    // non-parsed modes NULL the matched rule columns
+    "q_robots_unreachable" -> ("WITH " + robotsCtes + "," +
+      robotsDecisionSql("1", "graftbot") + "," +
+      robotsDecisionSql("2", "otherbot") + "," +
+      """ st AS (SELECT host, CASE WHEN g = 2 THEN 503 WHEN g = 4 THEN 404
+        |     ELSE 200 END AS robots_status
+        |   FROM rbg WHERE g <> 5),
+        | ud AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2),
+        | uo AS (SELECT doc_id, agent, ud.host AS host, st.robots_status AS robots_status,
+        |   CASE WHEN st.robots_status IS NULL THEN 'absent'
+        |     WHEN st.robots_status BETWEEN 200 AND 299 THEN 'parsed'
+        |     WHEN st.robots_status BETWEEN 500 AND 599 THEN 'disallow_all'
+        |     ELSE 'allow_all' END AS robots_mode,
+        |   matched_prefix, matched_directive, allowed
+        |  FROM ud LEFT JOIN st ON ud.host = st.host)
+        | SELECT doc_id, agent, host, robots_status, robots_mode,
+        |   CASE WHEN robots_mode = 'parsed' THEN matched_prefix END AS matched_prefix,
+        |   CASE WHEN robots_mode = 'parsed' THEN matched_directive END AS matched_directive,
+        |   CASE WHEN robots_mode = 'parsed' THEN allowed
+        |     WHEN robots_mode = 'disallow_all' THEN FALSE
+        |     ELSE TRUE END AS allowed
+        | FROM uo ORDER BY doc_id, agent""".stripMargin.replace("\n", "")),
     "q_robots_filter" -> robotsFilterDual,
     // strategy parity (r16, verdict ask #6): the shuffle-join decision
     // table must land on the SAME oracle as the broadcast strategy

@@ -1751,6 +1751,60 @@ object Web {
       robotsDecisionsFor(pages, rules, agents, groups)
     else robotsDecisionsForShuffled(pages, rules, agents, groups)
 
+  /** Deterministic robots-FETCH-status fixture (r17): what the crawler's
+    * own fetch of `/robots.txt` returned, per host — g==2 hosts answered
+    * 503 (server error), g==4 hosts 404 (no robots.txt), g==5 hosts have
+    * NO fetch record at all (never fetched), everyone else 200. One row
+    * per host that HAS a record.
+    */
+  def robotsFetchStatuses(hosts: DataFrame): DataFrame = {
+    val g = coalesce(nullif(regexp_extract(col("host"), "([0-9])", 1), lit("")),
+      lit("7")).cast(IntegerType)
+    hosts.withColumn("__g", g)
+      .filter(col("__g") =!= 5)
+      .withColumn("robots_status",
+        when(col("__g") === 2, lit(503))
+          .when(col("__g") === 4, lit(404))
+          .otherwise(lit(200)))
+      .drop("__g")
+  }
+
+  /** Crawl-allowance decisions keyed on the robots FETCH outcome (r17,
+    * verdict ask #3 — RFC 9309 §2.3.1): a host whose robots.txt fetch
+    * returned 5xx is UNREACHABLE and must be assumed complete-disallow; a
+    * 4xx means no robots.txt exists — allow-all; only 2xx bodies are
+    * parsed and the REP decision applies. Hosts with no fetch record at
+    * all (never fetched) take the allow-all default of a missing
+    * robots.txt; 1xx/3xx outcomes (a redirect chain that never landed)
+    * also fall to allow-all, the Google-crawler treatment of redirect
+    * errors. Non-parsed modes NULL the matched rule columns — no rule was
+    * consulted.
+    *
+    * Spark shape: the status frame is host-granularity (one int per host)
+    * and rides a broadcast join over [[robotsDecisionsFor]]'s output; the
+    * REP subplan's own joins are untouched, so the gated parity with the
+    * status-less form holds wherever every status is 2xx.
+    */
+  def robotsDecisionsWithStatus(pages: DataFrame, rules: DataFrame,
+      agents: Seq[String], groups: Option[DataFrame],
+      statusByHost: DataFrame): DataFrame =
+    robotsDecisionsFor(pages, rules, agents, groups)
+      .join(broadcast(statusByHost.select(col("host"), col("robots_status"))),
+        Seq("host"), "left")
+      .withColumn("robots_mode",
+        when(col("robots_status").isNull, lit("absent"))
+          .when(col("robots_status").between(200, 299), lit("parsed"))
+          .when(col("robots_status").between(500, 599), lit("disallow_all"))
+          .otherwise(lit("allow_all")))
+      .withColumn("matched_prefix",
+        when(col("robots_mode") === "parsed", col("matched_prefix")))
+      .withColumn("matched_directive",
+        when(col("robots_mode") === "parsed", col("matched_directive")))
+      .withColumn("allowed",
+        when(col("robots_mode") === "parsed", col("allowed"))
+          .when(col("robots_mode") === "disallow_all", lit(false))
+          .otherwise(lit(true)))
+
   private def robotsDecisionsImpl(pages: DataFrame, rules: DataFrame,
       agents: Seq[String], groups: Option[DataFrame],
       side: DataFrame => DataFrame): DataFrame = {

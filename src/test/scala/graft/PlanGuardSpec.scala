@@ -389,4 +389,33 @@ class PlanGuardSpec extends SparkSpec {
       v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
     }
   }
+
+  test("q_crawl_curation executes with whole-stage codegen INTACT — no janino " +
+    "method-limit fallback at any conf (r17, verdict ask #7)") {
+    // janino failures only surface as execution-time WARNs from
+    // WholeStageCodegenExec ("Whole-stage codegen disabled ... grows beyond
+    // 64 KB"), so the guard captures that logger while the query RUNS. The
+    // r16 offender was conf-dependent only in WHICH stage got the oversized
+    // projection; the r17 fix (staging hostOf through a checkpointed
+    // projection before the PSL CASE chain) removes the oversized tree
+    // itself, so this must hold at every conf.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, s"$dir missing")
+    val msgs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
+      "graft-codegen-capture", null, null, true,
+      Array.empty[org.apache.logging.log4j.core.config.Property]) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        msgs.add(e.getMessage.getFormattedMessage)
+    }
+    appender.start()
+    val lg = org.apache.logging.log4j.LogManager
+      .getLogger("org.apache.spark.sql.execution.WholeStageCodegenExec")
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    lg.addAppender(appender)
+    try SparkEntry.queries("q_crawl_curation")(spark, dir).collect()
+    finally { lg.removeAppender(appender); appender.stop() }
+    import scala.jdk.CollectionConverters._
+    msgs.asScala.filter(_.contains("codegen disabled")).toSeq shouldBe empty
+  }
 }
