@@ -3048,7 +3048,22 @@ object SparkEntry {
       val baskets = basketIndex(s, dir).select(size(col("__is")).cast(LongType).as("sz"))
         .agg(count(lit(1)).as("n_candidates"),
           sum(when(col("sz") > 5, 1L).otherwise(0L)).as("n_over"))
+      // redirect hop budget (r17, verdict ask #8): the 5-hop bound is a
+      // silent cap that BINDS at sf0.1+ (canonical folding lets a 301
+      // chain run past 5 hops — SCALE.md r16); candidates = resolved
+      // chains, over = chains still active when the budget ran out
+      val W = graft.operators.Web
+      val wCap = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      val redirEdges = W.warcRecords(wCap.select(col("doc_id"), col("warc")), "warc")
+        .filter(col("rec_type") === "response" && col("http_status") === 301 &&
+          col("http_location").isNotNull)
+        .select(W.urlCanonOf(col("target_uri")).as("src"),
+          W.urlCanonOf(col("http_location")).as("dst"))
+      val redir = W.resolveRedirectChains(redirEdges, maxHops = 5)
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("status") === "exhausted", 1L).otherwise(0L)).as("n_over"))
       row("item_sim_basket_cap", 5L, baskets)
+        .unionByName(row("redirect_max_hops", 5L, redir))
         .unionByName(row("postings_docfreq_cap", 100L, posts))
         .unionByName(row("semdedup_cell_cap", 20L, cells))
         .unionByName(row("symbols_cap", 50L, syms))
@@ -7599,7 +7614,7 @@ object SparkEntry {
     * then `maxHops` UNROLLED left joins with the same freeze/loop rules.
     * Yields CTE `rchain` (src, final_url, hops, status).
     */
-  private def redirectChainSql(maxHops: Int): String = {
+  private def redirectChainSql(maxHops: Int, src: String = "wd"): String = {
     val hops = (1 to maxHops).map { i =>
       val p = s"h${i - 1}"
       s""" h$i AS (SELECT start,
@@ -7613,7 +7628,7 @@ object SparkEntry {
          |  FROM $p LEFT JOIN e ON $p.cur = e.src)""".stripMargin.replace("\n", "")
     }.mkString(",")
     s""" red AS (SELECT doc_id, url AS src_url, $locTargetSql AS dst_url
-       |  FROM wd WHERE m = 1),
+       |  FROM $src WHERE m = 1),
        | reu AS (SELECT doc_id, 'src' AS kind, src_url AS url FROM red
        |   UNION ALL SELECT doc_id, 'dst', dst_url FROM red),""".stripMargin
       .replace("\n", "") +
@@ -10111,9 +10126,17 @@ object SparkEntry {
          |  FROM (SELECT greatest(0, len($dedupWords) - 3) AS ng FROM documents)),
          | bsk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
          |   CAST(SUM(CASE WHEN sz > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_over
-         |  FROM (SELECT l_orderkey, COUNT(DISTINCT l_partkey) AS sz FROM lineitem GROUP BY 1))
+         |  FROM (SELECT l_orderkey, COUNT(DISTINCT l_partkey) AS sz FROM lineitem GROUP BY 1)),
+         | rwd AS (SELECT doc_id, ${urlSqlOf("doc_id")} AS url,
+         |   CAST(doc_id % 100 AS VARCHAR) AS cs, CAST(doc_id % 11 AS INTEGER) AS m
+         |  FROM documents WHERE doc_id % 101 <> 100),""".stripMargin.replace("\n", "") +
+      redirectChainSql(5, src = "rwd") +
+      s""", rdc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |   CAST(SUM(CASE WHEN status = 'exhausted' THEN 1 ELSE 0 END) AS BIGINT) AS n_over
+         |  FROM rchain)
          | SELECT * FROM (
          |  SELECT 'item_sim_basket_cap' AS cap_name, CAST(5 AS BIGINT) AS cap_value, n_candidates, n_over, n_over > 0 AS binds FROM bsk
+         |  UNION ALL SELECT 'redirect_max_hops', 5, n_candidates, n_over, n_over > 0 FROM rdc
          |  UNION ALL SELECT 'postings_docfreq_cap', 100, n_candidates, n_over, n_over > 0 FROM pdf
          |  UNION ALL SELECT 'semdedup_cell_cap', 20, n_candidates, n_over, n_over > 0 FROM csz
          |  UNION ALL SELECT 'symbols_cap', 50, n, greatest(0, n - 50), n > 50 FROM symc
