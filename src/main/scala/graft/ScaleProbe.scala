@@ -1032,6 +1032,53 @@ object ScaleProbe {
           W.gunzipWarc(gz, "doc_id", "warc_gz"), "warc")
         recs.agg(count(lit(1)), sum(col("block_octets"))).head().getLong(0)
       }
+      time("warc_gz_member_memory") {
+        // r17 (verdict ask #4) — the MEMORY law at real file granularity:
+        // one `.warc.gz` FILE is thousands of concatenated members (~1 GiB
+        // at CC scale), and the whole-payload reader (gunzipWarc)
+        // materializes the ENTIRE decoded file per row, while the member
+        // walk (gzipMemberIterator) holds ONE member at a time. The
+        // payload here is a single file-granularity row ≥1000× the gated
+        // fixture's segment size; the law under test: member-walk peak
+        // allocation = max member (constant in file size), whole-decode
+        // peak = total (linear in file size) — wall comparable (same codec
+        // work either way).
+        val W = graft.operators.Web
+        val w = W.withWarc(W.withHtml(W.withUrls(docs)))
+        val gzRows = W.gzipWarcRecords(
+            w.select(col("doc_id"), col("warc")), "doc_id", "warc")
+          .select("warc_gz").collect().map(_.getAs[Array[Byte]](0))
+        val file = {
+          val bos = new java.io.ByteArrayOutputStream()
+          gzRows.foreach(bos.write)
+          bos.toByteArray
+        }
+        val t1 = System.nanoTime()
+        val whole = {
+          val out = new java.io.ByteArrayOutputStream()
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(file), 65536)
+          val buf = new Array[Byte](65536)
+          var nn = in.read(buf)
+          while (nn >= 0) { out.write(buf, 0, nn); nn = in.read(buf) }
+          out.toByteArray.length
+        }
+        val wholeS = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        var members = 0L
+        var maxMember = 0
+        var total = 0L
+        W.gzipMemberIterator(file).foreach { m =>
+          members += 1; maxMember = math.max(maxMember, m.length)
+          total += m.length
+        }
+        val memberS = (System.nanoTime() - t2) / 1e9
+        println(f"[scale-warc-mem] file=${file.length / 1048576.0}%.1f MiB gz, " +
+          f"whole-decode peak=${whole / 1048576.0}%.1f MiB in $wholeS%.1f s; " +
+          f"member-walk peak=${maxMember / 1024.0}%.1f KiB " +
+          f"($members members, total ${total / 1048576.0}%.1f MiB) in $memberS%.1f s")
+        members
+      }
       time("sft_prep") {
         // r15 — the SFT family at replication: transcript synthesis →
         // turn parse → pair mining with the cross-corpus response-hash

@@ -6484,6 +6484,35 @@ object SparkEntry {
           col("block_octets"), md5(col("payload")).as("payload_md5"))
         .orderBy("doc_id", "rec_pos")
     }),
+    // ...and the BOUNDED-MEMORY member walk over the same payloads (r17,
+    // verdict ask #4): one row per decoded MEMBER from the lazy per-member
+    // gzip walk (peak task memory = one record, not one file — the real CC
+    // granularity is ~1 GiB/row), records parsed per member and re-seated
+    // at their segment ordinal. SAME oracle as q_warc_gz_parse: the two
+    // decode strategies must be record-for-record identical, corruption
+    // arms included.
+    "q_warc_gz_members" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      val gz = W.withWarcGz(w.select(col("doc_id"), col("warc")), "doc_id", "warc")
+      // member rows ride a composite id through the record parser (member
+      // count is bounded by the segment's record count — 3 here; 1000 is
+      // headroom), then records re-order by (member, in-member pos)
+      val members = W.gunzipWarcMembers(gz, "doc_id", "warc_gz")
+        .select((col("doc_id") * 1000 + col("member_idx")).as("doc_id"),
+          col("member"))
+      W.warcRecords(members, "member")
+        .withColumn("__orig", floor(col("doc_id") / 1000).cast(LongType))
+        .withColumn("__midx", col("doc_id") % 1000)
+        .withColumn("rec_pos", row_number().over(
+          Window.partitionBy("__orig").orderBy("__midx", "rec_pos"))
+          .cast(LongType))
+        .select(col("__orig").as("doc_id"), col("rec_pos"),
+          col("rec_type"), col("target_uri"), col("warc_date"),
+          col("content_length"), col("http_status"), col("mime"),
+          col("block_octets"), md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id", "rec_pos")
+    }),
     // HTTP chunked-transfer decode (r16): Common Crawl stores RAW HTTP, so
     // responses arrive chunked — hex octet sizes, CRLF framing, terminal 0
     // chunk. The decoder walks octets (the record-walk codec class) and
@@ -8521,6 +8550,34 @@ object SparkEntry {
   /** One oracle text for q_wet_roundtrip AND q_wet_gz_roundtrip — the
     * compressed lane must be output-identical to the uncompressed one.
     */
+  /** One oracle text for q_warc_gz_parse AND q_warc_gz_members (r17): the
+    * whole-payload decode and the bounded-memory per-member walk must be
+    * record-for-record identical — the construction restated, minus
+    * exactly the records the corruption arms quarantine.
+    */
+  private lazy val warcGzParseDual: String =
+    "WITH " + warcCtes() +
+      """ SELECT doc_id, rec_pos, rec_type, target_uri, warc_date, content_length,
+        |   http_status, mime, block_octets, payload_md5 FROM (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS rec_pos, 'warcinfo' AS rec_type,
+        |    '' AS target_uri, wdate AS warc_date,
+        |    CAST(octet_length(encode(infob)) AS BIGINT) AS content_length,
+        |    CAST(NULL AS INTEGER) AS http_status, CAST(NULL AS VARCHAR) AS mime,
+        |    CAST(octet_length(encode(infob)) AS BIGINT) AS block_octets,
+        |    md5(infob) AS payload_md5 FROM wblk
+        |  UNION ALL
+        |  SELECT doc_id, CAST(2 AS BIGINT), 'request', url, wdate,
+        |    CAST(octet_length(encode(reqb)) AS BIGINT), CAST(NULL AS INTEGER),
+        |    CAST(NULL AS VARCHAR), CAST(octet_length(encode(reqb)) AS BIGINT),
+        |    md5(reqb) FROM wblk
+        |  UNION ALL
+        |  SELECT doc_id, CAST(3 AS BIGINT), 'response', url, wdate,
+        |    CAST(octet_length(encode(respb)) AS BIGINT),
+        |    CASE WHEN m = 0 THEN 404 WHEN m = 1 THEN 301 ELSE 200 END,
+        |    'text/html', CAST(octet_length(encode(respb)) AS BIGINT),
+        |    md5(rbody) FROM wblk WHERE doc_id % 89 <> 88
+        | ) ORDER BY doc_id, rec_pos""".stripMargin.replace("\n", "")
+
   private lazy val wetRoundtripDual: String =
     "WITH " + warcCtes() + "," +
       """ ws1 AS (SELECT doc_id, url, wdate, regexp_replace(rbody, '(?s)<script.*?</script>', ' ', 'g') AS t FROM wblk WHERE m NOT IN (0, 1)),
@@ -11549,27 +11606,10 @@ object SparkEntry {
         | FROM sfk ORDER BY doc_id, turn_idx""".stripMargin.replace("\n", "")),
     // .warc.gz parse: the q_warc_parse construction minus the third
     // record of the garbled-tail-member docs
-    "q_warc_gz_parse" -> ("WITH " + warcCtes() +
-      """ SELECT doc_id, rec_pos, rec_type, target_uri, warc_date, content_length,
-        |   http_status, mime, block_octets, payload_md5 FROM (
-        |  SELECT doc_id, CAST(1 AS BIGINT) AS rec_pos, 'warcinfo' AS rec_type,
-        |    '' AS target_uri, wdate AS warc_date,
-        |    CAST(octet_length(encode(infob)) AS BIGINT) AS content_length,
-        |    CAST(NULL AS INTEGER) AS http_status, CAST(NULL AS VARCHAR) AS mime,
-        |    CAST(octet_length(encode(infob)) AS BIGINT) AS block_octets,
-        |    md5(infob) AS payload_md5 FROM wblk
-        |  UNION ALL
-        |  SELECT doc_id, CAST(2 AS BIGINT), 'request', url, wdate,
-        |    CAST(octet_length(encode(reqb)) AS BIGINT), CAST(NULL AS INTEGER),
-        |    CAST(NULL AS VARCHAR), CAST(octet_length(encode(reqb)) AS BIGINT),
-        |    md5(reqb) FROM wblk
-        |  UNION ALL
-        |  SELECT doc_id, CAST(3 AS BIGINT), 'response', url, wdate,
-        |    CAST(octet_length(encode(respb)) AS BIGINT),
-        |    CASE WHEN m = 0 THEN 404 WHEN m = 1 THEN 301 ELSE 200 END,
-        |    'text/html', CAST(octet_length(encode(respb)) AS BIGINT),
-        |    md5(rbody) FROM wblk WHERE doc_id % 89 <> 88
-        | ) ORDER BY doc_id, rec_pos""".stripMargin.replace("\n", "")),
+    "q_warc_gz_parse" -> warcGzParseDual,
+    // bounded-memory member walk: the SAME oracle — per-member decode must
+    // be record-for-record identical to the whole-payload decode
+    "q_warc_gz_members" -> warcGzParseDual,
     // WET round trip: the q_warc_pipeline strip chain produces the curated
     // text; every output field restates the WET construction — the parse
     // must recover it identically (incl. conversion records NOT taking the

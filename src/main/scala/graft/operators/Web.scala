@@ -1240,6 +1240,115 @@ object Web {
       }).toDF(idCol, "warc")
   }
 
+  /** Lazy iterator over the MEMBERS of a concatenated-gzip payload (r17,
+    * verdict ask #4): parses each member's own header (magic/CM/FLG +
+    * optional FEXTRA/FNAME/FCOMMENT/FHCRC fields), inflates it with a raw
+    * `Inflater`, steps over the 8-byte trailer, and yields that member's
+    * decoded text — peak memory is ONE member, not one file. At real
+    * Common Crawl granularity a `.warc.gz` row is ~1 GiB whose whole-file
+    * decode ([[gunzipWarc]]) materializes gigabytes per task; member-per-
+    * record layout means this walk holds ~one record instead.
+    *
+    * Corruption semantics mirror [[gunzipWarc]] exactly (spec-pinned): a
+    * garbled member HEADER ends the stream (the JDK's treatment of a
+    * non-gzip tail); DEFLATE corruption or truncation mid-member yields
+    * the decoded prefix of THAT member, then ends the stream.
+    */
+  private[graft] def gzipMemberIterator(bytes: Array[Byte]): Iterator[String] =
+    new scala.collection.AbstractIterator[String] {
+      private var off = 0
+      private var nextText: String = null
+      private var finished = false
+
+      /** Header walk: returns the DEFLATE data offset, or -1 on a garbled
+        * header (which ends the stream).
+        */
+      private def parseHeader(o: Int): Int = {
+        if (o + 10 > bytes.length) return -1
+        if (bytes(o) != 0x1f.toByte || bytes(o + 1) != 0x8b.toByte ||
+          bytes(o + 2) != 8.toByte) return -1
+        val flg = bytes(o + 3) & 0xff
+        var p = o + 10
+        if ((flg & 4) != 0) { // FEXTRA
+          if (p + 2 > bytes.length) return -1
+          val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+          p += 2 + xlen
+        }
+        if ((flg & 8) != 0) { // FNAME, zero-terminated
+          while (p < bytes.length && bytes(p) != 0) p += 1
+          p += 1
+        }
+        if ((flg & 16) != 0) { // FCOMMENT
+          while (p < bytes.length && bytes(p) != 0) p += 1
+          p += 1
+        }
+        if ((flg & 2) != 0) p += 2 // FHCRC
+        if (p > bytes.length) -1 else p
+      }
+
+      private def advance(): Unit = {
+        if (finished || nextText != null) return
+        val dataStart = parseHeader(off)
+        if (dataStart < 0) { finished = true; return }
+        val inf = new java.util.zip.Inflater(true)
+        inf.setInput(bytes, dataStart, bytes.length - dataStart)
+        val out = new java.io.ByteArrayOutputStream()
+        val crc = new java.util.zip.CRC32()
+        val buf = new Array[Byte](65536)
+        var corrupt = false
+        try {
+          while (!inf.finished() && !corrupt) {
+            val n = inf.inflate(buf)
+            if (n > 0) { out.write(buf, 0, n); crc.update(buf, 0, n) }
+            else if (!inf.finished()) corrupt = true // truncated input
+          }
+        } catch { case _: java.util.zip.DataFormatException => corrupt = true }
+        val consumed = inf.getBytesRead.toInt
+        inf.end()
+        // trailer CRC32 check — GZIPInputStream parity: a member whose
+        // DEFLATE data is intact but whose checksum lies still poisons
+        // the stream behind it (the member's own bytes are kept, exactly
+        // as the whole-file reader emits them before the throw)
+        val tOff = dataStart + consumed
+        if (!corrupt) {
+          if (tOff + 8 > bytes.length) corrupt = true
+          else {
+            val stored = (bytes(tOff) & 0xffL) | ((bytes(tOff + 1) & 0xffL) << 8) |
+              ((bytes(tOff + 2) & 0xffL) << 16) | ((bytes(tOff + 3) & 0xffL) << 24)
+            if (stored != crc.getValue) corrupt = true
+          }
+        }
+        nextText = new String(out.toByteArray, "UTF-8")
+        if (corrupt) off = bytes.length // prefix kept, stream ends
+        else off = tOff + 8 // skip CRC32 + ISIZE trailer
+      }
+
+      override def hasNext: Boolean = { advance(); nextText != null }
+      override def next(): String = {
+        advance()
+        if (nextText == null) throw new NoSuchElementException
+        val t = nextText; nextText = null; t
+      }
+    }
+
+  /** The BOUNDED-MEMORY `.warc.gz` reader (r17, verdict ask #4): one row
+    * per decoded MEMBER (1-based `member_idx`, member text) from the lazy
+    * per-member walk — peak task memory is one member (one record, under
+    * the member-per-record layout [[gzipWarcRecords]] writes) instead of
+    * one file. Record-parse parity with the whole-payload path is gated:
+    * q_warc_gz_members shares q_warc_gz_parse's oracle. Narrow
+    * flatMap-of-iterator over mapPartitions — the laziness survives into
+    * the task, no per-row materialization of the full file.
+    */
+  def gunzipWarcMembers(df: DataFrame, idCol: String, gzCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast(LongType), col(gzCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        gzipMemberIterator(bytes).zipWithIndex.map { case (t, i) => (id, i + 1, t) }
+      }).toDF(idCol, "member_idx", "member")
+  }
+
   /** Parse WARC segments into one row per record, LENGTH-FRAMED (r16): the
     * byte walk ([[warcCuts]]) frames each record by its header's
     * `Content-Length` octet claim — the WARC contract — with the marker

@@ -300,6 +300,60 @@ class WebSpec extends SparkSpec {
     Web.warcCuts(text.getBytes("UTF-8")).map(_.block) shouldBe Seq("ok_1", "ok_2")
   }
 
+  test("gzipMemberIterator (r17): per-member walk with FNAME/FEXTRA/FHCRC " +
+    "headers, CRC-lie poisoning, and whole-decode parity on corruption arms") {
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    // member with FNAME + FEXTRA + FHCRC optional fields, hand-built
+    def gzNamed(s: String): Array[Byte] = {
+      val deflated = {
+        val d = new java.util.zip.Deflater(6, true)
+        d.setInput(s.getBytes("UTF-8")); d.finish()
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+        d.end(); bos.toByteArray
+      }
+      val crc = new java.util.zip.CRC32()
+      crc.update(s.getBytes("UTF-8"))
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Array[Byte](0x1f, 0x8b.toByte, 8, (4 | 8).toByte, 0, 0, 0, 0, 0, 0))
+      bos.write(Array[Byte](3, 0)) // FEXTRA: xlen=3
+      bos.write(Array[Byte](1, 2, 3))
+      bos.write("name.txt".getBytes("US-ASCII")); bos.write(0) // FNAME
+      bos.write(deflated)
+      val v = crc.getValue
+      bos.write(Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte))
+      val n = s.getBytes("UTF-8").length
+      bos.write(Array[Byte](n.toByte, (n >> 8).toByte, (n >> 16).toByte, (n >> 24).toByte))
+      bos.toByteArray
+    }
+    val m = Seq(gz("alpha"), gzNamed("beta"), gz("gamma"))
+    Web.gzipMemberIterator(m.flatten.toArray).toSeq shouldBe
+      Seq("alpha", "beta", "gamma")
+    // CRC lie on member 2: its own bytes are kept, members behind it drop
+    val lied = m.map(_.clone())
+    lied(1)(lied(1).length - 6) = (lied(1)(lied(1).length - 6) ^ 0x7f).toByte
+    Web.gzipMemberIterator(lied.flatten.toArray).toSeq shouldBe Seq("alpha", "beta")
+    // garbled member-3 HEADER: same end-of-stream treatment as gunzipWarc
+    val magicFlip = m.map(_.clone())
+    magicFlip(2)(0) = 0x00
+    Web.gzipMemberIterator(magicFlip.flatten.toArray).toSeq shouldBe
+      Seq("alpha", "beta")
+    // DEFLATE corruption mid-member-2: member-1 intact + member-2's prefix
+    val mid = m.map(_.clone())
+    (30 until 34).foreach(i => mid(1)(i) = (mid(1)(i) ^ 0x5a).toByte)
+    val walked = Web.gzipMemberIterator(mid.flatten.toArray).toSeq
+    walked.head shouldBe "alpha"
+    walked.size shouldBe 2 // the corrupt member's decoded prefix, then stop
+    // truncated final member: prefix kept, no crash
+    val trunc = m.flatten.toArray.dropRight(6)
+    Web.gzipMemberIterator(trunc).toSeq.take(2) shouldBe Seq("alpha", "beta")
+  }
+
   // --- robots.txt (r15) ---
 
   private def robotsRulesOf(hosts: String*) = Web.robotsRules(
