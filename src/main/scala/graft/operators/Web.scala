@@ -605,6 +605,49 @@ object Web {
       lit(CRLF + CRLF), col(textCol), lit(CRLF + CRLF)))
   }
 
+  /** Minimal JSON string escape (backslash then quote — order matters) for
+    * the WAT metadata serializer. Control characters inside extracted
+    * titles/URLs are outside the contract (the WARC header line discipline
+    * already excludes CR/LF from these fields).
+    */
+  private def jsonEsc(c: Column): Column =
+    replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\""))
+
+  /** Serialize per-response metadata as WAT-style records (r17, verdict
+    * ask #5) — the third panel of the WARC/WAT/WET triptych real dumps
+    * ship: one `WARC-Type: metadata` record per response, refers-to the
+    * response record, `Content-Type: application/json`, and a
+    * deterministic JSON body `{url, status, mime, title, links[]}` built
+    * from codegen'd string concatenation (NOT to_json — the byte layout is
+    * part of the round-trip contract and the oracle restates it verbatim).
+    * `linksCol` is the RESOLVED out-link array (resolveUrl over the page's
+    * hrefs — the link graph a WAT consumer actually wants). Zero shuffle;
+    * the writer rides the metadata scan like [[toWet]].
+    */
+  def toWat(df: DataFrame, idCol: String, urlCol: String, dateCol: String,
+      statusCol: String, mimeCol: String, titleCol: String,
+      linksCol: String): DataFrame = {
+    val idStr = col(idCol).cast(StringType)
+    val linksJson = array_join(
+      transform(col(linksCol), l => concat(lit("\""), jsonEsc(l), lit("\""))),
+      ",")
+    val json = concat(
+      lit("{\"url\":\""), jsonEsc(col(urlCol)),
+      lit("\",\"status\":"), col(statusCol).cast(StringType),
+      lit(",\"mime\":\""), jsonEsc(col(mimeCol)),
+      lit("\",\"title\":\""), jsonEsc(col(titleCol)),
+      lit("\",\"links\":["), linksJson, lit("]}"))
+    df.withColumn("wat", concat(
+      lit("WARC/1.0" + CRLF + "WARC-Type: metadata" + CRLF +
+        "WARC-Target-URI: "), col(urlCol),
+      lit(CRLF + "WARC-Record-ID: <urn:graft:wat:"), idStr,
+      lit(">" + CRLF + "WARC-Refers-To: <urn:graft:"), idStr,
+      lit("-3>" + CRLF + "WARC-Date: "), col(dateCol),
+      lit(CRLF + "Content-Type: application/json" + CRLF + "Content-Length: "),
+      octet_length(json).cast(StringType),
+      lit(CRLF + CRLF), json, lit(CRLF + CRLF)))
+  }
+
   /** Deterministic chunked-transfer fixture (r16): each page's HTML body
     * re-serializes with HTTP/1.1 chunked framing — three chunks cut at
     * character thirds, sizes declared in lowercase hex OCTETS, CRLF
