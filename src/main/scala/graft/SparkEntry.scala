@@ -5935,6 +5935,49 @@ object SparkEntry {
           col("url_canon"), col("domain"))
         .orderBy("doc_id", "href")
     }),
+    // DOMAIN RANK (r17, verdict ask #6): the harvest-rank stage every real
+    // crawler runs between discovery and fetch — page out-links resolve
+    // against their page URL (RFC 3986), both endpoints collapse to
+    // REGISTRABLE DOMAINS (PSL), self-edges drop, distinct domain edges
+    // feed 3-iteration PageRank with decimal-exact contribution sums (the
+    // q_pagerank dual pattern). The rank table is what the frontier
+    // scheduler (q_crawl_schedule) keys its per-domain budgets on; at
+    // corpus scale the edge set is domain-granularity (≪ pages) after the
+    // distinct, so the iterated joins never touch page rows.
+    "q_domain_rank" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val h = W.withHtml(W.withUrls(documents(s, dir)))
+      val links = h.select(col("doc_id"), col("url").as("page_url"),
+        explode(W.extractLinks(col("html"))).as("href"))
+      val resolved = links.select(col("doc_id"),
+        W.resolveUrl(col("page_url"), col("href")).as("url"))
+      // localCheckpoint (lazy) on BOTH domain projections: the filter and
+      // join below would otherwise re-inline the canonicalize CASE-chain
+      // trees into pushed-down scan filters and join keys — the giant
+      // expressions evaluate 3x per row interpreted (measured 15 s warm
+      // vs 0.2 s for the projection-only q_html_links). The barriers keep
+      // the relational algebra over materialized small string columns.
+      val dstD = W.canonicalize(resolved, "url")
+        .select(col("doc_id"), col("domain").as("dst"))
+        .localCheckpoint(false)
+      val srcD = W.canonicalize(h.select(col("doc_id"), col("url")), "url")
+        .select(col("doc_id"), col("domain").as("src"))
+        .localCheckpoint(false)
+      // localCheckpoint (lazy): pageRank references the edge frame ~2x per
+      // iteration — without the lineage cut every hop re-runs the fixture
+      // synthesis + links explode + both canonicalize chains (measured
+      // 85 s -> ~8 s at sf0.01). The frame is domain-granularity (~10^2
+      // rows here, domain-count at corpus scale), so the cut is ~free —
+      // and in production the domain edge set IS a landed artifact.
+      val edges = srcD.join(dstD, Seq("doc_id"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+        .localCheckpoint(false)
+      graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 3)
+        .select(col("node").as("domain"), col("rank"))
+        .orderBy("domain")
+    }),
     // registrable-domain resolution against the COMMITTED PSL data file
     // (r14 — verdict ask #4): a host fixture sweeping every listed
     // multi-label suffix (plus sub.-prefixed and 3-label-suffix variants,
@@ -11273,6 +11316,51 @@ object SparkEntry {
          | FROM rp),""".stripMargin.replace("\n", "") +
       canonChainSql("rr", extra = ", href") +
       " SELECT doc_id, href, url AS url_resolved, url_canon, domain FROM cn ORDER BY doc_id, href"),
+    // domain rank: the q_html_links restatement collapsed to registrable-
+    // domain edges (src domain from the host formula, self-edges dropped,
+    // distinct) + the q_pagerank decimal-exact 3-iteration unroll
+    "q_domain_rank" -> ("WITH " + htmlCtes + "," +
+      """ links AS (SELECT doc_id, text, url AS page_url, UNNEST(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href FROM h),
+        | rb AS (SELECT doc_id, text, href, regexp_replace(page_url, '#.*', '') AS basenf FROM links),
+        | rp AS (SELECT doc_id, text, href, basenf,
+        |   regexp_extract(basenf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS bscheme,
+        |   regexp_extract(basenf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS bauth,
+        |   regexp_extract(basenf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS bpath
+        |  FROM rb),""".stripMargin.replace("\n", "") +
+      s""" rr AS (SELECT doc_id, text, href,
+         |  CASE
+         |   WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN href
+         |   WHEN starts_with(href, '//') THEN bscheme || ':' || href
+         |   WHEN starts_with(href, '/') THEN bscheme || '://' || bauth || ${dotsSql("href")}
+         |   WHEN starts_with(href, '#') OR href = '' THEN basenf
+         |   WHEN starts_with(href, '?') THEN bscheme || '://' || bauth || (CASE WHEN bpath = '' THEN '/' ELSE bpath END) || href
+         |   ELSE bscheme || '://' || bauth || ${dotsSql(
+              "((CASE WHEN bpath = '' THEN '/' ELSE regexp_replace(bpath, '[^/]*$', '') END) || href)")}
+         |  END AS url
+         | FROM rp),""".stripMargin.replace("\n", "") +
+      canonChainSql("rr", extra = ", href") +
+      """, srcd AS (SELECT doc_id,
+        |   CASE WHEN doc_id % 100 % 7 = 6 THEN 'example.co.uk'
+        |     ELSE 'example-' || CAST(doc_id % 100 % 7 AS VARCHAR) || '.com' END AS src
+        |  FROM documents),
+        | ed AS (SELECT DISTINCT sd.src AS src, c.domain AS dst
+        |  FROM cn c JOIN srcd sd ON c.doc_id = sd.doc_id
+        |  WHERE c.domain IS NOT NULL AND sd.src <> c.domain),
+        | ndr AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+        | dgr AS (SELECT src, COUNT(*) AS dg FROM ed GROUP BY 1),
+        | pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM ndr),
+        | pc1 AS (SELECT dst, SUM(CAST(rank / dg AS DECIMAL(38,12))) AS s2
+        |   FROM ed JOIN pr0 ON ed.src = pr0.node JOIN dgr ON ed.src = dgr.src GROUP BY dst),
+        | pr1 AS (SELECT node, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * COALESCE(CAST(s2 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
+        |   FROM ndr LEFT JOIN pc1 ON node = dst),
+        | pc2 AS (SELECT dst, SUM(CAST(rank / dg AS DECIMAL(38,12))) AS s2
+        |   FROM ed JOIN pr1 ON ed.src = pr1.node JOIN dgr ON ed.src = dgr.src GROUP BY dst),
+        | pr2 AS (SELECT node, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * COALESCE(CAST(s2 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
+        |   FROM ndr LEFT JOIN pc2 ON node = dst),
+        | pc3 AS (SELECT dst, SUM(CAST(rank / dg AS DECIMAL(38,12))) AS s2
+        |   FROM ed JOIN pr2 ON ed.src = pr2.node JOIN dgr ON ed.src = dgr.src GROUP BY dst)
+        | SELECT node AS domain, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * COALESCE(CAST(s2 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
+        | FROM ndr LEFT JOIN pc3 ON node = dst ORDER BY domain""".stripMargin.replace("\n", "")),
     "q_psl_domains" -> {
       val sufs = graft.operators.Web.pslSuffixes.map(s => s"'$s'").mkString(", ")
       val n = graft.operators.Web.pslSuffixes.size
