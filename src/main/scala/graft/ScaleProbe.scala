@@ -960,6 +960,100 @@ object ScaleProbe {
               f"wall ${(System.nanoTime() - t0) / 1e9}%7.1f s"))
         picks.length.toLong
       }
+      time("http_body_decode") {
+        // r17 — the HTTP entity decode (gzip/deflate/chunked∘gzip arms) at
+        // replication: encode every page under its arm, decode back. Both
+        // stages are narrow byte codecs; the pass signal is wall ∝ bytes
+        // with ZERO shuffle — the binary never moves. This is the step a
+        // real CC read runs on ~every response payload.
+        val W = graft.operators.Web
+        val w = W.withEncodedHttp(W.withHtml(W.withUrls(docs)))
+        W.decodeHttpBody(w, "doc_id", "body",
+            "transfer_encoding", "content_encoding")
+          .agg(sum(when(col("ok"), octet_length(col("decoded"))).otherwise(0L)))
+          .head().getLong(0) / 1048576
+      }
+      time("charset_decode") {
+        // r17 — charset resolution (header param / meta prescan / default)
+        // + strict decode at replication: narrow mapPartitions, zero
+        // shuffle, wall ∝ bytes. The prescan is bounded (1 KiB) so cost is
+        // O(1) per doc regardless of payload size.
+        val W = graft.operators.Web
+        val w = W.withCharsetHttp(docs)
+        W.decodeCharset(w, "doc_id", "body", "content_type")
+          .groupBy("charset", "charset_src").agg(count(lit(1)))
+          .count()
+      }
+      time("wat_write_roundtrip") {
+        // r17 — the WAT metadata lane at replication: parse the crawl,
+        // build per-response metadata (title regex + resolved links), WAT
+        // JSON serialize, parse back. Narrow end to end except the output
+        // agg; wall ∝ bytes.
+        val W = graft.operators.Web
+        val w = W.withWarc(W.withHtml(W.withUrls(docs)))
+        val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
+          .filter(col("rec_type") === "response" && col("http_status") === 200)
+        val meta = recs.select(col("doc_id"), col("target_uri").as("url"),
+            col("warc_date"), col("http_status"), col("mime"), col("payload"))
+          .withColumn("title",
+            regexp_extract(col("payload"), "<title>(.*?)</title>", 1))
+          .withColumn("links", transform(W.extractLinks(col("payload")),
+            l => W.resolveUrl(col("url"), l)))
+        val wat = W.toWat(meta, "doc_id", "url", "warc_date", "http_status",
+          "mime", "title", "links")
+        W.warcRecords(wat.select(col("doc_id"), col("wat")), "wat")
+          .agg(sum(col("block_octets"))).head().getLong(0) / 1048576
+      }
+      time("domain_rank") {
+        // r17 — PageRank over the registrable-domain link graph at
+        // replication: replication is the DEGENERATE case that proves the
+        // design — every clone links to the same domains, so the DISTINCT
+        // edge set (and therefore every iterated join) stays CONSTANT-size
+        // while the page-scale extraction grows linearly. The iterated
+        // frame must never be page-granularity.
+        val W = graft.operators.Web
+        val h = W.withHtml(W.withUrls(docs))
+        val links = h.select(col("doc_id"), col("url").as("page_url"),
+          explode(W.extractLinks(col("html"))).as("href"))
+        val resolved = links.select(col("doc_id"),
+          W.resolveUrl(col("page_url"), col("href")).as("url"))
+        val dstD = W.canonicalize(resolved, "url")
+          .select(col("doc_id"), col("domain").as("dst")).localCheckpoint(false)
+        val srcD = W.canonicalize(h.select(col("doc_id"), col("url")), "url")
+          .select(col("doc_id"), col("domain").as("src")).localCheckpoint(false)
+        val edges = srcD.join(dstD, Seq("doc_id"))
+          .filter(col("src").isNotNull && col("dst").isNotNull &&
+            col("src") =!= col("dst"))
+          .select("src", "dst").distinct().localCheckpoint(false)
+        val nEdges = edges.count()
+        val ranked = graft.operators.Graph.pageRank(edges, "src", "dst", 3).count()
+        println(s"[scale-domain-rank] $nEdges distinct domain edges, $ranked ranked domains")
+        ranked
+      }
+      time("warc_pipeline_encoded") {
+        // r17 — the BINARY container pipeline at replication: wire-coded
+        // entity bodies (gzip / chunked∘gzip / deflate arms) → length-
+        // framed binary parse → header-keyed decode → strip chain →
+        // canonicalize. The decode adds codec wall but NO exchange: the
+        // pass signal is the same zero-shuffle law as warc_front_door.
+        val W = graft.operators.Web
+        val base = W.withHtml(W.withUrls(docs))
+        val wb = W.withWarcBin(base)
+        val recs = W.warcRecordsBin(wb, "doc_id", "warc_bin")
+          .filter(col("rec_type") === "response" && col("http_status") === 200)
+          .select(col("doc_id"), col("target_uri"), col("payload_bin"),
+            col("transfer_encoding"), col("content_encoding"))
+          .localCheckpoint(false)
+        val dec = W.decodeHttpBody(recs, "doc_id", "payload_bin",
+            "transfer_encoding", "content_encoding")
+          .filter(col("ok"))
+        val ext = recs.select(col("doc_id"), col("target_uri").as("url"))
+          .join(dec, Seq("doc_id"))
+          .withColumn("tc", W.htmlToText(col("decoded")))
+        W.canonicalize(ext, "url")
+          .agg(count(lit(1)), sum(octet_length(col("tc"))))
+          .head().getLong(0)
+      }
       time("warc_front_door") {
         // r15 — the WARC container front door at replication: serialize
         // every doc as a three-record WARC/1.0 segment, parse records, keep
