@@ -6598,10 +6598,12 @@ object SparkEntry {
     // whose entity bodies carry the wire codings (Content-Length counts
     // ENCODED octets — a text-typed fixture cannot even express this,
     // gzip bytes are not valid UTF-8) → length-framed binary parse
-    // (warcRecordsBin, the SAME warcCutsB walk) → header-keyed entity
-    // decode → the q_warc_pipeline strip/canonicalize chain. The oracle is
-    // the PLAIN pipeline restatement: transport codings must be invisible
-    // to curation, corrupt-encode docs quarantine out.
+    // (warcRecordsBin, the SAME warcCutsB walk) → header-keyed TRANSPORT
+    // decode (bytes stay binary) → CHARSET decode (the cp1252 arm, id%7==5,
+    // plants a cp1252-only paragraph a UTF-8 reader cannot decode) → the
+    // q_warc_pipeline strip/canonicalize chain. The oracle is the PLAIN
+    // pipeline restatement: wire codings AND charsets must be invisible to
+    // curation, corrupt-encode docs quarantine out.
     "q_warc_pipeline_encoded" -> ((s, dir) => {
       val W = graft.operators.Web
       val base = W.withHtml(W.withUrls(documents(s, dir)))
@@ -6612,17 +6614,24 @@ object SparkEntry {
       val recs = W.warcRecordsBin(wb, "doc_id", "warc_bin")
         .filter(col("rec_type") === "response" && col("http_status") === 200)
         .select(col("doc_id"), col("target_uri"), col("payload_bin"),
-          col("transfer_encoding"), col("content_encoding"))
+          col("transfer_encoding"), col("content_encoding"),
+          col("content_type_full"))
         .localCheckpoint(false)
-      val dec = W.decodeHttpBody(recs, "doc_id", "payload_bin",
+      val trans = W.decodeHttpBodyBin(recs, "doc_id", "payload_bin",
           "transfer_encoding", "content_encoding")
+        .filter(col("ok")).drop("ok")
+      val chars = W.decodeCharset(
+          recs.select(col("doc_id"), col("content_type_full"))
+            .join(trans, Seq("doc_id")),
+          "doc_id", "decoded_bin", "content_type_full")
         .filter(col("ok"))
       val ext = recs.select(col("doc_id"), col("target_uri").as("url"))
-        .join(dec, Seq("doc_id"))
-        .withColumn("text_clean", W.htmlToText(col("decoded")))
-        .withColumn("n_links", size(W.extractLinks(col("decoded"))).cast(LongType))
+        .join(chars, Seq("doc_id"))
+        .withColumn("text_clean", W.htmlToText(col("text")))
+        .withColumn("n_links", size(W.extractLinks(col("text"))).cast(LongType))
       W.canonicalize(ext, "url")
         .select(col("doc_id"), col("domain"), col("url_canon"), col("n_links"),
+          col("charset"), col("charset_src"),
           md5(col("text_clean")).as("text_md5"))
         .orderBy("doc_id")
     }),
@@ -11761,10 +11770,15 @@ object SparkEntry {
         |   CASE WHEN doc_id % 23 <> 9 THEN md5(html) END AS decoded_md5
         | FROM h ORDER BY doc_id""".stripMargin.replace("\n", "")),
     // encoded-container pipeline: the PLAIN pipeline restatement (strip
-    // chain + canonical chain over the fixture pages) minus the
-    // corrupt-encode arm — wire codings must be invisible to curation
+    // chain + canonical chain over the fixture pages, the cp1252 arm's
+    // marker paragraph appended) minus the corrupt-encode arm — wire
+    // codings AND charsets must be invisible to curation
     "q_warc_pipeline_encoded" -> ("WITH " + htmlCtes + "," +
-      """ ws1 AS (SELECT doc_id, url, html, regexp_replace(html, '(?s)<script.*?</script>', ' ', 'g') AS t FROM h WHERE doc_id % 23 <> 9),
+      s""" hx AS (SELECT doc_id, url,
+         |   CASE WHEN doc_id % 7 = 5 THEN html || '${graft.operators.Web.cp1252Marker}'
+         |     ELSE html END AS html
+         |  FROM h WHERE doc_id % 23 <> 9),""".stripMargin.replace("\n", "") +
+      """ ws1 AS (SELECT doc_id, url, html, regexp_replace(html, '(?s)<script.*?</script>', ' ', 'g') AS t FROM hx),
         | ws2 AS (SELECT doc_id, url, html, regexp_replace(t, '(?s)<style.*?</style>', ' ', 'g') AS t FROM ws1),
         | ws3 AS (SELECT doc_id, url, html, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM ws2),
         | ws4 AS (SELECT doc_id, url, html, replace(replace(replace(replace(replace(t,
@@ -11774,8 +11788,10 @@ object SparkEntry {
         |   CAST(len(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS BIGINT) AS n_links
         |  FROM ws4),""".stripMargin.replace("\n", "") +
       canonChainSql("wsrc", extra = ", tc, n_links") +
-      " SELECT doc_id, domain, url_canon, n_links, md5(tc) AS text_md5" +
-      " FROM cn ORDER BY doc_id"),
+      """ SELECT doc_id, domain, url_canon, n_links,
+        |   CASE WHEN doc_id % 7 = 5 THEN 'windows-1252' ELSE 'utf-8' END AS charset,
+        |   'header' AS charset_src, md5(tc) AS text_md5
+        | FROM cn ORDER BY doc_id""".stripMargin.replace("\n", "")),
     // charset decode: arm labels/provenance/ok from the fixture formulas;
     // text_md5 = md5 of the expected page restated as UTF-8 SQL literals —
     // the Spark side must decode the cp1252/Shift_JIS/Latin-1 bytes under

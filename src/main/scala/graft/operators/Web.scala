@@ -855,6 +855,25 @@ object Web {
       }).toDF(idCol, "decoded", "ok")
   }
 
+  /** [[decodeHttpBody]] keeping the content octets BINARY (r17): the form
+    * that composes with [[decodeCharset]] — transport decode first (this),
+    * charset decode second; stringifying here would bake in UTF-8 and
+    * mojibake every cp1252/Shift_JIS page before the charset step ran.
+    */
+  def decodeHttpBodyBin(df: DataFrame, idCol: String, bodyCol: String,
+      teCol: String, ceCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast(LongType), col(bodyCol).cast(BinaryType),
+        col(teCol).cast(StringType), col(ceCol).cast(StringType))
+      .as[(Long, Array[Byte], String, String)]
+      .mapPartitions(_.map { case (id, body, te, ce) =>
+        decodeHttpBodyBytes(body, te, ce) match {
+          case Some(b) => (id, b, true)
+          case None => (id, null.asInstanceOf[Array[Byte]], false)
+        }
+      }).toDF(idCol, "decoded_bin", "ok")
+  }
+
   /** One gzip stream for arbitrary octets (fixture builder). */
   private def gzipBytes(b: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -1490,12 +1509,27 @@ object Web {
     * since gzip octets are not valid UTF-8. Narrow mapPartitions; binary
     * column born distributed.
     */
+  /** The cp1252-only paragraph the charset arm appends — en dash (0x96),
+    * é/Ü (latin range), € (0x80, absent from Latin-1): bytes a
+    * UTF-8-assuming reader cannot decode, so the arm is vacuous-proof.
+    * Public so the oracle restates it verbatim.
+    */
+  val cp1252Marker: String = "<p>résumé café – Ümlaut €99</p>"
+
   def withWarcBin(docsWithHtml: DataFrame): DataFrame = {
     import docsWithHtml.sparkSession.implicits._
     docsWithHtml.select(col("doc_id").cast(LongType), col("url"), col("html"))
       .as[(Long, String, String)]
-      .mapPartitions(_.map { case (id, url, html) =>
-        val raw = html.getBytes("UTF-8")
+      .mapPartitions(_.map { case (id, url, html0) =>
+        // charset arm (id % 7 == 5, corrupt arm excluded): the page gains
+        // a cp1252-only paragraph and serializes under windows-1252 with
+        // the charset declared in the HTTP header — composing with the
+        // transport arms below (the codecs wrap whatever octets the
+        // charset produced)
+        val charsetArm = id % 7 == 5 && id % 23 != 9
+        val html = if (charsetArm) html0 + cp1252Marker else html0
+        val cs = if (charsetArm) "windows-1252" else "UTF-8"
+        val raw = html.getBytes(cs)
         val (body, te, ce) =
           if (id % 23 == 9) { val g = gzipBytes(raw); g(0) = 0x00; (g, null, "gzip") }
           else (id % 5) match {
@@ -1506,7 +1540,7 @@ object Web {
             case _ => (chunkBytes(raw), "chunked", null)
           }
         val head = "HTTP/1.1 200 OK" + CRLF +
-          "Content-Type: text/html; charset=UTF-8" + CRLF +
+          s"Content-Type: text/html; charset=$cs" + CRLF +
           Option(te).map(t => s"Transfer-Encoding: $t" + CRLF).getOrElse("") +
           Option(ce).map(c => s"Content-Encoding: $c" + CRLF).getOrElse("") +
           CRLF
@@ -1580,6 +1614,12 @@ object Web {
       .withColumn("mime",
         when(col("__http") =!= "",
           regexp_extract(col("__http"), "Content-Type: ([^;\r\n]+)", 1)))
+      // the FULL header value (parameters kept) — [[decodeCharset]] keys
+      // on the charset parameter `mime` deliberately drops
+      .withColumn("content_type_full",
+        when(col("__http") =!= "",
+          nullif(regexp_extract(col("__http"),
+            "(?m)^Content-Type: ([^\r\n]+)", 1), lit(""))))
       .withColumn("transfer_encoding",
         when(col("__http") =!= "",
           nullif(regexp_extract(col("__http"),
