@@ -6744,6 +6744,55 @@ object SparkEntry {
           md5(array_join(col("j.links"), "|")).as("links_md5"))
         .orderBy("doc_id")
     }),
+    // CROSS-PANEL CONSISTENCY (r17): a real dump's three panels must AGREE
+    // — the WET conversion's payload is byte-identical to the pipeline's
+    // extracted text, the WAT metadata's link count and title match the
+    // direct extraction, and both panels refer to the SAME response
+    // record. One plan over one parse (localCheckpoint, three consumers);
+    // every value is data-derived through a serialize∘parse path, so a
+    // drift in ANY panel's writer or the parser hash-fails here even if
+    // the per-panel round-trip gates still pass individually.
+    "q_cc_triptych" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
+        .filter(col("rec_type") === "response" && col("http_status") === 200)
+        .select(col("doc_id"), col("target_uri").as("url"), col("warc_date"),
+          col("http_status"), col("mime"), col("payload"))
+        .localCheckpoint(false)
+      val direct = recs.select(col("doc_id"),
+        md5(W.htmlToText(col("payload"))).as("d_text_md5"),
+        size(W.extractLinks(col("payload"))).cast(LongType).as("d_links"))
+      val wet = W.warcRecords(
+          W.toWet(recs.select(col("doc_id"), col("url"), col("warc_date"),
+            W.htmlToText(col("payload")).as("text")),
+            "doc_id", "url", "warc_date", "text")
+            .select(col("doc_id"), col("wet")), "wet")
+        .select(col("doc_id"), md5(col("payload")).as("wet_text_md5"),
+          col("refers_to").as("wet_refers"))
+      val meta = recs
+        .withColumn("title",
+          regexp_extract(col("payload"), "<title>(.*?)</title>", 1))
+        .withColumn("links", transform(W.extractLinks(col("payload")),
+          l => W.resolveUrl(col("url"), l)))
+      val wat = W.warcRecords(
+          W.toWat(meta, "doc_id", "url", "warc_date", "http_status", "mime",
+            "title", "links").select(col("doc_id"), col("wat")), "wat")
+        .withColumn("j", from_json(col("payload"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "url STRING, status INT, mime STRING, title STRING, links ARRAY<STRING>")))
+        .select(col("doc_id"),
+          size(col("j.links")).cast(LongType).as("wat_links"),
+          col("j.title").as("wat_title"), col("refers_to").as("wat_refers"))
+      direct.join(wet, Seq("doc_id")).join(wat, Seq("doc_id"))
+        .select(col("doc_id"), col("d_text_md5"), col("wet_text_md5"),
+          (col("d_text_md5") === col("wet_text_md5")).as("text_consistent"),
+          col("d_links"), col("wat_links"),
+          (col("d_links") === col("wat_links")).as("links_consistent"),
+          (col("wet_refers") === col("wat_refers")).as("refers_consistent"),
+          col("wat_title"))
+        .orderBy("doc_id")
+    }),
     // redirect-chain resolution (r16, verdict ask #2): the 301 Location
     // headers the fixture has planted since r15 are finally CONSUMED —
     // edges (target_uri → Location) canonicalize on both endpoints and a
@@ -6840,6 +6889,30 @@ object SparkEntry {
             org.apache.spark.sql.streaming.OutputMode.Append())
         }
       }.orderBy("doc_id", "rec_pos")
+    }),
+    // ...and the streaming twin of the HTTP entity decode (r17): the
+    // encode fixture and the dechunk∘gunzip/inflate decode are stateless
+    // per-batch mapPartitions, so the lane drains under AvailableNow with
+    // NO state store — the capture-side decode a streaming crawl ingester
+    // runs. Same identity/quarantine oracle as the batch lane, minus the
+    // arm label.
+    "q_stream_http_decode" -> ((s, dir) => {
+      tune(s)
+      streamResult(s, dir, "httpdec") {
+        withStreamConf(s) {
+          val docsSchema = table(s, dir, "documents").schema
+          val stream = s.readStream.schema(docsSchema)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          val W = graft.operators.Web
+          val w = W.withEncodedHttp(W.withHtml(W.withUrls(stream)))
+          val dec = W.decodeHttpBody(w, "doc_id", "body",
+              "transfer_encoding", "content_encoding")
+            .select(col("doc_id"), col("ok"),
+              md5(col("decoded")).as("decoded_md5"))
+          graft.streaming.Streaming.runToMemory(s, dec, "stream_httpdec",
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        }
+      }.orderBy("doc_id")
     }),
 
     // --- sources (SURVEY §2.1; rows-only — fixture inputs, not sfDir tables)
@@ -11352,11 +11425,12 @@ object SparkEntry {
         |   CASE WHEN doc_id % 100 % 7 = 6 THEN 'example.co.uk'
         |     ELSE 'example-' || CAST(doc_id % 100 % 7 AS VARCHAR) || '.com' END AS src
         |  FROM documents),
-        | ed AS (SELECT DISTINCT sd.src AS src, c.domain AS dst
-        |  FROM cn c JOIN srcd sd ON c.doc_id = sd.doc_id
+        | cnm AS MATERIALIZED (SELECT doc_id, domain FROM cn),
+        | ed AS MATERIALIZED (SELECT DISTINCT sd.src AS src, c.domain AS dst
+        |  FROM cnm c JOIN srcd sd ON c.doc_id = sd.doc_id
         |  WHERE c.domain IS NOT NULL AND sd.src <> c.domain),
-        | ndr AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
-        | dgr AS (SELECT src, COUNT(*) AS dg FROM ed GROUP BY 1),
+        | ndr AS MATERIALIZED (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+        | dgr AS MATERIALIZED (SELECT src, COUNT(*) AS dg FROM ed GROUP BY 1),
         | pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM ndr),
         | pc1 AS (SELECT dst, SUM(CAST(rank / dg AS DECIMAL(38,12))) AS s2
         |   FROM ed JOIN pr0 ON ed.src = pr0.node JOIN dgr ON ed.src = dgr.src GROUP BY dst),
@@ -11823,6 +11897,30 @@ object SparkEntry {
       """SELECT md5('Shared doc ' || CAST(doc_id AS VARCHAR) || ' café Ümlaut €') AS ck,
         | CAST(2 AS BIGINT) AS n_variants, doc_id * 2 AS keeper
         | FROM documents ORDER BY keeper""".stripMargin.replace("\n", ""),
+    // streaming decode twin: identical identity/quarantine restatement,
+    // minus the arm label
+    "q_stream_http_decode" -> ("WITH " + htmlCtes +
+      """ SELECT doc_id, (doc_id % 23 <> 9) AS ok,
+        |   CASE WHEN doc_id % 23 <> 9 THEN md5(html) END AS decoded_md5
+        | FROM h ORDER BY doc_id""".stripMargin.replace("\n", "")),
+    // triptych consistency: all three panels restate to the SAME direct
+    // extraction — text md5 through WET, link count + title through WAT,
+    // both refers-to edges landing on the response record
+    "q_cc_triptych" -> ("WITH " + warcCtes() + "," +
+      """ ws1 AS (SELECT doc_id, url, rbody AS html, regexp_replace(rbody, '(?s)<script.*?</script>', ' ', 'g') AS t FROM wblk WHERE m NOT IN (0, 1)),
+        | ws2 AS (SELECT doc_id, url, html, regexp_replace(t, '(?s)<style.*?</style>', ' ', 'g') AS t FROM ws1),
+        | ws3 AS (SELECT doc_id, url, html, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM ws2),
+        | ws4 AS (SELECT doc_id, url, html, replace(replace(replace(replace(replace(t,
+        |   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM ws3),
+        | wsrc AS (SELECT doc_id,
+        |   trim(regexp_replace(t, '\s+', ' ', 'g')) AS tc,
+        |   CAST(len(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS BIGINT) AS n_links
+        |  FROM ws4)
+        | SELECT doc_id, md5(tc) AS d_text_md5, md5(tc) AS wet_text_md5,
+        |   TRUE AS text_consistent, n_links AS d_links, n_links AS wat_links,
+        |   TRUE AS links_consistent, TRUE AS refers_consistent,
+        |   'Doc ' || CAST(doc_id AS VARCHAR) AS wat_title
+        | FROM wsrc ORDER BY doc_id""".stripMargin.replace("\n", "")),
     "q_wet_roundtrip" -> wetRoundtripDual,
     // the compressed lane shares the WET oracle verbatim: gzip round-trip
     // must be invisible to the parse
