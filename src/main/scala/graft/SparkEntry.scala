@@ -6264,6 +6264,20 @@ object SparkEntry {
           col("loc"), col("lastmod"), col("changefreq"), col("priority"))
         .orderBy("host", "seq")
     }),
+    // ...and the `.xml.gz` lane (r17): real sitemaps gzip (the sitemaps.org
+    // 50 MB/50k-URL limits apply UNCOMPRESSED, so large sites always ship
+    // compressed) — serialize each host's sitemap through the gzip writer,
+    // decode, parse back to the SAME oracle as q_sitemap_parse: the codec
+    // must be invisible to discovery.
+    "q_sitemap_gz" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val xml = robotsHosts(s, dir).withColumn("xml", W.sitemapXml(col("host")))
+      val gz = W.withSitemapGz(xml, "host", "xml")
+      W.sitemapEntries(W.gunzipStr(gz, "host", "xml_gz", "xml"), "host", "xml")
+        .select(col("host"), col("kind"), col("seq").cast(LongType).as("seq"),
+          col("loc"), col("lastmod"), col("changefreq"), col("priority"))
+        .orderBy("host", "seq")
+    }),
     // ...and the FRONTIER SEEDING composition: sitemap URL entries →
     // canonicalize → robots-allowance for the crawler agent → novelty
     // against the already-crawled (host, path) set. The discovery side of
@@ -6352,6 +6366,35 @@ object SparkEntry {
         .select(col("host"), col("path"), col("url"), col("lastmod"),
           col("last_fetched"), col("action"))
         .orderBy("host", "path", "url")
+    }),
+    // conditional-GET re-crawl (r17): every fourth page answered 304 Not
+    // Modified — an EMPTY body; the crawler's own prior capture is the
+    // content. The composition joins 304 rows to the first crawl's
+    // responses by target URI and ADOPTS the prior payload; using the
+    // empty 304 body as content (the naive bug) hash-fails every cached
+    // row. Refetched rows carry their own payload. This is the freshness
+    // loop's cheap path: a 304 costs headers, not bytes.
+    "q_recrawl_304" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val base = W.withHtml(W.withUrls(documents(s, dir)))
+      val crawl1 = W.withWarc(base).select(col("doc_id"), col("warc"))
+      val prior = W.warcRecords(crawl1, "warc")
+        .filter(col("rec_type") === "response" && col("http_status") === 200)
+        .select(col("target_uri").as("url"), md5(col("payload")).as("prior_md5"))
+      val recs2 = W.warcRecords(
+          W.withWarcConditional(base, 200000L), "warc")
+        .filter(col("rec_type") === "response")
+        .select(col("doc_id"), col("target_uri").as("url"),
+          col("http_status"), md5(col("payload")).as("own_md5"))
+      // no broadcast hint: the prior-capture index is page-granularity
+      // (AQE broadcasts at bench scale, shuffles at corpus scale)
+      recs2.join(prior, Seq("url"), "left")
+        .select(col("doc_id"), col("http_status"),
+          when(col("http_status") === 304, lit("cached"))
+            .otherwise(lit("refetched")).as("via"),
+          when(col("http_status") === 304, col("prior_md5"))
+            .otherwise(col("own_md5")).as("text_md5"))
+        .orderBy("doc_id")
     }),
     // SFT / conversation prep (r15): transcripts parse into turns with the
     // role-structure validator — one doc per 17 carries a broken
@@ -8736,6 +8779,14 @@ object SparkEntry {
         |    'text/html', CAST(octet_length(encode(respb)) AS BIGINT),
         |    md5(rbody) FROM wblk WHERE doc_id % 89 <> 88
         | ) ORDER BY doc_id, rec_pos""".stripMargin.replace("\n", "")
+
+  /** One oracle text for q_sitemap_parse AND q_sitemap_gz (r17): the
+    * `.xml.gz` lane must be entry-for-entry identical to the plain parse.
+    */
+  private lazy val sitemapParseDual: String =
+    "WITH " + robotsCtes + "," + sitemapCtes +
+      " SELECT host, kind, seq, loc, lastmod, changefreq, priority" +
+      " FROM smu ORDER BY host, seq"
 
   private lazy val wetRoundtripDual: String =
     "WITH " + warcCtes() + "," +
@@ -11629,9 +11680,21 @@ object SparkEntry {
          | LEFT JOIN arr ON f.domain = arr.domain
          | ORDER BY domain""".stripMargin.replace("\n", "")),
     // sitemap parse: construction + the same regex extraction restated
-    "q_sitemap_parse" -> ("WITH " + robotsCtes + "," + sitemapCtes +
-      " SELECT host, kind, seq, loc, lastmod, changefreq, priority" +
-      " FROM smu ORDER BY host, seq"),
+    "q_sitemap_parse" -> sitemapParseDual,
+    // the .xml.gz lane shares the sitemap oracle verbatim: the gzip
+    // round-trip must be invisible to discovery
+    "q_sitemap_gz" -> sitemapParseDual,
+    // conditional-GET recrawl: status/via from the fixture formula; every
+    // text_md5 is the PRIOR capture's content hash — a consumer that uses
+    // the 304's empty body instead of adopting the prior capture fails
+    // every cached row
+    "q_recrawl_304" -> ("WITH " + warcCtes() +
+      """ SELECT doc_id + 200000 AS doc_id,
+        |   CASE WHEN doc_id % 4 = 1 THEN 304 ELSE 200 END AS http_status,
+        |   CASE WHEN doc_id % 4 = 1 THEN 'cached' ELSE 'refetched' END AS via,
+        |   md5(rbody) AS text_md5
+        | FROM wblk WHERE m NOT IN (0, 1) ORDER BY doc_id""".stripMargin
+        .replace("\n", "")),
     // frontier seeding: sitemap url entries → canonical chain → robots
     // decisions (keyed on the loc) → novelty vs the crawled (host, path) set
     "q_sitemap_frontier" -> ("WITH " + robotsCtes + "," + sitemapCtes + "," +

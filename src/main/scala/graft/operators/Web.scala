@@ -1289,17 +1289,8 @@ object Web {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast(LongType), col(gzCol))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        val out = new java.io.ByteArrayOutputStream()
-        try {
-          val in = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(bytes), 65536)
-          val buf = new Array[Byte](65536)
-          var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        } catch { case _: java.io.IOException => () /* keep decoded prefix */ }
-        (id, new String(out.toByteArray, "UTF-8"))
-      }).toDF(idCol, "warc")
+      .mapPartitions(_.map { case (id, bytes) => (id, gunzipLenient(bytes)) })
+      .toDF(idCol, "warc")
   }
 
   /** Lazy iterator over the MEMBERS of a concatenated-gzip payload (r17,
@@ -2138,6 +2129,80 @@ object Web {
         "<sitemap><loc>https://"), host,
       lit("/sitemap-2.xml</loc></sitemap>\n</sitemapindex>\n"))
     when(g === 4, index).otherwise(urlset)
+  }
+
+  /** [[gunzipWarc]] for STRING-keyed frames (r17): real sitemaps ship as
+    * single-member `.xml.gz` keyed by host — same multi-member-tolerant,
+    * prefix-keeping decode, the key column rides through untouched.
+    */
+  def gunzipStr(df: DataFrame, keyCol: String, gzCol: String,
+      outCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(keyCol).cast(StringType), col(gzCol))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (k, bytes) => (k, gunzipLenient(bytes)) })
+      .toDF(keyCol, outCol)
+  }
+
+  /** The lenient multi-member decode both gunzip readers share: garbled
+    * next-member header = end-of-stream, mid-stream DEFLATE corruption
+    * keeps the decoded prefix.
+    */
+  private def gunzipLenient(bytes: Array[Byte]): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes), 65536)
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch { case _: java.io.IOException => () /* keep decoded prefix */ }
+    new String(out.toByteArray, "UTF-8")
+  }
+
+  /** Serialize each host's sitemap XML as a real `.xml.gz` payload — the
+    * form sitemaps.org sites actually publish (the 50 MB/50k-URL limits
+    * apply to the UNCOMPRESSED file, so virtually every large site gzips).
+    * Single gzip member per file; fixture twin of the WET/WARC gz writers.
+    */
+  def withSitemapGz(hostsWithXml: DataFrame, hostCol: String,
+      xmlCol: String): DataFrame = {
+    import hostsWithXml.sparkSession.implicits._
+    hostsWithXml.select(col(hostCol).cast(StringType), col(xmlCol))
+      .as[(String, String)]
+      .mapPartitions(_.map { case (h, xml) => (h, gzipMember(xml)) })
+      .toDF(hostCol, "xml_gz")
+  }
+
+  /** A conditional-GET re-crawl of the same pages (r17): the crawler sent
+    * If-Modified-Since / If-None-Match, and every fourth page (`doc_id %
+    * 4 == 1`) answered `304 Not Modified` — a head-only response with an
+    * EMPTY body (the server shipped nothing; the crawler's own prior
+    * capture is the content). The rest refetched as full 200 responses.
+    * Over [[withWarc]]'s 200-arm docs (404/301/corrupt arms excluded);
+    * re-crawl ids/dates keyed on `doc_id + idOffset`. The consumer
+    * (q_recrawl_304) must ADOPT the prior capture's content for 304 rows —
+    * using the empty 304 body as content is the bug under gate.
+    */
+  def withWarcConditional(docsWithHtml: DataFrame, idOffset: Long): DataFrame = {
+    val id = col("doc_id")
+    val nid = id + lit(idOffset)
+    val m = id % 11
+    val is304 = id % 4 === 1
+    val statusLine = when(is304, lit("304 Not Modified")).otherwise(lit("200 OK"))
+    val body = when(is304, lit("")).otherwise(col("html"))
+    val respBlock = concat(lit("HTTP/1.1 "), statusLine,
+      lit(CRLF + "Content-Type: text/html; charset=UTF-8" + CRLF + CRLF), body)
+    val rec = concat(
+      lit("WARC/1.0" + CRLF + "WARC-Type: response" + CRLF +
+        "WARC-Target-URI: "), col("url"),
+      lit(CRLF + "WARC-Record-ID: <urn:graft:"), nid.cast(StringType),
+      lit("-3>" + CRLF + "WARC-Date: "), warcDate(nid),
+      lit(CRLF + "Content-Type: application/http;msgtype=response" + CRLF +
+        "Content-Length: "), octet_length(respBlock).cast(StringType),
+      lit(CRLF + CRLF), respBlock, lit(CRLF + CRLF))
+    docsWithHtml.filter(m =!= 0 && m =!= 1 && id % 101 =!= 100)
+      .select(nid.as("doc_id"), rec.as("warc"))
   }
 
   /** Parse sitemap XML into one row per entry: `urlset` documents yield

@@ -354,6 +354,27 @@ class WebSpec extends SparkSpec {
     Web.gzipMemberIterator(trunc).toSeq.take(2) shouldBe Seq("alpha", "beta")
   }
 
+  test("gunzipStr + withSitemapGz (r17): string-keyed gzip round-trip; " +
+    "withWarcConditional: 304 arms are head-only, 200 arms carry the body") {
+    val xmls = Seq(("h1.example.com", "<urlset>x</urlset>"),
+      ("h2.example.com", "<urlset>y</urlset>")).toDF("host", "xml")
+    val back = rows(Web.gunzipStr(Web.withSitemapGz(xmls, "host", "xml"),
+      "host", "xml_gz", "xml").orderBy("host"))
+    back.map(r => (r.getString(0), r.getString(1))) shouldBe
+      Seq(("h1.example.com", "<urlset>x</urlset>"),
+        ("h2.example.com", "<urlset>y</urlset>"))
+    // conditional recrawl fixture: id 13 (13%4==1) is the 304 arm, id 2 refetches
+    val base = Seq((2L, "u2", "<html>two</html>"), (13L, "u13", "<html>thirteen</html>"))
+      .toDF("doc_id", "url", "html")
+    val recs = rows(Web.warcRecords(
+        Web.withWarcConditional(base, 1000L), "warc")
+      .select("doc_id", "http_status", "payload").orderBy("doc_id"))
+    recs.map(r => (r.getLong(0), r.getInt(1))) shouldBe
+      Seq((1002L, 200), (1013L, 304))
+    recs(0).getString(2) shouldBe "<html>two</html>"
+    recs(1).getString(2) shouldBe "" // 304 ships no body
+  }
+
   // --- robots.txt (r15) ---
 
   private def robotsRulesOf(hosts: String*) = Web.robotsRules(
