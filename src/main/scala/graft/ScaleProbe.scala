@@ -1054,6 +1054,32 @@ object ScaleProbe {
           .agg(count(lit(1)), sum(octet_length(col("tc"))))
           .head().getLong(0)
       }
+      time("recrawl_304") {
+        // r17 — the conditional-GET loop at replication: parse two crawls,
+        // join 304 rows to the prior capture by target URI. The join is
+        // the only exchange and carries (url, 16-byte md5) pairs — never
+        // payloads; law: shuffle ∝ pages, wall ∝ bytes parsed.
+        val W = graft.operators.Web
+        val base = W.withHtml(W.withUrls(docs))
+        // unique-per-URL latest-capture index (the production contract):
+        // without it, replicated URL collisions fan the join out k² —
+        // 3.3M joined rows at 10×, 29.5M at 30× — the quadratic this probe
+        // exists to catch
+        val prior = W.warcRecords(
+            W.withWarc(base).select(col("doc_id"), col("warc")), "warc")
+          .filter(col("rec_type") === "response" && col("http_status") === 200)
+          .groupBy(col("target_uri").as("url"))
+          .agg(max_by(md5(col("payload")), col("warc_date")).as("prior_md5"))
+        val recs2 = W.warcRecords(
+            W.withWarcConditional(base, 900000000L), "warc")
+          .filter(col("rec_type") === "response")
+          .select(col("doc_id"), col("target_uri").as("url"),
+            col("http_status"), md5(col("payload")).as("own_md5"))
+        recs2.join(prior, Seq("url"), "left")
+          .agg(count(lit(1)),
+            sum(when(col("http_status") === 304, 1L).otherwise(0L)))
+          .head().getLong(0)
+      }
       time("warc_front_door") {
         // r15 — the WARC container front door at replication: serialize
         // every doc as a three-record WARC/1.0 segment, parse records, keep

@@ -5978,6 +5978,47 @@ object SparkEntry {
         .select(col("node").as("domain"), col("rank"))
         .orderBy("domain")
     }),
+    // ...and the same rank table derived from the WAT PANEL instead of the
+    // raw pages (r17): metadata records serialize (with RESOLVED links),
+    // parse back, and the domain graph builds from the WAT json — gated
+    // against q_domain_rank's oracle VERBATIM. This is how a real pipeline
+    // ranks domains (read the WAT artifact, not re-parse the WARC); the
+    // parity proves the metadata panel is a faithful substrate for the
+    // link graph, to the last decimal-exact rank.
+    "q_domain_rank_wat" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
+        .filter(col("rec_type") === "response" && col("http_status") === 200)
+      val meta = recs.select(col("doc_id"), col("target_uri").as("url"),
+          col("warc_date"), col("http_status"), col("mime"), col("payload"))
+        .withColumn("title",
+          regexp_extract(col("payload"), "<title>(.*?)</title>", 1))
+        .withColumn("links", transform(W.extractLinks(col("payload")),
+          l => W.resolveUrl(col("url"), l)))
+      val wat = W.warcRecords(
+          W.toWat(meta, "doc_id", "url", "warc_date", "http_status", "mime",
+            "title", "links").select(col("doc_id"), col("wat")), "wat")
+        .withColumn("j", from_json(col("payload"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "url STRING, status INT, mime STRING, title STRING, links ARRAY<STRING>")))
+      val dstD = W.canonicalize(
+          wat.select(col("doc_id"), explode(col("j.links")).as("url")), "url")
+        .select(col("doc_id"), col("domain").as("dst"))
+        .localCheckpoint(false)
+      val srcD = W.canonicalize(
+          wat.select(col("doc_id"), col("j.url").as("url")), "url")
+        .select(col("doc_id"), col("domain").as("src"))
+        .localCheckpoint(false)
+      val edges = srcD.join(dstD, Seq("doc_id"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+        .localCheckpoint(false)
+      graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 3)
+        .select(col("node").as("domain"), col("rank"))
+        .orderBy("domain")
+    }),
     // registrable-domain resolution against the COMMITTED PSL data file
     // (r14 — verdict ask #4): a host fixture sweeping every listed
     // multi-label suffix (plus sub.-prefixed and 3-label-suffix variants,
@@ -6378,9 +6419,14 @@ object SparkEntry {
       val W = graft.operators.Web
       val base = W.withHtml(W.withUrls(documents(s, dir)))
       val crawl1 = W.withWarc(base).select(col("doc_id"), col("warc"))
+      // the prior-capture index is UNIQUE per URL — the LATEST capture wins
+      // (max WARC-Date), exactly what a crawler's index holds. Without the
+      // dedup, re-crawled URL collisions fan the join out quadratically
+      // (caught by the 10×/30× replication probe: 3.3M → 29.5M joined rows)
       val prior = W.warcRecords(crawl1, "warc")
         .filter(col("rec_type") === "response" && col("http_status") === 200)
-        .select(col("target_uri").as("url"), md5(col("payload")).as("prior_md5"))
+        .groupBy(col("target_uri").as("url"))
+        .agg(max_by(md5(col("payload")), col("warc_date")).as("prior_md5"))
       val recs2 = W.warcRecords(
           W.withWarcConditional(base, 200000L), "warc")
         .filter(col("rec_type") === "response")
@@ -6953,6 +6999,26 @@ object SparkEntry {
             .select(col("doc_id"), col("ok"),
               md5(col("decoded")).as("decoded_md5"))
           graft.streaming.Streaming.runToMemory(s, dec, "stream_httpdec",
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        }
+      }.orderBy("doc_id")
+    }),
+    // ...and the charset decode's streaming twin (r17): stateless per-batch
+    // charset resolution + strict decode — the other capture-side step a
+    // streaming ingester runs before any text operator sees the page.
+    "q_stream_charset_decode" -> ((s, dir) => {
+      tune(s)
+      streamResult(s, dir, "charsetdec") {
+        withStreamConf(s) {
+          val docsSchema = table(s, dir, "documents").schema
+          val stream = s.readStream.schema(docsSchema)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          val W = graft.operators.Web
+          val w = W.withCharsetHttp(stream)
+          val dec = W.decodeCharset(w, "doc_id", "body", "content_type")
+            .select(col("doc_id"), col("charset"), col("charset_src"),
+              col("ok"), md5(col("text")).as("text_md5"))
+          graft.streaming.Streaming.runToMemory(s, dec, "stream_charsetdec",
             org.apache.spark.sql.streaming.OutputMode.Append())
         }
       }.orderBy("doc_id")
@@ -8779,6 +8845,78 @@ object SparkEntry {
         |    'text/html', CAST(octet_length(encode(respb)) AS BIGINT),
         |    md5(rbody) FROM wblk WHERE doc_id % 89 <> 88
         | ) ORDER BY doc_id, rec_pos""".stripMargin.replace("\n", "")
+
+  /** One oracle text for q_charset_decode AND its streaming twin. */
+  private lazy val charsetDecodeDual: String =
+      """WITH cf AS (SELECT doc_id, text,
+        |  CASE WHEN doc_id % 29 = 7 OR doc_id % 31 = 11 THEN NULL
+        |    WHEN doc_id % 5 = 1 THEN 'iso-8859-1'
+        |    WHEN doc_id % 5 = 2 THEN 'windows-1252'
+        |    WHEN doc_id % 5 = 3 THEN 'shift_jis'
+        |    ELSE 'utf-8' END AS charset,
+        |  CASE WHEN doc_id % 29 = 7 OR doc_id % 31 = 11 THEN 'header'
+        |    WHEN doc_id % 5 IN (0, 1) THEN 'header'
+        |    WHEN doc_id % 5 IN (2, 3) THEN 'meta'
+        |    ELSE 'default' END AS charset_src,
+        |  (doc_id % 29 <> 7 AND doc_id % 31 <> 11) AS ok,
+        |  CASE WHEN doc_id % 29 = 7 OR doc_id % 31 = 11 THEN NULL
+        |    WHEN doc_id % 5 = 0 THEN '<html><head></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text || ' café № Ümlaut 日本語</p></body></html>'
+        |    WHEN doc_id % 5 = 1 THEN '<html><head></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' café Ümlaut ±°</p></body></html>'
+        |    WHEN doc_id % 5 = 2 THEN '<html><head><meta charset="windows-1252"></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' café Ümlaut €99</p></body></html>'
+        |    WHEN doc_id % 5 = 3 THEN '<html><head><meta http-equiv="Content-Type" content="text/html; charset=Shift_JIS"></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' 日本語テキスト 円</p></body></html>'
+        |    ELSE '<html><head></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text || ' ✓</p></body></html>' END AS expected
+        | FROM documents)
+        | SELECT doc_id, charset, charset_src, ok, md5(expected) AS text_md5
+        | FROM cf ORDER BY doc_id""".stripMargin.replace("\n", "")
+
+  /** One oracle text for q_domain_rank AND q_domain_rank_wat (r17):
+    * the rank table derived from the WAT panel must equal the one from
+    * the raw pages to the last decimal-exact rank.
+    */
+  private lazy val domainRankDual: String =
+    ("WITH " + htmlCtes + "," +
+      """ links AS (SELECT doc_id, text, url AS page_url, UNNEST(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href FROM h),
+        | rb AS (SELECT doc_id, text, href, regexp_replace(page_url, '#.*', '') AS basenf FROM links),
+        | rp AS (SELECT doc_id, text, href, basenf,
+        |   regexp_extract(basenf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS bscheme,
+        |   regexp_extract(basenf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS bauth,
+        |   regexp_extract(basenf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS bpath
+        |  FROM rb),""".stripMargin.replace("\n", "") +
+      s""" rr AS (SELECT doc_id, text, href,
+         |  CASE
+         |   WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN href
+         |   WHEN starts_with(href, '//') THEN bscheme || ':' || href
+         |   WHEN starts_with(href, '/') THEN bscheme || '://' || bauth || ${dotsSql("href")}
+         |   WHEN starts_with(href, '#') OR href = '' THEN basenf
+         |   WHEN starts_with(href, '?') THEN bscheme || '://' || bauth || (CASE WHEN bpath = '' THEN '/' ELSE bpath END) || href
+         |   ELSE bscheme || '://' || bauth || ${dotsSql(
+              "((CASE WHEN bpath = '' THEN '/' ELSE regexp_replace(bpath, '[^/]*$', '') END) || href)")}
+         |  END AS url
+         | FROM rp),""".stripMargin.replace("\n", "") +
+      canonChainSql("rr", extra = ", href") +
+      """, srcd AS (SELECT doc_id,
+        |   CASE WHEN doc_id % 100 % 7 = 6 THEN 'example.co.uk'
+        |     ELSE 'example-' || CAST(doc_id % 100 % 7 AS VARCHAR) || '.com' END AS src
+        |  FROM documents),
+        | cnm AS MATERIALIZED (SELECT doc_id, domain FROM cn),
+        | ed AS MATERIALIZED (SELECT DISTINCT sd.src AS src, c.domain AS dst
+        |  FROM cnm c JOIN srcd sd ON c.doc_id = sd.doc_id
+        |  WHERE c.domain IS NOT NULL AND sd.src <> c.domain),
+        | ndr AS MATERIALIZED (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+        | dgr AS MATERIALIZED (SELECT src, COUNT(*) AS dg FROM ed GROUP BY 1),
+        | pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM ndr),
+        | pc1 AS (SELECT dst, SUM(CAST(rank / dg AS DECIMAL(38,12))) AS s2
+        |   FROM ed JOIN pr0 ON ed.src = pr0.node JOIN dgr ON ed.src = dgr.src GROUP BY dst),
+        | pr1 AS (SELECT node, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * COALESCE(CAST(s2 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
+        |   FROM ndr LEFT JOIN pc1 ON node = dst),
+        | pc2 AS (SELECT dst, SUM(CAST(rank / dg AS DECIMAL(38,12))) AS s2
+        |   FROM ed JOIN pr1 ON ed.src = pr1.node JOIN dgr ON ed.src = dgr.src GROUP BY dst),
+        | pr2 AS (SELECT node, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * COALESCE(CAST(s2 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
+        |   FROM ndr LEFT JOIN pc2 ON node = dst),
+        | pc3 AS (SELECT dst, SUM(CAST(rank / dg AS DECIMAL(38,12))) AS s2
+        |   FROM ed JOIN pr2 ON ed.src = pr2.node JOIN dgr ON ed.src = dgr.src GROUP BY dst)
+        | SELECT node AS domain, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * COALESCE(CAST(s2 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
+        | FROM ndr LEFT JOIN pc3 ON node = dst ORDER BY domain""".stripMargin.replace("\n", ""))
 
   /** One oracle text for q_sitemap_parse AND q_sitemap_gz (r17): the
     * `.xml.gz` lane must be entry-for-entry identical to the plain parse.
@@ -11452,49 +11590,11 @@ object SparkEntry {
     // domain rank: the q_html_links restatement collapsed to registrable-
     // domain edges (src domain from the host formula, self-edges dropped,
     // distinct) + the q_pagerank decimal-exact 3-iteration unroll
-    "q_domain_rank" -> ("WITH " + htmlCtes + "," +
-      """ links AS (SELECT doc_id, text, url AS page_url, UNNEST(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href FROM h),
-        | rb AS (SELECT doc_id, text, href, regexp_replace(page_url, '#.*', '') AS basenf FROM links),
-        | rp AS (SELECT doc_id, text, href, basenf,
-        |   regexp_extract(basenf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS bscheme,
-        |   regexp_extract(basenf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS bauth,
-        |   regexp_extract(basenf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS bpath
-        |  FROM rb),""".stripMargin.replace("\n", "") +
-      s""" rr AS (SELECT doc_id, text, href,
-         |  CASE
-         |   WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN href
-         |   WHEN starts_with(href, '//') THEN bscheme || ':' || href
-         |   WHEN starts_with(href, '/') THEN bscheme || '://' || bauth || ${dotsSql("href")}
-         |   WHEN starts_with(href, '#') OR href = '' THEN basenf
-         |   WHEN starts_with(href, '?') THEN bscheme || '://' || bauth || (CASE WHEN bpath = '' THEN '/' ELSE bpath END) || href
-         |   ELSE bscheme || '://' || bauth || ${dotsSql(
-              "((CASE WHEN bpath = '' THEN '/' ELSE regexp_replace(bpath, '[^/]*$', '') END) || href)")}
-         |  END AS url
-         | FROM rp),""".stripMargin.replace("\n", "") +
-      canonChainSql("rr", extra = ", href") +
-      """, srcd AS (SELECT doc_id,
-        |   CASE WHEN doc_id % 100 % 7 = 6 THEN 'example.co.uk'
-        |     ELSE 'example-' || CAST(doc_id % 100 % 7 AS VARCHAR) || '.com' END AS src
-        |  FROM documents),
-        | cnm AS MATERIALIZED (SELECT doc_id, domain FROM cn),
-        | ed AS MATERIALIZED (SELECT DISTINCT sd.src AS src, c.domain AS dst
-        |  FROM cnm c JOIN srcd sd ON c.doc_id = sd.doc_id
-        |  WHERE c.domain IS NOT NULL AND sd.src <> c.domain),
-        | ndr AS MATERIALIZED (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
-        | dgr AS MATERIALIZED (SELECT src, COUNT(*) AS dg FROM ed GROUP BY 1),
-        | pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM ndr),
-        | pc1 AS (SELECT dst, SUM(CAST(rank / dg AS DECIMAL(38,12))) AS s2
-        |   FROM ed JOIN pr0 ON ed.src = pr0.node JOIN dgr ON ed.src = dgr.src GROUP BY dst),
-        | pr1 AS (SELECT node, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * COALESCE(CAST(s2 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
-        |   FROM ndr LEFT JOIN pc1 ON node = dst),
-        | pc2 AS (SELECT dst, SUM(CAST(rank / dg AS DECIMAL(38,12))) AS s2
-        |   FROM ed JOIN pr1 ON ed.src = pr1.node JOIN dgr ON ed.src = dgr.src GROUP BY dst),
-        | pr2 AS (SELECT node, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * COALESCE(CAST(s2 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
-        |   FROM ndr LEFT JOIN pc2 ON node = dst),
-        | pc3 AS (SELECT dst, SUM(CAST(rank / dg AS DECIMAL(38,12))) AS s2
-        |   FROM ed JOIN pr2 ON ed.src = pr2.node JOIN dgr ON ed.src = dgr.src GROUP BY dst)
-        | SELECT node AS domain, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * COALESCE(CAST(s2 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
-        | FROM ndr LEFT JOIN pc3 ON node = dst ORDER BY domain""".stripMargin.replace("\n", "")),
+    "q_domain_rank" -> domainRankDual,
+    // the WAT-panel rank shares the oracle verbatim: the metadata panel
+    // is a faithful substrate for the link graph
+    "q_domain_rank_wat" -> domainRankDual,
+
     "q_psl_domains" -> {
       val sufs = graft.operators.Web.pslSuffixes.map(s => s"'$s'").mkString(", ")
       val n = graft.operators.Web.pslSuffixes.size
@@ -11933,27 +12033,9 @@ object SparkEntry {
     // text_md5 = md5 of the expected page restated as UTF-8 SQL literals —
     // the Spark side must decode the cp1252/Shift_JIS/Latin-1 bytes under
     // the right label to land on them
-    "q_charset_decode" ->
-      """WITH cf AS (SELECT doc_id, text,
-        |  CASE WHEN doc_id % 29 = 7 OR doc_id % 31 = 11 THEN NULL
-        |    WHEN doc_id % 5 = 1 THEN 'iso-8859-1'
-        |    WHEN doc_id % 5 = 2 THEN 'windows-1252'
-        |    WHEN doc_id % 5 = 3 THEN 'shift_jis'
-        |    ELSE 'utf-8' END AS charset,
-        |  CASE WHEN doc_id % 29 = 7 OR doc_id % 31 = 11 THEN 'header'
-        |    WHEN doc_id % 5 IN (0, 1) THEN 'header'
-        |    WHEN doc_id % 5 IN (2, 3) THEN 'meta'
-        |    ELSE 'default' END AS charset_src,
-        |  (doc_id % 29 <> 7 AND doc_id % 31 <> 11) AS ok,
-        |  CASE WHEN doc_id % 29 = 7 OR doc_id % 31 = 11 THEN NULL
-        |    WHEN doc_id % 5 = 0 THEN '<html><head></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text || ' café № Ümlaut 日本語</p></body></html>'
-        |    WHEN doc_id % 5 = 1 THEN '<html><head></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' café Ümlaut ±°</p></body></html>'
-        |    WHEN doc_id % 5 = 2 THEN '<html><head><meta charset="windows-1252"></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' café Ümlaut €99</p></body></html>'
-        |    WHEN doc_id % 5 = 3 THEN '<html><head><meta http-equiv="Content-Type" content="text/html; charset=Shift_JIS"></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' 日本語テキスト 円</p></body></html>'
-        |    ELSE '<html><head></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text || ' ✓</p></body></html>' END AS expected
-        | FROM documents)
-        | SELECT doc_id, charset, charset_src, ok, md5(expected) AS text_md5
-        | FROM cf ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q_charset_decode" -> charsetDecodeDual,
+    // the streaming twin shares the charset oracle verbatim
+    "q_stream_charset_decode" -> charsetDecodeDual,
     // charset dedup consequence: each doc's pair folds onto one
     // extracted-text key (tag-stripping erases the meta difference)
     "q_charset_dedup" ->
