@@ -5996,18 +5996,24 @@ object SparkEntry {
           regexp_extract(col("payload"), "<title>(.*?)</title>", 1))
         .withColumn("links", transform(W.extractLinks(col("payload")),
           l => W.resolveUrl(col("url"), l)))
+      // localCheckpoint (lazy): TWO consumers (src and dst domain chains)
+      // would each re-run the full serialize∘parse WAT round-trip without
+      // the cut (measured 3.9 s → ~2 s at bench; in production the WAT
+      // panel IS a landed artifact read once)
       val wat = W.warcRecords(
           W.toWat(meta, "doc_id", "url", "warc_date", "http_status", "mime",
             "title", "links").select(col("doc_id"), col("wat")), "wat")
         .withColumn("j", from_json(col("payload"),
           org.apache.spark.sql.types.StructType.fromDDL(
             "url STRING, status INT, mime STRING, title STRING, links ARRAY<STRING>")))
+        .select(col("doc_id"), col("j.url").as("__wurl"), col("j.links").as("__wlinks"))
+        .localCheckpoint(false)
       val dstD = W.canonicalize(
-          wat.select(col("doc_id"), explode(col("j.links")).as("url")), "url")
+          wat.select(col("doc_id"), explode(col("__wlinks")).as("url")), "url")
         .select(col("doc_id"), col("domain").as("dst"))
         .localCheckpoint(false)
       val srcD = W.canonicalize(
-          wat.select(col("doc_id"), col("j.url").as("url")), "url")
+          wat.select(col("doc_id"), col("__wurl").as("url")), "url")
         .select(col("doc_id"), col("domain").as("src"))
         .localCheckpoint(false)
       val edges = srcD.join(dstD, Seq("doc_id"))
