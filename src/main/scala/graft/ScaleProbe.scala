@@ -1069,7 +1069,8 @@ object ScaleProbe {
             W.withWarc(base).select(col("doc_id"), col("warc")), "warc")
           .filter(col("rec_type") === "response" && col("http_status") === 200)
           .groupBy(col("target_uri").as("url"))
-          .agg(max_by(md5(col("payload")), col("warc_date")).as("prior_md5"))
+          .agg(max(struct(col("warc_date"), md5(col("payload"))))
+            .getField("col2").as("prior_md5"))
         val recs2 = W.warcRecords(
             W.withWarcConditional(base, 900000000L), "warc")
           .filter(col("rec_type") === "response")

@@ -6432,7 +6432,10 @@ object SparkEntry {
       val prior = W.warcRecords(crawl1, "warc")
         .filter(col("rec_type") === "response" && col("http_status") === 200)
         .groupBy(col("target_uri").as("url"))
-        .agg(max_by(md5(col("payload")), col("warc_date")).as("prior_md5"))
+        // struct max, not max_by: two captures sharing url AND date must
+        // still pick deterministically (max_by ties are engine's choice)
+        .agg(max(struct(col("warc_date"), md5(col("payload"))))
+          .getField("col2").as("prior_md5"))
       val recs2 = W.warcRecords(
           W.withWarcConditional(base, 200000L), "warc")
         .filter(col("rec_type") === "response")
