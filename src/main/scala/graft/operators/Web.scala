@@ -1308,7 +1308,8 @@ object Web {
     * the decoded prefix of THAT member, then ends the stream.
     */
   private[graft] def gzipMemberIterator(bytes: Array[Byte]): Iterator[String] =
-    new scala.collection.AbstractIterator[String] {
+    if (bytes == null) Iterator.empty // NULL payload = zero members
+    else new scala.collection.AbstractIterator[String] {
       private var off = 0
       private var nextText: String = null
       private var finished = false
@@ -1571,7 +1572,9 @@ object Web {
     val sep = "\r\n\r\n".getBytes("US-ASCII")
     df.select(col(idCol).cast(LongType), col(segCol).cast(BinaryType))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, seg) =>
+      .mapPartitions(_.flatMap { case (id, seg0) =>
+        // NULL segment = zero records (one null row must not kill the task)
+        val seg = if (seg0 == null) Array.emptyByteArray else seg0
         warcCutsB(seg).iterator.zipWithIndex.map { case (c, i) =>
           val isHttp = matchesAt(seg, httpMagic, c.blockStart) &&
             c.blockStart + httpMagic.length <= c.blockEnd
@@ -2149,6 +2152,7 @@ object Web {
     * keeps the decoded prefix.
     */
   private def gunzipLenient(bytes: Array[Byte]): String = {
+    if (bytes == null) return "" // NULL payload = zero records (quarantine)
     val out = new java.io.ByteArrayOutputStream()
     try {
       val in = new java.util.zip.GZIPInputStream(

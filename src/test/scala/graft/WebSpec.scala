@@ -354,6 +354,16 @@ class WebSpec extends SparkSpec {
     Web.gzipMemberIterator(trunc).toSeq.take(2) shouldBe Seq("alpha", "beta")
   }
 
+  test("NULL payloads quarantine across the byte lanes (r17 self-review): " +
+    "gunzip yields zero records, member walk yields zero members, binary parse survives") {
+    val nullGz = Seq((1L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "warc_gz")
+    rows(Web.gunzipWarc(nullGz, "doc_id", "warc_gz")).head.getString(1) shouldBe ""
+    rows(Web.gunzipWarcMembers(nullGz, "doc_id", "warc_gz")) shouldBe empty
+    Web.gzipMemberIterator(null).toSeq shouldBe Seq.empty
+    val nullSeg = Seq((1L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "seg")
+    rows(Web.warcRecordsBin(nullSeg, "doc_id", "seg")) shouldBe empty
+  }
+
   test("gunzipStr + withSitemapGz (r17): string-keyed gzip round-trip; " +
     "withWarcConditional: 304 arms are head-only, 200 arms carry the body") {
     val xmls = Seq(("h1.example.com", "<urlset>x</urlset>"),
