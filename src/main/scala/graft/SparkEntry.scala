@@ -6683,6 +6683,7 @@ object SparkEntry {
           "transfer_encoding", "content_encoding")
         .withColumn("enc",
           when(col("doc_id") % 23 === 9, lit("corrupt"))
+            .when(col("doc_id") % 43 === 21, lit("te-list"))
             .when(col("doc_id") % 5 === 0, lit("identity"))
             .when(col("doc_id") % 5 === 1, lit("gzip"))
             .when(col("doc_id") % 5 === 2, lit("chunked+gzip"))
@@ -8859,16 +8860,21 @@ object SparkEntry {
   private lazy val charsetDecodeDual: String =
       """WITH cf AS (SELECT doc_id, text,
         |  CASE WHEN doc_id % 29 = 7 OR doc_id % 31 = 11 THEN NULL
+        |    WHEN doc_id % 37 = 13 THEN 'utf-16le'
+        |    WHEN doc_id % 41 = 17 THEN 'utf-8'
         |    WHEN doc_id % 5 = 1 THEN 'iso-8859-1'
         |    WHEN doc_id % 5 = 2 THEN 'windows-1252'
         |    WHEN doc_id % 5 = 3 THEN 'shift_jis'
         |    ELSE 'utf-8' END AS charset,
         |  CASE WHEN doc_id % 29 = 7 OR doc_id % 31 = 11 THEN 'header'
+        |    WHEN doc_id % 37 = 13 OR doc_id % 41 = 17 THEN 'bom'
         |    WHEN doc_id % 5 IN (0, 1) THEN 'header'
         |    WHEN doc_id % 5 IN (2, 3) THEN 'meta'
         |    ELSE 'default' END AS charset_src,
         |  (doc_id % 29 <> 7 AND doc_id % 31 <> 11) AS ok,
         |  CASE WHEN doc_id % 29 = 7 OR doc_id % 31 = 11 THEN NULL
+        |    WHEN doc_id % 37 = 13 THEN '<html><head></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' utf16 page ✓</p></body></html>'
+        |    WHEN doc_id % 41 = 17 THEN '<html><head></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' bom page €</p></body></html>'
         |    WHEN doc_id % 5 = 0 THEN '<html><head></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text || ' café № Ümlaut 日本語</p></body></html>'
         |    WHEN doc_id % 5 = 1 THEN '<html><head></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' café Ümlaut ±°</p></body></html>'
         |    WHEN doc_id % 5 = 2 THEN '<html><head><meta charset="windows-1252"></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' café Ümlaut €99</p></body></html>'
@@ -12007,6 +12013,7 @@ object SparkEntry {
     "q_http_body_decode" -> ("WITH " + htmlCtes +
       """ SELECT doc_id,
         |   CASE WHEN doc_id % 23 = 9 THEN 'corrupt'
+        |     WHEN doc_id % 43 = 21 THEN 'te-list'
         |     WHEN doc_id % 5 = 0 THEN 'identity'
         |     WHEN doc_id % 5 = 1 THEN 'gzip'
         |     WHEN doc_id % 5 = 2 THEN 'chunked+gzip'

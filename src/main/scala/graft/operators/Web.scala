@@ -809,23 +809,32 @@ object Web {
     * absent pass through; unknown codings quarantine (emitting the encoded
     * octets as if they were content is the one forbidden outcome).
     */
+  /** Remove ONE coding from the entity octets; None = unknown or corrupt. */
+  private def removeCoding(b: Array[Byte], coding: String): Option[Array[Byte]] =
+    coding match {
+      case "chunked" => dechunkBytesRaw(b).map(_._1)
+      case "gzip" | "x-gzip" => gunzipStrict(b)
+      case "deflate" => inflateStrict(b)
+      case _ => None
+    }
+
   private[graft] def decodeHttpBodyBytes(body: Array[Byte], te: String,
       ce: String): Option[Array[Byte]] = {
     if (body == null) return None
-    val afterTe: Option[Array[Byte]] = te match {
-      case null | "" | "identity" => Some(body)
-      case t if t.trim.equalsIgnoreCase("chunked") =>
-        dechunkBytesRaw(body).map(_._1)
-      case _ => None
+    // Transfer-Encoding is a LIST applied in declaration order (RFC 9112:
+    // `TE: gzip, chunked` means gzip first, chunked around it, with
+    // chunked required last) — removal runs the list in REVERSE. `identity`
+    // tokens are no-ops; any unknown coding quarantines the body.
+    def codings(h: String): Seq[String] =
+      Option(h).map(_.split(",").toSeq.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+        .filter(c => c.nonEmpty && c != "identity")).getOrElse(Seq.empty)
+    val afterTe = codings(te).reverse.foldLeft(Option(body)) {
+      (acc, c) => acc.flatMap(removeCoding(_, c))
     }
+    // Content-Encoding is also list-valued (rare but legal: `gzip, gzip`
+    // from a double-compressing proxy chain) — same reverse removal
     afterTe.flatMap { b =>
-      ce match {
-        case null | "" | "identity" => Some(b)
-        case c if c.trim.equalsIgnoreCase("gzip") ||
-          c.trim.equalsIgnoreCase("x-gzip") => gunzipStrict(b)
-        case c if c.trim.equalsIgnoreCase("deflate") => inflateStrict(b)
-        case _ => None
-      }
+      codings(ce).reverse.foldLeft(Option(b))((acc, c) => acc.flatMap(removeCoding(_, c)))
     }
   }
 
@@ -928,11 +937,26 @@ object Web {
   private val metaEquivRe = java.util.regex.Pattern.compile(
     "(?i)<meta\\s+http-equiv=[\"']?content-type[\"']?\\s+content=[\"'][^\"']*charset=([A-Za-z0-9._-]+)")
 
+  /** Byte-order-mark sniff — the FIRST step of the WHATWG encoding
+    * algorithm: a BOM is authoritative over the transport header and any
+    * meta tag (a page saved as UTF-16 keeps its BOM even when a proxy
+    * slaps `charset=UTF-8` on it). Returns (charset, bomOctets).
+    */
+  private[graft] def detectBom(bytes: Array[Byte]): Option[(String, Int)] =
+    if (bytes.length >= 3 && bytes(0) == 0xEF.toByte &&
+      bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte) Some(("UTF-8", 3))
+    else if (bytes.length >= 2 && bytes(0) == 0xFF.toByte &&
+      bytes(1) == 0xFE.toByte) Some(("UTF-16LE", 2))
+    else if (bytes.length >= 2 && bytes(0) == 0xFE.toByte &&
+      bytes(1) == 0xFF.toByte) Some(("UTF-16BE", 2))
+    else None
+
   /** Resolve the charset label and its provenance for one payload: the
     * HTTP Content-Type `charset` parameter wins (the transport's own
     * declaration), else the HTML `<meta charset>` / `http-equiv` prescan
     * over the first [[charsetPrescanBytes]] octets (decoded as Latin-1 —
-    * every byte maps, so the scan itself can't fail), else UTF-8.
+    * every byte maps, so the scan itself can't fail), else UTF-8. BOM
+    * precedence is [[decodeCharset]]'s job (it must also strip the mark).
     */
   private[graft] def resolveCharset(bytes: Array[Byte],
       contentType: String): (String, String) = {
@@ -988,8 +1012,16 @@ object Web {
         if (bytes == null) (id, null.asInstanceOf[String],
           null.asInstanceOf[String], null.asInstanceOf[String], false)
         else {
-          val (label, src) = resolveCharset(bytes, ctype)
-          decodeCharsetBytes(bytes, label) match {
+          // WHATWG order: BOM first (authoritative, stripped from content),
+          // then header, then meta prescan, then the UTF-8 default
+          val (label, src, content) = detectBom(bytes) match {
+            case Some((cs, n)) =>
+              (cs, "bom", java.util.Arrays.copyOfRange(bytes, n, bytes.length))
+            case None =>
+              val (l, s) = resolveCharset(bytes, ctype)
+              (l, s, bytes)
+          }
+          decodeCharsetBytes(content, label) match {
             case Some(txt) =>
               val canon = java.nio.charset.Charset.forName(label)
                 .name().toLowerCase(java.util.Locale.ROOT)
@@ -1029,6 +1061,17 @@ object Web {
           else if (id % 31 == 11)
             (page("", "opaque").getBytes("US-ASCII"),
               "text/html; charset=x-graft-unknown")
+          else if (id % 37 == 13)
+            // UTF-16LE page whose BOM survives a proxy that slapped a LYING
+            // charset=UTF-8 header on it — the BOM must win (WHATWG step 1)
+            (Array(0xFF.toByte, 0xFE.toByte) ++
+              page("", "utf16 page ✓").getBytes("UTF-16LE"),
+              "text/html; charset=UTF-8")
+          else if (id % 41 == 17)
+            // UTF-8 with BOM, nothing else declared — provenance must read
+            // 'bom', not 'default', and the mark must strip from content
+            (Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+              page("", "bom page €").getBytes("UTF-8"), "text/html")
           else (id % 5) match {
             case 0 => (page("", s"$text café № Ümlaut 日本語").getBytes("UTF-8"),
               "text/html; charset=UTF-8")
@@ -1089,7 +1132,13 @@ object Web {
         if (id % 23 == 9) {
           val g = gzipBytes(raw); g(0) = 0x00
           (id, g, null.asInstanceOf[String], "gzip", "corrupt")
-        } else (id % 5) match {
+        } else if (id % 43 == 21)
+          // Transfer-Encoding LIST (RFC 9112: `TE: gzip, chunked`, chunked
+          // required last on the wire) — removal must run the list in
+          // reverse: dechunk, then gunzip as a TRANSFER coding
+          (id, chunkBytes(gzipBytes(raw)), "gzip, chunked",
+            null.asInstanceOf[String], "te-list")
+        else (id % 5) match {
           case 0 => (id, raw, null.asInstanceOf[String],
             null.asInstanceOf[String], "identity")
           case 1 => (id, gzipBytes(raw), null.asInstanceOf[String], "gzip", "gzip")

@@ -617,16 +617,17 @@ class WebSpec extends SparkSpec {
       (4L, rawDeflate(raw), null, "deflate"), // browsers' raw-deflate fallback
       (5L, raw, null, "br"), // unknown coding: quarantine, never pass through
       (6L, junkTail, null, "gzip"), // sloppy tail tolerated (browser behavior)
-      (7L, gz(raw), "gzip", null), // gzip is not a transfer coding we accept
+      (7L, gz(raw), "gzip", null), // RFC 9112: gzip IS a transfer coding
       (8L, midCorrupt, null, "gzip")) // mid-member DEFLATE corruption quarantines
       .toDF("doc_id", "body", "te", "ce")
     val out = rows(Web.decodeHttpBody(rowsIn, "doc_id", "body", "te", "ce")
       .select("doc_id", "ok", "decoded").orderBy("doc_id"))
     out.map(r => (r.getLong(0), r.getBoolean(1))) shouldBe
       Seq((1L, true), (2L, true), (3L, true), (4L, true), (5L, false),
-        (6L, true), (7L, false), (8L, false))
+        (6L, true), (7L, true), (8L, false))
     out.take(4).foreach(_.getString(2) shouldBe text)
     out(5).getString(2) shouldBe text
+    out(6).getString(2) shouldBe text
   }
 
   test("warcRecordsBin (r17): binary parse shares the text walk's framing; " +
@@ -648,6 +649,52 @@ class WebSpec extends SparkSpec {
     val body = r.getAs[Array[Byte]](6)
     Web.decodeHttpBodyBytes(body, "chunked", "gzip")
       .map(new String(_, "UTF-8")) shouldBe Some(html)
+  }
+
+  test("decodeCharset BOM precedence (r17): a BOM beats a lying header, the " +
+    "mark strips from content, UTF-16 both endiannesses decode") {
+    val text = "<p>page ✓ café</p>"
+    val rowsIn = Seq(
+      (1L, Array(0xFF.toByte, 0xFE.toByte) ++ text.getBytes("UTF-16LE"),
+        "text/html; charset=UTF-8"), // lying header; BOM wins
+      (2L, Array(0xFE.toByte, 0xFF.toByte) ++ text.getBytes("UTF-16BE"),
+        "text/html"),
+      (3L, Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ text.getBytes("UTF-8"),
+        "text/html"))
+      .toDF("rid", "body", "content_type")
+    val out = rows(Web.decodeCharset(rowsIn, "rid", "body", "content_type")
+      .select("rid", "ok", "charset", "charset_src", "text").orderBy("rid"))
+    out.map(r => (r.getBoolean(1), r.getString(2), r.getString(3))) shouldBe
+      Seq((true, "utf-16le", "bom"), (true, "utf-16be", "bom"),
+        (true, "utf-8", "bom"))
+    out.foreach(_.getString(4) shouldBe text) // mark stripped everywhere
+  }
+
+  test("decodeHttpBody TE/CE lists (r17): 'gzip, chunked' removes in reverse, " +
+    "double content-gzip unwraps, unknown list members quarantine") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    def chunked(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(f"${b.length}%x\r\n".getBytes("US-ASCII"))
+      bos.write(b); bos.write("\r\n0\r\n\r\n".getBytes("US-ASCII"))
+      bos.toByteArray
+    }
+    val raw = "listed codings body".getBytes("UTF-8")
+    val rowsIn = Seq(
+      (1L, chunked(gz(raw)), "gzip, chunked", null),
+      (2L, gz(gz(raw)), null, "gzip, gzip"), // double-compressing proxy chain
+      (3L, chunked(raw), "identity, chunked", null), // identity tokens no-op
+      (4L, raw, "br, chunked", null)) // unknown member: quarantine
+      .toDF("doc_id", "body", "te", "ce")
+    val out = rows(Web.decodeHttpBody(rowsIn, "doc_id", "body", "te", "ce")
+      .select("doc_id", "ok", "decoded").orderBy("doc_id"))
+    out.map(r => (r.getLong(0), r.getBoolean(1))) shouldBe
+      Seq((1L, true), (2L, true), (3L, true), (4L, false))
+    out.take(3).foreach(_.getString(2) shouldBe "listed codings body")
   }
 
   test("decodeCharset (r17): header beats meta, prescan is bounded to 1 KiB, " +
