@@ -651,6 +651,85 @@ class WebSpec extends SparkSpec {
       .map(new String(_, "UTF-8")) shouldBe Some(html)
   }
 
+  test("decode∘encode PROPERTY (r17): random text through random charset and " +
+    "random transfer/content coding chains round-trips byte-exact") {
+    val rnd = new scala.util.Random(777)
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    def defl(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end(); bos.toByteArray
+    }
+    def chunked(b: Array[Byte]): Array[Byte] = {
+      // random chunk sizes — the decoder must not care where cuts fall
+      val bos = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < b.length) {
+        val n = math.min(b.length - i, 1 + rnd.nextInt(40))
+        bos.write(f"$n%x\r\n".getBytes("US-ASCII"))
+        bos.write(b, i, n); bos.write("\r\n".getBytes("US-ASCII"))
+        i += n
+      }
+      bos.write("0\r\n\r\n".getBytes("US-ASCII")); bos.toByteArray
+    }
+    val ascii = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ " .,;:!?-_<>&\"'"
+    val latin1 = ascii ++ "àéüÄß±°¿"
+    val cp1252 = latin1 ++ "€"
+    val jp = ascii ++ "日本語テキスト円"
+    val uni = cp1252 ++ "日本語✓№—"
+    val arms = Seq(
+      ("UTF-8", uni, true), ("ISO-8859-1", latin1, false),
+      ("windows-1252", cp1252, false), ("Shift_JIS", jp, false),
+      ("UTF-16LE", uni, true), ("UTF-16BE", uni, true))
+    (1 to 60).foreach { _ =>
+      val (cs, alpha, bomable) = arms(rnd.nextInt(arms.size))
+      val text = (0 until 1 + rnd.nextInt(300))
+        .map(_ => alpha(rnd.nextInt(alpha.size))).mkString
+      val useBom = cs.startsWith("UTF-16") ||
+        (bomable && rnd.nextBoolean()) // UTF-16 w/o BOM needs a header label
+      val bom = cs match {
+        case "UTF-16LE" => Array(0xFF.toByte, 0xFE.toByte)
+        case "UTF-16BE" => Array(0xFE.toByte, 0xFF.toByte)
+        case "UTF-8" if useBom => Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+        case _ => Array.emptyByteArray
+      }
+      val content = bom ++ text.getBytes(cs)
+      // random coding chain, inner→outer; chunked only as the outermost
+      val inner = Seq.fill(rnd.nextInt(3))(
+        if (rnd.nextBoolean()) "gzip" else "deflate")
+      val outerChunked = rnd.nextBoolean()
+      val wire = {
+        val afterCe = inner.foldLeft(content)((b, c) =>
+          if (c == "gzip") gz(b) else defl(b))
+        if (outerChunked) chunked(afterCe) else afterCe
+      }
+      val te = if (outerChunked) "chunked" else null
+      // RFC 9110: the header lists codings in the order APPLIED (first =
+      // innermost); the decoder removes them in reverse
+      val ce = if (inner.nonEmpty) inner.mkString(", ") else null
+      val octets = Web.decodeHttpBodyBytes(wire, te, ce)
+      octets.isDefined shouldBe true
+      val ctype = if (useBom) "text/html" else s"text/html; charset=$cs"
+      val decoded = {
+        val bs = octets.get
+        Web.detectBom(bs) match {
+          case Some((label, n)) =>
+            Web.decodeCharsetBytes(java.util.Arrays.copyOfRange(bs, n, bs.length), label)
+          case None =>
+            Web.decodeCharsetBytes(bs, Web.resolveCharset(bs, ctype)._1)
+        }
+      }
+      decoded shouldBe Some(text)
+    }
+  }
+
   test("decodeCharset BOM precedence (r17): a BOM beats a lying header, the " +
     "mark strips from content, UTF-16 both endiannesses decode") {
     val text = "<p>page ✓ café</p>"
