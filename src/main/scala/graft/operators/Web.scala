@@ -2380,7 +2380,8 @@ object Web {
     * joins back as the is_new flag. This is the shape that holds at a
     * 10^11-URL ledger in the mostly-novel regime the guard serves; a
     * mostly-CRAWLED wave makes the suspect set wave-sized, at which point
-    * the caller should skip the guard and run the plain anti-join.
+    * the guard should be skipped — [[noveltyAuto]] (r17) makes that
+    * dispatch safe by default, keyed on the wave size.
     */
   private def noveltyBySuspects(flagged: DataFrame, candKey: String,
       ledger: DataFrame, ledgerKey: String): DataFrame = {
