@@ -605,13 +605,18 @@ object Web {
       lit(CRLF + CRLF), col(textCol), lit(CRLF + CRLF)))
   }
 
-  /** Minimal JSON string escape (backslash then quote — order matters) for
-    * the WAT metadata serializer. Control characters inside extracted
-    * titles/URLs are outside the contract (the WARC header line discipline
-    * already excludes CR/LF from these fields).
+  /** JSON string escape for the WAT metadata serializer: backslash first,
+    * then quote (order matters), then every control character U+0000–U+001F
+    * as `\u00XX` (r18 advisor fix — a tab inside a `<title>` passes the
+    * `(.*?)` extraction regex, and unescaped it produced invalid JSON that
+    * downstream from_json silently NULLed instead of failing loudly). All
+    * literal replaces — codegen'd.
     */
-  private def jsonEsc(c: Column): Column =
-    replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\""))
+  private[graft] def jsonEsc(c: Column): Column =
+    (0 until 0x20).foldLeft(
+      replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\""))) {
+      (acc, i) => replace(acc, lit(i.toChar.toString), lit(f"\\u$i%04x"))
+    }
 
   /** Serialize per-response metadata as WAT-style records (r17, verdict
     * ask #5) — the third panel of the WARC/WAT/WET triptych real dumps
@@ -1419,6 +1424,14 @@ object Web {
             val stored = (bytes(tOff) & 0xffL) | ((bytes(tOff + 1) & 0xffL) << 8) |
               ((bytes(tOff + 2) & 0xffL) << 16) | ((bytes(tOff + 3) & 0xffL) << 24)
             if (stored != crc.getValue) corrupt = true
+            // ISIZE trailer check too (r18 advisor fix): GZIPInputStream
+            // verifies BOTH trailer words — a member with a correct CRC but
+            // lying ISIZE ends the whole-file stream, so the member walk
+            // must stop there as well or the two readers diverge on such
+            // input (both keep this member's own decoded bytes)
+            val isize = (bytes(tOff + 4) & 0xffL) | ((bytes(tOff + 5) & 0xffL) << 8) |
+              ((bytes(tOff + 6) & 0xffL) << 16) | ((bytes(tOff + 7) & 0xffL) << 24)
+            if (isize != (out.size.toLong & 0xffffffffL)) corrupt = true
           }
         }
         nextText = new String(out.toByteArray, "UTF-8")
@@ -1557,6 +1570,23 @@ object Web {
     */
   val cp1252Marker: String = "<p>résumé café – Ümlaut €99</p>"
 
+  /** STRICT charset encode (r18 advisor fix): `String.getBytes(cs)`
+    * silently substitutes '?' for unencodable characters — a non-cp1252
+    * code point in fixture doc text would make the Spark lane emit '?'
+    * while the oracle restates the original, a hash divergence surfacing
+    * only at untested scale factors. A REPORT-action encoder fails loudly
+    * instead.
+    */
+  private[graft] def encodeStrict(s: String, charset: String): Array[Byte] = {
+    val bb = java.nio.charset.Charset.forName(charset).newEncoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      .encode(java.nio.CharBuffer.wrap(s))
+    val out = new Array[Byte](bb.remaining())
+    bb.get(out)
+    out
+  }
+
   def withWarcBin(docsWithHtml: DataFrame): DataFrame = {
     import docsWithHtml.sparkSession.implicits._
     docsWithHtml.select(col("doc_id").cast(LongType), col("url"), col("html"))
@@ -1570,7 +1600,7 @@ object Web {
         val charsetArm = id % 7 == 5 && id % 23 != 9
         val html = if (charsetArm) html0 + cp1252Marker else html0
         val cs = if (charsetArm) "windows-1252" else "UTF-8"
-        val raw = html.getBytes(cs)
+        val raw = encodeStrict(html, cs)
         val (body, te, ce) =
           if (id % 23 == 9) { val g = gzipBytes(raw); g(0) = 0x00; (g, null, "gzip") }
           else (id % 5) match {
@@ -2016,16 +2046,23 @@ object Web {
     * consulted.
     *
     * Spark shape: the status frame is host-granularity (one int per host)
-    * and rides a broadcast join over [[robotsDecisionsFor]]'s output; the
-    * REP subplan's own joins are untouched, so the gated parity with the
-    * status-less form holds wherever every status is 2xx.
+    * and rides a broadcast join over [[robotsDecisionsFor]]'s output —
+    * below [[robotsBroadcastMaxRules]] hosts; past it (10^8+ hosts at
+    * corpus scale, the same driver-ceiling class as the rule table) the
+    * hint drops and the join runs plain, AQE-sized (r18 advisor fix — the
+    * hint was unconditional). The REP subplan's own joins are untouched,
+    * so the gated parity with the status-less form holds wherever every
+    * status is 2xx. Callers that know the landed status artifact's row
+    * count pass it; the default 0 keeps the broadcast (the fixture shape).
     */
   def robotsDecisionsWithStatus(pages: DataFrame, rules: DataFrame,
       agents: Seq[String], groups: Option[DataFrame],
-      statusByHost: DataFrame): DataFrame =
+      statusByHost: DataFrame, statusHostCount: Long = 0L): DataFrame = {
+    val status = statusByHost.select(col("host"), col("robots_status"))
+    val side = if (statusHostCount < robotsBroadcastMaxRules) broadcast(status)
+      else status
     robotsDecisionsFor(pages, rules, agents, groups)
-      .join(broadcast(statusByHost.select(col("host"), col("robots_status"))),
-        Seq("host"), "left")
+      .join(side, Seq("host"), "left")
       .withColumn("robots_mode",
         when(col("robots_status").isNull, lit("absent"))
           .when(col("robots_status").between(200, 299), lit("parsed"))
@@ -2039,6 +2076,7 @@ object Web {
         when(col("robots_mode") === "parsed", col("allowed"))
           .when(col("robots_mode") === "disallow_all", lit(false))
           .otherwise(lit(true)))
+  }
 
   private def robotsDecisionsImpl(pages: DataFrame, rules: DataFrame,
       agents: Seq[String], groups: Option[DataFrame],

@@ -977,4 +977,67 @@ class WebSpec extends SparkSpec {
     rows(Web.robotsDecisions(pages, robotsRulesOf("site5.example-5.com"), "emptybot")
       .select("allowed")).head.getBoolean(0) shouldBe true
   }
+
+  test("gzipMemberIterator ISIZE lie (r18 advisor): a member with correct CRC " +
+    "but lying ISIZE ends the stream — GZIPInputStream parity") {
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    val m = Seq(gz("alpha"), gz("beta"), gz("gamma")).map(_.clone())
+    // ISIZE is the trailer's LAST 4 bytes; flip a bit in member 2's
+    m(1)(m(1).length - 2) = (m(1)(m(1).length - 2) ^ 0x7f).toByte
+    val payload = m.flatten.toArray
+    // member walk: member 2's own bytes kept (CRC was honest), stream ends
+    Web.gzipMemberIterator(payload).toSeq shouldBe Seq("alpha", "beta")
+    // whole-file reader parity: GZIPInputStream throws on the bad ISIZE
+    // after emitting the member's bytes — same decoded prefix
+    val out = rows(Web.gunzipWarc(Seq((1L, payload)).toDF("doc_id", "warc_gz"),
+      "doc_id", "warc_gz")).head.getString(1)
+    out shouldBe "alphabeta"
+  }
+
+  test("jsonEsc control chars (r18 advisor): a tab inside a title stays valid " +
+    "JSON — from_json round-trips instead of silently nulling") {
+    val df = Seq((1L, "https://e.com/p", "2024-01-01T00:00:00Z", 200,
+        "text/html", "bad\ttitle \"q\" x", Seq("https://e.com/a")))
+      .toDF("doc_id", "url", "warc_date", "http_status", "mime", "title", "links")
+    val wat = Web.toWat(df, "doc_id", "url", "warc_date", "http_status",
+      "mime", "title", "links")
+    val parsed = rows(Web.warcRecords(wat.select(col("doc_id"), col("wat")), "wat")
+      .withColumn("j", from_json(col("payload"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "url STRING, status INT, mime STRING, title STRING, links ARRAY<STRING>")))
+      .select(col("j.title"), col("j.url")))
+    parsed.head.getString(0) shouldBe "bad\ttitle \"q\" x"
+    parsed.head.getString(1) shouldBe "https://e.com/p"
+  }
+
+  test("robotsDecisionsWithStatus size dispatch (r18 advisor): past the host " +
+    "bound the status join drops its broadcast hint, decisions identical") {
+    val pages = Seq((1L, "h2.example.com", "/articles/1"),
+      (2L, "h4.example.com", "/articles/12")).toDF("doc_id", "host", "path")
+    val rules = robotsRulesOf("h2.example.com")
+      .unionByName(robotsRulesOf("h4.example.com"))
+    val status = Seq(("h2.example.com", 503), ("h4.example.com", 200))
+      .toDF("host", "robots_status")
+    val small = rows(Web.robotsDecisionsWithStatus(pages, rules, Seq("graftbot"),
+      None, status).select("doc_id", "robots_mode", "allowed").orderBy("doc_id"))
+    val big = Web.robotsDecisionsWithStatus(pages, rules, Seq("graftbot"),
+      None, status, statusHostCount = Web.robotsBroadcastMaxRules + 1)
+    rows(big.select("doc_id", "robots_mode", "allowed").orderBy("doc_id")) shouldBe small
+    small.map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))) shouldBe
+      Seq((1L, "disallow_all", false), (2L, "parsed", true))
+  }
+
+  test("encodeStrict (r18 advisor): unencodable characters fail loudly instead " +
+    "of silently substituting '?'") {
+    Web.encodeStrict("café €", "windows-1252") shouldBe
+      "café €".getBytes("windows-1252")
+    an[java.nio.charset.CharacterCodingException] should be thrownBy
+      Web.encodeStrict("日本語", "windows-1252")
+    // getBytes would have silently emitted '?' here — the divergence class
+    "日本語".getBytes("windows-1252") shouldBe "???".getBytes("US-ASCII")
+  }
 }
