@@ -6025,6 +6025,56 @@ object SparkEntry {
         .select(col("node").as("domain"), col("rank"))
         .orderBy("domain")
     }),
+    // MAIN-CONTENT extraction (r18, verdict ask #1): htmlToText is a global
+    // tag-strip, so nav/menu/footer/cookie chrome lands in extracted text
+    // and pollutes every downstream operator. The block-level rules
+    // (jusText/C4 family: word floor, link density < 1/2, terminal
+    // punctuation with a long-block override) run over a chrome-heavy
+    // fixture where EVERY rule demonstrably binds — nav and trending
+    // sidebars die on density, cookie banners and "Read on." teasers on
+    // the line rules, the footer's copyright tail on punctuation, while
+    // the main paragraph and a long unpunctuated prose block survive.
+    // Explode + codegen'd per-block features, one partial-aggregable
+    // groupBy — no interpreted lambda on the per-block path.
+    "q_main_content" -> ((s, dir) => {
+      val W = graft.operators.Web
+      W.mainContent(W.withChromeHtml(documents(s, dir)), "doc_id", "html")
+        .select(col("doc_id"), col("n_blocks"), col("n_kept"), col("main_toks"),
+          md5(col("main_text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+    // ...and the dedup CONSEQUENCE (the q_charset_dedup pattern, r18): two
+    // pages per doc share IDENTICAL heavy chrome but carry shingle-disjoint
+    // bodies — under global tag-strip the pair shares every chrome
+    // 3-shingle and COLLIDES as near-duplicates (Jaccard ≥ 0.5); under
+    // main-content extraction each page's text is its body alone and the
+    // pair shares nothing (Jaccard 0). Both Jaccards are under the hash
+    // gate, so the naive collision AND its structural fix are both proven.
+    "q_main_content_dedup" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val v = W.withChromeVariants(documents(s, dir))
+      val naive = v.select(col("doc_id"), col("v"),
+        array_distinct(graft.operators.Dedup.shingles(
+          W.htmlToText(col("html")), 3)).as("sh"))
+      val mainT = W.mainContent(v, "rid", "html")
+        .select(col("rid"), col("main_text"))
+      val main = v.select(col("doc_id"), col("v"), col("rid"))
+        .join(mainT, Seq("rid"))
+        .select(col("doc_id"), col("v"),
+          array_distinct(graft.operators.Dedup.shingles(col("main_text"), 3)).as("sh"))
+      def jpair(df: DataFrame, out: String): DataFrame =
+        df.filter(col("v") === 0).select(col("doc_id"), col("sh").as("__a"))
+          .join(df.filter(col("v") === 1).select(col("doc_id"), col("sh").as("__b")),
+            Seq("doc_id"))
+          .select(col("doc_id"),
+            round(size(array_intersect(col("__a"), col("__b"))).cast(DoubleType) /
+              size(array_union(col("__a"), col("__b"))).cast(DoubleType), 6).as(out))
+      jpair(naive, "naive_jaccard")
+        .join(jpair(main, "main_jaccard"), Seq("doc_id"))
+        .withColumn("naive_collides", col("naive_jaccard") >= 0.5)
+        .withColumn("main_collides", col("main_jaccard") >= 0.5)
+        .orderBy("doc_id")
+    }),
     // registrable-domain resolution against the COMMITTED PSL data file
     // (r14 — verdict ask #4): a host fixture sweeping every listed
     // multi-label suffix (plus sub.-prefixed and 3-label-suffix variants,
@@ -6212,10 +6262,11 @@ object SparkEntry {
     "q_crawl_curation" -> ((s, dir) => {
       val W = graft.operators.Web
       val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
-      // localCheckpoint (lazy): THREE consumers — the funnel's canon chain,
-      // the redirect edge set, the landed-canon set — would each re-run
-      // the synthesis+parse without the lineage cut (and in production the
-      // parse IS a landed artifact read once per consumer)
+      // localCheckpoint (lazy): FOUR consumers — the funnel's canon chain,
+      // the main-content block explode, the redirect edge set, the
+      // landed-canon set — would each re-run the synthesis+parse without
+      // the lineage cut (and in production the parse IS a landed artifact
+      // read once per consumer)
       val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
         .filter(col("rec_type") === "response")
         .select(col("doc_id"), col("target_uri").as("url"), col("payload"),
@@ -6240,15 +6291,24 @@ object SparkEntry {
           robotsHosts(s, dir).withColumn("robots_status", lit(200)))
         .select(col("doc_id"), col("allowed"))
       val lang = documents(s, dir).select(col("doc_id"), col("lang"))
+      // the Gopher word floor consumes the extracted MAIN text (r18,
+      // verdict ask #1): per-response block explode → kept-block word sum —
+      // chrome words (nav/footer/link text) no longer count toward
+      // eligibility or tokens_kept. Narrow explode + one partial-aggregable
+      // doc_id agg; docs whose every block drops coalesce to 0 tokens.
+      val mainToks = W.htmlBlocks(recs.select(col("doc_id"), col("payload")),
+          "doc_id", "payload")
+        .filter(col("kept"))
+        .groupBy("doc_id").agg(sum(col("words")).as("toks"))
       // no broadcast hints: decisions and language are PER-DOC frames
       // (r15 review) — AQE broadcasts them at bench scale and shuffle-joins
       // at corpus scale; only host-granularity artifacts carry the hint
       val staged = canon
         .join(dec, Seq("doc_id"))
         .join(lang, Seq("doc_id"))
+        .join(mainToks, Seq("doc_id"), "left")
+        .withColumn("toks", coalesce(col("toks"), lit(0L)))
         .withColumn("is200", col("http_status") === 200)
-        .withColumn("tc", W.htmlToText(col("payload")))
-        .withColumn("toks", TextAnalysis.wsTokens(col("tc")).cast(LongType))
         .withColumn("elig", col("is200") && col("allowed") &&
           col("lang") === "en" && col("toks") >= 50)
         .withColumn("surv", col("elig") && col("doc_id") ===
@@ -7808,6 +7868,73 @@ object SparkEntry {
     """ h AS (SELECT doc_id, text, url,
       |   '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title><script>var x = 1 < 2;</script><style>.c{color:red}</style></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || ' &amp; tail &lt;tag&gt;</p><a href="' || url || '">first</a> <a href="HTTP://Example.COM/p?id=' || CAST(doc_id % 100 AS VARCHAR) || '#x">second</a> <a href="../other/page-' || CAST(doc_id % 100 AS VARCHAR) || '?x=1">third</a> <a href="//cdn.example-' || CAST(doc_id % 100 AS VARCHAR) || '.com/lib/app.js">fourth</a> <a href="/ROOT/./deep/page-' || CAST(doc_id % 100 AS VARCHAR) || '.html">fifth</a> <a href="https://user@media.example.org/m/' || CAST(doc_id % 100 AS VARCHAR) || '">sixth</a></body></html>' AS html
       |  FROM u)""".stripMargin.replace("\n", "")
+
+  /** [[graft.operators.Web]]'s strip/decode/collapse tail restated over a
+    * SQL fragment expression — tags to spaces, entities (&amp; last),
+    * whitespace collapse, trim (r18).
+    */
+  private def stripSql(x: String): String =
+    "trim(regexp_replace(replace(replace(replace(replace(replace(" +
+      s"regexp_replace($x, '<[^>]*>', ' ', 'g')" +
+      ", '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
+      "'&amp;', '&'), '\\s+', ' ', 'g'))"
+
+  /** [[graft.operators.Web.htmlBlocks]] restated (r18, verdict ask #1):
+    * script/style drop, block-tag boundaries (the SAME [[graft.operators
+    * .Web.blockTagRe]] pattern text — one source of truth), per-block
+    * strip/decode/collapse, word count, link-text mass via whole-anchor
+    * removal, and the keep rule (word floor, link density < 1/2, terminal
+    * punctuation with the long-block override). Yields CTE
+    * `mblk$sfx(mid, block_idx, btext, words, link_chars, kept)` over a
+    * source CTE carrying (idCol, htmlCol).
+    */
+  private def mainBlocksSql(src: String, idCol: String, htmlCol: String,
+      sfx: String = ""): String =
+    s""" mba$sfx AS (SELECT $idCol AS mid, regexp_replace(regexp_replace(regexp_replace($htmlCol,
+       |   '(?s)<script.*?</script>', ' ', 'g'), '(?s)<style.*?</style>', ' ', 'g'),
+       |   '${graft.operators.Web.blockTagRe}', chr(1), 'g') AS m FROM $src),
+       | mbb$sfx AS (SELECT mid, string_split(m, chr(1)) AS lst FROM mba$sfx),
+       | mbc$sfx AS (SELECT mid, i - 1 AS block_idx, lst[i] AS b
+       |   FROM mbb$sfx, unnest(range(1, len(lst) + 1)) AS r(i)),
+       | mbd$sfx AS (SELECT mid, block_idx, ${stripSql("b")} AS btext,
+       |   ${stripSql(s"regexp_replace(b, '${graft.operators.Web.anchorRe}', ' ', 'g')")} AS ntext
+       |  FROM mbc$sfx),
+       | mbe$sfx AS (SELECT mid, block_idx, btext,
+       |   CAST(len(string_split(btext, ' ')) AS BIGINT) AS words,
+       |   CAST(len(btext) - len(ntext) AS BIGINT) AS link_chars
+       |  FROM mbd$sfx WHERE btext <> ''),
+       | mblk$sfx AS (SELECT mid, block_idx, btext, words, link_chars,
+       |   (words >= 5 AND link_chars * 2 < len(btext)
+       |     AND (words >= 10 OR regexp_matches(btext, '[.!?"'']$$'))) AS kept
+       |  FROM mbe$sfx)""".stripMargin.replace("\n", "")
+
+  /** [[graft.operators.Web.withChromeHtml]]'s construction restated. */
+  private def chromeHtmlSql: String =
+    """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title></head><body><nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a> <a href="/pricing">Pricing</a> <a href="/blog">Blog</a></nav><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><div>We use cookies dialog Accept Decline</div><p>' || text || '.</p>' || (CASE CAST(doc_id % 4 AS INTEGER) WHEN 1 THEN '<aside><a href="/t1">Trending topic one</a> <a href="/t2">Trending topic two</a></aside>' WHEN 2 THEN '<div>Extra detail section for doc ' || CAST(doc_id AS VARCHAR) || ' covering many additional words beyond the floor</div>' WHEN 3 THEN '<p>Read on.</p>' ELSE '' END) || '<footer><a href="/privacy">Privacy</a> <a href="/terms">Terms</a> © 2024 Example Corp</footer></body></html>'"""
+
+  /** [[graft.operators.Web.withChromeVariants]] restated: two rows per doc
+    * sharing the heavy chrome template, bodies keyed on v. Yields CTE
+    * `cv(doc_id, v, rid, html)`.
+    */
+  private def chromeVariantsCte: String =
+    """ cv AS (SELECT doc_id, v, doc_id * 2 + v AS rid,
+      |   '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title></head><body><nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a> <a href="/pricing">Pricing</a> <a href="/blog">Blog</a> <a href="/careers">Careers</a> <a href="/support">Support</a> <a href="/archive">Archive</a></nav><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><div>We use cookies dialog Accept Decline</div><p>' ||
+      |   (CASE WHEN v = 0 THEN 'Original piece ' || CAST(doc_id AS VARCHAR) || ' explores alpha rivers and tall mountains today.'
+      |     ELSE 'Revised essay ' || CAST(doc_id AS VARCHAR) || ' examines omega deserts plus deep canyons tonight.' END) ||
+      |   '</p><aside><a href="/t1">Trending topic one</a> <a href="/t2">Trending topic two</a> <a href="/t3">Trending topic three</a></aside><footer><a href="/privacy">Privacy</a> <a href="/terms">Terms</a> © 2024 Example Corp</footer></body></html>' AS html
+      |  FROM documents, unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS t(v))""".stripMargin.replace("\n", "")
+
+  /** Distinct word-3-shingle list over a SQL text expression (the
+    * [[graft.operators.Dedup.shingles]] law: lowercased alnum-run tokens,
+    * whole-token-list fallback for short texts, distinct).
+    */
+  private def shingleListSql(t: String): String = {
+    val ws = s"list_filter(string_split_regex(regexp_replace(lower($t), " +
+      "'[^\\p{L}\\p{Nd}]+', ' ', 'g'), ' '), w -> len(w) > 0)"
+    s"list_distinct((SELECT CASE WHEN len(ws) - 2 <= 0 THEN [array_to_string(ws, ' ')] " +
+      s"ELSE list_transform(range(0, len(ws) - 2), i -> array_to_string(list_slice(ws, i + 1, i + 3), ' ')) END " +
+      s"FROM (SELECT $ws AS ws) __w))"
+  }
 
   /** [[graft.operators.Web.urlOf]]'s messy-URL formula over an arbitrary
     * SQL id expression (r16) — the redirect fixture's Location targets are
@@ -11755,22 +11882,58 @@ object SparkEntry {
     // strategy parity (r16, verdict ask #6): the shuffle-join decision
     // table must land on the SAME oracle as the broadcast strategy
     "q_robots_join_parity" -> robotsFilterDual,
-    // the crawl funnel: WARC construction + robots decisions + strip chain
+    // main-content extraction: the chrome fixture + block chain restated —
+    // every keep/drop rule is under the hash gate per block arm
+    "q_main_content" -> ("WITH chsrc AS (SELECT doc_id, text, " + chromeHtmlSql +
+      " AS html FROM documents)," +
+      mainBlocksSql("chsrc", "doc_id", "html") +
+      """ SELECT mid AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |   CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |   CAST(SUM(CASE WHEN kept THEN words ELSE 0 END) AS BIGINT) AS main_toks,
+        |   md5(coalesce(string_agg(CASE WHEN kept THEN btext END, ' ' ORDER BY block_idx), '')) AS text_md5
+        | FROM mblk GROUP BY mid ORDER BY doc_id""".stripMargin.replace("\n", "")),
+    // the chrome-dedup consequence: both Jaccards recomputed from the
+    // variant construction — naive (global strip) collides on chrome
+    // shingles, main (block rules) shares nothing
+    "q_main_content_dedup" -> ("WITH " + chromeVariantsCte + "," +
+      mainBlocksSql("cv", "rid", "html") + "," +
+      s""" mtx AS (SELECT mid AS rid,
+         |   coalesce(string_agg(CASE WHEN kept THEN btext END, ' ' ORDER BY block_idx), '') AS mtext
+         |  FROM mblk GROUP BY mid),
+         | nsh AS (SELECT doc_id, v, ${shingleListSql(stripSql(
+             "regexp_replace(regexp_replace(html, '(?s)<script.*?</script>', ' ', 'g'), '(?s)<style.*?</style>', ' ', 'g')"))} AS sh
+         |  FROM cv),
+         | msh AS (SELECT cv.doc_id AS doc_id, cv.v AS v, ${shingleListSql("mtext")} AS sh
+         |  FROM cv JOIN mtx ON cv.rid = mtx.rid),
+         | nj AS (SELECT a.doc_id AS doc_id,
+         |   round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+         |     CAST(len(list_distinct(list_cat(a.sh, b.sh))) AS DOUBLE), 6) AS naive_jaccard
+         |  FROM nsh a JOIN nsh b ON a.doc_id = b.doc_id AND a.v = 0 AND b.v = 1),
+         | mj AS (SELECT a.doc_id AS doc_id,
+         |   round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+         |     CAST(len(list_distinct(list_cat(a.sh, b.sh))) AS DOUBLE), 6) AS main_jaccard
+         |  FROM msh a JOIN msh b ON a.doc_id = b.doc_id AND a.v = 0 AND b.v = 1)
+         | SELECT nj.doc_id AS doc_id, naive_jaccard, main_jaccard,
+         |   (naive_jaccard >= 0.5) AS naive_collides,
+         |   (main_jaccard >= 0.5) AS main_collides
+         | FROM nj JOIN mj ON nj.doc_id = mj.doc_id ORDER BY doc_id""".stripMargin
+        .replace("\n", "")),
+    // the crawl funnel: WARC construction + robots decisions + MAIN-CONTENT
+    // block chain (r18: the word floor consumes extracted main text)
     // + canonical chain composed, stage conjunctions aggregated per domain
     "q_crawl_curation" -> ("WITH " + warcCtes() + "," + robotsParseCtes + "," +
       robotsDecisionSql("1", "graftbot") + "," +
-      """ cs1 AS (SELECT doc_id, url, m, regexp_replace(rbody, '(?s)<script.*?</script>', ' ', 'g') AS t FROM wblk),
-        | cs2 AS (SELECT doc_id, url, m, regexp_replace(t, '(?s)<style.*?</style>', ' ', 'g') AS t FROM cs1),
-        | cs3 AS (SELECT doc_id, url, m, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM cs2),
-        | cs4 AS (SELECT doc_id, url, m, replace(replace(replace(replace(replace(t,
-        |   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM cs3),
-        | csrc AS (SELECT doc_id, '' AS text, url, m,
-        |   trim(regexp_replace(t, '\s+', ' ', 'g')) AS tc FROM cs4),""".stripMargin.replace("\n", "") +
-      canonChainSql("csrc", extra = ", m, tc") + "," +
+      mainBlocksSql("wblk", "doc_id", "rbody") + "," +
+      """ mtk AS (SELECT mid AS doc_id,
+        |   CAST(SUM(CASE WHEN kept THEN words ELSE 0 END) AS BIGINT) AS toks
+        |  FROM mblk GROUP BY mid),
+        | csrc AS (SELECT doc_id, '' AS text, url, m FROM wblk),""".stripMargin.replace("\n", "") +
+      canonChainSql("csrc", extra = ", m") + "," +
       """ cfd AS (SELECT cn.doc_id AS doc_id, domain, surt, m,
-        |   CAST(len(list_filter(string_split_regex(tc, '\s+'), w -> len(w) > 0)) AS BIGINT) AS toks,
+        |   coalesce(mt.toks, 0) AS toks,
         |   (m NOT IN (0, 1)) AS is200, d1.allowed AS allowed, dd.lang AS lang
-        |  FROM cn JOIN d1 ON cn.doc_id = d1.doc_id JOIN documents dd ON cn.doc_id = dd.doc_id),
+        |  FROM cn JOIN d1 ON cn.doc_id = d1.doc_id JOIN documents dd ON cn.doc_id = dd.doc_id
+        |  LEFT JOIN mtk mt ON cn.doc_id = mt.doc_id),
         | cfe AS (SELECT *, (is200 AND allowed AND lang = 'en' AND toks >= 50) AS elig FROM cfd),
         | cfs AS (SELECT *, (elig AND doc_id = min(CASE WHEN elig THEN doc_id END) OVER (PARTITION BY surt)) AS surv FROM cfe),""".stripMargin.replace("\n", "") +
       redirectChainSql(5) + "," +

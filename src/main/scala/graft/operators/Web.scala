@@ -307,6 +307,127 @@ object Web {
   def extractLinks(html: Column): Column =
     regexp_extract_all(html, lit("href=\"([^\"]*)\""), lit(1))
 
+  // ------------------------------------------------------------------
+  // main-content extraction (r18, verdict ask #1)
+  // ------------------------------------------------------------------
+
+  /** Block-level tag pattern for [[htmlBlocks]]: any open or close tag of
+    * the fixed block-element set becomes a block boundary. The pattern is
+    * RE2∩Java-safe (inline `(?i)`, `\b`, no lookaround) and is embedded
+    * VERBATIM in the DuckDB dual — one source of truth for both engines.
+    */
+  val blockTagRe: String =
+    "(?i)</?(?:html|head|title|body|p|div|h[1-6]|ul|ol|li|nav|header|footer|" +
+      "aside|section|article|table|thead|tbody|tr|td|th|br)\\b[^>]*>"
+
+  /** Anchor-element pattern (tag AND inner text) — removing whole anchors
+    * from a block and re-extracting text measures the block's link-text
+    * mass without any per-anchor lambda. Shared with the dual verbatim.
+    */
+  val anchorRe: String = "(?is)<a\\b[^>]*>.*?</a>"
+
+  /** The block separator [[htmlBlocks]] splits on — U+0001, a byte that
+    * cannot appear in HTML text (the parse would have rejected it long
+    * before) and that both engines treat as an ordinary character.
+    */
+  private val blockSep: String = 1.toChar.toString
+
+  /** The htmlToText tail over an already-script/style-free fragment: strip
+    * tags to spaces, decode entities (&amp; LAST), collapse whitespace,
+    * trim — factored so [[htmlToText]] and the per-block extraction can
+    * never diverge on the text law.
+    */
+  private def stripDecodeCollapse(frag: Column): Column = {
+    val noTags = regexp_replace(frag, "<[^>]*>", " ")
+    val decoded = replace(
+      replace(
+        replace(
+          replace(
+            replace(noTags, lit("&lt;"), lit("<")),
+            lit("&gt;"), lit(">")),
+          lit("&quot;"), lit("\"")),
+        lit("&#39;"), lit("'")),
+      lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Keep-words floor and the long-block override of the
+    * terminal-punctuation rule — public so specs and callers can reason
+    * about the contract ([[htmlBlocks]] scaladoc).
+    */
+  val blockMinWords: Int = 5
+  val blockLongWords: Int = 10
+
+  /** HTML → one row per BLOCK with boilerplate features (r18, verdict
+    * ask #1): [[htmlToText]] is a global tag-strip, so nav / menu /
+    * footer / sidebar / cookie-banner chrome lands in extracted text and
+    * pollutes quality features, shingle and dedup keys, and token counts
+    * for every downstream operator. Real curation (C4's line rules,
+    * jusText's block link-density classifier) drops boilerplate
+    * STRUCTURALLY; this is the deterministic, oracle-restatable member of
+    * that family:
+    *
+    *   1. script/style blocks drop (dotall, non-greedy — htmlToText's law);
+    *   2. every block-level tag ([[blockTagRe]]) becomes a boundary and
+    *      the document splits into block fragments;
+    *   3. per block: `btext` (the htmlToText strip/decode/collapse tail),
+    *      `words` (space tokens of the collapsed text), `link_chars` (text
+    *      chars contributed by anchor elements = len(btext) − len(text
+    *      with whole anchors removed));
+    *   4. `kept` = words ≥ [[blockMinWords]] AND link_chars·2 < len(btext)
+    *      (link density < ½ — the jusText boundary) AND (words ≥
+    *      [[blockLongWords]] OR the block ends in terminal punctuation
+    *      `.!?"'` — the C4 line rule, with the long-block override so
+    *      prose that ends in a citation or tag-like fragment survives).
+    *
+    * Nav/menu blocks die on link density, cookie banners and headings on
+    * the word floor or the punctuation rule, footers with a few links and
+    * a copyright tail on the punctuation rule. Empty fragments (adjacent
+    * boundaries) are dropped before counting.
+    *
+    * Spark shape: one narrow regexp chain + posexplode + per-block
+    * codegen'd expressions — NO higher-order lambda anywhere (the r17 WAT
+    * lesson: interpreted per-element lambdas are the slowest lanes in the
+    * engine); scan speed, zero shuffle. Consumers aggregate per doc
+    * (partial-aggregable sum for token counts).
+    */
+  def htmlBlocks(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val noScript = regexp_replace(col(htmlCol), "(?s)<script.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style.*?</style>", " ")
+    val marked = regexp_replace(noStyle, blockTagRe, blockSep)
+    df.select(col(idCol), posexplode(split(marked, blockSep)).as(Seq("block_idx", "__b")))
+      .withColumn("btext", stripDecodeCollapse(col("__b")))
+      .filter(col("btext") =!= "")
+      .withColumn("words", size(split(col("btext"), " ")).cast(LongType))
+      .withColumn("link_chars",
+        (length(col("btext")) - length(stripDecodeCollapse(
+          regexp_replace(col("__b"), anchorRe, " ")))).cast(LongType))
+      .withColumn("kept",
+        col("words") >= blockMinWords &&
+          col("link_chars") * 2 < length(col("btext")) &&
+          (col("words") >= blockLongWords || col("btext").rlike("[.!?\"']$")))
+      .drop("__b")
+  }
+
+  /** Per-document MAIN text from [[htmlBlocks]]: kept blocks reassemble in
+    * document order (`main_text`), with the block counts and the kept
+    * token sum beside. The reassembly sorts a per-doc struct array (tiny —
+    * block count per page) and joins; the only wide stage is one
+    * partial-aggregable groupBy on the id. Docs whose every block was
+    * dropped emit `main_text` = '' with zero counts.
+    */
+  def mainContent(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    htmlBlocks(df, idCol, htmlCol)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(col("kept").cast(LongType)).as("n_kept"),
+        sum(when(col("kept"), col("words")).otherwise(lit(0L))).as("main_toks"),
+        array_join(transform(
+          sort_array(collect_list(when(col("kept"),
+            struct(col("block_idx"), col("btext"))))),
+          b => b.getField("btext")), " ").as("main_text"))
+
   /** RFC 3986 remove_dot_segments over a path(+query) string, as a BOUNDED
     * unrolled regex chain (codegen'd, RE2-compatible — no lookaround, so the
     * DuckDB dual restates it verbatim): `/./` collapses, then four passes
@@ -348,6 +469,82 @@ object Web {
       .when(href.startsWith("#") || href === "", baseNF)
       .when(href.startsWith("?"), concat(scheme, lit("://"), auth, bpathOrRoot, href))
       .otherwise(concat(scheme, lit("://"), auth, removeDotSegments(concat(dir, href))))
+  }
+
+  /** Deterministic CHROME-HEAVY page fixture (r18): the [[htmlBlocks]]
+    * rules must demonstrably BIND — every arm is engineered to die on (or
+    * survive) exactly one rule:
+    *
+    *   - title + h1 ("Doc N", 2 words) — word floor;
+    *   - nav (5 pure-link words) — link density;
+    *   - cookie banner (6 words, no terminal punctuation, short) — the
+    *     C4 line rule;
+    *   - the MAIN `<p>` (doc text + '.') — kept (≥5 words, no links,
+    *     terminal punctuation);
+    *   - arm `doc_id % 4 == 1`: a trending `<aside>` of pure links —
+    *     link density;
+    *   - arm `doc_id % 4 == 2`: a 13-word prose `<div>` with NO terminal
+    *     punctuation — kept via the long-block override;
+    *   - arm `doc_id % 4 == 3`: "Read on." (2 words WITH punctuation) —
+    *     word floor;
+    *   - footer (2 link words + a 4-word copyright tail, no terminal
+    *     punctuation) — survives the density rule, dies on the line rule.
+    *
+    * Pure string concatenation the oracle restates verbatim.
+    */
+  def withChromeHtml(docs: DataFrame): DataFrame = {
+    val idStr = col("doc_id").cast(StringType)
+    val arm = col("doc_id") % 4
+    docs.withColumn("html", concat(
+      lit("<html><head><title>Doc "), idStr,
+      lit("</title></head><body><nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+        "<a href=\"/contact\">Contact</a> <a href=\"/pricing\">Pricing</a> " +
+        "<a href=\"/blog\">Blog</a></nav><h1>Doc "), idStr,
+      lit("</h1><div>We use cookies dialog Accept Decline</div><p>"),
+      col("text"), lit(".</p>"),
+      when(arm === 1, lit("<aside><a href=\"/t1\">Trending topic one</a> " +
+        "<a href=\"/t2\">Trending topic two</a></aside>"))
+        .when(arm === 2, concat(lit("<div>Extra detail section for doc "), idStr,
+          lit(" covering many additional words beyond the floor</div>")))
+        .when(arm === 3, lit("<p>Read on.</p>"))
+        .otherwise(lit("")),
+      lit("<footer><a href=\"/privacy\">Privacy</a> <a href=\"/terms\">Terms</a> " +
+        "© 2024 Example Corp</footer></body></html>")))
+  }
+
+  /** The chrome-dedup consequence fixture (r18): every doc serves TWO pages
+    * (rid = doc_id·2 + v) sharing IDENTICAL heavy chrome (nav + cookie +
+    * trending sidebar + footer — the real-web shape: one template, many
+    * articles) but carrying fully shingle-disjoint 10-word bodies. Under
+    * global tag-strip the pair's texts share every chrome shingle and
+    * collide as near-duplicates; under main-content extraction each page's
+    * text is its body alone and the pair shares NOTHING (the only common
+    * token is the doc numeral, never 3 consecutive words).
+    */
+  def withChromeVariants(docs: DataFrame): DataFrame = {
+    val idStr = col("doc_id").cast(StringType)
+    def page(body: Column): Column = concat(
+      lit("<html><head><title>Doc "), idStr,
+      lit("</title></head><body><nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+        "<a href=\"/contact\">Contact</a> <a href=\"/pricing\">Pricing</a> " +
+        "<a href=\"/blog\">Blog</a> <a href=\"/careers\">Careers</a> " +
+        "<a href=\"/support\">Support</a> <a href=\"/archive\">Archive</a></nav><h1>Doc "),
+      idStr,
+      lit("</h1><div>We use cookies dialog Accept Decline</div><p>"), body,
+      lit("</p><aside><a href=\"/t1\">Trending topic one</a> " +
+        "<a href=\"/t2\">Trending topic two</a> " +
+        "<a href=\"/t3\">Trending topic three</a></aside>" +
+        "<footer><a href=\"/privacy\">Privacy</a> <a href=\"/terms\">Terms</a> " +
+        "© 2024 Example Corp</footer></body></html>"))
+    val b0 = concat(lit("Original piece "), idStr,
+      lit(" explores alpha rivers and tall mountains today."))
+    val b1 = concat(lit("Revised essay "), idStr,
+      lit(" examines omega deserts plus deep canyons tonight."))
+    docs.select(col("doc_id"), explode(array(
+        struct(lit(0L).as("v"), page(b0).as("html")),
+        struct(lit(1L).as("v"), page(b1).as("html")))).as("__e"))
+      .select(col("doc_id"), col("__e.v").as("v"),
+        (col("doc_id") * 2 + col("__e.v")).as("rid"), col("__e.html").as("html"))
   }
 
   /** Deterministic HTML fixture around (doc_id, text, url): a full page with

@@ -1031,6 +1031,72 @@ class WebSpec extends SparkSpec {
       Seq((1L, "disallow_all", false), (2L, "parsed", true))
   }
 
+  test("htmlBlocks (r18): each boilerplate rule binds on its own arm — " +
+    "density kills nav, word floor kills headings, line rule kills footers") {
+    val html = "<html><head><title>My Page</title></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> <a href=\"/c\">Contact</a> " +
+      "<a href=\"/p\">Pricing</a> <a href=\"/b\">Blog</a></nav>" +
+      "<h1>Big Heading</h1>" +
+      "<div>We use cookies dialog Accept Decline</div>" +
+      "<p>This paragraph is genuine readable content with a proper ending.</p>" +
+      "<div>A longer unpunctuated prose section carrying more than ten real words here</div>" +
+      "<p>Read on.</p>" +
+      "<footer><a href=\"/pr\">Privacy</a> <a href=\"/t\">Terms</a> © 2024 Example Corp</footer>" +
+      "</body></html>"
+    val b = rows(Web.htmlBlocks(Seq((1L, html)).toDF("doc_id", "html"),
+        "doc_id", "html")
+      .select("btext", "words", "link_chars", "kept").orderBy("block_idx"))
+    val byText = b.map(r => (r.getString(0), r.getBoolean(3))).toMap
+    byText("My Page") shouldBe false            // word floor
+    byText("Home About Contact Pricing Blog") shouldBe false // link density
+    byText("Big Heading") shouldBe false        // word floor
+    byText("We use cookies dialog Accept Decline") shouldBe false // line rule
+    byText("This paragraph is genuine readable content with a proper ending.") shouldBe true
+    byText("A longer unpunctuated prose section carrying more than ten real words here") shouldBe true // long-block override
+    byText("Read on.") shouldBe false           // word floor despite punctuation
+    byText("Privacy Terms © 2024 Example Corp") shouldBe false // line rule (density passes)
+    // the footer's density really did pass — it dies ONLY on the line rule
+    val footer = b.find(_.getString(0).startsWith("Privacy")).get
+    (footer.getLong(2) * 2 < footer.getString(0).length) shouldBe true
+  }
+
+  test("mainContent (r18): kept blocks reassemble in document order; " +
+    "all-dropped docs emit empty text with zero counts") {
+    val html = "<p>First real paragraph with enough words right here.</p>" +
+      "<nav><a href=\"/\">Home Away Links Only Nav</a></nav>" +
+      "<p>Second real paragraph also carrying enough words here.</p>"
+    val out = rows(Web.mainContent(Seq((1L, html)).toDF("doc_id", "html"),
+      "doc_id", "html").select("n_blocks", "n_kept", "main_toks", "main_text"))
+    out.head.getLong(1) shouldBe 2L
+    out.head.getString(3) shouldBe
+      "First real paragraph with enough words right here. " +
+      "Second real paragraph also carrying enough words here."
+    val dropped = rows(Web.mainContent(
+      Seq((2L, "<nav><a href=\"/x\">Only Nav Links Inside Here</a></nav>"))
+        .toDF("doc_id", "html"), "doc_id", "html")
+      .select("n_kept", "main_toks", "main_text"))
+    dropped.head.getLong(0) shouldBe 0L
+    dropped.head.getString(2) shouldBe ""
+  }
+
+  test("chrome variants (r18): shared chrome collides naive shingle sets, " +
+    "main-content extraction separates the pair") {
+    import graft.operators.Dedup
+    val docs = Seq((7L, "x")).toDF("doc_id", "text")
+    val v = Web.withChromeVariants(docs)
+    val naive = rows(v.select(col("v"),
+      array_distinct(Dedup.shingles(Web.htmlToText(col("html")), 3)).as("sh")))
+    val n0 = naive.find(_.getLong(0) == 0L).get.getSeq[String](1).toSet
+    val n1 = naive.find(_.getLong(0) == 1L).get.getSeq[String](1).toSet
+    val naiveJ = (n0 & n1).size.toDouble / (n0 | n1).size
+    naiveJ should be >= 0.5 // the chrome-collision arm really binds
+    val main = rows(Web.mainContent(v, "rid", "html").select("rid", "main_text"))
+    val m0 = main.find(_.getLong(0) == 14L).get.getString(1)
+    val m1 = main.find(_.getLong(0) == 15L).get.getString(1)
+    m0 shouldBe "Original piece 7 explores alpha rivers and tall mountains today."
+    m1 shouldBe "Revised essay 7 examines omega deserts plus deep canyons tonight."
+  }
+
   test("encodeStrict (r18 advisor): unencodable characters fail loudly instead " +
     "of silently substituting '?'") {
     Web.encodeStrict("café €", "windows-1252") shouldBe
