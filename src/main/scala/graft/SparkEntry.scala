@@ -6823,6 +6823,19 @@ object SparkEntry {
           min(col("rid")).as("keeper"))
         .orderBy("keeper")
     }),
+    // ...and the quarantine-OBSERVABILITY report (r18, verdict ask #2 —
+    // the caps-report pattern): decode outcomes per provenance × charset ×
+    // ok, so the silent-drop class is a gated number — the mojibake and
+    // unknown-label quarantines are visible rows, and the new
+    // `default-1252` provenance proves the legacy ladder fired
+    "q_charset_report" -> ((s, dir) => {
+      val W = graft.operators.Web
+      W.decodeCharset(W.withCharsetHttp(documents(s, dir)), "doc_id", "body",
+          "content_type")
+        .groupBy("charset_src", "charset", "ok")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("charset_src"), col("ok"), coalesce(col("charset"), lit("")))
+    }),
     // WET round trip (r16): the engine's curated text serializes back into
     // the container format as `conversion` records — the Common Crawl WET
     // layout, THE artifact downstream LLM pipelines consume — and the
@@ -8983,18 +8996,23 @@ object SparkEntry {
         |    md5(rbody) FROM wblk WHERE doc_id % 89 <> 88
         | ) ORDER BY doc_id, rec_pos""".stripMargin.replace("\n", "")
 
-  /** One oracle text for q_charset_decode AND its streaming twin. */
-  private lazy val charsetDecodeDual: String =
-      """WITH cf AS (SELECT doc_id, text,
+  /** One oracle text for q_charset_decode AND its streaming twin; the `cf`
+    * CTE also feeds q_charset_report (r18 — the quarantine-observability
+    * row).
+    */
+  private lazy val charsetFixtureCte: String =
+      """ cf AS (SELECT doc_id, text,
         |  CASE WHEN doc_id % 29 = 7 OR doc_id % 31 = 11 THEN NULL
         |    WHEN doc_id % 37 = 13 THEN 'utf-16le'
         |    WHEN doc_id % 41 = 17 THEN 'utf-8'
+        |    WHEN doc_id % 47 = 19 THEN 'windows-1252'
         |    WHEN doc_id % 5 = 1 THEN 'iso-8859-1'
         |    WHEN doc_id % 5 = 2 THEN 'windows-1252'
         |    WHEN doc_id % 5 = 3 THEN 'shift_jis'
         |    ELSE 'utf-8' END AS charset,
         |  CASE WHEN doc_id % 29 = 7 OR doc_id % 31 = 11 THEN 'header'
         |    WHEN doc_id % 37 = 13 OR doc_id % 41 = 17 THEN 'bom'
+        |    WHEN doc_id % 47 = 19 THEN 'default-1252'
         |    WHEN doc_id % 5 IN (0, 1) THEN 'header'
         |    WHEN doc_id % 5 IN (2, 3) THEN 'meta'
         |    ELSE 'default' END AS charset_src,
@@ -9002,13 +9020,17 @@ object SparkEntry {
         |  CASE WHEN doc_id % 29 = 7 OR doc_id % 31 = 11 THEN NULL
         |    WHEN doc_id % 37 = 13 THEN '<html><head></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' utf16 page ✓</p></body></html>'
         |    WHEN doc_id % 41 = 17 THEN '<html><head></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' bom page €</p></body></html>'
+        |    WHEN doc_id % 47 = 19 THEN '<html><head></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' legacy café Ümlaut €99</p></body></html>'
         |    WHEN doc_id % 5 = 0 THEN '<html><head></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text || ' café № Ümlaut 日本語</p></body></html>'
         |    WHEN doc_id % 5 = 1 THEN '<html><head></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' café Ümlaut ±°</p></body></html>'
         |    WHEN doc_id % 5 = 2 THEN '<html><head><meta charset="windows-1252"></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' café Ümlaut €99</p></body></html>'
         |    WHEN doc_id % 5 = 3 THEN '<html><head><meta http-equiv="Content-Type" content="text/html; charset=Shift_JIS"></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' 日本語テキスト 円</p></body></html>'
         |    ELSE '<html><head></head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text || ' ✓</p></body></html>' END AS expected
-        | FROM documents)
-        | SELECT doc_id, charset, charset_src, ok, md5(expected) AS text_md5
+        | FROM documents)""".stripMargin.replace("\n", "")
+
+  private lazy val charsetDecodeDual: String =
+    "WITH" + charsetFixtureCte +
+      """ SELECT doc_id, charset, charset_src, ok, md5(expected) AS text_md5
         | FROM cf ORDER BY doc_id""".stripMargin.replace("\n", "")
 
   /** One oracle text for q_domain_rank AND q_domain_rank_wat (r17):
@@ -12215,6 +12237,13 @@ object SparkEntry {
     "q_charset_decode" -> charsetDecodeDual,
     // the streaming twin shares the charset oracle verbatim
     "q_stream_charset_decode" -> charsetDecodeDual,
+    // quarantine observability: decode outcome counts per provenance ×
+    // charset × ok, from the same fixture CTE
+    "q_charset_report" -> ("WITH" + charsetFixtureCte +
+      """ SELECT charset_src, charset, ok, CAST(COUNT(*) AS BIGINT) AS n_docs
+        | FROM cf GROUP BY 1, 2, 3
+        | ORDER BY charset_src, ok, coalesce(charset, '')""".stripMargin
+        .replace("\n", "")),
     // charset dedup consequence: each doc's pair folds onto one
     // extracted-text key (tag-stripping erases the meta difference)
     "q_charset_dedup" ->

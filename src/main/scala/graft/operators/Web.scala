@@ -1203,6 +1203,21 @@ object Web {
     * replacement garbage). Emits (id, text, charset, charset_src, ok).
     * Same narrow typed-mapPartitions codec class as the rest of the front
     * door: zero shuffle, scan speed.
+    *
+    * Legacy fallback (r18, verdict ask #2 — the WHATWG/browser ladder for
+    * the UNDECLARED class only): when nothing declares a charset and the
+    * strict UTF-8 attempt fails, the payload re-decodes as windows-1252 —
+    * the browser default for legacy `text/html`, and a large real-web
+    * class (undeclared Latin-1/cp1252 pages) that previously quarantined
+    * SILENTLY. Provenance labels `default-1252` so the consumer can see
+    * the ladder took the legacy step; declared-label strictness is
+    * unchanged (a LYING label still quarantines — that's mojibake, not a
+    * missing declaration). Divergence note: WHATWG's windows-1252 maps the
+    * five undefined bytes (0x81/0x8D/0x8F/0x90/0x9D) to C1 controls; the
+    * JDK decoder REPORTs on them, so such payloads quarantine here — they
+    * are binary, not legacy text, and the strict choice keeps the
+    * quarantine observable (q_charset_report) instead of minting control
+    * characters into content keys.
     */
   def decodeCharset(df: DataFrame, idCol: String, bytesCol: String,
       ctypeCol: String): DataFrame = {
@@ -1223,13 +1238,19 @@ object Web {
               val (l, s) = resolveCharset(bytes, ctype)
               (l, s, bytes)
           }
-          decodeCharsetBytes(content, label) match {
-            case Some(txt) =>
-              val canon = java.nio.charset.Charset.forName(label)
+          val (txt, effLabel, effSrc) = decodeCharsetBytes(content, label) match {
+            case None if src == "default" =>
+              (decodeCharsetBytes(content, "windows-1252"), "windows-1252",
+                "default-1252")
+            case t => (t, label, src)
+          }
+          txt match {
+            case Some(t) =>
+              val canon = java.nio.charset.Charset.forName(effLabel)
                 .name().toLowerCase(java.util.Locale.ROOT)
-              (id, txt, canon, src, true)
+              (id, t, canon, effSrc, true)
             case None => (id, null.asInstanceOf[String],
-              null.asInstanceOf[String], src, false)
+              null.asInstanceOf[String], effSrc, false)
           }
         }
       }).toDF(idCol, "text", "charset", "charset_src", "ok")
@@ -1274,6 +1295,13 @@ object Web {
             // 'bom', not 'default', and the mark must strip from content
             (Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
               page("", "bom page €").getBytes("UTF-8"), "text/html")
+          else if (id % 47 == 19)
+            // UNDECLARED cp1252 (r18, verdict ask #2): bare text/html, no
+            // BOM/meta, bytes invalid as UTF-8 (é/Ü/€) — the WHATWG legacy
+            // ladder must DECODE this via the windows-1252 fallback
+            // (provenance `default-1252`); before r18 it dropped silently
+            (page("", "legacy café Ümlaut €99").getBytes("windows-1252"),
+              "text/html")
           else (id % 5) match {
             case 0 => (page("", s"$text café № Ümlaut 日本語").getBytes("UTF-8"),
               "text/html; charset=UTF-8")

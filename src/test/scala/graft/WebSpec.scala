@@ -1031,6 +1031,33 @@ class WebSpec extends SparkSpec {
       Seq((1L, "disallow_all", false), (2L, "parsed", true))
   }
 
+  test("decodeCharset legacy fallback (r18): undeclared non-UTF-8 bytes take " +
+    "the windows-1252 ladder step; declared labels stay strict; the five " +
+    "JDK-undefined cp1252 bytes still quarantine") {
+    val legacy = "<p>café Ümlaut €99</p>".getBytes("windows-1252")
+    val declaredLie = "<p>café</p>".getBytes("ISO-8859-1")
+    val undefByte = Array('<'.toByte, 'p'.toByte, '>'.toByte, 0x81.toByte)
+    val utf8 = "<p>plain ✓</p>".getBytes("UTF-8")
+    val df = Seq(
+      (1L, legacy, "text/html"),                     // undeclared → fallback
+      (2L, declaredLie, "text/html; charset=UTF-8"), // declared lie → quarantine
+      (3L, undefByte, "text/html"),                  // 0x81 → even cp1252 fails
+      (4L, utf8, "text/html")                        // undeclared valid UTF-8
+    ).toDF("doc_id", "body", "content_type")
+    val out = rows(Web.decodeCharset(df, "doc_id", "body", "content_type")
+      .select("doc_id", "text", "charset", "charset_src", "ok").orderBy("doc_id"))
+    out(0).getString(1) shouldBe "<p>café Ümlaut €99</p>"
+    out(0).getString(2) shouldBe "windows-1252"
+    out(0).getString(3) shouldBe "default-1252"
+    out(0).getBoolean(4) shouldBe true
+    out(1).getBoolean(4) shouldBe false   // declared-label strictness unchanged
+    out(1).getString(3) shouldBe "header"
+    out(2).getBoolean(4) shouldBe false   // 0x81 quarantines on BOTH rungs
+    out(2).getString(3) shouldBe "default-1252"
+    out(3).getString(3) shouldBe "default" // valid UTF-8 never takes the ladder
+    out(3).getBoolean(4) shouldBe true
+  }
+
   test("htmlBlocks (r18): each boilerplate rule binds on its own arm — " +
     "density kills nav, word floor kills headings, line rule kills footers") {
     val html = "<html><head><title>My Page</title></head><body>" +
