@@ -253,6 +253,48 @@ object SparkEntry {
         .localCheckpoint(true)
     }
 
+  /** The domain-rank derivation (r17 ask #6, factored r18): page out-links
+    * resolve (RFC 3986), both endpoints collapse to registrable domains,
+    * self-edges drop, distinct domain edges feed 3-iteration decimal-exact
+    * PageRank. q_domain_rank gates this derivation honestly uncached;
+    * [[domainRankCached]] serves it to the scheduler as the landed
+    * artifact it is in production.
+    */
+  private def domainRankFrame(s: SparkSession, dir: String): DataFrame = {
+    val W = graft.operators.Web
+    val h = W.withHtml(W.withUrls(documents(s, dir)))
+    val links = h.select(col("doc_id"), col("url").as("page_url"),
+      explode(W.extractLinks(col("html"))).as("href"))
+    val resolved = links.select(col("doc_id"),
+      W.resolveUrl(col("page_url"), col("href")).as("url"))
+    // localCheckpoint (lazy) on BOTH domain projections: the filter and
+    // join below would otherwise re-inline the canonicalize CASE-chain
+    // trees into pushed-down scan filters and join keys (janino lesson)
+    val dstD = W.canonicalize(resolved, "url")
+      .select(col("doc_id"), col("domain").as("dst"))
+      .localCheckpoint(false)
+    val srcD = W.canonicalize(h.select(col("doc_id"), col("url")), "url")
+      .select(col("doc_id"), col("domain").as("src"))
+      .localCheckpoint(false)
+    val edges = srcD.join(dstD, Seq("doc_id"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .localCheckpoint(false)
+    graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 3)
+      .select(col("node").as("domain"), col("rank"))
+  }
+
+  /** Session-cached domain-rank table — the landed harvest-rank artifact
+    * the frontier scheduler keys budgets on (r18, verdict ask #3's
+    * composition; the eager localCheckpoint also cuts the synthesis
+    * lineage like [[robotsRulesCached]]).
+    */
+  private def domainRankCached(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCompute(s, s"domain-rank:$dir") {
+      domainRankFrame(s, dir).localCheckpoint(true)
+    }
+
   /** MinHash+LSH near-dup pair graph over `documents`, built once per
     * (session, sf dir) and kept cached — five dedup queries consume the SAME
     * exact-verified pair graph (the pair list itself, triangles/coefficients,
@@ -5940,44 +5982,14 @@ object SparkEntry {
     // against their page URL (RFC 3986), both endpoints collapse to
     // REGISTRABLE DOMAINS (PSL), self-edges drop, distinct domain edges
     // feed 3-iteration PageRank with decimal-exact contribution sums (the
-    // q_pagerank dual pattern). The rank table is what the frontier
-    // scheduler (q_crawl_schedule) keys its per-domain budgets on; at
-    // corpus scale the edge set is domain-granularity (≪ pages) after the
-    // distinct, so the iterated joins never touch page rows.
-    "q_domain_rank" -> ((s, dir) => {
-      val W = graft.operators.Web
-      val h = W.withHtml(W.withUrls(documents(s, dir)))
-      val links = h.select(col("doc_id"), col("url").as("page_url"),
-        explode(W.extractLinks(col("html"))).as("href"))
-      val resolved = links.select(col("doc_id"),
-        W.resolveUrl(col("page_url"), col("href")).as("url"))
-      // localCheckpoint (lazy) on BOTH domain projections: the filter and
-      // join below would otherwise re-inline the canonicalize CASE-chain
-      // trees into pushed-down scan filters and join keys — the giant
-      // expressions evaluate 3x per row interpreted (measured 15 s warm
-      // vs 0.2 s for the projection-only q_html_links). The barriers keep
-      // the relational algebra over materialized small string columns.
-      val dstD = W.canonicalize(resolved, "url")
-        .select(col("doc_id"), col("domain").as("dst"))
-        .localCheckpoint(false)
-      val srcD = W.canonicalize(h.select(col("doc_id"), col("url")), "url")
-        .select(col("doc_id"), col("domain").as("src"))
-        .localCheckpoint(false)
-      // localCheckpoint (lazy): pageRank references the edge frame ~2x per
-      // iteration — without the lineage cut every hop re-runs the fixture
-      // synthesis + links explode + both canonicalize chains (measured
-      // 85 s -> ~8 s at sf0.01). The frame is domain-granularity (~10^2
-      // rows here, domain-count at corpus scale), so the cut is ~free —
-      // and in production the domain edge set IS a landed artifact.
-      val edges = srcD.join(dstD, Seq("doc_id"))
-        .filter(col("src").isNotNull && col("dst").isNotNull &&
-          col("src") =!= col("dst"))
-        .select("src", "dst").distinct()
-        .localCheckpoint(false)
-      graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 3)
-        .select(col("node").as("domain"), col("rank"))
-        .orderBy("domain")
-    }),
+    // q_pagerank dual pattern; derivation factored into domainRankFrame,
+    // with the localCheckpoint lineage cuts documented there). The rank
+    // table is what the frontier scheduler keys its per-domain budgets on
+    // — q_crawl_schedule_ranked (r18) consumes it via domainRankCached.
+    // At corpus scale the edge set is domain-granularity (≪ pages) after
+    // the distinct, so the iterated joins never touch page rows.
+    "q_domain_rank" -> ((s, dir) =>
+      domainRankFrame(s, dir).orderBy("domain")),
     // ...and the same rank table derived from the WAT PANEL instead of the
     // raw pages (r17): metadata records serialize (with RESOLVED links),
     // parse back, and the domain graph builds from the WAT json — gated
@@ -6439,6 +6451,67 @@ object SparkEntry {
         .withColumn("offset_s", col("slot") * col("delay_s"))
         .select(col("host"), col("url"), col("slot"), col("delay_s"),
           col("offset_s"))
+        .orderBy("host", "url")
+    }),
+    // RANK-PRIORITIZED frontier scheduler (r18, verdict ask #3 — the
+    // composition the q_domain_rank scaladoc promises): the DISCOVERED-LINK
+    // frontier (resolved out-links of fetched pages — what a harvest
+    // scheduler actually prioritizes) dedupes on the canonical key, drops
+    // already-crawled (host, path), passes robots (even-digit hosts'
+    // graftbot `Disallow: /` group BINDS on the off-article link paths),
+    // then joins the landed domain-rank table BROADCAST (domain
+    // granularity) and caps each domain's fetches at a rank-proportional
+    // budget (floor(rank/0.05), clamped to [1, 8] — example.com's ~100
+    // candidate URLs cut to its budget while 1-URL domains ride free).
+    // Politeness is unchanged: per-host serial slots spaced by the host's
+    // effective Crawl-delay (default 1 s for off-corpus hosts). One narrow
+    // chain + two broadcast joins + two bounded windows.
+    "q_crawl_schedule_ranked" -> ((s, dir) => {
+      val W = graft.operators.Web
+      val h = W.withHtml(W.withUrls(documents(s, dir)))
+      val links = h.select(col("url").as("page_url"),
+        explode(W.extractLinks(col("html"))).as("href"))
+      val resolved = links.select(
+        W.resolveUrl(col("page_url"), col("href")).as("url"))
+      // localCheckpoint (lazy): the ledger anti-join, robots decision
+      // subplan, and both windows below would each re-inline the
+      // synthesis + canonicalize trees without the cut (janino lesson)
+      val cand = W.canonicalize(resolved, "url")
+        .filter(col("url_canon").isNotNull)
+        .select(col("url_canon"), col("domain")).distinct()
+        .withColumn("host", W.hostOf(col("url_canon")))
+        .withColumn("path", W.pathOf(col("url_canon")))
+        .localCheckpoint(false)
+      // novelty: the crawl ledger is page-granularity — no broadcast hint
+      // (AQE broadcasts at bench scale, shuffles at corpus scale)
+      val fresh = cand.join(
+          crawledPagesCached(s, dir).withColumn("__c", lit(true)),
+          Seq("host", "path"), "left")
+        .filter(col("__c").isNull).drop("__c")
+      val dec = W.robotsDecisionsFor(
+          fresh.select(col("url_canon").as("doc_id"), col("host"), col("path")),
+          robotsRulesCached(s, dir), Seq("graftbot"),
+          Some(robotsGroupsCached(s, dir)))
+        .select(col("doc_id").as("url_canon"), col("allowed"))
+      val rank = domainRankCached(s, dir)
+      val hostDelay = crawlDelayByHost(s, dir)
+      val budgeted = fresh.join(dec, Seq("url_canon")).filter(col("allowed"))
+        .join(broadcast(rank), Seq("domain"), "left")
+        .withColumn("rank", coalesce(col("rank"), lit(0.15)))
+        .withColumn("budget",
+          least(lit(8L), greatest(lit(1L), floor(col("rank") / 0.05))))
+        .withColumn("dom_slot", row_number().over(
+          Window.partitionBy("domain").orderBy("url_canon")).cast(LongType))
+        .filter(col("dom_slot") <= col("budget"))
+      budgeted
+        .join(broadcast(hostDelay), Seq("host"), "left")
+        .withColumn("delay_s", coalesce(col("delay_s"), lit(1.0)))
+        .withColumn("slot", (row_number().over(
+          Window.partitionBy("host").orderBy("url_canon")) - 1).cast(LongType))
+        .withColumn("offset_s", col("slot") * col("delay_s"))
+        .select(col("host"), col("url_canon").as("url"), col("domain"),
+          col("rank"), col("budget"), col("dom_slot"), col("slot"),
+          col("delay_s"), col("offset_s"))
         .orderBy("host", "url")
     }),
     // freshness-driven recrawl planning (r15): sitemap lastmod vs the crawl
@@ -7876,8 +7949,12 @@ object SparkEntry {
   /** The HTML-page fixture CTE `h` over `u` — the verbatim restatement of
     * [[graft.operators.Web.withHtml]]'s template.
     */
-  private def htmlCtes: String =
-    urlFixtureCte + "," +
+  private def htmlCtes: String = urlFixtureCte + "," + hBodyCte
+
+  /** The `h` HTML-page CTE alone (r18) — for duals that already carry the
+    * `u` URL fixture through [[robotsCtes]] and must not redefine it.
+    */
+  private def hBodyCte: String =
     """ h AS (SELECT doc_id, text, url,
       |   '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title><script>var x = 1 < 2;</script><style>.c{color:red}</style></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || ' &amp; tail &lt;tag&gt;</p><a href="' || url || '">first</a> <a href="HTTP://Example.COM/p?id=' || CAST(doc_id % 100 AS VARCHAR) || '#x">second</a> <a href="../other/page-' || CAST(doc_id % 100 AS VARCHAR) || '?x=1">third</a> <a href="//cdn.example-' || CAST(doc_id % 100 AS VARCHAR) || '.com/lib/app.js">fourth</a> <a href="/ROOT/./deep/page-' || CAST(doc_id % 100 AS VARCHAR) || '.html">fifth</a> <a href="https://user@media.example.org/m/' || CAST(doc_id % 100 AS VARCHAR) || '">sixth</a></body></html>' AS html
       |  FROM u)""".stripMargin.replace("\n", "")
@@ -8178,6 +8255,30 @@ object SparkEntry {
       s"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$$', '') = '' THEN '/' " +
       s"ELSE regexp_replace(regexp_extract(regexp_replace($url, '#.*', ''), " +
       s"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$$', '') END"
+
+  /** The effective per-host Crawl-delay chain (factored r18, shared by the
+    * two scheduler duals): UA + crawl-delay lines from `rkv`, run-rule
+    * group assembly, agent-specific-beats-`*` resolution with the 1 s
+    * default. Requires `rkv` and `rhs` ([[robotsParseCtes]]); yields CTE
+    * `hdl(host, delay_s)`.
+    */
+  private def crawlDelayCtes: String =
+    """ cdm AS (SELECT *, (key = 'user-agent') AS is_ua FROM rkv
+      |   WHERE key IN ('user-agent', 'crawl-delay')),
+      | cdg AS (SELECT *, coalesce(lag(is_ua) OVER (PARTITION BY host ORDER BY ln), FALSE) AS prev_ua FROM cdm),
+      | cdb AS (SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END) OVER (PARTITION BY host ORDER BY ln) AS blk FROM cdg),
+      | cda AS (SELECT host, blk, lower(value) AS agent FROM cdb WHERE is_ua),
+      | cdd AS (SELECT host, blk, CASE WHEN regexp_matches(value, '^[0-9]+(\.[0-9]+)?$') THEN CAST(value AS DOUBLE) END AS delay_s FROM cdb WHERE NOT is_ua),
+      | cdr AS (SELECT cdd.host AS host, agent, delay_s FROM cdd
+      |   JOIN cda ON cdd.host = cda.host AND cdd.blk = cda.blk
+      |   WHERE delay_s IS NOT NULL),
+      | hga AS (SELECT DISTINCT host, lower(value) AS agent FROM cdm WHERE is_ua),
+      | hdl AS (SELECT r.host AS host,
+      |   CASE WHEN g1.host IS NOT NULL THEN coalesce(sp.delay_s, 1.0)
+      |     ELSE coalesce(st.delay_s, 1.0) END AS delay_s FROM rhs r
+      |   LEFT JOIN (SELECT DISTINCT host FROM hga WHERE agent = 'graftbot') g1 ON r.host = g1.host
+      |   LEFT JOIN (SELECT host, min(delay_s) AS delay_s FROM cdr WHERE agent = 'graftbot' GROUP BY host) sp ON r.host = sp.host
+      |   LEFT JOIN (SELECT host, min(delay_s) AS delay_s FROM cdr WHERE agent = '*' GROUP BY host) st ON r.host = st.host)""".stripMargin.replace("\n", "")
 
   /** One agent's REP decision chain (suffix `$s` keeps the two agents'
     * CTEs disjoint): group selection, empty-pattern drop, RFC 9309 pattern
@@ -9038,8 +9139,16 @@ object SparkEntry {
     * the raw pages to the last decimal-exact rank.
     */
   private lazy val domainRankDual: String =
-    ("WITH " + htmlCtes + "," +
-      """ links AS (SELECT doc_id, text, url AS page_url, UNNEST(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href FROM h),
+    "WITH " + htmlCtes + "," + domainRankChainCtes +
+      " SELECT domain, rank FROM drank ORDER BY domain"
+
+  /** The domain-rank chain as composable CTEs (r18): resolved links →
+    * canonical chain → domain edges → 3-iteration decimal-exact PageRank,
+    * ending in CTE `drank(domain, rank)`. Requires `h` and `documents` in
+    * scope; defines the unsuffixed [[canonChainSql]] CTE names.
+    */
+  private lazy val domainRankChainCtes: String =
+    (""" links AS (SELECT doc_id, text, url AS page_url, UNNEST(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href FROM h),
         | rb AS (SELECT doc_id, text, href, regexp_replace(page_url, '#.*', '') AS basenf FROM links),
         | rp AS (SELECT doc_id, text, href, basenf,
         |   regexp_extract(basenf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS bscheme,
@@ -9078,9 +9187,9 @@ object SparkEntry {
         | pr2 AS (SELECT node, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * COALESCE(CAST(s2 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
         |   FROM ndr LEFT JOIN pc2 ON node = dst),
         | pc3 AS (SELECT dst, SUM(CAST(rank / dg AS DECIMAL(38,12))) AS s2
-        |   FROM ed JOIN pr2 ON ed.src = pr2.node JOIN dgr ON ed.src = dgr.src GROUP BY dst)
-        | SELECT node AS domain, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * COALESCE(CAST(s2 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
-        | FROM ndr LEFT JOIN pc3 ON node = dst ORDER BY domain""".stripMargin.replace("\n", ""))
+        |   FROM ed JOIN pr2 ON ed.src = pr2.node JOIN dgr ON ed.src = dgr.src GROUP BY dst),
+        | drank AS MATERIALIZED (SELECT node AS domain, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * COALESCE(CAST(s2 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
+        | FROM ndr LEFT JOIN pc3 ON node = dst)""".stripMargin.replace("\n", ""))
 
   /** One oracle text for q_sitemap_parse AND q_sitemap_gz (r17): the
     * `.xml.gz` lane must be entry-for-entry identical to the plain parse.
@@ -12035,28 +12144,47 @@ object SparkEntry {
       """ crawl AS (SELECT DISTINCT host, path FROM pg),
         | fet AS (SELECT d.host AS host, d.doc_id AS url FROM d3 d
         |   LEFT JOIN crawl cr ON d.host = cr.host AND d.path = cr.path
-        |   WHERE d.allowed AND cr.host IS NULL),
-        | cdm AS (SELECT *, (key = 'user-agent') AS is_ua FROM rkv
-        |   WHERE key IN ('user-agent', 'crawl-delay')),
-        | cdg AS (SELECT *, coalesce(lag(is_ua) OVER (PARTITION BY host ORDER BY ln), FALSE) AS prev_ua FROM cdm),
-        | cdb AS (SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END) OVER (PARTITION BY host ORDER BY ln) AS blk FROM cdg),
-        | cda AS (SELECT host, blk, lower(value) AS agent FROM cdb WHERE is_ua),
-        | cdd AS (SELECT host, blk, CASE WHEN regexp_matches(value, '^[0-9]+(\.[0-9]+)?$') THEN CAST(value AS DOUBLE) END AS delay_s FROM cdb WHERE NOT is_ua),
-        | cdr AS (SELECT cdd.host AS host, agent, delay_s FROM cdd
-        |   JOIN cda ON cdd.host = cda.host AND cdd.blk = cda.blk
-        |   WHERE delay_s IS NOT NULL),
-        | hga AS (SELECT DISTINCT host, lower(value) AS agent FROM cdm WHERE is_ua),
-        | hdl AS (SELECT r.host AS host,
-        |   CASE WHEN g1.host IS NOT NULL THEN coalesce(sp.delay_s, 1.0)
-        |     ELSE coalesce(st.delay_s, 1.0) END AS delay_s FROM rhs r
-        |   LEFT JOIN (SELECT DISTINCT host FROM hga WHERE agent = 'graftbot') g1 ON r.host = g1.host
-        |   LEFT JOIN (SELECT host, min(delay_s) AS delay_s FROM cdr WHERE agent = 'graftbot' GROUP BY host) sp ON r.host = sp.host
-        |   LEFT JOIN (SELECT host, min(delay_s) AS delay_s FROM cdr WHERE agent = '*' GROUP BY host) st ON r.host = st.host)
-        | SELECT f.host AS host, url,
+        |   WHERE d.allowed AND cr.host IS NULL),""".stripMargin.replace("\n", "") +
+      crawlDelayCtes +
+      """ SELECT f.host AS host, url,
         |   CAST(row_number() OVER (PARTITION BY f.host ORDER BY url) - 1 AS BIGINT) AS slot,
         |   delay_s,
         |   CAST(row_number() OVER (PARTITION BY f.host ORDER BY url) - 1 AS BIGINT) * delay_s AS offset_s
         | FROM fet f JOIN hdl ON f.host = hdl.host
+        | ORDER BY host, url""".stripMargin.replace("\n", "")),
+    // rank-prioritized scheduler (r18, verdict ask #3): discovered-link
+    // frontier (the rank chain's resolved+canonicalized links) deduped on
+    // the canonical key, ledger anti-join, graftbot decisions, the SAME
+    // decimal-exact rank chain as q_domain_rank, rank-proportional
+    // per-domain budget, then the politeness windows
+    "q_crawl_schedule_ranked" -> ("WITH " + robotsCtes + "," + hBodyCte + "," +
+      domainRankChainCtes + "," + crawlDelayCtes + "," +
+      s""" rcn AS MATERIALIZED (SELECT DISTINCT url_canon, domain FROM cn
+         |   WHERE url_canon IS NOT NULL),
+         | rch AS (SELECT url_canon, domain,
+         |   regexp_replace(regexp_replace(regexp_replace(lower(regexp_extract(regexp_replace(url_canon, '#.*', ''), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^.*@', ''), ':[0-9]+$$', ''), '^www\\.', '') AS host,
+         |   ${pathSqlOf("url_canon")} AS path FROM rcn),
+         | rfr AS MATERIALIZED (SELECT c.* FROM rch c
+         |   LEFT JOIN (SELECT DISTINCT host, path FROM pg) cr
+         |     ON c.host = cr.host AND c.path = cr.path
+         |   WHERE cr.host IS NULL),
+         | rfp AS (SELECT url_canon AS doc_id, host, path FROM rfr),""".stripMargin
+        .replace("\n", "") +
+      robotsDecisionSql("9", "graftbot", pgCte = "rfp") + "," +
+      """ rbj AS (SELECT f.host AS host, f.url_canon AS url, f.domain AS domain,
+        |   coalesce(drank.rank, 0.15) AS rank
+        |  FROM rfr f JOIN d9 ON f.url_canon = d9.doc_id
+        |  LEFT JOIN drank ON f.domain = drank.domain
+        |  WHERE d9.allowed),
+        | rbd AS (SELECT *, least(8, greatest(1, CAST(floor(rank / 0.05) AS BIGINT))) AS budget,
+        |   CAST(row_number() OVER (PARTITION BY domain ORDER BY url) AS BIGINT) AS dom_slot
+        |  FROM rbj),
+        | rkp AS (SELECT * FROM rbd WHERE dom_slot <= budget)
+        | SELECT k.host AS host, url, domain, rank, budget, dom_slot,
+        |   CAST(row_number() OVER (PARTITION BY k.host ORDER BY url) - 1 AS BIGINT) AS slot,
+        |   coalesce(hdl.delay_s, 1.0) AS delay_s,
+        |   CAST(row_number() OVER (PARTITION BY k.host ORDER BY url) - 1 AS BIGINT) * coalesce(hdl.delay_s, 1.0) AS offset_s
+        | FROM rkp k LEFT JOIN hdl ON k.host = hdl.host
         | ORDER BY host, url""".stripMargin.replace("\n", "")),
     // recrawl plan: fetch record from the WARC construction (response
     // dates grouped per page) vs sitemap lastmod
