@@ -265,8 +265,13 @@ object SparkEntry {
     val h = W.withHtml(W.withUrls(documents(s, dir)))
     val links = h.select(col("doc_id"), col("url").as("page_url"),
       explode(W.extractLinks(col("html"))).as("href"))
+    // localCheckpoint (lazy) on the RESOLVED frame too (r18 optimization):
+    // without it canonicalize re-inlines the synthesis+resolveUrl tree into
+    // each of its four derived columns and the optimizer pays per build
+    // (the q_crawl_schedule_ranked BenchOverhead finding; same fix)
     val resolved = links.select(col("doc_id"),
       W.resolveUrl(col("page_url"), col("href")).as("url"))
+      .localCheckpoint(false)
     // localCheckpoint (lazy) on BOTH domain projections: the filter and
     // join below would otherwise re-inline the canonicalize CASE-chain
     // trees into pushed-down scan filters and join keys (janino lesson)
@@ -6284,7 +6289,19 @@ object SparkEntry {
         .select(col("doc_id"), col("target_uri").as("url"), col("payload"),
           col("http_status"), col("http_location"))
         .localCheckpoint(false)
+      // r18 optimization: (a) PROJECT the funnel's four columns before the
+      // join/window stack — the un-projected canon frame carried `payload`,
+      // `url` and `http_location` through the SURT window exchange (shuffle
+      // bytes for columns the funnel never reads past this point; guide
+      // §2.3 "project before the exchange"); (b) lazy localCheckpoint cuts
+      // the canon/PSL expression trees (url_canon/domain/surt each inline
+      // the multi-regex canon chain; domain inlines it into all ~50 PSL
+      // CASE branches) out of the join keys, window key, and final agg key
+      // — measured 2.13 s of per-build catalyst time (BenchOverhead). In
+      // production the canonical keys land WITH the parse artifact.
       val canon = W.canonicalize(recs, "url")
+        .select(col("doc_id"), col("http_status"), col("domain"), col("surt"))
+        .localCheckpoint(false)
       // robots decisions run on the FRONTIER (the pre-fetch request URL),
       // as a real crawler does — and keeping the decision subplan off the
       // parsed-container frame means the expensive parse chain is computed
@@ -6471,11 +6488,20 @@ object SparkEntry {
       val h = W.withHtml(W.withUrls(documents(s, dir)))
       val links = h.select(col("url").as("page_url"),
         explode(W.extractLinks(col("html"))).as("href"))
+      // localCheckpoint (lazy) on the RESOLVED frame (r18 optimization):
+      // canonicalize derives FOUR columns (url_canon/domain/host/path) and
+      // CollapseProject re-inlines the synthesis+resolveUrl tree into each
+      // of them — and then into the distinct's aggregate keys. Measured
+      // build-time (catalyst analysis+optimization, BenchOverhead): 4.29 s
+      // per build with the cut only after canonicalize; the barrier here
+      // makes every canon projection reference a plain column. The frame is
+      // one narrow string column — the copy is noise next to the plan tax.
       val resolved = links.select(
         W.resolveUrl(col("page_url"), col("href")).as("url"))
+        .localCheckpoint(false)
       // localCheckpoint (lazy): the ledger anti-join, robots decision
       // subplan, and both windows below would each re-inline the
-      // synthesis + canonicalize trees without the cut (janino lesson)
+      // canonicalize trees without the cut (janino lesson)
       val cand = W.canonicalize(resolved, "url")
         .filter(col("url_canon").isNotNull)
         .select(col("url_canon"), col("domain")).distinct()
@@ -6488,14 +6514,21 @@ object SparkEntry {
           crawledPagesCached(s, dir).withColumn("__c", lit(true)),
           Seq("host", "path"), "left")
         .filter(col("__c").isNull).drop("__c")
+      // r18 optimization: robotsDecisionsImpl PRESERVES every column of its
+      // pages frame, so riding `domain` through the decision subplan
+      // replaces the former decision→frontier join-back (one SortMergeJoin
+      // + two exchanges in the plan, output identical — the decision frame
+      // was derived FROM `fresh`, so the join was a self-reattachment)
       val dec = W.robotsDecisionsFor(
-          fresh.select(col("url_canon").as("doc_id"), col("host"), col("path")),
+          fresh.select(col("url_canon").as("doc_id"), col("host"), col("path"),
+            col("domain")),
           robotsRulesCached(s, dir), Seq("graftbot"),
           Some(robotsGroupsCached(s, dir)))
-        .select(col("doc_id").as("url_canon"), col("allowed"))
+        .select(col("doc_id").as("url_canon"), col("host"), col("path"),
+          col("domain"), col("allowed"))
       val rank = domainRankCached(s, dir)
       val hostDelay = crawlDelayByHost(s, dir)
-      val budgeted = fresh.join(dec, Seq("url_canon")).filter(col("allowed"))
+      val budgeted = dec.filter(col("allowed"))
         .join(broadcast(rank), Seq("domain"), "left")
         .withColumn("rank", coalesce(col("rank"), lit(0.15)))
         .withColumn("budget",

@@ -279,4 +279,17 @@ object GraftFunctions {
     */
   def vocabGramEntries(tokens: Column): Column =
     GraftColumnBridge.column(VocabGramEntries(GraftColumnBridge.expression(tokens)))
+
+  /** JSON string escape in ONE byte pass ([[JsonEscapeStr]]) — replaces the
+    * 34-deep `replace` chain in the WAT serializer (r18 optimization).
+    */
+  def jsonEscape(s: Column): Column =
+    GraftColumnBridge.column(JsonEscapeStr(GraftColumnBridge.expression(s)))
+
+  /** Escape + quote + comma-join an ARRAY<STRING> in one pass
+    * ([[JsonEscapeQuoteJoin]]) — replaces the interpreted per-link
+    * `transform` lambda in the WAT links serializer (r18 optimization).
+    */
+  def jsonEscapeQuoteJoin(arr: Column): Column =
+    GraftColumnBridge.column(JsonEscapeQuoteJoin(GraftColumnBridge.expression(arr)))
 }

@@ -1077,8 +1077,10 @@ object Dedup {
         col("t.pos") >= col("span_start") && col("t.pos") <= col("span_end"),
       "left_anti")
     kept.groupBy(col("id")).agg(
-      array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-        s => s.getField("tok")), " ").as("clean_text"),
+      // GetArrayStructFields (codegen'd) instead of an interpreted
+      // per-token `transform` lambda (r18 optimization)
+      array_join(array_sort(collect_list(struct(col("pos"), col("tok"))))
+        .getField("tok"), " ").as("clean_text"),
       count(lit(1)).as("n_tokens_kept"))
   }
 

@@ -857,8 +857,8 @@ object Similarity {
       .groupBy(col("cell_id"), col("dim"))
       .agg(avg(col("x")).as("m"))
       .groupBy(col("cell_id"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-        s => s.getField("m")).as("centroid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
+        .getField("m").as("centroid"))
   }
 
   /** Distributed Lloyd's k-means, bit-reproducible across engines:
@@ -992,8 +992,8 @@ object Similarity {
       .agg((sum(col("x").cast(dec)).cast(DoubleType) /
         count(lit(1)).cast(DoubleType)).as("m"))
     val muArr = muFlat
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-        s => s.getField("m")).as("muv"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
+        .getField("m").as("muv"))
     // materialize xc BEFORE the double explode: the zip_with lambda runs
     // interpreted and CollapseProject would re-inline it into both Generate
     // operators — re-evaluated per exploded LANE, an n·d² interpreted-lambda
@@ -1048,8 +1048,8 @@ object Similarity {
       .agg((sum(col("x").cast(dec)).cast(DoubleType) /
         count(lit(1)).cast(DoubleType)).as("m"))
     val muArr = muFlat
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-        s => s.getField("m")).as("muv"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
+        .getField("m").as("muv"))
     val xc = vecs.crossJoin(broadcast(muArr))
       .select(zip_with(col("v"), col("muv"), (a, b) => a - b).as("xc"))
       .localCheckpoint(false)

@@ -42,13 +42,19 @@ object TextAnalysis {
     */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val words = filter(split(lower(t), "[^\\p{L}\\p{Nd}']+"), w => length(w) > 0)
+    // r18 optimization: regexp_extract_all of the ALLOWED-run class is the
+    // exact complement of split-on-separators with empties filtered (maximal
+    // runs either way), and it is one codegen'd regex pass — the previous
+    // `filter(split(...), w => length(w) > 0)` ran an interpreted ArrayFilter
+    // lambda per word. Σ word lengths = length(array_join(words, "")) — one
+    // codegen'd concat pass instead of an interpreted `aggregate` lambda.
+    val words = regexp_extract_all(lower(t), lit("[\\p{L}\\p{Nd}']+"), lit(0))
     val nw = size(words)
     val sw = array(stopwords.map(lit): _*)
     df.withColumn("n_chars", length(t).cast(LongType))
       .withColumn("n_words", nw.cast(LongType))
       .withColumn("mean_word_len",
-        when(nw > 0, aggregate(words, lit(0L), (a, w) => a + length(w)).cast(DoubleType) / nw.cast(DoubleType)))
+        when(nw > 0, length(array_join(words, "")).cast(LongType).cast(DoubleType) / nw.cast(DoubleType)))
       .withColumn("punct_ratio",
         when(length(t) > 0, size(regexp_extract_all(t, lit("[\\p{Punct}]"), lit(0))).cast(DoubleType)
           / length(t).cast(DoubleType)).otherwise(lit(0.0)))
@@ -813,8 +819,10 @@ object TextAnalysis {
     df.select(col(idCol).as("doc_id"), posexplode(toksArr).as(Seq("pos", "tok")))
       .join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-        s => s.getField("tok")), " ").as("clean_text"),
+      // GetArrayStructFields (codegen'd) instead of an interpreted
+      // per-token `transform` lambda (r18 optimization)
+      .agg(array_join(array_sort(collect_list(struct(col("pos"), col("tok"))))
+        .getField("tok"), " ").as("clean_text"),
         count(lit(1)).as("n_tokens_kept"))
   }
 

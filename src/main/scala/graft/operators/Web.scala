@@ -423,10 +423,13 @@ object Web {
         count(lit(1)).as("n_blocks"),
         sum(col("kept").cast(LongType)).as("n_kept"),
         sum(when(col("kept"), col("words")).otherwise(lit(0L))).as("main_toks"),
-        array_join(transform(
+        // field extraction over the sorted struct array is GetArrayStructFields
+        // (codegen'd) — a `transform(_, b => b.getField(...))` lambda here
+        // would run interpreted per block (r18 optimization)
+        array_join(
           sort_array(collect_list(when(col("kept"),
-            struct(col("block_idx"), col("btext"))))),
-          b => b.getField("btext")), " ").as("main_text"))
+            struct(col("block_idx"), col("btext"))))).getField("btext"),
+          " ").as("main_text"))
 
   /** RFC 3986 remove_dot_segments over a path(+query) string, as a BOUNDED
     * unrolled regex chain (codegen'd, RE2-compatible — no lookaround, so the
@@ -806,8 +809,14 @@ object Web {
     * then quote (order matters), then every control character U+0000–U+001F
     * as `\u00XX` (r18 advisor fix — a tab inside a `<title>` passes the
     * `(.*?)` extraction regex, and unescaped it produced invalid JSON that
-    * downstream from_json silently NULLed instead of failing loudly). All
-    * literal replaces — codegen'd.
+    * downstream from_json silently NULLed instead of failing loudly).
+    *
+    * KEPT as the declarative reference semantics only (WebSpec pins the
+    * kernel against it): the production serializer [[toWat]] uses the
+    * single-pass [[graft.expressions.JsonEscapeStr]] kernel — this chain is
+    * 34 full scan-and-copy passes per string, and its per-link form ran
+    * inside an interpreted `transform` lambda, the slowest per-byte lane of
+    * r17 (SCALE.md wat_write_roundtrip; r18 optimization round).
     */
   private[graft] def jsonEsc(c: Column): Column =
     (0 until 0x20).foldLeft(
@@ -830,14 +839,18 @@ object Web {
       statusCol: String, mimeCol: String, titleCol: String,
       linksCol: String): DataFrame = {
     val idStr = col(idCol).cast(StringType)
-    val linksJson = array_join(
-      transform(col(linksCol), l => concat(lit("\""), jsonEsc(l), lit("\""))),
-      ",")
+    // r18 optimization: single-pass escape kernels — the declarative form
+    // ([[jsonEsc]] 34-replace chain per field; per-link escapes inside an
+    // interpreted `transform` lambda) was the slowest per-byte lane of r17.
+    // Byte-identical output (WebSpec kernel-vs-chain arms + the unchanged
+    // q_wat_roundtrip / q_cc_triptych / q_domain_rank_wat oracle hashes).
+    val esc = graft.expressions.GraftFunctions.jsonEscape _
+    val linksJson = graft.expressions.GraftFunctions.jsonEscapeQuoteJoin(col(linksCol))
     val json = concat(
-      lit("{\"url\":\""), jsonEsc(col(urlCol)),
+      lit("{\"url\":\""), esc(col(urlCol)),
       lit("\",\"status\":"), col(statusCol).cast(StringType),
-      lit(",\"mime\":\""), jsonEsc(col(mimeCol)),
-      lit("\",\"title\":\""), jsonEsc(col(titleCol)),
+      lit(",\"mime\":\""), esc(col(mimeCol)),
+      lit("\",\"title\":\""), esc(col(titleCol)),
       lit("\",\"links\":["), linksJson, lit("]}"))
     df.withColumn("wat", concat(
       lit("WARC/1.0" + CRLF + "WARC-Type: metadata" + CRLF +

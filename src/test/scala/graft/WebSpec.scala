@@ -1133,4 +1133,35 @@ class WebSpec extends SparkSpec {
     // getBytes would have silently emitted '?' here — the divergence class
     "日本語".getBytes("windows-1252") shouldBe "???".getBytes("US-ASCII")
   }
+
+  test("json-escape kernels (r18 optimization) are byte-identical to the " +
+    "declarative replace chain and the transform+array_join lambda form") {
+    import graft.expressions.GraftFunctions
+    // adversarial strings: every control char, quotes, backslashes, multibyte
+    // UTF-8, escape-shaped literals, empties
+    val controls = (0 until 0x20).map(i => s"a${i.toChar}b")
+    val strs = controls ++ Seq("", "plain url", "q\"uo\\te", "\\u0009 literal",
+      "日本語 ✓ emoji  mix", "\\", "\"", "\t\n\r", "trailing\\")
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("i", "s")
+    val cmp = rows(df.select(col("i"),
+        GraftFunctions.jsonEscape(col("s")).as("k"),
+        Web.jsonEsc(col("s")).as("c")).orderBy("i"))
+    cmp.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"escape diverged on row ${r.getLong(0)}"))
+    // array form incl. NULL elements (skipped without separator), empty
+    // array, and an all-NULL array (joins to empty string both ways)
+    val arrs = Seq(
+      (1L, Seq("a", "b\tc", "d\"e")),
+      (2L, Seq[String](null, "x", null)),
+      (3L, Seq[String]()),
+      (4L, Seq[String](null, null)),
+      (5L, strs)).toDF("i", "links")
+    val lambdaForm = array_join(
+      transform(col("links"), l => concat(lit("\""), Web.jsonEsc(l), lit("\""))), ",")
+    val cmp2 = rows(arrs.select(col("i"),
+      GraftFunctions.jsonEscapeQuoteJoin(col("links")).as("k"),
+      lambdaForm.as("c")).orderBy("i"))
+    cmp2.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"quote-join diverged on row ${r.getLong(0)}: '${r.getString(1)}' vs '${r.getString(2)}'"))
+  }
 }
