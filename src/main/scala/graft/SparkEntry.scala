@@ -6069,7 +6069,11 @@ object SparkEntry {
     // gate, so the naive collision AND its structural fix are both proven.
     "q_main_content_dedup" -> ((s, dir) => {
       val W = graft.operators.Web
-      val v = W.withChromeVariants(documents(s, dir))
+      // localCheckpoint (lazy, r18 optimization): THREE consumers (the naive
+      // shingle branch, the block extraction, and the id join-back) each
+      // re-ran the chrome-variant synthesis and re-inlined its expression
+      // tree without the cut
+      val v = W.withChromeVariants(documents(s, dir)).localCheckpoint(false)
       val naive = v.select(col("doc_id"), col("v"),
         array_distinct(graft.operators.Dedup.shingles(
           W.htmlToText(col("html")), 3)).as("sh"))
@@ -7083,13 +7087,19 @@ object SparkEntry {
     "q_redirect_chains" -> ((s, dir) => {
       val W = graft.operators.Web
       val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      // r18 optimization: TWO consumers (the edge set and the landed-content
+      // set) each re-ran the synthesis+parse without a lineage cut — the
+      // q_warc_revisit lesson applied here. Project the three header columns
+      // first so the checkpoint never materializes payloads (guide §2.3).
       val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
-      val edges = recs.filter(col("rec_type") === "response" &&
-          col("http_status") === 301 && col("http_location").isNotNull)
+        .filter(col("rec_type") === "response")
+        .select(col("http_status"), col("target_uri"), col("http_location"))
+        .localCheckpoint(false)
+      val edges = recs.filter(col("http_status") === 301 &&
+          col("http_location").isNotNull)
         .select(W.urlCanonOf(col("target_uri")).as("src"),
           W.urlCanonOf(col("http_location")).as("dst"))
-      val content = recs.filter(col("rec_type") === "response" &&
-          col("http_status") === 200)
+      val content = recs.filter(col("http_status") === 200)
         .select(W.urlCanonOf(col("target_uri")).as("final_url"))
         .distinct().withColumn("__has", lit(true))
       // no broadcast hint on the content set: page-granularity (AQE

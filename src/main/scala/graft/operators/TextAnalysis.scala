@@ -93,17 +93,35 @@ object TextAnalysis {
     */
   def chi2Terms(df: DataFrame, textCol: String, idCol: String,
       labelCol: String, minDf: Int, topK: Int): DataFrame = {
+    // r18 optimization: ONE tokenize+distinct pass. The former shape ran
+    // docTok's explode+distinct TWICE (token totals and per-(token,label)
+    // cells were independent aggregations over it) and used countDistinct
+    // (an Expand-based distinct-agg) over a frame already distinct on
+    // (__id, label, token), where count(*) is exactly equal. Token totals
+    // re-aggregate the cells: each doc carries exactly ONE label (idCol is
+    // the row identity and labelCol a per-doc attribute — true of every
+    // caller), so Σ_label n_with(token, label) = doc_freq(token) exactly.
+    // Plan: 2 corpus scans + 4 exchanges → 1 corpus scan (AQE reuses the
+    // (token,label) exchange for both consumers) + re-agg of a vocab-scale
+    // frame; integer counts, value-identical (oracle hash unchanged).
     val docTok = df.select(col(idCol).as("__id"), col(labelCol).as("label"),
       explode(Dedup.tokens(col(textCol))).as("token")).distinct()
     val docs = df.select(col(idCol).as("__id"), col(labelCol).as("label"))
     val n = docs.agg(countDistinct(col("__id")).as("__n"))
     val labelTotals = docs.groupBy("label")
       .agg(countDistinct(col("__id")).as("n_label"))
-    val tokTotals = docTok.groupBy("token")
-      .agg(countDistinct(col("__id")).as("doc_freq"))
+    // localCheckpoint (lazy): TWO consumers (token totals, the cells join)
+    // — and join-side IsNotNull pushdown makes the subtrees non-identical,
+    // so ReuseExchange can NOT serve them from one exchange (verified in
+    // the r18 plan dump); without the cut the tokenize+distinct ran twice.
+    // The frame is vocabulary×label scale — the r14 dedupedPostings rule.
+    val cells0 = docTok.groupBy("token", "label")
+      .agg(count(lit(1)).as("n_with"))
+      .localCheckpoint(false)
+    val tokTotals = cells0.groupBy("token")
+      .agg(sum(col("n_with")).as("doc_freq"))
       .filter(col("doc_freq") >= minDf)
-    val cells = docTok.groupBy("token", "label")
-      .agg(countDistinct(col("__id")).as("n_with"))
+    val cells = cells0
       .join(tokTotals, Seq("token"))
       .join(broadcast(labelTotals), Seq("label"))
       .crossJoin(broadcast(n))
@@ -602,7 +620,20 @@ object TextAnalysis {
   def docRarity(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = df.select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("token"))
-    val vocab = tok.groupBy("token").agg(count(lit(1)).as("freq"))
+    // r18 optimization: ONE tokenize pass. The vocabulary re-aggregates the
+    // (doc, token) occurrence counts (freq = Σ per-doc counts, exactly) —
+    // the former groupBy("token") over the raw token stream was a second
+    // full explode+scan; AQE's ReuseExchange serves both consumers from the
+    // one (doc_id, token) exchange.
+    // localCheckpoint (lazy) on BOTH shared frames: pairCnt feeds the
+    // vocabulary AND the rank join, vocab feeds the within-group ranks AND
+    // the carry offsets — per-branch filter pushdown makes the duplicated
+    // subtrees non-identical so ReuseExchange cannot serve them (r18 plan
+    // dump), and uncut each consumer re-ran the full tokenize scan.
+    val pairCnt = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(false)
+    val vocab = pairCnt.groupBy("token").agg(sum(col("__cnt")).as("freq"))
+      .localCheckpoint(false)
     // Two-level global rank by (freq desc, token asc): group = (freq, 1-char
     // token prefix); within-group row_number + cumulative group offsets.
     val grouped = vocab.withColumn("__pfx", substring(col("token"), 1, 1))
@@ -626,7 +657,7 @@ object TextAnalysis {
     // and the final per-doc aggregate needs no countDistinct (n_unique is a
     // plain count over the pre-distinct frame — no Expand). Integer parity:
     // sum(rank·cnt) over longs is exactly the occurrence-row sum(rank).
-    tok.groupBy("doc_id", "token").agg(count(lit(1)).as("__cnt"))
+    pairCnt
       .join(ranked, Seq("token"))
       .groupBy("doc_id")
       .agg(sum(col("__cnt")).cast(LongType).as("n_tokens"),
