@@ -85,32 +85,40 @@ object JsonEscapeKernel {
     */
   def escapeQuoteJoin(arr: ArrayData): UTF8String = {
     val n = arr.numElements()
-    // sizing pass
-    var total = 0
+    // sizing pass — the materialized byte arrays are KEPT for the write
+    // pass (r19, advisor fix: getUTF8String(i).getBytes ran twice per
+    // element, doubling byte copies for offheap/sliced arrays), and the
+    // total accumulates in a long with an explicit bound so a pathological
+    // input raises a clear error instead of a NegativeArraySizeException
+    val bytes = new Array[Array[Byte]](n)
+    var total = 0L
     var emitted = 0
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val b = s.getBytes
+        val b = arr.getUTF8String(i).getBytes
+        bytes(i) = b
         val e = escapedLen(b, 0, b.length)
-        total += (if (e < 0) b.length else e) + 2 // quotes
+        total += (if (e < 0) b.length else e) + 2L // quotes
         emitted += 1
       }
       i += 1
     }
     if (emitted == 0) return UTF8String.EMPTY_UTF8
     total += emitted - 1 // separators
-    val out = new Array[Byte](total)
+    if (total > Int.MaxValue - 16)
+      throw new IllegalArgumentException(
+        s"json_escape_quote_join result too large: $total bytes exceeds the 2 GiB string limit")
+    val out = new Array[Byte](total.toInt)
     var o = 0
     var first = true
     i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) {
+      val b = bytes(i)
+      if (b != null) {
         if (!first) { out(o) = ','; o += 1 }
         first = false
         out(o) = '"'; o += 1
-        val b = arr.getUTF8String(i).getBytes
         o = writeEscaped(b, 0, b.length, out, o)
         out(o) = '"'; o += 1
       }

@@ -77,6 +77,14 @@ object TextAnalysis {
     * — the report that tells a mixture designer which vocabulary each source
     * contributes, and a classifier builder which features discriminate.
     *
+    * CONTRACT (r19, advisor note): `idCol` must be the row identity and
+    * `labelCol` a per-doc attribute — i.e. each doc id carries exactly ONE
+    * label. The single-pass shape derives doc_freq(token) as
+    * Σ_label n_with(token, label), which double-counts a doc id that
+    * appeared under two labels; callers with multi-labeled docs must
+    * pre-dedup to one label per id (every current caller satisfies this by
+    * construction — doc_id is the documents table's primary key).
+    *
     * Determinism/cross-engine: every input to the formula is an exact
     * integer count; the χ² itself is ONE fixed-shape double expression
     * (casts before multiplies, (A·D)−(B·C) parenthesization) evaluated
@@ -527,20 +535,31 @@ object TextAnalysis {
     * `ln()` is only 1-ulp-accurate and libm-dependent (the same reasoning as
     * [[docRarity]]'s integer ranks). `lift > 1` ⇔ positive PMI.
     *
-    * Plan: the two count shuffles (bigrams, unigrams), two vocabulary
-    * equi-joins to attach `n_a`/`n_b`, one broadcast of the two scalar
-    * totals, and a TakeOrdered top-k — no per-pair state, nothing quadratic.
-    * The `minCount` support floor is applied AFTER the totals are taken, so
-    * probabilities stay calibrated to the full corpus.
+    * Plan (r19 optimization, guide §2.4): ONE corpus scan — the bigram and
+    * unigram occurrences ride one exploded `concat(ngrams, tokens)` array
+    * into one count shuffle (tokens are `[\p{L}\p{Nd}]+`, so "contains a
+    * space" splits the counted vocabulary back into the two frames
+    * exactly); the combined counts frame is vocabulary-scale and feeds four
+    * consumers (both totals, both vocabulary joins), so it takes the r14
+    * dedupedPostings `localCheckpoint` — without the cut the corpus agg
+    * re-runs per consumer. Then the two vocabulary equi-joins to attach
+    * `n_a`/`n_b`, one broadcast of the two scalar totals, and a TakeOrdered
+    * top-k — no per-pair state, nothing quadratic. The `minCount` support
+    * floor is applied AFTER the totals are taken, so probabilities stay
+    * calibrated to the full corpus. (The former shape ran the
+    * tokenize+explode corpus scan TWICE — once per n-gram order.)
     */
   def bigramLift(df: DataFrame, textCol: String, minCount: Long = 5,
       k: Int = 100): DataFrame = {
     val toks = df.select(Dedup.tokens(col(textCol)).as("__ts"))
-    val bc = toks.select(explode(graft.expressions.GraftFunctions
-        .ngramStrings(col("__ts"), 2)).as("bigram"))
-      .groupBy("bigram").agg(count(lit(1)).as("n_ab"))
-    val uc = toks.select(explode(col("__ts")).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("n"))
+    val counts = toks.select(explode(concat(graft.expressions.GraftFunctions
+        .ngramStrings(col("__ts"), 2), col("__ts"))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val bc = counts.filter(col("g").contains(" "))
+      .select(col("g").as("bigram"), col("cnt").as("n_ab"))
+    val uc = counts.filter(!col("g").contains(" "))
+      .select(col("g").as("token"), col("cnt").as("n"))
     val tot = bc.agg(sum("n_ab").cast(DoubleType).as("__N"))
       .crossJoin(uc.agg(sum("n").cast(DoubleType).as("__U")))
     val left = uc.select(col("token").as("__w1"), col("n").as("n_a"))

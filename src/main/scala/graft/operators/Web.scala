@@ -1508,6 +1508,27 @@ object Web {
     warcCutsB(bytes).map(c => WarcCut(c.start, c.hdr,
       new String(bytes, c.blockStart, c.blockEnd - c.blockStart, "UTF-8")))
 
+  /** First `key([^\r\n]+)`-style header-field extraction over a WARC header
+    * — the exact indexOf twin of `regexp_extract(hdr, key + "([^\r\n]+)", 1)`
+    * (first occurrence of the literal key followed by at least one
+    * non-CRLF char; "" when absent), hoisted into the byte walk so the
+    * record parse can branch on `WARC-Type` without a second pass over the
+    * block (r19 optimization; guide §1.2 per-task work).
+    */
+  private[graft] def hdrField(hdr: String, key: String): String = {
+    var from = 0
+    while (true) {
+      val m = hdr.indexOf(key, from)
+      if (m < 0) return ""
+      val s = m + key.length
+      var e = s
+      while (e < hdr.length && hdr.charAt(e) != '\r' && hdr.charAt(e) != '\n') e += 1
+      if (e > s) return hdr.substring(s, e)
+      from = m + 1 // key followed immediately by CRLF: regex keeps searching
+    }
+    "" // unreachable
+  }
+
   /** Member slices for `.warc.gz` serialization: the segment cut at TRUE
     * (length-framed) record boundaries, concatenation-exact — any junk
     * prefix before the first record rides as its own slice, a segment with
@@ -1516,14 +1537,67 @@ object Web {
     */
   private[graft] def warcMemberSlices(seg: String): Seq[String] = {
     val bytes = seg.getBytes("UTF-8")
-    val starts = warcCuts(bytes).map(_.start)
-    if (starts.isEmpty) Seq(seg)
+    warcMemberBounds(bytes).map { case (a, b) =>
+      new String(bytes, a, b - a, "UTF-8")
+    }
+  }
+
+  /** [[warcMemberSlices]] as byte bounds (r19 optimization): the gzip
+    * writers compress straight from the segment's UTF-8 octets, skipping
+    * the per-member String decode + re-encode round trip the String form
+    * pays (two full passes over every member's bytes).
+    */
+  private[graft] def warcMemberBounds(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    val starts = warcCutsB(bytes).map(_.start)
+    if (starts.isEmpty) Seq((0, bytes.length))
     else {
       val bounds = (if (starts.head == 0) starts else 0 +: starts) :+ bytes.length
-      bounds.sliding(2).map { case Seq(a, b) =>
-        new String(bytes, a, b - a, "UTF-8")
-      }.toSeq
+      bounds.sliding(2).map { case Seq(a, b) => (a, b) }.toSeq
     }
+  }
+
+  /** One gzip member over a byte range, byte-identical to
+    * `GZIPOutputStream` (header 1f 8b 08 00 00000000 00 00, raw DEFLATE at
+    * default level, CRC32 + ISIZE trailer) but with the `Deflater` REUSED
+    * across members (r19 optimization): `Deflater` init allocates zlib's
+    * ~256 KiB native state per instance, and the member-per-record layout
+    * paid that per RECORD in the writer's hot loop. `reset()` restores the
+    * exact initial state, so the compressed octets are unchanged.
+    */
+  private[graft] def gzipMemberRange(bytes: Array[Byte], from: Int, until: Int,
+      d: java.util.zip.Deflater, crc: java.util.zip.CRC32,
+      buf: Array[Byte]): Array[Byte] = {
+    d.reset(); crc.reset()
+    crc.update(bytes, from, until - from)
+    d.setInput(bytes, from, until - from)
+    d.finish()
+    val bos = new java.io.ByteArrayOutputStream(64 + (until - from) / 2)
+    // header matches GZIPOutputStream byte-for-byte: magic, CM=8, FLG=0,
+    // MTIME=0, XFL=0, OS=0xff ("unknown" — the JDK's value, NOT 0)
+    bos.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte), 0, 10)
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      if (n > 0) bos.write(buf, 0, n)
+    }
+    val c = crc.getValue
+    val isize = (until - from).toLong & 0xffffffffL
+    bos.write(Array[Byte](
+      (c & 0xff).toByte, ((c >> 8) & 0xff).toByte,
+      ((c >> 16) & 0xff).toByte, ((c >> 24) & 0xff).toByte,
+      (isize & 0xff).toByte, ((isize >> 8) & 0xff).toByte,
+      ((isize >> 16) & 0xff).toByte, ((isize >> 24) & 0xff).toByte), 0, 8)
+    bos.toByteArray
+  }
+
+  /** Shared writer core for [[withWarcGz]] / [[gzipWarcRecords]]: segment →
+    * concatenated member-per-record gzip, one reused Deflater per task.
+    */
+  private def gzipMembersOf(warc: String, d: java.util.zip.Deflater,
+      crc: java.util.zip.CRC32, buf: Array[Byte]): Array[Array[Byte]] = {
+    val bytes = warc.getBytes("UTF-8")
+    warcMemberBounds(bytes).map { case (a, b) =>
+      gzipMemberRange(bytes, a, b, d, crc, buf)
+    }.toArray
   }
 
   /** Serialize WARC segments as REAL `.warc.gz` payloads — each record
@@ -1542,12 +1616,19 @@ object Web {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast(LongType), col(warcCol))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, warc) =>
-        val members = warcMemberSlices(warc).map(gzipMember).toArray
-        if (!warc.startsWith("WARC/1.0") && members.nonEmpty) members(0)(0) = 0x00
-        else if (id % 89 == 88 && members.length >= 3) members(2)(0) = 0x00
-        (id, members.flatten)
-      }).toDF(idCol, "warc_gz")
+      .mapPartitions { it =>
+        // one Deflater per task, not per member (see gzipMemberRange)
+        val d = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        val crc = new java.util.zip.CRC32
+        val buf = new Array[Byte](65536)
+        it.map { case (id, warc) =>
+          val members = gzipMembersOf(warc, d, crc, buf)
+          if (!warc.startsWith("WARC/1.0") && members.nonEmpty) members(0)(0) = 0x00
+          else if (id % 89 == 88 && members.length >= 3) members(2)(0) = 0x00
+          (id, members.flatten)
+        }
+      }.toDF(idCol, "warc_gz")
   }
 
   /** PRODUCTION `.warc.gz` writer (r16): member-per-record gzip at true
@@ -1561,9 +1642,14 @@ object Web {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast(LongType), col(warcCol))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, warc) =>
-        (id, warcMemberSlices(warc).map(gzipMember).toArray.flatten)
-      }).toDF(idCol, "warc_gz")
+      .mapPartitions { it =>
+        // one Deflater per task, not per member (see gzipMemberRange)
+        val d = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        val crc = new java.util.zip.CRC32
+        val buf = new Array[Byte](65536)
+        it.map { case (id, warc) => (id, gzipMembersOf(warc, d, crc, buf).flatten) }
+      }.toDF(idCol, "warc_gz")
   }
 
   /** Decode a multi-member gzip payload to text — the `.warc.gz` reader.
@@ -1605,6 +1691,13 @@ object Web {
       private var off = 0
       private var nextText: String = null
       private var finished = false
+      // r19 optimization: one Inflater/CRC32/buffer per PAYLOAD, reset per
+      // member — the old per-member `new Inflater` paid zlib's native init
+      // (plus a fresh 64 KiB buffer) once per RECORD under the
+      // member-per-record layout. reset() restores the exact initial state.
+      private val inf = new java.util.zip.Inflater(true)
+      private val crc = new java.util.zip.CRC32()
+      private val buf = new Array[Byte](65536)
 
       /** Header walk: returns the DEFLATE data offset, or -1 on a garbled
         * header (which ends the stream).
@@ -1636,11 +1729,9 @@ object Web {
         if (finished || nextText != null) return
         val dataStart = parseHeader(off)
         if (dataStart < 0) { finished = true; return }
-        val inf = new java.util.zip.Inflater(true)
+        inf.reset(); crc.reset()
         inf.setInput(bytes, dataStart, bytes.length - dataStart)
         val out = new java.io.ByteArrayOutputStream()
-        val crc = new java.util.zip.CRC32()
-        val buf = new Array[Byte](65536)
         var corrupt = false
         try {
           while (!inf.finished() && !corrupt) {
@@ -1650,7 +1741,6 @@ object Web {
           }
         } catch { case _: java.util.zip.DataFormatException => corrupt = true }
         val consumed = inf.getBytesRead.toInt
-        inf.end()
         // trailer CRC32 check — GZIPInputStream parity: a member whose
         // DEFLATE data is intact but whose checksum lies still poisons
         // the stream behind it (the member's own bytes are kept, exactly
@@ -1733,16 +1823,43 @@ object Web {
     */
   def warcRecords(df: DataFrame, segCol: String): DataFrame = {
     import df.sparkSession.implicits._
-    val rec2 = CRLF + CRLF
+    val sep = "\r\n\r\n".getBytes("US-ASCII")
     df.select(col("doc_id").cast(LongType), col(segCol).cast(StringType))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, seg) =>
-        warcCuts(seg.getBytes("UTF-8")).iterator.zipWithIndex.map {
-          case (c, i) => (id, i + 1, c.hdr, c.block)
+        // r19 optimization (guide §1.2, the engine's hottest per-byte loop):
+        // the head/body split and the WARC-Type extraction happen INSIDE
+        // the walk, on the byte offsets warcCutsB already holds — the old
+        // shape decoded the whole block to a String and re-scanned it with
+        // substring_index + substr (≈2 extra passes over payload bytes per
+        // record). Equivalence: the delimiter and every escape trigger are
+        // ASCII, UTF-8 multi-byte bytes are ≥ 0x80, so a byte-level first
+        // \r\n\r\n is the decoded string's first occurrence; slicing at it
+        // and decoding the halves equals decoding then splitting.
+        //   head  = substring_index(block, CRLFCRLF, 1)   for responses
+        //   body  = chars after head + 4 (empty when no delimiter)
+        //   non-response rows keep block whole in `payload`, head = ""
+        val bytes = seg.getBytes("UTF-8")
+        warcCutsB(bytes).iterator.zipWithIndex.map { case (c, i) =>
+          val recType = hdrField(c.hdr, "WARC-Type: ")
+          val blockLen = c.blockEnd - c.blockStart
+          if (recType == "response") {
+            val at0 = indexOfBytes(bytes, sep, c.blockStart)
+            val at = if (at0 >= 0 && at0 + sep.length <= c.blockEnd) at0 else -1
+            val head =
+              if (at >= 0) new String(bytes, c.blockStart, at - c.blockStart, "UTF-8")
+              else new String(bytes, c.blockStart, blockLen, "UTF-8")
+            val body =
+              if (at >= 0) new String(bytes, at + sep.length, c.blockEnd - at - sep.length, "UTF-8")
+              else ""
+            (id, i + 1, c.hdr, recType, head, body, blockLen.toLong)
+          } else {
+            val block = new String(bytes, c.blockStart, blockLen, "UTF-8")
+            (id, i + 1, c.hdr, recType, "", block, blockLen.toLong)
+          }
         }
-      }).toDF("doc_id", "rec_pos", "__hdr", "__block")
-      .withColumn("rec_type",
-        regexp_extract(col("__hdr"), "WARC-Type: ([^\r\n]+)", 1))
+      }).toDF("doc_id", "rec_pos", "__hdr", "rec_type", "__httpHdr", "payload",
+        "block_octets")
       .filter(col("rec_type") =!= "")
       .withColumn("target_uri",
         regexp_extract(col("__hdr"), "WARC-Target-URI: ([^\r\n]+)", 1))
@@ -1757,10 +1874,6 @@ object Web {
       .withColumn("content_length",
         when(length(col("__clg")).between(1, 18), col("__clg").cast(LongType)))
       .drop("__clg")
-      .withColumn("block_octets", octet_length(col("__block")).cast(LongType))
-      .withColumn("__httpHdr",
-        when(col("rec_type") === "response", substring_index(col("__block"), rec2, 1))
-          .otherwise(lit("")))
       .withColumn("http_status",
         when(col("rec_type") === "response",
           regexp_extract(col("__httpHdr"), "^HTTP/1\\.[01] ([0-9]{3})", 1)
@@ -1784,11 +1897,10 @@ object Web {
       .withColumn("payload_digest",
         nullif(regexp_extract(col("__hdr"), "WARC-Payload-Digest: ([^\r\n]+)", 1),
           lit("")))
-      .withColumn("payload",
-        when(col("rec_type") === "response",
-          col("__block").substr(length(col("__httpHdr")) + lit(5), length(col("__block"))))
-          .otherwise(col("__block")))
-      .drop("__hdr", "__block", "__httpHdr")
+      .select(col("doc_id"), col("rec_pos"), col("rec_type"), col("target_uri"),
+        col("warc_date"), col("content_length"), col("block_octets"),
+        col("http_status"), col("mime"), col("http_location"),
+        col("refers_to"), col("payload_digest"), col("payload"))
   }
 
   /** Serialize (doc_id, url, html) as a BINARY WARC response record whose

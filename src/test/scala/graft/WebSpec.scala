@@ -1164,4 +1164,82 @@ class WebSpec extends SparkSpec {
     cmp2.foreach(r => assert(r.getString(1) == r.getString(2),
       s"quote-join diverged on row ${r.getLong(0)}: '${r.getString(1)}' vs '${r.getString(2)}'"))
   }
+
+  test("hdrField (r19): exact regexp_extract 'key([^\\r\\n]+)' twin — first " +
+    "occurrence, empty-value occurrences skipped, absent key yields empty") {
+    Web.hdrField("WARC-Type: response\r\nX: y", "WARC-Type: ") shouldBe "response"
+    Web.hdrField("A: b\r\nWARC-Type: revisit\r\n", "WARC-Type: ") shouldBe "revisit"
+    Web.hdrField("A: b\r\n", "WARC-Type: ") shouldBe ""
+    // key immediately followed by CRLF: the regex backtracks and matches a
+    // LATER occurrence — the indexOf twin must too
+    Web.hdrField("WARC-Type: \r\nWARC-Type: request\r\n", "WARC-Type: ") shouldBe
+      "request"
+    Web.hdrField("WARC-Type: \r\n", "WARC-Type: ") shouldBe ""
+    // value runs to end-of-string when no CRLF follows
+    Web.hdrField("WARC-Type: metadata", "WARC-Type: ") shouldBe "metadata"
+    // parity with the regexp the old column used, on the same inputs
+    val hdrs = Seq("WARC-Type: response\r\nX: y", "A: b\r\n",
+      "WARC-Type: \r\nWARC-Type: request\r\n", "WARC-Type: metadata", "")
+    val viaRe = rows(hdrs.toDF("h").select(
+      regexp_extract(col("h"), "WARC-Type: ([^\r\n]+)", 1))).map(_.getString(0))
+    hdrs.map(Web.hdrField(_, "WARC-Type: ")) shouldBe viaRe
+  }
+
+  test("warcRecords fused head/body split (r19): response without CRLFCRLF " +
+    "keeps the whole block as head and an EMPTY payload (substring_index " +
+    "semantics); non-response blocks ride whole; multibyte UTF-8 splits exact") {
+    def rec(typ: String, block: String): String =
+      "WARC/1.0\r\n" + s"WARC-Type: $typ\r\n" +
+        "WARC-Target-URI: http://e.com/x\r\n" +
+        s"Content-Length: ${block.getBytes("UTF-8").length}\r\n\r\n" +
+        block + "\r\n\r\n"
+    val seg =
+      rec("response", "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>日本語 ✓</p>") +
+      rec("response", "HTTP/1.1 200 OK\r\nContent-Type: text/html") + // headerless: no sep
+      rec("request", "GET /x HTTP/1.1\r\n\r\nbody-ignored") +         // non-response
+      rec("response", "HTTP/1.1 200 OK\r\n\r\nquotes WARC/1.0\r\n marker bytes")
+    val recs = rows(Web.warcRecords(Seq((7L, seg)).toDF("doc_id", "warc"), "warc")
+      .select("rec_pos", "rec_type", "http_status", "mime", "payload", "block_octets")
+      .orderBy("rec_pos"))
+    recs.map(_.getString(1)) shouldBe Seq("response", "response", "request", "response")
+    recs(0).getString(4) shouldBe "<p>日本語 ✓</p>"
+    recs(0).getInt(2) shouldBe 200
+    recs(0).getString(3) shouldBe "text/html"
+    recs(0).getLong(5) shouldBe
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>日本語 ✓</p>"
+        .getBytes("UTF-8").length.toLong
+    recs(1).getString(4) shouldBe "" // no CRLFCRLF in block: payload empty
+    recs(1).getInt(2) shouldBe 200   // ...but the head still parses (whole block)
+    recs(2).getString(4) shouldBe "GET /x HTTP/1.1\r\n\r\nbody-ignored" // whole block
+    assert(recs(2).isNullAt(2))
+    recs(3).getString(4) shouldBe "quotes WARC/1.0\r\n marker bytes"
+  }
+
+  test("gzipMemberRange (r19): reused-Deflater member is byte-identical to " +
+    "GZIPOutputStream, empties and multibyte included; reuse across members " +
+    "does not leak state") {
+    def jdk(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(s.getBytes("UTF-8")); gz.close(); bos.toByteArray
+    }
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    val crc = new java.util.zip.CRC32
+    val buf = new Array[Byte](65536)
+    val inputs = Seq("", "WARC/1.0\r\nWARC-Type: response\r\n\r\nhello",
+      "日本語 ✓ emoji mix", "a" * 100000, "", "tail")
+    inputs.foreach { s =>
+      val b = s.getBytes("UTF-8")
+      val mine = Web.gzipMemberRange(b, 0, b.length, d, crc, buf)
+      assert(java.util.Arrays.equals(mine, jdk(s)),
+        s"gzip member diverged from GZIPOutputStream on input of ${b.length} bytes")
+    }
+    // ...and a sub-range slices without copying the segment first
+    val seg = "prefix-JUNK|payload bytes 日本語|suffix".getBytes("UTF-8")
+    val from = "prefix-JUNK|".getBytes("UTF-8").length
+    val until = seg.length - "|suffix".getBytes("UTF-8").length
+    val viaRange = Web.gzipMemberRange(seg, from, until, d, crc, buf)
+    viaRange shouldBe jdk("payload bytes 日本語")
+  }
 }
