@@ -262,7 +262,10 @@ object SparkEntry {
     */
   private def domainRankFrame(s: SparkSession, dir: String): DataFrame = {
     val W = graft.operators.Web
-    val h = W.withHtml(W.withUrls(documents(s, dir)))
+    // r19: typed synthesis kernel (warc-free variant) — the html/url
+    // synthesis tree no longer re-optimizes under the resolved/canon
+    // checkpoints (ScratchR19 law), and the unused WARC segment is not built
+    val h = W.synthPages(documents(s, dir))
     val links = h.select(col("doc_id"), col("url").as("page_url"),
       explode(W.extractLinks(col("html"))).as("href"))
     // localCheckpoint (lazy) on the RESOLVED frame too (r18 optimization):
@@ -2060,20 +2063,29 @@ object SparkEntry {
     // tagged aggregate; the cached pair frame answers both pair counts in
     // one conditional count.
     "q_erasure_audit" -> ((s, dir) => {
-      import s.implicits._
       val docs = documents(s, dir)
       val retained = col("doc_id") % 97 =!= 0
       val ret = docs.filter(retained)
-      val docRow = docs
+      // r19 optimization: one LAZY plan instead of three driver `.head()`
+      // jobs serialized at build time (BenchOverhead recorded the heads as
+      // 1.16 s of "build") — each 1-row aggregate explodes to its two
+      // artifact rows and the union executes as one job whose independent
+      // branches schedule concurrently. Values identical by construction.
+      val docRows = docs
         .select(unhex(md5(col("text").cast(BinaryType))).as("h"), retained.as("r"))
         .agg(count(lit(1)).as("db"), count(when(col("r"), 1)).as("da"),
           countDistinct(col("h")).as("cb"),
           countDistinct(when(col("r"), col("h"))).as("ca"))
-        .head()
+        .select(explode(array(
+          struct(lit("documents").as("artifact"), col("db").as("n_before"),
+            col("da").as("n_after")),
+          struct(lit("content_index").as("artifact"), col("cb").as("n_before"),
+            col("ca").as("n_after")))).as("__e"))
+        .select(col("__e.artifact"), col("__e.n_before"), col("__e.n_after"))
       // after-rebuild postings COUNT without materializing the rebuilt rows:
       // Σ docFreq over surviving shingles (df ≤ cap) ≡ prunedPostings(ret)
       // .count() — one tokenize pass + one (sh) hash-agg, no semi-join back
-      val postRow = docPostingsIndex(s, dir) // the landed index IS the before
+      val postRows = docPostingsIndex(s, dir) // the landed index IS the before
         .select(lit(1L).as("b"), lit(0L).as("a"))
         .unionByName(
           ret.select(explode(Dedup.shingleHashSet(col("text"), 5)).as("sh"))
@@ -2081,17 +2093,14 @@ object SparkEntry {
             .filter(col("df") <= 100L)
             .select(lit(0L).as("b"), col("df").as("a")))
         .agg(sum("b").as("pb"), sum("a").as("pa"))
-        .head()
-      val pairRow = minhashPairIndex(s, dir)
+        .select(lit("pruned_postings").as("artifact"),
+          col("pb").as("n_before"), col("pa").as("n_after"))
+      val pairRows = minhashPairIndex(s, dir)
         .select((col("id_a") % 97 =!= 0 && col("id_b") % 97 =!= 0).as("r"))
         .agg(count(lit(1)).as("nb"), count(when(col("r"), 1)).as("na"))
-        .head()
-      Seq(
-        ("documents", docRow.getLong(0), docRow.getLong(1)),
-        ("content_index", docRow.getLong(2), docRow.getLong(3)),
-        ("pruned_postings", postRow.getLong(0), postRow.getLong(1)),
-        ("near_dup_pairs", pairRow.getLong(0), pairRow.getLong(1))
-      ).toDF("artifact", "n_before", "n_after").orderBy("artifact")
+        .select(lit("near_dup_pairs").as("artifact"),
+          col("nb").as("n_before"), col("na").as("n_after"))
+      docRows.unionByName(postRows).unionByName(pairRows).orderBy("artifact")
     }),
 
     // Right-to-erasure APPLY (r11 verdict ask #7 — the audit's maintenance
@@ -3107,7 +3116,7 @@ object SparkEntry {
       // chain run past 5 hops — SCALE.md r16); candidates = resolved
       // chains, over = chains still active when the budget ran out
       val W = graft.operators.Web
-      val wCap = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      val wCap = W.synthCrawl(documents(s, dir))
       val redirEdges = W.warcRecords(wCap.select(col("doc_id"), col("warc")), "warc")
         .filter(col("rec_type") === "response" && col("http_status") === 301 &&
           col("http_location").isNotNull)
@@ -6011,7 +6020,7 @@ object SparkEntry {
     // link graph, to the last decimal-exact rank.
     "q_domain_rank_wat" -> ((s, dir) => {
       val W = graft.operators.Web
-      val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      val w = W.synthCrawl(documents(s, dir))
       val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
         .filter(col("rec_type") === "response" && col("http_status") === 200)
       val meta = recs.select(col("doc_id"), col("target_uri").as("url"),
@@ -6183,8 +6192,7 @@ object SparkEntry {
       // fake WARC record inside the HTML body — the length-framed parser
       // must carry it through as payload (one record, octet-exact), where
       // the r15 marker-split parser shattered it into phantom records
-      val w = graft.operators.Web.withWarc(graft.operators.Web.withHtml(
-        graft.operators.Web.withUrls(documents(s, dir))), embedMarker = true)
+      val w = graft.operators.Web.synthCrawl(documents(s, dir), embedMarker = true)
       graft.operators.Web.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
         .select(col("doc_id"), col("rec_pos").cast(LongType).as("rec_pos"),
           col("rec_type"), col("target_uri"), col("warc_date"),
@@ -6200,7 +6208,7 @@ object SparkEntry {
     // scan-speed narrow ops end to end, zero shuffles before curation.
     "q_warc_pipeline" -> ((s, dir) => {
       val W = graft.operators.Web
-      val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      val w = W.synthCrawl(documents(s, dir))
       val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
         .filter(col("rec_type") === "response" && col("http_status") === 200)
       val ext = recs.select(col("doc_id"), col("target_uri").as("url"),
@@ -6297,7 +6305,7 @@ object SparkEntry {
     // the funnel costs one pass regardless of how many stages report.
     "q_crawl_curation" -> ((s, dir) => {
       val W = graft.operators.Web
-      val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      val w = W.synthCrawl(documents(s, dir))
       // localCheckpoint (lazy): FOUR consumers — the funnel's canon chain,
       // the main-content block explode, the redirect edge set, the
       // landed-canon set — would each re-run the synthesis+parse without
@@ -6326,9 +6334,11 @@ object SparkEntry {
       // parsed-container frame means the expensive parse chain is computed
       // exactly ONCE (the broadcast builds below would otherwise re-run it
       // per build)
-      val frontier = W.withUrls(documents(s, dir))
-        .select(col("doc_id"), W.hostOf(col("url")).as("host"),
-          W.pathOf(col("url")).as("path"))
+      // r19: the frontier rides the kernel's url column (same urlOf formula,
+      // differential-gated) — the second synthesis subtree is gone from the
+      // robots decision subplan's optimizer input
+      val frontier = w.select(col("doc_id"), W.hostOf(col("url")).as("host"),
+        W.pathOf(col("url")).as("path"))
       // the robots stage consumes the FETCH-OUTCOME-aware entry point
       // (r17, verdict ask #3): this fixture's robots fetches all returned
       // 200 (the parse-mode arm), so the decision table is unchanged —
@@ -6504,7 +6514,8 @@ object SparkEntry {
     // chain + two broadcast joins + two bounded windows.
     "q_crawl_schedule_ranked" -> ((s, dir) => {
       val W = graft.operators.Web
-      val h = W.withHtml(W.withUrls(documents(s, dir)))
+      // r19: typed synthesis kernel, warc-free (the domainRankFrame rationale)
+      val h = W.synthPages(documents(s, dir))
       val links = h.select(col("url").as("page_url"),
         explode(W.extractLinks(col("html"))).as("href"))
       // localCheckpoint (lazy) on the RESOLVED frame (r18 optimization):
@@ -6575,7 +6586,7 @@ object SparkEntry {
     // compare lexicographically; one grouped agg + one broadcast join.
     "q_recrawl_plan" -> ((s, dir) => {
       val W = graft.operators.Web
-      val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      val w = W.synthCrawl(documents(s, dir))
       val fetched = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
         .filter(col("rec_type") === "response")
         .select(W.hostOf(col("target_uri")).as("host"),
@@ -6608,8 +6619,11 @@ object SparkEntry {
     // loop's cheap path: a 304 costs headers, not bytes.
     "q_recrawl_304" -> ((s, dir) => {
       val W = graft.operators.Web
-      val base = W.withHtml(W.withUrls(documents(s, dir)))
-      val crawl1 = W.withWarc(base).select(col("doc_id"), col("warc"))
+      // r19: typed synthesis — one kernel pass emits url/html/warc; the
+      // conditional re-crawl builder consumes the kernel's html column
+      // (a lineage barrier) instead of re-inlining the synthesis tree
+      val base = W.synthCrawl(documents(s, dir))
+      val crawl1 = base.select(col("doc_id"), col("warc"))
       // the prior-capture index is UNIQUE per URL — the LATEST capture wins
       // (max WARC-Date), exactly what a crawler's index holds. Without the
       // dedup, re-crawled URL collisions fan the join out quadratically
@@ -6800,7 +6814,7 @@ object SparkEntry {
     // the records the corruptions quarantine.
     "q_warc_gz_parse" -> ((s, dir) => {
       val W = graft.operators.Web
-      val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      val w = W.synthCrawl(documents(s, dir))
       val gz = W.withWarcGz(w.select(col("doc_id"), col("warc")), "doc_id", "warc")
       val txt = W.gunzipWarc(gz, "doc_id", "warc_gz")
       W.warcRecords(txt, "warc")
@@ -6819,7 +6833,7 @@ object SparkEntry {
     // arms included.
     "q_warc_gz_members" -> ((s, dir) => {
       val W = graft.operators.Web
-      val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      val w = W.synthCrawl(documents(s, dir))
       val gz = W.withWarcGz(w.select(col("doc_id"), col("warc")), "doc_id", "warc")
       // member rows ride a composite id through the record parser (member
       // count is bounded by the segment's record count — 3 here; 1000 is
@@ -6971,7 +6985,7 @@ object SparkEntry {
     // extracted text's.
     "q_wet_roundtrip" -> ((s, dir) => {
       val W = graft.operators.Web
-      val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      val w = W.synthCrawl(documents(s, dir))
       val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
         .filter(col("rec_type") === "response" && col("http_status") === 200)
       val curated = recs.select(col("doc_id"), col("target_uri").as("url"),
@@ -6992,7 +7006,7 @@ object SparkEntry {
     // derived text.
     "q_wet_gz_roundtrip" -> ((s, dir) => {
       val W = graft.operators.Web
-      val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      val w = W.synthCrawl(documents(s, dir))
       val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
         .filter(col("rec_type") === "response" && col("http_status") === 200)
       val curated = recs.select(col("doc_id"), col("target_uri").as("url"),
@@ -7017,7 +7031,7 @@ object SparkEntry {
     // LIST survives order-exact (links_md5 over the pipe-joined array).
     "q_wat_roundtrip" -> ((s, dir) => {
       val W = graft.operators.Web
-      val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      val w = W.synthCrawl(documents(s, dir))
       val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
         .filter(col("rec_type") === "response" && col("http_status") === 200)
       val meta = recs.select(col("doc_id"), col("target_uri").as("url"),
@@ -7051,7 +7065,7 @@ object SparkEntry {
     // the per-panel round-trip gates still pass individually.
     "q_cc_triptych" -> ((s, dir) => {
       val W = graft.operators.Web
-      val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      val w = W.synthCrawl(documents(s, dir))
       val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
         .filter(col("rec_type") === "response" && col("http_status") === 200)
         .select(col("doc_id"), col("target_uri").as("url"), col("warc_date"),
@@ -7101,7 +7115,7 @@ object SparkEntry {
     // and a 2-cycle loop — all under the hash gate.
     "q_redirect_chains" -> ((s, dir) => {
       val W = graft.operators.Web
-      val w = W.withWarc(W.withHtml(W.withUrls(documents(s, dir))))
+      val w = W.synthCrawl(documents(s, dir))
       // r18 optimization: TWO consumers (the edge set and the landed-content
       // set) each re-ran the synthesis+parse without a lineage cut — the
       // q_warc_revisit lesson applied here. Project the three header columns
@@ -7140,8 +7154,11 @@ object SparkEntry {
     // original's content key.
     "q_warc_revisit" -> ((s, dir) => {
       val W = graft.operators.Web
-      val base = W.withHtml(W.withUrls(documents(s, dir)))
-      val crawl1 = W.withWarc(base).select(col("doc_id"), col("warc"))
+      // r19: typed synthesis — crawl1 reads the kernel's warc column and
+      // the revisit builder's expressions (incl. md5(html)) ride over the
+      // kernel's html column instead of re-inlining the synthesis tree
+      val base = W.synthCrawl(documents(s, dir))
+      val crawl1 = base.select(col("doc_id"), col("warc"))
       val crawl2 = W.withWarcRevisits(base, 100000L)
       val recs = W.warcRecords(crawl1.unionByName(crawl2), "warc")
       // localCheckpoint (lazy): three consumers below (cluster keepers,
@@ -7183,7 +7200,7 @@ object SparkEntry {
           val stream = s.readStream.schema(docsSchema)
             .option("pathGlobFilter", "documents.parquet").parquet(dir)
           val W = graft.operators.Web
-          val w = W.withWarc(W.withHtml(W.withUrls(stream)))
+          val w = W.synthCrawl(stream)
           val recs = W.warcRecords(w.select(col("doc_id"), col("warc")), "warc")
             .select(col("doc_id"), col("rec_pos").cast(LongType).as("rec_pos"),
               col("rec_type"), col("http_status"), col("content_length"),

@@ -294,6 +294,11 @@ object TextAnalysis {
         .select(idCols :+ substring_index(col("__bg"), " ", 1).as("w1") :+
           substring_index(col("__bg"), " ", -1).as("w2"): _*)
     val tgtBg = bg(target, Seq.empty)
+    // r19 audit note: the chi2Terms re-agg shape (ctxCounts = Σ_w2 over a
+    // checkpointed pairCounts) was TRIED and measured 2.5× SLOWER here
+    // (0.38 → 0.94 s) — the target side is the small curated corpus, so the
+    // checkpoint materialization costs more than the tokenize scan it
+    // saves. Kept as two scans; at a large target the re-agg would win.
     val pairCounts = tgtBg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val ctxCounts = tgtBg.groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocab = target.select(explode(Dedup.tokens(col(textCol))).as("t"))
@@ -327,6 +332,10 @@ object TextAnalysis {
     * corpus rows). Nothing here is quadratic in data.
     */
   def groupVocabOverlap(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    // r19 audit note: a localCheckpoint on this 3-consumer frame was TRIED
+    // and measured SLOWER at bench scale (0.58 → 0.74 s — the checkpoint
+    // materialization exceeds the two saved tokenize scans here); left as
+    // is. At corpus scale the cut wins — the r14 dedupedPostings law.
     val toks = df.select(col(groupCol).as("grp"), explode(Dedup.tokens(col(textCol))).as("tok"))
       .distinct()
     val sizes = toks.groupBy("grp").agg(count(lit(1)).as("sz"))

@@ -1215,6 +1215,35 @@ class WebSpec extends SparkSpec {
     recs(3).getString(4) shouldBe "quotes WARC/1.0\r\n marker bytes"
   }
 
+  test("synthCrawl (r19): typed synthesis is column-identical to the " +
+    "declarative withWarc(withHtml(withUrls)) chain over every fixture arm " +
+    "(status mix, redirect keys, corrupt member, host families, URL variants, " +
+    "embedded marker, NULL text)") {
+    // ids 0..620 sweep v(=id/100%5) 0..4, m(=id%11) all, k(=id/11%6) all,
+    // hosts 0..6, the %101==100 corrupt docs, and %13==5 marker docs;
+    // id 57 gets NULL text (57%11=2: the 200 arm, where NULL must propagate)
+    val docs = spark.range(0, 621).toDF("doc_id")
+      .withColumn("text",
+        when(col("doc_id") === 57, lit(null).cast("string"))
+          .otherwise(concat(lit("body text "), col("doc_id"))))
+    for (marker <- Seq(false, true)) {
+      val dec = Web.withWarc(Web.withHtml(Web.withUrls(docs)), marker)
+        .select(col("doc_id"), col("url"), col("html"), col("warc"))
+      val ker = Web.synthCrawl(docs, marker)
+        .select(col("doc_id"), col("url"), col("html"), col("warc"))
+      val joined = rows(dec.alias("d").join(ker.alias("k"), Seq("doc_id"))
+        .select(col("doc_id"),
+          (col("d.url") <=> col("k.url")).as("u"),
+          (col("d.html") <=> col("k.html")).as("h"),
+          (col("d.warc") <=> col("k.warc")).as("w")))
+      joined.length shouldBe 621
+      joined.foreach { r =>
+        assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3),
+          s"synthCrawl diverged at doc_id=${r.getLong(0)} (marker=$marker)")
+      }
+    }
+  }
+
   test("gzipMemberRange (r19): reused-Deflater member is byte-identical to " +
     "GZIPOutputStream, empties and multibyte included; reuse across members " +
     "does not leak state") {
