@@ -6861,7 +6861,7 @@ object SparkEntry {
     // quarantine to NULL, never emit a garbage prefix as content.
     "q_http_dechunk" -> ((s, dir) => {
       val W = graft.operators.Web
-      val w = W.withChunkedHttp(W.withHtml(W.withUrls(documents(s, dir))))
+      val w = W.withChunkedHttp(W.synthPages(documents(s, dir)))
       W.dechunk(w.select(col("doc_id"), col("chunked")), "doc_id", "chunked")
         .select(col("doc_id"), col("ok"), col("n_chunks"),
           md5(col("decoded")).as("decoded_md5"))
@@ -6877,7 +6877,7 @@ object SparkEntry {
     // fixture formula so the encoding MIX itself is under the hash gate.
     "q_http_body_decode" -> ((s, dir) => {
       val W = graft.operators.Web
-      val w = W.withEncodedHttp(W.withHtml(W.withUrls(documents(s, dir))))
+      val w = W.withEncodedHttp(W.synthPages(documents(s, dir)))
       W.decodeHttpBody(w, "doc_id", "body",
           "transfer_encoding", "content_encoding")
         .withColumn("enc",
@@ -6904,7 +6904,7 @@ object SparkEntry {
     // curation, corrupt-encode docs quarantine out.
     "q_warc_pipeline_encoded" -> ((s, dir) => {
       val W = graft.operators.Web
-      val base = W.withHtml(W.withUrls(documents(s, dir)))
+      val base = W.synthPages(documents(s, dir))
       val wb = W.withWarcBin(base)
       // localCheckpoint (lazy): two consumers — the URI frame and the
       // decode — would each re-run the binary synthesis+parse without the
@@ -7224,7 +7224,7 @@ object SparkEntry {
           val stream = s.readStream.schema(docsSchema)
             .option("pathGlobFilter", "documents.parquet").parquet(dir)
           val W = graft.operators.Web
-          val w = W.withEncodedHttp(W.withHtml(W.withUrls(stream)))
+          val w = W.withEncodedHttp(W.synthPages(stream))
           val dec = W.decodeHttpBody(w, "doc_id", "body",
               "transfer_encoding", "content_encoding")
             .select(col("doc_id"), col("ok"),
