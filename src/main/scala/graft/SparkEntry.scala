@@ -6514,8 +6514,7 @@ object SparkEntry {
     // chain + two broadcast joins + two bounded windows.
     "q_crawl_schedule_ranked" -> ((s, dir) => {
       val W = graft.operators.Web
-      // r19: typed synthesis kernel, warc-free (the domainRankFrame rationale)
-      val h = W.synthPages(documents(s, dir))
+      val h = W.withHtml(W.withUrls(documents(s, dir)))
       val links = h.select(col("url").as("page_url"),
         explode(W.extractLinks(col("html"))).as("href"))
       // localCheckpoint (lazy) on the RESOLVED frame (r18 optimization):
